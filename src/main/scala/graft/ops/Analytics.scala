@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Bulk analytic SQL surface (SURVEY §2.2).
+  *
+  * Every query is expressed with `functions._` columns so the whole plan
+  * stays inside Catalyst/whole-stage-codegen: filters and projections
+  * reach the parquet scan, small dimensions are broadcast, and top-k is
+  * `orderBy.limit` (TakeOrderedAndProject) rather than a global sort.
+  *
+  * Determinism conventions (for the DuckDB oracle hash-compare): double
+  * aggregates rounded, total ORDER BY on output, event timestamps
+  * surfaced as floor-epoch seconds.
+  */
+object Analytics {
+
+  /** Seconds-since-epoch as Long (floor), matching duckdb
+    * `CAST(floor(epoch(ts)) AS BIGINT)`. */
+  private def epochS(c: Column): Column = unix_timestamp(c)
+
+  /** TPC-H Q1 shape: scan + multi-aggregate groupBy. Map-side partial
+    * aggregation makes this one narrow shuffle of ~|groups| rows. */
+  def q1Pricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3 shape: 3-way join + agg + top-k. Customer (small) is
+    * broadcast; lineitem⋈orders shuffles on the order key; the final
+    * top-10 is TakeOrderedAndProject, never a full sort. */
+  def q3Shipping(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join (region→nation→customer/supplier→orders→
+    * lineitem) + agg. All dimensions broadcast; single fact shuffle. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, d)
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 shape: selective filter + global sum; filters are plain
+    * comparisons so they push to parquet row-group statistics. */
+  def q6Forecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  /** Per-group top-N via row_number window: one shuffle on the partition
+    * key; tie-broken on the unique order key for determinism. */
+  def qWindowTopN(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running (cumulative) sum window over a unique total order. */
+  def qRunningSum(s: SparkSession, d: String): DataFrame = {
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 2)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+      .drop("l_shipdate")
+      .orderBy(col("l_suppkey") +: order.tail: _*)
+  }
+
+  /** Exact distinct aggregation (2-phase distinct under the hood). */
+  def qDistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** EXISTS / NOT EXISTS as semi/anti joins: customers without orders. */
+  def qSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+    val ordKeys = Tables.orders(s, d).select(col("o_custkey"))
+    val without = cust.join(ordKeys, col("c_custkey") === col("o_custkey"),
+      "left_anti").withColumn("has_orders", lit(0L))
+    val withO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"),
+      "left_semi").withColumn("has_orders", lit(1L))
+    without.unionByName(withO)
+      .select(col("c_custkey"), col("c_name"), col("has_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** CASE WHEN bucketing + HAVING (post-aggregation filter). */
+  def qCaseHaving(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large"))
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .filter(col("n") > 5)
+      .orderBy(col("o_orderstatus"), col("bucket"))
+
+  /** Date part extraction and arithmetic. */
+  def qDateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .withColumn("mo", month(col("o_orderdate")).cast("long"))
+      .groupBy(col("yr"), col("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("yr"), col("mo"))
+
+  /** String function suite: upper/substr/concat/length. */
+  def qStringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .withColumn("brand_u", upper(col("p_brand")))
+      .withColumn("type_pfx", substring(col("p_type"), 1, 5))
+      .groupBy(col("brand_u"), col("type_pfx"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(length(col("p_name"))), 2).as("avg_name_len"),
+        min(concat(col("p_brand"), lit("#"), col("p_name"))).as("min_tag"))
+      .orderBy(col("brand_u"), col("type_pfx"))
+
+  /** Set operations: INTERSECT and EXCEPT branches, tagged + unioned. */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey").as("key"))
+    val ordCust = Tables.orders(s, d).select(col("o_custkey").as("key"))
+    val both = cust.intersect(ordCust).withColumn("tag", lit("both"))
+    val custOnly = cust.except(ordCust).withColumn("tag", lit("cust_only"))
+    both.unionByName(custOnly).orderBy(col("tag"), col("key"))
+  }
+
+  /** ROLLUP hierarchical aggregation over region→nation. */
+  def qRollup(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      // coalesce the rollup NULLs so ordering/hashing is engine-neutral
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Event sessionization: a new session starts after a >30 min gap.
+    * lag + cumulative sum over a (user, ts, event_id) total order —
+    * exactly one shuffle on user_id shared by both windows. */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val order = Seq(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(order: _*)
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_s", epochS(lag(col("ts"), 1).over(w)))
+      .withColumn("new_sess",
+        when(col("prev_s").isNull ||
+          epochS(col("ts")) - col("prev_s") > 1800, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRows))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(epochS(col("ts"))).as("start_s"),
+        max(epochS(col("ts"))).as("end_s"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  /** Global top-k: TakeOrderedAndProject (per-partition heaps + driver
+    * merge of k rows), never a cluster-wide sort. */
+  def qTopKGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+}
