@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.Analytics
+import graft.ops.{Analytics, JsonQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -18,6 +18,17 @@ object SparkEntry {
     Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 JSON↔relational engine (reference core)
+    "shred_flatten" -> (JsonQueries.shredFlatten _),
+    "shred_children" -> (JsonQueries.shredChildren _),
+    "shred_prim_subobj" -> (JsonQueries.shredPrimSubobj _),
+    "shred_prim_array" -> (JsonQueries.shredPrimArray _),
+    "assemble_nested" -> (JsonQueries.assembleNested _),
+    "type_infer" -> (JsonQueries.typeInfer _),
+    "point_lookup" -> (JsonQueries.pointLookup _),
+    "upsert" -> (JsonQueries.upsert _),
+    "schema_evolution" -> (JsonQueries.schemaEvolution _),
+    "json_roundtrip_count" -> (JsonQueries.roundtripCount _),
     // §2.2 bulk analytic SQL
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_shipping" -> (Analytics.q3Shipping _),
@@ -37,6 +48,78 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "shred_flatten" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "shred_children" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey % 20 = 0 ORDER BY 1, 2""".stripMargin,
+    "shred_prim_subobj" ->
+      """SELECT o_orderkey, c_name AS "customer$c_name",
+        |  c_mktsegment AS "customer$c_mktsegment"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 20 = 0 ORDER BY 1""".stripMargin,
+    "shred_prim_array" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "assemble_nested" ->
+      """SELECT o_orderkey, c_name AS cust_name, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 25 = 0 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "type_infer" ->
+      """WITH nv AS (
+        |  SELECT 'k' AS name, json_extract_string(props, '$.k') AS value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_time', strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM events
+        |  UNION ALL
+        |  SELECT 'props_raw', props FROM events)
+        |SELECT name,
+        |  CASE WHEN regexp_full_match(value, '-?[0-9]+') THEN 'NUMBER'
+        |       WHEN contains(lower(name), 'time') AND contains(value, ':')
+        |            AND contains(value, 'T') THEN 'DATE'
+        |       WHEN length(value) < 128 THEN 'MEDIUM_STRING'
+        |       ELSE 'TEXT' END AS vclass,
+        |  count(*) AS n
+        |FROM nv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders WHERE o_orderkey = 100""".stripMargin,
+    "upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    round(o_totalprice * 1.1, 2) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL SELECT -1, 'N', 123.45),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "schema_evolution" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS pri
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority AS pri
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(pri, '<missing>') AS priority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "json_roundtrip_count" ->
+      "SELECT count(*) AS n_total, count(*) AS n_match FROM orders",
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

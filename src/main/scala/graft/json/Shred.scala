@@ -1,0 +1,85 @@
+package graft.json
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSON → relational normalization, the Spark re-expression of the
+  * reference's `saveIntoDatabase` (DatabaseManager.java:118-241).
+  *
+  * The reference walks one JSON object at a time, issuing DDL/DML per
+  * node. Here the same shredding rules are applied to *columns* of
+  * documents at once — a narrow, shuffle-free map over the whole corpus:
+  *
+  *  - child object carrying the key field → own table + numeric FK in
+  *    the parent (reference: `{child:<id>}` marker, java:145-155,453-474)
+  *  - key-less object of primitives → flattened `parent$sub` columns
+  *    (java:156-167)
+  *  - array of objects → child table whose FK column is named after the
+  *    parent table (java:168-202,231-238)
+  *  - array of primitives → stored as one JSON-text column (java:187-193)
+  *
+  * Deviation from the reference, deliberately Spark-first: references are
+  * stored as typed numeric FKs, not `{child:n}` strings — joins stay
+  * codegen'd and statistics-friendly.
+  */
+object Shred {
+
+  /** Parse a JSON string column with an explicit schema and lift its
+    * fields to top-level columns. Flat shredding (reference's primitive
+    * path). */
+  def flatten(df: DataFrame, jsonCol: String, schema: StructType,
+      keep: Seq[String] = Nil): DataFrame = {
+    val parsed = df.withColumn("_doc", from_json(col(jsonCol), schema))
+    val lifted = schema.fieldNames.map(f => col(s"_doc.$f").as(f))
+    parsed.select((keep.map(col) ++ lifted): _*)
+  }
+
+  /** Recursively normalize a DataFrame of (already-parsed) nested
+    * documents into a map of flat tables, applying the reference's
+    * shredding rules. `key` is the identity field (reference: "rowNum").
+    */
+  def normalize(docs: DataFrame, rootName: String,
+      key: String = "rowNum"): Map[String, DataFrame] = {
+    var root = docs
+    var out = Map.empty[String, DataFrame]
+    docs.schema.fields.foreach { f =>
+      f.dataType match {
+        case st: StructType if st.fieldNames.contains(key) =>
+          // identity-bearing child object → own table, numeric FK back
+          val child = docs.select(col(s"${f.name}.*"))
+          out ++= normalize(child, f.name, key)
+          root = root.withColumn(f.name, col(s"${f.name}.$key"))
+        case st: StructType =>
+          // key-less primitive object → parent$sub columns
+          st.fieldNames.foreach { sub =>
+            root = root.withColumn(s"${f.name}$$$sub", col(s"${f.name}.$sub"))
+          }
+          root = root.drop(f.name)
+        case ArrayType(_: StructType, _) =>
+          // array of objects → child table, FK column named after parent
+          val child = docs
+            .select(col(key).as(rootName), explode(col(f.name)).as("_c"))
+            .select(col(rootName), col("_c.*"))
+          out ++= normalize(child, f.name, key)
+          root = root.drop(f.name)
+        case ArrayType(_, _) =>
+          // primitive array → JSON-text column
+          root = root.withColumn(f.name, to_json(col(f.name)))
+        case _ => ()
+      }
+    }
+    out + (rootName -> root)
+  }
+
+  /** Reference `getType` (DatabaseManager.java:514-534) as a codegen'd
+    * column expression over a (name, value-as-string) pair:
+    * integer literal → NUMBER; name mentions "time" and value looks
+    * ISO-ish → DATE; short → MEDIUM_STRING; else TEXT. */
+  def inferType(name: Column, value: Column): Column =
+    when(value.rlike("^-?[0-9]+$"), "NUMBER")
+      .when(lower(name).contains("time") &&
+        value.contains(":") && value.contains("T"), "DATE")
+      .when(length(value) < 128, "MEDIUM_STRING")
+      .otherwise("TEXT")
+}

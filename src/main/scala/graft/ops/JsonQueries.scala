@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.json.{Assemble, Shred}
+import graft.sources.Tables
+
+/** SURVEY §2.1 — the reference's JSON↔relational capabilities as
+  * verifiable queries over the test tables.
+  *
+  * Docs are synthesized from the relational tables, pushed through the
+  * real shred/assemble machinery, and the results land back in relational
+  * form so a plain-SQL DuckDB oracle can check them.
+  */
+object JsonQueries {
+
+  /** Nested documents built from orders: root carries the key
+    * ("rowNum" in reference terms), a key-less customer object
+    * (→ `customer$…` flatten path), and an items array (→ child table
+    * path). Restricted to keys %20==0 to keep bench bounded. */
+  private def orderDocs(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+    val items = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 20 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rowNum"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))))
+        .as("items"))
+    ord
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        col("o_orderkey").as("rowNum"),
+        col("o_orderstatus"), col("o_totalprice"),
+        struct(col("c_name"), col("c_mktsegment")).as("customer"),
+        coalesce(col("items"), array()).as("items"))
+  }
+
+  /** Flat shred of the events.props JSON column. */
+  def shredFlatten(s: SparkSession, d: String): DataFrame =
+    Shred.flatten(
+      Tables.events(s, d).select("event_id", "event_type", "props"),
+      "props", StructType(Seq(StructField("k", LongType))),
+      keep = Seq("event_id", "event_type"))
+      .orderBy(col("event_id"))
+
+  /** Array-of-objects → child table with parent-named FK (reference's
+    * `{check:}` path) via the generic normalizer. */
+  def shredChildren(s: SparkSession, d: String): DataFrame = {
+    val tables = Shred.normalize(orderDocs(s, d), "order")
+    tables("items")
+      .select(col("order").as("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Key-less primitive object → `parent$sub` flattened columns. */
+  def shredPrimSubobj(s: SparkSession, d: String): DataFrame = {
+    val tables = Shred.normalize(orderDocs(s, d), "order")
+    tables("order")
+      .select(col("rowNum").as("o_orderkey"),
+        col("customer$c_name"), col("customer$c_mktsegment"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Primitive array ⇄ JSON-text column roundtrip: quantities per order
+    * are serialized to a JSON string (reference storage form), parsed
+    * back, exploded, and re-aggregated. */
+  def shredPrimArray(s: SparkSession, d: String): DataFrame = {
+    val qtyJson = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(to_json(expr(
+        "transform(array_sort(collect_list(struct(l_linenumber, l_quantity)))," +
+          " x -> x.l_quantity)")).as("qty_json"))
+    qtyJson
+      .select(col("l_orderkey"),
+        explode(from_json(col("qty_json"), ArrayType(DoubleType))).as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("qty")), 2).as("sum_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Assemble: nest customer object + items array into a JSON doc, then
+    * prove the doc's integrity by re-extracting fields from the JSON. */
+  def assembleNested(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 25 === 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 25 === 0)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val withCust = Assemble.nestObject(
+      ord, broadcast(cust), "o_custkey", "c_custkey", "customer")
+    val withItems = Assemble.nestArray(
+      withCust, "o_orderkey", li, "l_orderkey", "items",
+      orderCols = Seq("l_linenumber"))
+      .filter(col("items").isNotNull) // inner semantics to match oracle
+    withItems
+      .select(col("o_orderkey"),
+        Assemble.toJsonDoc(
+          col("o_orderkey"), col("customer"),
+          size(col("items")).as("n_items"),
+          round(expr("aggregate(items, 0D, (acc, x) -> acc + x.l_quantity)"), 2)
+            .as("sum_qty")).as("doc"))
+      .select(
+        col("o_orderkey"),
+        get_json_object(col("doc"), "$.customer.c_name").as("cust_name"),
+        get_json_object(col("doc"), "$.n_items").cast("long").as("n_items"),
+        get_json_object(col("doc"), "$.sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Reference getType classification over (name, value) pairs drawn
+    * from events: a JSON int, an ISO timestamp string, a JSON blob. */
+  def typeInfer(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(explode(array(
+        struct(lit("k").as("name"),
+          get_json_object(col("props"), "$.k").as("value")),
+        struct(lit("event_time").as("name"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("value")),
+        struct(lit("props_raw").as("name"), col("props").as("value"))))
+        .as("nv"))
+      .select(col("nv.name").as("name"), col("nv.value").as("value"))
+      .groupBy(col("name"), Shred.inferType(col("name"), col("value")).as("vclass"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("name"), col("vclass"))
+
+  /** Point lookup by key (reference getFromDatabaseJson): the filter
+    * pushes to parquet so only matching row groups are read. */
+  def pointLookup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") === 100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"))
+
+  /** Keyed upsert: modified rows replace, a fresh key appends. */
+  def upsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val mods = base.filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        round(col("o_totalprice") * 1.1, 2).as("o_totalprice"))
+    val fresh = s.range(1).select(lit(-1L).as("o_orderkey"),
+      lit("N").as("o_orderstatus"), lit(123.45).as("o_totalprice"))
+    Upsert(base, mods.unionByName(fresh), Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Schema evolution: a later batch carries a new column; old rows
+    * surface NULL → coalesced marker. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val v1 = ord.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+    val v2 = ord.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    Upsert.evolve(v1, v2)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<missing>")).as("priority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("priority"))
+  }
+
+  /** Shred→assemble roundtrip integrity over all orders. */
+  def roundtripCount(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val docs = ord.select(Assemble.toJsonDoc(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")).as("doc"))
+    val back = Shred.flatten(docs, "doc", StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType))))
+    back.join(ord.withColumnRenamed("o_orderstatus", "st")
+      .withColumnRenamed("o_totalprice", "tp"), Seq("o_orderkey"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("o_orderstatus") === col("st") &&
+          col("o_totalprice") === col("tp"), 1L).otherwise(0L)).as("n_match"))
+  }
+}
