@@ -21,6 +21,9 @@ object GraftSession {
       // the events table stores TIMESTAMP(NANOS) which Spark's parquet
       // reader rejects; read as raw Long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // classic (non-ANSI) semantics: MinHash/SimHash/rolling-hash use
+      // deliberate 64-bit wrap-around multiplication
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests: N threads, shuffle partitions sized to match. */

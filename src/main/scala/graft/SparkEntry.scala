@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, JsonQueries}
+import graft.ops.{Analytics, JsonQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -45,6 +45,20 @@ object SparkEntry {
     "q_rollup" -> (Analytics.qRollup _),
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_topk_global" -> (Analytics.qTopKGlobal _),
+    // §2.3 LLM-training-data pipeline
+    "dedup_exact" -> (PipelineQueries.dedupExact _),
+    "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
+    "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
+    "ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
+    "dedup_embed_cos" -> (PipelineQueries.dedupEmbedCos _),
+    "ann_brute_topk" -> (PipelineQueries.annBruteTopK _),
+    "ann_lsh_topk" -> (PipelineQueries.annLshTopK _),
+    "text_tokens" -> (PipelineQueries.textTokens _),
+    "text_quality" -> (PipelineQueries.textQuality _),
+    "text_langid" -> (PipelineQueries.textLangid _),
+    "text_fingerprint" -> (PipelineQueries.textFingerprint _),
+    "multimodal_meta" -> (PipelineQueries.multimodalMeta _),
+    "multimodal_decode" -> (PipelineQueries.multimodalDecode _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -252,5 +266,115 @@ object SparkEntry {
     "q_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    // §2.3 — dedup_minhash_lsh / dedup_simhash / ann_lsh_topk /
+    // multimodal_decode are rows-only (hash-family internals aren't
+    // ANSI-SQL-expressible); the kernels they rely on are verified via
+    // ngram_jaccard, dedup_embed_cos, ann_brute_topk, text_fingerprint.
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY 1""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(t) - 2, 0)),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents) d),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+        |SELECT doc_a, doc_b,
+        |  round(len(list_intersect(sa, sb))::DOUBLE /
+        |        len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+        |FROM p WHERE len(sa) > 0 AND len(sb) > 0 ORDER BY 1""".stripMargin,
+    "dedup_embed_cos" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         a.embedding AS ea, b.embedding AS eb
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+        |z AS (
+        |  SELECT va, vb, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y
+        |  FROM p),
+        |sums AS (
+        |  SELECT va, vb, sum(x*y) AS d, sum(x*x) AS na, sum(y*y) AS nb
+        |  FROM z GROUP BY 1, 2)
+        |SELECT va AS vec_a, vb AS vec_b,
+        |  round(d / (sqrt(na) * sqrt(nb)), 4) AS cos
+        |FROM sums ORDER BY 1""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+        |p AS (SELECT q_id, c_id, qe, ce FROM q JOIN c ON c_id <> q_id),
+        |z AS (SELECT q_id, c_id, unnest(qe)::DOUBLE AS x,
+        |             unnest(ce)::DOUBLE AS y FROM p),
+        |sums AS (SELECT q_id, c_id, sum(x*y) AS d, sum(x*x) AS na,
+        |                sum(y*y) AS nb FROM z GROUP BY 1, 2),
+        |sc AS (SELECT q_id, c_id,
+        |         round(d / (sqrt(na) * sqrt(nb)), 4) AS score FROM sums),
+        |r AS (SELECT q_id, c_id, score,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY score DESC, c_id) AS INTEGER) AS rnk FROM sc)
+        |SELECT q_id, rnk, c_id, score FROM r WHERE rnk <= 5
+        |ORDER BY 1, 2""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    round(len(list_filter(toks, x -> x IN
+        |      ('the','a','and','of','to','in','is')))::DOUBLE / len(toks), 4)
+        |      AS stop_ratio,
+        |    round(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE /
+        |      length(text), 4) AS punct_ratio
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_tok, stop_ratio, punct_ratio,
+        |  round(least(1.0, n_tok / 200.0) * (1.0 - stop_ratio), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','is')))
+        |      AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','und','die')))
+        |      AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','et','les')))
+        |      AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','los','y')))
+        |      AS BIGINT) AS s_es
+        |  FROM t)
+        |SELECT doc_id, s_en, s_de, s_fr, s_es,
+        |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr
+        |         AND s_en >= s_es THEN 'en'
+        |       WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+        |       WHEN s_es > 0 THEN 'es'
+        |       ELSE 'unknown' END AS guess
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,83 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** MinHash + LSH banding near-duplicate detection (SURVEY §2.3).
+  *
+  * Pipeline: shingle → xxhash64 → `numPerms` affine permutations
+  * (wrap-around 64-bit arithmetic, classic (a·h + b) family) → per-band
+  * bucket keys → self-join on (band, bucket).
+  *
+  * Scale shape: signatures are a narrow map over the corpus (no
+  * shuffle); the only shuffle is the band-bucket self-join, keyed on
+  * (band, bucket-hash). Boilerplate-heavy buckets (the skew killer at
+  * 100 TB) are capped by `maxBucket` — members of over-full buckets are
+  * better handled by the exact-dup pass first.
+  */
+object MinHashLSH {
+
+  case class Config(
+      numPerms: Int = 64,
+      bands: Int = 32,
+      shingleK: Int = 3,
+      maxBucket: Int = 100) {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    def rowsPerBand: Int = numPerms / bands
+  }
+
+  /** Deterministic affine-permutation constants. */
+  private def perms(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** id, sigs(array<bigint> of numPerms minhashes). Docs with no
+    * shingles are dropped (nothing to compare). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val hs = transform(TextOps.shingles(col(textCol), cfg.shingleK),
+      s => xxhash64(s))
+    val withH = docs
+      .select(col(idCol).as("id"), hs.as("_hs"))
+      .filter(size(col("_hs")) > 0)
+    val sigCols = perms(cfg.numPerms).map { case (a, b) =>
+      array_min(transform(col("_hs"), h => h * lit(a) + lit(b)))
+    }
+    withH.select(col("id"), array(sigCols: _*).as("sigs"))
+  }
+
+  /** Candidate near-dup pairs (id_a < id_b) with the estimated Jaccard
+    * similarity (fraction of agreeing minhashes). */
+  def candidatePairs(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val r = cfg.rowsPerBand
+    val bandStructs = (0 until cfg.bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(concat_ws(",", slice(col("sigs"), j * r + 1, r))).as("bh"))
+    }
+    val exploded = sigs
+      .select(col("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    // skew guard: drop over-full buckets (boilerplate content)
+    val ok = exploded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= cfg.maxBucket && col("_n") > 1)
+      .drop("_n")
+    val pruned = exploded.join(ok, Seq("band", "bh"), "left_semi")
+    val a = pruned.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = pruned.select(col("band"), col("bh"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sigs.select(col("id").as("id_a"), col("sigs").as("_sa"))
+    val sb = sigs.select(col("id").as("id_b"), col("sigs").as("_sb"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_sim", round(
+        aggregate(zip_with(col("_sa"), col("_sb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / cfg.numPerms, 4))
+      .select("id_a", "id_b", "est_sim")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §2.3).
+  *
+  * Media (image/audio/video) is carried as an opaque `binary` column
+  * with typed metadata alongside. The Spark-side machinery — schema,
+  * partition spreading, batch-shaped decode boundary — is real; the
+  * codec itself is STUBBED with a deterministic fake (this container
+  * has no image/audio libraries), clearly marked below. Swapping in a
+  * real decoder changes only the body of `fakeDecode`.
+  */
+object Multimodal {
+
+  /** Decoded media metadata produced by the (stubbed) decoder. */
+  case class MediaMeta(doc_id: Long, width: Int, height: Int, n_frames: Int)
+
+  /** Attach the opaque payload + cheap byte-level metadata. In a real
+    * pipeline the binary arrives from the source; here text bytes stand
+    * in as the payload. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("sha", sha2(col("payload"), 256))
+
+  /** STUB decoder — deterministic fake in place of a real image/video
+    * codec. Real decode would parse the container header; the fake
+    * derives dimensions from the first payload bytes so tests are
+    * reproducible. Runs per-partition, batch-shaped: the iterator lets
+    * an implementation amortize codec init across a whole partition
+    * (the same shape a Pandas-UDF/Arrow batch would have). */
+  private def fakeDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+    val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+    MediaMeta(
+      doc_id = docId,
+      width = 16 * (1 + (b0 % 32)),
+      height = 16 * (1 + (b1 % 32)),
+      n_frames = 1 + (payload.length % 8))
+  }
+
+  /** Decode boundary: binary payload → typed metadata, per-partition.
+    * Partitions are spread by doc_id first so a handful of giant media
+    * files can't serialize behind one another on a single core. */
+  def decode(spark: SparkSession, withBin: DataFrame,
+      partitions: Int = 0): Dataset[MediaMeta] = {
+    import spark.implicits._
+    val spread =
+      if (partitions > 0) withBin.repartition(partitions, col("doc_id"))
+      else withBin
+    spread
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => fakeDecode(id, bytes) } }
+  }
+}

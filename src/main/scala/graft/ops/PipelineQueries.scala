@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{MinHashLSH, SimHash}
+import graft.mm.Multimodal
+import graft.sim.Ann
+import graft.sources.Tables
+import graft.text.TextOps
+
+/** SURVEY §2.3 — LLM-training-data pipeline operators as driver-contract
+  * queries over the documents/embeddings corpus tables.
+  */
+object PipelineQueries {
+
+  /** Exact dedup: group by content hash, keep the smallest id.
+    * Map-side combine makes the shuffle proportional to |distinct|. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("_h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+      .orderBy(col("keeper"))
+
+  /** MinHash+LSH candidate near-dup pairs with estimated Jaccard. */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
+    MinHashLSH.candidatePairs(sigs)
+      .filter(col("est_sim") >= 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash hamming-neighborhood near-dup pairs. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = SimHash.signatures(Tables.documents(s, d), "doc_id", "text")
+    SimHash.candidatePairs(sigs, maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact n-gram Jaccard similarity on adjacent-id pairs (the
+    * SQL-verifiable window into the pairwise similarity kernel). */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("_sa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("_sb"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .filter(size(col("_sa")) > 0 && size(col("_sb")) > 0)
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+          size(array_union(col("_sa"), col("_sb"))), 4).as("jaccard"))
+      .orderBy(col("doc_a"))
+  }
+
+  /** Embedding cosine on adjacent-id pairs (SQL-verifiable kernel of
+    * embedding near-dup detection). */
+  def dedupEmbedCos(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("_ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("_eb"))
+    a.join(b, col("vec_b") === col("vec_a") + 1)
+      .select(col("vec_a"), col("vec_b"),
+        round(Ann.cosine(col("_ea"), col("_eb")), 4).as("cos"))
+      .orderBy(col("vec_a"))
+  }
+
+  /** Exact top-5 cosine neighbors for the first 10 vectors. */
+  def annBruteTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.bruteTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Approximate top-5 via random-hyperplane LSH buckets. */
+  def annLshTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Token counting: whitespace + BPE-ish regex classes. */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.wsCount(col("text")).as("n_ws"),
+        TextOps.bpeishCount(col("text")).as("n_bpe"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring from cheap surface signals. */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("_toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("_toks")).cast("long").as("n_tok"),
+        round(TextOps.stopCount(col("_toks")).cast("double") /
+          size(col("_toks")), 4).as("stop_ratio"),
+        round(size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+          .cast("double") / length(col("text")), 4).as("punct_ratio"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tok") / 200.0) *
+          (lit(1.0) - col("stop_ratio")), 4))
+      .orderBy(col("doc_id"))
+
+  /** Stopword-marker language ID (n-gram heuristic family). */
+  def textLangid(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("_toks", TextOps.tokens(lower(col("text"))))
+    val withScores = TextOps.langMarkers.foldLeft(base) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"s_$lang", TextOps.markerCount(col("_toks"), markers))
+    }
+    withScores
+      .withColumn("guess",
+        when(col("s_en") > 0 && col("s_en") >= col("s_de") &&
+          col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") > 0 && col("s_de") >= col("s_fr") &&
+            col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") > 0 && col("s_fr") >= col("s_es"), "fr")
+          .when(col("s_es") > 0, "es")
+          .otherwise("unknown"))
+      .select("doc_id", "s_en", "s_de", "s_fr", "s_es", "guess")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Canonical-form fingerprint (dedup key). */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal: opaque payload byte-level metadata (SQL-verifiable). */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.withPayload(Tables.documents(s, d))
+      .select("doc_id", "n_bytes", "sha")
+      .orderBy(col("doc_id"))
+
+  /** Multimodal: batch-shaped stub decode (plumbing under test;
+    * rows-only check — the codec is a deterministic fake). */
+  def multimodalDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal.decode(s, Multimodal.withPayload(Tables.documents(s, d)),
+        partitions = s.sparkContext.defaultParallelism)
+      .toDF()
+      .orderBy(col("doc_id"))
+}

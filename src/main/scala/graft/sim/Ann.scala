@@ -1,0 +1,81 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY §2.3).
+  *
+  * Brute force is the exact baseline: the (small) query set is
+  * broadcast, the corpus is scanned once — no corpus shuffle, linear in
+  * |corpus|·|queries|. The LSH variant buckets the corpus by
+  * random-hyperplane sign codes so each query probes ~|corpus|/2^planes
+  * rows — the 100 TB path, trading recall for a bucket-join.
+  */
+object Ann {
+
+  /** Cosine similarity between two array<double> columns — pure
+    * higher-order functions, whole-stage-codegen'd, no UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Ranking uses the 4-dp-rounded score (ties broken by corpus id) so
+    * results are reproducible across engines. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("_ce"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("_qe"))
+    val scored = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("score", round(cosine(col("_qe"), col("_ce")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "score")
+  }
+
+  /** Deterministic random hyperplanes (Gaussian, seed 7). */
+  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket code for an embedding column. */
+  def lshCode(emb: Column, nPlanes: Int, dim: Int): Column = {
+    val bits = planes(nPlanes, dim).zipWithIndex.map { case (p, j) =>
+      val pl = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(emb, pl, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: queries probe only their own LSH bucket.
+    * At scale the corpus bucketing is computed once and reused across
+    * query batches. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("_ce"))
+      .withColumn("_bucket", lshCode(col("_ce"), nPlanes, dim))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("_qe"))
+      .withColumn("_bucket", lshCode(col("_qe"), nPlanes, dim))
+    val scored = c.join(broadcast(q), Seq("_bucket"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("score", round(cosine(col("_qe"), col("_ce")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "score")
+  }
+}
