@@ -45,6 +45,7 @@ object SparkEntry {
     "q_rollup" -> (Analytics.qRollup _),
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_topk_global" -> (Analytics.qTopKGlobal _),
+    "stream_window" -> (graft.streaming.Events.streamWindow _),
     // §2.3 LLM-training-data pipeline
     "dedup_exact" -> (PipelineQueries.dedupExact _),
     "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
@@ -266,6 +267,11 @@ object SparkEntry {
     "q_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "stream_window" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |    AS win_start_s,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // §2.3 — dedup_minhash_lsh / dedup_simhash / ann_lsh_topk /
     // multimodal_decode are rows-only (hash-family internals aren't
     // ANSI-SQL-expressible); the kernels they rely on are verified via
