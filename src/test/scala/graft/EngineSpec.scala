@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One SparkSession per suite; sf0.001 keeps the suite fast. */
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Every driver-contract query runs and returns rows with the declared
+  * deterministic shape. */
+class QueriesSpec extends SparkSuite {
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs and is non-empty") {
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+}
+
+class JsonEngineSpec extends SparkSuite {
+  import graft.json.{Assemble, Shred}
+
+  test("normalize shreds child objects to tables with numeric FK") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", Seq((10L, 1.5), (11L, 2.5))),
+      (2L, "b", Seq.empty[(Long, Double)]))
+      .toDF("rowNum", "name", "raw")
+      .withColumn("items", expr(
+        "transform(raw, x -> named_struct('rowNum', x._1, 'v', x._2))"))
+      .drop("raw")
+      .withColumn("meta", struct(lit("x").as("k1"), lit(7).as("k2")))
+    val tables = Shred.normalize(docs, "root")
+    assert(tables.keySet == Set("root", "items"))
+    val root = tables("root")
+    // key-less struct flattened to parent$sub; array gone to child table
+    assert(root.columns.toSet == Set("rowNum", "name", "meta$k1", "meta$k2"))
+    val items = tables("items")
+    // FK column named after the parent table (reference behavior)
+    assert(items.columns.contains("root"))
+    assert(items.count() == 2)
+    assert(items.filter(col("root") === 1L).count() == 2)
+  }
+
+  test("assemble nests child array deterministically ordered") {
+    import spark.implicits._
+    val parent = Seq((1L, "p")).toDF("id", "name")
+    val child = Seq((1L, 2, "b"), (1L, 1, "a")).toDF("fk", "seq", "v")
+    val nested = Assemble.nestArray(parent, "id", child, "fk", "items",
+      orderCols = Seq("seq"))
+    val arr = nested.select(expr("transform(items, x -> x.v)")).head().getSeq[String](0)
+    assert(arr == Seq("a", "b"))
+  }
+
+  test("type inference matches reference getType rules") {
+    import spark.implicits._
+    val rows = Seq(
+      ("n", "123"), ("n2", "-7"), ("mytime", "2024-01-01T10:00:00"),
+      ("s", "short"), ("s2", "x" * 200))
+      .toDF("name", "value")
+      .select(Shred.inferType(col("name"), col("value")).as("t"))
+      .as[String].collect().toSeq
+    assert(rows == Seq("NUMBER", "NUMBER", "DATE", "MEDIUM_STRING", "TEXT"))
+  }
+}
+
+class DedupSpec extends SparkSuite {
+  import graft.dedup.{MinHashLSH, SimHash}
+
+  test("minhash identical docs estimate 1.0") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, txt), (2L, txt),
+      (3L, "completely different words nothing shared here at all okay"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashLSH
+      .candidatePairs(MinHashLSH.signatures(docs, "doc_id", "text"))
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash identical docs have hamming 0, disjoint docs large") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = SimHash.candidatePairs(
+      SimHash.signatures(docs, "doc_id", "text")).collect()
+    assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
+  }
+
+  test("upsert replaces keys and appends new ones") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val upd = Seq((2L, "B"), (3L, "C")).toDF("k", "v")
+    val m = graft.ops.Upsert(base, upd, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(m == Seq((1L, "a"), (2L, "B"), (3L, "C")))
+  }
+}
+
+class AnnSpec extends SparkSuite {
+  import graft.sim.Ann
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Ann.cosine(col("a"), col("b")).as("same"),
+      Ann.cosine(col("a"), col("c")).as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute top-k self-excludes and ranks by score") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val top = Ann.bruteTopK(emb, emb.filter(col("vec_id") < 2), 3).collect()
+    assert(top.length == 6)
+    assert(!top.exists(r => r.getLong(0) == r.getLong(2)))
+    val perQ = top.groupBy(_.getLong(0))
+    perQ.values.foreach { rows =>
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    }
+  }
+}
+
+class StreamingSpec extends SparkSuite {
+  test("stream_window matches the batch window aggregation") {
+    val streamed = graft.streaming.Events.streamWindow(spark, sf)
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
