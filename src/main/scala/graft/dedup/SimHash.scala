@@ -18,26 +18,16 @@ import graft.text.TextOps
   */
 object SimHash {
 
-  /** id, simhash (bigint). */
-  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hs = transform(array_distinct(TextOps.tokens(col(textCol))),
-      t => xxhash64(t))
-    val votesExpr = expr(
-      """aggregate(_hs, transform(sequence(0, 63), j -> 0),
-        |  (acc, h) -> zip_with(acc,
-        |    transform(sequence(0, 63),
-        |      j -> IF(((h >> j) & 1) = 1, 1, -1)),
-        |    (x, y) -> x + y))""".stripMargin)
-    val simhashExpr = expr(
-      """aggregate(zip_with(_votes, sequence(0, 63),
-        |    (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)),
-        |  0L, (acc, x) -> acc | x)""".stripMargin)
-    docs.select(col(idCol).as("id"), hs.as("_hs"))
-      .filter(size(col("_hs")) > 0)
-      .withColumn("_votes", votesExpr)
-      .withColumn("simhash", simhashExpr)
-      .select("id", "simhash")
-  }
+  /** id, simhash (bigint). Distinct tokens = 1-gram shingles; the
+    * bit-vote fold runs in the custom `SimHash64` expression (the HOF
+    * formulation is interpreted and ~1000× slower per doc). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        graft.functions.exprs.shingles(col(textCol), 1).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("id"),
+        graft.functions.exprs.simhash64(col("_toks")).as("simhash"))
 
   /** Pairs (id_a < id_b) agreeing on ≥1 of 4 16-bit chunks, with exact
     * hamming distance, filtered to `maxHamming`. */

@@ -78,11 +78,15 @@ object JsonQueries {
       .agg(to_json(expr(
         "transform(array_sort(collect_list(struct(l_linenumber, l_quantity)))," +
           " x -> x.l_quantity)")).as("qty_json"))
+    // aggregate the parsed array in place — no second shuffle; the
+    // explode path is exercised by shred_children
     qtyJson
       .select(col("l_orderkey"),
-        explode(from_json(col("qty_json"), ArrayType(DoubleType))).as("qty"))
-      .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_items"), round(sum(col("qty")), 2).as("sum_qty"))
+        from_json(col("qty_json"), ArrayType(DoubleType)).as("qtys"))
+      .select(col("l_orderkey"),
+        size(col("qtys")).cast("long").as("n_items"),
+        round(aggregate(col("qtys"), lit(0.0), (acc, x) => acc + x), 2)
+          .as("sum_qty"))
       .orderBy(col("l_orderkey"))
   }
 

@@ -25,7 +25,11 @@ object PipelineQueries {
 
   /** MinHash+LSH candidate near-dup pairs with estimated Jaccard. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // the signature table feeds three joins (band explode + both pair
+    // sides) — cache it instead of recomputing the hash pipeline 3×.
+    // At 100 TB this is a persisted/checkpointed intermediate table.
     val sigs = MinHashLSH.signatures(Tables.documents(s, d), "doc_id", "text")
+      .cache()
     MinHashLSH.candidatePairs(sigs)
       .filter(col("est_sim") >= 0.2)
       .orderBy(col("id_a"), col("id_b"))
@@ -41,8 +45,11 @@ object PipelineQueries {
   /** Exact n-gram Jaccard similarity on adjacent-id pairs (the
     * SQL-verifiable window into the pairwise similarity kernel). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // shingling is interpreted (HOF) — compute once, reuse on both
+    // sides of the self-join
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .cache()
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("_sa"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("_sb"))
     a.join(b, col("doc_b") === col("doc_a") + 1)

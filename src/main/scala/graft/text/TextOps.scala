@@ -13,18 +13,12 @@ object TextOps {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Distinct k-gram token shingles as space-joined strings; empty
-    * array when the doc has fewer than k tokens. */
+    * array when the doc has fewer than k tokens. Delegates to the
+    * custom `Shingles` Catalyst expression (graft.functions) — the
+    * pure-HOF formulation is interpreted and an order of magnitude
+    * slower per document. */
   def shingles(text: Column, k: Int = 3): Column =
-    shinglesOf(tokens(text), k)
-
-  /** Same, over an existing token-array column. */
-  def shinglesOf(toks: Column, k: Int): Column = {
-    val mk = transform(sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ",
-        (0 until k).map(j => element_at(toks, i + lit(j + 1))): _*))
-    array_distinct(
-      when(size(toks) >= k, mk).otherwise(array().cast("array<string>")))
-  }
+    graft.functions.exprs.shingles(text, k)
 
   /** BPE-ish token count: letter runs, single digits, single symbols. */
   def bpeishCount(text: Column): Column =
