@@ -46,6 +46,22 @@ object SparkEntry {
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_topk_global" -> (Analytics.qTopKGlobal _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
+    "stream_dedup" -> (graft.streaming.Events.streamDedup _),
+    "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
+    // §2.4 source/sink formats
+    "source_json_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.sources.Formats.jsonRoundtrip(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
+    "source_csv_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.sources.Formats.csvRoundtrip(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
+    "source_binary_files" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.sources.Formats.binaryFiles(s, d, "*.parquet")
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("fname"),
+          col("length"))
+        .orderBy(col("fname"))
+    }),
     // §2.3 LLM-training-data pipeline
     "dedup_exact" -> (PipelineQueries.dedupExact _),
     "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
@@ -272,6 +288,43 @@ object SparkEntry {
         |    AS win_start_s,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |x AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM s),
+        |g AS (
+        |  SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |    count(*) AS n_events,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_s,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_s
+        |  FROM x GROUP BY 1, 2)
+        |SELECT user_id, sess_id, n_events, start_s, end_s FROM (
+        |  SELECT g.*, max(sess_id) OVER (PARTITION BY user_id) AS mx FROM g) t
+        |WHERE sess_id < mx ORDER BY user_id, sess_id""".stripMargin,
+    "source_json_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "source_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // §2.3 — dedup_minhash_lsh / dedup_simhash / ann_lsh_topk /
     // multimodal_decode are rows-only (hash-family internals aren't
     // ANSI-SQL-expressible); the kernels they rely on are verified via

@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage (SURVEY §2.4): the engine round-trips
+  * its tables through line-delimited JSON (the reference's native
+  * interchange form) and CSV, and ingests opaque files via the
+  * binaryFile source (multimodal ingestion path).
+  *
+  * Writers produce a deterministic projection (dates as strings) so the
+  * reread is byte-stable; readers use explicit schemas on CSV and
+  * schema inference on JSON (both paths exercised).
+  */
+object Formats {
+
+  private def tmpDir(kind: String, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_fmt", s"${kind}_$tag")
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  /** Orders in interchange projection: stable string date. */
+  private def ordersInterchange(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+
+  /** Write orders as line-delimited JSON, read back with schema
+    * inference, return the reread frame. */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("orders_json", d)
+    ordersInterchange(s, d).write.mode(SaveMode.Overwrite).json(path)
+    s.read.json(path)
+  }
+
+  /** Write orders as CSV with header, read back with explicit schema. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("orders_csv", d)
+    val df = ordersInterchange(s, d)
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    s.read.schema(df.schema).option("header", "true").csv(path)
+  }
+
+  /** Opaque-file ingestion via the binaryFile source: (path, length,
+    * content) rows — the entry point for real media files. */
+  def binaryFiles(s: SparkSession, dir: String, glob: String): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+}

@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming over the events table (SURVEY §2.2
   * `stream_window`).
@@ -48,5 +48,72 @@ object Events {
       .select(unix_timestamp(col("window.start")).as("win_start_s"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("win_start_s"), col("event_type"))
+  }
+
+  /** Streaming stateful dedup: `dropDuplicates` keeps one row per
+    * (user_id, event_type) in the state store; the downstream count per
+    * event_type equals a batch COUNT(DISTINCT user_id). */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    val agg = raw
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val name = s"graft_stream_dedup_${n.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("event_type"))
+  }
+
+  case class SessEvent(user_id: Long, ts_s: Long)
+  case class OpenSession(start_s: Long, end_s: Long, n: Long, idx: Long)
+  case class ClosedSession(user_id: Long, sess_id: Long, n_events: Long,
+      start_s: Long, end_s: Long)
+
+  /** Custom stateful streaming via flatMapGroupsWithState: per-user
+    * sessionization with a 30-minute gap. Emits CLOSED sessions only —
+    * the open tail stays in the state store (exactly what a continuous
+    * pipeline would do), so on bounded input the result is "all
+    * sessions except each user's last", which a batch oracle can state
+    * precisely. */
+  def streamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    val evs = raw.select(col("user_id"),
+      (col("ts") / 1000000000L).cast("long").as("ts_s")).as[SessEvent]
+
+    val fn = (uid: Long, it: Iterator[SessEvent],
+        state: GroupState[OpenSession]) => {
+      val sorted = it.map(_.ts_s).toArray.sorted
+      var open = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      sorted.foreach { t =>
+        open match {
+          case Some(o) if t - o.end_s <= 1800 =>
+            open = Some(o.copy(end_s = t, n = o.n + 1))
+          case Some(o) =>
+            closed += ClosedSession(uid, o.idx, o.n, o.start_s, o.end_s)
+            open = Some(OpenSession(t, t, 1, o.idx + 1))
+          case None =>
+            open = Some(OpenSession(t, t, 1, 1))
+        }
+      }
+      open.foreach(state.update)
+      closed.iterator
+    }
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+
+    val name = s"graft_stream_sess_${n.incrementAndGet()}"
+    val q = sessions.toDF().writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("user_id"), col("sess_id"))
   }
 }
