@@ -45,6 +45,8 @@ object SparkEntry {
     "q_rollup" -> (Analytics.qRollup _),
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_topk_global" -> (Analytics.qTopKGlobal _),
+    "q_percentile" -> (Analytics.qPercentile _),
+    "q_salted_agg" -> (Analytics.qSaltedAgg _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
@@ -70,6 +72,7 @@ object SparkEntry {
     "dedup_embed_cos" -> (PipelineQueries.dedupEmbedCos _),
     "ann_brute_topk" -> (PipelineQueries.annBruteTopK _),
     "ann_lsh_topk" -> (PipelineQueries.annLshTopK _),
+    "ann_ivf_topk" -> (PipelineQueries.annIvfTopK _),
     "text_tokens" -> (PipelineQueries.textTokens _),
     "text_quality" -> (PipelineQueries.textQuality _),
     "text_langid" -> (PipelineQueries.textLangid _),
@@ -288,6 +291,17 @@ object SparkEntry {
         |    AS win_start_s,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

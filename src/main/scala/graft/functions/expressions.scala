@@ -102,6 +102,30 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** Cosine similarity of two array<double> columns — primitive loop,
+  * identical arithmetic to the sequential-fold formulation
+  * (dot/(√na·√nb)) so the DuckDB oracle parity holds. */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
+}
+
 /** Column-API entry points for the custom expressions. */
 object exprs {
   /** Distinct whitespace k-gram shingles. */
@@ -124,4 +148,8 @@ object exprs {
   /** 64-bit SimHash of an array<string> column. */
   def simhash64(items: Column): Column =
     column(SimHash64(expression(items)))
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
 }

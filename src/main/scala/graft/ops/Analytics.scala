@@ -230,6 +230,32 @@ object Analytics {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`, both linear-interpolation). */
+  def qPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+      .orderBy(col("l_returnflag"))
+
+  /** Two-phase salted aggregation — the skew-mitigation pattern: a hot
+    * group key is split across `salt` sub-keys for the first (heavy)
+    * shuffle, then the tiny salted partials re-aggregate. Result is
+    * provably identical to the direct aggregation (the oracle). */
+  def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("_salt", pmod(hash(col("l_orderkey")), lit(8)))
+      .groupBy(col("l_returnflag"), col("_salt"))
+      .agg(sum(col("l_quantity")).as("_sq"), count(lit(1)).as("_n"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("_sq")), 2).as("sum_qty"),
+        sum(col("_n")).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** Global top-k: TakeOrderedAndProject (per-partition heaps + driver
     * merge of k rows), never a cluster-wide sort. */
   def qTopKGlobal(s: SparkSession, d: String): DataFrame =

@@ -87,6 +87,13 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Approximate top-5 via IVF (k-means coarse quantizer, 2 probes). */
+  def annIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.sim.Ivf.topK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Token counting: whitespace + BPE-ish regex classes. */
   def textTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

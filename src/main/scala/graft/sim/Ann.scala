@@ -14,15 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity between two array<double> columns — pure
-    * higher-order functions, whole-stage-codegen'd, no UDF. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Cosine similarity between two array<double> columns. Delegates to
+    * the native `CosineSim` expression (same sequential arithmetic as
+    * the aggregate/zip_with formulation, so oracle parity holds; the
+    * HOF version is interpreted and ~10× slower per pair). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.exprs.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     * Ranking uses the 4-dp-rounded score (ties broken by corpus id) so

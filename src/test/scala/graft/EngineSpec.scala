@@ -142,6 +142,42 @@ class AnnSpec extends SparkSuite {
   }
 }
 
+class ExtensionsSpec extends SparkSuite {
+  test("custom expressions are SQL-callable via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT graft_simhash64(graft_shingles('a b c d', 1)) AS h,
+        |  size(graft_shingles('a b c d', 2)) AS n,
+        |  round(graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)), 4) AS c
+        |""".stripMargin).head()
+    assert(r.getLong(0) != 0L)
+    assert(r.getInt(1) == 3)
+    assert(r.getDouble(2) == 1.0)
+  }
+
+  test("sql shingles equals dataframe shingles") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps").toDF("t")
+    val a = df.select(graft.text.TextOps.shingles(col("t"), 3)).head().getSeq[String](0)
+    val b = df.selectExpr("graft_shingles(t, 3)").head().getSeq[String](0)
+    assert(a == b)
+  }
+}
+
+class IvfSpec extends SparkSuite {
+  test("IVF top-k recalls most of brute-force top-k") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = graft.sim.Ann.bruteTopK(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.sim.Ivf.topK(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty)
+    // probing 2/16 cells: expect meaningful overlap, not exactness
+    assert((brute & ivf).size >= brute.size / 4,
+      s"recall too low: ${(brute & ivf).size}/${brute.size}")
+  }
+}
+
 class StreamingSpec extends SparkSuite {
   test("stream_window matches the batch window aggregation") {
     val streamed = graft.streaming.Events.streamWindow(spark, sf)
