@@ -25,6 +25,8 @@ object GraftSession {
       // classic (non-ANSI) semantics: MinHash/SimHash/rolling-hash use
       // deliberate 64-bit wrap-around multiplication
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests: N threads, shuffle partitions sized to match. */

@@ -178,6 +178,42 @@ class IvfSpec extends SparkSuite {
   }
 }
 
+/** Bucketing is the 100 TB co-location strategy: both fact tables
+  * bucketed on the join key join WITHOUT any shuffle exchange. */
+class BucketingSpec extends SparkSuite {
+  test("bucketed join plans with zero shuffle exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val ord = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    ord.write.format("parquet").bucketBy(8, "o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    li.write.format("parquet").bucketBy(8, "l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"expected shuffle-free bucketed join, found ${shuffles.size} exchanges")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+}
+
 class StreamingSpec extends SparkSuite {
   test("stream_window matches the batch window aggregation") {
     val streamed = graft.streaming.Events.streamWindow(spark, sf)
