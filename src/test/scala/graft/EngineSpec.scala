@@ -190,6 +190,16 @@ class BucketingSpec extends SparkSuite {
       .select("l_orderkey", "l_quantity")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables across JVMs but the files
+    // survive; clear the physical locations too
+    val wh = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists())
+        dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
     ord.write.format("parquet").bucketBy(8, "o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
     li.write.format("parquet").bucketBy(8, "l_orderkey")
