@@ -20,12 +20,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 1 untimed warmup + best of 2 measured runs: the JIT pays off in
+    // the warmup, and min-of-N filters multi-second host stalls that
+    // otherwise land on random queries (observed 10x run-to-run noise).
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => () } // warmup; failures surface below
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
