@@ -46,6 +46,7 @@ object SparkEntry {
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_topk_global" -> (Analytics.qTopKGlobal _),
     "q_percentile" -> (Analytics.qPercentile _),
+    "q_sql_subquery" -> (Analytics.qSqlSubquery _),
     "q_salted_agg" -> (Analytics.qSaltedAgg _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
@@ -67,6 +68,7 @@ object SparkEntry {
     // §2.3 LLM-training-data pipeline
     "dedup_exact" -> (PipelineQueries.dedupExact _),
     "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
+    "dedup_clusters" -> (PipelineQueries.dedupClusters _),
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
     "dedup_embed_cos" -> (PipelineQueries.dedupEmbedCos _),
@@ -302,6 +304,13 @@ object SparkEntry {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sql_subquery" ->
+      """WITH pricey AS (
+        |  SELECT o_custkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM pricey GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -256,6 +256,20 @@ object Analytics {
         sum(col("_n")).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** The SQL front end proper: temp views + `spark.sql` with a CTE and
+    * a correlated-scalar subquery — the same text a reference user's
+    * SQL would arrive as. */
+  def qSqlSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """WITH pricey AS (
+        |  SELECT o_custkey, o_orderstatus, o_totalprice FROM orders_v
+        |  WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v))
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM pricey GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Global top-k: TakeOrderedAndProject (per-partition heaps + driver
     * merge of k rows), never a cluster-wide sort. */
   def qTopKGlobal(s: SparkSession, d: String): DataFrame =

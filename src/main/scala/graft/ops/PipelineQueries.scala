@@ -42,6 +42,14 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Cluster resolution over the MinHash candidate graph: connected
+    * components → (doc, keeper) mapping, the actionable dedup output. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, d).filter(col("est_sim") >= 0.5)
+    graft.dedup.Components.keepers(pairs)
+      .orderBy(col("id"))
+  }
+
   /** Exact n-gram Jaccard similarity on adjacent-id pairs (the
     * SQL-verifiable window into the pairwise similarity kernel). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {

@@ -55,6 +55,20 @@ class JsonEngineSpec extends SparkSuite {
     assert(items.filter(col("root") === 1L).count() == 2)
   }
 
+  test("normalize recurses through two nesting levels") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L, 100L, "leaf")).toDF("r", "m", "l", "v")
+      .select(col("r").as("rowNum"), struct(
+        col("m").as("rowNum"),
+        struct(col("l").as("rowNum"), col("v")).as("leaf")).as("mid"))
+    val tables = graft.json.Shred.normalize(docs, "root")
+    assert(tables.keySet == Set("root", "mid", "leaf"))
+    // each level keeps a numeric FK to its child
+    assert(tables("root").select("mid").head().getLong(0) == 10L)
+    assert(tables("mid").select("leaf").head().getLong(0) == 100L)
+    assert(tables("leaf").select("v").head().getString(0) == "leaf")
+  }
+
   test("assemble nests child array deterministically ordered") {
     import spark.implicits._
     val parent = Seq((1L, "p")).toDF("id", "name")
@@ -103,6 +117,17 @@ class DedupSpec extends SparkSuite {
     val pairs = SimHash.candidatePairs(
       SimHash.signatures(docs, "doc_id", "text")).collect()
     assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
+  }
+
+  test("components: min-label propagation finds cluster keepers") {
+    import spark.implicits._
+    // clusters {1,2,3,9}, {5,6}; chain 1-2, 2-3, 3-9 needs >1 round
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = graft.dedup.Components.keepers(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
   }
 
   test("upsert replaces keys and appends new ones") {
