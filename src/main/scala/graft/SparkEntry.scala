@@ -35,6 +35,7 @@ object SparkEntry {
     "q5_local_supplier" -> (Analytics.q5LocalSupplier _),
     "q6_forecast" -> (Analytics.q6Forecast _),
     "q_window_topn" -> (Analytics.qWindowTopN _),
+    "q_topk_per_key" -> (Analytics.qTopKPerKey _),
     "q_running_sum" -> (Analytics.qRunningSum _),
     "q_distinct_agg" -> (Analytics.qDistinctAgg _),
     "q_semi_anti" -> (Analytics.qSemiAnti _),
@@ -200,6 +201,13 @@ object SparkEntry {
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
     "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk_per_key" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER (PARTITION BY o_custkey

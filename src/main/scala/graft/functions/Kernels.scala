@@ -1,0 +1,81 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the custom expressions. Kept as plain static
+  * methods so generated code (doGenCode) can invoke them with a single
+  * call — the expressions stay inside whole-stage codegen spans while
+  * the loops run as ordinary JIT-compiled JVM code.
+  */
+object Kernels {
+
+  def shingles(input: UTF8String, k: Int): ArrayData = {
+    val toks = input.toString.trim.split("\\s+")
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.LinkedHashSet[String]
+    var i = 0
+    while (i <= toks.length - k) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
+  }
+
+  def minhashSigs(arr: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val n = a.length
+    val sigs = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes(), 42L)
+      var p = 0
+      while (p < n) {
+        val v = h * a(p) + b(p)
+        if (v < sigs(p)) sigs(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes(), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

@@ -112,6 +112,23 @@ object Analytics {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Same result as [[qWindowTopN]] through the scale-path operator:
+    * the custom TopKByScore aggregate keeps k-bounded heaps with
+    * map-side combine, so the shuffle carries ≤k rows per group per
+    * partition instead of every row (window+row_number shuffles all). */
+  def qTopKPerKey(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"),
+        col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+
   /** Running (cumulative) sum window over a unique total order. */
   def qRunningSum(s: SparkSession, d: String): DataFrame = {
     val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
