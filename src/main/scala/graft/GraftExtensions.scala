@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // window-top-k → bounded-heap-aggregate rewrite (scale path)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),

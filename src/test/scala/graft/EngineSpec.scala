@@ -167,6 +167,44 @@ class AnnSpec extends SparkSuite {
   }
 }
 
+/** The optimizer rule must swap the window-top-k shape for the bounded
+  * heap aggregate — and leave any non-matching shape untouched. */
+class RewriteWindowTopKSpec extends SparkSuite {
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+  import org.apache.spark.sql.expressions.Window
+
+  test("matching shape is rewritten to TopKByScore aggregate") {
+    val df = graft.ops.Analytics.qWindowTopN(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.collect { case w: LWindow => w }.isEmpty,
+      "window should be rewritten away")
+    assert(optimized.collect { case a: Aggregate => a }.nonEmpty)
+  }
+
+  test("extra passthrough column keeps the window form") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = graft.sources.Tables.orders(spark, sf)
+      // o_orderstatus is outside part ∪ {score,id} → no rewrite
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.collect { case w: LWindow => w }.nonEmpty,
+      "non-matching shape must keep the window")
+  }
+
+  test("rewritten plan matches the window semantics") {
+    val viaRule = graft.ops.Analytics.qWindowTopN(spark, sf).collect().toSeq
+    val direct = graft.ops.Analytics.qTopKPerKey(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+      .collect().toSeq
+    assert(viaRule.map(_.toSeq) == direct.map(_.toSeq))
+  }
+}
+
 class ExtensionsSpec extends SparkSuite {
   test("custom expressions are SQL-callable via GraftExtensions") {
     val r = spark.sql(
