@@ -48,6 +48,8 @@ object SparkEntry {
     "q_topk_global" -> (Analytics.qTopKGlobal _),
     "q_percentile" -> (Analytics.qPercentile _),
     "q_sql_subquery" -> (Analytics.qSqlSubquery _),
+    "q_pivot" -> (Analytics.qPivot _),
+    "q_unpivot" -> (Analytics.qUnpivot _),
     "q_salted_agg" -> (Analytics.qSaltedAgg _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
@@ -312,6 +314,26 @@ object SparkEntry {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  round(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN o_totalprice END), 2) AS F,
+        |  round(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN o_totalprice END), 2) AS O,
+        |  round(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN o_totalprice END), 2) AS P
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderstatus, round(avg(o_totalprice), 2) AS avg_price,
+        |    CAST(count(*) AS DOUBLE) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, metric, value FROM (
+        |  SELECT o_orderstatus, 'avg_price' AS metric, avg_price AS value
+        |  FROM w
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'n_orders', n_orders FROM w) u
+        |ORDER BY o_orderstatus, metric""".stripMargin,
     "q_sql_subquery" ->
       """WITH pricey AS (
         |  SELECT o_custkey, o_orderstatus, o_totalprice FROM orders

@@ -72,6 +72,27 @@ object Shred {
     out + (rootName -> root)
   }
 
+  /** Heterogeneous child arrays: the reference allows one array to mix
+    * object types, routed to per-`type` child tables
+    * (DatabaseManager.java:175-201). Spark arrays are homogeneous, so
+    * mixed children travel as array<struct<type:string,json:string>>;
+    * this splits them into one table per declared type, parsing each
+    * type's JSON payload with its own schema. Rows with undeclared
+    * types are dropped (the reference logs and skips them too,
+    * java:180-183). */
+  def normalizeTyped(docs: DataFrame, arrayCol: String, key: String,
+      rootName: String, schemas: Map[String, StructType]): Map[String, DataFrame] = {
+    val exploded = docs
+      .select(col(key).as(rootName), explode(col(arrayCol)).as("_c"))
+      .select(col(rootName), col("_c.type").as("_t"), col("_c.json").as("_j"))
+    schemas.map { case (tpe, schema) =>
+      tpe -> exploded
+        .filter(col("_t") === tpe)
+        .withColumn("_doc", from_json(col("_j"), schema))
+        .select(col(rootName) +: schema.fieldNames.map(f => col(s"_doc.$f")): _*)
+    }
+  }
+
   /** Reference `getType` (DatabaseManager.java:514-534) as a codegen'd
     * column expression over a (name, value-as-string) pair:
     * integer literal → NUMBER; name mentions "time" and value looks

@@ -273,6 +273,26 @@ object Analytics {
         sum(col("_n")).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot: one column per order status, explicit value list so the
+    * output schema is static (required at scale — no discovery scan). */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("yr"))
+
+  /** Unpivot/melt: wide aggregate back to long (metric, value) rows. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(avg(col("o_totalprice")), 2).as("avg_price"),
+        count(lit(1)).cast("double").as("n_orders"))
+      .unpivot(Array(col("o_orderstatus")),
+        Array(col("avg_price"), col("n_orders")), "metric", "value")
+      .orderBy(col("o_orderstatus"), col("metric"))
+
   /** The SQL front end proper: temp views + `spark.sql` with a CTE and
     * a correlated-scalar subquery — the same text a reference user's
     * SQL would arrive as. */

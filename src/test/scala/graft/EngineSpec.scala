@@ -79,6 +79,35 @@ class JsonEngineSpec extends SparkSuite {
     assert(arr == Seq("a", "b"))
   }
 
+  test("normalizeTyped splits heterogeneous arrays into per-type tables") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val docs = Seq(
+      (1L, Seq(("pizza", """{"size": 12}"""), ("drink", """{"ml": 330}"""))),
+      (2L, Seq(("pizza", """{"size": 16}"""), ("unknown", """{"x": 1}"""))))
+      .toDF("rowNum", "raw")
+      .withColumn("items", expr(
+        "transform(raw, x -> named_struct('type', x._1, 'json', x._2))"))
+    val tables = graft.json.Shred.normalizeTyped(docs, "items", "rowNum",
+      "order", Map(
+        "pizza" -> StructType(Seq(StructField("size", IntegerType))),
+        "drink" -> StructType(Seq(StructField("ml", IntegerType)))))
+    assert(tables("pizza").count() == 2)
+    assert(tables("drink").count() == 1)
+    assert(tables("pizza").columns.toSeq == Seq("order", "size"))
+  }
+
+  test("flatten tolerates malformed JSON (permissive nulls, no crash)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq("""{"k": 5}""", """not json at all""", """{"k": "x"}""")
+      .toDF("j")
+    val out = graft.json.Shred.flatten(df, "j",
+      StructType(Seq(StructField("k", LongType))))
+    assert(out.count() == 3)
+    assert(out.filter(col("k").isNull).count() == 2)
+  }
+
   test("type inference matches reference getType rules") {
     import spark.implicits._
     val rows = Seq(
