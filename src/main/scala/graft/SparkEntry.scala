@@ -72,6 +72,8 @@ object SparkEntry {
     "dedup_exact" -> (PipelineQueries.dedupExact _),
     "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
     "dedup_clusters" -> (PipelineQueries.dedupClusters _),
+    "dedup_clean" -> (PipelineQueries.dedupClean _),
+    "q_approx_stats" -> (PipelineQueries.approxStats _),
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
     "dedup_embed_cos" -> (PipelineQueries.dedupEmbedCos _),

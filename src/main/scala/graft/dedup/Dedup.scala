@@ -1,0 +1,40 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** High-level corpus cleaning: the one-call API a training-data
+  * pipeline uses (SURVEY §2.3).
+  *
+  * Two passes, cheapest first:
+  *  1. exact/canonical dedup on the fingerprint (hash groupBy — this
+  *     also absorbs the boilerplate clusters that would blow up LSH
+  *     buckets);
+  *  2. MinHash-LSH near-dup candidates above `minSim`, resolved to
+  *     keepers via connected components.
+  * Returns the corpus with duplicates dropped (smallest doc_id of each
+  * cluster survives).
+  */
+object Dedup {
+
+  def clean(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minSim: Double = 0.5): DataFrame = {
+    // pass 1: canonical-form exact dedup
+    val withFp = docs.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+    val keepIds = withFp.groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val exactKept = docs.join(keepIds, Seq(idCol), "left_semi")
+
+    // pass 2: near-dup clusters among the survivors
+    val sigs = MinHashLSH.signatures(exactKept, idCol, textCol).cache()
+    val pairs = MinHashLSH.candidatePairs(sigs)
+      .filter(col("est_sim") >= minSim)
+    val losers = Components.keepers(pairs)
+      .filter(col("id") =!= col("keeper"))
+      .select(col("id").as(idCol))
+    exactKept.join(losers, Seq(idCol), "left_anti")
+  }
+}

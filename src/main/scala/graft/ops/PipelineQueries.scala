@@ -102,6 +102,26 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** One-call corpus cleaning: exact + near-dup removal, keepers
+    * survive. Output is the cleaned corpus size per source (stable). */
+  def dedupClean(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.clean(s, Tables.documents(s, d))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+      .orderBy(col("source"))
+
+  /** Sketch aggregates for the 100 TB path: approximate distinct and
+    * quantiles (sketch-mergeable, one pass). Rows-only: sketch values
+    * are engine-specific by nature. */
+  def approxStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"))
+      .orderBy(col("l_returnflag"))
+
   /** Token counting: whitespace + BPE-ish regex classes. */
   def textTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

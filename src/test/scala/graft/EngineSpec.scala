@@ -159,6 +159,47 @@ class DedupSpec extends SparkSuite {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("Dedup.clean keeps min-id of exact and near duplicate clusters") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, "s"),
+      (2L, base + "!", "s"),             // canonical-equal → exact dup of 1
+      (3L, base + " lambda", "s"),       // near dup of 1
+      (4L, "totally different content with no shared phrases here", "s"))
+      .toDF("doc_id", "text", "source")
+    val kept = graft.dedup.Dedup.clean(spark, docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(!kept.contains(2L), "canonical dup must drop")
+    assert(!kept.contains(3L), "near dup must drop")
+  }
+
+  test("rollingHash is deterministic and canonicalization-invariant") {
+    import spark.implicits._
+    val df = Seq(("Hello,  World!", "hello world"), ("a b", "a c"))
+      .toDF("x", "y")
+    val r = df.select(
+      graft.text.TextOps.rollingHash(col("x")).as("hx"),
+      graft.text.TextOps.rollingHash(col("y")).as("hy")).collect()
+    assert(r(0).getLong(0) == r(0).getLong(1)) // same canonical form
+    assert(r(1).getLong(0) != r(1).getLong(1))
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_part").toString
+    graft.sources.Tables.orders(spark, sf)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val expl = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(expl.contains("PartitionFilters"), "no partition filter in plan")
+    assert(pruned.count() ==
+      graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "F").count())
+  }
+
   test("upsert replaces keys and appends new ones") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
