@@ -48,6 +48,7 @@ object SparkEntry {
     "q_topk_global" -> (Analytics.qTopKGlobal _),
     "q_percentile" -> (Analytics.qPercentile _),
     "q_sql_subquery" -> (Analytics.qSqlSubquery _),
+    "q_asof_join" -> (Analytics.qAsofJoin _),
     "q_pivot" -> (Analytics.qPivot _),
     "q_unpivot" -> (Analytics.qUnpivot _),
     "q_salted_agg" -> (Analytics.qSaltedAgg _),
@@ -316,6 +317,19 @@ object SparkEntry {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    arg_max(value, event_id) AS pval
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events)
+        |SELECT e.event_id, round(p.pval, 2) AS last_purchase
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts_s >= p.ts_s
+        |ORDER BY e.event_id""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  round(sum(CASE WHEN o_orderstatus = 'F'

@@ -293,6 +293,24 @@ object Analytics {
         Array(col("avg_price"), col("n_orders")), "metric", "value")
       .orderBy(col("o_orderstatus"), col("metric"))
 
+  /** As-of join: each event annotated with the user's most recent
+    * purchase value at-or-before its timestamp. DuckDB's native ASOF
+    * JOIN is the (independent) oracle. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        epochS(col("ts")).as("ts_s"))
+    // right side unique per (user, second): latest purchase wins
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), epochS(col("ts")).as("ts_s"))
+      .agg(max_by(col("value"), col("event_id")).as("pval"))
+    AsOf.join(ev, purchases, keys = Seq("user_id"),
+      leftTime = "ts_s", rightTime = "ts_s", payload = "pval")
+      .select(col("event_id"), round(col("pval"), 2).as("last_purchase"))
+      .orderBy(col("event_id"))
+  }
+
   /** The SQL front end proper: temp views + `spark.sql` with a CTE and
     * a correlated-scalar subquery — the same text a reference user's
     * SQL would arrive as. */

@@ -200,6 +200,20 @@ class DedupSpec extends SparkSuite {
         .filter(col("o_orderstatus") === "F").count())
   }
 
+  test("AsOf.join picks latest right row at-or-before left time") {
+    import spark.implicits._
+    val l = Seq((1L, 5L, "e1"), (1L, 10L, "e2"), (2L, 3L, "e3"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 4L, 40.0), (1L, 10L, 100.0), (2L, 9L, 90.0))
+      .toDF("k", "rt", "v")
+    val got = graft.ops.AsOf.join(l, r, Seq("k"), "t", "rt", "v")
+      .select("tag", "v").collect()
+      .map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(got("e1") == Some(40.0))   // 4 <= 5
+    assert(got("e2") == Some(100.0))  // inclusive at equal time
+    assert(got("e3") == None)         // no right row at or before 3
+  }
+
   test("upsert replaces keys and appends new ones") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
