@@ -49,6 +49,8 @@ object SparkEntry {
     "q_percentile" -> (Analytics.qPercentile _),
     "q_sql_subquery" -> (Analytics.qSqlSubquery _),
     "q_asof_join" -> (Analytics.qAsofJoin _),
+    "q_range_join" -> (Analytics.qRangeJoin _),
+    "q_session_window" -> (Analytics.qSessionWindow _),
     "q_pivot" -> (Analytics.qPivot _),
     "q_unpivot" -> (Analytics.qUnpivot _),
     "q_salted_agg" -> (Analytics.qSaltedAgg _),
@@ -87,6 +89,10 @@ object SparkEntry {
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
     "multimodal_meta" -> (PipelineQueries.multimodalMeta _),
     "multimodal_decode" -> (PipelineQueries.multimodalDecode _),
+    "multimodal_features" -> (PipelineQueries.multimodalFeatures _),
+    "source_orc_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.sources.Formats.orcRoundtrip(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -330,6 +336,40 @@ object SparkEntry {
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts_s >= p.ts_s
         |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(range AS BIGINT) AS band_id,
+        |    range * 100000.0 AS lo, (range + 1) * 100000.0 AS hi
+        |  FROM range(5))
+        |SELECT band_id, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch(ts) AS tsec,
+        |    lag(epoch(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts, tsec,
+        |    CASE WHEN prev IS NULL OR tsec - prev >= 1800.0
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |x AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM s)
+        |SELECT user_id, count(*) AS n_events,
+        |  min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_s,
+        |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_s
+        |FROM x GROUP BY user_id, sess_id
+        |ORDER BY user_id, start_s""".stripMargin,
+    "source_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  round(sum(CASE WHEN o_orderstatus = 'F'

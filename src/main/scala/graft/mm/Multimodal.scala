@@ -42,6 +42,44 @@ object Multimodal {
       n_frames = 1 + (payload.length % 8))
   }
 
+  /** STUB feature extractor — fixed-width embedding from payload bytes
+    * (a real implementation runs a vision/audio encoder over the
+    * decoded media; the batch shape and schema are what matter here). */
+  def fakeFeatures(payload: Array[Byte], dim: Int = 16): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** STUB resize — recompute metadata for a bounded box, preserving
+    * aspect ratio (real impl: pixel resample on the decoded frame). */
+  def resizeMeta(m: MediaMeta, maxSide: Int): MediaMeta = {
+    val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
+    m.copy(width = math.max(1, (m.width * scale).round.toInt),
+      height = math.max(1, (m.height * scale).round.toInt))
+  }
+
+  /** Frame sampling plan: n evenly spaced frame indices (real impl:
+    * seek+decode those frames; the selection logic is the real part). */
+  def sampleFrames(nFrames: Int, n: Int): Seq[Int] = {
+    if (nFrames <= n) 0 until nFrames
+    else (0 until n).map(i => (i.toLong * nFrames / n).toInt)
+  }
+
+  /** Feature-extraction boundary over the decode output: payload →
+    * embedding rows, per-partition batches. */
+  def extractFeatures(spark: SparkSession, withBin: DataFrame): DataFrame = {
+    import spark.implicits._
+    withBin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, fakeFeatures(bytes)) })
+      .toDF("doc_id", "features")
+  }
+
   /** Decode boundary: binary payload → typed metadata, per-partition.
     * Partitions are spread by doc_id first so a handful of giant media
     * files can't serialize behind one another on a single core. */

@@ -293,6 +293,33 @@ object Analytics {
         Array(col("avg_price"), col("n_orders")), "metric", "value")
       .orderBy(col("o_orderstatus"), col("metric"))
 
+  /** Range (interval) join: facts against a small band dimension on a
+    * BETWEEN predicate — the band table broadcasts, so the range join
+    * is a broadcast nested loop over 5 rows, never a shuffle. */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val bands = s.range(5).select(
+      col("id").as("band_id"),
+      (col("id") * 100000.0).as("lo"),
+      ((col("id") + 1) * 100000.0).as("hi"))
+    Tables.orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("band_id"))
+  }
+
+  /** Native session windows: same 30-minute-gap semantics as the
+    * lag-window formulation, via Spark's `session_window` operator. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(epochS(col("ts"))).as("start_s"),
+        max(epochS(col("ts"))).as("end_s"))
+      .select("user_id", "n_events", "start_s", "end_s")
+      .orderBy(col("user_id"), col("start_s"))
+
   /** As-of join: each event annotated with the user's most recent
     * purchase value at-or-before its timestamp. DuckDB's native ASOF
     * JOIN is the (independent) oracle. */

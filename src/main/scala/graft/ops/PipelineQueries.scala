@@ -186,4 +186,14 @@ object PipelineQueries {
         partitions = s.sparkContext.defaultParallelism)
       .toDF()
       .orderBy(col("doc_id"))
+
+  /** Multimodal: stub feature extraction → embedding column, then a
+    * cheap checksum per doc so the row shape is verifiable. */
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(
+        s, Multimodal.withPayload(Tables.documents(s, d)))
+      .select(col("doc_id"), size(col("features")).as("dim"),
+        round(expr("aggregate(features, 0D, (acc, x) -> acc + x)"), 4)
+          .as("feat_sum"))
+      .orderBy(col("doc_id"))
 }

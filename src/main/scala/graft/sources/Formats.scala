@@ -45,6 +45,14 @@ object Formats {
     s.read.schema(df.schema).option("header", "true").csv(path)
   }
 
+  /** ORC sink + source roundtrip (columnar alternative to parquet;
+    * spark-avro isn't on this classpath, ORC ships with Spark). */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("orders_orc", d)
+    ordersInterchange(s, d).write.mode(SaveMode.Overwrite).orc(path)
+    s.read.orc(path)
+  }
+
   /** Opaque-file ingestion via the binaryFile source: (path, length,
     * content) rows — the entry point for real media files. */
   def binaryFiles(s: SparkSession, dir: String, glob: String): DataFrame =
