@@ -28,6 +28,10 @@ object Components {
       .distinct()
       .withColumn("keeper", col("id"))
       .cache()
+    // labels only ever decrease, so the keeper-sum is strictly monotone:
+    // an unchanged sum == a fixpoint. That makes the convergence check a
+    // single aggregate on the already-cached frame instead of a join.
+    var prevSum = labels.agg(sum(col("keeper"))).head().getLong(0)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -41,11 +45,11 @@ object Components {
           least(col("keeper"), coalesce(col("nmin"), col("keeper")))
             .as("keeper"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("keeper", "old"), "id")
-        .filter(col("keeper") =!= col("old")).limit(1).count()
+      val nextSum = next.agg(sum(col("keeper"))).head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       round += 1
     }
     labels
