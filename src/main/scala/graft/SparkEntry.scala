@@ -44,6 +44,7 @@ object SparkEntry {
     "q_string_funcs" -> (Analytics.qStringFuncs _),
     "q_set_ops" -> (Analytics.qSetOps _),
     "q_rollup" -> (Analytics.qRollup _),
+    "q_cube" -> (Analytics.qCube _),
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_topk_global" -> (Analytics.qTopKGlobal _),
     "q_percentile" -> (Analytics.qPercentile _),
@@ -87,6 +88,8 @@ object SparkEntry {
     "text_quality" -> (PipelineQueries.textQuality _),
     "text_langid" -> (PipelineQueries.textLangid _),
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
+    "text_levenshtein" -> (PipelineQueries.textLevenshtein _),
+    "text_top_ngrams" -> (PipelineQueries.textTopNgrams _),
     "multimodal_meta" -> (PipelineQueries.multimodalMeta _),
     "multimodal_decode" -> (PipelineQueries.multimodalDecode _),
     "multimodal_features" -> (PipelineQueries.multimodalFeatures _),
@@ -282,6 +285,30 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY 1, 2""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(st, 'ALL') AS status, coalesce(yr, -1) AS yr,
+        |  count(*) AS n, round(sum(tp), 2) AS total
+        |FROM (SELECT o_orderstatus AS st,
+        |        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |        o_totalprice AS tp FROM orders) t
+        |GROUP BY CUBE(st, yr) ORDER BY 1, 2""".stripMargin,
+    "text_levenshtein" ->
+      """WITH p AS (
+        |  SELECT doc_id, substr(text, 1, 80) AS pfx FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+        |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    "text_top_ngrams" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(t) - 2, 0)),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents) d),
+        |u AS (SELECT unnest(s) AS ngram FROM sh)
+        |SELECT ngram, count(*) AS n FROM u
+        |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

@@ -226,6 +226,16 @@ object Analytics {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** CUBE: all grouping-set combinations over two dimensions. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .cube(col("o_orderstatus"), col("yr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("yr"), lit(-1L)).as("yr"), col("n"), col("total"))
+      .orderBy(col("status"), col("yr"))
+
   /** Event sessionization: a new session starts after a >30 min gap.
     * lag + cumulative sum over a (user, ts, event_id) total order —
     * exactly one shuffle on user_id shared by both windows. */

@@ -167,6 +167,30 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Edit-distance similarity on adjacent-id pairs (prefixes bound the
+    * O(n·m) cost — at scale this runs on LSH candidates, not all pairs). */
+  def textLevenshtein(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("pfx"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("pfx").as("_pa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("pfx").as("_pb"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("_pa"), col("_pb")).cast("long").as("edit_dist"))
+      .orderBy(col("doc_a"))
+  }
+
+  /** Corpus-level n-gram frequency: global top-20 3-grams — the
+    * contamination/boilerplate probe over training data. Explode is
+    * narrow; the count shuffles once; top-k is TakeOrdered. */
+  def textTopNgrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextOps.shingles(col("text"), 3)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(20)
+
   /** Canonical-form fingerprint (dedup key). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
