@@ -58,6 +58,7 @@ object SparkEntry {
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
+    "stream_join" -> (graft.streaming.Events.streamJoin _),
     // §2.4 source/sink formats
     "source_json_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.jsonRoundtrip(s, d)
@@ -453,6 +454,17 @@ object SparkEntry {
         |SELECT user_id, sess_id, n_events, start_s, end_s FROM (
         |  SELECT g.*, max(sess_id) OVER (PARTITION BY user_id) AS mx FROM g) t
         |WHERE sess_id < mx ORDER BY user_id, sess_id""".stripMargin,
+    "stream_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(*) AS n_pairs
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + 3600
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "source_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date

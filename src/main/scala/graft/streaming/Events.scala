@@ -69,6 +69,36 @@ object Events {
     spark.table(name).orderBy(col("event_type"))
   }
 
+  /** Stream-stream inner join: each click paired with the same user's
+    * purchases in the following hour, counted per user. Bounded input +
+    * inner join ⇒ the emitted matches equal the batch join (the
+    * oracle); in production watermarks bound the join state. Times
+    * compare at second granularity so the oracle is engine-neutral. */
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+      .withColumn("ts_s", (col("ts") / 1000000000L).cast("long"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_s").as("c_ts"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_s").as("p_ts"))
+    // stream-stream joins emit in Append mode only: the stream writes
+    // matched pairs to the sink; the count per user is batch analytics
+    // over the sink table (the standard two-tier pattern)
+    val pairs = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + 3600L)
+    val name = s"graft_stream_join_${n.incrementAndGet()}"
+    val q = pairs.writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   case class SessEvent(user_id: Long, ts_s: Long)
   case class OpenSession(start_s: Long, end_s: Long, n: Long, idx: Long)
   case class ClosedSession(user_id: Long, sess_id: Long, n_events: Long,
