@@ -29,6 +29,7 @@ object SparkEntry {
     "upsert" -> (JsonQueries.upsert _),
     "schema_evolution" -> (JsonQueries.schemaEvolution _),
     "json_roundtrip_count" -> (JsonQueries.roundtripCount _),
+    "engine_save_get" -> (JsonQueries.engineSaveGet _),
     // §2.2 bulk analytic SQL
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_shipping" -> (Analytics.q3Shipping _),
@@ -172,6 +173,11 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "json_roundtrip_count" ->
       "SELECT count(*) AS n_total, count(*) AS n_match FROM orders",
+    "engine_save_get" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey = 100) AS n_items
+        |FROM orders WHERE o_orderkey = 100""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

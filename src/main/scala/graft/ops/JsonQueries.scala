@@ -174,6 +174,25 @@ object JsonQueries {
       .orderBy(col("priority"))
   }
 
+  /** Full engine facade roundtrip — the reference's own API shape:
+    * bulk `save` (≙ saveIntoDatabase) then point `getJson`
+    * (≙ getFromDatabaseJson), verified by re-extracting fields from
+    * the returned JSON document. */
+  def engineSaveGet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_engine").toString
+    val eng = new graft.Engine(s, wh)
+    eng.save(orderDocs(s, d), "order")
+    val doc = eng.getJson("order", 100L).getOrElse("{}")
+    Seq(doc).toDF("doc").select(
+      get_json_object(col("doc"), "$.rowNum").cast("long").as("o_orderkey"),
+      get_json_object(col("doc"), "$.o_orderstatus").as("o_orderstatus"),
+      get_json_object(col("doc"), "$.o_totalprice").cast("double")
+        .as("o_totalprice"),
+      expr("json_array_length(get_json_object(doc, '$.items'))")
+        .cast("long").as("n_items"))
+  }
+
   /** Shred→assemble roundtrip integrity over all orders. */
   def roundtripCount(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)

@@ -120,6 +120,29 @@ class JsonEngineSpec extends SparkSuite {
   }
 }
 
+/** The facade mirroring the reference's save/get API. */
+class FacadeSpec extends SparkSuite {
+  test("Engine save → getJson → sql roundtrip") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_t").toString
+    val eng = new Engine(spark, wh)
+    val docs = Seq((7L, "alpha", Seq((70L, 1.0), (71L, 2.0))))
+      .toDF("rowNum", "name", "raw")
+      .withColumn("items", expr(
+        "transform(raw, x -> named_struct('rowNum', x._1, 'v', x._2))"))
+      .drop("raw")
+    val written = eng.save(docs, "thing")
+    assert(written.toSet == Set("thing", "items"))
+    val json = eng.getJson("thing", 7L).get
+    assert(json.contains("\"name\":\"alpha\""))
+    assert(json.contains("\"items\":["))
+    assert(eng.getJson("thing", 999L).isEmpty)
+    val n = eng.sql("SELECT count(*) AS n FROM items WHERE thing = 7")
+      .head().getLong(0)
+    assert(n == 2L)
+  }
+}
+
 class DedupSpec extends SparkSuite {
   import graft.dedup.{MinHashLSH, SimHash}
 
