@@ -59,6 +59,30 @@ class Engine(spark: SparkSession, warehouse: String) {
   /** Load a stored table. */
   def table(name: String): DataFrame = spark.read.parquet(dir(name))
 
+  /** Keyed merge into a stored table (reference: UPDATE-by-rowNum /
+    * INSERT, java:211-229): update rows replace, new keys append.
+    * Read-merge-write into a staging dir, then atomic-ish swap — you
+    * cannot overwrite the parquet you are lazily reading, and a
+    * driver-side collect would not scale. This is the classic
+    * compaction pattern (a table format with native MERGE replaces it
+    * at 100 TB). */
+  def upsert(tableName: String, updates: DataFrame,
+      key: String = "rowNum"): Unit = {
+    val live = Paths.get(dir(tableName))
+    val staged = Paths.get(dir(tableName) + "__staged")
+    ops.Upsert(table(tableName), updates, Seq(key))
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    val old = Paths.get(dir(tableName) + "__old")
+    Files.move(live, old)
+    Files.move(staged, live)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(old)
+  }
+
   /** Register every manifest table as a temp view and run SQL. */
   def sql(query: String): DataFrame = {
     val m = readManifest()

@@ -141,6 +141,18 @@ class FacadeSpec extends SparkSuite {
       .head().getLong(0)
     assert(n == 2L)
   }
+
+  test("Engine upsert replaces and appends by key") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_u").toString
+    val eng = new Engine(spark, wh)
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("rowNum", "name")
+    eng.save(docs, "kv")
+    eng.upsert("kv", Seq((2L, "B"), (3L, "C")).toDF("rowNum", "name"))
+    val got = eng.table("kv").orderBy("rowNum")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "C")))
+  }
 }
 
 class DedupSpec extends SparkSuite {
