@@ -46,6 +46,7 @@ object SparkEntry {
     "q_set_ops" -> (Analytics.qSetOps _),
     "q_rollup" -> (Analytics.qRollup _),
     "q_cube" -> (Analytics.qCube _),
+    "q_ntile" -> (Analytics.qNtile _),
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_topk_global" -> (Analytics.qTopKGlobal _),
     "q_percentile" -> (Analytics.qPercentile _),
@@ -292,6 +293,16 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY 1, 2""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderstatus, quartile, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        |  FROM orders) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(st, 'ALL') AS status, coalesce(yr, -1) AS yr,
         |  count(*) AS n, round(sum(tp), 2) AS total

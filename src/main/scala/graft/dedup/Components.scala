@@ -31,7 +31,11 @@ object Components {
     // labels only ever decrease, so the keeper-sum is strictly monotone:
     // an unchanged sum == a fixpoint. That makes the convergence check a
     // single aggregate on the already-cached frame instead of a join.
-    var prevSum = labels.agg(sum(col("keeper"))).head().getLong(0)
+    // sum() over an empty frame is NULL — coalesce handles the
+    // no-candidate-pairs case (clean corpus).
+    def keeperSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("keeper")), lit(0L))).head().getLong(0)
+    var prevSum = keeperSum(labels)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -45,7 +49,7 @@ object Components {
           least(col("keeper"), coalesce(col("nmin"), col("keeper")))
             .as("keeper"))
         .cache()
-      val nextSum = next.agg(sum(col("keeper"))).head().getLong(0)
+      val nextSum = keeperSum(next)
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum

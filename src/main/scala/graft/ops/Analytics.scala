@@ -226,6 +226,20 @@ object Analytics {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Quantile binning via ntile window over a total order. */
+  def qNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("o_orderstatus"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("o_orderstatus"), col("quartile"))
+  }
+
   /** CUBE: all grouping-set combinations over two dimensions. */
   def qCube(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)

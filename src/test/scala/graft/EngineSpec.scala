@@ -210,6 +210,23 @@ class DedupSpec extends SparkSuite {
     assert(!kept.contains(3L), "near dup must drop")
   }
 
+  test("Dedup.clean at 10x replication keeps exactly one copy per doc") {
+    // replicate the corpus 10x with shifted ids: every doc has 9 exact
+    // clones. The exact pass must collapse them all (and in doing so
+    // defuse what would otherwise be 10x-heavier LSH buckets).
+    val base = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+    val n = base.count()
+    val replicated = (0 until 10).map { i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+    }.reduce(_ unionByName _)
+    val cleaned = graft.dedup.Dedup.clean(spark, replicated, minSim = 1.1)
+    // minSim > 1 disables the near-dup pass: isolate the exact pass
+    assert(cleaned.count() == n)
+    assert(cleaned.agg(max(col("doc_id"))).head().getLong(0) < 1000000L,
+      "keeper must be the lowest-id copy")
+  }
+
   test("rollingHash is deterministic and canonicalization-invariant") {
     import spark.implicits._
     val df = Seq(("Hello,  World!", "hello world"), ("a b", "a c"))
