@@ -44,6 +44,9 @@ object SparkEntry {
     "q_date_funcs" -> (Analytics.qDateFuncs _),
     "q_string_funcs" -> (Analytics.qStringFuncs _),
     "q_set_ops" -> (Analytics.qSetOps _),
+    "q_set_ops_all" -> (Analytics.qSetOpsAll _),
+    "q_string_funcs2" -> (Analytics.qStringFuncs2 _),
+    "q_date_funcs2" -> (Analytics.qDateFuncs2 _),
     "q_rollup" -> (Analytics.qRollup _),
     "q_cube" -> (Analytics.qCube _),
     "q_ntile" -> (Analytics.qNtile _),
@@ -284,6 +287,34 @@ object SparkEntry {
         |    (SELECT c_custkey AS key FROM customer
         |     EXCEPT SELECT o_custkey FROM orders) e) u
         |ORDER BY tag, key""".stripMargin,
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT o_custkey AS key FROM orders),
+        |b AS (SELECT o_custkey AS key FROM orders
+        |      WHERE o_orderstatus = 'F')
+        |SELECT key, n, op FROM (
+        |  SELECT key, count(*) AS n, 'except_all' AS op
+        |  FROM (SELECT key FROM a EXCEPT ALL SELECT key FROM b) e
+        |  GROUP BY key
+        |  UNION ALL
+        |  SELECT key, count(*) AS n, 'intersect_all' AS op
+        |  FROM (SELECT key FROM a INTERSECT ALL SELECT key FROM b) i
+        |  GROUP BY key) u
+        |ORDER BY op, key""".stripMargin,
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  reverse(p_brand) AS rev,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS xlate,
+        |  CAST(strpos(p_name, 'o') AS BIGINT) AS first_o,
+        |  repeat('ab', 3) AS rep
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs2" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS r_name,
         |  coalesce(n_name, 'ALL') AS n_name,

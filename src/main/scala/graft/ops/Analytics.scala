@@ -209,6 +209,40 @@ object Analytics {
     both.unionByName(custOnly).orderBy(col("tag"), col("key"))
   }
 
+  /** Multiset (ALL) set operations — duplicates preserved. */
+  def qSetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d).select(col("o_custkey").as("key"))
+    val b = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("key"))
+    val except = a.exceptAll(b).groupBy(col("key"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val intersect = a.intersectAll(b).groupBy(col("key"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    except.unionByName(intersect).orderBy(col("op"), col("key"))
+  }
+
+  /** Extended string function suite. */
+  def qStringFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        reverse(col("p_brand")).as("rev"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("xlate"),
+        instr(col("p_name"), "o").cast("long").as("first_o"),
+        repeat(lit("ab"), 3).as("rep"))
+      .orderBy(col("p_partkey"))
+
+  /** Extended date function suite (weekday ≡ DuckDB isodow-1). */
+  def qDateFuncs2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        weekday(col("o_orderdate")).cast("long").as("wd"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"))
+      .orderBy(col("o_orderkey"))
+
   /** ROLLUP hierarchical aggregation over region→nation. */
   def qRollup(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
