@@ -40,6 +40,8 @@ object SparkEntry {
     "q_running_sum" -> (Analytics.qRunningSum _),
     "q_distinct_agg" -> (Analytics.qDistinctAgg _),
     "q_semi_anti" -> (Analytics.qSemiAnti _),
+    "q_outer_join" -> (Analytics.qOuterJoin _),
+    "q_null_handling" -> (Analytics.qNullHandling _),
     "q_case_having" -> (Analytics.qCaseHaving _),
     "q_date_funcs" -> (Analytics.qDateFuncs _),
     "q_string_funcs" -> (Analytics.qStringFuncs _),
@@ -258,6 +260,31 @@ object SparkEntry {
         |    (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |    THEN 1 ELSE 0 END AS BIGINT) AS has_orders
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_outer_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 3 = 0),
+        |ord AS (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_custkey % 2 = 0 GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS key,
+        |  coalesce(c_mktsegment, '<no-cust>') AS segment,
+        |  coalesce(n_orders, 0) AS n_orders
+        |FROM cust FULL OUTER JOIN ord ON c_custkey = o_custkey
+        |ORDER BY key""".stripMargin,
+    "q_null_handling" ->
+      """WITH t AS (
+        |  SELECT nullif(o_orderstatus, 'F') AS st, o_orderstatus,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT coalesce(st, '<null>') AS status,
+        |  count(*) AS n_rows,
+        |  count(st) AS n_nonnull,
+        |  CAST(sum(CASE WHEN st IS NOT DISTINCT FROM o_orderstatus
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+        |  round(avg(CASE WHEN st IS NULL THEN o_totalprice END), 2)
+        |    AS avg_null_price
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_case_having" ->
       """SELECT o_orderstatus,
         |  CASE WHEN o_totalprice < 50000 THEN 'small'

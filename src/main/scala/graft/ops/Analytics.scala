@@ -166,6 +166,39 @@ object Analytics {
       .orderBy(col("c_custkey"))
   }
 
+  /** Full outer join with null-fill accounting on both sides. */
+  def qOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_custkey") % 2 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+        coalesce(col("c_mktsegment"), lit("<no-cust>")).as("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("key"))
+  }
+
+  /** NULL semantics: null-safe equality, NULLIF/COALESCE, count(col)
+    * vs count(*), null-excluding aggregates. */
+  def qNullHandling(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      // manufacture NULLs: 'F' rows lose their status
+      .withColumn("st", nullif(col("o_orderstatus"), lit("F")))
+      .withColumn("same_as_o",
+        (col("st") <=> col("o_orderstatus")).cast("long"))
+      .groupBy(coalesce(col("st"), lit("<null>")).as("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("st")).as("n_nonnull"),
+        sum(col("same_as_o")).as("n_nullsafe_eq"),
+        round(avg(when(col("st").isNull, col("o_totalprice"))), 2)
+          .as("avg_null_price"))
+      .orderBy(col("status"))
+
   /** CASE WHEN bucketing + HAVING (post-aggregation filter). */
   def qCaseHaving(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
