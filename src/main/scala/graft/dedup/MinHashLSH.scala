@@ -1,9 +1,8 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.text.TextOps
 
 /** MinHash + LSH banding near-duplicate detection (SURVEY §2.3).
   *
@@ -45,7 +44,15 @@ object MinHashLSH {
         graft.functions.exprs.minhashSigs(col("_sh"), cfg.numPerms).as("sigs"))
 
   /** Candidate near-dup pairs (id_a < id_b) with the estimated Jaccard
-    * similarity (fraction of agreeing minhashes). */
+    * similarity (fraction of agreeing minhashes).
+    *
+    * One shuffle builds the (band, bucket) → member-id lists; pairs are
+    * generated inside each bucket (narrow), deduped across bands, and
+    * the signature table is re-joined once per side for the estimate.
+    * The `maxBucket` filter drops boilerplate mega-buckets — run exact/
+    * canonical dedup first (see Dedup.clean) so those never form; a
+    * bucket's ids materialize in one aggregation buffer, which is
+    * exactly why the cap exists. */
   def candidatePairs(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
     val r = cfg.rowsPerBand
     val bandStructs = (0 until cfg.bands).map { j =>
@@ -55,17 +62,17 @@ object MinHashLSH {
     val exploded = sigs
       .select(col("id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    // skew guard: drop over-full buckets (boilerplate content)
-    val ok = exploded.groupBy("band", "bh")
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") <= cfg.maxBucket && col("_n") > 1)
-      .drop("_n")
-    val pruned = exploded.join(ok, Seq("band", "bh"), "left_semi")
-    val a = pruned.select(col("band"), col("bh"), col("id").as("id_a"))
-    val b = pruned.select(col("band"), col("bh"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val buckets = exploded.groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= cfg.maxBucket)
+    // sorted ids ⇒ generated pairs already satisfy id_a < id_b
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    b -> struct(a AS id_a, b AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
     val sa = sigs.select(col("id").as("id_a"), col("sigs").as("_sa"))
     val sb = sigs.select(col("id").as("id_b"), col("sigs").as("_sb"))
     pairs.join(sa, "id_a").join(sb, "id_b")

@@ -1,9 +1,8 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.text.TextOps
 
 /** 64-bit SimHash near-duplicate detection (SURVEY §2.3).
   *

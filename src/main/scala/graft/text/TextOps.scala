@@ -31,11 +31,9 @@ object TextOps {
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 
   /** Count of stopword tokens (from a token-array column). */
-  def stopCount(toks: Column): Column = {
-    val list = stopwords.map(s => s"'$s'").mkString(", ")
+  def stopCount(toks: Column): Column =
     size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
       .cast("long")
-  }
 
   /** Language-marker hit count for a token array. */
   def markerCount(toks: Column, markers: Seq[String]): Column =
