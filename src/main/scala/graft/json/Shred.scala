@@ -35,20 +35,37 @@ object Shred {
     parsed.select((keep.map(col) ++ lifted): _*)
   }
 
+  /** Parent→child relation discovered by [[normalize]]: `ChildObject`
+    * means the parent keeps a numeric FK column named `child` pointing
+    * at the child table's key; `ChildArray` means the child table
+    * carries an FK column named after the parent. */
+  sealed trait Rel { def parent: String; def child: String }
+  case class ChildObject(parent: String, child: String) extends Rel
+  case class ChildArray(parent: String, child: String) extends Rel
+
   /** Recursively normalize a DataFrame of (already-parsed) nested
     * documents into a map of flat tables, applying the reference's
     * shredding rules. `key` is the identity field (reference: "rowNum").
     */
   def normalize(docs: DataFrame, rootName: String,
-      key: String = "rowNum"): Map[String, DataFrame] = {
+      key: String = "rowNum"): Map[String, DataFrame] =
+    normalizeWithRelations(docs, rootName, key)._1
+
+  /** Same, also returning the parent→child relation list so callers
+    * (e.g. graft.Engine) can re-assemble arbitrarily deep documents. */
+  def normalizeWithRelations(docs: DataFrame, rootName: String,
+      key: String = "rowNum"): (Map[String, DataFrame], Seq[Rel]) = {
     var root = docs
     var out = Map.empty[String, DataFrame]
+    var rels = Seq.empty[Rel]
     docs.schema.fields.foreach { f =>
       f.dataType match {
         case st: StructType if st.fieldNames.contains(key) =>
           // identity-bearing child object → own table, numeric FK back
           val child = docs.select(col(s"${f.name}.*"))
-          out ++= normalize(child, f.name, key)
+          val (t, r) = normalizeWithRelations(child, f.name, key)
+          out ++= t
+          rels ++= (ChildObject(rootName, f.name) +: r)
           root = root.withColumn(f.name, col(s"${f.name}.$key"))
         case st: StructType =>
           // key-less primitive object → parent$sub columns
@@ -61,7 +78,9 @@ object Shred {
           val child = docs
             .select(col(key).as(rootName), explode(col(f.name)).as("_c"))
             .select(col(rootName), col("_c.*"))
-          out ++= normalize(child, f.name, key)
+          val (t, r) = normalizeWithRelations(child, f.name, key)
+          out ++= t
+          rels ++= (ChildArray(rootName, f.name) +: r)
           root = root.drop(f.name)
         case ArrayType(_, _) =>
           // primitive array → JSON-text column
@@ -69,7 +88,7 @@ object Shred {
         case _ => ()
       }
     }
-    out + (rootName -> root)
+    (out + (rootName -> root), rels)
   }
 
   /** Heterogeneous child arrays: the reference allows one array to mix

@@ -142,6 +142,26 @@ class FacadeSpec extends SparkSuite {
     assert(n == 2L)
   }
 
+  test("Engine getJson re-nests recursively through object and array levels") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_d").toString
+    val eng = new Engine(spark, wh)
+    // root ⊃ child object "mid" ⊃ child array "leaves"
+    val docs = Seq((1L, 10L, Seq((100L, "x"), (101L, "y"))))
+      .toDF("rowNum", "midKey", "raw")
+      .withColumn("mid", struct(col("midKey").as("rowNum"),
+        expr("transform(raw, t -> named_struct('rowNum', t._1, 'v', t._2))")
+          .as("leaves")))
+      .drop("midKey", "raw")
+    val written = eng.save(docs, "root")
+    assert(written.toSet == Set("root", "mid", "leaves"))
+    val json = eng.getJson("root", 1L).get
+    // the mid object must be a nested struct containing its leaf array
+    assert(json.contains("\"mid\":{"), json)
+    assert(json.contains("\"leaves\":["), json)
+    assert(json.contains("\"v\":\"x\"") && json.contains("\"v\":\"y\""), json)
+  }
+
   test("Engine upsert replaces and appends by key") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_eng_u").toString
