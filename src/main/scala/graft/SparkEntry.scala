@@ -66,6 +66,8 @@ object SparkEntry {
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
     "stream_join" -> (graft.streaming.Events.streamJoin _),
+    "stream_watermark_append" ->
+      (graft.streaming.Events.streamWatermarkAppend _),
     // §2.4 source/sink formats
     "source_json_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.jsonRoundtrip(s, d)
@@ -503,6 +505,11 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_watermark_append" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |    AS win_start_s,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

@@ -69,6 +69,54 @@ object Events {
     spark.table(name).orderBy(col("event_type"))
   }
 
+  /** Watermark + append output + checkpoint recovery in one flow:
+    * run 1 processes all events in a single AvailableNow batch (append
+    * emits nothing — the watermark only advances between batches) and
+    * checkpoints the window state; a sentinel event far in the future
+    * is then appended and run 2 restarts from the checkpoint, where the
+    * advanced watermark finalizes and emits EVERY original window.
+    * Deterministic, so the batch window aggregation is the oracle (the
+    * sentinel's own window stays open and is never emitted). */
+  def streamWatermarkAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_wm")
+    val src = s"$work/in"
+    val ckpt = s"$work/ckpt"
+    val ev0 = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "event_type", "value")
+    ev0.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val out = s"$work/out"
+    // memory sink can't recover from a checkpoint; the parquet file
+    // sink is the fault-tolerant one (exactly-once via _spark_metadata)
+    def runOnce(): Unit = {
+      val agg = spark.readStream.schema(schema).parquet(s"$src/*.parquet")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      val q = agg.writeStream
+        .outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // emits nothing; checkpoints state + watermark
+    // sentinel far beyond every real event pushes the watermark past
+    // all original windows on the next run
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(java.sql.Timestamp.valueOf("2025-06-01 00:00:00")).as("ts"),
+      lit("sentinel").as("event_type"), lit(0.0).as("value"))
+    sentinel.write.mode("append").parquet(src)
+    runOnce() // recovery: emits every original window from state
+    spark.read.parquet(out)
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start_s"), col("event_type"))
+  }
+
   /** Stream-stream inner join: each click paired with the same user's
     * purchases in the following hour, counted per user. Bounded input +
     * inner join ⇒ the emitted matches equal the batch join (the
