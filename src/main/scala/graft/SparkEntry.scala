@@ -103,6 +103,7 @@ object SparkEntry {
     "multimodal_meta" -> (PipelineQueries.multimodalMeta _),
     "multimodal_decode" -> (PipelineQueries.multimodalDecode _),
     "multimodal_features" -> (PipelineQueries.multimodalFeatures _),
+    "multimodal_frames" -> (PipelineQueries.multimodalFrames _),
     "source_orc_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.orcRoundtrip(s, d)
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),

@@ -191,6 +191,20 @@ object PipelineQueries {
       .orderBy(col("n").desc, col("ngram"))
       .limit(20)
 
+  /** Multimodal post-decode plan: resize metadata to a 256-px box and
+    * choose ≤4 evenly spaced frames per doc (all stub-deterministic). */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.decode(s, Multimodal.withPayload(Tables.documents(s, d)))
+      .map { m =>
+        val r = Multimodal.resizeMeta(m, 256)
+        (m.doc_id, r.width, r.height,
+          Multimodal.sampleFrames(m.n_frames, 4).mkString(","))
+      }
+      .toDF("doc_id", "rs_width", "rs_height", "frame_plan")
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical-form fingerprint (dedup key). */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

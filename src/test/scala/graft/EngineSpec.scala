@@ -443,6 +443,25 @@ class BucketingSpec extends SparkSuite {
   }
 }
 
+class MultimodalSpec extends SparkSuite {
+  import graft.mm.Multimodal
+
+  test("resizeMeta preserves aspect ratio within the bounding box") {
+    val m = Multimodal.MediaMeta(1L, 512, 128, 4)
+    val r = Multimodal.resizeMeta(m, 256)
+    assert(r.width == 256 && r.height == 64)
+    // already small → untouched
+    val small = Multimodal.resizeMeta(Multimodal.MediaMeta(2L, 100, 50, 1), 256)
+    assert(small.width == 100 && small.height == 50)
+  }
+
+  test("sampleFrames spaces evenly and never exceeds the frame count") {
+    assert(Multimodal.sampleFrames(2, 4) == Seq(0, 1))
+    assert(Multimodal.sampleFrames(8, 4) == Seq(0, 2, 4, 6))
+    assert(Multimodal.sampleFrames(10, 4) == Seq(0, 2, 5, 7))
+  }
+}
+
 class StreamingSpec extends SparkSuite {
   test("stream_window matches the batch window aggregation") {
     val streamed = graft.streaming.Events.streamWindow(spark, sf)
