@@ -25,18 +25,31 @@ object Bench {
     // otherwise land on random queries (observed 10x run-to-run noise).
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => () } // warmup; failures surface below
+      catch { case _: Throwable => () } // warmup; failure recorded below
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // a failing query reports -1, not its time-to-exception — the
+      // bench JSON must carry an unambiguous failure signal
+      name -> (if (failed) -1.0 else times.min)
     }
+    val (ok, bad) = results.partition(_._2 >= 0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = bad.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
+    // sbt log noise buried the r01 JSON line (BENCH_r01 parsed:null) —
+    // also persist it to a file so the driver can always recover it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     spark.stop()
+    // last line on stdout, after the SparkSession's shutdown chatter
+    println(line)
   }
 }

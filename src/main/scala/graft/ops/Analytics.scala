@@ -107,6 +107,9 @@ object Analytics {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      // the isNotNull constraints make the TopKByScore rewrite legal
+      // (parquet attributes are nullable; TPC-H keys never are in fact)
+      .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .orderBy(col("o_custkey"), col("rn"))

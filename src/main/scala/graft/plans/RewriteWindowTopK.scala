@@ -61,10 +61,18 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
         _, _, child, _)
         if part.forall(_.isInstanceOf[AttributeReference]) =>
       order match {
+        // null-safety: the window form ranks NULL score/id rows (under
+        // the chosen null-ordering) while TopKByScore.update drops them.
+        // The rewrite is legal only for provably null-free inputs —
+        // non-nullable attributes, or a child whose constraints carry
+        // IsNotNull (e.g. an explicit .isNotNull filter) — and only for
+        // the default null-ordering (anything else signals the caller
+        // cares about null placement).
         case Seq(
-            SortOrder(score: AttributeReference, Descending, _, _),
-            SortOrder(id: AttributeReference, Ascending, _, _))
-            if score.dataType == DoubleType && id.dataType == LongType =>
+            SortOrder(score: AttributeReference, Descending, NullsLast, _),
+            SortOrder(id: AttributeReference, Ascending, NullsFirst, _))
+            if score.dataType == DoubleType && id.dataType == LongType &&
+              provablyNotNull(score, child) && provablyNotNull(id, child) =>
           val rnAttr = w.windowOutputSet.head
           val parts = part.map(_.asInstanceOf[AttributeReference])
           // the rewrite drops every column outside part ∪ {score,id}
@@ -76,6 +84,9 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
       }
     case _ => None
   }
+
+  private def provablyNotNull(a: AttributeReference, child: LogicalPlan): Boolean =
+    !a.nullable || child.constraints.exists(_.semanticEquals(IsNotNull(a)))
 
   private def kFromCond(cond: Expression, rn: Attribute): Option[Int] =
     cond match {

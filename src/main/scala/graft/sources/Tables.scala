@@ -32,8 +32,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = load(s, d, "events")
+    // integer division (`div`), not `/`: Long `/` is double division in
+    // Spark SQL, and ns epochs (~1.7e18) exceed double's 2^53 integer
+    // precision — a ±1 µs drift that can flip floor-second boundaries
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

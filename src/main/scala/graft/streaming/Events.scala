@@ -31,8 +31,8 @@ object Events {
     // FileStreamSource wants a directory (or glob) path; events.parquet
     // is a single file, so address it through a glob pattern
     val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-    val ev = raw.withColumn("ts",
-      timestamp_micros((col("ts") / 1000L).cast("long")))
+    // `div` not `/`: ns Longs exceed double's integer precision
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = ev
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -125,7 +125,7 @@ object Events {
   def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def src = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-      .withColumn("ts_s", (col("ts") / 1000000000L).cast("long"))
+      .withColumn("ts_s", expr("ts div 1000000000"))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts_s").as("c_ts"))
     val purchases = src.filter(col("event_type") === "purchase")
@@ -163,7 +163,7 @@ object Events {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
     val evs = raw.select(col("user_id"),
-      (col("ts") / 1000000000L).cast("long").as("ts_s")).as[SessEvent]
+      expr("ts div 1000000000").as("ts_s")).as[SessEvent]
 
     val fn = (uid: Long, it: Iterator[SessEvent],
         state: GroupState[OpenSession]) => {

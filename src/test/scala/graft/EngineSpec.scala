@@ -337,6 +337,20 @@ class RewriteWindowTopKSpec extends SparkSuite {
     assert(optimized.collect { case a: Aggregate => a }.nonEmpty)
   }
 
+  test("nullable inputs without isNotNull filters keep the window form") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = graft.sources.Tables.orders(spark, sf)
+      // parquet attributes are nullable and nothing proves otherwise →
+      // the rewrite would silently drop NULL-score rows; must not fire
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.collect { case w: LWindow => w }.nonEmpty,
+      "nullable inputs must keep the window")
+  }
+
   test("extra passthrough column keeps the window form") {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
