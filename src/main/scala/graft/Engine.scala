@@ -1,7 +1,8 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,33 +26,54 @@ import graft.json.Shred.{ChildArray, ChildObject, Rel}
   *
   * The reference serializes every operation through one SQLite
   * connection (java:76-106); here the "connection" is the cluster and
-  * writes are partitioned parquet. Parent→child relations land in a
-  * manifest so re-assembly needs no catalog server.
+  * writes are partitioned parquet. Every saved table plus the
+  * parent→child relations land in a manifest so re-assembly needs no
+  * catalog server.
+  *
+  * All warehouse I/O goes through the Hadoop `FileSystem` API resolved
+  * from the warehouse URI, so the same code runs against `file:`,
+  * `hdfs:` or `s3a:` paths — java.nio would silently bind the manifest
+  * and the upsert swap to the driver's local disk.
   */
 class Engine(spark: SparkSession, warehouse: String) {
 
   private def dir(table: String) = s"$warehouse/$table"
-  private def manifestPath = Paths.get(s"$warehouse/_graft_manifest.txt")
+  private val manifestPath = new Path(s"$warehouse/_graft_manifest.txt")
+  private def fs: FileSystem =
+    manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def readRels(): Seq[Rel] =
-    if (!Files.exists(manifestPath)) Seq.empty
-    else Files.readAllLines(manifestPath).toArray.map(_.toString)
-      .filter(_.nonEmpty).toSeq.map { line =>
-        line.split("\\|") match {
-          case Array("obj", p, c) => ChildObject(p, c)
-          case Array("arr", p, c) => ChildArray(p, c)
-          case other => throw new IllegalStateException(
-            s"bad manifest line: ${other.mkString("|")}")
-        }
+  /** Manifest = one line per fact: `tbl|name` for every saved table,
+    * `obj|parent|child` / `arr|parent|child` for relations. */
+  private def readManifest(): (Seq[String], Seq[Rel]) = {
+    val f = fs
+    if (!f.exists(manifestPath)) return (Seq.empty, Seq.empty)
+    val in = f.open(manifestPath)
+    val text =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val tables = lines.collect { case s if s.startsWith("tbl|") =>
+      s.stripPrefix("tbl|") }
+    val rels = lines.filterNot(_.startsWith("tbl|")).map { line =>
+      line.split("\\|") match {
+        case Array("obj", p, c) => ChildObject(p, c)
+        case Array("arr", p, c) => ChildArray(p, c)
+        case other => throw new IllegalStateException(
+          s"bad manifest line: ${other.mkString("|")}")
       }
-
-  private def writeRels(rels: Seq[Rel]): Unit = {
-    Files.createDirectories(manifestPath.getParent)
-    val lines = rels.distinct.map {
-      case ChildObject(p, c) => s"obj|$p|$c"
-      case ChildArray(p, c) => s"arr|$p|$c"
     }
-    Files.writeString(manifestPath, lines.mkString("\n"))
+    (tables, rels)
+  }
+
+  private def writeManifest(tables: Seq[String], rels: Seq[Rel]): Unit = {
+    val lines = tables.distinct.sorted.map(t => s"tbl|$t") ++
+      rels.distinct.map {
+        case ChildObject(p, c) => s"obj|$p|$c"
+        case ChildArray(p, c) => s"arr|$p|$c"
+      }
+    val out = fs.create(manifestPath, true)
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Normalize parsed JSON documents into relational tables and write
@@ -61,7 +83,10 @@ class Engine(spark: SparkSession, warehouse: String) {
     tables.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(dir(name))
     }
-    writeRels((readRels() ++ rels).distinct)
+    val (prevTables, prevRels) = readManifest()
+    // every written table is recorded — a flat document with no child
+    // relations must still be visible to sql()
+    writeManifest(prevTables ++ tables.keys, (prevRels ++ rels).distinct)
     tables.keys.toSeq.sorted
   }
 
@@ -70,8 +95,9 @@ class Engine(spark: SparkSession, warehouse: String) {
 
   /** Register every manifest table as a temp view and run SQL. */
   def sql(query: String): DataFrame = {
-    val rels = readRels()
-    val names = (rels.map(_.parent) ++ rels.map(_.child)).distinct
+    val (tables, rels) = readManifest()
+    val names =
+      (tables ++ rels.map(_.parent) ++ rels.map(_.child)).distinct
     names.foreach(t => table(t).createOrReplaceTempView(t))
     spark.sql(query)
   }
@@ -101,7 +127,7 @@ class Engine(spark: SparkSession, warehouse: String) {
   def getJson(tableName: String, keyValue: Long,
       key: String = "rowNum"): Option[String] = {
     val base = table(tableName).filter(col(key) === keyValue)
-    val nested = assemble(tableName, base, key, readRels(), Set.empty)
+    val nested = assemble(tableName, base, key, readManifest()._2, Set.empty)
     nested
       .select(to_json(struct(nested.columns.map(col): _*)).as("doc"))
       .collect().headOption.map(_.getString(0))
@@ -112,21 +138,31 @@ class Engine(spark: SparkSession, warehouse: String) {
     * Read-merge-write into a staging dir, then swap — you cannot
     * overwrite the parquet you are lazily reading, and a driver-side
     * collect would not scale. This is the classic compaction pattern
-    * (a table format with native MERGE replaces it at 100 TB). */
+    * (a table format with native MERGE replaces it at 100 TB).
+    *
+    * Crash-safe against its own leftovers: stale `__staged`/`__old`
+    * dirs from an interrupted run are cleared before the swap, and the
+    * live dir is only ever renamed after the staged write completed —
+    * an interruption leaves either the old or the new table in place,
+    * never neither. */
   def upsert(tableName: String, updates: DataFrame,
       key: String = "rowNum"): Unit = {
-    val live = Paths.get(dir(tableName))
-    val staged = Paths.get(dir(tableName) + "__staged")
+    val f = fs
+    val live = new Path(dir(tableName))
+    val staged = new Path(dir(tableName) + "__staged")
+    val old = new Path(dir(tableName) + "__old")
+    // a previously interrupted run may have left either dir behind;
+    // both are safe to discard (live was never renamed away)
+    f.delete(staged, true)
+    f.delete(old, true)
     ops.Upsert(table(tableName), updates, Seq(key))
       .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-    val old = Paths.get(dir(tableName) + "__old")
-    Files.move(live, old)
-    Files.move(staged, live)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(rm(_))
-      Files.deleteIfExists(p)
+    if (!f.rename(live, old))
+      throw new IllegalStateException(s"upsert: cannot move $live aside")
+    if (!f.rename(staged, live)) {
+      f.rename(old, live) // roll back — keep the table queryable
+      throw new IllegalStateException(s"upsert: cannot publish $staged")
     }
-    rm(old)
+    f.delete(old, true)
   }
 }

@@ -17,12 +17,54 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
 
+  /** ann_lsh_topk oracle: the hyperplanes are deterministic constants
+    * (Ann.planes, seed 7) — folding the same literals into the SQL lets
+    * DuckDB reproduce the bucket codes, the bucket-restricted scoring,
+    * and therefore the exact approximate result. Double.toString emits
+    * the shortest round-tripping decimal, so the parsed constants are
+    * bit-identical on both engines. */
+  private def annLshOracle: String = {
+    val values = graft.sim.Ann.planes(8, 64).zipWithIndex
+      .map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
+      .mkString(", ")
+    s"""WITH pl(j, p) AS (VALUES $values),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |z AS (SELECT vec_id, j, unnest(e.embedding)::DOUBLE AS x,
+       |        unnest(pl.p) AS y
+       |      FROM e CROSS JOIN pl),
+       |dots AS (SELECT vec_id, j, sum(x * y) AS dot FROM z GROUP BY 1, 2),
+       |bkt AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot > 0
+       |      THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT)
+       |      AS b
+       |  FROM dots GROUP BY 1),
+       |q AS (SELECT e.vec_id AS q_id, e.embedding AS qe, bkt.b
+       |      FROM e JOIN bkt ON bkt.vec_id = e.vec_id WHERE e.vec_id < 10),
+       |c AS (SELECT e.vec_id AS c_id, e.embedding AS ce, bkt.b
+       |      FROM e JOIN bkt ON bkt.vec_id = e.vec_id),
+       |p2 AS (SELECT q_id, c_id, qe, ce
+       |       FROM q JOIN c ON q.b = c.b AND c_id <> q_id),
+       |z2 AS (SELECT q_id, c_id, unnest(qe)::DOUBLE AS x,
+       |         unnest(ce)::DOUBLE AS y FROM p2),
+       |sums AS (SELECT q_id, c_id, sum(x*y) AS d, sum(x*x) AS na,
+       |           sum(y*y) AS nb FROM z2 GROUP BY 1, 2),
+       |sc AS (SELECT q_id, c_id,
+       |         round(d / (sqrt(na) * sqrt(nb)), 4) AS score FROM sums),
+       |r AS (SELECT q_id, c_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, c_id) AS INTEGER) AS rnk FROM sc)
+       |SELECT q_id, rnk, c_id, score FROM r WHERE rnk <= 5
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 JSON↔relational engine (reference core)
     "shred_flatten" -> (JsonQueries.shredFlatten _),
     "shred_children" -> (JsonQueries.shredChildren _),
     "shred_prim_subobj" -> (JsonQueries.shredPrimSubobj _),
     "shred_prim_array" -> (JsonQueries.shredPrimArray _),
+    "shred_typed_children" -> (JsonQueries.shredTypedChildren _),
     "assemble_nested" -> (JsonQueries.assembleNested _),
     "type_infer" -> (JsonQueries.typeInfer _),
     "point_lookup" -> (JsonQueries.pointLookup _),
@@ -107,6 +149,8 @@ object SparkEntry {
     "source_orc_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.orcRoundtrip(s, d)
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
+    "sink_partitioned_prune" -> (graft.sources.Layouts.partitionedPrune _),
+    "q_bucketed_join" -> (graft.sources.Layouts.bucketedJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -138,11 +182,15 @@ object SparkEntry {
         |  SELECT 'k' AS name, json_extract_string(props, '$.k') AS value
         |  FROM events
         |  UNION ALL
+        |  SELECT 'amount', json_extract_string(props, '$.k') || '.5'
+        |  FROM events
+        |  UNION ALL
         |  SELECT 'event_time', strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM events
         |  UNION ALL
         |  SELECT 'props_raw', props FROM events)
         |SELECT name,
-        |  CASE WHEN regexp_full_match(value, '-?[0-9]+') THEN 'NUMBER'
+        |  CASE WHEN regexp_full_match(value, '-?[0-9]+(\.[0-9]+)?')
+        |         THEN 'NUMBER'
         |       WHEN contains(lower(name), 'time') AND contains(value, ':')
         |            AND contains(value, 'T') THEN 'DATE'
         |       WHEN length(value) < 128 THEN 'MEDIUM_STRING'
@@ -556,10 +604,220 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
-    // §2.3 — dedup_minhash_lsh / dedup_simhash / ann_lsh_topk /
-    // multimodal_decode are rows-only (hash-family internals aren't
-    // ANSI-SQL-expressible); the kernels they rely on are verified via
-    // ngram_jaccard, dedup_embed_cos, ann_brute_topk, text_fingerprint.
+    // §2.3 — every approximate-family query carries a real oracle:
+    // LSH/cluster outputs are exact-verified (true-Jaccard ⊇ check also
+    // proves recall), SimHash signatures are md5-replicated in SQL,
+    // sketches assert error bounds, multimodal stubs are replayed
+    // byte-for-byte. The single remaining rows-only query is
+    // ann_ivf_topk (an ML-trained KMeans quantizer is not
+    // ANSI-expressible; its recall is spec-asserted in IvfSpec).
+    "shred_typed_children" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    CASE WHEN l_linenumber = 7 THEN 'exotic'
+        |         WHEN l_quantity > 25 THEN 'big'
+        |         ELSE 'small' END AS t
+        |  FROM lineitem WHERE l_orderkey % 20 = 0)
+        |SELECT t AS item_type, count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM src WHERE t IN ('big', 'small')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_partitioned_prune" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // recall-proving oracle: the exact all-pairs Jaccard ≥ 0.5 set must
+    // EQUAL the LSH-candidate → exact-verified set (a missed true pair
+    // would surface as an oracle row Spark lacks)
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(t) - 2, 0)),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents) d),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    round(len(list_intersect(sa, sb))::DOUBLE /
+        |          len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+        |  FROM p)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(t) - 2, 0)),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents) d),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+        |e AS (
+        |  SELECT id_a, id_b FROM p
+        |  WHERE round(len(list_intersect(sa, sb))::DOUBLE /
+        |        len(list_distinct(list_concat(sa, sb))), 4) >= 0.5),
+        |reach(id, r) AS (
+        |  SELECT id_a, id_a FROM e UNION SELECT id_b, id_b FROM e
+        |  UNION
+        |  SELECT reach.id,
+        |    CASE WHEN e.id_a = reach.r THEN e.id_b ELSE e.id_a END
+        |  FROM reach JOIN e ON e.id_a = reach.r OR e.id_b = reach.r)
+        |SELECT id, min(r) AS keeper FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+    "dedup_clean" ->
+      """WITH RECURSIVE fp AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS f
+        |  FROM documents),
+        |k1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+        |surv AS (
+        |  SELECT d.doc_id, d.source, d.text FROM documents d
+        |  JOIN k1 ON k1.doc_id = d.doc_id),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(t) - 2, 0)),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM surv) d),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+        |e AS (
+        |  SELECT id_a, id_b FROM p
+        |  WHERE round(len(list_intersect(sa, sb))::DOUBLE /
+        |        len(list_distinct(list_concat(sa, sb))), 4) >= 0.5),
+        |reach(id, r) AS (
+        |  SELECT id_a, id_a FROM e UNION SELECT id_b, id_b FROM e
+        |  UNION
+        |  SELECT reach.id,
+        |    CASE WHEN e.id_a = reach.r THEN e.id_b ELSE e.id_a END
+        |  FROM reach JOIN e ON e.id_a = reach.r OR e.id_b = reach.r),
+        |keep AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+        |fin AS (
+        |  SELECT s.doc_id, s.source FROM surv s
+        |  WHERE s.doc_id NOT IN
+        |    (SELECT id FROM keep WHERE id <> keeper))
+        |SELECT source, count(*) AS n_docs, min(doc_id) AS min_id
+        |FROM fin GROUP BY source ORDER BY source""".stripMargin,
+    // full signature replication: md5_number_lower == the kernel's
+    // md5-lower-64 token hash, so the oracle computes the same 64-bit
+    // simhash and the same exhaustive hamming ≤ 3 pair set
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |      AS t
+        |  FROM documents),
+        |hv AS (SELECT doc_id, md5_number_lower(t) AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM hv CROSS JOIN range(64) r(j) GROUP BY 1, 2),
+        |rawsig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0
+        |        THEN (1::UBIGINT << CAST(j AS INTEGER))::HUGEINT
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM votes GROUP BY 1),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN s >= 9223372036854775808
+        |         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS sig
+        |  FROM rawsig)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sigs a JOIN sigs b ON b.doc_id > a.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+    // sketch error-bound oracle: exact answers + literal TRUE flags —
+    // Spark computes both sketch and exact and asserts the bounds
+    "q_approx_stats" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts_exact,
+        |  TRUE AS acd_within_5pct, TRUE AS med_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ann_lsh_topk" -> annLshOracle,
+    // the stub codec is deterministic byte arithmetic — replayed here
+    // (documents.text is ASCII in this corpus, so ascii(substr(..)) is
+    // exactly the payload byte)
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 * (1 + (CASE WHEN length(text) >= 1
+        |    THEN ascii(substr(text, 1, 1)) ELSE 0 END) % 32) AS INTEGER)
+        |    AS width,
+        |  CAST(16 * (1 + (CASE WHEN length(text) >= 2
+        |    THEN ascii(substr(text, 2, 1)) ELSE 0 END) % 32) AS INTEGER)
+        |    AS height,
+        |  CAST(1 + length(text) % 8 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    16 * (1 + (CASE WHEN length(text) >= 1
+        |      THEN ascii(substr(text, 1, 1)) ELSE 0 END) % 32) AS w,
+        |    16 * (1 + (CASE WHEN length(text) >= 2
+        |      THEN ascii(substr(text, 2, 1)) ELSE 0 END) % 32) AS h,
+        |    1 + length(text) % 8 AS nf
+        |  FROM documents),
+        |sc AS (SELECT doc_id, nf, w, h,
+        |    least(1.0, 256.0 / greatest(w, h)) AS s FROM m)
+        |SELECT doc_id,
+        |  CAST(greatest(1, CAST(floor(w * s + 0.5) AS BIGINT)) AS INTEGER)
+        |    AS rs_width,
+        |  CAST(greatest(1, CAST(floor(h * s + 0.5) AS BIGINT)) AS INTEGER)
+        |    AS rs_height,
+        |  CASE nf WHEN 1 THEN '0' WHEN 2 THEN '0,1' WHEN 3 THEN '0,1,2'
+        |    WHEN 4 THEN '0,1,2,3' WHEN 5 THEN '0,1,2,3'
+        |    WHEN 6 THEN '0,1,3,4' WHEN 7 THEN '0,1,3,5'
+        |    WHEN 8 THEN '0,2,4,6' END AS frame_plan
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // integer byte-bucket sums ÷ 255 → float32 → double: every step is
+    // an exact or correctly-rounded IEEE op on both engines, and the
+    // final sum replays Spark's sequential fold as left-assoc addition
+    "multimodal_features" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(length(text))) AS i
+        |  FROM documents),
+        |bysum AS (
+        |  SELECT doc_id, i % 16 AS j,
+        |    sum(ascii(substr(text, CAST(i + 1 AS INTEGER), 1))) AS sb
+        |  FROM pos GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, r.j FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(16)) AS j) r),
+        |f AS (
+        |  SELECT g.doc_id, g.j,
+        |    CAST(CAST(coalesce(b.sb, 0) / 255.0 AS REAL) AS DOUBLE) AS fv
+        |  FROM grid g LEFT JOIN bysum b
+        |    ON b.doc_id = g.doc_id AND b.j = g.j),
+        |agg AS (SELECT doc_id, list(fv ORDER BY j) AS fl FROM f GROUP BY 1)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS dim,
+        |  round(fl[1] + fl[2] + fl[3] + fl[4] + fl[5] + fl[6] + fl[7] +
+        |    fl[8] + fl[9] + fl[10] + fl[11] + fl[12] + fl[13] + fl[14] +
+        |    fl[15] + fl[16], 4) AS feat_sum
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // the driver's verify gate runs at sf0.01 — the glob is pinned to
+    // the same dir the Spark query receives
+    "source_binary_files" ->
+      """SELECT regexp_extract(filename, '[^/]+$', 0) AS fname,
+        |  size AS length
+        |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        |ORDER BY fname""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY 1""".stripMargin,

@@ -6,19 +6,27 @@ import org.apache.spark.sql.functions._
 /** Duplicate-cluster resolution: candidate pairs → connected
   * components → keeper per document (SURVEY §2.3).
   *
-  * Small-star-ish min-label propagation: every doc starts labeled with
-  * itself; each round adopts the minimum label in its pair
-  * neighborhood; converged when no label changes. Near-dup clusters are
-  * small (bounded by the LSH bucket cap), so the loop converges in a
-  * few rounds; each round is one shuffle keyed on doc id. The loop is
-  * driver-controlled but the data never leaves the cluster — only the
-  * converged? flag (one count) comes back per round.
+  * Min-label propagation with pointer jumping: every doc starts
+  * labeled with itself; each round a node adopts the minimum of its
+  * own label, its neighbors' labels, AND its label's label
+  * (`L(L(v))` — the pointer-doubling step). Neighbor propagation
+  * alone moves a label one hop per round (linear in cluster
+  * diameter — a length-50 boilerplate chain needs 50 rounds);
+  * pointer jumping halves the remaining distance each round, so
+  * convergence is logarithmic in the diameter. Labels only ever
+  * decrease and are always member ids, so the fixpoint label of
+  * every node is its component minimum.
+  *
+  * Each round is a bounded number of shuffles keyed on doc id; only
+  * the convergence scalar (a sum) returns to the driver. Hitting
+  * `maxRounds` without convergence throws — a silently truncated
+  * clustering would let duplicates survive downstream `Dedup.clean`.
   */
 object Components {
 
   /** pairs: (id_a, id_b) edges. Returns (id, keeper) for every id that
     * appears in any pair, keeper = min id of its component. */
-  def keepers(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+  def keepers(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -39,16 +47,22 @@ object Components {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      // each node adopts min(own label, neighbors' labels)
-      val neighborMin = edges
+      // min of neighbors' labels
+      val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("keeper")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("keeper"), coalesce(col("nmin"), col("keeper")))
-            .as("keeper"))
-        .cache()
+        .select(col("src").as("id"), col("keeper"))
+      // pointer jump: my label's label
+      val viaJump = labels
+        .join(labels.select(col("id").as("_jid"), col("keeper").as("_jk")),
+          col("keeper") === col("_jid"))
+        .select(col("id"), col("_jk").as("keeper"))
+      // localCheckpoint truncates the lineage: the label frame appears
+      // three times per round (union + both joins), so the logical plan
+      // would otherwise grow ~4x per round — exponential in rounds
+      val next = labels.union(viaNeighbor).union(viaJump)
+        .groupBy(col("id"))
+        .agg(min(col("keeper")).as("keeper"))
+        .localCheckpoint()
       val nextSum = keeperSum(next)
       labels.unpersist()
       labels = next
@@ -56,6 +70,10 @@ object Components {
       prevSum = nextSum
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Components.keepers did not converge within $maxRounds rounds — " +
+          "raise maxRounds (cluster diameter exceeds 2^rounds)")
     labels
   }
 }

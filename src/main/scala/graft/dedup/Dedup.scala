@@ -28,10 +28,10 @@ object Dedup {
       .select(idCol)
     val exactKept = docs.join(keepIds, Seq(idCol), "left_semi")
 
-    // pass 2: near-dup clusters among the survivors
-    val sigs = MinHashLSH.signatures(exactKept, idCol, textCol).cache()
-    val pairs = MinHashLSH.candidatePairs(sigs)
-      .filter(col("est_sim") >= minSim)
+    // pass 2: near-dup clusters among the survivors — LSH candidates
+    // verified against exact Jaccard, so the removal threshold acts on
+    // TRUE similarity, not the minhash estimate
+    val pairs = MinHashLSH.verifiedPairs(exactKept, idCol, textCol, minSim)
     val losers = Components.keepers(pairs)
       .filter(col("id") =!= col("keeper"))
       .select(col("id").as(idCol))

@@ -82,4 +82,37 @@ object MinHashLSH {
           lit(0), (acc, v) => acc + v).cast("double") / cfg.numPerms, 4))
       .select("id_a", "id_b", "est_sim")
   }
+
+  /** The full candidate→verify LSH pipeline: generate candidates with
+    * banding, then recompute the EXACT shingle Jaccard on the (small)
+    * candidate set and keep pairs with true similarity ≥ `minJaccard`.
+    *
+    * This is the production shape — LSH for recall, exact verification
+    * for precision: downstream consumers (clustering, removal) act on
+    * true near-duplicates, not hash estimates. It is also what makes
+    * the result independently checkable: exact Jaccard over all pairs
+    * is computable by a SQL oracle at verify scale, and with the
+    * banding parameters' ≈1-1e-4 recall at J=0.5 the verified candidate
+    * set equals the true pair set. The exact join touches only
+    * candidates (|pairs| ≪ |corpus|²) — two broadcast-size joins at
+    * sane thresholds. `minEst` pre-filters candidates ~5σ below
+    * `minJaccard` to bound the verify stage. */
+  def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, cfg: Config = Config()): DataFrame = {
+    val minEst = math.max(0.0, minJaccard - 0.3)
+    val sigs = signatures(docs, idCol, textCol, cfg).cache()
+    val cands = candidatePairs(sigs, cfg)
+      .filter(col("est_sim") >= minEst)
+    val sh = docs
+      .select(col(idCol).as("id"),
+        graft.functions.exprs.shingles(col(textCol), cfg.shingleK).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val sa = sh.select(col("id").as("id_a"), col("_sh").as("_sha"))
+    val sb = sh.select(col("id").as("id_b"), col("_sh").as("_shb"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
+          size(array_union(col("_sha"), col("_shb"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 }

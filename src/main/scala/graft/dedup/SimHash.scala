@@ -8,12 +8,21 @@ import org.apache.spark.sql.functions._
   *
   * Each distinct token votes its hash bits ±1; the sign of each bit's
   * vote total forms the 64-bit signature. Hamming-close signatures ⇒
-  * similar token distributions.
+  * similar token distributions. The token hash is md5-lower-64 —
+  * replicable by DuckDB's `md5_number_lower`, so the whole signature
+  * (and therefore the candidate pair set) has an independent SQL
+  * oracle.
   *
   * Candidate generation uses the pigeonhole chunk trick: split the 64
-  * bits into 4×16-bit chunks; any pair within hamming distance 3 must
-  * agree on at least one whole chunk, so a self-join per chunk finds all
-  * such pairs with one shuffle keyed on (chunk-index, chunk-value).
+  * bits into `nChunks` equal chunks; any pair within hamming distance
+  * `nChunks - 1` must agree on at least one whole chunk, so a
+  * self-join per chunk finds ALL such pairs with one shuffle keyed on
+  * (chunk-index, chunk-value). The guarantee is enforced:
+  * `maxHamming < nChunks` is required — a looser filter would return
+  * only the pairs that luckily share a chunk, a silent recall hole.
+  * More chunks widen the guarantee but shrink chunk width (64/nChunks
+  * bits), which grows bucket collision rates — at corpus scale keep
+  * chunks ≥ 8 bits and run exact dedup first (see Dedup.clean).
   */
 object SimHash {
 
@@ -28,12 +37,20 @@ object SimHash {
       .select(col("id"),
         graft.functions.exprs.simhash64(col("_toks")).as("simhash"))
 
-  /** Pairs (id_a < id_b) agreeing on ≥1 of 4 16-bit chunks, with exact
-    * hamming distance, filtered to `maxHamming`. */
-  def candidatePairs(sigs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val chunks = (0 until 4).map { c =>
+  /** Pairs (id_a < id_b) within `maxHamming`, found exhaustively via
+    * the chunk pigeonhole (requires maxHamming < nChunks). */
+  def candidatePairs(sigs: DataFrame, maxHamming: Int = 3,
+      nChunks: Int = 4): DataFrame = {
+    require(64 % nChunks == 0, s"nChunks=$nChunks must divide 64")
+    require(maxHamming < nChunks,
+      s"pigeonhole completeness needs maxHamming ($maxHamming) < " +
+        s"nChunks ($nChunks): a pair differing in every chunk would be " +
+        "missed — raise nChunks or lower maxHamming")
+    val width = 64 / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val chunks = (0 until nChunks).map { c =>
       struct(lit(c).as("c"),
-        (shiftright(col("simhash"), 16 * c).bitwiseAND(lit(65535L))).as("v"))
+        (shiftright(col("simhash"), width * c).bitwiseAND(lit(mask))).as("v"))
     }
     val ex = sigs.select(col("id"), col("simhash"),
       explode(array(chunks: _*)).as("ch"))
@@ -45,7 +62,7 @@ object SimHash {
     a.join(b, Seq("c", "v"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("_ha").bitwiseXOR(col("_hb"))).as("hamming"))
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

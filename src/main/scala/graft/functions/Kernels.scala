@@ -47,13 +47,29 @@ object Kernels {
     new GenericArrayData(sigs)
   }
 
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lower 8 bytes of md5 (bytes 8..16, little-endian) — exactly
+    * DuckDB's `md5_number_lower`, which is what makes the SimHash
+    * signature independently computable by the SQL oracle. */
+  def md5Lower64(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (dig(i) & 0xffL); i -= 1 }
+    h
+  }
+
   def simhash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes(), 42L)
+      val h = md5Lower64(arr.getUTF8String(i))
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

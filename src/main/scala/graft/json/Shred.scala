@@ -114,10 +114,16 @@ object Shred {
 
   /** Reference `getType` (DatabaseManager.java:514-534) as a codegen'd
     * column expression over a (name, value-as-string) pair:
-    * integer literal → NUMBER; name mentions "time" and value looks
-    * ISO-ish → DATE; short → MEDIUM_STRING; else TEXT. */
+    * numeric literal → NUMBER; name mentions "time" and value looks
+    * ISO-ish → DATE; short → MEDIUM_STRING; else TEXT.
+    *
+    * Numeric includes decimals: the reference classifies via Gson's
+    * `getAsInt`, which accepts non-integer numerics (12.5 → 12, no
+    * exception), so "12.5" is NUMBER there too. Scientific notation is
+    * out of scope on both sides (the reference's JSON writer never
+    * emits it for the values it stores). */
   def inferType(name: Column, value: Column): Column =
-    when(value.rlike("^-?[0-9]+$"), "NUMBER")
+    when(value.rlike("^-?[0-9]+(\\.[0-9]+)?$"), "NUMBER")
       .when(lower(name).contains("time") &&
         value.contains(":") && value.contains("T"), "DATE")
       .when(length(value) < 128, "MEDIUM_STRING")

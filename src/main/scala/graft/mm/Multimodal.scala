@@ -44,14 +44,20 @@ object Multimodal {
 
   /** STUB feature extractor — fixed-width embedding from payload bytes
     * (a real implementation runs a vision/audio encoder over the
-    * decoded media; the batch shape and schema are what matter here). */
+    * decoded media; the batch shape and schema are what matter here).
+    * Accumulates in exact integer arithmetic with a single final
+    * divide, so the values are bit-reproducible by the SQL oracle
+    * (float-accumulation order would not be). */
   def fakeFeatures(payload: Array[Byte], dim: Int = 16): Array[Float] = {
-    val out = new Array[Float](dim)
+    val sums = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      sums(i % dim) += (payload(i) & 0xff)
       i += 1
     }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) { out(j) = (sums(j) / 255.0).toFloat; j += 1 }
     out
   }
 

@@ -121,13 +121,51 @@ object JsonQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Heterogeneous child arrays (reference DatabaseManager.java:168-202,
+    * 231-238): one array mixing object types is routed to per-`type`
+    * child tables; rows with undeclared types are dropped (the
+    * reference logs and skips them, java:180-183). Items are tagged
+    * big/small by quantity — plus a rare 'exotic' tag left undeclared
+    * to exercise the drop path — shredded through
+    * `Shred.normalizeTyped`, and summarized per routed table. */
+  def shredTypedChildren(s: SparkSession, d: String): DataFrame = {
+    val itemSchema = StructType(Seq(
+      StructField("l_linenumber", LongType),
+      StructField("l_quantity", DoubleType)))
+    val docs = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 20 === 0)
+      .groupBy(col("l_orderkey").as("rowNum"))
+      .agg(collect_list(struct(
+        when(col("l_linenumber") === 7, "exotic")
+          .when(col("l_quantity") > 25, "big")
+          .otherwise("small").as("type"),
+        to_json(struct(col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"))).as("json")))
+        .as("items"))
+    val tables = Shred.normalizeTyped(docs, "items", "rowNum", "order",
+      Map("big" -> itemSchema, "small" -> itemSchema))
+    tables.toSeq.sortBy(_._1)
+      .map { case (tpe, df) =>
+        df.select(lit(tpe).as("item_type"), col("order"), col("l_quantity"))
+      }
+      .reduce(_ unionByName _)
+      .groupBy(col("item_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("order")).as("n_orders"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("item_type"))
+  }
+
   /** Reference getType classification over (name, value) pairs drawn
-    * from events: a JSON int, an ISO timestamp string, a JSON blob. */
+    * from events: a JSON int, a decimal (the Gson getAsInt edge — still
+    * NUMBER), an ISO timestamp string, a JSON blob. */
   def typeInfer(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(explode(array(
         struct(lit("k").as("name"),
           get_json_object(col("props"), "$.k").as("value")),
+        struct(lit("amount").as("name"),
+          concat(get_json_object(col("props"), "$.k"), lit(".5")).as("value")),
         struct(lit("event_time").as("name"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("value")),
         struct(lit("props_raw").as("name"), col("props").as("value"))))

@@ -38,8 +38,10 @@ object Ann {
       .select("q_id", "rnk", "c_id", "score")
   }
 
-  /** Deterministic random hyperplanes (Gaussian, seed 7). */
-  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+  /** Deterministic random hyperplanes (Gaussian, seed 7). Public so
+    * the SQL oracle can fold the same constants into its query and
+    * replicate the bucket codes exactly. */
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }

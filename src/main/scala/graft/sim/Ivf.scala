@@ -8,23 +8,39 @@ import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor (SURVEY §2.3).
   *
-  * Coarse quantizer: k-means over (a sample of) the corpus. Each corpus
-  * vector lands in one cell; a query probes its `nProbe` nearest cells
-  * and ranks only those vectors — |corpus|·nProbe/k work instead of
-  * |corpus| per query. The cell assignment is one narrow map (centroids
-  * are a driver-side constant folded into the plan), the probe join is
-  * an equi-join on cell id: both scale linearly at 100 TB, and the
-  * cell table is the natural unit for partition pruning (partition the
-  * corpus by cell on disk).
+  * Coarse quantizer: k-means over a bounded sample of the corpus. Each
+  * corpus vector lands in one cell; a query probes its `nProbe` nearest
+  * cells and ranks only those vectors — |corpus|·nProbe/k work instead
+  * of |corpus| per query. The cell assignment is one narrow map
+  * (centroids are a driver-side constant folded into the plan), the
+  * probe join is an equi-join on cell id: both scale linearly at
+  * 100 TB, and the cell table is the natural unit for partition
+  * pruning (partition the corpus by cell on disk).
+  *
+  * The quantizer is a MODEL, not part of the query: `fit` trains once
+  * on a hash-spread sample capped at `maxSample` vectors (never the
+  * full corpus — at scale that would bury an ML training job inside
+  * every query), and `topK(..., model)` reuses it across query
+  * batches. The sample is deterministic (hash filter + early-
+  * terminating limit), so centroids are reproducible run to run.
   */
 object Ivf {
 
-  /** Train the coarse quantizer; returns centroids as plain arrays. */
-  def fitCentroids(corpus: DataFrame, k: Int, seed: Long = 11L): Array[Array[Double]] = {
-    val feats = corpus
-      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    new KMeans().setK(k).setSeed(seed).setMaxIter(10)
-      .fit(feats).clusterCenters.map(_.toArray)
+  /** Trained coarse quantizer: k cell centroids. */
+  case class IvfModel(centroids: Array[Array[Double]])
+
+  /** Train the coarse quantizer on a bounded deterministic sample:
+    * a cheap hash filter spreads the picks across the corpus, and the
+    * limit early-terminates the scan at `maxSample` vectors. */
+  def fit(corpus: DataFrame, k: Int, seed: Long = 11L,
+      maxSample: Int = 2048): IvfModel = {
+    val sample = corpus
+      .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(4)) === 0)
+      .limit(maxSample)
+      .select(array_to_vector(col("embedding").cast("array<double>"))
+        .as("features"))
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(sample)
+    IvfModel(km.clusterCenters.map(_.toArray))
   }
 
   /** Squared L2 distance to a constant centroid. */
@@ -42,23 +58,24 @@ object Ivf {
     }: _*))
 
   /** Nearest-cell id for each corpus vector. */
-  def assignCells(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame =
+  def assignCells(corpus: DataFrame, model: IvfModel): DataFrame =
     corpus
       .select(col("vec_id").as("c_id"),
         col("embedding").cast("array<double>").as("_ce"))
-      .withColumn("cell", element_at(cellsByDist(col("_ce"), cents), 1)
-        .getField("c"))
+      .withColumn("cell",
+        element_at(cellsByDist(col("_ce"), model.centroids), 1)
+          .getField("c"))
 
-  /** Approximate top-k: each query probes its nProbe nearest cells. */
-  def topK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
-      nProbe: Int = 2): DataFrame = {
-    val cents = fitCentroids(corpus, nCells)
-    val cells = assignCells(corpus, cents)
+  /** Approximate top-k with a pre-trained quantizer: each query probes
+    * its `nProbe` nearest cells. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int, model: IvfModel,
+      nProbe: Int): DataFrame = {
+    val cells = assignCells(corpus, model)
     val probes = queries
       .select(col("vec_id").as("q_id"),
         col("embedding").cast("array<double>").as("_qe"))
       .withColumn("cell", explode(transform(
-        slice(cellsByDist(col("_qe"), cents), 1, nProbe),
+        slice(cellsByDist(col("_qe"), model.centroids), 1, nProbe),
         s => s.getField("c"))))
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("c_id") =!= col("q_id"))
@@ -69,4 +86,9 @@ object Ivf {
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "c_id", "score")
   }
+
+  /** Convenience: fit-and-query in one call (tests/small corpora). */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+      nProbe: Int = 2): DataFrame =
+    topK(corpus, queries, k, fit(corpus, nCells), nProbe)
 }

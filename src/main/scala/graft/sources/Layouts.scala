@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators (SURVEY §2.4): the two levers that decide
+  * whether a 100 TB table is scanned or skipped.
+  *
+  *  - Partitioned writes: `partitionBy` lays data out as one directory
+  *    per key value; a filter on the partition column prunes whole
+  *    directories before any I/O (`PartitionFilters` in the scan node,
+  *    asserted by LayoutsSpec).
+  *  - Bucketed tables: both join sides pre-hashed into the same bucket
+  *    count on the join key join WITHOUT a shuffle exchange (asserted
+  *    by BucketingSpec) — the co-location strategy for repeated big
+  *    fact-to-fact joins.
+  */
+object Layouts {
+
+  private def tmpDir(kind: String, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft_layout",
+      s"${kind}_$tag")
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  /** Where [[partitionedPrune]] lays out the partitioned copy (exposed
+    * for the pruning plan assertion in LayoutsSpec). */
+  def partitionedPath(d: String): String = tmpDir("orders_byyear", d)
+
+  /** Write orders partitioned by order year, read back with a year
+    * filter (pruned to one directory), aggregate per status. */
+  def partitionedPrune(s: SparkSession, d: String): DataFrame = {
+    val path = partitionedPath(d)
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_year") === 1997)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Bucket orders and customer on the join key (8 buckets, external
+    * tables so the files land under tmp, not the repo), join and
+    * aggregate. The join itself is exchange-free — see BucketingSpec
+    * for the plan assertion. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val ordT = s"graft_b_orders_$tag"
+    val custT = s"graft_b_cust_$tag"
+    Tables.orders(s, d).select("o_custkey", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", tmpDir(ordT, d))
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ordT)
+    Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", tmpDir(custT, d))
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(custT)
+    s.table(ordT)
+      .join(s.table(custT), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+}

@@ -152,6 +152,46 @@ object Events {
   case class ClosedSession(user_id: Long, sess_id: Long, n_events: Long,
       start_s: Long, end_s: Long)
 
+  /** Incremental per-user sessionization for one group's batch: a
+    * sorted list of disjoint session intervals (start, end, count),
+    * each event merged in place (possibly bridging two intervals).
+    * Memory is O(#sessions) — bounded by timespan/gap — NOT O(#events):
+    * a hot user with millions of events in one micro-batch costs a few
+    * hundred interval records instead of a buffered array of the whole
+    * batch. Consumes the (unsorted) group iterator one event at a time. */
+  private[graft] def mergeIntervals(
+      it: Iterator[Long], initial: Option[(Long, Long, Long)],
+      gap: Long): scala.collection.mutable.ArrayBuffer[(Long, Long, Long)] = {
+    val iv = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    initial.foreach(iv += _)
+    it.foreach { t =>
+      // first interval with start > t
+      var lo = 0
+      var hi = iv.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (iv(mid)._1 <= t) lo = mid + 1 else hi = mid
+      }
+      val mergePrev = lo > 0 && t - iv(lo - 1)._2 <= gap
+      val mergeNext = lo < iv.length && iv(lo)._1 - t <= gap
+      (mergePrev, mergeNext) match {
+        case (true, true) => // event bridges two sessions
+          val p = iv(lo - 1); val nx = iv(lo)
+          iv(lo - 1) = (p._1, nx._2, p._3 + nx._3 + 1)
+          iv.remove(lo)
+        case (true, false) =>
+          val p = iv(lo - 1)
+          iv(lo - 1) = (p._1, math.max(p._2, t), p._3 + 1)
+        case (false, true) =>
+          val nx = iv(lo)
+          iv(lo) = (t, nx._2, nx._3 + 1)
+        case (false, false) =>
+          iv.insert(lo, (t, t, 1L))
+      }
+    }
+    iv
+  }
+
   /** Custom stateful streaming via flatMapGroupsWithState: per-user
     * sessionization with a 30-minute gap. Emits CLOSED sessions only —
     * the open tail stays in the state store (exactly what a continuous
@@ -167,21 +207,15 @@ object Events {
 
     val fn = (uid: Long, it: Iterator[SessEvent],
         state: GroupState[OpenSession]) => {
-      val sorted = it.map(_.ts_s).toArray.sorted
-      var open = state.getOption
-      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-      sorted.foreach { t =>
-        open match {
-          case Some(o) if t - o.end_s <= 1800 =>
-            open = Some(o.copy(end_s = t, n = o.n + 1))
-          case Some(o) =>
-            closed += ClosedSession(uid, o.idx, o.n, o.start_s, o.end_s)
-            open = Some(OpenSession(t, t, 1, o.idx + 1))
-          case None =>
-            open = Some(OpenSession(t, t, 1, 1))
-        }
+      val baseIdx = state.getOption.map(_.idx).getOrElse(1L)
+      val iv = mergeIntervals(it.map(_.ts_s),
+        state.getOption.map(o => (o.start_s, o.end_s, o.n)), gap = 1800L)
+      val closed = iv.dropRight(1).zipWithIndex.map { case ((s, e, n), i) =>
+        ClosedSession(uid, baseIdx + i, n, s, e)
       }
-      open.foreach(state.update)
+      iv.lastOption.foreach { case (s, e, n) =>
+        state.update(OpenSession(s, e, n, baseIdx + closed.length))
+      }
       closed.iterator
     }
     val sessions = evs.groupByKey(_.user_id)

@@ -112,11 +112,15 @@ class JsonEngineSpec extends SparkSuite {
     import spark.implicits._
     val rows = Seq(
       ("n", "123"), ("n2", "-7"), ("mytime", "2024-01-01T10:00:00"),
-      ("s", "short"), ("s2", "x" * 200))
+      ("s", "short"), ("s2", "x" * 200),
+      // Gson getAsInt accepts non-integer numerics (12.5 → 12), so the
+      // reference classifies decimals NUMBER; "1.2.3" is not numeric
+      ("dec", "12.5"), ("negdec", "-0.25"), ("notnum", "1.2.3"))
       .toDF("name", "value")
       .select(Shred.inferType(col("name"), col("value")).as("t"))
       .as[String].collect().toSeq
-    assert(rows == Seq("NUMBER", "NUMBER", "DATE", "MEDIUM_STRING", "TEXT"))
+    assert(rows == Seq("NUMBER", "NUMBER", "DATE", "MEDIUM_STRING", "TEXT",
+      "NUMBER", "NUMBER", "MEDIUM_STRING"))
   }
 }
 
@@ -173,6 +177,44 @@ class FacadeSpec extends SparkSuite {
       .as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "a"), (2L, "B"), (3L, "C")))
   }
+
+  test("flat save (no child relations) is still visible to sql()") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_f").toString
+    val eng = new Engine(spark, wh)
+    eng.save(Seq((1L, "x"), (2L, "y")).toDF("rowNum", "name"), "flat")
+    val n = eng.sql("SELECT count(*) AS n FROM flat").head().getLong(0)
+    assert(n == 2L)
+  }
+
+  test("upsert survives stale __staged/__old leftovers from a crash") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_c").toString
+    val eng = new Engine(spark, wh)
+    eng.save(Seq((1L, "a")).toDF("rowNum", "name"), "kv")
+    // simulate an interrupted previous upsert
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wh/kv__staged"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wh/kv__old"))
+    eng.upsert("kv", Seq((2L, "b")).toDF("rowNum", "name"))
+    val got = eng.table("kv").orderBy("rowNum")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/kv__old")))
+  }
+
+  test("Engine works against an explicit file: URI warehouse") {
+    import spark.implicits._
+    val wh = "file:" +
+      java.nio.file.Files.createTempDirectory("graft_eng_uri").toString
+    val eng = new Engine(spark, wh)
+    eng.save(Seq((1L, "a")).toDF("rowNum", "name"), "kv")
+    eng.upsert("kv", Seq((2L, "b")).toDF("rowNum", "name"))
+    assert(eng.table("kv").count() == 2L)
+    assert(eng.sql("SELECT count(*) AS n FROM kv").head().getLong(0) == 2L)
+  }
 }
 
 class DedupSpec extends SparkSuite {
@@ -200,7 +242,34 @@ class DedupSpec extends SparkSuite {
       .toDF("doc_id", "text")
     val pairs = SimHash.candidatePairs(
       SimHash.signatures(docs, "doc_id", "text")).collect()
-    assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
+    assert(pairs.length == 1 && pairs.head.getLong(2) == 0L)
+  }
+
+  test("simhash token hash matches DuckDB md5_number_lower") {
+    // md5('abc') = 900150983cd24fb0 d6963f7d28e17f72; lower 8 bytes
+    // little-endian = 8250560606382298838 — DuckDB's md5_number_lower,
+    // the contract that makes the SQL signature oracle possible
+    val h = graft.functions.Kernels.md5Lower64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
+    assert(h == 8250560606382298838L)
+  }
+
+  test("simhash pigeonhole: hamming-5 pair needs 8 chunks, guard enforced") {
+    import spark.implicits._
+    // adversarial pair: 5 flipped bits spread so EVERY 16-bit chunk
+    // differs (bits 0, 16, 32, 48, 49) — 4 chunks would miss it, and
+    // the guard refuses maxHamming ≥ nChunks instead of silently
+    // losing recall
+    val a = 0L
+    val b = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48) | (1L << 49)
+    val sigs = Seq((1L, a), (2L, b)).toDF("id", "simhash")
+    intercept[IllegalArgumentException] {
+      SimHash.candidatePairs(sigs, maxHamming = 5, nChunks = 4)
+    }
+    // 8×8-bit chunks guarantee completeness to hamming 7: found
+    val found = SimHash.candidatePairs(sigs, maxHamming = 5, nChunks = 8)
+      .collect()
+    assert(found.length == 1 && found.head.getLong(2) == 5L)
   }
 
   test("components: min-label propagation finds cluster keepers") {
@@ -212,6 +281,19 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
       5L -> 5L, 6L -> 5L))
+  }
+
+  test("components: 50-node chain collapses to one keeper (log rounds)") {
+    import spark.implicits._
+    // a duplicate chain A~B~C~… of diameter 50 — plain one-hop
+    // propagation needs 50 rounds; pointer jumping must finish well
+    // inside the 25-round budget (2^25 ≫ 50) instead of silently
+    // truncating the cluster
+    val pairs = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.dedup.Components.keepers(pairs)
+      .as[(Long, Long)].collect()
+    assert(got.length == 50)
+    assert(got.forall(_._2 == 1L), "every chain member resolves to keeper 1")
   }
 
   test("Dedup.clean keeps min-id of exact and near duplicate clusters") {
@@ -457,6 +539,44 @@ class BucketingSpec extends SparkSuite {
   }
 }
 
+/** Partitioned layout: a filter on the partition column must prune
+  * directories at planning time (PartitionFilters on the scan), the
+  * 100 TB skip-don't-scan lever. */
+class LayoutsSpec extends SparkSuite {
+  test("partitioned write prunes to the filtered year's directory") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // writes the partitioned copy and answers through it
+    assert(graft.sources.Layouts.partitionedPrune(spark, sf).count() > 0)
+    val read = spark.read
+      .parquet(graft.sources.Layouts.partitionedPath(sf))
+      .filter(col("o_year") === 1997)
+    val scans = read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "year filter must land in PartitionFilters")
+    // pruned scan reads only the 1997 directory
+    val files = scans.flatMap(_.relation.location.listFiles(
+      scans.head.partitionFilters, Nil)).flatMap(_.files)
+    assert(files.nonEmpty &&
+      files.forall(_.getPath.toString.contains("o_year=1997")))
+  }
+
+  test("bucketed-join contract query matches a plain join") {
+    val viaBuckets = graft.sources.Layouts.bucketedJoin(spark, sf)
+      .collect().map(_.toSeq)
+    val plain = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("c_mktsegment"))
+      .collect().map(_.toSeq)
+    assert(viaBuckets.toSeq == plain.toSeq)
+  }
+}
+
 class MultimodalSpec extends SparkSuite {
   import graft.mm.Multimodal
 
@@ -477,6 +597,31 @@ class MultimodalSpec extends SparkSuite {
 }
 
 class StreamingSpec extends SparkSuite {
+  test("mergeIntervals sessionizes an unsorted hot-user stream in " +
+      "O(sessions) memory") {
+    import graft.streaming.Events.mergeIntervals
+    // three true sessions (gap 1800): [0..5000], [10000..12000],
+    // [20000..20000]; events arrive shuffled, many per session
+    val s1 = (0L to 5000L by 100L)
+    val s2 = (10000L to 12000L by 50L)
+    val s3 = Seq(20000L)
+    val shuffled = new scala.util.Random(3).shuffle((s1 ++ s2 ++ s3).toVector)
+    val iv = mergeIntervals(shuffled.iterator, None, gap = 1800L)
+    assert(iv.toList == List(
+      (0L, 5000L, s1.size.toLong),
+      (10000L, 12000L, s2.size.toLong),
+      (20000L, 20000L, 1L)))
+    // a bridging event fuses two sessions and sums their counts
+    val fused = mergeIntervals(Iterator(7000L),
+      Some((0L, 5999L, 10L)), gap = 1800L)
+    assert(fused.toList == List((0L, 7000L, 11L)))
+    // out-of-order arrival: 3000 first opens a second session, then
+    // 1500 bridges it back into the first
+    val bridged = mergeIntervals(
+      Iterator(0L, 3000L, 1500L), None, gap = 1800L)
+    assert(bridged.toList == List((0L, 3000L, 3L)))
+  }
+
   test("stream_window matches the batch window aggregation") {
     val streamed = graft.streaming.Events.streamWindow(spark, sf)
     val batch = graft.sources.Tables.events(spark, sf)
