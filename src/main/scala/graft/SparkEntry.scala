@@ -93,6 +93,10 @@ object SparkEntry {
     "q_date_funcs2" -> (Analytics.qDateFuncs2 _),
     "q_rollup" -> (Analytics.qRollup _),
     "q_cube" -> (Analytics.qCube _),
+    "q_grouping_sets" -> (Analytics.qGroupingSets _),
+    "q_window_range" -> (Analytics.qWindowRange _),
+    "q_corr_subquery" -> (Analytics.qCorrSubquery _),
+    "q_first_last" -> (Analytics.qFirstLast _),
     "q_ntile" -> (Analytics.qNtile _),
     "q_sessionize" -> (Analytics.qSessionize _),
     "q_topk_global" -> (Analytics.qTopKGlobal _),
@@ -136,6 +140,9 @@ object SparkEntry {
     "ann_brute_topk" -> (PipelineQueries.annBruteTopK _),
     "ann_lsh_topk" -> (PipelineQueries.annLshTopK _),
     "ann_ivf_topk" -> (PipelineQueries.annIvfTopK _),
+    "q_sample_stratified" -> (PipelineQueries.sampleStratified _),
+    "dedup_containment" -> (PipelineQueries.dedupContainment _),
+    "text_contamination" -> (PipelineQueries.textContamination _),
     "text_tokens" -> (PipelineQueries.textTokens _),
     "text_quality" -> (PipelineQueries.textQuality _),
     "text_langid" -> (PipelineQueries.textLangid _),
@@ -419,6 +426,78 @@ object SparkEntry {
         |        CAST(year(o_orderdate) AS BIGINT) AS yr,
         |        o_totalprice AS tp FROM orders) t
         |GROUP BY CUBE(st, yr) ORDER BY 1, 2""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(st, 'ALL') AS status, coalesce(yr, -1) AS yr,
+        |  count(*) AS n, round(sum(tp), 2) AS total
+        |FROM (SELECT o_orderstatus AS st,
+        |        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |        o_totalprice AS tp FROM orders) t
+        |GROUP BY GROUPING SETS ((st, yr), (st), ())
+        |ORDER BY 1, 2""".stripMargin,
+    "q_window_range" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  count(*) OVER w AS n_in_band,
+        |  round(sum(l_quantity) OVER w, 2) AS sum_in_band
+        |FROM lineitem WHERE l_suppkey <= 2
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity
+        |  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_corr_subquery" ->
+      """SELECT o_orderkey,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS n_items,
+        |  (SELECT round(max(l_extendedprice), 2) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_price
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(first_value(o_totalprice) OVER w, 2) AS first_price,
+        |  round(last_value(o_totalprice) OVER w, 2) AS last_price,
+        |  round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // md5_number_lower replays the engine's sampling hash exactly
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (md5_number_lower(CAST(doc_id AS VARCHAR)) & 2147483647)
+        |    % 100 <
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |       THEN 50 ELSE 20 END
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(t) - 2, 0)),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents) d),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.s, b.s)) AS i,
+        |    len(a.s) AS la, len(b.s) AS lb
+        |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+        |SELECT doc_a, doc_b,
+        |  round(i::DOUBLE / la, 4) AS contain_a,
+        |  round(i::DOUBLE / lb, 4) AS contain_b
+        |FROM p ORDER BY doc_a""".stripMargin,
+    "text_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(t) - 2, 0)),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents) d),
+        |bg AS (SELECT list_distinct(flatten(list(s))) AS g
+        |       FROM sh WHERE doc_id < 10)
+        |SELECT doc_id,
+        |  CAST(len(list_intersect(s, g)) AS INTEGER) AS n_shared,
+        |  len(list_intersect(s, g)) >= 5 AS contaminated
+        |FROM sh CROSS JOIN bg ORDER BY doc_id""".stripMargin,
     "text_levenshtein" ->
       """WITH p AS (
         |  SELECT doc_id, substr(text, 1, 80) AS pfx FROM documents)

@@ -61,6 +61,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Lower 8 bytes of md5, little-endian — DuckDB's `md5_number_lower`
+  * (as a signed 64-bit reinterpretation). The portable deterministic
+  * hash for sampling decisions that must be reproducible by the SQL
+  * oracle AND stable across engines/releases (xxhash64 seeds are
+  * engine-internal; md5 is everywhere). */
+case class Md5Lower64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(Kernels.md5Lower64(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.md5Lower64($c)")
+  override protected def withNewChildInternal(c: Expression): Md5Lower64 =
+    copy(child = c)
+}
+
 /** Cosine similarity of two array<double> columns — identical
   * arithmetic to the sequential fold dot/(√na·√nb), so the DuckDB
   * oracle parity holds. */
@@ -99,6 +114,10 @@ object exprs {
   /** 64-bit SimHash of an array<string> column. */
   def simhash64(items: Column): Column =
     column(SimHash64(expression(items)))
+
+  /** md5-lower-64 of a string column (≡ DuckDB md5_number_lower). */
+  def md5Lower64(text: Column): Column =
+    column(Md5Lower64(expression(text)))
 
   /** Cosine similarity of two array<double> columns. */
   def cosineSim(a: Column, b: Column): Column =

@@ -320,6 +320,64 @@ object Analytics {
         coalesce(col("yr"), lit(-1L)).as("yr"), col("n"), col("total"))
       .orderBy(col("status"), col("yr"))
 
+  /** GROUPING SETS: explicit subtotal combinations — finer control
+    * than rollup/cube, one shuffle, expanded map-side. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("yr")), Seq(col("o_orderstatus")),
+          Seq.empty),
+        col("o_orderstatus"), col("yr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("yr"), lit(-1L)).as("yr"), col("n"), col("total"))
+      .orderBy(col("status"), col("yr"))
+
+  /** Value-based RANGE window frame (quantity band, peers included —
+    * deterministic regardless of tie order). */
+  def qWindowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity"))
+      .rangeBetween(-5, 0)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 2)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+      .withColumn("n_in_band", count(lit(1)).over(w))
+      .withColumn("sum_in_band", round(sum(col("l_quantity")).over(w), 2))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Correlated scalar subqueries through the SQL front end — Catalyst
+    * decorrelates both into aggregated joins (no per-row execution). */
+  def qCorrSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_corr_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_corr_lineitem")
+    s.sql("""
+      SELECT o_orderkey,
+        (SELECT count(*) FROM graft_corr_lineitem
+         WHERE l_orderkey = o_orderkey) AS n_items,
+        (SELECT round(max(l_extendedprice), 2) FROM graft_corr_lineitem
+         WHERE l_orderkey = o_orderkey) AS max_price
+      FROM graft_corr_orders
+      WHERE o_orderkey % 50 = 0
+      ORDER BY o_orderkey""")
+  }
+
+  /** first/last/nth window functions over the full-partition frame. */
+  def qFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(first(col("o_totalprice")).over(w), 2).as("first_price"),
+        round(last(col("o_totalprice")).over(w), 2).as("last_price"),
+        round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Event sessionization: a new session starts after a >30 min gap.
     * lag + cumulative sum over a (user, ts, event_id) total order —
     * exactly one shuffle on user_id shared by both windows. */

@@ -141,6 +141,60 @@ object PipelineQueries {
           abs(col("_emed")) * 0.05).as("med_within_5pct"))
       .orderBy(col("l_returnflag"))
 
+  /** Deterministic hash-stratified sampling: per-source keep rates
+    * decided by md5-lower-64 of the doc id — reproducible across runs,
+    * engines (the oracle replays it via `md5_number_lower`), and
+    * cluster topologies, unlike `rand()`-based sampling. The 31-bit
+    * mask keeps the modulus in non-negative territory on both the
+    * signed (Spark) and unsigned (DuckDB) reading of the hash. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val pct = when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+      lit(50)).otherwise(lit(20))
+    Tables.documents(s, d)
+      .withColumn("_h",
+        graft.functions.exprs.md5Lower64(col("doc_id").cast("string"))
+          .bitwiseAND(lit(2147483647L)) % 100)
+      .filter(col("_h") < pct)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Asymmetric n-gram containment |A∩B|/|A| on adjacent-id pairs —
+    * catches sub-document duplication (one doc embedded in another)
+    * that symmetric Jaccard under-scores. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.exprs.shingles(col("text"), 3).as("sh"))
+      .cache()
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("_sa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("_sb"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .filter(size(col("_sa")) > 0 && size(col("_sb")) > 0)
+      .withColumn("_i", size(array_intersect(col("_sa"), col("_sb"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("_i").cast("double") / size(col("_sa")), 4).as("contain_a"),
+        round(col("_i").cast("double") / size(col("_sb")), 4).as("contain_b"))
+      .orderBy(col("doc_a"))
+  }
+
+  /** Benchmark-contamination probe: shared 3-grams between each corpus
+    * doc and a benchmark set (docs 0-9 here). The benchmark n-gram set
+    * is one broadcast array — the corpus never shuffles, the standard
+    * decontamination shape for training data at scale. */
+  def textContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") < 10)
+      .select(explode(graft.functions.exprs.shingles(col("text"), 3)).as("g"))
+      .agg(collect_set(col("g")).as("bg"))
+    docs.crossJoin(broadcast(bench))
+      .select(col("doc_id"),
+        size(array_intersect(graft.functions.exprs.shingles(col("text"), 3),
+          col("bg"))).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= 5)
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting: whitespace + BPE-ish regex classes. */
   def textTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
