@@ -114,6 +114,7 @@ object SparkEntry {
     "stream_join" -> (graft.streaming.Events.streamJoin _),
     "stream_watermark_append" ->
       (graft.streaming.Events.streamWatermarkAppend _),
+    "stream_upsert" -> (graft.streaming.Events.streamUpsert _),
     // §2.4 source/sink formats
     "source_json_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.jsonRoundtrip(s, d)
@@ -140,6 +141,7 @@ object SparkEntry {
     "ann_brute_topk" -> (PipelineQueries.annBruteTopK _),
     "ann_lsh_topk" -> (PipelineQueries.annLshTopK _),
     "ann_ivf_topk" -> (PipelineQueries.annIvfTopK _),
+    "ann_ivf_recall" -> (PipelineQueries.annIvfRecall _),
     "q_sample_stratified" -> (PipelineQueries.sampleStratified _),
     "dedup_containment" -> (PipelineQueries.dedupContainment _),
     "text_contamination" -> (PipelineQueries.textContamination _),
@@ -823,6 +825,15 @@ object SparkEntry {
         |FROM sigs a JOIN sigs b ON b.doc_id > a.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY 1, 2""".stripMargin,
+    // IVF quality contract: 10 queries × k=5 brute rows; recall@5 of
+    // the quantized search must clear 0.5 (deterministic: seeded
+    // sampled fit)
+    "ann_ivf_recall" ->
+      """SELECT CAST(50 AS BIGINT) AS n_brute,
+        |  TRUE AS recall_ge_half""".stripMargin,
+    "stream_upsert" ->
+      """SELECT user_id, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // sketch error-bound oracle: exact answers + literal TRUE flags —
     // Spark computes both sketch and exact and asserts the bounds
     "q_approx_stats" ->

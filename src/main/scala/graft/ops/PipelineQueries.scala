@@ -141,6 +141,28 @@ object PipelineQueries {
           abs(col("_emed")) * 0.05).as("med_within_5pct"))
       .orderBy(col("l_returnflag"))
 
+  /** Driver-visible IVF quality gate: recall@5 of the IVF result
+    * against the (hash-verified) brute-force ranking, asserted as a
+    * bound the oracle predicts. Complements the rows-only
+    * ann_ivf_topk — the quantizer itself is not SQL-expressible, but
+    * its quality contract is. */
+  def annIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+    val model = ivfModels.computeIfAbsent(d, _ => graft.sim.Ivf.fit(emb, 16))
+    val ivf = graft.sim.Ivf.topK(emb, q, 5, model, 2)
+      .select(col("q_id"), col("c_id"))
+    val brute = Ann.bruteTopK(emb, q, 5)
+      .select(col("q_id"), col("c_id"))
+    val nHits = ivf.join(brute, Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val nBrute = brute.agg(count(lit(1)).as("n_brute"))
+    nHits.crossJoin(nBrute)
+      .select(col("n_brute"),
+        (col("n_hits").cast("double") / col("n_brute") >= 0.5)
+          .as("recall_ge_half"))
+  }
+
   /** Deterministic hash-stratified sampling: per-source keep rates
     * decided by md5-lower-64 of the doc id — reproducible across runs,
     * engines (the oracle replays it via `md5_number_lower`), and

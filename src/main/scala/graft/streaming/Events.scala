@@ -147,6 +147,42 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming → warehouse ingestion: foreachBatch folds each
+    * micro-batch's per-user counts into an Engine table via keyed
+    * upsert (read-merge-swap compaction) — the standard pattern for
+    * maintaining a serving table from a stream when the sink needs
+    * MERGE semantics the file sink lacks. Counts accumulate across
+    * batches (new = old + batch), so the final table equals the batch
+    * group-by regardless of how the source splits micro-batches. */
+  def streamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_supsert")
+    val eng = new graft.Engine(spark, s"$work/wh")
+    val seed = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id").as("rowNum")).distinct()
+      .withColumn("n_events", lit(0L))
+    eng.save(seed, "user_counts")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    val fold: (DataFrame, Long) => Unit = (batch, _) => {
+      val cur = eng.table("user_counts")
+        .select(col("rowNum"), col("n_events").as("_old"))
+      val upd = batch.groupBy(col("user_id").as("rowNum"))
+        .agg(count(lit(1)).as("_new"))
+        .join(cur, Seq("rowNum"), "left")
+        .select(col("rowNum"),
+          (coalesce(col("_old"), lit(0L)) + col("_new")).as("n_events"))
+      eng.upsert("user_counts", upd)
+    }
+    val q = raw.writeStream
+      .foreachBatch(fold)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    eng.table("user_counts")
+      .select(col("rowNum").as("user_id"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   case class SessEvent(user_id: Long, ts_s: Long)
   case class OpenSession(start_s: Long, end_s: Long, n: Long, idx: Long)
   case class ClosedSession(user_id: Long, sess_id: Long, n_events: Long,
