@@ -94,6 +94,12 @@ object SparkEntry {
     "q_rollup" -> (Analytics.qRollup _),
     "q_cube" -> (Analytics.qCube _),
     "q_grouping_sets" -> (Analytics.qGroupingSets _),
+    "q_rank_funcs" -> (Analytics.qRankFuncs _),
+    "q_date_interval" -> (Analytics.qDateInterval _),
+    "q_json_funcs" -> (Analytics.qJsonFuncs _),
+    "q_conditional_agg" -> (Analytics.qConditionalAgg _),
+    "q_array_funcs" -> (Analytics.qArrayFuncs _),
+    "q_bitwise_agg" -> (Analytics.qBitwiseAgg _),
     "q_window_range" -> (Analytics.qWindowRange _),
     "q_corr_subquery" -> (Analytics.qCorrSubquery _),
     "q_first_last" -> (Analytics.qFirstLast _),
@@ -143,6 +149,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (PipelineQueries.annIvfTopK _),
     "ann_ivf_recall" -> (PipelineQueries.annIvfRecall _),
     "q_sample_stratified" -> (PipelineQueries.sampleStratified _),
+    "text_bigram_lift" -> (PipelineQueries.textBigramLift _),
     "dedup_containment" -> (PipelineQueries.dedupContainment _),
     "text_contamination" -> (PipelineQueries.textContamination _),
     "text_tokens" -> (PipelineQueries.textTokens _),
@@ -436,6 +443,87 @@ object SparkEntry {
         |        o_totalprice AS tp FROM orders) t
         |GROUP BY GROUPING SETS ((st, yr), (st), ())
         |ORDER BY 1, 2""".stripMargin,
+    "q_rank_funcs" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "q_date_interval" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30d,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(o_orderdate AS DATE) - 7 AS minus7d,
+        |  CAST(date_diff('day', DATE '1995-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the oracle computes expected extracts from the base columns, so
+    // it checks the whole construct->extract JSON roundtrip
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  event_type AS t,
+        |  CAST(2 AS BIGINT) AS n_vals,
+        |  round(value * 2, 2) AS val2
+        |FROM events WHERE event_id % 10 = 0
+        |ORDER BY event_id""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+        |    AS n_bulk,
+        |  bool_or(l_discount > 0.05) AS any_deep_disc,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  round(sum(l_extendedprice) FILTER (WHERE l_discount = 0), 2)
+        |    AS full_price_rev
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_array_funcs" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, list_sort(list(l_quantity)) AS arr
+        |  FROM lineitem WHERE l_orderkey % 25 = 0 GROUP BY 1)
+        |SELECT l_orderkey,
+        |  CAST(len(arr) AS BIGINT) AS n_items,
+        |  arr[1] AS min_qty,
+        |  arr[-1] AS max_qty,
+        |  list_contains(arr, 20.0) AS has20,
+        |  round(coalesce(arr[1], 0) + coalesce(arr[2], 0) +
+        |    coalesce(arr[3], 0), 2) AS sum_low3
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+    "q_bitwise_agg" ->
+      """SELECT l_orderkey,
+        |  CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_and,
+        |  CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_or,
+        |  CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_xor
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_bigram_lift" ->
+      """WITH uni AS (
+        |  SELECT t AS w, count(*) AS df_w FROM (
+        |    SELECT unnest(list_distinct(
+        |      regexp_split_to_array(trim(text), '\s+'))) AS t
+        |    FROM documents) u GROUP BY 1),
+        |bi AS (
+        |  SELECT b, count(*) AS df_xy FROM (
+        |    SELECT unnest(list_distinct(list_transform(
+        |      range(greatest(len(t) - 1, 0)),
+        |      i -> t[i+1] || ' ' || t[i+2]))) AS b
+        |    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |          FROM documents) d) x
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |j AS (
+        |  SELECT b AS bigram, df_xy,
+        |    round(n_docs * df_xy::DOUBLE /
+        |      (ux.df_w * uy.df_w), 4) AS lift
+        |  FROM bi
+        |  JOIN uni ux ON ux.w = split_part(b, ' ', 1)
+        |  JOIN uni uy ON uy.w = split_part(b, ' ', 2)
+        |  CROSS JOIN n)
+        |SELECT bigram, df_xy, lift FROM j
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
     "q_window_range" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  count(*) OVER w AS n_in_band,

@@ -378,6 +378,92 @@ object Analytics {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Ranking window family: rank / dense_rank / percent_rank /
+    * cume_dist over a unique total order (deterministic). */
+  def qRankFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  /** Date interval arithmetic: day/month adds, day differences. */
+  def qDateInterval(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_add(col("o_orderdate"), 30).as("plus30d"),
+        add_months(col("o_orderdate"), 2).as("plus2m"),
+        date_sub(col("o_orderdate"), 7).as("minus7d"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  /** JSON function family (the reference's home turf): construct a
+    * document with to_json, extract typed values back out. The oracle
+    * computes the expected extracts directly from the base columns, so
+    * it checks the whole construct→extract roundtrip. */
+  def qJsonFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_id") % 10 === 0)
+      .withColumn("_doc", to_json(struct(
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type").as("t"),
+        array(col("value"), col("value") * 2).as("vals"))))
+      .select(col("event_id"),
+        get_json_object(col("_doc"), "$.k").cast("long").as("k"),
+        get_json_object(col("_doc"), "$.t").as("t"),
+        expr("json_array_length(get_json_object(_doc, '$.vals'))")
+          .cast("long").as("n_vals"),
+        round(get_json_object(col("_doc"), "$.vals[1]").cast("double"), 2)
+          .as("val2"))
+      .orderBy(col("event_id"))
+
+  /** Conditional aggregation: count_if / bool_or / bool_and /
+    * filtered sums (ANSI FILTER-clause semantics). */
+  def qConditionalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_if(col("l_quantity") > 25).as("n_bulk"),
+        bool_or(col("l_discount") > 0.05).as("any_deep_disc"),
+        bool_and(col("l_quantity") > 0).as("all_positive"),
+        round(sum(when(col("l_discount") === 0, col("l_extendedprice"))), 2)
+          .as("full_price_rev"))
+      .orderBy(col("l_returnflag"))
+
+  /** Array function family over per-order quantity lists: sorted
+    * collect, element access, membership, bounded prefix sum. */
+  def qArrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 25 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("arr"))
+      .select(col("l_orderkey"),
+        size(col("arr")).cast("long").as("n_items"),
+        element_at(col("arr"), 1).as("min_qty"),
+        element_at(col("arr"), -1).as("max_qty"),
+        array_contains(col("arr"), 20.0).as("has20"),
+        round(expr("aggregate(slice(arr, 1, 3), 0D, (acc, x) -> acc + x)"),
+          2).as("sum_low3"))
+      .orderBy(col("l_orderkey"))
+
+  /** Bitwise aggregates over line numbers per order. */
+  def qBitwiseAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .withColumn("_ln", col("l_linenumber").cast("long"))
+      .groupBy(col("l_orderkey"))
+      .agg(bit_and(col("_ln")).as("ln_and"),
+        bit_or(col("_ln")).as("ln_or"),
+        bit_xor(col("_ln")).as("ln_xor"))
+      .orderBy(col("l_orderkey"))
+
   /** Event sessionization: a new session starts after a >30 min gap.
     * lag + cumulative sum over a (user, ts, event_id) total order —
     * exactly one shuffle on user_id shared by both windows. */

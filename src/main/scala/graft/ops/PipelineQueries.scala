@@ -217,6 +217,34 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram association strength by document-frequency lift:
+    * lift(x,y) = N · df(xy) / (df(x) · df(y)), the collocation /
+    * boilerplate-phrase probe. Exact integer-derived arithmetic (no
+    * logs), so the oracle reproduces it bit-for-bit. Two shuffles
+    * (bigram count + unigram count), top-k via TakeOrdered. */
+  def textBigramLift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).cache()
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val uni = docs
+      .select(explode(graft.functions.exprs.shingles(col("text"), 1)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df_w"))
+    val bi = docs
+      .select(explode(graft.functions.exprs.shingles(col("text"), 2)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("df_xy"))
+      .filter(col("df_xy") >= 5)
+      .withColumn("x", split(col("b"), " ").getItem(0))
+      .withColumn("y", split(col("b"), " ").getItem(1))
+    bi
+      .join(uni.select(col("w").as("x"), col("df_w").as("df_x")), Seq("x"))
+      .join(uni.select(col("w").as("y"), col("df_w").as("df_y")), Seq("y"))
+      .crossJoin(broadcast(n))
+      .select(col("b").as("bigram"), col("df_xy"),
+        round(col("n_docs") * col("df_xy").cast("double") /
+          (col("df_x") * col("df_y")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** Token counting: whitespace + BPE-ish regex classes. */
   def textTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
