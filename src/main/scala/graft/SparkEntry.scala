@@ -100,6 +100,7 @@ object SparkEntry {
     "q_conditional_agg" -> (Analytics.qConditionalAgg _),
     "q_array_funcs" -> (Analytics.qArrayFuncs _),
     "q_bitwise_agg" -> (Analytics.qBitwiseAgg _),
+    "q_higher_order" -> (Analytics.qHigherOrder _),
     "q_window_range" -> (Analytics.qWindowRange _),
     "q_corr_subquery" -> (Analytics.qCorrSubquery _),
     "q_first_last" -> (Analytics.qFirstLast _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "ann_ivf_recall" -> (PipelineQueries.annIvfRecall _),
     "q_sample_stratified" -> (PipelineQueries.sampleStratified _),
     "text_bigram_lift" -> (PipelineQueries.textBigramLift _),
+    "text_tfidf_top" -> (PipelineQueries.textTfidfTop _),
     "dedup_containment" -> (PipelineQueries.dedupContainment _),
     "text_contamination" -> (PipelineQueries.textContamination _),
     "text_tokens" -> (PipelineQueries.textTokens _),
@@ -524,6 +526,33 @@ object SparkEntry {
         |  CROSS JOIN n)
         |SELECT bigram, df_xy, lift FROM j
         |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
+    "q_higher_order" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, list_sort(list(l_quantity)) AS arr
+        |  FROM lineitem WHERE l_orderkey % 25 = 0 GROUP BY 1)
+        |SELECT l_orderkey,
+        |  CAST(len(list_filter(arr, x -> x > 25)) AS BIGINT) AS n_bulk,
+        |  len(list_filter(arr, x -> x > 40)) > 0 AS any40,
+        |  len(list_filter(arr, x -> x <= 0)) = 0 AS all_pos,
+        |  round(list_sum(list_transform(arr, x -> x * 2)), 2)
+        |    AS doubled_sum
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+    "text_tfidf_top" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df_w FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, w,
+        |    round((tf * n_docs)::DOUBLE / df_w, 4) AS score
+        |  FROM tf JOIN df USING (w) CROSS JOIN n),
+        |r AS (SELECT doc_id, w, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, w) AS rn FROM sc)
+        |SELECT doc_id, w AS top_term, score FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q_window_range" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  count(*) OVER w AS n_in_band,

@@ -453,6 +453,22 @@ object Analytics {
           2).as("sum_low3"))
       .orderBy(col("l_orderkey"))
 
+  /** Higher-order array functions: filter / exists / forall /
+    * transform+fold over per-order quantity lists. (l_quantity is
+    * integral-valued, so sums are order-independent-exact.) */
+  def qHigherOrder(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 25 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("arr"))
+      .select(col("l_orderkey"),
+        size(expr("filter(arr, x -> x > 25)")).cast("long").as("n_bulk"),
+        expr("exists(arr, x -> x > 40)").as("any40"),
+        expr("forall(arr, x -> x > 0)").as("all_pos"),
+        round(expr("aggregate(transform(arr, x -> x * 2), 0D, " +
+          "(acc, x) -> acc + x)"), 2).as("doubled_sum"))
+      .orderBy(col("l_orderkey"))
+
   /** Bitwise aggregates over line numbers per order. */
   def qBitwiseAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

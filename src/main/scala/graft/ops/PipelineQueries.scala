@@ -245,6 +245,28 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Per-document top term by log-free TF-IDF (tf · N / df): the
+    * keyword/topic probe. Integer-derived arithmetic keeps the oracle
+    * bit-exact; the per-doc argmax is a deterministic window top-1. */
+  def textTfidfTop(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df_w"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    tf.join(df, "w").crossJoin(broadcast(n))
+      .withColumn("score",
+        round((col("tf") * col("n_docs")).cast("double") / col("df_w"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("w").as("top_term"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting: whitespace + BPE-ish regex classes. */
   def textTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
