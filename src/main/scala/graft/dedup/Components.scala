@@ -32,9 +32,12 @@ object Components {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("keeper", col("id"))
+    // seed with min(id, min neighbor) — the first propagation round for
+    // the price of one aggregation instead of a full join round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("_nmin"))
+      .select(col("src").as("id"),
+        least(col("src"), col("_nmin")).as("keeper"))
       .cache()
     // labels only ever decrease, so the keeper-sum is strictly monotone:
     // an unchanged sum == a fixpoint. That makes the convergence check a
