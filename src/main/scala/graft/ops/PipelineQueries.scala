@@ -104,11 +104,14 @@ object PipelineQueries {
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Ivf.IvfModel]
 
-  /** Approximate top-5 via IVF (k-means coarse quantizer, 2 probes). */
+  /** Approximate top-5 via IVF (k-means coarse quantizer, 4 probes —
+    * tuned so recall@5 clears the ann_ivf_recall bound across scales;
+    * 4/16 cells still scans ~25% of the corpus per query vs 100% for
+    * brute force). */
   def annIvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val model = ivfModels.computeIfAbsent(d, _ => graft.sim.Ivf.fit(emb, 16))
-    graft.sim.Ivf.topK(emb, emb.filter(col("vec_id") < 10), 5, model, 2)
+    graft.sim.Ivf.topK(emb, emb.filter(col("vec_id") < 10), 5, model, 4)
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -150,7 +153,7 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
     val model = ivfModels.computeIfAbsent(d, _ => graft.sim.Ivf.fit(emb, 16))
-    val ivf = graft.sim.Ivf.topK(emb, q, 5, model, 2)
+    val ivf = graft.sim.Ivf.topK(emb, q, 5, model, 4)
       .select(col("q_id"), col("c_id"))
     val brute = Ann.bruteTopK(emb, q, 5)
       .select(col("q_id"), col("c_id"))
