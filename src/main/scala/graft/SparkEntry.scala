@@ -101,6 +101,9 @@ object SparkEntry {
     "q_array_funcs" -> (Analytics.qArrayFuncs _),
     "q_bitwise_agg" -> (Analytics.qBitwiseAgg _),
     "q_higher_order" -> (Analytics.qHigherOrder _),
+    "q_regex_funcs" -> (Analytics.qRegexFuncs _),
+    "q_null_sort" -> (Analytics.qNullSort _),
+    "q_decimal_arith" -> (Analytics.qDecimalArith _),
     "q_window_range" -> (Analytics.qWindowRange _),
     "q_corr_subquery" -> (Analytics.qCorrSubquery _),
     "q_first_last" -> (Analytics.qFirstLast _),
@@ -526,6 +529,30 @@ object SparkEntry {
         |  CROSS JOIN n)
         |SELECT bigram, df_xy, lift FROM j
         |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '^(\w+) (\w+)', 1) AS fam,
+        |  regexp_extract(p_type, '^(\w+) (\w+)', 2) AS sub,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT)
+        |    AS n_vowels,
+        |  regexp_replace(p_brand, '[0-9]', '#', 'g') AS brand_masked
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_null_sort" ->
+      """SELECT o_orderkey, coalesce(st, '<null>') AS st, o_totalprice,
+        |  CAST(row_number() OVER (ORDER BY st ASC NULLS FIRST,
+        |    o_totalprice DESC NULLS LAST, o_orderkey) AS BIGINT) AS pos
+        |FROM (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st,
+        |        o_totalprice
+        |      FROM orders WHERE o_orderkey % 100 = 0) t
+        |ORDER BY pos""".stripMargin,
+    "q_decimal_arith" ->
+      """SELECT l_returnflag,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4)))
+        |    AS sum_net,
+        |  max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_higher_order" ->
       """WITH g AS (
         |  SELECT l_orderkey, list_sort(list(l_quantity)) AS arr

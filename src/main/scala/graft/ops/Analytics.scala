@@ -453,6 +453,50 @@ object Analytics {
           2).as("sum_low3"))
       .orderBy(col("l_orderkey"))
 
+  /** Regex function family: group extraction, match counting,
+    * global replacement (Spark replaces all matches by default; the
+    * DuckDB oracle needs the 'g' flag — a known parity trap). */
+  def qRegexFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_type"), "^(\\w+) (\\w+)", 1).as("fam"),
+        regexp_extract(col("p_type"), "^(\\w+) (\\w+)", 2).as("sub"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0)))
+          .cast("long").as("n_vowels"),
+        regexp_replace(col("p_brand"), "[0-9]", "#").as("brand_masked"))
+      .orderBy(col("p_partkey"))
+
+  /** Explicit NULLS FIRST / NULLS LAST ordering semantics, captured
+    * as a rank column — the driver's compare sorts rows before
+    * hashing, so the ordering must be IN the data to be checked. */
+  def qNullSort(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("st").asc_nulls_first,
+      col("o_totalprice").desc_nulls_last, col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("st"),
+        col("o_totalprice"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("o_orderkey"), coalesce(col("st"), lit("<null>")).as("st"),
+        col("o_totalprice"), col("pos"))
+      .orderBy(col("pos"))
+  }
+
+  /** Exact DECIMAL money arithmetic (no binary-float drift): cast,
+    * multiply, sum — the correctness-critical path for financial
+    * aggregates at scale. */
+  def qDecimalArith(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("p"),
+        col("l_discount").cast("decimal(12,2)").as("disc"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("p")).as("sum_price"),
+        sum(expr("CAST(p * (1 - disc) AS DECIMAL(14,4))")).as("sum_net"),
+        max(col("p")).as("max_price"))
+      .orderBy(col("l_returnflag"))
+
   /** Higher-order array functions: filter / exists / forall /
     * transform+fold over per-order quantity lists. (l_quantity is
     * integral-valued, so sums are order-independent-exact.) */
