@@ -83,6 +83,65 @@ object Kernels {
     sig
   }
 
+  /** nProbe nearest centroid ids for an embedding, squared-L2,
+    * sequential per-dim folds (identical arithmetic to the zip_with/
+    * aggregate formulation); ties broken by lower cell id. `cents` is
+    * the k×dim centroid matrix flattened row-major. */
+  def nearestCells(emb: ArrayData, cents: Array[Double], dim: Int,
+      nProbe: Int): ArrayData = {
+    val k = cents.length / dim
+    val d = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        val diff = emb.getDouble(i) - cents(off + i)
+        acc += diff * diff
+        i += 1
+      }
+      d(c) = acc
+      c += 1
+    }
+    val n = math.min(nProbe, k)
+    val out = new Array[Any](n)
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < n) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var cc = 0
+      while (cc < k) {
+        if (!taken(cc) && d(cc) < bestD) { best = cc; bestD = d(cc) }
+        cc += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Random-hyperplane sign-bit bucket code: sequential per-dim dot
+    * folds (same arithmetic as the HOF formulation, so the literal-
+    * folded SQL oracle still reproduces the buckets). `planes` is the
+    * nPlanes×dim matrix flattened row-major. */
+  def lshCode(emb: ArrayData, planes: Array[Double], dim: Int): Long = {
+    val nPlanes = planes.length / dim
+    var code = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      val off = p * dim
+      while (i < dim) { dot += emb.getDouble(i) * planes(off + i); i += 1 }
+      if (dot > 0) code |= (1L << p)
+      p += 1
+    }
+    code
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -92,6 +92,42 @@ case class CosineSim(left: Expression, right: Expression)
       l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
 }
 
+/** nProbe nearest centroid ids (squared-L2, ties to lower id) — the
+  * IVF cell-assignment kernel. Runs over the WHOLE corpus, so the
+  * interpreted HOF formulation (k×dim lambda evals per row) is the
+  * wrong tool; this is one static call inside codegen. */
+case class NearestCells(child: Expression, cents: Array[Double], dim: Int,
+    nProbe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.nearestCells(input.asInstanceOf[ArrayData], cents, dim, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.nearestCells($c, $ref, $dim, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
+}
+
+/** Random-hyperplane sign-bucket code — the ANN-LSH corpus bucketing
+  * kernel (same sequential dot arithmetic as the HOF form, so the
+  * literal-folded SQL oracle still reproduces the buckets). */
+case class LshCodeExpr(child: Expression, planes: Array[Double], dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      Kernels.lshCode(input.asInstanceOf[ArrayData], planes, dim))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.lshCode($c, $ref, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): LshCodeExpr =
+    copy(child = c)
+}
+
 /** Column-API entry points for the custom expressions. */
 object exprs {
   /** Distinct whitespace k-gram shingles. */
@@ -118,6 +154,19 @@ object exprs {
   /** md5-lower-64 of a string column (≡ DuckDB md5_number_lower). */
   def md5Lower64(text: Column): Column =
     column(Md5Lower64(expression(text)))
+
+  /** nProbe nearest centroid ids for an array<double> column. */
+  def nearestCells(emb: Column, cents: Array[Array[Double]],
+      nProbe: Int): Column = {
+    val dim = cents.head.length
+    column(NearestCells(expression(emb), cents.flatten, dim, nProbe))
+  }
+
+  /** LSH sign-bucket code for an array<double> column. */
+  def lshCode(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    val dim = planes.head.length
+    column(LshCodeExpr(expression(emb), planes.flatten.toArray, dim))
+  }
 
   /** Cosine similarity of two array<double> columns. */
   def cosineSim(a: Column, b: Column): Column =

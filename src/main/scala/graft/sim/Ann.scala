@@ -46,16 +46,12 @@ object Ann {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket code for an embedding column. */
-  def lshCode(emb: Column, nPlanes: Int, dim: Int): Column = {
-    val bits = planes(nPlanes, dim).zipWithIndex.map { case (p, j) =>
-      val pl = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(emb, pl, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-bit bucket code for an embedding column. Runs over the whole
+    * corpus → codegen'd `LshCodeExpr` kernel (identical sequential dot
+    * arithmetic to the HOF form, so the literal-folded SQL oracle
+    * still reproduces every bucket). */
+  def lshCode(emb: Column, nPlanes: Int, dim: Int): Column =
+    graft.functions.exprs.lshCode(emb, planes(nPlanes, dim))
 
   /** Approximate top-k: queries probe only their own LSH bucket.
     * At scale the corpus bucketing is computed once and reused across

@@ -43,28 +43,16 @@ object Ivf {
     IvfModel(km.clusterCenters.map(_.toArray))
   }
 
-  /** Squared L2 distance to a constant centroid. */
-  private def sqDist(emb: Column, centroid: Array[Double]): Column = {
-    val c = array(centroid.map(lit): _*)
-    aggregate(zip_with(emb, c, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-  }
-
-  /** (dist, cell) structs sorted ascending — struct ordering compares
-    * field-by-field, so array_sort ranks cells by distance. */
-  private def cellsByDist(emb: Column, cents: Array[Array[Double]]): Column =
-    array_sort(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(emb, c).as("d"), lit(i).as("c"))
-    }: _*))
-
-  /** Nearest-cell id for each corpus vector. */
+  /** Nearest-cell id for each corpus vector. Cell assignment runs over
+    * the WHOLE corpus, so it uses the codegen'd `NearestCells` kernel
+    * (squared-L2, ties to the lower cell id) — the interpreted
+    * HOF formulation costs k×dim lambda evaluations per row. */
   def assignCells(corpus: DataFrame, model: IvfModel): DataFrame =
     corpus
       .select(col("vec_id").as("c_id"),
         col("embedding").cast("array<double>").as("_ce"))
-      .withColumn("cell",
-        element_at(cellsByDist(col("_ce"), model.centroids), 1)
-          .getField("c"))
+      .withColumn("cell", element_at(
+        graft.functions.exprs.nearestCells(col("_ce"), model.centroids, 1), 1))
 
   /** Approximate top-k with a pre-trained quantizer: each query probes
     * its `nProbe` nearest cells. */
@@ -74,9 +62,9 @@ object Ivf {
     val probes = queries
       .select(col("vec_id").as("q_id"),
         col("embedding").cast("array<double>").as("_qe"))
-      .withColumn("cell", explode(transform(
-        slice(cellsByDist(col("_qe"), model.centroids), 1, nProbe),
-        s => s.getField("c"))))
+      .withColumn("cell", explode(
+        graft.functions.exprs.nearestCells(col("_qe"), model.centroids,
+          nProbe)))
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("score", round(Ann.cosine(col("_qe"), col("_ce")), 4))

@@ -479,6 +479,41 @@ class ExtensionsSpec extends SparkSuite {
 }
 
 class IvfSpec extends SparkSuite {
+  test("NearestCells kernel equals the HOF squared-L2 formulation") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val model = graft.sim.Ivf.fit(emb.withColumnRenamed("e", "embedding"), 8)
+    val viaKernel = emb.select(col("vec_id"), element_at(
+      graft.functions.exprs.nearestCells(col("e"), model.centroids, 1), 1)
+      .as("cell"))
+    val hof = model.centroids.zipWithIndex.map { case (c, i) =>
+      val arr = array(c.map(lit): _*)
+      struct(expr(s"aggregate(zip_with(e, array(${c.mkString(",")})," +
+        " (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)").as("d"),
+        lit(i).as("c"))
+    }
+    val viaHof = emb.select(col("vec_id"),
+      element_at(array_sort(array(hof: _*)), 1).getField("c").as("cell"))
+    assert(viaKernel.exceptAll(viaHof).isEmpty &&
+      viaHof.exceptAll(viaKernel).isEmpty)
+  }
+
+  test("LshCodeExpr kernel equals the HOF dot-sign formulation") {
+    val pl = graft.sim.Ann.planes(8, 64)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val viaKernel = emb.select(col("vec_id"),
+      graft.functions.exprs.lshCode(col("e"), pl).as("b"))
+    val bits = pl.zipWithIndex.map { case (p, j) =>
+      when(expr(s"aggregate(zip_with(e, array(${p.mkString(",")})," +
+        " (x, y) -> x * y), 0D, (acc, v) -> acc + v)") > 0,
+        shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    val viaHof = emb.select(col("vec_id"), bits.reduce(_ + _).as("b"))
+    assert(viaKernel.exceptAll(viaHof).isEmpty &&
+      viaHof.exceptAll(viaKernel).isEmpty)
+  }
+
   test("IVF top-k recalls most of brute-force top-k") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)
