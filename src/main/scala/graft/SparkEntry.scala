@@ -170,6 +170,9 @@ object SparkEntry {
     "source_orc_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.orcRoundtrip(s, d)
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
+    "source_text_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.sources.Formats.textRoundtrip(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
     "sink_partitioned_prune" -> (graft.sources.Layouts.partitionedPrune _),
     "q_bucketed_join" -> (graft.sources.Layouts.bucketedJoin _),
   )
@@ -848,6 +851,9 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM src WHERE t IN ('big', 'small')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "source_text_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "sink_partitioned_prune" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total

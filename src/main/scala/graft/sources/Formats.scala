@@ -53,6 +53,23 @@ object Formats {
     s.read.orc(path)
   }
 
+  /** Plain-text sink + source: one pipe-delimited line per order,
+    * reread with `spark.read.text` and re-parsed (the log-file
+    * ingestion path). The double survives because Spark's
+    * double→string is shortest-round-trip. */
+  def textRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("orders_text", d)
+    Tables.orders(s, d)
+      .select(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    val f = split(col("value"), "\\|")
+    s.read.text(path).select(
+      f.getItem(0).cast("long").as("o_orderkey"),
+      f.getItem(1).as("o_orderstatus"),
+      f.getItem(2).cast("double").as("o_totalprice"))
+  }
+
   /** Opaque-file ingestion via the binaryFile source: (path, length,
     * content) rows — the entry point for real media files. */
   def binaryFiles(s: SparkSession, dir: String, glob: String): DataFrame =

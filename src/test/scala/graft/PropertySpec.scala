@@ -86,4 +86,30 @@ class PropertySpec extends AnyFunSuite {
       assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
     }
   }
+
+  /** Reference sessionizer: sort everything, single pass. */
+  private def refSessions(ts: Seq[Long], gap: Long): List[(Long, Long, Long)] = {
+    if (ts.isEmpty) return Nil
+    val sorted = ts.sorted
+    var out = List.empty[(Long, Long, Long)]
+    var (s0, e0, n0) = (sorted.head, sorted.head, 1L)
+    sorted.tail.foreach { t =>
+      if (t - e0 <= gap) { e0 = t; n0 += 1 }
+      else { out = (s0, e0, n0) :: out; s0 = t; e0 = t; n0 = 1 }
+    }
+    ((s0, e0, n0) :: out).reverse
+  }
+
+  test("mergeIntervals equals sorted-scan sessionization on random " +
+      "arrival orders") {
+    val events = Gen.listOf(Gen.choose(0L, 20000L))
+    samples(Gen.zip(events, Gen.choose(1L, 3000L)), 80, seed = 7L)
+      .foreach { case (ts, gap) =>
+        val shuffled = new scala.util.Random(ts.hashCode).shuffle(ts.toVector)
+        val got = graft.streaming.Events
+          .mergeIntervals(shuffled.iterator, None, gap).toList
+        assert(got == refSessions(ts, gap),
+          s"gap=$gap ts=${ts.take(20)}…")
+      }
+  }
 }
