@@ -175,6 +175,7 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
     "sink_partitioned_prune" -> (graft.sources.Layouts.partitionedPrune _),
     "q_bucketed_join" -> (graft.sources.Layouts.bucketedJoin _),
+    "sink_compaction" -> (graft.sources.Layouts.compaction _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -859,6 +860,11 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_compaction" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS compacted, TRUE AS bounded
+        |FROM orders""".stripMargin,
     "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS total

@@ -45,6 +45,32 @@ object Layouts {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Small-file compaction: a fragmented table (64 shards — the
+    * many-writers aftermath every long-lived 100 TB table suffers) is
+    * rewritten to a handful of right-sized files with one
+    * `repartition`. The contract output proves rows survived and the
+    * file count actually collapsed; at scale the same job runs per
+    * partition-directory with `maxRecordsPerFile` bounding shard size. */
+  def compaction(s: SparkSession, d: String): DataFrame = {
+    val fragmented = tmpDir("orders_fragmented", d)
+    val compacted = tmpDir("orders_compacted", d)
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    ord.repartition(64).write.mode(SaveMode.Overwrite).parquet(fragmented)
+    s.read.parquet(fragmented)
+      .repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(compacted)
+    def nFiles(p: String): Long =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val before = nFiles(fragmented)
+    val after = nFiles(compacted)
+    s.read.parquet(compacted)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(col("n_rows"), col("total"),
+        lit(before > after).as("compacted"),
+        lit(after <= 4).as("bounded"))
+  }
+
   /** Bucket orders and customer on the join key (8 buckets, external
     * tables so the files land under tmp, not the repo), join and
     * aggregate. The join itself is exchange-free — see BucketingSpec
