@@ -143,6 +143,7 @@ object SparkEntry {
     "dedup_exact" -> (PipelineQueries.dedupExact _),
     "dedup_minhash_lsh" -> (PipelineQueries.dedupMinhashLsh _),
     "dedup_clusters" -> (PipelineQueries.dedupClusters _),
+    "dedup_keep_best" -> (PipelineQueries.dedupKeepBest _),
     "dedup_clean" -> (PipelineQueries.dedupClean _),
     "q_approx_stats" -> (PipelineQueries.approxStats _),
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
@@ -914,6 +915,37 @@ object SparkEntry {
         |  FROM reach JOIN e ON e.id_a = reach.r OR e.id_b = reach.r)
         |SELECT id, min(r) AS keeper FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(t) - 2, 0)),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents) d),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+        |e AS (
+        |  SELECT id_a, id_b FROM p
+        |  WHERE round(len(list_intersect(sa, sb))::DOUBLE /
+        |        len(list_distinct(list_concat(sa, sb))), 4) >= 0.5),
+        |reach(id, r) AS (
+        |  SELECT id_a, id_a FROM e UNION SELECT id_b, id_b FROM e
+        |  UNION
+        |  SELECT reach.id,
+        |    CASE WHEN e.id_a = reach.r THEN e.id_b ELSE e.id_a END
+        |  FROM reach JOIN e ON e.id_a = reach.r OR e.id_b = reach.r),
+        |keep AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT k.keeper AS cluster_id, k.id AS doc_id,
+        |    CAST(length(d.text) AS BIGINT) AS n_chars
+        |  FROM keep k JOIN documents d ON d.doc_id = k.id),
+        |rb AS (SELECT cluster_id, doc_id, n_chars, row_number() OVER (
+        |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM q)
+        |SELECT cluster_id, doc_id AS best_doc, n_chars FROM rb
+        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_clean" ->
       """WITH RECURSIVE fp AS (
         |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),

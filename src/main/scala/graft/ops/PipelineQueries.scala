@@ -115,6 +115,28 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Near-dup resolution keeping the BEST cluster member (longest
+    * text, doc_id tiebreak) instead of the smallest id — what corpus
+    * cleaning actually wants: the most complete representative
+    * survives. One extra broadcast-size join + per-cluster argmax over
+    * the (tiny) clustered-doc set. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val clusters = graft.dedup.Components.keepers(dedupMinhashLsh(s, d))
+    val w = Window.partitionBy(col("keeper"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters
+      .join(docs.select(col("doc_id").as("id"),
+        length(col("text")).cast("long").as("n_chars")), Seq("id"))
+      .select(col("keeper"), col("id").as("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("keeper").as("cluster_id"), col("doc_id").as("best_doc"),
+        col("n_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** One-call corpus cleaning: exact + near-dup removal, keepers
     * survive. Output is the cleaned corpus size per source (stable). */
   def dedupClean(s: SparkSession, d: String): DataFrame =
