@@ -35,6 +35,9 @@ object Bench {
       }
       // a failing query reports -1, not its time-to-exception — the
       // bench JSON must carry an unambiguous failure signal
+      // drop caches the query pinned (LSH signature/doc frames): the
+      // accumulated storage would otherwise LRU-churn later timings
+      spark.catalog.clearCache()
       name -> (if (failed) -1.0 else times.min)
     }
     val (ok, bad) = results.partition(_._2 >= 0)

@@ -17,6 +17,46 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
 
+  /** The distinct-3-gram shingle CTE shared by every document-pair
+    * oracle — ONE definition so shingle semantics (trim/split/k) can
+    * never silently diverge between oracles. `rel` is the table/CTE
+    * the shingles are computed over. */
+  private def shingleCte(rel: String): String =
+    s"""sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(greatest(len(t) - 2, 0)),
+       |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |        FROM $rel) d)""".stripMargin
+
+  /** Adjacent shingle CTE fragments for the pair/edge oracles. */
+  private def pairEdgeCtes(rel: String): String =
+    s"""${shingleCte(rel)},
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+       |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+       |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+       |e AS (
+       |  SELECT id_a, id_b FROM p
+       |  WHERE round(len(list_intersect(sa, sb))::DOUBLE /
+       |        len(list_distinct(list_concat(sa, sb))), 4) >= 0.5),
+       |reach(id, r) AS (
+       |  SELECT id_a, id_a FROM e UNION SELECT id_b, id_b FROM e
+       |  UNION
+       |  SELECT reach.id,
+       |    CASE WHEN e.id_a = reach.r THEN e.id_b ELSE e.id_a END
+       |  FROM reach JOIN e ON e.id_a = reach.r OR e.id_b = reach.r)""".stripMargin
+
+  /** Oracle SQL with per-run substitutions applied — Verify dumps THIS
+    * so the gate works at any scale dir (source_binary_files globs the
+    * actual sfDir instead of a hardcoded one). */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    oracleSql + ("source_binary_files" ->
+      s"""SELECT regexp_extract(filename, '[^/]+$$', 0) AS fname,
+         |  size AS length
+         |FROM read_blob('$sfDir/*.parquet')
+         |ORDER BY fname""".stripMargin)
+
   /** ann_lsh_topk oracle: the hyperplanes are deterministic constants
     * (Ann.planes, seed 7) — folding the same literals into the SQL lets
     * DuckDB reproduce the bucket codes, the bucket-restricted scoring,
@@ -620,13 +660,8 @@ object SparkEntry {
         |       THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
     "dedup_containment" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(greatest(len(t) - 2, 0)),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |        FROM documents) d),
-        |p AS (
+      s"""WITH ${shingleCte("documents")},
+         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    len(list_intersect(a.s, b.s)) AS i,
         |    len(a.s) AS la, len(b.s) AS lb
@@ -637,12 +672,7 @@ object SparkEntry {
         |  round(i::DOUBLE / lb, 4) AS contain_b
         |FROM p ORDER BY doc_a""".stripMargin,
     "text_contamination" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(greatest(len(t) - 2, 0)),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |        FROM documents) d),
+      s"""WITH ${shingleCte("documents")},
         |bg AS (SELECT list_distinct(flatten(list(s))) AS g
         |       FROM sh WHERE doc_id < 10)
         |SELECT doc_id,
@@ -657,12 +687,7 @@ object SparkEntry {
         |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
     "text_top_ngrams" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(greatest(len(t) - 2, 0)),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |        FROM documents) d),
+      s"""WITH ${shingleCte("documents")},
         |u AS (SELECT unnest(s) AS ngram FROM sh)
         |SELECT ngram, count(*) AS n FROM u
         |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
@@ -875,113 +900,51 @@ object SparkEntry {
     // EQUAL the LSH-candidate → exact-verified set (a missed true pair
     // would surface as an oracle row Spark lacks)
     "dedup_minhash_lsh" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(greatest(len(t) - 2, 0)),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |        FROM documents) d),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
-        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        |  WHERE len(a.s) > 0 AND len(b.s) > 0),
-        |j AS (
-        |  SELECT id_a, id_b,
-        |    round(len(list_intersect(sa, sb))::DOUBLE /
-        |          len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
-        |  FROM p)
-        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
-        |ORDER BY 1, 2""".stripMargin,
+      s"""WITH ${shingleCte("documents")},
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+         |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    round(len(list_intersect(sa, sb))::DOUBLE /
+         |          len(list_distinct(list_concat(sa, sb))), 4) AS jaccard
+         |  FROM p)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
     "dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(greatest(len(t) - 2, 0)),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |        FROM documents) d),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
-        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        |  WHERE len(a.s) > 0 AND len(b.s) > 0),
-        |e AS (
-        |  SELECT id_a, id_b FROM p
-        |  WHERE round(len(list_intersect(sa, sb))::DOUBLE /
-        |        len(list_distinct(list_concat(sa, sb))), 4) >= 0.5),
-        |reach(id, r) AS (
-        |  SELECT id_a, id_a FROM e UNION SELECT id_b, id_b FROM e
-        |  UNION
-        |  SELECT reach.id,
-        |    CASE WHEN e.id_a = reach.r THEN e.id_b ELSE e.id_a END
-        |  FROM reach JOIN e ON e.id_a = reach.r OR e.id_b = reach.r)
-        |SELECT id, min(r) AS keeper FROM reach GROUP BY id
-        |ORDER BY id""".stripMargin,
+      s"""WITH RECURSIVE ${pairEdgeCtes("documents")}
+         |SELECT id, min(r) AS keeper FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin,
     "dedup_keep_best" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(greatest(len(t) - 2, 0)),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |        FROM documents) d),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
-        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        |  WHERE len(a.s) > 0 AND len(b.s) > 0),
-        |e AS (
-        |  SELECT id_a, id_b FROM p
-        |  WHERE round(len(list_intersect(sa, sb))::DOUBLE /
-        |        len(list_distinct(list_concat(sa, sb))), 4) >= 0.5),
-        |reach(id, r) AS (
-        |  SELECT id_a, id_a FROM e UNION SELECT id_b, id_b FROM e
-        |  UNION
-        |  SELECT reach.id,
-        |    CASE WHEN e.id_a = reach.r THEN e.id_b ELSE e.id_a END
-        |  FROM reach JOIN e ON e.id_a = reach.r OR e.id_b = reach.r),
-        |keep AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
-        |q AS (
-        |  SELECT k.keeper AS cluster_id, k.id AS doc_id,
-        |    CAST(length(d.text) AS BIGINT) AS n_chars
-        |  FROM keep k JOIN documents d ON d.doc_id = k.id),
-        |rb AS (SELECT cluster_id, doc_id, n_chars, row_number() OVER (
-        |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM q)
-        |SELECT cluster_id, doc_id AS best_doc, n_chars FROM rb
-        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+      s"""WITH RECURSIVE ${pairEdgeCtes("documents")},
+         |keep AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT k.keeper AS cluster_id, k.id AS doc_id,
+         |    CAST(length(d.text) AS BIGINT) AS n_chars
+         |  FROM keep k JOIN documents d ON d.doc_id = k.id),
+         |rb AS (SELECT cluster_id, doc_id, n_chars, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM q)
+         |SELECT cluster_id, doc_id AS best_doc, n_chars FROM rb
+         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_clean" ->
-      """WITH RECURSIVE fp AS (
-        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS f
-        |  FROM documents),
-        |k1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-        |surv AS (
-        |  SELECT d.doc_id, d.source, d.text FROM documents d
-        |  JOIN k1 ON k1.doc_id = d.doc_id),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(greatest(len(t) - 2, 0)),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |        FROM surv) d),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
-        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        |  WHERE len(a.s) > 0 AND len(b.s) > 0),
-        |e AS (
-        |  SELECT id_a, id_b FROM p
-        |  WHERE round(len(list_intersect(sa, sb))::DOUBLE /
-        |        len(list_distinct(list_concat(sa, sb))), 4) >= 0.5),
-        |reach(id, r) AS (
-        |  SELECT id_a, id_a FROM e UNION SELECT id_b, id_b FROM e
-        |  UNION
-        |  SELECT reach.id,
-        |    CASE WHEN e.id_a = reach.r THEN e.id_b ELSE e.id_a END
-        |  FROM reach JOIN e ON e.id_a = reach.r OR e.id_b = reach.r),
-        |keep AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
-        |fin AS (
-        |  SELECT s.doc_id, s.source FROM surv s
-        |  WHERE s.doc_id NOT IN
-        |    (SELECT id FROM keep WHERE id <> keeper))
-        |SELECT source, count(*) AS n_docs, min(doc_id) AS min_id
-        |FROM fin GROUP BY source ORDER BY source""".stripMargin,
+      s"""WITH RECURSIVE fp AS (
+         |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM documents),
+         |k1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |surv AS (
+         |  SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN k1 ON k1.doc_id = d.doc_id),
+         |${pairEdgeCtes("surv")},
+         |keep AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+         |fin AS (
+         |  SELECT s.doc_id, s.source FROM surv s
+         |  WHERE s.doc_id NOT IN
+         |    (SELECT id FROM keep WHERE id <> keeper))
+         |SELECT source, count(*) AS n_docs, min(doc_id) AS min_id
+         |FROM fin GROUP BY source ORDER BY source""".stripMargin,
     // full signature replication: md5_number_lower == the kernel's
     // md5-lower-64 token hash, so the oracle computes the same 64-bit
     // simhash and the same exhaustive hamming ≤ 3 pair set
@@ -1100,12 +1063,7 @@ object SparkEntry {
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY 1""".stripMargin,
     "ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(greatest(len(t) - 2, 0)),
-        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |        FROM documents) d),
+      s"""WITH ${shingleCte("documents")},
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)

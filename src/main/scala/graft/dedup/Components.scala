@@ -42,10 +42,13 @@ object Components {
     // labels only ever decrease, so the keeper-sum is strictly monotone:
     // an unchanged sum == a fixpoint. That makes the convergence check a
     // single aggregate on the already-cached frame instead of a join.
-    // sum() over an empty frame is NULL — coalesce handles the
-    // no-candidate-pairs case (clean corpus).
-    def keeperSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("keeper")), lit(0L))).head().getLong(0)
+    // DECIMAL(38,0) keeps the sum exact for 64-bit snowflake-style ids
+    // at any realistic corpus size (a Long sum would wrap and make the
+    // fixpoint equality unsound). sum() over an empty frame is NULL —
+    // coalesce handles the no-candidate-pairs case (clean corpus).
+    def keeperSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("keeper").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prevSum = keeperSum(labels)
     var round = 0
     var converged = false
@@ -69,7 +72,7 @@ object Components {
       val nextSum = keeperSum(next)
       labels.unpersist()
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       round += 1
     }

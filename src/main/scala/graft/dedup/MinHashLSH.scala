@@ -64,13 +64,24 @@ object MinHashLSH {
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
     val buckets = exploded.groupBy("band", "bh")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= cfg.maxBucket)
-    // sorted ids ⇒ generated pairs already satisfy id_a < id_b
+      .filter(size(col("ids")) > 1)
+    // sorted ids ⇒ generated pairs already satisfy id_a < id_b.
+    // Buckets over `maxBucket` (boilerplate mega-clusters) fall back to
+    // a STAR around the bucket minimum — O(n) pairs instead of O(n²),
+    // and connectivity is preserved so downstream connected-components
+    // still merges the whole cluster (dropping the bucket outright
+    // would silently let >maxBucket near-dup families survive
+    // Dedup.clean). Run exact dedup first so these rarely form.
     val pairs = buckets
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |    b -> struct(a AS id_a, b AS id_b))))""".stripMargin)).as("p"))
+      .select(explode(when(size(col("ids")) <= cfg.maxBucket,
+        expr(
+          """flatten(transform(ids, (a, i) ->
+            |  transform(slice(ids, i + 2, size(ids)),
+            |    b -> struct(a AS id_a, b AS id_b))))""".stripMargin))
+        .otherwise(expr(
+          """transform(slice(ids, 2, size(ids)),
+            |  b -> struct(ids[0] AS id_a, b AS id_b))""".stripMargin)))
+        .as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     val sa = sigs.select(col("id").as("id_a"), col("sigs").as("_sa"))

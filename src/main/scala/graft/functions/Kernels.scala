@@ -90,17 +90,22 @@ object Kernels {
   def nearestCells(emb: ArrayData, cents: Array[Double], dim: Int,
       nProbe: Int): ArrayData = {
     val k = cents.length / dim
+    // tolerate short embeddings (missing dims contribute 0, like a
+    // zero-padded vector) — reading past numElements would touch
+    // arbitrary UnsafeArrayData memory
+    val m = math.min(dim, emb.numElements())
     val d = new Array[Double](k)
     var c = 0
     while (c < k) {
       var acc = 0.0
       var i = 0
       val off = c * dim
-      while (i < dim) {
+      while (i < m) {
         val diff = emb.getDouble(i) - cents(off + i)
         acc += diff * diff
         i += 1
       }
+      while (i < dim) { acc += cents(off + i) * cents(off + i); i += 1 }
       d(c) = acc
       c += 1
     }
@@ -115,6 +120,12 @@ object Kernels {
       while (cc < k) {
         if (!taken(cc) && d(cc) < bestD) { best = cc; bestD = d(cc) }
         cc += 1
+      }
+      if (best < 0) {
+        // all remaining distances are NaN (NaN embedding dim) — fall
+        // back to the lowest untaken cell instead of crashing the job
+        var cc2 = 0
+        while (best < 0 && cc2 < k) { if (!taken(cc2)) best = cc2; cc2 += 1 }
       }
       taken(best) = true
       out(j) = best

@@ -29,17 +29,29 @@ object Ivf {
   /** Trained coarse quantizer: k cell centroids. */
   case class IvfModel(centroids: Array[Array[Double]])
 
-  /** Train the coarse quantizer on a bounded deterministic sample:
-    * a cheap hash filter spreads the picks across the corpus, and the
-    * limit early-terminates the scan at `maxSample` vectors. */
+  /** Train the coarse quantizer on a bounded sample: a cheap hash
+    * filter spreads the picks across the corpus and the limit
+    * early-terminates the scan at `maxSample` vectors. If the filter
+    * leaves fewer than k vectors (tiny corpus / unlucky ids), fall
+    * back to the unfiltered head so KMeans always has enough points.
+    * Reproducible for a fixed partition layout (limit() takes the
+    * first-answering partitions, so a cluster relayout can shift the
+    * sample — persist the model when exact reproducibility matters). */
   def fit(corpus: DataFrame, k: Int, seed: Long = 11L,
       maxSample: Int = 2048): IvfModel = {
-    val sample = corpus
+    val spread = corpus
       .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(4)) === 0)
       .limit(maxSample)
       .select(array_to_vector(col("embedding").cast("array<double>"))
         .as("features"))
+      .cache()
+    val sample =
+      if (spread.count() >= k) spread
+      else corpus.limit(maxSample)
+        .select(array_to_vector(col("embedding").cast("array<double>"))
+          .as("features"))
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(sample)
+    spread.unpersist()
     IvfModel(km.clusterCenters.map(_.toArray))
   }
 

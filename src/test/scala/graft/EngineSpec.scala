@@ -272,6 +272,22 @@ class DedupSpec extends SparkSuite {
     assert(found.length == 1 && found.head.getLong(2) == 5L)
   }
 
+  test("over-full LSH buckets fall back to star pairs, cluster intact") {
+    import spark.implicits._
+    // 120 near-identical docs (> maxBucket=100 in every shared bucket):
+    // dropping the bucket would silently split the cluster; the star
+    // fallback must keep all 120 connected through the minimum id
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = (1L to 120L).map(i => (i, s"$base variant$i"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashLSH.verifiedPairs(docs, "doc_id", "text", 0.5)
+    val keepers = graft.dedup.Components.keepers(pairs)
+      .as[(Long, Long)].collect()
+    assert(keepers.length == 120, s"all docs clustered, got ${keepers.length}")
+    assert(keepers.forall(_._2 == 1L), "single cluster anchored at min id")
+  }
+
   test("components: min-label propagation finds cluster keepers") {
     import spark.implicits._
     // clusters {1,2,3,9}, {5,6}; chain 1-2, 2-3, 3-9 needs >1 round
