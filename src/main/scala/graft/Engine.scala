@@ -140,21 +140,28 @@ class Engine(spark: SparkSession, warehouse: String) {
     * collect would not scale. This is the classic compaction pattern
     * (a table format with native MERGE replaces it at 100 TB).
     *
-    * Crash-safe against its own leftovers: stale `__staged`/`__old`
-    * dirs from an interrupted run are cleared before the swap, and the
-    * live dir is only ever renamed after the staged write completed —
-    * an interruption leaves either the old or the new table in place,
-    * never neither. */
+    * Crash-safe against its own leftovers: an interruption leaves
+    * either the old or the new table in place, never neither — if a
+    * crash hit between the two renames (live moved to `__old`, staged
+    * not yet published), the next upsert first restores `__old` to
+    * live; only then are stale `__staged`/`__old` dirs redundant and
+    * cleared. */
   def upsert(tableName: String, updates: DataFrame,
       key: String = "rowNum"): Unit = {
     val f = fs
     val live = new Path(dir(tableName))
     val staged = new Path(dir(tableName) + "__staged")
     val old = new Path(dir(tableName) + "__old")
-    // a previously interrupted run may have left either dir behind;
-    // both are safe to discard (live was never renamed away)
+    // Recover from an interrupted run before discarding leftovers: a
+    // crash between rename(live→old) and rename(staged→live) leaves
+    // __old as the ONLY copy of the table — deleting it then would
+    // destroy the table. Restore it first; only then are both
+    // leftover dirs redundant copies, safe to drop.
+    if (!f.exists(live) && f.exists(old) && !f.rename(old, live))
+      throw new IllegalStateException(
+        s"upsert: cannot restore $old to $live after interrupted swap")
     f.delete(staged, true)
-    f.delete(old, true)
+    if (f.exists(live)) f.delete(old, true)
     ops.Upsert(table(tableName), updates, Seq(key))
       .write.mode(SaveMode.Overwrite).parquet(staged.toString)
     if (!f.rename(live, old))

@@ -492,8 +492,12 @@ object Analytics {
         col("l_extendedprice").cast("decimal(12,2)").as("p"),
         col("l_discount").cast("decimal(12,2)").as("disc"))
       .groupBy(col("l_returnflag"))
-      .agg(sum(col("p")).as("sum_price"),
-        sum(expr("CAST(p * (1 - disc) AS DECIMAL(14,4))")).as("sum_net"),
+      // Spark widens sum(DECIMAL(12,2)) to (22,2) but DuckDB to (38,2);
+      // values are equal, the typed hash is not — pin both sides to
+      // DECIMAL(38,_) explicitly so the declared result types agree.
+      .agg(sum(col("p")).cast("decimal(38,2)").as("sum_price"),
+        sum(expr("CAST(p * (1 - disc) AS DECIMAL(14,4))"))
+          .cast("decimal(38,4)").as("sum_net"),
         max(col("p")).as("max_price"))
       .orderBy(col("l_returnflag"))
 
