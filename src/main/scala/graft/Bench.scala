@@ -41,18 +41,40 @@ object Bench {
       name -> (if (failed) -1.0 else times.min)
     }
     val (ok, bad) = results.partition(_._2 >= 0)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val fails = bad.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
-    // sbt log noise buried the r01 JSON line (BENCH_r01 parsed:null) —
-    // also persist it to a file so the driver can always recover it
+    // The driver captures only the LAST 2000 chars of stdout and sbt
+    // appends its own "[success] ..." trailer, so a line carrying all
+    // ~100 per-query times (~3000 chars) loses its opening brace and
+    // never parses (BENCH_r01..r03 all have parsed:null). The stdout
+    // line therefore carries a fixed headline subset — one per operator
+    // family plus every historically slow query — and the full map goes
+    // to BENCH_LAST.json (committed alongside the round snapshots).
+    val headline = Seq(
+      "q1_pricing", "q3_shipping", "q5_local_supplier", "q6_forecast",
+      "q_window_topn", "q_topk_per_key", "q_asof_join", "q_range_join",
+      "q_percentile", "q_corr_subquery", "q_bucketed_join",
+      "shred_flatten", "shred_children", "assemble_nested",
+      "json_roundtrip_count", "engine_save_get", "upsert",
+      "stream_window", "stream_sessionize", "stream_join",
+      "stream_watermark_append", "stream_upsert",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+      "dedup_clusters", "dedup_clean", "dedup_keep_best",
+      "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+      "text_tfidf_top", "text_tokens", "multimodal_decode",
+      "sink_compaction", "source_json_roundtrip")
+    val head = results.filter { case (k, _) => headline.contains(k) }
+    val stdoutLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${fmt(head)},"failures":$fails,"sf":"$sfDir","full":"BENCH_LAST.json"}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"failures":$fails,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_LAST.json"), fullLine + "\n")
     spark.stop()
     // last line on stdout, after the SparkSession's shutdown chatter
-    println(line)
+    println(stdoutLine)
   }
 }

@@ -157,6 +157,9 @@ class Engine(spark: SparkSession, warehouse: String) {
     // __old as the ONLY copy of the table — deleting it then would
     // destroy the table. Restore it first; only then are both
     // leftover dirs redundant copies, safe to drop.
+    if (!f.exists(live) && !f.exists(old))
+      throw new IllegalArgumentException(
+        s"upsert: table '$tableName' does not exist in warehouse $warehouse")
     if (!f.exists(live) && f.exists(old) && !f.rename(old, live))
       throw new IllegalStateException(
         s"upsert: cannot restore $old to $live after interrupted swap")

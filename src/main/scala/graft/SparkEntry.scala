@@ -592,12 +592,13 @@ object SparkEntry {
         |ORDER BY pos""".stripMargin,
     "q_decimal_arith" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
-        |    AS DECIMAL(38,2)) AS sum_price,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DOUBLE), 2) AS sum_price,
+        |  ROUND(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |    (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4)))
-        |    AS DECIMAL(38,4)) AS sum_net,
-        |  max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price
+        |    AS DOUBLE), 4) AS sum_net,
+        |  ROUND(CAST(max(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DOUBLE), 2) AS max_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_higher_order" ->
       """WITH g AS (

@@ -484,21 +484,25 @@ object Analytics {
   }
 
   /** Exact DECIMAL money arithmetic (no binary-float drift): cast,
-    * multiply, sum — the correctness-critical path for financial
-    * aggregates at scale. */
+    * multiply, sum all run in DECIMAL — the correctness-critical path
+    * for financial aggregates at scale. Presentation only: the final
+    * exact decimals are emitted as rounded doubles, because the gate's
+    * readers represent DECIMAL differently per engine (pyarrow keeps
+    * `decimal.Decimal`, DuckDB's df() yields float64), so a decimal
+    * output column can never value-hash-match across engines. */
   def qDecimalArith(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_returnflag"),
         col("l_extendedprice").cast("decimal(12,2)").as("p"),
         col("l_discount").cast("decimal(12,2)").as("disc"))
       .groupBy(col("l_returnflag"))
-      // Spark widens sum(DECIMAL(12,2)) to (22,2) but DuckDB to (38,2);
-      // values are equal, the typed hash is not — pin both sides to
-      // DECIMAL(38,_) explicitly so the declared result types agree.
-      .agg(sum(col("p")).cast("decimal(38,2)").as("sum_price"),
-        sum(expr("CAST(p * (1 - disc) AS DECIMAL(14,4))"))
-          .cast("decimal(38,4)").as("sum_net"),
-        max(col("p")).as("max_price"))
+      .agg(sum(col("p")).as("sp"),
+        sum(expr("CAST(p * (1 - disc) AS DECIMAL(14,4))")).as("sn"),
+        max(col("p")).as("mp"))
+      .select(col("l_returnflag"),
+        round(col("sp").cast("double"), 2).as("sum_price"),
+        round(col("sn").cast("double"), 4).as("sum_net"),
+        round(col("mp").cast("double"), 2).as("max_price"))
       .orderBy(col("l_returnflag"))
 
   /** Higher-order array functions: filter / exists / forall /

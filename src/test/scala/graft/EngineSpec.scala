@@ -205,6 +205,36 @@ class FacadeSpec extends SparkSuite {
       java.nio.file.Paths.get(s"$wh/kv__old")))
   }
 
+  test("upsert recovers when a crash left __old as the only copy") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_r").toString
+    val eng = new Engine(spark, wh)
+    eng.save(Seq((1L, "a")).toDF("rowNum", "name"), "kv")
+    // simulate a crash between rename(live→old) and rename(staged→live):
+    // live is gone, __old holds the only copy, __staged is half-written
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$wh/kv"),
+      java.nio.file.Paths.get(s"$wh/kv__old"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wh/kv__staged"))
+    eng.upsert("kv", Seq((2L, "b")).toDF("rowNum", "name"))
+    val got = eng.table("kv").orderBy("rowNum")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/kv__old")))
+  }
+
+  test("upsert on a nonexistent table fails fast with a clear error") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_x").toString
+    val eng = new Engine(spark, wh)
+    val e = intercept[IllegalArgumentException] {
+      eng.upsert("nope", Seq((1L, "a")).toDF("rowNum", "name"))
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
   test("Engine works against an explicit file: URI warehouse") {
     import spark.implicits._
     val wh = "file:" +
