@@ -158,6 +158,13 @@ object SparkEntry {
     "q_pivot" -> (Analytics.qPivot _),
     "q_unpivot" -> (Analytics.qUnpivot _),
     "q_salted_agg" -> (Analytics.qSaltedAgg _),
+    "q_stats_agg" -> (Analytics.qStatsAgg _),
+    "q_histogram" -> (Analytics.qHistogram _),
+    "q_funnel" -> (Analytics.qFunnel _),
+    "q_time_weighted_avg" -> (Analytics.qTimeWeightedAvg _),
+    "q_gap_islands" -> (Analytics.qGapIslands _),
+    "q_latest_per_key" -> (Analytics.qLatestPerKey _),
+    "q_skew_join_salted" -> (Analytics.qSkewJoinSalted _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
@@ -189,6 +196,7 @@ object SparkEntry {
     "dedup_simhash" -> (PipelineQueries.dedupSimhash _),
     "ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
     "dedup_embed_cos" -> (PipelineQueries.dedupEmbedCos _),
+    "embed_centroid" -> (PipelineQueries.embedCentroid _),
     "ann_brute_topk" -> (PipelineQueries.annBruteTopK _),
     "ann_lsh_topk" -> (PipelineQueries.annLshTopK _),
     "ann_ivf_topk" -> (PipelineQueries.annIvfTopK _),
@@ -734,6 +742,78 @@ object SparkEntry {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_extendedprice), 2) AS var_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+        |  round(avg(l_tax), 6) AS avg_tax
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events WHERE CAST(floor(epoch(ts)) AS BIGINT) < 1704240000),
+        |t1 AS (SELECT user_id, min(ts_s) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, t1.t_view, min(e.ts_s) AS t_click
+        |       FROM e JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts_s > t1.t_view
+        |       GROUP BY 1, 2),
+        |t3 AS (SELECT e.user_id, min(e.ts_s) AS t_purchase
+        |       FROM e JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts_s > t2.t_click
+        |       GROUP BY 1)
+        |SELECT (SELECT count(*) FROM t1) AS n_view,
+        |       (SELECT count(*) FROM t2) AS n_click,
+        |       (SELECT count(*) FROM t3) AS n_purchase""".stripMargin,
+    "q_time_weighted_avg" ->
+      """WITH x AS (
+        |  SELECT user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t0,
+        |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS t1
+        |  FROM events)
+        |SELECT user_id,
+        |  round(sum(value * (t1 - t0)) / sum(t1 - t0), 6) AS twa,
+        |  count(*) AS n_intervals
+        |FROM x WHERE t1 IS NOT NULL AND t1 > t0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gap_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+        |  FROM orders WHERE o_totalprice > 400000),
+        |g AS (
+        |  SELECT day,
+        |    day - CAST(row_number() OVER (ORDER BY day) AS INTEGER) AS grp
+        |  FROM days)
+        |SELECT CAST(min(day) AS VARCHAR) AS island_start,
+        |  CAST(max(day) AS VARCHAR) AS island_end,
+        |  count(*) AS n_days
+        |FROM g GROUP BY grp HAVING count(*) >= 2
+        |ORDER BY 1""".stripMargin,
+    "q_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, ts, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  round(value, 2) AS value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_skew_join_salted" ->
+      """SELECT s_nationkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
@@ -1087,6 +1167,15 @@ object SparkEntry {
         |SELECT va AS vec_a, vb AS vec_b,
         |  round(d / (sqrt(na) * sqrt(nb)), 4) AS cos
         |FROM sums ORDER BY 1""".stripMargin,
+    "embed_centroid" ->
+      """WITH z AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    unnest(embedding)::DOUBLE AS component
+        |  FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  round(avg(component), 5) AS centroid, count(*) AS n_vecs
+        |FROM z GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 10),

@@ -665,4 +665,134 @@ object Analytics {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(25)
+
+  /** Statistical aggregates: stddev/variance/correlation/covariance —
+    * all single-pass partial-aggregable (sum/sumsq/sumxy moments), so
+    * one narrow shuffle of |groups| moment rows at any scale. */
+  def qStatsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+          .as("cov_qd"),
+        round(avg(col("l_tax")), 6).as("avg_tax"))
+      .orderBy(col("l_returnflag"))
+
+  /** Fixed-width histogram (data profiling): bucket bounds are literals
+    * so the whole histogram is one scan + one |buckets|-row shuffle —
+    * the profile-100-TB-in-one-pass shape (vs. sort-based quantiles). */
+  def qHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(least(floor(col("o_totalprice") / 50000.0), lit(9L))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** Funnel analysis over the event stream: per-user earliest view →
+    * first click after it → first purchase after that. Three grouped
+    * passes over one user-partitioned shuffle — no self-join explosion;
+    * conditional min-aggregates carry the stage timestamps. */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    // first ~2 days only, so the three stages genuinely attrite
+    // (over the full month every user completes the funnel)
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), epochS(col("ts")).as("ts_s"))
+      .filter(col("ts_s") < 1704240000L)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t_view"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts_s") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("ts_s")).as("t_click"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts_s") > col("t_click"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_s")).as("t_purchase"))
+    t1.select(count(lit(1)).as("n_view"))
+      .crossJoin(t2.select(count(lit(1)).as("n_click")))
+      .crossJoin(t3.select(count(lit(1)).as("n_purchase")))
+  }
+
+  /** Time-weighted average (sensor/metric rollup): each event's value
+    * holds until the user's next event; weight = holding seconds. One
+    * lead window per user, then a grouped weighted sum. */
+  def qTimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("t0", epochS(col("ts")))
+      .withColumn("t1", lead(epochS(col("ts")), 1).over(w))
+      .filter(col("t1").isNotNull && col("t1") > col("t0"))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value") * (col("t1") - col("t0"))) /
+        sum(col("t1") - col("t0")), 6).as("twa"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Gaps-and-islands: runs of consecutive order days. The classic
+    * date-minus-row_number trick — one global window over |distinct
+    * days| rows (small after the distinct), not over the fact table. */
+  def qGapIslands(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000)
+      .select(to_date(col("o_orderdate")).as("day")).distinct()
+      .withColumn("grp", date_sub(col("day"),
+        row_number().over(w)))
+      .groupBy(col("grp"))
+      .agg(min(col("day")).cast("string").as("island_start"),
+        max(col("day")).cast("string").as("island_end"),
+        count(lit(1)).as("n_days"))
+      .drop("grp")
+      .filter(col("n_days") >= 2)
+      .orderBy(col("island_start"))
+  }
+
+  /** Keep-latest-per-key (CDC/warehouse compaction): the newest event
+    * row per user. row_number over a per-key shuffle; at scale this is
+    * the standard changelog-compaction pattern (and the window rewrite
+    * rule turns top-1 into a bounded heap). */
+  def qLatestPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("value"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochS(col("ts")).as("ts_s"), round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Skew-mitigating salted JOIN: replicate the small side across
+    * `salts` copies and scatter the fact side by hash-salt, so one hot
+    * join key spreads over `salts` tasks instead of one straggler.
+    * Result is provably identical to the plain join (each fact row
+    * meets exactly the one replica matching its salt). */
+  def qSkewJoinSalted(s: SparkSession, d: String): DataFrame = {
+    val salts = 8
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .crossJoin(s.range(salts).select(col("id").cast("int").as("_ssalt")))
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("_fsalt", pmod(hash(col("l_suppkey")), lit(salts)).cast("int"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("_fsalt") === col("_ssalt"))
+      .groupBy(col("s_nationkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+  }
 }

@@ -84,6 +84,21 @@ object PipelineQueries {
       .orderBy(col("vec_a"))
   }
 
+  /** Per-label embedding centroids (the building block for IVF cell
+    * fitting, cluster summaries, and semantic-dedup pivots): posexplode
+    * to (label, dim, component) then one grouped average — |labels|×dim
+    * result rows from a single shuffle, no vector ever collected to
+    * the driver. */
+  def embedCentroid(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "component")))
+      .groupBy(col("label"), (col("dim") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("component")), 5).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("dim"))
+
   /** Exact top-5 cosine neighbors for the first 10 vectors. */
   def annBruteTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
