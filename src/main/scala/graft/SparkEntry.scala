@@ -165,6 +165,10 @@ object SparkEntry {
     "q_gap_islands" -> (Analytics.qGapIslands _),
     "q_latest_per_key" -> (Analytics.qLatestPerKey _),
     "q_skew_join_salted" -> (Analytics.qSkewJoinSalted _),
+    "q_date_spine" -> (Analytics.qDateSpine _),
+    "q_mode" -> (Analytics.qMode _),
+    "q_integrity_audit" -> (Analytics.qIntegrityAudit _),
+    "q_scd2_build" -> (Analytics.qScd2Build _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
@@ -197,6 +201,8 @@ object SparkEntry {
     "ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
     "dedup_embed_cos" -> (PipelineQueries.dedupEmbedCos _),
     "embed_centroid" -> (PipelineQueries.embedCentroid _),
+    "corpus_profile" -> (PipelineQueries.corpusProfile _),
+    "text_vocab_idf" -> (PipelineQueries.textVocabIdf _),
     "ann_brute_topk" -> (PipelineQueries.annBruteTopK _),
     "ann_lsh_topk" -> (PipelineQueries.annLshTopK _),
     "ann_ivf_topk" -> (PipelineQueries.annIvfTopK _),
@@ -814,6 +820,53 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_date_spine" ->
+      """WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+        |                  max(CAST(o_orderdate AS DATE)) AS hi
+        |           FROM orders),
+        |spine AS (SELECT unnest(generate_series(lo, hi,
+        |            INTERVAL 1 DAY))::DATE AS day FROM b),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |            count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |          FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+        |SELECT CAST(s.day AS VARCHAR) AS day, coalesce(d.n, 0) AS n,
+        |  coalesce(d.total, 0.0) AS total
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY 1""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY n DESC, l_quantity) AS rn FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
+    "q_integrity_audit" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders) AS n_orders,
+        |  (SELECT count(*) FROM lineitem) AS n_lineitem,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS orphan_orders,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS orphan_li_orders,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |    AS orphan_li_parts,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |    AS orphan_li_supps""".stripMargin,
+    "q_scd2_build" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+        |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM events WHERE user_id < 10)
+        |SELECT user_id, event_type, valid_from_s,
+        |  coalesce(vt, 9999999999) AS valid_to_s,
+        |  (vt IS NULL) AS is_current
+        |FROM x ORDER BY user_id, valid_from_s""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
@@ -1167,6 +1220,22 @@ object SparkEntry {
         |SELECT va AS vec_a, vb AS vec_b,
         |  round(d / (sqrt(na) * sqrt(nb)), 4) AS cos
         |FROM sums ORDER BY 1""".stripMargin,
+    "corpus_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+        |  round(count_if(n_chars < 150)::DOUBLE / count(*), 4)
+        |    AS short_frac
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_vocab_idf" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*)::DOUBLE AS total FROM documents)
+        |SELECT token, count(*) AS df,
+        |  round(ln((SELECT total FROM n) / count(*)), 6) AS idf
+        |FROM tok WHERE token <> '' GROUP BY 1
+        |ORDER BY df DESC, token LIMIT 30""".stripMargin,
     "embed_centroid" ->
       """WITH z AS (
         |  SELECT CAST(label AS BIGINT) AS label,

@@ -774,6 +774,86 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Calendar-spine gap filling: build the full day spine with
+    * `sequence` (from one aggregated (min,max) row — never a driver
+    * loop), left-join sparse daily aggregates, zero-fill the holes.
+    * The spine side is |days| rows, so the join broadcasts. */
+  def qDateSpine(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val bounds = orders.agg(
+      min(to_date(col("o_orderdate"))).as("lo"),
+      max(to_date(col("o_orderdate"))).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val daily = orders.filter(col("o_totalprice") > 400000)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day").cast("string").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total"), lit(0.0)).as("total"))
+      .orderBy(col("day"))
+  }
+
+  /** Deterministic MODE (most frequent value, smallest-value tiebreak):
+    * count per (group, value) then top-1 — two narrow shuffles, no
+    * whole-group materialization. */
+  def qMode(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_quantity"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Referential-integrity audit (warehouse QA): orphan counts via
+    * anti-joins plus the base totals that make the report
+    * discriminating. Each anti-join shuffles on its key once; dims
+    * (customer/part/supplier) broadcast. */
+  def qIntegrityAudit(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val nOrders = orders.agg(count(lit(1)).as("n_orders"))
+    val nLi = li.agg(count(lit(1)).as("n_lineitem"))
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+        out: String) =
+      fact.join(dim, fact(fk) === dim(pk), "left_anti")
+        .agg(count(lit(1)).as(out))
+    nOrders.crossJoin(nLi)
+      .crossJoin(orphans(orders, "o_custkey",
+        Tables.customer(s, d), "c_custkey", "orphan_orders"))
+      .crossJoin(orphans(li, "l_orderkey", orders, "o_orderkey",
+        "orphan_li_orders"))
+      .crossJoin(orphans(li, "l_partkey",
+        Tables.part(s, d), "p_partkey", "orphan_li_parts"))
+      .crossJoin(orphans(li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey", "orphan_li_supps"))
+  }
+
+  /** SCD type-2 dimension build from a changelog: each event opens a
+    * validity interval closed by the user's next event; the open row is
+    * flagged current. One lead window per key — the standard
+    * history-table construction. */
+  def qScd2Build(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("valid_from_s", epochS(col("ts")))
+      .withColumn("_vt", lead(epochS(col("ts")), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("valid_from_s"),
+        coalesce(col("_vt"), lit(9999999999L)).as("valid_to_s"),
+        col("_vt").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_s"))
+  }
+
   /** Skew-mitigating salted JOIN: replicate the small side across
     * `salts` copies and scatter the fact side by hash-salt, so one hot
     * join key spreads over `salts` tasks instead of one straggler.

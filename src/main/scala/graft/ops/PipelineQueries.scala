@@ -84,6 +84,41 @@ object PipelineQueries {
       .orderBy(col("vec_a"))
   }
 
+  /** Per-source corpus QA profile (the report a pipeline owner reads
+    * before training): doc counts, char-length distribution, short-doc
+    * fraction. One grouped pass; percentile is the only sort-bearing
+    * aggregate and it runs per-group, not global. */
+  def corpusProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 2).as("p50_chars"),
+        round(count_if(col("n_chars") < 150).cast("double") /
+          count(lit(1)), 4).as("short_frac"))
+      .orderBy(col("source"))
+
+  /** Corpus vocabulary with document frequency + IDF (the tf-idf /
+    * quality-classifier building block): distinct (doc, token) then one
+    * token-keyed aggregation — map-side combine keeps the shuffle at
+    * |vocab| rows per partition. Top 30 terms by document frequency. */
+  def textVocabIdf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // corpus size joined in as a 1-row broadcast, not a driver action
+    val totals = docs.agg(count(lit(1)).cast("double").as("_total"))
+    docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("df"),
+        round(log(col("_total") / col("df")), 6).as("idf"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(30)
+  }
+
   /** Per-label embedding centroids (the building block for IVF cell
     * fitting, cluster summaries, and semantic-dedup pivots): posexplode
     * to (label, dim, component) then one grouped average — |labels|×dim
