@@ -202,6 +202,7 @@ object SparkEntry {
     "dedup_embed_cos" -> (PipelineQueries.dedupEmbedCos _),
     "embed_centroid" -> (PipelineQueries.embedCentroid _),
     "corpus_profile" -> (PipelineQueries.corpusProfile _),
+    "dedup_incremental" -> (PipelineQueries.dedupIncremental _),
     "text_vocab_idf" -> (PipelineQueries.textVocabIdf _),
     "ann_brute_topk" -> (PipelineQueries.annBruteTopK _),
     "ann_lsh_topk" -> (PipelineQueries.annLshTopK _),
@@ -1220,6 +1221,39 @@ object SparkEntry {
         |SELECT va AS vec_a, vb AS vec_b,
         |  round(d / (sqrt(na) * sqrt(nb)), 4) AS cos
         |FROM sums ORDER BY 1""".stripMargin,
+    "dedup_incremental" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id % 5 = 0),
+        |old AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |ex AS (
+        |  SELECT b.doc_id, min(o.doc_id) AS m
+        |  FROM batch b JOIN old o ON md5(b.text) = md5(o.text)
+        |  GROUP BY 1),
+        |shb AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(t) - 2, 0)),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM batch) d),
+        |sho AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(greatest(len(t) - 2, 0)),
+        |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM old) d),
+        |nr AS (
+        |  SELECT b.doc_id, min(o.doc_id) AS m
+        |  FROM shb b JOIN sho o ON len(b.s) > 0 AND len(o.s) > 0
+        |    AND len(list_intersect(b.s, o.s))::DOUBLE /
+        |        len(list_distinct(list_concat(b.s, o.s))) >= 0.5
+        |  GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN e.m IS NOT NULL THEN 'exact'
+        |       WHEN n.m IS NOT NULL THEN 'near' ELSE 'unique' END AS verdict,
+        |  coalesce(e.m, n.m, -1) AS match_id
+        |FROM batch b LEFT JOIN ex e ON b.doc_id = e.doc_id
+        |LEFT JOIN nr n ON b.doc_id = n.doc_id
+        |ORDER BY 1""".stripMargin,
     "corpus_profile" ->
       """SELECT source, count(*) AS n_docs,
         |  round(avg(n_chars), 2) AS avg_chars,

@@ -53,15 +53,35 @@ object MinHashLSH {
     * canonical dedup first (see Dedup.clean) so those never form; a
     * bucket's ids materialize in one aggregation buffer, which is
     * exactly why the cap exists. */
-  def candidatePairs(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
+  /** (id, band, bucket-hash) rows — the LSH index relation. In
+    * production this is the stored, bucketed artifact ingestion
+    * maintains; here it is recomputed per call. */
+  private def bandedIds(sigs: DataFrame, cfg: Config): DataFrame = {
     val r = cfg.rowsPerBand
     val bandStructs = (0 until cfg.bands).map { j =>
       struct(lit(j).as("band"),
         xxhash64(concat_ws(",", slice(col("sigs"), j * r + 1, r))).as("bh"))
     }
-    val exploded = sigs
+    sigs
       .select(col("id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Cross-set candidates for INCREMENTAL dedup: the new batch's band
+    * buckets are equi-joined against the existing corpus's index, so
+    * only buckets the batch touches are read — cost scales with the
+    * batch, not with corpus². Returns distinct (old_id, new_id). */
+  def crossCandidates(oldSigs: DataFrame, newSigs: DataFrame,
+      cfg: Config = Config()): DataFrame =
+    bandedIds(newSigs, cfg).select(
+        col("band"), col("bh"), col("id").as("new_id"))
+      .join(bandedIds(oldSigs, cfg).select(
+        col("band"), col("bh"), col("id").as("old_id")), Seq("band", "bh"))
+      .select("old_id", "new_id")
+      .distinct()
+
+  def candidatePairs(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val exploded = bandedIds(sigs, cfg)
     val buckets = exploded.groupBy("band", "bh")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)

@@ -84,6 +84,47 @@ object PipelineQueries {
       .orderBy(col("vec_a"))
   }
 
+  /** INCREMENTAL dedup — the production ingestion pattern: classify an
+    * incoming batch (doc_id % 5 == 0 here) against the already-ingested
+    * corpus without re-clustering it. Exact verdicts come from one
+    * hash-join; near verdicts from LSH cross-candidates (batch buckets
+    * probe the corpus index — cost scales with the batch) verified
+    * against TRUE shingle Jaccard ≥ 0.5. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val exact = batch.select(col("doc_id"), md5(col("text")).as("_h"))
+      .join(old.select(md5(col("text")).as("_h"), col("doc_id").as("_oid")),
+        "_h")
+      .groupBy(col("doc_id")).agg(min(col("_oid")).as("exact_id"))
+    val cands = MinHashLSH.crossCandidates(
+      MinHashLSH.signatures(old, "doc_id", "text"),
+      MinHashLSH.signatures(batch, "doc_id", "text"))
+    def sh(df: DataFrame, idAs: String, shAs: String) =
+      df.select(col("doc_id").as(idAs),
+          exprs.shingles(col("text"), 3).as(shAs))
+        .filter(size(col(shAs)) > 0)
+    val near = cands
+      .join(sh(batch, "new_id", "_shn"), "new_id")
+      .join(sh(old, "old_id", "_sho"), "old_id")
+      .filter(size(array_intersect(col("_shn"), col("_sho")))
+        .cast("double") /
+        size(array_union(col("_shn"), col("_sho"))) >= 0.5)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("old_id")).as("near_id"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .otherwise("unique").as("verdict"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus QA profile (the report a pipeline owner reads
     * before training): doc counts, char-length distribution, short-doc
     * fraction. One grouped pass; percentile is the only sort-bearing

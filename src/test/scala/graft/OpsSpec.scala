@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Analytics
+import graft.sources.Tables
+
+/** Semantic invariants for the round-4 analytics operators — each
+  * checked against an independent Spark formulation over the same
+  * data, so a defect in the clever shape (salting, spine, windows)
+  * can't hide behind the DuckDB oracle sharing it. */
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("salted join equals the plain unsalted join") {
+    val salted = Analytics.qSkewJoinSalted(spark, sf)
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("funnel stages attrite monotonically") {
+    val r = Analytics.qFunnel(spark, sf).head()
+    val (v, c, p) = (r.getLong(r.fieldIndex("n_view")),
+      r.getLong(r.fieldIndex("n_click")),
+      r.getLong(r.fieldIndex("n_purchase")))
+    assert(v >= c && c >= p, s"funnel not monotone: $v $c $p")
+    assert(v > 0)
+  }
+
+  test("date spine is gapless and covers the full order-date range") {
+    val rows = Analytics.qDateSpine(spark, sf)
+      .select(col("day").cast("date")).as[java.sql.Date].collect()
+    val n = Tables.orders(spark, sf)
+      .select(datediff(max(to_date(col("o_orderdate"))),
+        min(to_date(col("o_orderdate")))))
+      .head().getInt(0)
+    assert(rows.length == n + 1, "spine length != day span")
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b.toLocalDate == a.toLocalDate.plusDays(1)
+      case _ => true
+    }, "spine has a gap")
+  }
+
+  test("mode matches an independent argmax and breaks ties downward") {
+    val got = Analytics.qMode(spark, sf)
+      .as[(String, Double, Long)].collect()
+      .map { case (k, q, n) => k -> ((q, n)) }.toMap
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect()
+      .groupBy(_._1)
+    for ((flag, rows) <- counts) {
+      val best = rows.map { case (_, q, n) => (q, n) }
+        .minBy { case (q, n) => (-n, q) }
+      assert(got(flag) == best, s"mode mismatch for $flag")
+    }
+  }
+
+  test("scd2 intervals chain per key with exactly one current row") {
+    val rows = Analytics.qScd2Build(spark, sf)
+      .select(col("user_id"), col("valid_from_s"), col("valid_to_s"),
+        col("is_current"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .groupBy(_._1)
+    for ((_, hist) <- rows) {
+      val sorted = hist.sortBy(_._2)
+      assert(sorted.count(_._4) == 1, "not exactly one current row")
+      assert(sorted.last._4, "current row is not the latest")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 == b._2, "valid_to != next valid_from")
+        case _ => ()
+      }
+    }
+  }
+
+  test("latest-per-key picks each user's max-ts event") {
+    val got = Analytics.qLatestPerKey(spark, sf)
+      .select(col("user_id"), col("event_id")).as[(Long, Long)]
+      .collect().toMap
+    val expected = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_id"),
+        struct(col("ts"), col("event_id"))).as("event_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("histogram buckets partition all orders") {
+    val total = Analytics.qHistogram(spark, sf)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total == Tables.orders(spark, sf).count())
+  }
+}
