@@ -147,31 +147,48 @@ class Engine(spark: SparkSession, warehouse: String) {
     * live; only then are stale `__staged`/`__old` dirs redundant and
     * cleared. */
   def upsert(tableName: String, updates: DataFrame,
-      key: String = "rowNum"): Unit = {
+      key: String = "rowNum"): Unit =
+    rewriteStaged(tableName, "upsert") { base =>
+      ops.Upsert(base, updates, Seq(key))
+    }
+
+  /** Keyed delete: drop the given keys from a stored table. Same staged
+    * rewrite-and-swap as `upsert` (deletion from immutable parquet is a
+    * compaction), with the small key set broadcast into an anti-join so
+    * the base table never shuffles. */
+  def delete(tableName: String, keys: DataFrame,
+      key: String = "rowNum"): Unit =
+    rewriteStaged(tableName, "delete") { base =>
+      base.join(broadcast(keys.select(col(key))), Seq(key), "left_anti")
+    }
+
+  /** Shared staged-swap skeleton: compute the replacement contents from
+    * the live table, publish by rename, recover crash leftovers first.
+    * A crash between rename(live→old) and rename(staged→live) leaves
+    * `__old` as the ONLY copy of the table — deleting it then would
+    * destroy the table. Restore it before clearing leftovers; only then
+    * are both leftover dirs redundant copies, safe to drop. */
+  private def rewriteStaged(tableName: String, op: String)(
+      rewrite: DataFrame => DataFrame): Unit = {
     val f = fs
     val live = new Path(dir(tableName))
     val staged = new Path(dir(tableName) + "__staged")
     val old = new Path(dir(tableName) + "__old")
-    // Recover from an interrupted run before discarding leftovers: a
-    // crash between rename(live→old) and rename(staged→live) leaves
-    // __old as the ONLY copy of the table — deleting it then would
-    // destroy the table. Restore it first; only then are both
-    // leftover dirs redundant copies, safe to drop.
     if (!f.exists(live) && !f.exists(old))
       throw new IllegalArgumentException(
-        s"upsert: table '$tableName' does not exist in warehouse $warehouse")
+        s"$op: table '$tableName' does not exist in warehouse $warehouse")
     if (!f.exists(live) && f.exists(old) && !f.rename(old, live))
       throw new IllegalStateException(
-        s"upsert: cannot restore $old to $live after interrupted swap")
+        s"$op: cannot restore $old to $live after interrupted swap")
     f.delete(staged, true)
     if (f.exists(live)) f.delete(old, true)
-    ops.Upsert(table(tableName), updates, Seq(key))
+    rewrite(table(tableName))
       .write.mode(SaveMode.Overwrite).parquet(staged.toString)
     if (!f.rename(live, old))
-      throw new IllegalStateException(s"upsert: cannot move $live aside")
+      throw new IllegalStateException(s"$op: cannot move $live aside")
     if (!f.rename(staged, live)) {
       f.rename(old, live) // roll back — keep the table queryable
-      throw new IllegalStateException(s"upsert: cannot publish $staged")
+      throw new IllegalStateException(s"$op: cannot publish $staged")
     }
     f.delete(old, true)
   }

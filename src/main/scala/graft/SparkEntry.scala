@@ -169,6 +169,7 @@ object SparkEntry {
     "q_mode" -> (Analytics.qMode _),
     "q_integrity_audit" -> (Analytics.qIntegrityAudit _),
     "q_scd2_build" -> (Analytics.qScd2Build _),
+    "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
@@ -805,6 +806,16 @@ object SparkEntry {
         |  count(*) AS n_days
         |FROM g GROUP BY grp HAVING count(*) >= 2
         |ORDER BY 1""".stripMargin,
+    "stream_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, ts, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  round(value, 2) AS value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_latest_per_key" ->
       """WITH r AS (
         |  SELECT user_id, event_id, event_type, ts, value,

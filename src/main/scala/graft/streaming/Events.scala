@@ -264,4 +264,48 @@ object Events {
     q.awaitTermination()
     spark.table(name).orderBy(col("user_id"), col("sess_id"))
   }
+
+  case class LatestRow(user_id: Long, event_id: Long, event_type: String,
+      ts_ns: Long, value: Double)
+
+  /** Streaming CDC compaction: `mapGroupsWithState` keeps exactly one
+    * row per key — the max-(ts, event_id) event — in the state store;
+    * each micro-batch emits the keys it updated (update mode). State is
+    * one row per key, so the store is bounded by |keys|, not by the
+    * stream. The memory sink logs every update, so presentation re-picks
+    * each key's newest emission; a real serving sink (foreachBatch →
+    * Engine.upsert) would overwrite in place. Equals the batch
+    * keep-latest query under any micro-batch split because max is
+    * associative over the (ts, event_id) order. */
+  def streamLatestPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    val evs = raw.select(col("user_id"), col("event_id"), col("event_type"),
+      col("ts").as("ts_ns"), col("value")).as[LatestRow]
+    val fn = (uid: Long, it: Iterator[LatestRow],
+        state: GroupState[LatestRow]) => {
+      val cur = (state.getOption.iterator ++ it)
+        .maxBy(r => (r.ts_ns, r.event_id))
+      state.update(cur)
+      cur
+    }
+    val latest = evs.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+    val name = s"graft_stream_latest_${n.incrementAndGet()}"
+    val q = latest.toDF().writeStream
+      .outputMode("update").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("ts_ns"), col("value")),
+        struct(col("ts_ns"), col("event_id"))).as("_r"))
+      .select(col("user_id"), col("_r.event_id").as("event_id"),
+        col("_r.event_type").as("event_type"),
+        expr("_r.ts_ns div 1000000000").as("ts_s"),
+        round(col("_r.value"), 2).as("value"))
+      .orderBy(col("user_id"))
+  }
 }

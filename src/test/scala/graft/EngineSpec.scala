@@ -225,6 +225,19 @@ class FacadeSpec extends SparkSuite {
       java.nio.file.Paths.get(s"$wh/kv__old")))
   }
 
+  test("delete drops keyed rows and survives a repeat call") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_d").toString
+    val eng = new Engine(spark, wh)
+    eng.save(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("rowNum", "name"), "kv")
+    eng.delete("kv", Seq(2L).toDF("rowNum"))
+    assert(eng.table("kv").orderBy("rowNum").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (3L, "c")))
+    // deleting an absent key is a no-op rewrite, not an error
+    eng.delete("kv", Seq(99L).toDF("rowNum"))
+    assert(eng.table("kv").count() == 2L)
+  }
+
   test("upsert on a nonexistent table fails fast with a clear error") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_eng_x").toString
