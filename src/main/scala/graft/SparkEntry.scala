@@ -169,6 +169,7 @@ object SparkEntry {
     "q_mode" -> (Analytics.qMode _),
     "q_integrity_audit" -> (Analytics.qIntegrityAudit _),
     "q_scd2_build" -> (Analytics.qScd2Build _),
+    "q_lateral_topn" -> (Analytics.qLateralTopN _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
@@ -204,6 +205,7 @@ object SparkEntry {
     "embed_centroid" -> (PipelineQueries.embedCentroid _),
     "corpus_profile" -> (PipelineQueries.corpusProfile _),
     "dedup_incremental" -> (PipelineQueries.dedupIncremental _),
+    "embed_assign" -> (PipelineQueries.embedAssign _),
     "text_vocab_idf" -> (PipelineQueries.textVocabIdf _),
     "ann_brute_topk" -> (PipelineQueries.annBruteTopK _),
     "ann_lsh_topk" -> (PipelineQueries.annLshTopK _),
@@ -868,6 +870,13 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
         |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
         |    AS orphan_li_supps""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT n_name, s.s_name, s.s_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier
+        |  WHERE s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin,
     "q_scd2_build" ->
       """WITH x AS (
         |  SELECT user_id, event_type,
@@ -1281,6 +1290,30 @@ object SparkEntry {
         |  round(ln((SELECT total FROM n) / count(*)), 6) AS idf
         |FROM tok WHERE token <> '' GROUP BY 1
         |ORDER BY df DESC, token LIMIT 30""".stripMargin,
+    "embed_assign" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label AS c_label, dim, avg(x) AS c
+        |  FROM v GROUP BY 1, 2),
+        |s AS (
+        |  SELECT v.vec_id, v.label, c.c_label,
+        |    sum(v.x * c.c) AS dot, sum(v.x * v.x) AS n1,
+        |    sum(c.c * c.c) AS n2
+        |  FROM v JOIN c ON v.dim = c.dim
+        |  GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT vec_id, label, c_label,
+        |    dot / (sqrt(n1) * sqrt(n2)) AS cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dot / (sqrt(n1) * sqrt(n2)) DESC, c_label) AS rn
+        |  FROM s)
+        |SELECT vec_id, label, c_label AS assigned,
+        |  round(cos, 4) AS best_cos, (label = c_label) AS correct
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "embed_centroid" ->
       """WITH z AS (
         |  SELECT CAST(label AS BIGINT) AS label,

@@ -774,6 +774,21 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Correlated LATERAL subquery (per-nation top-2 suppliers) through
+    * the SQL front end — Catalyst plans the correlated limit as a
+    * partitioned rank, not a per-row re-scan. */
+  def qLateralTopN(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+    s.sql(
+      """SELECT n_name, s.s_name, s.s_acctbal
+        |FROM nation_v n, LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier_v
+        |  WHERE s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
+  }
+
   /** Calendar-spine gap filling: build the full day spine with
     * `sequence` (from one aggregated (min,max) row — never a driver
     * loop), left-join sparse daily aggregates, zero-fill the holes.

@@ -175,6 +175,34 @@ object PipelineQueries {
         count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("dim"))
 
+  /** Centroid classification (embedding-based quality/topic routing):
+    * every vector is assigned the label whose centroid it is closest to
+    * by cosine. The |labels|×dim centroid matrix is collapsed into a
+    * broadcast build side; the corpus never shuffles — per-vector
+    * argmax is a partial-aggregable max_by, so the one shuffle carries
+    * a single row per vector. */
+  def embedAssign(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("_e"))
+    val centroids = emb
+      .select(col("label"), posexplode(col("_e")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("label").as("c_label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+        .getField("c").as("_c"))
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        Ann.cosine(col("_e"), col("_c")).as("cos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("c_label"), struct(col("cos"), -col("c_label")))
+        .as("assigned"),
+        round(max(col("cos")), 4).as("best_cos"))
+      .withColumn("correct", col("label") === col("assigned"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact top-5 cosine neighbors for the first 10 vectors. */
   def annBruteTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
