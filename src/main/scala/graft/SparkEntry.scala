@@ -233,6 +233,7 @@ object SparkEntry {
       graft.sources.Formats.textRoundtrip(s, d)
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
     "sink_partitioned_prune" -> (graft.sources.Layouts.partitionedPrune _),
+    "sink_schema_merge" -> (graft.sources.Formats.schemaMergeRoundtrip _),
     "q_bucketed_join" -> (graft.sources.Layouts.bucketedJoin _),
     "sink_compaction" -> (graft.sources.Layouts.compaction _),
   )
@@ -1042,6 +1043,10 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_schema_merge" ->
+      """SELECT doc_id, n_chars,
+        |  CASE WHEN doc_id % 2 = 0 THEN '<v1>' ELSE lang END AS lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sink_compaction" ->
       """SELECT count(*) AS n_rows,
         |  round(sum(o_totalprice), 2) AS total,

@@ -76,4 +76,24 @@ object Formats {
     s.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
+
+  /** Storage-level schema evolution: two writer generations land files
+    * with different schemas in one dataset directory (v1 lacks `lang`);
+    * `mergeSchema` unions the footers at read time and back-fills nulls
+    * — how a long-lived 100 TB dataset actually evolves, no rewrite of
+    * old files. Reader-side cost is footer merging only. */
+  def schemaMergeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("docs_merge", d)
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .write.mode(SaveMode.Append).parquet(path)
+    s.read.option("mergeSchema", "true").parquet(path)
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("lang"), lit("<v1>")).as("lang"))
+      .orderBy(col("doc_id"))
+  }
 }
