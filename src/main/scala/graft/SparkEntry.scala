@@ -170,6 +170,7 @@ object SparkEntry {
     "q_integrity_audit" -> (Analytics.qIntegrityAudit _),
     "q_scd2_build" -> (Analytics.qScd2Build _),
     "q_lateral_topn" -> (Analytics.qLateralTopN _),
+    "q_market_basket" -> (Analytics.qMarketBasket _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "corpus_profile" -> (PipelineQueries.corpusProfile _),
     "dedup_incremental" -> (PipelineQueries.dedupIncremental _),
     "embed_assign" -> (PipelineQueries.embedAssign _),
+    "data_shard_manifest" -> (PipelineQueries.shardManifest _),
     "text_vocab_idf" -> (PipelineQueries.textVocabIdf _),
     "ann_brute_topk" -> (PipelineQueries.annBruteTopK _),
     "ann_lsh_topk" -> (PipelineQueries.annLshTopK _),
@@ -871,6 +873,13 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
         |    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
         |    AS orphan_li_supps""".stripMargin,
+    "q_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem)
+        |SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
     "q_lateral_topn" ->
       """SELECT n_name, s.s_name, s.s_acctbal
         |FROM nation n, LATERAL (
@@ -1295,6 +1304,13 @@ object SparkEntry {
         |  round(ln((SELECT total FROM n) / count(*)), 6) AS idf
         |FROM tok WHERE token <> '' GROUP BY 1
         |ORDER BY df DESC, token LIMIT 30""".stripMargin,
+    "data_shard_manifest" ->
+      """SELECT CAST((md5_number_lower(CAST(doc_id AS VARCHAR))
+        |    & 2147483647) % 16 AS BIGINT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "embed_assign" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label,

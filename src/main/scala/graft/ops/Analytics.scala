@@ -774,6 +774,24 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Market-basket co-occurrence: part pairs ordered together. The
+    * self-join shuffles on order key once; pair generation is bounded
+    * by order size (≤7 lines in TPC-H), so output is O(|orders|·k²),
+    * never corpus² — and top-20 is a total order (count desc, pair),
+    * fully deterministic. */
+  def qMarketBasket(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val a = li.select(col("ok"), col("pk").as("part_a"))
+    val b = li.select(col("ok"), col("pk").as("part_b"))
+    a.join(b, "ok").filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   /** Correlated LATERAL subquery (per-nation top-2 suppliers) through
     * the SQL front end — Catalyst plans the correlated limit as a
     * partitioned rank, not a per-row re-scan. */

@@ -175,6 +175,24 @@ object PipelineQueries {
         count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("dim"))
 
+  /** Training-shard manifest: hash-assign every document to one of 16
+    * shards (the pack-the-corpus-into-shards step before training) and
+    * report per-shard stats. The md5-based hash is deterministic and
+    * engine-portable; one grouped pass, |shards| result rows. */
+  def shardManifest(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs
+    Tables.documents(s, d)
+      .withColumn("shard",
+        (exprs.md5Lower64(col("doc_id").cast("string"))
+          .bitwiseAND(lit(2147483647L)) % 16).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("shard"))
+  }
+
   /** Centroid classification (embedding-based quality/topic routing):
     * every vector is assigned the label whose centroid it is closest to
     * by cosine. The |labels|×dim centroid matrix is collapsed into a
