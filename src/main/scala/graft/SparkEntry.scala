@@ -55,7 +55,53 @@ object SparkEntry {
       s"""SELECT regexp_extract(filename, '[^/]+$$', 0) AS fname,
          |  size AS length
          |FROM read_blob('$sfDir/*.parquet')
-         |ORDER BY fname""".stripMargin)
+         |ORDER BY fname""".stripMargin) ++
+      graft.ops.PipelineQueries.cachedIvfModel(sfDir)
+        .map(m => "ann_ivf_topk" -> annIvfOracle(m)).toMap
+
+  /** ann_ivf_topk oracle, built from the quantizer that the query run
+    * itself fitted (deterministic seeded fit, cached per corpus dir):
+    * the centroids become VALUES literals, and DuckDB replays cell
+    * assignment (squared-L2 argmin, ties to the lower cell), 4-probe
+    * selection, and the in-cell cosine ranking — so even the ML-model-
+    * backed approximate operator gets a full value-level oracle.
+    * Double.toString emits shortest-round-trip decimals: the parsed
+    * constants are bit-identical on both engines. */
+  private def annIvfOracle(m: graft.sim.Ivf.IvfModel): String = {
+    val dim = m.centroids.head.length
+    val values = m.centroids.zipWithIndex
+      .map { case (c, j) => s"($j, [${c.mkString(", ")}])" }
+      .mkString(", ")
+    s"""WITH cents(cell, cv) AS (VALUES $values),
+       |cd AS (SELECT cell, unnest(range(0, $dim)) AS dim,
+       |         unnest(cv)::DOUBLE AS c FROM cents),
+       |v AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+       |        unnest(embedding)::DOUBLE AS x FROM embeddings),
+       |d2 AS (SELECT v.vec_id, cd.cell,
+       |         sum((v.x - cd.c) * (v.x - cd.c)) AS d
+       |       FROM v JOIN cd ON v.dim = cd.dim GROUP BY 1, 2),
+       |rk AS (SELECT vec_id, cell, row_number() OVER (
+       |         PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d2),
+       |assign AS (SELECT vec_id AS c_id, cell FROM rk WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cell FROM rk
+       |           WHERE vec_id < 10 AND rn <= 4),
+       |pair AS (SELECT p.q_id, a.c_id
+       |         FROM probes p JOIN assign a USING (cell)
+       |         WHERE a.c_id <> p.q_id),
+       |z AS (SELECT pr.q_id, pr.c_id, qv.x AS x, cv2.x AS y
+       |      FROM pair pr
+       |      JOIN v qv ON qv.vec_id = pr.q_id
+       |      JOIN v cv2 ON cv2.vec_id = pr.c_id AND cv2.dim = qv.dim),
+       |sums AS (SELECT q_id, c_id, sum(x*y) AS dt, sum(x*x) AS na,
+       |                sum(y*y) AS nb FROM z GROUP BY 1, 2),
+       |sc AS (SELECT q_id, c_id,
+       |         round(dt / (sqrt(na) * sqrt(nb)), 4) AS score FROM sums),
+       |r AS (SELECT q_id, c_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, c_id) AS INTEGER) AS rnk FROM sc)
+       |SELECT q_id, rnk, c_id, score FROM r WHERE rnk <= 5
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** ann_lsh_topk oracle: the hyperplanes are deterministic constants
     * (Ann.planes, seed 7) — folding the same literals into the SQL lets

@@ -241,6 +241,13 @@ object PipelineQueries {
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Ivf.IvfModel]
 
+  /** Read-only view of the fitted quantizer for `d` (present once the
+    * ann_ivf queries have run in this process). The Verify dump uses it
+    * to fold the trained centroids into the DuckDB oracle as literals —
+    * the same constant-folding pattern as the LSH hyperplane oracle. */
+  def cachedIvfModel(d: String): Option[graft.sim.Ivf.IvfModel] =
+    Option(ivfModels.get(d))
+
   /** Approximate top-5 via IVF (k-means coarse quantizer, 4 probes —
     * tuned so recall@5 clears the ann_ivf_recall bound across scales;
     * 4/16 cells still scans ~25% of the corpus per query vs 100% for
