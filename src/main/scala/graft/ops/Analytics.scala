@@ -908,4 +908,75 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy(col("s_nationkey"))
   }
+
+  /** Hierarchy rollup via a NATIVE recursive CTE (Spark 4.1 UnionLoop):
+    * each part's ancestor chain in the decimal-digit tree
+    * (parent(k) = ⌊k/10⌋) is walked bottom-up, then retail value is
+    * summed per ancestor — the BOM-explosion shape. Recursion is safe
+    * here because a tree gives every node ONE path to the root (Spark
+    * recursion is UNION ALL-only, see RecursiveCteSpec); depth is
+    * log₁₀(maxKey), so the loop runs ~4 iterations regardless of row
+    * count. Cyclic graphs stay on the iterative alternating-min join
+    * (graft.dedup.Components), which scales without per-step dedup. */
+  def qRecursiveBom(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(
+      """WITH RECURSIVE anc(node, a) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION ALL
+        |  SELECT node, CAST(floor(a / 10) AS BIGINT) FROM anc WHERE a > 0
+        |)
+        |SELECT a AS anc_key, CAST(count(*) AS BIGINT) AS n_desc,
+        |  round(sum(p.p_retailprice), 2) AS subtree_value
+        |FROM anc JOIN part p ON p.p_partkey = anc.node
+        |GROUP BY a ORDER BY a""".stripMargin)
+  }
+
+  /** Order-independent table fingerprint: per-row md5-lower-64 of a
+    * canonical field encoding, masked to 63 bits, XOR-folded per group.
+    * XOR is commutative/associative → map-side combinable, one
+    * ~|groups|-row shuffle, no sort — the only audit shape that is
+    * practical at 100 TB (compare fingerprints across replicas /
+    * before-after migrations without moving data). DuckDB's
+    * `md5_number_lower` is the same hash, so the oracle recomputes the
+    * checksum bit-for-bit. */
+  def qTableChecksum(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs
+    val rowStr = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate").cast("date").cast("string"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        exprs.md5Lower64(rowStr).bitwiseAND(lit(Long.MaxValue)).as("_h"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_h)").as("checksum"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Z-order (Morton) clustering audit: interleave the bits of two
+    * bucketed dimensions (customer, order day) into one sort key, then
+    * report the per-z-bucket bounding box of both dimensions. Sorting /
+    * partitioning 100 TB by this key gives every file a SMALL min-max
+    * envelope on BOTH columns, so scans filtered on either dimension
+    * prune most files — multi-dimensional data skipping that a
+    * single-column sort cannot provide. Pure integer bit arithmetic,
+    * fully codegen'd; the oracle replays the same 16 terms. */
+  def qZorderCluster(s: SparkSession, d: String): DataFrame = {
+    val x = floor(col("o_custkey") / 8).cast("int")
+    val y = floor(
+      datediff(to_date(col("o_orderdate")),
+        lit("1995-01-01").cast("date")) / 16).cast("int")
+    val z = (0 until 8).map { i =>
+      shiftright(col("_x"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i)) +
+        shiftright(col("_y"), i).bitwiseAND(lit(1)) * lit(1 << (2 * i + 1))
+    }.reduce(_ + _)
+    Tables.orders(s, d)
+      .select(x.as("_x"), y.as("_y"))
+      .select(col("_x"), col("_y"), z.as("_z"))
+      .groupBy(shiftright(col("_z"), 8).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("_x")).as("min_x"), max(col("_x")).as("max_x"),
+        min(col("_y")).as("min_y"), max(col("_y")).as("max_y"))
+      .orderBy(col("zbucket"))
+  }
 }
