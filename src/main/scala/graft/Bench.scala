@@ -19,7 +19,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the end-of-run state-store/checkpoint WARN spam
+    // (ChecksumCheckpointFileManager etc.) lands in the same 2000-char
+    // stdout tail the driver parses and has pushed the JSON line out of
+    // the window for four straight rounds (BENCH_r01..r04 parsed:null).
+    spark.sparkContext.setLogLevel("ERROR")
     // 1 untimed warmup + best of 2 measured runs: the JIT pays off in
     // the warmup, and min-of-N filters multi-second host stalls that
     // otherwise land on random queries (observed 10x run-to-run noise).
@@ -47,28 +51,14 @@ object Bench {
     val fails = bad.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     // The driver captures only the LAST 2000 chars of stdout and sbt
-    // appends its own "[success] ..." trailer, so a line carrying all
-    // ~100 per-query times (~3000 chars) loses its opening brace and
-    // never parses (BENCH_r01..r03 all have parsed:null). The stdout
-    // line therefore carries a fixed headline subset — one per operator
-    // family plus every historically slow query — and the full map goes
-    // to BENCH_LAST.json (committed alongside the round snapshots).
-    val headline = Seq(
-      "q1_pricing", "q3_shipping", "q5_local_supplier", "q6_forecast",
-      "q_window_topn", "q_topk_per_key", "q_asof_join", "q_range_join",
-      "q_percentile", "q_corr_subquery", "q_bucketed_join",
-      "shred_flatten", "shred_children", "assemble_nested",
-      "json_roundtrip_count", "engine_save_get", "upsert",
-      "stream_window", "stream_sessionize", "stream_join",
-      "stream_watermark_append", "stream_upsert",
-      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-      "dedup_clusters", "dedup_clean", "dedup_keep_best",
-      "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
-      "text_tfidf_top", "text_tokens", "multimodal_decode",
-      "sink_compaction", "source_json_roundtrip")
-    val head = results.filter { case (k, _) => headline.contains(k) }
+    // appends its own "[success] ..." trailer. Rounds 1-4 all ended with
+    // parsed:null because anything sharing that window (per-query maps,
+    // shutdown WARN spam) pushes the opening brace out. So: the stdout
+    // line is MINIMAL (~140 chars, no per-query map), printed after
+    // spark.stop(), with the root log level at ERROR; the full
+    // per-query map goes to BENCH_LAST.json (committed per round).
     val stdoutLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${fmt(head)},"failures":$fails,"sf":"$sfDir","full":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"failures":$fails,"full":"BENCH_LAST.json"}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"failures":$fails,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(

@@ -158,6 +158,7 @@ object SparkEntry {
     "schema_evolution" -> (JsonQueries.schemaEvolution _),
     "json_roundtrip_count" -> (JsonQueries.roundtripCount _),
     "engine_save_get" -> (JsonQueries.engineSaveGet _),
+    "engine_delete" -> (JsonQueries.engineDelete _),
     // §2.2 bulk analytic SQL
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_shipping" -> (Analytics.q3Shipping _),
@@ -217,6 +218,9 @@ object SparkEntry {
     "q_scd2_build" -> (Analytics.qScd2Build _),
     "q_lateral_topn" -> (Analytics.qLateralTopN _),
     "q_market_basket" -> (Analytics.qMarketBasket _),
+    "q_recursive_bom" -> (Analytics.qRecursiveBom _),
+    "q_table_checksum" -> (Analytics.qTableChecksum _),
+    "q_zorder_cluster" -> (Analytics.qZorderCluster _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
@@ -368,6 +372,11 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
         |   WHERE l_orderkey = 100) AS n_items
         |FROM orders WHERE o_orderkey = 100""".stripMargin,
+    "engine_delete" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -926,6 +935,44 @@ object SparkEntry {
         |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b
         |LIMIT 20""".stripMargin,
+    "q_recursive_bom" ->
+      """WITH RECURSIVE anc(node, a) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION ALL
+        |  SELECT node, CAST(floor(a / 10) AS BIGINT) FROM anc WHERE a > 0
+        |)
+        |SELECT a AS anc_key, CAST(count(*) AS BIGINT) AS n_desc,
+        |  round(sum(p.p_retailprice), 2) AS subtree_value
+        |FROM anc JOIN part p ON p.p_partkey = anc.node
+        |GROUP BY a ORDER BY a""".stripMargin,
+    "q_table_checksum" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(CAST(md5_number_lower(concat_ws('|',
+        |      l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+        |      CAST(CAST(l_shipdate AS DATE) AS VARCHAR)))
+        |    & 9223372036854775807 AS BIGINT)) AS checksum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_zorder_cluster" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(o_custkey / 8) AS INTEGER) AS x,
+        |    CAST(floor(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) / 16) AS INTEGER) AS y
+        |  FROM orders),
+        |zz AS (
+        |  SELECT x, y,
+        |    ((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2 +
+        |    ((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8 +
+        |    ((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32 +
+        |    ((x >> 3) & 1) * 64 + ((y >> 3) & 1) * 128 +
+        |    ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512 +
+        |    ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048 +
+        |    ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192 +
+        |    ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 AS zv
+        |  FROM b)
+        |SELECT zv >> 8 AS zbucket, count(*) AS n,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y
+        |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lateral_topn" ->
       """SELECT n_name, s.s_name, s.s_acctbal
         |FROM nation n, LATERAL (

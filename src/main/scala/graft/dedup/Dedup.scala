@@ -21,12 +21,16 @@ object Dedup {
 
   def clean(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minSim: Double = 0.5): DataFrame = {
-    // pass 1: canonical-form exact dedup
+    // pass 1: canonical-form exact dedup. Cached: the survivor frame is
+    // read four times downstream (signatures, both verify sides, the
+    // final anti-join) — without the cache each read re-pays the
+    // fingerprint groupBy + semi-join (measured as the r4 bench
+    // doubling once inter-query cache reuse went away).
     val withFp = docs.withColumn("_fp", TextOps.fingerprint(col(textCol)))
     val keepIds = withFp.groupBy(col("_fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val exactKept = docs.join(keepIds, Seq(idCol), "left_semi")
+    val exactKept = docs.join(keepIds, Seq(idCol), "left_semi").cache()
 
     // pass 2: near-dup clusters among the survivors — LSH candidates
     // verified against exact Jaccard, so the removal threshold acts on

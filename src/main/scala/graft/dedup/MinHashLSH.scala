@@ -131,13 +131,23 @@ object MinHashLSH {
   def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, cfg: Config = Config()): DataFrame = {
     val minEst = math.max(0.0, minJaccard - 0.3)
-    val sigs = signatures(docs, idCol, textCol, cfg).cache()
-    val cands = candidatePairs(sigs, cfg)
-      .filter(col("est_sim") >= minEst)
+    // ONE shingle pass feeds both the signature stage and the exact
+    // verification sides: the shingle frame is cached and signatures
+    // derive from it, instead of re-shingling the corpus three times
+    // (sigs + each verify side). The cached frames are the in-process
+    // stand-in for the stored signature index a production pipeline
+    // maintains; Dedup.clean reuses them for its second pass.
     val sh = docs
       .select(col(idCol).as("id"),
         graft.functions.exprs.shingles(col(textCol), cfg.shingleK).as("_sh"))
       .filter(size(col("_sh")) > 0)
+      .cache()
+    val sigs = sh
+      .select(col("id"),
+        graft.functions.exprs.minhashSigs(col("_sh"), cfg.numPerms).as("sigs"))
+      .cache()
+    val cands = candidatePairs(sigs, cfg)
+      .filter(col("est_sim") >= minEst)
     val sa = sh.select(col("id").as("id_a"), col("_sh").as("_sha"))
     val sb = sh.select(col("id").as("id_b"), col("_sh").as("_shb"))
     cands.join(sa, "id_a").join(sb, "id_b")

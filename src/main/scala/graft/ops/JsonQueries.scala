@@ -231,6 +231,26 @@ object JsonQueries {
         .cast("long").as("n_items"))
   }
 
+  /** Engine keyed delete (reference DELETE-by-rowNum analogue): save a
+    * table through the facade, staged-rewrite-delete every 7th key, and
+    * aggregate what survives — so the driver gate exercises the same
+    * `rewriteStaged` swap path crash-tested in EngineSpec. Oracle is the
+    * equivalent anti-filter over the source parquet. */
+  def engineDelete(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_engine_del").toString
+    val eng = new graft.Engine(s, wh)
+    val docs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("rowNum"), col("o_orderstatus"),
+        col("o_totalprice"))
+    eng.save(docs, "order")
+    eng.delete("order", docs.filter(col("rowNum") % 7 === 0).select("rowNum"))
+    eng.table("order")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Shred→assemble roundtrip integrity over all orders. */
   def roundtripCount(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)

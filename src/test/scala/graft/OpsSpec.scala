@@ -98,4 +98,55 @@ class OpsSpec extends SparkSuite {
       .agg(sum(col("n"))).head().getLong(0)
     assert(total == Tables.orders(spark, sf).count())
   }
+
+  test("recursive BOM matches a driver-side chain walk") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"))
+      .as[(Long, Double)].collect()
+    // chain for key k: k itself plus every floor-div-10 ancestor down to 0
+    val chains = parts.flatMap { case (k, v) =>
+      (Iterator.single(k) ++ Iterator.iterate(k)(_ / 10)
+        .takeWhile(_ > 0).map(_ / 10)).map(a => (a, v)).toSeq
+    }
+    val exp = chains.groupBy(_._1).map { case (a, vs) =>
+      a -> (vs.length.toLong, vs.map(_._2).sum)
+    }
+    val got = Analytics.qRecursiveBom(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, n, v) => a -> (n, v) }.toMap
+    assert(got.keySet == exp.keySet)
+    for ((a, (n, v)) <- exp) {
+      assert(got(a)._1 == n, s"anc $a count")
+      assert(math.abs(got(a)._2 - v) < 0.02, s"anc $a value")
+    }
+  }
+
+  test("table checksum is invariant under repartitioning") {
+    val a = Analytics.qTableChecksum(spark, sf).collect().toSeq
+    val shuffled = Tables.lineitem(spark, sf).repartition(17)
+    shuffled.createOrReplaceTempView("_ck_shuffled")
+    // re-run the same fingerprint over a physically reshuffled table
+    import graft.functions.exprs
+    val rowStr = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate").cast("date").cast("string"))
+    val b = shuffled
+      .select(col("l_returnflag"),
+        exprs.md5Lower64(rowStr).bitwiseAND(lit(Long.MaxValue)).as("_h"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_h)").as("checksum"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    assert(a == b, "checksum changed under repartition")
+  }
+
+  test("z-order buckets bound both dimensions to 16-wide boxes") {
+    val rows = Analytics.qZorderCluster(spark, sf)
+      .select(col("min_x"), col("max_x"), col("min_y"), col("max_y"))
+      .as[(Int, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    for ((minX, maxX, minY, maxY) <- rows) {
+      assert(maxX - minX <= 15, s"x box too wide: $minX..$maxX")
+      assert(maxY - minY <= 15, s"y box too wide: $minY..$maxY")
+    }
+  }
 }
