@@ -90,8 +90,19 @@ class Engine(spark: SparkSession, warehouse: String) {
     tables.keys.toSeq.sorted
   }
 
-  /** Load a stored table. */
-  def table(name: String): DataFrame = spark.read.parquet(dir(name))
+  /** Load a stored table. A reader that lands inside a staged-swap
+    * window (live renamed to `__old`, staged not yet published) falls
+    * back to `__old` — concurrent readers see the previous or the new
+    * version of the table, never a vanished one. The fallback re-checks
+    * live last so a swap completing mid-call still resolves. */
+  def table(name: String): DataFrame = {
+    val f = fs
+    if (!f.exists(new Path(dir(name))) &&
+        f.exists(new Path(dir(name) + "__old")) &&
+        !f.exists(new Path(dir(name))))
+      spark.read.parquet(dir(name) + "__old")
+    else spark.read.parquet(dir(name))
+  }
 
   /** Register every manifest table as a temp view and run SQL. */
   def sql(query: String): DataFrame = {

@@ -237,9 +237,25 @@ object PipelineQueries {
 
   /** Cached IVF quantizers, keyed by corpus dir: fit once (on a bounded
     * sample), query many — a per-query KMeans fit would bury an ML
-    * training job inside every search at scale. */
+    * training job inside every search at scale. Backed by a persisted
+    * model artifact (Ivf.save/load) so separate processes over the same
+    * corpus reuse one quantizer instead of refitting; the fit itself is
+    * also layout-independent (see Ivf.fit), so a cold refit reproduces
+    * the artifact bit-for-bit. */
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Ivf.IvfModel]
+
+  private def ivfModelFor(s: SparkSession, d: String): graft.sim.Ivf.IvfModel =
+    ivfModels.computeIfAbsent(d, _ => {
+      val store = sys.props("java.io.tmpdir") + "/graft_ivf_" +
+        java.util.UUID.nameUUIDFromBytes(
+          d.getBytes(java.nio.charset.StandardCharsets.UTF_8)) + ".txt"
+      graft.sim.Ivf.load(s, store).getOrElse {
+        val m = graft.sim.Ivf.fit(Tables.embeddings(s, d), 16)
+        graft.sim.Ivf.save(s, m, store)
+        m
+      }
+    })
 
   /** Read-only view of the fitted quantizer for `d` (present once the
     * ann_ivf queries have run in this process). The Verify dump uses it
@@ -254,7 +270,7 @@ object PipelineQueries {
     * brute force). */
   def annIvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val model = ivfModels.computeIfAbsent(d, _ => graft.sim.Ivf.fit(emb, 16))
+    val model = ivfModelFor(s, d)
     graft.sim.Ivf.topK(emb, emb.filter(col("vec_id") < 10), 5, model, 4)
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -318,7 +334,7 @@ object PipelineQueries {
   def annIvfRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
-    val model = ivfModels.computeIfAbsent(d, _ => graft.sim.Ivf.fit(emb, 16))
+    val model = ivfModelFor(s, d)
     val ivf = graft.sim.Ivf.topK(emb, q, 5, model, 4)
       .select(col("q_id"), col("c_id"))
     val brute = Ann.bruteTopK(emb, q, 5)

@@ -29,30 +29,56 @@ object Ivf {
   /** Trained coarse quantizer: k cell centroids. */
   case class IvfModel(centroids: Array[Array[Double]])
 
-  /** Train the coarse quantizer on a bounded sample: a cheap hash
-    * filter spreads the picks across the corpus and the limit
-    * early-terminates the scan at `maxSample` vectors. If the filter
-    * leaves fewer than k vectors (tiny corpus / unlucky ids), fall
-    * back to the unfiltered head so KMeans always has enough points.
-    * Reproducible for a fixed partition layout (limit() takes the
-    * first-answering partitions, so a cluster relayout can shift the
-    * sample — persist the model when exact reproducibility matters). */
+  /** Train the coarse quantizer on a bounded sample. The sample is the
+    * `maxSample` lowest values of a seeded id hash with an id tiebreak:
+    * a deterministic FUNCTION OF THE DATA, independent of partition
+    * count, file layout, or which partitions answer first (the hazard
+    * of a bare `limit()`). Physically this is TakeOrderedAndProject —
+    * per-partition bounded heaps, no full sort/shuffle — and the
+    * single-partition, deterministically-ordered sample makes the
+    * seeded KMeans fit itself reproducible, so the SAME centroids come
+    * out on any cluster relayout. For cross-process reuse persist with
+    * `save`/`load`. */
   def fit(corpus: DataFrame, k: Int, seed: Long = 11L,
       maxSample: Int = 2048): IvfModel = {
-    val spread = corpus
-      .filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(4)) === 0)
+    val sample = corpus
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
       .limit(maxSample)
       .select(array_to_vector(col("embedding").cast("array<double>"))
         .as("features"))
-      .cache()
-    val sample =
-      if (spread.count() >= k) spread
-      else corpus.limit(maxSample)
-        .select(array_to_vector(col("embedding").cast("array<double>"))
-          .as("features"))
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(sample)
-    spread.unpersist()
     IvfModel(km.clusterCenters.map(_.toArray))
+  }
+
+  /** Persist the quantizer as a text artifact: one line per centroid,
+    * comma-joined shortest-round-trip doubles — bit-exact on reload,
+    * engine-portable, and diffable. Goes through the Hadoop FileSystem
+    * API so the same code writes `file:`/`hdfs:`/`s3a:` model stores. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: IvfModel,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(model.centroids.map(_.mkString(","))
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Reload a persisted quantizer; None when no artifact exists. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[IvfModel] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(IvfModel(text.split("\n").filter(_.nonEmpty)
+        .map(_.split(",").map(_.toDouble))))
+    }
   }
 
   /** Nearest-cell id for each corpus vector. Cell assignment runs over

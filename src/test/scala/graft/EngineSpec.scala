@@ -248,6 +248,54 @@ class FacadeSpec extends SparkSuite {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("double-crash leftovers: stale __staged AND __old beside a live " +
+      "table never shadow it") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_dc").toString
+    val eng = new Engine(spark, wh)
+    eng.save(Seq((1L, "live"), (2L, "live")).toDF("rowNum", "name"), "kv")
+    // a STALE __old holding real (outdated) parquet — e.g. a crash after
+    // moveaside in run A, then run B restored+succeeded, then run C
+    // crashed after moveaside again before this process saw the dir —
+    // plus a half-written __staged. Live is authoritative.
+    eng.save(Seq((1L, "stale")).toDF("rowNum", "name"), "tmp_old")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$wh/tmp_old"),
+      java.nio.file.Paths.get(s"$wh/kv__old"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wh/kv__staged"))
+    eng.upsert("kv", Seq((3L, "new")).toDF("rowNum", "name"))
+    val got = eng.table("kv").orderBy("rowNum")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "live"), (2L, "live"), (3L, "new")),
+      "stale __old leaked into the rewrite")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/kv__old")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/kv__staged")))
+  }
+
+  test("a reader inside the swap window sees the previous version, " +
+      "never a vanished table") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_rw").toString
+    val eng = new Engine(spark, wh)
+    eng.save(Seq((1L, "a"), (2L, "b")).toDF("rowNum", "name"), "kv")
+    // freeze the table mid-swap: live renamed away, staged not published
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$wh/kv"),
+      java.nio.file.Paths.get(s"$wh/kv__old"))
+    val midSwap = eng.table("kv").orderBy("rowNum")
+      .as[(Long, String)].collect().toSeq
+    assert(midSwap == Seq((1L, "a"), (2L, "b")),
+      "mid-swap reader did not fall back to __old")
+    // swap completes; a fresh read resolves to the (restored) live dir
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$wh/kv__old"),
+      java.nio.file.Paths.get(s"$wh/kv"))
+    assert(eng.table("kv").count() == 2L)
+  }
+
   test("Engine works against an explicit file: URI warehouse") {
     import spark.implicits._
     val wh = "file:" +
@@ -571,6 +619,26 @@ class IvfSpec extends SparkSuite {
     val viaHof = emb.select(col("vec_id"), bits.reduce(_ + _).as("b"))
     assert(viaKernel.exceptAll(viaHof).isEmpty &&
       viaHof.exceptAll(viaKernel).isEmpty)
+  }
+
+  test("fit is layout-independent and the model round-trips save/load") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val a = graft.sim.Ivf.fit(emb, 8)
+    // a relayout (different partition count AND order) must not move
+    // the sample, hence not the centroids
+    val b = graft.sim.Ivf.fit(emb.repartition(7), 8)
+    val c = graft.sim.Ivf.fit(emb.coalesce(1), 8)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq,
+      "centroids changed under repartition(7)")
+    assert(a.centroids.map(_.toSeq).toSeq == c.centroids.map(_.toSeq).toSeq,
+      "centroids changed under coalesce(1)")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivf").toString + "/model.txt"
+    graft.sim.Ivf.save(spark, a, store)
+    val back = graft.sim.Ivf.load(spark, store).get
+    assert(a.centroids.map(_.toSeq).toSeq ==
+      back.centroids.map(_.toSeq).toSeq, "save/load not bit-exact")
+    assert(graft.sim.Ivf.load(spark, store + ".absent").isEmpty)
   }
 
   test("IVF top-k recalls most of brute-force top-k") {
