@@ -271,6 +271,9 @@ object SparkEntry {
     "text_tokens" -> (PipelineQueries.textTokens _),
     "text_quality" -> (PipelineQueries.textQuality _),
     "text_langid" -> (PipelineQueries.textLangid _),
+    "text_repetition" -> (PipelineQueries.textRepetition _),
+    "text_entropy" -> (PipelineQueries.textEntropy _),
+    "text_pii_scrub" -> (PipelineQueries.textPiiScrub _),
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
     "text_levenshtein" -> (PipelineQueries.textLevenshtein _),
     "text_top_ngrams" -> (PipelineQueries.textTopNgrams _),
@@ -1507,6 +1510,47 @@ object SparkEntry {
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, greatest(len(t) - 4, 0) AS total,
+        |    list_transform(range(greatest(len(t) - 4, 0)),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |           t[i+4] || ' ' || t[i+5]) AS grams
+        |  FROM t)
+        |SELECT doc_id, CAST(total AS BIGINT) AS n_grams,
+        |  CASE WHEN total > 0
+        |    THEN round(1.0 - len(list_distinct(grams))::DOUBLE / total, 4)
+        |    ELSE 0.0 END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM tk
+        |      WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id ||
+        |    '@example.com or 555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\d{3}-\d{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  CAST(length(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{4}', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len
+        |FROM p ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -476,6 +476,59 @@ object PipelineQueries {
           (lit(1.0) - col("stop_ratio")), 4))
       .orderBy(col("doc_id"))
 
+  /** Intra-document repetition ratio — the duplicate-5-gram-fraction
+    * quality filter (Gopher-style repetition rule): 1 − distinct/total
+    * 5-grams. Pure per-row column arithmetic on the codegen'd shingle
+    * kernel; no shuffle at any scale. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        greatest(size(TextOps.tokens(col("text"))) - 4, lit(0)).as("_total"),
+        size(graft.functions.exprs.shingles(col("text"), 5)).as("_distinct"))
+      .select(col("doc_id"),
+        col("_total").cast("long").as("n_grams"),
+        when(col("_total") > 0,
+          round(lit(1.0) - col("_distinct").cast("double") / col("_total"), 4))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Per-document token Shannon entropy — the vocabulary-diversity
+    * quality signal (boilerplate and template spam score low). Two
+    * narrow shuffles, both keyed and partial-aggregable: (doc, token)
+    * counts then per-doc fold of log2(n) − Σ c·log2(c) / n. */
+  def textEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("_n"),
+        sum(col("c").cast("double") * log2(col("c"))).as("_s"))
+      .select(col("doc_id"),
+        col("_n").cast("long").as("n_tokens"),
+        round(log2(col("_n")) - col("_s") / col("_n"), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** PII scrubbing: count and redact email/phone patterns. The corpus
+    * is word salad, so deterministic synthetic PII is injected per doc
+    * first — the scrub machinery (regexp count + nested redact) is
+    * real, and the oracle replays injection and scrub exactly. Per-row
+    * regex work, embarrassingly parallel at any scale. */
+  def textPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val phone = "\\d{3}-\\d{4}"
+    val withPii = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+    withPii.select(col("doc_id"),
+      regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+      regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
+      length(regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+        phone, "<PHONE>")).cast("long").as("scrubbed_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stopword-marker language ID (n-gram heuristic family). */
   def textLangid(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
