@@ -219,6 +219,7 @@ object SparkEntry {
     "q_lateral_topn" -> (Analytics.qLateralTopN _),
     "q_market_basket" -> (Analytics.qMarketBasket _),
     "q_recursive_bom" -> (Analytics.qRecursiveBom _),
+    "q_pagerank" -> (Analytics.qPagerank _),
     "q_table_checksum" -> (Analytics.qTableChecksum _),
     "q_zorder_cluster" -> (Analytics.qZorderCluster _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
@@ -264,6 +265,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (PipelineQueries.annIvfTopK _),
     "ann_ivf_recall" -> (PipelineQueries.annIvfRecall _),
     "q_sample_stratified" -> (PipelineQueries.sampleStratified _),
+    "q_sample_reservoir" -> (PipelineQueries.sampleReservoir _),
     "text_bigram_lift" -> (PipelineQueries.textBigramLift _),
     "text_tfidf_top" -> (PipelineQueries.textTfidfTop _),
     "dedup_containment" -> (PipelineQueries.dedupContainment _),
@@ -740,6 +742,18 @@ object SparkEntry {
         |  CASE WHEN source IN ('src0','src1','src2','src3','src4')
         |       THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_reservoir" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+        |      & 9223372036854775807 AS BIGINT) AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY hh, doc_id) AS BIGINT) AS rn
+        |  FROM h)
+        |SELECT source, rn, doc_id FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
     "dedup_containment" ->
       s"""WITH ${shingleCte("documents")},
          |p AS (
@@ -948,6 +962,33 @@ object SparkEntry {
         |  round(sum(p.p_retailprice), 2) AS subtree_value
         |FROM anc JOIN part p ON p.p_partkey = anc.node
         |GROUP BY a ORDER BY a""".stripMargin,
+    "q_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a, b FROM pairs
+        |      UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |deg AS (SELECT a AS node, count(*)::DOUBLE AS deg
+        |        FROM e GROUP BY 1),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+        |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM deg, nn),
+        |r1 AS (SELECT e.b AS node,
+        |         0.15 / any_value(nn.n) + 0.85 * sum(r.rank / d.deg) AS rank
+        |       FROM e JOIN r0 r ON r.node = e.a
+        |         JOIN deg d ON d.node = e.a, nn GROUP BY e.b),
+        |r2 AS (SELECT e.b AS node,
+        |         0.15 / any_value(nn.n) + 0.85 * sum(r.rank / d.deg) AS rank
+        |       FROM e JOIN r1 r ON r.node = e.a
+        |         JOIN deg d ON d.node = e.a, nn GROUP BY e.b),
+        |r3 AS (SELECT e.b AS node,
+        |         0.15 / any_value(nn.n) + 0.85 * sum(r.rank / d.deg) AS rank
+        |       FROM e JOIN r2 r ON r.node = e.a
+        |         JOIN deg d ON d.node = e.a, nn GROUP BY e.b)
+        |SELECT * FROM (
+        |  SELECT CAST((node - 1) / 2 AS BIGINT) AS s_suppkey,
+        |    round(rank, 6) AS rank
+        |  FROM r3 WHERE node % 2 = 1)
+        |ORDER BY rank DESC, s_suppkey LIMIT 20""".stripMargin,
     "q_table_checksum" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  bit_xor(CAST(md5_number_lower(concat_ws('|',

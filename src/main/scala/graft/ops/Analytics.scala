@@ -979,4 +979,47 @@ object Analytics {
         min(col("_y")).as("min_y"), max(col("_y")).as("max_y"))
       .orderBy(col("zbucket"))
   }
+
+  /** PageRank (3 iterations, damping 0.85) over the bipartite
+    * customer↔supplier trade graph — the iterative-graph-analytics
+    * shape beyond connected components (graft.dedup.Components):
+    * each iteration is one join of the rank vector against the edge
+    * list plus one node-keyed aggregation, both partial-aggregable,
+    * so an iteration costs exactly one |edges|-row shuffle at any
+    * scale. The iteration count is FIXED (not run-to-convergence), so
+    * the DuckDB oracle replays the same three unrolled steps exactly.
+    * Node ids: customers even (2k), suppliers odd (2k+1). */
+  def qPagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    val deg = edges.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+      .cache()
+    val nNodes = broadcast(deg.agg(count(lit(1)).cast("double").as("_n")))
+    var ranks = deg.crossJoin(nNodes)
+      .select(col("node"), (lit(1.0) / col("_n")).as("rank"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "a"), Seq("a"))
+        .join(deg.withColumnRenamed("node", "a"), Seq("a"))
+        .groupBy(col("b").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("_in"))
+      ranks = contrib.crossJoin(nNodes)
+        .select(col("node"),
+          (lit(0.15) / col("_n") + lit(0.85) * col("_in")).as("rank"))
+    }
+    ranks
+      .filter(col("node") % 2 === 1)
+      .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
+        round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("s_suppkey"))
+      .limit(20)
+  }
 }

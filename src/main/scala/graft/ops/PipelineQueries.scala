@@ -366,6 +366,26 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic per-group reservoir sample: the k docs per source
+    * with the lowest md5(doc_id) — a uniform-at-random draw that is
+    * reproducible across runs, engines, and cluster topologies (no
+    * rand()). Plans as the bounded-heap window top-k (RewriteWindowTopK
+    * applies), so each partition forwards ≤k rows per group — the only
+    * per-group sampling shape that survives 100 TB. */
+  def sampleReservoir(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("_h"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("_h",
+        graft.functions.exprs.md5Lower64(col("doc_id").cast("string"))
+          .bitwiseAND(lit(Long.MaxValue)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   /** Asymmetric n-gram containment |A∩B|/|A| on adjacent-id pairs —
     * catches sub-document duplication (one doc embedded in another)
     * that symmetric Jaccard under-scores. */
