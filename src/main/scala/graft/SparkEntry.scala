@@ -746,7 +746,7 @@ object SparkEntry {
       """WITH h AS (
         |  SELECT source, doc_id,
         |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
-        |      & 9223372036854775807 AS BIGINT) AS hh
+        |      & 1125899906842623 AS BIGINT) AS hh
         |  FROM documents),
         |r AS (
         |  SELECT source, doc_id, CAST(row_number() OVER (

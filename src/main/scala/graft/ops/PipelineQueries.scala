@@ -374,12 +374,22 @@ object PipelineQueries {
     * per-group sampling shape that survives 100 TB. */
   def sampleReservoir(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // score = NEGATED 50-bit hash as double: lowest-hash-first becomes
+    // the (score DESC, id ASC) shape RewriteWindowTopK turns into the
+    // bounded-heap aggregate. 50 bits keeps the long→double conversion
+    // exact (< 2^53); doc_id breaks the (negligible) collisions.
     val w = Window.partitionBy(col("source"))
-      .orderBy(col("_h"), col("doc_id"))
+      .orderBy(col("_score").desc, col("doc_id"))
     Tables.documents(s, d)
-      .withColumn("_h",
-        graft.functions.exprs.md5Lower64(col("doc_id").cast("string"))
-          .bitwiseAND(lit(Long.MaxValue)))
+      .select(col("source"), col("doc_id"),
+        // coalesce-with-literal makes _score non-nullable BY TYPE (the
+        // branch never fires: doc_id is filtered non-null below), which
+        // together with the doc_id isNotNull constraint proves the
+        // null-safety the rewrite demands — parquet attrs are nullable
+        coalesce((graft.functions.exprs.md5Lower64(col("doc_id").cast("string"))
+          .bitwiseAND(lit((1L << 50) - 1)) * -1).cast("double"), lit(0.0))
+          .as("_score"))
+      .filter(col("doc_id").isNotNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"))

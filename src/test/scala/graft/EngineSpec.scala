@@ -562,6 +562,13 @@ class RewriteWindowTopKSpec extends SparkSuite {
       .collect().toSeq
     assert(viaRule.map(_.toSeq) == direct.map(_.toSeq))
   }
+
+  test("q_sample_reservoir plans through the bounded-heap rewrite") {
+    val df = graft.ops.PipelineQueries.sampleReservoir(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan
+    assert(optimized.collect { case w: LWindow => w }.isEmpty,
+      "reservoir sample should not shuffle full groups through a window")
+  }
 }
 
 class ExtensionsSpec extends SparkSuite {
