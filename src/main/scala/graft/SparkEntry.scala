@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, JsonQueries, PipelineQueries}
+import graft.ops.{Analytics, JsonQueries, PipelineQueries, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -222,6 +222,10 @@ object SparkEntry {
     "q_pagerank" -> (Analytics.qPagerank _),
     "q_table_checksum" -> (Analytics.qTableChecksum _),
     "q_zorder_cluster" -> (Analytics.qZorderCluster _),
+    "q_cdc_apply" -> (Warehouse.qCdcApply _),
+    "q_incremental_agg" -> (Warehouse.qIncrementalAgg _),
+    "q_dynamic_prune" -> (Warehouse.qDynamicPrune _),
+    "q_triangle_count" -> (Analytics.qTriangleCount _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
@@ -276,6 +280,9 @@ object SparkEntry {
     "text_repetition" -> (PipelineQueries.textRepetition _),
     "text_entropy" -> (PipelineQueries.textEntropy _),
     "text_pii_scrub" -> (PipelineQueries.textPiiScrub _),
+    "text_lm_score" -> (PipelineQueries.textLmScore _),
+    "dedup_url" -> (PipelineQueries.dedupUrl _),
+    "q_sample_weighted" -> (PipelineQueries.sampleWeighted _),
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
     "text_levenshtein" -> (PipelineQueries.textLevenshtein _),
     "text_top_ngrams" -> (PipelineQueries.textTopNgrams _),
@@ -1017,6 +1024,121 @@ object SparkEntry {
         |  min(x) AS min_x, max(x) AS max_x,
         |  min(y) AS min_y, max(y) AS max_y
         |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey AS k, o_orderkey AS ok, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |chg AS (
+        |  SELECT k,
+        |    CASE WHEN ok % 3 = 0 THEN 'D' WHEN ok % 3 = 1 THEN 'U'
+        |         ELSE 'I' END AS op,
+        |    o_totalprice AS newbal
+        |  FROM ranked WHERE rn = 1),
+        |base AS (SELECT c_custkey AS k, c_acctbal AS bal,
+        |    c_mktsegment AS seg FROM customer),
+        |surv AS (SELECT k, bal, seg FROM base WHERE k NOT IN
+        |  (SELECT k FROM chg WHERE op IN ('D', 'U'))),
+        |upd AS (SELECT b.k, c.newbal AS bal, b.seg
+        |  FROM base b JOIN chg c ON b.k = c.k AND c.op = 'U'),
+        |ins AS (SELECT k + 1000000 AS k, newbal AS bal, 'NEW' AS seg
+        |  FROM chg WHERE op = 'I'),
+        |fin AS (SELECT * FROM surv UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(bal), 2) AS total_bal
+        |FROM fin GROUP BY seg ORDER BY seg""".stripMargin,
+    "q_incremental_agg" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    o_totalprice, o_orderdate FROM orders),
+        |state AS (SELECT month, count(*) AS n, sum(o_totalprice) AS t
+        |  FROM m WHERE o_orderdate < TIMESTAMP '1997-07-01' GROUP BY 1),
+        |delta AS (SELECT month, count(*) AS n, sum(o_totalprice) AS t
+        |  FROM m WHERE o_orderdate >= TIMESTAMP '1997-07-01' GROUP BY 1),
+        |merged AS (
+        |  SELECT coalesce(s.month, d.month) AS month,
+        |    coalesce(s.n, 0) + coalesce(d.n, 0) AS n,
+        |    coalesce(s.t, 0) + coalesce(d.t, 0) AS tot
+        |  FROM state s FULL OUTER JOIN delta d ON s.month = d.month),
+        |fullr AS (SELECT month, count(*) AS fn, sum(o_totalprice) AS ftot
+        |  FROM m GROUP BY 1)
+        |SELECT mg.month, CAST(mg.n AS BIGINT) AS n,
+        |  round(mg.tot, 2) AS total,
+        |  (mg.n = f.fn AND abs(mg.tot - f.ftot) < 0.01) AS matches_full
+        |FROM merged mg JOIN fullr f ON mg.month = f.month
+        |ORDER BY mg.month""".stripMargin,
+    "q_dynamic_prune" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE year(o_orderdate) % 3 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_triangle_count" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+        |  FROM ls x JOIN ls y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_suppkey < y.l_suppkey),
+        |n AS (SELECT count(*) AS n_nodes FROM
+        |  (SELECT a AS v FROM e UNION SELECT b FROM e)),
+        |m AS (SELECT count(*) AS n_edges FROM e),
+        |t AS (SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_triangles AS BIGINT) AS n_triangles
+        |FROM n, m, t""".stripMargin,
+    "text_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM tk
+        |      WHERE tok <> '' GROUP BY 1, 2),
+        |f AS (SELECT tok, sum(c) AS f FROM c GROUP BY 1),
+        |n AS (SELECT sum(c) AS n FROM c)
+        |SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_tokens,
+        |  round(sum(c.c * -log2(f.f / n.n)) / sum(c.c), 4) AS lm_bits
+        |FROM c JOIN f USING (tok) CROSS JOIN n
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example'
+        |                ELSE 'https://www.example' END,
+        |      CAST(doc_id % 50 AS VARCHAR), '.COM:443/items/',
+        |      CAST(doc_id % 20 AS VARCHAR),
+        |      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+        |      '?utm_source=feed&b=2&id=', CAST(doc_id % 10 AS VARCHAR),
+        |      '&a=1',
+        |      CASE WHEN doc_id % 3 = 0 THEN '#section' ELSE '' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(nf, '^[^?]*', 0)), ':443', ''),
+        |    '/$', '') AS base,
+        |  regexp_extract(nf, '\?(.*)$', 1) AS q FROM s1),
+        |s3 AS (SELECT doc_id, concat(base, '?',
+        |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |    p -> p NOT LIKE 'utm_%')), '&')) AS canon FROM s2)
+        |SELECT canon, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper
+        |FROM s3 GROUP BY canon ORDER BY canon""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+        |        & 1125899906842623 AS BIGINT)::DOUBLE / n_chars AS k
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (
+        |  SELECT source, doc_id, n_chars, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY k, doc_id) AS BIGINT) AS rn
+        |  FROM h)
+        |SELECT source, rn, doc_id, n_chars
+        |FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
     "q_lateral_topn" ->
       """SELECT n_name, s.s_name, s.s_acctbal
         |FROM nation n, LATERAL (

@@ -1022,4 +1022,35 @@ object Analytics {
       .orderBy(col("rank").desc, col("s_suppkey"))
       .limit(20)
   }
+
+  /** Triangle counting on the supplier co-occurrence graph (suppliers
+    * that ship in the same order) — the clustering-coefficient /
+    * community-density primitive next to PageRank and connected
+    * components. Edges are oriented low-id → high-id so each triangle
+    * is counted exactly once, and the count is two edge-keyed
+    * equi-joins — no cartesian anywhere. Pair-gen is bounded by
+    * per-order supplier count k (O(|orders|·k²), the market-basket
+    * bound); at 100 TB the standard refinement is orienting edges by
+    * degree instead of id, which caps the join fan-out at O(E^1.5). */
+  def qTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val ls = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val e = ls.as("x")
+      .join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+      .distinct()
+      .cache()
+    val nNodes = e.select(col("a").as("v"))
+      .union(e.select(col("b"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nTri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
 }

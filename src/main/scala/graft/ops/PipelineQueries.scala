@@ -647,4 +647,92 @@ object PipelineQueries {
         round(expr("aggregate(features, 0D, (acc, x) -> acc + x)"), 4)
           .as("feat_sum"))
       .orderBy(col("doc_id"))
+
+  /** Unigram-LM quality score: per-document mean token surprisal
+    * (cross-entropy in bits) under the corpus's own unigram language
+    * model — the classic perplexity-proxy filter for training data
+    * (template spam scores low, lexically-unusual noise scores high).
+    *
+    * Three partial-aggregable shuffles: (doc,token) counts, the
+    * vocabulary-keyed frequency table, and the per-doc fold; the 1-row
+    * corpus total broadcasts. The token-keyed join is vocabulary-sized,
+    * not corpus-sized — at 100 TB the frequency table is a few GB and
+    * broadcast-joins against the (doc,token) stream. */
+  def textLmScore(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .cache()
+    val f = c.groupBy(col("tok")).agg(sum(col("c")).as("f"))
+    val n = broadcast(c.agg(sum(col("c")).as("n")))
+    c.join(f, Seq("tok")).crossJoin(n)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        round(sum(col("c") * -log2(col("f") / col("n"))) / sum(col("c")), 4)
+          .as("lm_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL-canonicalization dedup — the first dedup pass every web-crawl
+    * corpus runs (CommonCrawl-style): normalize scheme/host case, strip
+    * the default port, the fragment, tracking (`utm_*`) parameters and
+    * the trailing slash, sort the surviving query parameters, then
+    * group by the canonical form. The corpus is synthetic, so messy
+    * URL variants are injected deterministically per doc (same pattern
+    * as `text_pii_scrub`) and the oracle replays injection and
+    * canonicalization exactly. Per-row string work + one grouped pass —
+    * embarrassingly parallel, one |URLs|-keyed shuffle. */
+  def dedupUrl(s: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, "HTTPS://WWW.Example")
+        .otherwise("https://www.example"),
+      (col("doc_id") % 50).cast("string"), lit(".COM:443/items/"),
+      (col("doc_id") % 20).cast("string"),
+      when(col("doc_id") % 4 === 0, "/").otherwise(""),
+      lit("?utm_source=feed&b=2&id="), (col("doc_id") % 10).cast("string"),
+      lit("&a=1"),
+      when(col("doc_id") % 3 === 0, "#section").otherwise(""))
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_replace(
+      regexp_replace(lower(regexp_extract(noFrag, "^[^?]*", 0)),
+        ":443", ""), "/$", "")
+    val params = array_sort(filter(split(
+      regexp_extract(noFrag, "\\?(.*)$", 1), "&"),
+      p => !p.like("utm_%")))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(base, lit("?"), array_join(params, "&")).as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("canon"))
+  }
+
+  /** Deterministic weighted sample: k docs per source drawn with
+    * probability increasing in document length, via hash-priority keys
+    * `hash(id)/weight` (smallest-key-first — the priority-sampling
+    * analogue of [[sampleReservoir]]'s uniform draw). The 50-bit hash
+    * and the integer weight are both exact in a double, and IEEE
+    * division is exactly rounded, so the key — and therefore the
+    * selection — is bit-identical on any engine or topology. The
+    * passthrough weight column keeps this outside the TopKByScore
+    * rewrite's shape, so Spark's native WindowGroupLimit supplies the
+    * scale bound instead: ≤k rows per group forwarded from each
+    * partition ahead of the shuffle (asserted in OpsSpec). */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("_score").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        coalesce(-(graft.functions.exprs.md5Lower64(col("doc_id").cast("string"))
+          .bitwiseAND(lit((1L << 50) - 1)).cast("double") / col("n_chars")),
+          lit(0.0)).as("_score"))
+      .filter(col("doc_id").isNotNull && col("n_chars") > 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("rn").cast("long").as("rn"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rn"))
+  }
 }

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Warehouse-maintenance operators (SURVEY §2.2): the change-apply and
+  * view-refresh primitives a 100 TB serving layer runs every few
+  * minutes. All three follow the same scale rule: the BIG side (the
+  * base table / the partitioned fact) is never shuffled — changes and
+  * dimensions broadcast, and refresh work is proportional to the delta,
+  * not the history.
+  */
+object Warehouse {
+
+  /** MERGE-style CDC apply: fold a keyed changelog of
+    * insert/update/delete ops into a base table in one pass.
+    *
+    * The changelog is derived deterministically from each customer's
+    * latest order (latest `o_orderdate`, then highest `o_orderkey` —
+    * the standard "last change wins" compaction), so the oracle replays
+    * it exactly: orderkey%3 = 0 deletes the customer, 1 updates the
+    * account balance to that order's total, 2 inserts a new customer
+    * row under key+1,000,000 (guaranteed fresh).
+    *
+    * Scale shape: the changelog is |keys|-bounded and broadcasts; the
+    * base table is touched by ONE broadcast anti-join (drop D/U
+    * targets) plus one broadcast inner join (U rewrites) — it never
+    * shuffles, which is the property that makes minute-cadence MERGE
+    * viable on a 100 TB base.
+    */
+  def qCdcApply(s: SparkSession, d: String): DataFrame = {
+    val latest = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(max_by(col("o_orderkey"),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("ok"),
+        max_by(col("o_totalprice"),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("newbal"))
+    val changelog = latest.select(col("k"),
+      when(col("ok") % 3 === 0, "D")
+        .when(col("ok") % 3 === 1, "U")
+        .otherwise("I").as("op"),
+      col("newbal"))
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val survivors = base.join(
+      broadcast(changelog.filter(col("op").isin("D", "U")).select("k")),
+      Seq("k"), "left_anti")
+    val updated = base
+      .join(broadcast(changelog.filter(col("op") === "U")), Seq("k"))
+      .select(col("k"), col("newbal").as("bal"), col("seg"))
+    val inserted = changelog.filter(col("op") === "I")
+      .select((col("k") + 1000000).as("k"), col("newbal").as("bal"),
+        lit("NEW").as("seg"))
+    survivors.select("k", "bal", "seg")
+      .unionByName(updated).unionByName(inserted)
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), round(sum(col("bal")), 2).as("total_bal"))
+      .orderBy(col("seg"))
+  }
+
+  /** Incremental materialized-view maintenance: a monthly-revenue view
+    * kept fresh by merging the stored aggregate STATE (history before
+    * the refresh cutoff) with the aggregate of the DELTA (new orders
+    * only) — sum/count are commutative monoids, so
+    * merge(state, agg(delta)) ≡ agg(everything).
+    *
+    * The contract output carries that equivalence as data: each month
+    * row holds the merged values plus a `matches_full` flag against a
+    * full recompute, which the oracle predicts TRUE. At scale the
+    * refresh cost is the delta scan + a |months|-row merge — the
+    * history is never re-read (here both sides ARE computed only so
+    * the equivalence is checkable).
+    */
+  def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1997-07-01").cast("timestamp")
+    val monthOf = date_format(col("o_orderdate"), "yyyy-MM")
+    def aggBy(df: DataFrame): DataFrame = df
+      .groupBy(monthOf.as("month"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("tot"))
+    val orders = Tables.orders(s, d)
+    val state = aggBy(orders.filter(col("o_orderdate") < cutoff))
+    val delta = aggBy(orders.filter(col("o_orderdate") >= cutoff))
+    val merged = state.select(col("month"), col("n").as("n0"), col("tot").as("t0"))
+      .join(delta.select(col("month"), col("n").as("n1"), col("tot").as("t1")),
+        Seq("month"), "full_outer")
+      .select(col("month"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L))).as("n"),
+        (coalesce(col("t0"), lit(0.0)) + coalesce(col("t1"), lit(0.0))).as("tot"))
+    val full = aggBy(orders)
+      .select(col("month"), col("n").as("fn"), col("tot").as("ftot"))
+    merged.join(full, Seq("month"))
+      .select(col("month"), col("n"), round(col("tot"), 2).as("total"),
+        (col("n") === col("fn") &&
+          abs(col("tot") - col("ftot")) < 0.01).as("matches_full"))
+      .orderBy(col("month"))
+  }
+
+  /** Where [[qDynamicPrune]] lays out the partitioned fact + the dim
+    * (exposed for the plan assertion in LayoutsSpec). */
+  def dppPath(d: String): (String, String) = {
+    val tag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_layout", s"dpp_$tag")
+    java.nio.file.Files.createDirectories(p)
+    (p.resolve("fact").toString, p.resolve("dim").toString)
+  }
+
+  /** Dynamic partition pruning: the fact is partitioned by year, and
+    * the year filter arrives only THROUGH a join with a filtered dim —
+    * no static partition predicate exists at plan time. Catalyst
+    * inserts a `dynamicpruning` subquery on the fact's partition
+    * column (asserted in LayoutsSpec), reusing the dim's broadcast, so
+    * at 100 TB the scan reads only the joined years' directories
+    * instead of the whole table. Static pruning (a literal partition
+    * filter) is covered by `sink_partitioned_prune`; this is the
+    * join-driven variant every star-schema query needs.
+    */
+  def qDynamicPrune(s: SparkSession, d: String): DataFrame = {
+    val (factPath, dimPath) = dppPath(d)
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(factPath)
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("dy")).distinct()
+      .withColumn("tag", col("dy") % 3)
+      .write.mode(SaveMode.Overwrite).parquet(dimPath)
+    dynamicPrunePlan(s, factPath, dimPath)
+  }
+
+  /** The read-side plan of [[qDynamicPrune]], separated so the spec can
+    * `.explain` it without re-writing the layout. */
+  def dynamicPrunePlan(s: SparkSession, factPath: String,
+      dimPath: String): DataFrame =
+    s.read.parquet(factPath)
+      .join(broadcast(s.read.parquet(dimPath).filter(col("tag") === 1)),
+        col("o_year") === col("dy"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_year"))
+}

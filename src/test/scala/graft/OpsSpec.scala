@@ -149,4 +149,88 @@ class OpsSpec extends SparkSuite {
       assert(maxY - minY <= 15, s"y box too wide: $minY..$maxY")
     }
   }
+
+  test("cdc apply preserves the merge row-count identity") {
+    import graft.ops.Warehouse
+    val applied = Warehouse.qCdcApply(spark, sf)
+    val total = applied.agg(sum(col("n"))).as[Long].head()
+    // independent accounting: |base| - |D targets in base| + |I|
+    val latest = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(max_by(col("o_orderkey"),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("ok"))
+    val base = Tables.customer(spark, sf).select(col("c_custkey").as("k"))
+    val dInBase = latest.filter(col("ok") % 3 === 0)
+      .join(base, Seq("k"), "left_semi").count()
+    val nIns = latest.filter(col("ok") % 3 === 2).count()
+    assert(total == base.count() - dInBase + nIns)
+    // inserted rows land in their own segment
+    assert(applied.filter(col("seg") === "NEW").count() == 1)
+  }
+
+  test("incremental agg merge equals the full recompute on every month") {
+    import graft.ops.Warehouse
+    val rows = Warehouse.qIncrementalAgg(spark, sf)
+    assert(rows.filter(!col("matches_full")).count() == 0)
+    assert(rows.count() ==
+      Tables.orders(spark, sf)
+        .select(date_format(col("o_orderdate"), "yyyy-MM")).distinct().count())
+  }
+
+  test("dim-filtered join plans dynamic partition pruning on the fact") {
+    import graft.ops.Warehouse
+    Warehouse.qDynamicPrune(spark, sf).collect() // lays out fact + dim
+    val (factPath, dimPath) = Warehouse.dppPath(sf)
+    val plan = Warehouse.dynamicPrunePlan(spark, factPath, dimPath)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in plan:\n$plan")
+  }
+
+  test("lm cross-entropy dominates each doc's own entropy (Gibbs)") {
+    import graft.ops.PipelineQueries
+    val lm = PipelineQueries.textLmScore(spark, sf)
+    val joined = lm.select(col("doc_id"), col("lm_bits"))
+      .join(PipelineQueries.textEntropy(spark, sf)
+        .select(col("doc_id"), col("entropy")), Seq("doc_id"))
+    assert(joined.filter(col("lm_bits") < col("entropy") - 1e-6).count() == 0)
+    assert(lm.filter(col("n_tokens") <= 0).count() == 0)
+  }
+
+  test("url canonicalization strips noise and partitions the corpus") {
+    import graft.ops.PipelineQueries
+    val clusters = PipelineQueries.dedupUrl(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(clusters.agg(sum(col("n_docs"))).as[Long].head() == nDocs)
+    val bad = clusters.filter(
+      col("canon").rlike("[A-Z]|#|:443|utm_") ||
+        !col("canon").rlike("\\?a=1&b=2&id=\\d+$"))
+    assert(bad.count() == 0, "un-canonical URL survived")
+  }
+
+  test("weighted sample is layout-invariant and favors longer docs") {
+    import graft.ops.PipelineQueries
+    val picked = PipelineQueries.sampleWeighted(spark, sf)
+    // n_chars rides along (outside part ∪ {score,id}), so the custom
+    // TopKByScore rewrite correctly declines; Spark's native
+    // WindowGroupLimit must supply the ≤k-rows-per-group-per-partition
+    // bound instead
+    assert(picked.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"),
+      "weighted sample should plan a per-partition group limit")
+    val meanPicked = picked.agg(avg(col("n_chars"))).as[Double].head()
+    val meanAll = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).as[Double].head()
+    assert(meanPicked > meanAll,
+      s"length-weighted draw should skew long: $meanPicked vs $meanAll")
+  }
+
+  test("triangle count is invariant under repartitioning and bounded") {
+    val r = Analytics.qTriangleCount(spark, sf).head()
+    val (nodes, edges, tris) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nodes > 0 && edges > 0)
+    assert(edges <= nodes * (nodes - 1) / 2)
+    // each triangle consumes 3 distinct edges; a loose but real bound
+    assert(tris <= edges * (edges - 1) / 6 + edges)
+  }
 }
