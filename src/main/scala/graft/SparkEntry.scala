@@ -57,7 +57,9 @@ object SparkEntry {
          |FROM read_blob('$sfDir/*.parquet')
          |ORDER BY fname""".stripMargin) ++
       graft.ops.PipelineQueries.cachedIvfModel(sfDir)
-        .map(m => "ann_ivf_topk" -> annIvfOracle(m)).toMap
+        .map(m => "ann_ivf_topk" -> annIvfOracle(m)).toMap ++
+      graft.ops.PipelineQueries.cachedPqModel(sfDir)
+        .map(m => "ann_pq_topk" -> annPqOracle(m)).toMap
 
   /** ann_ivf_topk oracle, built from the quantizer that the query run
     * itself fitted (deterministic seeded fit, cached per corpus dir):
@@ -101,6 +103,104 @@ object SparkEntry {
        |          ORDER BY score DESC, c_id) AS INTEGER) AS rnk FROM sc)
        |SELECT q_id, rnk, c_id, score FROM r WHERE rnk <= 5
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** ann_pq_topk oracle, built from the codebooks the query run itself
+    * fitted: every codeword becomes a VALUES literal and DuckDB replays
+    * the whole two-stage PQ pipeline — per-subspace squared-L2 argmin
+    * assignment (ties to the lower code, matching NearestCells),
+    * codeword reconstruction, the rounded-ADC top-100 shortlist, and
+    * the exact-cosine re-rank of the shortlist. */
+  private def annPqOracle(m: graft.sim.Pq.PqModel): String = {
+    val sub = m.subDim
+    val values = (for {
+      j <- m.codebooks.indices
+      c <- m.codebooks(j).indices
+    } yield s"($j, $c, [${m.codebooks(j)(c).mkString(", ")}])")
+      .mkString(", ")
+    s"""WITH cb(j, code, cw) AS (VALUES $values),
+       |cd AS (SELECT j, code, unnest(range(0, $sub)) AS sd,
+       |         unnest(cw)::DOUBLE AS c FROM cb),
+       |v AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+       |        unnest(embedding)::DOUBLE AS x FROM embeddings),
+       |sv AS (SELECT vec_id, CAST(dim // $sub AS INTEGER) AS j,
+       |         CAST(dim % $sub AS INTEGER) AS sd, x FROM v),
+       |d2 AS (SELECT sv.vec_id, cd.j, cd.code,
+       |         sum((sv.x - cd.c) * (sv.x - cd.c)) AS d
+       |       FROM sv JOIN cd ON sv.j = cd.j AND sv.sd = cd.sd
+       |       GROUP BY 1, 2, 3),
+       |rk AS (SELECT vec_id, j, code, row_number() OVER (
+       |         PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM d2),
+       |codes AS (SELECT vec_id, j, code FROM rk WHERE rn = 1),
+       |recon AS (SELECT codes.vec_id AS c_id, cd.j * $sub + cd.sd AS dim,
+       |            cd.c AS y
+       |          FROM codes JOIN cd ON cd.j = codes.j
+       |            AND cd.code = codes.code),
+       |q AS (SELECT vec_id AS q_id, dim, x FROM v WHERE vec_id < 10),
+       |z AS (SELECT q.q_id, r.c_id, q.x, r.y
+       |      FROM q JOIN recon r ON q.dim = r.dim AND r.c_id <> q.q_id),
+       |sums AS (SELECT q_id, c_id, sum(x*y) AS dt, sum(x*x) AS na,
+       |           sum(y*y) AS nb FROM z GROUP BY 1, 2),
+       |adc AS (SELECT q_id, c_id,
+       |          round(dt / (sqrt(na) * sqrt(nb)), 4) AS a FROM sums),
+       |short AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY a DESC, c_id) AS srn FROM adc)
+       |  WHERE srn <= 100),
+       |z2 AS (SELECT s.q_id, s.c_id, qv.x, cv.x AS y
+       |       FROM short s
+       |       JOIN v qv ON qv.vec_id = s.q_id
+       |       JOIN v cv ON cv.vec_id = s.c_id AND cv.dim = qv.dim),
+       |sums2 AS (SELECT q_id, c_id, sum(x*y) AS dt, sum(x*x) AS na,
+       |            sum(y*y) AS nb FROM z2 GROUP BY 1, 2),
+       |sc AS (SELECT q_id, c_id,
+       |         round(dt / (sqrt(na) * sqrt(nb)), 4) AS score FROM sums2),
+       |r AS (SELECT q_id, c_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, c_id) AS INTEGER) AS rnk FROM sc)
+       |SELECT q_id, rnk, c_id, score FROM r WHERE rnk <= 5
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** dedup_embed_buckets oracle: same deterministic hyperplanes as the
+    * LSH oracle, folded as literals; DuckDB replays sign-bucketing,
+    * in-bucket pair generation, and the exact cosine scoring. */
+  private def embedBucketsOracle: String = {
+    val values = graft.sim.Ann.planes(8, 64).zipWithIndex
+      .map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
+      .mkString(", ")
+    s"""WITH pl(j, p) AS (VALUES $values),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |z AS (SELECT vec_id, j, unnest(e.embedding)::DOUBLE AS x,
+       |        unnest(pl.p) AS y
+       |      FROM e CROSS JOIN pl),
+       |dots AS (SELECT vec_id, j, sum(x * y) AS dot FROM z GROUP BY 1, 2),
+       |bkt AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot > 0
+       |      THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM dots GROUP BY 1),
+       |v AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+       |        unnest(embedding)::DOUBLE AS x FROM e),
+       |pairs AS (SELECT a.bucket, a.vec_id AS ia, b.vec_id AS ib
+       |  FROM bkt a JOIN bkt b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |z2 AS (SELECT pr.bucket, pr.ia, pr.ib, ea.x, eb.x AS y
+       |  FROM pairs pr
+       |  JOIN v ea ON ea.vec_id = pr.ia
+       |  JOIN v eb ON eb.vec_id = pr.ib AND eb.dim = ea.dim),
+       |cs AS (SELECT bucket, ia, ib,
+       |    round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+       |      AS cos
+       |  FROM z2 GROUP BY 1, 2, 3),
+       |sizes AS (SELECT bucket, count(*) AS n_vecs FROM bkt
+       |  GROUP BY 1 HAVING count(*) >= 2),
+       |agg AS (SELECT bucket, count(*) AS n_pairs, max(cos) AS max_cos
+       |  FROM cs GROUP BY 1)
+       |SELECT s.bucket, CAST(s.n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(a.n_pairs AS BIGINT) AS n_pairs, a.max_cos
+       |FROM sizes s JOIN agg a USING (bucket) ORDER BY s.bucket""".stripMargin
   }
 
   /** ann_lsh_topk oracle: the hyperplanes are deterministic constants
@@ -234,6 +334,7 @@ object SparkEntry {
     "stream_watermark_append" ->
       (graft.streaming.Events.streamWatermarkAppend _),
     "stream_upsert" -> (graft.streaming.Events.streamUpsert _),
+    "stream_left_outer" -> (graft.streaming.Events.streamLeftOuter _),
     // §2.4 source/sink formats
     "source_json_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.jsonRoundtrip(s, d)
@@ -268,6 +369,9 @@ object SparkEntry {
     "ann_lsh_topk" -> (PipelineQueries.annLshTopK _),
     "ann_ivf_topk" -> (PipelineQueries.annIvfTopK _),
     "ann_ivf_recall" -> (PipelineQueries.annIvfRecall _),
+    "ann_pq_topk" -> (PipelineQueries.annPqTopK _),
+    "dedup_embed_buckets" -> (PipelineQueries.dedupEmbedBuckets _),
+    "q_count_min_topk" -> (PipelineQueries.countMinTopK _),
     "q_sample_stratified" -> (PipelineQueries.sampleStratified _),
     "q_sample_reservoir" -> (PipelineQueries.sampleReservoir _),
     "text_bigram_lift" -> (PipelineQueries.textBigramLift _),
@@ -1422,6 +1526,42 @@ object SparkEntry {
         |  TRUE AS acd_within_5pct, TRUE AS med_within_5pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_lsh_topk" -> annLshOracle,
+    "dedup_embed_buckets" -> embedBucketsOracle,
+    "q_count_min_topk" ->
+      """WITH cnt AS (SELECT l_suppkey AS k, count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |hs AS (SELECT k, c, r,
+        |    (md5_number_lower(concat(CAST(r AS VARCHAR), '|',
+        |       CAST(k AS VARCHAR))) & 9223372036854775807) % 256 AS h
+        |  FROM cnt CROSS JOIN (SELECT unnest(range(0, 4)) AS r)),
+        |buckets AS (SELECT r, h, sum(c) AS bc FROM hs GROUP BY 1, 2),
+        |top AS (SELECT k, c FROM cnt ORDER BY c DESC, k LIMIT 10),
+        |est AS (SELECT t.k, t.c, min(b.bc) AS e
+        |  FROM top t JOIN hs ON hs.k = t.k
+        |  JOIN buckets b ON b.r = hs.r AND b.h = hs.h GROUP BY 1, 2)
+        |SELECT k AS s_suppkey, CAST(c AS BIGINT) AS n_exact,
+        |  CAST(e AS BIGINT) AS est, e >= c AS never_under
+        |FROM est ORDER BY n_exact DESC, s_suppkey""".stripMargin,
+    "stream_left_outer" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |c AS (SELECT user_id, ts_s AS c_ts FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts_s AS p_ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |mx AS (SELECT least((SELECT max(c_ts) FROM c),
+        |                    (SELECT max(p_ts) FROM p)) - 600 AS wm),
+        |j AS (SELECT c.user_id, c.c_ts, p.p_ts FROM c LEFT JOIN p
+        |      ON c.user_id = p.p_user AND p.p_ts >= c.c_ts
+        |        AND p.p_ts <= c.c_ts + 3600),
+        |emitted AS (
+        |  SELECT user_id, p_ts FROM j WHERE p_ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT j.user_id, NULL AS p_ts FROM j, mx
+        |  WHERE j.p_ts IS NULL AND j.c_ts + 3600 < mx.wm)
+        |SELECT user_id, CAST(count(p_ts) AS BIGINT) AS n_matched,
+        |  CAST(count(*) - count(p_ts) AS BIGINT) AS n_expired_unmatched
+        |FROM emitted GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the stub codec is deterministic byte arithmetic — replayed here
     // (documents.text is ASCII in this corpus, so ascii(substr(..)) is
     // exactly the payload byte)

@@ -264,6 +264,40 @@ object PipelineQueries {
   def cachedIvfModel(d: String): Option[graft.sim.Ivf.IvfModel] =
     Option(ivfModels.get(d))
 
+  /** Cached PQ codebooks, keyed by corpus dir — fit-once / persist /
+    * reload, same model-lifecycle contract as [[ivfModelFor]]. */
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Pq.PqModel]
+
+  private def pqModelFor(s: SparkSession, d: String): graft.sim.Pq.PqModel =
+    pqModels.computeIfAbsent(d, _ => {
+      val store = sys.props("java.io.tmpdir") + "/graft_pq_" +
+        java.util.UUID.nameUUIDFromBytes(
+          d.getBytes(java.nio.charset.StandardCharsets.UTF_8)) + ".txt"
+      graft.sim.Pq.load(s, store).getOrElse {
+        val m = graft.sim.Pq.fit(Tables.embeddings(s, d))
+        graft.sim.Pq.save(s, m, store)
+        m
+      }
+    })
+
+  /** Read-only view of the fitted PQ codebooks for `d` (for the
+    * Verify-time constant-folded oracle). */
+  def cachedPqModel(d: String): Option[graft.sim.Pq.PqModel] =
+    Option(pqModels.get(d))
+
+  /** Approximate top-5 via product quantization: the corpus compressed
+    * to 4 sub-codes per vector (64× smaller than float32), queries
+    * ranked by asymmetric distance against the reconstructions. The
+    * RAM-residency half of IVF-PQ ([[annIvfTopK]] is the pruning
+    * half). */
+  def annPqTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.sim.Pq.topK(emb, emb.filter(col("vec_id") < 10), 5,
+      pqModelFor(s, d))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Approximate top-5 via IVF (k-means coarse quantizer, 4 probes —
     * tuned so recall@5 clears the ann_ivf_recall bound across scales;
     * 4/16 cells still scans ~25% of the corpus per query vs 100% for
@@ -346,6 +380,65 @@ object PipelineQueries {
       .select(col("n_brute"),
         (col("n_hits").cast("double") / col("n_brute") >= 0.5)
           .as("recall_ge_half"))
+  }
+
+  /** Count-min-sketch heavy hitters: one fixed-size mergeable sketch
+    * (4×256 counters, [[graft.functions.CountMinSketch]]) over the
+    * lineitem supplier stream, then the exact top-10 suppliers each
+    * read their estimate back out of the sketch with pure column
+    * arithmetic (`element_at` at the md5-salted bucket). The output
+    * carries exact count, sketch estimate, and the never-underestimate
+    * invariant; the oracle reconstructs every counter from the same
+    * md5 hashes, so the ESTIMATES are value-verified, not just
+    * bounded. At scale: the sketch shuffles 8 kB per partition
+    * (map-side merged) where an exact per-key table shuffles |keys| —
+    * the monitoring-loop primitive for skew/hot-key detection. */
+  def countMinTopK(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{exprs, CountMinSketch}
+    val (dep, w) = (4, 256)
+    val li = Tables.lineitem(s, d)
+    val sketch = li.agg(CountMinSketch.sketch(col("l_suppkey"), dep, w)
+      .as("sk"))
+    val top = li.groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("s_suppkey")).limit(10)
+    val est = least((0 until dep).map { r =>
+      element_at(col("sk"),
+        (lit(r * w) + pmod(exprs.md5Lower64(
+          concat(lit(s"$r|"), col("s_suppkey").cast("string")))
+          .bitwiseAND(lit(Long.MaxValue)), lit(w.toLong))).cast("int") + 1)
+    }: _*)
+    top.crossJoin(broadcast(sketch))
+      .select(col("s_suppkey"), col("n_exact"), est.as("est"),
+        (est >= col("n_exact")).as("never_under"))
+      .orderBy(col("n_exact").desc, col("s_suppkey"))
+  }
+
+  /** Embedding near-dup candidate generation at corpus scale: LSH
+    * sign-bucket the vectors (codegen'd `LshCodeExpr`, 8 hyperplanes),
+    * generate pairs only WITHIN buckets, score them with exact cosine,
+    * and report each multi-member bucket's density (members, pairs,
+    * max pairwise cosine). This is the not-all-pairs shape —
+    * |corpus|²/2^planes expected pair work instead of |corpus|² — that
+    * [[dedupEmbedCos]]'s adjacent-pair kernel deliberately avoids
+    * claiming; together they are the kernel and the scale harness.
+    * The oracle folds the deterministic hyperplanes into SQL and
+    * replays bucketing, pair-gen, and scoring exactly. */
+  def dedupEmbedBuckets(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("_e"))
+      .withColumn("bucket", Ann.lshCode(col("_e"), 8, 64))
+    val sizes = emb.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs")).filter(col("n_vecs") >= 2)
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+      col("_e").as("_ea"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+      col("_e").as("_eb"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(Ann.cosine(col("_ea"), col("_eb")), 4))
+    val agg = pairs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("cos")).as("max_cos"))
+    sizes.join(agg, Seq("bucket")).orderBy(col("bucket"))
   }
 
   /** Deterministic hash-stratified sampling: per-source keep rates

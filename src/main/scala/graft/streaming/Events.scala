@@ -174,6 +174,48 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER join with watermarks on both sides —
+    * the enrichment shape inner joins can't express: every click
+    * emits, matched rows immediately, unmatched ones with nulls once
+    * the watermark proves no purchase can still arrive. State is
+    * bounded by the watermark delay + join window on both sides.
+    *
+    * Determinism contract for the oracle: with AvailableNow the final
+    * no-data micro-batch evicts with watermark `min(max click time,
+    * max purchase time) − 10 min` (Spark's multiple-watermark policy
+    * is min), so exactly the unmatched clicks whose 1-hour join window
+    * closed strictly before that instant surface as null rows — a
+    * cutoff the batch oracle replays. */
+  def streamLeftOuter(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+      .withColumn("ts_s", expr("ts div 1000000000"))
+      .withColumn("etime", timestamp_seconds(col("ts_s")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("etime").as("c_time"),
+        col("ts_s").as("c_ts"))
+      .withWatermark("c_time", "10 minutes")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("etime").as("p_time"),
+        col("ts_s").as("p_ts"))
+      .withWatermark("p_time", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_time") >= col("c_time") &&
+        col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val name = s"graft_stream_louter_${n.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(col("p_ts")).as("n_matched"),
+        (count(lit(1)) - count(col("p_ts"))).as("n_expired_unmatched"))
+      .orderBy(col("user_id"))
+  }
+
   /** Streaming → warehouse ingestion: foreachBatch folds each
     * micro-batch's per-user counts into an Engine table via keyed
     * upsert (read-merge-swap compaction) — the standard pattern for

@@ -662,6 +662,47 @@ class IvfSpec extends SparkSuite {
   }
 }
 
+class PqSpec extends SparkSuite {
+  test("PQ fit is layout-independent and round-trips save/load") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val a = graft.sim.Pq.fit(emb)
+    val b = graft.sim.Pq.fit(emb.repartition(7))
+    def flat(m: graft.sim.Pq.PqModel) =
+      m.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+    assert(flat(a) == flat(b), "codebooks changed under repartition(7)")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_pq").toString + "/model.txt"
+    graft.sim.Pq.save(spark, a, store)
+    assert(flat(graft.sim.Pq.load(spark, store).get) == flat(a),
+      "save/load not bit-exact")
+    assert(graft.sim.Pq.load(spark, store + ".absent").isEmpty)
+  }
+
+  test("encoding is total and codes stay within the codebook") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val model = graft.sim.Pq.fit(emb)
+    val codes = graft.sim.Pq.encode(emb, model)
+    assert(codes.count() == emb.count())
+    val bad = (0 until model.m).map(j =>
+      codes.filter(col(s"code$j") < 0 || col(s"code$j") >= 32).count()).sum
+    assert(bad == 0, "code outside [0, k)")
+  }
+
+  test("ADC ranking recalls a meaningful share of brute-force top-k") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = graft.sim.Ann.bruteTopK(emb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = graft.sim.Pq.topK(emb, q, 5, graft.sim.Pq.fit(emb))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq.nonEmpty)
+    // ADC shortlists 100 candidates, the exact re-rank fixes precision:
+    // expect strong (not perfect) overlap with the exact top-k
+    assert((brute & pq).size >= brute.size / 2,
+      s"recall too low: ${(brute & pq).size}/${brute.size}")
+  }
+}
+
 /** Bucketing is the 100 TB co-location strategy: both fact tables
   * bucketed on the join key join WITHOUT any shuffle exchange. */
 class BucketingSpec extends SparkSuite {
@@ -799,5 +840,32 @@ class StreamingSpec extends SparkSuite {
       .select(unix_timestamp(col("window.start")).as("win_start_s"),
         col("event_type"), col("n"), col("sum_value"))
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stream left-outer join matches the batch watermark-cutoff model") {
+    val streamed = graft.streaming.Events.streamLeftOuter(spark, sf)
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_s").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_s").as("p_ts"))
+    val wm = math.min(
+      c.agg(max(col("c_ts"))).head().getLong(0),
+      p.agg(max(col("p_ts"))).head().getLong(0)) - 600L
+    val j = c.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + 3600L,
+      "left_outer")
+    val emitted = j.filter(col("p_ts").isNotNull)
+      .unionByName(j.filter(col("p_ts").isNull &&
+        col("c_ts") + 3600L < lit(wm)))
+    val batch = emitted.groupBy(col("user_id"))
+      .agg(count(col("p_ts")).as("n_matched"),
+        (count(lit(1)) - count(col("p_ts"))).as("n_expired_unmatched"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed outer join diverged from the watermark-cutoff model")
   }
 }

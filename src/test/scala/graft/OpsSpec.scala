@@ -225,6 +225,26 @@ class OpsSpec extends SparkSuite {
       s"length-weighted draw should skew long: $meanPicked vs $meanAll")
   }
 
+  test("count-min sketch never underestimates, and bounds collisions") {
+    import graft.ops.PipelineQueries
+    val out = PipelineQueries.countMinTopK(spark, sf)
+    assert(out.count() == 10)
+    assert(out.filter(!col("never_under")).count() == 0)
+    val total = Tables.lineitem(spark, sf).count()
+    assert(out.filter(col("est") > total).count() == 0,
+      "estimate exceeded the total stream count")
+  }
+
+  test("embed buckets partition pairs: sum of C(n,2) equals n_pairs") {
+    import graft.ops.PipelineQueries
+    val b = PipelineQueries.dedupEmbedBuckets(spark, sf)
+    val ok = b.filter(
+      col("n_pairs") =!= col("n_vecs") * (col("n_vecs") - 1) / 2 ||
+        col("max_cos") > 1.0001)
+    assert(b.count() > 0)
+    assert(ok.count() == 0, "bucket pair count or cosine out of bounds")
+  }
+
   test("triangle count is invariant under repartitioning and bounded") {
     val r = Analytics.qTriangleCount(spark, sf).head()
     val (nodes, edges, tris) = (r.getLong(0), r.getLong(1), r.getLong(2))
