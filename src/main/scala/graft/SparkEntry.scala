@@ -55,7 +55,13 @@ object SparkEntry {
       s"""SELECT regexp_extract(filename, '[^/]+$$', 0) AS fname,
          |  size AS length
          |FROM read_blob('$sfDir/*.parquet')
-         |ORDER BY fname""".stripMargin) ++
+         |ORDER BY fname""".stripMargin) +
+      ("source_files_audit" ->
+        s"""SELECT regexp_extract(filename, '[^/]+$$', 0) AS fname,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM read_parquet('$sfDir/orders.parquet', filename=true)
+           |GROUP BY 1 ORDER BY 1""".stripMargin) ++
       graft.ops.PipelineQueries.cachedIvfModel(sfDir)
         .map(m => "ann_ivf_topk" -> annIvfOracle(m)).toMap ++
       graft.ops.PipelineQueries.cachedPqModel(sfDir)
@@ -326,6 +332,7 @@ object SparkEntry {
     "q_incremental_agg" -> (Warehouse.qIncrementalAgg _),
     "q_dynamic_prune" -> (Warehouse.qDynamicPrune _),
     "q_triangle_count" -> (Analytics.qTriangleCount _),
+    "q_sliding_window" -> (Analytics.qSlidingWindow _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
@@ -372,6 +379,7 @@ object SparkEntry {
     "ann_pq_topk" -> (PipelineQueries.annPqTopK _),
     "dedup_embed_buckets" -> (PipelineQueries.dedupEmbedBuckets _),
     "q_count_min_topk" -> (PipelineQueries.countMinTopK _),
+    "q_hll_merge" -> (PipelineQueries.hllMerge _),
     "q_sample_stratified" -> (PipelineQueries.sampleStratified _),
     "q_sample_reservoir" -> (PipelineQueries.sampleReservoir _),
     "text_bigram_lift" -> (PipelineQueries.textBigramLift _),
@@ -402,6 +410,7 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
     "sink_partitioned_prune" -> (graft.sources.Layouts.partitionedPrune _),
     "sink_schema_merge" -> (graft.sources.Formats.schemaMergeRoundtrip _),
+    "source_files_audit" -> (graft.sources.Layouts.filesAudit _),
     "q_bucketed_join" -> (graft.sources.Layouts.bucketedJoin _),
     "sink_compaction" -> (graft.sources.Layouts.compaction _),
   )
@@ -1178,11 +1187,35 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE year(o_orderdate) % 3 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sliding_window" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    event_type, value FROM events),
+        |w AS (SELECT ts_s, event_type, value,
+        |    (ts_s // 1800) * 1800 AS w0 FROM e),
+        |x AS (SELECT event_type, value, ts_s,
+        |    unnest([w0, w0 - 1800]) AS ws FROM w),
+        |f AS (SELECT * FROM x WHERE ts_s >= ws AND ts_s < ws + 3600)
+        |SELECT ws AS win_start_s, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_hll_merge" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT source, tok FROM tk WHERE tok <> ''),
+        |per AS (SELECT source, count(DISTINCT tok) AS n_exact
+        |  FROM t2 GROUP BY 1),
+        |uni AS (SELECT '__union__' AS source, count(DISTINCT tok) AS n_exact
+        |  FROM t2)
+        |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+        |  TRUE AS within_5pct
+        |FROM (SELECT * FROM per UNION ALL SELECT * FROM uni)
+        |ORDER BY source""".stripMargin,
     "q_triangle_count" ->
-      """WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-        |e AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
         |  FROM ls x JOIN ls y ON x.l_orderkey = y.l_orderkey
-        |    AND x.l_suppkey < y.l_suppkey),
+        |    AND x.l_partkey < y.l_partkey),
         |n AS (SELECT count(*) AS n_nodes FROM
         |  (SELECT a AS v FROM e UNION SELECT b FROM e)),
         |m AS (SELECT count(*) AS n_edges FROM e),

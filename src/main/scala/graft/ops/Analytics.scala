@@ -1023,23 +1023,40 @@ object Analytics {
       .limit(20)
   }
 
-  /** Triangle counting on the supplier co-occurrence graph (suppliers
-    * that ship in the same order) — the clustering-coefficient /
-    * community-density primitive next to PageRank and connected
-    * components. Edges are oriented low-id → high-id so each triangle
-    * is counted exactly once, and the count is two edge-keyed
-    * equi-joins — no cartesian anywhere. Pair-gen is bounded by
-    * per-order supplier count k (O(|orders|·k²), the market-basket
-    * bound); at 100 TB the standard refinement is orienting edges by
-    * degree instead of id, which caps the join fan-out at O(E^1.5). */
+  /** Sliding (hopping) windows: 1-hour windows every 30 minutes, so
+    * each event lands in exactly windowDuration/slide = 2 overlapping
+    * windows — the smoothing shape tumbling windows can't express.
+    * Spark expands the window set row-side (a 2× narrow explode, no
+    * extra shuffle); the oracle regenerates the same epoch-aligned
+    * window starts per event. */
+  def qSlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start_s"), col("event_type"))
+
+  /** Triangle counting on the part co-purchase graph (parts ordered
+    * together) — the clustering-coefficient / community-density
+    * primitive next to PageRank and connected components. The PART
+    * graph is the sparse one (|parts| ≫ per-order degree; the supplier
+    * variant is near-complete on this data and triangle counting on a
+    * complete graph is O(n³) by definition). Edges are oriented
+    * low-id → high-id so each triangle is counted exactly once, and
+    * the count is two edge-keyed equi-joins — no cartesian anywhere.
+    * Pair-gen is bounded by per-order line count k (O(|orders|·k²),
+    * the market-basket bound); at 100 TB the standard refinement is
+    * orienting edges by degree instead of id, capping join fan-out at
+    * O(E^1.5). */
   def qTriangleCount(s: SparkSession, d: String): DataFrame = {
     val ls = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
     val e = ls.as("x")
       .join(ls.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
       .distinct()
       .cache()
     val nNodes = e.select(col("a").as("v"))

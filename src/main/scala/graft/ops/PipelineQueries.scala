@@ -382,6 +382,40 @@ object PipelineQueries {
           .as("recall_ge_half"))
   }
 
+  /** HyperLogLog sketch merge — the cross-shard distinct-counting
+    * story: each source builds its own HLL sketch of its token
+    * vocabulary (`hll_sketch_agg`, the Apache DataSketches aggregate),
+    * the per-shard sketches UNION into a corpus-wide estimate
+    * (`hll_union_agg`), and every estimate is checked against its
+    * exact `countDistinct` with a 5% bound the oracle predicts TRUE
+    * (HLL at default lgK=12 is ~1.6% rse). At 100 TB the sketches are
+    * a few kB per shard and merge associatively — distinct counts
+    * across shards/days/reruns without ever re-scanning, which an
+    * exact countDistinct cannot do. Same error-bound-flag oracle
+    * pattern as q_approx_stats. */
+  def hllMerge(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .cache()
+    val perSrc = tok.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(tok)").as("sk"),
+        countDistinct(col("tok")).as("n_exact"))
+    val union = perSrc
+      .agg(expr("hll_union_agg(sk)").as("usk"))
+      .crossJoin(broadcast(tok.agg(countDistinct(col("tok")).as("ne"))))
+      .select(lit("__union__").as("source"), col("ne").as("n_exact"),
+        expr("hll_sketch_estimate(usk)").as("est"))
+    perSrc
+      .select(col("source"), col("n_exact"),
+        expr("hll_sketch_estimate(sk)").as("est"))
+      .unionByName(union)
+      .select(col("source"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) / col("n_exact") <= 0.05)
+          .as("within_5pct"))
+      .orderBy(col("source"))
+  }
+
   /** Count-min-sketch heavy hitters: one fixed-size mergeable sketch
     * (4×256 counters, [[graft.functions.CountMinSketch]]) over the
     * lineitem supplier stream, then the exact top-10 suppliers each

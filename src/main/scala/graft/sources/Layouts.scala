@@ -71,6 +71,21 @@ object Layouts {
         lit(after <= 4).as("bounded"))
   }
 
+  /** Per-file storage audit via the `_metadata` hidden column: rows
+    * and key span per physical file — the operational probe that finds
+    * skewed, runt, or overlapping files in a 100 TB table (file-level
+    * min/max spans decide how well data skipping can work). Pure
+    * metadata projection + one |files|-row aggregate; the oracle reads
+    * the same files with DuckDB's `filename=true`. */
+  def filesAudit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("_metadata.file_name").as("fname"), col("o_orderkey"))
+      .groupBy(col("fname"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("fname"))
+
   /** Bucket orders and customer on the join key (8 buckets, external
     * tables so the files land under tmp, not the repo), join and
     * aggregate. The join itself is exchange-free — see BucketingSpec

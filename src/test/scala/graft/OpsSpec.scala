@@ -245,6 +245,33 @@ class OpsSpec extends SparkSuite {
     assert(ok.count() == 0, "bucket pair count or cosine out of bounds")
   }
 
+  test("sliding windows cover every event exactly twice") {
+    val win = Analytics.qSlidingWindow(spark, sf)
+    val winTotal = win.agg(sum(col("n"))).as[Long].head()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(winTotal == 2 * nEvents,
+      s"1h/30m hopping windows must hold each event twice: " +
+        s"$winTotal vs 2×$nEvents")
+  }
+
+  test("hll estimates stay within bound and union is sublinear") {
+    import graft.ops.PipelineQueries
+    val r = PipelineQueries.hllMerge(spark, sf)
+    assert(r.filter(!col("within_5pct")).count() == 0)
+    val union = r.filter(col("source") === "__union__")
+      .select(col("n_exact")).as[Long].head()
+    val srcSum = r.filter(col("source") =!= "__union__")
+      .agg(sum(col("n_exact"))).as[Long].head()
+    assert(union <= srcSum, "union distinct cannot exceed the shard sum")
+  }
+
+  test("files audit accounts for every row") {
+    val audit = graft.sources.Layouts.filesAudit(spark, sf)
+    assert(audit.agg(sum(col("n_rows"))).as[Long].head() ==
+      Tables.orders(spark, sf).count())
+    assert(audit.filter(col("min_key") > col("max_key")).count() == 0)
+  }
+
   test("triangle count is invariant under repartitioning and bounded") {
     val r = Analytics.qTriangleCount(spark, sf).head()
     val (nodes, edges, tris) = (r.getLong(0), r.getLong(1), r.getLong(2))
