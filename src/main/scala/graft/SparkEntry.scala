@@ -168,6 +168,21 @@ object SparkEntry {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Shared by q_sliding_window (batch) and stream_sliding_window
+    * (Structured Streaming): same windows, same totals — the streaming
+    * run must converge to the batch answer. */
+  private def slidingWindowOracle: String =
+    """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |    event_type, value FROM events),
+      |w AS (SELECT ts_s, event_type, value,
+      |    (ts_s // 1800) * 1800 AS w0 FROM e),
+      |x AS (SELECT event_type, value, ts_s,
+      |    unnest([w0, w0 - 1800]) AS ws FROM w),
+      |f AS (SELECT * FROM x WHERE ts_s >= ws AND ts_s < ws + 3600)
+      |SELECT ws AS win_start_s, event_type,
+      |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** dedup_embed_buckets oracle: same deterministic hyperplanes as the
     * LSH oracle, folded as literals; DuckDB replays sign-bucketing,
     * in-bucket pair generation, and the exact cosine scoring. */
@@ -331,6 +346,8 @@ object SparkEntry {
     "q_cdc_apply" -> (Warehouse.qCdcApply _),
     "q_incremental_agg" -> (Warehouse.qIncrementalAgg _),
     "q_dynamic_prune" -> (Warehouse.qDynamicPrune _),
+    "q_delta_detect" -> (Warehouse.qDeltaDetect _),
+    "q_weighted_median" -> (Analytics.qWeightedMedian _),
     "q_triangle_count" -> (Analytics.qTriangleCount _),
     "q_sliding_window" -> (Analytics.qSlidingWindow _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
@@ -342,6 +359,8 @@ object SparkEntry {
       (graft.streaming.Events.streamWatermarkAppend _),
     "stream_upsert" -> (graft.streaming.Events.streamUpsert _),
     "stream_left_outer" -> (graft.streaming.Events.streamLeftOuter _),
+    "stream_sliding_window" ->
+      (graft.streaming.Events.streamSlidingWindow _),
     // §2.4 source/sink formats
     "source_json_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.jsonRoundtrip(s, d)
@@ -1187,17 +1206,45 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE year(o_orderdate) % 3 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_sliding_window" ->
-      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-        |    event_type, value FROM events),
-        |w AS (SELECT ts_s, event_type, value,
-        |    (ts_s // 1800) * 1800 AS w0 FROM e),
-        |x AS (SELECT event_type, value, ts_s,
-        |    unnest([w0, w0 - 1800]) AS ws FROM w),
-        |f AS (SELECT * FROM x WHERE ts_s >= ws AND ts_s < ws + 3600)
-        |SELECT ws AS win_start_s, event_type,
-        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
-        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_delta_detect" ->
+      """WITH v1 AS (SELECT c_custkey AS k, c_acctbal AS bal,
+        |    c_mktsegment AS seg FROM customer),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN round(bal + 100.0, 2)
+        |    ELSE bal END AS bal, seg
+        |  FROM v1 WHERE k % 11 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000 AS k, bal, 'NEW' AS seg
+        |  FROM v1 WHERE k % 13 = 0),
+        |d1 AS (SELECT k, md5(concat_ws('|', CAST(bal AS VARCHAR), seg))
+        |    AS h1 FROM v1),
+        |d2 AS (SELECT k, md5(concat_ws('|', CAST(bal AS VARCHAR), seg))
+        |    AS h2 FROM v2),
+        |j AS (SELECT coalesce(d1.k, d2.k) AS k, h1, h2
+        |  FROM d1 FULL OUTER JOIN d2 ON d1.k = d2.k)
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |    WHEN h2 IS NULL THEN 'deleted'
+        |    WHEN h1 <> h2 THEN 'changed'
+        |    ELSE 'unchanged' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    l_extendedprice,
+        |    l_extendedprice * (1 - l_discount) AS w FROM lineitem),
+        |c AS (SELECT l_returnflag, l_extendedprice,
+        |    sum(w) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b),
+        |t AS (SELECT l_returnflag, l_extendedprice, cum,
+        |    max(cum) OVER (PARTITION BY l_returnflag) AS tot FROM c)
+        |SELECT l_returnflag,
+        |  round(min(l_extendedprice), 2) AS weighted_median
+        |FROM t WHERE cum >= tot / 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sliding_window" -> slidingWindowOracle,
+    "stream_sliding_window" -> slidingWindowOracle,
     "q_hll_merge" ->
       """WITH tk AS (SELECT source,
         |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok

@@ -1037,6 +1037,35 @@ object Analytics {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("win_start_s"), col("event_type"))
 
+  /** Weighted median: the revenue-weighted median unit price per
+    * return flag — each price weighted by its line's revenue share,
+    * the robust-statistics answer to "what price does a typical dollar
+    * trade at". No native weighted quantile exists in either engine,
+    * so it composes as a cumulative-weight window over the per-group
+    * price order: median = first price whose running weight reaches
+    * half the group total. One shuffle on (group, price order);
+    * running sums are the same window machinery as q_running_sum. */
+  def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("_w"))
+      .withColumn("_cum", sum(col("_w")).over(w))
+      // group total as MAX of the running sum, not an unordered re-sum:
+      // the running sum accumulates in the window's total order, so its
+      // values (and max) are bit-identical across engines, where an
+      // unordered sum's accumulation order is not
+      .withColumn("_tot", max(col("_cum")).over(tot))
+      .filter(col("_cum") >= col("_tot") / 2)
+      .groupBy(col("l_returnflag"))
+      .agg(round(min(col("l_extendedprice")), 2).as("weighted_median"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Triangle counting on the part co-purchase graph (parts ordered
     * together) — the clustering-coefficient / community-density
     * primitive next to PageRank and connected components. The PART

@@ -98,6 +98,44 @@ object Warehouse {
       .orderBy(col("month"))
   }
 
+  /** Snapshot diff / reconciliation: classify every key across two
+    * table versions as added, deleted, changed, or unchanged — the
+    * audit primitive behind CDC backfills, replica reconciliation, and
+    * "what did last night's load do" forensics. Version 2 is derived
+    * deterministically from version 1 (balance rewrite on key%7,
+    * delete on key%11, fresh insert on key%13), so the oracle replays
+    * the derivation and the diff.
+    *
+    * Scale shape: one key-keyed full-outer join (both sides shuffle
+    * once on the key — or zero times if both snapshots are bucketed on
+    * it, the layout [[graft.sources.Layouts.bucketedJoin]] proves),
+    * row payloads compared as md5 digests so wide rows diff without
+    * dragging every column through the join. */
+  def qDeltaDetect(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val v2 = v1
+      .filter(col("k") % 11 =!= 0)
+      .select(col("k"),
+        when(col("k") % 7 === 0, round(col("bal") + 100.0, 2))
+          .otherwise(col("bal")).as("bal"), col("seg"))
+      .unionByName(v1.filter(col("k") % 13 === 0)
+        .select((col("k") + 1000000).as("k"), col("bal"),
+          lit("NEW").as("seg")))
+    def digest(df: DataFrame): DataFrame = df.select(col("k"),
+      md5(concat_ws("|", col("bal").cast("string"), col("seg"))).as("h"))
+    val joined = digest(v1).withColumnRenamed("h", "h1")
+      .join(digest(v2).withColumnRenamed("h", "h2"), Seq("k"), "full_outer")
+    joined.select(
+      when(col("h1").isNull, "added")
+        .when(col("h2").isNull, "deleted")
+        .when(col("h1") =!= col("h2"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
   /** Where [[qDynamicPrune]] lays out the partitioned fact + the dim
     * (exposed for the plan assertion in LayoutsSpec). */
   def dppPath(d: String): (String, String) = {

@@ -65,6 +65,29 @@ object Events {
       .orderBy(col("win_start_s"), col("event_type"))
   }
 
+  /** Streaming sliding (hopping) windows: the 1 h / 30 min overlapping
+    * aggregation running continuously — each event updates exactly 2
+    * window states, so state is 2× the tumbling case, bounded by the
+    * window span, and the emitted table equals the batch
+    * `q_sliding_window` (the oracle). */
+  def streamSlidingWindow(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = ev
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val name = s"graft_stream_sliding_${n.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start_s"), col("event_type"))
+  }
+
   /** Streaming stateful dedup: `dropDuplicates` keeps one row per
     * (user_id, event_type) in the state store; the downstream count per
     * event_type equals a batch COUNT(DISTINCT user_id). */

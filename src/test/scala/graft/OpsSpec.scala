@@ -245,6 +245,38 @@ class OpsSpec extends SparkSuite {
     assert(ok.count() == 0, "bucket pair count or cosine out of bounds")
   }
 
+  test("delta detect partitions both snapshots exactly") {
+    import graft.ops.Warehouse
+    import org.apache.spark.sql.Row
+    val d = Warehouse.qDeltaDetect(spark, sf).collect()
+      .map { case Row(s: String, n: Long) => s -> n }.toMap
+    val base = Tables.customer(spark, sf)
+    val nV1 = base.count()
+    val nDel = base.filter(col("c_custkey") % 11 === 0).count()
+    val nAdd = base.filter(col("c_custkey") % 13 === 0).count()
+    val nChg = base.filter(col("c_custkey") % 11 =!= 0 &&
+      col("c_custkey") % 7 === 0).count()
+    assert(d.getOrElse("deleted", 0L) == nDel)
+    assert(d.getOrElse("added", 0L) == nAdd)
+    assert(d.getOrElse("changed", 0L) == nChg)
+    assert(d.values.sum == nV1 + nAdd) // every key classified once
+  }
+
+  test("weighted median sits at the half-revenue point") {
+    val m = Analytics.qWeightedMedian(spark, sf)
+    val joined = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("w"))
+      .join(m, Seq("l_returnflag"))
+    val below = joined.filter(col("l_extendedprice") < col("weighted_median"))
+      .groupBy(col("l_returnflag")).agg(sum(col("w")).as("wb"))
+    val total = joined.groupBy(col("l_returnflag")).agg(sum(col("w")).as("wt"))
+    val bad = below.join(total, Seq("l_returnflag"))
+      .filter(col("wb") > col("wt") / 2 + lit(0.01))
+    assert(bad.count() == 0,
+      "strictly-below-median revenue exceeded half the total")
+  }
+
   test("sliding windows cover every event exactly twice") {
     val win = Analytics.qSlidingWindow(spark, sf)
     val winTotal = win.agg(sum(col("n"))).as[Long].head()
