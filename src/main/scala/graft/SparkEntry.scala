@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, JsonQueries, PipelineQueries, Warehouse}
+import graft.ops.{Analytics, Behavior, JsonQueries, PipelineQueries, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -350,6 +350,12 @@ object SparkEntry {
     "q_weighted_median" -> (Analytics.qWeightedMedian _),
     "q_triangle_count" -> (Analytics.qTriangleCount _),
     "q_sliding_window" -> (Analytics.qSlidingWindow _),
+    "q_cohort_retention" -> (Behavior.qCohortRetention _),
+    "q_attribution" -> (Behavior.qAttribution _),
+    "q_anomaly_zscore" -> (Behavior.qAnomalyZscore _),
+    "q_ewma" -> (Behavior.qEwma _),
+    "q_degree_dist" -> (Behavior.qDegreeDist _),
+    "q_bloom_semi_filter" -> (Warehouse.qBloomSemiFilter _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
@@ -426,6 +432,9 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
     "source_text_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.textRoundtrip(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
+    "source_json_gzip" -> ((s: SparkSession, d: String) =>
+      graft.sources.Formats.jsonGzipRoundtrip(s, d)
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
     "sink_partitioned_prune" -> (graft.sources.Layouts.partitionedPrune _),
     "sink_schema_merge" -> (graft.sources.Formats.schemaMergeRoundtrip _),
@@ -1273,6 +1282,93 @@ object SparkEntry {
         |  CAST(n_edges AS BIGINT) AS n_edges,
         |  CAST(n_triangles AS BIGINT) AS n_triangles
         |FROM n, m, t""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(floor((floor(epoch(ts)) - 1704067200) / 604800)
+        |      AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1),
+        |s AS (SELECT cohort_wk, count(*) AS cohort_size FROM c GROUP BY 1),
+        |a AS (SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+        |    count(*) AS n_active
+        |  FROM uw JOIN c ON uw.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT a.cohort_wk, a.week_offset, a.n_active,
+        |  round(a.n_active::DOUBLE / s.cohort_size, 4) AS retention
+        |FROM a JOIN s USING (cohort_wk) ORDER BY 1, 2""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |x AS (SELECT *,
+        |    max(CASE WHEN event_type = 'click' THEN ts_s END) OVER w
+        |      AS last_click,
+        |    min(CASE WHEN event_type = 'click' THEN ts_s END) OVER w
+        |      AS first_click
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT coalesce(CAST(least(floor((ts_s - last_click) / 600), 5)
+        |    AS BIGINT), -1) AS gap_bucket,
+        |  count(*) AS n_purchases, round(sum(value), 2) AS revenue,
+        |  CAST(count(CASE WHEN first_click < last_click THEN 1 END)
+        |    AS BIGINT) AS n_multi_touch
+        |FROM x WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    round(avg(l_extendedprice) + 2.0 * stddev_samp(l_extendedprice),
+        |      4) AS hi,
+        |    round(avg(l_extendedprice) - 2.0 * stddev_samp(l_extendedprice),
+        |      4) AS lo
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n_rows,
+        |  CAST(count(CASE WHEN l.l_extendedprice > s.hi THEN 1 END)
+        |    AS BIGINT) AS n_high,
+        |  CAST(count(CASE WHEN l.l_extendedprice < s.lo THEN 1 END)
+        |    AS BIGINT) AS n_low,
+        |  round(max(CASE WHEN l.l_extendedprice > s.hi
+        |    THEN l.l_extendedprice END), 2) AS max_outlier
+        |FROM lineitem l JOIN s USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ewma" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem GROUP BY 1, 2),
+        |x AS (SELECT l_returnflag, month, revenue,
+        |    lag(revenue, 1) OVER w AS r1, lag(revenue, 2) OVER w AS r2,
+        |    lag(revenue, 3) OVER w AS r3, lag(revenue, 4) OVER w AS r4,
+        |    lag(revenue, 5) OVER w AS r5
+        |  FROM m WINDOW w AS (PARTITION BY l_returnflag ORDER BY month))
+        |SELECT l_returnflag, month, revenue,
+        |  round((coalesce(revenue * 1.0, 0) + coalesce(r1 * 0.5, 0)
+        |      + coalesce(r2 * 0.25, 0) + coalesce(r3 * 0.125, 0)
+        |      + coalesce(r4 * 0.0625, 0) + coalesce(r5 * 0.03125, 0))
+        |    / (coalesce(CASE WHEN revenue IS NOT NULL THEN 1.0 END, 0)
+        |      + coalesce(CASE WHEN r1 IS NOT NULL THEN 0.5 END, 0)
+        |      + coalesce(CASE WHEN r2 IS NOT NULL THEN 0.25 END, 0)
+        |      + coalesce(CASE WHEN r3 IS NOT NULL THEN 0.125 END, 0)
+        |      + coalesce(CASE WHEN r4 IS NOT NULL THEN 0.0625 END, 0)
+        |      + coalesce(CASE WHEN r5 IS NOT NULL THEN 0.03125 END, 0)),
+        |    4) AS ewma
+        |FROM x ORDER BY 1, 2""".stripMargin,
+    "q_degree_dist" ->
+      """WITH e AS (SELECT DISTINCT o_custkey, l_suppkey
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |d AS (SELECT l_suppkey, count(*) AS degree FROM e GROUP BY 1)
+        |SELECT degree, count(*) AS n_suppliers,
+        |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bloom_semi_filter" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "source_json_gzip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "text_lm_score" ->
       """WITH tk AS (
         |  SELECT doc_id,

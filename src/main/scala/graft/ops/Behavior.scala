@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Behavioral / product-analytics operators over the events stream and
+  * the trade graph (SURVEY §2.2): cohort retention, touch attribution,
+  * statistical anomaly audit, EWMA trend smoothing, degree profiling.
+  *
+  * Same determinism conventions as [[Analytics]]: event timestamps as
+  * floor-epoch seconds, doubles rounded, total ORDER BY. Doubles that
+  * feed further arithmetic are rounded FIRST so both engines continue
+  * from identical inputs.
+  */
+object Behavior {
+
+  private def epochS(c: Column): Column = unix_timestamp(c)
+
+  /** Events epoch origin (2024-01-01 00:00 UTC) for week bucketing. */
+  private val WeekOrigin = 1704067200L
+
+  /** Cohort retention: users are cohorted by first-activity week, then
+    * each (cohort, week-offset) cell counts the cohort members still
+    * active that week — the standard retention triangle. Two shuffles,
+    * both on `user_id` (cohort min + the distinct user-week set), so at
+    * scale they share one hash partitioning; the per-cohort sizes are a
+    * tiny broadcast. */
+  def qCohortRetention(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        floor((epochS(col("ts")) - lit(WeekOrigin)) / 604800L)
+          .cast("long").as("wk"))
+      .distinct()
+    val cohorts = uw.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohorts.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohorts, "user_id")
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  /** Touch attribution: every purchase is attributed to the user's most
+    * recent strictly-earlier click (last touch) and earliest click
+    * (first touch), then rolled up by the attribution gap bucket. The
+    * whole assignment is ONE window pass over the user timeline —
+    * `max/min(CASE click)` over a preceding-rows frame — so the events
+    * table shuffles once on `user_id` and nothing self-joins; at 100 TB
+    * this is the same single-shuffle shape as sessionization. */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clickTs = when(col("event_type") === "click", col("ts_s"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), epochS(col("ts")).as("ts_s"))
+      .withColumn("last_click", max(clickTs).over(w))
+      .withColumn("first_click", min(clickTs).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(
+        coalesce(least(floor((col("ts_s") - col("last_click")) / 600L), lit(5L)),
+          lit(-1L)).cast("long").as("gap_bucket"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("revenue"),
+        count(when(col("first_click") < col("last_click"), 1))
+          .as("n_multi_touch"))
+      .orderBy(col("gap_bucket"))
+  }
+
+  /** Statistical anomaly audit: per-group price outliers beyond
+    * mean ± 2σ. The group moments are a one-pass partial-aggregable
+    * scan producing a |groups|-row frame that BROADCASTS back onto the
+    * fact — the fact is scanned twice but never shuffled, which beats a
+    * window over 3 giant partitions at any scale. The z-boundary is
+    * rounded to 4 decimals before comparing so a last-ulp moment
+    * difference between engines cannot flip a row's outlier status. */
+  def qAnomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(avg(col("l_extendedprice")).as("_mu"),
+        stddev_samp(col("l_extendedprice")).as("_sd"))
+      .select(col("l_returnflag"),
+        round(col("_mu") + lit(2.0) * col("_sd"), 4).as("hi"),
+        round(col("_mu") - lit(2.0) * col("_sd"), 4).as("lo"))
+    li.join(broadcast(stats), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("l_extendedprice") > col("hi"), 1)).as("n_high"),
+        count(when(col("l_extendedprice") < col("lo"), 1)).as("n_low"),
+        round(max(when(col("l_extendedprice") > col("hi"),
+          col("l_extendedprice"))), 2).as("max_outlier"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** EWMA trend smoothing (α=0.5, 6-month horizon) over per-flag
+    * monthly revenue. The smoothing is an EXPLICIT lag-chain
+    * (Σ αᵏ·lag(rev,k) / Σ αᵏ over present lags), not a recursive
+    * running product: the monthly inputs are rounded to cents first, so
+    * both engines run identical IEEE arithmetic and the result is
+    * bit-stable — and a bounded frame keeps the window O(1)/row. One
+    * shuffle for the monthly rollup; the window reuses its partitioning. */
+  def qEwma(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM")
+          .as("month"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("month"))
+    val terms = (0 until 6).map { k =>
+      val x = lag(col("revenue"), k).over(w)
+      (when(x.isNotNull, x * lit(math.pow(0.5, k))),
+        when(x.isNotNull, lit(math.pow(0.5, k))))
+    }
+    val num = terms.map(_._1).reduce((a, b) => coalesce(a, lit(0.0)) + coalesce(b, lit(0.0)))
+    val den = terms.map(_._2).reduce((a, b) => coalesce(a, lit(0.0)) + coalesce(b, lit(0.0)))
+    monthly
+      .withColumn("ewma", round(num / den, 4))
+      .orderBy(col("l_returnflag"), col("month"))
+  }
+
+  /** Degree-distribution profile of the bipartite customer↔supplier
+    * trade graph: suppliers bucketed by distinct-customer degree. The
+    * edge list is one distinct over (cust, supp) — partial-aggregable,
+    * one shuffle — and the histogram is a |degrees|-row second pass.
+    * This is the graph-skew probe you run BEFORE pagerank/triangles to
+    * know whether degree-orientation or salting is needed. */
+  def qDegreeDist(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct()
+    edges.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min(col("l_suppkey")).as("min_supp"),
+        max(col("l_suppkey")).as("max_supp"))
+      .orderBy(col("degree"))
+  }
+}

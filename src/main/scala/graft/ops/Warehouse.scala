@@ -179,4 +179,36 @@ object Warehouse {
       .agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("o_year"))
+
+  /** Bloom-prefiltered semi-join: revenue of lineitems whose order is
+    * URGENT, with the fact prefiltered by a Bloom sketch of the key set
+    * before the exact semi-join. The sketch (fixed KBs for any key-set
+    * size) is built in one partial-aggregable pass and folded into the
+    * fact scan as a plan constant, so at 100 TB — where the key set is
+    * too big to broadcast and the fact would otherwise shuffle in full —
+    * the shuffle carries only probable-match rows. Zero false negatives
+    * means prefilter + exact join ≡ plain semi-join, so the oracle is
+    * the plain semi-join: the speedup is free of approximation.
+    * (Catalyst's InjectRuntimeFilter plants this shape automatically
+    * inside one query; building it explicitly lets a pipeline reuse one
+    * sketch across MANY jobs, e.g. a contaminated-id or dedup-keeper
+    * filter applied to every downstream read.) */
+  def qBloomSemiFilter(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val sketch = keys
+      .agg(graft.functions.Bloom.sketchAgg(xxhash64(col("o_orderkey")),
+        nItems = 40000L, nBits = 400000L).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    Tables.lineitem(s, d)
+      .filter(graft.functions.Bloom.mightContain(sketch,
+        xxhash64(col("l_orderkey"))))
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
 }

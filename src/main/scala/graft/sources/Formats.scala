@@ -70,6 +70,20 @@ object Formats {
       f.getItem(2).cast("double").as("o_totalprice"))
   }
 
+  /** Gzip-compressed line-delimited JSON roundtrip — the compressed
+    * interchange form crawl dumps actually arrive in. The writer emits
+    * `.json.gz` part files; the reader auto-detects the codec by
+    * extension. Scale note: gzip is NOT splittable — one file = one
+    * task — so at 100 TB the writer must keep part files bounded
+    * (repartition before write); splittable codecs (bzip2) or
+    * block-compressed parquet are preferred when the reader fans out. */
+  def jsonGzipRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("orders_json_gz", d)
+    ordersInterchange(s, d).write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip").json(path)
+    s.read.json(path)
+  }
+
   /** Opaque-file ingestion via the binaryFile source: (path, length,
     * content) rows — the entry point for real media files. */
   def binaryFiles(s: SparkSession, dir: String, glob: String): DataFrame =

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Behavior, Warehouse}
+import graft.sources.Tables
+
+/** Semantic invariants for the behavioral-analytics family — each
+  * checked against an independent formulation so a defect can't hide
+  * behind the DuckDB oracle sharing the clever shape. */
+class BehaviorSpec extends SparkSuite {
+
+  test("cohort retention is 1.0 at offset 0 and never exceeds it") {
+    val rows = Behavior.qCohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (_, rs) =>
+      val zero = rs.find(_.getLong(1) == 0L)
+      assert(zero.isDefined, "cohort missing its offset-0 cell")
+      assert(zero.get.getDouble(3) == 1.0,
+        "offset-0 retention must be 1.0 (every member active then)")
+      rs.foreach(r => assert(r.getDouble(3) <= 1.0))
+    }
+  }
+
+  test("attribution conserves purchases and buckets stay in range") {
+    val rows = Behavior.qAttribution(spark, sf).collect()
+    val attributed = rows.map(_.getLong(1)).sum
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(attributed == purchases,
+      s"attribution lost purchases: $attributed vs $purchases")
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(b >= -1L && b <= 5L, s"gap bucket out of range: $b")
+    }
+  }
+
+  test("z-score outliers are a small minority in every group") {
+    Behavior.qAnomalyZscore(spark, sf).collect().foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_rows"))
+      val out = r.getLong(r.fieldIndex("n_high")) +
+        r.getLong(r.fieldIndex("n_low"))
+      assert(out < n / 4, s"outliers not a minority: $out of $n")
+    }
+  }
+
+  test("ewma equals revenue on each group's first month") {
+    val first = Behavior.qEwma(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("month"))))
+      .filter(col("rn") === 1)
+      .collect()
+    assert(first.nonEmpty)
+    first.foreach { r =>
+      val rev = r.getDouble(r.fieldIndex("revenue"))
+      val ewma = r.getDouble(r.fieldIndex("ewma"))
+      assert(math.abs(ewma - rev) < 0.01,
+        s"first-month ewma $ewma != revenue $rev")
+    }
+  }
+
+  test("degree distribution accounts for every edge exactly once") {
+    val hist = Behavior.qDegreeDist(spark, sf).collect()
+    val edgeSum = hist.map(r => r.getLong(0) * r.getLong(1)).sum
+    val edges = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().count()
+    assert(edgeSum == edges, s"degree mass $edgeSum != edge count $edges")
+  }
+
+  test("bloom-prefiltered semi-join equals the plain semi-join") {
+    val keys = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val plain = Tables.lineitem(spark, sf)
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+    assert(Warehouse.qBloomSemiFilter(spark, sf).collect().toSeq ==
+      plain.collect().toSeq)
+  }
+
+  test("bloom prefilter never drops a true match") {
+    val keys = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val sketch = keys
+      .agg(graft.functions.Bloom.sketchAgg(xxhash64(col("o_orderkey")),
+        nItems = 40000L, nBits = 400000L).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val trueMatches = Tables.lineitem(spark, sf)
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val missed = trueMatches
+      .filter(!graft.functions.Bloom.mightContain(sketch,
+        xxhash64(col("l_orderkey"))))
+      .count()
+    assert(missed == 0L, s"bloom false negatives: $missed")
+  }
+
+  test("gzip json roundtrip preserves rows and writes .gz part files") {
+    val back = graft.sources.Formats.jsonGzipRoundtrip(spark, sf)
+    assert(back.count() == Tables.orders(spark, sf).count())
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_fmt/orders_json_gz__root_testdata_sf0.001")
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.gz")),
+      s"expected .json.gz parts in $dir")
+  }
+}
