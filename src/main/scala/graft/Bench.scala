@@ -27,7 +27,12 @@ object Bench {
     // 1 untimed warmup + best of 2 measured runs: the JIT pays off in
     // the warmup, and min-of-N filters multi-second host stalls that
     // otherwise land on random queries (observed 10x run-to-run noise).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 times a subset for local iteration; the
+    // driver never sets it, so per-round benches always run everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => () } // warmup; failure recorded below
       var failed = false

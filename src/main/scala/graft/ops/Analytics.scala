@@ -1072,11 +1072,12 @@ object Analytics {
     * graph is the sparse one (|parts| ≫ per-order degree; the supplier
     * variant is near-complete on this data and triangle counting on a
     * complete graph is O(n³) by definition). Edges are oriented
-    * low-id → high-id so each triangle is counted exactly once, and
-    * the count is two edge-keyed equi-joins — no cartesian anywhere.
-    * Pair-gen is bounded by per-order line count k (O(|orders|·k²),
-    * the market-basket bound); at 100 TB the standard refinement is
-    * orienting edges by degree instead of id, capping join fan-out at
+    * low-id → high-id so each triangle is counted exactly once — at its
+    * lowest-id edge, as the out-neighbor intersection of that edge's
+    * endpoints. Pair-gen is bounded by per-order line count k
+    * (O(|orders|·k²), the market-basket bound); at 100 TB the standard
+    * refinement is orienting edges by degree instead of id, which caps
+    * per-node adjacency at O(√E) and total intersection work at
     * O(E^1.5). */
   def qTriangleCount(s: SparkSession, d: String): DataFrame = {
     val ls = Tables.lineitem(s, d)
@@ -1088,15 +1089,28 @@ object Analytics {
       .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
       .distinct()
       .cache()
+    // Edge-iterator closure: per-node OUT-neighbor lists (id order), then
+    // each edge (a,b) counts |N+(a) ∩ N+(b)| — its closing third
+    // vertices. The wedge set (Σ indeg·outdeg rows, ~45× |E| here) is
+    // never materialized or shuffled: the intersection runs in-core
+    // against the |nodes|-row adjacency side. Adjacency is
+    // degree-bounded (≲ KBs/node), so at 100 TB it either broadcasts or
+    // equi-joins on the edge endpoint — still one |E|-row shuffle, vs
+    // the wedge join's |wedges|-row one.
+    val adj = e.groupBy(col("a").as("v"))
+      .agg(collect_list(col("b")).as("nbrs"))
+      .cache()
     val nNodes = e.select(col("a").as("v"))
       .union(e.select(col("b"))).distinct()
       .agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val nTri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val nTri = e
+      .join(broadcast(adj.select(col("v"), col("nbrs").as("na"))),
+        col("a") === col("v"))
+      .join(broadcast(adj.select(col("v").as("w"), col("nbrs").as("nb"))),
+        col("b") === col("w"))
+      .agg(coalesce(sum(size(array_intersect(col("na"), col("nb")))), lit(0L))
+        .as("n_triangles"))
     nNodes.crossJoin(nEdges).crossJoin(nTri)
   }
 }
