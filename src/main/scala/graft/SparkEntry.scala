@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, Behavior, JsonQueries, PipelineQueries, Warehouse}
+import graft.ops.{Analytics, Behavior, JsonQueries, Mining, PipelineQueries, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -356,6 +356,14 @@ object SparkEntry {
     "q_ewma" -> (Behavior.qEwma _),
     "q_degree_dist" -> (Behavior.qDegreeDist _),
     "q_bloom_semi_filter" -> (Warehouse.qBloomSemiFilter _),
+    "q_rfm" -> (Mining.qRfm _),
+    "q_linreg_trend" -> (Mining.qLinregTrend _),
+    "q_markov_chain" -> (Mining.qMarkovChain _),
+    "q_anomaly_mad" -> (Mining.qAnomalyMad _),
+    "q_gini" -> (Mining.qGini _),
+    "q_item_cosine" -> (Mining.qItemCosine _),
+    "q_connected_components" -> (Mining.qConnectedComponents _),
+    "q_kmeans" -> (Mining.qKmeans _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
@@ -436,6 +444,7 @@ object SparkEntry {
     "source_json_gzip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.jsonGzipRoundtrip(s, d)
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
+    "source_csv_malformed" -> (graft.sources.Formats.csvMalformed _),
     "sink_partitioned_prune" -> (graft.sources.Layouts.partitionedPrune _),
     "sink_schema_merge" -> (graft.sources.Formats.schemaMergeRoundtrip _),
     "source_files_audit" -> (graft.sources.Layouts.filesAudit _),
@@ -1365,6 +1374,143 @@ object SparkEntry {
         |FROM lineitem WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |    count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_order) AS mx FROM per),
+        |sc AS (
+        |  SELECT o_custkey, monetary,
+        |    ntile(4) OVER (ORDER BY date_diff('day', last_order, mx.mx)
+        |      DESC, o_custkey) AS r_score,
+        |    ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+        |    ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+        |  FROM per, mx)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        |  round(sum(monetary), 2) AS cell_monetary, min(o_custkey) AS min_cust
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_linreg_trend" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1
+        |      AS DOUBLE) AS x,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, count(*) AS n_months,
+        |  round(regr_slope(revenue, x), 4) AS slope,
+        |  round(regr_intercept(revenue, x), 2) AS intercept,
+        |  round(regr_r2(revenue, x), 4) AS r2
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_markov_chain" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |p AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS dst
+        |  FROM e),
+        |t AS (SELECT src, dst, count(*) AS n FROM p
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY src), 4) AS p
+        |FROM t ORDER BY src, dst""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.5), 4) AS med
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT l.l_returnflag, m.med,
+        |    abs(l.l_extendedprice - m.med) AS dev
+        |  FROM lineitem l JOIN med m USING (l_returnflag)),
+        |mad AS (SELECT l_returnflag, round(quantile_cont(dev, 0.5), 4) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.l_returnflag, count(*) AS n_rows,
+        |  any_value(d.med) AS med, any_value(mad.mad) AS mad,
+        |  count(CASE WHEN d.dev > round(3 * 1.4826 * mad.mad, 4) THEN 1 END)
+        |    AS n_outliers,
+        |  round(max(d.dev), 2) AS max_dev
+        |FROM d JOIN mad USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gini" ->
+      """WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c.c_nationkey, rev.o_custkey, rev.rev
+        |  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY rev, o_custkey) AS DOUBLE) AS r FROM j),
+        |g AS (SELECT c_nationkey, count(*) AS n_customers,
+        |    round(sum(rev), 2) AS total_rev,
+        |    round(2.0 * sum(r * rev) / (count(*) * sum(rev))
+        |      - (count(*) + 1.0) / count(*), 4) AS gini
+        |  FROM r GROUP BY 1)
+        |SELECT n.n_name, g.n_customers, g.total_rev, g.gini
+        |FROM g JOIN nation n ON g.c_nationkey = n.n_nationkey
+        |ORDER BY n.n_name""".stripMargin,
+    "q_item_cosine" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |f AS (SELECT pk, count(*) AS freq FROM ls GROUP BY 1),
+        |p AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab
+        |  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_ab,
+        |  round(n_ab / sqrt(fa.freq * fb.freq), 4) AS cosine
+        |FROM p JOIN f fa ON fa.pk = part_a JOIN f fb ON fb.pk = part_b
+        |ORDER BY cosine DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q_connected_components" ->
+      """WITH RECURSIVE sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+        |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |e AS (SELECT u, v FROM (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+        |  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2) WHERE w >= 2),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM e UNION SELECT v, v FROM e
+        |  UNION
+        |  SELECT reach.id, CASE WHEN e.u = reach.r THEN e.v ELSE e.u END
+        |  FROM reach JOIN e ON e.u = reach.r OR e.v = reach.r),
+        |lbl AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
+        |SELECT component, count(*) AS n_members
+        |FROM lbl GROUP BY 1 ORDER BY n_members DESC, component
+        |LIMIT 20""".stripMargin,
+    "q_kmeans" ->
+      """WITH v AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+        |    unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |c0 AS (SELECT ids.cid, v.dim, v.x AS c FROM ids JOIN v USING (vec_id)),
+        |s1 AS (SELECT v.vec_id, c.cid,
+        |    round(sum(v.x * c.c) / (sqrt(sum(v.x * v.x)) *
+        |      sqrt(sum(c.c * c.c))), 6) AS cos
+        |  FROM v JOIN c0 c ON v.dim = c.dim GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |c1 AS (SELECT a1.cid, v.dim, avg(v.x) AS c
+        |  FROM a1 JOIN v USING (vec_id) GROUP BY 1, 2),
+        |s2 AS (SELECT v.vec_id, c.cid,
+        |    round(sum(v.x * c.c) / (sqrt(sum(v.x * v.x)) *
+        |      sqrt(sum(c.c * c.c))), 6) AS cos
+        |  FROM v JOIN c1 c ON v.dim = c.dim GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid, cos FROM (
+        |    SELECT vec_id, cid, cos, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid) AS rn FROM s2)
+        |  WHERE rn = 1)
+        |SELECT cid AS cluster, count(*) AS n_members, min(vec_id) AS exemplar,
+        |  round(avg(cos), 4) AS avg_cos
+        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "source_csv_malformed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN o_orderkey % 10 <> 0 THEN 1 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(count(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  round(sum(CASE WHEN o_orderkey % 10 <> 0
+        |    THEN round(o_totalprice, 2) END), 2) AS clean_revenue
+        |FROM orders""".stripMargin,
     "source_json_gzip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date

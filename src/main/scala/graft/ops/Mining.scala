@@ -1,0 +1,259 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Segmentation / statistics / graph-mining operators (SURVEY §2.2):
+  * RFM customer segmentation, OLS trend fitting, Markov event
+  * transitions, robust (median/MAD) anomaly audit, Gini revenue
+  * concentration, item-item cosine co-occurrence, connected components
+  * over the co-purchase graph, and fixed-iteration spherical k-means
+  * over the embedding corpus.
+  *
+  * Determinism conventions as [[Analytics]]: doubles rounded before
+  * they feed comparisons or further arithmetic, every ORDER BY total,
+  * event timestamps as floor-epoch seconds.
+  */
+object Mining {
+
+  /** RFM segmentation: per-customer recency/frequency/monetary quartile
+    * scores, rolled up by (r, f, m) cell. The per-customer rollup is one
+    * partial-aggregable shuffle over orders; the three `ntile` windows
+    * run on the |customers|-row aggregate, not the fact. Scale note: an
+    * unpartitioned ntile sorts its input on one task — fine for a
+    * per-customer aggregate (thousands of bytes per million customers),
+    * but at billions of customers swap in percentile-boundary bucketing
+    * broadcast from a one-row frame. Ties are broken by custkey so both
+    * engines assign identical quartiles. */
+  def qRfm(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+    val mx = per.agg(max(col("last_order")).as("mx"))
+    val scored = per.crossJoin(broadcast(mx))
+      .withColumn("recency_days", datediff(col("mx"), col("last_order")))
+      .withColumn("r_score",
+        ntile(4).over(Window.orderBy(col("recency_days").desc, col("o_custkey")))
+          .cast("long"))
+      .withColumn("f_score",
+        ntile(4).over(Window.orderBy(col("frequency"), col("o_custkey")))
+          .cast("long"))
+      .withColumn("m_score",
+        ntile(4).over(Window.orderBy(col("monetary"), col("o_custkey")))
+          .cast("long"))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("monetary")), 2).as("cell_monetary"),
+        min(col("o_custkey")).as("min_cust"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** Per-flag OLS trend of monthly revenue on a month index
+    * (`regr_slope`/`regr_intercept`/`regr_r2` — one partial-aggregable
+    * pass, closed-form moments, no iteration). Monthly inputs are
+    * rounded to cents first so both engines fit identical points. The
+    * monthly rollup is the only fact shuffle; the regression runs on
+    * the |flags|×|months| frame. */
+  def qLinregTrend(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .cast("double").as("x"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+    monthly.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_months"),
+        round(expr("regr_slope(revenue, x)"), 4).as("slope"),
+        round(expr("regr_intercept(revenue, x)"), 2).as("intercept"),
+        round(expr("regr_r2(revenue, x)"), 4).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** First-order Markov chain over each user's event stream: the
+    * (event_type → next event_type) transition counts and row-stochastic
+    * probabilities. The `lead` window is ONE shuffle of events on
+    * user_id (same partitioning sessionization uses); the transition
+    * matrix is a |types|² aggregate, and the normalizing row totals are
+    * a window over that tiny frame. */
+  def qMarkovChain(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("src"))), 4))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Robust anomaly audit: per-group median + MAD (median absolute
+    * deviation) outlier counts at the 3σ-equivalent 3·1.4826·MAD fence.
+    * Unlike the z-score audit, a few extreme rows cannot drag the fence.
+    * Both medians use exact interpolated `percentile` for oracle
+    * bit-parity — at 100 TB swap in `approx_percentile`, which keeps the
+    * same two-broadcast shape (the 2-column fact is scanned three times
+    * but never shuffled). Fences are rounded to 4 decimals before
+    * comparison so a last-ulp median difference cannot flip a row. */
+  def qAnomalyMad(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med"))
+    val withDev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("l_extendedprice") - col("med")))
+    val mad = withDev.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+    withDev.join(broadcast(mad), "l_returnflag")
+      .withColumn("fence", round(lit(3 * 1.4826) * col("mad"), 4))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        count(when(col("dev") > col("fence"), 1)).as("n_outliers"),
+        round(max(col("dev")), 2).as("max_dev"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Gini coefficient of customer revenue within each nation — the
+    * revenue-concentration audit. Per-customer revenue is rounded to
+    * cents BEFORE ranking so both engines rank identical values; the
+    * rank window partitions by nation (25 groups — each holds
+    * |customers|/25 rows; at extreme scale pre-aggregate to coarser
+    * revenue buckets or use the grouped-sort salting in q_salted_agg).
+    * Closed form: G = 2·Σ(rᵢ·xᵢ)/(n·Σx) − (n+1)/n over ranks rᵢ. */
+  def qGini(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    val j = rev.join(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+      col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("rev"), col("o_custkey"))
+    val ranked = j.withColumn("r", row_number().over(w).cast("double"))
+    ranked.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("rev")), 2).as("total_rev"),
+        round(lit(2.0) * sum(col("r") * col("rev")) /
+            (count(lit(1)) * sum(col("rev"))) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_customers"), col("total_rev"), col("gini"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Item-item cosine over order co-occurrence (the classic
+    * collaborative-filtering similarity): cos(a,b) = n_ab/√(n_a·n_b).
+    * Pair generation is bounded by order width (≤ items²/order), the
+    * item-frequency side broadcasts, and the top-20 is a
+    * TakeOrderedAndProject — the fact shuffles once for the distinct. */
+  def qItemCosine(s: SparkSession, d: String): DataFrame = {
+    val ls = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = ls.groupBy(col("l_partkey")).agg(count(lit(1)).as("freq"))
+    val pairs = ls.as("x")
+      .join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(freq.select(col("l_partkey").as("part_a"),
+        col("freq").as("fa"))), "part_a")
+      .join(broadcast(freq.select(col("l_partkey").as("part_b"),
+        col("freq").as("fb"))), "part_b")
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab") / sqrt(col("fa") * col("fb")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** Connected components of the sparse repeat-co-purchase graph
+    * (small parts — p_size ≤ 3 — linked when they share ≥ 2 orders),
+    * surfacing the dedup engine's pointer-jumping min-label propagation
+    * ([[graft.dedup.Components]]) as a first-class graph query:
+    * log-diameter rounds, shuffles keyed on node id, only a convergence
+    * scalar on the driver. The size/weight restriction keeps the
+    * subgraph sparse enough that components are non-trivial (the full
+    * co-purchase graph is one giant component — and its transitive
+    * closure would also be unverifiable in SQL). */
+  def qConnectedComponents(s: SparkSession, d: String): DataFrame = {
+    val sparse = Tables.part(s, d).filter(col("p_size") <= 3)
+      .select(col("p_partkey"))
+    val ls = Tables.lineitem(s, d)
+      .join(broadcast(sparse), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = ls.as("x")
+      .join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("id_a"), col("y.l_partkey").as("id_b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.Components.keepers(edges)
+      .groupBy(col("keeper").as("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("component"))
+      .limit(20)
+  }
+
+  /** Spherical k-means, k=8, exactly 2 Lloyd iterations, deterministic
+    * init (the 8 lowest vec_ids). Each iteration: cosine against the
+    * broadcast k×dim centroid matrix (codegen'd `CosineSim` kernel,
+    * rounded to 6 dp BEFORE the argmax so both engines assign
+    * identically), argmax as a partial-aggregable `max_by`, then new
+    * centroids from one posexplode average. The corpus shuffles only on
+    * vec_id / (cid, dim) aggregates; centroids stay k×dim. Fixed
+    * iteration count keeps the operator deterministic and
+    * oracle-replayable — production convergence looping just repeats
+    * the same two stages. */
+  def qKmeans(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .cache()
+    // init: cluster j = the j-th smallest vec_id's vector
+    val init = emb.orderBy(col("vec_id")).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+      .select(col("cid"), col("vec").as("cvec"))
+
+    def assign(centroids: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"),  col("cid"),
+          round(graft.sim.Ann.cosine(col("vec"), col("cvec")), 6).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"),
+          max(col("cos")).as("cos"))
+
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned.join(emb, "vec_id")
+        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x")).as("c"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+          .getField("c").as("cvec"))
+
+    val a2 = assign(recenter(assign(init)))
+    a2.groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("exemplar"),
+        round(avg(col("cos")), 4).as("avg_cos"))
+      .orderBy(col("cluster"))
+  }
+}

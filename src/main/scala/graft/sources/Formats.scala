@@ -84,6 +84,41 @@ object Formats {
     s.read.json(path)
   }
 
+  /** Malformed-row tolerance on the CSV ingest path — the same
+    * contract the reference applies to bad JSON (skip, don't abort;
+    * DatabaseManager.java wraps per-row parse in try/catch). Every
+    * 10th order is written as a deliberately unparseable line; the
+    * PERMISSIVE reader with a `columnNameOfCorruptRecord` column keeps
+    * the good rows typed and quarantines the bad lines for audit
+    * instead of failing the 100 TB job. Returns the one-row triage
+    * summary (row/good/corrupt counts + revenue over clean rows). */
+  def csvMalformed(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("orders_csv_bad", d)
+    // the corrupt token sits in o_totalprice — a field the summary
+    // aggregates, so the pruned CSV parse always attempts it (a
+    // short/truncated line would be null-padded, not flagged)
+    Tables.orders(s, d)
+      .select(concat_ws(",", col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 10 === 0, lit("corrupt"))
+            .otherwise(round(col("o_totalprice"), 2).cast("string")),
+          col("o_orderpriority"))
+        .as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+        "o_orderpriority STRING, _bad STRING")
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(path)
+    parsed.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("_bad").isNull, 1)).as("n_good"),
+      count(col("_bad")).as("n_corrupt"),
+      round(sum(when(col("_bad").isNull, col("o_totalprice"))), 2)
+        .as("clean_revenue"))
+  }
+
   /** Opaque-file ingestion via the binaryFile source: (path, length,
     * content) rows — the entry point for real media files. */
   def binaryFiles(s: SparkSession, dir: String, glob: String): DataFrame =

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Mining
+import graft.sources.Tables
+
+/** Semantic invariants for the mining/segmentation family — each
+  * checked against an independent formulation so a defect can't hide
+  * behind the DuckDB oracle sharing the clever shape. */
+class MiningSpec extends SparkSuite {
+
+  test("rfm cells partition the customer base, scores stay in 1..4") {
+    val cells = Mining.qRfm(spark, sf).collect()
+    val total = cells.map(_.getLong(3)).sum
+    val nCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(total == nCust, s"RFM cells cover $total of $nCust customers")
+    cells.foreach { r =>
+      Seq(0, 1, 2).foreach { i =>
+        val sc = r.getLong(i)
+        assert(sc >= 1 && sc <= 4, s"score out of range: $sc")
+      }
+    }
+  }
+
+  test("ols trend line passes through the mean point per group") {
+    val monthly = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"),
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .cast("double").as("x"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("x")).as("mean_x"), avg(col("revenue")).as("mean_y"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    Mining.qLinregTrend(spark, sf).collect().foreach { r =>
+      val (mx, my) = monthly(r.getString(0))
+      val fit = r.getDouble(3) + r.getDouble(2) * mx
+      assert(math.abs(fit - my) < math.abs(my) * 1e-3 + 1.0,
+        s"OLS line misses the mean point: $fit vs $my")
+    }
+  }
+
+  test("markov transition probabilities are row-stochastic") {
+    val rows = Mining.qMarkovChain(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 0.01,
+        s"P(·|$src) sums to $total")
+    }
+    val nTransitions = rows.map(_.getLong(2)).sum
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() -
+      ev.select(col("user_id")).distinct().count()
+    assert(nTransitions == expected,
+      s"transition mass $nTransitions != events - users $expected")
+  }
+
+  test("mad audit: outliers are a minority and the fence is positive") {
+    val rows = Mining.qAnomalyMad(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_rows"))
+      val out = r.getLong(r.fieldIndex("n_outliers"))
+      assert(r.getDouble(r.fieldIndex("mad")) > 0)
+      assert(out < n / 4, s"MAD outliers not a minority: $out of $n")
+    }
+  }
+
+  test("gini stays in [0,1) and covers every nation with customers") {
+    val rows = Mining.qGini(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getDouble(r.fieldIndex("gini"))
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $g")
+    }
+  }
+
+  test("item cosine scores are in (0,1] and pairs are ordered") {
+    val rows = Mining.qItemCosine(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not ordered a<b")
+      val c = r.getDouble(3)
+      assert(c > 0.0 && c <= 1.0, s"cosine out of range: $c")
+    }
+  }
+
+  test("connected components are disjoint and account for every node") {
+    val comps = Mining.qConnectedComponents(spark, sf).collect()
+    assert(comps.nonEmpty)
+    comps.foreach(r => assert(r.getLong(1) >= 2,
+      "an edge-connected component needs >= 2 members"))
+    // independent node count: every endpoint of a weight>=2 edge
+    val sparse = Tables.part(spark, sf).filter(col("p_size") <= 3)
+      .select(col("p_partkey"))
+    val ls = Tables.lineitem(spark, sf)
+      .join(sparse, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = ls.as("x").join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+    val nodes = e.select(col("a").as("v")).union(e.select(col("b")))
+      .distinct().count()
+    if (comps.length < 20)
+      assert(comps.map(_.getLong(1)).sum == nodes,
+        "component sizes must partition the node set")
+  }
+
+  test("kmeans assigns every vector to one of k clusters") {
+    val rows = Mining.qKmeans(spark, sf).collect()
+    assert(rows.length <= 8)
+    val members = rows.map(_.getLong(1)).sum
+    assert(members == Tables.embeddings(spark, sf).count(),
+      "every vector must be assigned exactly once")
+    rows.foreach { r =>
+      val c = r.getDouble(r.fieldIndex("avg_cos"))
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("malformed csv triage quarantines exactly the bad lines") {
+    val r = graft.sources.Formats.csvMalformed(spark, sf).head()
+    val expectedBad = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 10 === 0).count()
+    assert(r.getLong(r.fieldIndex("n_corrupt")) == expectedBad)
+    assert(r.getLong(r.fieldIndex("n_good")) +
+      r.getLong(r.fieldIndex("n_corrupt")) ==
+      r.getLong(r.fieldIndex("n_rows")))
+    assert(!r.isNullAt(r.fieldIndex("clean_revenue")))
+  }
+}
