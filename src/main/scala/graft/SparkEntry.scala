@@ -364,6 +364,9 @@ object SparkEntry {
     "q_item_cosine" -> (Mining.qItemCosine _),
     "q_connected_components" -> (Mining.qConnectedComponents _),
     "q_kmeans" -> (Mining.qKmeans _),
+    "embed_pca_power" -> (Mining.qPcaPower _),
+    "q_quantile_hist" -> (Mining.qQuantileHist _),
+    "multimodal_phash_dedup" -> (PipelineQueries.multimodalPhashDedup _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
@@ -1502,6 +1505,91 @@ object SparkEntry {
         |SELECT cid AS cluster, count(*) AS n_members, min(vec_id) AS exemplar,
         |  round(avg(cos), 4) AS avg_cos
         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "embed_pca_power" ->
+      """WITH v AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+        |    unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |mu AS (SELECT dim, round(avg(x), 6) AS mu FROM v GROUP BY 1),
+        |cen AS (SELECT v.vec_id, v.dim, v.x - mu.mu AS xc
+        |  FROM v JOIN mu USING (dim)),
+        |cov AS (SELECT a.dim AS di, b.dim AS dj,
+        |    round(avg(a.xc * b.xc), 6) AS cv
+        |  FROM cen a JOIN cen b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |b0 AS (SELECT dim AS bdim, 0.125 AS bv FROM mu),
+        |r1 AS (SELECT di, sum(cv * b0.bv) AS raw
+        |  FROM cov JOIN b0 ON dj = bdim GROUP BY 1),
+        |n1 AS (SELECT sqrt(sum(raw * raw)) AS nrm FROM r1),
+        |b1 AS (SELECT di AS bdim, round(raw / n1.nrm, 6) AS bv FROM r1, n1),
+        |r2 AS (SELECT di, sum(cv * b1.bv) AS raw
+        |  FROM cov JOIN b1 ON dj = bdim GROUP BY 1),
+        |n2 AS (SELECT sqrt(sum(raw * raw)) AS nrm FROM r2),
+        |b2 AS (SELECT di AS bdim, round(raw / n2.nrm, 6) AS bv FROM r2, n2),
+        |lam AS (SELECT round(sum(bi.bv * cov.cv * bj.bv), 4) AS eigval
+        |  FROM cov JOIN b2 bi ON cov.di = bi.bdim
+        |    JOIN b2 bj ON cov.dj = bj.bdim)
+        |SELECT bdim AS dim, round(bv, 4) AS loading, lam.eigval
+        |FROM b2, lam ORDER BY dim""".stripMargin,
+    "q_quantile_hist" ->
+      """WITH b AS (SELECT l_returnflag, min(l_extendedprice) AS mn,
+        |    max(l_extendedprice) AS mx
+        |  FROM lineitem GROUP BY 1),
+        |binned AS (SELECT l.l_returnflag,
+        |    CAST(least(floor((l.l_extendedprice - b.mn) * 100.0 /
+        |      (b.mx - b.mn)), 99.0) AS BIGINT) AS bin
+        |  FROM lineitem l JOIN b USING (l_returnflag)),
+        |h AS (SELECT l_returnflag, bin, count(*) AS n
+        |  FROM binned GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, bin, n,
+        |    sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY l_returnflag) AS total FROM h),
+        |e AS (SELECT c.l_returnflag, max(c.total) AS n_rows,
+        |    round(any_value(b.mn) +
+        |      (min(CASE WHEN cum >= total * 0.5 THEN bin END) + 0.5) *
+        |      (any_value(b.mx) - any_value(b.mn)) / 100.0, 4) AS est_p50,
+        |    round(any_value(b.mn) +
+        |      (min(CASE WHEN cum >= total * 0.99 THEN bin END) + 0.5) *
+        |      (any_value(b.mx) - any_value(b.mn)) / 100.0, 4) AS est_p99
+        |  FROM c JOIN b USING (l_returnflag) GROUP BY 1),
+        |x AS (SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |    round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99
+        |  FROM lineitem GROUP BY 1)
+        |SELECT e.l_returnflag, CAST(e.n_rows AS BIGINT) AS n_rows,
+        |  e.est_p50, x.exact_p50, e.est_p99, x.exact_p99
+        |FROM e JOIN x USING (l_returnflag) ORDER BY 1""".stripMargin,
+    "multimodal_phash_dedup" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(length(text))) AS i
+        |  FROM documents),
+        |bysum AS (
+        |  SELECT doc_id, i % 16 AS j,
+        |    sum(ascii(substr(text, CAST(i + 1 AS INTEGER), 1))) AS sb
+        |  FROM pos GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, r.j FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(16)) AS j) r),
+        |f AS (
+        |  SELECT g.doc_id, g.j,
+        |    CAST(CAST(coalesce(b.sb, 0) / 255.0 AS REAL) AS DOUBLE) AS fv
+        |  FROM grid g LEFT JOIN bysum b
+        |    ON b.doc_id = g.doc_id AND b.j = g.j),
+        |m AS (SELECT j, round(avg(fv), 6) AS mu FROM f GROUP BY 1),
+        |bits AS (SELECT f.doc_id, f.j,
+        |    CASE WHEN f.fv > m.mu THEN 1 ELSE 0 END AS bit
+        |  FROM f JOIN m USING (j)),
+        |codes AS (SELECT doc_id,
+        |    CAST(sum(bit * power(2, j)) AS BIGINT) AS code
+        |  FROM bits GROUP BY 1),
+        |ch AS (SELECT doc_id, code, c,
+        |    CAST(floor(code / power(2, c * 4)) AS BIGINT) % 16 AS cv
+        |  FROM codes CROSS JOIN (SELECT unnest(range(4)) AS c) r),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming
+        |  FROM ch a JOIN ch b
+        |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+        |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
     "source_csv_malformed" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(CASE WHEN o_orderkey % 10 <> 0 THEN 1 END) AS BIGINT)

@@ -211,6 +211,95 @@ object Mining {
       .limit(20)
   }
 
+  /** Top principal component of the embedding corpus by two power
+    * iterations over the covariance matrix. The only corpus-sized work
+    * is the moment accumulation: per-vector dim-pair products grouped
+    * to the 64×64 covariance — one partial-aggregable shuffle keyed on
+    * (di, dj). Everything after runs on ≤4096-row frames (the matrix)
+    * and 64-row vectors that broadcast. Covariance entries and
+    * iteration vectors are rounded to 6 dp at each step so both
+    * engines iterate on identical values — the rounding IS the
+    * fixpoint contract, not a display nicety. Deterministic init
+    * (uniform 1/√64); fixed 2 iterations keeps it oracle-replayable. */
+  def qPcaPower(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val mu = v.groupBy(col("dim")).agg(round(avg(col("x")), 6).as("mu"))
+    val cen = v.join(broadcast(mu), "dim")
+      .select(col("vec_id"), col("dim"), (col("x") - col("mu")).as("xc"))
+    val cov = cen.as("a").join(cen.as("b"), "vec_id")
+      .groupBy(col("a.dim").as("di"), col("b.dim").as("dj"))
+      .agg(round(avg(col("a.xc") * col("b.xc")), 6).as("cv"))
+      .cache()
+
+    def step(b: DataFrame): DataFrame = {
+      val raw = cov.join(broadcast(b), col("dj") === col("bdim"))
+        .groupBy(col("di"))
+        .agg(sum(col("cv") * col("bv")).as("raw"))
+      val nrm = raw.agg(sqrt(sum(col("raw") * col("raw"))).as("nrm"))
+      raw.crossJoin(broadcast(nrm))
+        .select(col("di").as("bdim"), round(col("raw") / col("nrm"), 6).as("bv"))
+    }
+
+    val b0 = mu.select(col("dim").as("bdim"),
+      lit(math.rint(1.0 / math.sqrt(64) * 1e6) / 1e6).as("bv"))
+    val b2 = step(step(b0)).cache()
+    // Rayleigh quotient λ = bᵀCb (‖b‖≈1) — the variance explained
+    val lambda = cov
+      .join(broadcast(b2.withColumnRenamed("bdim", "di")
+        .withColumnRenamed("bv", "bi")), "di")
+      .join(broadcast(b2.withColumnRenamed("bdim", "dj")
+        .withColumnRenamed("bv", "bj")), "dj")
+      .agg(round(sum(col("bi") * col("cv") * col("bj")), 4).as("eigval"))
+    b2.crossJoin(broadcast(lambda))
+      .select(col("bdim").cast("long").as("dim"),
+        round(col("bv"), 4).as("loading"), col("eigval"))
+      .orderBy(col("dim"))
+  }
+
+  /** Mergeable fixed-grid histogram quantiles vs exact — the 100 TB
+    * quantile path made honest. The 100-bin histogram is a pure
+    * partial-aggregable count frame (mergeable across partitions,
+    * executors, even days), and the estimate reads quantiles off the
+    * cumulative bin edges; the exact interpolated percentile runs
+    * beside it so the operator reports its own approximation error.
+    * Bin assignment is a single arithmetic expression on values both
+    * engines hold bit-identically, so it is deterministic without any
+    * rounding tricks. */
+  def qQuantileHist(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+    val hist = li.join(broadcast(bounds), "l_returnflag")
+      .withColumn("bin",
+        least(floor((col("l_extendedprice") - col("mn")) * 100.0 /
+          (col("mx") - col("mn"))), lit(99.0)).cast("long"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(col("l_returnflag"))))
+    def est(q: Double) = min(when(col("cum") >= col("total") * q, col("bin")))
+    val ests = cum.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("total")).as("n_rows"),
+        round(first(col("mn")) + (est(0.5) + 0.5) * (first(col("mx")) - first(col("mn"))) / 100.0, 4)
+          .as("est_p50"),
+        round(first(col("mn")) + (est(0.99) + 0.5) * (first(col("mx")) - first(col("mn"))) / 100.0, 4)
+          .as("est_p99"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("exact_p99"))
+    ests.join(broadcast(exact), "l_returnflag")
+      .select(col("l_returnflag"), col("n_rows"),
+        col("est_p50"), col("exact_p50"), col("est_p99"), col("exact_p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Spherical k-means, k=8, exactly 2 Lloyd iterations, deterministic
     * init (the 8 lowest vec_ids). Each iteration: cosine against the
     * broadcast k×dim centroid matrix (codegen'd `CosineSim` kernel,

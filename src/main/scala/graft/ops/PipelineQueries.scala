@@ -775,6 +775,47 @@ object PipelineQueries {
           .as("feat_sum"))
       .orderBy(col("doc_id"))
 
+  /** Multimodal near-duplicate detection by perceptual hash: the
+    * 16-dim stub features are thresholded against the corpus per-dim
+    * mean into a 16-bit pHash (SimHash over media features), bucketed
+    * by 4×4-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal),
+    * and candidates are verified on exact hamming distance. Same
+    * bucket-join shape as text SimHash — no all-pairs stage, the
+    * feature frame shuffles once on (chunk, value). With a real codec
+    * the features come from the decoder; everything downstream is
+    * codec-agnostic. */
+  def multimodalPhashDedup(s: SparkSession, d: String): DataFrame = {
+    val fd = Multimodal.extractFeatures(
+        s, Multimodal.withPayload(Tables.documents(s, d)))
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "f")))
+      .withColumn("f", col("f").cast("double"))
+    val means = fd.groupBy(col("dim"))
+      .agg(round(avg(col("f")), 6).as("mu"))
+    val codes = fd.join(broadcast(means), "dim")
+      .withColumn("bit",
+        when(col("f") > col("mu"), 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("dim"))).cast("long")
+        .as("code"))
+      .cache()
+    val chunks = codes
+      .select(col("doc_id"), col("code"),
+        explode(array((0 until 4).map(lit): _*)).as("c"))
+      .withColumn("cv",
+        floor(col("code") / pow(lit(2.0), col("c") * 4)).cast("long") % 16)
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.code").bitwiseXOR(col("b.code"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
   /** Unigram-LM quality score: per-document mean token surprisal
     * (cross-entropy in bits) under the corpus's own unigram language
     * model — the classic perplexity-proxy filter for training data

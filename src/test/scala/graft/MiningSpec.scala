@@ -124,6 +124,37 @@ class MiningSpec extends SparkSuite {
     }
   }
 
+  test("pca power iteration yields a unit vector and positive variance") {
+    val rows = Mining.qPcaPower(spark, sf).collect()
+    assert(rows.length == 64)
+    val norm = math.sqrt(rows.map(r => {
+      val l = r.getDouble(1); l * l
+    }).sum)
+    assert(math.abs(norm - 1.0) < 0.01, s"loading norm $norm != 1")
+    assert(rows.head.getDouble(2) > 0.0, "top eigenvalue must be positive")
+  }
+
+  test("histogram quantile estimate brackets the exact value") {
+    Mining.qQuantileHist(spark, sf).collect().foreach { r =>
+      val (mn, mx) = (r.getDouble(2), r.getDouble(4))
+      val span = (mx - mn).abs + 1.0
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < span * 0.05,
+        s"p50 estimate ${r.getDouble(2)} far from exact ${r.getDouble(3)}")
+      assert(r.getDouble(4) >= r.getDouble(2),
+        "p99 estimate below p50 estimate")
+    }
+  }
+
+  test("phash near-dup pairs have verified hamming distance <= 3") {
+    val rows = graft.ops.PipelineQueries.multimodalPhashDedup(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val h = r.getLong(2)
+      assert(h >= 0 && h <= 3, s"unverified hamming $h")
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+
   test("malformed csv triage quarantines exactly the bad lines") {
     val r = graft.sources.Formats.csvMalformed(spark, sf).head()
     val expectedBad = Tables.orders(spark, sf)
