@@ -366,6 +366,8 @@ object SparkEntry {
     "q_kmeans" -> (Mining.qKmeans _),
     "embed_pca_power" -> (Mining.qPcaPower _),
     "q_quantile_hist" -> (Mining.qQuantileHist _),
+    "q_bootstrap_ci" -> (Mining.qBootstrapCi _),
+    "q_funnel_window" -> (Mining.qFunnelWindow _),
     "multimodal_phash_dedup" -> (PipelineQueries.multimodalPhashDedup _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
@@ -378,6 +380,7 @@ object SparkEntry {
     "stream_left_outer" -> (graft.streaming.Events.streamLeftOuter _),
     "stream_sliding_window" ->
       (graft.streaming.Events.streamSlidingWindow _),
+    "stream_histogram" -> (graft.streaming.Events.streamHistogram _),
     // §2.4 source/sink formats
     "source_json_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.jsonRoundtrip(s, d)
@@ -1558,6 +1561,55 @@ object SparkEntry {
         |SELECT e.l_returnflag, CAST(e.n_rows AS BIGINT) AS n_rows,
         |  e.est_p50, x.exact_p50, e.est_p99, x.exact_p99
         |FROM e JOIN x USING (l_returnflag) ORDER BY 1""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice,
+        |    l_orderkey || '-' || l_linenumber AS rk FROM lineitem),
+        |x AS (SELECT l_returnflag, l_extendedprice, rk,
+        |    unnest(range(32)) AS b FROM li),
+        |uw AS (SELECT l_returnflag, l_extendedprice, b,
+        |    CAST(md5_number_lower(rk || '|' || b) & 1125899906842623
+        |      AS DOUBLE) / 1125899906842624.0 AS u
+        |  FROM x),
+        |ww AS (SELECT l_returnflag, b, l_extendedprice,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0.0
+        |         WHEN u < 0.7357588823428847 THEN 1.0
+        |         WHEN u < 0.9196986029286058 THEN 2.0
+        |         WHEN u < 0.9810118431238462 THEN 3.0
+        |         ELSE 4.0 END AS w FROM uw),
+        |boot AS (SELECT l_returnflag, b,
+        |    round(sum(w * l_extendedprice) / sum(w), 6) AS m
+        |  FROM ww GROUP BY 1, 2),
+        |e AS (SELECT l_returnflag, round(avg(l_extendedprice), 4)
+        |    AS mean_exact FROM lineitem GROUP BY 1),
+        |s AS (SELECT l_returnflag, count(*) AS n_resamples,
+        |    round(avg(m), 4) AS boot_mean,
+        |    round(stddev_samp(m), 4) AS boot_se FROM boot GROUP BY 1)
+        |SELECT s.l_returnflag, s.n_resamples, e.mean_exact, s.boot_mean,
+        |  s.boot_se,
+        |  round(s.boot_mean - 2.0 * s.boot_se, 4) AS ci_lo,
+        |  round(s.boot_mean + 2.0 * s.boot_se, 4) AS ci_hi
+        |FROM s JOIN e USING (l_returnflag) ORDER BY 1""".stripMargin,
+    "q_funnel_window" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |t1 AS (SELECT user_id, min(ts_s) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts_s) AS t_click
+        |  FROM e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts_s > t1.t_view
+        |    AND e.ts_s <= t1.t_view + 3600 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts_s) AS t_purchase
+        |  FROM e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts_s > t2.t_click
+        |    AND e.ts_s <= t2.t_click + 3600 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM t1) AS n_view,
+        |  (SELECT count(*) FROM t2) AS n_click_1h,
+        |  (SELECT count(*) FROM t3) AS n_purchase_1h""".stripMargin,
+    "stream_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(floor(value / 30.0), 19.0) AS BIGINT) AS bin,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "multimodal_phash_dedup" ->
       """WITH pos AS (
         |  SELECT doc_id, text, unnest(range(length(text))) AS i

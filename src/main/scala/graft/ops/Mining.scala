@@ -300,6 +300,78 @@ object Mining {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Deterministic hash-bootstrap confidence interval for mean revenue
+    * per group: 32 pseudo-resamples where each row's multiplicity in
+    * resample b is Poisson(1) drawn by inverse-CDF from a portable
+    * md5-derived uniform — so the "random" resampling is reproducible
+    * across engines, runs, AND partitionings (the classic blocker for
+    * distributed bootstrap). One 32×-exploded partial-aggregable pass
+    * to the per-resample means (rounded to 6 dp — the parity contract),
+    * then a 32-row variance per group. At 100 TB the 32× row expansion
+    * is the honest cost of a bootstrap; the alternative one-pass
+    * 32-accumulator form shuffles the same bytes. */
+  def qBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs
+    // Poisson(1) inverse CDF: P(0)=.3679, P(<=1)=.7358, P(<=2)=.9197,
+    // P(<=3)=.9810 — identical literals on the oracle side
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rk"))
+      .withColumn("b", explode(array((0 until 32).map(lit): _*)))
+    val u = (exprs.md5Lower64(concat_ws("|", col("rk"), col("b")))
+      .bitwiseAND(lit((1L << 50) - 1))).cast("double") / lit((1L << 50).toDouble)
+    val w = when(u < 0.36787944117144233, 0.0)
+      .when(u < 0.7357588823428847, 1.0)
+      .when(u < 0.9196986029286058, 2.0)
+      .when(u < 0.9810118431238462, 3.0)
+      .otherwise(4.0)
+    val boot = li.withColumn("w", w)
+      .groupBy(col("l_returnflag"), col("b"))
+      .agg(round(sum(col("w") * col("l_extendedprice")) / sum(col("w")), 6)
+        .as("m"))
+    val exact = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(avg(col("l_extendedprice")), 4).as("mean_exact"))
+    boot.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_resamples"),
+        round(avg(col("m")), 4).as("boot_mean"),
+        round(stddev_samp(col("m")), 4).as("boot_se"))
+      .join(broadcast(exact), "l_returnflag")
+      .select(col("l_returnflag"), col("n_resamples"), col("mean_exact"),
+        col("boot_mean"), col("boot_se"),
+        round(col("boot_mean") - lit(2.0) * col("boot_se"), 4).as("ci_lo"),
+        round(col("boot_mean") + lit(2.0) * col("boot_se"), 4).as("ci_hi"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Time-constrained funnel: view → click within 1 h of the first
+    * view → purchase within 1 h of that click. Unlike the unbounded
+    * funnel, stage timers make attrition meaningful on dense streams.
+    * Same scale shape as `q_funnel`: per-stage min-aggregations keyed
+    * on user_id, joined small-side-first. */
+  def qFunnelWindow(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t_view"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts_s") > col("t_view") &&
+        col("ts_s") <= col("t_view") + 3600L)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_s")).as("t_click"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts_s") > col("t_click") &&
+        col("ts_s") <= col("t_click") + 3600L)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_s")).as("t_purchase"))
+    t1.select(count(lit(1)).as("n_view"))
+      .crossJoin(t2.select(count(lit(1)).as("n_click_1h")))
+      .crossJoin(t3.select(count(lit(1)).as("n_purchase_1h")))
+  }
+
   /** Spherical k-means, k=8, exactly 2 Lloyd iterations, deterministic
     * init (the 8 lowest vec_ids). Each iteration: cosine against the
     * broadcast k×dim centroid matrix (codegen'd `CosineSim` kernel,

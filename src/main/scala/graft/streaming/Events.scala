@@ -35,6 +35,36 @@ object Events {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Streaming mergeable histogram: the fixed-grid 20-bin count frame
+    * (the 100 TB quantile/distribution primitive — see the batch
+    * `q_quantile_hist`) maintained as streaming state. Bin bounds are
+    * compile-time constants, so the state is a bounded ≤(bins×types)
+    * row map regardless of stream length, every micro-batch merges by
+    * addition (partial-aggregable), and the converged table equals the
+    * batch histogram — which is exactly what the oracle checks. */
+  def streamHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamShuffle(spark) {
+      val path = s"$sfDir/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+      val agg = raw
+        .withColumn("bin",
+          least(floor(col("value") / 30.0), lit(19.0)).cast("long"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+      val name = s"graft_stream_hist_${n.incrementAndGet()}"
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .orderBy(col("event_type"), col("bin"))
+    }
+
   /** Run the streaming window aggregation to completion and return the
     * result. Output: win_start_s (epoch seconds), event_type, n,
     * sum_value. */

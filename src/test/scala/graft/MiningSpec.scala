@@ -155,6 +155,39 @@ class MiningSpec extends SparkSuite {
     }
   }
 
+  test("bootstrap CI brackets the exact mean with positive spread") {
+    val rows = Mining.qBootstrapCi(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_resamples")) == 32)
+      val (exact, lo, hi) = (r.getDouble(r.fieldIndex("mean_exact")),
+        r.getDouble(r.fieldIndex("ci_lo")), r.getDouble(r.fieldIndex("ci_hi")))
+      assert(r.getDouble(r.fieldIndex("boot_se")) > 0.0)
+      assert(lo < exact && exact < hi,
+        s"exact mean $exact outside bootstrap CI [$lo, $hi]")
+    }
+  }
+
+  test("windowed funnel attrites monotonically") {
+    val r = Mining.qFunnelWindow(spark, sf).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel not monotone: $v >= $c >= $p")
+    assert(v > 0)
+  }
+
+  test("streaming histogram converges to the batch histogram") {
+    val streamed = graft.streaming.Events.streamHistogram(spark, sf)
+      .collect().toSeq
+    val batch = Tables.events(spark, sf)
+      .withColumn("bin",
+        least(floor(col("value") / 30.0), lit(19.0)).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"), col("bin"))
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("malformed csv triage quarantines exactly the bad lines") {
     val r = graft.sources.Formats.csvMalformed(spark, sf).head()
     val expectedBad = Tables.orders(spark, sf)
