@@ -368,6 +368,9 @@ object SparkEntry {
     "q_quantile_hist" -> (Mining.qQuantileHist _),
     "q_bootstrap_ci" -> (Mining.qBootstrapCi _),
     "q_funnel_window" -> (Mining.qFunnelWindow _),
+    "q_mutual_info" -> (Mining.qMutualInfo _),
+    "q_scd2_lookup" -> (Warehouse.qScd2Lookup _),
+    "text_zipf_slope" -> (PipelineQueries.textZipfSlope _),
     "multimodal_phash_dedup" -> (PipelineQueries.multimodalPhashDedup _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
@@ -1605,6 +1608,55 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM t1) AS n_view,
         |  (SELECT count(*) FROM t2) AS n_click_1h,
         |  (SELECT count(*) FROM t3) AS n_purchase_1h""".stripMargin,
+    "q_mutual_info" ->
+      """WITH e AS (SELECT event_type AS x,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS y
+        |  FROM events),
+        |nxy AS (SELECT x, y, count(*) AS nxy FROM e GROUP BY 1, 2),
+        |nx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM nxy GROUP BY 1),
+        |ny AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM nxy GROUP BY 1),
+        |nn AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM nxy),
+        |t AS (SELECT
+        |    nxy.nxy / nn.n *
+        |      (ln(nxy.nxy * nn.n / (nx.nx * ny.ny)) / ln(2)) AS mi_term,
+        |    power(nxy.nxy - nx.nx * ny.ny / nn.n, 2) /
+        |      (nx.nx * ny.ny / nn.n) AS chi_term,
+        |    nn.n AS n
+        |  FROM nxy JOIN nx USING (x) JOIN ny USING (y), nn)
+        |SELECT CAST(max(n) AS BIGINT) AS n_events, count(*) AS n_cells,
+        |  round(sum(mi_term), 6) AS mi_bits,
+        |  round(sum(chi_term), 4) AS chi2
+        |FROM t""".stripMargin,
+    "q_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+        |  WHERE user_id < 10),
+        |dim AS (SELECT user_id, event_type AS attr, ts_s AS valid_from_s,
+        |    coalesce(lead(ts_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id), 9999999999) AS valid_to_s
+        |  FROM e WHERE event_type <> 'purchase'),
+        |f AS (SELECT user_id, ts_s, value FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT dim.attr, count(*) AS n_purchases,
+        |  round(sum(f.value), 2) AS revenue
+        |FROM f JOIN dim ON f.user_id = dim.user_id
+        |  AND f.ts_s >= dim.valid_from_s AND f.ts_s < dim.valid_to_s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tok
+        |  WHERE token <> '' GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    count(*) AS vocab_size FROM c),
+        |top AS (SELECT cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS DOUBLE)
+        |      AS rnk
+        |  FROM c ORDER BY cnt DESC, token LIMIT 100),
+        |f AS (SELECT round(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
+        |    round(regr_r2(ln(cnt), ln(rnk)), 4) AS fit_r2 FROM top)
+        |SELECT t.n_tokens, t.vocab_size, f.zipf_slope, f.fit_r2
+        |FROM t, f""".stripMargin,
     "stream_histogram" ->
       """SELECT event_type,
         |  CAST(least(floor(value / 30.0), 19.0) AS BIGINT) AS bin,

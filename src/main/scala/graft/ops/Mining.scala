@@ -300,6 +300,36 @@ object Mining {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Mutual information + chi-square independence test between event
+    * type and hour-of-day — the feature-relevance screen run before
+    * training on categorical signals. One partial-aggregable shuffle to
+    * the |types|×24 contingency table; marginals and N broadcast back
+    * onto it. Cell terms are computed from exact integer counts, so the
+    * only float work is the final ≤120-term sums (rounded). */
+  def qMutualInfo(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_type").as("x"),
+        expr("(unix_timestamp(ts) % 86400) div 3600").as("y"))
+    val nxy = e.groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      .cache()
+    val nx = nxy.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val ny = nxy.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val n = nxy.agg(sum(col("nxy")).as("n"))
+    nxy.join(broadcast(nx), "x").join(broadcast(ny), "y")
+      .crossJoin(broadcast(n))
+      .select(
+        (col("nxy") / col("n") *
+          log(2.0, col("nxy") * col("n") / (col("nx") * col("ny"))))
+          .as("mi_term"),
+        (pow(col("nxy") - col("nx") * col("ny") / col("n"), 2) /
+          (col("nx") * col("ny") / col("n"))).as("chi_term"),
+        col("n"))
+      .agg(max(col("n")).cast("long").as("n_events"),
+        count(lit(1)).as("n_cells"),
+        round(sum(col("mi_term")), 6).as("mi_bits"),
+        round(sum(col("chi_term")), 4).as("chi2"))
+  }
+
   /** Deterministic hash-bootstrap confidence interval for mean revenue
     * per group: 32 pseudo-resamples where each row's multiplicity in
     * resample b is Poisson(1) drawn by inverse-CDF from a portable

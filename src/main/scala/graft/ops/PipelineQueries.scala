@@ -775,6 +775,33 @@ object PipelineQueries {
           .as("feat_sum"))
       .orderBy(col("doc_id"))
 
+  /** Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) on
+    * ln(rank) for the top-100 tokens. Natural-language corpora sit near
+    * −1; a flat slope flags template/boilerplate corpora, a steep one
+    * flags degenerate repetition — a one-number corpus-health probe.
+    * One token-count shuffle; the rank/regression runs on the 100-row
+    * head (`regr_slope` — closed-form moments, no iteration). */
+  def textZipfSlope(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .cache()
+    val totals = counts.agg(sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(100)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token")))
+          .cast("double"))
+    top.agg(
+        round(expr("regr_slope(ln(cnt), ln(rnk))"), 4).as("zipf_slope"),
+        round(expr("regr_r2(ln(cnt), ln(rnk))"), 4).as("fit_r2"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_tokens"), col("vocab_size"),
+        col("zipf_slope"), col("fit_r2"))
+  }
+
   /** Multimodal near-duplicate detection by perceptual hash: the
     * 16-dim stub features are thresholded against the corpus per-dim
     * mean into a 16-bit pHash (SimHash over media features), bucketed

@@ -211,4 +211,36 @@ object Warehouse {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** SCD2 range lookup — the consumption side of `q_scd2_build`: each
+    * purchase is joined to the dimension version (the user's most
+    * recent non-purchase activity) valid AT purchase time, via
+    * `valid_from ≤ ts < valid_to`. The dimension is |versions|-bounded
+    * per key and broadcasts; the fact never shuffles — the standard
+    * point-in-time-correct feature join for training-data assembly
+    * (avoiding label leakage from future attribute values). */
+  def qScd2Lookup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), unix_timestamp(col("ts")).as("ts_s"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val dim = ev.filter(col("event_type") =!= "purchase")
+      .withColumn("valid_to_s",
+        coalesce(lead(col("ts_s"), 1).over(w), lit(9999999999L)))
+      .select(col("user_id").as("d_user"), col("event_type").as("attr"),
+        col("ts_s").as("valid_from_s"), col("valid_to_s"))
+    val fact = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_s"), col("value"))
+    fact.join(broadcast(dim),
+        col("user_id") === col("d_user") &&
+          col("ts_s") >= col("valid_from_s") &&
+          col("ts_s") < col("valid_to_s"))
+      .groupBy(col("attr"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("revenue"))
+      .orderBy(col("attr"))
+  }
 }

@@ -188,6 +188,47 @@ class MiningSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("mutual information is non-negative and chi2 has sane dof scale") {
+    val r = Mining.qMutualInfo(spark, sf).head()
+    val mi = r.getDouble(r.fieldIndex("mi_bits"))
+    assert(mi >= 0.0, s"MI must be non-negative: $mi")
+    assert(r.getDouble(r.fieldIndex("chi2")) >= 0.0)
+    assert(r.getLong(r.fieldIndex("n_cells")) <= 24 * 10)
+  }
+
+  test("scd2 lookup conserves purchases with a dimension version") {
+    val rows = graft.ops.Warehouse.qScd2Lookup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val attributed = rows.map(_.getLong(1)).sum
+    // every purchase strictly after its user's first non-purchase event
+    // falls inside exactly one version interval
+    val ev = Tables.events(spark, sf).filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val firstDim = ev.filter(col("event_type") =!= "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t0"))
+    val expected = ev.filter(col("event_type") === "purchase")
+      .join(firstDim, "user_id")
+      .filter(col("ts_s") >= col("t0")).count()
+    assert(attributed == expected,
+      s"scd2 lookup attributed $attributed of $expected purchases")
+  }
+
+  test("zipf probe: slope non-positive, r2 in range, flags this corpus") {
+    val r = graft.ops.PipelineQueries.textZipfSlope(spark, sf).head()
+    val slope = r.getDouble(r.fieldIndex("zipf_slope"))
+    val r2 = r.getDouble(r.fieldIndex("fit_r2"))
+    // ranks ordered by descending frequency ⇒ slope can never be > 0
+    assert(slope <= 0.0, s"zipf slope must be non-positive: $slope")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    // the synthetic corpus has a near-uniform vocabulary — a healthy
+    // natural corpus sits near slope −1 with high r2; the probe's JOB
+    // is to read this one as non-Zipfian (flat slope, weak fit)
+    assert(slope > -0.5 && r2 < 0.5,
+      s"synthetic corpus should read non-Zipfian, got slope=$slope r2=$r2")
+    assert(r.getLong(r.fieldIndex("vocab_size")) > 10)
+  }
+
   test("malformed csv triage quarantines exactly the bad lines") {
     val r = graft.sources.Formats.csvMalformed(spark, sf).head()
     val expectedBad = Tables.orders(spark, sf)
