@@ -355,6 +355,7 @@ object SparkEntry {
     "q_anomaly_zscore" -> (Behavior.qAnomalyZscore _),
     "q_ewma" -> (Behavior.qEwma _),
     "q_degree_dist" -> (Behavior.qDegreeDist _),
+    "q_cusum_change" -> (Behavior.qCusumChange _),
     "q_bloom_semi_filter" -> (Warehouse.qBloomSemiFilter _),
     "q_rfm" -> (Mining.qRfm _),
     "q_linreg_trend" -> (Mining.qLinregTrend _),
@@ -363,6 +364,10 @@ object SparkEntry {
     "q_gini" -> (Mining.qGini _),
     "q_item_cosine" -> (Mining.qItemCosine _),
     "q_connected_components" -> (Mining.qConnectedComponents _),
+    "q_label_prop" -> (Mining.qLabelProp _),
+    "q_bfs_hops" -> (Mining.qBfsHops _),
+    "q_ab_ztest" -> (Mining.qAbZtest _),
+    "q_benford_audit" -> (Mining.qBenfordAudit _),
     "q_kmeans" -> (Mining.qKmeans _),
     "embed_pca_power" -> (Mining.qPcaPower _),
     "q_quantile_hist" -> (Mining.qQuantileHist _),
@@ -370,6 +375,8 @@ object SparkEntry {
     "q_funnel_window" -> (Mining.qFunnelWindow _),
     "q_mutual_info" -> (Mining.qMutualInfo _),
     "q_scd2_lookup" -> (Warehouse.qScd2Lookup _),
+    "q_dq_rules" -> (Warehouse.qDqRules _),
+    "q_fuzzy_join" -> (Warehouse.qFuzzyJoin _),
     "text_zipf_slope" -> (PipelineQueries.textZipfSlope _),
     "multimodal_phash_dedup" -> (PipelineQueries.multimodalPhashDedup _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
@@ -409,6 +416,7 @@ object SparkEntry {
     "ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
     "dedup_embed_cos" -> (PipelineQueries.dedupEmbedCos _),
     "embed_centroid" -> (PipelineQueries.embedCentroid _),
+    "embed_int8_quant" -> (PipelineQueries.embedInt8Quant _),
     "corpus_profile" -> (PipelineQueries.corpusProfile _),
     "dedup_incremental" -> (PipelineQueries.dedupIncremental _),
     "embed_assign" -> (PipelineQueries.embedAssign _),
@@ -1482,6 +1490,162 @@ object SparkEntry {
         |SELECT component, count(*) AS n_members
         |FROM lbl GROUP BY 1 ORDER BY n_members DESC, component
         |LIMIT 20""".stripMargin,
+    "q_label_prop" ->
+      """WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+        |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |e AS (SELECT u, v FROM (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+        |  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2) WHERE w >= 1),
+        |sym AS (SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM sym),
+        |l1 AS (SELECT src AS id, lbl FROM (
+        |  SELECT s.src, l.lbl, row_number() OVER (PARTITION BY s.src
+        |    ORDER BY count(*) DESC, l.lbl) AS rn
+        |  FROM sym s JOIN l0 l ON s.dst = l.id GROUP BY s.src, l.lbl)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT src AS id, lbl FROM (
+        |  SELECT s.src, l.lbl, row_number() OVER (PARTITION BY s.src
+        |    ORDER BY count(*) DESC, l.lbl) AS rn
+        |  FROM sym s JOIN l1 l ON s.dst = l.id GROUP BY s.src, l.lbl)
+        |  WHERE rn = 1),
+        |l3 AS (SELECT src AS id, lbl FROM (
+        |  SELECT s.src, l.lbl, row_number() OVER (PARTITION BY s.src
+        |    ORDER BY count(*) DESC, l.lbl) AS rn
+        |  FROM sym s JOIN l2 l ON s.dst = l.id GROUP BY s.src, l.lbl)
+        |  WHERE rn = 1)
+        |SELECT lbl AS community, count(*) AS n_members
+        |FROM l3 GROUP BY 1 ORDER BY n_members DESC, community
+        |LIMIT 20""".stripMargin,
+    "q_bfs_hops" ->
+      """WITH RECURSIVE sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+        |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |e AS (SELECT u, v FROM (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+        |  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2) WHERE w >= 1),
+        |s0 AS (SELECT x AS sid FROM (
+        |  SELECT x, count(*) AS deg FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1 ORDER BY deg DESC, x LIMIT 1)),
+        |reach(id, h) AS (
+        |  SELECT sid, 0 FROM s0
+        |  UNION
+        |  SELECT CASE WHEN e.u = r.id THEN e.v ELSE e.u END, r.h + 1
+        |  FROM reach r JOIN e ON e.u = r.id OR e.v = r.id
+        |  WHERE r.h < 4),
+        |d AS (SELECT id, CAST(min(h) AS INT) AS h FROM reach GROUP BY 1)
+        |SELECT h, count(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ab_ztest" ->
+      """WITH per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 200
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+        |    AS BIGINT) AS conv_a,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END)
+        |    AS BIGINT) AS conv_b
+        |  FROM per),
+        |p AS (SELECT *,
+        |  round(conv_a / CAST(n_a AS DOUBLE), 6) AS p_a,
+        |  round(conv_b / CAST(n_b AS DOUBLE), 6) AS p_b,
+        |  round((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE), 6) AS p_pool
+        |  FROM g),
+        |z AS (SELECT *,
+        |  round((p_a - p_b) / sqrt(p_pool * (1 - p_pool) *
+        |    (1.0 / n_a + 1.0 / n_b)), 4) AS z_score FROM p)
+        |SELECT n_a, conv_a, n_b, conv_b, p_a, p_b, p_pool, z_score,
+        |  abs(z_score) >= 1.96 AS significant
+        |FROM z""".stripMargin,
+    "q_benford_audit" ->
+      """WITH dig AS (SELECT
+        |    CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT digit, n,
+        |    CAST(sum(n) OVER () AS DOUBLE) AS td FROM dig),
+        |b AS (SELECT *,
+        |  round(n / td, 6) AS obs_pct,
+        |  round(log10(1 + 1.0 / digit), 6) AS benford_pct FROM t)
+        |SELECT digit, n, obs_pct, benford_pct,
+        |  round(sum(pow(n - benford_pct * td, 2) /
+        |    (benford_pct * td)) OVER (), 4) AS chi2
+        |FROM b ORDER BY digit""".stripMargin,
+    "q_cusum_change" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |st AS (SELECT round(avg(revenue), 6) AS mu,
+        |    round(stddev_pop(revenue), 6) AS sigma FROM daily),
+        |z AS (SELECT day, revenue,
+        |    round((revenue - mu) / sigma, 6) AS zscore FROM daily, st),
+        |c AS (SELECT *, round(sum(zscore) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |  AS cusum FROM z)
+        |SELECT day, revenue, zscore, cusum FROM c
+        |ORDER BY abs(cusum) DESC, day LIMIT 10""".stripMargin,
+    "q_dq_rules" ->
+      """WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS qty,
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS disc
+        |  FROM lineitem),
+        |cu AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bal FROM customer),
+        |sh AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |orph AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+        |    AS n,
+        |  CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders)) AS BIGINT) AS v),
+        |u AS (
+        |  SELECT 'lineitem_qty_leq_45' AS rule_id, n AS n_checked,
+        |    qty AS n_violations FROM li
+        |  UNION ALL SELECT 'lineitem_discount_range', n, disc FROM li
+        |  UNION ALL SELECT 'customer_acctbal_nonneg', n, bal FROM cu
+        |  UNION ALL SELECT 'lineitem_ship_after_order', n, v FROM sh
+        |  UNION ALL SELECT 'lineitem_orphan', n, v FROM orph)
+        |SELECT rule_id, n_checked, n_violations,
+        |  round(n_violations / CAST(n_checked AS DOUBLE), 6)
+        |    AS violation_rate
+        |FROM u ORDER BY rule_id""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+        |    split_part(p_name, ' ', 2) AS block FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+        |  a.n_parts AS n_a, b.n_parts AS n_b
+        |FROM names a JOIN names b
+        |  ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY dist, name_a, name_b""".stripMargin,
+    "embed_int8_quant" ->
+      """WITH v AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |mm AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM v GROUP BY 1),
+        |e AS (SELECT v.dim, lo, hi,
+        |    x - (lo + round((x - lo) / ((hi - lo) / 255)) *
+        |      ((hi - lo) / 255)) AS err
+        |  FROM v JOIN mm USING (dim))
+        |SELECT CAST(dim AS BIGINT) AS dim, round(lo, 6) AS lo,
+        |  round(hi, 6) AS hi, CAST(count(*) AS BIGINT) AS n_vals,
+        |  round(avg(err * err) * 1e6, 6) AS mse_ppm,
+        |  round(max(abs(err)), 6) AS max_abs_err
+        |FROM e GROUP BY dim, lo, hi ORDER BY dim""".stripMargin,
     "q_kmeans" ->
       """WITH v AS (
         |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,

@@ -151,4 +151,32 @@ object Behavior {
         max(col("l_suppkey")).as("max_supp"))
       .orderBy(col("degree"))
   }
+
+  /** CUSUM mean-shift detection over the daily revenue series: each
+    * day's total is standardized against the corpus mean/stddev, the
+    * standardized deviations accumulate in date order, and the days
+    * where the cumulative sum strays furthest flag the change points.
+    * Daily totals are rounded to cents and z-scores to 6 dp BEFORE the
+    * cumulative window, so both engines run the same IEEE additions in
+    * the same (window-imposed) order — the cumsum is bit-stable without
+    * any tolerance. One fact shuffle to daily grain; the window and
+    * ranking run on the |days|-row series. At 100 TB the series is
+    * still only O(days) rows — change detection costs one scan. */
+  def qCusumChange(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("revenue"))
+    val stats = daily.agg(round(avg(col("revenue")), 6).as("mu"),
+      round(stddev_pop(col("revenue")), 6).as("sigma"))
+    val z = daily.crossJoin(broadcast(stats))
+      .withColumn("zscore",
+        round((col("revenue") - col("mu")) / col("sigma"), 6))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    z.withColumn("cusum", round(sum(col("zscore")).over(wCum), 4))
+      .orderBy(abs(col("cusum")).desc, col("day"))
+      .limit(10)
+      .select(col("day"), col("revenue"), col("zscore"), col("cusum"))
+  }
 }

@@ -181,30 +181,43 @@ object Mining {
       .limit(20)
   }
 
-  /** Connected components of the sparse repeat-co-purchase graph
-    * (small parts — p_size ≤ 3 — linked when they share ≥ 2 orders),
-    * surfacing the dedup engine's pointer-jumping min-label propagation
-    * ([[graft.dedup.Components]]) as a first-class graph query:
-    * log-diameter rounds, shuffles keyed on node id, only a convergence
-    * scalar on the driver. The size/weight restriction keeps the
-    * subgraph sparse enough that components are non-trivial (the full
-    * co-purchase graph is one giant component — and its transitive
-    * closure would also be unverifiable in SQL). */
-  def qConnectedComponents(s: SparkSession, d: String): DataFrame = {
+  /** Shared edge builder for the graph-mining family: small parts
+    * (p_size ≤ 3) linked when they co-occur in ≥ 2 orders. The dim-side
+    * part filter broadcasts into the lineitem scan, the self-join keys
+    * on orderkey (one shuffle), and the weight filter prunes before the
+    * edge list leaves the aggregate — at 100 TB the edge list is the
+    * only frame that survives, ~1e-4 of the fact table. `minW` picks
+    * the co-occurrence threshold: 2 (repeat co-purchase — near-forest,
+    * right for component counting) or 1 (any co-purchase — denser,
+    * right for propagation/traversal queries that need paths). */
+  private def sparsePartEdges(s: SparkSession, d: String,
+      minW: Int = 2): DataFrame = {
     val sparse = Tables.part(s, d).filter(col("p_size") <= 3)
       .select(col("p_partkey"))
     val ls = Tables.lineitem(s, d)
       .join(broadcast(sparse), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = ls.as("x")
+    ls.as("x")
       .join(ls.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") &&
           col("x.l_partkey") < col("y.l_partkey"))
       .groupBy(col("x.l_partkey").as("id_a"), col("y.l_partkey").as("id_b"))
       .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+      .filter(col("w") >= minW)
       .select(col("id_a"), col("id_b"))
-    graft.dedup.Components.keepers(edges)
+  }
+
+  /** Connected components of the sparse repeat-co-purchase graph
+    * ([[sparsePartEdges]]), surfacing the dedup engine's
+    * pointer-jumping min-label propagation ([[graft.dedup.Components]])
+    * as a first-class graph query: log-diameter rounds, shuffles keyed
+    * on node id, only a convergence scalar on the driver. The
+    * size/weight restriction keeps the subgraph sparse enough that
+    * components are non-trivial (the full co-purchase graph is one
+    * giant component — and its transitive closure would also be
+    * unverifiable in SQL). */
+  def qConnectedComponents(s: SparkSession, d: String): DataFrame = {
+    graft.dedup.Components.keepers(sparsePartEdges(s, d))
       .groupBy(col("keeper").as("component"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("component"))
@@ -446,5 +459,133 @@ object Mining {
         min(col("vec_id")).as("exemplar"),
         round(avg(col("cos")), 4).as("avg_cos"))
       .orderBy(col("cluster"))
+  }
+
+  /** Community detection by synchronous label propagation over the
+    * sparse co-purchase graph ([[sparsePartEdges]]): every node starts
+    * as its own community, then for 3 fixed rounds adopts the most
+    * frequent label among its neighbors (ties → smallest label).
+    * Each round is one shuffle keyed on node id over the edge list —
+    * the classic LPA schedule, linear in |E| per round, no global
+    * state, so it scales to billion-edge graphs where modularity
+    * methods (Louvain) need global reduction phases. The fixed round
+    * count + deterministic tie-break is the oracle contract: DuckDB
+    * replays the identical 3 unrolled rounds. */
+  def qLabelProp(s: SparkSession, d: String): DataFrame = {
+    val e = sparsePartEdges(s, d, minW = 1)
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var lbl = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to 3) {
+      lbl = sym
+        .join(lbl.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
+        .withColumnRenamed("src", "id")
+    }
+    lbl.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+  }
+
+  /** Single-source BFS: shortest hop count from the smallest node id of
+    * the sparse co-purchase graph, capped at 4 hops, reported as a
+    * per-hop frontier profile. Frontier expansion is the textbook
+    * distributed BFS — each round joins the current frontier against
+    * the edge list (shuffle keyed on node id) and anti-joins the
+    * visited set, so per-round cost is O(frontier × avg-degree), never
+    * the whole graph. The source is the max-degree node (tie → min id)
+    * as a broadcast one-row frame — no driver collect. DuckDB verifies
+    * via a depth-bounded recursive CTE over the same edges. */
+  def qBfsHops(s: SparkSession, d: String): DataFrame = {
+    val e = sparsePartEdges(s, d, minW = 1)
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var dist = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("id"))
+      .limit(1)
+      .select(col("id"))
+      .withColumn("h", lit(0))
+    var frontier = dist.select(col("id"))
+    for (i <- 1 to 4) {
+      val nxt = sym
+        .join(broadcast(frontier.withColumnRenamed("id", "src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("h", lit(i))
+      dist = dist.union(nxt).cache()
+      frontier = nxt.select(col("id"))
+    }
+    dist.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("h"))
+  }
+
+  /** Two-proportion A/B z-test over the event stream: users split by
+    * id parity (the deterministic stand-in for assignment), conversion
+    * = reached a high-value purchase (≥ 200), so rates are in the
+    * interesting interior, not saturated. One partial-aggregable shuffle to
+    * the per-user flag, then a single-row conditional aggregate — the
+    * entire test statistic pipeline is two map-side-combinable
+    * reductions, so at 100 TB the only data movement is the per-user
+    * rollup. Proportions are rounded to 6 dp before the z-score (the
+    * shared-value contract), z to 4. */
+  def qAbZtest(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 200,
+        1).otherwise(0)).as("conv"))
+      .withColumn("va", (col("user_id") % 2) === 0)
+    val g = per.agg(
+      sum(when(col("va"), 1).otherwise(0)).as("n_a"),
+      sum(when(col("va"), col("conv")).otherwise(0)).as("conv_a"),
+      sum(when(!col("va"), 1).otherwise(0)).as("n_b"),
+      sum(when(!col("va"), col("conv")).otherwise(0)).as("conv_b"))
+    g.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(col("conv_a") / col("n_a"), 6).as("p_a"),
+        round(col("conv_b") / col("n_b"), 6).as("p_b"),
+        round((col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")), 6)
+          .as("p_pool"))
+      .withColumn("z_score",
+        round((col("p_a") - col("p_b")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
+      .withColumn("significant", abs(col("z_score")) >= 1.96)
+  }
+
+  /** Benford first-digit audit of the price column: observed
+    * first-significant-digit frequencies vs the Benford expectation
+    * log10(1+1/d), with the chi-square distance attached. The digit is
+    * taken textually from the floored integer part (no log/pow on the
+    * data path, so both engines bucket bit-identically); the profile is
+    * one 9-row partial-aggregable count. A fraud/corruption screen that
+    * costs one scan at any scale. */
+  def qBenfordAudit(s: SparkSession, d: String): DataFrame = {
+    val dig = Tables.lineitem(s, d)
+      .select(substring(floor(col("l_extendedprice")).cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+    dig
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("obs_pct", round(col("n") / col("total"), 6))
+      .withColumn("benford_pct",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("chi2",
+        round(sum(
+          pow(col("n") - col("benford_pct") * col("total"), 2) /
+            (col("benford_pct") * col("total"))).over(w), 4))
+      .select(col("digit"), col("n"), col("obs_pct"), col("benford_pct"),
+        col("chi2"))
+      .orderBy(col("digit"))
   }
 }

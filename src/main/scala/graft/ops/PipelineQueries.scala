@@ -175,6 +175,37 @@ object PipelineQueries {
         count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("dim"))
 
+  /** Scalar int8 quantization of the embedding corpus — the 4×
+    * memory-compression path that makes billion-vector ANN serving
+    * fit in RAM. Per-dimension min/max define the affine code (the
+    * standard symmetric-free scalar quantizer); the operator reports,
+    * per dimension, the reconstruction error of round-tripping every
+    * vector through the 0..255 code. min/max are exact (float→double
+    * widening is lossless, min/max are order-free), so both engines
+    * quantize bit-identically; only the error averages need the usual
+    * rounding absorb. Two corpus passes (min/max, then error), both
+    * partial-aggregable single shuffles keyed on dim. */
+  def embedInt8Quant(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+    val mm = v.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val step = (col("hi") - col("lo")) / 255
+    v.join(broadcast(mm), "dim")
+      .withColumn("err",
+        col("x") - (col("lo") + round((col("x") - col("lo")) / step) * step))
+      .groupBy(col("dim").cast("long").as("dim"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_vals"),
+        round(avg(col("err") * col("err")) * 1e6, 6).as("mse_ppm"),
+        round(max(abs(col("err"))), 6).as("max_abs_err"))
+      .select(col("dim"), round(col("lo"), 6).as("lo"),
+        round(col("hi"), 6).as("hi"), col("n_vals"), col("mse_ppm"),
+        col("max_abs_err"))
+      .orderBy(col("dim"))
+  }
+
   /** Training-shard manifest: hash-assign every document to one of 16
     * shards (the pack-the-corpus-into-shards step before training) and
     * report per-shard stats. The md5-based hash is deterministic and

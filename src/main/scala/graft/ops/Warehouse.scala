@@ -243,4 +243,81 @@ object Warehouse {
         round(sum(col("value")), 2).as("revenue"))
       .orderBy(col("attr"))
   }
+
+  /** Declarative data-quality rule engine: rules are DATA (id +
+    * violation predicate), and all predicate rules against one table
+    * collapse into a SINGLE scan of conditional aggregates — N rules
+    * cost one pass, not N. Cross-table rules (ordering between fact
+    * and its parent, referential orphans) are joins keyed on the fact's
+    * own key, so the big side never reshuffles for the audit. This is
+    * the shape a 100 TB nightly DQ run needs: rule count grows, scan
+    * count doesn't. */
+  def qDqRules(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderdate"))
+    // predicate rules per table: one scan, one conditional agg each
+    def scanRules(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+          rules.map { case (id, pred) =>
+            sum(when(pred, 1).otherwise(0)).as(id)
+          }: _*)
+        .select(explode(map(
+          rules.flatMap { case (id, _) =>
+            Seq(lit(id), col(id))
+          }: _*)).as(Seq("rule_id", "n_violations")),
+          col("n").as("n_checked"))
+    val liRules = scanRules(li, Seq(
+      "lineitem_qty_leq_45" -> (col("l_quantity") > 45),
+      "lineitem_discount_range" ->
+        (col("l_discount") < 0 || col("l_discount") > 0.1)))
+    val custRules = scanRules(cust, Seq(
+      "customer_acctbal_nonneg" -> (col("c_acctbal") < 0)))
+    // cross-table ordering rule: line must not ship before its order
+    val shipRule = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1).otherwise(0))
+          .as("n_violations"))
+      .select(lit("lineitem_ship_after_order").as("rule_id"),
+        col("n_violations"), col("n_checked"))
+    // referential rule: every lineitem must have a parent order
+    val orphanRule = li.select(col("l_orderkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(li.agg(count(lit(1)).as("n_checked")))
+      .select(lit("lineitem_orphan").as("rule_id"), col("n_violations"),
+        col("n_checked"))
+    liRules.unionByName(custRules).unionByName(shipRule)
+      .unionByName(orphanRule)
+      .select(col("rule_id"), col("n_checked"), col("n_violations"),
+        round(col("n_violations") / col("n_checked"), 6)
+          .as("violation_rate"))
+      .orderBy(col("rule_id"))
+  }
+
+  /** Blocked fuzzy-match join (entity resolution): part names are
+    * linked when their edit distance is small, but candidate pairs are
+    * generated ONLY within a blocking key (the product noun), never by
+    * the O(n²) cross product — the classic record-linkage shape. The
+    * name dictionary is distinct-collapsed first (64 names, not 2 000
+    * parts), so the quadratic step runs on the vocabulary, and the
+    * per-name part counts rejoin after. At 100 TB: block, dedupe the
+    * join key space, THEN pair — the pairing cost depends on block
+    * sizes, not corpus size, and a skewed block is a salting candidate,
+    * not a plan rewrite. */
+  def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+    names.as("a").join(names.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"),
+        col("a.n_parts").as("n_a"), col("b.n_parts").as("n_b"))
+      .filter(col("dist") <= 4)
+      .orderBy(col("dist"), col("name_a"), col("name_b"))
+  }
 }

@@ -115,4 +115,60 @@ class BehaviorSpec extends SparkSuite {
     assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.gz")),
       s"expected .json.gz parts in $dir")
   }
+
+  test("cusum change points carry the largest cumulative drift") {
+    val rows = Behavior.qCusumChange(spark, sf).collect()
+    assert(rows.length == 10)
+    // the reported days must be sorted by |cusum| descending
+    val mags = rows.map(r => math.abs(r.getDouble(r.fieldIndex("cusum"))))
+    assert(mags.toSeq == mags.sortBy(-_).toSeq)
+    // z-scores standardize a real series: not all identical
+    assert(rows.map(_.getDouble(2)).distinct.length > 1)
+  }
+
+  test("dq rules report consistent counts and a firing ship-order rule") {
+    val rows = Warehouse.qDqRules(spark, sf).collect()
+    assert(rows.length == 5)
+    val byId = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    byId.foreach { case (id, (checked, viol, rate)) =>
+      assert(viol >= 0 && viol <= checked, s"$id counts inconsistent")
+      assert(math.abs(rate - viol.toDouble / checked) < 1e-5)
+    }
+    val nLi = Tables.lineitem(spark, sf).count()
+    assert(byId("lineitem_qty_leq_45")._1 == nLi)
+    assert(byId("lineitem_orphan")._2 == 0L,
+      "synthetic data has no orphan lineitems")
+    assert(byId("lineitem_ship_after_order")._2 > 0L,
+      "synthetic data ships before order date — rule must fire")
+  }
+
+  test("fuzzy join pairs stay within blocks and within distance") {
+    val rows = Warehouse.qFuzzyJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "pairs must be ordered a<b")
+      assert(a.split(" ")(1) == b.split(" ")(1),
+        s"pair ($a,$b) crosses blocking key")
+      val dist = r.getInt(2)
+      assert(dist >= 1 && dist <= 4)
+    }
+  }
+
+  test("int8 quantization error is bounded by half a step per dim") {
+    val rows = graft.ops.PipelineQueries.embedInt8Quant(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val lo = r.getDouble(r.fieldIndex("lo"))
+      val hi = r.getDouble(r.fieldIndex("hi"))
+      assert(lo < hi)
+      val halfStep = (hi - lo) / 255 / 2
+      val maxErr = r.getDouble(r.fieldIndex("max_abs_err"))
+      // rounding to the nearest code can never miss by more than step/2
+      // (+5e-7: max_abs_err is display-rounded to 6 dp and can tick up)
+      assert(maxErr <= halfStep + 5e-7,
+        s"dim ${r.getLong(0)}: err $maxErr exceeds half-step $halfStep")
+    }
+  }
 }

@@ -229,6 +229,73 @@ class MiningSpec extends SparkSuite {
     assert(r.getLong(r.fieldIndex("vocab_size")) > 10)
   }
 
+  test("label propagation covers every node and respects community size") {
+    val comms = Mining.qLabelProp(spark, sf).collect()
+    assert(comms.nonEmpty)
+    // labels only ever move along edges, so every final label must be
+    // a node id of the w>=1 graph — check against an independent build
+    val sparse = Tables.part(spark, sf).filter(col("p_size") <= 3)
+      .select(col("p_partkey"))
+    val ls = Tables.lineitem(spark, sf)
+      .join(sparse, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nodeSet = ls.select(col("l_partkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    comms.foreach { r =>
+      assert(nodeSet.contains(r.getLong(0)),
+        s"community label ${r.getLong(0)} is not a graph node")
+      assert(r.getLong(1) >= 1)
+    }
+    // sizes are sorted descending (total order contract)
+    val sizes = comms.map(_.getLong(1)).toSeq
+    assert(sizes == sizes.sortBy(-_), "sizes must be non-increasing")
+  }
+
+  test("bfs hop profile is a valid frontier expansion") {
+    val rows = Mining.qBfsHops(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hops = rows.map(_.getInt(0)).toSeq
+    assert(hops == hops.sorted && hops.head == 0, "hops start at 0, sorted")
+    assert(rows.head.getLong(1) == 1, "exactly one source at hop 0")
+    // hop h frontier can never exceed sum of previous frontiers × max
+    // degree, but a cheap sanity: all frontiers non-empty and min<=max
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+  }
+
+  test("ab z-test: counts partition users, z matches a direct recompute") {
+    val r = Mining.qAbZtest(spark, sf).head()
+    val nA = r.getLong(r.fieldIndex("n_a"))
+    val nB = r.getLong(r.fieldIndex("n_b"))
+    val users = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(nA + nB == users, "variants must partition the user base")
+    val pA = r.getDouble(r.fieldIndex("p_a"))
+    val pB = r.getDouble(r.fieldIndex("p_b"))
+    val pp = r.getDouble(r.fieldIndex("p_pool"))
+    val z = (pA - pB) / math.sqrt(pp * (1 - pp) * (1.0 / nA + 1.0 / nB))
+    assert(math.abs(r.getDouble(r.fieldIndex("z_score")) - z) < 1e-3,
+      "z-score must match the scalar recompute")
+  }
+
+  test("benford audit covers all nine digits and sums to one") {
+    val rows = Mining.qBenfordAudit(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == Tables.lineitem(spark, sf).count(),
+      "every line item lands in exactly one digit bucket")
+    val obs = rows.map(r => r.getDouble(r.fieldIndex("obs_pct"))).sum
+    assert(math.abs(obs - 1.0) < 1e-4)
+    val ben = rows.map(r => r.getDouble(r.fieldIndex("benford_pct"))).sum
+    assert(math.abs(ben - 1.0) < 1e-4)
+    val chi2 = rows.head.getDouble(rows.head.fieldIndex("chi2"))
+    assert(chi2 > 0 && rows.forall(
+      r => r.getDouble(r.fieldIndex("chi2")) == chi2),
+      "chi2 is one corpus-level statistic repeated per row")
+  }
+
   test("malformed csv triage quarantines exactly the bad lines") {
     val r = graft.sources.Formats.csvMalformed(spark, sf).head()
     val expectedBad = Tables.orders(spark, sf)
