@@ -356,6 +356,9 @@ object SparkEntry {
     "q_ewma" -> (Behavior.qEwma _),
     "q_degree_dist" -> (Behavior.qDegreeDist _),
     "q_cusum_change" -> (Behavior.qCusumChange _),
+    "q_rolling_corr" -> (Behavior.qRollingCorr _),
+    "q_seasonality" -> (Behavior.qSeasonality _),
+    "q_graph_jaccard" -> (Mining.qGraphJaccard _),
     "q_bloom_semi_filter" -> (Warehouse.qBloomSemiFilter _),
     "q_rfm" -> (Mining.qRfm _),
     "q_linreg_trend" -> (Mining.qLinregTrend _),
@@ -1594,6 +1597,57 @@ object SparkEntry {
         |  AS cusum FROM z)
         |SELECT day, revenue, zscore, cusum FROM c
         |ORDER BY abs(cusum) DESC, day LIMIT 10""".stripMargin,
+    "q_rolling_corr" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    round(avg(l_discount), 6) AS avg_disc,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT day, avg_disc, revenue,
+        |    row_number() OVER (ORDER BY day) AS rn,
+        |    round(corr(avg_disc, revenue) OVER (ORDER BY day
+        |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW), 4) AS corr28
+        |  FROM daily)
+        |SELECT day, avg_disc, revenue, corr28 FROM c
+        |WHERE rn >= 28 AND corr28 IS NOT NULL
+        |ORDER BY abs(corr28) DESC, day LIMIT 15""".stripMargin,
+    "q_seasonality" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT round(avg(revenue), 6) AS mu FROM daily),
+        |g AS (SELECT CAST(isodow(day) - 1 AS INT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    round(avg(revenue), 6) AS dow_avg
+        |  FROM daily GROUP BY 1)
+        |SELECT dow, n_days, dow_avg, round(dow_avg / mu, 4)
+        |  AS seasonal_index
+        |FROM g, o ORDER BY dow""".stripMargin,
+    "q_graph_jaccard" ->
+      """WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+        |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |e AS (SELECT u, v FROM (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+        |  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2) WHERE w >= 1),
+        |sym AS (SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        |cn AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS common
+        |  FROM e JOIN sym a ON a.src = e.u
+        |  JOIN sym b ON b.src = e.v AND b.dst = a.dst
+        |  GROUP BY 1, 2)
+        |SELECT e.u AS id_a, e.v AS id_b,
+        |  COALESCE(cn.common, 0) AS common,
+        |  da.deg AS deg_a, db.deg AS deg_b,
+        |  round(COALESCE(cn.common, 0) /
+        |    CAST(da.deg + db.deg - COALESCE(cn.common, 0) AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM e LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v
+        |JOIN deg da ON da.id = e.u
+        |JOIN deg db ON db.id = e.v
+        |ORDER BY jaccard DESC, id_a, id_b LIMIT 25""".stripMargin,
     "q_dq_rules" ->
       """WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)

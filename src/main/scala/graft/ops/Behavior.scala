@@ -179,4 +179,53 @@ object Behavior {
       .limit(10)
       .select(col("day"), col("revenue"), col("zscore"), col("cusum"))
   }
+
+  /** Rolling 28-day correlation between daily average discount and
+    * daily revenue — the moving co-movement monitor that flags when a
+    * promotion regime change decouples two KPIs. Inputs are rounded at
+    * the daily grain first (the shared-value contract), then `corr`
+    * runs as a window aggregate over a bounded 28-row frame: O(1)
+    * state per row, one fact shuffle to daily grain, and the window
+    * work is O(days), independent of fact size. Only full windows
+    * rank; the strongest-|corr| windows surface first. */
+  def qRollingCorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    val w = Window.orderBy(col("day")).rowsBetween(-27, Window.currentRow)
+    val wn = Window.orderBy(col("day"))
+    daily
+      .withColumn("rn", row_number().over(wn))
+      .withColumn("corr28",
+        round(corr(col("avg_disc"), col("revenue")).over(w), 4))
+      .filter(col("rn") >= 28 && col("corr28").isNotNull)
+      .orderBy(abs(col("corr28")).desc, col("day"))
+      .limit(15)
+      .select(col("day"), col("avg_disc"), col("revenue"), col("corr28"))
+  }
+
+  /** Day-of-week seasonality decomposition of the revenue series: each
+    * weekday's mean daily revenue as an index against the overall mean
+    * (index > 1 = that weekday runs hot). Classic multiplicative
+    * seasonal profile; one fact shuffle to daily grain, then all work
+    * happens on the O(days) series — the 7-row profile and the scalar
+    * overall mean broadcast back. Weekday numbering pinned to
+    * Monday=0 (Spark `weekday` ⟷ DuckDB `isodow - 1`). */
+  def qSeasonality(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("revenue"))
+    val overall = daily.agg(round(avg(col("revenue")), 6).as("mu"))
+    daily
+      .groupBy(weekday(col("day")).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(col("revenue")), 6).as("dow_avg"))
+      .crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"), col("dow_avg"),
+        round(col("dow_avg") / col("mu"), 4).as("seasonal_index"))
+      .orderBy(col("dow"))
+  }
 }

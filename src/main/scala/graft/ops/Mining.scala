@@ -529,6 +529,40 @@ object Mining {
       .orderBy(col("h"))
   }
 
+  /** Common-neighbor Jaccard similarity for every edge of the
+    * co-purchase graph — the classic link-prediction / neighborhood-
+    * coherence score. Common-neighbor counting is one self-join of the
+    * symmetric adjacency keyed on the SHARED neighbor (the triangle-
+    * enumeration shape — at scale, orient by degree and salt hot
+    * neighbors exactly as [[qTriangleCount]]'s rewrite does); degrees
+    * are a broadcast-sized node aggregate. Edges with no common
+    * neighbor are kept via left join (Jaccard 0), so the score is a
+    * total function on E. */
+  def qGraphJaccard(s: SparkSession, d: String): DataFrame = {
+    val e = sparsePartEdges(s, d, minW = 1).cache()
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val cn = e
+      .join(sym.as("a"), col("id_a") === col("a.src"))
+      .join(sym.as("b"),
+        col("id_b") === col("b.src") && col("a.dst") === col("b.dst"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    e.join(cn, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(broadcast(deg.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("deg", "deg_a")), "id_a")
+      .join(broadcast(deg.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("deg", "deg_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("deg_a"), col("deg_b"),
+        round(col("common") /
+          (col("deg_a") + col("deg_b") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(25)
+  }
+
   /** Two-proportion A/B z-test over the event stream: users split by
     * id parity (the deterministic stand-in for assignment), conversion
     * = reached a high-value purchase (≥ 200), so rates are in the

@@ -126,6 +126,29 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.map(_.getDouble(2)).distinct.length > 1)
   }
 
+  test("rolling correlation stays in [-1,1] over full windows only") {
+    val rows = Behavior.qRollingCorr(spark, sf).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val c = r.getDouble(r.fieldIndex("corr28"))
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $c")
+    }
+    val mags = rows.map(r => math.abs(r.getDouble(r.fieldIndex("corr28"))))
+    assert(mags.toSeq == mags.sortBy(-_).toSeq, "ranked by |corr| desc")
+  }
+
+  test("seasonality indices average to ~1 weighted by day counts") {
+    val rows = Behavior.qSeasonality(spark, sf).collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getInt(0)).toSeq == (0 to 6))
+    val totDays = rows.map(_.getLong(1)).sum
+    // weighted mean of dow averages recovers the overall mean → indices
+    // weighted-average to 1
+    val wIdx = rows.map(r => r.getLong(1) *
+      r.getDouble(r.fieldIndex("seasonal_index"))).sum / totDays
+    assert(math.abs(wIdx - 1.0) < 1e-3, s"weighted index $wIdx != 1")
+  }
+
   test("dq rules report consistent counts and a firing ship-order rule") {
     val rows = Warehouse.qDqRules(spark, sf).collect()
     assert(rows.length == 5)

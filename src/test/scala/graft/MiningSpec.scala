@@ -265,6 +265,22 @@ class MiningSpec extends SparkSuite {
     }
   }
 
+  test("graph jaccard is a valid similarity on real edges") {
+    val rows = Mining.qGraphJaccard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (common, degA, degB) =
+        (r.getLong(2), r.getLong(3), r.getLong(4))
+      val j = r.getDouble(r.fieldIndex("jaccard"))
+      assert(r.getLong(0) < r.getLong(1), "edge not ordered a<b")
+      assert(common <= math.min(degA, degB),
+        "common neighbors bounded by the smaller degree")
+      assert(j >= 0.0 && j <= 1.0)
+      // both endpoints of an edge see each other, so degrees >= 1
+      assert(degA >= 1 && degB >= 1)
+    }
+  }
+
   test("ab z-test: counts partition users, z matches a direct recompute") {
     val r = Mining.qAbZtest(spark, sf).head()
     val nA = r.getLong(r.fieldIndex("n_a"))
