@@ -23,6 +23,9 @@ import graft.json.Shred.{ChildArray, ChildObject, Rel}
   *  - `upsert(table, updates)` ≙ UPDATE-by-rowNum / INSERT
   *    (java:211-229) as a staged compaction.
   *  - `sql(...)` — the analytic surface over every saved table.
+  *  - `versions` / `tableAt` — bounded time travel: each staged swap
+  *    archives the superseded contents as `<table>@v<N>` (a rename,
+  *    not a copy), retaining the last `retainVersions` snapshots.
   *
   * The reference serializes every operation through one SQLite
   * connection (java:76-106); here the "connection" is the cluster and
@@ -35,7 +38,8 @@ import graft.json.Shred.{ChildArray, ChildObject, Rel}
   * `hdfs:` or `s3a:` paths — java.nio would silently bind the manifest
   * and the upsert swap to the driver's local disk.
   */
-class Engine(spark: SparkSession, warehouse: String) {
+class Engine(spark: SparkSession, warehouse: String,
+    retainVersions: Int = 2) {
 
   private def dir(table: String) = s"$warehouse/$table"
   private val manifestPath = new Path(s"$warehouse/_graft_manifest.txt")
@@ -144,6 +148,40 @@ class Engine(spark: SparkSession, warehouse: String) {
       .collect().headOption.map(_.getString(0))
   }
 
+  /** Retained version numbers of a table, oldest first. Every
+    * successful staged swap archives the previous table contents as
+    * `<table>@v<N>` instead of deleting them — bounded time travel
+    * over the last `retainVersions` mutations. A version costs one
+    * RENAME of parquet the swap already wrote, never a copy, so
+    * retention is free at any scale; pruning is O(retained dirs). */
+  def versions(tableName: String): Seq[Int] = {
+    val f = fs
+    val parent = new Path(warehouse)
+    if (!f.exists(parent)) return Seq.empty
+    val prefix = tableName + "@v"
+    f.listStatus(parent).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toInt).toOption)
+      .sorted
+  }
+
+  /** Read a retained snapshot (`versions` lists what is available). */
+  def tableAt(tableName: String, version: Int): DataFrame =
+    spark.read.parquet(dir(tableName) + "@v" + version)
+
+  /** Archive a superseded table dir as the next retained version and
+    * prune beyond the retention window. History is best-effort: if the
+    * rename fails the dir is dropped — correctness (the live table)
+    * never depends on the archive succeeding. */
+  private def archiveOld(f: FileSystem, tableName: String,
+      old: Path): Unit = {
+    val next = versions(tableName).lastOption.getOrElse(-1) + 1
+    if (!f.rename(old, new Path(dir(tableName) + "@v" + next)))
+      f.delete(old, true)
+    versions(tableName).dropRight(retainVersions).foreach(v =>
+      f.delete(new Path(dir(tableName) + "@v" + v), true))
+  }
+
   /** Keyed merge into a stored table (reference: UPDATE-by-rowNum /
     * INSERT, java:211-229): update rows replace, new keys append.
     * Read-merge-write into a staging dir, then swap — you cannot
@@ -192,7 +230,10 @@ class Engine(spark: SparkSession, warehouse: String) {
       throw new IllegalStateException(
         s"$op: cannot restore $old to $live after interrupted swap")
     f.delete(staged, true)
-    if (f.exists(live)) f.delete(old, true)
+    // a stale __old beside a live table is a crash leftover holding the
+    // pre-crash previous contents — archive it (best-effort history)
+    // rather than discard it
+    if (f.exists(live) && f.exists(old)) archiveOld(f, tableName, old)
     rewrite(table(tableName))
       .write.mode(SaveMode.Overwrite).parquet(staged.toString)
     if (!f.rename(live, old))
@@ -201,6 +242,6 @@ class Engine(spark: SparkSession, warehouse: String) {
       f.rename(old, live) // roll back — keep the table queryable
       throw new IllegalStateException(s"$op: cannot publish $staged")
     }
-    f.delete(old, true)
+    archiveOld(f, tableName, old)
   }
 }

@@ -280,6 +280,7 @@ object SparkEntry {
     "json_roundtrip_count" -> (JsonQueries.roundtripCount _),
     "engine_save_get" -> (JsonQueries.engineSaveGet _),
     "engine_delete" -> (JsonQueries.engineDelete _),
+    "engine_time_travel" -> (JsonQueries.engineTimeTravel _),
     // §2.2 bulk analytic SQL
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_shipping" -> (Analytics.q3Shipping _),
@@ -559,6 +560,21 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "engine_time_travel" ->
+      """WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal
+        |  FROM customer),
+        |v1 AS (SELECT k, CASE WHEN k % 5 = 0 THEN round(bal + 100, 2)
+        |    ELSE bal END AS bal FROM base),
+        |v2 AS (SELECT * FROM v1 WHERE k % 11 <> 0),
+        |u AS (
+        |  SELECT 'v0' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |    round(sum(bal), 2) AS balance FROM base
+        |  UNION ALL SELECT 'v1', CAST(count(*) AS BIGINT),
+        |    round(sum(bal), 2) FROM v1
+        |  UNION ALL SELECT 'live', CAST(count(*) AS BIGINT),
+        |    round(sum(bal), 2) FROM v2)
+        |SELECT version, n_rows, balance FROM u
+        |ORDER BY version""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

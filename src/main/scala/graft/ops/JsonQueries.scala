@@ -251,6 +251,33 @@ object JsonQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Engine bounded time travel: save a table, mutate it twice through
+    * the staged-swap path (upsert then delete), and aggregate all three
+    * retained states — v0 (original), v1 (post-upsert), live
+    * (post-delete). Each archived version is a rename of parquet the
+    * swap already wrote (never a copy), so history is free at any
+    * scale. Oracle replays the same two mutations over the source
+    * parquet in SQL. */
+  def engineTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_engine_tt").toString
+    val eng = new graft.Engine(s, wh)
+    val docs = Tables.customer(s, d)
+      .select(col("c_custkey").as("rowNum"), col("c_acctbal"))
+    eng.save(docs, "cust")
+    eng.upsert("cust", docs.filter(col("rowNum") % 5 === 0)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2)))
+    eng.delete("cust", docs.filter(col("rowNum") % 11 === 0)
+      .select("rowNum"))
+    def snap(df: org.apache.spark.sql.DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal")), 2).as("balance"))
+        .select(lit(label).as("version"), col("n_rows"), col("balance"))
+    snap(eng.tableAt("cust", 0), "v0")
+      .unionByName(snap(eng.tableAt("cust", 1), "v1"))
+      .unionByName(snap(eng.table("cust"), "live"))
+      .orderBy(col("version"))
+  }
+
   /** Shred→assemble roundtrip integrity over all orders. */
   def roundtripCount(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)

