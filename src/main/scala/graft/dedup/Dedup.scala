@@ -19,8 +19,17 @@ import graft.text.TextOps
   */
 object Dedup {
 
+  /** `precomputedPairs`: an already-verified near-dup pair frame
+    * (`id_a`/`id_b`, true Jaccard ≥ minSim) over the SAME corpus, if
+    * one exists. Band collisions are a per-pair property of the two
+    * signatures, so the full-corpus pair set restricted to pass-1
+    * survivors IS the survivor pair set — a caller that has already
+    * paid the shingle→minhash→band→verify pipeline (e.g. the clusters
+    * query) lets pass 2 become a semi-join filter instead of a second
+    * full pipeline. */
   def clean(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", minSim: Double = 0.5): DataFrame = {
+      textCol: String = "text", minSim: Double = 0.5,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
     // pass 1: canonical-form exact dedup. Cached: the survivor frame is
     // read four times downstream (signatures, both verify sides, the
     // final anti-join) — without the cache each read re-pays the
@@ -35,7 +44,15 @@ object Dedup {
     // pass 2: near-dup clusters among the survivors — LSH candidates
     // verified against exact Jaccard, so the removal threshold acts on
     // TRUE similarity, not the minhash estimate
-    val pairs = MinHashLSH.verifiedPairs(exactKept, idCol, textCol, minSim)
+    val pairs = precomputedPairs match {
+      case Some(p) =>
+        p.join(keepIds.withColumnRenamed(idCol, "id_a"), Seq("id_a"),
+            "left_semi")
+          .join(keepIds.withColumnRenamed(idCol, "id_b"), Seq("id_b"),
+            "left_semi")
+      case None =>
+        MinHashLSH.verifiedPairs(exactKept, idCol, textCol, minSim)
+    }
     val losers = Components.keepers(pairs)
       .filter(col("id") =!= col("keeper"))
       .select(col("id").as(idCol))

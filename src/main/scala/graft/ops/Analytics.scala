@@ -996,12 +996,16 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+    // materialize the edge list / degree frame once and truncate
+    // lineage (same recipe as qBfsHops): each of the 3 rank iterations
+    // replans from in-memory blocks instead of stacking the
+    // lineitem⋈orders build three plans deep
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .cache()
+      .localCheckpoint(true)
     val deg = edges.groupBy(col("a").as("node"))
       .agg(count(lit(1)).cast("double").as("deg"))
-      .cache()
+      .localCheckpoint(true)
     val nNodes = broadcast(deg.agg(count(lit(1)).cast("double").as("_n")))
     var ranks = deg.crossJoin(nNodes)
       .select(col("node"), (lit(1.0) / col("_n")).as("rank"))
@@ -1014,6 +1018,7 @@ object Analytics {
       ranks = contrib.crossJoin(nNodes)
         .select(col("node"),
           (lit(0.15) / col("_n") + lit(0.85) * col("_in")).as("rank"))
+        .localCheckpoint(true)
     }
     ranks
       .filter(col("node") % 2 === 1)

@@ -23,14 +23,27 @@ object PipelineQueries {
       .select("keeper", "n_copies")
       .orderBy(col("keeper"))
 
+  /** Session-scoped memo of the exact-verified LSH pair frame: three
+    * contract queries (pairs, clusters, keep-best) consume the same
+    * candidate set, and each used to re-pay the full shingle → minhash
+    * → band → verify pipeline. Keyed by (session identity, dir) so a
+    * frame never outlives its SparkSession; the cached frame is the
+    * UNordered pair set (ordering is per-consumer). */
+  private val lshPairs =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]
+
+  private def lshPairsFor(s: SparkSession, d: String): DataFrame =
+    lshPairs.computeIfAbsent((System.identityHashCode(s), d), _ =>
+      MinHashLSH.verifiedPairs(Tables.documents(s, d), "doc_id", "text",
+        minJaccard = 0.5).cache())
+
   /** MinHash+LSH near-dup pairs, exact-verified: banding generates
     * candidates (the only corpus-wide shuffle), exact shingle Jaccard
     * over the candidate set filters to true similarity ≥ 0.5. The
     * output is hash-verifiable against an all-pairs exact-Jaccard
     * oracle — equality also PROVES the LSH recall at this threshold. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
-    MinHashLSH.verifiedPairs(Tables.documents(s, d), "doc_id", "text",
-        minJaccard = 0.5)
+    lshPairsFor(s, d)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash hamming-neighborhood near-dup pairs. maxHamming=3 is the
@@ -48,7 +61,7 @@ object PipelineQueries {
     * Edges are exact-verified (true Jaccard ≥ 0.5), so the clustering
     * matches a recursive-CTE components oracle over the same edges. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupMinhashLsh(s, d)
+    val pairs = lshPairsFor(s, d)
     graft.dedup.Components.keepers(pairs)
       .orderBy(col("id"))
   }
@@ -348,7 +361,7 @@ object PipelineQueries {
   def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val clusters = graft.dedup.Components.keepers(dedupMinhashLsh(s, d))
+    val clusters = graft.dedup.Components.keepers(lshPairsFor(s, d))
     val w = Window.partitionBy(col("keeper"))
       .orderBy(col("n_chars").desc, col("doc_id"))
     clusters
@@ -365,7 +378,8 @@ object PipelineQueries {
   /** One-call corpus cleaning: exact + near-dup removal, keepers
     * survive. Output is the cleaned corpus size per source (stable). */
   def dedupClean(s: SparkSession, d: String): DataFrame =
-    graft.dedup.Dedup.clean(s, Tables.documents(s, d))
+    graft.dedup.Dedup.clean(s, Tables.documents(s, d),
+        precomputedPairs = Some(lshPairsFor(s, d)))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
       .orderBy(col("source"))
