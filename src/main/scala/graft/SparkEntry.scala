@@ -360,6 +360,9 @@ object SparkEntry {
     "q_rolling_corr" -> (Behavior.qRollingCorr _),
     "q_seasonality" -> (Behavior.qSeasonality _),
     "q_graph_jaccard" -> (Mining.qGraphJaccard _),
+    "q_funnel_paths" -> (Behavior.qFunnelPaths _),
+    "q_power_users_pareto" -> (Mining.qPowerUsersPareto _),
+    "q_histogram_2d" -> (Analytics.qHistogram2d _),
     "q_bloom_semi_filter" -> (Warehouse.qBloomSemiFilter _),
     "q_rfm" -> (Mining.qRfm _),
     "q_linreg_trend" -> (Mining.qLinregTrend _),
@@ -1664,6 +1667,44 @@ object SparkEntry {
         |JOIN deg da ON da.id = e.u
         |JOIN deg db ON db.id = e.v
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 25""".stripMargin,
+    "q_funnel_paths" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS rn FROM e),
+        |p AS (SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+        |  min(user_id) AS example_user
+        |FROM p GROUP BY 1 ORDER BY n_users DESC, path
+        |LIMIT 15""".stripMargin,
+    "q_power_users_pareto" ->
+      """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, rev,
+        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk,
+        |    sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM per),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |    round(sum(rev), 2) AS total_rev FROM per)
+        |SELECT n_customers, total_rev,
+        |  CAST(min(CASE WHEN cum >= total_rev * 0.8 THEN rnk END)
+        |    AS INT) AS n_for_80pct,
+        |  round(min(CASE WHEN cum >= total_rev * 0.8 THEN rnk END) /
+        |    CAST(n_customers AS DOUBLE), 4) AS pct_for_80pct,
+        |  round(sum(CASE WHEN rnk <= ceil(n_customers * 0.1)
+        |    THEN rev ELSE 0 END) / total_rev, 4) AS top_decile_share
+        |FROM r, t GROUP BY n_customers, total_rev""".stripMargin,
+    "q_histogram_2d" ->
+      """SELECT CAST(least(9, floor((l_quantity - 1) / 5)) AS INT)
+        |    AS qty_bin,
+        |  CAST(least(9, floor(l_discount * 100)) AS INT) AS disc_bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_dq_rules" ->
       """WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)

@@ -693,6 +693,24 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
 
+  /** 2-D fixed-grid histogram (quantity × discount heatmap): both bin
+    * assignments are pure arithmetic on literals, so the entire
+    * |grid|-cell surface is one scan + one partial-aggregable shuffle —
+    * the 2-D profile at 100 TB costs the same pass as the 1-D one.
+    * Binning avoids float log/pow: (qty−1)/5 and disc×100 are exact on
+    * the same doubles in both engines. */
+  def qHistogram2d(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        least(lit(9), floor((col("l_quantity") - 1) / 5)).cast("int")
+          .as("qty_bin"),
+        least(lit(9), floor(col("l_discount") * 100)).cast("int")
+          .as("disc_bin"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .groupBy(col("qty_bin"), col("disc_bin"))
+      .agg(count(lit(1)).as("n"), round(sum(col("rev")), 2).as("revenue"))
+      .orderBy(col("qty_bin"), col("disc_bin"))
+
   /** Funnel analysis over the event stream: per-user earliest view →
     * first click after it → first purchase after that. Three grouped
     * passes over one user-partitioned shuffle — no self-join explosion;

@@ -206,6 +206,35 @@ object Behavior {
       .select(col("day"), col("avg_disc"), col("revenue"), col("corr28"))
   }
 
+  /** Path mining: each user's first-3-event journey collapsed to a
+    * `a>b>c` path string, ranked by audience size — the entry-funnel
+    * report. The per-user sequence assembly is ONE shuffle keyed on
+    * user (window rank + grouped collect), and order inside the
+    * collected array is imposed by `array_sort` on the (rank, type)
+    * struct, not by partition luck — collect_list order is undefined in
+    * a distributed run, sorting the struct makes it deterministic on
+    * any topology. Path cardinality is tiny (|event_types|³), so the
+    * final rollup broadcasts anywhere. Ties inside a second break on
+    * event_id (the floor-epoch contract). */
+  def qFunnelPaths(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        array_sort(collect_list(struct(col("rn"), col("event_type"))))
+          .getField("event_type"), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("user_id")).as("example_user"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(15)
+  }
+
   /** Day-of-week seasonality decomposition of the revenue series: each
     * weekday's mean daily revenue as an index against the overall mean
     * (index > 1 = that weekday runs hot). Classic multiplicative

@@ -602,6 +602,40 @@ object Mining {
       .withColumn("significant", abs(col("z_score")) >= 1.96)
   }
 
+  /** Pareto concentration summary of customer revenue: how few
+    * customers carry 80% of the money, and what share the top decile
+    * holds. One partial-aggregable shuffle to per-customer revenue,
+    * then ranking/cumulating on the |customers|-row aggregate (cents
+    * rounded pre-window, so the running sums are bit-stable). The
+    * whole concentration curve reduces to one row — the skew probe you
+    * read before deciding salting/broadcast strategy on customer keys,
+    * and the business 80/20 report, in the same scan. */
+  def qPowerUsersPareto(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+    val ranked = per
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum", sum(col("rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = per.agg(count(lit(1)).as("n_customers"),
+      round(sum(col("rev")), 2).as("total_rev"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(
+        first(col("n_customers")).as("n_customers"),
+        first(col("total_rev")).as("total_rev"),
+        min(when(col("cum") >= col("total_rev") * 0.8, col("rnk")))
+          .as("n_for_80pct"),
+        round(sum(when(col("rnk") <= ceil(col("n_customers") * 0.1),
+          col("rev")).otherwise(0.0)), 2).as("top_decile_rev"))
+      .select(col("n_customers"), col("total_rev"), col("n_for_80pct"),
+        round(col("n_for_80pct") / col("n_customers"), 4)
+          .as("pct_for_80pct"),
+        round(col("top_decile_rev") / col("total_rev"), 4)
+          .as("top_decile_share"))
+  }
+
   /** Benford first-digit audit of the price column: observed
     * first-significant-digit frequencies vs the Benford expectation
     * log10(1+1/d), with the chi-square distance attached. The digit is

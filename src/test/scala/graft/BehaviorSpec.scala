@@ -149,6 +149,21 @@ class BehaviorSpec extends SparkSuite {
     assert(math.abs(wIdx - 1.0) < 1e-3, s"weighted index $wIdx != 1")
   }
 
+  test("funnel paths cover the user base with <=3 stages each") {
+    val rows = Behavior.qFunnelPaths(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stages = r.getString(0).split(">")
+      assert(stages.length >= 1 && stages.length <= 3)
+      val types = Set("view", "click", "purchase", "signup", "error")
+      stages.foreach(st => assert(types.contains(st), s"bad stage $st"))
+    }
+    // top-15 truncation: counted users never exceed the base
+    val users = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum <= users)
+  }
+
   test("dq rules report consistent counts and a firing ship-order rule") {
     val rows = Warehouse.qDqRules(spark, sf).collect()
     assert(rows.length == 5)

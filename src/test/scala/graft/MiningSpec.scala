@@ -296,6 +296,28 @@ class MiningSpec extends SparkSuite {
       "z-score must match the scalar recompute")
   }
 
+  test("pareto summary is internally consistent and top-heavy") {
+    val r = Mining.qPowerUsersPareto(spark, sf).head()
+    val n = r.getLong(r.fieldIndex("n_customers"))
+    val n80 = r.getInt(r.fieldIndex("n_for_80pct"))
+    assert(n80 >= 1 && n80 <= n)
+    val pct80 = r.getDouble(r.fieldIndex("pct_for_80pct"))
+    assert(math.abs(pct80 - n80.toDouble / n) < 1e-3)
+    val topShare = r.getDouble(r.fieldIndex("top_decile_share"))
+    // customers are ranked by revenue desc, so the top decile must hold
+    // at least its proportional share
+    assert(topShare >= 0.1 - 1e-9 && topShare <= 1.0)
+  }
+
+  test("2d histogram partitions the fact table into the 10x10 grid") {
+    val rows = graft.ops.Analytics.qHistogram2d(spark, sf).collect()
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 9 &&
+      r.getInt(1) >= 0 && r.getInt(1) <= 9))
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.lineitem(spark, sf).count(),
+      "every line item lands in exactly one cell")
+  }
+
   test("benford audit covers all nine digits and sums to one") {
     val rows = Mining.qBenfordAudit(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
