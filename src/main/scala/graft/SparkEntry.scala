@@ -281,6 +281,7 @@ object SparkEntry {
     "engine_save_get" -> (JsonQueries.engineSaveGet _),
     "engine_delete" -> (JsonQueries.engineDelete _),
     "engine_time_travel" -> (JsonQueries.engineTimeTravel _),
+    "engine_evolve_upsert" -> (JsonQueries.engineEvolveUpsert _),
     // §2.2 bulk analytic SQL
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_shipping" -> (Analytics.q3Shipping _),
@@ -363,6 +364,8 @@ object SparkEntry {
     "q_funnel_paths" -> (Behavior.qFunnelPaths _),
     "q_power_users_pareto" -> (Mining.qPowerUsersPareto _),
     "q_histogram_2d" -> (Analytics.qHistogram2d _),
+    "q_skyline" -> (Mining.qSkyline _),
+    "q_new_vs_returning" -> (Behavior.qNewVsReturning _),
     "q_bloom_semi_filter" -> (Warehouse.qBloomSemiFilter _),
     "q_rfm" -> (Mining.qRfm _),
     "q_linreg_trend" -> (Mining.qLinregTrend _),
@@ -578,6 +581,16 @@ object SparkEntry {
         |    round(sum(bal), 2) FROM v2)
         |SELECT version, n_rows, balance FROM u
         |ORDER BY version""".stripMargin,
+    "engine_evolve_upsert" ->
+      """WITH upd AS (SELECT o_orderkey AS k, o_totalprice AS p,
+        |    o_orderstatus AS st FROM orders WHERE o_orderkey % 4 = 0),
+        |merged AS (SELECT k, p, st FROM upd
+        |  UNION ALL SELECT o_orderkey, o_totalprice, NULL FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT k FROM upd))
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(p), 2) AS total,
+        |  CAST(count(st) AS BIGINT) AS n_with_status
+        |FROM merged""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -1705,6 +1718,32 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_skyline" ->
+      """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev,
+        |    max(CAST(o_orderdate AS DATE)) AS last_day
+        |  FROM orders GROUP BY 1),
+        |pts AS (SELECT rev, last_day, min(o_custkey) AS example_cust,
+        |    CAST(count(*) AS BIGINT) AS n_ties
+        |  FROM per GROUP BY 1, 2),
+        |sk AS (SELECT *, max(last_day) OVER (
+        |    ORDER BY rev DESC, last_day DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  AS best_prev FROM pts)
+        |SELECT rev, last_day, example_cust, n_ties FROM sk
+        |WHERE best_prev IS NULL OR last_day > best_prev
+        |ORDER BY rev DESC""".stripMargin,
+    "q_new_vs_returning" ->
+      """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM daily
+        |  GROUP BY 1),
+        |g AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM daily JOIN f USING (user_id) GROUP BY 1)
+        |SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+        |  round(n_new / CAST(n_active AS DOUBLE), 4) AS pct_new
+        |FROM g ORDER BY day""".stripMargin,
     "q_dq_rules" ->
       """WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)

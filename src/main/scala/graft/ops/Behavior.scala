@@ -235,6 +235,29 @@ object Behavior {
       .limit(15)
   }
 
+  /** New-vs-returning daily split: each active user classified by
+    * whether this is their first-seen day — the product-analytics
+    * acquisition/retention headline. Two user-keyed shuffles (daily
+    * distinct actives, first-seen min) then a |days|-row rollup; the
+    * first-seen frame is |users|-bounded and joins back broadcast-side
+    * at scale. */
+  def qNewVsReturning(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    daily.join(broadcast(first), "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1).otherwise(0))
+          .as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        round(col("n_new") / col("n_active"), 4).as("pct_new"))
+      .orderBy(col("day"))
+  }
+
   /** Day-of-week seasonality decomposition of the revenue series: each
     * weekday's mean daily revenue as an index against the overall mean
     * (index > 1 = that weekday runs hot). Classic multiplicative

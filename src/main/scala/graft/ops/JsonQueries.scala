@@ -251,6 +251,29 @@ object JsonQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Schema evolution THROUGH the Engine mutation path (the reference
+    * runs assertColumn on update too, java:129-131): an upsert batch
+    * carrying a column the stored table has never seen widens the
+    * table — surviving rows read NULL there — without any separate
+    * migration step. The staged rewrite makes the widening atomic:
+    * readers see the old schema or the new one, never a half-written
+    * mix. */
+  def engineEvolveUpsert(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_engine_ev").toString
+    val eng = new graft.Engine(s, wh)
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey").as("rowNum"), col("o_totalprice"))
+    eng.save(base, "order")
+    eng.upsert("order", Tables.orders(s, d)
+      .filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey").as("rowNum"), col("o_totalprice"),
+        col("o_orderstatus")))
+    eng.table("order")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        count(col("o_orderstatus")).as("n_with_status"))
+  }
+
   /** Engine bounded time travel: save a table, mutate it twice through
     * the staged-swap path (upsert then delete), and aggregate all three
     * retained states — v0 (original), v1 (post-upsert), live

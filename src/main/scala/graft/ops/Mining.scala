@@ -636,6 +636,33 @@ object Mining {
           .as("top_decile_share"))
   }
 
+  /** Skyline (Pareto-frontier) query: customers not dominated on
+    * (total revenue, recency) — the multi-criteria "best customers"
+    * shape. Computed as ONE sort + running max, not the naive O(n²)
+    * dominance anti-join: after collapsing exact (rev, day) ties, a
+    * point ordered by revenue desc survives iff its recency strictly
+    * beats the running max of every higher-revenue point. At 100 TB
+    * add a map-side local-skyline prefilter (points dominated within
+    * their partition can never re-enter the frontier), so the global
+    * window sees only per-partition frontiers. */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"),
+        max(to_date(col("o_orderdate"))).as("last_day"))
+    val pts = per.groupBy(col("rev"), col("last_day"))
+      .agg(min(col("o_custkey")).as("example_cust"),
+        count(lit(1)).as("n_ties"))
+    val w = Window.orderBy(col("rev").desc, col("last_day").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("best_prev", max(col("last_day")).over(w))
+      .filter(col("best_prev").isNull || col("last_day") > col("best_prev"))
+      .select(col("rev"), col("last_day"), col("example_cust"),
+        col("n_ties"))
+      .orderBy(col("rev").desc)
+  }
+
   /** Benford first-digit audit of the price column: observed
     * first-significant-digit frequencies vs the Benford expectation
     * log10(1+1/d), with the chi-square distance attached. The digit is

@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * and base never shuffles.
   */
 object Upsert {
+  /** The merge is schema-evolving (reference `assertColumn` semantics
+    * carried through the mutation path): an update batch may bring NEW
+    * columns — surviving base rows get NULLs — and may omit base
+    * columns — update rows get NULLs there. Same-schema merges are
+    * unchanged. */
   def apply(base: DataFrame, updates: DataFrame, keys: Seq[String],
       broadcastUpdates: Boolean = true): DataFrame = {
     val keyDf = updates.select(keys.map(col): _*)
     val right = if (broadcastUpdates) broadcast(keyDf) else keyDf
-    updates.unionByName(base.join(right, keys, "left_anti"))
+    updates.unionByName(base.join(right, keys, "left_anti"),
+      allowMissingColumns = true)
   }
 
   /** Schema-evolution union (reference `assertColumn`,

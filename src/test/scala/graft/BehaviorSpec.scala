@@ -149,6 +149,22 @@ class BehaviorSpec extends SparkSuite {
     assert(math.abs(wIdx - 1.0) < 1e-3, s"weighted index $wIdx != 1")
   }
 
+  test("new-vs-returning: day one is all new, totals reconcile") {
+    val rows = Behavior.qNewVsReturning(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val first = rows.head
+    assert(first.getLong(1) == first.getLong(2),
+      "every active user on the first day is new")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "active = new + returning")
+    }
+    // each user is new exactly once → new-counts sum to the user base
+    val users = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == users)
+  }
+
   test("funnel paths cover the user base with <=3 stages each") {
     val rows = Behavior.qFunnelPaths(spark, sf).collect()
     assert(rows.nonEmpty)

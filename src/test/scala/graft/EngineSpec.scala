@@ -330,6 +330,24 @@ class FacadeSpec extends SparkSuite {
       .collect().toSeq == Seq((2L, "b"), (3L, "c")))
   }
 
+  test("upsert widens the stored schema when a batch brings new columns") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_ev").toString
+    val eng = new Engine(spark, wh)
+    eng.save(Seq((1L, "a"), (2L, "b")).toDF("rowNum", "name"), "kv")
+    // batch adds a column the table has never seen AND omits `name`
+    eng.upsert("kv", Seq((2L, 7.5), (3L, 1.25)).toDF("rowNum", "score"))
+    val rows = eng.table("kv").orderBy("rowNum").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byKey = rows.map(r => r.getLong(0) ->
+      (Option(r.getAs[String]("name")),
+        Option(r.getAs[java.lang.Double]("score")).map(_.toDouble))).toMap
+    assert(byKey(1L) == (Some("a"), None), "untouched row keeps name")
+    assert(byKey(2L) == (None, Some(7.5)),
+      "updated row is replaced wholesale (reference UPDATE semantics)")
+    assert(byKey(3L) == (None, Some(1.25)), "insert carries new column")
+  }
+
   test("crash leftover __old beside live is archived as history, " +
       "not discarded") {
     import spark.implicits._

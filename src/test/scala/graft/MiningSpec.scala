@@ -296,6 +296,29 @@ class MiningSpec extends SparkSuite {
       "z-score must match the scalar recompute")
   }
 
+  test("skyline points are mutually non-dominated and dominate the rest") {
+    val sky = Mining.qSkyline(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDate(1).toLocalDate))
+    assert(sky.nonEmpty)
+    // pairwise non-domination within the frontier
+    for (a <- sky; b <- sky if a != b)
+      assert(!(b._1 >= a._1 && !b._2.isBefore(a._2) &&
+        (b._1 > a._1 || b._2.isAfter(a._2))),
+        s"$b dominates $a inside the skyline")
+    // every non-skyline customer point is dominated by some skyline point
+    val all = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"),
+        max(to_date(col("o_orderdate"))).as("d"))
+      .collect().map(r => (r.getDouble(1), r.getDate(2).toLocalDate))
+    val skySet = sky.toSet
+    all.filterNot(skySet.contains).take(200).foreach { p =>
+      assert(sky.exists(s => s._1 >= p._1 && !s._2.isBefore(p._2) &&
+        (s._1 > p._1 || s._2.isAfter(p._2))),
+        s"$p is undominated but missing from the skyline")
+    }
+  }
+
   test("pareto summary is internally consistent and top-heavy") {
     val r = Mining.qPowerUsersPareto(spark, sf).head()
     val n = r.getLong(r.fieldIndex("n_customers"))
