@@ -401,6 +401,7 @@ object SparkEntry {
     "stream_sliding_window" ->
       (graft.streaming.Events.streamSlidingWindow _),
     "stream_histogram" -> (graft.streaming.Events.streamHistogram _),
+    "stream_anomaly" -> (graft.streaming.Events.streamAnomaly _),
     // §2.4 source/sink formats
     "source_json_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.jsonRoundtrip(s, d)
@@ -1976,6 +1977,26 @@ object SparkEntry {
         |  CAST(least(floor(value / 30.0), 19.0) AS BIGINT) AS bin,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_anomaly" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT *,
+        |    count(*) OVER win AS n_prior,
+        |    sum(value) OVER win AS sum_prior,
+        |    sum(value * value) OVER win AS sumsq_prior
+        |  FROM e WINDOW win AS (PARTITION BY event_type
+        |    ORDER BY ts_s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT event_type, event_id, value,
+        |    sum_prior / n_prior AS mean,
+        |    sqrt(greatest(sumsq_prior / n_prior -
+        |      (sum_prior / n_prior) * (sum_prior / n_prior), 0)) AS sd
+        |  FROM w WHERE n_prior >= 30)
+        |SELECT event_type, event_id, value,
+        |  round((value - mean) / sd, 4) AS zscore
+        |FROM f WHERE sd > 0 AND abs(value - mean) > 3 * sd
+        |ORDER BY event_type, event_id""".stripMargin,
     "multimodal_phash_dedup" ->
       """WITH pos AS (
         |  SELECT doc_id, text, unnest(range(length(text))) AS i

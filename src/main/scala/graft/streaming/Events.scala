@@ -430,4 +430,64 @@ object Events {
         round(col("_r.value"), 2).as("value"))
       .orderBy(col("user_id"))
   }
+
+  case class AnomEvent(event_type: String, event_id: Long, ts_s: Long,
+      value: Double)
+  case class RunStats(n: Long, sum: Double, sumsq: Double)
+  case class FlaggedEvent(event_type: String, event_id: Long,
+      value: Double, zscore: Double)
+
+  /** Streaming anomaly detection: per event type, each arriving value
+    * is scored against the running mean/σ of every PRIOR event of that
+    * type (warm-up 30 events, flag at |z| > 3) — the alerting loop a
+    * monitoring pipeline runs on a live feed. State is three numbers
+    * per key (count/sum/sumsq — Chan-mergeable at heart, sequential
+    * here because the score itself is order-defined); flagged events
+    * emit in append mode, so the sink only ever sees alerts, never the
+    * stream. The group's batch iterator is sorted by (ts, event_id)
+    * before folding — THAT is the determinism contract: the score
+    * replays exactly in any engine that can express running window
+    * sums, which is how the DuckDB oracle verifies it. In production
+    * the per-key sort is the source's job (time-ordered partitions);
+    * state stays O(1) per key either way. */
+  def streamAnomaly(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    val evs = raw.filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("ts div 1000000000").as("ts_s"), col("value"))
+      .as[AnomEvent]
+    val fn = (key: String, it: Iterator[AnomEvent],
+        state: GroupState[RunStats]) => {
+      var st = state.getOption.getOrElse(RunStats(0L, 0.0, 0.0))
+      val out = scala.collection.mutable.ArrayBuffer.empty[FlaggedEvent]
+      it.toArray.sortBy(e => (e.ts_s, e.event_id)).foreach { e =>
+        if (st.n >= 30) {
+          val mean = st.sum / st.n
+          val sd = math.sqrt(
+            math.max(st.sumsq / st.n - mean * mean, 0.0))
+          if (sd > 0 && math.abs(e.value - mean) > 3 * sd) {
+            // half-away-from-zero to 4 dp — matches SQL round()
+            val z = (e.value - mean) / sd
+            out += FlaggedEvent(key, e.event_id, e.value,
+              math.signum(z) * math.floor(math.abs(z) * 1e4 + 0.5) / 1e4)
+          }
+        }
+        st = RunStats(st.n + 1, st.sum + e.value,
+          st.sumsq + e.value * e.value)
+      }
+      state.update(st)
+      out.iterator
+    }
+    val flagged = evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+    val name = s"graft_stream_anom_${n.incrementAndGet()}"
+    val q = flagged.toDF().writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("event_type"), col("event_id"))
+  }
 }

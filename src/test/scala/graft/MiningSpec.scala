@@ -188,6 +188,38 @@ class MiningSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming anomaly equals the batch running-stats replay") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = graft.streaming.Events.streamAnomaly(spark, sf)
+      .collect().toSeq
+    val win = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"), col("value"))
+    val batch = e
+      .withColumn("n_prior", count(lit(1)).over(win))
+      .withColumn("mean", sum(col("value")).over(win) / col("n_prior"))
+      .withColumn("sd", sqrt(greatest(
+        sum(col("value") * col("value")).over(win) / col("n_prior") -
+          col("mean") * col("mean"), lit(0.0))))
+      .filter(col("n_prior") >= 30 && col("sd") > 0 &&
+        abs(col("value") - col("mean")) > lit(3) * col("sd"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        round((col("value") - col("mean")) / col("sd"), 4).as("zscore"))
+      .orderBy(col("event_type"), col("event_id"))
+      .collect().toSeq
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} flags vs batch ${batch.length}")
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getString(0) == b.getString(0) &&
+        s.getLong(1) == b.getLong(1), s"flag mismatch: $s vs $b")
+      assert(math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-3)
+    }
+  }
+
   test("mutual information is non-negative and chi2 has sane dof scale") {
     val r = Mining.qMutualInfo(spark, sf).head()
     val mi = r.getDouble(r.fieldIndex("mi_bits"))
