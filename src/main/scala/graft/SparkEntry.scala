@@ -402,6 +402,7 @@ object SparkEntry {
       (graft.streaming.Events.streamSlidingWindow _),
     "stream_histogram" -> (graft.streaming.Events.streamHistogram _),
     "stream_anomaly" -> (graft.streaming.Events.streamAnomaly _),
+    "multimodal_resize" -> (PipelineQueries.multimodalResize _),
     // §2.4 source/sink formats
     "source_json_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.jsonRoundtrip(s, d)
@@ -2414,6 +2415,22 @@ object SparkEntry {
     // the stub codec is deterministic byte arithmetic — replayed here
     // (documents.text is ASCII in this corpus, so ascii(substr(..)) is
     // exactly the payload byte)
+    "multimodal_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    16 * (1 + (CASE WHEN length(text) >= 1
+        |      THEN ascii(substr(text, 1, 1)) ELSE 0 END) % 32) AS w,
+        |    16 * (1 + (CASE WHEN length(text) >= 2
+        |      THEN ascii(substr(text, 2, 1)) ELSE 0 END) % 32) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    greatest(1, CAST(round(w * least(1.0,
+        |      256.0 / greatest(w, h))) AS INT)) AS rs_width,
+        |    greatest(1, CAST(round(h * least(1.0,
+        |      256.0 / greatest(w, h))) AS INT)) AS rs_height
+        |  FROM m)
+        |SELECT rs_width, rs_height, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(16 * (1 + (CASE WHEN length(text) >= 1

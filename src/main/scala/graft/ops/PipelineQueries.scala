@@ -810,6 +810,26 @@ object PipelineQueries {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Multimodal: bounded-box resize planning over the stub decode —
+    * the thumbnail/preprocess step of an image pipeline. The aspect-
+    * preserving scale arithmetic is the REAL part (a production
+    * resize keeps exactly this metadata contract around the pixel
+    * kernel); output is the resized-dimension census so the shape is
+    * SQL-verifiable. Decode + resize compose per-partition — no
+    * shuffle until the |dims|-bounded rollup. */
+  def multimodalResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.decode(s, Multimodal.withPayload(Tables.documents(s, d)))
+      .map { m =>
+        val r = Multimodal.resizeMeta(m, maxSide = 256)
+        (m.doc_id, r.width, r.height)
+      }
+      .toDF("doc_id", "rs_width", "rs_height")
+      .groupBy(col("rs_width"), col("rs_height"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("rs_width"), col("rs_height"))
+  }
+
   /** Multimodal: stub feature extraction → embedding column, then a
     * cheap checksum per doc so the row shape is verifiable. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =

@@ -866,6 +866,19 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.sampleFrames(8, 4) == Seq(0, 2, 4, 6))
     assert(Multimodal.sampleFrames(10, 4) == Seq(0, 2, 5, 7))
   }
+
+  test("resize contract query: all dims boxed, every doc counted once") {
+    val rows = graft.ops.PipelineQueries.multimodalResize(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getInt(0), r.getInt(1))
+      assert(w >= 1 && w <= 256 && h >= 1 && h <= 256,
+        s"resized dim ($w,$h) escapes the bounding box")
+    }
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+  }
 }
 
 class StreamingSpec extends SparkSuite {
