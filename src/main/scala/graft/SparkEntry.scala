@@ -366,6 +366,8 @@ object SparkEntry {
     "q_histogram_2d" -> (Analytics.qHistogram2d _),
     "q_skyline" -> (Mining.qSkyline _),
     "q_new_vs_returning" -> (Behavior.qNewVsReturning _),
+    "q_ks_test" -> (Mining.qKsTest _),
+    "q_locf_impute" -> (Behavior.qLocfImpute _),
     "q_bloom_semi_filter" -> (Warehouse.qBloomSemiFilter _),
     "q_rfm" -> (Mining.qRfm _),
     "q_linreg_trend" -> (Mining.qLinregTrend _),
@@ -1746,6 +1748,57 @@ object SparkEntry {
         |SELECT day, n_active, n_new, n_active - n_new AS n_returning,
         |  round(n_new / CAST(n_active AS DOUBLE), 4) AS pct_new
         |FROM g ORDER BY day""".stripMargin,
+    "q_ks_test" ->
+      """WITH v AS (SELECT event_type, value FROM events
+        |  WHERE event_type IN ('purchase', 'click')
+        |    AND value IS NOT NULL),
+        |per AS (SELECT value,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS np_v,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS nc_v
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(np_v) AS BIGINT) AS n_purchase,
+        |    CAST(sum(nc_v) AS BIGINT) AS n_click FROM per),
+        |c AS (SELECT value,
+        |    sum(np_v) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |    sum(nc_v) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM per),
+        |m AS (SELECT n_purchase, n_click,
+        |    round(max(abs(cp / CAST(n_purchase AS DOUBLE) -
+        |      cc / CAST(n_click AS DOUBLE))), 4) AS ks_d
+        |  FROM c, t GROUP BY 1, 2)
+        |SELECT n_purchase, n_click, ks_d,
+        |  round(1.358 * sqrt((n_purchase + n_click) /
+        |    (CAST(n_purchase AS DOUBLE) * n_click)), 4) AS d_crit,
+        |  ks_d > round(1.358 * sqrt((n_purchase + n_click) /
+        |    (CAST(n_purchase AS DOUBLE) * n_click)), 4) AS significant
+        |FROM m""".stripMargin,
+    "q_locf_impute" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    o_orderpriority AS prio,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |spine AS (SELECT day, prio FROM
+        |  (SELECT DISTINCT day FROM daily),
+        |  (SELECT DISTINCT prio FROM daily)),
+        |g AS (SELECT s.day, s.prio, daily.rev,
+        |    last_value(daily.rev IGNORE NULLS) OVER (
+        |      PARTITION BY s.prio ORDER BY s.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled
+        |  FROM spine s LEFT JOIN daily
+        |    ON s.day = daily.day AND s.prio = daily.prio)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(count(rev) AS BIGINT) AS n_observed,
+        |  CAST(sum(CASE WHEN rev IS NULL AND filled IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(sum(CASE WHEN filled IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_leading,
+        |  round(sum(COALESCE(filled, 0)), 2) AS filled_total
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dq_rules" ->
       """WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)

@@ -152,6 +152,39 @@ object Behavior {
       .orderBy(col("degree"))
   }
 
+  /** LOCF (last-observation-carried-forward) gap imputation: the
+    * (day × priority) grid is mostly EMPTY at daily grain, and the
+    * filled series carries each priority's last observed revenue
+    * across its gaps — the standard time-series imputation before
+    * feature windows. The spine is a cross join of two tiny distinct
+    * frames (broadcast), the observation join is day-keyed, and the
+    * fill itself is `last(ignoreNulls)` over a per-priority ordered
+    * window — NO per-gap joins, one window pass regardless of gap
+    * structure. Leading nulls (before a priority's first observation)
+    * stay null and are reported, not invented. */
+  def qLocfImpute(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"),
+        col("o_orderpriority").as("prio"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    val days = daily.select(col("day")).distinct()
+    val prios = daily.select(col("prio")).distinct()
+    val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.crossJoin(broadcast(prios))
+      .join(daily, Seq("day", "prio"), "left")
+      .withColumn("filled", last(col("rev"), ignoreNulls = true).over(w))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("rev")).as("n_observed"),
+        sum(when(col("rev").isNull && col("filled").isNotNull, 1)
+          .otherwise(0)).as("n_filled"),
+        sum(when(col("filled").isNull, 1).otherwise(0)).as("n_leading"),
+        round(sum(coalesce(col("filled"), lit(0.0))), 2)
+          .as("filled_total"))
+      .orderBy(col("prio"))
+  }
+
   /** CUSUM mean-shift detection over the daily revenue series: each
     * day's total is standardized against the corpus mean/stddev, the
     * standardized deviations accumulate in date order, and the days

@@ -602,6 +602,42 @@ object Mining {
       .withColumn("significant", abs(col("z_score")) >= 1.96)
   }
 
+  /** Two-sample Kolmogorov–Smirnov test: are purchase values and click
+    * values drawn from the same distribution? D = max gap between the
+    * two empirical CDFs, computed tie-safely: counts are grouped per
+    * DISTINCT value first (a cumulative frame over raw rows would be
+    * order-dependent inside ties), then one ordered cumsum over the
+    * |distinct-values| frame. Both heavy steps are partial-aggregable
+    * single shuffles; the CDF walk is O(distinct values). The 95%
+    * critical value 1.358·√((n+m)/nm) rides along so the row is a
+    * complete test report. */
+  def qKsTest(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click") &&
+        col("value").isNotNull)
+    val per = v.groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("np_v"),
+        sum(when(col("event_type") === "click", 1).otherwise(0))
+          .as("nc_v"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum(col("np_v")).as("n_purchase"),
+      sum(col("nc_v")).as("n_click"))
+    per
+      .withColumn("cp", sum(col("np_v")).over(w))
+      .withColumn("cc", sum(col("nc_v")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(first(col("n_purchase")).as("n_purchase"),
+        first(col("n_click")).as("n_click"),
+        round(max(abs(col("cp") / col("n_purchase") -
+          col("cc") / col("n_click"))), 4).as("ks_d"))
+      .withColumn("d_crit",
+        round(lit(1.358) * sqrt((col("n_purchase") + col("n_click")) /
+          (col("n_purchase") * col("n_click"))), 4))
+      .withColumn("significant", col("ks_d") > col("d_crit"))
+  }
+
   /** Pareto concentration summary of customer revenue: how few
     * customers carry 80% of the money, and what share the top decile
     * holds. One partial-aggregable shuffle to per-customer revenue,

@@ -149,6 +149,19 @@ class BehaviorSpec extends SparkSuite {
     assert(math.abs(wIdx - 1.0) < 1e-3, s"weighted index $wIdx != 1")
   }
 
+  test("locf imputation: grid complete, filled+observed+leading = days") {
+    val rows = Behavior.qLocfImpute(spark, sf).collect()
+    assert(rows.length == 5, "five order priorities")
+    val nDays = Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nDays, "spine covers every day per priority")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        "observed + filled + leading must partition the spine")
+      assert(r.getLong(2) > 0, "each priority has observations")
+    }
+  }
+
   test("new-vs-returning: day one is all new, totals reconcile") {
     val rows = Behavior.qNewVsReturning(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -328,6 +328,17 @@ class MiningSpec extends SparkSuite {
       "z-score must match the scalar recompute")
   }
 
+  test("ks statistic bounded in [0,1] and crit value matches formula") {
+    val r = Mining.qKsTest(spark, sf).head()
+    val d = r.getDouble(r.fieldIndex("ks_d"))
+    assert(d >= 0.0 && d <= 1.0)
+    val (np, nc) = (r.getLong(0), r.getLong(1))
+    val crit = 1.358 * math.sqrt((np + nc).toDouble / (np.toDouble * nc))
+    assert(math.abs(r.getDouble(r.fieldIndex("d_crit")) - crit) < 1e-3)
+    assert(r.getBoolean(r.fieldIndex("significant")) == (d >
+      r.getDouble(r.fieldIndex("d_crit"))))
+  }
+
   test("skyline points are mutually non-dominated and dominate the rest") {
     val sky = Mining.qSkyline(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getDate(1).toLocalDate))
