@@ -368,6 +368,16 @@ object SparkEntry {
     "q_new_vs_returning" -> (Behavior.qNewVsReturning _),
     "q_ks_test" -> (Mining.qKsTest _),
     "q_locf_impute" -> (Behavior.qLocfImpute _),
+    "q_kcore" -> (Mining.qKcore _),
+    "source_csv_quoted" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.sources.Formats.csvQuoted(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          sum(length(col("note"))).as("note_chars"),
+          sum(when(col("note").contains("\n"), 1).otherwise(0))
+            .as("n_multiline"))
+    }),
     "q_bloom_semi_filter" -> (Warehouse.qBloomSemiFilter _),
     "q_rfm" -> (Mining.qRfm _),
     "q_linreg_trend" -> (Mining.qLinregTrend _),
@@ -1799,6 +1809,51 @@ object SparkEntry {
         |    AS BIGINT) AS n_leading,
         |  round(sum(COALESCE(filled, 0)), 2) AS filled_total
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kcore" ->
+      """WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+        |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |e AS (SELECT u, v FROM (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+        |  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2) WHERE w >= 1),
+        |k1 AS (SELECT id FROM (SELECT id, count(*) AS c FROM (
+        |    SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1) WHERE c >= 2),
+        |f1 AS (SELECT u, v FROM e WHERE u IN (SELECT id FROM k1)
+        |  AND v IN (SELECT id FROM k1)),
+        |k2 AS (SELECT id FROM (SELECT id, count(*) AS c FROM (
+        |    SELECT u AS id FROM f1 UNION ALL SELECT v FROM f1)
+        |  GROUP BY 1) WHERE c >= 2),
+        |f2 AS (SELECT u, v FROM f1 WHERE u IN (SELECT id FROM k2)
+        |  AND v IN (SELECT id FROM k2)),
+        |k3 AS (SELECT id FROM (SELECT id, count(*) AS c FROM (
+        |    SELECT u AS id FROM f2 UNION ALL SELECT v FROM f2)
+        |  GROUP BY 1) WHERE c >= 2),
+        |f3 AS (SELECT u, v FROM f2 WHERE u IN (SELECT id FROM k3)
+        |  AND v IN (SELECT id FROM k3)),
+        |u AS (
+        |  SELECT 1 AS iter,
+        |    (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM (
+        |      SELECT u AS id FROM f1 UNION ALL SELECT v FROM f1))
+        |      AS n_nodes,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM f1) AS n_edges
+        |  UNION ALL SELECT 2,
+        |    (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM (
+        |      SELECT u AS id FROM f2 UNION ALL SELECT v FROM f2)),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM f2)
+        |  UNION ALL SELECT 3,
+        |    (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM (
+        |      SELECT u AS id FROM f3 UNION ALL SELECT v FROM f3)),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM f3))
+        |SELECT iter, n_nodes, n_edges FROM u ORDER BY iter""".stripMargin,
+    "source_csv_quoted" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(sum(length(o_orderpriority) + 4 +
+        |    length(o_orderstatus)) AS BIGINT) AS note_chars,
+        |  CAST(count(*) AS BIGINT) AS n_multiline
+        |FROM orders""".stripMargin,
     "q_dq_rules" ->
       """WITH li AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)

@@ -602,6 +602,40 @@ object Mining {
       .withColumn("significant", abs(col("z_score")) >= 1.96)
   }
 
+  /** 2-core decomposition by iterative peeling: repeatedly drop
+    * degree-<2 nodes (and their edges) from the co-purchase graph —
+    * after each peel the survivors are the nodes that can possibly sit
+    * on a cycle; the fixpoint is the graph's 2-core. Three fixed peels
+    * with the per-iteration census as output (the oracle unrolls the
+    * same three). Each peel is one degree aggregation + two semi-joins
+    * keyed on node id — O(|E|) per round, and the frame only ever
+    * SHRINKS, so at scale the rounds get cheaper as they go;
+    * `localCheckpoint` stops the plan from stacking. */
+  def qKcore(s: SparkSession, d: String): DataFrame = {
+    var edges = sparsePartEdges(s, d, minW = 1).localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to 3) {
+      val deg = edges
+        .select(col("id_a").as("id"))
+        .union(edges.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= 2).select(col("id"))
+      edges = edges
+        .join(keep.withColumnRenamed("id", "id_a"), Seq("id_a"),
+          "left_semi")
+        .join(keep.withColumnRenamed("id", "id_b"), Seq("id_b"),
+          "left_semi")
+        .localCheckpoint(true)
+      out += edges
+        .select(col("id_a").as("id"))
+        .union(edges.select(col("id_b").as("id")))
+        .agg(lit(i).as("iter"),
+          countDistinct(col("id")).as("n_nodes"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"))
+    }
+    out.reduce(_ unionByName _).orderBy(col("iter"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test: are purchase values and click
     * values drawn from the same distribution? D = max gap between the
     * two empirical CDFs, computed tie-safely: counts are grouped per

@@ -45,6 +45,32 @@ object Formats {
     s.read.schema(df.schema).option("header", "true").csv(path)
   }
 
+  /** Quoted/multiline CSV roundtrip — the parser edge case flat
+    * roundtrips never touch: a text field carrying embedded quotes,
+    * field separators AND newlines. Written with quoteAll + escaped
+    * quotes, read back with `multiLine` (so a record may span physical
+    * lines). A parser that splits on raw newlines changes the row
+    * count; one that mishandles escapes corrupts the note text — the
+    * summary the contract checks would drift either way. multiLine
+    * costs splittability (each file parses as a unit), which is why
+    * production keeps multiline fields in parquet/JSON and this path
+    * exists for INGEST of third-party CSV. */
+  def csvQuoted(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("orders_csv_q", d)
+    val df = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_totalprice"),
+      concat(col("o_orderpriority"), lit("\"q,\n"), col("o_orderstatus"))
+        .as("note"))
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"")
+      .csv(path)
+    s.read.schema(df.schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+  }
+
   /** ORC sink + source roundtrip (columnar alternative to parquet;
     * spark-avro isn't on this classpath, ORC ships with Spark). */
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = {

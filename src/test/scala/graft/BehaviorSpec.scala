@@ -149,6 +149,14 @@ class BehaviorSpec extends SparkSuite {
     assert(math.abs(wIdx - 1.0) < 1e-3, s"weighted index $wIdx != 1")
   }
 
+  test("quoted multiline csv roundtrip preserves rows and note bytes") {
+    val back = graft.sources.Formats.csvQuoted(spark, sf)
+    val n = Tables.orders(spark, sf).count()
+    assert(back.count() == n, "multiLine parse must not split records")
+    val bad = back.filter(!col("note").contains("\"q,\n")).count()
+    assert(bad == 0, "escaped quote/comma/newline must survive verbatim")
+  }
+
   test("locf imputation: grid complete, filled+observed+leading = days") {
     val rows = Behavior.qLocfImpute(spark, sf).collect()
     assert(rows.length == 5, "five order priorities")

@@ -328,6 +328,18 @@ class MiningSpec extends SparkSuite {
       "z-score must match the scalar recompute")
   }
 
+  test("k-core peeling shrinks monotonically and 2-core nodes have deg>=2") {
+    val rows = Mining.qKcore(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val nodes = rows.map(_.getLong(1)).toSeq
+    val edges = rows.map(_.getLong(2)).toSeq
+    assert(nodes == nodes.sorted.reverse, "node count never grows")
+    assert(edges == edges.sorted.reverse, "edge count never grows")
+    // every surviving node has >= 2 surviving-edge endpoints, so a
+    // 2-core with n nodes needs at least n edges (cycle lower bound)
+    assert(edges.last >= nodes.last, "2-core must satisfy |E| >= |V|")
+  }
+
   test("ks statistic bounded in [0,1] and crit value matches formula") {
     val r = Mining.qKsTest(spark, sf).head()
     val d = r.getDouble(r.fieldIndex("ks_d"))
