@@ -369,6 +369,8 @@ object SparkEntry {
     "q_ks_test" -> (Mining.qKsTest _),
     "q_locf_impute" -> (Behavior.qLocfImpute _),
     "q_kcore" -> (Mining.qKcore _),
+    "q_rolling_wau" -> (Behavior.qRollingWau _),
+    "q_conversion_lag" -> (Behavior.qConversionLag _),
     "source_csv_quoted" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.sources.Formats.csvQuoted(s, d)
@@ -1847,6 +1849,37 @@ object SparkEntry {
         |      SELECT u AS id FROM f3 UNION ALL SELECT v FROM f3)),
         |    (SELECT CAST(count(*) AS BIGINT) FROM f3))
         |SELECT iter, n_nodes, n_edges FROM u ORDER BY iter""".stripMargin,
+    "q_rolling_wau" ->
+      """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM daily GROUP BY 1),
+        |wau AS (SELECT s.day, CAST(count(DISTINCT u.user_id) AS BIGINT)
+        |    AS wau
+        |  FROM days s JOIN daily u
+        |    ON date_diff('day', u.day, s.day) BETWEEN 0 AND 6
+        |  GROUP BY 1)
+        |SELECT day, dau, wau,
+        |  round(dau / CAST(wau AS DOUBLE), 4) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    "q_conversion_lag" ->
+      """WITH fv AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_view
+        |  FROM events GROUP BY 1),
+        |fp AS (SELECT e.user_id, fv.first_view,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_purchase
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND fv.first_view IS NOT NULL
+        |    AND CAST(floor(epoch(ts)) AS BIGINT) >= fv.first_view
+        |  GROUP BY 1, 2),
+        |l AS (SELECT first_purchase - first_view AS lag_s FROM fp)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(lag_s, 0.5), 2) AS p50_lag_s,
+        |  round(quantile_cont(lag_s, 0.9), 2) AS p90_lag_s,
+        |  round(avg(lag_s), 2) AS mean_lag_s
+        |FROM l""".stripMargin,
     "source_csv_quoted" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  round(sum(o_totalprice), 2) AS total,

@@ -268,6 +268,58 @@ object Behavior {
       .limit(15)
   }
 
+  /** Rolling 7-day active users (DAU/WAU + stickiness): the product
+    * health metric that needs DISTINCT over a sliding window — which
+    * no window aggregate gives directly. Exact formulation: the daily
+    * distinct-actives frame range-joins the day spine within the
+    * 7-day lookback, then one distinct count per day. The joined frame
+    * is |days|×|avg actives|×7 — fine at day grain at any corpus
+    * size, because it scales with DAYS, not events. (The sketch path
+    * for finer grains is q_hll_merge.) */
+  def qRollingWau(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .cache()
+    val days = daily.select(col("day")).distinct()
+    val dau = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = days.as("s")
+      .join(daily.as("u"),
+        datediff(col("s.day"), col("u.day")).between(0, 6))
+      .groupBy(col("s.day").as("day"))
+      .agg(countDistinct(col("u.user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  /** Conversion lag: per user, the delay from first view to first
+    * subsequent purchase, summarized as a latency distribution
+    * (median/p90 + mean). One user-keyed shuffle with conditional
+    * min-aggregates carries both stage timestamps — no self-join; the
+    * percentile runs on the |converted-users| frame. The
+    * time-to-convert report that decides attribution windows. */
+  def qConversionLag(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view",
+        unix_timestamp(col("ts")))).as("first_view"))
+    val purch = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("p_ts"))
+    per.filter(col("first_view").isNotNull)
+      .join(purch, "user_id")
+      .filter(col("p_ts") >= col("first_view"))
+      .groupBy(col("user_id"), col("first_view"))
+      .agg(min(col("p_ts")).as("first_purchase"))
+      .select((col("first_purchase") - col("first_view")).as("lag_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lag_s, 0.5)"), 2).as("p50_lag_s"),
+        round(expr("percentile(lag_s, 0.9)"), 2).as("p90_lag_s"),
+        round(avg(col("lag_s")), 2).as("mean_lag_s"))
+  }
+
   /** New-vs-returning daily split: each active user classified by
     * whether this is their first-seen day — the product-analytics
     * acquisition/retention headline. Two user-keyed shuffles (daily

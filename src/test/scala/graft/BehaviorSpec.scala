@@ -149,6 +149,29 @@ class BehaviorSpec extends SparkSuite {
     assert(math.abs(wIdx - 1.0) < 1e-3, s"weighted index $wIdx != 1")
   }
 
+  test("rolling wau dominates dau and stickiness stays in (0,1]") {
+    val rows = Behavior.qRollingWau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau) = (r.getLong(1), r.getLong(2))
+      assert(wau >= dau, "7-day actives must include today's actives")
+      val st = r.getDouble(3)
+      assert(st > 0.0 && st <= 1.0)
+    }
+    // a 7-day window can never hold more than the whole user base
+    val users = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).max <= users)
+  }
+
+  test("conversion lag percentiles are ordered and non-negative") {
+    val r = Behavior.qConversionLag(spark, sf).head()
+    val (p50, p90) = (r.getDouble(1), r.getDouble(2))
+    assert(r.getLong(0) > 0, "some users convert")
+    assert(p50 >= 0 && p90 >= p50, "p90 must dominate p50")
+    assert(r.getDouble(3) >= 0)
+  }
+
   test("quoted multiline csv roundtrip preserves rows and note bytes") {
     val back = graft.sources.Formats.csvQuoted(spark, sf)
     val n = Tables.orders(spark, sf).count()
