@@ -371,6 +371,8 @@ object SparkEntry {
     "q_kcore" -> (Mining.qKcore _),
     "q_rolling_wau" -> (Behavior.qRollingWau _),
     "q_conversion_lag" -> (Behavior.qConversionLag _),
+    "q_decay_score" -> (Behavior.qDecayScore _),
+    "q_inter_arrival" -> (Behavior.qInterArrival _),
     "source_csv_quoted" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.sources.Formats.csvQuoted(s, d)
@@ -1849,6 +1851,31 @@ object SparkEntry {
         |      SELECT u AS id FROM f3 UNION ALL SELECT v FROM f3)),
         |    (SELECT CAST(count(*) AS BIGINT) FROM f3))
         |SELECT iter, n_nodes, n_edges FROM u ORDER BY iter""".stripMargin,
+    "q_decay_score" ->
+      """WITH o AS (SELECT o_custkey, o_totalprice,
+        |    CAST(o_orderdate AS DATE) AS day FROM orders),
+        |a AS (SELECT max(day) AS max_day FROM o),
+        |w AS (SELECT o_custkey,
+        |    o_totalprice * pow(0.5,
+        |      date_diff('day', day, max_day) / 180.0) AS w
+        |  FROM o, a)
+        |SELECT o_custkey, round(sum(w), 2) AS decayed_value,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM w GROUP BY 1
+        |ORDER BY decayed_value DESC, o_custkey LIMIT 15""".stripMargin,
+    "q_inter_arrival" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |g AS (SELECT event_type,
+        |    ts_s - lag(ts_s, 1) OVER (PARTITION BY event_type
+        |      ORDER BY ts_s, event_id) AS gap_s
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap_s, 0.5), 2) AS p50_gap_s,
+        |  round(quantile_cont(gap_s, 0.9), 2) AS p90_gap_s,
+        |  max(gap_s) AS max_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_wau" ->
       """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
         |  FROM events),

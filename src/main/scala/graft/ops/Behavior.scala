@@ -268,6 +268,52 @@ object Behavior {
       .limit(15)
   }
 
+  /** Exponential time-decay scoring (half-life 180 days, anchored at
+    * the corpus max date so the score is reproducible): each order
+    * contributes totalprice × 0.5^(age/180) — the recency-weighted
+    * customer value that RFM's hard recency cut approximates. Decay
+    * weights are per-row scalar math fused into the aggregation
+    * (codegen'd, no window), so the whole score is ONE
+    * partial-aggregable shuffle; the anchor is a one-row broadcast. */
+  def qDecayScore(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("day"))
+    val anchor = ord.agg(max(col("day")).as("max_day"))
+    ord.crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        (col("o_totalprice") *
+          pow(lit(0.5), datediff(col("max_day"), col("day")) / 180.0))
+          .as("w"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("w")), 2).as("decayed_value"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("decayed_value").desc, col("o_custkey"))
+      .limit(15)
+  }
+
+  /** Inter-arrival gap profile per event type (the point-process view
+    * of the stream): consecutive-event gaps via one lag window, then
+    * median/p90/max per type. One type-keyed shuffle; the window and
+    * percentiles run inside each type partition. Reading this before
+    * sessionizing tells you whether the session gap threshold is in
+    * the distribution's tail or its body. */
+  def qInterArrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_s"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_s, 0.5)"), 2).as("p50_gap_s"),
+        round(expr("percentile(gap_s, 0.9)"), 2).as("p90_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
   /** Rolling 7-day active users (DAU/WAU + stickiness): the product
     * health metric that needs DISTINCT over a sliding window — which
     * no window aggregate gives directly. Exact formulation: the daily

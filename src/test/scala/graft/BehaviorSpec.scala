@@ -149,6 +149,39 @@ class BehaviorSpec extends SparkSuite {
     assert(math.abs(wIdx - 1.0) < 1e-3, s"weighted index $wIdx != 1")
   }
 
+  test("decay score is positive and bounded by undecayed revenue") {
+    val rows = Behavior.qDecayScore(spark, sf).collect()
+    assert(rows.length == 15)
+    val totals = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val dv = r.getDouble(1)
+      assert(dv > 0)
+      assert(dv <= totals(r.getLong(0)) + 0.01,
+        "decay can only shrink revenue")
+    }
+    val dvs = rows.map(_.getDouble(1)).toSeq
+    assert(dvs == dvs.sorted.reverse)
+  }
+
+  test("inter-arrival gaps: p90 dominates p50, max dominates p90") {
+    val rows = Behavior.qInterArrival(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (p50, p90, mx) =
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(p50 >= 0 && p90 >= p50 && mx >= p90)
+    }
+    // gaps per type = events per type - 1
+    val perType = Tables.events(spark, sf)
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getLong(1) == perType(r.getString(0)) - 1))
+  }
+
   test("rolling wau dominates dau and stickiness stays in (0,1]") {
     val rows = Behavior.qRollingWau(spark, sf).collect()
     assert(rows.nonEmpty)
