@@ -282,6 +282,7 @@ object SparkEntry {
     "engine_delete" -> (JsonQueries.engineDelete _),
     "engine_time_travel" -> (JsonQueries.engineTimeTravel _),
     "engine_evolve_upsert" -> (JsonQueries.engineEvolveUpsert _),
+    "engine_nested_sql" -> (JsonQueries.engineNestedSql _),
     // §2.2 bulk analytic SQL
     "q1_pricing" -> (Analytics.q1Pricing _),
     "q3_shipping" -> (Analytics.q3Shipping _),
@@ -599,6 +600,13 @@ object SparkEntry {
         |    round(sum(bal), 2) FROM v2)
         |SELECT version, n_rows, balance FROM u
         |ORDER BY version""".stripMargin,
+    "engine_nested_sql" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY r_name""".stripMargin,
     "engine_evolve_upsert" ->
       """WITH upd AS (SELECT o_orderkey AS k, o_totalprice AS p,
         |    o_orderstatus AS st FROM orders WHERE o_orderkey % 4 = 0),

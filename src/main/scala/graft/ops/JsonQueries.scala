@@ -231,6 +231,44 @@ object JsonQueries {
         .cast("long").as("n_items"))
   }
 
+  /** Depth-3 documents through the FULL engine surface: every nation
+    * as a doc carrying a keyed child OBJECT (its region) and a child
+    * ARRAY (its customers), saved via the facade — the shred routes
+    * the region to its own table (keyed sub-object, java:145-155),
+    * the customers to an FK'd child table (java:168-202) — then
+    * queried back through `eng.sql` by joining all three shredded
+    * tables. The oracle replays the same rollup from the raw source
+    * tables, proving the shred/manifest/SQL path preserves the
+    * relational content at depth. */
+  def engineNestedSql(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_engine_ns").toString
+    val eng = new graft.Engine(s, wh)
+    val cust = Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        struct(col("c_custkey").as("rowNum"), col("c_acctbal")).as("c"))
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_list(col("c"))).as("members"))
+    val docs = Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(cust, col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_nationkey").as("rowNum"), col("n_name"),
+        struct(col("r_regionkey").as("rowNum"), col("r_name"))
+          .as("home_region"),
+        col("members"))
+    eng.save(docs, "nation_doc")
+    // each parent doc shreds its OWN copy of the region sub-object
+    // (reference stores one row per embedded object, java:145-155), so
+    // the shared dimension must be distinct-collapsed before the join
+    eng.sql("""SELECT hr.r_name AS r_name,
+        count(*) AS n_customers,
+        round(sum(m.c_acctbal), 2) AS total_bal
+      FROM members m
+      JOIN nation_doc nd ON m.nation_doc = nd.rowNum
+      JOIN (SELECT DISTINCT rowNum, r_name FROM home_region) hr
+        ON nd.home_region = hr.rowNum
+      GROUP BY hr.r_name ORDER BY r_name""")
+  }
+
   /** Engine keyed delete (reference DELETE-by-rowNum analogue): save a
     * table through the facade, staged-rewrite-delete every 7th key, and
     * aggregate what survives — so the driver gate exercises the same
