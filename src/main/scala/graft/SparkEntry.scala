@@ -374,6 +374,8 @@ object SparkEntry {
     "q_conversion_lag" -> (Behavior.qConversionLag _),
     "q_decay_score" -> (Behavior.qDecayScore _),
     "q_inter_arrival" -> (Behavior.qInterArrival _),
+    "dedup_passage" -> (PipelineQueries.dedupPassage _),
+    "q_rank_movers" -> (Mining.qRankMovers _),
     "source_csv_quoted" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.sources.Formats.csvQuoted(s, d)
@@ -1859,6 +1861,41 @@ object SparkEntry {
         |      SELECT u AS id FROM f3 UNION ALL SELECT v FROM f3)),
         |    (SELECT CAST(count(*) AS BIGINT) FROM f3))
         |SELECT iter, n_nodes, n_edges FROM u ORDER BY iter""".stripMargin,
+    "dedup_passage" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    string_split(text, ' ') AS t FROM documents),
+        |pass AS (SELECT doc_id, source, i AS pidx,
+        |    array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ') AS passage
+        |  FROM toks, unnest(range(CAST(ceil(len(t) / 10.0) AS BIGINT)))
+        |    AS r(i)),
+        |rk AS (SELECT source,
+        |    row_number() OVER (PARTITION BY passage
+        |      ORDER BY doc_id, pidx) AS rn
+        |  FROM pass),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_passages,
+        |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_passages
+        |  FROM rk GROUP BY 1)
+        |SELECT source, n_passages, n_dup_passages,
+        |  round(n_dup_passages / CAST(n_passages AS DOUBLE), 4)
+        |    AS dup_frac
+        |FROM g ORDER BY source""".stripMargin,
+    "q_rank_movers" ->
+      """WITH rev AS (SELECT p_name, year(l_shipdate) AS yr,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT p_name, yr, rev,
+        |    CAST(row_number() OVER (PARTITION BY yr
+        |      ORDER BY rev DESC, p_name) AS INT) AS rnk FROM rev)
+        |SELECT a.p_name, a.rnk AS rank_1996, a.rev AS rev_1996,
+        |  b.rnk AS rank_1997, b.rev AS rev_1997,
+        |  a.rnk - b.rnk AS delta
+        |FROM rk a JOIN rk b ON a.p_name = b.p_name
+        |  AND a.yr = 1996 AND b.yr = 1997
+        |ORDER BY abs(a.rnk - b.rnk) DESC, a.p_name
+        |LIMIT 10""".stripMargin,
     "q_decay_score" ->
       """WITH o AS (SELECT o_custkey, o_totalprice,
         |    CAST(o_orderdate AS DATE) AS day FROM orders),

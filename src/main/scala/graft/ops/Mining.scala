@@ -706,6 +706,37 @@ object Mining {
           .as("top_decile_share"))
   }
 
+  /** Rank-movers report: each product name's revenue rank in 1996 vs
+    * 1997 and the biggest position changes — the leaderboard-delta
+    * shape behind "top gainers/losers" dashboards. Two grouped
+    * passes collapse the fact to |names|×2 rows; ranking and the
+    * self-join run on that tiny frame (broadcast at any corpus
+    * size). Dense rank with name tie-break keeps both engines'
+    * leaderboards identical. */
+  def qRankMovers(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("yr", year(col("l_shipdate")))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy(col("p_name"), col("yr"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("rev"))
+    val w = Window.partitionBy(col("yr"))
+      .orderBy(col("rev").desc, col("p_name"))
+    val ranked = li.withColumn("rnk", row_number().over(w))
+    ranked.filter(col("yr") === 1996)
+      .select(col("p_name"), col("rnk").as("rank_1996"),
+        col("rev").as("rev_1996"))
+      .join(ranked.filter(col("yr") === 1997)
+        .select(col("p_name"), col("rnk").as("rank_1997"),
+          col("rev").as("rev_1997")), "p_name")
+      .withColumn("delta", col("rank_1996") - col("rank_1997"))
+      .orderBy(abs(col("delta")).desc, col("p_name"))
+      .limit(10)
+  }
+
   /** Skyline (Pareto-frontier) query: customers not dominated on
     * (total revenue, recency) — the multi-criteria "best customers"
     * shape. Computed as ONE sort + running max, not the naive O(n²)

@@ -138,6 +138,38 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sub-document (passage-level) dedup: documents are chunked into
+    * consecutive 10-token passages and EXACT-deduped at passage grain —
+    * the training-data op that catches boilerplate shared across
+    * otherwise-distinct documents, which doc-level dedup cannot see.
+    * First occurrence (smallest doc_id, then position) keeps a
+    * passage; later copies count as duplication. One shuffle keyed on
+    * the passage string (partial-aggregable rank), one |sources|-row
+    * rollup. At 100 TB swap the passage string for its 128-bit hash to
+    * shrink the shuffle — semantics unchanged. */
+  def dedupPassage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val pass = toks
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+            |  i -> array_join(slice(t, i * 10 + 1, 10), ' '))"""
+            .stripMargin)).as(Seq("pidx", "passage")))
+    val w = Window.partitionBy(col("passage"))
+      .orderBy(col("doc_id"), col("pidx"))
+    pass
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("rn") > 1, 1).otherwise(0)).as("n_dup_passages"))
+      .select(col("source"), col("n_passages"), col("n_dup_passages"),
+        round(col("n_dup_passages") / col("n_passages"), 4)
+          .as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source corpus QA profile (the report a pipeline owner reads
     * before training): doc counts, char-length distribution, short-doc
     * fraction. One grouped pass; percentile is the only sort-bearing

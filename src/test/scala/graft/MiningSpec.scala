@@ -328,6 +328,32 @@ class MiningSpec extends SparkSuite {
       "z-score must match the scalar recompute")
   }
 
+  test("passage dedup: totals cover the corpus, dups bounded by totals") {
+    val rows = graft.ops.PipelineQueries.dedupPassage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) < r.getLong(1),
+        "every source keeps at least one first-occurrence passage")
+    }
+    // passage count = sum over docs of ceil(tokens/10)
+    val expected = Tables.documents(spark, sf)
+      .select(ceil(size(split(col("text"), " ")) / 10.0).cast("long")
+        .as("np"))
+      .agg(sum(col("np"))).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == expected)
+  }
+
+  test("rank movers deltas match the rank columns and sort by magnitude") {
+    val rows = Mining.qRankMovers(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getInt(5) == r.getInt(1) - r.getInt(3),
+        "delta must equal rank_1996 - rank_1997")
+    }
+    val mags = rows.map(r => math.abs(r.getInt(5)))
+    assert(mags.toSeq == mags.sortBy(-(_: Int)).toSeq)
+  }
+
   test("k-core peeling shrinks monotonically and 2-core nodes have deg>=2") {
     val rows = Mining.qKcore(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
