@@ -376,6 +376,9 @@ object SparkEntry {
     "q_inter_arrival" -> (Behavior.qInterArrival _),
     "dedup_passage" -> (PipelineQueries.dedupPassage _),
     "q_rank_movers" -> (Mining.qRankMovers _),
+    "source_json_malformed" -> (graft.sources.Formats.jsonMalformed _),
+    "ann_filtered_topk" -> (PipelineQueries.annFilteredTopK _),
+    "embed_norm_stats" -> (PipelineQueries.embedNormStats _),
     "source_csv_quoted" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.sources.Formats.csvQuoted(s, d)
@@ -2252,6 +2255,15 @@ object SparkEntry {
         |  round(sum(CASE WHEN o_orderkey % 10 <> 0
         |    THEN round(o_totalprice, 2) END), 2) AS clean_revenue
         |FROM orders""".stripMargin,
+    "source_json_malformed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN o_orderkey % 10 <> 0 THEN 1 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(count(CASE WHEN o_orderkey % 10 = 0 THEN 1 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  round(sum(CASE WHEN o_orderkey % 10 <> 0
+        |    THEN round(o_totalprice, 2) END), 2) AS clean_revenue
+        |FROM orders""".stripMargin,
     "source_json_gzip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
@@ -2838,6 +2850,38 @@ object SparkEntry {
         |          ORDER BY score DESC, c_id) AS INTEGER) AS rnk FROM sc)
         |SELECT q_id, rnk, c_id, score FROM r WHERE rnk <= 5
         |ORDER BY 1, 2""".stripMargin,
+    "ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_lbl,
+        |             embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, label AS c_lbl, embedding AS ce
+        |      FROM embeddings),
+        |p AS (SELECT q_id, c_id, c_lbl, qe, ce FROM q JOIN c
+        |      ON c_id <> q_id AND c_lbl = q_lbl),
+        |z AS (SELECT q_id, c_id, c_lbl, unnest(qe)::DOUBLE AS x,
+        |             unnest(ce)::DOUBLE AS y FROM p),
+        |sums AS (SELECT q_id, c_id, c_lbl, sum(x*y) AS d,
+        |                sum(x*x) AS na, sum(y*y) AS nb
+        |         FROM z GROUP BY 1, 2, 3),
+        |sc AS (SELECT q_id, c_id, c_lbl,
+        |         round(d / (sqrt(na) * sqrt(nb)), 4) AS score FROM sums),
+        |r AS (SELECT q_id, c_id, c_lbl, score,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY score DESC, c_id) AS INTEGER) AS rnk FROM sc)
+        |SELECT q_id, rnk, c_id, CAST(c_lbl AS BIGINT) AS label, score
+        |FROM r WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin,
+    "embed_norm_stats" ->
+      """WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |n AS (SELECT vec_id, label,
+        |    round(sqrt(sum(x * x)), 6) AS nrm FROM v GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(avg(nrm), 4) AS mean_norm,
+        |  round(quantile_cont(nrm, 0.5), 4) AS p50_norm,
+        |  round(quantile_cont(nrm, 0.95), 4) AS p95_norm,
+        |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)

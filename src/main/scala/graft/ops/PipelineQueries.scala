@@ -304,6 +304,58 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** FILTERED vector search — top-5 cosine neighbors restricted to the
+    * query's own label (the metadata-predicate retrieval every real
+    * serving system needs: "similar AND in-category"). Realized as
+    * PRE-filtering: the predicate joins into the candidate set BEFORE
+    * scoring, so k results are guaranteed (post-filtering an
+    * unconstrained top-k can return fewer than k). The label equality
+    * rides the same broadcast join as the kernel — zero extra
+    * shuffles. */
+  def annFilteredTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val c = emb.select(col("vec_id").as("c_id"), col("label").as("c_lbl"),
+      col("embedding").cast("array<double>").as("_ce"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+        col("embedding").cast("array<double>").as("_qe"))
+    val scored = c.join(broadcast(q),
+        col("c_id") =!= col("q_id") && col("c_lbl") === col("q_lbl"))
+      .withColumn("score",
+        round(graft.sim.Ann.cosine(col("_qe"), col("_ce")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        col("c_lbl").cast("long").as("label"), col("score"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Embedding-corpus health probe: per-label L2-norm profile (mean /
+    * median / p95, plus degenerate zero-norm count). Unnormalized or
+    * collapsed embeddings are the silent killers of cosine retrieval;
+    * this is the one-scan QA report run before any ANN indexing. Norms
+    * are rounded to 6 dp BEFORE the percentile/mean so both engines
+    * aggregate identical values; the per-vector sumsq is one
+    * partial-aggregable shuffle keyed on vec_id. */
+  def embedNormStats(s: SparkSession, d: String): DataFrame = {
+    val norms = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(round(sqrt(sum(col("x") * col("x"))), 6).as("nrm"))
+    norms.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("nrm")), 4).as("mean_norm"),
+        round(expr("percentile(nrm, 0.5)"), 4).as("p50_norm"),
+        round(expr("percentile(nrm, 0.95)"), 4).as("p95_norm"),
+        sum(when(col("nrm") === 0.0, 1).otherwise(0)).as("n_zero"))
+      .orderBy(col("label"))
+  }
+
   /** Approximate top-5 via random-hyperplane LSH buckets. */
   def annLshTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)

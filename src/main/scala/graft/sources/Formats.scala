@@ -145,6 +145,37 @@ object Formats {
         .as("clean_revenue"))
   }
 
+  /** Malformed-JSON tolerance as a first-class contract (the
+    * reference's own failure mode — DatabaseManager.java wraps per-row
+    * JSON parse in try/catch and skips bad documents). Every 10th
+    * order's JSON line is truncated mid-object; the PERMISSIVE reader
+    * with a corrupt-record column types the good lines and quarantines
+    * the torn ones — ingest survives, the audit sees exactly what was
+    * dropped. Same triage-summary shape as [[csvMalformed]]. */
+  def jsonMalformed(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("orders_json_bad", d)
+    val line = concat(lit("{\"o_orderkey\":"), col("o_orderkey"),
+      lit(",\"o_totalprice\":"), round(col("o_totalprice"), 2),
+      lit(",\"o_orderpriority\":\""), col("o_orderpriority"), lit("\"}"))
+    Tables.orders(s, d)
+      .select(when(col("o_orderkey") % 10 === 0,
+          substring(line, 1, 20)).otherwise(line).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING, " +
+        "_bad STRING")
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(path)
+    parsed.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("_bad").isNull, 1)).as("n_good"),
+      count(col("_bad")).as("n_corrupt"),
+      round(sum(when(col("_bad").isNull, col("o_totalprice"))), 2)
+        .as("clean_revenue"))
+  }
+
   /** Opaque-file ingestion via the binaryFile source: (path, length,
     * content) rows — the entry point for real media files. */
   def binaryFiles(s: SparkSession, dir: String, glob: String): DataFrame =

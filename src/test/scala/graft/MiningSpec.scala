@@ -328,6 +328,43 @@ class MiningSpec extends SparkSuite {
       "z-score must match the scalar recompute")
   }
 
+  test("json malformed triage quarantines exactly the torn lines") {
+    val r = graft.sources.Formats.jsonMalformed(spark, sf).head()
+    val expectedBad = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 10 === 0).count()
+    assert(r.getLong(r.fieldIndex("n_corrupt")) == expectedBad)
+    assert(r.getLong(r.fieldIndex("n_good")) +
+      r.getLong(r.fieldIndex("n_corrupt")) ==
+      r.getLong(r.fieldIndex("n_rows")))
+  }
+
+  test("filtered ann returns only same-label neighbors, k per query") {
+    val rows = graft.ops.PipelineQueries.annFilteredTopK(spark, sf)
+      .collect()
+    val labels = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    assert(rows.length == labels.size * 5, "exactly k rows per query")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("label")) ==
+        labels(r.getLong(r.fieldIndex("q_id"))),
+        "neighbor escaped the label filter")
+    }
+  }
+
+  test("embedding norms are positive with ordered percentiles") {
+    val rows = graft.ops.PipelineQueries.embedNormStats(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(4), "p50 <= p95")
+      assert(r.getLong(5) == 0, "synthetic corpus has no zero vectors")
+      assert(r.getDouble(2) > 0)
+    }
+  }
+
   test("passage dedup: totals cover the corpus, dups bounded by totals") {
     val rows = graft.ops.PipelineQueries.dedupPassage(spark, sf).collect()
     assert(rows.nonEmpty)
