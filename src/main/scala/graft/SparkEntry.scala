@@ -377,6 +377,7 @@ object SparkEntry {
     "dedup_passage" -> (PipelineQueries.dedupPassage _),
     "q_rank_movers" -> (Mining.qRankMovers _),
     "source_json_malformed" -> (graft.sources.Formats.jsonMalformed _),
+    "q_masked_export" -> (Warehouse.qMaskedExport _),
     "ann_filtered_topk" -> (PipelineQueries.annFilteredTopK _),
     "embed_norm_stats" -> (PipelineQueries.embedNormStats _),
     "source_csv_quoted" -> ((s: SparkSession, d: String) => {
@@ -2794,6 +2795,17 @@ object SparkEntry {
         |  round(ln((SELECT total FROM n) / count(*)), 6) AS idf
         |FROM tok WHERE token <> '' GROUP BY 1
         |ORDER BY df DESC, token LIMIT 30""".stripMargin,
+    "q_masked_export" ->
+      """WITH m AS (SELECT c_nationkey,
+        |    md5_number_lower(CAST(c_custkey AS VARCHAR)) & 2147483647
+        |      AS pseudo_id,
+        |    CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_bucket
+        |  FROM customer)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(count(DISTINCT pseudo_id) AS BIGINT) AS n_distinct_pseudo,
+        |  min(bal_bucket) AS min_bucket, max(bal_bucket) AS max_bucket,
+        |  CAST(sum(bal_bucket) AS BIGINT) AS sum_buckets
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "data_shard_manifest" ->
       """SELECT CAST((md5_number_lower(CAST(doc_id AS VARCHAR))
         |    & 2147483647) % 16 AS BIGINT) AS shard,

