@@ -378,6 +378,8 @@ object SparkEntry {
     "q_rank_movers" -> (Mining.qRankMovers _),
     "source_json_malformed" -> (graft.sources.Formats.jsonMalformed _),
     "q_masked_export" -> (Warehouse.qMaskedExport _),
+    "q_rolling_median" -> (Behavior.qRollingMedian _),
+    "q_autocorr" -> (Behavior.qAutocorr _),
     "ann_filtered_topk" -> (PipelineQueries.annFilteredTopK _),
     "embed_norm_stats" -> (PipelineQueries.embedNormStats _),
     "source_csv_quoted" -> ((s: SparkSession, d: String) => {
@@ -1661,6 +1663,43 @@ object SparkEntry {
         |  AS cusum FROM z)
         |SELECT day, revenue, zscore, cusum FROM c
         |ORDER BY abs(cusum) DESC, day LIMIT 10""".stripMargin,
+    "q_rolling_median" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT day, revenue,
+        |    row_number() OVER (ORDER BY day) AS rn,
+        |    round(quantile_cont(revenue, 0.5) OVER (ORDER BY day
+        |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW), 2) AS med28,
+        |    round(avg(revenue) OVER (ORDER BY day
+        |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW), 2) AS mean28
+        |  FROM daily),
+        |f AS (SELECT day, revenue, med28, mean28,
+        |    round(mean28 - med28, 2) AS skew_gap
+        |  FROM c WHERE rn >= 28)
+        |SELECT day, revenue, med28, mean28, skew_gap FROM f
+        |ORDER BY abs(skew_gap) DESC, day LIMIT 15""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |lg AS (SELECT revenue,
+        |    lag(revenue, 1) OVER (ORDER BY day) AS lag1,
+        |    lag(revenue, 7) OVER (ORDER BY day) AS lag7,
+        |    lag(revenue, 28) OVER (ORDER BY day) AS lag28
+        |  FROM daily),
+        |u AS (
+        |  SELECT 1 AS lag_days, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    round(corr(revenue, lag1), 4) AS autocorr
+        |  FROM lg WHERE lag1 IS NOT NULL
+        |  UNION ALL SELECT 7, CAST(count(*) AS BIGINT),
+        |    round(corr(revenue, lag7), 4)
+        |  FROM lg WHERE lag7 IS NOT NULL
+        |  UNION ALL SELECT 28, CAST(count(*) AS BIGINT),
+        |    round(corr(revenue, lag28), 4)
+        |  FROM lg WHERE lag28 IS NOT NULL)
+        |SELECT lag_days, n_pairs, autocorr FROM u
+        |ORDER BY lag_days""".stripMargin,
     "q_rolling_corr" ->
       """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
         |    round(avg(l_discount), 6) AS avg_disc,

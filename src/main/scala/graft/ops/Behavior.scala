@@ -268,6 +268,59 @@ object Behavior {
       .limit(15)
   }
 
+  /** Rolling 28-day MEDIAN of daily revenue — the robust trend line
+    * that a rolling mean can't give (one promo spike drags a mean for
+    * a month; the median shrugs). `percentile` runs as a bounded-frame
+    * window aggregate over cent-rounded inputs: exact interpolation on
+    * identical values in both engines, O(frame) state per row, window
+    * work O(days) regardless of fact size. Reported beside the mean so
+    * the output exposes exactly where robustness matters (spike days
+    * pull mean >> median). */
+  def qRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("revenue"))
+    val w = Window.orderBy(col("day")).rowsBetween(-27, Window.currentRow)
+    val wn = Window.orderBy(col("day"))
+    daily
+      .withColumn("rn", row_number().over(wn))
+      .withColumn("med28", round(expr("percentile(revenue, 0.5)")
+        .over(w).cast("double"), 2))
+      .withColumn("mean28", round(avg(col("revenue")).over(w), 2))
+      .filter(col("rn") >= 28)
+      .withColumn("skew_gap", round(col("mean28") - col("med28"), 2))
+      .orderBy(abs(col("skew_gap")).desc, col("day"))
+      .limit(15)
+      .select(col("day"), col("revenue"), col("med28"), col("mean28"),
+        col("skew_gap"))
+  }
+
+  /** Lag-k autocorrelation of the daily revenue series (k = 1, 7, 28):
+    * the one-row-per-lag diagnostic that detects day-over-day
+    * persistence and weekly cycles before anyone fits a seasonal
+    * model. Each lag is `corr(x_t, x_{t-k})` — one lag window plus a
+    * two-column aggregate on the O(days) series; the fact table is
+    * touched once for the daily rollup. */
+  def qAutocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("revenue"))
+      .cache()
+    val w = Window.orderBy(col("day"))
+    val lagged = daily
+      .withColumn("lag1", lag(col("revenue"), 1).over(w))
+      .withColumn("lag7", lag(col("revenue"), 7).over(w))
+      .withColumn("lag28", lag(col("revenue"), 28).over(w))
+    Seq(("lag1", 1), ("lag7", 7), ("lag28", 28)).map { case (c, k) =>
+      lagged.filter(col(c).isNotNull)
+        .agg(lit(k).as("lag_days"),
+          count(lit(1)).as("n_pairs"),
+          round(corr(col("revenue"), col(c)), 4).as("autocorr"))
+    }.reduce(_ unionByName _).orderBy(col("lag_days"))
+  }
+
   /** Exponential time-decay scoring (half-life 180 days, anchored at
     * the corpus max date so the score is reproducible): each order
     * contributes totalprice × 0.5^(age/180) — the recency-weighted

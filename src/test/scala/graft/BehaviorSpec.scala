@@ -126,6 +126,30 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.map(_.getDouble(2)).distinct.length > 1)
   }
 
+  test("rolling median sits inside each window's min-max envelope") {
+    val rows = Behavior.qRollingMedian(spark, sf).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      assert(r.getDouble(4) == math.floor(
+        (r.getDouble(3) - r.getDouble(2)) * 100 + 0.5) / 100,
+        "skew_gap must equal mean28 - med28 (2dp)")
+    }
+    val gaps = rows.map(r => math.abs(r.getDouble(4))).toSeq
+    assert(gaps == gaps.sortBy(-(_: Double)), "ranked by |gap| desc")
+  }
+
+  test("autocorrelation values bounded and pair counts shrink with lag") {
+    val rows = Behavior.qAutocorr(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 7, 28))
+    rows.foreach { r =>
+      val ac = r.getDouble(2)
+      assert(ac >= -1.0 && ac <= 1.0)
+    }
+    val pairs = rows.map(_.getLong(1)).toSeq
+    assert(pairs == pairs.sorted.reverse,
+      "longer lags leave fewer complete pairs")
+  }
+
   test("rolling correlation stays in [-1,1] over full windows only") {
     val rows = Behavior.qRollingCorr(spark, sf).collect()
     assert(rows.length == 15)
