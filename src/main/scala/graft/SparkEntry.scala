@@ -427,6 +427,7 @@ object SparkEntry {
       (graft.streaming.Events.streamSlidingWindow _),
     "stream_histogram" -> (graft.streaming.Events.streamHistogram _),
     "stream_anomaly" -> (graft.streaming.Events.streamAnomaly _),
+    "stream_topk" -> (graft.streaming.Events.streamTopK _),
     "multimodal_resize" -> (PipelineQueries.multimodalResize _),
     // §2.4 source/sink formats
     "source_json_roundtrip" -> ((s: SparkSession, d: String) =>
@@ -2234,6 +2235,14 @@ object SparkEntry {
         |  CAST(least(floor(value / 30.0), 19.0) AS BIGINT) AS bin,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_topk" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS INTEGER) AS rnk
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, rnk, event_id, round(value, 2) AS value
+        |FROM r WHERE rnk <= 5
+        |ORDER BY event_type, rnk""".stripMargin,
     "stream_anomaly" ->
       """WITH e AS (SELECT event_type, event_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value

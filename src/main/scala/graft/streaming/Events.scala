@@ -431,6 +431,58 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  case class TopKState(epoch: Long, ids: Seq[Long], values: Seq[Double])
+  case class TopKRow(event_type: String, epoch: Long, rnk: Int,
+      event_id: Long, value: Double)
+
+  /** Streaming top-k maintenance: the 5 highest-value events per type,
+    * held as O(k) state and re-emitted each micro-batch — the
+    * leaderboard/heavy-hitter serving pattern. The merge (state ∪
+    * batch → top-k by (value desc, event_id)) is associative and
+    * commutative, so the converged answer is split-invariant — any
+    * micro-batching of the input yields the batch top-k, which is
+    * exactly what the oracle checks. Emissions carry an epoch; the
+    * presentation keeps each type's LAST emission (a real serving sink
+    * would overwrite in place). */
+  def streamTopK(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    val evs = raw.filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)]
+    val k = 5
+    val fn = (key: String, it: Iterator[(String, Long, Double)],
+        state: GroupState[TopKState]) => {
+      val prev = state.getOption.getOrElse(TopKState(0L, Nil, Nil))
+      val merged = (prev.ids.zip(prev.values).map(p => (p._2, p._1)) ++
+          it.map(e => (e._3, e._2)))
+        .sortBy { case (v, id) => (-v, id) }
+        .take(k)
+      state.update(TopKState(prev.epoch + 1,
+        merged.map(_._2), merged.map(_._1)))
+      merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+        TopKRow(key, prev.epoch + 1, i + 1, id, v)
+      }
+    }
+    val tops = evs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+    val name = s"graft_stream_topk_${n.incrementAndGet()}"
+    val q = tops.toDF().writeStream
+      .outputMode("update").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val all = spark.table(name)
+    val lastEpoch = all.groupBy(col("event_type").as("et"))
+      .agg(max(col("epoch")).as("last_epoch"))
+    all.join(lastEpoch, col("event_type") === col("et") &&
+        col("epoch") === col("last_epoch"))
+      .select(col("event_type"), col("rnk"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
   case class AnomEvent(event_type: String, event_id: Long, ts_s: Long,
       value: Double)
   case class RunStats(n: Long, sum: Double, sumsq: Double)

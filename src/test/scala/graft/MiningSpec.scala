@@ -188,6 +188,24 @@ class MiningSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming top-k converges to the batch leaderboard") {
+    val streamed = graft.streaming.Events.streamTopK(spark, sf)
+      .collect().toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val batch = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("event_type"), col("rnk"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_type"), col("rnk"))
+      .collect().toSeq
+    assert(streamed == batch,
+      "state-maintained top-k must equal the batch top-k")
+  }
+
   test("streaming anomaly equals the batch running-stats replay") {
     import org.apache.spark.sql.expressions.Window
     val streamed = graft.streaming.Events.streamAnomaly(spark, sf)
