@@ -182,6 +182,23 @@ class Engine(spark: SparkSession, warehouse: String,
       f.delete(new Path(dir(tableName) + "@v" + v), true))
   }
 
+  /** Reclaim storage: drop every retained snapshot plus stale
+    * `__staged` leftovers, and a stale `__old` ONLY when the live dir
+    * exists (an `__old` without live is the sole surviving copy after
+    * a mid-swap crash — vacuum must never destroy it; the next
+    * mutation restores it). Returns the number of directories
+    * removed. */
+  def vacuum(tableName: String): Int = {
+    val f = fs
+    val candidates =
+      versions(tableName).map(v => new Path(dir(tableName) + "@v" + v)) ++
+        Seq(new Path(dir(tableName) + "__staged")) ++
+        (if (f.exists(new Path(dir(tableName))))
+          Seq(new Path(dir(tableName) + "__old"))
+        else Seq.empty)
+    candidates.count(p => f.exists(p) && f.delete(p, true))
+  }
+
   /** Keyed merge into a stored table (reference: UPDATE-by-rowNum /
     * INSERT, java:211-229): update rows replace, new keys append.
     * Read-merge-write into a staging dir, then swap — you cannot

@@ -348,6 +348,33 @@ class FacadeSpec extends SparkSuite {
     assert(byKey(3L) == (None, Some(1.25)), "insert carries new column")
   }
 
+  test("vacuum drops snapshots and leftovers but never the last copy") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_vac").toString
+    val eng = new Engine(spark, wh)
+    eng.save(Seq((1L, "a")).toDF("rowNum", "name"), "kv")
+    eng.upsert("kv", Seq((2L, "b")).toDF("rowNum", "name"))
+    eng.delete("kv", Seq(1L).toDF("rowNum"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wh/kv__staged"))
+    assert(eng.versions("kv") == Seq(0, 1))
+    val removed = eng.vacuum("kv")
+    assert(removed == 3, s"2 versions + 1 staged leftover, got $removed")
+    assert(eng.versions("kv").isEmpty)
+    assert(eng.table("kv").count() == 1L, "live table untouched")
+    // mid-swap crash state: __old is the ONLY copy → vacuum must keep it
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$wh/kv"),
+      java.nio.file.Paths.get(s"$wh/kv__old"))
+    assert(eng.vacuum("kv") == 0, "sole-copy __old must survive vacuum")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/kv__old")))
+    // and the next mutation still recovers the table from it
+    eng.upsert("kv", Seq((3L, "c")).toDF("rowNum", "name"))
+    assert(eng.table("kv").orderBy("rowNum").as[(Long, String)]
+      .collect().toSeq == Seq((2L, "b"), (3L, "c")))
+  }
+
   test("crash leftover __old beside live is archived as history, " +
       "not discarded") {
     import spark.implicits._
