@@ -380,6 +380,8 @@ object SparkEntry {
     "q_masked_export" -> (Warehouse.qMaskedExport _),
     "q_rolling_median" -> (Behavior.qRollingMedian _),
     "q_autocorr" -> (Behavior.qAutocorr _),
+    "q_abc_class" -> (Mining.qAbcClass _),
+    "q_spearman" -> (Mining.qSpearman _),
     "ann_filtered_topk" -> (PipelineQueries.annFilteredTopK _),
     "embed_norm_stats" -> (PipelineQueries.embedNormStats _),
     "source_csv_quoted" -> ((s: SparkSession, d: String) => {
@@ -1664,6 +1666,37 @@ object SparkEntry {
         |  AS cusum FROM z)
         |SELECT day, revenue, zscore, cusum FROM c
         |ORDER BY abs(cusum) DESC, day LIMIT 10""".stripMargin,
+    "q_abc_class" ->
+      """WITH per AS (SELECT l_partkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT round(sum(rev), 2) AS total FROM per),
+        |c AS (SELECT l_partkey, rev, total,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total
+        |      AS cum_share
+        |  FROM per, t),
+        |cl AS (SELECT rev, total,
+        |    CASE WHEN cum_share <= 0.70 THEN 'A'
+        |      WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS cls
+        |  FROM c)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(sum(rev), 2) AS class_rev,
+        |  round(sum(rev) / max(total), 4) AS rev_share
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_spearman" ->
+      """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT per.o_custkey, rev, c_acctbal
+        |  FROM per JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT o_custkey,
+        |    row_number() OVER (ORDER BY c_acctbal, o_custkey) AS r_bal,
+        |    row_number() OVER (ORDER BY rev, o_custkey) AS r_rev
+        |  FROM j)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(corr(CAST(r_bal AS DOUBLE), CAST(r_rev AS DOUBLE)), 4)
+        |    AS spearman_rho
+        |FROM r""".stripMargin,
     "q_rolling_median" ->
       """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
         |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -706,6 +706,58 @@ object Mining {
           .as("top_decile_share"))
   }
 
+  /** ABC inventory classification: parts ranked by revenue, classed A
+    * while cumulative share ≤ 70%, B to 95%, C beyond — the
+    * operations-research standard for stocking policy. One
+    * partial-aggregable rollup to per-part revenue, then the cumsum /
+    * classing runs on the |parts|-row aggregate (cent-rounded inputs →
+    * bit-stable running shares). Output is the per-class census: how
+    * few SKUs carry the A band. */
+  def qAbcClass(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(round(sum(col("rev")), 2).as("total"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_share", sum(col("rev")).over(w) / col("total"))
+      .withColumn("cls",
+        when(col("cum_share") <= 0.70, "A")
+          .when(col("cum_share") <= 0.95, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("rev")), 2).as("class_rev"),
+        round(sum(col("rev")) / first(col("total")), 4).as("rev_share"))
+      .orderBy(col("cls"))
+  }
+
+  /** Spearman rank correlation between a customer's account balance
+    * and their realized revenue — the monotone-association check that
+    * Pearson misses when the relationship is nonlinear. Both variables
+    * are ranked with deterministic key tie-breaks, then one Pearson
+    * corr over the rank pairs; ranks are exact integers, so the only
+    * float work is the final closed-form correlation. Two
+    * partial-aggregable shuffles + |customers|-row windows. */
+  def qSpearman(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal")),
+        col("o_custkey") === col("c_custkey"))
+    val ranked = per
+      .withColumn("r_bal", row_number().over(
+        Window.orderBy(col("c_acctbal"), col("o_custkey"))))
+      .withColumn("r_rev", row_number().over(
+        Window.orderBy(col("rev"), col("o_custkey"))))
+    ranked.agg(count(lit(1)).as("n_customers"),
+      round(corr(col("r_bal").cast("double"),
+        col("r_rev").cast("double")), 4).as("spearman_rho"))
+  }
+
   /** Rank-movers report: each product name's revenue rank in 1996 vs
     * 1997 and the biggest position changes — the leaderboard-delta
     * shape behind "top gainers/losers" dashboards. Two grouped

@@ -398,6 +398,46 @@ class MiningSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sum == expected)
   }
 
+  test("abc classes partition parts and shares sum to one, A top-heavy") {
+    val rows = Mining.qAbcClass(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    val nParts = Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nParts)
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+    val byCls = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(3))).toMap
+    // A carries ~70% of revenue with far fewer parts than its share
+    assert(byCls("A")._2 >= 0.65 && byCls("A")._2 <= 0.75)
+    assert(byCls("A")._1.toDouble / nParts < byCls("A")._2,
+      "A must be revenue-denser than its SKU count")
+  }
+
+  test("spearman rho is bounded and matches a driver-side recompute") {
+    val r = Mining.qSpearman(spark, sf).head()
+    val rho = r.getDouble(1)
+    assert(rho >= -1.0 && rho <= 1.0)
+    // independent recompute from collected ranks (n is small at test SF)
+    val per = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_acctbal")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey"), col("c_acctbal"), col("rev"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+    val rBal = per.sortBy(p => (p._2, p._1)).zipWithIndex
+      .map { case (p, i) => p._1 -> (i + 1.0) }.toMap
+    val rRev = per.sortBy(p => (p._3, p._1)).zipWithIndex
+      .map { case (p, i) => p._1 -> (i + 1.0) }.toMap
+    val n = per.length
+    val d2 = per.map(p => math.pow(rBal(p._1) - rRev(p._1), 2)).sum
+    val rhoRef = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    assert(math.abs(rho - rhoRef) < 1e-3,
+      s"spearman $rho vs closed-form $rhoRef")
+  }
+
   test("rank movers deltas match the rank columns and sort by magnitude") {
     val rows = Mining.qRankMovers(spark, sf).collect()
     assert(rows.length == 10)
