@@ -1338,17 +1338,19 @@ object SparkEntry {
     "q_weighted_median" ->
       """WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber,
         |    l_extendedprice,
-        |    l_extendedprice * (1 - l_discount) AS w FROM lineitem),
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+        |      AS BIGINT) AS w FROM lineitem),
         |c AS (SELECT l_returnflag, l_extendedprice,
-        |    sum(w) OVER (PARTITION BY l_returnflag
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag
         |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
         |  FROM b),
         |t AS (SELECT l_returnflag, l_extendedprice, cum,
         |    max(cum) OVER (PARTITION BY l_returnflag) AS tot FROM c)
         |SELECT l_returnflag,
         |  round(min(l_extendedprice), 2) AS weighted_median
-        |FROM t WHERE cum >= tot / 2
+        |FROM t WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sliding_window" -> slidingWindowOracle,
     "stream_sliding_window" -> slidingWindowOracle,
@@ -1521,15 +1523,18 @@ object SparkEntry {
         |FROM d JOIN mad USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_gini" ->
-      """WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT)
+        |      AS cents
         |  FROM orders GROUP BY 1),
-        |j AS (SELECT c.c_nationkey, rev.o_custkey, rev.rev
+        |j AS (SELECT c.c_nationkey, rev.o_custkey, rev.cents
         |  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY c_nationkey
-        |    ORDER BY rev, o_custkey) AS DOUBLE) AS r FROM j),
-        |g AS (SELECT c_nationkey, count(*) AS n_customers,
-        |    round(sum(rev), 2) AS total_rev,
-        |    round(2.0 * sum(r * rev) / (count(*) * sum(rev))
+        |    ORDER BY cents, o_custkey) AS BIGINT) AS r FROM j),
+        |g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |    round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS total_rev,
+        |    round(2.0 * CAST(sum(r * cents) AS DOUBLE) /
+        |        (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
         |      - (count(*) + 1.0) / count(*), 4) AS gini
         |  FROM r GROUP BY 1)
         |SELECT n.n_name, g.n_customers, g.total_rev, g.gini
@@ -1670,19 +1675,23 @@ object SparkEntry {
       """WITH per AS (SELECT l_partkey,
         |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
         |  FROM lineitem GROUP BY 1),
-        |t AS (SELECT round(sum(rev), 2) AS total FROM per),
-        |c AS (SELECT l_partkey, rev, total,
-        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total
-        |      AS cum_share
-        |  FROM per, t),
-        |cl AS (SELECT rev, total,
-        |    CASE WHEN cum_share <= 0.70 THEN 'A'
-        |      WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS cls
+        |pc AS (SELECT l_partkey,
+        |    CAST(round(rev * 100, 0) AS BIGINT) AS cents FROM per),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM pc),
+        |c AS (SELECT cents, total_cents,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM pc, t),
+        |cl AS (SELECT cents, total_cents,
+        |    CASE WHEN cum_cents * 10 <= total_cents * 7 THEN 'A'
+        |      WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+        |      ELSE 'C' END AS cls
         |  FROM c)
         |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
-        |  round(sum(rev), 2) AS class_rev,
-        |  round(sum(rev) / max(total), 4) AS rev_share
+        |  round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS class_rev,
+        |  round(CAST(sum(cents) AS DOUBLE) / max(total_cents), 4)
+        |    AS rev_share
         |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_spearman" ->
       """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
@@ -1801,21 +1810,26 @@ object SparkEntry {
     "q_power_users_pareto" ->
       """WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
         |  FROM orders GROUP BY 1),
-        |r AS (SELECT o_custkey, rev,
-        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk,
-        |    sum(rev) OVER (ORDER BY rev DESC, o_custkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM per),
+        |pc AS (SELECT o_custkey,
+        |    CAST(round(rev * 100, 0) AS BIGINT) AS cents FROM per),
+        |r AS (SELECT o_custkey, cents,
+        |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM pc),
         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
-        |    round(sum(rev), 2) AS total_rev FROM per)
-        |SELECT n_customers, total_rev,
-        |  CAST(min(CASE WHEN cum >= total_rev * 0.8 THEN rnk END)
+        |    CAST(sum(cents) AS BIGINT) AS total_cents FROM pc)
+        |SELECT n_customers,
+        |  round(CAST(total_cents AS DOUBLE) / 100, 2) AS total_rev,
+        |  CAST(min(CASE WHEN cum_cents * 5 >= total_cents * 4 THEN rnk END)
         |    AS INT) AS n_for_80pct,
-        |  round(min(CASE WHEN cum >= total_rev * 0.8 THEN rnk END) /
-        |    CAST(n_customers AS DOUBLE), 4) AS pct_for_80pct,
-        |  round(sum(CASE WHEN rnk <= ceil(n_customers * 0.1)
-        |    THEN rev ELSE 0 END) / total_rev, 4) AS top_decile_share
-        |FROM r, t GROUP BY n_customers, total_rev""".stripMargin,
+        |  round(min(CASE WHEN cum_cents * 5 >= total_cents * 4 THEN rnk END)
+        |    / CAST(n_customers AS DOUBLE), 4) AS pct_for_80pct,
+        |  round(CAST(sum(CASE WHEN rnk <= (n_customers + 9) // 10
+        |    THEN cents ELSE 0 END) AS DOUBLE) / total_cents, 4)
+        |    AS top_decile_share
+        |FROM r, t GROUP BY n_customers, total_cents""".stripMargin,
     "q_histogram_2d" ->
       """SELECT CAST(least(9, floor((l_quantity - 1) / 5)) AS INT)
         |    AS qty_bin,
@@ -2080,8 +2094,9 @@ object SparkEntry {
         |    unnest(embedding)::DOUBLE AS x FROM embeddings),
         |mm AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM v GROUP BY 1),
         |e AS (SELECT v.dim, lo, hi,
-        |    x - (lo + round((x - lo) / ((hi - lo) / 255)) *
-        |      ((hi - lo) / 255)) AS err
+        |    CASE WHEN hi = lo THEN 0.0
+        |      ELSE x - (lo + round((x - lo) / ((hi - lo) / 255)) *
+        |        ((hi - lo) / 255)) END AS err
         |  FROM v JOIN mm USING (dim))
         |SELECT CAST(dim AS BIGINT) AS dim, round(lo, 6) AS lo,
         |  round(hi, 6) AS hi, CAST(count(*) AS BIGINT) AS n_vals,

@@ -1076,14 +1076,16 @@ object Analytics {
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("_w"))
+        // EXACT tenth-mill integer weight: price and discount each
+        // carry ≤2 decimals, so revenue has ≤4 — round(w·10⁴) is
+        // lossless, and the running sum + half-mass compare below
+        // become integer arithmetic immune to cross-engine float
+        // association order (the q_abc_class r5 lesson)
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000,
+          0).cast("long").as("_w"))
       .withColumn("_cum", sum(col("_w")).over(w))
-      // group total as MAX of the running sum, not an unordered re-sum:
-      // the running sum accumulates in the window's total order, so its
-      // values (and max) are bit-identical across engines, where an
-      // unordered sum's accumulation order is not
       .withColumn("_tot", max(col("_cum")).over(tot))
-      .filter(col("_cum") >= col("_tot") / 2)
+      .filter(col("_cum") * 2 >= col("_tot"))
       .groupBy(col("l_returnflag"))
       .agg(round(min(col("l_extendedprice")), 2).as("weighted_median"))
       .orderBy(col("l_returnflag"))

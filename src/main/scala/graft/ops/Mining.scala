@@ -131,22 +131,26 @@ object Mining {
     * rank window partitions by nation (25 groups — each holds
     * |customers|/25 rows; at extreme scale pre-aggregate to coarser
     * revenue buckets or use the grouped-sort salting in q_salted_agg).
-    * Closed form: G = 2·Σ(rᵢ·xᵢ)/(n·Σx) − (n+1)/n over ranks rᵢ. */
+    * Closed form: G = 2·Σ(rᵢ·xᵢ)/(n·Σx) − (n+1)/n over ranks rᵢ.
+    * Both Σ run over EXACT integers (ranks × cent values), so the only
+    * float work is the final closed-form division — identical in any
+    * engine at any accumulation order. */
   def qGini(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      .withColumn("cents", round(col("rev") * 100, 0).cast("long"))
     val j = rev.join(
       Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
       col("o_custkey") === col("c_custkey"))
     val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("rev"), col("o_custkey"))
-    val ranked = j.withColumn("r", row_number().over(w).cast("double"))
+      .orderBy(col("cents"), col("o_custkey"))
+    val ranked = j.withColumn("r", row_number().over(w).cast("long"))
     ranked.groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("rev")), 2).as("total_rev"),
-        round(lit(2.0) * sum(col("r") * col("rev")) /
-            (count(lit(1)) * sum(col("rev"))) -
+        round(sum(col("cents")) / 100.0, 2).as("total_rev"),
+        round(lit(2.0) * sum(col("r") * col("cents")) /
+            (count(lit(1)).cast("double") * sum(col("cents"))) -
           (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))
       .join(broadcast(Tables.nation(s, d)
         .select(col("n_nationkey"), col("n_name"))),
@@ -675,34 +679,41 @@ object Mining {
   /** Pareto concentration summary of customer revenue: how few
     * customers carry 80% of the money, and what share the top decile
     * holds. One partial-aggregable shuffle to per-customer revenue,
-    * then ranking/cumulating on the |customers|-row aggregate (cents
-    * rounded pre-window, so the running sums are bit-stable). The
-    * whole concentration curve reduces to one row — the skew probe you
-    * read before deciding salting/broadcast strategy on customer keys,
-    * and the business 80/20 report, in the same scan. */
+    * then ranking/cumulating on the |customers|-row aggregate. The
+    * 80%-coverage and decile decisions are EXACT integer arithmetic
+    * (cent cumsum, `cum·5 ≥ total·4`, ceil-div decile cutoff) — no
+    * float on any boundary compare, so cross-engine windowed-sum
+    * association order can never flip a rank (the q_abc_class r5
+    * lesson applied defensively). The whole concentration curve
+    * reduces to one row — the skew probe you read before deciding
+    * salting/broadcast strategy on customer keys, and the business
+    * 80/20 report, in the same scan. */
   def qPowerUsersPareto(s: SparkSession, d: String): DataFrame = {
     val per = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("rev"))
-    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+      .withColumn("cents", round(col("rev") * 100, 0).cast("long"))
+    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
     val ranked = per
       .withColumn("rnk", row_number().over(w))
-      .withColumn("cum", sum(col("rev")).over(
+      .withColumn("cum_cents", sum(col("cents")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val tot = per.agg(count(lit(1)).as("n_customers"),
-      round(sum(col("rev")), 2).as("total_rev"))
+      sum(col("cents")).as("total_cents"))
     ranked.crossJoin(broadcast(tot))
       .agg(
         first(col("n_customers")).as("n_customers"),
-        first(col("total_rev")).as("total_rev"),
-        min(when(col("cum") >= col("total_rev") * 0.8, col("rnk")))
-          .as("n_for_80pct"),
-        round(sum(when(col("rnk") <= ceil(col("n_customers") * 0.1),
-          col("rev")).otherwise(0.0)), 2).as("top_decile_rev"))
-      .select(col("n_customers"), col("total_rev"), col("n_for_80pct"),
+        first(col("total_cents")).as("total_cents"),
+        min(when(col("cum_cents") * 5 >= col("total_cents") * 4,
+          col("rnk"))).as("n_for_80pct"),
+        sum(when(col("rnk") <= floor((col("n_customers") + 9) / 10),
+          col("cents")).otherwise(0L)).as("decile_cents"))
+      .select(col("n_customers"),
+        round(col("total_cents") / 100.0, 2).as("total_rev"),
+        col("n_for_80pct"),
         round(col("n_for_80pct") / col("n_customers"), 4)
           .as("pct_for_80pct"),
-        round(col("top_decile_rev") / col("total_rev"), 4)
+        round(col("decile_cents") / col("total_cents").cast("double"), 4)
           .as("top_decile_share"))
   }
 
@@ -710,27 +721,33 @@ object Mining {
     * while cumulative share ≤ 70%, B to 95%, C beyond — the
     * operations-research standard for stocking policy. One
     * partial-aggregable rollup to per-part revenue, then the cumsum /
-    * classing runs on the |parts|-row aggregate (cent-rounded inputs →
-    * bit-stable running shares). Output is the per-class census: how
-    * few SKUs carry the A band. */
+    * classing runs on the |parts|-row aggregate. The class decision is
+    * EXACT integer arithmetic: the cumsum runs over cent-integers and
+    * the thresholds compare as `cum·10 ≤ total·7` / `cum·20 ≤ total·19`
+    * — no float anywhere on the decision path, so windowed-sum
+    * association order (which differs across engines and flipped a
+    * boundary-adjacent part in r5) cannot move a class boundary.
+    * Output is the per-class census: how few SKUs carry the A band. */
   def qAbcClass(s: SparkSession, d: String): DataFrame = {
     val per = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
         2).as("rev"))
-    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .withColumn("cents", round(col("rev") * 100, 0).cast("long"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = per.agg(round(sum(col("rev")), 2).as("total"))
+    val tot = per.agg(sum(col("cents")).as("total_cents"))
     per.crossJoin(broadcast(tot))
-      .withColumn("cum_share", sum(col("rev")).over(w) / col("total"))
+      .withColumn("cum_cents", sum(col("cents")).over(w))
       .withColumn("cls",
-        when(col("cum_share") <= 0.70, "A")
-          .when(col("cum_share") <= 0.95, "B")
+        when(col("cum_cents") * 10 <= col("total_cents") * 7, "A")
+          .when(col("cum_cents") * 20 <= col("total_cents") * 19, "B")
           .otherwise("C"))
       .groupBy(col("cls"))
       .agg(count(lit(1)).as("n_parts"),
-        round(sum(col("rev")), 2).as("class_rev"),
-        round(sum(col("rev")) / first(col("total")), 4).as("rev_share"))
+        round(sum(col("cents")) / 100.0, 2).as("class_rev"),
+        round(sum(col("cents")) / first(col("total_cents")).cast("double"),
+          4).as("rev_share"))
       .orderBy(col("cls"))
   }
 

@@ -26,16 +26,25 @@ object PipelineQueries {
   /** Session-scoped memo of the exact-verified LSH pair frame: three
     * contract queries (pairs, clusters, keep-best) consume the same
     * candidate set, and each used to re-pay the full shingle → minhash
-    * → band → verify pipeline. Keyed by (session identity, dir) so a
-    * frame never outlives its SparkSession; the cached frame is the
-    * UNordered pair set (ordering is per-consumer). */
+    * → band → verify pipeline. Weak-keyed on the SparkSession object
+    * itself (identity equality, weak reference): entries die with
+    * their session — no pinning of stopped sessions in long-lived
+    * JVMs, and no hash-collision route to another session's frame. */
   private val lshPairs =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
 
   private def lshPairsFor(s: SparkSession, d: String): DataFrame =
-    lshPairs.computeIfAbsent((System.identityHashCode(s), d), _ =>
-      MinHashLSH.verifiedPairs(Tables.documents(s, d), "doc_id", "text",
-        minJaccard = 0.5).cache())
+    lshPairs.synchronized {
+      var perSession = lshPairs.get(s)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty[String, DataFrame]
+        lshPairs.put(s, perSession)
+      }
+      perSession.getOrElseUpdate(d,
+        MinHashLSH.verifiedPairs(Tables.documents(s, d), "doc_id", "text",
+          minJaccard = 0.5).cache())
+    }
 
   /** MinHash+LSH near-dup pairs, exact-verified: banding generates
     * candidates (the only corpus-wide shuffle), exact shingle Jaccard
@@ -239,8 +248,11 @@ object PipelineQueries {
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
     val step = (col("hi") - col("lo")) / 255
     v.join(broadcast(mm), "dim")
+      // constant dimension (hi == lo) quantizes losslessly to one code
+      // — guard the 0/0 step division that would otherwise emit NaN
       .withColumn("err",
-        col("x") - (col("lo") + round((col("x") - col("lo")) / step) * step))
+        when(col("hi") === col("lo"), lit(0.0)).otherwise(
+          col("x") - (col("lo") + round((col("x") - col("lo")) / step) * step)))
       .groupBy(col("dim").cast("long").as("dim"), col("lo"), col("hi"))
       .agg(count(lit(1)).as("n_vals"),
         round(avg(col("err") * col("err")) * 1e6, 6).as("mse_ppm"),

@@ -505,6 +505,12 @@ object Events {
   def streamAnomaly(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
     import spark.implicits._
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // The per-key fold sorts WITHIN each micro-batch, so the exact-replay
+    // contract needs the whole input in ONE batch. The file stream source
+    // only accepts a directory/glob (a bare file path fails with
+    // "basePath must be a directory"), so the contract is enforced
+    // explicitly: the single-batch `require` below fails loudly instead
+    // of silently depending on file-source batching defaults.
     val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
     val evs = raw.filter(col("value").isNotNull)
       .select(col("event_type"), col("event_id"),
@@ -540,6 +546,11 @@ object Events {
       .outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"streamAnomaly exact-replay contract needs a single micro-batch " +
+        s"(got $dataBatches with rows) — set maxFilesPerTrigger/compact " +
+        s"the source, or switch the fold to watermark-buffered ordering")
     spark.table(name).orderBy(col("event_type"), col("event_id"))
   }
 }
