@@ -1665,10 +1665,12 @@ object SparkEntry {
         |st AS (SELECT round(avg(revenue), 6) AS mu,
         |    round(stddev_pop(revenue), 6) AS sigma FROM daily),
         |z AS (SELECT day, revenue,
-        |    round((revenue - mu) / sigma, 6) AS zscore FROM daily, st),
-        |c AS (SELECT *, round(sum(zscore) OVER (ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-        |  AS cusum FROM z)
+        |    round((revenue - mu) / sigma, 6) AS zscore,
+        |    CAST(round(round((revenue - mu) / sigma, 6) * 1e6, 0)
+        |      AS BIGINT) AS micro_z FROM daily, st),
+        |c AS (SELECT *, round(CAST(sum(micro_z) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    / 1e6, 4) AS cusum FROM z)
         |SELECT day, revenue, zscore, cusum FROM c
         |ORDER BY abs(cusum) DESC, day LIMIT 10""".stripMargin,
     "q_abc_class" ->

@@ -190,9 +190,10 @@ object Behavior {
     * standardized deviations accumulate in date order, and the days
     * where the cumulative sum strays furthest flag the change points.
     * Daily totals are rounded to cents and z-scores to 6 dp BEFORE the
-    * cumulative window, so both engines run the same IEEE additions in
-    * the same (window-imposed) order — the cumsum is bit-stable without
-    * any tolerance. One fact shuffle to daily grain; the window and
+    * cumulative window, then the cumsum itself runs over EXACT micro-z
+    * integers (z·10⁶ as BIGINT) — engines that associate windowed float
+    * additions differently (the q_abc_class r5 lesson) still produce
+    * the identical cusum, bit-for-bit, with no tolerance. One fact shuffle to daily grain; the window and
     * ranking run on the |days|-row series. At 100 TB the series is
     * still only O(days) rows — change detection costs one scan. */
   def qCusumChange(s: SparkSession, d: String): DataFrame = {
@@ -205,9 +206,10 @@ object Behavior {
     val z = daily.crossJoin(broadcast(stats))
       .withColumn("zscore",
         round((col("revenue") - col("mu")) / col("sigma"), 6))
+      .withColumn("micro_z", round(col("zscore") * 1e6, 0).cast("long"))
     val wCum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    z.withColumn("cusum", round(sum(col("zscore")).over(wCum), 4))
+    z.withColumn("cusum", round(sum(col("micro_z")).over(wCum) / 1e6, 4))
       .orderBy(abs(col("cusum")).desc, col("day"))
       .limit(10)
       .select(col("day"), col("revenue"), col("zscore"), col("cusum"))
