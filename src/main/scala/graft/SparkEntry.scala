@@ -382,6 +382,7 @@ object SparkEntry {
     "q_autocorr" -> (Behavior.qAutocorr _),
     "q_abc_class" -> (Mining.qAbcClass _),
     "q_spearman" -> (Mining.qSpearman _),
+    "q_event_pattern" -> (Behavior.qEventPattern _),
     "ann_filtered_topk" -> (PipelineQueries.annFilteredTopK _),
     "embed_norm_stats" -> (PipelineQueries.embedNormStats _),
     "source_csv_quoted" -> ((s: SparkSession, d: String) => {
@@ -425,6 +426,7 @@ object SparkEntry {
       (graft.streaming.Events.streamWatermarkAppend _),
     "stream_upsert" -> (graft.streaming.Events.streamUpsert _),
     "stream_left_outer" -> (graft.streaming.Events.streamLeftOuter _),
+    "stream_full_outer" -> (graft.streaming.Events.streamFullOuter _),
     "stream_sliding_window" ->
       (graft.streaming.Events.streamSlidingWindow _),
     "stream_histogram" -> (graft.streaming.Events.streamHistogram _),
@@ -1257,7 +1259,7 @@ object SparkEntry {
         |    ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512 +
         |    ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048 +
         |    ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192 +
-        |    ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 AS zv
+        |    ((x >> 7) & 1) * 131072 + ((y >> 7) & 1) * 32768 AS zv
         |  FROM b)
         |SELECT zv >> 8 AS zbucket, count(*) AS n,
         |  min(x) AS min_x, max(x) AS max_x,
@@ -1384,7 +1386,7 @@ object SparkEntry {
         |FROM n, m, t""".stripMargin,
     "q_cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
-        |    CAST(floor((floor(epoch(ts)) - 1704067200) / 604800)
+        |    CAST(floor((floor(epoch(ts)) - 17040686400) / 604800)
         |      AS BIGINT) AS wk
         |  FROM events),
         |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1),
@@ -1673,6 +1675,33 @@ object SparkEntry {
         |    / 1e6, 4) AS cusum FROM z)
         |SELECT day, revenue, zscore, cusum FROM c
         |ORDER BY abs(cusum) DESC, day LIMIT 10""".stripMargin,
+    "q_event_pattern" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |s1 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN ts_s END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_view FROM e),
+        |s2 AS (SELECT *, CASE WHEN event_type = 'click'
+        |      AND last_view IS NOT NULL AND ts_s >= last_view
+        |      AND ts_s <= last_view + 86400
+        |      THEN ts_s * 131072 + (ts_s - last_view) END AS click_enc
+        |  FROM s1),
+        |s3 AS (SELECT *, CAST(max(click_enc) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS best_click FROM s2),
+        |m AS (SELECT user_id, ts_s,
+        |    best_click // 131072 AS click_ts,
+        |    best_click // 131072 - best_click % 131072 AS view_ts
+        |  FROM s3 WHERE event_type = 'purchase' AND best_click IS NOT NULL
+        |    AND ts_s >= best_click // 131072
+        |    AND ts_s <= best_click // 131072 + 86400)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  min(ts_s) AS first_match_ts,
+        |  min(ts_s - view_ts) AS min_dur_s,
+        |  max(ts_s - view_ts) AS max_dur_s
+        |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q_abc_class" ->
       """WITH per AS (SELECT l_partkey,
         |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
@@ -2736,6 +2765,38 @@ object SparkEntry {
         |SELECT user_id, CAST(count(p_ts) AS BIGINT) AS n_matched,
         |  CAST(count(*) - count(p_ts) AS BIGINT) AS n_expired_unmatched
         |FROM emitted GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_full_outer" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |c AS (SELECT user_id, ts_s AS c_ts FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts_s AS p_ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |mx AS (SELECT least((SELECT max(c_ts) FROM c),
+        |                    (SELECT max(p_ts) FROM p)) - 600 AS wm),
+        |j AS (SELECT c.user_id, c.c_ts, p.p_ts FROM c LEFT JOIN p
+        |      ON c.user_id = p.p_user AND p.p_ts >= c.c_ts
+        |        AND p.p_ts <= c.c_ts + 3600),
+        |pu AS (SELECT p.p_user, p.p_ts FROM p LEFT JOIN c
+        |      ON c.user_id = p.p_user AND p.p_ts >= c.c_ts
+        |        AND p.p_ts <= c.c_ts + 3600
+        |      WHERE c.user_id IS NULL),
+        |emitted AS (
+        |  SELECT user_id AS uid, c_ts, p_ts FROM j WHERE p_ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT j.user_id AS uid, j.c_ts, NULL AS p_ts FROM j, mx
+        |  WHERE j.p_ts IS NULL AND j.c_ts + 3600 < mx.wm
+        |  UNION ALL
+        |  SELECT pu.p_user AS uid, NULL AS c_ts, pu.p_ts FROM pu, mx
+        |  WHERE pu.p_ts < mx.wm)
+        |SELECT uid, CAST(sum(CASE WHEN c_ts IS NOT NULL
+        |      AND p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matched,
+        |  CAST(sum(CASE WHEN p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_click_only,
+        |  CAST(sum(CASE WHEN c_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchase_only
+        |FROM emitted GROUP BY uid ORDER BY uid""".stripMargin,
     // the stub codec is deterministic byte arithmetic — replayed here
     // (documents.text is ASCII in this corpus, so ascii(substr(..)) is
     // exactly the payload byte)

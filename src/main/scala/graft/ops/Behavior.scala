@@ -466,4 +466,54 @@ object Behavior {
         round(col("dow_avg") / col("mu"), 4).as("seasonal_index"))
       .orderBy(col("dow"))
   }
+
+  /** Sequence-pattern matching over the event stream — the
+    * MATCH_RECOGNIZE shape `PATTERN (view any* click any* purchase)`
+    * with a ≤24 h bound on each stage gap and latest-anchor semantics:
+    * a purchase matches iff the most recent qualifying click (one that
+    * itself fell within 24 h after some view) occurred within 24 h
+    * before it, arbitrary other events in between. Computed in ONE
+    * user-keyed window pass: a running last-view timestamp, then a
+    * running best qualifying click carrying its anchor view in the low
+    * bits of a gap-encoded BIGINT (`click_ts·2¹⁷ + (click_ts −
+    * view_ts)`; the gap is ≤ 86400 < 2¹⁷, so max() picks the latest
+    * click AND preserves the anchor — no struct/arg-max needed, and
+    * every decision is exact integer arithmetic). All three stages
+    * share one partitioning + sort, so the plan is a single exchange on
+    * user_id followed by O(timeline) window work per user — no
+    * self-joins, no explosion; at 100 TB it scales as the events table
+    * itself. Output: per-user match census with first-match time and
+    * the view→purchase duration range. */
+  def qEventPattern(s: SparkSession, d: String): DataFrame = {
+    val bound = 86400L  // per-stage gap bound, seconds
+    val enc = 131072L   // gap field width: bound < 2^17
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochS(col("ts")).as("ts_s"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = e
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("ts_s"))).over(w))
+      .withColumn("click_enc",
+        when(col("event_type") === "click" && col("last_view").isNotNull &&
+          col("ts_s") >= col("last_view") &&
+          col("ts_s") <= col("last_view") + bound,
+          col("ts_s") * enc + (col("ts_s") - col("last_view"))))
+      .withColumn("best_click", max(col("click_enc")).over(w))
+    staged.filter(col("event_type") === "purchase" &&
+        col("best_click").isNotNull)
+      // decode: click ts in the high bits, view anchor = click − gap
+      .withColumn("click_ts", expr("best_click div 131072"))
+      .withColumn("view_ts", col("click_ts") - col("best_click") % enc)
+      .filter(col("ts_s") >= col("click_ts") &&
+        col("ts_s") <= col("click_ts") + bound)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("ts_s")).as("first_match_ts"),
+        min(col("ts_s") - col("view_ts")).as("min_dur_s"),
+        max(col("ts_s") - col("view_ts")).as("max_dur_s"))
+      .orderBy(col("user_id"))
+  }
 }

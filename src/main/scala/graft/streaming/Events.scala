@@ -269,6 +269,58 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream FULL OUTER join with watermarks on both sides —
+    * completes the join family: matched click/purchase pairs emit
+    * immediately, unmatched CLICKS surface with nulls once their
+    * 1-hour join window closes under the watermark (left eviction),
+    * and unmatched PURCHASES surface with nulls once the watermark
+    * proves no older click can still arrive to claim them (right
+    * eviction). Exercises two-sided state cleanup: each side's state
+    * is bounded by its own eviction predicate, not by the slower side.
+    *
+    * Determinism contract for the oracle (extends stream_left_outer's):
+    * with AvailableNow the final no-data batch evicts with global
+    * watermark `min(max click time, max purchase time) − 10 min`; a
+    * click's null row emits iff `c_ts + 3600 < wm` (its window closed
+    * strictly before the watermark), a purchase's null row iff
+    * `p_ts < wm` (any later-arriving click has c_time ≥ wm > p_ts and
+    * the join needs c_time ≤ p_time). The batch oracle replays both
+    * cutoffs. */
+  def streamFullOuter(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+      .withColumn("ts_s", expr("ts div 1000000000"))
+      .withColumn("etime", timestamp_seconds(col("ts_s")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("etime").as("c_time"),
+        col("ts_s").as("c_ts"))
+      .withWatermark("c_time", "10 minutes")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("etime").as("p_time"),
+        col("ts_s").as("p_ts"))
+      .withWatermark("p_time", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_time") >= col("c_time") &&
+        col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+    val name = s"graft_stream_fouter_${n.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(coalesce(col("user_id"), col("p_user")).as("uid"))
+      .agg(
+        sum(when(col("c_ts").isNotNull && col("p_ts").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("p_ts").isNull, 1L).otherwise(0L))
+          .as("n_click_only"),
+        sum(when(col("c_ts").isNull, 1L).otherwise(0L))
+          .as("n_purchase_only"))
+      .orderBy(col("uid"))
+  }
+
   /** Streaming → warehouse ingestion: foreachBatch folds each
     * micro-batch's per-user counts into an Engine table via keyed
     * upsert (read-merge-swap compaction) — the standard pattern for

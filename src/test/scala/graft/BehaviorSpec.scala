@@ -339,4 +339,46 @@ class BehaviorSpec extends SparkSuite {
         s"dim ${r.getLong(0)}: err $maxErr exceeds half-step $halfStep")
     }
   }
+
+  test("event pattern matches a brute-force timeline scan") {
+    val got = Behavior.qEventPattern(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // independent formulation: a literal per-user sequential scan with
+    // the same latest-anchor semantics (latest qualifying click wins;
+    // ties on click ts resolved toward the larger view gap, mirroring
+    // the gap-encoded max)
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).flatMap { case (uid, es) =>
+      val tl = es.sortBy(e => (e._4, e._2))
+      var lastView = Option.empty[Long]
+      var best = Option.empty[(Long, Long)] // (clickTs, gap)
+      val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      tl.foreach { case (_, _, typ, ts) =>
+        typ match {
+          case "view" => lastView = Some(ts)
+          case "click" => lastView.foreach { v =>
+            if (ts <= v + 86400) {
+              val cand = (ts, ts - v)
+              if (best.forall(b => Ordering[(Long, Long)].lt(b, cand)))
+                best = Some(cand)
+            }
+          }
+          case "purchase" => best.foreach { case (cts, gap) =>
+            if (ts >= cts && ts <= cts + 86400) hits += ((ts, ts - (cts - gap)))
+          }
+          case _ => ()
+        }
+      }
+      if (hits.isEmpty) None
+      else Some((uid, hits.size.toLong, hits.map(_._1).min,
+        hits.map(_._2).min, hits.map(_._2).max))
+    }.toSeq.sortBy(_._1)
+    assert(got.nonEmpty, "pattern should match at least one user")
+    assert(got == expected, "window-pass result diverges from the scan")
+  }
 }

@@ -970,4 +970,44 @@ class StreamingSpec extends SparkSuite {
       batch.exceptAll(streamed).isEmpty,
       "streamed outer join diverged from the watermark-cutoff model")
   }
+
+  test("stream full-outer join matches the two-sided eviction model") {
+    val streamed = graft.streaming.Events.streamFullOuter(spark, sf)
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_s").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_s").as("p_ts"))
+    val wm = math.min(
+      c.agg(max(col("c_ts"))).head().getLong(0),
+      p.agg(max(col("p_ts"))).head().getLong(0)) - 600L
+    val cond = col("user_id") === col("p_user") &&
+      col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + 3600L
+    val j = c.join(p, cond, "left_outer")
+    val pOnly = p.join(c, cond, "left_anti")
+    val emitted = j.filter(col("p_ts").isNotNull)
+      .select(col("user_id").as("uid"), col("c_ts"), col("p_ts"))
+      .unionByName(j.filter(col("p_ts").isNull &&
+          col("c_ts") + 3600L < lit(wm))
+        .select(col("user_id").as("uid"), col("c_ts"), col("p_ts")))
+      .unionByName(pOnly.filter(col("p_ts") < lit(wm))
+        .select(col("p_user").as("uid"), lit(null).cast("long").as("c_ts"),
+          col("p_ts")))
+    val batch = emitted.groupBy(col("uid"))
+      .agg(sum(when(col("c_ts").isNotNull && col("p_ts").isNotNull, 1L)
+        .otherwise(0L)).as("n_matched"),
+        sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_click_only"),
+        sum(when(col("c_ts").isNull, 1L).otherwise(0L))
+          .as("n_purchase_only"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed full-outer diverged from the two-sided eviction model")
+    // both null classes must actually occur for this to test anything
+    val tot = streamed.agg(sum(col("n_click_only")),
+      sum(col("n_purchase_only"))).head()
+    assert(tot.getLong(0) > 0 && tot.getLong(1) > 0,
+      "degenerate corpus: an eviction class never fired")
+  }
 }
