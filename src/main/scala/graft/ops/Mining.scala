@@ -21,13 +21,14 @@ object Mining {
 
   /** RFM segmentation: per-customer recency/frequency/monetary quartile
     * scores, rolled up by (r, f, m) cell. The per-customer rollup is one
-    * partial-aggregable shuffle over orders; the three `ntile` windows
-    * run on the |customers|-row aggregate, not the fact. Scale note: an
-    * unpartitioned ntile sorts its input on one task — fine for a
-    * per-customer aggregate (thousands of bytes per million customers),
-    * but at billions of customers swap in percentile-boundary bucketing
-    * broadcast from a one-row frame. Ties are broken by custkey so both
-    * engines assign identical quartiles. */
+    * partial-aggregable shuffle over orders; the three quartile scores
+    * are EXACT ntile(4) computed by [[Ranks.globalNtile]] —
+    * range-partitioned ranking with broadcast cumulative offsets — so
+    * no stage sorts the customer frame on a single task and the plan
+    * survives a billion-customer scale-up (the scale exemplar for the
+    * global-window family; the oracle stays the plain SQL ntile).
+    * Ties are broken by custkey so both engines assign identical
+    * quartiles. */
   def qRfm(s: SparkSession, d: String): DataFrame = {
     val per = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
@@ -35,17 +36,15 @@ object Mining {
         count(lit(1)).as("frequency"),
         round(sum(col("o_totalprice")), 2).as("monetary"))
     val mx = per.agg(max(col("last_order")).as("mx"))
-    val scored = per.crossJoin(broadcast(mx))
+    val base = per.crossJoin(broadcast(mx))
       .withColumn("recency_days", datediff(col("mx"), col("last_order")))
-      .withColumn("r_score",
-        ntile(4).over(Window.orderBy(col("recency_days").desc, col("o_custkey")))
-          .cast("long"))
-      .withColumn("f_score",
-        ntile(4).over(Window.orderBy(col("frequency"), col("o_custkey")))
-          .cast("long"))
-      .withColumn("m_score",
-        ntile(4).over(Window.orderBy(col("monetary"), col("o_custkey")))
-          .cast("long"))
+    val scored = Seq(
+      (Seq(col("recency_days").desc, col("o_custkey").asc), "r_score"),
+      (Seq(col("frequency").asc, col("o_custkey").asc), "f_score"),
+      (Seq(col("monetary").asc, col("o_custkey").asc), "m_score"))
+      .foldLeft(base) { case (df, (ord, name)) =>
+        Ranks.globalNtile(df, ord, 4, name)
+      }
     scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("monetary")), 2).as("cell_monetary"),

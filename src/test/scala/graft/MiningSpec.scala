@@ -543,4 +543,33 @@ class MiningSpec extends SparkSuite {
       r.getLong(r.fieldIndex("n_rows")))
     assert(!r.isNullAt(r.fieldIndex("clean_revenue")))
   }
+
+  test("range-partitioned rank and ntile are bit-identical to windows") {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("f"),
+        round(sum(col("o_totalprice")), 2).as("m"))
+    val order = Seq(col("m").asc, col("o_custkey").asc)
+    val w = Window.orderBy(col("m"), col("o_custkey"))
+    val rnA = graft.ops.Ranks.globalRowNumber(per, order, "rn")
+      .select(col("o_custkey"), col("rn"))
+    val rnB = per.withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("o_custkey"), col("rn"))
+    assert(rnA.exceptAll(rnB).isEmpty && rnB.exceptAll(rnA).isEmpty,
+      "globalRowNumber diverged from row_number")
+    // k=4 and a k that does NOT divide N (remainder buckets get +1)
+    val n = per.count()
+    Seq(4, 7).foreach { k =>
+      val viaRanks = graft.ops.Ranks.globalNtile(per, order, k, "s")
+        .select(col("o_custkey"), col("s"))
+      val viaWindow = per.withColumn("s", ntile(k).over(w).cast("long"))
+        .select(col("o_custkey"), col("s"))
+      assert(viaRanks.exceptAll(viaWindow).isEmpty &&
+        viaWindow.exceptAll(viaRanks).isEmpty,
+        s"globalNtile($k) diverged from ntile over $n rows")
+    }
+    assert(n % 4 != 0 || n % 7 != 0,
+      "want at least one remainder case to exercise uneven buckets")
+  }
 }
