@@ -11,12 +11,17 @@ import org.apache.spark.sql.functions._
   * to billions).
   *
   * Pattern: range-repartition on the sort key (non-overlapping ordered
-  * ranges, partition id increasing with key order), rank locally within
-  * each range, then add broadcast cumulative range offsets. The order
-  * must be TOTAL (include a unique tiebreaker column) — then the global
-  * rank is exact regardless of where the sampled range bounds land, and
-  * every stage is parallel: the only serial work is the |partitions|-row
-  * offset cumsum.
+  * ranges, partition id increasing with key order), sort within each
+  * range, then read each row's (partition, local offset) straight out
+  * of `monotonically_increasing_id` — partition id in the high bits,
+  * record index in the low 33 — and add broadcast cumulative range
+  * offsets. The order must be TOTAL (include a unique tiebreaker
+  * column); then the global rank is exact regardless of where the
+  * sampled range bounds land. No per-row window at all: the only
+  * window is the |partitions|-row offset cumsum, and the id frame is
+  * localCheckpoint'ed so the offset side branch reads the same
+  * materialized rows (determinism by construction, and the upstream is
+  * never re-run).
   *
   * This is the exemplar SURVEY §5 prescribes for the aggregate-frame
   * global windows (q_rfm quartiles here; same recipe applies to the
@@ -24,35 +29,42 @@ import org.apache.spark.sql.functions._
   * frames ever outgrow one task). */
 object Ranks {
 
-  /** Exact global 1-based row number over the total order `order`,
-    * written to column `out` (long). One range shuffle + one
-    * hash-by-range-id window, both parallel. */
-  def globalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
-    val ranged = df.repartitionByRange(order: _*)
-      .withColumn("_pid", spark_partition_id())
-    val local = ranged.withColumn("_lrn",
-      row_number().over(Window.partitionBy(col("_pid")).orderBy(order: _*))
-        .cast("long"))
-    // |partitions| rows: cumulative row counts of the ranges before each
-    val offsets = local.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
-      .withColumn("_off",
-        coalesce(sum(col("_n")).over(Window.orderBy(col("_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    local.join(broadcast(offsets), "_pid")
-      .withColumn(out, col("_off") + col("_lrn"))
-      .drop("_pid", "_lrn", "_off")
+  private val IdxBits = 33 // monotonically_increasing_id record-index field
+
+  /** df + (rank column `out`, internal `_tot` total-count column). */
+  private def ranked(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
+    val local = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val w = Window.orderBy(col("_pid"))
+    val offsets = local
+      .groupBy(shiftright(col("_mid"), IdxBits).as("_pid"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_tot", sum(col("_n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("_pid"), col("_off"), col("_tot"))
+    local.withColumn("_pid", shiftright(col("_mid"), IdxBits))
+      .join(broadcast(offsets), "_pid")
+      .withColumn(out,
+        col("_off") + col("_mid").bitwiseAND(lit((1L << IdxBits) - 1)) + 1L)
+      .drop("_pid", "_mid", "_off")
   }
+
+  /** Exact global 1-based row number over the total order `order`,
+    * written to column `out` (long). One range shuffle, no per-row
+    * window, |partitions|-row broadcast side frame. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame =
+    ranked(df, order, out).drop("_tot")
 
   /** Exact `ntile(k)` over the total order `order` → column `out`
     * (long), bit-identical to the Window `ntile`: the first `N mod k`
     * buckets take `ceil(N/k)` rows, the rest `floor(N/k)`. Built on
-    * [[globalRowNumber]] plus a broadcast one-row total — integer
-    * arithmetic only. */
-  def globalNtile(df: DataFrame, order: Seq[Column], k: Int, out: String): DataFrame = {
-    val ranked = globalRowNumber(df, order, "_grn")
-    val tot = ranked.agg(count(lit(1)).as("_tot"))
-    ranked.crossJoin(broadcast(tot))
+    * the exact global rank plus integer arithmetic only. */
+  def globalNtile(df: DataFrame, order: Seq[Column], k: Int, out: String): DataFrame =
+    ranked(df, order, "_grn")
       .withColumn(out, expr(
         s"""CASE WHEN _grn <= (_tot % $k) * (_tot div $k + 1)
            |  THEN (_grn - 1) div (_tot div $k + 1) + 1
@@ -60,5 +72,4 @@ object Ranks {
            |    (_grn - (_tot % $k) * (_tot div $k + 1) - 1) div (_tot div $k)
            |    + 1 END""".stripMargin).cast("long"))
       .drop("_grn", "_tot")
-  }
 }
