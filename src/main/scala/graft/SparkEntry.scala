@@ -265,6 +265,40 @@ object SparkEntry {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** dedup_embed_cosine oracle: constant-folds the seed-7 hyperplanes
+    * (16 planes = 4 bands × 4 sign bits) so DuckDB reproduces band
+    * codes, candidate generation AND the exact-cosine verification —
+    * the algorithm replayed end to end, same pattern as annLshOracle. */
+  private def dedupEmbedCosineOracle: String = {
+    val values = graft.sim.Ann.planes(16, 64).zipWithIndex
+      .map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
+      .mkString(", ")
+    s"""WITH pl(j, p) AS (VALUES $values),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |z AS (SELECT vec_id, j, unnest(e.embedding)::DOUBLE AS x,
+       |        unnest(pl.p) AS y
+       |      FROM e CROSS JOIN pl),
+       |dots AS (SELECT vec_id, j, sum(x * y) AS dot FROM z GROUP BY 1, 2),
+       |bkt AS (SELECT vec_id, CAST(j // 4 AS INTEGER) AS band,
+       |    CAST(sum(CASE WHEN dot > 0
+       |      THEN (1::BIGINT << CAST(j % 4 AS INTEGER)) ELSE 0 END)
+       |      AS BIGINT) AS b
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM bkt x JOIN bkt y
+       |    ON x.band = y.band AND x.b = y.b AND x.vec_id < y.vec_id),
+       |pz AS (SELECT a_id, b_id, unnest(ea.embedding)::DOUBLE AS xa,
+       |    unnest(eb.embedding)::DOUBLE AS xb
+       |  FROM cand JOIN e ea ON ea.vec_id = a_id
+       |    JOIN e eb ON eb.vec_id = b_id),
+       |sums AS (SELECT a_id, b_id, sum(xa * xb) AS d, sum(xa * xa) AS na,
+       |    sum(xb * xb) AS nb FROM pz GROUP BY 1, 2),
+       |sc AS (SELECT a_id, b_id,
+       |    round(d / (sqrt(na) * sqrt(nb)), 4) AS cos FROM sums)
+       |SELECT a_id, b_id, cos FROM sc WHERE cos >= 0.42
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 JSON↔relational engine (reference core)
     "shred_flatten" -> (JsonQueries.shredFlatten _),
@@ -383,6 +417,10 @@ object SparkEntry {
     "q_abc_class" -> (Mining.qAbcClass _),
     "q_spearman" -> (Mining.qSpearman _),
     "q_event_pattern" -> (Behavior.qEventPattern _),
+    "q_event_pattern_absence" -> (Behavior.qEventPatternAbsence _),
+    "dedup_embed_cosine" -> (PipelineQueries.dedupEmbedCosine _),
+    "stream_chained_windows" ->
+      (graft.streaming.Events.streamChainedWindows _),
     "ann_filtered_topk" -> (PipelineQueries.annFilteredTopK _),
     "embed_norm_stats" -> (PipelineQueries.embedNormStats _),
     "source_csv_quoted" -> ((s: SparkSession, d: String) => {
@@ -1702,6 +1740,43 @@ object SparkEntry {
         |  min(ts_s - view_ts) AS min_dur_s,
         |  max(ts_s - view_ts) AS max_dur_s
         |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_event_pattern_absence" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |s AS (SELECT *,
+        |    max(CASE WHEN event_type = 'view' THEN ts_s END)
+        |      OVER w AS last_view,
+        |    max(CASE WHEN event_type = 'click' THEN ts_s END)
+        |      OVER w AS last_click
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT user_id, ts_s,
+        |    (last_view IS NOT NULL AND ts_s - last_view <= 86400
+        |     AND (last_click IS NULL OR ts_s - last_click > 86400))
+        |      AS organic
+        |  FROM s WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN organic THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_organic,
+        |  min(CASE WHEN organic THEN ts_s END) AS first_organic_ts
+        |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "dedup_embed_cosine" -> dedupEmbedCosineOracle,
+    "stream_chained_windows" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value FROM events),
+        |wm AS (SELECT max(ts_s) - 600 AS wm FROM e),
+        |b AS (SELECT (ts_s // 300) * 300 AS b_start, event_type,
+        |    CAST(count(*) AS BIGINT) AS n5,
+        |    round(sum(value), 2) AS v5
+        |  FROM e GROUP BY 1, 2),
+        |h AS (SELECT (b_start // 3600) * 3600 AS hour_start_s, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(n5) AS BIGINT) AS n_events,
+        |    round(sum(v5), 2) AS sum_value
+        |  FROM b GROUP BY 1, 2)
+        |SELECT hour_start_s, event_type, n_buckets, n_events, sum_value
+        |FROM h, wm WHERE hour_start_s + 3600 <= wm.wm
+        |ORDER BY hour_start_s, event_type""".stripMargin,
     "q_abc_class" ->
       """WITH per AS (SELECT l_partkey,
         |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev

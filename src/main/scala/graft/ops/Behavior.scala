@@ -516,4 +516,37 @@ object Behavior {
         max(col("ts_s") - col("view_ts")).as("max_dur_s"))
       .orderBy(col("user_id"))
   }
+
+  /** Absence pattern over the event stream — the NEGATION
+    * MATCH_RECOGNIZE shape [[qEventPattern]] can't express with
+    * existence windows alone: an "organic" purchase is one with a view
+    * in the preceding 24 h but NO click in that same lookback (the
+    * untouched-by-campaign conversion). Same single user-keyed window
+    * pass: running last-view and last-click timestamps; the class
+    * decision per purchase is pure integer comparison, so the per-user
+    * census is engine-exact. */
+  def qEventPatternAbsence(s: SparkSession, d: String): DataFrame = {
+    val bound = 86400L
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochS(col("ts")).as("ts_s"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_view",
+        max(when(col("event_type") === "view", col("ts_s"))).over(w))
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts_s"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("organic",
+        col("last_view").isNotNull &&
+          col("ts_s") - col("last_view") <= bound &&
+          (col("last_click").isNull ||
+            col("ts_s") - col("last_click") > bound))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("organic"), 1L).otherwise(0L)).as("n_organic"),
+        min(when(col("organic"), col("ts_s"))).as("first_organic_ts"))
+      .orderBy(col("user_id"))
+  }
 }

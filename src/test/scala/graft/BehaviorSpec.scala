@@ -381,4 +381,40 @@ class BehaviorSpec extends SparkSuite {
     assert(got.nonEmpty, "pattern should match at least one user")
     assert(got == expected, "window-pass result diverges from the scan")
   }
+
+  test("absence pattern matches a brute-force timeline scan") {
+    val got = Behavior.qEventPatternAbsence(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).flatMap { case (uid, es) =>
+      val tl = es.sortBy(e => (e._4, e._2))
+      var lastView = Option.empty[Long]
+      var lastClick = Option.empty[Long]
+      var nP = 0L
+      val organics = scala.collection.mutable.ArrayBuffer[Long]()
+      tl.foreach { case (_, _, typ, ts) =>
+        typ match {
+          case "view" => lastView = Some(ts)
+          case "click" => lastClick = Some(ts)
+          case "purchase" =>
+            nP += 1
+            val organic = lastView.exists(v => ts - v <= 86400L) &&
+              lastClick.forall(c => ts - c > 86400L)
+            if (organic) organics += ts
+          case _ => ()
+        }
+      }
+      if (nP == 0) None
+      else Some((uid, nP, organics.size.toLong,
+        if (organics.isEmpty) -1L else organics.min))
+    }.toSeq.sortBy(_._1)
+    assert(got == expected, "absence scan diverged")
+    assert(got.exists(_._3 > 0) && got.exists(t => t._2 > t._3),
+      "want both organic and campaign-influenced purchases present")
+  }
 }

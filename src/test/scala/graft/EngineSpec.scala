@@ -572,6 +572,41 @@ class DedupSpec extends SparkSuite {
       .orderBy("k").as[(Long, String)].collect().toSeq
     assert(m == Seq((1L, "a"), (2L, "B"), (3L, "C")))
   }
+
+  test("embed-cosine near-dup pairs: exact precision, banded recall") {
+    val got = graft.ops.PipelineQueries.dedupEmbedCosine(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every reported pair is a true >= 0.42 pair (precision is exact)
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e4 + 0.5) / 1e4
+    }
+    got.foreach { case (a, b, c) =>
+      assert(a < b, "pairs must be ordered a < b")
+      val truth = cos(vecs(a), vecs(b))
+      assert(truth >= 0.42 && math.abs(truth - c) < 1e-9,
+        s"reported ($a,$b,$c) but exact cosine is $truth")
+    }
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length,
+      "multi-band candidates must be deduped")
+    // recall: the banded filter is a SUBSET of the true pair set, and
+    // finds at least one of them on this corpus
+    val ids = vecs.keys.toSeq.sorted
+    val truePairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if cos(vecs(ids(i)), vecs(ids(j))) >= 0.42
+    } yield (ids(i), ids(j))
+    assert(got.nonEmpty, "no near-pairs found at all")
+    assert(got.map(p => (p._1, p._2)).toSet.subsetOf(truePairs.toSet),
+      "a reported pair is not in the exact truth set")
+  }
 }
 
 class AnnSpec extends SparkSuite {
@@ -1009,5 +1044,27 @@ class StreamingSpec extends SparkSuite {
       sum(col("n_purchase_only"))).head()
     assert(tot.getLong(0) > 0 && tot.getLong(1) > 0,
       "degenerate corpus: an eviction class never fired")
+  }
+
+  test("chained window aggs equal the two-level batch rollup at cutoff") {
+    val streamed = graft.streaming.Events.streamChainedWindows(spark, sf)
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+        col("value"))
+    val wm = e.agg(max(col("ts_s"))).head().getLong(0) - 600L
+    val b = e.groupBy((expr("ts_s div 300") * 300L).as("b_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n5"), round(sum(col("value")), 2).as("v5"))
+    val batch = b.groupBy((expr("b_start div 3600") * 3600L)
+        .as("hour_start_s"), col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("n5")).as("n_events"),
+        round(sum(col("v5")), 2).as("sum_value"))
+      .filter(col("hour_start_s") + 3600L <= lit(wm))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "chained streaming windows diverged from the batch rollup")
+    // the last (unclosed) hour must NOT have been emitted
+    val lastEmitted = streamed.agg(max(col("hour_start_s"))).head().getLong(0)
+    assert(lastEmitted + 3600L <= wm, "an unclosed hour leaked out")
   }
 }
