@@ -296,14 +296,23 @@ object Analytics {
       .orderBy(col("r_name"), col("n_name"))
   }
 
-  /** Quantile binning via ntile window over a total order. */
+  /** Quantile binning: per-status quartiles of the order book. ntile
+    * partitioned by a THREE-value key is the classic global-window
+    * scale hazard (each task would sort a third of all orders), so the
+    * quartile comes from [[Ranks.groupNtile]] — the status key rides
+    * the range partitioning and every stage stays parallel while the
+    * result is bit-identical to the window ntile (the oracle keeps the
+    * plain SQL formulation). */
   def qNtile(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, d)
-      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("quartile", ntile(4).over(w))
-      .groupBy(col("o_orderstatus"), col("quartile"))
+    graft.ops.Ranks.groupNtile(
+        Tables.orders(s, d)
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            col("o_totalprice")),
+        part = Seq(col("o_orderstatus")),
+        order = Seq(col("o_totalprice"), col("o_orderkey")),
+        k = 4, out = "quartile")
+      // the window ntile this replaces produced IntegerType
+      .groupBy(col("o_orderstatus"), col("quartile").cast("int").as("quartile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("o_totalprice")), 2).as("lo"),
         round(max(col("o_totalprice")), 2).as("hi"))

@@ -31,45 +31,73 @@ object Ranks {
 
   private val IdxBits = 33 // monotonically_increasing_id record-index field
 
-  /** df + (rank column `out`, internal `_tot` total-count column). */
-  private def ranked(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
-    val local = df.repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
+  /** df + (rank column `out`, internal `_tot` count column — the
+    * group's total when `part` is non-empty, the frame's otherwise).
+    *
+    * Per-group case: ranges are taken over (part ++ order), so each
+    * group's rows are CONTIGUOUS within every range partition — a
+    * row's local per-group offset is `_mid − min(_mid)` of its
+    * (partition, group) cell, and the tiny broadcast frame carries one
+    * row per cell (cumulative earlier-partition counts + group total). */
+  private def ranked(df: DataFrame, part: Seq[Column],
+      order: Seq[Column], out: String): DataFrame = {
+    val keys = part ++ order
+    val local = df.repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .localCheckpoint(true)
-    val w = Window.orderBy(col("_pid"))
-    val offsets = local
-      .groupBy(shiftright(col("_mid"), IdxBits).as("_pid"))
-      .agg(count(lit(1)).as("_n"))
+    val partNames = part.indices.map(i => s"_g$i")
+    val withPid = local.withColumn("_pid", shiftright(col("_mid"), IdxBits))
+    val w = Window.partitionBy(partNames.map(col): _*).orderBy(col("_pid"))
+    val cells = withPid
+      .groupBy((col("_pid") +: part.zip(partNames)
+        .map { case (c, n) => c.as(n) }): _*)
+      .agg(count(lit(1)).as("_n"), min(col("_mid")).as("_mn"))
       .withColumn("_off", coalesce(sum(col("_n")).over(
         w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_tot", sum(col("_n")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("_pid"), col("_off"), col("_tot"))
-    local.withColumn("_pid", shiftright(col("_mid"), IdxBits))
-      .join(broadcast(offsets), "_pid")
-      .withColumn(out,
-        col("_off") + col("_mid").bitwiseAND(lit((1L << IdxBits) - 1)) + 1L)
-      .drop("_pid", "_mid", "_off")
+      .select((col("_pid") +: partNames.map(col)) ++
+        Seq(col("_mn"), col("_off"), col("_tot")): _*)
+    val joinCond = (col("_pid") === col("_cpid")) +: part.zip(partNames)
+      .map { case (c, n) => c <=> col(n) }
+    withPid.join(
+        broadcast(cells.withColumnRenamed("_pid", "_cpid")),
+        joinCond.reduce(_ && _))
+      .withColumn(out, col("_off") + (col("_mid") - col("_mn")) + 1L)
+      .drop(Seq("_pid", "_cpid", "_mid", "_mn", "_off") ++ partNames: _*)
   }
 
   /** Exact global 1-based row number over the total order `order`,
     * written to column `out` (long). One range shuffle, no per-row
     * window, |partitions|-row broadcast side frame. */
   def globalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame =
-    ranked(df, order, out).drop("_tot")
+    ranked(df, Seq.empty, order, out).drop("_tot")
+
+  private def ntileExpr(k: Int): String =
+    s"""CASE WHEN _grn <= (_tot % $k) * (_tot div $k + 1)
+       |  THEN (_grn - 1) div (_tot div $k + 1) + 1
+       |  ELSE _tot % $k +
+       |    (_grn - (_tot % $k) * (_tot div $k + 1) - 1) div (_tot div $k)
+       |    + 1 END""".stripMargin
 
   /** Exact `ntile(k)` over the total order `order` → column `out`
     * (long), bit-identical to the Window `ntile`: the first `N mod k`
     * buckets take `ceil(N/k)` rows, the rest `floor(N/k)`. Built on
     * the exact global rank plus integer arithmetic only. */
   def globalNtile(df: DataFrame, order: Seq[Column], k: Int, out: String): DataFrame =
-    ranked(df, order, "_grn")
-      .withColumn(out, expr(
-        s"""CASE WHEN _grn <= (_tot % $k) * (_tot div $k + 1)
-           |  THEN (_grn - 1) div (_tot div $k + 1) + 1
-           |  ELSE _tot % $k +
-           |    (_grn - (_tot % $k) * (_tot div $k + 1) - 1) div (_tot div $k)
-           |    + 1 END""".stripMargin).cast("long"))
+    ranked(df, Seq.empty, order, "_grn")
+      .withColumn(out, expr(ntileExpr(k)).cast("long"))
+      .drop("_grn", "_tot")
+
+  /** Per-group exact `ntile(k)` — `ntile(k) OVER (PARTITION BY part
+    * ORDER BY order)` without sorting any single group on one task:
+    * the group key rides the range partitioning, so a low-cardinality
+    * group (the classic ntile-over-3-statuses hazard) still spreads
+    * over many range partitions. */
+  def groupNtile(df: DataFrame, part: Seq[Column], order: Seq[Column],
+      k: Int, out: String): DataFrame =
+    ranked(df, part, order, "_grn")
+      .withColumn(out, expr(ntileExpr(k)).cast("long"))
       .drop("_grn", "_tot")
 }

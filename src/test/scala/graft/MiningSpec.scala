@@ -571,5 +571,17 @@ class MiningSpec extends SparkSuite {
     }
     assert(n % 4 != 0 || n % 7 != 0,
       "want at least one remainder case to exercise uneven buckets")
+    // per-group variant against the partitioned window ntile
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    val gw = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val gA = graft.ops.Ranks.groupNtile(o, Seq(col("o_orderstatus")),
+        Seq(col("o_totalprice"), col("o_orderkey")), 4, "s")
+      .select(col("o_orderkey"), col("s"))
+    val gB = o.withColumn("s", ntile(4).over(gw).cast("long"))
+      .select(col("o_orderkey"), col("s"))
+    assert(gA.exceptAll(gB).isEmpty && gB.exceptAll(gA).isEmpty,
+      "groupNtile diverged from the partitioned window ntile")
   }
 }
