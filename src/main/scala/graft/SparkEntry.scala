@@ -421,6 +421,8 @@ object SparkEntry {
     "dedup_embed_cosine" -> (PipelineQueries.dedupEmbedCosine _),
     "stream_chained_windows" ->
       (graft.streaming.Events.streamChainedWindows _),
+    "stream_session_native" ->
+      (graft.streaming.Events.streamSessionNative _),
     "ann_filtered_topk" -> (PipelineQueries.annFilteredTopK _),
     "embed_norm_stats" -> (PipelineQueries.embedNormStats _),
     "source_csv_quoted" -> ((s: SparkSession, d: String) => {
@@ -1761,6 +1763,32 @@ object SparkEntry {
         |  min(CASE WHEN organic THEN ts_s END) AS first_organic_ts
         |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
     "dedup_embed_cosine" -> dedupEmbedCosineOracle,
+    "stream_session_native" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch(ts) AS tsec,
+        |    lag(epoch(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts, tsec,
+        |    CASE WHEN prev IS NULL OR tsec - prev >= 1800.0
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |x AS (
+        |  SELECT user_id, ts, tsec,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM s),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_s,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_s,
+        |    max(tsec) AS last_t
+        |  FROM x GROUP BY user_id, sess_id),
+        |wm AS (SELECT max(epoch(ts)) - 600 AS wm FROM events)
+        |SELECT user_id, n_events, start_s, end_s
+        |FROM g, wm WHERE g.last_t + 1800 < wm.wm
+        |ORDER BY user_id, start_s""".stripMargin,
     "stream_chained_windows" ->
       """WITH e AS (SELECT event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value FROM events),

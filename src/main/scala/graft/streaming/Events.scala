@@ -269,6 +269,39 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** NATIVE streaming session windows — Spark's merging-window state
+    * store (`session_window`), the state shape where windows GROW and
+    * MERGE as events arrive instead of being fixed buckets: each
+    * user's open sessions extend/coalesce in state, and a session only
+    * emits (append mode) once the watermark passes its end
+    * (last event + 30 min gap), proving no future event can extend it.
+    * Complements stream_sessionize, which builds the same sessions in
+    * hand-rolled mapGroupsWithState — this exercises the engine's own
+    * merging-session state machinery. Determinism contract: with
+    * AvailableNow exactly the sessions whose (last event + gap) <
+    * `max(ts) − 10 min` surface; the batch oracle replays sessionization
+    * at full µs precision plus that cutoff. */
+  def streamSessionNative(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+    val agg = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("start_s"),
+        max(unix_timestamp(col("ts"))).as("end_s"))
+    val name = s"graft_stream_sessnat_${n.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("n_events"), col("start_s"),
+        col("end_s"))
+      .orderBy(col("user_id"), col("start_s"))
+  }
+
   /** CHAINED stateful aggregations — two event-time window aggregates
     * stacked in one streaming query (append mode), the multi-stage
     * state shape single-agg queries can't express: 5-minute tumbling

@@ -1067,4 +1067,25 @@ class StreamingSpec extends SparkSuite {
     val lastEmitted = streamed.agg(max(col("hour_start_s"))).head().getLong(0)
     assert(lastEmitted + 3600L <= wm, "an unclosed hour leaked out")
   }
+
+  test("native streaming sessions equal the batch sessions at cutoff") {
+    val streamed = graft.streaming.Events.streamSessionNative(spark, sf)
+    // independent batch model: the engine's own batch session_window,
+    // filtered to sessions provably closed under the final watermark
+    val e = graft.sources.Tables.events(spark, sf)
+    val wmMicros = e.agg(max(unix_micros(col("ts")))).head().getLong(0) -
+      600L * 1000000L
+    val batch = e
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("start_s"),
+        max(unix_timestamp(col("ts"))).as("end_s"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .filter(col("last_us") + 1800L * 1000000L < lit(wmMicros))
+      .select(col("user_id"), col("n_events"), col("start_s"), col("end_s"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streaming merging-session state diverged from batch sessions")
+    assert(streamed.count() > 0)
+  }
 }
