@@ -1299,7 +1299,7 @@ object SparkEntry {
         |    ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512 +
         |    ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048 +
         |    ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192 +
-        |    ((x >> 7) & 1) * 131072 + ((y >> 7) & 1) * 32768 AS zv
+        |    ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 AS zv
         |  FROM b)
         |SELECT zv >> 8 AS zbucket, count(*) AS n,
         |  min(x) AS min_x, max(x) AS max_x,
@@ -1426,7 +1426,7 @@ object SparkEntry {
         |FROM n, m, t""".stripMargin,
     "q_cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
-        |    CAST(floor((floor(epoch(ts)) - 17040686400) / 604800)
+        |    CAST(floor((floor(epoch(ts)) - 1704067200) / 604800)
         |      AS BIGINT) AS wk
         |  FROM events),
         |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1),
