@@ -1092,9 +1092,11 @@ object PipelineQueries {
       .orderBy(col("source"), col("rn"))
   }
 
-  /** Embedding-cosine near-duplicate pairs — the vector-space member
-    * of the dedup family (exact / minhash / simhash / passage cover
-    * text; this covers embeddings). Banded random-hyperplane LSH, the
+  /** Embedding-cosine near-duplicate PAIRS — completes the embedding
+    * branch of the dedup family: [[dedupEmbedCos]] is the verifiable
+    * adjacent-pair kernel, [[dedupEmbedBuckets]] the single-code
+    * bucket-density probe, and THIS the end-to-end pair miner with
+    * multi-probe recall. Banded random-hyperplane LSH, the
     * minhash-banding shape transplanted to cosine space: 4 bands × 4
     * sign bits (seed-7 planes shared with the ann family), candidates
     * = pairs agreeing on ALL bits of ≥1 band, then EXACT cosine ≥ 0.42
@@ -1108,25 +1110,30 @@ object PipelineQueries {
     * algorithm bit-for-bit, not just the survivors. */
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     val planes = graft.sim.Ann.planes(16, 64)
+    // ONE corpus pass computes all 16 sign bits; each band's bucket is
+    // a 4-bit slice of that code (band b = bits 4b..4b+3, exactly the
+    // slice the constant-folded oracle rebuilds)
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val banded = (0 until 4).map { band =>
-      v.select(lit(band).as("band"),
-        graft.functions.exprs.lshCode(col("e"),
-          planes.slice(4 * band, 4 * band + 4)).as("bkt"),
-        col("vec_id"), col("e"))
-    }.reduce(_ unionByName _)
+      .withColumn("c16", graft.functions.exprs.lshCode(col("e"), planes))
+    val banded = v
+      .select(col("vec_id"), col("e"), col("c16"),
+        explode(array((0 until 4).map(lit): _*)).as("band"))
+      .withColumn("bkt",
+        expr("shiftright(c16, CAST(band * 4 AS INT)) & 15"))
     val a = banded.select(col("band"), col("bkt"),
       col("vec_id").as("a_id"), col("e").as("ae"))
     val b = banded.select(col("band"), col("bkt"),
       col("vec_id").as("b_id"), col("e").as("be"))
+    // verify BEFORE dedup: a pair re-found by k bands re-scores k≤4
+    // times (64 codegen'd mults each) but only the tiny surviving
+    // (a, b, cos) rows travel through the distinct — no array shuffle
     a.join(b, Seq("band", "bkt"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("ae"), col("be"))
-      .dropDuplicates("a_id", "b_id")
       .withColumn("cos", round(graft.sim.Ann.cosine(col("ae"), col("be")), 4))
       .filter(col("cos") >= 0.42)
       .select(col("a_id"), col("b_id"), col("cos"))
+      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 }
