@@ -534,6 +534,8 @@ object SparkEntry {
     "multimodal_decode" -> (PipelineQueries.multimodalDecode _),
     "multimodal_features" -> (PipelineQueries.multimodalFeatures _),
     "multimodal_frames" -> (PipelineQueries.multimodalFrames _),
+    "multimodal_audio_energy" ->
+      (PipelineQueries.multimodalAudioEnergy _),
     "source_orc_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.orcRoundtrip(s, d)
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
@@ -2919,6 +2921,24 @@ object SparkEntry {
         |SELECT rs_width, rs_height, CAST(count(*) AS BIGINT) AS n_docs,
         |  min(doc_id) AS min_doc
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // stub PCM: payload bytes are documents.text (ASCII corpus), so
+    // ascii(substr(..)) is exactly the byte; all-integer energy math
+    "multimodal_audio_energy" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 512) AS t
+        |  FROM documents WHERE length(text) >= 1),
+        |b AS (SELECT doc_id,
+        |    (i - 1) // 256 AS chunk,
+        |    CAST(ascii(substr(t, CAST(i AS INT), 1)) - 128 AS BIGINT) AS s
+        |  FROM d, unnest(range(1, CAST(length(t) AS BIGINT) + 1))
+        |    AS u(i)),
+        |c AS (SELECT doc_id, chunk, CAST(sum(s * s) AS BIGINT) AS energy
+        |  FROM b GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(energy) AS BIGINT) AS total_energy,
+        |  CAST(max(energy) AS BIGINT) AS peak_energy,
+        |  CAST(sum(CASE WHEN energy < 16384 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silent
+        |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(16 * (1 + (CASE WHEN length(text) >= 1

@@ -76,6 +76,22 @@ object Multimodal {
     else (0 until n).map(i => (i.toLong * nFrames / n).toInt)
   }
 
+  /** STUB audio chunker — treats payload bytes as centered 8-bit PCM
+    * (a real implementation decodes the container and resamples; the
+    * chunking/energy contract around it is the real part). Scans only
+    * the first `maxBytes` (the preview-scan pattern — bounded work per
+    * doc regardless of media size) in fixed `chunk`-sample windows and
+    * returns each window's energy Σ(sample²) in EXACT integer
+    * arithmetic, so the SQL oracle replays it bit-for-bit. */
+  def fakeAudioChunks(payload: Array[Byte], chunk: Int = 256,
+      maxBytes: Int = 512): Seq[(Int, Long)] =
+    payload.take(maxBytes).grouped(chunk).zipWithIndex.map {
+      case (cs, i) =>
+        var e = 0L
+        cs.foreach { b => val s = (b & 0xff) - 128; e += s.toLong * s }
+        (i, e)
+    }.toSeq
+
   /** Feature-extraction boundary over the decode output: payload →
     * embedding rows, per-partition batches. */
   def extractFeatures(spark: SparkSession, withBin: DataFrame): DataFrame = {

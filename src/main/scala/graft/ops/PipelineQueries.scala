@@ -936,6 +936,30 @@ object PipelineQueries {
           .as("feat_sum"))
       .orderBy(col("doc_id"))
 
+  /** Multimodal AUDIO: per-doc loudness profile from the stub PCM
+    * chunker — n chunks, total/peak energy, silent-chunk count (energy
+    * below a fixed integer threshold), the audio feature-extraction
+    * member of the multimodal family (meta/decode/resize/frames/phash
+    * cover images+video). Decode + chunking compose per-partition with
+    * no shuffle; all arithmetic is exact integers so the byte-replay
+    * oracle matches bit-for-bit. */
+  def multimodalAudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.withPayload(Tables.documents(s, d))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val chunks = Multimodal.fakeAudioChunks(bytes)
+        if (chunks.isEmpty) None
+        else Some((id, chunks.size.toLong, chunks.map(_._2).sum,
+          chunks.map(_._2).max,
+          chunks.count(_._2 < 16384L).toLong))
+      }
+      .toDF("doc_id", "n_chunks", "total_energy", "peak_energy",
+        "n_silent")
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) on
     * ln(rank) for the top-100 tokens. Natural-language corpora sit near
     * −1; a flat slope flags template/boilerplate corpora, a steep one

@@ -941,6 +941,25 @@ class MultimodalSpec extends SparkSuite {
     val nDocs = graft.sources.Tables.documents(spark, sf).count()
     assert(rows.map(_.getLong(2)).sum == nDocs)
   }
+
+  test("audio chunker: exact energies, preview bound, contract row") {
+    // hand-computed: 300 'a' bytes → chunk0 = 256·(97−128)², chunk1 = 44·961
+    val payload = Array.fill[Byte](300)('a')
+    val chunks = Multimodal.fakeAudioChunks(payload)
+    assert(chunks == Seq((0, 256L * 961), (1, 44L * 961)))
+    // preview bound: a 10k-byte payload scans only 512 bytes → 2 chunks
+    assert(Multimodal.fakeAudioChunks(Array.fill[Byte](10000)(1)).size == 2)
+    assert(Multimodal.fakeAudioChunks(Array.emptyByteArray).isEmpty)
+    val rows = graft.ops.PipelineQueries.multimodalAudioEnergy(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, tot, peak) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 1 && n <= 2, "preview scan caps chunks at 2")
+      assert(peak <= tot && tot <= n * 256L * 128 * 128,
+        "energy out of the 8-bit PCM envelope")
+    }
+  }
 }
 
 class StreamingSpec extends SparkSuite {
