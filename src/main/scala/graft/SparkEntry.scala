@@ -423,6 +423,8 @@ object SparkEntry {
       (graft.streaming.Events.streamChainedWindows _),
     "stream_session_native" ->
       (graft.streaming.Events.streamSessionNative _),
+    "stream_dq_quarantine" ->
+      (graft.streaming.Events.streamDqQuarantine _),
     "ann_filtered_topk" -> (PipelineQueries.annFilteredTopK _),
     "embed_norm_stats" -> (PipelineQueries.embedNormStats _),
     "source_csv_quoted" -> ((s: SparkSession, d: String) => {
@@ -1765,6 +1767,45 @@ object SparkEntry {
         |  min(CASE WHEN organic THEN ts_s END) AS first_organic_ts
         |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
     "dedup_embed_cosine" -> dedupEmbedCosineOracle,
+    "stream_dq_quarantine" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |f AS (SELECT *,
+        |    (value IS NULL OR value < 0 OR value > 400) AS r1,
+        |    (event_type = 'error') AS r2,
+        |    (event_type NOT IN
+        |      ('view','click','purchase','signup','error')) AS r3,
+        |    (ts_s < 1704067200 OR ts_s >= 1706745600) AS r4
+        |  FROM e),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM f)
+        |SELECT rule_id, n_violations, n_checked FROM (
+        |  SELECT 'value_in_band' AS rule_id,
+        |    CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    (SELECT total FROM t) AS n_checked FROM f
+        |  UNION ALL
+        |  SELECT 'no_error_events',
+        |    CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT total FROM t) FROM f
+        |  UNION ALL
+        |  SELECT 'known_event_type',
+        |    CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT total FROM t) FROM f
+        |  UNION ALL
+        |  SELECT 'ts_in_era',
+        |    CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT total FROM t) FROM f
+        |  UNION ALL
+        |  SELECT '_quarantined',
+        |    CAST(sum(CASE WHEN r1 OR r2 OR r3 OR r4 THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    (SELECT total FROM t) FROM f
+        |  UNION ALL
+        |  SELECT '_clean',
+        |    CAST(sum(CASE WHEN NOT (r1 OR r2 OR r3 OR r4) THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    (SELECT total FROM t) FROM f)
+        |ORDER BY rule_id""".stripMargin,
     "stream_session_native" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, epoch(ts) AS tsec,

@@ -269,6 +269,63 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming data-quality gate with QUARANTINE split — the
+    * ingestion-time DQ pattern (the batch rule engine is
+    * `q_dq_rules`): every micro-batch is evaluated against a declared
+    * rule set and split to two durable sinks — violating rows append
+    * to a quarantine table, clean rows to the serving table — so bad
+    * data never reaches consumers but is never dropped either. Counts
+    * are additive across batches, so the final audit (per-rule
+    * violations from the quarantine + clean/quarantined totals) is
+    * micro-batch-split-invariant and equals the batch rule evaluation
+    * (the oracle). Rules with zero violations stay in the report —
+    * an empty count is evidence, not absence. */
+  def streamDqQuarantine(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    val work = java.nio.file.Files.createTempDirectory("graft_sdq")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    // rules are written against the normalized (event_id, event_type,
+    // value, ts_s) row shape, so the same predicates evaluate the
+    // in-flight batch AND the quarantine table read back at the end
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "value_in_band" -> (col("value").isNull || col("value") < 0 ||
+        col("value") > 400),
+      "no_error_events" -> (col("event_type") === "error"),
+      "known_event_type" -> !col("event_type")
+        .isin("view", "click", "purchase", "signup", "error"),
+      "ts_in_era" -> (col("ts_s") < 1704067200L ||
+        col("ts_s") >= 1706745600L))
+    val bad = coalesce(rules.map(_._2).reduce(_ || _), lit(true))
+    val fold: (DataFrame, Long) => Unit = (batch, _) => {
+      val b = batch.select(col("event_id"), col("event_type"),
+        col("value"), expr("ts div 1000000000").as("ts_s"))
+      b.filter(bad).write.mode("append")
+        .parquet(s"$work/quarantine")
+      b.filter(!bad).write.mode("append")
+        .parquet(s"$work/clean")
+    }
+    val q = raw.writeStream.foreachBatch(fold)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val quar = spark.read.parquet(s"$work/quarantine")
+    val clean = spark.read.parquet(s"$work/clean")
+    val total = quar.count() + clean.count()
+    val perRule = rules.map { case (id, pred) =>
+      quar.agg(sum(when(pred, 1L).otherwise(0L)).as("n"))
+        .select(lit(id).as("rule_id"),
+          coalesce(col("n"), lit(0L)).as("n_violations"),
+          lit(total).as("n_checked"))
+    }.reduce(_ unionByName _)
+    perRule
+      .unionByName(quar.agg(count(lit(1)).as("n"))
+        .select(lit("_quarantined").as("rule_id"),
+          col("n").as("n_violations"), lit(total).as("n_checked")))
+      .unionByName(clean.agg(count(lit(1)).as("n"))
+        .select(lit("_clean").as("rule_id"),
+          col("n").as("n_violations"), lit(total).as("n_checked")))
+      .orderBy(col("rule_id"))
+  }
+
   /** NATIVE streaming session windows — Spark's merging-window state
     * store (`session_window`), the state shape where windows GROW and
     * MERGE as events arrive instead of being fixed buckets: each

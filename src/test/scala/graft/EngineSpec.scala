@@ -1107,4 +1107,25 @@ class StreamingSpec extends SparkSuite {
       "streaming merging-session state diverged from batch sessions")
     assert(streamed.count() > 0)
   }
+
+  test("dq quarantine conserves rows and matches batch rule counts") {
+    val rows = graft.streaming.Events.streamDqQuarantine(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val total = e.count()
+    // conservation: every row lands in exactly one sink
+    assert(rows("_clean")._1 + rows("_quarantined")._1 == total)
+    assert(rows.values.forall(_._2 == total), "n_checked must be total")
+    // independent batch counts per rule
+    val errors = e.filter(col("event_type") === "error").count()
+    val highVal = e.filter(col("value") > 400).count()
+    assert(rows("no_error_events")._1 == errors)
+    assert(rows("value_in_band")._1 == highVal)
+    assert(rows("known_event_type")._1 == 0L)
+    assert(rows("ts_in_era")._1 == 0L)
+    assert(rows("_quarantined")._1 > 0, "quarantine must be exercised")
+  }
 }
