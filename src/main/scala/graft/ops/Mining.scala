@@ -733,11 +733,14 @@ object Mining {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
         2).as("rev"))
       .withColumn("cents", round(col("rev") * 100, 0).cast("long"))
-    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = per.agg(sum(col("cents")).as("total_cents"))
-    per.crossJoin(broadcast(tot))
-      .withColumn("cum_cents", sum(col("cents")).over(w))
+    // ranged running sum, not a global window: long addition is
+    // associative, so the parallel split is EXACT — the cumsum family's
+    // scale exemplar (no task ever sorts the whole part frame)
+    Ranks.globalRunningSum(per,
+        Seq(col("cents").desc, col("l_partkey").asc), col("cents"),
+        "cum_cents")
+      .crossJoin(broadcast(tot))
       .withColumn("cls",
         when(col("cum_cents") * 10 <= col("total_cents") * 7, "A")
           .when(col("cum_cents") * 20 <= col("total_cents") * 19, "B")

@@ -100,4 +100,38 @@ object Ranks {
     ranked(df, part, order, "_grn")
       .withColumn(out, expr(ntileExpr(k)).cast("long"))
       .drop("_grn", "_tot")
+
+  /** Exact global RUNNING SUM of `value` over the total order `order`
+    * → column `out`, without a single-partition window: ranges run
+    * their local running sums in parallel and a broadcast
+    * |partitions|-row frame adds each range's preceding-ranges total.
+    * EXACT for integral values (the cent/micro-unit cumsums the
+    * boundary-hardened queries use — long addition is associative, so
+    * splitting the scan cannot move a threshold crossing); for
+    * doubles the split changes accumulation order, so keep those on
+    * the sequential window.
+    *
+    * The scale exemplar for the abc/pareto/gini cumsum family: their
+    * entity frames are |parts|/|customers|-bounded today, and this is
+    * the drop-in once such a frame outgrows one task. */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+      out: String): DataFrame = {
+    val local = df.withColumn("_v", value)
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val withPid = local.withColumn("_pid", shiftright(col("_mid"), IdxBits))
+    val offsets = withPid.groupBy(col("_pid")).agg(sum(col("_v")).as("_t"))
+      .withColumn("_off", coalesce(sum(col("_t")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val wLoc = Window.partitionBy(col("_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid.withColumn("_run", sum(col("_v")).over(wLoc))
+      .join(broadcast(offsets), "_pid")
+      .withColumn(out, col("_run") + col("_off"))
+      .drop("_pid", "_mid", "_run", "_off", "_v")
+  }
 }

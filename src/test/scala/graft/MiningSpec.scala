@@ -584,4 +584,23 @@ class MiningSpec extends SparkSuite {
     assert(gA.exceptAll(gB).isEmpty && gB.exceptAll(gA).isEmpty,
       "groupNtile diverged from the partitioned window ntile")
   }
+
+  test("ranged running sum equals the sequential window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      .withColumn("cents", round(col("rev") * 100, 0).cast("long"))
+    val order = Seq(col("cents").desc, col("o_custkey").asc)
+    val viaRanks = graft.ops.Ranks.globalRunningSum(per, order,
+        col("cents"), "cum")
+      .select(col("o_custkey"), col("cum"))
+    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = per.withColumn("cum", sum(col("cents")).over(w))
+      .select(col("o_custkey"), col("cum"))
+    assert(viaRanks.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaRanks).isEmpty,
+      "parallel long cumsum diverged from the sequential window")
+  }
 }
