@@ -448,6 +448,10 @@ object SparkEntry {
     "q_bfs_hops" -> (Mining.qBfsHops _),
     "q_ab_ztest" -> (Mining.qAbZtest _),
     "q_benford_audit" -> (Mining.qBenfordAudit _),
+    "q_chi_square" -> (Mining.qChiSquare _),
+    "q_welch_ttest" -> (Mining.qWelchTtest _),
+    "q_survival_km" -> (Mining.qSurvivalKm _),
+    "q_elasticity" -> (Mining.qElasticity _),
     "q_kmeans" -> (Mining.qKmeans _),
     "embed_pca_power" -> (Mining.qPcaPower _),
     "q_quantile_hist" -> (Mining.qQuantileHist _),
@@ -1704,6 +1708,101 @@ object SparkEntry {
         |  round(sum(pow(n - benford_pct * td, 2) /
         |    (benford_pct * td)) OVER (), 4) AS chi2
         |FROM b ORDER BY digit""".stripMargin,
+    "q_chi_square" ->
+      """WITH cell AS (SELECT event_type, isodow(ts) >= 6 AS is_weekend,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dims AS (SELECT CAST((count(DISTINCT event_type) - 1) *
+        |    (count(DISTINCT is_weekend) - 1) AS BIGINT) AS df
+        |  FROM cell),
+        |t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total,
+        |    round(CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) *
+        |      sum(n) OVER (PARTITION BY is_weekend) /
+        |      sum(n) OVER (), 6) AS expected
+        |  FROM cell),
+        |c AS (SELECT *,
+        |    round(pow(n - expected, 2) / expected, 4) AS contrib FROM t),
+        |x AS (SELECT *, round(sum(contrib) OVER (), 4) AS chi2 FROM c)
+        |SELECT event_type, is_weekend, n, expected, contrib, chi2, df,
+        |  round(sqrt(chi2 / total), 4) AS cramers_v
+        |FROM x, dims ORDER BY event_type, is_weekend""".stripMargin,
+    "q_welch_ttest" ->
+      """WITH v AS (SELECT (user_id % 2) = 0 AS in_a, value FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    round(sum(CASE WHEN in_a THEN value ELSE 0 END), 2) AS s_a,
+        |    round(sum(CASE WHEN in_a THEN value * value ELSE 0 END), 1)
+        |      AS ss_a,
+        |    CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    round(sum(CASE WHEN NOT in_a THEN value ELSE 0 END), 2)
+        |      AS s_b,
+        |    round(sum(CASE WHEN NOT in_a THEN value * value ELSE 0 END),
+        |      1) AS ss_b
+        |  FROM v),
+        |m AS (SELECT n_a, n_b,
+        |    round(s_a / n_a, 6) AS mean_a, round(s_b / n_b, 6) AS mean_b,
+        |    round(ss_a / n_a - (s_a / n_a) * (s_a / n_a), 6) AS var_a,
+        |    round(ss_b / n_b - (s_b / n_b) * (s_b / n_b), 6) AS var_b
+        |  FROM g),
+        |se AS (SELECT *,
+        |    round(var_a / n_a + var_b / n_b, 6) AS se2 FROM m),
+        |z AS (SELECT *,
+        |    round((mean_a - mean_b) / sqrt(se2), 4) AS t_stat,
+        |    round(se2 * se2 / (pow(var_a / n_a, 2) / (n_a - 1) +
+        |      pow(var_b / n_b, 2) / (n_b - 1)), 2) AS df_welch
+        |  FROM se)
+        |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b, se2, t_stat,
+        |  df_welch, abs(t_stat) >= 1.96 AS significant
+        |FROM z""".stripMargin,
+    "q_survival_km" ->
+      """WITH pe AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(ts_s) AS hz FROM pe),
+        |nx AS (SELECT user_id, ts_s, lead(ts_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts_s, event_id) AS nxt
+        |  FROM pe),
+        |lives AS (SELECT
+        |    CAST(floor((COALESCE(nxt, hz) - ts_s) / 3600.0) AS BIGINT)
+        |      AS t,
+        |    nxt IS NOT NULL AS observed
+        |  FROM nx, h),
+        |byt AS (SELECT t,
+        |    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_events,
+        |    CAST(sum(CASE WHEN NOT observed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_censored
+        |  FROM lives GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lives),
+        |r AS (SELECT t, d_events,
+        |    n_total - COALESCE(CAST(sum(d_events + c_censored) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS at_risk
+        |  FROM byt, tot),
+        |f AS (SELECT t, at_risk, d_events,
+        |    round(1.0 - CAST(d_events AS DOUBLE) / at_risk, 6) AS factor
+        |  FROM r WHERE d_events > 0)
+        |SELECT t, at_risk, d_events, factor,
+        |  CASE WHEN sum(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) > 0 THEN 0.0
+        |    ELSE round(exp(sum(round(ln(CASE WHEN factor > 0 THEN factor
+        |      END), 8)) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)), 4) END AS km_survival
+        |FROM f ORDER BY t""".stripMargin,
+    "q_elasticity" ->
+      """WITH li AS (SELECT l_partkey,
+        |    round(ln(1.0 - l_discount), 6) AS x,
+        |    round(ln(l_quantity), 6) AS y
+        |  FROM lineitem),
+        |j AS (SELECT p_brand, x, y
+        |  FROM li JOIN part ON l_partkey = p_partkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(regr_slope(y, x), 4) AS elasticity,
+        |  round(regr_r2(y, x), 4) AS r2
+        |FROM j GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "q_cusum_change" ->
       """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
         |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

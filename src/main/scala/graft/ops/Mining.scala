@@ -862,4 +862,165 @@ object Mining {
         col("chi2"))
       .orderBy(col("digit"))
   }
+
+  /** Chi-square test of independence: is the event-type mix different
+    * on weekends vs weekdays? The contingency table is ONE
+    * partial-aggregable count shuffle to |types|×2 cells; margins,
+    * expected counts, the chi-square statistic and Cramér's V are all
+    * windows over that tiny frame — at 100 TB the only data movement is
+    * the cell rollup. Expected counts are rounded to 6 dp before the
+    * (O−E)²/E contribution (the shared-value contract), contributions
+    * and the statistic to 4. Weekend ⟷ Spark `weekday ≥ 5` ⟷ DuckDB
+    * `isodow ≥ 6`. */
+  def qChiSquare(s: SparkSession, d: String): DataFrame = {
+    val cell = Tables.events(s, d)
+      .select(col("event_type"), (weekday(col("ts")) >= 5).as("is_weekend"))
+      .groupBy(col("event_type"), col("is_weekend"))
+      .agg(count(lit(1)).as("n"))
+    val dims = cell.agg(
+      ((countDistinct(col("event_type")) - 1) *
+        (countDistinct(col("is_weekend")) - 1)).as("df"))
+    val w = Window.partitionBy()
+    val wr = Window.partitionBy(col("event_type"))
+    val wc = Window.partitionBy(col("is_weekend"))
+    cell
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("expected",
+        round(sum(col("n")).over(wr).cast("double") *
+          sum(col("n")).over(wc) / col("total"), 6))
+      .withColumn("contrib",
+        round(pow(col("n") - col("expected"), 2) / col("expected"), 4))
+      .withColumn("chi2", round(sum(col("contrib")).over(w), 4))
+      .crossJoin(broadcast(dims))
+      .withColumn("cramers_v",
+        round(sqrt(col("chi2") / col("total")), 4))
+      .select(col("event_type"), col("is_weekend"), col("n"),
+        col("expected"), col("contrib"), col("chi2"), col("df"),
+        col("cramers_v"))
+      .orderBy(col("event_type"), col("is_weekend"))
+  }
+
+  /** Welch's unequal-variance two-sample t-test on purchase values,
+    * cohorts split by user-id parity (the deterministic assignment
+    * stand-in). Means and variances come from ONE conditional
+    * sum/sum-of-squares aggregate — fully map-side combinable, so the
+    * whole test is a single reduction regardless of scale. Variance
+    * uses the `ssq/n − mean²` shape on 6-dp pre-rounded moments (the
+    * cross-engine float contract); t to 4 dp, Welch–Satterthwaite df
+    * to 2. */
+  def qWelchTtest(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(((col("user_id") % 2) === 0).as("in_a"), col("value"))
+    val g = v.agg(
+      sum(when(col("in_a"), 1).otherwise(0)).as("n_a"),
+      round(sum(when(col("in_a"), col("value")).otherwise(0.0)), 2)
+        .as("s_a"),
+      round(sum(when(col("in_a"), col("value") * col("value"))
+        .otherwise(0.0)), 1).as("ss_a"),
+      sum(when(!col("in_a"), 1).otherwise(0)).as("n_b"),
+      round(sum(when(!col("in_a"), col("value")).otherwise(0.0)), 2)
+        .as("s_b"),
+      round(sum(when(!col("in_a"), col("value") * col("value"))
+        .otherwise(0.0)), 1).as("ss_b"))
+    g.select(col("n_a"), col("n_b"),
+        round(col("s_a") / col("n_a"), 6).as("mean_a"),
+        round(col("s_b") / col("n_b"), 6).as("mean_b"),
+        round((col("ss_a") / col("n_a")) -
+          (col("s_a") / col("n_a")) * (col("s_a") / col("n_a")), 6)
+          .as("var_a"),
+        round((col("ss_b") / col("n_b")) -
+          (col("s_b") / col("n_b")) * (col("s_b") / col("n_b")), 6)
+          .as("var_b"))
+      .withColumn("se2",
+        round(col("var_a") / col("n_a") + col("var_b") / col("n_b"), 6))
+      .withColumn("t_stat",
+        round((col("mean_a") - col("mean_b")) / sqrt(col("se2")), 4))
+      .withColumn("df_welch",
+        round(col("se2") * col("se2") /
+          (pow(col("var_a") / col("n_a"), 2) / (col("n_a") - 1) +
+            pow(col("var_b") / col("n_b"), 2) / (col("n_b") - 1)), 2))
+      .withColumn("significant", abs(col("t_stat")) >= 1.96)
+  }
+
+  /** Kaplan–Meier survival curve of time-to-next-purchase: every
+    * purchase is a subject whose "survival time" is the whole hours
+    * until the SAME user's next purchase — observed when that next
+    * purchase exists, right-censored at the corpus horizon when it
+    * doesn't (the standard repurchase-latency curve, with genuine
+    * censoring). The subject table is ONE user-keyed window pass (the
+    * sessionization shuffle shape); the risk table lives on the
+    * |distinct gap-hours| frame (≤ observation window in hours, tiny),
+    * where at-risk counts are EXACT integer arithmetic
+    * (total − running casualties) and the survival product runs as
+    * `exp(Σ ln factor)` over 6-dp pre-rounded factors with 8-dp
+    * pre-rounded logs — the same sequential-cumsum contract the CUSUM
+    * family uses, so both engines walk identical doubles. */
+  def qSurvivalKm(s: SparkSession, d: String): DataFrame = {
+    val pe = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val horizon = pe.agg(max(col("ts_s")).as("hz"))
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val lives = pe
+      .withColumn("nxt", lead(col("ts_s"), 1).over(wU))
+      .crossJoin(broadcast(horizon))
+      .select(
+        floor((coalesce(col("nxt"), col("hz")) - col("ts_s")) / 3600L)
+          .cast("long").as("t"),
+        col("nxt").isNotNull.as("observed"))
+    val byT = lives.groupBy(col("t"))
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d_events"),
+        sum(when(!col("observed"), 1L).otherwise(0L)).as("c_censored"))
+    val wOrd = Window.orderBy(col("t"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = lives.agg(count(lit(1)).as("n_total"))
+    byT
+      .crossJoin(broadcast(tot))
+      .withColumn("at_risk",
+        col("n_total") -
+          coalesce(sum(col("d_events") + col("c_censored")).over(wPrev),
+            lit(0L)))
+      .filter(col("d_events") > 0)
+      .withColumn("factor",
+        round(lit(1.0) - col("d_events").cast("double") / col("at_risk"),
+          6))
+      // Once a factor hits exactly 0 (the whole remaining risk set
+      // dies) the curve is 0 forever; the log-sum skips that row
+      // explicitly because Spark log(0)=NULL vs DuckDB ln(0)=-inf.
+      .withColumn("km_survival",
+        when(sum(when(col("factor") === 0, 1).otherwise(0)).over(wCum) > 0,
+          lit(0.0))
+          .otherwise(round(exp(sum(
+            round(log(when(col("factor") > 0, col("factor"))), 8))
+            .over(wCum)), 4)))
+      .select(col("t"), col("at_risk"), col("d_events"), col("factor"),
+        col("km_survival"))
+      .orderBy(col("t"))
+  }
+
+  /** Per-brand discount elasticity: the OLS slope of ln(quantity) on
+    * ln(1−discount) across a brand's line items (log-log slope =
+    * elasticity). The part dimension broadcasts into the fact scan, the
+    * regression inputs are 6-dp pre-rounded, and `regr_slope`/`regr_r2`
+    * are partial-aggregable built-ins — so the fact table moves exactly
+    * once (the groupBy-brand rollup) no matter the scale, the same
+    * shape as [[qLinregTrend]]. */
+  def qElasticity(s: SparkSession, d: String): DataFrame = {
+    val brands = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        round(log(lit(1.0) - col("l_discount")), 6).as("x"),
+        round(log(col("l_quantity")), 6).as("y"))
+      .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(expr("regr_slope(y, x)"), 4).as("elasticity"),
+        round(expr("regr_r2(y, x)"), 4).as("r2"))
+      .orderBy(col("p_brand"))
+  }
 }

@@ -603,4 +603,95 @@ class MiningSpec extends SparkSuite {
       viaWindow.exceptAll(viaRanks).isEmpty,
       "parallel long cumsum diverged from the sequential window")
   }
+
+  test("chi-square cells cover all events; expected margins match observed") {
+    val rows = Mining.qChiSquare(spark, sf).collect()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n"))).sum ==
+      Tables.events(spark, sf).count(),
+      "every event lands in exactly one contingency cell")
+    // expected counts reproduce the observed margins (within rounding)
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { cells =>
+      val obs = cells.map(_.getLong(cells.head.fieldIndex("n"))).sum
+      val exp = cells.map(_.getDouble(cells.head.fieldIndex("expected"))).sum
+      assert(math.abs(obs - exp) < 0.01, s"row margin drift: $obs vs $exp")
+    }
+    val chi2 = rows.head.getDouble(rows.head.fieldIndex("chi2"))
+    assert(chi2 >= 0 &&
+      rows.forall(r => r.getDouble(r.fieldIndex("chi2")) == chi2))
+    val df = rows.head.getLong(rows.head.fieldIndex("df"))
+    assert(df == (byType.size - 1) *
+      (rows.map(_.getBoolean(1)).distinct.length - 1))
+  }
+
+  test("welch t-test agrees with an independent stats computation") {
+    val r = Mining.qWelchTtest(spark, sf).head()
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0) % 2 == 0, x.getDouble(1)))
+    val (a, b) = vals.partition(_._1)
+    assert(r.getLong(r.fieldIndex("n_a")) == a.length &&
+      r.getLong(r.fieldIndex("n_b")) == b.length)
+    def mv(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => x * x).sum / xs.length - m * m)
+    }
+    val (ma, va) = mv(a.map(_._2)); val (mb, vb) = mv(b.map(_._2))
+    assert(math.abs(r.getDouble(r.fieldIndex("mean_a")) - ma) < 1e-3)
+    assert(math.abs(r.getDouble(r.fieldIndex("mean_b")) - mb) < 1e-3)
+    val se2 = va / a.length + vb / b.length
+    val t = (ma - mb) / math.sqrt(se2)
+    assert(math.abs(r.getDouble(r.fieldIndex("t_stat")) - t) < 1e-2)
+    val dfW = se2 * se2 / (math.pow(va / a.length, 2) / (a.length - 1) +
+      math.pow(vb / b.length, 2) / (b.length - 1))
+    assert(math.abs(r.getDouble(r.fieldIndex("df_welch")) - dfW) < 1.0)
+    assert(r.getBoolean(r.fieldIndex("significant")) ==
+      (math.abs(r.getDouble(r.fieldIndex("t_stat"))) >= 1.96))
+  }
+
+  test("kaplan-meier curve is monotone and matches a direct estimator") {
+    val rows = Mining.qSurvivalKm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val km = rows.map(_.getDouble(rows.head.fieldIndex("km_survival")))
+    assert(km.zip(km.tail).forall { case (p, n) => n <= p + 1e-9 },
+      "survival must be non-increasing")
+    assert(km.forall(s => s >= 0.0 && s <= 1.0))
+    // at-risk counts strictly decrease along the ordered risk table
+    val atRisk = rows.map(_.getLong(rows.head.fieldIndex("at_risk")))
+    assert(atRisk.zip(atRisk.tail).forall { case (p, n) => n < p })
+    // direct product-limit estimate at the last event time
+    val direct = rows.foldLeft(1.0) { (acc, r) =>
+      acc * (1.0 - r.getLong(r.fieldIndex("d_events")).toDouble /
+        r.getLong(r.fieldIndex("at_risk")))
+    }
+    assert(math.abs(km.last - direct) < 1e-3,
+      s"km tail ${km.last} vs direct $direct")
+  }
+
+  test("elasticity slope matches a hand-rolled per-brand OLS") {
+    val rows = Mining.qElasticity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pts = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        round(log(lit(1.0) - col("l_discount")), 6).as("x"),
+        round(log(col("l_quantity")), 6).as("y"))
+      .join(Tables.part(spark, sf)
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("x"), col("y")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.take(5).foreach { r =>
+      val g = pts(r.getString(0))
+      val n = g.length.toDouble
+      val (sx, sy) = (g.map(_._2).sum, g.map(_._3).sum)
+      val sxy = g.map(p => p._2 * p._3).sum
+      val sxx = g.map(p => p._2 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getDouble(r.fieldIndex("elasticity")) - slope)
+        < 1e-2, s"${r.getString(0)}: ${r.getDouble(2)} vs $slope")
+      assert(r.getLong(r.fieldIndex("n_items")) == g.length)
+    }
+  }
 }
