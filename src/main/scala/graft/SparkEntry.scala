@@ -464,6 +464,7 @@ object SparkEntry {
     "text_zipf_slope" -> (PipelineQueries.textZipfSlope _),
     "multimodal_phash_dedup" -> (PipelineQueries.multimodalPhashDedup _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
+    "stream_event_pattern" -> (graft.streaming.Events.streamEventPattern _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
@@ -559,7 +560,13 @@ object SparkEntry {
     "sink_compaction" -> (graft.sources.Layouts.compaction _),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** stream_event_pattern is contracted to equal its batch twin, so it
+    * shares the q_event_pattern oracle SQL verbatim. */
+  def oracleSql: Map[String, String] =
+    oracleSqlBase +
+      ("stream_event_pattern" -> oracleSqlBase("q_event_pattern"))
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "shred_flatten" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

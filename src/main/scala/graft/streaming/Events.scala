@@ -731,4 +731,86 @@ object Events {
         s"the source, or switch the fold to watermark-buffered ordering")
     spark.table(name).orderBy(col("event_type"), col("event_id"))
   }
+
+  case class PatEvent(user_id: Long, event_id: Long, event_type: String,
+      ts_s: Long)
+  case class PatState(lastView: Long, bestClick: Long, nMatches: Long,
+      firstMatch: Long, minDur: Long, maxDur: Long, epoch: Long)
+  case class PatRow(user_id: Long, epoch: Long, n_matches: Long,
+      first_match_ts: Long, min_dur_s: Long, max_dur_s: Long)
+
+  /** Streaming sequence-pattern matching — the MATCH_RECOGNIZE shape
+    * `PATTERN (view any* click any* purchase)` with ≤24 h stage gaps
+    * (the batch [[graft.ops.Behavior.qEventPattern]]) maintained as
+    * O(1) per-user state: the running last-view timestamp, the running
+    * best qualifying click in the same gap-encoded BIGINT the batch
+    * operator uses (`click_ts·2¹⁷ + gap`, exact integer arithmetic),
+    * and the match census. Every event advances the automaton one
+    * step, so a billion-user stream holds six longs per user — state
+    * never grows with the timeline, unlike buffering approaches. The
+    * fold is incremental across micro-batches as long as each user's
+    * events arrive in (ts, event_id) order batch-over-batch (sorted
+    * within each batch; the one-file AvailableNow source satisfies
+    * this); each batch re-emits the census (update mode) and the
+    * presentation keeps the newest epoch per user. */
+  def streamEventPattern(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import spark.implicits._
+    val bound = 86400L
+    val enc = 131072L
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    val evs = raw.select(col("user_id"), col("event_id"),
+      col("event_type"), expr("ts div 1000000000").as("ts_s")).as[PatEvent]
+    val fn = (uid: Long, it: Iterator[PatEvent],
+        state: GroupState[PatState]) => {
+      val st = state.getOption
+        .getOrElse(PatState(-1L, -1L, 0L, -1L, -1L, -1L, 0L))
+      var lv = st.lastView; var bc = st.bestClick; var nm = st.nMatches
+      var fm = st.firstMatch; var mnd = st.minDur; var mxd = st.maxDur
+      it.toArray.sortBy(e => (e.ts_s, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "view" =>
+            if (e.ts_s > lv) lv = e.ts_s
+          case "click" =>
+            if (lv >= 0 && e.ts_s >= lv && e.ts_s <= lv + bound) {
+              val ce = e.ts_s * enc + (e.ts_s - lv)
+              if (ce > bc) bc = ce
+            }
+          case "purchase" =>
+            if (bc >= 0) {
+              val clickTs = bc / enc
+              val viewTs = clickTs - bc % enc
+              if (e.ts_s >= clickTs && e.ts_s <= clickTs + bound) {
+                val dur = e.ts_s - viewTs
+                nm += 1
+                if (fm < 0 || e.ts_s < fm) fm = e.ts_s
+                if (mnd < 0 || dur < mnd) mnd = dur
+                if (mxd < 0 || dur > mxd) mxd = dur
+              }
+            }
+          case _ => ()
+        }
+      }
+      val next = PatState(lv, bc, nm, fm, mnd, mxd, st.epoch + 1)
+      state.update(next)
+      PatRow(uid, next.epoch, nm, fm, mnd, mxd)
+    }
+    val out = evs.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+    val name = s"graft_stream_pat_${n.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode("update").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_matches"), col("first_match_ts"),
+        col("min_dur_s"), col("max_dur_s")), col("epoch")).as("_r"))
+      .filter(col("_r.n_matches") > 0)
+      .select(col("user_id"), col("_r.n_matches").as("n_matches"),
+        col("_r.first_match_ts").as("first_match_ts"),
+        col("_r.min_dur_s").as("min_dur_s"),
+        col("_r.max_dur_s").as("max_dur_s"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -1128,4 +1128,13 @@ class StreamingSpec extends SparkSuite {
     assert(rows("ts_in_era")._1 == 0L)
     assert(rows("_quarantined")._1 > 0, "quarantine must be exercised")
   }
+
+  test("streaming event-pattern automaton equals the batch operator") {
+    val streamed = graft.streaming.Events.streamEventPattern(spark, sf)
+    val batch = graft.ops.Behavior.qEventPattern(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streaming pattern census diverged from the batch window pass")
+    assert(streamed.count() > 0, "pattern must be exercised")
+  }
 }
