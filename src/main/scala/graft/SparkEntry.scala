@@ -549,6 +549,9 @@ object SparkEntry {
     "source_text_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.textRoundtrip(s, d)
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
+    "source_xml_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.sources.Formats.xmlRoundtrip(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
     "source_json_gzip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.jsonGzipRoundtrip(s, d)
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
@@ -2760,6 +2763,10 @@ object SparkEntry {
         |FROM x GROUP BY user_id, sess_id
         |ORDER BY user_id, start_s""".stripMargin,
     "source_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "source_xml_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,

@@ -79,6 +79,24 @@ object Formats {
     s.read.orc(path)
   }
 
+  /** XML sink + source roundtrip via Spark 4's built-in XML data
+    * source (`format("xml")`, one `<order>` element per row) — the
+    * B2B/legacy-feed interchange path. The reader infers types from
+    * element text, so the reread is requested with the writer's
+    * explicit schema (same contract as the CSV roundtrip); `rowTag`
+    * makes the files splittable per element batch. Column order is
+    * re-asserted because XML readers return fields alphabetically. */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("orders_xml", d)
+    val df = ordersInterchange(s, d)
+    df.write.mode(SaveMode.Overwrite).format("xml")
+      .option("rootTag", "orders").option("rowTag", "order")
+      .save(path)
+    s.read.schema(df.schema).format("xml")
+      .option("rowTag", "order").load(path)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Plain-text sink + source: one pipe-delimited line per order,
     * reread with `spark.read.text` and re-parsed (the log-file
     * ingestion path). The double survives because Spark's
