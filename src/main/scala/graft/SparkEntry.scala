@@ -446,6 +446,7 @@ object SparkEntry {
     "q_connected_components" -> (Mining.qConnectedComponents _),
     "q_label_prop" -> (Mining.qLabelProp _),
     "q_bfs_hops" -> (Mining.qBfsHops _),
+    "q_sssp_weighted" -> (Mining.qSsspWeighted _),
     "q_ab_ztest" -> (Mining.qAbZtest _),
     "q_benford_audit" -> (Mining.qBenfordAudit _),
     "q_chi_square" -> (Mining.qChiSquare _),
@@ -1677,6 +1678,26 @@ object SparkEntry {
         |d AS (SELECT id, CAST(min(h) AS INT) AS h FROM reach GROUP BY 1)
         |SELECT h, count(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sssp_weighted" ->
+      """WITH RECURSIVE sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+        |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |e AS (SELECT a.pk AS u, b.pk AS v, CAST(count(*) AS BIGINT) AS w
+        |  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 1),
+        |s0 AS (SELECT x AS sid FROM (
+        |  SELECT x, count(*) AS deg FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1 ORDER BY deg DESC, x LIMIT 1)),
+        |walk(id, cost, h) AS (
+        |  SELECT sid, CAST(0 AS BIGINT), 0 FROM s0
+        |  UNION
+        |  SELECT CASE WHEN e.u = r.id THEN e.v ELSE e.u END,
+        |    r.cost + e.w, r.h + 1
+        |  FROM walk r JOIN e ON e.u = r.id OR e.v = r.id
+        |  WHERE r.h < 3)
+        |SELECT id, CAST(min(cost) AS BIGINT) AS cost FROM walk
+        |GROUP BY 1 ORDER BY id""".stripMargin,
     "q_ab_ztest" ->
       """WITH per AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' AND value >= 200

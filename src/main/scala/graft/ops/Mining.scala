@@ -210,6 +210,24 @@ object Mining {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** [[sparsePartEdges]] keeping the co-purchase count as the edge
+    * weight (for weighted-path operators). */
+  private def sparsePartEdgesWeighted(s: SparkSession, d: String,
+      minW: Int = 2): DataFrame = {
+    val sparse = Tables.part(s, d).filter(col("p_size") <= 3)
+      .select(col("p_partkey"))
+    val ls = Tables.lineitem(s, d)
+      .join(broadcast(sparse), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    ls.as("x")
+      .join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("id_a"), col("y.l_partkey").as("id_b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minW)
+  }
+
   /** Connected components of the sparse repeat-co-purchase graph
     * ([[sparsePartEdges]]), surfacing the dedup engine's
     * pointer-jumping min-label propagation ([[graft.dedup.Components]])
@@ -1000,6 +1018,45 @@ object Mining {
       .select(col("t"), col("at_risk"), col("d_events"), col("factor"),
         col("km_survival"))
       .orderBy(col("t"))
+  }
+
+  /** Weighted single-source shortest paths (≤3 edges) over the sparse
+    * co-purchase graph, edge cost = co-purchase count: three
+    * Bellman–Ford relaxation rounds from the max-degree hub — round i
+    * yields the exact min cost over paths of ≤i edges, because integer
+    * `min` is associative and the frontier optimization (relax only
+    * from nodes whose cost improved last round) is lossless. Each
+    * round is one broadcast-frontier join against the checkpointed
+    * edge list + a group-min — O(frontier × degree) per round, never
+    * the whole graph, the same scale shape as [[qBfsHops]]; all costs
+    * are exact BIGINTs, so no float can flip a min. Oracle =
+    * depth-bounded recursive CTE over the same weighted edges. */
+  def qSsspWeighted(s: SparkSession, d: String): DataFrame = {
+    val e = sparsePartEdgesWeighted(s, d, minW = 1)
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"),
+        col("w"))
+      .union(e.select(col("id_b").as("src"), col("id_a").as("dst"),
+        col("w")))
+      .localCheckpoint(true)
+    val hub = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("id"))
+      .limit(1)
+      .select(col("id"))
+    var dist = hub.withColumn("cost", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    for (_ <- 1 to 3) {
+      val cand = sym
+        .join(broadcast(frontier.withColumnRenamed("id", "src")), "src")
+        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
+      val merged = dist.union(cand)
+        .groupBy(col("id")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      frontier = merged.join(dist, Seq("id", "cost"), "left_anti")
+        .localCheckpoint(true)
+      dist = merged
+    }
+    dist.orderBy(col("id"))
   }
 
   /** Per-brand discount elasticity: the OLS slope of ln(quantity) on

@@ -604,6 +604,37 @@ class MiningSpec extends SparkSuite {
       "parallel long cumsum diverged from the sequential window")
   }
 
+  test("weighted sssp equals an in-memory 3-round bellman-ford") {
+    val got = Mining.qSsspWeighted(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the same weighted co-purchase graph independently
+    val sparse = Tables.part(spark, sf).filter(col("p_size") <= 3)
+      .select(col("p_partkey"))
+    val ls = Tables.lineitem(spark, sf)
+      .join(sparse, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = ls.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).map { case ((a, b), g) => (a, b, g.size.toLong) }
+    val adj = edges.flatMap { case (a, b, w) => Seq((a, (b, w)), (b, (a, w))) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val hub = adj.toSeq.map { case (id, ns) => (id, ns.size) }
+      .sortBy { case (id, deg) => (-deg, id) }.head._1
+    var dist = Map(hub -> 0L)
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (u, c) =>
+        adj.getOrElse(u, Nil).map { case (v, w) => (v, c + w) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).min }
+    }
+    assert(got == dist,
+      s"sssp diverged: got ${got.size} rows, expected ${dist.size}")
+  }
+
   test("chi-square cells cover all events; expected margins match observed") {
     val rows = Mining.qChiSquare(spark, sf).collect()
     assert(rows.map(_.getLong(rows.head.fieldIndex("n"))).sum ==
