@@ -447,6 +447,7 @@ object SparkEntry {
     "q_label_prop" -> (Mining.qLabelProp _),
     "q_bfs_hops" -> (Mining.qBfsHops _),
     "q_sssp_weighted" -> (Mining.qSsspWeighted _),
+    "q_inventory_balance" -> (Mining.qInventoryBalance _),
     "q_ab_ztest" -> (Mining.qAbZtest _),
     "q_benford_audit" -> (Mining.qBenfordAudit _),
     "q_chi_square" -> (Mining.qChiSquare _),
@@ -1698,6 +1699,26 @@ object SparkEntry {
         |  WHERE r.h < 3)
         |SELECT id, CAST(min(cost) AS BIGINT) AS cost FROM walk
         |GROUP BY 1 ORDER BY id""".stripMargin,
+    "q_inventory_balance" ->
+      """WITH mv AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CASE WHEN l_returnflag IN ('A', 'R')
+        |      THEN l_quantity ELSE -l_quantity END) AS BIGINT) AS net
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |    CAST(sum(net) OVER w AS BIGINT) AS cum
+        |  FROM mv WINDOW w AS (PARTITION BY l_partkey ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |b AS (SELECT *,
+        |    cum - least(CAST(0 AS BIGINT), CAST(min(cum) OVER w
+        |      AS BIGINT)) AS balance
+        |  FROM c WINDOW w AS (PARTITION BY l_partkey ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_days,
+        |  max(balance) AS peak_balance,
+        |  max_by(balance, day) AS end_balance,
+        |  CAST(sum(CASE WHEN balance = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stockout_days
+        |FROM b GROUP BY 1 ORDER BY l_partkey""".stripMargin,
     "q_ab_ztest" ->
       """WITH per AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' AND value >= 200

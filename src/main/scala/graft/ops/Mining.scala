@@ -1059,6 +1059,37 @@ object Mining {
     dist.orderBy(col("id"))
   }
 
+  /** Floor-at-zero running inventory balance per part — the capped
+    * cumulative sum that naive window sums can't express (a stockout
+    * resets the base). Computed in closed form instead of a sequential
+    * fold: `balance_t = cumsum_t − min(0, running_min(cumsum_t))`,
+    * which is provably the `max(0, prev + net)` recurrence — so the
+    * whole computation stays in ONE per-part window pass over exact
+    * BIGINT quantities (no iteration, no state, no float). Daily net =
+    * inflow (returnflag A/R) − outflow (N). The per-part summary
+    * (peak/end balance, stockout days) keeps output at |parts| rows;
+    * the only corpus shuffle is the (part, day) rollup, then windows
+    * ride the same part partitioning. */
+  def qInventoryBalance(s: SparkSession, d: String): DataFrame = {
+    val mv = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(when(col("l_returnflag").isin("A", "R"), col("l_quantity"))
+        .otherwise(-col("l_quantity"))).cast("long").as("net"))
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = mv
+      .withColumn("c", sum(col("net")).over(w))
+      .withColumn("balance",
+        col("c") - least(lit(0L), min(col("c")).over(w)))
+    b.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("balance")).as("peak_balance"),
+        max_by(col("balance"), col("day")).as("end_balance"),
+        sum(when(col("balance") === 0, 1L).otherwise(0L))
+          .as("n_stockout_days"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** Per-brand discount elasticity: the OLS slope of ln(quantity) on
     * ln(1−discount) across a brand's line items (log-log slope =
     * elasticity). The part dimension broadcasts into the fact scan, the

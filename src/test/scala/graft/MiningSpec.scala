@@ -635,6 +635,32 @@ class MiningSpec extends SparkSuite {
       s"sssp diverged: got ${got.size} rows, expected ${dist.size}")
   }
 
+  test("inventory balance closed form equals the max(0,prev+net) recurrence") {
+    val got = Mining.qInventoryBalance(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val mv = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(when(col("l_returnflag").isin("A", "R"), col("l_quantity"))
+        .otherwise(-col("l_quantity"))).cast("long").as("net"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.keySet == mv.keySet)
+    mv.foreach { case (pk, rows) =>
+      var bal = 0L; var peak = 0L; var zero = 0L
+      rows.sortBy(_._2.toEpochDay).foreach { case (_, _, net) =>
+        bal = math.max(0L, bal + net)
+        peak = math.max(peak, bal)
+        if (bal == 0L) zero += 1
+      }
+      val (nDays, gotPeak, gotEnd, gotZero) = got(pk)
+      assert(nDays == rows.size && gotPeak == peak && gotEnd == bal &&
+        gotZero == zero,
+        s"part $pk: got ${got(pk)}, expected (${rows.size},$peak,$bal,$zero)")
+    }
+  }
+
   test("chi-square cells cover all events; expected margins match observed") {
     val rows = Mining.qChiSquare(spark, sf).collect()
     assert(rows.map(_.getLong(rows.head.fieldIndex("n"))).sum ==
