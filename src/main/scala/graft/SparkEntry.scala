@@ -464,6 +464,8 @@ object SparkEntry {
     "q_dq_rules" -> (Warehouse.qDqRules _),
     "q_fuzzy_join" -> (Warehouse.qFuzzyJoin _),
     "text_zipf_slope" -> (PipelineQueries.textZipfSlope _),
+    "data_pack_sequences" -> (PipelineQueries.dataPackSequences _),
+    "data_mixture_plan" -> (PipelineQueries.dataMixturePlan _),
     "multimodal_phash_dedup" -> (PipelineQueries.multimodalPhashDedup _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_event_pattern" -> (graft.streaming.Events.streamEventPattern _),
@@ -3379,6 +3381,41 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text),
         |    '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "data_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t),
+        |p AS (SELECT *, cum - n_tok AS start_off,
+        |    (cum - n_tok) // 512 AS pack_id,
+        |    n_tok > 0 AND (cum - 1) // 512 > (cum - n_tok) // 512 AS spill
+        |  FROM c)
+        |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc,
+        |  CAST(sum(CASE WHEN spill THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_spill
+        |FROM p GROUP BY 1 ORDER BY pack_id""".stripMargin,
+    "data_mixture_plan" ->
+      """WITH per AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]|[^a-z0-9\s]'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |sh AS (SELECT *,
+        |    round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6)
+        |      AS share
+        |  FROM per),
+        |wr AS (SELECT *, round(pow(share, 0.7), 6) AS w_raw FROM sh),
+        |wt AS (SELECT *, round(w_raw / sum(w_raw) OVER (), 6) AS weight
+        |  FROM wr)
+        |SELECT source, n_docs, n_tokens, share, weight,
+        |  round(weight / share, 4) AS sample_rate
+        |FROM wt ORDER BY source""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -1160,4 +1160,56 @@ object PipelineQueries {
       .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Concat-and-chunk sequence packing — the GPT-style pretraining
+    * step that concatenates the tokenized corpus in a fixed order and
+    * slices it into 512-token training sequences. Each document is
+    * assigned to the pack containing its first token; `n_spill` counts
+    * docs crossing a pack boundary (truncation/attention-reset
+    * candidates). The token cumsum runs as [[Ranks.globalRunningSum]]
+    * — parallel per-range running sums + broadcast offsets, exact for
+    * BIGINTs — so the pack assignment never funnels the corpus through
+    * one task; pack boundaries are pure integer division. Output is
+    * |corpus|/512 pack rows. */
+  def dataPackSequences(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.bpeishCount(col("text")).as("n_tok"))
+    Ranks.globalRunningSum(toks, Seq(col("doc_id")), col("n_tok"), "cum")
+      .withColumn("start_off", col("cum") - col("n_tok"))
+      .withColumn("pack_id", expr("start_off div 512"))
+      .withColumn("spill",
+        col("n_tok") > 0 && expr("(cum - 1) div 512") > col("pack_id"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        sum(when(col("spill"), 1L).otherwise(0L)).as("n_spill"))
+      .orderBy(col("pack_id"))
+  }
+
+  /** Temperature-based source-mixture plan — the data-mixing table a
+    * pretraining run needs: per source, the raw token share and the
+    * τ=0.7 temperature-adjusted sampling weight (`share^0.7`
+    * renormalized — upweights small sources, the standard multilingual
+    * recipe), plus the resulting sample rate (effective epochs over
+    * that source). One partial-aggregable rollup to |sources| rows;
+    * everything after is window math on that tiny frame, with shares
+    * and weights 6-dp pre-rounded so both engines renormalize
+    * identical doubles. */
+  def dataMixturePlan(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.documents(s, d)
+      .select(col("source"), TextOps.bpeishCount(col("text")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("share",
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(w), 6))
+      .withColumn("w_raw", round(pow(col("share"), 0.7), 6))
+      .withColumn("weight", round(col("w_raw") / sum(col("w_raw")).over(w), 6))
+      .withColumn("sample_rate", round(col("weight") / col("share"), 4))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        col("weight"), col("sample_rate"))
+      .orderBy(col("source"))
+  }
 }

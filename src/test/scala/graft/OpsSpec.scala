@@ -312,4 +312,45 @@ class OpsSpec extends SparkSuite {
     // each triangle consumes 3 distinct edges; a loose but real bound
     assert(tris <= edges * (edges - 1) / 6 + edges)
   }
+
+  test("sequence packing conserves docs and tokens across packs") {
+    import graft.ops.PipelineQueries
+    val packs = PipelineQueries.dataPackSequences(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val nToks = docs
+      .agg(org.apache.spark.sql.functions.sum(
+        graft.text.TextOps.bpeishCount(
+          org.apache.spark.sql.functions.col("text"))))
+      .head().getLong(0)
+    assert(packs.map(_.getLong(1)).sum == nDocs,
+      "every doc starts in exactly one pack")
+    assert(packs.map(_.getLong(2)).sum == nToks,
+      "token mass is conserved")
+    val ids = packs.map(_.getLong(0))
+    assert(ids.head == 0L && ids.toSeq == ids.toSeq.sorted,
+      "pack ids start at 0 and are ordered")
+    // every pack except possibly the last must be full enough that the
+    // NEXT doc starts in a later pack: docs starting here + spill
+    // cover the 512 span, so n_tokens + carry >= what fits — weaker
+    // invariant: no pack id is skipped unless a doc spans it entirely
+    assert(packs.forall(_.getLong(1) >= 1), "no empty pack rows")
+  }
+
+  test("mixture plan weights renormalize and upweight small sources") {
+    import graft.ops.PipelineQueries
+    val rows = PipelineQueries.dataMixturePlan(spark, sf).collect()
+    val share = rows.map(_.getDouble(3)).sum
+    val weight = rows.map(_.getDouble(4)).sum
+    assert(math.abs(share - 1.0) < 1e-3, s"shares sum to $share")
+    assert(math.abs(weight - 1.0) < 1e-3, s"weights sum to $weight")
+    // temperature < 1 compresses: the smallest source must gain
+    // sampling mass, the largest must lose it
+    val smallest = rows.minBy(_.getDouble(3))
+    val largest = rows.maxBy(_.getDouble(3))
+    assert(smallest.getDouble(5) >= 1.0 - 1e-9,
+      "smallest source must be upsampled")
+    assert(largest.getDouble(5) <= 1.0 + 1e-9,
+      "largest source must be downsampled")
+  }
 }
