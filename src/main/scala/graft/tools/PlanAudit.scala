@@ -85,7 +85,13 @@ object PlanAudit {
       "dedup_embed_cosine (one 16-plane code pass; only (a,b,cos) survivors shuffle)" ->
         PipelineQueries.dedupEmbedCosine(spark, d),
       "q_abc_class (ranged parallel cent cumsum — exact, no global sort)" ->
-        graft.ops.Mining.qAbcClass(spark, d))
+        graft.ops.Mining.qAbcClass(spark, d),
+      "q_inventory_balance (capped cumsum in closed form — one per-part window pass)" ->
+        graft.ops.Mining.qInventoryBalance(spark, d),
+      "data_pack_sequences (ranged parallel token cumsum; integer-div pack bounds)" ->
+        PipelineQueries.dataPackSequences(spark, d),
+      "q_sssp_weighted (broadcast-frontier relaxation vs checkpointed edges)" ->
+        graft.ops.Mining.qSsspWeighted(spark, d))
     val out = new StringBuilder
     out.append("# PLANS — physical-plan audit (generated by " +
       "graft.tools.PlanAudit)\n\n")
