@@ -1,17 +1,24 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/check.py [sfDir] [outDir]
+Usage: python3 tools/check.py [sfDir] [outDir] [--only a,b] [--skip a,b]
 
 Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran.
 Creates DuckDB views named after each table over the sfDir parquet,
 runs every oracle_sql.json query, and compares against the Spark
 parquet dump: columns sorted by name, rows sorted, values compared
 exactly (doubles to 9 significant digits after the agreed rounding).
+
+Each result line carries the oracle's wall seconds (the Spark side is
+pre-dumped) so slow DuckDB replays are visible; output is unbuffered
+so a long sf0.1 sweep shows progress. --skip excludes named queries
+(the known minutes-long DuckDB replays at sf0.1); skipped queries are
+listed so a skip can never masquerade as a pass.
 """
 import json
 import math
 import sys
+import time
 import glob
 import os
 
@@ -30,25 +37,39 @@ def norm(v):
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = skip = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--skip="):
+            skip = set(a.split("=", 1)[1].split(","))
+    sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out = args[1] if len(args) > 1 else "/tmp/graft_verify"
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    skipped = []
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
+        if skip is not None and name in skip:
+            skipped.append(name)
+            continue
         spark_dir = f"{out}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
-            print(f"MISS  {name}: no spark output")
+            print(f"MISS  {name}: no spark output", flush=True)
             n_fail += 1
             continue
+        t0 = time.time()
         try:
             sdf = con.sql(f"SELECT * FROM '{files[0]}'").df()
             odf = con.sql(oracle[name]).df()
         except Exception as e:
-            print(f"ERR   {name}: {e}")
+            print(f"ERR   {name}: {e}", flush=True)
             n_fail += 1
             continue
         s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
@@ -60,24 +81,30 @@ def main():
                        for r in sdf[s_cols].itertuples(index=False))
         orows = sorted(tuple(norm(v) for v in r)
                        for r in odf[o_cols].itertuples(index=False))
+        dt = time.time() - t0
         if srows == orows:
-            print(f"PASS  {name} ({len(srows)} rows)")
+            print(f"PASS  {name} ({len(srows)} rows, {dt:.1f}s)", flush=True)
             n_pass += 1
         else:
-            print(f"FAIL  {name}: {len(srows)} vs {len(orows)} rows")
+            print(f"FAIL  {name}: {len(srows)} vs {len(orows)} rows",
+                  flush=True)
             diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
             for a, b in diff:
                 print(f"      spark : {a}\n      oracle: {b}")
             n_fail += 1
     # queries with no oracle get a rows-only note
-    for d in sorted(os.listdir(out)):
-        p = os.path.join(out, d)
-        if os.path.isdir(p) and d not in oracle:
-            files = glob.glob(f"{p}/*.parquet")
-            n = con.sql(f"SELECT count(*) FROM '{files[0]}'").fetchone()[0] \
-                if files else 0
-            print(f"ROWS  {d}: {n} rows (no oracle)")
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    if only is None:
+        for d in sorted(os.listdir(out)):
+            p = os.path.join(out, d)
+            if os.path.isdir(p) and d not in oracle:
+                files = glob.glob(f"{p}/*.parquet")
+                n = con.sql(
+                    f"SELECT count(*) FROM '{files[0]}'").fetchone()[0] \
+                    if files else 0
+                print(f"ROWS  {d}: {n} rows (no oracle)")
+    if skipped:
+        print(f"SKIPPED ({len(skipped)}): {','.join(skipped)}")
+    print(f"== {n_pass} pass, {n_fail} fail ==", flush=True)
     sys.exit(1 if n_fail else 0)
 
 
