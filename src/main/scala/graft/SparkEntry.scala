@@ -448,6 +448,8 @@ object SparkEntry {
     "q_bfs_hops" -> (Mining.qBfsHops _),
     "q_sssp_weighted" -> (Mining.qSsspWeighted _),
     "q_inventory_balance" -> (Mining.qInventoryBalance _),
+    "q_mann_whitney" -> (Mining.qMannWhitney _),
+    "q_cohort_ltv" -> (Mining.qCohortLtv _),
     "q_ab_ztest" -> (Mining.qAbZtest _),
     "q_benford_audit" -> (Mining.qBenfordAudit _),
     "q_chi_square" -> (Mining.qChiSquare _),
@@ -1701,6 +1703,59 @@ object SparkEntry {
         |  WHERE r.h < 3)
         |SELECT id, CAST(min(cost) AS BIGINT) AS cost FROM walk
         |GROUP BY 1 ORDER BY id""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH per AS (SELECT value,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS np_v,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS nc_v
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |    AND value IS NOT NULL GROUP BY 1),
+        |r AS (SELECT *, np_v + nc_v AS cnt,
+        |    COALESCE(CAST(sum(np_v + nc_v) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum_before
+        |  FROM per),
+        |g AS (SELECT CAST(sum(np_v) AS BIGINT) AS n_purchase,
+        |    CAST(sum(nc_v) AS BIGINT) AS n_click,
+        |    CAST(sum(np_v * (2 * cum_before + cnt + 1)) AS BIGINT)
+        |      AS two_r1,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+        |  FROM r),
+        |u AS (SELECT *,
+        |    (two_r1 - n_purchase * (n_purchase + 1)) / 2.0 AS u_stat,
+        |    CAST(n_purchase AS DOUBLE) * n_click / 2.0 AS mu,
+        |    round(sqrt(CAST(n_purchase AS DOUBLE) * n_click / 12.0 *
+        |      ((n_purchase + n_click + 1) - CAST(tie_term AS DOUBLE) /
+        |        ((n_purchase + n_click) * (n_purchase + n_click - 1.0)))),
+        |      6) AS sigma
+        |  FROM g)
+        |SELECT n_purchase, n_click, u_stat, sigma,
+        |  round((u_stat - mu) / sigma, 4) AS z_score,
+        |  abs(round((u_stat - mu) / sigma, 4)) >= 1.96 AS significant
+        |FROM u""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS mth,
+        |    o_totalprice FROM orders),
+        |c AS (SELECT o_custkey, min(mth) AS cohort_mth FROM o GROUP BY 1),
+        |sz AS (SELECT cohort_mth, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM c GROUP BY 1),
+        |cells AS (SELECT cohort_mth, mth - cohort_mth AS mth_offset,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM o JOIN c USING (o_custkey) GROUP BY 1, 2),
+        |cc AS (SELECT *, rev_cents / 100.0 AS rev FROM cells),
+        |cum AS (SELECT *, CAST(sum(rev_cents) OVER (PARTITION BY
+        |    cohort_mth ORDER BY mth_offset ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM cc)
+        |SELECT cohort_mth, mth_offset, rev,
+        |  ((2 * cum_cents + cohort_size) // (2 * cohort_size)) / 100.0
+        |    AS ltv_per_cust
+        |FROM cum JOIN sz USING (cohort_mth)
+        |ORDER BY cohort_mth, mth_offset""".stripMargin,
     "q_inventory_balance" ->
       """WITH mv AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
         |    CAST(sum(CASE WHEN l_returnflag IN ('A', 'R')

@@ -693,6 +693,98 @@ object Mining {
       .withColumn("significant", col("ks_d") > col("d_crit"))
   }
 
+  /** Mann–Whitney U rank-sum test (purchase vs click values) — the
+    * nonparametric two-sample test that complements [[qKsTest]]. Ranks
+    * are EXACT integer arithmetic in half-units: per distinct value,
+    * `2·avg_rank = 2·cum_before + cnt + 1` is an integer, so
+    * `2·R₁ = Σ np_v·(2·cum_before + cnt + 1)` and `2·U₁` are exact
+    * BIGINTs — no float touches a rank, and ties are handled by
+    * construction (the average-rank formula IS the tie rule). The
+    * tie-corrected normal approximation (`Σ t³−t` is another exact
+    * integer sum) feeds one sqrt at the end, rounded 4 dp. Counts
+    * group per DISTINCT value first, so both heavy steps are
+    * partial-aggregable single shuffles and the rank walk is
+    * O(distinct values) — the KS scale shape. */
+  def qMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click") &&
+        col("value").isNotNull)
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np_v"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("nc_v"))
+      .withColumn("cnt", col("np_v") + col("nc_v"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = per
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    ranked.agg(
+        sum(col("np_v")).as("n_purchase"),
+        sum(col("nc_v")).as("n_click"),
+        sum(col("np_v") * (lit(2L) * col("cum_before") + col("cnt") +
+          lit(1L))).as("two_r1"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+          .as("tie_term"))
+      .withColumn("u_stat",
+        (col("two_r1") - col("n_purchase") * (col("n_purchase") + 1))
+          .cast("double") / 2.0)
+      .withColumn("mu",
+        col("n_purchase").cast("double") * col("n_click") / 2.0)
+      .withColumn("sigma", round(sqrt(
+        col("n_purchase").cast("double") * col("n_click") / 12.0 *
+          ((col("n_purchase") + col("n_click") + 1) -
+            col("tie_term").cast("double") /
+              ((col("n_purchase") + col("n_click")) *
+                (col("n_purchase") + col("n_click") - 1)))), 6))
+      .withColumn("z_score",
+        round((col("u_stat") - col("mu")) / col("sigma"), 4))
+      .withColumn("significant", abs(col("z_score")) >= 1.96)
+      .select(col("n_purchase"), col("n_click"), col("u_stat"),
+        col("sigma"), col("z_score"), col("significant"))
+  }
+
+  /** Cohort LTV curves: customers cohorted by first-order month, each
+    * (cohort, month-offset) cell reporting that month's revenue and the
+    * cohort's CUMULATIVE revenue per customer — the lifetime-value
+    * triangle finance reads next to the retention triangle. Two
+    * shuffles, both keyed on custkey (first-order min + the monthly
+    * rollup), so at scale they share one hash partitioning; cumulation
+    * runs on the |cohorts × offsets| frame in exact cents, divided and
+    * rounded only at the edge. */
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        ((year(col("o_orderdate")) - 1992) * 12 +
+          month(col("o_orderdate")) - 1).cast("long").as("mth"),
+        col("o_totalprice"))
+    val cohorts = o.groupBy(col("o_custkey"))
+      .agg(min(col("mth")).as("cohort_mth"))
+    val sizes = cohorts.groupBy(col("cohort_mth"))
+      .agg(count(lit(1)).as("cohort_size"))
+    // per-row cents BEFORE the sum: a float cell total rounded to 2 dp
+    // can straddle a half-cent boundary between engines (observed at
+    // sf0.01); summing exact per-row cents cannot
+    val cells = o.join(cohorts, "o_custkey")
+      .groupBy(col("cohort_mth"),
+        (col("mth") - col("cohort_mth")).as("mth_offset"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("rev_cents"))
+      .withColumn("rev", col("rev_cents").cast("double") / 100.0)
+    val wCum = Window.partitionBy(col("cohort_mth")).orderBy(col("mth_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+      .join(broadcast(sizes), "cohort_mth")
+      // per-customer cents via exact integer half-up division:
+      // round(cum/size, 2) on a double straddles half-cent boundaries
+      // differently per engine (decimal-string vs binary rounding)
+      .select(col("cohort_mth"), col("mth_offset"), col("rev"),
+        (expr("(2 * cum_cents + cohort_size) div (2 * cohort_size)")
+          .cast("double") / 100.0).as("ltv_per_cust"))
+      .orderBy(col("cohort_mth"), col("mth_offset"))
+  }
+
   /** Pareto concentration summary of customer revenue: how few
     * customers carry 80% of the money, and what share the top decile
     * holds. One partial-aggregable shuffle to per-customer revenue,

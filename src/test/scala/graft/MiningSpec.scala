@@ -661,6 +661,46 @@ class MiningSpec extends SparkSuite {
     }
   }
 
+  test("mann-whitney U agrees with a brute-force rank computation") {
+    val r = Mining.qMannWhitney(spark, sf).head()
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "click") &&
+        col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val sorted = vals.sortBy(_._2)
+    // average ranks with ties, brute force
+    val rankOf = sorted.zipWithIndex.groupBy(_._1._2)
+      .map { case (v, grp) =>
+        v -> grp.map(_._2 + 1).sum.toDouble / grp.length }
+    val r1 = sorted.filter(_._1 == "purchase").map(x => rankOf(x._2)).sum
+    val n1 = vals.count(_._1 == "purchase")
+    val n2 = vals.count(_._1 == "click")
+    val u1 = r1 - n1.toDouble * (n1 + 1) / 2
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(math.abs(r.getDouble(r.fieldIndex("u_stat")) - u1) < 1e-6,
+      s"U ${r.getDouble(r.fieldIndex("u_stat"))} vs brute $u1")
+    val z = r.getDouble(r.fieldIndex("z_score"))
+    assert(r.getBoolean(r.fieldIndex("significant")) ==
+      (math.abs(z) >= 1.96))
+  }
+
+  test("cohort ltv is monotone per cohort and totals match revenue") {
+    val rows = Mining.qCohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { cohort =>
+      val ltv = cohort.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => b >= a - 1e-9 },
+        "cumulative LTV must be non-decreasing within a cohort")
+    }
+    // sum over cells of per-cell revenue equals total order revenue
+    val cellRev = rows.map(_.getDouble(2)).sum
+    val total = Tables.orders(spark, sf)
+      .agg(round(sum(col("o_totalprice")), 2)).head().getDouble(0)
+    assert(math.abs(cellRev - total) < 1.0,
+      s"cell revenue $cellRev vs orders total $total")
+  }
+
   test("chi-square cells cover all events; expected margins match observed") {
     val rows = Mining.qChiSquare(spark, sf).collect()
     assert(rows.map(_.getLong(rows.head.fieldIndex("n"))).sum ==
