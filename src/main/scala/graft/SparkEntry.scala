@@ -315,6 +315,7 @@ object SparkEntry {
     "engine_save_get" -> (JsonQueries.engineSaveGet _),
     "engine_delete" -> (JsonQueries.engineDelete _),
     "engine_time_travel" -> (JsonQueries.engineTimeTravel _),
+    "engine_snapshot_diff" -> (JsonQueries.engineSnapshotDiff _),
     "engine_evolve_upsert" -> (JsonQueries.engineEvolveUpsert _),
     "engine_nested_sql" -> (JsonQueries.engineNestedSql _),
     // §2.2 bulk analytic SQL
@@ -677,6 +678,23 @@ object SparkEntry {
         |    round(sum(bal), 2) FROM v2)
         |SELECT version, n_rows, balance FROM u
         |ORDER BY version""".stripMargin,
+    "engine_snapshot_diff" ->
+      """WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |cls AS (
+        |  SELECT CASE WHEN k % 11 = 0 THEN 'deleted'
+        |      WHEN k % 5 = 0 THEN 'changed'
+        |      ELSE 'unchanged' END AS change_type,
+        |    CASE WHEN k % 11 = 0 THEN -CAST(round(bal * 100, 0) AS BIGINT)
+        |      WHEN k % 5 = 0 THEN CAST(round((round(bal + 100, 2) - bal)
+        |        * 100, 0) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS delta_cents
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'added', CAST(round(bal * 100, 0) AS BIGINT)
+        |  FROM c WHERE k % 7 = 0)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(delta_cents) AS BIGINT) / 100.0 AS balance_delta
+        |FROM cls GROUP BY 1 ORDER BY change_type""".stripMargin,
     "engine_nested_sql" ->
       """SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
         |  round(sum(c_acctbal), 2) AS total_bal

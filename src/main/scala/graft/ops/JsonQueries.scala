@@ -339,6 +339,48 @@ object JsonQueries {
       .orderBy(col("version"))
   }
 
+  /** Snapshot diff — the CDC between two time-travel versions that
+    * completes the Engine verb story: after a mixed mutation batch
+    * (update-upserts, insert-upserts, deletes), diff v0 against the
+    * live table with ONE full-outer join on the row key and classify
+    * every row added / deleted / changed / unchanged, with the balance
+    * delta per class in EXACT cents (a float delta sum can straddle a
+    * half-cent boundary between engines). The join keys both sides on
+    * rowNum — at scale both snapshots share that partitioning, so the
+    * diff is a co-partitioned join, not a broadcast or a sort. */
+  def engineSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_engine_sd").toString
+    // three mutations between v0 and live → retain 3 snapshots
+    val eng = new graft.Engine(s, wh, retainVersions = 3)
+    val docs = Tables.customer(s, d)
+      .select(col("c_custkey").as("rowNum"), col("c_acctbal"))
+    eng.save(docs, "cust")
+    eng.upsert("cust", docs.filter(col("rowNum") % 5 === 0)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2)))
+    eng.upsert("cust", docs.filter(col("rowNum") % 7 === 0)
+      .select((col("rowNum") + 100000L).as("rowNum"), col("c_acctbal")))
+    eng.delete("cust", docs.filter(col("rowNum") % 11 === 0)
+      .select("rowNum"))
+    val v0 = eng.tableAt("cust", 0)
+      .select(col("rowNum"), col("c_acctbal").as("old_bal"))
+    val live = eng.table("cust")
+      .select(col("rowNum"), col("c_acctbal").as("new_bal"))
+    v0.join(live, Seq("rowNum"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_bal").isNull, "added")
+          .when(col("new_bal").isNull, "deleted")
+          .when(col("new_bal") =!= col("old_bal"), "changed")
+          .otherwise("unchanged"))
+      .withColumn("delta_cents",
+        round((coalesce(col("new_bal"), lit(0.0)) -
+          coalesce(col("old_bal"), lit(0.0))) * 100, 0).cast("long"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("delta_cents")).cast("double") / 100.0)
+          .as("balance_delta"))
+      .orderBy(col("change_type"))
+  }
+
   /** Shred→assemble roundtrip integrity over all orders. */
   def roundtripCount(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)

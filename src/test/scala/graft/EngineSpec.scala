@@ -307,6 +307,22 @@ class FacadeSpec extends SparkSuite {
     assert(eng.sql("SELECT count(*) AS n FROM kv").head().getLong(0) == 2L)
   }
 
+  test("snapshot diff classes partition both snapshots and deltas balance") {
+    val rows = graft.ops.JsonQueries.engineSnapshotDiff(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val nCust = graft.sources.Tables.customer(spark, sf).count()
+    // every v0 row is deleted, changed, or unchanged; added rows extra
+    assert(rows("deleted")._1 + rows("changed")._1 +
+      rows("unchanged")._1 == nCust)
+    assert(rows("added")._1 > 0 && rows("deleted")._1 > 0)
+    assert(rows("unchanged")._2 == 0.0)
+    // every changed row moved by exactly +100.00
+    assert(math.abs(rows("changed")._2 -
+      rows("changed")._1 * 100.0) < 0.01)
+    assert(rows("deleted")._2 < 0 && rows("added")._2 > 0)
+  }
+
   test("staged swaps retain snapshots: versions list, tableAt reads, " +
       "retention prunes") {
     import spark.implicits._
