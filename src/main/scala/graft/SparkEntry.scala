@@ -469,6 +469,7 @@ object SparkEntry {
     "text_zipf_slope" -> (PipelineQueries.textZipfSlope _),
     "data_pack_sequences" -> (PipelineQueries.dataPackSequences _),
     "data_mixture_plan" -> (PipelineQueries.dataMixturePlan _),
+    "text_chunk_windows" -> (PipelineQueries.textChunkWindows _),
     "multimodal_phash_dedup" -> (PipelineQueries.multimodalPhashDedup _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_event_pattern" -> (graft.streaming.Events.streamEventPattern _),
@@ -3473,6 +3474,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN spill THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_spill
         |FROM p GROUP BY 1 ORDER BY pack_id""".stripMargin,
+    "text_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok
+        |  FROM t),
+        |w AS (SELECT *, greatest(CAST(1 AS BIGINT),
+        |    CAST(ceil((n_tok - 64) / 48.0) AS BIGINT) + 1) AS n_win
+        |  FROM n),
+        |x AS (SELECT doc_id, n_tok, toks, CAST(u.win AS BIGINT) AS win_id
+        |  FROM w, LATERAL unnest(range(0, n_win)) AS u(win))
+        |SELECT doc_id, win_id, win_id * 48 AS start_tok,
+        |  least(64, n_tok - win_id * 48) AS n_chunk_tok,
+        |  md5(array_to_string(toks[(win_id * 48 + 1):(win_id * 48 + 64)],
+        |    ' ')) AS chunk_md5
+        |FROM x ORDER BY doc_id, win_id""".stripMargin,
     "data_mixture_plan" ->
       """WITH per AS (SELECT source,
         |    CAST(count(*) AS BIGINT) AS n_docs,

@@ -1187,6 +1187,36 @@ object PipelineQueries {
       .orderBy(col("pack_id"))
   }
 
+  /** Overlapping token-window chunking — the RAG / long-context
+    * slicing step: each document split into 64-token windows with a
+    * 48-token stride (16-token overlap), every chunk carrying its
+    * offset and an md5 of the actual sliced text (so the contract
+    * verifies the slicing, not just the arithmetic). One narrow
+    * transform — split, per-doc window count, `explode(sequence)`,
+    * `slice` — no shuffle at all until the output sort, and chunk
+    * count scales with corpus tokens / stride. Empty-tail windows are
+    * impossible by construction (the window-count formula lands the
+    * last start inside the doc). */
+  def textChunkWindows(s: SparkSession, d: String): DataFrame = {
+    val win = 64
+    val stride = 48
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_win", greatest(lit(1L),
+        (ceil((col("n_tok") - win).cast("double") / stride) + 1)
+          .cast("long")))
+      .withColumn("win_id", explode(sequence(lit(0L), col("n_win") - 1)))
+      .withColumn("start_tok", col("win_id") * stride)
+      .select(col("doc_id"), col("win_id"), col("start_tok"),
+        least(lit(win.toLong), col("n_tok") - col("start_tok"))
+          .as("n_chunk_tok"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("win_id") * stride + 1).cast("int"),
+            lit(win)))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("win_id"))
+  }
+
   /** Temperature-based source-mixture plan — the data-mixing table a
     * pretraining run needs: per source, the raw token share and the
     * τ=0.7 temperature-adjusted sampling weight (`share^0.7`

@@ -337,6 +337,36 @@ class OpsSpec extends SparkSuite {
     assert(packs.forall(_.getLong(1) >= 1), "no empty pack rows")
   }
 
+  test("chunk windows tile every doc with the declared stride and overlap") {
+    import graft.ops.PipelineQueries
+    val chunks = PipelineQueries.textChunkWindows(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.col("text")), "\\s+"))
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_.getLong(0)).foreach { case (docId, ws) =>
+      val n = docs(docId)
+      val sortedW = ws.sortBy(_.getLong(1))
+      // starts advance by exactly the stride from 0
+      assert(sortedW.zipWithIndex.forall { case (w, i) =>
+        w.getLong(2) == i.toLong * 48 })
+      // the last window reaches the end of the doc; none is empty
+      val last = sortedW.last
+      assert(last.getLong(2) + last.getLong(3) == n,
+        s"doc $docId: last window ends at " +
+          s"${last.getLong(2) + last.getLong(3)} of $n tokens")
+      assert(sortedW.forall(_.getLong(3) > 0))
+      // full windows are exactly 64 tokens
+      assert(sortedW.dropRight(1).forall(_.getLong(3) == 64))
+    }
+    assert(chunks.map(_.getLong(0)).distinct.length == docs.size,
+      "every doc is chunked")
+  }
+
   test("mixture plan weights renormalize and upweight small sources") {
     import graft.ops.PipelineQueries
     val rows = PipelineQueries.dataMixturePlan(spark, sf).collect()
