@@ -2077,10 +2077,12 @@ object SparkEntry {
         |ORDER BY hour_start_s, event_type""".stripMargin,
     "q_abc_class" ->
       """WITH per AS (SELECT l_partkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(14,4)))
+        |      AS rev_d
         |  FROM lineitem GROUP BY 1),
         |pc AS (SELECT l_partkey,
-        |    CAST(round(rev * 100, 0) AS BIGINT) AS cents FROM per),
+        |    CAST(round(rev_d, 2) * 100 AS BIGINT) AS cents FROM per),
         |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM pc),
         |c AS (SELECT cents, total_cents,
         |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey

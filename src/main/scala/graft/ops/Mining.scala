@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,15 +36,29 @@ object Mining {
         count(lit(1)).as("frequency"),
         round(sum(col("o_totalprice")), 2).as("monetary"))
     val mx = per.agg(max(col("last_order")).as("mx"))
+    // materialized ONCE; the three rankings and the final rollup all
+    // read it (the orders rollup is the expensive pass — recomputing
+    // it per ranking was the r6 constant-factor tax)
     val base = per.crossJoin(broadcast(mx))
       .withColumn("recency_days", datediff(col("mx"), col("last_order")))
-    val scored = Seq(
-      (Seq(col("recency_days").desc, col("o_custkey").asc), "r_score"),
-      (Seq(col("frequency").asc, col("o_custkey").asc), "f_score"),
-      (Seq(col("monetary").asc, col("o_custkey").asc), "m_score"))
-      .foldLeft(base) { case (df, (ord, name)) =>
-        Ranks.globalNtile(df, ord, 4, name)
-      }
+      .localCheckpoint(true)
+    // each ntile range-shuffles only a slim (key, metric) projection,
+    // not the whole customer frame; scores rejoin by key (all three
+    // joins hash on o_custkey, so they co-partition into one exchange)
+    def score(metric: String, ord: Seq[Column], out: String): DataFrame =
+      Ranks.globalNtile(base.select(col("o_custkey"), col(metric)),
+          ord, 4, out)
+        .select(col("o_custkey"), col(out))
+    val scored = base.select(col("o_custkey"), col("monetary"))
+      .join(score("recency_days",
+        Seq(col("recency_days").desc, col("o_custkey").asc), "r_score"),
+        "o_custkey")
+      .join(score("frequency",
+        Seq(col("frequency").asc, col("o_custkey").asc), "f_score"),
+        "o_custkey")
+      .join(score("monetary",
+        Seq(col("monetary").asc, col("o_custkey").asc), "m_score"),
+        "o_custkey")
     scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("monetary")), 2).as("cell_monetary"),
@@ -838,11 +852,18 @@ object Mining {
     * boundary-adjacent part in r5) cannot move a class boundary.
     * Output is the per-class census: how few SKUs carry the A band. */
   def qAbcClass(s: SparkSession, d: String): DataFrame = {
+    // per-part cents are EXACT decimal arithmetic (the q_decimal_arith
+    // recipe): a double sum associates differently across engines and
+    // partition splits, and a part within a half-cent of a rounding
+    // boundary would flip ±1 cent and shift every later cumsum value
     val per = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        col("l_extendedprice").cast("decimal(12,2)").as("p"),
+        col("l_discount").cast("decimal(12,2)").as("disc"))
       .groupBy(col("l_partkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-        2).as("rev"))
-      .withColumn("cents", round(col("rev") * 100, 0).cast("long"))
+      .agg(sum(expr("CAST(p * (1 - disc) AS DECIMAL(14,4))")).as("rev_d"))
+      .withColumn("cents", expr("CAST(round(rev_d, 2) * 100 AS BIGINT)"))
+      .drop("rev_d")
     val tot = per.agg(sum(col("cents")).as("total_cents"))
     // ranged running sum, not a global window: long addition is
     // associative, so the parallel split is EXACT — the cumsum family's

@@ -25,9 +25,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `ts` is TIMESTAMP(NANOS) in parquet; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as Long
-    * nanoseconds — convert to a microsecond TimestampType column.
+  /** Type-adaptive events loader — the canonical `ts` contract. The
+    * testdata's `ts` has shipped both as TIMESTAMP(NANOS) (which, under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, arrives as Long
+    * nanoseconds) and as plain timestamp[us] (TIMESTAMP_NTZ); no
+    * consumer may assume either shape. This maps both to a single
+    * TimestampType (µs, session-TZ UTC) column so downstream code can
+    * use `unix_timestamp`/`unix_micros`/`window` uniformly. The
+    * streaming twin is `graft.streaming.Events.withEventTs`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -37,7 +42,11 @@ object Tables {
     // precision — a ±1 µs drift that can flip floor-second boundaries
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    else
+      // NTZ → LTZ under the UTC session timezone is value-preserving;
+      // some functions (unix_micros) reject TIMESTAMP_NTZ outright
+      raw.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -20,6 +20,38 @@ object Events {
 
   private val n = new AtomicInteger(0)
 
+  /** Canonical event-time columns for a streamed events frame — the
+    * streaming twin of [[graft.sources.Tables.events]]'s type guard.
+    * The testdata's `ts` has shipped both as TIMESTAMP(NANOS) (read as
+    * Long nanoseconds under `nanosAsLong`) and as plain timestamp[us]
+    * (TIMESTAMP_NTZ), so no consumer may assume either: this maps both
+    * to `ts` TimestampType (session-TZ UTC, value-preserving) plus
+    * `ts_us`/`ts_s` Long epoch micros/floor-seconds — the only shapes
+    * downstream streaming queries consume. `ts_s` matches the batch
+    * `unix_timestamp(ts)` ⟷ DuckDB `CAST(floor(epoch(ts)) AS BIGINT)`
+    * oracle convention. */
+  private[graft] def withEventTs(raw: DataFrame): DataFrame = {
+    val normalized =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        // `div` not `/`: ns epochs (~1.7e18) exceed double's 2^53
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    normalized
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("ts_s", expr("ts_us div 1000000"))
+  }
+
+  /** Bounded-as-stream events source: schema from a batch read (file
+    * stream sources need an explicit schema), glob path (the file
+    * source wants a directory/glob, not a bare file), event time
+    * normalized by [[withEventTs]]. */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    withEventTs(spark.readStream.schema(schema).parquet(s"$sfDir/events.*"))
+  }
+
   /** Every stateful operator commits one state store per shuffle
     * partition per micro-batch; at contract scale 32 stores' commit
     * files cost more than the data they hold. 8 keeps real parallelism
@@ -69,15 +101,7 @@ object Events {
     * result. Output: win_start_s (epoch seconds), event_type, n,
     * sum_value. */
   def streamWindow(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
-    val path = s"$sfDir/events.parquet"
-    // schema must be explicit for a streaming source; take it from a
-    // bounded read (ts arrives as Long nanoseconds, see Tables.events)
-    val schema = spark.read.parquet(path).schema
-    // FileStreamSource wants a directory (or glob) path; events.parquet
-    // is a single file, so address it through a glob pattern
-    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-    // `div` not `/`: ns Longs exceed double's integer precision
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventStream(spark, sfDir)
     val agg = ev
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -101,9 +125,7 @@ object Events {
     * window span, and the emitted table equals the batch
     * `q_sliding_window` (the oracle). */
   def streamSlidingWindow(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventStream(spark, sfDir)
     val agg = ev
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -159,8 +181,14 @@ object Events {
     val work = Files.createTempDirectory("graft_wm")
     val src = wmSrcDirs.computeIfAbsent(sfDir, _ => {
       val dir = Files.createTempDirectory("graft_wm_src").toString + "/in"
+      // cast unifies to TimestampType (LTZ) whichever ts shape the
+      // testdata ships (Long-ns arrives pre-converted from
+      // Tables.events; timestamp[us] arrives NTZ) so the appended
+      // sentinel file below shares the source schema exactly
       graft.sources.Tables.events(spark, sfDir)
-        .select("event_id", "ts", "event_type", "value")
+        .select(col("event_id"),
+          col("ts").cast(org.apache.spark.sql.types.TimestampType).as("ts"),
+          col("event_type"), col("value"))
         .write.mode("overwrite").parquet(dir)
       dir
     })
@@ -203,9 +231,7 @@ object Events {
     * oracle); in production watermarks bound the join state. Times
     * compare at second granularity so the oracle is engine-neutral. */
   def streamJoin(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-      .withColumn("ts_s", expr("ts div 1000000000"))
+    def src = eventStream(spark, sfDir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts_s").as("c_ts"))
     val purchases = src.filter(col("event_type") === "purchase")
@@ -240,9 +266,7 @@ object Events {
     * closed strictly before that instant surface as null rows — a
     * cutoff the batch oracle replays. */
   def streamLeftOuter(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-      .withColumn("ts_s", expr("ts div 1000000000"))
+    def src = eventStream(spark, sfDir)
       .withColumn("etime", timestamp_seconds(col("ts_s")))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("etime").as("c_time"),
@@ -282,8 +306,7 @@ object Events {
     * an empty count is evidence, not absence. */
   def streamDqQuarantine(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
     val work = java.nio.file.Files.createTempDirectory("graft_sdq")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    val raw = eventStream(spark, sfDir)
     // rules are written against the normalized (event_id, event_type,
     // value, ts_s) row shape, so the same predicates evaluate the
     // in-flight batch AND the quarantine table read back at the end
@@ -298,7 +321,7 @@ object Events {
     val bad = coalesce(rules.map(_._2).reduce(_ || _), lit(true))
     val fold: (DataFrame, Long) => Unit = (batch, _) => {
       val b = batch.select(col("event_id"), col("event_type"),
-        col("value"), expr("ts div 1000000000").as("ts_s"))
+        col("value"), col("ts_s"))
       b.filter(bad).write.mode("append")
         .parquet(s"$work/quarantine")
       b.filter(!bad).write.mode("append")
@@ -339,9 +362,7 @@ object Events {
     * `max(ts) − 10 min` surface; the batch oracle replays sessionization
     * at full µs precision plus that cutoff. */
   def streamSessionNative(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventStream(spark, sfDir)
       .withWatermark("ts", "10 minutes")
     val agg = ev
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -371,9 +392,7 @@ object Events {
     * `max(ts) − 10 min` surface, a cutoff the batch oracle replays
     * (the same determinism contract as the outer joins). */
   def streamChainedWindows(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventStream(spark, sfDir)
       .withWatermark("ts", "10 minutes")
     val inner = ev
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
@@ -413,9 +432,7 @@ object Events {
     * the join needs c_time ≤ p_time). The batch oracle replays both
     * cutoffs. */
   def streamFullOuter(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-      .withColumn("ts_s", expr("ts div 1000000000"))
+    def src = eventStream(spark, sfDir)
       .withColumn("etime", timestamp_seconds(col("ts_s")))
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("etime").as("c_time"),
@@ -536,10 +553,8 @@ object Events {
     * precisely. */
   def streamSessionize(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-    val evs = raw.select(col("user_id"),
-      expr("ts div 1000000000").as("ts_s")).as[SessEvent]
+    val evs = eventStream(spark, sfDir)
+      .select(col("user_id"), col("ts_s")).as[SessEvent]
 
     val fn = (uid: Long, it: Iterator[SessEvent],
         state: GroupState[OpenSession]) => {
@@ -566,7 +581,7 @@ object Events {
   }
 
   case class LatestRow(user_id: Long, event_id: Long, event_type: String,
-      ts_ns: Long, value: Double)
+      ts_us: Long, value: Double)
 
   /** Streaming CDC compaction: `mapGroupsWithState` keeps exactly one
     * row per key — the max-(ts, event_id) event — in the state store;
@@ -579,14 +594,13 @@ object Events {
     * associative over the (ts, event_id) order. */
   def streamLatestPerKey(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-    val evs = raw.select(col("user_id"), col("event_id"), col("event_type"),
-      col("ts").as("ts_ns"), col("value")).as[LatestRow]
+    val evs = eventStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"), col("value")).as[LatestRow]
     val fn = (uid: Long, it: Iterator[LatestRow],
         state: GroupState[LatestRow]) => {
       val cur = (state.getOption.iterator ++ it)
-        .maxBy(r => (r.ts_ns, r.event_id))
+        .maxBy(r => (r.ts_us, r.event_id))
       state.update(cur)
       cur
     }
@@ -600,11 +614,11 @@ object Events {
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(max_by(
-        struct(col("event_id"), col("event_type"), col("ts_ns"), col("value")),
-        struct(col("ts_ns"), col("event_id"))).as("_r"))
+        struct(col("event_id"), col("event_type"), col("ts_us"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("_r"))
       .select(col("user_id"), col("_r.event_id").as("event_id"),
         col("_r.event_type").as("event_type"),
-        expr("_r.ts_ns div 1000000000").as("ts_s"),
+        expr("_r.ts_us div 1000000").as("ts_s"),
         round(col("_r.value"), 2).as("value"))
       .orderBy(col("user_id"))
   }
@@ -689,10 +703,10 @@ object Events {
     // "basePath must be a directory"), so the contract is enforced
     // explicitly: the single-batch `require` below fails loudly instead
     // of silently depending on file-source batching defaults.
-    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
+    val raw = withEventTs(
+      spark.readStream.schema(schema).parquet(s"$sfDir/events.*"))
     val evs = raw.filter(col("value").isNotNull)
-      .select(col("event_type"), col("event_id"),
-        expr("ts div 1000000000").as("ts_s"), col("value"))
+      .select(col("event_type"), col("event_id"), col("ts_s"), col("value"))
       .as[AnomEvent]
     val fn = (key: String, it: Iterator[AnomEvent],
         state: GroupState[RunStats]) => {
@@ -757,10 +771,9 @@ object Events {
     import spark.implicits._
     val bound = 86400L
     val enc = 131072L
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-    val evs = raw.select(col("user_id"), col("event_id"),
-      col("event_type"), expr("ts div 1000000000").as("ts_s")).as[PatEvent]
+    val evs = eventStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_s")).as[PatEvent]
     val fn = (uid: Long, it: Iterator[PatEvent],
         state: GroupState[PatState]) => {
       val st = state.getOption
