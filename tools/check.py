@@ -2,6 +2,7 @@
 """Local stand-in for the driver's correctness gate.
 
 Usage: python3 tools/check.py [sfDir] [outDir] [--only a,b] [--skip a,b]
+                              [--timeout SECS]
 
 Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran.
 Creates DuckDB views named after each table over the sfDir parquet,
@@ -13,11 +14,16 @@ Each result line carries the oracle's wall seconds (the Spark side is
 pre-dumped) so slow DuckDB replays are visible; output is unbuffered
 so a long sf0.1 sweep shows progress. --skip excludes named queries
 (the known minutes-long DuckDB replays at sf0.1); skipped queries are
-listed so a skip can never masquerade as a pass.
+listed so a skip can never masquerade as a pass. --timeout bounds each
+ORACLE's wall time: on expiry the DuckDB query is interrupted and the
+query is reported as TIMEOUT (counted separately, never as pass) — the
+principled way to sweep sf0.1 where a few SQL replays (MinHash et al.)
+take tens of minutes each while the Spark side is already dumped.
 """
 import json
 import math
 import sys
+import threading
 import time
 import glob
 import os
@@ -39,11 +45,14 @@ def norm(v):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only = skip = None
+    timeout = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
         if a.startswith("--skip="):
             skip = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--timeout="):
+            timeout = float(a.split("=", 1)[1])
     sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out = args[1] if len(args) > 1 else "/tmp/graft_verify"
     con = duckdb.connect()
@@ -52,6 +61,7 @@ def main():
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     skipped = []
+    timed_out_names = []
     for name in sorted(oracle):
         if only is not None and name not in only:
             continue
@@ -65,13 +75,29 @@ def main():
             n_fail += 1
             continue
         t0 = time.time()
+        timer = None
+        timed_out = [False]
+        if timeout is not None:
+            def _interrupt(c=con, flag=timed_out):
+                flag[0] = True
+                c.interrupt()
+            timer = threading.Timer(timeout, _interrupt)
+            timer.start()
         try:
             sdf = con.sql(f"SELECT * FROM '{files[0]}'").df()
             odf = con.sql(oracle[name]).df()
         except Exception as e:
-            print(f"ERR   {name}: {e}", flush=True)
-            n_fail += 1
+            if timed_out[0]:
+                print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s "
+                      f"(not counted as pass)", flush=True)
+                timed_out_names.append(name)
+            else:
+                print(f"ERR   {name}: {e}", flush=True)
+                n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
         if s_cols != o_cols:
             print(f"FAIL  {name}: cols spark={s_cols} oracle={o_cols}")
@@ -104,7 +130,11 @@ def main():
                 print(f"ROWS  {d}: {n} rows (no oracle)")
     if skipped:
         print(f"SKIPPED ({len(skipped)}): {','.join(skipped)}")
-    print(f"== {n_pass} pass, {n_fail} fail ==", flush=True)
+    if timed_out_names:
+        print(f"TIMED OUT ({len(timed_out_names)}): "
+              f"{','.join(timed_out_names)}")
+    print(f"== {n_pass} pass, {n_fail} fail, "
+          f"{len(timed_out_names)} timeout ==", flush=True)
     sys.exit(1 if n_fail else 0)
 
 
