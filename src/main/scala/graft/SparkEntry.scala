@@ -551,6 +551,8 @@ object SparkEntry {
     "multimodal_frames" -> (PipelineQueries.multimodalFrames _),
     "multimodal_audio_energy" ->
       (PipelineQueries.multimodalAudioEnergy _),
+    "multimodal_png_codec" -> (PipelineQueries.multimodalPngCodec _),
+    "multimodal_wav_codec" -> (PipelineQueries.multimodalWavCodec _),
     "source_orc_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.orcRoundtrip(s, d)
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
@@ -3601,5 +3603,28 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // generator replays: the Spark side emits stats of the DECODED
+    // media after a real PNG/WAV encode→decode roundtrip (lossless
+    // codecs), so matching the pure-arithmetic generator here proves
+    // the codec preserved every pixel/sample
+    "multimodal_png_codec" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+        |    8 + (doc_id * 7) % 24 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS i FROM d),
+        |ys AS (SELECT doc_id, w, h, i, unnest(range(h)) AS j FROM xs)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(sum((i * 31 + j * 17 + doc_id) % 256) AS BIGINT) AS px_sum
+        |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "multimodal_wav_codec" ->
+      """WITH d AS (SELECT doc_id, 200 + doc_id % 256 AS n
+        |    FROM documents),
+        |s AS (SELECT doc_id,
+        |    ((unnest(range(n)) * 37 + doc_id * 101) % 65536 - 32768) AS v
+        |  FROM d)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,129 @@
+package graft.mm
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** REAL pure-JVM media codecs behind the multimodal decode boundary.
+  *
+  * The rest of the multimodal family ([[Multimodal]]) stubs the codec
+  * because this container has no native image/audio libraries — but
+  * the JDK itself ships two genuine ones: `javax.imageio` (PNG) and
+  * `javax.sound.sampled` (WAV/PCM). This module runs them for real:
+  * deterministic media is ENCODED to actual container bytes and
+  * DECODED back through the standard library codec, per partition, and
+  * the decoded pixel/sample statistics are what the queries emit. PNG
+  * and PCM-WAV are lossless, so a SQL oracle that replays the
+  * generator arithmetic verifies the full encode→decode loop preserved
+  * every pixel/sample — a much stronger check than byte-replay of a
+  * stub, and the proof that the mapPartitions batch seam the stubs
+  * established really does host a production codec unchanged.
+  *
+  * All generator arithmetic is integer-exact so both engines replay it
+  * bit-for-bit; codec objects are allocated per call (they are cheap;
+  * ImageIO's tmp-file cache — the one genuinely expensive part — is
+  * disabled once per JVM below).
+  */
+object Codecs {
+  ImageIO.setUseCache(false) // keep encode/decode in-heap, no temp files
+
+  // ---- PNG ----------------------------------------------------------
+
+  /** Deterministic grayscale test pattern — integer arithmetic only. */
+  def grayAt(x: Int, y: Int, docId: Long): Int =
+    ((x * 31L + y * 17L + docId) % 256L).toInt
+
+  def pngWidth(docId: Long): Int = (8 + docId % 24).toInt
+  def pngHeight(docId: Long): Int = (8 + (docId * 7) % 24).toInt
+
+  /** Real PNG bytes (signature, IHDR, zlib-compressed IDAT, ...) for
+    * the doc's deterministic image. */
+  def encodePng(docId: Long): Array[Byte] = {
+    val w = pngWidth(docId)
+    val h = pngHeight(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = grayAt(x, y, docId)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode real PNG bytes → (width, height, Σ red-channel) — the
+    * checksum is over DECODED pixels, so it proves the roundtrip. */
+  def decodePngStats(bytes: Array[Byte]): (Int, Int, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s += (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, s)
+  }
+
+  // ---- WAV ----------------------------------------------------------
+
+  val WavRate = 16000f
+
+  def wavSamples(docId: Long): Int = (200 + docId % 256).toInt
+
+  /** Deterministic signed 16-bit PCM sample — integer arithmetic only. */
+  def sampleAt(i: Int, docId: Long): Int =
+    ((i * 37L + docId * 101L) % 65536L - 32768L).toInt
+
+  /** Real RIFF/WAVE bytes (header + PCM16-LE mono payload) for the
+    * doc's deterministic signal. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val n = wavSamples(docId)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleAt(i, docId)
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(WavRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode real WAV bytes → (n samples, sample rate, Σ sample²) from
+    * the DECODED stream (format parsed from the container header). */
+  def decodeWavStats(bytes: Array[Byte]): (Long, Long, Long) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val f = in.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+      !f.isBigEndian, s"unexpected decoded format: $f")
+    val raw = in.readAllBytes()
+    var e = 0L
+    var n = 0L
+    var i = 0
+    while (i + 1 < raw.length) {
+      val s = ((raw(i) & 0xff) | (raw(i + 1) << 8)).toShort.toInt
+      e += s.toLong * s
+      n += 1
+      i += 2
+    }
+    (n, f.getSampleRate.toLong, e)
+  }
+}

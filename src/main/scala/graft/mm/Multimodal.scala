@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   * Media (image/audio/video) is carried as an opaque `binary` column
   * with typed metadata alongside. The Spark-side machinery — schema,
   * partition spreading, batch-shaped decode boundary — is real; the
-  * codec itself is STUBBED with a deterministic fake (this container
-  * has no image/audio libraries), clearly marked below. Swapping in a
-  * real decoder changes only the body of `fakeDecode`.
+  * codec in THIS file is STUBBED with a deterministic fake (this
+  * container has no native image/audio libraries), clearly marked
+  * below. Swapping in a real decoder changes only the body of
+  * `fakeDecode` — and [[Codecs]] proves it: the same per-partition
+  * seam runs the JDK's genuine PNG (`javax.imageio`) and WAV
+  * (`javax.sound.sampled`) codecs end-to-end for the
+  * `multimodal_png_codec` / `multimodal_wav_codec` contract queries.
   */
 object Multimodal {
 

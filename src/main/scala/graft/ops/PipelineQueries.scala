@@ -936,6 +936,47 @@ object PipelineQueries {
           .as("feat_sum"))
       .orderBy(col("doc_id"))
 
+  /** Multimodal REAL image codec — PNG roundtrip through
+    * `javax.imageio` (see [[graft.mm.Codecs]]): each doc's
+    * deterministic grayscale image is encoded to genuine PNG container
+    * bytes and decoded back per-partition; the emitted dimensions and
+    * pixel checksum come from the DECODED image, so the oracle's
+    * generator replay verifies the whole encode→decode loop preserved
+    * every pixel (PNG is lossless). This retires the stub-codec caveat
+    * on the decode boundary: same mapPartitions batch seam, real
+    * codec. No shuffle — the only exchange is the final ORDER BY. */
+  def multimodalPngCodec(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodePng(id)
+        val (w, h, sum) = graft.mm.Codecs.decodePngStats(bytes)
+        (id, w.toLong, h.toLong, sum)
+      })
+      .toDF("doc_id", "width", "height", "px_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal REAL audio codec — RIFF/WAVE roundtrip through
+    * `javax.sound.sampled`: deterministic PCM16 signals are encoded to
+    * genuine WAV container bytes and decoded back per-partition, with
+    * the sample count, sample rate, and Σ sample² taken from the
+    * DECODED stream (rate parsed from the container header). Exact
+    * integer energy, so the oracle replays it bit-for-bit. */
+  def multimodalWavCodec(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodeWav(id)
+        val (n, rate, energy) = graft.mm.Codecs.decodeWavStats(bytes)
+        (id, n, rate, energy)
+      })
+      .toDF("doc_id", "n_samples", "sample_rate", "energy")
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal AUDIO: per-doc loudness profile from the stub PCM
     * chunker — n chunks, total/peak energy, silent-chunk count (energy
     * below a fixed integer threshold), the audio feature-extraction

@@ -958,6 +958,39 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.map(_.getLong(2)).sum == nDocs)
   }
 
+  test("REAL PNG codec roundtrip preserves every pixel") {
+    import graft.mm.Codecs
+    for (id <- Seq(0L, 1L, 7L, 123L, 4999L)) {
+      val bytes = Codecs.encodePng(id)
+      // genuine PNG container: 8-byte signature
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G', "not a PNG signature")
+      val (w, h, sum) = Codecs.decodePngStats(bytes)
+      assert(w == Codecs.pngWidth(id) && h == Codecs.pngHeight(id))
+      var expect = 0L
+      for (y <- 0 until h; x <- 0 until w) expect += Codecs.grayAt(x, y, id)
+      assert(sum == expect, s"doc $id: decoded pixel sum diverged")
+    }
+  }
+
+  test("REAL WAV codec roundtrip preserves samples and header rate") {
+    import graft.mm.Codecs
+    for (id <- Seq(0L, 3L, 255L, 256L, 1001L)) {
+      val bytes = Codecs.encodeWav(id)
+      // genuine RIFF/WAVE container
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+        new String(bytes.slice(8, 12), "US-ASCII") == "WAVE",
+        "not a RIFF/WAVE container")
+      val (n, rate, energy) = Codecs.decodeWavStats(bytes)
+      assert(n == Codecs.wavSamples(id) && rate == 16000L)
+      var expect = 0L
+      for (i <- 0 until Codecs.wavSamples(id)) {
+        val s = Codecs.sampleAt(i, id); expect += s.toLong * s
+      }
+      assert(energy == expect, s"doc $id: decoded energy diverged")
+    }
+  }
+
   test("audio chunker: exact energies, preview bound, contract row") {
     // hand-computed: 300 'a' bytes → chunk0 = 256·(97−128)², chunk1 = 44·961
     val payload = Array.fill[Byte](300)('a')
