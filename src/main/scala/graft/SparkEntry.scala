@@ -316,6 +316,7 @@ object SparkEntry {
     "engine_delete" -> (JsonQueries.engineDelete _),
     "engine_time_travel" -> (JsonQueries.engineTimeTravel _),
     "engine_snapshot_diff" -> (JsonQueries.engineSnapshotDiff _),
+    "engine_vacuum" -> (JsonQueries.engineVacuum _),
     "engine_evolve_upsert" -> (JsonQueries.engineEvolveUpsert _),
     "engine_nested_sql" -> (JsonQueries.engineNestedSql _),
     // §2.2 bulk analytic SQL
@@ -477,6 +478,7 @@ object SparkEntry {
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
     "stream_join" -> (graft.streaming.Events.streamJoin _),
+    "stream_static_join" -> (graft.streaming.Events.streamStaticJoin _),
     "stream_watermark_append" ->
       (graft.streaming.Events.streamWatermarkAppend _),
     "stream_upsert" -> (graft.streaming.Events.streamUpsert _),
@@ -528,6 +530,7 @@ object SparkEntry {
     "q_count_min_topk" -> (PipelineQueries.countMinTopK _),
     "q_hll_merge" -> (PipelineQueries.hllMerge _),
     "q_sample_stratified" -> (PipelineQueries.sampleStratified _),
+    "data_epoch_shuffle" -> (PipelineQueries.dataEpochShuffle _),
     "q_sample_reservoir" -> (PipelineQueries.sampleReservoir _),
     "text_bigram_lift" -> (PipelineQueries.textBigramLift _),
     "text_tfidf_top" -> (PipelineQueries.textTfidfTop _),
@@ -681,6 +684,17 @@ object SparkEntry {
         |    round(sum(bal), 2) FROM v2)
         |SELECT version, n_rows, balance FROM u
         |ORDER BY version""".stripMargin,
+    "engine_vacuum" ->
+      """WITH live AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 100, 2)
+        |      ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey % 11 <> 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(bal), 2) AS balance,
+        |  CAST(2 AS BIGINT) AS n_dirs_removed,
+        |  CAST(0 AS BIGINT) AS n_versions_left
+        |FROM live""".stripMargin,
     "engine_snapshot_diff" ->
       """WITH c AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
         |cls AS (
@@ -1068,6 +1082,25 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // md5_number_lower replays the engine's sampling hash exactly
+    "data_epoch_shuffle" ->
+      """WITH ks AS (
+        |  SELECT e.epoch, doc_id,
+        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(e.epoch AS VARCHAR)) & 1125899906842623 AS BIGINT) AS k
+        |  FROM documents, (SELECT unnest([0, 1, 2]) AS epoch) e),
+        |s AS (SELECT epoch, doc_id, k, k % 16 AS shard FROM ks),
+        |r AS (SELECT epoch, shard, doc_id, k, row_number() OVER (
+        |    PARTITION BY epoch, shard ORDER BY k, doc_id) AS rn
+        |  FROM s),
+        |g AS (SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(min(k) AS BIGINT) AS min_key
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(g.epoch AS BIGINT) AS epoch,
+        |  CAST(g.shard AS BIGINT) AS shard, g.n_docs,
+        |  r.doc_id AS first_doc, g.min_key
+        |FROM g JOIN r ON g.epoch = r.epoch AND g.shard = r.shard
+        |  AND r.rn = 1
+        |ORDER BY epoch, shard""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, source FROM documents
         |WHERE (md5_number_lower(CAST(doc_id AS VARCHAR)) & 2147483647)
@@ -2953,6 +2986,12 @@ object SparkEntry {
         |SELECT user_id, sess_id, n_events, start_s, end_s FROM (
         |  SELECT g.*, max(sess_id) OVER (PARTITION BY user_id) AS mx FROM g) t
         |WHERE sess_id < mx ORDER BY user_id, sess_id""".stripMargin,
+    "stream_static_join" ->
+      """SELECT 't' || CAST(c_custkey % 4 AS VARCHAR) AS tier,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_join" ->
       """WITH c AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_ts

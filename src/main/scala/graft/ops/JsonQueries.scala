@@ -381,6 +381,36 @@ object JsonQueries {
       .orderBy(col("change_type"))
   }
 
+  /** Storage-lifecycle close-out — completes the Engine verb story
+    * (save / upsert / delete / time-travel / diff / VACUUM): after two
+    * mutations leave two retained snapshots behind, vacuum reclaims
+    * every archived version dir while the live table survives
+    * bit-for-bit. Retention dirs are renames of parquet the staged
+    * swap already wrote, so vacuum is pure metadata+delete — no data
+    * pass at any scale. Output: live-content census plus the reclaim
+    * counts; the oracle replays both mutations over the source parquet
+    * and pins the vacuum invariant (2 dirs removed, 0 versions left,
+    * live content untouched). */
+  def engineVacuum(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_engine_vac").toString
+    val eng = new graft.Engine(s, wh)
+    val docs = Tables.customer(s, d)
+      .select(col("c_custkey").as("rowNum"), col("c_acctbal"))
+    eng.save(docs, "cust")
+    eng.upsert("cust", docs.filter(col("rowNum") % 5 === 0)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2)))
+    eng.delete("cust", docs.filter(col("rowNum") % 11 === 0)
+      .select("rowNum"))
+    val removed = eng.vacuum("cust")
+    val left = eng.versions("cust").size
+    eng.table("cust")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")), 2).as("balance"))
+      .select(col("n_rows"), col("balance"),
+        lit(removed.toLong).as("n_dirs_removed"),
+        lit(left.toLong).as("n_versions_left"))
+  }
+
   /** Shred→assemble roundtrip integrity over all orders. */
   def roundtripCount(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)

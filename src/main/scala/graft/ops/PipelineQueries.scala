@@ -634,6 +634,35 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic per-epoch training order — the shuffle a trainer
+    * streams each epoch without ever materializing a permutation: for
+    * epoch e every doc's order key is the 50-bit
+    * md5(doc_id:e) and its shard is `key % 16`, so shard assignment is
+    * a MAP-ONLY pass (the hash IS the order — no global sort at any
+    * scale) and writers just range-partition the key space within a
+    * shard. Different epochs draw independent permutations from the
+    * same corpus with zero extra state. Emits the per-(epoch, shard)
+    * manifest: row count, the shard's first doc in shuffle order, and
+    * its minimum key. The epochs frame is broadcast (3 rows); the only
+    * shuffle is the |epochs×shards|-bounded rollup. */
+  def dataEpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val epochs = s.range(3).select(col("id").as("epoch"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .crossJoin(broadcast(epochs))
+      .withColumn("k",
+        graft.functions.exprs.md5Lower64(
+            concat(col("doc_id").cast("string"), lit(":"),
+              col("epoch").cast("string")))
+          .bitwiseAND(lit((1L << 50) - 1)))
+      .withColumn("shard", col("k") % 16)
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), struct(col("k"), col("doc_id")))
+          .as("first_doc"),
+        min(col("k")).as("min_key"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
   /** Deterministic per-group reservoir sample: the k docs per source
     * with the lowest md5(doc_id) — a uniform-at-random draw that is
     * reproducible across runs, engines, and cluster topologies (no

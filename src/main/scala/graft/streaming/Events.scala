@@ -253,6 +253,33 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-STATIC join — the enrichment shape most production
+    * streams actually run (and the one join member stream-stream
+    * variants can't express): every micro-batch joins the streamed
+    * events against a static dimension snapshot (customer → tier),
+    * broadcast at this size, co-partitioned at scale. No watermark and
+    * NO join state — the static side is re-resolved per batch, so
+    * state never grows and the converged aggregate equals the batch
+    * join (the oracle). Left join: an event without a dimension row
+    * keeps flowing with a null tier instead of silently dropping. */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    val ev = eventStream(spark, sfDir)
+    val dim = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"),
+        concat(lit("t"), (col("c_custkey") % 4).cast("string")).as("tier"))
+    val agg = ev.select(col("user_id"), col("value"))
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    val name = s"graft_stream_static_${n.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("tier"))
+  }
+
   /** Stream-stream LEFT OUTER join with watermarks on both sides —
     * the enrichment shape inner joins can't express: every click
     * emits, matched rows immediately, unmatched ones with nulls once

@@ -323,6 +323,27 @@ class FacadeSpec extends SparkSuite {
     assert(rows("deleted")._2 < 0 && rows("added")._2 > 0)
   }
 
+  test("vacuum reclaims all snapshots and leaves the live table intact") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_eng_vac").toString
+    val eng = new Engine(spark, wh)
+    eng.save(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("rowNum", "name"), "kv")
+    eng.upsert("kv", Seq((2L, "B"), (4L, "d")).toDF("rowNum", "name"))
+    eng.delete("kv", Seq(1L).toDF("rowNum"))
+    assert(eng.versions("kv") == Seq(0, 1))
+    val before = eng.table("kv").orderBy("rowNum")
+      .as[(Long, String)].collect().toSeq
+    assert(eng.vacuum("kv") == 2, "both retained snapshot dirs reclaimed")
+    assert(eng.versions("kv").isEmpty, "no versions survive vacuum")
+    assert(eng.table("kv").orderBy("rowNum")
+      .as[(Long, String)].collect().toSeq == before,
+      "live table must survive vacuum bit-for-bit")
+    assert(eng.vacuum("kv") == 0, "second vacuum is a no-op")
+    // contract query pins the same invariants over real tables
+    val row = graft.ops.JsonQueries.engineVacuum(spark, sf).head()
+    assert(row.getLong(2) == 2L && row.getLong(3) == 0L)
+  }
+
   test("staged swaps retain snapshots: versions list, tableAt reads, " +
       "retention prunes") {
     import spark.implicits._
@@ -1035,6 +1056,23 @@ class StreamingSpec extends SparkSuite {
     val bridged = mergeIntervals(
       Iterator(0L, 3000L, 1500L), None, gap = 1800L)
     assert(bridged.toList == List((0L, 3000L, 3L)))
+  }
+
+  test("stream-static join equals the batch enrichment join") {
+    val streamed = graft.streaming.Events.streamStaticJoin(spark, sf)
+    val dim = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"),
+        concat(lit("t"), (col("c_custkey") % 4).cast("string")).as("tier"))
+    val batch = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("value"))
+      .join(dim, Seq("user_id"), "left")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "stream-static join diverged from the batch join")
+    assert(streamed.count() > 0)
   }
 
   test("stream_window matches the batch window aggregation") {

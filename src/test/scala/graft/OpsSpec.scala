@@ -367,6 +367,26 @@ class OpsSpec extends SparkSuite {
       "every doc is chunked")
   }
 
+  test("epoch shuffle: every doc sharded each epoch, permutations differ") {
+    import graft.ops.PipelineQueries
+    val rows = PipelineQueries.dataEpochShuffle(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    val byEpoch = rows.groupBy(_.getLong(0))
+    assert(byEpoch.keySet == Set(0L, 1L, 2L), "three epochs planned")
+    // conservation: every doc lands in exactly one shard per epoch
+    byEpoch.foreach { case (e, rs) =>
+      assert(rs.map(_.getLong(2)).sum == nDocs, s"epoch $e loses docs")
+      assert(rs.map(_.getLong(1)).toSet.size == rs.length,
+        s"epoch $e: duplicate shard rows")
+    }
+    // independence: different epochs draw different orders — the
+    // per-shard first docs cannot all coincide across epochs
+    def firsts(e: Long) =
+      byEpoch(e).map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(firsts(0L) != firsts(1L) && firsts(1L) != firsts(2L),
+      "epoch permutations must differ")
+  }
+
   test("mixture plan weights renormalize and upweight small sources") {
     import graft.ops.PipelineQueries
     val rows = PipelineQueries.dataMixturePlan(spark, sf).collect()
