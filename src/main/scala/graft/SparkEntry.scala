@@ -479,6 +479,8 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
     "stream_join" -> (graft.streaming.Events.streamJoin _),
     "stream_static_join" -> (graft.streaming.Events.streamStaticJoin _),
+    "stream_incremental_ingest" ->
+      (graft.streaming.Events.streamIncrementalIngest _),
     "stream_watermark_append" ->
       (graft.streaming.Events.streamWatermarkAppend _),
     "stream_upsert" -> (graft.streaming.Events.streamUpsert _),
@@ -529,6 +531,7 @@ object SparkEntry {
     "dedup_embed_buckets" -> (PipelineQueries.dedupEmbedBuckets _),
     "q_count_min_topk" -> (PipelineQueries.countMinTopK _),
     "q_hll_merge" -> (PipelineQueries.hllMerge _),
+    "q_rolling_hll_wau" -> (PipelineQueries.rollingHllWau _),
     "q_sample_stratified" -> (PipelineQueries.sampleStratified _),
     "data_epoch_shuffle" -> (PipelineQueries.dataEpochShuffle _),
     "q_sample_reservoir" -> (PipelineQueries.sampleReservoir _),
@@ -2986,6 +2989,25 @@ object SparkEntry {
         |SELECT user_id, sess_id, n_events, start_s, end_s FROM (
         |  SELECT g.*, max(sess_id) OVER (PARTITION BY user_id) AS mx FROM g) t
         |WHERE sess_id < mx ORDER BY user_id, sess_id""".stripMargin,
+    "stream_incremental_ingest" ->
+      """WITH u AS (
+        |  SELECT user_id, value FROM events
+        |  UNION ALL
+        |  SELECT user_id, value FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rolling_hll_wau" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+        |    AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM e),
+        |r AS (SELECT d.day, count(DISTINCT e.user_id) AS n_exact
+        |  FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1)
+        |SELECT day, CAST(n_exact AS BIGINT) AS n_exact,
+        |  true AS within_5pct
+        |FROM r ORDER BY day""".stripMargin,
     "stream_static_join" ->
       """SELECT 't' || CAST(c_custkey % 4 AS VARCHAR) AS tier,
         |  CAST(count(*) AS BIGINT) AS n_events,

@@ -557,6 +557,43 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Rolling distinct via MERGEABLE daily sketches — the
+    * recompute-free scale answer to rolling window distincts (the
+    * exact variant is `q_rolling_wau`): one HLL sketch per day is
+    * built ONCE, and any window is a cheap union of daily sketches —
+    * at 100 TB the daily pass never re-reads history and a 7-day (or
+    * 90-day) window costs |days| sketch merges, not a re-scan. Output
+    * pins each day's exact 7-day distinct alongside the sketch
+    * estimate's 5% envelope, so the oracle value-verifies the exact
+    * path and the invariant the sketches must satisfy. */
+  def rollingHllWau(s: SparkSession, d: String): DataFrame = {
+    // `div` (integral), not `/` (double division in Spark SQL)
+    val days = Tables.events(s, d)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        col("user_id"))
+    val daily = days.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    // explode each daily sketch to the ≤7 window-end days it serves:
+    // the merge fan-out is bounded by the window, never by history
+    val contrib = daily.select(col("day"),
+        explode(sequence(col("day"), col("day") + 6)).as("w_day"),
+        col("sk"))
+      .join(daily.select(col("day").as("w_day")).distinct(), Seq("w_day"))
+    val est = contrib.groupBy(col("w_day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = days
+      .select(explode(sequence(col("day"), col("day") + 6)).as("w_day"),
+        col("user_id"))
+      .join(daily.select(col("day").as("w_day")).distinct(), Seq("w_day"))
+      .groupBy(col("w_day"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(est, Seq("w_day"))
+      .select(col("w_day").as("day"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) / col("n_exact") <= 0.05)
+          .as("within_5pct"))
+      .orderBy(col("day"))
+  }
+
   /** Count-min-sketch heavy hitters: one fixed-size mergeable sketch
     * (4×256 counters, [[graft.functions.CountMinSketch]]) over the
     * lineitem supplier stream, then the exact top-10 suppliers each

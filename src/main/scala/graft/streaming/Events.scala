@@ -527,6 +527,55 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Incremental CHECKPOINTED ingestion — the exactly-once
+    * resume-from-offsets pattern that turns a streaming query into an
+    * incremental batch pipeline: run 1 ingests the whole corpus and
+    * checkpoints the file-source offsets; a delta file is then added
+    * and run 2, restarted on the SAME checkpoint, processes ONLY the
+    * delta (asserted from query progress — re-reading history would be
+    * the scale bug this query exists to catch). Each micro-batch folds
+    * additively (per-user partial counts appended, summed at read), so
+    * the final table is split-invariant and equals the batch aggregate
+    * over corpus+delta. The delta is the corpus's purchase rows, so
+    * the oracle replays it with pure SQL: n = count(*) + purchases. */
+  def streamIncrementalIngest(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_incr")
+    val src = s"$work/in"
+    val slim = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    slim.write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val out = s"$work/out"
+    val ckpt = s"$work/ckpt"
+    val fold: (DataFrame, Long) => Unit = (batch, _) =>
+      batch.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("_n"), sum(col("value")).as("_v"))
+        .write.mode("append").parquet(out)
+    def runOnce(): Long = {
+      val q = spark.readStream.schema(schema).parquet(s"$src/*.parquet")
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    val n1 = runOnce()
+    val delta = slim.filter(col("event_type") === "purchase")
+    val nDelta = delta.count()
+    delta.write.mode("append").parquet(src)
+    val n2 = runOnce()
+    require(n1 > n2 && n2 == nDelta,
+      s"incremental resume must process ONLY the delta " +
+        s"(run1=$n1 rows, run2=$n2, delta=$nDelta)")
+    spark.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(sum(col("_n")).as("n_events"),
+        round(sum(col("_v")), 2).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   case class SessEvent(user_id: Long, ts_s: Long)
   case class OpenSession(start_s: Long, end_s: Long, n: Long, idx: Long)
   case class ClosedSession(user_id: Long, sess_id: Long, n_events: Long,

@@ -1058,6 +1058,21 @@ class StreamingSpec extends SparkSuite {
     assert(bridged.toList == List((0L, 3000L, 3L)))
   }
 
+  test("incremental ingest resumes from offsets and equals corpus+delta") {
+    // delta-only processing on run 2 is require()d inside the operator;
+    // here the folded result must equal the one-shot batch aggregate
+    val streamed = graft.streaming.Events.streamIncrementalIngest(spark, sf)
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val batch = e.unionAll(e.filter(col("event_type") === "purchase"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "incremental fold diverged from the batch corpus+delta aggregate")
+  }
+
   test("stream-static join equals the batch enrichment join") {
     val streamed = graft.streaming.Events.streamStaticJoin(spark, sf)
     val dim = graft.sources.Tables.customer(spark, sf)

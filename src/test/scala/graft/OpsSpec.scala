@@ -367,6 +367,23 @@ class OpsSpec extends SparkSuite {
       "every doc is chunked")
   }
 
+  test("rolling HLL WAU: estimates stay in the 5% envelope, days covered") {
+    import graft.ops.PipelineQueries
+    val rows = PipelineQueries.rollingHllWau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)),
+      "an HLL window estimate escaped the 5% envelope")
+    // window distinct can only grow vs the single day's distinct and is
+    // bounded by the full-corpus distinct
+    val total = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= total))
+    val nDays = graft.sources.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        "unix_timestamp(ts) div 86400")).distinct().count()
+    assert(rows.length == nDays, "one row per observed day")
+  }
+
   test("epoch shuffle: every doc sharded each epoch, permutations differ") {
     import graft.ops.PipelineQueries
     val rows = PipelineQueries.dataEpochShuffle(spark, sf).collect()
