@@ -65,7 +65,11 @@ object SparkEntry {
       graft.ops.PipelineQueries.cachedIvfModel(sfDir)
         .map(m => "ann_ivf_topk" -> annIvfOracle(m)).toMap ++
       graft.ops.PipelineQueries.cachedPqModel(sfDir)
-        .map(m => "ann_pq_topk" -> annPqOracle(m)).toMap
+        .map(m => "ann_pq_topk" -> annPqOracle(m)).toMap ++
+      (for {
+        i <- graft.ops.PipelineQueries.cachedIvfModel(sfDir)
+        p <- graft.ops.PipelineQueries.cachedPqModel(sfDir)
+      } yield "ann_ivfpq_topk" -> annIvfPqOracle(i, p)).toMap
 
   /** ann_ivf_topk oracle, built from the quantizer that the query run
     * itself fitted (deterministic seeded fit, cached per corpus dir):
@@ -153,6 +157,83 @@ object SparkEntry {
        |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
        |      ORDER BY a DESC, c_id) AS srn FROM adc)
        |  WHERE srn <= 100),
+       |z2 AS (SELECT s.q_id, s.c_id, qv.x, cv.x AS y
+       |       FROM short s
+       |       JOIN v qv ON qv.vec_id = s.q_id
+       |       JOIN v cv ON cv.vec_id = s.c_id AND cv.dim = qv.dim),
+       |sums2 AS (SELECT q_id, c_id, sum(x*y) AS dt, sum(x*x) AS na,
+       |            sum(y*y) AS nb FROM z2 GROUP BY 1, 2),
+       |sc AS (SELECT q_id, c_id,
+       |         round(dt / (sqrt(na) * sqrt(nb)), 4) AS score FROM sums2),
+       |r AS (SELECT q_id, c_id, score,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY score DESC, c_id) AS INTEGER) AS rnk FROM sc)
+       |SELECT q_id, rnk, c_id, score FROM r WHERE rnk <= 5
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** ann_ivfpq_topk oracle — the composite replay: IVF centroids AND
+    * PQ codebooks fold in as VALUES literals, and DuckDB runs the full
+    * production pipeline (cell argmin + 4-probe selection from the IVF
+    * oracle, per-subspace code argmin + reconstruction from the PQ
+    * oracle, then the rounded-ADC shortlist restricted to probed-cell
+    * candidates and the exact-cosine re-rank). */
+  private def annIvfPqOracle(iv: graft.sim.Ivf.IvfModel,
+      m: graft.sim.Pq.PqModel): String = {
+    val dim = iv.centroids.head.length
+    val cellValues = iv.centroids.zipWithIndex
+      .map { case (c, j) => s"($j, [${c.mkString(", ")}])" }
+      .mkString(", ")
+    val sub = m.subDim
+    val cbValues = (for {
+      j <- m.codebooks.indices
+      c <- m.codebooks(j).indices
+    } yield s"($j, $c, [${m.codebooks(j)(c).mkString(", ")}])")
+      .mkString(", ")
+    s"""WITH cents(cell, cv) AS (VALUES $cellValues),
+       |ccd AS (SELECT cell, unnest(range(0, $dim)) AS dim,
+       |          unnest(cv)::DOUBLE AS c FROM cents),
+       |v AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+       |        unnest(embedding)::DOUBLE AS x FROM embeddings),
+       |cd2 AS (SELECT v.vec_id, ccd.cell,
+       |          sum((v.x - ccd.c) * (v.x - ccd.c)) AS d
+       |        FROM v JOIN ccd ON v.dim = ccd.dim GROUP BY 1, 2),
+       |crk AS (SELECT vec_id, cell, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY d, cell) AS rn FROM cd2),
+       |assign AS (SELECT vec_id AS c_id, cell FROM crk WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cell FROM crk
+       |           WHERE vec_id < 10 AND rn <= 4),
+       |pair AS (SELECT p.q_id, a.c_id
+       |         FROM probes p JOIN assign a USING (cell)
+       |         WHERE a.c_id <> p.q_id),
+       |cb(j, code, cw) AS (VALUES $cbValues),
+       |cd AS (SELECT j, code, unnest(range(0, $sub)) AS sd,
+       |         unnest(cw)::DOUBLE AS c FROM cb),
+       |sv AS (SELECT vec_id, CAST(dim // $sub AS INTEGER) AS j,
+       |         CAST(dim % $sub AS INTEGER) AS sd, x FROM v),
+       |d2 AS (SELECT sv.vec_id, cd.j, cd.code,
+       |         sum((sv.x - cd.c) * (sv.x - cd.c)) AS d
+       |       FROM sv JOIN cd ON sv.j = cd.j AND sv.sd = cd.sd
+       |       GROUP BY 1, 2, 3),
+       |rk AS (SELECT vec_id, j, code, row_number() OVER (
+       |         PARTITION BY vec_id, j ORDER BY d, code) AS rn FROM d2),
+       |codes AS (SELECT vec_id, j, code FROM rk WHERE rn = 1),
+       |recon AS (SELECT codes.vec_id AS c_id, cd.j * $sub + cd.sd AS dim,
+       |            cd.c AS y
+       |          FROM codes JOIN cd ON cd.j = codes.j
+       |            AND cd.code = codes.code),
+       |z AS (SELECT pr.q_id, pr.c_id, qv.x, r.y
+       |      FROM pair pr
+       |      JOIN v qv ON qv.vec_id = pr.q_id
+       |      JOIN recon r ON r.c_id = pr.c_id AND r.dim = qv.dim),
+       |sums AS (SELECT q_id, c_id, sum(x*y) AS dt, sum(x*x) AS na,
+       |           sum(y*y) AS nb FROM z GROUP BY 1, 2),
+       |adc AS (SELECT q_id, c_id,
+       |          round(dt / (sqrt(na) * sqrt(nb)), 4) AS a FROM sums),
+       |short AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY a DESC, c_id) AS srn FROM adc)
+       |  WHERE srn <= 50),
        |z2 AS (SELECT s.q_id, s.c_id, qv.x, cv.x AS y
        |       FROM short s
        |       JOIN v qv ON qv.vec_id = s.q_id
@@ -528,6 +609,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (PipelineQueries.annIvfTopK _),
     "ann_ivf_recall" -> (PipelineQueries.annIvfRecall _),
     "ann_pq_topk" -> (PipelineQueries.annPqTopK _),
+    "ann_ivfpq_topk" -> (PipelineQueries.annIvfPqTopK _),
     "dedup_embed_buckets" -> (PipelineQueries.dedupEmbedBuckets _),
     "q_count_min_topk" -> (PipelineQueries.countMinTopK _),
     "q_hll_merge" -> (PipelineQueries.hllMerge _),

@@ -449,6 +449,22 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Approximate top-5 via composite IVF-PQ — the production
+    * billion-vector shape assembled from the two halves that already
+    * exist separately: IVF cells PRUNE (4/16 probed), PQ codes
+    * COMPRESS the ADC scan inside the probed cells, and the exact
+    * re-rank pays float precision only for the 50-vector shortlist.
+    * Both fitted models fold into the oracle as literals, so DuckDB
+    * replays the entire pipeline — cell argmin, probe selection,
+    * per-subspace code argmin, reconstruction, rounded-ADC shortlist,
+    * exact re-rank — value for value. */
+  def annIvfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.sim.IvfPq.topK(emb, emb.filter(col("vec_id") < 10), 5,
+      ivfModelFor(s, d), pqModelFor(s, d), nProbe = 4, shortlist = 50)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Near-dup resolution keeping the BEST cluster member (longest
     * text, doc_id tiebreak) instead of the smallest id — what corpus
     * cleaning actually wants: the most complete representative

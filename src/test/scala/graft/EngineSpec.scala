@@ -823,6 +823,28 @@ class IvfSpec extends SparkSuite {
   }
 }
 
+class IvfPqSpec extends SparkSuite {
+  test("composite IVF-PQ: full result shape and recall against brute force") {
+    val got = graft.ops.PipelineQueries.annIvfPqTopK(spark, sf).collect()
+    val perQ = got.groupBy(_.getLong(0))
+    assert(perQ.size == 10, "one result set per query")
+    perQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5),
+        s"query $q: ranks must be exactly 1..5")
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q: scores must be non-increasing in rank")
+    }
+    // pruning+compression may drop true neighbors, but the composite
+    // must still find most of the brute-force top-5
+    val brute = graft.ops.PipelineQueries.annBruteTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ours = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ours).size.toDouble / brute.size
+    assert(recall >= 0.5, f"IVF-PQ recall@5 $recall%.2f below 0.5")
+  }
+}
+
 class PqSpec extends SparkSuite {
   test("PQ fit is layout-independent and round-trips save/load") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
