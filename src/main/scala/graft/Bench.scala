@@ -64,8 +64,12 @@ object Bench {
     // per-query map goes to BENCH_LAST.json (committed per round).
     val stdoutLine =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"failures":$fails,"full":"BENCH_LAST.json"}"""
+    // per-stream input-rate probe: end-to-end seconds hide state-store
+    // regressions behind ~1 s of fixed micro-batch machinery; rows/s
+    // from each query's own progress makes them visible round-to-round
+    val streamRates = graft.streaming.StreamMeter.ratesJson
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"failures":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"failures":$fails,"stream_rates":$streamRates,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), fullLine + "\n")
     spark.stop()

@@ -69,7 +69,12 @@ object SparkEntry {
       (for {
         i <- graft.ops.PipelineQueries.cachedIvfModel(sfDir)
         p <- graft.ops.PipelineQueries.cachedPqModel(sfDir)
-      } yield "ann_ivfpq_topk" -> annIvfPqOracle(i, p)).toMap
+      } yield "ann_ivfpq_topk" -> annIvfPqOracle(i, p)).toMap ++
+      (for {
+        i <- graft.ops.PipelineQueries.cachedIvfModel(sfDir)
+        p <- graft.ops.PipelineQueries.cachedPqModel(sfDir)
+      } yield "ann_ivfpq_filtered" ->
+        annIvfPqOracle(i, p, candCond = "label = 1")).toMap
 
   /** ann_ivf_topk oracle, built from the quantizer that the query run
     * itself fitted (deterministic seeded fit, cached per corpus dir):
@@ -179,7 +184,7 @@ object SparkEntry {
     * oracle, then the rounded-ADC shortlist restricted to probed-cell
     * candidates and the exact-cosine re-rank). */
   private def annIvfPqOracle(iv: graft.sim.Ivf.IvfModel,
-      m: graft.sim.Pq.PqModel): String = {
+      m: graft.sim.Pq.PqModel, candCond: String = "TRUE"): String = {
     val dim = iv.centroids.head.length
     val cellValues = iv.centroids.zipWithIndex
       .map { case (c, j) => s"($j, [${c.mkString(", ")}])" }
@@ -200,7 +205,9 @@ object SparkEntry {
        |        FROM v JOIN ccd ON v.dim = ccd.dim GROUP BY 1, 2),
        |crk AS (SELECT vec_id, cell, row_number() OVER (
        |          PARTITION BY vec_id ORDER BY d, cell) AS rn FROM cd2),
-       |assign AS (SELECT vec_id AS c_id, cell FROM crk WHERE rn = 1),
+       |assign AS (SELECT vec_id AS c_id, cell FROM crk WHERE rn = 1
+       |           AND vec_id IN (SELECT vec_id FROM embeddings
+       |                          WHERE $candCond)),
        |probes AS (SELECT vec_id AS q_id, cell FROM crk
        |           WHERE vec_id < 10 AND rn <= 4),
        |pair AS (SELECT p.q_id, a.c_id
@@ -441,6 +448,7 @@ object SparkEntry {
     "q_percentile" -> (Analytics.qPercentile _),
     "q_sql_subquery" -> (Analytics.qSqlSubquery _),
     "q_asof_join" -> (Analytics.qAsofJoin _),
+    "q_asof_tolerance" -> (Analytics.qAsofTolerance _),
     "q_range_join" -> (Analytics.qRangeJoin _),
     "q_session_window" -> (Analytics.qSessionWindow _),
     "q_pivot" -> (Analytics.qPivot _),
@@ -555,6 +563,7 @@ object SparkEntry {
     "multimodal_phash_dedup" -> (PipelineQueries.multimodalPhashDedup _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_event_pattern" -> (graft.streaming.Events.streamEventPattern _),
+    "stream_dedup_minhash" -> (graft.streaming.Events.streamDedupMinhash _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
@@ -610,6 +619,7 @@ object SparkEntry {
     "ann_ivf_recall" -> (PipelineQueries.annIvfRecall _),
     "ann_pq_topk" -> (PipelineQueries.annPqTopK _),
     "ann_ivfpq_topk" -> (PipelineQueries.annIvfPqTopK _),
+    "ann_ivfpq_filtered" -> (PipelineQueries.annIvfPqFiltered _),
     "dedup_embed_buckets" -> (PipelineQueries.dedupEmbedBuckets _),
     "q_count_min_topk" -> (PipelineQueries.countMinTopK _),
     "q_hll_merge" -> (PipelineQueries.hllMerge _),
@@ -630,6 +640,9 @@ object SparkEntry {
     "text_lm_score" -> (PipelineQueries.textLmScore _),
     "dedup_url" -> (PipelineQueries.dedupUrl _),
     "q_sample_weighted" -> (PipelineQueries.sampleWeighted _),
+    "q_sample_systematic" -> (PipelineQueries.sampleSystematic _),
+    "data_interleave_mixture" -> (PipelineQueries.dataInterleaveMixture _),
+    "text_bm25_rank" -> (PipelineQueries.textBm25Rank _),
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
     "text_levenshtein" -> (PipelineQueries.textLevenshtein _),
     "text_top_ngrams" -> (PipelineQueries.textTopNgrams _),
@@ -661,11 +674,13 @@ object SparkEntry {
     "sink_compaction" -> (graft.sources.Layouts.compaction _),
   )
 
-  /** stream_event_pattern is contracted to equal its batch twin, so it
-    * shares the q_event_pattern oracle SQL verbatim. */
+  /** stream_event_pattern and stream_dedup_minhash are contracted to
+    * equal their batch twins, so they share the batch oracle SQL
+    * verbatim. */
   def oracleSql: Map[String, String] =
     oracleSqlBase +
-      ("stream_event_pattern" -> oracleSqlBase("q_event_pattern"))
+      ("stream_event_pattern" -> oracleSqlBase("q_event_pattern")) +
+      ("stream_dedup_minhash" -> oracleSqlBase("dedup_incremental"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "shred_flatten" ->
@@ -1334,11 +1349,15 @@ object SparkEntry {
         |  count(*) AS n_days
         |FROM g GROUP BY grp HAVING count(*) >= 2
         |ORDER BY 1""".stripMargin,
+    // both latest-per-key oracles rank on epoch_us(ts): the engine
+    // canonicalizes event time to microseconds, while DuckDB reads
+    // TIMESTAMP(NANOS) testdata at ns precision — two same-user events
+    // inside the same microsecond must pick the same winner both sides
     "stream_latest_per_key" ->
       """WITH r AS (
         |  SELECT user_id, event_id, event_type, ts, value,
         |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, event_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
@@ -1348,7 +1367,7 @@ object SparkEntry {
       """WITH r AS (
         |  SELECT user_id, event_id, event_type, ts, value,
         |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, event_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
@@ -2486,7 +2505,7 @@ object SparkEntry {
         |  FROM toks, unnest(range(CAST(ceil(len(t) / 10.0) AS BIGINT)))
         |    AS r(i)),
         |rk AS (SELECT source,
-        |    row_number() OVER (PARTITION BY passage
+        |    row_number() OVER (PARTITION BY md5_number_lower(passage)
         |      ORDER BY doc_id, pidx) AS rn
         |  FROM pass),
         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_passages,
@@ -2928,6 +2947,91 @@ object SparkEntry {
         |SELECT canon, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS keeper
         |FROM s3 GROUP BY canon ORDER BY canon""".stripMargin,
+    "q_sample_systematic" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+        |      & 1125899906842623 AS BIGINT) AS hkey
+        |  FROM documents WHERE n_chars > 0),
+        |c AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY hkey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM w),
+        |t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM w),
+        |p AS (
+        |  SELECT CAST(range AS BIGINT) AS sample_idx,
+        |    CAST((2 * range + 1) * tot // 40 AS BIGINT) AS pos
+        |  FROM range(20) CROSS JOIN t)
+        |SELECT sample_idx, pos, doc_id, n_chars
+        |FROM p JOIN c ON pos >= cum - n_chars AND pos < cum
+        |ORDER BY sample_idx""".stripMargin,
+    "data_interleave_mixture" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS seq
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, source, seq,
+        |    CAST(seq AS DOUBLE) /
+        |      (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |            THEN 40 ELSE 15 END) AS vtime
+        |  FROM s),
+        |r AS (
+        |  SELECT doc_id, source, seq,
+        |    CAST(row_number() OVER (ORDER BY vtime, source, doc_id)
+        |      AS BIGINT) AS slot
+        |  FROM v)
+        |SELECT slot, source, seq, doc_id FROM r WHERE slot <= 50
+        |ORDER BY slot""".stripMargin,
+    // bm25: every non-ln step is exactly-rounded IEEE arithmetic with
+    // the identical expression tree as the Spark side; the 4-dp round
+    // absorbs any last-ulp ln() difference between libms
+    "text_bm25_rank" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+        |    CAST(count(*) FILTER (w = 'spark') AS BIGINT) AS tf_a,
+        |    CAST(count(*) FILTER (w = 'vector') AS BIGINT) AS tf_b,
+        |    CAST(count(*) FILTER (w = 'stream') AS BIGINT) AS tf_c
+        |  FROM tok GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS tot,
+        |    CAST(count(*) FILTER (tf_a > 0) AS BIGINT) AS df_a,
+        |    CAST(count(*) FILTER (tf_b > 0) AS BIGINT) AS df_b,
+        |    CAST(count(*) FILTER (tf_c > 0) AS BIGINT) AS df_c
+        |  FROM pd),
+        |sc AS (
+        |  SELECT doc_id, dl, round(
+        |    (CASE WHEN tf_a > 0
+        |      THEN ln(1.0 + (n_docs - df_a + 0.5) / (df_a + 0.5)) *
+        |        (CAST(tf_a AS DOUBLE) * 2.2 / (CAST(tf_a AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+        |            (CAST(tot AS DOUBLE) / n_docs)))))
+        |      ELSE 0.0 END) +
+        |    (CASE WHEN tf_b > 0
+        |      THEN ln(1.0 + (n_docs - df_b + 0.5) / (df_b + 0.5)) *
+        |        (CAST(tf_b AS DOUBLE) * 2.2 / (CAST(tf_b AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+        |            (CAST(tot AS DOUBLE) / n_docs)))))
+        |      ELSE 0.0 END) +
+        |    (CASE WHEN tf_c > 0
+        |      THEN ln(1.0 + (n_docs - df_c + 0.5) / (df_c + 0.5)) *
+        |        (CAST(tf_c AS DOUBLE) * 2.2 / (CAST(tf_c AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+        |            (CAST(tot AS DOUBLE) / n_docs)))))
+        |      ELSE 0.0 END), 4) AS score
+        |  FROM pd CROSS JOIN m)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS BIGINT) AS rnk,
+        |  doc_id, dl, score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q_sample_weighted" ->
       """WITH h AS (
         |  SELECT source, doc_id, n_chars,
@@ -2969,6 +3073,21 @@ object SparkEntry {
         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
         |  FROM events)
         |SELECT e.event_id, round(p.pval, 2) AS last_purchase
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts_s >= p.ts_s
+        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    arg_max(value, event_id) AS pval
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events)
+        |SELECT e.event_id,
+        |  CASE WHEN e.ts_s - p.ts_s <= 3600 THEN round(p.pval, 2) END
+        |    AS purchase_1h
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts_s >= p.ts_s
         |ORDER BY e.event_id""".stripMargin,

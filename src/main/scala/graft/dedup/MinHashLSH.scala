@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 
@@ -56,16 +56,22 @@ object MinHashLSH {
   /** (id, band, bucket-hash) rows — the LSH index relation. In
     * production this is the stored, bucketed artifact ingestion
     * maintains; here it is recomputed per call. */
-  private def bandedIds(sigs: DataFrame, cfg: Config): DataFrame = {
+  /** array<struct<band,bh>> of per-band bucket keys for a signature
+    * column — the stateless banding projection, shared by the batch
+    * index and the STREAMING probe (it composes into any frame,
+    * including a `readStream` one, because it is a pure map). */
+  def bandKeys(sigs: Column, cfg: Config = Config()): Column = {
     val r = cfg.rowsPerBand
-    val bandStructs = (0 until cfg.bands).map { j =>
+    array((0 until cfg.bands).map { j =>
       struct(lit(j).as("band"),
-        xxhash64(concat_ws(",", slice(col("sigs"), j * r + 1, r))).as("bh"))
-    }
-    sigs
-      .select(col("id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+        xxhash64(concat_ws(",", slice(sigs, j * r + 1, r))).as("bh"))
+    }: _*)
   }
+
+  private def bandedIds(sigs: DataFrame, cfg: Config): DataFrame =
+    sigs
+      .select(col("id"), explode(bandKeys(col("sigs"), cfg)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
 
   /** Cross-set candidates for INCREMENTAL dedup: the new batch's band
     * buckets are equi-joined against the existing corpus's index, so

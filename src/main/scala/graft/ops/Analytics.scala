@@ -479,14 +479,18 @@ object Analytics {
     * as a rank column — the driver's compare sorts rows before
     * hashing, so the ordering must be IN the data to be checked. */
   def qNullSort(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("st").asc_nulls_first,
-      col("o_totalprice").desc_nulls_last, col("o_orderkey"))
-    Tables.orders(s, d)
+    val base = Tables.orders(s, d)
       .filter(col("o_orderkey") % 100 === 0)
       .select(col("o_orderkey"),
         nullif(col("o_orderstatus"), lit("O")).as("st"),
         col("o_totalprice"))
-      .withColumn("pos", row_number().over(w).cast("long"))
+    // ranged global rank (Ranks.globalRowNumber) — the nulls-ordering
+    // directives ride the range partitioner's SortOrder, so the
+    // explicit NULLS FIRST/LAST semantics hold with no single-task sort
+    Ranks.globalRowNumber(base,
+        Seq(col("st").asc_nulls_first,
+          col("o_totalprice").desc_nulls_last, col("o_orderkey").asc),
+        "pos")
       .select(col("o_orderkey"), coalesce(col("st"), lit("<null>")).as("st"),
         col("o_totalprice"), col("pos"))
       .orderBy(col("pos"))
@@ -650,6 +654,34 @@ object Analytics {
     AsOf.join(ev, purchases, keys = Seq("user_id"),
       leftTime = "ts_s", rightTime = "ts_s", payload = "pval")
       .select(col("event_id"), round(col("pval"), 2).as("last_purchase"))
+      .orderBy(col("event_id"))
+  }
+
+  /** As-of join with a STALENESS TOLERANCE — the production variant of
+    * [[qAsofJoin]]: a matched quote/purchase older than 1 hour is no
+    * match at all (bounded-staleness point-in-time semantics; the
+    * difference between "last known price" and "price if fresh").
+    * Composed from the SAME [[AsOf.join]] one-shuffle union+forward-
+    * fill kernel: the payload rides as a (time, value) struct, so the
+    * fill carries the match's own timestamp and the tolerance check is
+    * a post-fill map — no second shuffle, no plan change vs the
+    * unbounded as-of. */
+  def qAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        epochS(col("ts")).as("ts_s"))
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), epochS(col("ts")).as("ts_s"))
+      .agg(max_by(col("value"), col("event_id")).as("pval"))
+      .withColumn("_tp",
+        struct(col("ts_s").as("rt"), col("pval").as("pv")))
+      .drop("pval")
+    AsOf.join(ev, purchases, keys = Seq("user_id"),
+        leftTime = "ts_s", rightTime = "ts_s", payload = "_tp")
+      .select(col("event_id"),
+        when(col("ts_s") - col("_tp.rt") <= 3600,
+          round(col("_tp.pv"), 2)).as("purchase_1h"))
       .orderBy(col("event_id"))
   }
 

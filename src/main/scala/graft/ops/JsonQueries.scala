@@ -218,7 +218,7 @@ object JsonQueries {
     * the returned JSON document. */
   def engineSaveGet(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val wh = java.nio.file.Files.createTempDirectory("graft_engine").toString
+    val wh = graft.util.Scratch.dir("graft_engine").toString
     val eng = new graft.Engine(s, wh)
     eng.save(orderDocs(s, d), "order")
     val doc = eng.getJson("order", 100L).getOrElse("{}")
@@ -241,7 +241,7 @@ object JsonQueries {
     * tables, proving the shred/manifest/SQL path preserves the
     * relational content at depth. */
   def engineNestedSql(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_engine_ns").toString
+    val wh = graft.util.Scratch.dir("graft_engine_ns").toString
     val eng = new graft.Engine(s, wh)
     val cust = Tables.customer(s, d)
       .select(col("c_nationkey"),
@@ -275,7 +275,7 @@ object JsonQueries {
     * `rewriteStaged` swap path crash-tested in EngineSpec. Oracle is the
     * equivalent anti-filter over the source parquet. */
   def engineDelete(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_engine_del").toString
+    val wh = graft.util.Scratch.dir("graft_engine_del").toString
     val eng = new graft.Engine(s, wh)
     val docs = Tables.orders(s, d)
       .select(col("o_orderkey").as("rowNum"), col("o_orderstatus"),
@@ -297,7 +297,7 @@ object JsonQueries {
     * readers see the old schema or the new one, never a half-written
     * mix. */
   def engineEvolveUpsert(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_engine_ev").toString
+    val wh = graft.util.Scratch.dir("graft_engine_ev").toString
     val eng = new graft.Engine(s, wh)
     val base = Tables.orders(s, d)
       .select(col("o_orderkey").as("rowNum"), col("o_totalprice"))
@@ -320,7 +320,7 @@ object JsonQueries {
     * scale. Oracle replays the same two mutations over the source
     * parquet in SQL. */
   def engineTimeTravel(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_engine_tt").toString
+    val wh = graft.util.Scratch.dir("graft_engine_tt").toString
     val eng = new graft.Engine(s, wh)
     val docs = Tables.customer(s, d)
       .select(col("c_custkey").as("rowNum"), col("c_acctbal"))
@@ -349,7 +349,7 @@ object JsonQueries {
     * rowNum — at scale both snapshots share that partitioning, so the
     * diff is a co-partitioned join, not a broadcast or a sort. */
   def engineSnapshotDiff(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_engine_sd").toString
+    val wh = graft.util.Scratch.dir("graft_engine_sd").toString
     // three mutations between v0 and live → retain 3 snapshots
     val eng = new graft.Engine(s, wh, retainVersions = 3)
     val docs = Tables.customer(s, d)
@@ -392,7 +392,7 @@ object JsonQueries {
     * and pins the vacuum invariant (2 dirs removed, 0 versions left,
     * live content untouched). */
   def engineVacuum(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_engine_vac").toString
+    val wh = graft.util.Scratch.dir("graft_engine_vac").toString
     val eng = new graft.Engine(s, wh)
     val docs = Tables.customer(s, d)
       .select(col("c_custkey").as("rowNum"), col("c_acctbal"))

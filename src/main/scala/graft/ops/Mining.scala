@@ -110,23 +110,37 @@ object Mining {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Percentile on the chosen scale path: exact interpolated
+    * `percentile` (the oracle-checked default — a full per-group sort
+    * of the values) or `approx_percentile` (the 100 TB path: a
+    * fixed-size mergeable KLL-style sketch, partial-aggregable, never
+    * holds the group in memory). Both are single aggregate expressions,
+    * so flipping the flag changes ZERO plan structure around them —
+    * the swap the SURVEY notes is a flag, not a rewrite. */
+  private def pct(value: String, q: Double, approx: Boolean): Column =
+    if (approx) expr(s"approx_percentile($value, $q, 10000)")
+    else expr(s"percentile($value, $q)")
+
   /** Robust anomaly audit: per-group median + MAD (median absolute
     * deviation) outlier counts at the 3σ-equivalent 3·1.4826·MAD fence.
     * Unlike the z-score audit, a few extreme rows cannot drag the fence.
-    * Both medians use exact interpolated `percentile` for oracle
-    * bit-parity — at 100 TB swap in `approx_percentile`, which keeps the
-    * same two-broadcast shape (the 2-column fact is scanned three times
-    * but never shuffled). Fences are rounded to 4 decimals before
+    * Both medians go through [[pct]]: exact for oracle bit-parity
+    * (default), `approx=true` for the 100 TB path — identical
+    * two-broadcast shape either way (the 2-column fact is scanned three
+    * times but never shuffled). Fences are rounded to 4 decimals before
     * comparison so a last-ulp median difference cannot flip a row. */
-  def qAnomalyMad(s: SparkSession, d: String): DataFrame = {
+  def qAnomalyMad(s: SparkSession, d: String): DataFrame =
+    qAnomalyMad(s, d, approx = false)
+
+  def qAnomalyMad(s: SparkSession, d: String, approx: Boolean): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"))
     val med = li.groupBy(col("l_returnflag"))
-      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med"))
+      .agg(round(pct("l_extendedprice", 0.5, approx), 4).as("med"))
     val withDev = li.join(broadcast(med), "l_returnflag")
       .withColumn("dev", abs(col("l_extendedprice") - col("med")))
     val mad = withDev.groupBy(col("l_returnflag"))
-      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+      .agg(round(pct("dev", 0.5, approx), 4).as("mad"))
     withDev.join(broadcast(mad), "l_returnflag")
       .withColumn("fence", round(lit(3 * 1.4826) * col("mad"), 4))
       .groupBy(col("l_returnflag"))
@@ -314,8 +328,13 @@ object Mining {
     * beside it so the operator reports its own approximation error.
     * Bin assignment is a single arithmetic expression on values both
     * engines hold bit-identically, so it is deterministic without any
-    * rounding tricks. */
-  def qQuantileHist(s: SparkSession, d: String): DataFrame = {
+    * rounding tricks. The reference-percentile side goes through
+    * [[pct]]: exact by default (oracle-checked), `approx=true` for the
+    * 100 TB flag-flip. */
+  def qQuantileHist(s: SparkSession, d: String): DataFrame =
+    qQuantileHist(s, d, approx = false)
+
+  def qQuantileHist(s: SparkSession, d: String, approx: Boolean): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"))
     val bounds = li.groupBy(col("l_returnflag"))
@@ -340,8 +359,8 @@ object Mining {
         round(first(col("mn")) + (est(0.99) + 0.5) * (first(col("mx")) - first(col("mn"))) / 100.0, 4)
           .as("est_p99"))
     val exact = li.groupBy(col("l_returnflag"))
-      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("exact_p99"))
+      .agg(round(pct("l_extendedprice", 0.5, approx), 4).as("exact_p50"),
+        round(pct("l_extendedprice", 0.99, approx), 4).as("exact_p99"))
     ests.join(broadcast(exact), "l_returnflag")
       .select(col("l_returnflag"), col("n_rows"),
         col("est_p50"), col("exact_p50"), col("est_p99"), col("exact_p99"))
@@ -675,9 +694,10 @@ object Mining {
     * values drawn from the same distribution? D = max gap between the
     * two empirical CDFs, computed tie-safely: counts are grouped per
     * DISTINCT value first (a cumulative frame over raw rows would be
-    * order-dependent inside ties), then one ordered cumsum over the
-    * |distinct-values| frame. Both heavy steps are partial-aggregable
-    * single shuffles; the CDF walk is O(distinct values). The 95%
+    * order-dependent inside ties), then one RANGED cumsum scan over
+    * the |distinct-values| frame ([[Ranks.globalScan]] — continuous
+    * doubles make that frame approach corpus cardinality, so it must
+    * not funnel through one task). The 95%
     * critical value 1.358·√((n+m)/nm) rides along so the row is a
     * complete test report. */
   def qKsTest(s: SparkSession, d: String): DataFrame = {
@@ -689,13 +709,13 @@ object Mining {
         .as("np_v"),
         sum(when(col("event_type") === "click", 1).otherwise(0))
           .as("nc_v"))
-    val w = Window.orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = per.agg(sum(col("np_v")).as("n_purchase"),
       sum(col("nc_v")).as("n_click"))
-    per
-      .withColumn("cp", sum(col("np_v")).over(w))
-      .withColumn("cc", sum(col("nc_v")).over(w))
+    // both CDF cumsums share ONE ranged scan over the distinct-value
+    // frame (long counts — exact under the parallel split); no
+    // single-task window even when distinct values ≈ corpus rows
+    Ranks.globalScan(per, Seq(col("value").asc),
+        sums = Seq(col("np_v") -> "cp", col("nc_v") -> "cc"))
       .crossJoin(broadcast(tot))
       .agg(first(col("n_purchase")).as("n_purchase"),
         first(col("n_click")).as("n_click"),
@@ -729,10 +749,12 @@ object Mining {
         sum(when(col("event_type") === "click", 1L).otherwise(0L))
           .as("nc_v"))
       .withColumn("cnt", col("np_v") + col("nc_v"))
-    val w = Window.orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = per
-      .withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    // ranged inclusive cumsum (exact long arithmetic), then
+    // cum_before = inclusive − own count: no single-task window over
+    // the distinct-value frame
+    val ranked = Ranks.globalRunningSum(per, Seq(col("value").asc),
+        col("cnt"), "cum_incl")
+      .withColumn("cum_before", col("cum_incl") - col("cnt"))
     ranked.agg(
         sum(col("np_v")).as("n_purchase"),
         sum(col("nc_v")).as("n_click"),
@@ -816,11 +838,11 @@ object Mining {
       .groupBy(col("o_custkey"))
       .agg(round(sum(col("o_totalprice")), 2).as("rev"))
       .withColumn("cents", round(col("rev") * 100, 0).cast("long"))
-    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-    val ranked = per
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("cum_cents", sum(col("cents")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // rank + cumsum in ONE ranged scan (no single-task window): long
+    // cent addition is associative, so the parallel split is exact
+    val ranked = Ranks.globalScan(per,
+      Seq(col("cents").desc, col("o_custkey").asc),
+      rank = Some("rnk"), sums = Seq(col("cents") -> "cum_cents"))
     val tot = per.agg(count(lit(1)).as("n_customers"),
       sum(col("cents")).as("total_cents"))
     ranked.crossJoin(broadcast(tot))
@@ -833,7 +855,7 @@ object Mining {
           col("cents")).otherwise(0L)).as("decile_cents"))
       .select(col("n_customers"),
         round(col("total_cents") / 100.0, 2).as("total_rev"),
-        col("n_for_80pct"),
+        col("n_for_80pct").cast("int").as("n_for_80pct"),
         round(col("n_for_80pct") / col("n_customers"), 4)
           .as("pct_for_80pct"),
         round(col("decile_cents") / col("total_cents").cast("double"), 4)
@@ -889,8 +911,9 @@ object Mining {
     * Pearson misses when the relationship is nonlinear. Both variables
     * are ranked with deterministic key tie-breaks, then one Pearson
     * corr over the rank pairs; ranks are exact integers, so the only
-    * float work is the final closed-form correlation. Two
-    * partial-aggregable shuffles + |customers|-row windows. */
+    * float work is the final closed-form correlation. Ranks come from
+    * [[Ranks.globalRowNumber]] — two ranged exchanges, no single-task
+    * window sort, exact at any |customers|. */
   def qSpearman(s: SparkSession, d: String): DataFrame = {
     val per = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
@@ -898,11 +921,12 @@ object Mining {
       .join(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_acctbal")),
         col("o_custkey") === col("c_custkey"))
-    val ranked = per
-      .withColumn("r_bal", row_number().over(
-        Window.orderBy(col("c_acctbal"), col("o_custkey"))))
-      .withColumn("r_rev", row_number().over(
-        Window.orderBy(col("rev"), col("o_custkey"))))
+    // two ranged global ranks (no single-task window sorts): each is
+    // one range exchange of the |customers| aggregate, scale-safe
+    val ranked = Ranks.globalRowNumber(
+      Ranks.globalRowNumber(per,
+        Seq(col("c_acctbal").asc, col("o_custkey").asc), "r_bal"),
+      Seq(col("rev").asc, col("o_custkey").asc), "r_rev")
     ranked.agg(count(lit(1)).as("n_customers"),
       round(corr(col("r_bal").cast("double"),
         col("r_rev").cast("double")), 4).as("spearman_rho"))
@@ -941,13 +965,16 @@ object Mining {
 
   /** Skyline (Pareto-frontier) query: customers not dominated on
     * (total revenue, recency) — the multi-criteria "best customers"
-    * shape. Computed as ONE sort + running max, not the naive O(n²)
+    * shape. Computed as ONE RANGED running max, not the naive O(n²)
     * dominance anti-join: after collapsing exact (rev, day) ties, a
     * point ordered by revenue desc survives iff its recency strictly
-    * beats the running max of every higher-revenue point. At 100 TB
-    * add a map-side local-skyline prefilter (points dominated within
-    * their partition can never re-enter the frontier), so the global
-    * window sees only per-partition frontiers. */
+    * beats the running max of every higher-revenue point. The running
+    * max is [[Ranks.globalRunningMaxPrev]] — max is associative and
+    * idempotent, so each range computes its local exclusive running
+    * max in parallel and a broadcast |ranges|-row frame supplies the
+    * earlier-range maxima: strictly better than a local-frontier
+    * prefilter (NO single-task stage at all, not even over
+    * frontiers). */
   def qSkyline(s: SparkSession, d: String): DataFrame = {
     val per = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
@@ -956,10 +983,9 @@ object Mining {
     val pts = per.groupBy(col("rev"), col("last_day"))
       .agg(min(col("o_custkey")).as("example_cust"),
         count(lit(1)).as("n_ties"))
-    val w = Window.orderBy(col("rev").desc, col("last_day").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    pts
-      .withColumn("best_prev", max(col("last_day")).over(w))
+    Ranks.globalRunningMaxPrev(pts,
+        Seq(col("rev").desc, col("last_day").desc), col("last_day"),
+        "best_prev")
       .filter(col("best_prev").isNull || col("last_day") > col("best_prev"))
       .select(col("rev"), col("last_day"), col("example_cust"),
         col("n_ties"))

@@ -153,9 +153,10 @@ object PipelineQueries {
     * otherwise-distinct documents, which doc-level dedup cannot see.
     * First occurrence (smallest doc_id, then position) keeps a
     * passage; later copies count as duplication. One shuffle keyed on
-    * the passage string (partial-aggregable rank), one |sources|-row
-    * rollup. At 100 TB swap the passage string for its 128-bit hash to
-    * shrink the shuffle — semantics unchanged. */
+    * md5-lower-64 of the passage (8 bytes instead of ~60 of raw text —
+    * the 100 TB shuffle-width fix; DuckDB's `md5_number_lower` computes
+    * the identical key, so collisions — already ~impossible at 2⁻⁶⁴ —
+    * are bit-identical across engines), one |sources|-row rollup. */
   def dedupPassage(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
@@ -166,9 +167,11 @@ object PipelineQueries {
           """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
             |  i -> array_join(slice(t, i * 10 + 1, 10), ' '))"""
             .stripMargin)).as(Seq("pidx", "passage")))
-    val w = Window.partitionBy(col("passage"))
+    val w = Window.partitionBy(col("pkey"))
       .orderBy(col("doc_id"), col("pidx"))
     pass
+      .withColumn("pkey", graft.functions.exprs.md5Lower64(col("passage")))
+      .drop("passage")
       .withColumn("rn", row_number().over(w))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_passages"),
@@ -465,6 +468,24 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** FILTERED IVF-PQ top-k — approximate search under a metadata
+    * predicate (`label = 1`), the retrieval shape every production
+    * vector store needs ("nearest docs WHERE lang='en'"). The filter
+    * lands on the CANDIDATE stream: cell assignment and codes are
+    * precomputed corpus-wide (the stored index), and the predicate
+    * prunes candidates before the ADC scan — so the probe cost drops
+    * WITH the filter selectivity instead of post-filtering a top-k
+    * that may then come up short. Same fitted models as
+    * [[annIvfPqTopK]]; the oracle replays the whole pipeline with the
+    * same predicate on the candidate set. */
+  def annIvfPqFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.sim.IvfPq.topK(emb.filter(col("label") === 1),
+      emb.filter(col("vec_id") < 10), 5,
+      ivfModelFor(s, d), pqModelFor(s, d), nProbe = 4, shortlist = 50)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Near-dup resolution keeping the BEST cluster member (longest
     * text, doc_id tiebreak) instead of the smallest id — what corpus
     * cleaning actually wants: the most complete representative
@@ -587,8 +608,13 @@ object PipelineQueries {
     val days = Tables.events(s, d)
       .select(expr("unix_timestamp(ts) div 86400").as("day"),
         col("user_id"))
+    // lgConfigK=16 (64 KiB/day sketch): std-err ≈ 1.04/√2¹⁶ ≈ 0.41%,
+    // so the asserted 5% envelope sits ~12σ out — the probabilistic
+    // bound can't realistically fail the gate (default lgK=12 is
+    // ~1.6%, only ~3σ: an envelope escape across hundreds of
+    // window-days would be statistically plausible)
     val daily = days.groupBy(col("day"))
-      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_agg(user_id, 16)").as("sk"))
     // explode each daily sketch to the ≤7 window-end days it serves:
     // the merge fan-out is bounded by the window, never by history
     val contrib = daily.select(col("day"),
@@ -830,6 +856,57 @@ object PipelineQueries {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("w").as("top_term"), col("score"))
       .orderBy(col("doc_id"))
+  }
+
+  /** BM25 retrieval ranking for a fixed 3-term query — the lexical
+    * scorer every contamination/retrieval pipeline needs beside the
+    * embedding ANN family. Classic Robertson k1=1.2 / b=0.75 with the
+    * +1 idf (always positive). Per-doc term frequencies and lengths
+    * are one token-keyed aggregation; the 3 document frequencies
+    * reduce to ONE broadcast row, so the corpus never shuffles for
+    * the model — the scoring pass is map-only. The three term
+    * contributions are summed in FIXED literal order (conditional-agg
+    * pivot, not a per-term rollup) and every non-log step is
+    * exactly-rounded IEEE arithmetic with identical expression trees
+    * in the oracle, so the rounded scores agree cross-engine; the
+    * top-10 is `orderBy.limit` (TakeOrderedAndProject — per-partition
+    * heads merge, no global sort). */
+  def textBm25Rank(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        count(when(col("w") === "spark", 1)).as("tf_a"),
+        count(when(col("w") === "vector", 1)).as("tf_b"),
+        count(when(col("w") === "stream", 1)).as("tf_c"))
+    val model = perDoc.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"),
+      count(when(col("tf_a") > 0, 1)).as("df_a"),
+      count(when(col("tf_b") > 0, 1)).as("df_b"),
+      count(when(col("tf_c") > 0, 1)).as("df_c"))
+    def contrib(tf: org.apache.spark.sql.Column,
+        dfc: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val idf = log(lit(1.0) +
+        (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+      val tfd = tf.cast("double")
+      val norm = lit(1.2) * (lit(0.25) +
+        lit(0.75) * (col("dl").cast("double") /
+          (col("tot").cast("double") / col("n_docs"))))
+      when(tf > 0, idf * (tfd * lit(2.2) / (tfd + norm))).otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(model))
+      .withColumn("score", round(
+        contrib(col("tf_a"), col("df_a")) +
+          contrib(col("tf_b"), col("df_b")) +
+          contrib(col("tf_c"), col("df_c")), 4))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"),
+        col("dl"), col("score"))
+      .orderBy(col("rnk"))
   }
 
   /** Token counting: whitespace + BPE-ish regex classes. */
@@ -1237,6 +1314,69 @@ object PipelineQueries {
       .select(col("source"), col("rn").cast("long").as("rn"),
         col("doc_id"), col("n_chars"))
       .orderBy(col("source"), col("rn"))
+  }
+
+  /** Weighted SYSTEMATIC resampling — the particle-filter/data-mixing
+    * draw: lay every document's integer weight (`n_chars`) end-to-end
+    * along a line in a deterministic hash order, then pick the 20 docs
+    * covering the equally-spaced positions `(2i+1)·W/40`. Selection
+    * probability is exactly proportional to weight, sample spread is
+    * strictly better than independent draws (one doc per stratum), and
+    * — unlike exponential-key A-ES — EVERY step is integer arithmetic
+    * (the md5-50-bit order key, the ranged weight cumsum via
+    * [[graft.ops.Ranks.globalRunningSum]], the position floor-div), so
+    * both engines select bit-identically with no pow/log in sight. The
+    * only non-map stage is the one range exchange inside the cumsum;
+    * the 20-row position frame broadcasts onto the corpus. */
+  def sampleSystematic(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        (graft.functions.exprs.md5Lower64(col("doc_id").cast("string"))
+          .bitwiseAND(lit((1L << 50) - 1))).as("hkey"))
+    val cum = graft.ops.Ranks.globalRunningSum(docs,
+      Seq(col("hkey").asc, col("doc_id").asc), col("n_chars"), "cum")
+    val tot = docs.agg(sum(col("n_chars")).as("tot"))
+    val pos = s.range(20).select(col("id").as("sample_idx"))
+      .crossJoin(broadcast(tot))
+      .select(col("sample_idx"),
+        expr("(sample_idx * 2 + 1) * tot div 40").as("pos"))
+    cum.join(broadcast(pos),
+        col("pos") >= col("cum") - col("n_chars") && col("pos") < col("cum"))
+      .select(col("sample_idx"), col("pos"), col("doc_id"), col("n_chars"))
+      .orderBy(col("sample_idx"))
+  }
+
+  /** Mixture-weighted INTERLEAVE — the training-order half of
+    * [[dataMixturePlan]]: given per-source mixture weights, emit the
+    * deterministic global feed order in which source s's i-th document
+    * appears at virtual time `i/w_s` (the classic weighted-fair-queue
+    * schedule: a weight-0.4 source fills 2× the stream of a weight-0.2
+    * one, perfectly paced rather than block-by-block). Per-source
+    * sequence numbers come from a source-partitioned window (each
+    * group spreads over the range partitions); the global order is
+    * EXACT because rank and weight are integers ≤2⁵³ and one IEEE
+    * division is correctly rounded — both engines compute the
+    * identical double. First 50 schedule slots, globally ranked by
+    * [[graft.ops.Ranks.globalRowNumber]] (no single-task sort). */
+  def dataInterleaveMixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // weights in integer basis points per source bucket (src0-4
+    // heavy, rest light) — the dataMixturePlan convention
+    val wexpr = when(col("source").isin("src0", "src1", "src2", "src3",
+      "src4"), 40L).otherwise(15L)
+    val seq0 = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .withColumn("vtime", col("seq").cast("double") / wexpr)
+    graft.ops.Ranks.globalRowNumber(seq0,
+        Seq(col("vtime").asc, col("source").asc, col("doc_id").asc),
+        "slot")
+      .filter(col("slot") <= 50)
+      .select(col("slot"), col("source"), col("seq").cast("long").as("seq"),
+        col("doc_id"))
+      .orderBy(col("slot"))
   }
 
   /** Embedding-cosine near-duplicate PAIRS — completes the embedding

@@ -115,23 +115,87 @@ object Ranks {
     * entity frames are |parts|/|customers|-bounded today, and this is
     * the drop-in once such a frame outgrows one task. */
   def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
-      out: String): DataFrame = {
-    val local = df.withColumn("_v", value)
+      out: String): DataFrame =
+    globalScan(df, order, sums = Seq(value -> out))
+
+  /** Exact global running MAX of `value` over STRICTLY PRECEDING rows
+    * in the total order `order` → column `out` (null on the global
+    * first row) — the skyline/frontier primitive: a point ordered by
+    * one criterion survives iff its other criterion beats the running
+    * max of every earlier point. Max is associative AND idempotent, so
+    * the ranged split is exact for any orderable type (dates
+    * included) and there is no single-task sort anywhere: each range
+    * runs its local exclusive running max and a broadcast
+    * |partitions|-row frame supplies the max of all earlier ranges. */
+  def globalRunningMaxPrev(df: DataFrame, order: Seq[Column], value: Column,
+      out: String): DataFrame =
+    globalScan(df, order, maxPrev = Seq(value -> out))
+
+  /** The shared one-range-shuffle scan: over the TOTAL order `order`,
+    * emits any combination of an exact global row number (`rank`,
+    * long), exact INCLUSIVE running sums (`sums`, exact for integral
+    * values — long addition is associative), and exact EXCLUSIVE
+    * running maxes (`maxPrev`, exact for any type — max is associative
+    * and idempotent). One `repartitionByRange` + local sort; per-row
+    * work is per-partition windows only; the cross-range state is a
+    * broadcast |partitions|-row offset frame (cumulative
+    * count/sum/max of the EARLIER ranges). Requesting several outputs
+    * shares the single shuffle — the reason q_power_users_pareto's
+    * rank+cumsum costs one exchange, not two. */
+  def globalScan(df: DataFrame, order: Seq[Column],
+      rank: Option[String] = None,
+      sums: Seq[(Column, String)] = Nil,
+      maxPrev: Seq[(Column, String)] = Nil): DataFrame = {
+    val sumIn = sums.indices.map(i => s"_v$i")
+    val maxIn = maxPrev.indices.map(j => s"_m$j")
+    val valued = sums.zip(sumIn).foldLeft(
+        maxPrev.zip(maxIn).foldLeft(df) { case (acc, ((c, _), n)) =>
+          acc.withColumn(n, c) }) { case (acc, ((c, _), n)) =>
+      acc.withColumn(n, c) }
+    val local = valued
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_mid", monotonically_increasing_id())
       .localCheckpoint(true)
     val withPid = local.withColumn("_pid", shiftright(col("_mid"), IdxBits))
-    val offsets = withPid.groupBy(col("_pid")).agg(sum(col("_v")).as("_t"))
-      .withColumn("_off", coalesce(sum(col("_t")).over(
-        Window.orderBy(col("_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    val wLoc = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val aggs =
+      Seq(count(lit(1)).as("_n"), min(col("_mid")).as("_mn")) ++
+        sumIn.map(n => sum(col(n)).as(s"_t$n")) ++
+        maxIn.map(n => max(col(n)).as(s"_x$n"))
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy(col("_pid")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("_offN", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .select(Seq(col("_pid"), col("_offN"), col("_mn")) ++
+        sumIn.map(n => sum(col(s"_t$n")).over(wOff).as(s"_off$n")) ++
+        maxIn.map(n => max(col(s"_x$n")).over(wOff).as(s"_off$n")): _*)
+    val wInc = Window.partitionBy(col("_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withPid.withColumn("_run", sum(col("_v")).over(wLoc))
-      .join(broadcast(offsets), "_pid")
-      .withColumn(out, col("_run") + col("_off"))
-      .drop("_pid", "_mid", "_run", "_off", "_v")
+    val wExc = Window.partitionBy(col("_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localised = sumIn.foldLeft(
+        maxIn.foldLeft(withPid) { (acc, n) =>
+          acc.withColumn(s"_run$n", max(col(n)).over(wExc)) }) { (acc, n) =>
+      acc.withColumn(s"_run$n", sum(col(n)).over(wInc))
+    }
+    val joined = localised.join(broadcast(offsets), "_pid")
+    val withSums = sums.map(_._2).zip(sumIn).foldLeft(joined) {
+      case (acc, (out, n)) =>
+        // type-generic null-safe add: the first range has no offset
+        acc.withColumn(out, when(col(s"_off$n").isNull, col(s"_run$n"))
+          .otherwise(col(s"_run$n") + col(s"_off$n")))
+    }
+    val withMaxes = maxPrev.map(_._2).zip(maxIn).foldLeft(withSums) {
+      case (acc, (out, n)) =>
+        acc.withColumn(out,
+          when(col(s"_run$n").isNull, col(s"_off$n"))
+            .when(col(s"_off$n").isNull, col(s"_run$n"))
+            .otherwise(greatest(col(s"_run$n"), col(s"_off$n"))))
+    }
+    val withRank = rank.fold(withMaxes)(out => withMaxes
+      .withColumn(out, col("_offN") + (col("_mid") - col("_mn")) + 1L))
+    withRank.drop(Seq("_pid", "_mid", "_mn", "_offN") ++
+      sumIn.flatMap(n => Seq(n, s"_run$n", s"_off$n")) ++
+      maxIn.flatMap(n => Seq(n, s"_run$n", s"_off$n")): _*)
   }
 }

@@ -93,6 +93,7 @@ object Events {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+    StreamMeter.record(q)
       spark.table(name)
         .orderBy(col("event_type"), col("bin"))
     }
@@ -113,6 +114,7 @@ object Events {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamMeter.record(q)
     spark.table(name)
       .select(unix_timestamp(col("window.start")).as("win_start_s"),
         col("event_type"), col("n"), col("sum_value"))
@@ -134,6 +136,7 @@ object Events {
       .outputMode("complete").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     spark.table(name)
       .select(unix_timestamp(col("window.start")).as("win_start_s"),
         col("event_type"), col("n"), col("sum_value"))
@@ -156,6 +159,7 @@ object Events {
       .outputMode("complete").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     spark.table(name).orderBy(col("event_type"))
   }
 
@@ -178,9 +182,9 @@ object Events {
 
   def streamWatermarkAppend(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
     import java.nio.file.Files
-    val work = Files.createTempDirectory("graft_wm")
+    val work = graft.util.Scratch.dir("graft_wm")
     val src = wmSrcDirs.computeIfAbsent(sfDir, _ => {
-      val dir = Files.createTempDirectory("graft_wm_src").toString + "/in"
+      val dir = graft.util.Scratch.dir("graft_wm_src").toString + "/in"
       // cast unifies to TimestampType (LTZ) whichever ts shape the
       // testdata ships (Long-ns arrives pre-converted from
       // Tables.events; timestamp[us] arrives NTZ) so the appended
@@ -209,6 +213,7 @@ object Events {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+    StreamMeter.record(q)
     }
     runOnce() // emits nothing; checkpoints state + watermark
     // sentinel far beyond every real event pushes the watermark past
@@ -247,6 +252,7 @@ object Events {
       .outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -277,6 +283,7 @@ object Events {
       .outputMode("complete").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     spark.table(name).orderBy(col("tier"))
   }
 
@@ -313,6 +320,7 @@ object Events {
       .outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(count(col("p_ts")).as("n_matched"),
@@ -332,7 +340,7 @@ object Events {
     * (the oracle). Rules with zero violations stay in the report —
     * an empty count is evidence, not absence. */
   def streamDqQuarantine(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
-    val work = java.nio.file.Files.createTempDirectory("graft_sdq")
+    val work = graft.util.Scratch.dir("graft_sdq")
     val raw = eventStream(spark, sfDir)
     // rules are written against the normalized (event_id, event_type,
     // value, ts_s) row shape, so the same predicates evaluate the
@@ -357,6 +365,7 @@ object Events {
     val q = raw.writeStream.foreachBatch(fold)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     val quar = spark.read.parquet(s"$work/quarantine")
     val clean = spark.read.parquet(s"$work/clean")
     val total = quar.count() + clean.count()
@@ -401,6 +410,7 @@ object Events {
       .outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     spark.table(name)
       .select(col("user_id"), col("n_events"), col("start_s"),
         col("end_s"))
@@ -434,6 +444,7 @@ object Events {
       .outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     spark.table(name)
       .select(unix_timestamp(col("window.start")).as("hour_start_s"),
         col("event_type"), col("n_buckets"), col("n_events"),
@@ -479,6 +490,7 @@ object Events {
       .outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     spark.table(name)
       .groupBy(coalesce(col("user_id"), col("p_user")).as("uid"))
       .agg(
@@ -499,7 +511,7 @@ object Events {
     * batches (new = old + batch), so the final table equals the batch
     * group-by regardless of how the source splits micro-batches. */
   def streamUpsert(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
-    val work = java.nio.file.Files.createTempDirectory("graft_supsert")
+    val work = graft.util.Scratch.dir("graft_supsert")
     val eng = new graft.Engine(spark, s"$work/wh")
     val seed = graft.sources.Tables.events(spark, sfDir)
       .select(col("user_id").as("rowNum")).distinct()
@@ -522,6 +534,7 @@ object Events {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamMeter.record(q)
     eng.table("user_counts")
       .select(col("rowNum").as("user_id"), col("n_events"))
       .orderBy(col("user_id"))
@@ -540,7 +553,7 @@ object Events {
     * the oracle replays it with pure SQL: n = count(*) + purchases. */
   def streamIncrementalIngest(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
     import java.nio.file.Files
-    val work = Files.createTempDirectory("graft_incr")
+    val work = graft.util.Scratch.dir("graft_incr")
     val src = s"$work/in"
     val slim = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -559,6 +572,7 @@ object Events {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+    StreamMeter.record(q)
       q.recentProgress.map(_.numInputRows).sum
     }
     val n1 = runOnce()
@@ -653,6 +667,7 @@ object Events {
       .outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     spark.table(name).orderBy(col("user_id"), col("sess_id"))
   }
 
@@ -687,6 +702,7 @@ object Events {
       .outputMode("update").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(max_by(
@@ -741,6 +757,7 @@ object Events {
       .outputMode("update").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     val all = spark.table(name)
     val lastEpoch = all.groupBy(col("event_type").as("et"))
       .agg(max(col("epoch")).as("last_epoch"))
@@ -814,6 +831,7 @@ object Events {
       .outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches <= 1,
       s"streamAnomaly exact-replay contract needs a single micro-batch " +
@@ -891,6 +909,7 @@ object Events {
       .outputMode("update").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMeter.record(q)
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(max_by(struct(col("n_matches"), col("first_match_ts"),
@@ -901,5 +920,67 @@ object Events {
         col("_r.min_dur_s").as("min_dur_s"),
         col("_r.max_dur_s").as("max_dur_s"))
       .orderBy(col("user_id"))
+  }
+
+  /** STREAMING MinHash dedup — [[graft.ops.PipelineQueries.dedupIncremental]]
+    * as a continuous query: the incoming batch arrives as a file
+    * stream, each document is banded in-flight (the stateless
+    * [[graft.dedup.MinHashLSH.bandKeys]] projection composes straight
+    * into the streaming plan), and the band keys probe the STATIC
+    * corpus band index via a stream-static left join — so only the
+    * buckets the batch touches are read, per micro-batch, with no join
+    * state at all (the static side re-resolves each batch). Exact
+    * verdicts fall out of the same probe (identical text ⇒ identical
+    * signature ⇒ collides in every band) by comparing the carried
+    * md5; near verdicts verify TRUE shingle Jaccard ≥ 0.5 inline.
+    * Complete-mode per-doc aggregation holds ≤|batch| rows of state.
+    * Converges to the batch dedup_incremental answer — the oracle. */
+  def streamDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import graft.functions.exprs
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    // static corpus index: (band, bh) -> (old_id, old_md5, old_sh) —
+    // in production the stored artifact ingestion maintains
+    val oldIdx = old
+      .select(col("doc_id").as("old_id"), md5(col("text")).as("old_md5"),
+        exprs.shingles(col("text"), 3).as("old_sh"))
+      .withColumn("_b", explode(graft.dedup.MinHashLSH.bandKeys(
+        exprs.minhashSigs(col("old_sh"), 64))))
+      .select(col("_b.band").as("band"), col("_b.bh").as("bh"),
+        col("old_id"), col("old_md5"), col("old_sh"))
+    // the incoming batch, fed as a real file stream
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dir = graft.util.Scratch.dir("graft_sdm").toString + "/in"
+    batch.write.mode("overwrite").parquet(dir)
+    val st = spark.readStream.schema(batch.schema).parquet(dir)
+      .select(col("doc_id"), md5(col("text")).as("new_md5"),
+        exprs.shingles(col("text"), 3).as("_shn"))
+      .withColumn("_b", explode(graft.dedup.MinHashLSH.bandKeys(
+        exprs.minhashSigs(col("_shn"), 64))))
+      .select(col("doc_id"), col("new_md5"), col("_shn"),
+        col("_b.band").as("band"), col("_b.bh").as("bh"))
+    val agg = st.join(oldIdx, Seq("band", "bh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        min(when(col("old_md5") === col("new_md5"), col("old_id")))
+          .as("exact_id"),
+        min(when(
+          size(array_intersect(col("_shn"), col("old_sh"))).cast("double") /
+            size(array_union(col("_shn"), col("old_sh"))) >= 0.5,
+          col("old_id"))).as("near_id"))
+    val name = s"graft_stream_minhash_${n.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    spark.table(name)
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .otherwise("unique").as("verdict"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Per-stream throughput probe: every completed streaming contract
+  * query records (input rows, trigger-execution seconds, batches) from
+  * its own `recentProgress`, keyed by the memory-sink name with the
+  * run counter stripped. Bench folds the registry into
+  * BENCH_LAST.json as `stream_rows_per_sec`, so a regression in
+  * state-store size or batch count shows up as a rate drop — the
+  * end-to-end seconds alone hide it behind the ~1 s fixed micro-batch
+  * machinery each query pays. */
+object StreamMeter {
+
+  /** name-prefix → (inputRows, triggerExecSecs, nBatches). */
+  val stats = new ConcurrentHashMap[String, (Long, Double, Int)]()
+
+  /** Record a finished query's progress. Call after awaitTermination —
+    * recentProgress retains the (bounded) run just completed. */
+  def record(q: StreamingQuery): Unit = {
+    val ps = q.recentProgress
+    if (ps.nonEmpty && q.name != null) {
+      val rows = ps.map(_.numInputRows).sum
+      val ms = ps.map { p =>
+        val d = p.durationMs.get("triggerExecution")
+        if (d == null) 0L else d.longValue()
+      }.sum
+      stats.put(q.name.replaceAll("_\\d+$", ""),
+        (rows, ms / 1000.0, ps.length))
+    }
+  }
+
+  /** rows/s per recorded stream, JSON-object fragment, sorted keys. */
+  def ratesJson: String = {
+    import scala.jdk.CollectionConverters._
+    stats.asScala.toSeq.sortBy(_._1).map { case (k, (rows, secs, nb)) =>
+      val rate = if (secs > 0) rows / secs else 0.0
+      "\"" + k + "\":{\"rows_per_sec\":" + f"$rate%.1f" +
+        ",\"rows\":" + rows + ",\"batches\":" + nb + "}"
+    }.mkString("{", ",", "}")
+  }
+}

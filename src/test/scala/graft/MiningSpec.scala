@@ -70,6 +70,39 @@ class MiningSpec extends SparkSuite {
     }
   }
 
+  test("mad audit approx path tracks the exact path (scale flag-flip)") {
+    val exact = Mining.qAnomalyMad(spark, sf, approx = false).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Mining.qAnomalyMad(spark, sf, approx = true).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getLong(r.fieldIndex("n_rows")) ==
+        e.getLong(e.fieldIndex("n_rows")))
+      val (em, am) = (e.getDouble(e.fieldIndex("med")),
+        r.getDouble(r.fieldIndex("med")))
+      assert(math.abs(am - em) <= math.abs(em) * 0.01 + 1.0,
+        s"approx median $am far from exact $em")
+      assert(r.getDouble(r.fieldIndex("mad")) > 0)
+    }
+  }
+
+  test("quantile hist approx reference path tracks exact percentiles") {
+    val exact = Mining.qQuantileHist(spark, sf, approx = false).collect()
+      .map(r => r.getString(0) -> r).toMap
+    Mining.qQuantileHist(spark, sf, approx = true).collect().foreach { r =>
+      val e = exact(r.getString(0))
+      val (ep50, ap50) = (e.getDouble(e.fieldIndex("exact_p50")),
+        r.getDouble(r.fieldIndex("exact_p50")))
+      assert(math.abs(ap50 - ep50) <= math.abs(ep50) * 0.01 + 1.0,
+        s"approx p50 $ap50 far from exact $ep50")
+      val (ep99, ap99) = (e.getDouble(e.fieldIndex("exact_p99")),
+        r.getDouble(r.fieldIndex("exact_p99")))
+      assert(math.abs(ap99 - ep99) <= math.abs(ep99) * 0.02 + 1.0,
+        s"approx p99 $ap99 far from exact $ep99")
+    }
+  }
+
   test("gini stays in [0,1) and covers every nation with customers") {
     val rows = Mining.qGini(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -19,6 +19,8 @@ ORACLE's wall time: on expiry the DuckDB query is interrupted and the
 query is reported as TIMEOUT (counted separately, never as pass) — the
 principled way to sweep sf0.1 where a few SQL replays (MinHash et al.)
 take tens of minutes each while the Spark side is already dumped.
+Exit code: 0 clean, 1 any FAIL/ERR/MISS, 2 no failures but ≥1 TIMEOUT
+(unverified ≠ verified).
 """
 import json
 import math
@@ -86,7 +88,15 @@ def main():
         try:
             sdf = con.sql(f"SELECT * FROM '{files[0]}'").df()
             odf = con.sql(oracle[name]).df()
+            # cancel IMMEDIATELY after the queries return: a timer
+            # firing in the gap before a `finally` would interrupt the
+            # idle connection and cancel the NEXT query instead,
+            # mis-reporting an unrelated name as ERR
+            if timer is not None:
+                timer.cancel()
         except Exception as e:
+            if timer is not None:
+                timer.cancel()
             if timed_out[0]:
                 print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s "
                       f"(not counted as pass)", flush=True)
@@ -95,9 +105,14 @@ def main():
                 print(f"ERR   {name}: {e}", flush=True)
                 n_fail += 1
             continue
-        finally:
-            if timer is not None:
-                timer.cancel()
+        if timed_out[0]:
+            # timer fired but the query had already returned: the
+            # interrupt is now pending against the connection; clear it
+            # with a no-op query and count this one by its real result
+            try:
+                con.sql("SELECT 1")
+            except Exception:
+                pass
         s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
         if s_cols != o_cols:
             print(f"FAIL  {name}: cols spark={s_cols} oracle={o_cols}")
@@ -135,7 +150,10 @@ def main():
               f"{','.join(timed_out_names)}")
     print(f"== {n_pass} pass, {n_fail} fail, "
           f"{len(timed_out_names)} timeout ==", flush=True)
-    sys.exit(1 if n_fail else 0)
+    # a timed-out oracle is UNVERIFIED, not passed: exit nonzero (its
+    # own code) so automation can't read a sweep with unchecked
+    # queries as clean — a timeout must never mask a regression
+    sys.exit(1 if n_fail else (2 if timed_out_names else 0))
 
 
 if __name__ == "__main__":
