@@ -449,6 +449,8 @@ object SparkEntry {
     "q_sql_subquery" -> (Analytics.qSqlSubquery _),
     "q_asof_join" -> (Analytics.qAsofJoin _),
     "q_asof_tolerance" -> (Analytics.qAsofTolerance _),
+    "q_interval_align" -> (Analytics.qIntervalAlign _),
+    "q_interp_impute" -> (Analytics.qInterpImpute _),
     "q_range_join" -> (Analytics.qRangeJoin _),
     "q_session_window" -> (Analytics.qSessionWindow _),
     "q_pivot" -> (Analytics.qPivot _),
@@ -653,6 +655,8 @@ object SparkEntry {
     "multimodal_audio_energy" ->
       (PipelineQueries.multimodalAudioEnergy _),
     "multimodal_png_codec" -> (PipelineQueries.multimodalPngCodec _),
+    "multimodal_png_resize" -> (PipelineQueries.multimodalPngResize _),
+    "data_curriculum_order" -> (PipelineQueries.dataCurriculumOrder _),
     "multimodal_wav_codec" -> (PipelineQueries.multimodalWavCodec _),
     "source_orc_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.orcRoundtrip(s, d)
@@ -3091,6 +3095,66 @@ object SparkEntry {
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts_s >= p.ts_s
         |ORDER BY e.event_id""".stripMargin,
+    "q_interval_align" ->
+      """WITH li AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship,
+        |    CAST(l_shipdate AS DATE) +
+        |      CAST((l_orderkey * 7 + l_linenumber) % 45 + 1 AS INTEGER)
+        |      AS rcpt,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem),
+        |mo AS (
+        |  SELECT ship, rcpt, cents,
+        |    unnest(generate_series(date_trunc('month', ship),
+        |      date_trunc('month', rcpt), INTERVAL 1 MONTH))::DATE AS m
+        |  FROM li),
+        |a AS (
+        |  SELECT strftime(m, '%Y-%m') AS month, cents,
+        |    datediff('day', greatest(ship, m),
+        |      least(rcpt, (m + INTERVAL 1 MONTH - INTERVAL 1 DAY)::DATE))
+        |      + 1 AS ov_days,
+        |    datediff('day', ship, rcpt) + 1 AS tot_days
+        |  FROM mo)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_legs,
+        |  round(CAST(sum(cents * ov_days // tot_days) AS DOUBLE) / 100,
+        |    2) AS alloc_rev
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_interp_impute" ->
+      """WITH k AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+        |    round(max(value), 2) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(hr), max(hr))) AS hr
+        |  FROM k GROUP BY user_id),
+        |j AS (
+        |  SELECT g.user_id, g.hr, k.v
+        |  FROM g LEFT JOIN k ON g.user_id = k.user_id AND g.hr = k.hr),
+        |f AS (
+        |  SELECT user_id, hr, v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pval,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+        |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nval
+        |  FROM j)
+        |SELECT user_id, hr,
+        |  CAST(floor((CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pval + (nval - pval) *
+        |      CAST(hr - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE) END)
+        |    * 10000.0 + 0.5) AS BIGINT) AS val_e4,
+        |  v IS NULL AS interpolated
+        |FROM f ORDER BY user_id, hr""".stripMargin,
     "q_range_join" ->
       """WITH bands AS (
         |  SELECT CAST(range AS BIGINT) AS band_id,
@@ -3869,6 +3933,32 @@ object SparkEntry {
     // media after a real PNG/WAV encode→decode roundtrip (lossless
     // codecs), so matching the pure-arithmetic generator here proves
     // the codec preserved every pixel/sample
+    "multimodal_png_resize" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+        |    8 + (doc_id * 7) % 24 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(8)) AS i FROM d),
+        |ys AS (SELECT doc_id, w, h, i, unnest(range(8)) AS j FROM xs)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(sum(((i * w // 8) * 31 + (j * h // 8) * 17 + doc_id)
+        |    % 256) AS BIGINT) AS resized_sum
+        |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "data_curriculum_order" ->
+      """WITH q AS (SELECT doc_id, n_chars,
+        |    CAST(len(list_distinct(regexp_split_to_array(trim(text),
+        |      '\s+'))) AS BIGINT) * 1000 //
+        |      CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |        AS BIGINT) AS quality
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_chars, quality,
+        |    CAST(ntile(5) OVER (ORDER BY quality, doc_id) AS BIGINT)
+        |      AS phase
+        |  FROM q)
+        |SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  CAST(min(quality) AS BIGINT) AS min_q,
+        |  CAST(max(quality) AS BIGINT) AS max_q
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "multimodal_png_codec" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
         |    8 + (doc_id * 7) % 24 AS h FROM documents),

@@ -78,6 +78,42 @@ object Codecs {
     (w, h, s)
   }
 
+  /** Decode real PNG bytes → nearest-neighbor resize to `side`×`side`
+    * → RE-ENCODE to PNG → decode AGAIN → (srcW, srcH, Σ resized gray).
+    * The checksum is read from the second decode, so it proves the
+    * full decode→transform→encode→decode chain end to end; nearest
+    * neighbor (`sx = x·w/side`) is integer arithmetic, so the oracle
+    * replays the resized sum from the generator formula alone. */
+  def resizePngStats(bytes: Array[Byte], side: Int): (Int, Int, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        out.setRGB(x, y, img.getRGB(x * w / side, y * h / side))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    val img2 = ImageIO.read(new ByteArrayInputStream(bos.toByteArray))
+    var s = 0L
+    y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        s += (img2.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, s)
+  }
+
   // ---- WAV ----------------------------------------------------------
 
   val WavRate = 16000f

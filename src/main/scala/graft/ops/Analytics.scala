@@ -685,6 +685,87 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Interval → calendar allocation: each lineitem's revenue is spread
+    * pro-rata by day over the months its [ship, receipt] interval
+    * touches — the warehouse "revenue recognition" / interval-align
+    * shape date-grain joins cannot express. Allocation is EXACT
+    * integer arithmetic (`cents·overlap_days div total_days`), so the
+    * per-month sums are order-independent longs; the month explode
+    * fans each row out ≤3 rows (transit ≤ ~90 days), map-only, and
+    * the only shuffle is the final |months|-row rollup. */
+  def qIntervalAlign(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      // the schema carries no receipt date: derive a deterministic
+      // 1..45-day transit from the keys (integer arithmetic, so both
+      // engines build the identical interval)
+      .select(
+        to_date(col("l_shipdate")).as("ship"),
+        expr("""date_add(to_date(l_shipdate),
+                CAST((l_orderkey * 7 + l_linenumber) % 45 + 1 AS INT))""")
+          .as("rcpt"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100,
+          0).cast("long").as("cents"))
+      .withColumn("m", explode(expr(
+        "sequence(trunc(ship, 'MM'), trunc(rcpt, 'MM'), interval 1 month)")))
+      .withColumn("ov_days",
+        datediff(least(col("rcpt"), last_day(col("m"))),
+          greatest(col("ship"), col("m"))) + 1)
+      .withColumn("tot_days", datediff(col("rcpt"), col("ship")) + 1)
+      .withColumn("alloc_cents", expr("cents * ov_days div tot_days"))
+      .groupBy(date_format(col("m"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_legs"),
+        round(sum(col("alloc_cents")) / 100.0, 2).as("alloc_rev"))
+      .orderBy(col("month"))
+
+  /** Linear-interpolation imputation on an hourly grid — the
+    * time-series gap filler that complements [[graft.ops.Behavior]]'s
+    * LOCF: each user's purchase-value series is resampled to every
+    * hour between their first and last purchase, known hours pass
+    * through, and gap hours take the line between the surrounding
+    * points. Forward/backward fills are ignoreNulls window
+    * passes over (user, hour) — one shuffle on the user key; grid
+    * size is bounded by the timeline, not the corpus. The
+    * interpolation arithmetic is the identical exactly-rounded IEEE
+    * expression tree in the oracle, so values hash-match
+    * bit-for-bit. */
+  def qInterpImpute(s: SparkSession, d: String): DataFrame = {
+    val known = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), expr("unix_timestamp(ts) div 3600").as("hr"))
+      .agg(round(max(col("value")), 2).as("v"))
+    val grid = known.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val joined = grid.join(known, Seq("user_id", "hr"), "left")
+    val wAsc = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    joined
+      .withColumn("pv", last(when(col("v").isNotNull,
+        struct(col("hr").as("ph"), col("v").as("pval"))),
+        ignoreNulls = true).over(wAsc))
+      .withColumn("nv", first(when(col("v").isNotNull,
+        struct(col("hr").as("nh"), col("v").as("nval"))),
+        ignoreNulls = true).over(wDesc))
+      // integer ten-thousandths via floor(x·10⁴ + 0.5): floor is exact
+      // on doubles, so both engines emit the identical BIGINT —
+      // decimal round() implementations diverge on .xxxx5 boundaries
+      // (Spark rounds the exact decimal expansion, DuckDB the float),
+      // which 300k interpolated values WILL hit
+      .withColumn("val_e4", floor(
+        (when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv.pval") +
+            (col("nv.nval") - col("pv.pval")) *
+              (col("hr") - col("pv.ph")).cast("double") /
+              (col("nv.nh") - col("pv.ph")).cast("double")))
+          * lit(10000.0) + lit(0.5)).cast("long"))
+      .select(col("user_id"), col("hr"), col("val_e4"),
+        col("v").isNull.as("interpolated"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
   /** The SQL front end proper: temp views + `spark.sql` with a CTE and
     * a correlated-scalar subquery — the same text a reference user's
     * SQL would arrive as. */

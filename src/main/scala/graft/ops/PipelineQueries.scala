@@ -1117,6 +1117,53 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal REAL image transform — decode → nearest-neighbor 8×8
+    * resize → re-encode → decode again, all through `javax.imageio`:
+    * the thumbnail/feature-grid step every vision pipeline runs after
+    * decode, proven end to end because the emitted checksum is read
+    * from the SECOND decode of the re-encoded thumbnail. Nearest
+    * neighbor is integer arithmetic (`sx = x·w/8`), so the oracle
+    * replays the resized sum from the deterministic generator formula
+    * alone — a value-level check of the whole
+    * decode→transform→encode→decode chain. Same mapPartitions codec
+    * seam as [[multimodalPngCodec]]; map-only at any corpus size. */
+  def multimodalPngResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodePng(id)
+        val (w, h, sum) = graft.mm.Codecs.resizePngStats(bytes, 8)
+        (id, w.toLong, h.toLong, sum)
+      })
+      .toDF("doc_id", "width", "height", "resized_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Curriculum ordering — easy-to-hard training phases: documents
+    * ranked by an integer lexical-diversity score (distinct-token
+    * permille — repetitive docs first, diverse docs last) and split
+    * into 5 exact quintile phases via [[graft.ops.Ranks.globalNtile]]
+    * (range-partitioned, bit-identical to SQL `ntile(5)`, no
+    * single-task sort). The score is pure integer arithmetic
+    * (`distinct·1000 div total`), so phase boundaries can never drift
+    * cross-engine; per-phase census is one partial-aggregable rollup. */
+  def dataCurriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("_toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("n_chars"),
+        expr("""CAST(size(array_distinct(_toks)) AS BIGINT) * 1000
+                div CAST(size(_toks) AS BIGINT)""").as("quality"))
+    graft.ops.Ranks.globalNtile(docs,
+        Seq(col("quality").asc, col("doc_id").asc), 5, "phase")
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        min(col("quality")).as("min_q"),
+        max(col("quality")).as("max_q"))
+      .orderBy(col("phase"))
+  }
+
   /** Multimodal REAL audio codec — RIFF/WAVE roundtrip through
     * `javax.sound.sampled`: deterministic PCM16 signals are encoded to
     * genuine WAV container bytes and decoded back per-partition, with
