@@ -70,9 +70,9 @@ object PlanAudit {
         graft.ops.Mining.qItemCosine(spark, d),
       "q_markov_chain (one lead-window shuffle, tiny matrix aggregate)" ->
         graft.ops.Mining.qMarkovChain(spark, d),
-      "q_skyline (sort + running max — no O(n²) dominance join)" ->
+      "q_skyline (ranged running max — no global sort, no O(n²) dominance join)" ->
         graft.ops.Mining.qSkyline(spark, d),
-      "dedup_passage (one passage-keyed shuffle, window first-occurrence)" ->
+      "dedup_passage (one md5-64-keyed shuffle, window first-occurrence)" ->
         PipelineQueries.dedupPassage(spark, d),
       "q_decay_score (decay fused into ONE partial agg, anchor broadcast)" ->
         graft.ops.Behavior.qDecayScore(spark, d),
@@ -91,7 +91,21 @@ object PlanAudit {
       "data_pack_sequences (ranged parallel token cumsum; integer-div pack bounds)" ->
         PipelineQueries.dataPackSequences(spark, d),
       "q_sssp_weighted (broadcast-frontier relaxation vs checkpointed edges)" ->
-        graft.ops.Mining.qSsspWeighted(spark, d))
+        graft.ops.Mining.qSsspWeighted(spark, d),
+      "q_ks_test (ranged dual CDF cumsum — no single-task distinct-value sort)" ->
+        graft.ops.Mining.qKsTest(spark, d),
+      "q_power_users_pareto (rank + cumsum share ONE ranged scan)" ->
+        graft.ops.Mining.qPowerUsersPareto(spark, d),
+      "q_sample_systematic (integer weight cumsum; 20-row position broadcast)" ->
+        PipelineQueries.sampleSystematic(spark, d),
+      "text_bm25_rank (one-broadcast-row model, map-only scoring, TakeOrdered)" ->
+        PipelineQueries.textBm25Rank(spark, d),
+      "q_interval_align (map-only month explode, one rollup shuffle)" ->
+        Analytics.qIntervalAlign(spark, d),
+      "data_interleave_mixture (ranged global slot rank over exact vtime)" ->
+        PipelineQueries.dataInterleaveMixture(spark, d),
+      "ann_ivfpq_filtered (predicate prunes candidates before the ADC scan)" ->
+        PipelineQueries.annIvfPqFiltered(spark, d))
     val out = new StringBuilder
     out.append("# PLANS — physical-plan audit (generated by " +
       "graft.tools.PlanAudit)\n\n")
