@@ -566,6 +566,7 @@ object SparkEntry {
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
     "stream_event_pattern" -> (graft.streaming.Events.streamEventPattern _),
     "stream_dedup_minhash" -> (graft.streaming.Events.streamDedupMinhash _),
+    "stream_scd2_build" -> (graft.streaming.Events.streamScd2Build _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
@@ -645,6 +646,8 @@ object SparkEntry {
     "q_sample_systematic" -> (PipelineQueries.sampleSystematic _),
     "data_interleave_mixture" -> (PipelineQueries.dataInterleaveMixture _),
     "text_bm25_rank" -> (PipelineQueries.textBm25Rank _),
+    "text_bpe_pairs" -> (PipelineQueries.textBpePairs _),
+    "q_sample_balanced" -> (PipelineQueries.sampleBalanced _),
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
     "text_levenshtein" -> (PipelineQueries.textLevenshtein _),
     "text_top_ngrams" -> (PipelineQueries.textTopNgrams _),
@@ -684,7 +687,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase +
       ("stream_event_pattern" -> oracleSqlBase("q_event_pattern")) +
-      ("stream_dedup_minhash" -> oracleSqlBase("dedup_incremental"))
+      ("stream_dedup_minhash" -> oracleSqlBase("dedup_incremental")) +
+      ("stream_scd2_build" -> oracleSqlBase("q_scd2_build"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "shred_flatten" ->
@@ -1259,7 +1263,7 @@ object SparkEntry {
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
         |  FROM events),
         |s AS (
         |  SELECT user_id, event_id, ts,
@@ -1270,7 +1274,7 @@ object SparkEntry {
         |  FROM e),
         |x AS (
         |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |      ROWS UNBOUNDED PRECEDING) AS sess_id
         |  FROM s)
         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
@@ -1333,7 +1337,7 @@ object SparkEntry {
         |  SELECT user_id, value,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS t0,
         |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER
-        |      (PARTITION BY user_id ORDER BY ts, event_id) AS t1
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t1
         |  FROM events)
         |SELECT user_id,
         |  round(sum(value * (t1 - t0)) / sum(t1 - t0), 6) AS twa,
@@ -2180,7 +2184,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, event_id, ts, epoch(ts) AS tsec,
         |    lag(epoch(ts)) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev
+        |      ORDER BY epoch_us(ts), event_id) AS prev
         |  FROM events),
         |s AS (
         |  SELECT user_id, event_id, ts, tsec,
@@ -2189,7 +2193,7 @@ object SparkEntry {
         |  FROM e),
         |x AS (
         |  SELECT user_id, ts, tsec,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |      ROWS UNBOUNDED PRECEDING) AS sess_id
         |  FROM s),
         |g AS (
@@ -2951,6 +2955,32 @@ object SparkEntry {
         |SELECT canon, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS keeper
         |FROM s3 GROUP BY canon ORDER BY canon""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i:i+1])) AS pair
+        |  FROM w WHERE len(w) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "q_sample_balanced" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    CAST(md5_number_lower(CAST(vec_id AS VARCHAR))
+        |      & 1125899906842623 AS BIGINT) AS h
+        |  FROM embeddings),
+        |m AS (SELECT min(n) AS m FROM (
+        |    SELECT count(*) AS n FROM v GROUP BY label)),
+        |r AS (SELECT vec_id, label,
+        |    row_number() OVER (PARTITION BY label ORDER BY h, vec_id)
+        |      AS rn
+        |  FROM v)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
+        |FROM r CROSS JOIN m WHERE rn <= m
+        |GROUP BY label ORDER BY label""".stripMargin,
     "q_sample_systematic" ->
       """WITH w AS (
         |  SELECT doc_id, n_chars,
@@ -3061,7 +3091,7 @@ object SparkEntry {
         |  SELECT user_id, event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
         |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER
-        |      (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS vt
         |  FROM events WHERE user_id < 10)
         |SELECT user_id, event_type, valid_from_s,
         |  coalesce(vt, 9999999999) AS valid_to_s,
@@ -3168,7 +3198,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, event_id, ts, epoch(ts) AS tsec,
         |    lag(epoch(ts)) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev
+        |      ORDER BY epoch_us(ts), event_id) AS prev
         |  FROM events),
         |s AS (
         |  SELECT user_id, event_id, ts, tsec,
@@ -3177,7 +3207,7 @@ object SparkEntry {
         |  FROM e),
         |x AS (
         |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |      ROWS UNBOUNDED PRECEDING) AS sess_id
         |  FROM s)
         |SELECT user_id, count(*) AS n_events,
@@ -3231,7 +3261,7 @@ object SparkEntry {
     "stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
         |  FROM events),
         |s AS (
         |  SELECT user_id, event_id, ts,
@@ -3242,7 +3272,7 @@ object SparkEntry {
         |  FROM e),
         |x AS (
         |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |      ROWS UNBOUNDED PRECEDING) AS sess_id
         |  FROM s),
         |g AS (

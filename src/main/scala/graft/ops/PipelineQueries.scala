@@ -909,6 +909,54 @@ object PipelineQueries {
       .orderBy(col("rnk"))
   }
 
+  /** The BPE-training inner loop at corpus scale: count adjacent
+    * CHARACTER pairs inside words and rank the top-20 merge
+    * candidates — the statistic a byte-pair-encoding tokenizer
+    * trainer recomputes every merge round (this is one round; the
+    * trainer loops it with the winning pair merged). One
+    * explode→count shuffle, partial-aggregable (map-side combine
+    * collapses each partition to its |pair-vocab| counts before the
+    * exchange), top-20 via `orderBy.limit`. Distinct from
+    * [[textBigramLift]], which scores WORD co-occurrence. */
+  def textBpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  /** Class-balanced downsampling — equalize label frequencies before
+    * training: every label keeps exactly min-class-size vectors,
+    * chosen deterministically by md5-hash order (the portable
+    * coin-flip every sampler here uses). The per-label rank is a
+    * partitioned window (labels spread across partitions); the
+    * min-class size is ONE broadcast row; output is the per-label
+    * census plus an id checksum so the oracle verifies the exact
+    * selected set, not just counts. */
+  def sampleBalanced(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        (graft.functions.exprs.md5Lower64(col("vec_id").cast("string"))
+          .bitwiseAND(lit((1L << 50) - 1))).as("h"))
+    val m = v.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+      .agg(min(col("n_label")).as("m"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("h"), col("vec_id"))
+    v.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(m))
+      .filter(col("rn") <= col("m"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("vec_id")).as("id_checksum"))
+      .orderBy(col("label"))
+  }
+
   /** Token counting: whitespace + BPE-ish regex classes. */
   def textTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

@@ -983,4 +983,75 @@ object Events {
         coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
       .orderBy(col("doc_id"))
   }
+
+  case class Scd2State(epoch: Long, nVersions: Long, openType: String,
+      openFrom: Long, openIdx: Long, openSet: Boolean)
+  case class Scd2Ver(user_id: Long, epoch: Long, idx: Long,
+      event_type: String, valid_from_s: Long, valid_to_s: Long,
+      is_current: Boolean)
+
+  /** STREAMING SCD2 maintenance — [[graft.ops.Analytics.qScd2Build]]
+    * as a continuous query: per-user type-2 dimension history built
+    * incrementally with `flatMapGroupsWithState`. State is O(1) per
+    * user (the one still-open version + counters); each micro-batch
+    * folds its events in (µs event time, event_id) order, closes the
+    * carried open version if superseded, emits the batch's closed
+    * versions finally and the new open version provisionally (update
+    * mode). Presentation keeps each version's LAST emission (keyed by
+    * the per-user version index — re-closing an earlier batch's open
+    * version overwrites it exactly once), so the converged table
+    * equals the batch SCD2 build — the shared oracle. */
+  def streamScd2Build(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import spark.implicits._
+    val ev = eventStream(spark, sfDir)
+      .filter(col("user_id") < 10)
+      .select(col("user_id").cast("long").as("u"), col("event_type"),
+        col("ts_us"), col("ts_s"), col("event_id").cast("long").as("eid"))
+      .as[(Long, String, Long, Long, Long)]
+    val fn = (user: Long, it: Iterator[(Long, String, Long, Long, Long)],
+        state: GroupState[Scd2State]) => {
+      // deterministic in-batch order = the batch window's order
+      val sorted = it.toSeq.sortBy(r => (r._3, r._5))
+      val prev = state.getOption
+      val epoch = prev.map(_.epoch).getOrElse(0L) + 1L
+      var nVer = prev.map(_.nVersions).getOrElse(0L)
+      var open: Option[(String, Long, Long)] =
+        prev.filter(_.openSet).map(s => (s.openType, s.openFrom, s.openIdx))
+      val out = scala.collection.mutable.ArrayBuffer[Scd2Ver]()
+      sorted.foreach { case (_, et, _, tsS, _) =>
+        open.foreach { case (oT, oF, oI) =>
+          out += Scd2Ver(user, epoch, oI, oT, oF, tsS, is_current = false)
+        }
+        nVer += 1
+        open = Some((et, tsS, nVer))
+      }
+      open match {
+        case Some((oT, oF, oI)) =>
+          out += Scd2Ver(user, epoch, oI, oT, oF, 9999999999L,
+            is_current = true)
+          state.update(Scd2State(epoch, nVer, oT, oF, oI, openSet = true))
+        case None =>
+          prev.foreach(p => state.update(p.copy(epoch = epoch)))
+      }
+      out.iterator
+    }
+    val vers = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+    val name = s"graft_stream_scd2_${n.incrementAndGet()}"
+    val q = vers.toDF().writeStream
+      .outputMode("update").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    spark.table(name)
+      .groupBy(col("user_id"), col("idx"))
+      .agg(max_by(struct(col("event_type"), col("valid_from_s"),
+        col("valid_to_s"), col("is_current")), col("epoch")).as("_v"))
+      .select(col("user_id"), col("_v.event_type").as("event_type"),
+        col("_v.valid_from_s").as("valid_from_s"),
+        col("_v.valid_to_s").as("valid_to_s"),
+        col("_v.is_current").as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_s"))
+  }
 }

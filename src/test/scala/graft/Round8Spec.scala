@@ -196,6 +196,45 @@ class Round8Spec extends SparkSuite {
       }
   }
 
+  test("streaming scd2 equals the batch scd2 build") {
+    val batch = Analytics.qScd2Build(spark, sf).collect().toSeq
+    val stream = graft.streaming.Events.streamScd2Build(spark, sf)
+      .collect().toSeq
+    // both totally ordered by (user, valid_from) with possible
+    // same-second ties — compare as multisets of rows
+    assert(stream.groupBy(identity).view.mapValues(_.size).toMap ==
+      batch.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
+  test("bpe pairs are real character bigrams with true counts") {
+    val rows = PipelineQueries.textBpePairs(spark, sf).collect()
+    assert(rows.length == 20)
+    // independent recount of one pair straight from the corpus
+    val (pair, n) = (rows.head.getString(0), rows.head.getLong(1))
+    assert(pair.length == 2)
+    val recount = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("p"))
+      .filter(col("p") === pair).count()
+    assert(recount == n, s"pair '$pair': reported $n, recounted $recount")
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("balanced sample keeps exactly min-class-size per label") {
+    val byLabel = Tables.embeddings(spark, sf)
+      .groupBy(col("label")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val m = byLabel.values.min
+    val rows = PipelineQueries.sampleBalanced(spark, sf).collect()
+    assert(rows.length == byLabel.size)
+    rows.foreach(r => assert(r.getLong(1) == m,
+      s"label ${r.getInt(0)} kept ${r.getLong(1)} != $m"))
+  }
+
   test("skyline members are mutually non-dominated and complete") {
     val per = Tables.orders(spark, sf)
       .groupBy(col("o_custkey"))
