@@ -647,6 +647,10 @@ object SparkEntry {
     "data_interleave_mixture" -> (PipelineQueries.dataInterleaveMixture _),
     "text_bm25_rank" -> (PipelineQueries.textBm25Rank _),
     "text_bpe_pairs" -> (PipelineQueries.textBpePairs _),
+    "pipeline_clean_funnel" -> (PipelineQueries.pipelineCleanFunnel _),
+    "data_length_buckets" -> (PipelineQueries.dataLengthBuckets _),
+    "multimodal_wav_decimate" -> (PipelineQueries.multimodalWavDecimate _),
+    "q_sprt_test" -> (PipelineQueries.qSprtTest _),
     "q_sample_balanced" -> (PipelineQueries.sampleBalanced _),
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
     "text_levenshtein" -> (PipelineQueries.textLevenshtein _),
@@ -689,6 +693,35 @@ object SparkEntry {
       ("stream_event_pattern" -> oracleSqlBase("q_event_pattern")) +
       ("stream_dedup_minhash" -> oracleSqlBase("dedup_incremental")) +
       ("stream_scd2_build" -> oracleSqlBase("q_scd2_build"))
+
+  /** q_sprt_test oracle — the SPRT constants are computed ONCE here in
+    * JVM math and folded into the SQL as shortest-round-trip literals,
+    * so both engines walk the identical LLR line (the annIvfOracle
+    * constant-folding recipe applied to ln()). */
+  private def qSprtOracle: String = {
+    val a = math.log(0.4 / 0.3)
+    val b = math.log(0.6 / 0.7)
+    val up = math.log(0.95 / 0.05)
+    val lo = math.log(0.05 / 0.95)
+    s"""WITH t AS (
+       |  SELECT event_id, epoch_us(ts) AS ts_us,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+       |  FROM events WHERE event_type IN ('purchase', 'click')),
+       |w AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY ts_us, event_id)
+       |      AS BIGINT) AS k,
+       |    CAST(sum(x) OVER (ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS n1
+       |  FROM t),
+       |l AS (SELECT k, n1, n1 * ($a) + (k - n1) * ($b) AS llr FROM w),
+       |c AS (SELECT k, n1, llr FROM l
+       |      WHERE llr >= $up OR llr <= $lo ORDER BY k LIMIT 1)
+       |SELECT CASE WHEN llr >= $up THEN 'accept_h1'
+       |    ELSE 'accept_h0' END AS decision,
+       |  k AS n_trials, n1 AS n_purchases, round(llr, 4) AS llr
+       |FROM c""".stripMargin
+  }
 
   private val oracleSqlBase: Map[String, String] = Map(
     "shred_flatten" ->
@@ -2955,6 +2988,71 @@ object SparkEntry {
         |SELECT canon, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS keeper
         |FROM s3 GROUP BY canon ORDER BY canon""".stripMargin,
+    "pipeline_clean_funnel" ->
+      """WITH s1 AS (SELECT doc_id, lang, text, n_chars FROM documents),
+        |s2 AS (SELECT doc_id, text, n_chars FROM s1 WHERE lang = 'en'),
+        |s3 AS (SELECT doc_id, text FROM s2
+        |  WHERE n_chars >= 150 AND
+        |    CAST(len(list_distinct(regexp_split_to_array(trim(text),
+        |      '\s+'))) AS BIGINT) * 1000 //
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) >= 400),
+        |s4 AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM s3) WHERE rn = 1),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM s4),
+        |pass AS (SELECT doc_id, i AS pidx,
+        |    md5_number_lower(
+        |      array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ')) AS pkey
+        |  FROM toks, unnest(range(CAST(ceil(len(t) / 10.0) AS BIGINT)))
+        |    AS r(i)),
+        |kc AS (SELECT pkey, count(*) AS n_occ FROM pass GROUP BY 1),
+        |s5 AS (SELECT doc_id FROM pass JOIN kc USING (pkey)
+        |  GROUP BY doc_id
+        |  HAVING sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) * 2
+        |    <= count(*))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'ingest' AS stage,
+        |    CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_docs
+        |  UNION ALL SELECT 2, 'lang_en',
+        |    CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |  UNION ALL SELECT 3, 'quality',
+        |    CAST((SELECT count(*) FROM s3) AS BIGINT)
+        |  UNION ALL SELECT 4, 'exact_dedup',
+        |    CAST((SELECT count(*) FROM s4) AS BIGINT)
+        |  UNION ALL SELECT 5, 'boilerplate',
+        |    CAST((SELECT count(*) FROM s5) AS BIGINT))
+        |ORDER BY stage_idx""".stripMargin,
+    "data_length_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT n_tok,
+        |    CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+        |         WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256
+        |         WHEN n_tok <= 512 THEN 512 ELSE 1024 END AS bucket
+        |  FROM d)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(least(bucket, greatest(bucket - n_tok, 0)))
+        |    AS BIGINT) AS pad_waste
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "multimodal_wav_decimate" ->
+      """WITH d AS (SELECT doc_id, 200 + doc_id % 256 AS n
+        |    FROM documents),
+        |s AS (SELECT doc_id,
+        |    ((unnest(range((n + 1) // 2)) * 74 + doc_id * 101) % 65536
+        |      - 32768) AS v
+        |  FROM d)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_sprt_test" -> qSprtOracle,
     "text_bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w

@@ -143,6 +143,48 @@ object Codecs {
     bos.toByteArray
   }
 
+  /** Decode real WAV bytes → decimate by 2 (every even-index sample —
+    * the naive 16 kHz→8 kHz downsample) → RE-ENCODE at the halved rate
+    * → decode AGAIN → (n out-samples, out rate, Σ out-sample²). The
+    * energy is read from the second decode, so the full
+    * decode→resample→encode→decode chain is proven; decimation is
+    * index arithmetic, so the oracle replays the energy from the
+    * generator formula alone. */
+  def decimateWavStats(bytes: Array[Byte]): (Long, Long, Long) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val f = in.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+      !f.isBigEndian, s"unexpected decoded format: $f")
+    val raw = in.readAllBytes()
+    val nIn = raw.length / 2
+    val nOut = (nIn + 1) / 2
+    val out = new Array[Byte](nOut * 2)
+    var i = 0
+    while (i < nOut) {
+      out(2 * i) = raw(4 * i)
+      out(2 * i + 1) = raw(4 * i + 1)
+      i += 1
+    }
+    val halfFmt = new AudioFormat(WavRate / 2, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(out), halfFmt,
+      nOut.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val in2 = AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bos.toByteArray))
+    val raw2 = in2.readAllBytes()
+    var e = 0L
+    var n = 0L
+    i = 0
+    while (i + 1 < raw2.length) {
+      val s = ((raw2(i) & 0xff) | (raw2(i + 1) << 8)).toShort.toInt
+      e += s.toLong * s
+      n += 1
+      i += 2
+    }
+    (n, in2.getFormat.getSampleRate.toLong, e)
+  }
+
   /** Decode real WAV bytes → (n samples, sample rate, Σ sample²) from
     * the DECODED stream (format parsed from the container header). */
   def decodeWavStats(bytes: Array[Byte]): (Long, Long, Long) = {

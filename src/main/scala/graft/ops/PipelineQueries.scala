@@ -957,6 +957,141 @@ object PipelineQueries {
       .orderBy(col("label"))
   }
 
+  /** END-TO-END corpus cleaning funnel — the CCNet-style composition a
+    * pipeline owner actually ships, expressed as ONE declarative plan:
+    * ingest → language filter (metadata) → lexical quality gate
+    * (integer distinct-token permille ≥ 400 AND n_chars ≥ 150) →
+    * exact dedup (md5 first-occurrence) → boilerplate drop (docs where
+    * >50% of their 10-token passages also occur elsewhere in the
+    * SURVIVING corpus). Every stage decision is integer/hash
+    * arithmetic, so the whole funnel replays in SQL; the output is
+    * the per-stage retention census (the report that justifies a
+    * cleaning config). Scale: each stage is one keyed
+    * shuffle (md5 / passage-hash) or a map — no stage is quadratic,
+    * and the passage stats run on stage-4 survivors only. */
+  def pipelineCleanFunnel(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs
+    val s1 = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+    val s2 = s1.filter(col("lang") === "en")
+    val s3 = s2
+      .withColumn("_toks", TextOps.tokens(col("text")))
+      .filter(col("n_chars") >= 150 &&
+        expr("""CAST(size(array_distinct(_toks)) AS BIGINT) * 1000
+                div CAST(size(_toks) AS BIGINT)""") >= 400)
+      .drop("_toks")
+    val s4 = s3
+      .withColumn("_h", md5(col("text")))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_h")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_h", "_rn")
+    // passage stats over the SURVIVING corpus: a passage key seen at
+    // >1 (doc, position) is boilerplate
+    val pass = s4
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, cast(ceil(size(t) / 10.0) as int) - 1),
+          |  i -> array_join(slice(t, i * 10 + 1, 10), ' '))"""
+          .stripMargin)).as(Seq("pidx", "passage")))
+      .withColumn("pkey", exprs.md5Lower64(col("passage")))
+      .drop("passage")
+    val keyCounts = pass.groupBy(col("pkey"))
+      .agg(count(lit(1)).as("n_occ"))
+    val s5 = pass.join(keyCounts, "pkey")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pass"),
+        count(when(col("n_occ") > 1, 1)).as("n_boiler"))
+      .filter(col("n_boiler") * 2 <= col("n_pass"))
+    def census(idx: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"))
+    census(1, "ingest", s1)
+      .unionByName(census(2, "lang_en", s2))
+      .unionByName(census(3, "quality", s3))
+      .unionByName(census(4, "exact_dedup", s4))
+      .unionByName(census(5, "boilerplate", s5))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** Length bucketing — the padding-efficiency step before batching:
+    * each document lands in the smallest power-of-two token bucket
+    * (32…1024, clamp at the rails) and the per-bucket census carries
+    * the exact padded-token waste, the number a batching config is
+    * tuned on. Pure integer compares (no log2 on the data path), one
+    * partial-aggregable rollup to ≤7 rows. */
+  def dataLengthBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket",
+        when(col("n_tok") <= 32, 32L).when(col("n_tok") <= 64, 64L)
+          .when(col("n_tok") <= 128, 128L).when(col("n_tok") <= 256, 256L)
+          .when(col("n_tok") <= 512, 512L).otherwise(1024L))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(least(col("bucket"), greatest(col("bucket") - col("n_tok"),
+          lit(0L)))).as("pad_waste"))
+      .orderBy(col("bucket"))
+
+  /** Multimodal REAL audio resample — decode → decimate-by-2 (16 kHz →
+    * 8 kHz) → re-encode at the halved rate → decode again, all through
+    * `javax.sound.sampled`; the reported energy comes from the SECOND
+    * decode, proving the full chain, and decimation is index
+    * arithmetic so the oracle replays the out-energy from the
+    * generator formula. Map-only, same codec seam. */
+  def multimodalWavDecimate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodeWav(id)
+        val (nOut, rate, energy) = graft.mm.Codecs.decimateWavStats(bytes)
+        (id, nOut, rate, energy)
+      })
+      .toDF("doc_id", "n_samples", "sample_rate", "energy")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequential probability ratio test (Wald SPRT) — the streaming A/B
+    * decision rule: walk purchase/click events in event-time order and
+    * stop at the FIRST crossing of the log-likelihood boundaries
+    * (H0 p=0.3 vs H1 p=0.4 purchase share, α=β=0.05). The cumulative
+    * purchase count is a ranged [[graft.ops.Ranks.globalRunningSum]]
+    * (exact longs — no single-task walk over the trial sequence);
+    * LLR_k = n1·a + (k−n1)·b is two integer-scaled constants, so the
+    * crossing decision is deterministic to ~1e-12. Output is the one
+    * decision row a dashboard shows: verdict, trials consumed,
+    * purchases seen, the LLR at stopping. */
+  def qSprtTest(s: SparkSession, d: String): DataFrame = {
+    val a = math.log(0.4 / 0.3)
+    val b = math.log(0.6 / 0.7)
+    val upper = math.log(0.95 / 0.05)
+    val lower = math.log(0.05 / 0.95)
+    val trials = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+    val walked = Ranks.globalScan(trials,
+        Seq(col("ts_us").asc, col("event_id").asc),
+        rank = Some("k"), sums = Seq(col("x") -> "n1"))
+      .withColumn("llr",
+        col("n1") * lit(a) + (col("k") - col("n1")) * lit(b))
+      .filter(col("llr") >= upper || col("llr") <= lower)
+    walked
+      .agg(min_by(struct(col("k"), col("n1"), col("llr")), col("k"))
+        .as("_d"))
+      .select(
+        when(col("_d.llr") >= upper, "accept_h1")
+          .when(col("_d").isNull, "undecided")
+          .otherwise("accept_h0").as("decision"),
+        coalesce(col("_d.k"), lit(0L)).as("n_trials"),
+        coalesce(col("_d.n1"), lit(0L)).as("n_purchases"),
+        round(coalesce(col("_d.llr"), lit(0.0)), 4).as("llr"))
+  }
+
   /** Token counting: whitespace + BPE-ish regex classes. */
   def textTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

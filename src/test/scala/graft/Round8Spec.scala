@@ -235,6 +235,59 @@ class Round8Spec extends SparkSuite {
       s"label ${r.getInt(0)} kept ${r.getLong(1)} != $m"))
   }
 
+  test("cleaning funnel attrites monotonically from the full corpus") {
+    val rows = PipelineQueries.pipelineCleanFunnel(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 5L))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.head == Tables.documents(spark, sf).count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel not monotone: ${counts.toSeq}")
+    assert(counts.last > 0, "cleaning removed the whole corpus")
+  }
+
+  test("length buckets cover every doc and waste is bucket-consistent") {
+    val rows = PipelineQueries.dataLengthBuckets(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (bucket, n, toks, waste) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))
+      // exact identity when nothing overflows the top bucket:
+      // waste = n·bucket − tokens (clamped at the 1024 rail)
+      if (bucket < 1024L)
+        assert(waste == n * bucket - toks,
+          s"bucket $bucket waste $waste != ${n * bucket - toks}")
+      else assert(waste <= n * bucket)
+    }
+  }
+
+  test("wav decimate energy equals the even-sample generator formula") {
+    PipelineQueries.multimodalWavDecimate(spark, sf).collect()
+      .take(25).foreach { r =>
+        val id = r.getLong(0)
+        val nIn = (200 + id % 256).toInt
+        val nOut = (nIn + 1) / 2
+        var want = 0L
+        for (j <- 0 until nOut) {
+          val s = ((2L * j * 37 + id * 101) % 65536 - 32768).toInt
+          want += s.toLong * s
+        }
+        assert(r.getLong(1) == nOut && r.getLong(3) == want,
+          s"doc $id decimated stats mismatch")
+        assert(r.getLong(2) == 8000L)
+      }
+  }
+
+  test("sprt decision is consistent with the crossed boundary") {
+    val r = PipelineQueries.qSprtTest(spark, sf).head()
+    val (decision, k, n1) = (r.getString(0), r.getLong(1), r.getLong(2))
+    assert(k > 0 && n1 <= k)
+    // true purchase share ≈ 0.5 >> H1's 0.4: must accept H1, and the
+    // stopped LLR must actually clear the upper boundary
+    assert(decision == "accept_h1", s"unexpected decision $decision")
+    assert(r.getDouble(3) >= math.log(0.95 / 0.05) - 1e-4)
+  }
+
   test("skyline members are mutually non-dominated and complete") {
     val per = Tables.orders(spark, sf)
       .groupBy(col("o_custkey"))
