@@ -651,6 +651,8 @@ object SparkEntry {
     "data_length_buckets" -> (PipelineQueries.dataLengthBuckets _),
     "multimodal_wav_decimate" -> (PipelineQueries.multimodalWavDecimate _),
     "q_sprt_test" -> (PipelineQueries.qSprtTest _),
+    "q_ab_cuped" -> (Mining.qAbCuped _),
+    "q_diff_in_diff" -> (Mining.qDiffInDiff _),
     "q_sample_balanced" -> (PipelineQueries.sampleBalanced _),
     "text_fingerprint" -> (PipelineQueries.textFingerprint _),
     "text_levenshtein" -> (PipelineQueries.textLevenshtein _),
@@ -3053,6 +3055,86 @@ object SparkEntry {
         |  CAST(sum(v * v) AS BIGINT) AS energy
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_sprt_test" -> qSprtOracle,
+    "q_ab_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    value
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT (min(ts_s) + max(ts_s)) // 2 AS mid FROM ev),
+        |per AS (
+        |  SELECT user_id,
+        |    CAST(round(sum(CASE WHEN ts_s < mid THEN value
+        |      ELSE 0 END), 0) AS BIGINT) AS x,
+        |    CAST(round(sum(CASE WHEN ts_s >= mid THEN value
+        |      ELSE 0 END), 0) AS BIGINT) AS y,
+        |    (user_id % 2 = 0) AS treat
+        |  FROM ev CROSS JOIN b GROUP BY user_id),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN treat THEN x ELSE 0 END) AS BIGINT) AS sxt,
+        |    CAST(sum(CASE WHEN treat THEN y ELSE 0 END) AS BIGINT) AS syt
+        |  FROM per)
+        |SELECT n AS n_users,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+        |  round(CAST(syt AS DOUBLE) / nt -
+        |    CAST(sy - syt AS DOUBLE) / (n - nt), 4) AS raw_lift,
+        |  round(CAST(syt AS DOUBLE) / nt -
+        |    CAST(sy - syt AS DOUBLE) / (n - nt) -
+        |    (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |      (CAST(sxt AS DOUBLE) / nt -
+        |        CAST(sx - sxt AS DOUBLE) / (n - nt)), 4) AS adj_lift,
+        |  round((CAST(n * sxy - sx * sy AS DOUBLE) *
+        |    CAST(n * sxy - sx * sy AS DOUBLE)) /
+        |    (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n * syy - sy * sy AS DOUBLE)), 4) AS var_reduction
+        |FROM g""".stripMargin,
+    "q_diff_in_diff" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    value
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT (min(ts_s) + max(ts_s)) // 2 AS mid FROM ev),
+        |cells AS (
+        |  SELECT (user_id % 2 = 0) AS treat, (ts_s >= mid) AS post,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS sc
+        |  FROM ev CROSS JOIN b GROUP BY 1, 2),
+        |one AS (SELECT
+        |    CAST(sum(CASE WHEN treat AND post THEN sc END) AS BIGINT)
+        |      AS tp,
+        |    CAST(sum(CASE WHEN treat AND post THEN n END) AS BIGINT)
+        |      AS ntp,
+        |    CAST(sum(CASE WHEN treat AND NOT post THEN sc END) AS BIGINT)
+        |      AS tr,
+        |    CAST(sum(CASE WHEN treat AND NOT post THEN n END) AS BIGINT)
+        |      AS ntr,
+        |    CAST(sum(CASE WHEN NOT treat AND post THEN sc END) AS BIGINT)
+        |      AS cp,
+        |    CAST(sum(CASE WHEN NOT treat AND post THEN n END) AS BIGINT)
+        |      AS ncp,
+        |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN sc END)
+        |      AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN n END)
+        |      AS BIGINT) AS ncr
+        |  FROM cells)
+        |SELECT
+        |  round(CAST(tp AS DOUBLE) / ntp / 100.0, 4) AS treat_post,
+        |  round(CAST(tr AS DOUBLE) / ntr / 100.0, 4) AS treat_pre,
+        |  round(CAST(cp AS DOUBLE) / ncp / 100.0, 4) AS control_post,
+        |  round(CAST(cr AS DOUBLE) / ncr / 100.0, 4) AS control_pre,
+        |  round((CAST(tp AS DOUBLE) / ntp / 100.0 -
+        |      CAST(tr AS DOUBLE) / ntr / 100.0) -
+        |    (CAST(cp AS DOUBLE) / ncp / 100.0 -
+        |      CAST(cr AS DOUBLE) / ncr / 100.0), 4) AS did
+        |FROM one""".stripMargin,
+
     "text_bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w

@@ -690,6 +690,116 @@ object Mining {
     out.reduce(_ unionByName _).orderBy(col("iter"))
   }
 
+  /** CUPED variance-reduced A/B lift — the experimentation-platform
+    * standard: each user's post-period metric is adjusted by their own
+    * PRE-period covariate (θ = cov(x,y)/var(x), adj y = y − θ(x−x̄)),
+    * which removes between-user variance the treatment didn't cause.
+    * Periods split the timeline at its exact midpoint; per-user
+    * metrics are whole-unit longs, so Σx, Σy, Σxy, Σx², Σy² and the
+    * group sums are EXACT integers (n·Σxy safely ≤2⁶³, which cents
+    * would not be) — every double (θ, lift,
+    * variance reduction) is one fixed closed-form expression over
+    * those integers, identical in the oracle. Two partial-aggregable
+    * shuffles (per-user rollup, 2-group rollup); nothing scales past
+    * |users|. */
+  def qAbCuped(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts)").as("ts_s"),
+        col("value"))
+      .filter(col("value").isNotNull)
+    val bounds = ev.agg(((min(col("ts_s")) + max(col("ts_s"))) / 2)
+      .cast("long").as("mid"))
+    // WHOLE currency units, not cents: n·Σxy must stay inside a long
+    // at any |users| (cents put it at ~2⁶³ already at sf0.1, and ANSI
+    // Spark errors on overflow while DuckDB widens to HUGEINT)
+    val per = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(when(col("ts_s") < col("mid"), col("value"))
+          .otherwise(0.0)), 0).cast("long").as("x"),
+        round(sum(when(col("ts_s") >= col("mid"), col("value"))
+          .otherwise(0.0)), 0).cast("long").as("y"))
+      .withColumn("treat", (col("user_id") % 2) === 0)
+    val g = per.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("treat"), 1L).otherwise(0L)).as("nt"),
+      sum(when(col("treat"), col("x")).otherwise(0L)).as("sxt"),
+      sum(when(col("treat"), col("y")).otherwise(0L)).as("syt"))
+    g.select(col("n").as("n_users"),
+        // θ = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — exact-int inputs
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("_th"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+        col("nt"), col("sxt"), col("syt"))
+      .select(col("n_users"), round(col("_th"), 6).as("theta"),
+        // raw lift: mean y (treat) − mean y (control), in currency
+        round((col("syt").cast("double") / col("nt") -
+          (col("sy") - col("syt")).cast("double") /
+            (col("n_users") - col("nt"))), 4).as("raw_lift"),
+        // adjusted lift: subtract θ·(per-group mean-x gap vs x̄);
+        // the x̄ terms cancel between groups, leaving θ·(x̄_t − x̄_c)
+        round((col("syt").cast("double") / col("nt") -
+          (col("sy") - col("syt")).cast("double") /
+            (col("n_users") - col("nt")) -
+          col("_th") * (col("sxt").cast("double") / col("nt") -
+            (col("sx") - col("sxt")).cast("double") /
+              (col("n_users") - col("nt")))), 4).as("adj_lift"),
+        // variance reduction 1 − (1 − ρ²) … = ρ² of (x, y)
+        round(((col("n_users") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") *
+          (col("n_users") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")) /
+          ((col("n_users") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n_users") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), 4).as("var_reduction"))
+  }
+
+  /** Difference-in-differences — the quasi-experimental lift estimate
+    * when randomization is doubtful: (treat post − treat pre) −
+    * (control post − control pre) over the same midpoint-split
+    * timeline as [[qAbCuped]]. The four cell means come from EXACT
+    * cent sums and counts (one grouped rollup to 4 cells); the DiD
+    * estimate is one closed-form double at the end. */
+  def qDiffInDiff(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts)").as("ts_s"),
+        col("value"))
+      .filter(col("value").isNotNull)
+    val bounds = ev.agg(((min(col("ts_s")) + max(col("ts_s"))) / 2)
+      .cast("long").as("mid"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("treat", (col("user_id") % 2) === 0)
+      .withColumn("post", col("ts_s") >= col("mid"))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    val one = cells.agg(
+      sum(when(col("treat") && col("post"), col("sc"))).as("tp"),
+      sum(when(col("treat") && col("post"), col("n"))).as("ntp"),
+      sum(when(col("treat") && !col("post"), col("sc"))).as("tr"),
+      sum(when(col("treat") && !col("post"), col("n"))).as("ntr"),
+      sum(when(!col("treat") && col("post"), col("sc"))).as("cp"),
+      sum(when(!col("treat") && col("post"), col("n"))).as("ncp"),
+      sum(when(!col("treat") && !col("post"), col("sc"))).as("cr"),
+      sum(when(!col("treat") && !col("post"), col("n"))).as("ncr"))
+    def mean(sc: Column, n: Column): Column =
+      sc.cast("double") / n / 100.0
+    one.select(
+      round(mean(col("tp"), col("ntp")), 4).as("treat_post"),
+      round(mean(col("tr"), col("ntr")), 4).as("treat_pre"),
+      round(mean(col("cp"), col("ncp")), 4).as("control_post"),
+      round(mean(col("cr"), col("ncr")), 4).as("control_pre"),
+      round((mean(col("tp"), col("ntp")) - mean(col("tr"), col("ntr"))) -
+        (mean(col("cp"), col("ncp")) - mean(col("cr"), col("ncr"))), 4)
+        .as("did"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test: are purchase values and click
     * values drawn from the same distribution? D = max gap between the
     * two empirical CDFs, computed tie-safely: counts are grouped per

@@ -288,6 +288,24 @@ class Round8Spec extends SparkSuite {
     assert(r.getDouble(3) >= math.log(0.95 / 0.05) - 1e-4)
   }
 
+  test("cuped adjustment reduces variance and keeps lift finite") {
+    val r = Mining.qAbCuped(spark, sf).head()
+    val vr = r.getDouble(r.fieldIndex("var_reduction"))
+    // var_reduction is ρ²(x, y): a valid correlation square
+    assert(vr >= 0.0 && vr <= 1.0, s"rho^2 out of range: $vr")
+    assert(!r.getDouble(r.fieldIndex("raw_lift")).isNaN)
+    assert(!r.getDouble(r.fieldIndex("adj_lift")).isNaN)
+    assert(r.getLong(r.fieldIndex("n_users")) > 0)
+  }
+
+  test("diff-in-diff equals the four cell means' closed form") {
+    val r = Mining.qDiffInDiff(spark, sf).head()
+    val did = (r.getDouble(0) - r.getDouble(1)) -
+      (r.getDouble(2) - r.getDouble(3))
+    assert(math.abs(r.getDouble(4) - did) < 5e-4,
+      s"did ${r.getDouble(4)} != recomputed $did")
+  }
+
   test("skyline members are mutually non-dominated and complete") {
     val per = Tables.orders(spark, sf)
       .groupBy(col("o_custkey"))
