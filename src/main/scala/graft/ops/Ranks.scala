@@ -158,15 +158,26 @@ object Ranks {
       .withColumn("_mid", monotonically_increasing_id())
       .localCheckpoint(true)
     val withPid = local.withColumn("_pid", shiftright(col("_mid"), IdxBits))
+    // rank bookkeeping (per-range counts + min id) only when asked:
+    // the sums/max-only paths skip those aggregates and broadcast
+    // columns entirely
+    require(rank.isDefined || sums.nonEmpty || maxPrev.nonEmpty,
+      "globalScan needs at least one output")
     val aggs =
-      Seq(count(lit(1)).as("_n"), min(col("_mid")).as("_mn")) ++
+      (if (rank.isDefined)
+        Seq(count(lit(1)).as("_n"), min(col("_mid")).as("_mn"))
+      else Seq.empty) ++
         sumIn.map(n => sum(col(n)).as(s"_t$n")) ++
         maxIn.map(n => max(col(n)).as(s"_x$n"))
     val wOff = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val rankOffCols =
+      if (rank.isDefined)
+        Seq(coalesce(sum(col("_n")).over(wOff), lit(0L)).as("_offN"),
+          col("_mn"))
+      else Seq.empty
     val offsets = withPid.groupBy(col("_pid")).agg(aggs.head, aggs.tail: _*)
-      .withColumn("_offN", coalesce(sum(col("_n")).over(wOff), lit(0L)))
-      .select(Seq(col("_pid"), col("_offN"), col("_mn")) ++
+      .select((col("_pid") +: rankOffCols) ++
         sumIn.map(n => sum(col(s"_t$n")).over(wOff).as(s"_off$n")) ++
         maxIn.map(n => max(col(s"_x$n")).over(wOff).as(s"_off$n")): _*)
     val wInc = Window.partitionBy(col("_pid")).orderBy(order: _*)
