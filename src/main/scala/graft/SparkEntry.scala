@@ -719,10 +719,13 @@ object SparkEntry {
        |l AS (SELECT k, n1, n1 * ($a) + (k - n1) * ($b) AS llr FROM w),
        |c AS (SELECT k, n1, llr FROM l
        |      WHERE llr >= $up OR llr <= $lo ORDER BY k LIMIT 1)
-       |SELECT CASE WHEN llr >= $up THEN 'accept_h1'
+       |SELECT CASE WHEN c.llr >= $up THEN 'accept_h1'
+       |    WHEN c.llr IS NULL THEN 'undecided'
        |    ELSE 'accept_h0' END AS decision,
-       |  k AS n_trials, n1 AS n_purchases, round(llr, 4) AS llr
-       |FROM c""".stripMargin
+       |  CAST(coalesce(c.k, 0) AS BIGINT) AS n_trials,
+       |  CAST(coalesce(c.n1, 0) AS BIGINT) AS n_purchases,
+       |  round(coalesce(c.llr, 0.0), 4) AS llr
+       |FROM (SELECT 1 AS one) anchor LEFT JOIN c ON TRUE""".stripMargin
   }
 
   private val oracleSqlBase: Map[String, String] = Map(
@@ -3058,17 +3061,24 @@ object SparkEntry {
     "q_ab_cuped" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-        |    value
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
         |  FROM events WHERE value IS NOT NULL),
         |b AS (SELECT (min(ts_s) + max(ts_s)) // 2 AS mid FROM ev),
-        |per AS (
+        |perc AS (
         |  SELECT user_id,
-        |    CAST(round(sum(CASE WHEN ts_s < mid THEN value
-        |      ELSE 0 END), 0) AS BIGINT) AS x,
-        |    CAST(round(sum(CASE WHEN ts_s >= mid THEN value
-        |      ELSE 0 END), 0) AS BIGINT) AS y,
+        |    CAST(sum(CASE WHEN ts_s < mid THEN cents
+        |      ELSE 0 END) AS BIGINT) AS xc,
+        |    CAST(sum(CASE WHEN ts_s >= mid THEN cents
+        |      ELSE 0 END) AS BIGINT) AS yc,
         |    (user_id % 2 = 0) AS treat
         |  FROM ev CROSS JOIN b GROUP BY user_id),
+        |per AS (
+        |  SELECT user_id, treat,
+        |    CASE WHEN xc < 0 THEN -((-xc + 50) // 100)
+        |         ELSE (xc + 50) // 100 END AS x,
+        |    CASE WHEN yc < 0 THEN -((-yc + 50) // 100)
+        |         ELSE (yc + 50) // 100 END AS y
+        |  FROM perc),
         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |    CAST(sum(x * y) AS BIGINT) AS sxy,

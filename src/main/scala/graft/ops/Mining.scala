@@ -704,21 +704,32 @@ object Mining {
     * |users|. */
   def qAbCuped(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-      .select(col("user_id"), expr("unix_timestamp(ts)").as("ts_s"),
-        col("value"))
       .filter(col("value").isNotNull)
+      .select(col("user_id"), expr("unix_timestamp(ts)").as("ts_s"),
+        // canonicalize PER EVENT: one double round on a single value
+        // is order-free; summing doubles per user was not (Spark's
+        // partial-agg order ≠ DuckDB's, and a per-user sum within an
+        // ulp of a .5 boundary flipped whole units nondeterministically)
+        round(col("value") * 100, 0).cast("long").as("cents"))
     val bounds = ev.agg(((min(col("ts_s")) + max(col("ts_s"))) / 2)
       .cast("long").as("mid"))
-    // WHOLE currency units, not cents: n·Σxy must stay inside a long
-    // at any |users| (cents put it at ~2⁶³ already at sf0.1, and ANSI
-    // Spark errors on overflow while DuckDB widens to HUGEINT)
+    // WHOLE currency units, not cents, past this point: n·Σxy must
+    // stay inside a long at any |users| (cents put it at ~2⁶³ already
+    // at sf0.1, and ANSI Spark errors on overflow while DuckDB widens
+    // to HUGEINT). Units come from the EXACT per-user cent sum via
+    // pure integer half-away-from-zero — identical in any engine and
+    // any accumulation order.
+    def units(c: String): Column =
+      when(col(c) < 0, -expr(s"(-$c + 50) div 100"))
+        .otherwise(expr(s"($c + 50) div 100"))
     val per = ev.crossJoin(broadcast(bounds))
       .groupBy(col("user_id"))
       .agg(
-        round(sum(when(col("ts_s") < col("mid"), col("value"))
-          .otherwise(0.0)), 0).cast("long").as("x"),
-        round(sum(when(col("ts_s") >= col("mid"), col("value"))
-          .otherwise(0.0)), 0).cast("long").as("y"))
+        sum(when(col("ts_s") < col("mid"), col("cents"))
+          .otherwise(0L)).as("xc"),
+        sum(when(col("ts_s") >= col("mid"), col("cents"))
+          .otherwise(0L)).as("yc"))
+      .select(col("user_id"), units("xc").as("x"), units("yc").as("y"))
       .withColumn("treat", (col("user_id") % 2) === 0)
     val g = per.agg(
       count(lit(1)).as("n"),

@@ -930,25 +930,38 @@ object Events {
     * corpus band index via a stream-static left join — so only the
     * buckets the batch touches are read, per micro-batch, with no join
     * state at all (the static side re-resolves each batch). Exact
-    * verdicts fall out of the same probe (identical text ⇒ identical
-    * signature ⇒ collides in every band) by comparing the carried
-    * md5; near verdicts verify TRUE shingle Jaccard ≥ 0.5 inline.
-    * Complete-mode per-doc aggregation holds ≤|batch| rows of state.
-    * Converges to the batch dedup_incremental answer — the oracle. */
+    * verdicts come from a second stateless stream-static probe of an
+    * md5→min-id index — the batch dedupIncremental's hash-join,
+    * mirrored exactly, which also covers docs with <3 tokens. Those
+    * empty-shingle docs MUST stay out of the band index (they share
+    * every band key — a mega-bucket — and Jaccard degenerates to
+    * 0/0 = NaN, which nan-safe ≥ treats as a match); the filter
+    * mirrors [[graft.dedup.MinHashLSH.signatures]], and
+    * `explode_outer` keeps the stream row alive with a null band so
+    * its verdict still emits. Near verdicts verify TRUE shingle
+    * Jaccard ≥ 0.5 inline. Complete-mode per-doc aggregation holds
+    * ≤|batch| rows of state. Converges to the batch dedup_incremental
+    * answer — the oracle. */
   def streamDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
     import graft.functions.exprs
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val old = docs.filter(col("doc_id") % 5 =!= 0)
-    // static corpus index: (band, bh) -> (old_id, old_md5, old_sh) —
-    // in production the stored artifact ingestion maintains
+    // static exact index: md5 → smallest corpus id holding that text
+    val exactIdx = old
+      .groupBy(md5(col("text")).as("new_md5"))
+      .agg(min(col("doc_id")).as("exact_id"))
+    // static corpus band index: (band, bh) -> (old_id, old_sh) —
+    // in production the stored artifact ingestion maintains.
+    // Empty-shingle docs are excluded (nothing to compare).
     val oldIdx = old
-      .select(col("doc_id").as("old_id"), md5(col("text")).as("old_md5"),
+      .select(col("doc_id").as("old_id"),
         exprs.shingles(col("text"), 3).as("old_sh"))
+      .filter(size(col("old_sh")) > 0)
       .withColumn("_b", explode(graft.dedup.MinHashLSH.bandKeys(
         exprs.minhashSigs(col("old_sh"), 64))))
       .select(col("_b.band").as("band"), col("_b.bh").as("bh"),
-        col("old_id"), col("old_md5"), col("old_sh"))
+        col("old_id"), col("old_sh"))
     // the incoming batch, fed as a real file stream
     val batch = docs.filter(col("doc_id") % 5 === 0)
     val dir = graft.util.Scratch.dir("graft_sdm").toString + "/in"
@@ -956,15 +969,16 @@ object Events {
     val st = spark.readStream.schema(batch.schema).parquet(dir)
       .select(col("doc_id"), md5(col("text")).as("new_md5"),
         exprs.shingles(col("text"), 3).as("_shn"))
-      .withColumn("_b", explode(graft.dedup.MinHashLSH.bandKeys(
-        exprs.minhashSigs(col("_shn"), 64))))
-      .select(col("doc_id"), col("new_md5"), col("_shn"),
+      .join(exactIdx, Seq("new_md5"), "left_outer")
+      .withColumn("_b", explode_outer(
+        when(size(col("_shn")) > 0, graft.dedup.MinHashLSH.bandKeys(
+          exprs.minhashSigs(col("_shn"), 64)))))
+      .select(col("doc_id"), col("exact_id"), col("_shn"),
         col("_b.band").as("band"), col("_b.bh").as("bh"))
     val agg = st.join(oldIdx, Seq("band", "bh"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(
-        min(when(col("old_md5") === col("new_md5"), col("old_id")))
-          .as("exact_id"),
+        min(col("exact_id")).as("exact_id"),
         min(when(
           size(array_intersect(col("_shn"), col("old_sh"))).cast("double") /
             size(array_union(col("_shn"), col("old_sh"))) >= 0.5,
@@ -1044,6 +1058,17 @@ object Events {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     StreamMeter.record(q)
+    // The fold sorts WITHIN each micro-batch only, so convergence to
+    // the batch SCD2 table needs per-user event-time order ACROSS
+    // batches — which the file source does not promise. Enforce the
+    // contract loudly (the streamAnomaly guard): a multi-batch split
+    // fails here instead of silently closing versions at wrong
+    // boundaries.
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"streamScd2Build in-batch ordering contract needs a single " +
+        s"micro-batch (got $dataBatches with rows) — compact the " +
+        s"source or buffer late rows by watermark before folding")
     spark.table(name)
       .groupBy(col("user_id"), col("idx"))
       .agg(max_by(struct(col("event_type"), col("valid_from_s"),
