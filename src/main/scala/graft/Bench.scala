@@ -47,9 +47,21 @@ object Bench {
       // drop caches the query pinned (LSH signature/doc frames): the
       // accumulated storage would otherwise LRU-churn later timings
       spark.catalog.clearCache()
-      name -> (if (failed) -1.0 else times.min)
+      name -> (if (failed) Seq(-1.0) else times)
     }
-    val (ok, bad) = results.partition(_._2 >= 0)
+    val best = results.map { case (k, ts) => k -> ts.min }
+    // Host stalls are real on this box (multi-second freezes landing on
+    // random queries — r8's official run inflated 10-40x on untouched
+    // codegen'd scans). min-of-2 already filters ONE stall per query;
+    // this makes a residual polluted run machine-detectable: both raw
+    // timings are recorded, and a key is stall-flagged when the two
+    // runs disagree >3x AND by >0.5s absolute (so µs-scale jitter on
+    // trivial queries doesn't flag).
+    val stalls = results.collect {
+      case (k, ts) if ts.min > 0 && ts.max / ts.min > 3.0 &&
+        ts.max - ts.min > 0.5 => k
+    }.toSeq.sorted
+    val (ok, bad) = best.partition(_._2 >= 0)
     def fmt(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -62,14 +74,19 @@ object Bench {
     // line is MINIMAL (~140 chars, no per-query map), printed after
     // spark.stop(), with the root log level at ERROR; the full
     // per-query map goes to BENCH_LAST.json (committed per round).
+    val stallsJson = stalls.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stdoutLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"failures":$fails,"full":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"failures":$fails,"stall_flags":$stallsJson,"full":"BENCH_LAST.json"}"""
     // per-stream input-rate probe: end-to-end seconds hide state-store
     // regressions behind ~1 s of fixed micro-batch machinery; rows/s
     // from each query's own progress makes them visible round-to-round
     val streamRates = graft.streaming.StreamMeter.ratesJson
+    val rawJson = results
+      .map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"failures":$fails,"stream_rates":$streamRates,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_times":$rawJson,"stall_flags":$stallsJson,"failures":$fails,"stream_rates":$streamRates,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), fullLine + "\n")
     spark.stop()

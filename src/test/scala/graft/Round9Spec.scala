@@ -49,4 +49,39 @@ class Round9Spec extends SparkSuite {
     assert(verdicts(15L)._1 == "near")
     assert(verdicts(20L) == ("unique", -1L))
   }
+
+  test("rank-free globalScan skips rank bookkeeping; windows stay bounded") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    import graft.ops.Ranks
+    import graft.sources.Tables
+    val per = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val df = Ranks.globalScan(per,
+      Seq(col("cents").asc, col("o_orderkey").asc),
+      sums = Seq(col("cents") -> "cum"))
+    val plan = df.queryExecution.optimizedPlan
+    // sums-only scans must not pay the rank bookkeeping (per-range
+    // counts/min-id and the _offN broadcast column)
+    val planStr = plan.toString
+    assert(!planStr.contains("_offN") && !planStr.contains("_mn"),
+      "rank bookkeeping leaked into a sums-only globalScan")
+    // the ONLY unpartitioned window allowed is over the |partitions|-row
+    // offsets frame (identified by its _pid grouping key) — never over
+    // a data-scaled frame
+    plan.collect { case w: Window if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(w.child.output.exists(_.name == "_pid"),
+          s"unpartitioned window over a data-scaled frame:\n$w")
+      }
+    // and the scan itself is correct vs the window formulation
+    val got = df.select(col("o_orderkey"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents").asc, col("o_orderkey").asc)
+      .rowsBetween(Long.MinValue, 0)
+    val want = per.withColumn("cum", sum(col("cents")).over(w))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
 }
