@@ -1546,6 +1546,40 @@ object PipelineQueries {
       .orderBy(col("source"), col("rn"))
   }
 
+  /** Weighted RESERVOIR sample (Efraimidis–Spirakis A-ES): one global
+    * draw of k=50 docs with inclusion probability proportional to
+    * `n_chars`, the streaming-compatible weighted sampler (each item's
+    * key is computable in isolation, so the sample maintains itself
+    * under appends with a k-row heap). The exponential race
+    * key = −ln(u)/w uses a PORTABLE uniform — u = (md5-lower-50-bits
+    * + 1)/2⁵⁰, the [[sampleWeighted]]/bootstrap inverse-CDF trick — so
+    * both engines draw the identical u exactly ((h+1)/2⁵⁰ is one
+    * exactly-rounded IEEE division), and ln/negate/divide are each
+    * ≤1-ulp ops on values whose cross-doc spacing is ~10 orders above
+    * an ulp, so the smallest-k set is stable. Selection is a global
+    * ascending top-k: TakeOrderedAndProject, a bounded per-partition
+    * heap — no sort, no single-task stage, the 100 TB shape. The
+    * reported key is floor-scaled to an exact integer (the verify
+    * skill's cross-engine rounding rule). */
+  def sampleWeightedReservoir(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        (-log((graft.functions.exprs
+            .md5Lower64(concat(col("doc_id").cast("string"), lit(":wr")))
+            .bitwiseAND(lit((1L << 50) - 1)) + lit(1L)).cast("double") /
+          lit(1125899906842624.0)) / col("n_chars")).as("_key"))
+    val top = keyed.orderBy(col("_key").asc, col("doc_id").asc).limit(50)
+    // rank window runs over the 50 selected rows only — bounded frame
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("_key").asc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_chars"),
+        floor(col("_key") * 1e12 + 0.5).cast("long").as("key_1e12"))
+      .orderBy(col("rank"))
+  }
+
   /** Weighted SYSTEMATIC resampling — the particle-filter/data-mixing
     * draw: lay every document's integer weight (`n_chars`) end-to-end
     * along a line in a deterministic hash order, then pick the 20 docs
