@@ -12,6 +12,25 @@ import org.apache.spark.sql.SparkSession
   * cluster.
   */
 object Bench {
+  /** Parse `{"key": sec, ...}` without a JSON lib (the band file is
+    * flat — written by tools/, read here and by the judge). */
+  private[graft] def parseBand(txt: String): Map[String, Double] =
+    """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** Band rule (r9 verdict #1): a key is stall-flagged when its MIN —
+    * the value min-of-2 would otherwise trust — exceeds 3x its
+    * committed isolated reference AND by >0.5s absolute. Catches the
+    * both-runs-slow stall the run-disagreement rule is blind to
+    * (BENCH_r09: source_orc_roundtrip raw [45.4, 24.0] vs 0.51s
+    * isolated — unflagged then, flagged by this). */
+  private[graft] def bandStallFlags(best: Map[String, Double],
+      band: Map[String, Double]): Seq[String] =
+    best.collect {
+      case (k, t) if t > 0 && band.get(k).exists(b =>
+        t > 3.0 * b && t - b > 0.5) => k
+    }.toSeq
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,18 +49,24 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 times a subset for local iteration; the
     // driver never sets it, so per-round benches always run everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val starts = scala.collection.mutable.Map[String, Seq[Double]]()
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => () } // warmup; failure recorded below
       var failed = false
-      val times = (1 to 2).map { _ =>
+      // wall-clock start stamp per measurement: a host-stall window is
+      // identifiable post-hoc by lining flagged keys' starts against it
+      val measured = (1 to 2).map { _ =>
+        val wall = System.currentTimeMillis() / 1000.0
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed = true }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, wall)
       }
+      val times = measured.map(_._1)
+      starts(name) = measured.map(_._2)
       // a failing query reports -1, not its time-to-exception — the
       // bench JSON must carry an unambiguous failure signal
       // drop caches the query pinned (LSH signature/doc frames): the
@@ -57,10 +82,21 @@ object Bench {
     // timings are recorded, and a key is stall-flagged when the two
     // runs disagree >3x AND by >0.5s absolute (so µs-scale jitter on
     // trivial queries doesn't flag).
-    val stalls = results.collect {
+    val disagree = results.collect {
       case (k, ts) if ts.min > 0 && ts.max / ts.min > 3.0 &&
         ts.max - ts.min > 0.5 => k
-    }.toSeq.sorted
+    }.toSeq
+    // Blind spot closed (r9 verdict #1): BENCH_BAND.json commits each
+    // key's isolated reference min; see bandStallFlags. Band misses
+    // (new keys) simply don't band-flag until the band is reseeded.
+    val band: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("BENCH_BAND.json")
+      if (java.nio.file.Files.exists(p))
+        parseBand(java.nio.file.Files.readString(p))
+      else Map.empty
+    }
+    val stalls = (disagree ++ bandStallFlags(best.toMap, band))
+      .distinct.sorted
     val (ok, bad) = best.partition(_._2 >= 0)
     def fmt(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -85,10 +121,19 @@ object Bench {
       .map { case (k, ts) =>
         "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val startsJson = results.keys
+      .map { k =>
+        "\"" + k + "\":" + starts.getOrElse(k, Seq.empty)
+          .map(t => f"$t%.1f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_times":$rawJson,"stall_flags":$stallsJson,"failures":$fails,"stream_rates":$streamRates,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_times":$rawJson,"start_epochs":$startsJson,"stall_flags":$stallsJson,"failures":$fails,"stream_rates":$streamRates,"sf":"$sfDir"}"""
+    // Subset runs (SPARK_GRAFT_ONLY, local iteration only) must not
+    // clobber the committed full per-round record — they land in an
+    // uncommitted sibling instead (r9 ADVICE).
+    val outFile = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), fullLine + "\n")
+      java.nio.file.Paths.get(outFile), fullLine + "\n")
     spark.stop()
     // last line on stdout, after the SparkSession's shutdown chatter
     println(stdoutLine)

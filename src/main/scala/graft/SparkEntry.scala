@@ -547,6 +547,7 @@ object SparkEntry {
     "q_linreg_trend" -> (Mining.qLinregTrend _),
     "q_markov_chain" -> (Mining.qMarkovChain _),
     "q_anomaly_mad" -> (Mining.qAnomalyMad _),
+    "q_anomaly_mad_approx" -> (Mining.qAnomalyMadApprox _),
     "q_gini" -> (Mining.qGini _),
     "q_item_cosine" -> (Mining.qItemCosine _),
     "q_connected_components" -> (Mining.qConnectedComponents _),
@@ -565,6 +566,7 @@ object SparkEntry {
     "q_kmeans" -> (Mining.qKmeans _),
     "embed_pca_power" -> (Mining.qPcaPower _),
     "q_quantile_hist" -> (Mining.qQuantileHist _),
+    "q_quantile_hist_approx" -> (Mining.qQuantileHistApprox _),
     "q_bootstrap_ci" -> (Mining.qBootstrapCi _),
     "q_funnel_window" -> (Mining.qFunnelWindow _),
     "q_mutual_info" -> (Mining.qMutualInfo _),
@@ -656,6 +658,8 @@ object SparkEntry {
     "text_lm_score" -> (PipelineQueries.textLmScore _),
     "dedup_url" -> (PipelineQueries.dedupUrl _),
     "q_sample_weighted" -> (PipelineQueries.sampleWeighted _),
+    "q_sample_weighted_reservoir" ->
+      (PipelineQueries.sampleWeightedReservoir _),
     "q_sample_systematic" -> (PipelineQueries.sampleSystematic _),
     "data_interleave_mixture" -> (PipelineQueries.dataInterleaveMixture _),
     "text_bm25_rank" -> (PipelineQueries.textBm25Rank _),
@@ -1805,6 +1809,33 @@ object SparkEntry {
         |  round(max(d.dev), 2) AS max_dev
         |FROM d JOIN mad USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // approx-path contract: oracle computes the exact med/MAD/outlier
+    // census and predicts the sketch bounds TRUE (q_approx_stats
+    // pattern — the sketch itself is not replayable, its contract is)
+    "q_anomaly_mad_approx" ->
+      """WITH med AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.5), 4) AS med
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT l.l_returnflag, m.med,
+        |    abs(l.l_extendedprice - m.med) AS dev
+        |  FROM lineitem l JOIN med m USING (l_returnflag)),
+        |mad AS (SELECT l_returnflag, round(quantile_cont(dev, 0.5), 4) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.l_returnflag, count(*) AS n_rows,
+        |  any_value(d.med) AS med, any_value(mad.mad) AS mad,
+        |  count(CASE WHEN d.dev > round(3 * 1.4826 * mad.mad, 4) THEN 1 END)
+        |    AS n_outliers,
+        |  TRUE AS med_within_1pct, TRUE AS mad_within_1pct,
+        |  TRUE AS outliers_within_tol
+        |FROM d JOIN mad USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quantile_hist_approx" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+        |  TRUE AS p50_within_1pct, TRUE AS p99_within_1pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_gini" ->
       """WITH rev AS (SELECT o_custkey,
         |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT)
@@ -3269,6 +3300,26 @@ object SparkEntry {
         |    AS BIGINT) AS rnk,
         |  doc_id, dl, score
         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // A-ES weighted reservoir: the exponential race key −ln(u)/w from
+    // the identical portable uniform u = (md5-lower-50 + 1)/2⁵⁰; ln,
+    // negate, divide are each ≤1-ulp, key spacing ~10 orders above an
+    // ulp, and the reported key is floor-scaled (the verify skill's
+    // cross-engine rounding rule)
+    "q_sample_weighted_reservoir" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    -ln(CAST((md5_number_lower(concat(CAST(doc_id AS VARCHAR),
+        |          ':wr')) & 1125899906842623) + 1 AS DOUBLE)
+        |        / 1125899906842624.0) / n_chars AS _key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (
+        |  SELECT doc_id, n_chars, _key,
+        |    CAST(row_number() OVER (ORDER BY _key, doc_id) AS BIGINT)
+        |      AS rank
+        |  FROM k)
+        |SELECT rank, doc_id, n_chars,
+        |  CAST(floor(_key * 1e12 + 0.5) AS BIGINT) AS key_1e12
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "q_sample_weighted" ->
       """WITH h AS (
         |  SELECT source, doc_id, n_chars,

@@ -152,6 +152,53 @@ object Mining {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Contract row for [[qAnomalyMad]]'s `approx = true` path — the one
+    * that actually runs at 100 TB (exact `percentile` buffers every
+    * value per group; `approx_percentile` is a mergeable fixed-size
+    * sketch). The approx path is not oracle-replayable value-for-value
+    * (the sketch is engine-specific), so the contract is the
+    * q_approx_stats pattern: compute BOTH paths in one plan, emit the
+    * exact values plus error-bound flags the oracle predicts TRUE —
+    * approx median/MAD within 1% of exact (accuracy 10⁴ ⇒ ≤0.01%
+    * rank error, orders of magnitude inside the bound at any SF), and
+    * the approx-fence outlier census within max(5 rows, 2%) of the
+    * exact census (fence shifts can flip only rows hugging the
+    * fence). */
+  def qAnomalyMadApprox(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(round(pct("l_extendedprice", 0.5, approx = false), 4).as("med"),
+        round(pct("l_extendedprice", 0.5, approx = true), 4).as("med_a"))
+    val withDev = li.join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("l_extendedprice") - col("med")))
+      .withColumn("dev_a", abs(col("l_extendedprice") - col("med_a")))
+    val mad = withDev.groupBy(col("l_returnflag"))
+      .agg(round(pct("dev", 0.5, approx = false), 4).as("mad"),
+        round(pct("dev_a", 0.5, approx = true), 4).as("mad_a"))
+    withDev.join(broadcast(mad), "l_returnflag")
+      .withColumn("fence", round(lit(3 * 1.4826) * col("mad"), 4))
+      .withColumn("fence_a", round(lit(3 * 1.4826) * col("mad_a"), 4))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        count(when(col("dev") > col("fence"), 1)).as("n_outliers"),
+        count(when(col("dev_a") > col("fence_a"), 1)).as("_n_out_a"),
+        first(col("med_a")).as("_med_a"),
+        first(col("mad_a")).as("_mad_a"))
+      .select(col("l_returnflag"), col("n_rows"), col("med"), col("mad"),
+        col("n_outliers"),
+        (abs(col("_med_a") - col("med")) <= abs(col("med")) * 0.01)
+          .as("med_within_1pct"),
+        (abs(col("_mad_a") - col("mad")) <= abs(col("mad")) * 0.01)
+          .as("mad_within_1pct"),
+        (abs(col("_n_out_a") - col("n_outliers")) <=
+          greatest(lit(5L), (col("n_outliers") * 0.02).cast("long")))
+          .as("outliers_within_tol"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Gini coefficient of customer revenue within each nation — the
     * revenue-concentration audit. Per-customer revenue is rounded to
     * cents BEFORE ranking so both engines rank identical values; the
@@ -364,6 +411,35 @@ object Mining {
     ests.join(broadcast(exact), "l_returnflag")
       .select(col("l_returnflag"), col("n_rows"),
         col("est_p50"), col("exact_p50"), col("est_p99"), col("exact_p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Contract row for [[qQuantileHist]]'s `approx = true` path: the
+    * mergeable `approx_percentile` sketch (the quantile estimator that
+    * actually ships at 100 TB — fixed-size state, partial-aggregable,
+    * no per-group value buffering) asserted against the exact
+    * `percentile` in one plan. Exact p50/p99 are the oracle-checkable
+    * values; the flags bound the sketch at both the body (p50) and the
+    * tail (p99) within 1% — accuracy 10⁴ gives ≤0.01% RANK error, and
+    * lineitem prices are dense enough that the value error stays ~10×
+    * inside the bound at every SF (q_approx_stats recipe). */
+  def qQuantileHistApprox(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(pct("l_extendedprice", 0.5, approx = false), 4)
+          .as("exact_p50"),
+        round(pct("l_extendedprice", 0.99, approx = false), 4)
+          .as("exact_p99"),
+        pct("l_extendedprice", 0.5, approx = true).as("_a50"),
+        pct("l_extendedprice", 0.99, approx = true).as("_a99"))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("exact_p50"), col("exact_p99"),
+        (abs(col("_a50") - col("exact_p50")) <=
+          abs(col("exact_p50")) * 0.01).as("p50_within_1pct"),
+        (abs(col("_a99") - col("exact_p99")) <=
+          abs(col("exact_p99")) * 0.01).as("p99_within_1pct"))
       .orderBy(col("l_returnflag"))
   }
 
