@@ -111,8 +111,12 @@ object Bench {
     // spark.stop(), with the root log level at ERROR; the full
     // per-query map goes to BENCH_LAST.json (committed per round).
     val stallsJson = stalls.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Subset runs (SPARK_GRAFT_ONLY, local iteration only) must not
+    // clobber the committed full per-round record — they land in an
+    // uncommitted sibling instead (r9 ADVICE).
+    val outFile = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST.json"
     val stdoutLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"failures":$fails,"stall_flags":$stallsJson,"full":"BENCH_LAST.json"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"failures":$fails,"stall_flags":$stallsJson,"full":"$outFile"}"""
     // per-stream input-rate probe: end-to-end seconds hide state-store
     // regressions behind ~1 s of fixed micro-batch machinery; rows/s
     // from each query's own progress makes them visible round-to-round
@@ -128,10 +132,6 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_times":$rawJson,"start_epochs":$startsJson,"stall_flags":$stallsJson,"failures":$fails,"stream_rates":$streamRates,"sf":"$sfDir"}"""
-    // Subset runs (SPARK_GRAFT_ONLY, local iteration only) must not
-    // clobber the committed full per-round record — they land in an
-    // uncommitted sibling instead (r9 ADVICE).
-    val outFile = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST.json"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), fullLine + "\n")
     spark.stop()

@@ -501,6 +501,7 @@ object SparkEntry {
     "q_cusum_change" -> (Behavior.qCusumChange _),
     "q_rolling_corr" -> (Behavior.qRollingCorr _),
     "q_seasonality" -> (Behavior.qSeasonality _),
+    "q_holt_winters" -> (Behavior.qHoltWinters _),
     "q_graph_jaccard" -> (Mining.qGraphJaccard _),
     "q_funnel_paths" -> (Behavior.qFunnelPaths _),
     "q_power_users_pareto" -> (Mining.qPowerUsersPareto _),
@@ -582,6 +583,7 @@ object SparkEntry {
     "stream_event_pattern" -> (graft.streaming.Events.streamEventPattern _),
     "stream_dedup_minhash" -> (graft.streaming.Events.streamDedupMinhash _),
     "stream_scd2_build" -> (graft.streaming.Events.streamScd2Build _),
+    "stream_asof_join" -> (graft.streaming.Events.streamAsofJoin _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
@@ -641,6 +643,7 @@ object SparkEntry {
     "dedup_embed_buckets" -> (PipelineQueries.dedupEmbedBuckets _),
     "q_count_min_topk" -> (PipelineQueries.countMinTopK _),
     "q_hll_merge" -> (PipelineQueries.hllMerge _),
+    "q_kll_quantile_merge" -> (PipelineQueries.kllQuantileMerge _),
     "q_rolling_hll_wau" -> (PipelineQueries.rollingHllWau _),
     "q_sample_stratified" -> (PipelineQueries.sampleStratified _),
     "data_epoch_shuffle" -> (PipelineQueries.dataEpochShuffle _),
@@ -2403,6 +2406,44 @@ object SparkEntry {
         |SELECT dow, n_days, dow_avg, round(dow_avg / mu, 4)
         |  AS seasonal_index
         |FROM g, o ORDER BY dow""".stripMargin,
+    // recursive-CTE replay of the Holt-Winters fold, generated from
+    // the SAME expression strings as the Spark lambda (HoltWinters.scala)
+    "q_holt_winters" -> graft.ops.HoltWinters.oracle,
+    // streaming as-of: converges to the batch window formulation —
+    // last prior click per purchase in (µs, event_id) order
+    "stream_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, event_type, ts_s,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_s END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS click_ts
+        |  FROM e)
+        |SELECT user_id, event_id, ts_s,
+        |  coalesce(click_ts, -1) AS click_ts_s,
+        |  coalesce(ts_s - click_ts, -1) AS lag_s
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+    // KLL sketch contract: oracle checks the exact quantile values and
+    // predicts the rank-error flags TRUE (q_approx_stats pattern —
+    // randomized compaction isn't replayable, its guarantee is)
+    "q_kll_quantile_merge" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4)
+        |    AS exact_p25,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4)
+        |    AS exact_p50,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4)
+        |    AS exact_p90,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 4)
+        |    AS exact_p99,
+        |  TRUE AS r25_within_2pct, TRUE AS r50_within_2pct,
+        |  TRUE AS r90_within_2pct, TRUE AS r99_within_2pct
+        |FROM documents""".stripMargin,
     "q_graph_jaccard" ->
       """WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
         |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -467,6 +467,58 @@ object Behavior {
       .orderBy(col("dow"))
   }
 
+  /** Holt-Winters additive triple exponential smoothing (level +
+    * trend + weekly seasonality, α=0.5 β=0.25 γ=0.25) over the daily
+    * event census per type — the classic operational forecaster one
+    * notch above [[qEwma]]'s single smoother and [[qSeasonality]]'s
+    * static indexes. The recurrence is inherently sequential, so the
+    * scale split is explicit: the DATA-scaled work is one
+    * partial-aggregable shuffle to the |types|×|days| daily frame;
+    * the fold then runs per type over that tiny series via a SQL
+    * `aggregate` lambda (|days| steps, never corpus-scaled — the same
+    * shape a 1000-executor forecaster uses: pre-aggregate, then fold
+    * per series). Every smoothing coefficient is a power of two, so
+    * each fold step is the identical exactly-rounded IEEE op sequence
+    * in any engine — the DuckDB oracle replays the recurrence via
+    * recursive CTE bit-for-bit (shared expression generator ensures
+    * the op shapes match), checked through floor-scaled integers.
+    * Output per type: final level/trend, next-day forecast
+    * (l + b + s[(t+1) mod 7]), and the one-step-ahead MSE. */
+  def qHoltWinters(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    val grouped = daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("sd"),
+        min(col("day")).as("d0"), max(col("day")).as("dmax"),
+        count(lit(1)).as("n_days"))
+      .withColumn("ser", expr(
+        "transform(sd, x -> named_struct('t', datediff(x.day, d0), 'y', x.y))"))
+    // shared recurrence shapes (HoltWinters.scala generates the same
+    // strings for the oracle — parity by construction)
+    import graft.ops.HoltWinters._
+    val init = "named_struct('l', element_at(ser, 1).y, 'b', 0.0D, " +
+      (0 to 6).map(i => s"'s$i', 0.0D").mkString(", ") + ", 'sse', 0.0D)"
+    val lambda = s"(acc, e) -> named_struct(" +
+      s"'l', ${lNew("acc", "e")}, " +
+      s"'b', ${bNew("acc", "e")}, " +
+      (0 to 6).map(i => s"'s$i', ${sNew("acc", "e", i)}").mkString(", ") +
+      s", 'sse', ${sseNew("acc", "e")})"
+    grouped
+      .withColumn("hw", expr(
+        s"aggregate(slice(ser, 2, size(ser) - 1), $init, $lambda)"))
+      .withColumn("t_next", expr("datediff(dmax, d0) + 1"))
+      .select(col("event_type"), col("n_days"),
+        expr("CAST(floor(hw.l * 1e4 + 0.5) AS BIGINT)").as("level_1e4"),
+        expr("CAST(floor(hw.b * 1e4 + 0.5) AS BIGINT)").as("trend_1e4"),
+        expr("CAST(floor((hw.l + hw.b + (" + sAt("hw", "t_next") +
+          ")) * 1e4 + 0.5) AS BIGINT)").as("fc_next_1e4"),
+        expr("CASE WHEN n_days > 1 THEN CAST(floor(hw.sse / " +
+          "(n_days - 1) * 1e4 + 0.5) AS BIGINT) ELSE 0 END").as("mse_1e4"))
+      .orderBy(col("event_type"))
+  }
+
   /** Sequence-pattern matching over the event stream — the
     * MATCH_RECOGNIZE shape `PATTERN (view any* click any* purchase)`
     * with a ≤24 h bound on each stage gap and latest-anchor semantics:

@@ -594,6 +594,52 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** KLL quantile-sketch merge — the quantile twin of [[hllMerge]]'s
+    * cross-shard story, filling the gap Spark's SQL surface leaves
+    * (hll_sketch_agg ships for distinct counts; nothing mergeable
+    * ships for quantiles): each source builds its own
+    * [[graft.functions.KllSketchAgg]] over document lengths (a few kB
+    * regardless of shard size), the per-shard sketches UNION
+    * associatively ([[graft.functions.KllMergeAgg]]), and any
+    * quantile of the whole corpus is a sketch read — across
+    * shards/days/reruns without re-scanning, which exact `percentile`
+    * fundamentally cannot do. KLL compaction is randomized (not
+    * replayable), so the contract is the strongest checkable one: the
+    * TRUE rank of each merged estimate, computed exactly with one
+    * corpus pass against the broadcast 1-row estimate frame, must sit
+    * within ±2% of its target — vs the sketch's ~0.6% guarantee at
+    * k=800 (3σ headroom). Exact quantile values ride along for the
+    * oracle's value check. */
+  def kllQuantileMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Kll
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").cast("double").as("v"))
+    val perSrc = docs.groupBy(col("source"))
+      .agg(Kll.sketch(col("v"), 800).as("sk"))
+    val merged = perSrc
+      .agg(Kll.merge(col("sk"), 800).as("sk"),
+        count(lit(1)).as("n_sources"))
+      .select(col("n_sources"),
+        Kll.quantile(col("sk"), 0.25).as("e25"),
+        Kll.quantile(col("sk"), 0.50).as("e50"),
+        Kll.quantile(col("sk"), 0.90).as("e90"),
+        Kll.quantile(col("sk"), 0.99).as("e99"))
+    def rankOf(est: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(col("v") <= est, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))
+    docs.crossJoin(broadcast(merged))
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("n_sources")).as("n_sources"),
+        round(expr("percentile(v, 0.25)"), 4).as("exact_p25"),
+        round(expr("percentile(v, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(v, 0.9)"), 4).as("exact_p90"),
+        round(expr("percentile(v, 0.99)"), 4).as("exact_p99"),
+        (abs(rankOf(col("e25")) - 0.25) <= 0.02).as("r25_within_2pct"),
+        (abs(rankOf(col("e50")) - 0.50) <= 0.02).as("r50_within_2pct"),
+        (abs(rankOf(col("e90")) - 0.90) <= 0.02).as("r90_within_2pct"),
+        (abs(rankOf(col("e99")) - 0.99) <= 0.02).as("r99_within_2pct"))
+  }
+
   /** Rolling distinct via MERGEABLE daily sketches — the
     * recompute-free scale answer to rolling window distincts (the
     * exact variant is `q_rolling_wau`): one HLL sketch per day is

@@ -1094,4 +1094,79 @@ object Events {
         col("_v.is_current").as("is_current"))
       .orderBy(col("user_id"), col("valid_from_s"))
   }
+
+  case class AsofEvent(user_id: Long, event_id: Long, event_type: String,
+      ts_us: Long, ts_s: Long)
+  case class AsofState(epoch: Long, clickUs: Long, clickEid: Long,
+      clickTsS: Long, hasClick: Boolean)
+  case class AsofOut(user_id: Long, epoch: Long, event_id: Long,
+      ts_s: Long, click_ts_s: Long, lag_s: Long)
+
+  /** STREAMING as-of join — [[graft.ops.Analytics.qAsofJoin]]'s shape
+    * as a continuous enrichment: every purchase is annotated with the
+    * user's most recent STRICTLY-PRIOR click (order = (µs event time,
+    * event_id), the engine's canonical tiebreak) the moment it
+    * arrives. State is O(1) per user — the one latest click — so a
+    * billion-user stream holds three longs each, where a stream-stream
+    * interval join would buffer both sides by watermark. Emitted rows
+    * are final (append mode): an as-of looks only backward, so later
+    * events can never retract an earlier enrichment — the property
+    * that makes the operator streamable at all. Cross-batch
+    * convergence needs each user's events folded in one micro-batch
+    * (the [[streamScd2Build]] contract); the same post-filter
+    * max-epoch guard enforces it loudly. Converges to the batch
+    * window formulation — the oracle. */
+  def streamAsofJoin(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import spark.implicits._
+    val ev = eventStream(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("ts_us"), col("ts_s"))
+      .as[AsofEvent]
+    val fn = (uid: Long, it: Iterator[AsofEvent],
+        state: GroupState[AsofState]) => {
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val prev = state.getOption
+      val epoch = prev.map(_.epoch).getOrElse(0L) + 1L
+      var click: Option[(Long, Long, Long)] =
+        prev.filter(_.hasClick).map(p => (p.clickUs, p.clickEid, p.clickTsS))
+      val out = scala.collection.mutable.ArrayBuffer[AsofOut]()
+      sorted.foreach { e =>
+        if (e.event_type == "purchase")
+          out += AsofOut(uid, epoch, e.event_id, e.ts_s,
+            click.map(_._3).getOrElse(-1L),
+            click.map(c => e.ts_s - c._3).getOrElse(-1L))
+        if (e.event_type == "click")
+          click = Some((e.ts_us, e.event_id, e.ts_s))
+      }
+      click match {
+        case Some((us, eid, tsS)) =>
+          state.update(AsofState(epoch, us, eid, tsS, hasClick = true))
+        case None =>
+          state.update(prev.getOrElse(
+            AsofState(epoch, 0L, 0L, 0L, hasClick = false))
+            .copy(epoch = epoch))
+      }
+      out.iterator
+    }
+    val out = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+    val name = s"graft_stream_asof_${n.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    val maxEpoch = spark.table(name)
+      .agg(coalesce(max(col("epoch")), lit(0L))).head.getLong(0)
+    require(maxEpoch <= 1,
+      s"streamAsofJoin ordering contract needs each user's events in " +
+        s"a single micro-batch (a user folded over $maxEpoch batches) " +
+        s"— compact the source or buffer late rows by watermark")
+    spark.table(name)
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        col("click_ts_s"), col("lag_s"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

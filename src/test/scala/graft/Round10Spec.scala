@@ -73,6 +73,76 @@ class Round10Spec extends SparkSuite {
     }
   }
 
+  test("Holt-Winters fold equals an independent JVM replay") {
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val expected = daily.groupBy(_._1).map { case (et, rows) =>
+      val ser = rows.sortBy(_._2.toEpochDay)
+      val d0 = ser.head._2.toEpochDay
+      var l = ser.head._3; var b = 0.0; var sse = 0.0
+      val sArr = Array.fill(7)(0.0)
+      ser.tail.foreach { case (_, day, y) =>
+        val t = (day.toEpochDay - d0).toInt
+        val sc = sArr(t % 7)
+        val f = l + b + sc
+        val lN = 0.5 * (y - sc) + 0.5 * (l + b)
+        val bN = 0.25 * (lN - l) + 0.75 * b
+        sArr(t % 7) = 0.25 * (y - lN) + 0.75 * sc
+        sse += (y - f) * (y - f)
+        l = lN; b = bN
+      }
+      val tNext = ((ser.last._2.toEpochDay - d0).toInt + 1) % 7
+      def sc(x: Double) = math.floor(x * 1e4 + 0.5).toLong
+      et -> (ser.length.toLong, sc(l), sc(b), sc(l + b + sArr(tNext)),
+        if (ser.length > 1) sc(sse / (ser.length - 1)) else 0L)
+    }
+    val got = graft.ops.Behavior.qHoltWinters(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, lv, tr, fc, mse) = expected(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == lv, s"${r.getString(0)} level")
+      assert(r.getLong(3) == tr, s"${r.getString(0)} trend")
+      assert(r.getLong(4) == fc, s"${r.getString(0)} forecast")
+      assert(r.getLong(5) == mse, s"${r.getString(0)} mse")
+    }
+  }
+
+  test("KLL merged-sketch estimates hold their rank bound") {
+    val r = PipelineQueries.kllQuantileMerge(spark, sf).head
+    Seq("r25_within_2pct", "r50_within_2pct", "r90_within_2pct",
+      "r99_within_2pct").foreach(f =>
+      assert(r.getBoolean(r.fieldIndex(f)), f))
+  }
+
+  test("stream as-of join equals the batch window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val batch = e
+      .withColumn("click_ts", last(
+        when(col("event_type") === "click", col("ts_s")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        coalesce(col("click_ts"), lit(-1L)).as("click_ts_s"),
+        coalesce(col("ts_s") - col("click_ts"), lit(-1L)).as("lag_s"))
+      .orderBy(col("user_id"), col("event_id"))
+      .collect().toSeq
+    val stream = graft.streaming.Events.streamAsofJoin(spark, sf)
+      .collect().toSeq
+    assert(stream == batch, "stream/batch as-of parity broke")
+  }
+
   test("stream SCD2 converges to the batch build under the new guard") {
     val batch = graft.ops.Analytics.qScd2Build(spark, sf).collect().toSeq
     val stream = graft.streaming.Events.streamScd2Build(spark, sf)
