@@ -105,7 +105,13 @@ object PlanAudit {
       "data_interleave_mixture (ranged global slot rank over exact vtime)" ->
         PipelineQueries.dataInterleaveMixture(spark, d),
       "ann_ivfpq_filtered (predicate prunes candidates before the ADC scan)" ->
-        PipelineQueries.annIvfPqFiltered(spark, d))
+        PipelineQueries.annIvfPqFiltered(spark, d),
+      "q_sample_weighted_reservoir (global top-k = TakeOrderedAndProject, no sort)" ->
+        PipelineQueries.sampleWeightedReservoir(spark, d),
+      "q_holt_winters (one shuffle to daily grain; fold on the tiny series frame)" ->
+        graft.ops.Behavior.qHoltWinters(spark, d),
+      "q_kll_quantile_merge (partial-aggregable sketches; 1-row estimate broadcast)" ->
+        PipelineQueries.kllQuantileMerge(spark, d))
     val out = new StringBuilder
     out.append("# PLANS — physical-plan audit (generated by " +
       "graft.tools.PlanAudit)\n\n")
