@@ -60,13 +60,13 @@ object MinHashLSH {
     * column — the stateless banding projection, shared by the batch
     * index and the STREAMING probe (it composes into any frame,
     * including a `readStream` one, because it is a pure map). */
-  def bandKeys(sigs: Column, cfg: Config = Config()): Column = {
-    val r = cfg.rowsPerBand
-    array((0 until cfg.bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64(concat_ws(",", slice(sigs, j * r + 1, r))).as("bh"))
-    }: _*)
-  }
+  def bandKeys(sigs: Column, cfg: Config = Config()): Column =
+    // Single codegen'd kernel call, value-identical to the declarative
+    // `array(struct(j, xxhash64(concat_ws(",", slice(sigs, j*r+1, r)))))`
+    // per-band form it replaces — which duplicated the whole sigs
+    // subtree (shingles+minhash) once per band when collapsed into a
+    // Generate: 32× recompute, ~690 µs/doc vs ~56 measured at sf0.1.
+    graft.functions.exprs.bandKeys(sigs, cfg.bands, cfg.rowsPerBand)
 
   private def bandedIds(sigs: DataFrame, cfg: Config): DataFrame =
     sigs

@@ -128,6 +128,27 @@ case class LshCodeExpr(child: Expression, planes: Array[Double], dim: Int)
     copy(child = c)
 }
 
+/** Per-band LSH bucket keys (array<struct<band:int,bh:bigint>>) of a
+  * minhash signature array. Value-identical to the declarative
+  * per-band `xxhash64(concat_ws(",", slice(sigs, j*r+1, r)))` array,
+  * but evaluates the (expensive) signature child exactly ONCE — the
+  * declarative form re-inlines the whole upstream subtree into every
+  * band slot when the optimizer collapses projections into a
+  * Generate (see Kernels.bandKeys). */
+case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("bh", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.bandKeys(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.bandKeys($c, $bands, $rowsPerBand)")
+  override protected def withNewChildInternal(c: Expression): BandKeys =
+    copy(child = c)
+}
+
 /** Column-API entry points for the custom expressions. */
 object exprs {
   /** Distinct whitespace k-gram shingles. */
@@ -146,6 +167,10 @@ object exprs {
     val (a, b) = minhashPerms(numPerms)
     column(MinHashSigs(expression(shingleCol), a, b))
   }
+
+  /** Per-band LSH bucket keys of a minhash-signature column. */
+  def bandKeys(sigs: Column, bands: Int, rowsPerBand: Int): Column =
+    column(BandKeys(expression(sigs), bands, rowsPerBand))
 
   /** 64-bit SimHash of an array<string> column. */
   def simhash64(items: Column): Column =

@@ -149,4 +149,37 @@ class Round10Spec extends SparkSuite {
       .collect().toSeq
     assert(stream == batch, "stream/batch SCD2 parity broke")
   }
+
+  test("BandKeys kernel is bit-identical to the declarative band form") {
+    // The old per-band xxhash64(concat_ws(",", slice(sigs,...)))
+    // projection duplicated the whole sigs subtree once per band in a
+    // Generate (32x recompute). The kernel replacement must keep every
+    // (band, bh) value — the LSH buckets, and therefore every dedup_*
+    // oracle — unchanged.
+    import graft.dedup.MinHashLSH
+    val cfg = MinHashLSH.Config()
+    val r = cfg.rowsPerBand
+    val sigs = MinHashLSH.signatures(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", cfg)
+    val declarative = array((0 until cfg.bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(concat_ws(",", slice(col("sigs"), j * r + 1, r))).as("bh"))
+    }: _*)
+    val diff = sigs
+      .select(col("id"), MinHashLSH.bandKeys(col("sigs"), cfg).as("k"),
+        declarative.as("d"))
+      .filter(col("k") =!= col("d"))
+      .count()
+    assert(diff == 0L, "BandKeys kernel diverged from declarative form")
+
+    // and the plan shape: the banding Generate must evaluate the
+    // signature subtree exactly once per row, not once per band
+    val plan = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(MinHashLSH.bandKeys(
+        graft.functions.exprs.minhashSigs(
+          graft.functions.exprs.shingles(col("text"), 3), 64))).as("b"))
+      .queryExecution.executedPlan.toString
+    val n = "minhashsigs\\(".r.findAllIn(plan).length
+    assert(n == 1, s"minhash signature computed $n times in the plan")
+  }
 }
