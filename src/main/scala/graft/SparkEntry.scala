@@ -584,6 +584,8 @@ object SparkEntry {
     "stream_dedup_minhash" -> (graft.streaming.Events.streamDedupMinhash _),
     "stream_scd2_build" -> (graft.streaming.Events.streamScd2Build _),
     "stream_asof_join" -> (graft.streaming.Events.streamAsofJoin _),
+    "stream_count_min_topk" ->
+      (graft.streaming.Events.streamCountMinTopk _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
@@ -642,6 +644,7 @@ object SparkEntry {
     "ann_ivfpq_filtered" -> (PipelineQueries.annIvfPqFiltered _),
     "dedup_embed_buckets" -> (PipelineQueries.dedupEmbedBuckets _),
     "q_count_min_topk" -> (PipelineQueries.countMinTopK _),
+    "q_theta_setops" -> (PipelineQueries.thetaSetOps _),
     "q_hll_merge" -> (PipelineQueries.hllMerge _),
     "q_kll_quantile_merge" -> (PipelineQueries.kllQuantileMerge _),
     "q_rolling_hll_wau" -> (PipelineQueries.rollingHllWau _),
@@ -3767,7 +3770,44 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_embed_buckets" -> embedBucketsOracle,
+    "q_theta_setops" ->
+      """WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_and
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type GROUP BY 1, 2),
+        |pairs AS (SELECT na.event_type AS type_a,
+        |    nb.event_type AS type_b, na.n AS n_a, nb.n AS n_b,
+        |    coalesce(pr.n_and, 0) AS n_and
+        |  FROM n na JOIN n nb ON na.event_type < nb.event_type
+        |  LEFT JOIN pr ON pr.type_a = na.event_type
+        |    AND pr.type_b = nb.event_type)
+        |SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_and AS BIGINT) AS n_and_exact,
+        |  CAST(n_a + n_b - n_and AS BIGINT) AS n_or_exact,
+        |  TRUE AS and_ok, TRUE AS or_ok, TRUE AS diff_ok
+        |FROM pairs ORDER BY type_a, type_b""".stripMargin,
     "q_count_min_topk" ->
+      """WITH cnt AS (SELECT l_suppkey AS k, count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |hs AS (SELECT k, c, r,
+        |    (md5_number_lower(concat(CAST(r AS VARCHAR), '|',
+        |       CAST(k AS VARCHAR))) & 9223372036854775807) % 256 AS h
+        |  FROM cnt CROSS JOIN (SELECT unnest(range(0, 4)) AS r)),
+        |buckets AS (SELECT r, h, sum(c) AS bc FROM hs GROUP BY 1, 2),
+        |top AS (SELECT k, c FROM cnt ORDER BY c DESC, k LIMIT 10),
+        |est AS (SELECT t.k, t.c, min(b.bc) AS e
+        |  FROM top t JOIN hs ON hs.k = t.k
+        |  JOIN buckets b ON b.r = hs.r AND b.h = hs.h GROUP BY 1, 2)
+        |SELECT k AS s_suppkey, CAST(c AS BIGINT) AS n_exact,
+        |  CAST(e AS BIGINT) AS est, e >= c AS never_under
+        |FROM est ORDER BY n_exact DESC, s_suppkey""".stripMargin,
+    // identical to q_count_min_topk: the streaming sketch is linear,
+    // so chopping the input into micro-batches must not change a
+    // single counter — the batch oracle IS the streaming oracle
+    "stream_count_min_topk" ->
       """WITH cnt AS (SELECT l_suppkey AS k, count(*) AS c
         |  FROM lineitem GROUP BY 1),
         |hs AS (SELECT k, c, r,

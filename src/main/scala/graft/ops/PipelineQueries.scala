@@ -594,6 +594,54 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Theta-sketch set algebra — the capability HLL lacks: theta
+    * sketches (KMV) support INTERSECTION and DIFFERENCE, so audience
+    * overlap ("users who did A and B / A but not B") is an operation
+    * on two fixed-size blobs instead of a |users|-row distinct join.
+    * One pass builds a mergeable per-event-type sketch of user_ids
+    * ([[graft.functions.Theta]], lgK=14: exact below 16 384 distinct
+    * users, ~0.8% rse above); every pair's ∩/∪/\ estimates are then
+    * column ops over the 5-row sketch table. A theta sketch is a pure
+    * set function (the k smallest hashes), so the estimates are
+    * deterministic across partitionings AND exact at gate scales —
+    * the oracle computes the exact pair overlaps in SQL and predicts
+    * every within-2%-of-|A∪B| flag TRUE. At 100 TB the per-shard
+    * sketches merge associatively like [[hllMerge]]'s, and overlap
+    * questions never re-scan the corpus. */
+  def thetaSetOps(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Theta
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(Theta.sketch(col("user_id"), 14).as("sk"),
+        countDistinct(col("user_id")).as("n"))
+    val pairs = sk
+      .select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+        col("n").as("n_a"))
+      .join(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+        col("n").as("n_b")), col("type_a") < col("type_b"))
+    val du = ev.distinct()
+    val exact = du.select(col("event_type").as("type_a"), col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_and_exact"))
+    val nOr = col("n_a") + col("n_b") - col("n_and_exact")
+    val tol = nOr.cast("double") * 0.02 + 0.5
+    pairs.join(exact, Seq("type_a", "type_b"), "left_outer")
+      .na.fill(0L, Seq("n_and_exact"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_and_exact"),
+        nOr.as("n_or_exact"),
+        (abs(Theta.intersectEst(col("sk_a"), col("sk_b"))
+          - col("n_and_exact")) <= tol).as("and_ok"),
+        (abs(Theta.unionEst(col("sk_a"), col("sk_b")) - nOr) <= tol)
+          .as("or_ok"),
+        (abs(Theta.aNotBEst(col("sk_a"), col("sk_b"))
+          - (col("n_a") - col("n_and_exact"))) <= tol).as("diff_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** KLL quantile-sketch merge — the quantile twin of [[hllMerge]]'s
     * cross-shard story, filling the gap Spark's SQL surface leaves
     * (hll_sketch_agg ships for distinct counts; nothing mergeable

@@ -1009,6 +1009,51 @@ object Events {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING count-min heavy hitters —
+    * [[graft.ops.PipelineQueries.countMinTopK]] as a continuous query.
+    * The CMS is a LINEAR sketch (elementwise-add merge), so the
+    * streaming aggregation state is one fixed 8 kB counter grid that
+    * absorbs each micro-batch's partial sketch, and the final grid is
+    * BIT-IDENTICAL to the batch sketch no matter how the stream was
+    * chopped into batches — proven here by forcing multiple
+    * micro-batches (maxFilesPerTrigger=1 over a multi-file input) and
+    * verifying against the batch oracle. This is the monitoring-loop
+    * primitive at crawl scale: per-batch shuffle traffic is one 8 kB
+    * blob per partition, state is O(depth·width) forever. */
+  def streamCountMinTopk(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import graft.functions.{exprs, CountMinSketch}
+    val (dep, w) = (4, 256)
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"))
+    val dir = graft.util.Scratch.dir("graft_scms").toString + "/in"
+    li.repartition(4).write.mode("overwrite").parquet(dir)
+    val st = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1") // force >1 micro-batch
+      .parquet(dir)
+    val agg = st.agg(CountMinSketch.sketch(col("l_suppkey"), dep, w)
+      .as("sk"))
+    val name = s"graft_stream_cms_${n.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    val sketch = spark.table(name)
+    val top = li.groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("s_suppkey")).limit(10)
+    val est = least((0 until dep).map { r =>
+      element_at(col("sk"),
+        (lit(r * w) + pmod(exprs.md5Lower64(
+          concat(lit(s"$r|"), col("s_suppkey").cast("string")))
+          .bitwiseAND(lit(Long.MaxValue)), lit(w.toLong))).cast("int") + 1)
+    }: _*)
+    top.crossJoin(broadcast(sketch))
+      .select(col("s_suppkey"), col("n_exact"), est.as("est"),
+        (est >= col("n_exact")).as("never_under"))
+      .orderBy(col("n_exact").desc, col("s_suppkey"))
+  }
+
   case class Scd2State(epoch: Long, nVersions: Long, openType: String,
       openFrom: Long, openIdx: Long, openSet: Boolean)
   case class Scd2Ver(user_id: Long, epoch: Long, idx: Long,

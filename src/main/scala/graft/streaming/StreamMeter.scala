@@ -17,6 +17,12 @@ object StreamMeter {
   /** name-prefix → (inputRows, triggerExecSecs, nBatches). */
   val stats = new ConcurrentHashMap[String, (Long, Double, Int)]()
 
+  /** name-prefix → (operatorName, numRowsTotal) per state operator of
+    * the run's final progress — lets specs assert a stream's state
+    * SHAPE (e.g. stream_dedup_minhash's stream-static design must
+    * never grow a symmetric-hash-join operator). */
+  val stateOps = new ConcurrentHashMap[String, Seq[(String, Long)]]()
+
   /** Record a finished query's progress. Call after awaitTermination —
     * recentProgress retains the (bounded) run just completed. */
   def record(q: StreamingQuery): Unit = {
@@ -27,8 +33,10 @@ object StreamMeter {
         val d = p.durationMs.get("triggerExecution")
         if (d == null) 0L else d.longValue()
       }.sum
-      stats.put(q.name.replaceAll("_\\d+$", ""),
-        (rows, ms / 1000.0, ps.length))
+      val key = q.name.replaceAll("_\\d+$", "")
+      stats.put(key, (rows, ms / 1000.0, ps.length))
+      stateOps.put(key, ps.last.stateOperators.toSeq
+        .map(s => (s.operatorName, s.numRowsTotal)))
     }
   }
 

@@ -150,6 +150,43 @@ class Round10Spec extends SparkSuite {
     assert(stream == batch, "stream/batch SCD2 parity broke")
   }
 
+  test("streaming CMS converges bit-identically to the batch sketch") {
+    // linearity: chopping the input into micro-batches must not move
+    // a single counter, so the streaming top-10 equals batch exactly
+    val batch = PipelineQueries.countMinTopK(spark, sf).collect().toSeq
+    val stream = graft.streaming.Events.streamCountMinTopk(spark, sf)
+      .collect().toSeq
+    assert(stream == batch, "stream/batch CMS divergence")
+    val (_, _, nBatches) =
+      graft.streaming.StreamMeter.stats.get("graft_stream_cms")
+    assert(nBatches > 1, s"mergeability unproven: ran $nBatches batch(es)")
+  }
+
+  test("theta set-algebra estimates are exact below the sketch nominal") {
+    val rows = PipelineQueries.thetaSetOps(spark, sf).collect()
+    assert(rows.length == 10, s"expected C(5,2)=10 pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("and_ok") && r.getAs[Boolean]("or_ok")
+        && r.getAs[Boolean]("diff_ok"), s"bound flag false in $r")
+      assert(r.getAs[Long]("n_or_exact") >= r.getAs[Long]("n_and_exact"))
+    }
+  }
+
+  test("stream_dedup_minhash holds zero join state (stream-static shape)") {
+    // The design claim: both probes are stream-STATIC joins, so the
+    // only stateful operator is the complete-mode per-doc aggregate
+    // (bounded by the batch), never a symmetric-hash stream-stream
+    // join whose state would grow with the corpus.
+    val out = graft.streaming.Events.streamDedupMinhash(spark, sf)
+    val nDocs = out.count()
+    val ops = graft.streaming.StreamMeter.stateOps.get("graft_stream_minhash")
+    assert(ops != null && ops.nonEmpty, "no state-operator progress recorded")
+    val joinOps = ops.filter(_._1.toLowerCase.contains("join"))
+    assert(joinOps.isEmpty, s"unexpected join state operators: $joinOps")
+    val aggRows = ops.map(_._2).sum
+    assert(aggRows <= nDocs, s"state rows $aggRows exceed batch docs $nDocs")
+  }
+
   test("BandKeys kernel is bit-identical to the declarative band form") {
     // The old per-band xxhash64(concat_ws(",", slice(sigs,...)))
     // projection duplicated the whole sigs subtree once per band in a
