@@ -111,7 +111,11 @@ object PlanAudit {
       "q_holt_winters (one shuffle to daily grain; fold on the tiny series frame)" ->
         graft.ops.Behavior.qHoltWinters(spark, d),
       "q_kll_quantile_merge (partial-aggregable sketches; 1-row estimate broadcast)" ->
-        PipelineQueries.kllQuantileMerge(spark, d))
+        PipelineQueries.kllQuantileMerge(spark, d),
+      "dedup_minhash_lsh (single-eval BandKeys kernel in the Generate; band-bucket self-join is the only corpus shuffle)" ->
+        PipelineQueries.dedupMinhashLsh(spark, d),
+      "q_theta_setops (partial-aggregable theta sketches; set ops on the 5-row sketch table)" ->
+        PipelineQueries.thetaSetOps(spark, d))
     val out = new StringBuilder
     out.append("# PLANS — physical-plan audit (generated by " +
       "graft.tools.PlanAudit)\n\n")
