@@ -586,6 +586,8 @@ object SparkEntry {
     "stream_asof_join" -> (graft.streaming.Events.streamAsofJoin _),
     "stream_count_min_topk" ->
       (graft.streaming.Events.streamCountMinTopk _),
+    "stream_kll_quantiles" ->
+      (graft.streaming.Events.streamKllQuantiles _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
@@ -2436,6 +2438,21 @@ object SparkEntry {
     "q_kll_quantile_merge" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4)
+        |    AS exact_p25,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4)
+        |    AS exact_p50,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4)
+        |    AS exact_p90,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 4)
+        |    AS exact_p99,
+        |  TRUE AS r25_within_2pct, TRUE AS r50_within_2pct,
+        |  TRUE AS r90_within_2pct, TRUE AS r99_within_2pct
+        |FROM documents""".stripMargin,
+    // single-sketch streaming variant: same exact quantiles, same
+    // rank-bound flags; no per-source stage so no n_sources column
+    "stream_kll_quantiles" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4)
         |    AS exact_p25,
         |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4)

@@ -1054,6 +1054,54 @@ object Events {
       .orderBy(col("n_exact").desc, col("s_suppkey"))
   }
 
+  /** STREAMING KLL quantiles —
+    * [[graft.ops.PipelineQueries.kllQuantileMerge]]'s sketch
+    * maintained as a continuous query: the distribution monitor
+    * (latency/length quantiles over a feed) without ever storing the
+    * feed. Complete-mode agg state is ONE ~kB KLL sketch; each
+    * micro-batch's partial sketch merges in associatively. KLL
+    * compaction is randomized, so unlike [[streamCountMinTopk]]'s
+    * linear grid the streamed sketch is not bit-replayable — the
+    * contract is the same rank-bound one as the batch merge: the TRUE
+    * rank of each estimate (one exact pass against the broadcast
+    * estimates) within ±2% of target vs the ~0.6% guarantee at k=800.
+    * Exact quantiles ride along for the oracle's value check. */
+  def streamKllQuantiles(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import graft.functions.Kll
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("n_chars").cast("double").as("v"))
+    val dir = graft.util.Scratch.dir("graft_skll").toString + "/in"
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val st = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1") // force >1 micro-batch
+      .parquet(dir)
+    val agg = st.agg(Kll.sketch(col("v"), 800).as("sk"))
+    val name = s"graft_stream_kll_${n.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    val est = spark.table(name).select(
+      Kll.quantile(col("sk"), 0.25).as("e25"),
+      Kll.quantile(col("sk"), 0.50).as("e50"),
+      Kll.quantile(col("sk"), 0.90).as("e90"),
+      Kll.quantile(col("sk"), 0.99).as("e99"))
+    def rankOf(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(col("v") <= e, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))
+    docs.crossJoin(broadcast(est))
+      .agg(count(lit(1)).as("n_rows"),
+        round(expr("percentile(v, 0.25)"), 4).as("exact_p25"),
+        round(expr("percentile(v, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(v, 0.9)"), 4).as("exact_p90"),
+        round(expr("percentile(v, 0.99)"), 4).as("exact_p99"),
+        (abs(rankOf(col("e25")) - 0.25) <= 0.02).as("r25_within_2pct"),
+        (abs(rankOf(col("e50")) - 0.50) <= 0.02).as("r50_within_2pct"),
+        (abs(rankOf(col("e90")) - 0.90) <= 0.02).as("r90_within_2pct"),
+        (abs(rankOf(col("e99")) - 0.99) <= 0.02).as("r99_within_2pct"))
+  }
+
   case class Scd2State(epoch: Long, nVersions: Long, openType: String,
       openFrom: Long, openIdx: Long, openSet: Boolean)
   case class Scd2Ver(user_id: Long, epoch: Long, idx: Long,

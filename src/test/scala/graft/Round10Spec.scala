@@ -162,6 +162,17 @@ class Round10Spec extends SparkSuite {
     assert(nBatches > 1, s"mergeability unproven: ran $nBatches batch(es)")
   }
 
+  test("streaming KLL holds the rank bound across micro-batches") {
+    val r = graft.streaming.Events.streamKllQuantiles(spark, sf).collect()
+    assert(r.length == 1)
+    Seq("r25_within_2pct", "r50_within_2pct", "r90_within_2pct",
+      "r99_within_2pct").foreach(c =>
+      assert(r(0).getAs[Boolean](c), s"$c false"))
+    val (_, _, nBatches) =
+      graft.streaming.StreamMeter.stats.get("graft_stream_kll")
+    assert(nBatches > 1, s"mergeability unproven: ran $nBatches batch(es)")
+  }
+
   test("theta set-algebra estimates are exact below the sketch nominal") {
     val rows = PipelineQueries.thetaSetOps(spark, sf).collect()
     assert(rows.length == 10, s"expected C(5,2)=10 pairs, got ${rows.length}")
