@@ -36,12 +36,15 @@ object MinHashLSH {
     * expressions do the identical kernel in µs/doc. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame =
+    // Fused kernel: value-identical to
+    // minhashSigs(shingles(text)).filter(size > 0) — see
+    // Kernels.minhashDoc — without materializing the shingle array
+    // (the doc's shingles exist only as a scratch buffer in flight)
     docs
       .select(col(idCol).as("id"),
-        graft.functions.exprs.shingles(col(textCol), cfg.shingleK).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-      .select(col("id"),
-        graft.functions.exprs.minhashSigs(col("_sh"), cfg.numPerms).as("sigs"))
+        graft.functions.exprs.minhashDoc(col(textCol), cfg.shingleK,
+          cfg.numPerms).as("sigs"))
+      .filter(col("sigs").isNotNull)
 
   /** Candidate near-dup pairs (id_a < id_b) with the estimated Jaccard
     * similarity (fraction of agreeing minhashes).

@@ -13,8 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Kernels {
 
+  // compiled once — String.split("\\s+") recompiles the pattern per call
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   def shingles(input: UTF8String, k: Int): ArrayData = {
-    val toks = input.toString.trim.split("\\s+")
+    val toks = WS.split(input.toString.trim)
     if (toks.length < k) return new GenericArrayData(Array.empty[Any])
     val seen = new mutable.LinkedHashSet[String]
     var i = 0
@@ -151,6 +154,65 @@ object Kernels {
       p += 1
     }
     code
+  }
+
+  /** Fused text → MinHash signature: tokenizes like [[shingles]]
+    * (trim + \s+ split), then hashes each k-token window's UTF-8 bytes
+    * from a reusable scratch buffer — no shingle-string
+    * materialization, no distinct-set bookkeeping. BIT-IDENTICAL to
+    * `minhashSigs(shingles(text, k))` because (a) concatenating the
+    * tokens' UTF-8 encodings with 0x20 equals the UTF-8 encoding of
+    * the space-joined shingle string (UTF-8 is context-free per code
+    * point), so each window hashes to the same xxhash64, and (b) the
+    * per-permutation MIN over the window multiset equals the min over
+    * the distinct shingle set. Returns null when the doc has < k
+    * tokens (the rows [[graft.dedup.MinHashLSH.signatures]] drops).
+    * Pinned by a corpus-wide parity test in Round10Spec. */
+  def minhashDoc(input: UTF8String, k: Int,
+      a: Array[Long], b: Array[Long]): ArrayData = {
+    val toks = WS.split(input.toString.trim)
+    if (toks.length < k) return null
+    val nt = toks.length
+    val tb = new Array[Array[Byte]](nt)
+    var i = 0
+    while (i < nt) {
+      tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    var maxLen = 0
+    var w = 0
+    while (w <= nt - k) {
+      var len = k - 1
+      var j = 0
+      while (j < k) { len += tb(w + j).length; j += 1 }
+      if (len > maxLen) maxLen = len
+      w += 1
+    }
+    val scratch = new Array[Byte](maxLen)
+    val n = a.length
+    val sigs = Array.fill(n)(Long.MaxValue)
+    w = 0
+    while (w <= nt - k) {
+      var len = 0
+      var j = 0
+      while (j < k) {
+        if (j > 0) { scratch(len) = ' '; len += 1 }
+        val t = tb(w + j)
+        System.arraycopy(t, 0, scratch, len, t.length)
+        len += t.length
+        j += 1
+      }
+      val h = XXH64.hashUnsafeBytes(scratch,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      var p = 0
+      while (p < n) {
+        val v = h * a(p) + b(p)
+        if (v < sigs(p)) sigs(p) = v
+        p += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(sigs)
   }
 
   /** Per-band LSH bucket keys of a minhash signature: for band j the

@@ -149,6 +149,29 @@ case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
     copy(child = c)
 }
 
+/** Fused text → MinHash signature (null when the doc has < k tokens).
+  * Value-identical to `MinHashSigs(Shingles(text, k))` — see
+  * Kernels.minhashDoc for the equivalence argument — but one kernel
+  * call with no shingle-array materialization: the batch signature
+  * path for corpus-scale LSH. */
+case class MinHashDoc(child: Expression, k: Int, a: Array[Long],
+    b: Array[Long]) extends UnaryExpression {
+  require(a.length == b.length)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.minhashDoc(input.asInstanceOf[UTF8String], k, a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Kernels.minhashDoc($c, $k, $aRef, $bRef);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashDoc =
+    copy(child = c)
+}
+
 /** Column-API entry points for the custom expressions. */
 object exprs {
   /** Distinct whitespace k-gram shingles. */
@@ -166,6 +189,12 @@ object exprs {
   def minhashSigs(shingleCol: Column, numPerms: Int): Column = {
     val (a, b) = minhashPerms(numPerms)
     column(MinHashSigs(expression(shingleCol), a, b))
+  }
+
+  /** Fused text → MinHash signature column (null below k tokens). */
+  def minhashDoc(text: Column, k: Int, numPerms: Int): Column = {
+    val (a, b) = minhashPerms(numPerms)
+    column(MinHashDoc(expression(text), k, a, b))
   }
 
   /** Per-band LSH bucket keys of a minhash-signature column. */

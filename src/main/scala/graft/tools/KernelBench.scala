@@ -42,7 +42,18 @@ object KernelBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nDocs * reps / sec
     val usPerDoc = sec * 1e6 / (nDocs * reps)
+    // the fused batch-signature path (MinHashLSH.signatures): no
+    // shingle materialization — same band keys, same checksum
+    def fusedPass(): Long = docs
+      .select(explode(graft.dedup.MinHashLSH.bandKeys(
+        exprs.minhashDoc(col("text"), 3, 64))).as("b"))
+      .selectExpr("sum(b.bh) AS s").head.getLong(0)
+    fusedPass()
+    val t1 = System.nanoTime()
+    var sink2 = 0L
+    (1 to reps).foreach(_ => sink2 ^= fusedPass())
+    val fsec = (System.nanoTime() - t1) / 1e9
     spark.stop()
-    println(f"""{"metric":"minhash_kernel","docs":$nDocs,"reps":$reps,"sec":$sec%.3f,"docs_per_sec_core":$docsPerSec%.0f,"us_per_doc":$usPerDoc%.1f,"checksum":$sink}""")
+    println(f"""{"metric":"minhash_kernel","docs":$nDocs,"reps":$reps,"sec":$sec%.3f,"docs_per_sec_core":$docsPerSec%.0f,"us_per_doc":$usPerDoc%.1f,"checksum":$sink,"fused_sec":$fsec%.3f,"fused_docs_per_sec_core":${nDocs * reps / fsec}%.0f,"fused_us_per_doc":${fsec * 1e6 / (nDocs * reps)}%.1f,"fused_checksum":$sink2}""")
   }
 }

@@ -220,6 +220,27 @@ class Round10Spec extends SparkSuite {
       .count()
     assert(diff == 0L, "BandKeys kernel diverged from declarative form")
 
+    // fused minhashDoc must be value-identical to the two-step
+    // formulation on the corpus AND on whitespace/unicode edge cases
+    val edge = spark.createDataFrame(Seq(
+      (-1L, ""), (-2L, "   "), (-3L, "one"), (-4L, "one two"),
+      (-5L, "one two three"), (-6L, "  a\t\tb \n c  d "),
+      (-7L, "é ü 日本 語 x"), (-8L, "a a a a a"))).toDF("doc_id", "text")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val twoStep = corpus
+      .select(col("doc_id"),
+        graft.functions.exprs.shingles(col("text"), 3).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col("doc_id"),
+        graft.functions.exprs.minhashSigs(col("_sh"), 64).as("sigs"))
+    val fused = MinHashLSH.signatures(corpus, "doc_id", "text", cfg)
+      .withColumnRenamed("id", "doc_id")
+    assert(fused.count() == twoStep.count(), "fused dropped-row mismatch")
+    val ndiff = fused.join(twoStep.withColumnRenamed("sigs", "sigs2"),
+      Seq("doc_id")).filter(col("sigs") =!= col("sigs2")).count()
+    assert(ndiff == 0L, s"fused minhashDoc diverged on $ndiff docs")
+
     // and the plan shape: the banding Generate must evaluate the
     // signature subtree exactly once per row, not once per band
     val plan = spark.read.parquet(s"$sf/documents.parquet")
