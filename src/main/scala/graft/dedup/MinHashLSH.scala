@@ -116,10 +116,13 @@ object MinHashLSH {
     val sa = sigs.select(col("id").as("id_a"), col("sigs").as("_sa"))
     val sb = sigs.select(col("id").as("id_b"), col("sigs").as("_sb"))
     pairs.join(sa, "id_a").join(sb, "id_b")
+      // kernel, not aggregate(zip_with(...)): the estimate runs once
+      // per candidate pair — interpreted HOFs here become the
+      // verify-stage bottleneck at crawl scale. Same integer count,
+      // same rounding.
       .withColumn("est_sim", round(
-        aggregate(zip_with(col("_sa"), col("_sb"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / cfg.numPerms, 4))
+        graft.functions.exprs.sigAgreement(col("_sa"), col("_sb"))
+          .cast("double") / cfg.numPerms, 4))
       .select("id_a", "id_b", "est_sim")
   }
 

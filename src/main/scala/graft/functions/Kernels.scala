@@ -245,6 +245,21 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Number of positions where two minhash signatures agree — the
+    * per-candidate-pair Jaccard estimate numerator. Runs once per
+    * candidate pair (millions at crawl scale), which is why it is a
+    * kernel and not the interpreted aggregate(zip_with(...)) HOF. */
+  def sigAgreement(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -172,6 +172,20 @@ case class MinHashDoc(child: Expression, k: Int, a: Array[Long],
     copy(child = c)
 }
 
+/** Positions where two bigint-array signatures agree (the minhash
+  * Jaccard-estimate numerator) — per-candidate-pair hot path. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Kernels.sigAgreement(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Kernels.sigAgreement($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SigAgreement = copy(left = l, right = r)
+}
+
 /** Column-API entry points for the custom expressions. */
 object exprs {
   /** Distinct whitespace k-gram shingles. */
@@ -196,6 +210,10 @@ object exprs {
     val (a, b) = minhashPerms(numPerms)
     column(MinHashDoc(expression(text), k, a, b))
   }
+
+  /** Agreeing positions of two signature columns. */
+  def sigAgreement(a: Column, b: Column): Column =
+    column(SigAgreement(expression(a), expression(b)))
 
   /** Per-band LSH bucket keys of a minhash-signature column. */
   def bandKeys(sigs: Column, bands: Int, rowsPerBand: Int): Column =
