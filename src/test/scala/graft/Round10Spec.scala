@@ -173,6 +173,19 @@ class Round10Spec extends SparkSuite {
     assert(nBatches > 1, s"mergeability unproven: ran $nBatches batch(es)")
   }
 
+  test("streaming theta distinct equals exact counts across batches") {
+    val r = graft.streaming.Events.streamThetaDistinct(spark, sf).collect()
+    assert(r.length == 5, s"expected 5 event types, got ${r.length}")
+    r.foreach { row =>
+      assert(row.getAs[Long]("est_users") == row.getAs[Long]("n_exact"),
+        s"theta not exact below nominal: $row")
+      assert(row.getAs[Boolean]("within_1pct"))
+    }
+    val (_, _, nBatches) =
+      graft.streaming.StreamMeter.stats.get("graft_stream_theta")
+    assert(nBatches > 1, s"mergeability unproven: ran $nBatches batch(es)")
+  }
+
   test("theta set-algebra estimates are exact below the sketch nominal") {
     val rows = PipelineQueries.thetaSetOps(spark, sf).collect()
     assert(rows.length == 10, s"expected C(5,2)=10 pairs, got ${rows.length}")
