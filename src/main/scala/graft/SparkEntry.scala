@@ -649,6 +649,7 @@ object SparkEntry {
     "dedup_embed_buckets" -> (PipelineQueries.dedupEmbedBuckets _),
     "q_count_min_topk" -> (PipelineQueries.countMinTopK _),
     "q_theta_setops" -> (PipelineQueries.thetaSetOps _),
+    "dedup_substring_spans" -> (PipelineQueries.dedupSubstringSpans _),
     "q_hll_merge" -> (PipelineQueries.hllMerge _),
     "q_kll_quantile_merge" -> (PipelineQueries.kllQuantileMerge _),
     "q_rolling_hll_wau" -> (PipelineQueries.rollingHllWau _),
@@ -3797,6 +3798,24 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_embed_buckets" -> embedBucketsOracle,
+    "dedup_substring_spans" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    unnest(range(0, (length(text) - 50) // 10 + 1)) AS i, text
+        |  FROM documents WHERE length(text) >= 50),
+        |w AS (SELECT doc_id,
+        |    md5_number_lower(substr(text, CAST(i * 10 + 1 AS BIGINT), 50))
+        |      AS h
+        |  FROM w0),
+        |dup AS (SELECT h FROM w GROUP BY h
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |per AS (SELECT w.doc_id, count(*) AS n_windows,
+        |    count(dup.h) AS n_dup_windows
+        |  FROM w LEFT JOIN dup ON w.h = dup.h GROUP BY 1)
+        |SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+        |  CAST(n_dup_windows AS BIGINT) AS n_dup_windows,
+        |  CAST(floor(n_dup_windows * 10000.0 / n_windows + 0.5)
+        |    AS BIGINT) AS dup_frac_bp
+        |FROM per WHERE n_dup_windows > 0 ORDER BY doc_id""".stripMargin,
     "q_theta_setops" ->
       """WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
         |n AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),

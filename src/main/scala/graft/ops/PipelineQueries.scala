@@ -594,6 +594,47 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Exact duplicated-SPAN detection — the substring-level dedup story
+    * (the "dedup training data at the substring level" result from the
+    * published dedup literature) that shingle/minhash misses: a
+    * boilerplate span pasted into otherwise-different documents.
+    * Every 50-char window at stride 10 hashes to md5-lower-64; a span
+    * is duplicated when its hash occurs in >1 DISTINCT document
+    * (within-doc repetition is `text_repetition`'s domain). Per doc:
+    * window count, duplicated-window count, duplicated fraction in
+    * basis points (exact integer arithmetic — no float on the
+    * comparison path). Scale shape: windows shuffle as 8-byte hashes
+    * (never text), the duplicated-hash set is tiny and broadcasts
+    * back, and stride/width tune the cost-recall trade at 100 TB. The
+    * oracle replays windows, hashes, and counts verbatim in SQL
+    * (`md5_number_lower(substr(...))`). */
+  def dedupSubstringSpans(s: SparkSession, d: String): DataFrame = {
+    val W = 50
+    val St = 10
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= W)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          expr(s"(length(text) - $W) div $St").cast("int"))).as("i"))
+      .select(col("doc_id"),
+        graft.functions.exprs.md5Lower64(
+          expr(s"substring(text, i * $St + 1, $W)")).as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"), lit(1).as("_dup"))
+    wins.join(broadcast(dup), Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("_dup")).as("n_dup_windows"))
+      .filter(col("n_dup_windows") > 0)
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        floor(col("n_dup_windows") * lit(10000.0) / col("n_windows")
+          + lit(0.5)).cast("long").as("dup_frac_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Theta-sketch set algebra — the capability HLL lacks: theta
     * sketches (KMV) support INTERSECTION and DIFFERENCE, so audience
     * overlap ("users who did A and B / A but not B") is an operation

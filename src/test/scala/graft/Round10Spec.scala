@@ -186,6 +186,36 @@ class Round10Spec extends SparkSuite {
     assert(nBatches > 1, s"mergeability unproven: ran $nBatches batch(es)")
   }
 
+  test("substring spans equal an independent JVM replay") {
+    val out = PipelineQueries.dedupSubstringSpans(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("dup_frac_bp")))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def windows(t: String): Seq[Long] =
+      if (t.length < 50) Seq.empty
+      else (0 to (t.length - 50) / 10).map { i =>
+        graft.functions.Kernels.md5Lower64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            t.substring(i * 10, i * 10 + 50)))
+      }
+    val perDoc = docs.map { case (id, t) => id -> windows(t) }
+    val dupSet = perDoc.flatMap { case (id, hs) => hs.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.length > 1).keySet
+    val expect = perDoc.collect {
+      case (id, hs) if hs.count(dupSet) > 0 =>
+        val nd = hs.count(dupSet).toLong
+        id -> (hs.length.toLong, nd,
+          math.floor(nd * 10000.0 / hs.length + 0.5).toLong)
+    }.toMap
+    assert(expect.nonEmpty, "replay found no duplicated spans at all")
+    assert(out == expect, s"span mismatch: query=${out.size} rows, " +
+      s"replay=${expect.size} rows")
+  }
+
   test("theta set-algebra estimates are exact below the sketch nominal") {
     val rows = PipelineQueries.thetaSetOps(spark, sf).collect()
     assert(rows.length == 10, s"expected C(5,2)=10 pairs, got ${rows.length}")
