@@ -624,7 +624,10 @@ object PipelineQueries {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
       .select(col("h"), lit(1).as("_dup"))
-    wins.join(broadcast(dup), Seq("h"), "left_outer")
+    // no broadcast HINT: the dup-hash set is tiny here but unbounded
+    // on boilerplate-heavy corpora — AQE broadcasts when it fits and
+    // falls back to a hash join when it doesn't
+    wins.join(dup, Seq("h"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         count(col("_dup")).as("n_dup_windows"))
