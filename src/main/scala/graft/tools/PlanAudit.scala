@@ -115,7 +115,9 @@ object PlanAudit {
       "dedup_minhash_lsh (single-eval BandKeys kernel in the Generate; band-bucket self-join is the only corpus shuffle)" ->
         PipelineQueries.dedupMinhashLsh(spark, d),
       "q_theta_setops (partial-aggregable theta sketches; set ops on the 5-row sketch table)" ->
-        PipelineQueries.thetaSetOps(spark, d))
+        PipelineQueries.thetaSetOps(spark, d),
+      "dedup_substring_spans (8-byte window hashes shuffle, text never does; AQE picks the dup-set join)" ->
+        PipelineQueries.dedupSubstringSpans(spark, d))
     val out = new StringBuilder
     out.append("# PLANS — physical-plan audit (generated by " +
       "graft.tools.PlanAudit)\n\n")
