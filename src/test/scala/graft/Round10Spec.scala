@@ -25,6 +25,17 @@ class Round10Spec extends SparkSuite {
     assert(Bench.bandStallFlags(best, Map.empty).isEmpty)
   }
 
+  test("committed BENCH_BAND.json parses and covers every query key") {
+    val band = Bench.parseBand(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_BAND.json")), "UTF-8"))
+    val missing = SparkEntry.queries.keySet -- band.keySet
+    assert(missing.isEmpty,
+      s"keys without a stall band (reseed tools/mkband.py): $missing")
+    assert(band.values.forall(v => v > 0 && v < 60),
+      "implausible band entry")
+  }
+
   test("parseBand reads the flat committed band file") {
     val m = Bench.parseBand(
       """{"q1_pricing":0.123,"q_ewma":1.5e-1,"stream_topk":2.0}""")
