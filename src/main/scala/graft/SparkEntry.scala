@@ -325,6 +325,48 @@ object SparkEntry {
        |FROM sizes s JOIN agg a USING (bucket) ORDER BY s.bucket""".stripMargin
   }
 
+  /** embed_knn_graph oracle: same folded hyperplanes as
+    * [[embedBucketsOracle]]; replays bucketing, directed pair
+    * generation, basis-point cosine scoring, and the (cos_bp desc,
+    * nbr asc) top-3 ranking. */
+  private def embedKnnOracle: String = {
+    val values = graft.sim.Ann.planes(8, 64).zipWithIndex
+      .map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
+      .mkString(", ")
+    s"""WITH pl(j, p) AS (VALUES $values),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |z AS (SELECT vec_id, j, unnest(e.embedding)::DOUBLE AS x,
+       |        unnest(pl.p) AS y
+       |      FROM e CROSS JOIN pl),
+       |dots AS (SELECT vec_id, j, sum(x * y) AS dot FROM z GROUP BY 1, 2),
+       |bkt AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot > 0
+       |      THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM dots GROUP BY 1),
+       |v AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+       |        unnest(embedding)::DOUBLE AS x FROM e),
+       |pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM bkt a JOIN bkt b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |z2 AS (SELECT pr.ia, pr.ib, ea.x, eb.x AS y
+       |  FROM pairs pr
+       |  JOIN v ea ON ea.vec_id = pr.ia
+       |  JOIN v eb ON eb.vec_id = pr.ib AND eb.dim = ea.dim),
+       |cs AS (SELECT ia, ib,
+       |    CAST(floor(sum(x * y) /
+       |      (sqrt(sum(x * x)) * sqrt(sum(y * y))) * 10000 + 0.5)
+       |      AS BIGINT) AS cos_bp
+       |  FROM z2 GROUP BY 1, 2),
+       |rk AS (SELECT ia, ib, cos_bp, row_number() OVER
+       |    (PARTITION BY ia ORDER BY cos_bp DESC, ib) AS r
+       |  FROM cs)
+       |SELECT ia AS vec_id, CAST(r AS BIGINT) AS rank, ib AS nbr_id,
+       |  cos_bp
+       |FROM rk WHERE r <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** ann_lsh_topk oracle: the hyperplanes are deterministic constants
     * (Ann.planes, seed 7) — folding the same literals into the SQL lets
     * DuckDB reproduce the bucket codes, the bucket-restricted scoring,
@@ -647,6 +689,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> (PipelineQueries.annIvfPqTopK _),
     "ann_ivfpq_filtered" -> (PipelineQueries.annIvfPqFiltered _),
     "dedup_embed_buckets" -> (PipelineQueries.dedupEmbedBuckets _),
+    "embed_knn_graph" -> (PipelineQueries.embedKnnGraph _),
     "q_count_min_topk" -> (PipelineQueries.countMinTopK _),
     "q_theta_setops" -> (PipelineQueries.thetaSetOps _),
     "dedup_substring_spans" -> (PipelineQueries.dedupSubstringSpans _),
@@ -3798,6 +3841,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_lsh_topk" -> annLshOracle,
     "dedup_embed_buckets" -> embedBucketsOracle,
+    "embed_knn_graph" -> embedKnnOracle,
     "dedup_substring_spans" ->
       """WITH w0 AS (SELECT doc_id,
         |    unnest(range(0, (length(text) - 50) // 10 + 1)) AS i, text

@@ -833,6 +833,43 @@ object PipelineQueries {
     sizes.join(agg, Seq("bucket")).orderBy(col("bucket"))
   }
 
+  /** Approximate k-NN GRAPH over the embedding corpus — the
+    * graph-construction primitive under embedding clustering,
+    * label propagation, and graph-based dedup: every vector's top-3
+    * neighbors among its LSH-bucket peers (8 deterministic
+    * hyperplanes, [[graft.sim.Ann.lshCode]]), exact-cosine re-ranked.
+    * This is the self-join shape [[dedupEmbedBuckets]] bounds —
+    * |corpus|²/2^planes expected pair work — emitted as an adjacency
+    * list instead of bucket stats. Ranking is on integer
+    * basis-point cosine (floor(cos·1e4+0.5): multiply/add/floor are
+    * exactly-rounded IEEE ops, identical cross-engine) with
+    * neighbor-id tie-break, so the top-3 cut is deterministic and the
+    * window top-k rewrites to the bounded-heap aggregate. The oracle
+    * folds the hyperplanes as literals and replays bucketing, pair
+    * generation, scoring, and ranking. */
+  def embedKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("_e"))
+      .withColumn("bucket", Ann.lshCode(col("_e"), 8, 64))
+    val a = emb.select(col("bucket"), col("vec_id"), col("_e").as("_ea"))
+    val b = emb.select(col("bucket"), col("vec_id").as("nbr_id"),
+      col("_e").as("_eb"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        floor(Ann.cosine(col("_ea"), col("_eb")) * 1e4 + 0.5)
+          .cast("long").as("cos_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_bp").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("cos_bp"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Deterministic hash-stratified sampling: per-source keep rates
     * decided by md5-lower-64 of the doc id — reproducible across runs,
     * engines (the oracle replays it via `md5_number_lower`), and

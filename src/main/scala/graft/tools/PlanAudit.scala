@@ -117,7 +117,9 @@ object PlanAudit {
       "q_theta_setops (partial-aggregable theta sketches; set ops on the 5-row sketch table)" ->
         PipelineQueries.thetaSetOps(spark, d),
       "dedup_substring_spans (8-byte window hashes shuffle, text never does; AQE picks the dup-set join)" ->
-        PipelineQueries.dedupSubstringSpans(spark, d))
+        PipelineQueries.dedupSubstringSpans(spark, d),
+      "embed_knn_graph (bucket-bounded pair gen; native WindowGroupLimit pre-shuffle top-3 bound)" ->
+        PipelineQueries.embedKnnGraph(spark, d))
     val out = new StringBuilder
     out.append("# PLANS — physical-plan audit (generated by " +
       "graft.tools.PlanAudit)\n\n")
