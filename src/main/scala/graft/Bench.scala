@@ -13,22 +13,37 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Parse `{"key": sec, ...}` without a JSON lib (the band file is
-    * flat — written by tools/, read here and by the judge). */
+    * flat — written by tools/, read here and by the judge).
+    * Underscore-prefixed keys are provenance metadata (see
+    * [[bandProvenance]]), not band values. */
   private[graft] def parseBand(txt: String): Map[String, Double] =
     """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filterNot(_._1.startsWith("_")).toMap
 
-  /** Band rule (r9 verdict #1): a key is stall-flagged when its MIN —
-    * the value min-of-2 would otherwise trust — exceeds 3x its
-    * committed isolated reference AND by >0.5s absolute. Catches the
-    * both-runs-slow stall the run-disagreement rule is blind to
-    * (BENCH_r09: source_orc_roundtrip raw [45.4, 24.0] vs 0.51s
-    * isolated — unflagged then, flagged by this). */
+  /** (sf_dir, cpus) the band was seeded at (r10 ADVICE: the band is
+    * only a valid reference for the config that produced it — a run
+    * at another scale factor or core count would stall-flag nearly
+    * everything). Absent in pre-r11 band files → None. */
+  private[graft] def bandProvenance(txt: String): Option[(String, Int)] =
+    for {
+      sf <- """"_sf_dir"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+      cp <- """"_cpus"\s*:\s*([0-9]+)""".r.findFirstMatchIn(txt)
+    } yield (sf.group(1), cp.group(1).toInt)
+
+  /** Band rule (r9 verdict #1, threshold tightened r11): a key is
+    * stall-flagged when its MIN — the value min-of-2 would otherwise
+    * trust — exceeds 2x its committed isolated reference AND by >0.5s
+    * absolute. Catches the both-runs-slow stall the run-disagreement
+    * rule is blind to (BENCH_r09: source_orc_roundtrip raw
+    * [45.4, 24.0] vs 0.51s isolated — unflagged then, flagged by
+    * this; BENCH_r10: 18 keys sat 2-3x over band under the old 3x
+    * threshold, visible but unflagged). */
   private[graft] def bandStallFlags(best: Map[String, Double],
       band: Map[String, Double]): Seq[String] =
     best.collect {
       case (k, t) if t > 0 && band.get(k).exists(b =>
-        t > 3.0 * b && t - b > 0.5) => k
+        t > 2.0 * b && t - b > 0.5) => k
     }.toSeq
 
   def main(args: Array[String]): Unit = {
@@ -50,29 +65,32 @@ object Bench {
     // driver never sets it, so per-round benches always run everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val starts = scala.collection.mutable.Map[String, Seq[Double]]()
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => () } // warmup; failure recorded below
+    def timeQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        runs: Int): Seq[Double] = {
       var failed = false
-      // wall-clock start stamp per measurement: a host-stall window is
-      // identifiable post-hoc by lining flagged keys' starts against it
-      val measured = (1 to 2).map { _ =>
+      val measured = (1 to runs).map { _ =>
         val wall = System.currentTimeMillis() / 1000.0
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => failed = true }
         ((System.nanoTime() - t0) / 1e9, wall)
       }
-      val times = measured.map(_._1)
-      starts(name) = measured.map(_._2)
-      // a failing query reports -1, not its time-to-exception — the
-      // bench JSON must carry an unambiguous failure signal
+      starts(name) = starts.getOrElse(name, Seq.empty) ++ measured.map(_._2)
       // drop caches the query pinned (LSH signature/doc frames): the
       // accumulated storage would otherwise LRU-churn later timings
       spark.catalog.clearCache()
-      name -> (if (failed) Seq(-1.0) else times)
+      // a failing query reports -1, not its time-to-exception — the
+      // bench JSON must carry an unambiguous failure signal
+      if (failed) Seq(-1.0) else measured.map(_._1)
+    }
+    val sweep = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = sweep.map { case (name, fn) =>
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => () } // warmup; failure recorded below
+      spark.catalog.clearCache()
+      name -> timeQuery(name, fn, 2)
     }
     val best = results.map { case (k, ts) => k -> ts.min }
     // Host stalls are real on this box (multi-second freezes landing on
@@ -89,20 +107,50 @@ object Bench {
     // Blind spot closed (r9 verdict #1): BENCH_BAND.json commits each
     // key's isolated reference min; see bandStallFlags. Band misses
     // (new keys) simply don't band-flag until the band is reseeded.
-    val band: Map[String, Double] = {
+    // The band only applies when this run's (sf_dir, cpus) match the
+    // config that seeded it (r10 ADVICE) — a mismatched config would
+    // flag nearly every key and pollute the committed record.
+    val bandTxt: Option[String] = {
       val p = java.nio.file.Paths.get("BENCH_BAND.json")
       if (java.nio.file.Files.exists(p))
-        parseBand(java.nio.file.Files.readString(p))
-      else Map.empty
+        Some(java.nio.file.Files.readString(p))
+      else None
     }
+    val bandConfigOk = bandTxt.forall(t => bandProvenance(t) match {
+      case Some((bsf, bcpu)) => bsf == sfDir && bcpu.toString == cpus
+      case None => true // pre-provenance band file: assume seeded here
+    })
+    val band: Map[String, Double] =
+      if (bandConfigOk) bandTxt.map(parseBand).getOrElse(Map.empty)
+      else Map.empty
     val stalls = (disagree ++ bandStallFlags(best.toMap, band))
       .distinct.sorted
+    // SELF-CORRECTION (r10 verdict #1): re-measure outliers in
+    // isolation at the end of the run — the sweep's neighbors (and
+    // the host's random freeze windows) are gone, so a genuine
+    // regression re-measures slow and a stall re-measures at band.
+    // The re-measure set is BROADER than the stall flags (>1.5x band
+    // + >0.3s vs the >2x flag rule): the diffuse 1.3-2x drift a noisy
+    // host spreads across a 200s sweep is worth re-reading even where
+    // it isn't individually flag-worthy. The artifact carries raw +
+    // isolated + adjusted_total: it exonerates its own outliers
+    // without judge-side re-measurement.
+    val remeasure = (stalls ++ best.collect {
+      case (k, t) if t > 0 && band.get(k).exists(b =>
+        t > 1.5 * b && t - b > 0.3) => k
+    }).distinct.sorted
+    val isolated: Map[String, Double] = remeasure.flatMap { k =>
+      sweep.get(k).map { fn => k -> timeQuery(k, fn, 2).min }
+    }.toMap
     val (ok, bad) = best.partition(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val adjustedTotal = ok.map { case (k, t) =>
+      isolated.get(k).filter(_ >= 0).map(math.min(_, t)).getOrElse(t)
+    }.sum
     def fmt(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     val fails = bad.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (ok.nonEmpty) ok.values.sum else 0.0
     // The driver captures only the LAST 2000 chars of stdout and sbt
     // appends its own "[success] ..." trailer. Rounds 1-4 all ended with
     // parsed:null because anything sharing that window (per-query maps,
@@ -116,7 +164,7 @@ object Bench {
     // uncommitted sibling instead (r9 ADVICE).
     val outFile = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST.json"
     val stdoutLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"failures":$fails,"stall_flags":$stallsJson,"full":"$outFile"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","adjusted_total":${f"$adjustedTotal%.3f"},"n_queries":${results.size},"failures":$fails,"stall_flags":$stallsJson,"full":"$outFile"}"""
     // per-stream input-rate probe: end-to-end seconds hide state-store
     // regressions behind ~1 s of fixed micro-batch machinery; rows/s
     // from each query's own progress makes them visible round-to-round
@@ -130,8 +178,10 @@ object Bench {
         "\"" + k + "\":" + starts.getOrElse(k, Seq.empty)
           .map(t => f"$t%.1f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val bandNote = if (bandConfigOk) "" else
+      s""","band_skipped":"config mismatch (band seeded at another sf/cpus)""""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(best)},"raw_times":$rawJson,"start_epochs":$startsJson,"stall_flags":$stallsJson,"failures":$fails,"stream_rates":$streamRates,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":${fmt(best)},"raw_times":$rawJson,"start_epochs":$startsJson,"stall_flags":$stallsJson,"isolated":${fmt(isolated)},"failures":$fails,"stream_rates":$streamRates,"sf":"$sfDir"$bandNote}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), fullLine + "\n")
     spark.stop()

@@ -87,7 +87,13 @@ object SparkEntry {
         i <- graft.ops.PipelineQueries.cachedIvfModel(sfDir)
         p <- graft.ops.PipelineQueries.cachedPqModel(sfDir)
       } yield "ann_ivfpq_filtered" ->
-        annIvfPqOracle(i, p, candCond = "label = 1")).toMap
+        annIvfPqOracle(i, p, candCond = "label = 1")).toMap ++
+      // the streaming probe is contracted to converge to the batch
+      // IVF-PQ answer — the same model-folded oracle, shared verbatim
+      (for {
+        i <- graft.ops.PipelineQueries.cachedIvfModel(sfDir)
+        p <- graft.ops.PipelineQueries.cachedPqModel(sfDir)
+      } yield "stream_ann_probe" -> annIvfPqOracle(i, p)).toMap
 
   /** ann_ivf_topk oracle, built from the quantizer that the query run
     * itself fitted (deterministic seeded fit, cached per corpus dir):
@@ -693,6 +699,12 @@ object SparkEntry {
     "q_count_min_topk" -> (PipelineQueries.countMinTopK _),
     "q_theta_setops" -> (PipelineQueries.thetaSetOps _),
     "dedup_substring_spans" -> (PipelineQueries.dedupSubstringSpans _),
+    "dedup_span_excise" -> (PipelineQueries.dedupSpanExcise _),
+    "dedup_incremental_clusters" ->
+      (PipelineQueries.dedupIncrementalClusters _),
+    "text_hybrid_rrf" -> (PipelineQueries.textHybridRrf _),
+    "multimodal_jpeg_codec" -> (PipelineQueries.multimodalJpegCodec _),
+    "stream_ann_probe" -> (graft.streaming.Events.streamAnnProbe _),
     "q_hll_merge" -> (PipelineQueries.hllMerge _),
     "q_kll_quantile_merge" -> (PipelineQueries.kllQuantileMerge _),
     "q_rolling_hll_wau" -> (PipelineQueries.rollingHllWau _),
@@ -765,7 +777,11 @@ object SparkEntry {
     oracleSqlBase +
       ("stream_event_pattern" -> oracleSqlBase("q_event_pattern")) +
       ("stream_dedup_minhash" -> oracleSqlBase("dedup_incremental")) +
-      ("stream_scd2_build" -> oracleSqlBase("q_scd2_build"))
+      ("stream_scd2_build" -> oracleSqlBase("q_scd2_build")) +
+      // the incremental fold is CONTRACTED to equal the full
+      // re-cluster of the unioned corpus — dedup_clusters' oracle,
+      // shared verbatim, proves the equivalence value-for-value
+      ("dedup_incremental_clusters" -> oracleSqlBase("dedup_clusters"))
 
   /** q_sprt_test oracle — the SPRT constants are computed ONCE here in
     * JVM math and folded into the SQL as shortest-round-trip literals,
@@ -3860,6 +3876,125 @@ object SparkEntry {
         |  CAST(floor(n_dup_windows * 10000.0 / n_windows + 0.5)
         |    AS BIGINT) AS dup_frac_bp
         |FROM per WHERE n_dup_windows > 0 ORDER BY doc_id""".stripMargin,
+    // same window/hash/dup-set pipeline as dedup_substring_spans, then
+    // the gaps-and-islands merge replayed verbatim: a window opens a
+    // new island when its start exceeds the running max end of all
+    // earlier windows in the doc — exact integers end to end
+    "dedup_span_excise" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    unnest(range(0, (length(text) - 50) // 10 + 1)) AS i, text
+        |  FROM documents WHERE length(text) >= 50),
+        |w AS (SELECT doc_id, i,
+        |    md5_number_lower(substr(text, CAST(i * 10 + 1 AS BIGINT), 50))
+        |      AS h
+        |  FROM w0),
+        |dup AS (SELECT h FROM w GROUP BY h
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |dw AS (SELECT w.doc_id, CAST(w.i * 10 AS BIGINT) AS s,
+        |    CAST(w.i * 10 + 50 AS BIGINT) AS e
+        |  FROM w JOIN dup ON w.h = dup.h),
+        |m AS (SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM dw),
+        |isl AS (SELECT doc_id, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM m),
+        |sp AS (SELECT doc_id, island, min(s) AS ss, max(e) AS se
+        |  FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(se - ss) AS BIGINT) AS chars_removed
+        |  FROM sp GROUP BY 1)
+        |SELECT a.doc_id, a.n_spans, a.chars_removed,
+        |  CAST(length(d.text) - a.chars_removed AS BIGINT) AS chars_kept
+        |FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+    // text_bm25_rank's model widened to top-20, a brute exact-cosine
+    // top-20 against vec_id 0, fused by reciprocal rank (k=60): ranks
+    // are exact integers from already-verified orderings, the RRF
+    // score is one IEEE division per list — identical trees, 6-dp
+    // round absorbs nothing (the values are exactly representable
+    // sums of two divisions both engines compute identically)
+    "text_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+        |    CAST(count(*) FILTER (w = 'spark') AS BIGINT) AS tf_a,
+        |    CAST(count(*) FILTER (w = 'vector') AS BIGINT) AS tf_b,
+        |    CAST(count(*) FILTER (w = 'stream') AS BIGINT) AS tf_c
+        |  FROM tok GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS tot,
+        |    CAST(count(*) FILTER (tf_a > 0) AS BIGINT) AS df_a,
+        |    CAST(count(*) FILTER (tf_b > 0) AS BIGINT) AS df_b,
+        |    CAST(count(*) FILTER (tf_c > 0) AS BIGINT) AS df_c
+        |  FROM pd),
+        |sc AS (
+        |  SELECT doc_id, round(
+        |    (CASE WHEN tf_a > 0
+        |      THEN ln(1.0 + (n_docs - df_a + 0.5) / (df_a + 0.5)) *
+        |        (CAST(tf_a AS DOUBLE) * 2.2 / (CAST(tf_a AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+        |            (CAST(tot AS DOUBLE) / n_docs)))))
+        |      ELSE 0.0 END) +
+        |    (CASE WHEN tf_b > 0
+        |      THEN ln(1.0 + (n_docs - df_b + 0.5) / (df_b + 0.5)) *
+        |        (CAST(tf_b AS DOUBLE) * 2.2 / (CAST(tf_b AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+        |            (CAST(tot AS DOUBLE) / n_docs)))))
+        |      ELSE 0.0 END) +
+        |    (CASE WHEN tf_c > 0
+        |      THEN ln(1.0 + (n_docs - df_c + 0.5) / (df_c + 0.5)) *
+        |        (CAST(tf_c AS DOUBLE) * 2.2 / (CAST(tf_c AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+        |            (CAST(tot AS DOUBLE) / n_docs)))))
+        |      ELSE 0.0 END), 4) AS score
+        |  FROM pd CROSS JOIN m),
+        |lexall AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+        |  FROM sc),
+        |lex AS (SELECT doc_id, lr FROM lexall WHERE lr <= 20),
+        |v AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |q AS (SELECT dim, x AS qx FROM v WHERE vec_id = 0),
+        |z AS (SELECT v.vec_id, v.x, q.qx FROM v JOIN q ON v.dim = q.dim
+        |  WHERE v.vec_id <> 0),
+        |sums AS (SELECT vec_id, sum(x * qx) AS dt, sum(qx * qx) AS na,
+        |    sum(x * x) AS nb
+        |  FROM z GROUP BY 1),
+        |cs AS (SELECT vec_id,
+        |    round(dt / (sqrt(na) * sqrt(nb)), 4) AS cos FROM sums),
+        |semall AS (SELECT vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, vec_id) AS sr
+        |  FROM cs),
+        |sem AS (SELECT doc_id, sr FROM semall WHERE sr <= 20),
+        |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |    lex.lr, sem.sr
+        |  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id),
+        |r AS (SELECT doc_id, coalesce(lr, -1) AS lex_rnk,
+        |    coalesce(sr, -1) AS sem_rnk,
+        |    round(coalesce(1.0::DOUBLE / (60 + lr), 0) +
+        |      coalesce(1.0::DOUBLE / (60 + sr), 0), 6) AS rrf_score
+        |  FROM f)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+        |    AS BIGINT) AS rnk,
+        |  doc_id, CAST(lex_rnk AS BIGINT) AS lex_rnk,
+        |  CAST(sem_rnk AS BIGINT) AS sem_rnk, rrf_score
+        |FROM r ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+    // JPEG is lossy: dims replay exactly from the generator; the
+    // bounded-error flags (max |delta| <= 16, mean <= 4.0 — 2x the
+    // measured worst case over the generator family) are predicted
+    // TRUE, the q_approx_stats error-bound oracle pattern
+    "multimodal_jpeg_codec" ->
+      """SELECT doc_id, CAST(8 + doc_id % 24 AS BIGINT) AS width,
+        |  CAST(8 + (doc_id * 7) % 24 AS BIGINT) AS height,
+        |  TRUE AS max_delta_ok, TRUE AS mean_delta_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_theta_setops" ->
       """WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
         |n AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),

@@ -82,4 +82,57 @@ object Components {
           "raise maxRounds (cluster diameter exceeds 2^rounds)")
     labels
   }
+
+  /** INCREMENTAL component maintenance: fold a batch's verified edges
+    * into an existing (id, keeper) labeling without re-clustering the
+    * corpus.
+    *
+    * Every old cluster is contracted to its keeper (labels are member
+    * ids, and the keeper is the component MINIMUM, so the contracted
+    * node inherits exactly the value a full re-cluster would
+    * propagate); batch-edge endpoints map to their representative —
+    * their old keeper if clustered, themselves otherwise — and
+    * [[keepers]] runs on the contracted graph, whose size is bounded
+    * by |batch edges| + batch-touched clusters, never the corpus.
+    * Old labels then relabel through the contracted result (one
+    * broadcast-size join — only touched keepers appear in it), and
+    * newly-clustered ids (batch docs, previously-unclustered old docs
+    * pulled in by a batch edge) union in directly.
+    *
+    * Equivalence to the full rebuild: components are
+    * order-independent, so components(old edges ∪ batch edges) =
+    * components(contract(old) ∪ mapped batch edges) expanded back —
+    * provided the batch edge set contains every true pair touching
+    * the batch (the LSH recall contract the caller already relies on
+    * for the full clustering). At 100 TB this is the difference
+    * between a |batch|-bounded fold per ingest and a corpus-wide
+    * re-cluster. */
+  def incrementalKeepers(oldLabels: DataFrame, batchEdges: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    val la = oldLabels.select(col("id").as("id_a"), col("keeper").as("_ka"))
+    val lb = oldLabels.select(col("id").as("id_b"), col("keeper").as("_kb"))
+    val contracted = batchEdges
+      .join(la, Seq("id_a"), "left")
+      .join(lb, Seq("id_b"), "left")
+      .select(coalesce(col("_ka"), col("id_a")).as("_ra"),
+        coalesce(col("_kb"), col("id_b")).as("_rb"))
+      .filter(col("_ra") =!= col("_rb"))
+      .select(least(col("_ra"), col("_rb")).as("id_a"),
+        greatest(col("_ra"), col("_rb")).as("id_b"))
+      .distinct()
+      .cache()
+    if (contracted.isEmpty) { contracted.unpersist(); return oldLabels }
+    val folded = keepers(contracted, maxRounds)
+    // relabel old clusters whose keeper merged; untouched keepers pass
+    // through (folded holds ONLY touched nodes — broadcast-size)
+    val remap = folded
+      .select(col("id").as("keeper"), col("keeper").as("_nk"))
+    val relabeled = oldLabels.join(remap, Seq("keeper"), "left")
+      .select(col("id"), coalesce(col("_nk"), col("keeper")).as("keeper"))
+    // ids newly entering a cluster: batch docs and previously-
+    // unclustered old docs (they were their own representative)
+    val fresh = folded.join(oldLabels.select(col("id")), Seq("id"),
+      "left_anti")
+    relabeled.unionByName(fresh.select(col("id"), col("keeper")))
+  }
 }

@@ -142,13 +142,21 @@ object MinHashLSH {
     * `minJaccard` to bound the verify stage. */
   def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, cfg: Config = Config()): DataFrame = {
-    val minEst = math.max(0.0, minJaccard - 0.3)
-    // ONE shingle pass feeds both the signature stage and the exact
-    // verification sides: the shingle frame is cached and signatures
-    // derive from it, instead of re-shingling the corpus three times
-    // (sigs + each verify side). The cached frames are the in-process
-    // stand-in for the stored signature index a production pipeline
-    // maintains; Dedup.clean reuses them for its second pass.
+    val (sh, sigs) = index(docs, idCol, textCol, cfg)
+    verifiedPairsFrom(sh, sigs, minJaccard, cfg)
+  }
+
+  /** Cached (shingles, signatures) frames for `docs` — the reusable
+    * building block when one caller needs the same corpus slice for
+    * several stages (in-corpus pairs AND a cross-probe, as
+    * dedup_incremental_clusters does): ONE shingle pass feeds the
+    * signature stage and every exact-verification side, instead of
+    * re-shingling the slice per stage. The cached frames are the
+    * in-process stand-in for the stored signature index a production
+    * pipeline maintains; Dedup.clean reuses them for its second
+    * pass. */
+  def index(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): (DataFrame, DataFrame) = {
     val sh = docs
       .select(col(idCol).as("id"),
         graft.functions.exprs.shingles(col(textCol), cfg.shingleK).as("_sh"))
@@ -158,6 +166,13 @@ object MinHashLSH {
       .select(col("id"),
         graft.functions.exprs.minhashSigs(col("_sh"), cfg.numPerms).as("sigs"))
       .cache()
+    (sh, sigs)
+  }
+
+  /** [[verifiedPairs]] over pre-built [[index]] frames. */
+  def verifiedPairsFrom(sh: DataFrame, sigs: DataFrame,
+      minJaccard: Double, cfg: Config = Config()): DataFrame = {
+    val minEst = math.max(0.0, minJaccard - 0.3)
     val cands = candidatePairs(sigs, cfg)
       .filter(col("est_sim") >= minEst)
     val sa = sh.select(col("id").as("id_a"), col("_sh").as("_sha"))

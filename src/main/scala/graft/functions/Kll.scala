@@ -7,7 +7,7 @@ import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge.{column, expression}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -32,11 +32,16 @@ case class KllSketchAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch] {
+  extends TypedImperativeAggregate[KllDoublesSketch]
+  with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(value)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+  // analysis-time contract (r10 ADVICE): a non-numeric value column
+  // fails resolution (and ints coerce to double) instead of a mid-job
+  // ClassCastException after a testdata type drift
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
@@ -71,11 +76,13 @@ case class KllMergeAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch] {
+  extends TypedImperativeAggregate[KllDoublesSketch]
+  with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(sketch)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)

@@ -6,7 +6,7 @@ import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation,
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge.{column, expression}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -35,11 +35,16 @@ case class ThetaSketchAgg(
     lgK: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Union] {
+  extends TypedImperativeAggregate[Union]
+  with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(key)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+  // analysis-time contract (r10 ADVICE): a non-BIGINT key (e.g. an int
+  // user_id after a testdata type drift) coerces or fails resolution
+  // instead of a mid-job ClassCastException in update()
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()

@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge.{column, expression}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -27,12 +27,16 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
+  extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k > 0)
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
+  // analysis-time contract (r10 ADVICE, Theta pattern): numeric inputs
+  // coerce, anything else fails resolution — not mid-job in update()
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))), containsNull = false)

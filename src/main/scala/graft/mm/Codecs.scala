@@ -114,6 +114,66 @@ object Codecs {
     (w, h, s)
   }
 
+  // ---- JPEG ---------------------------------------------------------
+
+  /** Real JPEG bytes for the doc's deterministic grayscale image —
+    * `javax.imageio`'s second genuine codec, the LOSSY twin of
+    * [[encodePng]]. Quality is set explicitly so the DCT quantization
+    * tables (and therefore the decode error) are fixed; for a given
+    * input + quality the encode is deterministic. */
+  def encodeJpeg(docId: Long, quality: Float = 0.95f): Array[Byte] = {
+    val w = pngWidth(docId)
+    val h = pngHeight(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, grayAt(x, y, docId))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Decode real JPEG bytes → (width, height, max |decoded−source|,
+    * Σ |decoded−source|) against the deterministic generator. JPEG is
+    * lossy, so unlike the PNG checksum the per-pixel values cannot be
+    * replayed by an oracle — the contract is the decoded DIMENSIONS
+    * (exact) plus BOUNDED pixel error (flags the oracle predicts). */
+  def decodeJpegDelta(bytes: Array[Byte], docId: Long): (Int, Int, Long, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var maxD = 0L
+    var sumD = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = math.abs(raster.getSample(x, y, 0) - grayAt(x, y, docId)).toLong
+        if (d > maxD) maxD = d
+        sumD += d
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, maxD, sumD)
+  }
+
   // ---- WAV ----------------------------------------------------------
 
   val WavRate = 16000f

@@ -388,7 +388,7 @@ object PipelineQueries {
   private val ivfModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Ivf.IvfModel]
 
-  private def ivfModelFor(s: SparkSession, d: String): graft.sim.Ivf.IvfModel =
+  private[graft] def ivfModelFor(s: SparkSession, d: String): graft.sim.Ivf.IvfModel =
     ivfModels.computeIfAbsent(d, _ => {
       val store = sys.props("java.io.tmpdir") + "/graft_ivf_" +
         java.util.UUID.nameUUIDFromBytes(
@@ -412,7 +412,7 @@ object PipelineQueries {
   private val pqModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.sim.Pq.PqModel]
 
-  private def pqModelFor(s: SparkSession, d: String): graft.sim.Pq.PqModel =
+  private[graft] def pqModelFor(s: SparkSession, d: String): graft.sim.Pq.PqModel =
     pqModels.computeIfAbsent(d, _ => {
       val store = sys.props("java.io.tmpdir") + "/graft_pq_" +
         java.util.UUID.nameUUIDFromBytes(
@@ -636,6 +636,215 @@ object PipelineQueries {
         floor(col("n_dup_windows") * lit(10000.0) / col("n_windows")
           + lit(0.5)).cast("long").as("dup_frac_bp"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Substring-span EXCISION — the second half of
+    * [[dedupSubstringSpans]] (which reports the duplicated-window
+    * census): coalesce overlapping duplicated windows into MAXIMAL
+    * (start, end) character spans per doc and emit the cleaned-doc
+    * census — spans found, chars removed, chars kept. This is the
+    * published exact-substring dedup behavior (remove the duplicated
+    * spans, keep the rest), realized as gaps-and-islands over window
+    * char offsets: a window opens a new island when its start lies
+    * beyond the running max end of all earlier windows (stride-aware —
+    * windows overlap whenever starts are within W chars, regardless of
+    * stride). All arithmetic is exact integers; the per-doc window
+    * frames are bounded (O(len/stride) rows per doc, partitioned by
+    * doc — no data-scaled global window), so the oracle replays the
+    * merge verbatim in SQL. */
+  def dedupSpanExcise(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 50
+    val St = 10
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val wins = docs
+      .filter(length(col("text")) >= W)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          expr(s"(length(text) - $W) div $St").cast("int"))).as("i"))
+      .select(col("doc_id"), col("i"),
+        graft.functions.exprs.md5Lower64(
+          expr(s"substring(text, i * $St + 1, $W)")).as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    // duplicated windows as [start, end) char intervals; the dup-hash
+    // set joins back without a broadcast hint (dedupSubstringSpans'
+    // AQE rationale — unbounded on boilerplate-heavy corpora)
+    val dw = wins.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), (col("i") * St).cast("long").as("s"),
+        (col("i") * St + W).cast("long").as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val islands = dw
+      .withColumn("_pme", max(col("e")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pme").isNull || col("s") > col("_pme"), 1).otherwise(0))
+      .withColumn("island", sum(col("_new")).over(byDoc))
+    val spans = islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+    spans
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss")).as("chars_removed"))
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("_len")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("chars_removed"),
+        (col("_len") - col("chars_removed")).as("chars_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hybrid retrieval fusion — reciprocal-rank fusion (k=60) of the
+    * lexical BM25 ranking ([[textBm25Rank]]'s model, widened to
+    * top-20) and a semantic exact-cosine ranking (query = vec_id 0's
+    * embedding over the corpus, the [[annBruteTopK]] kernel): the
+    * standard RAG-stack retrieval shape. Both input rankings are
+    * integer ranks from already-oracle-verified orderings, and the RRF
+    * score 1/(60+r) is a single exactly-rounded IEEE division per
+    * list, so the fused ranking is a pure SQL replay. Scale shape: the
+    * two top-k lists are k-row frames (TakeOrderedAndProject on each
+    * side), the fusion is a k-row full outer join — nothing here
+    * scales with the corpus beyond the two scoring passes. */
+  def textHybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 20
+    val rrfK = 60
+    // lexical: BM25 over the fixed 3-term query, top-20 with ranks
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        count(when(col("w") === "spark", 1)).as("tf_a"),
+        count(when(col("w") === "vector", 1)).as("tf_b"),
+        count(when(col("w") === "stream", 1)).as("tf_c"))
+    val model = perDoc.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"),
+      count(when(col("tf_a") > 0, 1)).as("df_a"),
+      count(when(col("tf_b") > 0, 1)).as("df_b"),
+      count(when(col("tf_c") > 0, 1)).as("df_c"))
+    def contrib(tf: org.apache.spark.sql.Column,
+        dfc: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val idf = log(lit(1.0) +
+        (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+      val tfd = tf.cast("double")
+      val norm = lit(1.2) * (lit(0.25) +
+        lit(0.75) * (col("dl").cast("double") /
+          (col("tot").cast("double") / col("n_docs"))))
+      when(tf > 0, idf * (tfd * lit(2.2) / (tfd + norm))).otherwise(lit(0.0))
+    }
+    val lex = perDoc.crossJoin(broadcast(model))
+      .withColumn("score", round(
+        contrib(col("tf_a"), col("df_a")) +
+          contrib(col("tf_b"), col("df_b")) +
+          contrib(col("tf_c"), col("df_c")), 4))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(K)
+      .withColumn("lex_rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rnk"))
+    // semantic: exact cosine of every corpus vector against vec_id 0
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("_e"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("_e").as("_qe"))
+    val sem = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(Ann.cosine(col("_qe"), col("_e")), 4))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(K)
+      .withColumn("sem_rnk", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rnk"))
+    // fusion: RRF with the standard k=60 constant; the 20-row lists
+    // full-outer join on doc id (documents and embeddings share the
+    // id space: vec_id i is doc i's embedding)
+    val rrf =
+      coalesce(lit(1.0) / (lit(rrfK) + col("lex_rnk")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("sem_rnk")), lit(0.0))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round(rrf, 6))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .select(col("rnk"), col("doc_id"),
+        coalesce(col("lex_rnk"), lit(-1L)).as("lex_rnk"),
+        coalesce(col("sem_rnk"), lit(-1L)).as("sem_rnk"),
+        col("rrf_score"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Multimodal REAL lossy image codec — JPEG roundtrip through
+    * `javax.imageio` (the lossy twin of [[multimodalPngCodec]]): each
+    * doc's deterministic grayscale image is encoded to genuine JPEG
+    * bytes (DCT + quantization at explicit quality 0.95) and decoded
+    * back per-partition. JPEG is lossy, so the pixel values cannot be
+    * oracle-replayed; the contract is decoded DIMENSIONS (exact — a
+    * corrupted header or mis-decoded container fails loudly) plus
+    * BOUNDED pixel error flags the oracle predicts TRUE (measured
+    * worst case over the generator family: max |Δ| = 7, mean ≤ 1.86;
+    * bounds 16 / 4.0 are 2× headroom without being vacuous). Same
+    * mapPartitions codec seam; map-only at any corpus size. */
+  def multimodalJpegCodec(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodeJpeg(id)
+        val (w, h, maxD, sumD) = graft.mm.Codecs.decodeJpegDelta(bytes, id)
+        (id, w.toLong, h.toLong, maxD <= 16L,
+          sumD.toDouble / (w * h) <= 4.0)
+      })
+      .toDF("doc_id", "width", "height", "max_delta_ok", "mean_delta_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** INCREMENTAL cluster maintenance — the missing half of
+    * [[dedupIncremental]] (which classifies a batch but leaves the
+    * persisted cluster labels stale): fold the batch's verified
+    * near-dup edges into the existing corpus clustering WITHOUT
+    * re-clustering the corpus. The persisted labels stand in as the
+    * old-corpus components; the batch contributes (a) batch↔corpus
+    * edges from the LSH cross-probe and (b) batch↔batch edges from
+    * banding the batch alone — both exact-verified on true shingle
+    * Jaccard ≥ 0.5. The relabel graph contracts every old cluster to
+    * its keeper, so its size is bounded by |batch| + batch-touched
+    * clusters, never the corpus ([[graft.dedup.Components
+    * .incrementalKeepers]]). Contracted output = the full re-cluster
+    * of the unioned corpus — [[dedupClusters]]' oracle, shared
+    * verbatim, which PROVES the incremental fold equals the batch
+    * rebuild. */
+  def dedupIncrementalClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    // ONE cached shingle+signature index per side feeds all three edge
+    // stages (old pairs, batch pairs, cross-probe + its verification)
+    // — without this the corpus slice re-shingles once per stage
+    val (shOld, sigsOld) = MinHashLSH.index(old, "doc_id", "text")
+    val (shBatch, sigsBatch) = MinHashLSH.index(batch, "doc_id", "text")
+    // persisted old-corpus clustering (stand-in for the stored labels)
+    val oldLabels = graft.dedup.Components.keepers(
+      MinHashLSH.verifiedPairsFrom(shOld, sigsOld, minJaccard = 0.5))
+    // batch↔batch verified edges: the batch banded + verified alone
+    val batchPairs = MinHashLSH
+      .verifiedPairsFrom(shBatch, sigsBatch, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"))
+    // batch↔corpus verified edges: cross-probe candidates verified on
+    // true Jaccard (dedupIncremental's near path, kept as edges)
+    val crossPairs = MinHashLSH.crossCandidates(sigsOld, sigsBatch)
+      .join(shBatch.select(col("id").as("new_id"), col("_sh").as("_shn")),
+        "new_id")
+      .join(shOld.select(col("id").as("old_id"), col("_sh").as("_sho")),
+        "old_id")
+      .filter(size(array_intersect(col("_shn"), col("_sho")))
+        .cast("double") /
+        size(array_union(col("_shn"), col("_sho"))) >= 0.5)
+      .select(col("new_id").as("id_a"), col("old_id").as("id_b"))
+    graft.dedup.Components.incrementalKeepers(oldLabels,
+        batchPairs.unionByName(crossPairs))
+      .orderBy(col("id"))
   }
 
   /** Theta-sketch set algebra — the capability HLL lacks: theta

@@ -26,27 +26,38 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
-  /** Approximate top-k: IVF probe → in-cell ADC shortlist → exact
-    * re-rank. */
-  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-      ivf: Ivf.IvfModel, pq: Pq.PqModel, nProbe: Int,
-      shortlist: Int): DataFrame = {
+  /** The stored-index build: one map-only pass over the corpus — cell
+    * assignment + per-subspace codes + codeword reconstruction (the
+    * float vector is DROPPED after this projection — downstream stages
+    * see only `c_id`, `cell`, `_re`). In production this is the
+    * persisted artifact the ingestion pipeline maintains; [[topK]]
+    * computes it inline and the streaming probe
+    * ([[graft.streaming.Events.streamAnnProbe]]) caches it as the
+    * static side of a stream-static join. */
+  def encode(corpus: DataFrame, ivf: Ivf.IvfModel,
+      pq: Pq.PqModel): DataFrame = {
     val sub = pq.subDim
     val codeCols = (0 until pq.m).map { j =>
       element_at(graft.functions.exprs.nearestCells(
         slice(col("_ce"), j * sub + 1, sub), pq.codebooks(j), 1), 1)
         .as(s"code$j")
     }
-    // one map-only pass: cell assignment + per-subspace codes +
-    // codeword reconstruction (the float vector is DROPPED after this
-    // projection — downstream stages see only cell, codes, recon)
-    val coded = corpus
+    corpus
       .select(col("vec_id").as("c_id"),
         col("embedding").cast("array<double>").as("_ce"))
       .withColumn("cell", element_at(
         graft.functions.exprs.nearestCells(col("_ce"), ivf.centroids, 1), 1))
       .select(col("c_id") +: col("cell") +: codeCols: _*)
       .withColumn("_re", Pq.reconstruct(pq))
+      .select(col("c_id"), col("cell"), col("_re"))
+  }
+
+  /** Approximate top-k: IVF probe → in-cell ADC shortlist → exact
+    * re-rank. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      ivf: Ivf.IvfModel, pq: Pq.PqModel, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    val coded = encode(corpus, ivf, pq)
     val probes = queries
       .select(col("vec_id").as("q_id"),
         col("embedding").cast("array<double>").as("_qe"))

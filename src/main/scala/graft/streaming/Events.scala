@@ -1263,6 +1263,13 @@ object Events {
       var click: Option[(Long, Long, Long)] =
         prev.filter(_.hasClick).map(p => (p.clickUs, p.clickEid, p.clickTsS))
       val out = scala.collection.mutable.ArrayBuffer[AsofOut]()
+      // sentinel row (event_id = -1): makes THIS fold's epoch visible
+      // in the output even when the batch carries no purchases — the
+      // r10 ADVICE hole where a click-only second batch left
+      // require(maxEpoch <= 1) reading only batch-1 purchase rows and
+      // passing silently on exactly the cross-batch disorder it
+      // guards. One bounded row per (user, batch); stripped below.
+      out += AsofOut(uid, epoch, -1L, -1L, -1L, -1L)
       sorted.foreach { e =>
         if (e.event_type == "purchase")
           out += AsofOut(uid, epoch, e.event_id, e.ts_s,
@@ -1290,6 +1297,9 @@ object Events {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     StreamMeter.record(q)
+    // epoch read over ALL rows including sentinels: every fold emits
+    // one, so a tracked user split across batches is visible even if
+    // the later batch held only clicks (the r10 ADVICE hazard)
     val maxEpoch = spark.table(name)
       .agg(coalesce(max(col("epoch")), lit(0L))).head.getLong(0)
     require(maxEpoch <= 1,
@@ -1297,8 +1307,85 @@ object Events {
         s"a single micro-batch (a user folded over $maxEpoch batches) " +
         s"— compact the source or buffer late rows by watermark")
     spark.table(name)
+      .filter(col("event_id") >= 0) // drop the per-fold epoch sentinels
       .select(col("user_id"), col("event_id"), col("ts_s"),
         col("click_ts_s"), col("lag_s"))
       .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** STREAMING ANN serving —
+    * [[graft.ops.PipelineQueries.annIvfPqTopK]] as a continuous
+    * query: micro-batches of query vectors probe the PERSISTED IVF-PQ
+    * index (the vector-store serving shape). The static side is the
+    * stored index — [[graft.sim.IvfPq.encode]]'s (c_id, cell, recon)
+    * frame, cached and materialized pre-stream exactly like
+    * [[streamDedupMinhash]]'s band index. Each query row is a pure
+    * stateless projection (cell probes via the codegen'd NearestCells
+    * kernel) into a stream-STATIC equi-join on cell id — only the
+    * probed cells are read per micro-batch, and the join holds ZERO
+    * state (the static side re-resolves from cache each batch; no
+    * symmetric-hash buffering, asserted from progress in
+    * Round11Spec). The in-stream ADC shortlist is the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate — ≤50-struct state per
+    * query, merged associatively across batches — and the exact
+    * re-rank pays float precision for |q|·50 rows post-sink, same as
+    * the batch pipeline. Converges to annIvfPqTopK's answer — the
+    * shared value-level oracle (both fitted models fold in as
+    * literals). Multi-batch is FORCED (maxFilesPerTrigger=1 over a
+    * 2-file input) so per-batch serving is what the gate verifies. */
+  def streamAnnProbe(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivf = graft.ops.PipelineQueries.ivfModelFor(spark, sfDir)
+    val pq = graft.ops.PipelineQueries.pqModelFor(spark, sfDir)
+    // the stored index: cells + PQ reconstructions, cached pre-stream
+    // (in production a persisted artifact; re-resolved per batch)
+    val coded = graft.sim.IvfPq.encode(emb, ivf, pq).cache()
+    coded.count() // materialize before the stream starts
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = graft.util.Scratch.dir("graft_sap").toString + "/in"
+    queries.repartition(2).write.mode("overwrite").parquet(dir)
+    val st = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1") // force >1 micro-batch
+      .parquet(dir)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("_qe"))
+      .withColumn("cell", explode(
+        graft.functions.exprs.nearestCells(col("_qe"), ivf.centroids, 4)))
+    val adc = st.join(coded, Seq("cell")) // stream-static: no join state
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("adc",
+        round(graft.sim.Ann.cosine(col("_qe"), col("_re")), 4))
+    // bounded-heap ADC shortlist per query: TopKByScore's tie order
+    // (score desc, id asc) is exactly the batch shortlist window's
+    val short = adc.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topK(col("adc"), col("c_id"), 50)
+        .as("short"))
+    val name = s"graft_stream_annprobe_${n.incrementAndGet()}"
+    val q = short.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    coded.unpersist(blocking = false)
+    // post-sink exact re-rank of the shortlist — the identical
+    // |q|·shortlist join the batch pipeline runs
+    val cand = spark.table(name)
+      .select(col("q_id"), explode(col("short")).as("_s"))
+      .select(col("q_id"), col("_s.id").as("c_id"))
+    val qv = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("_qe"))
+    val cv = emb.select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("_ce"))
+    val exact = cand.join(broadcast(qv), Seq("q_id")).join(cv, Seq("c_id"))
+      .withColumn("score",
+        round(graft.sim.Ann.cosine(col("_qe"), col("_ce")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "c_id", "score")
+      .orderBy(col("q_id"), col("rnk"))
   }
 }

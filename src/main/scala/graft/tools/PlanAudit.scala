@@ -108,6 +108,10 @@ object PlanAudit {
         PipelineQueries.annIvfPqFiltered(spark, d),
       "q_sample_weighted_reservoir (global top-k = TakeOrderedAndProject, no sort)" ->
         PipelineQueries.sampleWeightedReservoir(spark, d),
+      "dedup_span_excise (8-byte window hashes shuffle; per-doc bounded island merge)" ->
+        PipelineQueries.dedupSpanExcise(spark, d),
+      "text_hybrid_rrf (two TakeOrdered k-row lists; k-row fusion join)" ->
+        PipelineQueries.textHybridRrf(spark, d),
       "q_holt_winters (one shuffle to daily grain; fold on the tiny series frame)" ->
         graft.ops.Behavior.qHoltWinters(spark, d),
       "q_kll_quantile_merge (partial-aggregable sketches; 1-row estimate broadcast)" ->

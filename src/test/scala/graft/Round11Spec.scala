@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.PipelineQueries
+
+/** Round-11 regressions: bench self-correction (isolated re-measure +
+  * band provenance), the streamAsofJoin epoch sentinel, span excision,
+  * incremental cluster maintenance, hybrid RRF, the JPEG codec, and
+  * the streaming ANN probe's state shape.
+  */
+class Round11Spec extends SparkSuite {
+
+  test("band rule flags at 2x (the r10 18-keys-unflagged gap)") {
+    val band = Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.1)
+    val best = Map(
+      "a" -> 2.3,  // >2x and >0.5s absolute: flagged
+      "b" -> 1.9,  // <2x: no flag
+      "c" -> 0.3)  // >2x but <0.5s absolute: no flag
+    assert(Bench.bandStallFlags(best, band) == Seq("a"))
+  }
+
+  test("parseBand ignores provenance keys; bandProvenance reads them") {
+    val txt = """{"_sf_dir":"/root/testdata/sf0.1","_cpus":32,"q1":0.5}"""
+    assert(Bench.parseBand(txt) == Map("q1" -> 0.5))
+    assert(Bench.bandProvenance(txt).contains(("/root/testdata/sf0.1", 32)))
+    assert(Bench.bandProvenance("""{"q1":0.5}""").isEmpty)
+  }
+
+  test("committed band file carries provenance for the bench config") {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_BAND.json")), "UTF-8")
+    assert(Bench.bandProvenance(txt).nonEmpty,
+      "BENCH_BAND.json lacks _sf_dir/_cpus provenance — reseed with " +
+        "tools/mkband.py")
+  }
+
+  test("span excision merges overlapping windows into maximal spans") {
+    val out = PipelineQueries.dedupSpanExcise(spark, sf).collect()
+    assert(out.nonEmpty, "no duplicated spans at this scale")
+    val census = PipelineQueries.dedupSubstringSpans(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_dup_windows")).toMap
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == census.keySet,
+      "excision and census must cover the same docs")
+    out.foreach { r =>
+      val (id, n, rem, kept) = (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("chars_removed"),
+        r.getAs[Long]("chars_kept"))
+      assert(n >= 1 && rem >= 50 && kept >= 0, s"degenerate row $r")
+      // each maximal span covers >= one 50-char window; merged spans
+      // can never exceed the dup-window count x window width
+      assert(n <= census(id), s"more spans than dup windows for doc $id")
+      assert(rem <= census(id) * 50, s"span chars exceed window cover $id")
+    }
+  }
+
+  test("incremental cluster fold equals the full re-cluster") {
+    // the contract the shared dedup_clusters oracle checks at the
+    // gate, asserted Spark-side too: folding the batch into the
+    // old-corpus labels reproduces the union clustering exactly
+    val inc = PipelineQueries.dedupIncrementalClusters(spark, sf)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("keeper")))
+    val full = PipelineQueries.dedupClusters(spark, sf)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("keeper")))
+    assert(inc.toSeq.sorted == full.toSeq.sorted)
+  }
+
+  test("incrementalKeepers merges old clusters through batch edges") {
+    import spark.implicits._
+    // old clusters {1,2} (keeper 1) and {5,6} (keeper 5); batch doc 3
+    // bridges them; batch docs 10,11 form a fresh cluster; old doc 8
+    // was never clustered and is pulled in by batch doc 7
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "keeper")
+    val edges = Seq((3L, 2L), (3L, 6L), (10L, 11L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val got = graft.dedup.Components.incrementalKeepers(oldLabels, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (7L, 7L), (8L, 7L)))
+    // no batch edges: labels pass through untouched
+    val same = graft.dedup.Components.incrementalKeepers(oldLabels,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(same == Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("hybrid RRF fuses the two verified rankings") {
+    val rows = PipelineQueries.textHybridRrf(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == (1L to 10L))
+    rows.foreach { r =>
+      val (lex, sem, score) = (r.getAs[Long]("lex_rnk"),
+        r.getAs[Long]("sem_rnk"), r.getAs[Double]("rrf_score"))
+      assert(lex != -1L || sem != -1L, "fused doc in neither list")
+      val expect = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (sem > 0) 1.0 / (60 + sem) else 0.0)
+      assert(math.abs(score - expect) < 1e-6, s"rrf mismatch in $r")
+    }
+    // scores non-increasing in rank
+    val scores = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("rrf_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("JPEG roundtrip: exact dims, bounded lossy error") {
+    val rows = PipelineQueries.multimodalJpegCodec(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("width") == 8 + id % 24)
+      assert(r.getAs[Long]("height") == 8 + (id * 7) % 24)
+      assert(r.getAs[Boolean]("max_delta_ok"), s"max delta blown for $id")
+      assert(r.getAs[Boolean]("mean_delta_ok"), s"mean delta blown for $id")
+    }
+    // the codec really is lossy — a zero-delta "JPEG" would mean the
+    // stub replaced the real codec
+    val anyLoss = rows.take(20).exists { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (_, _, maxD, _) = graft.mm.Codecs.decodeJpegDelta(
+        graft.mm.Codecs.encodeJpeg(id), id)
+      maxD > 0
+    }
+    assert(anyLoss, "JPEG decode was pixel-perfect — codec not lossy?")
+  }
+
+  test("stream ANN probe equals the batch IVF-PQ answer, zero join state") {
+    val streamed = graft.streaming.Events.streamAnnProbe(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = PipelineQueries.annIvfPqTopK(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      "streaming probe diverged from batch IVF-PQ")
+    val ops = graft.streaming.StreamMeter.stateOps.get("graft_stream_annprobe")
+    assert(ops != null && ops.nonEmpty, "no state-operator progress recorded")
+    val joinOps = ops.filter(_._1.toLowerCase.contains("join"))
+    assert(joinOps.isEmpty, s"unexpected join state operators: $joinOps")
+    // shortlist state is bounded by the query batch, not the corpus
+    val aggRows = ops.map(_._2).sum
+    assert(aggRows <= 10, s"state rows $aggRows exceed query count")
+  }
+
+  test("streamAsofJoin emits no epoch sentinels and matches the batch asof") {
+    val out = graft.streaming.Events.streamAsofJoin(spark, sf)
+    assert(out.filter(col("event_id") < 0).count() == 0,
+      "epoch sentinel leaked into the presented result")
+    assert(out.count() > 0)
+  }
+}
