@@ -335,11 +335,14 @@ object SparkEntry {
     * [[embedBucketsOracle]]; replays bucketing, directed pair
     * generation, basis-point cosine scoring, and the (cos_bp desc,
     * nbr asc) top-3 ranking. */
-  private def embedKnnOracle: String = {
+  /** Shared CTE head for the embed_knn_graph family: hyperplane
+    * literals → sign buckets → in-bucket pairs → basis-point cosine →
+    * per-vector rank (`rk`). */
+  private def knnCtes: String = {
     val values = graft.sim.Ann.planes(8, 64).zipWithIndex
       .map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
       .mkString(", ")
-    s"""WITH pl(j, p) AS (VALUES $values),
+    s"""pl(j, p) AS (VALUES $values),
        |e AS (SELECT vec_id, embedding FROM embeddings),
        |z AS (SELECT vec_id, j, unnest(e.embedding)::DOUBLE AS x,
        |        unnest(pl.p) AS y
@@ -367,11 +370,32 @@ object SparkEntry {
        |  FROM z2 GROUP BY 1, 2),
        |rk AS (SELECT ia, ib, cos_bp, row_number() OVER
        |    (PARTITION BY ia ORDER BY cos_bp DESC, ib) AS r
-       |  FROM cs)
+       |  FROM cs)""".stripMargin
+  }
+
+  private def embedKnnOracle: String =
+    s"""WITH $knnCtes
        |SELECT ia AS vec_id, CAST(r AS BIGINT) AS rank, ib AS nbr_id,
        |  cos_bp
        |FROM rk WHERE r <= 3 ORDER BY vec_id, rank""".stripMargin
-  }
+
+  /** dedup_embed_clusters oracle: the knn replay extended with the
+    * mutual-edge join and a recursive-CTE components pass (the
+    * dedup_clusters `reach` recipe on the ≤1.5·|corpus| mutual
+    * edges). */
+  private def embedClustersOracle: String =
+    s"""WITH RECURSIVE $knnCtes,
+       |knn AS (SELECT ia, ib FROM rk WHERE r <= 3),
+       |m AS (SELECT a.ia AS id_a, a.ib AS id_b FROM knn a JOIN knn b
+       |  ON a.ia = b.ib AND a.ib = b.ia WHERE a.ia < a.ib),
+       |reach(id, rr) AS (SELECT id_a, id_a FROM m
+       |  UNION SELECT id_b, id_b FROM m
+       |  UNION
+       |  SELECT reach.id,
+       |    CASE WHEN m.id_a = reach.rr THEN m.id_b ELSE m.id_a END
+       |  FROM reach JOIN m ON m.id_a = reach.rr OR m.id_b = reach.rr)
+       |SELECT id, min(rr) AS keeper FROM reach GROUP BY id
+       |ORDER BY id""".stripMargin
 
   /** ann_lsh_topk oracle: the hyperplanes are deterministic constants
     * (Ann.planes, seed 7) — folding the same literals into the SQL lets
@@ -702,6 +726,8 @@ object SparkEntry {
     "dedup_span_excise" -> (PipelineQueries.dedupSpanExcise _),
     "dedup_incremental_clusters" ->
       (PipelineQueries.dedupIncrementalClusters _),
+    "dedup_embed_clusters" -> (PipelineQueries.dedupEmbedClusters _),
+    "ann_sq8_topk" -> (PipelineQueries.annSq8TopK _),
     "text_hybrid_rrf" -> (PipelineQueries.textHybridRrf _),
     "multimodal_jpeg_codec" -> (PipelineQueries.multimodalJpegCodec _),
     "stream_ann_probe" -> (graft.streaming.Events.streamAnnProbe _),
@@ -3858,6 +3884,44 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracle,
     "dedup_embed_buckets" -> embedBucketsOracle,
     "embed_knn_graph" -> embedKnnOracle,
+    "dedup_embed_clusters" -> embedClustersOracle,
+    // SQ8 needs no model literals: min/max re-derive in SQL, and the
+    // quantize→reconstruct op order is pinned identically both sides
+    "ann_sq8_topk" ->
+      """WITH v AS (SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM v GROUP BY 1),
+        |r AS (SELECT v.vec_id, v.dim,
+        |    CASE WHEN st.mx = st.mn THEN st.mn
+        |      ELSE st.mn +
+        |        floor((v.x - st.mn) * 255.0 / (st.mx - st.mn) + 0.5) *
+        |        (st.mx - st.mn) / 255.0 END AS y
+        |  FROM v JOIN st USING (dim)),
+        |q AS (SELECT vec_id AS q_id, dim, x FROM v WHERE vec_id < 10),
+        |z AS (SELECT q.q_id, r.vec_id AS c_id, q.x, r.y
+        |  FROM q JOIN r ON q.dim = r.dim AND r.vec_id <> q.q_id),
+        |sums AS (SELECT q_id, c_id, sum(x*y) AS dt, sum(x*x) AS na,
+        |    sum(y*y) AS nb FROM z GROUP BY 1, 2),
+        |adc AS (SELECT q_id, c_id,
+        |    round(dt / (sqrt(na) * sqrt(nb)), 4) AS a FROM sums),
+        |short AS (SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY a DESC, c_id) AS srn FROM adc)
+        |  WHERE srn <= 50),
+        |z2 AS (SELECT s.q_id, s.c_id, qv.x, cv.x AS y
+        |  FROM short s
+        |  JOIN v qv ON qv.vec_id = s.q_id
+        |  JOIN v cv ON cv.vec_id = s.c_id AND cv.dim = qv.dim),
+        |sums2 AS (SELECT q_id, c_id, sum(x*y) AS dt, sum(x*x) AS na,
+        |    sum(y*y) AS nb FROM z2 GROUP BY 1, 2),
+        |sc AS (SELECT q_id, c_id,
+        |    round(dt / (sqrt(na) * sqrt(nb)), 4) AS score FROM sums2),
+        |rr AS (SELECT q_id, c_id, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, c_id) AS INTEGER) AS rnk FROM sc)
+        |SELECT q_id, rnk, c_id, score FROM rr WHERE rnk <= 5
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_substring_spans" ->
       """WITH w0 AS (SELECT doc_id,
         |    unnest(range(0, (length(text) - 50) // 10 + 1)) AS i, text

@@ -271,4 +271,29 @@ object Kernels {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** SQ8 quantize→dequantize roundtrip: per-dim 8-bit scalar
+    * quantization against [mins(i), maxs(i)] and immediate codeword
+    * reconstruction — the stored int8 index's view of the vector. The
+    * exact IEEE op sequence (sub, mul, div, +0.5, floor, then
+    * mn + code·span/255 left-to-right) is mirrored verbatim by the SQL
+    * oracle, so codes and reconstructions are bit-identical across
+    * engines; corpus-fitted mins/maxs bound every input, so no clamp
+    * is needed on either side. */
+  def sq8Recon(emb: ArrayData, mins: Array[Double],
+      maxs: Array[Double]): ArrayData = {
+    val n = math.min(emb.numElements(), mins.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val mn = mins(i)
+      val span = maxs(i) - mn
+      out(i) =
+        if (span == 0) mn
+        else mn + math.floor((emb.getDouble(i) - mn) * 255.0 / span + 0.5) *
+          span / 255.0
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -128,6 +128,25 @@ case class LshCodeExpr(child: Expression, planes: Array[Double], dim: Int)
     copy(child = c)
 }
 
+/** SQ8 quantize→dequantize reconstruction of an array<double> column
+  * against corpus-fitted per-dim [min, max] — the scalar-quantized
+  * index's ADC view. Runs over the WHOLE corpus (the encode pass), so
+  * it is a codegen'd kernel, not an interpreted transform(). */
+case class Sq8Recon(child: Expression, mins: Array[Double],
+    maxs: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.sq8Recon(input.asInstanceOf[ArrayData], mins, maxs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("sq8Mins", mins, "double[]")
+    val mx = ctx.addReferenceObj("sq8Maxs", maxs, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.sq8Recon($c, $mn, $mx)")
+  }
+  override protected def withNewChildInternal(c: Expression): Sq8Recon =
+    copy(child = c)
+}
+
 /** Per-band LSH bucket keys (array<struct<band:int,bh:bigint>>) of a
   * minhash signature array. Value-identical to the declarative
   * per-band `xxhash64(concat_ws(",", slice(sigs, j*r+1, r)))` array,
@@ -243,4 +262,9 @@ object exprs {
   /** Cosine similarity of two array<double> columns. */
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  /** SQ8 quantize→dequantize reconstruction against per-dim bounds. */
+  def sq8Recon(emb: Column, mins: Array[Double],
+      maxs: Array[Double]): Column =
+    column(Sq8Recon(expression(emb), mins, maxs))
 }

@@ -41,9 +41,19 @@ object PipelineQueries {
         perSession = scala.collection.mutable.Map.empty[String, DataFrame]
         lshPairs.put(s, perSession)
       }
-      perSession.getOrElseUpdate(d,
+      val df = perSession.getOrElseUpdate(d,
         MinHashLSH.verifiedPairs(Tables.documents(s, d), "doc_id", "text",
           minJaccard = 0.5).cache())
+      // re-register after an external spark.catalog.clearCache() (Bench
+      // clears between queries): unpersist drops the CacheManager entry
+      // but not the memoized Dataset, so without this every later
+      // dedup-family query silently re-pays the full LSH pipeline per
+      // action instead of reading the pair index once (r11: the
+      // permanently-band-flagged dedup_minhash_lsh was exactly this —
+      // its 0.10s band was measured memo-warm, later rounds memo-cold)
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.cache()
+      df
     }
 
   /** MinHash+LSH near-dup pairs, exact-verified: banding generates
@@ -465,6 +475,60 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, d)
     graft.sim.IvfPq.topK(emb, emb.filter(col("vec_id") < 10), 5,
       ivfModelFor(s, d), pqModelFor(s, d), nProbe = 4, shortlist = 50)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Approximate top-5 via SQ8 scalar quantization — the int8 index
+    * format most disk-resident vector stores actually ship (4× smaller
+    * than float32, simpler than PQ): per-dim [min, max] fitted over
+    * the corpus (one narrow aggregation collected driver-side — the
+    * model, 2·dim doubles), every vector quantized to 8-bit codes and
+    * reconstructed in ONE codegen'd map pass ([[graft.functions
+    * .exprs.sq8Recon]]), queries scored asymmetrically (full-precision
+    * query vs reconstruction), exact cosine re-ranking the 50-vector
+    * shortlist — [[annPqTopK]]'s two-stage shape with a scalar
+    * codebook. Every step is exactly-rounded IEEE arithmetic in a
+    * pinned op order, so unlike PQ (k-means codebooks folded as
+    * literals) the oracle needs NO model literals: DuckDB re-derives
+    * min/max and replays quantize→reconstruct→ADC→re-rank
+    * bit-for-bit. */
+  def annSq8TopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val stats = emb
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("dim"))
+      .collect()
+    val mins = stats.map(_.getDouble(1))
+    val maxs = stats.map(_.getDouble(2))
+    val c = emb
+      .select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("_ce"))
+      .withColumn("_re",
+        graft.functions.exprs.sq8Recon(col("_ce"), mins, maxs))
+      .select(col("c_id"), col("_re"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("_qe"))
+    val adc = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("adc", round(Ann.cosine(col("_qe"), col("_re")), 4))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("c_id"))
+    val short = adc.withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= 50)
+      .select(col("q_id"), col("c_id"), col("_qe"))
+    val exact = short
+      .join(emb.select(col("vec_id").as("c_id"),
+        col("embedding").cast("array<double>").as("_ce")), Seq("c_id"))
+      .withColumn("score", round(Ann.cosine(col("_qe"), col("_ce")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "c_id", "score")
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -1077,6 +1141,30 @@ object PipelineQueries {
       .select(col("vec_id"), col("rank").cast("long").as("rank"),
         col("nbr_id"), col("cos_bp"))
       .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** Embedding-space near-dup CLUSTERS — the SemDeDup-shaped
+    * grouping built on [[embedKnnGraph]]: mutual-kNN edges (a and b
+    * each in the other's LSH-bucket top-3 — the parameter-free
+    * criterion that works even when no absolute cosine threshold
+    * separates dups, as with this corpus's max pairwise cos ≈ 0.48)
+    * resolved to connected components with a keeper per vector. The
+    * mutual filter is one self-join of the ≤3·|corpus|-row adjacency
+    * (reciprocity is the standard symmetrization that kills LSH
+    * one-way artifacts); components run on the resulting ≤1.5·|corpus|
+    * edges via the same pointer-jumping [[graft.dedup.Components]] the
+    * text family uses. Oracle: the embed_knn_graph hyperplane-folded
+    * replay extended with the mutual join and a recursive-CTE
+    * components pass. */
+  def dedupEmbedClusters(s: SparkSession, d: String): DataFrame = {
+    val knn = embedKnnGraph(s, d).select(col("vec_id"), col("nbr_id"))
+    val mutual = knn.select(col("vec_id").as("_a1"), col("nbr_id").as("_b1"))
+      .join(knn.select(col("vec_id").as("_b1"), col("nbr_id").as("_a1")),
+        Seq("_a1", "_b1"))
+      .filter(col("_a1") < col("_b1"))
+      .select(col("_a1").as("id_a"), col("_b1").as("id_b"))
+    graft.dedup.Components.keepers(mutual)
+      .orderBy(col("id"))
   }
 
   /** Deterministic hash-stratified sampling: per-source keep rates

@@ -140,6 +140,58 @@ class Round11Spec extends SparkSuite {
     assert(aggRows <= 10, s"state rows $aggRows exceed query count")
   }
 
+  test("SQ8 reconstruction stays within half a quantization step") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("cast(embedding as array<double>) as e")
+      .as[Seq[Double]].collect()
+    val dim = emb.head.length
+    val mins = (0 until dim).map(i => emb.map(_(i)).min).toArray
+    val maxs = (0 until dim).map(i => emb.map(_(i)).max).toArray
+    // JVM-side replay of the kernel's contract: |recon - x| <= span/510
+    // (half an 8-bit step) for every corpus value, and corpus-fitted
+    // bounds mean codes never clamp
+    emb.take(50).foreach { v =>
+      v.indices.foreach { i =>
+        val span = maxs(i) - mins(i)
+        val recon =
+          if (span == 0) mins(i)
+          else mins(i) +
+            math.floor((v(i) - mins(i)) * 255.0 / span + 0.5) * span / 255.0
+        assert(math.abs(recon - v(i)) <= span / 510.0 + 1e-12,
+          s"recon error beyond half-step at dim $i")
+      }
+    }
+    val rows = PipelineQueries.annSq8TopK(spark, sf).collect()
+    assert(rows.length == 50)
+    // SQ8 at 64 dims is near-lossless: top-1 should agree with brute
+    val brute = PipelineQueries.annBruteTopK(spark, sf).collect()
+      .filter(_.getAs[Int]("rnk") == 1)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id")).toMap
+    val sq8Top1 = rows.filter(_.getAs[Int]("rnk") == 1)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id")).toMap
+    assert(sq8Top1 == brute, "SQ8 top-1 diverged from brute force")
+  }
+
+  test("embed clusters are mutual-kNN components of the knn graph") {
+    val knn = PipelineQueries.embedKnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+    val mutual = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }
+    val labels = PipelineQueries.dedupEmbedClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("keeper")).toMap
+    assert(labels.nonEmpty)
+    // every mutual edge's endpoints share a component, every labeled id
+    // appears in some mutual edge, keeper is a member <= all members
+    mutual.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+    }
+    val touched = mutual.flatMap(e => Seq(e._1, e._2))
+    assert(labels.keySet == touched, "labels != mutual-edge vertex set")
+    labels.foreach { case (id, k) =>
+      assert(k <= id && labels(k) == k, s"keeper $k not a root member")
+    }
+  }
+
   test("streamAsofJoin emits no epoch sentinels and matches the batch asof") {
     val out = graft.streaming.Events.streamAsofJoin(spark, sf)
     assert(out.filter(col("event_id") < 0).count() == 0,
