@@ -724,6 +724,10 @@ object SparkEntry {
     "q_theta_setops" -> (PipelineQueries.thetaSetOps _),
     "dedup_substring_spans" -> (PipelineQueries.dedupSubstringSpans _),
     "dedup_span_excise" -> (PipelineQueries.dedupSpanExcise _),
+    "dedup_span_extents" -> (PipelineQueries.dedupSpanExtents _),
+    "source_json_lz4" -> ((s: SparkSession, d: String) =>
+      graft.sources.Formats.jsonLz4Roundtrip(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
     "dedup_incremental_clusters" ->
       (PipelineQueries.dedupIncrementalClusters _),
     "dedup_embed_clusters" -> (PipelineQueries.dedupEmbedClusters _),
@@ -3157,6 +3161,10 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "source_json_lz4" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "text_lm_score" ->
       """WITH tk AS (
         |  SELECT doc_id,
@@ -3974,6 +3982,32 @@ object SparkEntry {
         |  CAST(length(d.text) - a.chars_removed AS BIGINT) AS chars_kept
         |FROM agg a JOIN documents d ON d.doc_id = a.doc_id
         |ORDER BY a.doc_id""".stripMargin,
+    // the span TABLE: same window/dup/island CTEs, emitted per span
+    "dedup_span_extents" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    unnest(range(0, (length(text) - 50) // 10 + 1)) AS i, text
+        |  FROM documents WHERE length(text) >= 50),
+        |w AS (SELECT doc_id, i,
+        |    md5_number_lower(substr(text, CAST(i * 10 + 1 AS BIGINT), 50))
+        |      AS h
+        |  FROM w0),
+        |dup AS (SELECT h FROM w GROUP BY h
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |dw AS (SELECT w.doc_id, CAST(w.i * 10 AS BIGINT) AS s,
+        |    CAST(w.i * 10 + 50 AS BIGINT) AS e
+        |  FROM w JOIN dup ON w.h = dup.h),
+        |m AS (SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM dw),
+        |isl AS (SELECT doc_id, s, e,
+        |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM m)
+        |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+        |  CAST(max(e) - min(s) AS BIGINT) AS span_chars
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     // text_bm25_rank's model widened to top-20, a brute exact-cosine
     // top-20 against vec_id 0, fused by reciprocal rank (k=60): ranks
     // are exact integers from already-verified orderings, the RRF

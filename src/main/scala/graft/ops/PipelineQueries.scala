@@ -716,12 +716,14 @@ object PipelineQueries {
     * frames are bounded (O(len/stride) rows per doc, partitioned by
     * doc — no data-scaled global window), so the oracle replays the
     * merge verbatim in SQL. */
-  def dedupSpanExcise(s: SparkSession, d: String): DataFrame = {
+  /** The maximal duplicated-span frame (doc_id, island, ss, se) shared
+    * by [[dedupSpanExcise]] (per-doc census) and [[dedupSpanExtents]]
+    * (the span table itself). */
+  private def spanIslands(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = 50
     val St = 10
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val wins = docs
+    val wins = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= W)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),
@@ -740,15 +742,31 @@ object PipelineQueries {
       .select(col("doc_id"), (col("i") * St).cast("long").as("s"),
         (col("i") * St + W).cast("long").as("e"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    val islands = dw
+    dw
       .withColumn("_pme", max(col("e")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("_new",
         when(col("_pme").isNull || col("s") > col("_pme"), 1).otherwise(0))
       .withColumn("island", sum(col("_new")).over(byDoc))
-    val spans = islands.groupBy(col("doc_id"), col("island"))
+      .groupBy(col("doc_id"), col("island"))
       .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
-    spans
+  }
+
+  /** The maximal (start, end) duplicated-span TABLE itself — the
+    * actionable output of substring-level dedup (what a cleaning job
+    * feeds to `substring` excision): every coalesced span per doc with
+    * its char extent. Same pipeline as [[dedupSpanExcise]] up to the
+    * island merge; emitted per span instead of rolled up per doc. */
+  def dedupSpanExtents(s: SparkSession, d: String): DataFrame =
+    spanIslands(s, d)
+      .select(col("doc_id"), col("ss").as("span_start"),
+        col("se").as("span_end"),
+        (col("se") - col("ss")).as("span_chars"))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  def dedupSpanExcise(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    spanIslands(s, d)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("se") - col("ss")).as("chars_removed"))

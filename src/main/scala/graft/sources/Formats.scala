@@ -128,6 +128,20 @@ object Formats {
     s.read.json(path)
   }
 
+  /** lz4-compressed JSONL roundtrip — the fast-codec ingest path
+    * (decode-speed-bound log/crawl feeds; pure-JVM lz4-java, so it
+    * works without native Hadoop libs, unlike the text-source zstd
+    * codec). Caveat the layout must respect at 100 TB: a bare .lz4
+    * stream (like .gz) is NOT splittable, so parallelism comes from
+    * many files, not from splitting one — the writer keeps the input
+    * partitioning for that reason. */
+  def jsonLz4Roundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("orders_json_lz4", d)
+    ordersInterchange(s, d).write.mode(SaveMode.Overwrite)
+      .option("compression", "lz4").json(path)
+    s.read.json(path)
+  }
+
   /** Malformed-row tolerance on the CSV ingest path — the same
     * contract the reference applies to bad JSON (skip, don't abort;
     * DatabaseManager.java wraps per-row parse in try/catch). Every

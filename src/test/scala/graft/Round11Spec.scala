@@ -55,6 +55,26 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("span extents are disjoint, ordered, and sum to the census") {
+    val spans = PipelineQueries.dedupSpanExtents(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end")))
+    assert(spans.nonEmpty)
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a._3 < b._2, s"overlapping/adjacent unmerged spans $a $b")
+      }
+    }
+    val census = PipelineQueries.dedupSpanExcise(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("chars_removed"))).toMap
+    val mine = spans.groupBy(_._1).map { case (d0, ss) =>
+      d0 -> (ss.length.toLong, ss.map(s => s._3 - s._2).sum)
+    }
+    assert(mine == census, "extents disagree with the excision census")
+  }
+
   test("incremental cluster fold equals the full re-cluster") {
     // the contract the shared dedup_clusters oracle checks at the
     // gate, asserted Spark-side too: folding the batch into the
