@@ -725,6 +725,7 @@ object SparkEntry {
     "dedup_substring_spans" -> (PipelineQueries.dedupSubstringSpans _),
     "dedup_span_excise" -> (PipelineQueries.dedupSpanExcise _),
     "dedup_span_extents" -> (PipelineQueries.dedupSpanExtents _),
+    "dedup_setsim_join" -> (PipelineQueries.dedupSetsimJoin _),
     "source_json_lz4" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.jsonLz4Roundtrip(s, d)
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
@@ -811,7 +812,11 @@ object SparkEntry {
       // the incremental fold is CONTRACTED to equal the full
       // re-cluster of the unioned corpus — dedup_clusters' oracle,
       // shared verbatim, proves the equivalence value-for-value
-      ("dedup_incremental_clusters" -> oracleSqlBase("dedup_clusters"))
+      ("dedup_incremental_clusters" -> oracleSqlBase("dedup_clusters")) +
+      // the exact prefix-filter join computes the same pair relation
+      // the LSH pipeline approximates — one oracle, two algorithms;
+      // equality at the gate is a recall-1.0 certificate for banding
+      ("dedup_setsim_join" -> oracleSqlBase("dedup_minhash_lsh"))
 
   /** q_sprt_test oracle — the SPRT constants are computed ONCE here in
     * JVM math and folded into the SQL as shortest-round-trip literals,

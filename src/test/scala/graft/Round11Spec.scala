@@ -75,6 +75,18 @@ class Round11Spec extends SparkSuite {
     assert(mine == census, "extents disagree with the excision census")
   }
 
+  test("prefix-filter setsim join equals the LSH verified pairs") {
+    // the recall-1.0 certificate: the exact algorithm (provably
+    // complete candidates) and the banded LSH pipeline must produce
+    // the identical pair relation at this threshold
+    val exact = PipelineQueries.dedupSetsimJoin(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    val lsh = PipelineQueries.dedupMinhashLsh(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    assert(exact == lsh, "prefix-filter join diverged from LSH pairs")
+    assert(exact.nonEmpty)
+  }
+
   test("incremental cluster fold equals the full re-cluster") {
     // the contract the shared dedup_clusters oracle checks at the
     // gate, asserted Spark-side too: folding the batch into the
