@@ -726,6 +726,7 @@ object SparkEntry {
     "dedup_span_excise" -> (PipelineQueries.dedupSpanExcise _),
     "dedup_span_extents" -> (PipelineQueries.dedupSpanExtents _),
     "dedup_setsim_join" -> (PipelineQueries.dedupSetsimJoin _),
+    "q_shapley_attribution" -> (graft.ops.Behavior.qShapleyAttribution _),
     "source_json_lz4" -> ((s: SparkSession, d: String) =>
       graft.sources.Formats.jsonLz4Roundtrip(s, d)
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
@@ -4089,6 +4090,41 @@ object SparkEntry {
         |  doc_id, CAST(lex_rnk AS BIGINT) AS lex_rnk,
         |  CAST(sem_rnk AS BIGINT) AS sem_rnk, rrf_score
         |FROM r ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+    // exact Shapley: integer numerator over n!=6, one final IEEE
+    // division; weights CASE-encoded (|S|!(2-|S|)! = 2,1,1,2)
+    "q_shapley_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu
+        |  FROM events),
+        |p AS (SELECT user_id, min(tu) AS pt FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |f AS (SELECT p.user_id,
+        |    coalesce(max(CASE WHEN t.event_type = 'view' THEN 1 END), 0)
+        |      AS bv,
+        |    coalesce(max(CASE WHEN t.event_type = 'click' THEN 1 END), 0)
+        |      AS bc,
+        |    coalesce(max(CASE WHEN t.event_type = 'signup' THEN 1 END), 0)
+        |      AS bs
+        |  FROM p LEFT JOIN e t ON t.user_id = p.user_id
+        |    AND t.tu < p.pt
+        |    AND t.event_type IN ('view', 'click', 'signup')
+        |  GROUP BY 1),
+        |sc AS (SELECT bv + bc * 2 + bs * 4 AS m, count(*) AS cnt
+        |  FROM f GROUP BY 1),
+        |ss AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS ss),
+        |v AS (SELECT ss.ss,
+        |    coalesce(sum(CASE WHEN (sc.m & ss.ss) = sc.m
+        |      THEN sc.cnt END), 0) AS v
+        |  FROM ss CROSS JOIN sc GROUP BY 1),
+        |ch(channel, b) AS (VALUES ('click', 2), ('signup', 4),
+        |  ('view', 1)),
+        |terms AS (SELECT ch.channel, v0.ss, v0.v AS v0, v1.v AS v1,
+        |    CASE WHEN v0.ss = 0 THEN 2 WHEN v0.ss IN (3, 5, 6) THEN 2
+        |      ELSE 1 END AS w
+        |  FROM ch JOIN v v0 ON (v0.ss & ch.b) = 0
+        |  JOIN v v1 ON v1.ss = (v0.ss | ch.b))
+        |SELECT channel, CAST(sum(w * (v1 - v0)) AS BIGINT) AS phi_num,
+        |  round(sum(w * (v1 - v0)) / 6.0, 4) AS phi
+        |FROM terms GROUP BY 1 ORDER BY channel""".stripMargin,
     // JPEG is lossy: dims replay exactly from the generator; the
     // bounded-error flags (max |delta| <= 16, mean <= 4.0 — 2x the
     // measured worst case over the generator family) are predicted

@@ -77,6 +77,69 @@ object Behavior {
       .orderBy(col("gap_bucket"))
   }
 
+  /** EXACT Shapley-value attribution over the 3 touch channels
+    * (view / click / signup; conversion = first purchase) — the
+    * game-theoretic credit split last-touch ([[qAttribution]])
+    * approximates. Coalition value v(S) = number of converting users
+    * whose pre-conversion exposure set ⊆ S; per-channel credit is the
+    * Shapley sum Σ_S |S|!·(n−1−|S|)!·(v(S∪c) − v(S)) over the 2^(n−1)
+    * subsets avoiding c. With n = 3 everything is exact INTEGER
+    * arithmetic — the emitted `phi_num` is the numerator over n! = 6,
+    * so the oracle replays it bit-for-bit and the single final
+    * division (phi = phi_num/6.0) is one identical IEEE op both
+    * engines. Scale shape: ONE pass builds per-user exposure bitmasks
+    * (partial-aggregable max-flags), everything after runs on the
+    * ≤2^n-row subset lattice — the corpus never shuffles twice, and
+    * the lattice algebra is constant-size at any scale. Efficiency
+    * axiom checked in the output: Σ phi_num = (v(full) − v(∅))·n!. */
+  def qShapleyAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("tu")).as("pt"))
+    val touches = ev.filter(
+      col("event_type").isin("view", "click", "signup"))
+    // per converting user: exposure bitmask over strictly-prior touches
+    val masks = firstP.as("p")
+      .join(touches.as("t"),
+        col("p.user_id") === col("t.user_id") &&
+          col("t.tu") < col("p.pt"), "left")
+      .groupBy(col("p.user_id"))
+      .agg(
+        coalesce(max(when(col("t.event_type") === "view", 1)), lit(0))
+          .as("bv"),
+        coalesce(max(when(col("t.event_type") === "click", 1)), lit(0))
+          .as("bc"),
+        coalesce(max(when(col("t.event_type") === "signup", 1)), lit(0))
+          .as("bs"))
+      .select((col("bv") + col("bc") * 2 + col("bs") * 4).as("m"))
+    val setCounts = masks.groupBy(col("m"))
+      .agg(count(lit(1)).as("cnt")) // ≤ 8 rows
+    // subset lattice: v(S) = Σ counts of exposure sets contained in S
+    val lattice = s.range(8).select(col("id").cast("int").as("ss"))
+    val v = lattice.crossJoin(broadcast(setCounts))
+      .groupBy(col("ss"))
+      .agg(coalesce(sum(when(
+        col("m").bitwiseAND(col("ss")) === col("m"), col("cnt"))), lit(0L))
+        .as("v"))
+    val ch = s.createDataFrame(Seq(("click", 2), ("signup", 4), ("view", 1)))
+      .toDF("channel", "b")
+    // subsets avoiding b, with the exact integer weight |S|!·(2−|S|)!
+    val terms = ch.join(v.select(col("ss"), col("v").as("v0")),
+        col("ss").bitwiseAND(col("b")) === 0)
+      .join(v.select(col("ss").as("_sb"), col("v").as("v1")),
+        col("_sb") === col("ss").bitwiseOR(col("b")))
+      .withColumn("w",
+        when(col("ss") === 0, 2).when(col("ss").isin(3, 5, 6), 2)
+          .otherwise(1))
+    terms.groupBy(col("channel"))
+      .agg(sum(col("w") * (col("v1") - col("v0"))).as("phi_num"))
+      .select(col("channel"), col("phi_num"),
+        round(col("phi_num") / 6.0, 4).as("phi"))
+      .orderBy(col("channel"))
+  }
+
   /** Statistical anomaly audit: per-group price outliers beyond
     * mean ± 2σ. The group moments are a one-pass partial-aggregable
     * scan producing a |groups|-row frame that BROADCASTS back onto the

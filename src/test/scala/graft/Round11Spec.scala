@@ -118,6 +118,27 @@ class Round11Spec extends SparkSuite {
     assert(same == Set((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)))
   }
 
+  test("Shapley attribution satisfies efficiency and non-negativity") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Behavior.qShapleyAttribution(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("channel")).toSeq ==
+      Seq("click", "signup", "view"))
+    // v is monotone (containment counts), so every marginal is >= 0
+    rows.foreach(r => assert(r.getAs[Long]("phi_num") >= 0))
+    // efficiency: sum of credits = v(full) - v(empty), scaled by 3! = 6
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("tu")).as("pt"))
+    val nConv = firstP.count()
+    val nEmpty = firstP.as("p").join(
+        ev.filter(col("event_type").isin("view", "click", "signup")).as("t"),
+        expr("p.user_id = t.user_id AND t.tu < p.pt"), "left_anti").count()
+    assert(rows.map(_.getAs[Long]("phi_num")).sum == (nConv - nEmpty) * 6,
+      "efficiency axiom violated")
+  }
+
   test("hybrid RRF fuses the two verified rankings") {
     val rows = PipelineQueries.textHybridRrf(spark, sf).collect()
     assert(rows.length == 10)
