@@ -625,6 +625,7 @@ object SparkEntry {
     "q_item_cosine" -> (Mining.qItemCosine _),
     "q_connected_components" -> (Mining.qConnectedComponents _),
     "q_label_prop" -> (Mining.qLabelProp _),
+    "q_modularity" -> (Mining.qModularity _),
     "q_bfs_hops" -> (Mining.qBfsHops _),
     "q_sssp_weighted" -> (Mining.qSsspWeighted _),
     "q_inventory_balance" -> (Mining.qInventoryBalance _),
@@ -646,9 +647,15 @@ object SparkEntry {
     "q_scd2_lookup" -> (Warehouse.qScd2Lookup _),
     "q_dq_rules" -> (Warehouse.qDqRules _),
     "q_fuzzy_join" -> (Warehouse.qFuzzyJoin _),
+    "q_bitmap_overlap" -> (Warehouse.qBitmapOverlap _),
+    "q_mutual_best_match" -> (Warehouse.qMutualBestMatch _),
     "text_zipf_slope" -> (PipelineQueries.textZipfSlope _),
     "data_pack_sequences" -> (PipelineQueries.dataPackSequences _),
     "data_mixture_plan" -> (PipelineQueries.dataMixturePlan _),
+    "data_importance_resample" -> (PipelineQueries.dataImportanceResample _),
+    "text_keyword_rake" -> (PipelineQueries.textKeywordRake _),
+    "stream_importance_score" ->
+      (graft.streaming.Events.streamImportanceScore _),
     "text_chunk_windows" -> (PipelineQueries.textChunkWindows _),
     "multimodal_phash_dedup" -> (PipelineQueries.multimodalPhashDedup _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
@@ -734,6 +741,7 @@ object SparkEntry {
       (PipelineQueries.dedupIncrementalClusters _),
     "dedup_embed_clusters" -> (PipelineQueries.dedupEmbedClusters _),
     "ann_sq8_topk" -> (PipelineQueries.annSq8TopK _),
+    "ann_mmr_rerank" -> (PipelineQueries.annMmrRerank _),
     "text_hybrid_rrf" -> (PipelineQueries.textHybridRrf _),
     "multimodal_jpeg_codec" -> (PipelineQueries.multimodalJpegCodec _),
     "stream_ann_probe" -> (graft.streaming.Events.streamAnnProbe _),
@@ -817,7 +825,11 @@ object SparkEntry {
       // the exact prefix-filter join computes the same pair relation
       // the LSH pipeline approximates — one oracle, two algorithms;
       // equality at the gate is a recall-1.0 certificate for banding
-      ("dedup_setsim_join" -> oracleSqlBase("dedup_minhash_lsh"))
+      ("dedup_setsim_join" -> oracleSqlBase("dedup_minhash_lsh")) +
+      // the streaming scorer folds the same integer micro-nat weights
+      // under the same fitted model — converges to the batch answer
+      ("stream_importance_score" ->
+        oracleSqlBase("data_importance_resample"))
 
   /** q_sprt_test oracle — the SPRT constants are computed ONCE here in
     * JVM math and folded into the SQL as shortest-round-trip literals,
@@ -2016,6 +2028,59 @@ object SparkEntry {
         |SELECT lbl AS community, count(*) AS n_members
         |FROM l3 GROUP BY 1 ORDER BY n_members DESC, community
         |LIMIT 20""".stripMargin,
+    // same unrolled 3-round LPA; modularity terms are exact integer
+    // numerators over the constant 4m² denominator — one IEEE division
+    // per row in both engines, no float accumulation anywhere
+    "q_modularity" ->
+      """WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+        |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |e AS (SELECT u, v FROM (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+        |  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2) WHERE w >= 1),
+        |sym AS (SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM sym),
+        |l1 AS (SELECT src AS id, lbl FROM (
+        |  SELECT s.src, l.lbl, row_number() OVER (PARTITION BY s.src
+        |    ORDER BY count(*) DESC, l.lbl) AS rn
+        |  FROM sym s JOIN l0 l ON s.dst = l.id GROUP BY s.src, l.lbl)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT src AS id, lbl FROM (
+        |  SELECT s.src, l.lbl, row_number() OVER (PARTITION BY s.src
+        |    ORDER BY count(*) DESC, l.lbl) AS rn
+        |  FROM sym s JOIN l1 l ON s.dst = l.id GROUP BY s.src, l.lbl)
+        |  WHERE rn = 1),
+        |l3 AS (SELECT src AS id, lbl FROM (
+        |  SELECT s.src, l.lbl, row_number() OVER (PARTITION BY s.src
+        |    ORDER BY count(*) DESC, l.lbl) AS rn
+        |  FROM sym s JOIN l2 l ON s.dst = l.id GROUP BY s.src, l.lbl)
+        |  WHERE rn = 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |deg AS (SELECT x AS id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |ie AS (SELECT la.lbl AS community,
+        |    CAST(count(*) AS BIGINT) AS internal_edges
+        |  FROM e JOIN l3 la ON e.u = la.id JOIN l3 lb ON e.v = lb.id
+        |  WHERE la.lbl = lb.lbl GROUP BY 1),
+        |cm AS (SELECT l.lbl AS community,
+        |    CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(d.deg) AS BIGINT) AS degree_sum
+        |  FROM l3 l JOIN deg d ON l.id = d.id GROUP BY 1),
+        |j AS (SELECT c.community, c.n_members, c.degree_sum,
+        |    coalesce(i.internal_edges, 0) AS internal_edges,
+        |    4 * m.m * coalesce(i.internal_edges, 0) -
+        |      c.degree_sum * c.degree_sum AS num
+        |  FROM cm c LEFT JOIN ie i USING (community), m),
+        |qt AS (SELECT round(CAST(sum(num) AS DOUBLE) /
+        |    (4.0 * m.m * m.m), 6) AS q_total FROM j, m GROUP BY m.m)
+        |SELECT j.community, j.n_members, j.internal_edges, j.degree_sum,
+        |  round(CAST(j.num AS DOUBLE) / (4.0 * m.m * m.m), 6) AS q_c,
+        |  qt.q_total
+        |FROM j, m, qt
+        |ORDER BY j.n_members DESC, j.community
+        |LIMIT 10""".stripMargin,
     "q_bfs_hops" ->
       """WITH RECURSIVE sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
         |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -2881,6 +2946,55 @@ object SparkEntry {
         |  round(n_violations / CAST(n_checked AS DOUBLE), 6)
         |    AS violation_rate
         |FROM u ORDER BY rule_id""".stripMargin,
+    // reciprocal-best-hit linkage: the argmin replays as a windowed
+    // row_number with the identical (dist, name) tie order
+    "q_mutual_best_match" ->
+      """WITH names AS (SELECT p_name, split_part(p_name, ' ', 2) AS block
+        |  FROM part GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p_name AS na, b.p_name AS nb,
+        |    levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM names a JOIN names b
+        |    ON a.block = b.block AND a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 4),
+        |directed AS (
+        |  SELECT na AS src, nb AS dst, dist FROM pairs
+        |  UNION ALL SELECT nb, na, dist FROM pairs),
+        |best AS (
+        |  SELECT src, dst AS best, dist FROM (
+        |    SELECT src, dst, dist, row_number() OVER (PARTITION BY src
+        |      ORDER BY dist, dst) AS rn FROM directed)
+        |  WHERE rn = 1)
+        |SELECT x.src AS name_a, y.src AS name_b,
+        |  CAST(x.dist AS INTEGER) AS dist
+        |FROM best x JOIN best y
+        |  ON x.best = y.src AND y.best = x.src AND x.src < y.src
+        |ORDER BY name_a""".stripMargin,
+    // identical shift/AND/popcount arithmetic both engines — the
+    // bitmap compression is exact, so values match bit-for-bit
+    "q_bitmap_overlap" ->
+      """WITH member AS (
+        |  SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS yr, o_custkey
+        |  FROM orders),
+        |blocks AS (
+        |  SELECT yr, o_custkey // 32 AS block,
+        |    bit_or(1::BIGINT << CAST(o_custkey % 32 AS INT)) AS bits
+        |  FROM member GROUP BY 1, 2),
+        |sizes AS (SELECT yr, CAST(count(*) AS BIGINT) AS n
+        |  FROM member GROUP BY 1),
+        |pair AS (
+        |  SELECT a.yr AS yr_a, b.yr AS yr_b,
+        |    CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_overlap
+        |  FROM blocks a JOIN blocks b
+        |    ON a.block = b.block AND a.yr < b.yr
+        |  GROUP BY 1, 2)
+        |SELECT p.yr_a, p.yr_b, sa.n AS n_a, sb.n AS n_b, p.n_overlap,
+        |  round(CAST(p.n_overlap AS DOUBLE) /
+        |    (sa.n + sb.n - p.n_overlap), 6) AS jaccard
+        |FROM pair p
+        |JOIN sizes sa ON sa.yr = p.yr_a
+        |JOIN sizes sb ON sb.yr = p.yr_b
+        |ORDER BY p.yr_a, p.yr_b""".stripMargin,
     "q_fuzzy_join" ->
       """WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
         |    split_part(p_name, ' ', 2) AS block FROM part GROUP BY 1)
@@ -3899,6 +4013,52 @@ object SparkEntry {
     "dedup_embed_buckets" -> embedBucketsOracle,
     "embed_knn_graph" -> embedKnnOracle,
     "dedup_embed_clusters" -> embedClustersOracle,
+    // greedy MMR replayed as a recursive CTE carrying the selected
+    // set as a list; every comparison happens on 6-dp-rounded scores
+    // built from 4-dp-rounded cosines, so selection order is decided
+    // on identical doubles in both engines
+    "ann_mmr_rerank" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+        |  unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |q AS (SELECT dim, x AS qx FROM v WHERE vec_id = 0),
+        |s0 AS (SELECT v.vec_id, sum(v.x * q.qx) AS dt,
+        |    sum(q.qx * q.qx) AS na, sum(v.x * v.x) AS nb
+        |  FROM v JOIN q USING (dim) WHERE v.vec_id <> 0 GROUP BY 1),
+        |cand AS (SELECT vec_id, round(dt / (sqrt(na) * sqrt(nb)), 4) AS rel
+        |  FROM s0 ORDER BY rel DESC, vec_id LIMIT 20),
+        |cv AS (SELECT v.* FROM v JOIN cand USING (vec_id)),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nn FROM cv GROUP BY 1),
+        |ps AS (SELECT a.vec_id AS u, b.vec_id AS v2,
+        |    round(sum(a.x * b.x) /
+        |      (any_value(na.nn) * any_value(nb.nn)), 4) AS sim
+        |  FROM cv a JOIN cv b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+        |  JOIN nrm na ON na.vec_id = a.vec_id
+        |  JOIN nrm nb ON nb.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT 1 AS step,
+        |    (SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+        |      AS vid,
+        |    [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)]
+        |      AS picked,
+        |    (SELECT round(0.7 * rel, 6) FROM cand
+        |      ORDER BY rel DESC, vec_id LIMIT 1) AS mmr
+        |  UNION ALL
+        |  SELECT sel.step + 1, nxt.vid, list_append(sel.picked, nxt.vid),
+        |    nxt.mmr
+        |  FROM sel, LATERAL (
+        |    SELECT c.vec_id AS vid,
+        |      round(0.7 * c.rel - 0.3 * max(p.sim), 6) AS mmr
+        |    FROM cand c JOIN ps p ON p.u = c.vec_id
+        |      AND list_contains(sel.picked, p.v2)
+        |    WHERE NOT list_contains(sel.picked, c.vec_id)
+        |    GROUP BY c.vec_id, c.rel
+        |    ORDER BY mmr DESC, c.vec_id
+        |    LIMIT 1
+        |  ) nxt
+        |  WHERE sel.step < 10)
+        |SELECT step, vid AS vec_id, mmr FROM sel ORDER BY step""".stripMargin,
     // SQ8 needs no model literals: min/max re-derive in SQL, and the
     // quantize→reconstruct op order is pinned identically both sides
     "ann_sq8_topk" ->
@@ -4570,6 +4730,66 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, share, weight,
         |  round(weight / share, 4) AS sample_rate
         |FROM wt ORDER BY source""".stripMargin,
+    // word scores fixed to integer micro-units before the per-phrase
+    // sum (the DSIR trick): the fold is order-free Long arithmetic,
+    // and phrase text reassembles positionally in both engines
+    "text_keyword_rake" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+        |  unnest(toks) AS w FROM t),
+        |tk AS (SELECT * FROM tok WHERE w <> ''),
+        |seg AS (SELECT doc_id, pos, w,
+        |    sum(CASE WHEN w IN ('the','a','and','of','to','in','is')
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+        |  FROM tk),
+        |ns AS (SELECT * FROM seg
+        |  WHERE w NOT IN ('the','a','and','of','to','in','is')),
+        |pl AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+        |  FROM ns GROUP BY 1, 2),
+        |occ AS (SELECT ns.*, pl.plen FROM ns
+        |  JOIN pl USING (doc_id, pid)),
+        |ws AS (SELECT w, CAST(round(CAST(sum(plen) AS DOUBLE) * 1e6 /
+        |    count(*)) AS BIGINT) AS w_micro
+        |  FROM occ GROUP BY 1),
+        |ph AS (SELECT o.doc_id, o.pid,
+        |    string_agg(o.w, ' ' ORDER BY o.pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    sum(ws.w_micro) AS sm
+        |  FROM occ o JOIN ws USING (w) GROUP BY 1, 2)
+        |SELECT doc_id, phrase, n_words,
+        |  round(CAST(sm AS DOUBLE) / 1e6, 6) AS rake_score
+        |FROM ph ORDER BY rake_score DESC, doc_id, phrase
+        |LIMIT 30""".stripMargin,
+    // the 256-bucket hashed-unigram model replays exactly: integer
+    // micro-nat weights make the per-doc fold Long arithmetic in both
+    // engines, so even the float division at the end is bit-stable
+    "data_importance_resample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, source,
+        |    CAST((md5_number_lower(token) & 2147483647) % 256 AS BIGINT)
+        |      AS bucket
+        |  FROM tok WHERE token <> ''),
+        |c AS (SELECT bucket,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t_cnt,
+        |    sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS r_cnt
+        |  FROM tk GROUP BY 1),
+        |tot AS (SELECT sum(t_cnt) AS t_total, sum(r_cnt) AS r_total FROM c),
+        |m AS (SELECT bucket,
+        |    CAST(round((ln((t_cnt + 1) / (t_total + 256.0)) -
+        |      ln((r_cnt + 1) / (r_total + 256.0))) * 1e6) AS BIGINT)
+        |      AS w_micro
+        |  FROM c, tot)
+        |SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_tok,
+        |  round(sum(w_micro) / 1e6, 6) AS dsir_score
+        |FROM tk t JOIN m USING (bucket)
+        |WHERE t.source <> 'src0'
+        |GROUP BY 1, 2
+        |ORDER BY dsir_score DESC, doc_id
+        |LIMIT 100""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text,

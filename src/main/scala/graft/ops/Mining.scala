@@ -603,6 +603,17 @@ object Mining {
     * replays the identical 3 unrolled rounds. */
   def qLabelProp(s: SparkSession, d: String): DataFrame = {
     val e = sparsePartEdges(s, d, minW = 1)
+    lpaLabels(e).groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+  }
+
+  /** The 3-round synchronous LPA label frame (id, lbl) shared by
+    * [[qLabelProp]] and [[qModularity]]. Each round is one shuffle
+    * keyed on node id over the symmetrized edge list; ties break to
+    * the smallest label (the oracle's row_number order). */
+  private def lpaLabels(e: DataFrame): DataFrame = {
     val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(e.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
@@ -617,10 +628,57 @@ object Mining {
         .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
         .withColumnRenamed("src", "id")
     }
-    lbl.groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_members"))
+    lbl
+  }
+
+  /** Newman modularity of the LPA communities over the sparse
+    * co-purchase graph — the quality score that turns "label prop ran"
+    * into "the partition is better than chance": Q = Σ_c (e_c/m −
+    * (d_c/2m)²). Every term is assembled as an exact INTEGER
+    * numerator (4m·e_c − d_c²) over the constant denominator 4m², so
+    * both engines perform ONE identical IEEE division per row — no
+    * float accumulation order anywhere. Cost beyond the shared LPA
+    * fold is two |E|-keyed joins (edge endpoints → labels) and two
+    * partial-aggregable rollups to |communities| rows; the global Q
+    * folds the same integers in a 1-row broadcast. Scales exactly as
+    * LPA itself does: O(|E|) per round, no global collect. */
+  def qModularity(s: SparkSession, d: String): DataFrame = {
+    // materialize edges + labels ONCE and truncate lineage (the
+    // qBfsHops recipe): the q_total broadcast branch and the main
+    // select both re-reference them, and without the checkpoint the
+    // whole 3-round LPA lineage would execute once per reference
+    val e = sparsePartEdges(s, d, minW = 1).localCheckpoint()
+    val lbl = lpaLabels(e).localCheckpoint()
+    val m = e.agg(count(lit(1)).as("m"))
+    val internal = e
+      .join(lbl.select(col("id").as("id_a"), col("lbl").as("la")), "id_a")
+      .join(lbl.select(col("id").as("id_b"), col("lbl").as("lb")), "id_b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val deg = e.select(col("id_a").as("id"))
+      .union(e.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val comm = deg.join(lbl, "id")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("degree_sum"))
+      .join(internal, Seq("community"), "left")
+      .na.fill(0L, Seq("internal_edges"))
+      .crossJoin(broadcast(m))
+      .withColumn("_num",
+        lit(4L) * col("m") * col("internal_edges") -
+          col("degree_sum") * col("degree_sum"))
+    val qTotal = comm.agg((sum(col("_num")) /
+        (lit(4.0) * first(col("m")) * first(col("m")))).as("_qt"))
+      .select(round(col("_qt"), 6).as("q_total"))
+    comm
+      .select(col("community"), col("n_members"), col("internal_edges"),
+        col("degree_sum"),
+        round(col("_num").cast("double") /
+          (lit(4.0) * col("m") * col("m")), 6).as("q_c"))
+      .crossJoin(broadcast(qTotal))
       .orderBy(col("n_members").desc, col("community"))
-      .limit(20)
+      .limit(10)
   }
 
   /** Single-source BFS: shortest hop count from the smallest node id of

@@ -2310,4 +2310,164 @@ object PipelineQueries {
         col("weight"), col("sample_rate"))
       .orderBy(col("source"))
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw-pool document by how target-domain-like its hashed
+    * unigram distribution is, then keep the top of the pool. The
+    * target exemplar here is the `src0` slice; features are tokens
+    * hashed into 256 buckets (md5-lower-64, the portable hash DuckDB
+    * replays bit-identically); bucket weights are Laplace-smoothed
+    * log-likelihood ratios ln(p_target/p_raw). Per-token weights are
+    * fixed to integer micro-nats before the per-doc sum, so the fold
+    * is exact Long arithmetic in BOTH engines — no float-order drift.
+    * Scale shape: the model fit is one partial-aggregable rollup of
+    * the token stream to 256 rows; scoring is a broadcast join of
+    * that 256-row model back onto the stream plus a doc-keyed partial
+    * agg; the final top-100 is a TakeOrdered, never a full sort. At
+    * 100 TB the only wide exchanges are two doc/bucket-keyed partial
+    * aggregations of 8-byte keys. */
+  /** The hashed-unigram token stream (doc_id, source, bucket) feeding
+    * both the batch and streaming DSIR scorers. */
+  private[graft] def dsirTok(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("bucket",
+        graft.functions.exprs.md5Lower64(col("token"))
+          .bitwiseAND(lit(2147483647L)) % 256)
+      .drop("token")
+
+  /** The fitted 256-row DSIR model (bucket, w_micro): Laplace-smoothed
+    * log-likelihood ratios of the target slice vs the raw pool, fixed
+    * to integer micro-nats so downstream folds are exact Long
+    * arithmetic. One partial-aggregable rollup of the token stream. */
+  private[graft] def dsirModel(s: SparkSession, d: String): DataFrame = {
+    val b = 256
+    val isTgt = col("source") === "src0"
+    val counts = dsirTok(Tables.documents(s, d)).groupBy(col("bucket"))
+      .agg(sum(when(isTgt, 1L).otherwise(0L)).as("t_cnt"),
+        sum(when(isTgt, 0L).otherwise(1L)).as("r_cnt"))
+    val totals = counts.agg(sum(col("t_cnt")).as("t_total"),
+      sum(col("r_cnt")).as("r_total"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round((log((col("t_cnt") + 1).cast("double") /
+            (col("t_total") + b)) -
+          log((col("r_cnt") + 1).cast("double") /
+            (col("r_total") + b))) * 1e6)
+          .cast("long").as("w_micro"))
+  }
+
+  def dataImportanceResample(s: SparkSession, d: String): DataFrame =
+    dsirTok(Tables.documents(s, d))
+      .filter(col("source") =!= "src0")
+      .join(broadcast(dsirModel(s, d)), Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w_micro")).as("_sm"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        round(col("_sm").cast("double") / 1e6, 6).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(100)
+
+  /** MMR (maximal-marginal-relevance, Carbonell & Goldstein 1998)
+    * re-rank of the exact-cosine shortlist — the standard RAG
+    * diversification pass: from the top-20 candidates for query vector
+    * 0, greedily select 10, each step maximizing
+    * 0.7·rel − 0.3·max-sim-to-already-selected. Relevance and the
+    * 20×19 pairwise sims are 4-dp-rounded cosines (the repo's
+    * portable-score contract) and every MMR score is 6-dp-rounded
+    * BEFORE comparison, so selection is decided on identical doubles
+    * in both engines (ties → smallest vec_id). Scale shape: the only
+    * corpus-sized work is the shortlist scan (broadcast query, corpus
+    * never shuffles — ann_brute_topk's shape); the pairwise-sim
+    * self-join and the greedy fold run on the CONSTANT-k 20-row
+    * frame. The greedy is inherently sequential, so like Ivf.fit's
+    * sampled quantizer it folds driver-side — O(k²·10) ≈ 4k scalar
+    * ops, independent of corpus scale. */
+  def annMmrRerank(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("_e"))
+    val q = emb.filter(col("vec_id") === 0).select(col("_e").as("_qe"))
+    val cand = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", round(Ann.cosine(col("_qe"), col("_e")), 4))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("rel"), col("_e"))
+      .cache()
+    val ps = cand.as("a")
+      .join(broadcast(cand.select(col("vec_id").as("bv"), col("_e").as("_be"))),
+        col("vec_id") =!= col("bv"))
+      .select(col("vec_id").as("u"), col("bv").as("v"),
+        round(Ann.cosine(col("_e"), col("_be")), 4).as("sim"))
+    val rels = cand.select(col("vec_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toVector.sortBy(_._1)
+    val sims = ps.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var picked = Vector.empty[(Int, Long, Double)]
+    var remaining = rels
+    for (step <- 1 to 10) {
+      val scored = remaining.map { case (vid, rel) =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.map(p => sims((vid, p._2))).max
+        (vid, r6(0.7 * rel - 0.3 * maxSim))
+      }
+      val (vid, mmr) = scored.minBy { case (v, m) => (-m, v) }
+      picked = picked :+ ((step, vid, mmr))
+      remaining = remaining.filterNot(_._1 == vid)
+    }
+    cand.unpersist()
+    import s.implicits._
+    picked.toDF("step", "vec_id", "mmr").orderBy(col("step"))
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-delimited token runs; each word scores
+    * degree/frequency (degree = Σ length of the phrases it appears
+    * in), and a phrase scores the sum of its word scores. Word scores
+    * are fixed to integer micro-units BEFORE the per-phrase sum —
+    * the DSIR trick — so the fold is order-free Long arithmetic in
+    * both engines. All shuffles are token- or phrase-keyed partial
+    * aggregations; the per-doc windows (phrase segmentation by
+    * running stopword count) partition by doc_id, so no data-scaled
+    * single-task frame exists, and the final top-30 is a TakeOrdered.
+    * Phrase text reassembles positionally (sort_array / ORDER BY pos)
+    * — identical strings both engines. */
+  def textKeywordRake(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = tok
+      .withColumn("pid",
+        sum(when(col("w").isin(stop: _*), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("w").isin(stop: _*))
+    val phraseLen = seg.groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("plen"))
+    val occ = seg.join(phraseLen, Seq("doc_id", "pid"))
+    val wordScore = occ.groupBy(col("w"))
+      .agg(round(sum(col("plen")).cast("double") * 1e6 / count(lit(1)))
+        .cast("long").as("w_micro"))
+    occ.join(wordScore, Seq("w"))
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("w_micro")).as("_sm"))
+      .select(col("doc_id"), col("phrase"), col("n_words"),
+        round(col("_sm").cast("double") / 1e6, 6).as("rake_score"))
+      .orderBy(col("rake_score").desc, col("doc_id"), col("phrase"))
+      .limit(30)
+  }
 }

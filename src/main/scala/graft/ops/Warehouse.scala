@@ -349,4 +349,80 @@ object Warehouse {
       .filter(col("dist") <= 4)
       .orderBy(col("dist"), col("name_a"), col("name_b"))
   }
+
+  /** One-to-one entity resolution by MUTUAL best match: from the same
+    * blocked fuzzy-candidate pairs as [[qFuzzyJoin]], each name keeps
+    * only its single best partner (min edit distance, ties → smallest
+    * name), and a link survives only when BOTH endpoints choose each
+    * other — the standard reciprocal-best-hit linkage that prevents
+    * one hub record from absorbing a whole block. Cost beyond the
+    * blocked pairing: one symmetrize union + one name-keyed argmin
+    * (partial-aggregable min_by) + one self-join of the |names|-sized
+    * best table — nothing quadratic outside the blocks. */
+  def qMutualBestMatch(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+    val pairs = names.as("a").join(names.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("na"), col("b.p_name").as("nb"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      .filter(col("dist") <= 4)
+    val directed = pairs
+      .select(col("na").as("src"), col("nb").as("dst"), col("dist"))
+      .union(pairs
+        .select(col("nb").as("src"), col("na").as("dst"), col("dist")))
+    val best = directed.groupBy(col("src"))
+      .agg(min_by(struct(col("dst"), col("dist")),
+        struct(col("dist"), col("dst"))).as("_b"))
+      .select(col("src"), col("_b.dst").as("best"),
+        col("_b.dist").as("dist"))
+    best.as("x").join(best.as("y"),
+        col("x.best") === col("y.src") && col("y.best") === col("x.src") &&
+          col("x.src") < col("y.src"))
+      .select(col("x.src").as("name_a"), col("y.src").as("name_b"),
+        col("x.dist").as("dist"))
+      .orderBy(col("name_a"))
+  }
+
+  /** Bitmap-block audience overlap (the roaring-bitmap shape): yearly
+    * order cohorts compressed into 32-id bitmap blocks, pairwise
+    * intersections computed with bitwise AND + popcount on the
+    * 8-byte blocks — never an id-level join. This is THE 100 TB
+    * set-intersection pattern: a billion-member cohort is ~31 M
+    * blocks instead of 10⁹ join rows, the block build is one
+    * partial-aggregable `bit_or` rollup, and every pairwise AND
+    * shuffles fixed-width longs keyed on block id. Exact by
+    * construction — the oracle replays the identical shift/AND/
+    * popcount arithmetic. */
+  def qBitmapOverlap(s: SparkSession, d: String): DataFrame = {
+    val member = Tables.orders(s, d)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_custkey"))
+      .distinct()
+    val blocks = member
+      .withColumn("block", expr("o_custkey div 32"))
+      .withColumn("bit",
+        expr("shiftleft(cast(1 as bigint), cast(o_custkey % 32 as int))"))
+      .groupBy(col("yr"), col("block"))
+      .agg(expr("bit_or(bit)").as("bits"))
+    val sizes = member.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n"))
+    val pair = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.block") === col("b.block") && col("a.yr") < col("b.yr"))
+      .groupBy(col("a.yr").as("yr_a"), col("b.yr").as("yr_b"))
+      .agg(sum(expr("bit_count(a.bits & b.bits)")).as("n_overlap"))
+    pair
+      .join(broadcast(sizes.select(col("yr").as("yr_a"), col("n").as("n_a"))),
+        Seq("yr_a"))
+      .join(broadcast(sizes.select(col("yr").as("yr_b"), col("n").as("n_b"))),
+        Seq("yr_b"))
+      .select(col("yr_a"), col("yr_b"), col("n_a"), col("n_b"),
+        col("n_overlap"),
+        round(col("n_overlap").cast("double") /
+          (col("n_a") + col("n_b") - col("n_overlap")), 6).as("jaccard"))
+      .orderBy(col("yr_a"), col("yr_b"))
+  }
 }

@@ -1388,4 +1388,49 @@ object Events {
       .select("q_id", "rnk", "c_id", "score")
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  /** STREAMING data-selection scoring —
+    * [[graft.ops.PipelineQueries.dataImportanceResample]] as a
+    * continuous query: micro-batches of raw-pool documents scored
+    * against the FITTED 256-bucket DSIR model (the quality-filter
+    * shape of an ingest pipeline: the model is a persisted artifact,
+    * each arriving doc gets its importance weight at ingest time).
+    * The static side is the 256-row model frame, cached and
+    * materialized pre-stream; per batch the token explode is a
+    * stateless narrow projection into a stream-STATIC broadcast join
+    * (zero join state), and the only streaming state is the per-doc
+    * (count, sum) pair — two Longs per key, merged associatively, so
+    * a doc split across micro-batches still folds exactly (integer
+    * micro-nat weights — no float merge order). Multi-batch is FORCED
+    * (maxFilesPerTrigger=1 over a 2-file input). Converges to the
+    * batch scorer's answer — shares data_importance_resample's oracle
+    * verbatim. */
+  def streamImportanceScore(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import graft.ops.PipelineQueries
+    val model = PipelineQueries.dsirModel(spark, sfDir).cache()
+    model.count() // materialize before the stream starts
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("source") =!= "src0")
+    val dir = graft.util.Scratch.dir("graft_dsir").toString + "/in"
+    raw.repartition(2).write.mode("overwrite").parquet(dir)
+    val st = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1") // force >1 micro-batch
+      .parquet(dir)
+    val scored = PipelineQueries.dsirTok(st)
+      .join(broadcast(model), Seq("bucket")) // stream-static: no state
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w_micro")).as("_sm"))
+    val name = s"graft_stream_dsir_${n.incrementAndGet()}"
+    val q = scored.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    model.unpersist(blocking = false)
+    spark.table(name)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        round(col("_sm").cast("double") / 1e6, 6).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(100)
+  }
 }

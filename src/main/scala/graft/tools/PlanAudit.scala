@@ -112,6 +112,24 @@ object PlanAudit {
         PipelineQueries.dedupSpanExcise(spark, d),
       "text_hybrid_rrf (two TakeOrdered k-row lists; k-row fusion join)" ->
         PipelineQueries.textHybridRrf(spark, d),
+      "ann_sq8_topk (one codegen'd encode pass; ADC + bounded shortlist re-rank)" ->
+        PipelineQueries.annSq8TopK(spark, d),
+      "data_importance_resample (256-row model broadcast; doc-keyed partial agg; TakeOrdered)" ->
+        PipelineQueries.dataImportanceResample(spark, d),
+      "q_modularity (shared LPA fold; integer-numerator terms; tiny community rollups)" ->
+        graft.ops.Mining.qModularity(spark, d),
+      "ann_mmr_rerank (broadcast-query shortlist scan; constant-k greedy fold)" ->
+        PipelineQueries.annMmrRerank(spark, d),
+      "q_bitmap_overlap (bit_or block rollup; block-keyed AND+popcount join)" ->
+        graft.ops.Warehouse.qBitmapOverlap(spark, d),
+      "text_keyword_rake (doc-partitioned segmentation; token/phrase-keyed partial aggs)" ->
+        PipelineQueries.textKeywordRake(spark, d),
+      "q_mutual_best_match (blocked pairs; name-keyed argmin; best-table self-join)" ->
+        graft.ops.Warehouse.qMutualBestMatch(spark, d),
+      "dedup_setsim_join (prefix explode halves the index; rare-shingle equi-join)" ->
+        PipelineQueries.dedupSetsimJoin(spark, d),
+      "q_shapley_attribution (one bitmask pass; constant subset-lattice algebra)" ->
+        graft.ops.Behavior.qShapleyAttribution(spark, d),
       "q_holt_winters (one shuffle to daily grain; fold on the tiny series frame)" ->
         graft.ops.Behavior.qHoltWinters(spark, d),
       "q_kll_quantile_merge (partial-aggregable sketches; 1-row estimate broadcast)" ->

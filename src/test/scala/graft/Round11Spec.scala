@@ -251,4 +251,84 @@ class Round11Spec extends SparkSuite {
       "epoch sentinel leaked into the presented result")
     assert(out.count() > 0)
   }
+
+  test("streaming DSIR scorer equals the batch resample, multi-batch") {
+    val streamed = graft.streaming.Events
+      .streamImportanceScore(spark, sf).collect().map(_.toSeq)
+    val batch = PipelineQueries.dataImportanceResample(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      "streaming scorer diverged from the batch resample")
+    val stats = graft.streaming.StreamMeter.stats.get("graft_stream_dsir")
+    assert(stats != null && stats._3 >= 2,
+      s"expected forced multi-batch, got $stats")
+    val ops = graft.streaming.StreamMeter.stateOps.get("graft_stream_dsir")
+    assert(ops != null,
+      "no state-operator progress recorded for the DSIR stream")
+    val joinOps = ops.filter(_._1.toLowerCase.contains("join"))
+    assert(joinOps.isEmpty, s"unexpected join state operators: $joinOps")
+  }
+
+  test("bitmap-block overlap equals the direct id-level intersection") {
+    val out = graft.ops.Warehouse.qBitmapOverlap(spark, sf).collect()
+    assert(out.nonEmpty)
+    val member = graft.sources.Tables.orders(spark, sf)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_custkey"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).map { case (y, rs) =>
+        y -> rs.map(_.getLong(1)).toSet }
+    out.foreach { r =>
+      val (a, b) = (r.getAs[Long]("yr_a"), r.getAs[Long]("yr_b"))
+      val direct = (member(a) & member(b)).size.toLong
+      assert(r.getAs[Long]("n_overlap") == direct,
+        s"bitmap overlap for ($a,$b) != direct intersection $direct")
+      assert(r.getAs[Long]("n_a") == member(a).size.toLong)
+    }
+  }
+
+  test("importance resample scores only raw-pool docs, ordered desc") {
+    val out = PipelineQueries.dataImportanceResample(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    assert(out.forall(_.getAs[String]("source") != "src0"),
+      "target-slice doc leaked into the resampled pool")
+    val scores = out.map(_.getAs[Double]("dsir_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores not descending")
+  }
+
+  test("modularity terms reassemble from integers; q_total is constant") {
+    val rows = graft.ops.Mining.qModularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Double]("q_total")).distinct.length == 1,
+      "q_total must be one global constant")
+    rows.foreach { r =>
+      // a community's internal edges can never exceed the pairs its
+      // degree mass admits, and q_c is bounded by [-1, 1]
+      val qc = r.getAs[Double]("q_c")
+      assert(qc >= -1.0 && qc <= 1.0, s"q_c out of range: $r")
+      assert(r.getAs[Long]("internal_edges") * 2 <=
+        r.getAs[Long]("degree_sum"), s"internal edges exceed degree: $r")
+    }
+  }
+
+  test("MMR picks 10 distinct shortlist members; step 1 is the top hit") {
+    val picks = PipelineQueries.annMmrRerank(spark, sf).collect()
+    assert(picks.length == 10)
+    val ids = picks.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 10, "duplicate pick")
+    // step-1 equals the relevance argmax (MMR with empty selected set)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val top = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("rel", round(graft.sim.Ann.cosine(col("qe"), col("e")), 4))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(1).collect().head.getAs[Long]("vec_id")
+    assert(ids.head == top, "step 1 must be the pure-relevance argmax")
+    // mmr scores never increase as the selected set grows
+    val mmr = picks.map(_.getAs[Double]("mmr"))
+    assert(mmr.zip(mmr.tail).forall { case (a, b) => a >= b },
+      "mmr sequence must be non-increasing")
+  }
 }
