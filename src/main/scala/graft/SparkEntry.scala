@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, Behavior, JsonQueries, Mining, PipelineQueries, Warehouse}
+import graft.ops.{Analytics, Behavior, JsonQueries, Mining, PipelineQueries, Profiling, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -649,6 +649,13 @@ object SparkEntry {
     "q_fuzzy_join" -> (Warehouse.qFuzzyJoin _),
     "q_bitmap_overlap" -> (Warehouse.qBitmapOverlap _),
     "q_mutual_best_match" -> (Warehouse.qMutualBestMatch _),
+    "q_k_anonymity" -> (Profiling.qKAnonymity _),
+    "q_fd_violations" -> (Profiling.qFdViolations _),
+    "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
+    "q_psi_drift" -> (Profiling.qPsiDrift _),
+    "q_conformal_coverage" -> (Profiling.qConformalCoverage _),
+    "q_interval_overlap_join" -> (Profiling.qIntervalOverlapJoin _),
+    "q_hits_ranking" -> (Mining.qHitsRanking _),
     "text_zipf_slope" -> (PipelineQueries.textZipfSlope _),
     "data_pack_sequences" -> (PipelineQueries.dataPackSequences _),
     "data_mixture_plan" -> (PipelineQueries.dataMixturePlan _),
@@ -656,6 +663,7 @@ object SparkEntry {
     "text_keyword_rake" -> (PipelineQueries.textKeywordRake _),
     "stream_importance_score" ->
       (graft.streaming.Events.streamImportanceScore _),
+    "stream_drift_psi" -> (graft.streaming.Events.streamDriftPsi _),
     "text_chunk_windows" -> (PipelineQueries.textChunkWindows _),
     "multimodal_phash_dedup" -> (PipelineQueries.multimodalPhashDedup _),
     "stream_latest_per_key" -> (graft.streaming.Events.streamLatestPerKey _),
@@ -829,7 +837,10 @@ object SparkEntry {
       // the streaming scorer folds the same integer micro-nat weights
       // under the same fitted model — converges to the batch answer
       ("stream_importance_score" ->
-        oracleSqlBase("data_importance_resample"))
+        oracleSqlBase("data_importance_resample")) +
+      // the streamed candidate histogram folds into the identical
+      // nano-nat PSI terms — converges to the batch drift monitor
+      ("stream_drift_psi" -> oracleSqlBase("q_psi_drift"))
 
   /** q_sprt_test oracle — the SPRT constants are computed ONCE here in
     * JVM math and folded into the SQL as shortest-round-trip literals,
@@ -2995,6 +3006,231 @@ object SparkEntry {
         |JOIN sizes sa ON sa.yr = p.yr_a
         |JOIN sizes sb ON sb.yr = p.yr_b
         |ORDER BY p.yr_a, p.yr_b""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_groups,
+        |  CAST(sum(n) AS BIGINT) AS total_rows,
+        |  CAST(min(n) AS BIGINT) AS min_group_size FROM g),
+        |ks AS (SELECT CAST(k AS BIGINT) AS k
+        |  FROM (VALUES (2), (5), (10), (25)) t(k)),
+        |r AS (SELECT k,
+        |    CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS groups_at_risk,
+        |    CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+        |      AS rows_at_risk
+        |  FROM g CROSS JOIN ks GROUP BY k)
+        |SELECT r.k, r.groups_at_risk, r.rows_at_risk, t.total_groups,
+        |  t.total_rows, t.min_group_size,
+        |  round(CAST(r.rows_at_risk AS DOUBLE) / t.total_rows, 6)
+        |    AS risk_rate
+        |FROM r CROSS JOIN tot t ORDER BY r.k""".stripMargin,
+    "q_fd_violations" ->
+      """WITH c1 AS (SELECT o_orderkey AS l, o_orderstatus AS r, count(*) AS c
+        |    FROM orders GROUP BY 1, 2),
+        |c2 AS (SELECT o_custkey AS l, o_orderpriority AS r, count(*) AS c
+        |    FROM orders GROUP BY 1, 2),
+        |c3 AS (SELECT p_name AS l, p_brand AS r, count(*) AS c
+        |    FROM part GROUP BY 1, 2),
+        |c4 AS (SELECT p_brand AS l, p_type AS r, count(*) AS c
+        |    FROM part GROUP BY 1, 2),
+        |c5 AS (SELECT p_type AS l, p_size AS r, count(*) AS c
+        |    FROM part GROUP BY 1, 2),
+        |c6 AS (SELECT c_nationkey AS l, c_mktsegment AS r, count(*) AS c
+        |    FROM customer GROUP BY 1, 2),
+        |u AS (
+        |  SELECT 'orders:o_orderkey->o_orderstatus' AS fd, l, sum(c) AS rws,
+        |    count(*) AS nr, max(c) AS mx FROM c1 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'orders:o_custkey->o_orderpriority', l, sum(c),
+        |    count(*), max(c) FROM c2 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'part:p_name->p_brand', l, sum(c), count(*), max(c)
+        |    FROM c3 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'part:p_brand->p_type', l, sum(c), count(*), max(c)
+        |    FROM c4 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'part:p_type->p_size', CAST(l AS VARCHAR), sum(c),
+        |    count(*), max(c) FROM c5 GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'customer:c_nationkey->c_mktsegment', CAST(l AS VARCHAR),
+        |    sum(c), count(*), max(c) FROM c6 GROUP BY 1, 2)
+        |SELECT fd, CAST(sum(rws) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_lhs,
+        |  CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(sum(rws) - sum(mx) AS BIGINT) AS g3_remove,
+        |  round(CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS violation_rate
+        |FROM u GROUP BY fd ORDER BY fd""".stripMargin,
+    "q_inclusion_deps" ->
+      """WITH pairs AS (
+        |  SELECT 'orders.o_custkey<customer.c_custkey' AS ind,
+        |    count(*) AS n_distinct, count(b._w) AS n_contained
+        |  FROM (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS _v
+        |      FROM orders WHERE o_custkey IS NOT NULL) a
+        |  LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS _w
+        |      FROM customer WHERE c_custkey IS NOT NULL) b ON a._v = b._w
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey<part.p_partkey',
+        |    count(*), count(b._w)
+        |  FROM (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS _v
+        |      FROM lineitem WHERE l_partkey IS NOT NULL) a
+        |  LEFT JOIN (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS _w
+        |      FROM part WHERE p_partkey IS NOT NULL) b ON a._v = b._w
+        |  UNION ALL
+        |  SELECT 'supplier.s_nationkey<nation.n_nationkey',
+        |    count(*), count(b._w)
+        |  FROM (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS _v
+        |      FROM supplier WHERE s_nationkey IS NOT NULL) a
+        |  LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS _w
+        |      FROM nation WHERE n_nationkey IS NOT NULL) b ON a._v = b._w
+        |  UNION ALL
+        |  SELECT 'events.user_id<customer.c_custkey',
+        |    count(*), count(b._w)
+        |  FROM (SELECT DISTINCT CAST(user_id AS BIGINT) AS _v
+        |      FROM events WHERE user_id IS NOT NULL) a
+        |  LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS _w
+        |      FROM customer WHERE c_custkey IS NOT NULL) b ON a._v = b._w
+        |  UNION ALL
+        |  SELECT 'customer.c_custkey<orders.o_custkey',
+        |    count(*), count(b._w)
+        |  FROM (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS _v
+        |      FROM customer WHERE c_custkey IS NOT NULL) a
+        |  LEFT JOIN (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS _w
+        |      FROM orders WHERE o_custkey IS NOT NULL) b ON a._v = b._w
+        |  UNION ALL
+        |  SELECT 'part.p_size<nation.n_nationkey',
+        |    count(*), count(b._w)
+        |  FROM (SELECT DISTINCT CAST(p_size AS BIGINT) AS _v
+        |      FROM part WHERE p_size IS NOT NULL) a
+        |  LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS _w
+        |      FROM nation WHERE n_nationkey IS NOT NULL) b ON a._v = b._w)
+        |SELECT ind, CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(n_contained AS BIGINT) AS n_contained,
+        |  round(CAST(n_contained AS DOUBLE) / n_distinct, 6) AS containment,
+        |  CAST(CASE WHEN n_contained = n_distinct THEN 1 ELSE 0 END
+        |    AS BIGINT) AS holds
+        |FROM pairs ORDER BY ind""".stripMargin,
+    // per-bucket PSI terms fixed to integer nano-nats BEFORE the total
+    // fold (the dsir micro-nat trick): ln runs on identical rationals
+    // in both engines and the cross-bucket sum is exact Long arithmetic
+    "q_psi_drift" ->
+      """WITH h AS (
+        |  SELECT least(9, n_chars // 64) AS bucket,
+        |    CAST(sum(CASE WHEN length(source) = 4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN length(source) = 4 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_tgt
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_ref) AS tr, sum(n_tgt) AS tt FROM h),
+        |terms AS (
+        |  SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_tgt,
+        |    CAST(round(((n_tgt + 1.0) / (tt + 10) - (n_ref + 1.0) / (tr + 10))
+        |      * ln(((n_tgt + 1.0) / (tt + 10)) / ((n_ref + 1.0) / (tr + 10)))
+        |      * 1e9) AS BIGINT) AS psi_nano
+        |  FROM h CROSS JOIN tot)
+        |SELECT bucket, n_ref, n_tgt, psi_nano FROM terms
+        |UNION ALL
+        |SELECT -1, CAST(sum(n_ref) AS BIGINT), CAST(sum(n_tgt) AS BIGINT),
+        |  CAST(sum(psi_nano) AS BIGINT) FROM terms
+        |ORDER BY bucket""".stripMargin,
+    // both order statistics (median, q-hat) are exact rank selections:
+    // the window replay picks the identical k-th value in DuckDB
+    "q_conformal_coverage" ->
+      """WITH o AS (SELECT o_orderpriority AS prio, o_orderkey,
+        |    o_totalprice AS price FROM orders),
+        |cal AS (SELECT * FROM o WHERE o_orderkey % 2 = 1),
+        |tst AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+        |calr AS (SELECT prio, price,
+        |    row_number() OVER (PARTITION BY prio
+        |      ORDER BY price, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY prio) AS n FROM cal),
+        |med AS (SELECT prio, price AS med, CAST(n AS BIGINT) AS n_cal
+        |  FROM calr WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+        |resid AS (SELECT c.prio, c.o_orderkey, abs(c.price - m.med) AS score
+        |  FROM cal c JOIN med m ON c.prio = m.prio),
+        |residr AS (SELECT prio, score,
+        |    row_number() OVER (PARTITION BY prio
+        |      ORDER BY score, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY prio) AS n FROM resid),
+        |qhat AS (SELECT prio, score AS q_hat FROM residr
+        |  WHERE rn = least(CAST(ceil((n + 1) * 0.9) AS BIGINT), n)),
+        |cov AS (SELECT t.prio, any_value(m.n_cal) AS n_cal,
+        |    CAST(count(*) AS BIGINT) AS n_test,
+        |    any_value(m.med) AS med, any_value(q.q_hat) AS q_hat,
+        |    CAST(sum(CASE WHEN abs(t.price - m.med) <= q.q_hat
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM tst t JOIN med m ON t.prio = m.prio
+        |  JOIN qhat q ON t.prio = q.prio
+        |  GROUP BY t.prio)
+        |SELECT prio, n_cal, n_test, round(med, 2) AS med,
+        |  round(q_hat, 2) AS q_hat, n_covered,
+        |  round(CAST(n_covered AS DOUBLE) / n_test, 6) AS coverage
+        |FROM cov ORDER BY prio""".stripMargin,
+    // sweep-line replay: identical event order (date, starts-first,
+    // orderkey, linenumber), so every window value matches exactly
+    "q_interval_overlap_join" ->
+      """WITH li AS (SELECT l_partkey, l_orderkey, l_linenumber,
+        |    CAST(l_shipdate AS DATE) AS s,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST(l_quantity AS INTEGER) AS e
+        |  FROM lineitem),
+        |ev AS (
+        |  SELECT l_partkey, s AS d, 1 AS is_start, l_orderkey, l_linenumber
+        |    FROM li
+        |  UNION ALL
+        |  SELECT l_partkey, e, 0, l_orderkey, l_linenumber FROM li),
+        |sc AS (
+        |  SELECT l_partkey, is_start,
+        |    coalesce(sum(1 - is_start) OVER (PARTITION BY l_partkey
+        |      ORDER BY d, is_start DESC, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS ends_before,
+        |    sum(CASE WHEN is_start = 1 THEN 1 ELSE -1 END)
+        |      OVER (PARTITION BY l_partkey
+        |      ORDER BY d, is_start DESC, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+        |  FROM ev),
+        |pp AS (
+        |  SELECT l_partkey, sum(is_start) AS n_items,
+        |    sum(CASE WHEN is_start = 1 THEN ends_before ELSE 0 END) AS disj,
+        |    max(active) AS mc
+        |  FROM sc GROUP BY 1)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(n_items) AS BIGINT) AS n_items,
+        |  CAST(sum(n_items * (n_items - 1) // 2 - disj) AS BIGINT)
+        |    AS n_overlap_pairs,
+        |  CAST(max(mc) AS BIGINT) AS max_concurrent
+        |FROM pp JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // pagerank's float-order precedent: per-node sums of identical
+    // doubles, rounded to 6 dp only at the final projection
+    "q_hits_ranking" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS hub, l_suppkey AS auth
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT DISTINCT hub, 1.0 AS h FROM e),
+        |a1r AS (SELECT e.auth, sum(h0.h) AS a FROM e
+        |  JOIN h0 USING (hub) GROUP BY 1),
+        |a1 AS (SELECT auth, a / (SELECT sum(a) FROM a1r) AS a FROM a1r),
+        |h1r AS (SELECT e.hub, sum(a1.a) AS h FROM e
+        |  JOIN a1 USING (auth) GROUP BY 1),
+        |h1 AS (SELECT hub, h / (SELECT sum(h) FROM h1r) AS h FROM h1r),
+        |a2r AS (SELECT e.auth, sum(h1.h) AS a FROM e
+        |  JOIN h1 USING (hub) GROUP BY 1),
+        |a2 AS (SELECT auth, a / (SELECT sum(a) FROM a2r) AS a FROM a2r),
+        |h2r AS (SELECT e.hub, sum(a2.a) AS h FROM e
+        |  JOIN a2 USING (auth) GROUP BY 1),
+        |h2 AS (SELECT hub, h / (SELECT sum(h) FROM h2r) AS h FROM h2r),
+        |a3r AS (SELECT e.auth, sum(h2.h) AS a FROM e
+        |  JOIN h2 USING (hub) GROUP BY 1)
+        |SELECT auth AS s_suppkey,
+        |  round(a / (SELECT sum(a) FROM a3r), 6) AS authority
+        |FROM a3r ORDER BY authority DESC, s_suppkey LIMIT 20""".stripMargin,
     "q_fuzzy_join" ->
       """WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
         |    split_part(p_name, ' ', 2) AS block FROM part GROUP BY 1)

@@ -1505,4 +1505,49 @@ object Mining {
         round(expr("regr_r2(y, x)"), 4).as("r2"))
       .orderBy(col("p_brand"))
   }
+
+  /** HITS (Kleinberg hubs-and-authorities) over the bipartite
+    * customer→supplier purchase graph — [[Analytics.qPagerank]]'s
+    * directed twin: customers are pure hubs, suppliers pure
+    * authorities, so each half-step is ONE edge join + one node-keyed
+    * partial-aggregable sum followed by an L1 normalization against a
+    * broadcast 1-row total. Two full iterations from uniform hubs;
+    * `localCheckpoint` truncates lineage per iteration exactly as the
+    * PageRank loop does, so plans never stack. Per-iteration cost at
+    * any scale is the O(|E|) edge shuffle — the standard distributed
+    * HITS bound — and the final top-20 is a TakeOrdered, never a full
+    * sort. */
+  def qHitsRanking(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("hub"), col("l_suppkey").as("auth"))
+      .distinct()
+      .localCheckpoint(true)
+    var hubs = edges.select(col("hub")).distinct()
+      .withColumn("h", lit(1.0))
+    for (_ <- 1 to 2) {
+      val rawAuth = edges.join(hubs, Seq("hub"))
+        .groupBy(col("auth")).agg(sum(col("h")).as("_a"))
+      val auths = rawAuth
+        .crossJoin(broadcast(rawAuth.agg(sum(col("_a")).as("_t"))))
+        .select(col("auth"), (col("_a") / col("_t")).as("a"))
+        .localCheckpoint(true)
+      val rawHub = edges.join(auths, Seq("auth"))
+        .groupBy(col("hub")).agg(sum(col("a")).as("_h"))
+      hubs = rawHub
+        .crossJoin(broadcast(rawHub.agg(sum(col("_h")).as("_t"))))
+        .select(col("hub"), (col("_h") / col("_t")).as("h"))
+        .localCheckpoint(true)
+    }
+    val rawAuth = edges.join(hubs, Seq("hub"))
+      .groupBy(col("auth")).agg(sum(col("h")).as("_a"))
+    rawAuth
+      .crossJoin(broadcast(rawAuth.agg(sum(col("_a")).as("_t"))))
+      .select(col("auth").as("s_suppkey"),
+        round(col("_a") / col("_t"), 6).as("authority"))
+      .orderBy(col("authority").desc, col("s_suppkey"))
+      .limit(20)
+  }
 }

@@ -74,6 +74,17 @@ object Ranks {
   def globalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame =
     ranked(df, Seq.empty, order, out).drop("_tot")
 
+  /** Per-group exact 1-based row number over `order` within `part` →
+    * column `out`, with the group's total row count in `totOut` — the
+    * order-statistic-selection primitive (k-th smallest per group =
+    * filter `out` == k(`totOut`)) without sorting any single group on
+    * one task: the group key rides the range partitioning, so a
+    * low-cardinality group (5 order priorities over 10⁹ rows) still
+    * spreads over many range partitions. */
+  def groupRowNumber(df: DataFrame, part: Seq[Column], order: Seq[Column],
+      out: String, totOut: String): DataFrame =
+    ranked(df, part, order, out).withColumnRenamed("_tot", totOut)
+
   private def ntileExpr(k: Int): String =
     s"""CASE WHEN _grn <= (_tot % $k) * (_tot div $k + 1)
        |  THEN (_grn - 1) div (_tot div $k + 1) + 1

@@ -1433,4 +1433,65 @@ object Events {
       .orderBy(col("dsir_score").desc, col("doc_id"))
       .limit(100)
   }
+
+  /** STREAMING distribution-drift monitoring —
+    * [[graft.ops.Profiling.qPsiDrift]] as a continuous query: the
+    * reference length histogram is a persisted artifact (built and
+    * cached pre-stream from the src0–src9 slice), and the CANDIDATE
+    * corpus arrives as document micro-batches whose bucket counts fold
+    * incrementally in streaming state (one Long per fixed bucket —
+    * constant state regardless of corpus size; counts merge
+    * associatively, so a bucket split across micro-batches is exact).
+    * Multi-batch is FORCED (maxFilesPerTrigger=1 over a 2-file
+    * input). The post-stream PSI arithmetic runs on the final 10-row
+    * histogram join, so the streamed counts land in the identical
+    * nano-nat terms — converges to the batch monitor's answer and
+    * shares q_psi_drift's oracle verbatim. The deploy shape: a crawl
+    * ingest job alarming on drift against the frozen training-corpus
+    * profile without ever re-scanning it. */
+  def streamDriftPsi(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    val b = 10
+    val bucketOf = least(lit(b.toLong - 1), expr("n_chars div 64"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ref = docs.filter(length(col("source")) === 4)
+      .groupBy(bucketOf.as("bucket"))
+      .agg(count(lit(1)).as("n_ref")).cache()
+    ref.count() // materialize the reference profile before the stream
+    val tgt = docs.filter(length(col("source")) =!= 4)
+    val dir = graft.util.Scratch.dir("graft_psi").toString + "/in"
+    tgt.repartition(2).write.mode("overwrite").parquet(dir)
+    val st = spark.readStream.schema(tgt.schema)
+      .option("maxFilesPerTrigger", "1") // force >1 micro-batch
+      .parquet(dir)
+    val counts = st.groupBy(bucketOf.as("bucket"))
+      .agg(count(lit(1)).as("n_tgt"))
+    val name = s"graft_stream_psi_${n.incrementAndGet()}"
+    val q = counts.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    val hist = spark.table(name)
+      .join(ref, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_tgt"), lit(0L)).as("n_tgt"))
+    ref.unpersist(blocking = false)
+    val tot = hist.agg(sum(col("n_ref")).as("_tr"),
+      sum(col("n_tgt")).as("_tt"))
+    val terms = hist.crossJoin(broadcast(tot))
+      .withColumn("_pr",
+        (col("n_ref") + 1).cast("double") / (col("_tr") + b))
+      .withColumn("_pt",
+        (col("n_tgt") + 1).cast("double") / (col("_tt") + b))
+      .select(col("bucket"), col("n_ref"), col("n_tgt"),
+        round((col("_pt") - col("_pr")) * log(col("_pt") / col("_pr"))
+          * 1e9).cast("long").as("psi_nano"))
+    terms.unionByName(
+        terms.agg(sum(col("n_ref")).as("n_ref"),
+          sum(col("n_tgt")).as("n_tgt"),
+          sum(col("psi_nano")).as("psi_nano"))
+          .select(lit(-1L).as("bucket"), col("n_ref"), col("n_tgt"),
+            col("psi_nano")))
+      .orderBy(col("bucket"))
+  }
 }

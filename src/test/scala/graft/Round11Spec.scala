@@ -331,4 +331,131 @@ class Round11Spec extends SparkSuite {
     assert(mmr.zip(mmr.tail).forall { case (a, b) => a >= b },
       "mmr sequence must be non-increasing")
   }
+
+  test("k-anonymity risk is monotone in k and totals are consistent") {
+    val rows = graft.ops.Profiling.qKAnonymity(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(2L, 5L, 10L, 25L))
+    val nCust = graft.sources.Tables.customer(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_rows") == nCust)
+      assert(r.getAs[Long]("rows_at_risk") <= nCust)
+      assert(r.getAs[Long]("groups_at_risk") <= r.getAs[Long]("total_groups"))
+    }
+    val risk = rows.map(r =>
+      (r.getAs[Long]("groups_at_risk"), r.getAs[Long]("rows_at_risk")))
+    assert(risk.zip(risk.tail).forall { case ((g1, r1), (g2, r2)) =>
+      g1 <= g2 && r1 <= r2 }, "risk must be monotone in k")
+  }
+
+  test("FD census: the key dependency is clean, measures are coherent") {
+    val rows = graft.ops.Profiling.qFdViolations(spark, sf).collect()
+    assert(rows.length == 6)
+    val key = rows.find(_.getAs[String]("fd") ==
+      "orders:o_orderkey->o_orderstatus").get
+    assert(key.getAs[Long]("n_violating") == 0L &&
+      key.getAs[Long]("g3_remove") == 0L,
+      "a key column can never violate an FD on its own table")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_violating") <= r.getAs[Long]("n_lhs"))
+      assert(r.getAs[Long]("g3_remove") >= 0L &&
+        r.getAs[Long]("g3_remove") < r.getAs[Long]("n_rows"))
+      val rate = r.getAs[Double]("violation_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      // g3 = 0 exactly when nothing violates
+      assert((r.getAs[Long]("g3_remove") == 0L) ==
+        (r.getAs[Long]("n_violating") == 0L), s"g3/violating disagree: $r")
+    }
+  }
+
+  test("IND discovery: genuine FKs report full containment") {
+    val rows = graft.ops.Profiling.qInclusionDeps(spark, sf).collect()
+      .map(r => r.getAs[String]("ind") -> r).toMap
+    for (fk <- Seq("orders.o_custkey<customer.c_custkey",
+        "lineitem.l_partkey<part.p_partkey",
+        "supplier.s_nationkey<nation.n_nationkey")) {
+      assert(rows(fk).getAs[Long]("holds") == 1L, s"$fk must hold")
+      assert(rows(fk).getAs[Double]("containment") == 1.0)
+    }
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_contained") <= r.getAs[Long]("n_distinct"))
+    }
+  }
+
+  test("PSI terms are non-negative and the total row is their exact sum") {
+    val rows = graft.ops.Profiling.qPsiDrift(spark, sf).collect()
+    val (tot, buckets) = rows.partition(_.getAs[Long]("bucket") == -1L)
+    assert(tot.length == 1 && buckets.nonEmpty)
+    buckets.foreach(r => assert(r.getAs[Long]("psi_nano") >= 0L,
+      s"PSI term must be non-negative: $r"))
+    assert(tot.head.getAs[Long]("psi_nano") ==
+      buckets.map(_.getAs[Long]("psi_nano")).sum,
+      "total row must be the exact Long sum of bucket terms")
+    assert(tot.head.getAs[Long]("n_ref") ==
+      buckets.map(_.getAs[Long]("n_ref")).sum)
+  }
+
+  test("streaming PSI monitor equals the batch drift report exactly") {
+    val batch = graft.ops.Profiling.qPsiDrift(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    val streamed = graft.streaming.Events.streamDriftPsi(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "stream/batch PSI divergence")
+  }
+
+  test("conformal coverage lands near the 90% target per class") {
+    val rows = graft.ops.Profiling.qConformalCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nOrders = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_cal") + r.getAs[Long]("n_test"))
+      .sum == nOrders, "calibration + test halves must partition orders")
+    rows.foreach { r =>
+      val cov = r.getAs[Double]("coverage")
+      // distribution-free guarantee is >= 0.9 in expectation; at this
+      // class size the binomial noise is a few points
+      assert(cov >= 0.75 && cov <= 1.0, s"coverage implausible: $r")
+      assert(r.getAs[Double]("q_hat") >= 0.0)
+    }
+  }
+
+  test("sweep-line interval overlap census equals the brute-force join") {
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val li = graft.sources.Tables.lineitem(spark, sf).select(
+      col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+      to_date(col("l_shipdate")).as("s"),
+      date_add(to_date(col("l_shipdate")),
+        col("l_quantity").cast("int")).as("e"))
+    val brute = li.as("a").join(li.as("b"),
+        col("a.l_partkey") === col("b.l_partkey") &&
+          struct(col("a.l_orderkey"), col("a.l_linenumber")) <
+            struct(col("b.l_orderkey"), col("b.l_linenumber")) &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .groupBy(col("a.l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(graft.sources.Tables.part(spark, sf)
+        .select(col("p_partkey"), col("p_brand")),
+        col("pk") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(sum(col("n_pairs")).as("n_pairs"))
+      .collect().map(r => r.getAs[String]("p_brand") ->
+        r.getAs[Long]("n_pairs")).toMap
+    val swept = graft.ops.Profiling.qIntervalOverlapJoin(spark, sf)
+      .collect()
+    assert(swept.nonEmpty)
+    swept.foreach { r =>
+      val b = r.getAs[String]("p_brand")
+      assert(r.getAs[Long]("n_overlap_pairs") == brute.getOrElse(b, 0L),
+        s"sweep-line vs brute-force mismatch for $b")
+      assert(r.getAs[Long]("max_concurrent") >= 1L)
+    }
+  }
+
+  test("HITS authorities are a normalized, ordered top-20") {
+    val rows = graft.ops.Mining.qHitsRanking(spark, sf).collect()
+    val nSupp = graft.sources.Tables.supplier(spark, sf).count()
+    assert(rows.length == math.min(20L, nSupp))
+    val scores = rows.map(_.getAs[Double]("authority"))
+    assert(scores.forall(a => a > 0.0 && a < 1.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "authorities must be emitted in rank order")
+    assert(scores.sum <= 1.0 + 1e-9, "top-20 of an L1-normalized vector")
+  }
 }
