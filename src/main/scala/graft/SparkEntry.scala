@@ -656,6 +656,10 @@ object SparkEntry {
     "q_conformal_coverage" -> (Profiling.qConformalCoverage _),
     "q_interval_overlap_join" -> (Profiling.qIntervalOverlapJoin _),
     "q_hits_ranking" -> (Mining.qHitsRanking _),
+    "q_skew_audit" -> (Profiling.qSkewAudit _),
+    "q_graph_anf" -> (Mining.qGraphAnf _),
+    "q_ohlc_bars" -> (Behavior.qOhlcBars _),
+    "stream_ohlc_bars" -> (graft.streaming.Events.streamOhlcBars _),
     "text_zipf_slope" -> (PipelineQueries.textZipfSlope _),
     "data_pack_sequences" -> (PipelineQueries.dataPackSequences _),
     "data_mixture_plan" -> (PipelineQueries.dataMixturePlan _),
@@ -840,7 +844,10 @@ object SparkEntry {
         oracleSqlBase("data_importance_resample")) +
       // the streamed candidate histogram folds into the identical
       // nano-nat PSI terms — converges to the batch drift monitor
-      ("stream_drift_psi" -> oracleSqlBase("q_psi_drift"))
+      ("stream_drift_psi" -> oracleSqlBase("q_psi_drift")) +
+      // open/close are partial-aggregable argmins over the total
+      // (ts, event_id) order — micro-batch chopping cannot move them
+      ("stream_ohlc_bars" -> oracleSqlBase("q_ohlc_bars"))
 
   /** q_sprt_test oracle — the SPRT constants are computed ONCE here in
     * JVM math and folded into the SQL as shortest-round-trip literals,
@@ -3208,6 +3215,102 @@ object SparkEntry {
         |  CAST(max(mc) AS BIGINT) AS max_concurrent
         |FROM pp JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // OHLC first/last replay as µs-ranked row_number (the
+    // latest-per-key tie convention: total order on (us, event_id))
+    "q_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS bar
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY bar, event_type
+        |      ORDER BY us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY bar, event_type
+        |      ORDER BY us DESC, event_id DESC) AS rz
+        |  FROM e)
+        |SELECT bar, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(max(CASE WHEN ra = 1 THEN value END), 2) AS open,
+        |  round(max(value), 2) AS high, round(min(value), 2) AS low,
+        |  round(max(CASE WHEN rz = 1 THEN value END), 2) AS close,
+        |  round(sum(value), 2) AS sum_value
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_skew_audit" ->
+      """WITH fc1 AS (SELECT l_partkey AS k, count(*) AS c
+        |    FROM lineitem GROUP BY 1),
+        |dc1 AS (SELECT p_partkey AS k, count(*) AS c2 FROM part GROUP BY 1),
+        |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS max_cnt FROM fc1),
+        |h1 AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_keys,
+        |    CAST(coalesce(sum(c), 0) AS BIGINT) AS hot_rows
+        |  FROM fc1, a1 WHERE CAST(c AS DOUBLE) > 10.0 * n_rows / n_keys),
+        |e1 AS (SELECT CAST(coalesce(sum(fc1.c * dc1.c2), 0) AS BIGINT)
+        |    AS est_join_rows FROM fc1 JOIN dc1 USING (k)),
+        |fc2 AS (SELECT l_orderkey AS k, count(*) AS c
+        |    FROM lineitem GROUP BY 1),
+        |dc2 AS (SELECT o_orderkey AS k, count(*) AS c2
+        |    FROM orders GROUP BY 1),
+        |a2 AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS max_cnt FROM fc2),
+        |h2 AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_keys,
+        |    CAST(coalesce(sum(c), 0) AS BIGINT) AS hot_rows
+        |  FROM fc2, a2 WHERE CAST(c AS DOUBLE) > 10.0 * n_rows / n_keys),
+        |e2 AS (SELECT CAST(coalesce(sum(fc2.c * dc2.c2), 0) AS BIGINT)
+        |    AS est_join_rows FROM fc2 JOIN dc2 USING (k)),
+        |fc3 AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |dc3 AS (SELECT c_custkey AS k, count(*) AS c2
+        |    FROM customer GROUP BY 1),
+        |a3 AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(max(c) AS BIGINT) AS max_cnt FROM fc3),
+        |h3 AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_keys,
+        |    CAST(coalesce(sum(c), 0) AS BIGINT) AS hot_rows
+        |  FROM fc3, a3 WHERE CAST(c AS DOUBLE) > 10.0 * n_rows / n_keys),
+        |e3 AS (SELECT CAST(coalesce(sum(fc3.c * dc3.c2), 0) AS BIGINT)
+        |    AS est_join_rows FROM fc3 JOIN dc3 USING (k)),
+        |u AS (
+        |  SELECT 'lineitem.l_partkey*part' AS audit, a1.*, h1.*, e1.*
+        |    FROM a1, h1, e1
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey*orders', a2.*, h2.*, e2.*
+        |    FROM a2, h2, e2
+        |  UNION ALL
+        |  SELECT 'events.user_id*customer', a3.*, h3.*, e3.*
+        |    FROM a3, h3, e3)
+        |SELECT audit, n_keys, n_rows, max_cnt,
+        |  round(CAST(n_rows AS DOUBLE) / n_keys, 4) AS avg_cnt,
+        |  round(max_cnt * CAST(n_keys AS DOUBLE) / n_rows, 4)
+        |    AS skew_ratio,
+        |  n_hot_keys,
+        |  round(CAST(hot_rows AS DOUBLE) / n_rows, 6) AS hot_rows_share,
+        |  est_join_rows
+        |FROM u ORDER BY audit""".stripMargin,
+    // exact-reach replay (the sketch side is Spark-only; the gate
+    // asserts its within-5% flag — the q_hll_merge contract)
+    "q_graph_anf" ->
+      """WITH custs AS (SELECT c_custkey FROM customer
+        |    WHERE c_nationkey = 0),
+        |pairs AS (SELECT DISTINCT o_custkey * 2 AS a,
+        |    l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN custs ON o_custkey = c_custkey),
+        |e AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |ex1 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(r) AS BIGINT) AS exact_reach FROM (
+        |    SELECT a, count(DISTINCT b) + 1 AS r FROM e GROUP BY 1)),
+        |two AS (SELECT e1.a AS a, e2.b AS b FROM e e1
+        |    JOIN e e2 ON e1.b = e2.a
+        |  UNION ALL SELECT a, b FROM e),
+        |ex2 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(r) AS BIGINT) AS exact_reach FROM (
+        |    SELECT a, count(DISTINCT b) AS r FROM two GROUP BY 1))
+        |SELECT CAST(1 AS BIGINT) AS t, n_nodes, exact_reach,
+        |  round(CAST(exact_reach AS DOUBLE) / n_nodes, 4) AS avg_reach,
+        |  TRUE AS within_5pct FROM ex1
+        |UNION ALL
+        |SELECT 2, n_nodes, exact_reach,
+        |  round(CAST(exact_reach AS DOUBLE) / n_nodes, 4), TRUE FROM ex2
+        |ORDER BY t""".stripMargin,
     // pagerank's float-order precedent: per-node sums of identical
     // doubles, rounded to 6 dp only at the final projection
     "q_hits_ranking" ->

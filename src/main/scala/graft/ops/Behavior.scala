@@ -664,4 +664,27 @@ object Behavior {
         min(when(col("organic"), col("ts_s"))).as("first_organic_ts"))
       .orderBy(col("user_id"))
   }
+
+  /** OHLC time bars — the financial candlestick rollup applied to the
+    * event stream: per hourly bar and event type, the first (open) and
+    * last (close) value by event time, the high/low extremes, count,
+    * and value volume. Open/close are partial-aggregable
+    * `min_by`/`max_by` argmins over the TOTAL order (ts, event_id) —
+    * no per-bar window sort, no row_number: a bar with a billion
+    * events folds map-side like any other aggregate. The oracle
+    * replays first/last via µs-ranked row_number (the latest-per-key
+    * tie convention). */
+  def qOhlcBars(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bar", expr("(unix_timestamp(ts) div 3600) * 3600"))
+      .groupBy(col("bar"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(min_by(col("value"), struct(col("ts"), col("event_id"))), 2)
+          .as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        round(max_by(col("value"), struct(col("ts"), col("event_id"))), 2)
+          .as("close"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("bar"), col("event_type"))
 }

@@ -1550,4 +1550,71 @@ object Mining {
       .orderBy(col("authority").desc, col("s_suppkey"))
       .limit(20)
   }
+
+  /** Approximate neighborhood function (ANF / HyperBall, Palmer et al.
+    * 2002, Boldi et al. 2011): how many nodes are reachable within t
+    * hops, estimated by iterating per-node HLL sketches over the edge
+    * list — THE way to measure reach on a graph too big for exact BFS
+    * from every node. Each round is one edge join + a node-keyed
+    * `hll_union_agg` (mergeable, partial-aggregable — the map-side
+    * combine IS the algorithm); per-node state is one fixed-size
+    * sketch, so a round costs O(|E|) shuffle regardless of how large
+    * neighborhoods grow — exactly the property exact frontier BFS
+    * lacks. Contract follows q_hll_merge: the exact reach (computed
+    * here by the quadratic 2-hop join the sketch path avoids) rides
+    * along, and the gate asserts the sketch total lands within 5%.
+    * Graph: the nation-0 customer↔supplier bipartite slice (even/odd
+    * node encoding as qPagerank). */
+  def qGraphAnf(s: SparkSession, d: String): DataFrame = {
+    val custs = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+      .select(col("c_custkey"))
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custs, col("o_custkey") === col("c_custkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    // exact reach: t=1 is self + neighbors; t=2 adds the 2-paths (the
+    // backtrack a→u→a supplies self, degree ≥ 1 by construction)
+    val ex1 = edges.groupBy(col("a"))
+      .agg((countDistinct(col("b")) + 1).as("r"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("r")).as("exact_reach"))
+      .withColumn("t", lit(1L))
+    val two = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e2.b").as("b"))
+      .unionByName(edges)
+    val ex2 = two.groupBy(col("a"))
+      .agg(countDistinct(col("b")).as("r"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("r")).as("exact_reach"))
+      .withColumn("t", lit(2L))
+    // sketch path: per-node HLL of {self}, then two union rounds
+    val sk0 = edges.select(col("a")).distinct()
+      .groupBy(col("a")).agg(expr("hll_sketch_agg(a, 14)").as("sk"))
+      .localCheckpoint(true)
+    def round1(prev: DataFrame): DataFrame = edges
+      .join(prev, Seq("a"))
+      .select(col("b").as("a"), col("sk"))
+      .unionByName(prev)
+      .groupBy(col("a")).agg(expr("hll_union_agg(sk)").as("sk"))
+      .localCheckpoint(true)
+    val sk1 = round1(sk0)
+    val sk2 = round1(sk1)
+    def estTotal(sk: DataFrame): DataFrame = sk
+      .agg(sum(expr("hll_sketch_estimate(sk)")).as("est_reach"))
+    val est = estTotal(sk1).withColumn("t", lit(1L))
+      .unionByName(estTotal(sk2).withColumn("t", lit(2L)))
+    ex1.unionByName(ex2).join(est, Seq("t"))
+      .select(col("t"), col("n_nodes"), col("exact_reach"),
+        round(col("exact_reach").cast("double") / col("n_nodes"), 4)
+          .as("avg_reach"),
+        (abs(col("est_reach").cast("double") - col("exact_reach"))
+          / col("exact_reach") <= 0.05).as("within_5pct"))
+      .orderBy(col("t"))
+  }
 }

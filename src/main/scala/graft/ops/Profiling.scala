@@ -272,4 +272,54 @@ object Profiling {
         max(col("max_concurrent")).as("max_concurrent"))
       .orderBy(col("p_brand"))
   }
+
+  /** One join-key skew audit: reduce the fact table to its per-key
+    * count frame (ONE partial-aggregable rollup — the frame is
+    * |keys|-sized, never |rows|), then report the numbers that decide
+    * a shuffle plan: key count, max/avg fan-in, how many keys exceed
+    * 10× the mean (the salting candidates) and what row share they
+    * carry, plus the exact join output size Σ cntA·cntB against the
+    * dimension's key counts. */
+  private def skewAudit(name: String, fact: DataFrame, key: Column,
+      dim: DataFrame, dimKey: Column): DataFrame = {
+    val fc = fact.groupBy(key.as("_k")).agg(count(lit(1)).as("_c"))
+    val dc = dim.groupBy(dimKey.as("_k")).agg(count(lit(1)).as("_c2"))
+    val stats = fc.agg(count(lit(1)).as("n_keys"), sum(col("_c")).as("n_rows"),
+      max(col("_c")).as("max_cnt"))
+    val hot = fc.crossJoin(broadcast(stats))
+      .filter(col("_c").cast("double") >
+        lit(10.0) * col("n_rows") / col("n_keys"))
+      .agg(count(lit(1)).as("n_hot_keys"),
+        coalesce(sum(col("_c")), lit(0L)).as("_hot_rows"))
+    val est = fc.join(dc, Seq("_k"))
+      .agg(coalesce(sum(col("_c") * col("_c2")), lit(0L))
+        .as("est_join_rows"))
+    stats.crossJoin(hot).crossJoin(est)
+      .select(lit(name).as("audit"), col("n_keys"), col("n_rows"),
+        col("max_cnt"),
+        round(col("n_rows").cast("double") / col("n_keys"), 4)
+          .as("avg_cnt"),
+        round(col("max_cnt") * col("n_keys").cast("double")
+          / col("n_rows"), 4).as("skew_ratio"),
+        col("n_hot_keys"),
+        round(col("_hot_rows").cast("double") / col("n_rows"), 6)
+          .as("hot_rows_share"),
+        col("est_join_rows"))
+  }
+
+  /** Shuffle-skew audit over three join keyspaces — the query a data
+    * engineer runs BEFORE sizing a 100 TB join: is the key fan-in
+    * uniform enough for a plain hash join, which keys need salting,
+    * and how many rows will the join emit. Exact by construction
+    * (integer counts, one rounded ratio each). */
+  def qSkewAudit(s: SparkSession, d: String): DataFrame =
+    Seq(
+      skewAudit("lineitem.l_partkey*part", Tables.lineitem(s, d),
+        col("l_partkey"), Tables.part(s, d), col("p_partkey")),
+      skewAudit("lineitem.l_orderkey*orders", Tables.lineitem(s, d),
+        col("l_orderkey"), Tables.orders(s, d), col("o_orderkey")),
+      skewAudit("events.user_id*customer", Tables.events(s, d),
+        col("user_id"), Tables.customer(s, d), col("c_custkey")))
+      .reduce(_ unionByName _)
+      .orderBy(col("audit"))
 }

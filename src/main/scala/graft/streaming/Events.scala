@@ -1434,6 +1434,41 @@ object Events {
       .limit(100)
   }
 
+  /** STREAMING OHLC time bars — [[graft.ops.Behavior.qOhlcBars]] as a
+    * continuous query: hourly candlesticks (open/high/low/close,
+    * count, volume) maintained in streaming state. Open/close are the
+    * same partial-aggregable `min_by`/`max_by` argmins over the total
+    * (ts, event_id) order, so micro-batch chopping cannot move them:
+    * the merge of two partial argmins picks the same global winner
+    * regardless of which batch carried it. State is one fixed-width
+    * row per (bar, type) — bounded by the stream's time span, not its
+    * row count. Converges to the batch bars and shares their oracle
+    * verbatim. */
+  def streamOhlcBars(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    val ev = eventStream(spark, sfDir)
+    val agg = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(min_by(col("value"), struct(col("ts"), col("event_id"))), 2)
+          .as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        round(max_by(col("value"), struct(col("ts"), col("event_id"))), 2)
+          .as("close"),
+        round(sum(col("value")), 2).as("sum_value"))
+    val name = s"graft_stream_ohlc_${n.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    spark.table(name)
+      .select(unix_timestamp(col("window.start")).as("bar"),
+        col("event_type"), col("n_events"), col("open"), col("high"),
+        col("low"), col("close"), col("sum_value"))
+      .orderBy(col("bar"), col("event_type"))
+  }
+
   /** STREAMING distribution-drift monitoring —
     * [[graft.ops.Profiling.qPsiDrift]] as a continuous query: the
     * reference length histogram is a persisted artifact (built and

@@ -448,6 +448,52 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("streaming OHLC bars equal the batch candlesticks exactly") {
+    val batch = graft.ops.Behavior.qOhlcBars(spark, sf).collect()
+    val streamed = graft.streaming.Events.streamOhlcBars(spark, sf)
+      .collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+      "stream/batch OHLC divergence")
+    batch.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= h && o >= l && o <= h && c >= l && c <= h,
+        s"candlestick invariant broken: $r")
+    }
+  }
+
+  test("skew audit: totals reconcile and the key join is 1:1") {
+    val rows = graft.ops.Profiling.qSkewAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("audit") -> r).toMap
+    val nLi = graft.sources.Tables.lineitem(spark, sf).count()
+    val ord = rows("lineitem.l_orderkey*orders")
+    assert(ord.getAs[Long]("n_rows") == nLi)
+    // every orderkey appears exactly once in orders, so the join
+    // estimate must equal the fact row count exactly
+    assert(ord.getAs[Long]("est_join_rows") == nLi)
+    rows.values.foreach { r =>
+      assert(r.getAs[Double]("skew_ratio") >= 1.0)
+      assert(r.getAs[Long]("max_cnt") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Double]("hot_rows_share") >= 0.0 &&
+        r.getAs[Double]("hot_rows_share") <= 1.0)
+    }
+  }
+
+  test("ANF: reach grows with t, sketches land within the 5% contract") {
+    val rows = graft.ops.Mining.qGraphAnf(spark, sf).collect()
+      .map(r => r.getAs[Long]("t") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L).getAs[Long]("n_nodes") == rows(2L).getAs[Long]("n_nodes"))
+    assert(rows(2L).getAs[Long]("exact_reach") >=
+      rows(1L).getAs[Long]("exact_reach"), "reach must be monotone in t")
+    // reach can never exceed n_nodes^2 (every node reaching every node)
+    val n = rows(1L).getAs[Long]("n_nodes")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("exact_reach") <= n * n)
+      assert(r.getAs[Boolean]("within_5pct"), s"sketch outside 5%: $r")
+    }
+  }
+
   test("HITS authorities are a normalized, ordered top-20") {
     val rows = graft.ops.Mining.qHitsRanking(spark, sf).collect()
     val nSupp = graft.sources.Tables.supplier(spark, sf).count()
