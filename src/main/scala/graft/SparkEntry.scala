@@ -660,6 +660,10 @@ object SparkEntry {
     "q_graph_anf" -> (Mining.qGraphAnf _),
     "q_ohlc_bars" -> (Behavior.qOhlcBars _),
     "stream_ohlc_bars" -> (graft.streaming.Events.streamOhlcBars _),
+    "q_asof_nearest" -> (Analytics.qAsofNearest _),
+    "q_fifo_allocation" -> (Warehouse.qFifoAllocation _),
+    "stream_abandoned_carts" ->
+      (graft.streaming.Events.streamAbandonedCarts _),
     "text_zipf_slope" -> (PipelineQueries.textZipfSlope _),
     "data_pack_sequences" -> (PipelineQueries.dataPackSequences _),
     "data_mixture_plan" -> (PipelineQueries.dataMixturePlan _),
@@ -3215,6 +3219,93 @@ object SparkEntry {
         |  CAST(max(mc) AS BIGINT) AS max_concurrent
         |FROM pp JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // nearest pick replayed on identical integer second distances;
+    // equal-time purchases land in the backward fill on both sides
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    arg_max(value, event_id) AS pval
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |u AS (
+        |  SELECT user_id, ts_s AS t, 1 AS side, NULL::BIGINT AS rt,
+        |    NULL::DOUBLE AS pv, event_id FROM e
+        |  UNION ALL
+        |  SELECT user_id, ts_s, 0, ts_s, pval, NULL FROM p),
+        |f AS (SELECT *,
+        |    last_value(rt IGNORE NULLS) OVER wb AS brt,
+        |    last_value(pv IGNORE NULLS) OVER wb AS bpv,
+        |    first_value(rt IGNORE NULLS) OVER wf AS frt,
+        |    first_value(pv IGNORE NULLS) OVER wf AS fpv
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY t, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY t, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id,
+        |  round(CASE WHEN frt IS NULL THEN bpv WHEN brt IS NULL THEN fpv
+        |    WHEN t - brt <= frt - t THEN bpv ELSE fpv END, 2)
+        |    AS nearest_purchase,
+        |  CASE WHEN frt IS NULL THEN t - brt WHEN brt IS NULL THEN t - frt
+        |    WHEN t - brt <= frt - t THEN t - brt ELSE t - frt END AS lag_s
+        |FROM f WHERE side = 1 ORDER BY event_id""".stripMargin,
+    // running-sum interval intersection replay: identical FIFO order
+    // (shipdate, orderkey, linenumber), exact integer quantities
+    "q_fifo_allocation" ->
+      """WITH cum AS (
+        |  SELECT l_partkey, l_linestatus,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_partkey, l_linestatus
+        |      ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |  FROM lineitem),
+        |iv AS (SELECT l_partkey, l_linestatus, hi - q AS lo, hi FROM cum),
+        |alloc AS (
+        |  SELECT f.l_partkey, count(*) AS n_matches,
+        |    sum(least(f.hi, o.hi) - greatest(f.lo, o.lo)) AS qty_allocated
+        |  FROM (SELECT * FROM iv WHERE l_linestatus = 'F') f
+        |  JOIN (SELECT * FROM iv WHERE l_linestatus = 'O') o
+        |    ON f.l_partkey = o.l_partkey
+        |      AND f.lo < o.hi AND o.lo < f.hi
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT l_partkey,
+        |    sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_lots,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_issues,
+        |    sum(CASE WHEN l_linestatus = 'F' THEN q ELSE 0 END) AS supply,
+        |    sum(CASE WHEN l_linestatus = 'O' THEN q ELSE 0 END) AS demand
+        |  FROM cum GROUP BY 1)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(t.n_lots) AS BIGINT) AS n_lots,
+        |  CAST(sum(t.n_issues) AS BIGINT) AS n_issues,
+        |  CAST(sum(coalesce(a.n_matches, 0)) AS BIGINT) AS n_matches,
+        |  CAST(sum(coalesce(a.qty_allocated, 0)) AS BIGINT)
+        |    AS qty_allocated,
+        |  CAST(sum(t.demand - coalesce(a.qty_allocated, 0)) AS BIGINT)
+        |    AS qty_unfilled,
+        |  CAST(sum(t.supply - coalesce(a.qty_allocated, 0)) AS BIGINT)
+        |    AS qty_leftover
+        |FROM tot t
+        |LEFT JOIN alloc a ON t.l_partkey = a.l_partkey
+        |JOIN part ON t.l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streaming state machine converges to this NOT-EXISTS
+    // anti-join: a click is abandoned iff no same-user purchase lands
+    // in its (click, click+30min] window
+    "stream_abandoned_carts" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |    FROM events),
+        |c AS (SELECT user_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+        |ab AS (SELECT c.user_id, c.us FROM c WHERE NOT EXISTS (
+        |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |      AND p.us > c.us AND p.us <= c.us + 1800000000))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_abandoned,
+        |  CAST(min(us // 1000000) AS BIGINT) AS first_abandoned_s,
+        |  CAST(max(us // 1000000) AS BIGINT) AS last_abandoned_s
+        |FROM ab GROUP BY 1 ORDER BY 1""".stripMargin,
     // OHLC first/last replay as µs-ranked row_number (the
     // latest-per-key tie convention: total order on (us, event_id))
     "q_ohlc_bars" ->

@@ -685,6 +685,39 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest as-of join — the third member of the as-of family
+    * (backward [[qAsofJoin]], bounded [[qAsofTolerance]], and this:
+    * pandas `merge_asof(direction='nearest')`): each event matches the
+    * CLOSEST purchase in either direction, ties to the backward match.
+    * Composed from [[AsOf.nearestFills]] — the same one-shuffle
+    * union+tag kernel running the backward and forward fills over one
+    * sort; the distance pick is a post-fill map. `lag_s` is signed
+    * (positive = matched backward). */
+  def qAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        epochS(col("ts")).as("ts_s"))
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), epochS(col("ts")).as("ts_s"))
+      .agg(max_by(col("value"), col("event_id")).as("pval"))
+      .withColumn("_tp",
+        struct(col("ts_s").as("rt"), col("pval").as("pv")))
+      .drop("pval")
+    val filled = AsOf.nearestFills(ev, purchases, keys = Seq("user_id"),
+      leftTime = "ts_s", rightTime = "ts_s", payload = "_tp")
+    val pick = when(col("_f").isNull, col("_b"))
+      .when(col("_b").isNull, col("_f"))
+      .when(col("ts_s") - col("_b.rt") <= col("_f.rt") - col("ts_s"),
+        col("_b"))
+      .otherwise(col("_f"))
+    filled
+      .select(col("event_id"),
+        round(pick.getField("pv"), 2).as("nearest_purchase"),
+        (col("ts_s") - pick.getField("rt")).as("lag_s"))
+      .orderBy(col("event_id"))
+  }
+
   /** Interval → calendar allocation: each lineitem's revenue is spread
     * pro-rata by day over the months its [ship, receipt] interval
     * touches — the warehouse "revenue recognition" / interval-align

@@ -53,4 +53,44 @@ object AsOf {
       .drop("_p", "_side")
       .withColumnRenamed("_t", leftTime)
   }
+
+  /** BOTH directional fills in one pass — the nearest-join primitive:
+    * each left row gets the latest right payload at-or-before its time
+    * (`_b`) and the earliest strictly-after (`_f`); the caller picks by
+    * distance. Same union+tag kernel as [[join]] with a second,
+    * forward window over the SAME (key, time, side) sort — right rows
+    * order before left rows at equal times, so an equal-time right row
+    * lands in the backward fill only (inclusive backward, strict
+    * forward) and the two frames share one shuffle and one sort. */
+  def nearestFills(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: String): DataFrame = {
+    val payloadType = right.schema(payload).dataType
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_p", lit(null).cast(payloadType))
+    val extraLeftCols = left.columns.filterNot(c =>
+      keys.contains(c) || c == leftTime)
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .withColumn("_p", col(payload))
+    val rAligned = extraLeftCols.foldLeft(
+      r.select((keys.map(col) :+ col("_t") :+ col("_side") :+ col("_p")): _*)) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val lAligned = l.select(
+      (keys.map(col) ++ extraLeftCols.map(col) :+ col("_t") :+ col("_side")
+        :+ col("_p")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+    lAligned.unionByName(rAligned)
+      .withColumn("_b", last(col("_p"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_f", first(col("_p"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("_side") === 1)
+      .drop("_p", "_side")
+      .withColumnRenamed("_t", leftTime)
+  }
 }

@@ -396,6 +396,61 @@ object Warehouse {
     * shuffles fixed-width longs keyed on block id. Exact by
     * construction — the oracle replays the identical shift/AND/
     * popcount arithmetic. */
+  /** FIFO lot allocation — the inventory/cost-basis matching problem
+    * ("which receipt lot funded which issue?") that naive SQL can only
+    * do with a procedural loop. The declarative trick: running-sum
+    * both streams per part in FIFO order, so lot i occupies quantity
+    * interval [cumF_{i−1}, cumF_i) and issue j occupies
+    * [cumO_{j−1}, cumO_j) on the SAME axis — FIFO allocation is then
+    * exactly the pairwise intersection of two interval partitions, an
+    * equi+overlap join producing ≤ lots+issues−1 matches per part
+    * (each match ends a lot or an issue). Windows partition on
+    * partkey (fixed fan-in per part at every SF); quantities are
+    * exact integers; the brand census is partial-aggregable. */
+  def qFifoAllocation(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_partkey"), col("l_linestatus"))
+      .orderBy(col("_sd"), col("l_orderkey"), col("l_linenumber"))
+    val cum = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_linestatus"), to_date(col("l_shipdate")).as("_sd"),
+        col("l_quantity").cast("long").as("_q"))
+      .withColumn("_hi", sum(col("_q")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_lo", col("_hi") - col("_q"))
+    val lots = cum.filter(col("l_linestatus") === "F")
+      .select(col("l_partkey"), col("_lo").as("f_lo"), col("_hi").as("f_hi"))
+    val issues = cum.filter(col("l_linestatus") === "O")
+      .select(col("l_partkey"), col("_lo").as("o_lo"), col("_hi").as("o_hi"))
+    val alloc = lots.join(issues, Seq("l_partkey"))
+      .filter(col("f_lo") < col("o_hi") && col("o_lo") < col("f_hi"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(least(col("f_hi"), col("o_hi")) -
+          greatest(col("f_lo"), col("o_lo"))).as("qty_allocated"))
+    val totals = cum.groupBy(col("l_partkey"))
+      .agg(sum(when(col("l_linestatus") === "F", 1L).otherwise(0L))
+          .as("n_lots"),
+        sum(when(col("l_linestatus") === "O", 1L).otherwise(0L))
+          .as("n_issues"),
+        sum(when(col("l_linestatus") === "F", col("_q")).otherwise(0L))
+          .as("_supply"),
+        sum(when(col("l_linestatus") === "O", col("_q")).otherwise(0L))
+          .as("_demand"))
+    totals.join(alloc, Seq("l_partkey"), "left")
+      .na.fill(0L, Seq("n_matches", "qty_allocated"))
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("n_lots")).as("n_lots"),
+        sum(col("n_issues")).as("n_issues"),
+        sum(col("n_matches")).as("n_matches"),
+        sum(col("qty_allocated")).as("qty_allocated"),
+        sum(col("_demand") - col("qty_allocated")).as("qty_unfilled"),
+        sum(col("_supply") - col("qty_allocated")).as("qty_leftover"))
+      .orderBy(col("p_brand"))
+  }
+
   def qBitmapOverlap(s: SparkSession, d: String): DataFrame = {
     val member = Tables.orders(s, d)
       .select(year(col("o_orderdate")).cast("long").as("yr"),

@@ -1434,6 +1434,113 @@ object Events {
       .limit(100)
   }
 
+  // `ts` itself must survive the projection into the typed stream: the
+  // watermark rides as attribute metadata on that column, and
+  // EventTimeTimeout refuses to run if it is projected away
+  case class CartEvent(user_id: Long, is_click: Boolean, ts_us: Long,
+      ts: java.sql.Timestamp)
+  case class CartState(clicks: Seq[Long], purchases: Seq[Long])
+  case class AbandonedCart(user_id: Long, click_ts_s: Long)
+
+  /** Writable source copies for streamAbandonedCarts, one per corpus
+    * dir per process (the streamWatermarkAppend reuse pattern). */
+  private val cartSrcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Abandoned-cart detection — the EVENT-TIME-TIMEOUT state shape
+    * (Flink's timer pattern) no other key exercises: a click opens a
+    * pending cart; a purchase by the same user within 30 minutes of
+    * the click resolves it; a cart whose deadline passes the WATERMARK
+    * with no purchase is emitted as abandoned — by a timeout
+    * invocation firing on a group that received NO new data, the
+    * mechanism that makes "absence of an event" observable in a
+    * continuous query. Run shape: ONE query, files forced one per
+    * micro-batch in modification order (FileStreamSource's order) —
+    * two data files, then two far-future sentinel files. The watermark
+    * delay exceeds the corpus span, so no cart is judged before all
+    * its evidence has arrived (file chopping cannot misjudge);
+    * sentinel 1's batch raises the seen event time, and sentinel 2's
+    * batch STARTS with the advanced watermark (a watermark applies
+    * one batch after the data that moved it), flushing every pending
+    * cart through `hasTimedOut` invocations on groups receiving
+    * nothing. At production delay the state is bounded by the
+    * 30-minute horizon (clicks resolve at deadline, purchases prune
+    * below watermark − horizon); here the corpus is bounded so
+    * nothing needs pruning. Converges to the batch NOT-EXISTS
+    * anti-join, which is the oracle. */
+  def streamAbandonedCarts(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import spark.implicits._
+    val horizonUs = 1800L * 1000000L
+    val src = cartSrcDirs.computeIfAbsent(sfDir, _ => {
+      val dir = graft.util.Scratch.dir("graft_cart_src").toString + "/in"
+      graft.sources.Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"),
+          col("ts").cast(org.apache.spark.sql.types.TimestampType).as("ts"),
+          col("event_type"))
+        .repartition(2) // force >1 data micro-batch
+        .write.mode("overwrite").parquet(dir)
+      // sentinels written AFTER the data files sort after them in the
+      // source's modification-time order: their two batches advance
+      // then apply the watermark that flushes every pending cart
+      for (_ <- 1 to 2) spark.range(1).select(
+          lit(-1L).as("user_id"),
+          lit(java.sql.Timestamp.valueOf("2025-06-01 00:00:00")).as("ts"),
+          lit("sentinel").as("event_type"))
+        .write.mode("append").parquet(dir)
+      dir
+    })
+    val schema = spark.read.parquet(src).schema
+
+    val fn = (uid: Long, it: Iterator[CartEvent],
+        state: GroupState[CartState]) => {
+      val ev = it.toSeq
+      val st = state.getOption.getOrElse(CartState(Nil, Nil))
+      val clicks = st.clicks ++ ev.filter(_.is_click).map(_.ts_us)
+      val purchases = st.purchases ++ ev.filterNot(_.is_click).map(_.ts_us)
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (due, pending) = clicks.partition(c => c + horizonUs < wmUs)
+      val abandoned = due.filterNot(c =>
+        purchases.exists(p => p > c && p <= c + horizonUs))
+      state.update(CartState(pending, purchases))
+      if (pending.nonEmpty)
+        // next judgment moment: the earliest pending deadline (its ms
+        // is >= the current watermark by the partition above)
+        state.setTimeoutTimestamp(pending.min / 1000L + 1800L * 1000L + 1L)
+      abandoned.sorted.iterator
+        .map(c => AbandonedCart(uid, c / 1000000L))
+    }
+
+    val evs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
+      .parquet(s"$src/*.parquet")
+      .withWatermark("ts", "40 days") // > corpus span: no early judgment
+      // NO event_type filter here: Catalyst would push it through the
+      // watermark node into the scan, and the filtered-out sentinel
+      // would never advance the watermark (numInputRows 0, timeouts
+      // never fire). The source dir is pre-filtered to
+      // click/purchase; the sentinel flows through as a non-click of
+      // user −1, whose group has no clicks and emits nothing.
+      .select(col("user_id"), (col("event_type") === "click").as("is_click"),
+        expr("unix_micros(ts)").as("ts_us"), col("ts"))
+      .as[CartEvent]
+    val carts = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+    val name = s"graft_stream_cart_${n.incrementAndGet()}"
+    val q = carts.toDF().writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_abandoned"),
+        min(col("click_ts_s")).as("first_abandoned_s"),
+        max(col("click_ts_s")).as("last_abandoned_s"))
+      .orderBy(col("user_id"))
+  }
+
   /** STREAMING OHLC time bars — [[graft.ops.Behavior.qOhlcBars]] as a
     * continuous query: hourly candlesticks (open/high/low/close,
     * count, volume) maintained in streaming state. Open/close are the

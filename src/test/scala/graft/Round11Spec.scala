@@ -494,6 +494,83 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("abandoned carts: timeout flush equals the batch anti-join") {
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val streamed = graft.streaming.Events.streamAbandonedCarts(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val clicks = e.filter(col("event_type") === "click")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"))
+    val batch = clicks.join(purchases,
+        clicks("user_id") === purchases("user_id") &&
+          col("pus") > col("us") &&
+          col("pus") <= col("us") + 1800000000L, "left_anti")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_abandoned"),
+        expr("min(us div 1000000)").as("first_abandoned_s"),
+        expr("max(us div 1000000)").as("last_abandoned_s"))
+      .orderBy(col("user_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "timeout flush diverges from batch anti-join")
+    assert(streamed.nonEmpty)
+  }
+
+  test("FIFO allocation conserves quantity per brand") {
+    val rows = graft.ops.Warehouse.qFifoAllocation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val alloc = r.getAs[Long]("qty_allocated")
+      assert(r.getAs[Long]("qty_unfilled") >= 0L &&
+        r.getAs[Long]("qty_leftover") >= 0L, s"negative residual: $r")
+      // every match consumes a lot or an issue: ≤ lots+issues−1 per
+      // part, so the brand total is strictly below the event total
+      assert(r.getAs[Long]("n_matches") <=
+        r.getAs[Long]("n_lots") + r.getAs[Long]("n_issues"), s"$r")
+      assert(alloc >= 0L)
+    }
+    // global conservation: allocated = Σ_part min(supply, demand)
+    import org.apache.spark.sql.functions._
+    val exp = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"))
+      .agg(sum(when(col("l_linestatus") === "F",
+          col("l_quantity").cast("long")).otherwise(0L)).as("s"),
+        sum(when(col("l_linestatus") === "O",
+          col("l_quantity").cast("long")).otherwise(0L)).as("d"))
+      .agg(sum(least(col("s"), col("d")))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("qty_allocated")).sum == exp,
+      "brand totals must sum to per-part min(supply, demand)")
+  }
+
+  test("nearest as-of is never farther than the backward as-of") {
+    import org.apache.spark.sql.functions._
+    val near = graft.ops.Analytics.qAsofNearest(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.get(r.fieldIndex("lag_s"))).map(_.asInstanceOf[Long]))
+      .toMap
+    // backward distances recomputed from the asof-join contract query
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val p = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("pts"))
+    val back = ev.join(p, Seq("user_id"), "left")
+      .filter(col("pts") <= col("ts_s"))
+      .groupBy(col("event_id"))
+      .agg(min(col("ts_s") - col("pts")).as("bdist"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("bdist")).toMap
+    back.foreach { case (id, bdist) =>
+      val lag = near(id)
+      assert(lag.isDefined, s"event $id lost its match")
+      assert(math.abs(lag.get) <= bdist,
+        s"nearest ($lag) farther than backward ($bdist) for event $id")
+    }
+  }
+
   test("HITS authorities are a normalized, ordered top-20") {
     val rows = graft.ops.Mining.qHitsRanking(spark, sf).collect()
     val nSupp = graft.sources.Tables.supplier(spark, sf).count()
