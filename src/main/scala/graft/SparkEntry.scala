@@ -664,6 +664,12 @@ object SparkEntry {
     "q_fifo_allocation" -> (Warehouse.qFifoAllocation _),
     "stream_abandoned_carts" ->
       (graft.streaming.Events.streamAbandonedCarts _),
+    "data_group_kfold" -> (PipelineQueries.dataGroupKfold _),
+    "data_split_leakage" -> (PipelineQueries.dataSplitLeakage _),
+    "text_bigram_ppl" -> (PipelineQueries.textBigramPpl _),
+    "q_stl_decompose" -> (Behavior.qStlDecompose _),
+    "q_theil_sen" -> (Behavior.qTheilSen _),
+    "source_fixed_width" -> (graft.sources.Formats.fixedWidthRoundtrip _),
     "text_zipf_slope" -> (PipelineQueries.textZipfSlope _),
     "data_pack_sequences" -> (PipelineQueries.dataPackSequences _),
     "data_mixture_plan" -> (PipelineQueries.dataMixturePlan _),
@@ -851,7 +857,29 @@ object SparkEntry {
       ("stream_drift_psi" -> oracleSqlBase("q_psi_drift")) +
       // open/close are partial-aggregable argmins over the total
       // (ts, event_id) order — micro-batch chopping cannot move them
-      ("stream_ohlc_bars" -> oracleSqlBase("q_ohlc_bars"))
+      ("stream_ohlc_bars" -> oracleSqlBase("q_ohlc_bars")) +
+      // the leakage census folds the SAME verified pair relation the
+      // dedup family shares (wrapped as a derived table) under the
+      // portable md5 split hash
+      ("data_split_leakage" ->
+        s"""WITH pr AS (SELECT * FROM (
+           |${oracleSqlBase("dedup_minhash_lsh")}
+           |))
+           |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS j_bucket,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CASE WHEN
+           |      (md5_number_lower(CAST(id_a AS VARCHAR))
+           |        & 9223372036854775807) % 2 <>
+           |      (md5_number_lower(CAST(id_b AS VARCHAR))
+           |        & 9223372036854775807) % 2
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+           |  round(CAST(sum(CASE WHEN
+           |      (md5_number_lower(CAST(id_a AS VARCHAR))
+           |        & 9223372036854775807) % 2 <>
+           |      (md5_number_lower(CAST(id_b AS VARCHAR))
+           |        & 9223372036854775807) % 2
+           |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS cross_share
+           |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** q_sprt_test oracle — the SPRT constants are computed ONCE here in
     * JVM math and folded into the SQL as shortest-round-trip literals,
@@ -3219,6 +3247,101 @@ object SparkEntry {
         |  CAST(max(mc) AS BIGINT) AS max_concurrent
         |FROM pp JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "data_group_kfold" ->
+      """WITH f AS (SELECT user_id, value,
+        |    (md5_number_lower(CAST(user_id AS VARCHAR))
+        |      & 9223372036854775807) % 5 AS fold
+        |  FROM events),
+        |pu AS (SELECT user_id, count(DISTINCT fold) AS nf,
+        |    max(fold) AS fold, count(*) AS n, sum(value) AS v
+        |  FROM f GROUP BY 1),
+        |cr AS (SELECT CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cross_fold_users FROM pu),
+        |t AS (SELECT count(*) AS tot FROM f)
+        |SELECT CAST(fold AS BIGINT) AS fold,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(n) AS DOUBLE) / t.tot, 6) AS rows_share,
+        |  round(sum(v), 2) AS sum_value, cr.n_cross_fold_users
+        |FROM pu, t, cr GROUP BY 1, t.tot, cr.n_cross_fold_users
+        |ORDER BY 1""".stripMargin,
+    // exact integer lattice end-to-end: per-item revenue is exact in
+    // 1e-4 units (2dp price x 2dp discount), all sums are order-free
+    // longs (float groupBy/segment-tree window sums are NOT portable),
+    // doubles only at final divisions of identical rationals
+    "q_stl_decompose" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |tr AS (SELECT day, e4, count(*) OVER w AS n7,
+        |    sum(e4) OVER w AS s7
+        |  FROM daily WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT day, e4, s7, e4 * 700 - s7 * 100 AS du
+        |  FROM tr WHERE n7 = 7),
+        |se AS (SELECT CAST(isodow(day) - 1 AS INT) AS dow,
+        |    count(*) AS nd, sum(du) AS sdu
+        |  FROM det GROUP BY 1)
+        |SELECT CAST(det.day AS VARCHAR) AS day,
+        |  CAST(det.e4 AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(det.s7 * 100 AS DOUBLE) / 7000000.0 AS trend,
+        |  CAST(se.sdu AS DOUBLE) / (se.nd * 7000000.0) AS seasonal,
+        |  CAST(det.du AS DOUBLE) / 7000000.0 -
+        |    CAST(se.sdu AS DOUBLE) / (se.nd * 7000000.0) AS remainder
+        |FROM det JOIN se ON CAST(isodow(det.day) - 1 AS INT) = se.dow
+        |ORDER BY day""".stripMargin,
+    // slopes as integer micro-units via floor(x*1e6 + 0.5): exactly-
+    // rounded IEEE ops, identical both engines (round(x,6) is not)
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS y_e4
+        |  FROM lineitem GROUP BY 1),
+        |pairs AS (SELECT a.x AS xa, b.x AS xb,
+        |    CAST(floor(CAST((b.y_e4 - a.y_e4) * 100 AS DOUBLE)
+        |      / (b.x - a.x) + 0.5) AS BIGINT) AS slope_micro
+        |  FROM daily a JOIN daily b ON a.x < b.x),
+        |r AS (SELECT slope_micro,
+        |    row_number() OVER (ORDER BY slope_micro, xa, xb) AS rn,
+        |    count(*) OVER () AS np FROM pairs),
+        |m AS (SELECT slope_micro, np FROM r WHERE rn = (np + 1) // 2)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+        |  CAST(m.np AS BIGINT) AS n_pairs, m.slope_micro,
+        |  m.slope_micro / 1e6 AS ts_slope
+        |FROM m""".stripMargin,
+    "source_fixed_width" ->
+      """SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // per-bigram NLLs as integer micro-nats before the per-doc fold
+    // (the dsir trick); tokenization mirrors q_hll_merge's oracle
+    "text_bigram_ppl" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |idx AS (SELECT doc_id, source, t,
+        |    unnest(range(1, len(t))) AS i
+        |  FROM tk WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+        |  FROM idx),
+        |ref AS (SELECT * FROM bg WHERE length(source) = 4),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM ref GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM ref GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS nv FROM ref),
+        |sc AS (SELECT t.doc_id, t.source,
+        |    CAST(round(-ln((coalesce(big.c2, 0) + 1.0) /
+        |      (coalesce(uni.c1, 0) + v.nv)) * 1e6) AS BIGINT) AS nll
+        |  FROM (SELECT * FROM bg WHERE length(source) <> 4) t
+        |  LEFT JOIN big ON t.w1 = big.w1 AND t.w2 = big.w2
+        |  LEFT JOIN uni ON t.w1 = uni.w1
+        |  CROSS JOIN v)
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(nll) AS BIGINT) AS nll_micro_total,
+        |  round(CAST(sum(nll) AS DOUBLE) / count(*) / 1e6, 6) AS avg_nll
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     // nearest pick replayed on identical integer second distances;
     // equal-time purchases land in the backward fill on both sides
     "q_asof_nearest" ->

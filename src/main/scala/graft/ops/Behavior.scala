@@ -665,6 +665,96 @@ object Behavior {
       .orderBy(col("user_id"))
   }
 
+  /** Classical STL-style decomposition of the daily revenue series —
+    * [[qSeasonality]]'s structural twin: trend = centered 7-day moving
+    * average (full windows only), seasonal = mean detrended value per
+    * weekday, remainder = what neither explains. All window work runs
+    * on the |days|-bounded daily frame (the raw table collapses in ONE
+    * partial-aggregable rollup first), so nothing here scales with row
+    * count — the same bounded-frame exemption the EWMA/Holt-Winters
+    * family documents. */
+  def qStlDecompose(s: SparkSession, d: String): DataFrame = {
+    // The whole decomposition runs on an exact integer lattice: the
+    // per-item revenue price·(1−disc) is EXACT in 1e-4 currency units
+    // (2-dp price × 2-dp discount), so daily revenue is an
+    // order-independent Long sum — a float groupBy sum would differ
+    // from the oracle in accumulation order and flip cents on
+    // rounding-boundary days, and DuckDB's sliding windows accumulate
+    // via a segment tree (different order again). Scaled ×700 so the
+    // /7 trend and every difference stay integral; the only doubles
+    // are final divisions of identical exact rationals.
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("_e4"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("_n7", count(lit(1)).over(w))
+      .withColumn("_s7", sum(col("_e4")).over(w))
+      .filter(col("_n7") === 7) // full windows only: edges have no trend
+      .withColumn("_du", col("_e4") * 700 - col("_s7") * 100)
+    val seasonal = trended
+      .groupBy(weekday(col("day")).as("_dow"))
+      .agg(count(lit(1)).as("_nd"), sum(col("_du")).as("_sdu"))
+    trended
+      .join(broadcast(seasonal), weekday(col("day")) === col("_dow"))
+      .withColumn("seasonal",
+        col("_sdu").cast("double") / (col("_nd") * 7000000.0))
+      .select(col("day").cast("string").as("day"),
+        (col("_e4").cast("double") / 10000.0).as("revenue"),
+        ((col("_s7") * 100).cast("double") / 7000000.0).as("trend"),
+        col("seasonal"),
+        (col("_du").cast("double") / 7000000.0 - col("seasonal"))
+          .as("remainder"))
+      .orderBy(col("day"))
+  }
+
+  /** Theil–Sen robust trend estimate over the daily revenue series:
+    * the median of all pairwise slopes — the published
+    * outlier-resistant alternative to OLS (one wild day moves OLS, not
+    * the pairwise-slope median). The pair set is |days|² over the
+    * BOUNDED daily frame (~3 M pairs at 7 years — constant in corpus
+    * size, only the one rollup touches raw rows). The median is an
+    * exact two-pass HISTOGRAM SELECTION: pass 1 buckets the slopes
+    * (2²⁰-micro cells) into a driver-sized histogram that locates the
+    * k-th value's bucket, pass 2 orders ONLY that bucket's members —
+    * no global sort, no rank shuffle, no materialized pair frame; the
+    * selection cost is two narrow scans of the (regenerated) pair
+    * stream. The k-th VALUE is deterministic regardless of tie order,
+    * which is all the rank needs. */
+  def qTheilSen(s: SparkSession, d: String): DataFrame = {
+    // daily revenue on the exact 1e-4-unit integer lattice (see
+    // qStlDecompose: a float groupBy sum is accumulation-order-
+    // dependent and not portable); slope numerators are then exact
+    // longs, and floor(x + 0.5) of one identical IEEE division fixes
+    // each slope to integer micro-units in both engines
+    val daily = Tables.lineitem(s, d)
+      .groupBy(datediff(to_date(col("l_shipdate")),
+        lit("1995-01-01").cast("date")).cast("long").as("x"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("y_e4"))
+      .localCheckpoint(true)
+    def pairs = daily.as("a").join(daily.as("b"), col("a.x") < col("b.x"))
+      .select(floor(((col("b.y_e4") - col("a.y_e4")) * 100).cast("double")
+        / (col("b.x") - col("a.x")) + 0.5).cast("long").as("slope_micro"))
+    val nDays = daily.count()
+    val nPairs = nDays * (nDays - 1) / 2
+    val k = (nPairs + 1) / 2
+    val hist = pairs.groupBy(expr("slope_micro div 1048576").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cum = hist.scanLeft(0L)(_ + _._2)
+    val i = cum.indexWhere(_ >= k) - 1 // bucket holding the k-th value
+    val (bucket, kLocal) = (hist(i)._1, k - cum(i))
+    val med = pairs.filter(expr("slope_micro div 1048576") === bucket)
+      .orderBy(col("slope_micro"))
+      .offset((kLocal - 1).toInt).limit(1)
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(med))
+      .select(col("n_days"), lit(nPairs).as("n_pairs"), col("slope_micro"),
+        (col("slope_micro").cast("double") / 1e6).as("ts_slope"))
+  }
+
   /** OHLC time bars — the financial candlestick rollup applied to the
     * event stream: per hourly bar and event type, the first (open) and
     * last (close) value by event time, the high/low extremes, count,

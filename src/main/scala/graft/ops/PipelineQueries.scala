@@ -2470,4 +2470,112 @@ object PipelineQueries {
       .orderBy(col("rake_score").desc, col("doc_id"), col("phrase"))
       .limit(30)
   }
+
+  /** GROUP-aware k-fold assignment — the split a training pipeline
+    * must use when rows share an entity (all of a user's events go to
+    * ONE fold, or the eval leaks): fold = portable hash of the GROUP
+    * key, so assignment is stateless, reproducible, and needs no
+    * shuffle at all (a map-side expression on every row). The output
+    * census carries the integrity proof: `n_cross_fold_users` counts
+    * users observed in more than one fold — structurally zero here,
+    * and the check is the regression harness a real pipeline keeps. */
+  def dataGroupKfold(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val folded = Tables.events(s, d)
+      .select(col("user_id"), col("value"),
+        pmod(graft.functions.exprs.md5Lower64(col("user_id").cast("string"))
+          .bitwiseAND(lit(Long.MaxValue)), lit(k.toLong)).as("fold"))
+    val perUser = folded.groupBy(col("user_id"))
+      .agg(countDistinct(col("fold")).as("_nf"), max(col("fold")).as("fold"),
+        count(lit(1)).as("_n"), sum(col("value")).as("_v"))
+    val cross = perUser.agg(
+      sum(when(col("_nf") > 1, 1L).otherwise(0L)).as("n_cross_fold_users"))
+    val tot = folded.agg(count(lit(1)).as("_tot"))
+    perUser.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_users"), sum(col("_n")).as("n_rows"),
+        round(sum(col("_v")), 2).as("sum_value"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(cross))
+      .select(col("fold"), col("n_users"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("_tot"), 6)
+          .as("rows_share"),
+        col("sum_value"), col("n_cross_fold_users"))
+      .orderBy(col("fold"))
+  }
+
+  /** Train/test near-duplicate LEAKAGE census — the audit between
+    * splitting and training: documents hash into 2 splits
+    * (group-aware, like [[dataGroupKfold]]), and every VERIFIED
+    * near-dup pair (the τ≥0.5 relation the dedup family shares) is
+    * classified by whether it crosses the split boundary. A crossing
+    * pair is memorization leakage: its test half is near-identical to
+    * a training doc. Cost beyond the shared cached pair index: one
+    * map-side hash per pair endpoint + a \|pairs\|-row rollup. The
+    * published eval-contamination methodology, applied at split time
+    * instead of after the eval is burned. */
+  def dataSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(graft.functions.exprs.md5Lower64(c.cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)), lit(2L))
+    lshPairsFor(s, d)
+      .select(floor(col("jaccard") * 10).cast("long").as("j_bucket"),
+        (splitOf(col("id_a")) =!= splitOf(col("id_b"))).as("_x"))
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_x"), 1L).otherwise(0L)).as("n_cross"))
+      .select(col("j_bucket"), col("n_pairs"), col("n_cross"),
+        round(col("n_cross").cast("double") / col("n_pairs"), 6)
+          .as("cross_share"))
+      .orderBy(col("j_bucket"))
+  }
+
+  /** Bigram language-model perplexity scoring — [[textLmScore]]'s
+    * conditional twin and the classic KenLM-shaped quality filter: a
+    * Laplace-smoothed bigram LM fits on the reference slice
+    * (src0–src9), and every candidate doc is scored by its average
+    * negative log-likelihood per bigram. Per-bigram NLLs are fixed to
+    * integer micro-nats before the per-doc fold (exact Long
+    * arithmetic, the dsir portability trick). Scale shape: the model
+    * is a (bigram → count) frame built by one partial-aggregable
+    * rollup; scoring joins candidate bigrams against it on the bigram
+    * key (AQE broadcasts when the vocabulary fits) with unseen
+    * bigrams falling back to the smoothed floor via the left join;
+    * output is a per-source rollup. */
+  def textBigramPpl(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.text.TextOps.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("source"),
+        expr("filter(_t, x -> x <> '')").as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(slice(_t, 1, size(_t) - 1), (x, i) -> " +
+            "named_struct('w1', x, 'w2', element_at(_t, i + 2)))")).as("_b"))
+      .select(col("doc_id"), col("source"),
+        col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val isRef = length(col("source")) === 4
+    val ref = toks.filter(isRef)
+    val big = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uni = ref.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = broadcast(ref.agg(countDistinct(col("w2")).as("_v")))
+    // micro-nat NLL of each candidate bigram: seen → −ln((c2+1)/(c1+V)),
+    // unseen w1-seen → −ln(1/(c1+V)), unseen w1 → −ln(1/V)
+    val scored = toks.filter(!isRef)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(v)
+      .withColumn("_nll",
+        round(-log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("_v"))) * 1e6).cast("long"))
+    scored.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum(col("_nll")).as("nll_micro_total"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("nll_micro_total"),
+        round(col("nll_micro_total").cast("double") / col("n_bigrams")
+          / 1e6, 6).as("avg_nll"))
+      .orderBy(col("source"))
+  }
 }

@@ -142,6 +142,34 @@ object Formats {
     s.read.json(path)
   }
 
+  /** Fixed-width (COBOL/mainframe-layout) text roundtrip — the legacy
+    * interchange format every warehouse eventually ingests: columns
+    * live at byte offsets, no delimiters. Writer packs customer rows
+    * into a 38-char record (10-digit key, 4-digit nation, 12-char
+    * right-padded segment, 12-digit cent balance carried with a +10⁸
+    * offset so the sign never breaks the numeric field); reader is
+    * pure `substring` + cast — codegen'd per-row slicing, one scan,
+    * trivially parallel at any scale. Cents → /100.0 reproduces the
+    * source double exactly (2-dp values round-trip through the
+    * nearest-double lattice). */
+  def fixedWidthRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("customer_fixed", d)
+    Tables.customer(s, d)
+      .select(concat(
+        lpad(col("c_custkey").cast("string"), 10, "0"),
+        lpad(col("c_nationkey").cast("string"), 4, "0"),
+        rpad(col("c_mktsegment"), 12, " "),
+        lpad((round(col("c_acctbal") * 100).cast("long") + 100000000L)
+          .cast("string"), 12, "0")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    s.read.text(path).select(
+      substring(col("value"), 1, 10).cast("long").as("c_custkey"),
+      substring(col("value"), 11, 4).cast("int").as("c_nationkey"),
+      rtrim(substring(col("value"), 15, 12)).as("c_mktsegment"),
+      ((substring(col("value"), 27, 12).cast("long") - 100000000L)
+        .cast("double") / 100.0).as("c_acctbal"))
+  }
+
   /** Malformed-row tolerance on the CSV ingest path — the same
     * contract the reference applies to bad JSON (skip, don't abort;
     * DatabaseManager.java wraps per-row parse in try/catch). Every

@@ -571,6 +571,86 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("group k-fold partitions users with zero cross-fold leakage") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.PipelineQueries.dataGroupKfold(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("n_cross_fold_users") == 0L))
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers,
+      "folds must partition the user set")
+    val share = rows.map(_.getAs[Double]("rows_share")).sum
+    assert(math.abs(share - 1.0) < 1e-4)
+  }
+
+  test("split leakage buckets are coherent") {
+    val rows = graft.ops.PipelineQueries.dataSplitLeakage(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "no verified near-dup pairs at this scale")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("j_bucket")
+      assert(b >= 4 && b <= 10, s"bucket outside tau>=0.5 range: $r")
+      assert(r.getAs[Long]("n_cross") <= r.getAs[Long]("n_pairs"))
+    }
+  }
+
+  test("bigram perplexity scores only candidate sources, positively") {
+    val rows = graft.ops.PipelineQueries.textBigramPpl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source").length > 4,
+        s"reference slice leaked into scoring: $r")
+      assert(r.getAs[Double]("avg_nll") > 0.0)
+      assert(r.getAs[Long]("nll_micro_total") > 0L)
+    }
+  }
+
+  test("STL decomposition: per-weekday remainder means vanish") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Behavior.qStlDecompose(spark, sf)
+    val dowMeans = out
+      .groupBy(weekday(col("day").cast("date")).as("dow"))
+      .agg(avg(col("remainder")).as("m")).collect()
+    dowMeans.foreach(r => assert(math.abs(r.getAs[Double]("m")) < 1e-6,
+      s"seasonal extraction must center the remainder: $r"))
+    out.collect().foreach { r =>
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("remainder")
+      assert(math.abs(recon - r.getAs[Double]("revenue")) < 1e-4,
+        s"trend+seasonal+remainder must reconstruct revenue: $r")
+    }
+  }
+
+  test("Theil-Sen equals the brute-force pairwise-slope median") {
+    import org.apache.spark.sql.functions._
+    val row = graft.ops.Behavior.qTheilSen(spark, sf).collect().head
+    val daily = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(datediff(to_date(col("l_shipdate")),
+        lit("1995-01-01").cast("date")).cast("long").as("x"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield {
+      val (xa, ya) = daily(i); val (xb, yb) = daily(j)
+      (math.floor((yb - ya) * 100.0 / (xb - xa) + 0.5).toLong, xa, xb)
+    }).sorted
+    assert(row.getAs[Long]("n_pairs") == slopes.length)
+    val med = slopes(((slopes.length + 1) / 2 - 1).toInt)._1
+    assert(row.getAs[Long]("slope_micro") == med,
+      "rank-selected median must equal the brute-force median")
+  }
+
+  test("fixed-width roundtrip reproduces customer exactly") {
+    val back = graft.sources.Formats.fixedWidthRoundtrip(spark, sf)
+      .orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    val orig = graft.sources.Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    assert(back == orig, "fixed-width roundtrip drift")
+  }
+
   test("HITS authorities are a normalized, ordered top-20") {
     val rows = graft.ops.Mining.qHitsRanking(spark, sf).collect()
     val nSupp = graft.sources.Tables.supplier(spark, sf).count()
