@@ -261,4 +261,33 @@ class Engine(spark: SparkSession, warehouse: String,
     }
     archiveOld(f, tableName, old)
   }
+
+  /** Secondary index on a stored table: a sorted two-column
+    * (value, rowNum) projection written range-partitioned on the
+    * value, so a point lookup prunes to one range partition and,
+    * within it, to the row groups whose min/max straddle the value —
+    * the parquet-native analogue of the reference's SQLite column
+    * index. Rebuild after upsert/delete (the reference recreates its
+    * schema-dependent structures the same way). Returns the index
+    * table name. */
+  def buildIndex(tableName: String, column: String): String = {
+    val name = s"${tableName}__idx_$column"
+    table(tableName).select(col(column).as("v"), col("rowNum"))
+      .repartitionByRange(4, col("v"))
+      .sortWithinPartitions(col("v"))
+      .write.mode(SaveMode.Overwrite).parquet(dir(name))
+    name
+  }
+
+  /** Point lookup through a [[buildIndex]] index: the index scan
+    * resolves the matching rowNums (narrow two-column read, value
+    * predicate pushed to the sorted parquet), then a broadcast semi
+    * join fetches exactly those base rows — the base table is probed
+    * by its key, never scanned for the value. */
+  def lookupByIndex(tableName: String, column: String,
+      value: Any): DataFrame = {
+    val keys = spark.read.parquet(dir(s"${tableName}__idx_$column"))
+      .filter(col("v") === lit(value)).select(col("rowNum"))
+    table(tableName).join(broadcast(keys), Seq("rowNum"), "left_semi")
+  }
 }

@@ -664,6 +664,9 @@ object SparkEntry {
     "q_fifo_allocation" -> (Warehouse.qFifoAllocation _),
     "stream_abandoned_carts" ->
       (graft.streaming.Events.streamAbandonedCarts _),
+    "engine_index_lookup" -> (JsonQueries.engineIndexLookup _),
+    "q_bitemporal_asof" -> (Warehouse.qBitemporalAsof _),
+    "q_column_profile" -> (Profiling.qColumnProfile _),
     "data_group_kfold" -> (PipelineQueries.dataGroupKfold _),
     "data_split_leakage" -> (PipelineQueries.dataSplitLeakage _),
     "text_bigram_ppl" -> (PipelineQueries.textBigramPpl _),
@@ -3247,6 +3250,103 @@ object SparkEntry {
         |  CAST(max(mc) AS BIGINT) AS max_concurrent
         |FROM pp JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "engine_index_lookup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |WHERE o_orderkey % 20 = 0 AND o_orderstatus = 'P'""".stripMargin,
+    "q_bitemporal_asof" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_orderdate AS DATE) AS od FROM orders),
+        |v AS (
+        |  SELECT k, st, cents, od AS valid_from, od AS tx_from FROM base
+        |  UNION ALL
+        |  SELECT k, st, cents + cents // 10, od + 60, od + 30
+        |  FROM base WHERE k % 7 = 0),
+        |pick AS (
+        |  SELECT '1996-07-01' AS known_at, k, st, cents,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY valid_from DESC, tx_from DESC) AS rn
+        |  FROM v WHERE tx_from <= DATE '1996-07-01'
+        |    AND valid_from <= DATE '1996-09-01'
+        |  UNION ALL
+        |  SELECT '1996-12-01', k, st, cents,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY valid_from DESC, tx_from DESC)
+        |  FROM v WHERE tx_from <= DATE '1996-12-01'
+        |    AND valid_from <= DATE '1996-09-01')
+        |SELECT known_at, st, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS total
+        |FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // value-count frames per column; entropy terms in integer
+    // micro-nats (PSI trick); doubles render via decimal cast so both
+    // engines print identical strings
+    "q_column_profile" ->
+      """WITH c1 AS (SELECT CAST(c_custkey AS VARCHAR) AS v, count(*) AS c
+        |    FROM customer GROUP BY 1),
+        |t1 AS (SELECT v FROM c1 ORDER BY c DESC, v DESC LIMIT 1),
+        |p1 AS (SELECT 'c_custkey' AS "column",
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_null,
+        |    CAST(count(v) AS BIGINT) AS n_distinct,
+        |    (SELECT v FROM t1) AS top_value,
+        |    CAST(max(c) AS BIGINT) AS top_count,
+        |    CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / (SELECT sum(c)
+        |        FROM c1)) * ln(CAST(c AS DOUBLE) / (SELECT sum(c)
+        |        FROM c1)) * 1e6) AS BIGINT)) AS BIGINT) AS entropy_micro
+        |  FROM c1),
+        |c2 AS (SELECT CAST(c_nationkey AS VARCHAR) AS v, count(*) AS c
+        |    FROM customer GROUP BY 1),
+        |t2 AS (SELECT v FROM c2 ORDER BY c DESC, v DESC LIMIT 1),
+        |p2 AS (SELECT 'c_nationkey' AS "column",
+        |    CAST(sum(c) AS BIGINT), CAST(sum(CASE WHEN v IS NULL THEN c
+        |      ELSE 0 END) AS BIGINT), CAST(count(v) AS BIGINT),
+        |    (SELECT v FROM t2), CAST(max(c) AS BIGINT),
+        |    CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / (SELECT sum(c)
+        |        FROM c2)) * ln(CAST(c AS DOUBLE) / (SELECT sum(c)
+        |        FROM c2)) * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM c2),
+        |c3 AS (SELECT c_mktsegment AS v, count(*) AS c
+        |    FROM customer GROUP BY 1),
+        |t3 AS (SELECT v FROM c3 ORDER BY c DESC, v DESC LIMIT 1),
+        |p3 AS (SELECT 'c_mktsegment' AS "column",
+        |    CAST(sum(c) AS BIGINT), CAST(sum(CASE WHEN v IS NULL THEN c
+        |      ELSE 0 END) AS BIGINT), CAST(count(v) AS BIGINT),
+        |    (SELECT v FROM t3), CAST(max(c) AS BIGINT),
+        |    CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / (SELECT sum(c)
+        |        FROM c3)) * ln(CAST(c AS DOUBLE) / (SELECT sum(c)
+        |        FROM c3)) * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM c3),
+        |c4 AS (SELECT c_name AS v, count(*) AS c
+        |    FROM customer GROUP BY 1),
+        |t4 AS (SELECT v FROM c4 ORDER BY c DESC, v DESC LIMIT 1),
+        |p4 AS (SELECT 'c_name' AS "column",
+        |    CAST(sum(c) AS BIGINT), CAST(sum(CASE WHEN v IS NULL THEN c
+        |      ELSE 0 END) AS BIGINT), CAST(count(v) AS BIGINT),
+        |    (SELECT v FROM t4), CAST(max(c) AS BIGINT),
+        |    CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / (SELECT sum(c)
+        |        FROM c4)) * ln(CAST(c AS DOUBLE) / (SELECT sum(c)
+        |        FROM c4)) * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM c4),
+        |c5 AS (SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+        |      AS v, count(*) AS c
+        |    FROM customer GROUP BY 1),
+        |t5 AS (SELECT v FROM c5 ORDER BY c DESC, v DESC LIMIT 1),
+        |p5 AS (SELECT 'c_acctbal' AS "column",
+        |    CAST(sum(c) AS BIGINT), CAST(sum(CASE WHEN v IS NULL THEN c
+        |      ELSE 0 END) AS BIGINT), CAST(count(v) AS BIGINT),
+        |    (SELECT v FROM t5), CAST(max(c) AS BIGINT),
+        |    CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / (SELECT sum(c)
+        |        FROM c5)) * ln(CAST(c AS DOUBLE) / (SELECT sum(c)
+        |        FROM c5)) * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM c5)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+        |UNION ALL SELECT * FROM p5 ORDER BY "column"""".stripMargin,
     "data_group_kfold" ->
       """WITH f AS (SELECT user_id, value,
         |    (md5_number_lower(CAST(user_id AS VARCHAR))

@@ -42,6 +42,24 @@ object JsonQueries {
         coalesce(col("items"), array()).as("items"))
   }
 
+  /** Secondary-index point lookup through the Engine facade — the
+    * reference's SQLite column-index analogue on the parquet store:
+    * save the order docs, build a sorted (value, rowNum) index on the
+    * status column, and resolve every 'P' order through the index
+    * (narrow index scan → broadcast semi probe of the base table by
+    * key — the base is never scanned for the value). Census output;
+    * oracle replays the same filter over the raw source. */
+  def engineIndexLookup(s: SparkSession, d: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("graft_engine_idx").toString
+    val eng = new graft.Engine(s, wh)
+    eng.save(orderDocs(s, d), "order")
+    eng.buildIndex("order", "o_orderstatus")
+    eng.lookupByIndex("order", "o_orderstatus", "P")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("rowNum")).as("min_key"), max(col("rowNum")).as("max_key"))
+  }
+
   /** Flat shred of the events.props JSON column. */
   def shredFlatten(s: SparkSession, d: String): DataFrame =
     Shred.flatten(

@@ -307,6 +307,52 @@ object Profiling {
         col("est_join_rows"))
   }
 
+  /** One column's profile from its (value, count) frame: row/null/
+    * distinct counts, top value with tie-break, Shannon entropy of the
+    * value distribution in integer micro-nats (per-value terms fixed
+    * before the fold — the PSI portability trick). The value arrives
+    * pre-rendered as a STRING by the caller (decimal-cast for doubles,
+    * so both engines print identically). */
+  private def colProfile(name: String, df: DataFrame,
+      value: Column): DataFrame = {
+    val counts = df.select(value.as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    val tot = counts.agg(sum(col("_c")).as("_n"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("_v"), col("_c"), col("_n"),
+        round(-(col("_c").cast("double") / col("_n")) *
+          log(col("_c").cast("double") / col("_n")) * 1e6)
+          .cast("long").as("_h"))
+      .agg(max(col("_n")).as("n_rows"),
+        sum(when(col("_v").isNull, col("_c")).otherwise(0L)).as("n_null"),
+        sum(when(col("_v").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
+        max_by(col("_v"), struct(col("_c"), col("_v"))).as("top_value"),
+        max(struct(col("_c"), col("_v"))).getField("_c").as("top_count"),
+        sum(col("_h")).as("entropy_micro"))
+      .select(lit(name).as("column"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("top_value"), col("top_count"),
+        col("entropy_micro"))
+  }
+
+  /** Whole-table column profile — the first query anyone runs on an
+    * unfamiliar table: per column, null rate, cardinality, modal
+    * value, and value-distribution entropy. Each column's profile is
+    * ONE partial-aggregable rollup to its value-count frame (bounded
+    * by the column's domain); numeric values render through a decimal
+    * cast so both engines print the identical string. */
+  def qColumnProfile(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    Seq(
+      colProfile("c_custkey", c, col("c_custkey").cast("string")),
+      colProfile("c_nationkey", c, col("c_nationkey").cast("string")),
+      colProfile("c_mktsegment", c, col("c_mktsegment")),
+      colProfile("c_name", c, col("c_name")),
+      colProfile("c_acctbal", c,
+        col("c_acctbal").cast("decimal(12,2)").cast("string")))
+      .reduce(_ unionByName _)
+      .orderBy(col("column"))
+  }
+
   /** Shuffle-skew audit over three join keyspaces — the query a data
     * engineer runs BEFORE sizing a 100 TB join: is the key fan-in
     * uniform enough for a plain hash join, which keys need salting,

@@ -396,6 +396,47 @@ object Warehouse {
     * shuffles fixed-width longs keyed on block id. Exact by
     * construction — the oracle replays the identical shift/AND/
     * popcount arithmetic. */
+  /** Bitemporal as-of query — the two-axis time-travel warehouses need
+    * when facts are corrected after the fact: every order has a v1
+    * recorded (transaction time) and valid (business time) from its
+    * order date; every 7th order receives a prospective price revision
+    * (+10%, exact cents) VALID 60 days after the order but RECORDED 30
+    * days after it. "As known at T, valid at V" then picks, per key,
+    * the max-valid_from version among those with tx_from ≤ T and
+    * valid_from ≤ V (tx breaks valid ties) — one filter + one
+    * partial-aggregable max_by argmax, no window, no self-join. The
+    * report runs the SAME corpus at two knowledge dates, showing the
+    * revision visible only once recorded. */
+  def qBitemporalAsof(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      to_date(col("o_orderdate")).as("od"))
+    val versions = base
+      .select(col("k"), col("st"), col("cents"),
+        col("od").as("valid_from"), col("od").as("tx_from"))
+      .unionByName(base.filter(col("k") % 7 === 0)
+        .select(col("k"), col("st"),
+          (col("cents") + expr("cents div 10")).as("cents"),
+          date_add(col("od"), 60).as("valid_from"),
+          date_add(col("od"), 30).as("tx_from")))
+    def asOf(tag: String, t: String, v: String): DataFrame = versions
+      .filter(col("tx_from") <= lit(t).cast("date") &&
+        col("valid_from") <= lit(v).cast("date"))
+      .groupBy(col("k"))
+      .agg(max_by(struct(col("st"), col("cents")),
+        struct(col("valid_from"), col("tx_from"))).as("_v"))
+      .groupBy(col("_v.st").as("st"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("_v.cents")).cast("double") / 100.0).as("total"))
+      .select(lit(tag).as("known_at"), col("st"), col("n"), col("total"))
+    // same valid date, two knowledge dates: the 1996-07-15 revision
+    // wave is visible only to the later observer
+    asOf("1996-07-01", "1996-07-01", "1996-09-01")
+      .unionByName(asOf("1996-12-01", "1996-12-01", "1996-09-01"))
+      .orderBy(col("known_at"), col("st"))
+  }
+
   /** FIFO lot allocation — the inventory/cost-basis matching problem
     * ("which receipt lot funded which issue?") that naive SQL can only
     * do with a procedural loop. The declarative trick: running-sum

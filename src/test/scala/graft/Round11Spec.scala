@@ -651,6 +651,52 @@ class Round11Spec extends SparkSuite {
     assert(back == orig, "fixed-width roundtrip drift")
   }
 
+  test("engine index lookup equals the full-scan filter") {
+    import org.apache.spark.sql.functions._
+    val wh = graft.util.Scratch.dir("graft_idx_spec").toString
+    val eng = new graft.Engine(spark, wh)
+    eng.save(graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("rowNum"), col("o_orderstatus"),
+        col("o_totalprice")), "ord")
+    eng.buildIndex("ord", "o_orderstatus")
+    val viaIndex = eng.lookupByIndex("ord", "o_orderstatus", "P")
+      .collect().map(_.getAs[Long]("rowNum")).sorted.toSeq
+    val viaScan = eng.table("ord").filter(col("o_orderstatus") === "P")
+      .collect().map(_.getAs[Long]("rowNum")).sorted.toSeq
+    assert(viaIndex == viaScan && viaIndex.nonEmpty,
+      "index probe must return exactly the scan's rows")
+  }
+
+  test("bitemporal: the revision wave appears only once recorded") {
+    val rows = graft.ops.Warehouse.qBitemporalAsof(spark, sf).collect()
+    val by = rows.groupBy(_.getAs[String]("known_at"))
+    assert(by.keySet == Set("1996-07-01", "1996-12-01"))
+    def tot(k: String) = by(k).map(_.getAs[Double]("total")).sum
+    def n(k: String) = by(k).map(_.getAs[Long]("n")).sum
+    // the later observer knows strictly more: orders recorded between
+    // the two knowledge dates appear, and the +10% revision wave on
+    // already-known orders becomes visible
+    assert(n("1996-12-01") >= n("1996-07-01"))
+    assert(tot("1996-12-01") > tot("1996-07-01"),
+      "later knowledge must include the recorded revisions")
+  }
+
+  test("column profile: key column saturates distinctness and entropy") {
+    val rows = graft.ops.Profiling.qColumnProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    val n = rows("c_custkey").getAs[Long]("n_rows")
+    assert(rows.values.forall(_.getAs[Long]("n_rows") == n))
+    assert(rows("c_custkey").getAs[Long]("n_distinct") == n)
+    assert(rows("c_custkey").getAs[Long]("top_count") == 1L)
+    // a uniform key column's entropy is ln(n) nats
+    val h = rows("c_custkey").getAs[Long]("entropy_micro").toDouble / 1e6
+    assert(math.abs(h - math.log(n.toDouble)) < 0.01, s"entropy $h")
+    // a 5-value segment column caps at ln(5)
+    val hs = rows("c_mktsegment").getAs[Long]("entropy_micro").toDouble / 1e6
+    assert(hs <= math.log(5.0) + 1e-6 && hs > 1.0)
+    rows.values.foreach(r => assert(r.getAs[Long]("n_null") == 0L))
+  }
+
   test("HITS authorities are a normalized, ordered top-20") {
     val rows = graft.ops.Mining.qHitsRanking(spark, sf).collect()
     val nSupp = graft.sources.Tables.supplier(spark, sf).count()
