@@ -665,6 +665,8 @@ object SparkEntry {
     "stream_abandoned_carts" ->
       (graft.streaming.Events.streamAbandonedCarts _),
     "engine_index_lookup" -> (JsonQueries.engineIndexLookup _),
+    "q_rolling_slope" -> (Behavior.qRollingSlope _),
+    "embed_outlier_maha" -> (PipelineQueries.embedOutlierMaha _),
     "q_bitemporal_asof" -> (Warehouse.qBitemporalAsof _),
     "q_column_profile" -> (Profiling.qColumnProfile _),
     "data_group_kfold" -> (PipelineQueries.dataGroupKfold _),
@@ -3250,6 +3252,49 @@ object SparkEntry {
         |  CAST(max(mc) AS BIGINT) AS max_concurrent
         |FROM pp JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // five exact Long window sums on the 1e-4 lattice; one identical
+    // IEEE division per slope, fixed to integer micro-units
+    "q_rolling_slope" ->
+      """WITH daily AS (SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS y
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT x, count(*) OVER w AS n, sum(x) OVER w AS sx,
+        |    sum(y) OVER w AS sy, sum(x * y) OVER w AS sxy,
+        |    sum(x * x) OVER w AS sxx
+        |  FROM daily WINDOW w AS (ORDER BY x
+        |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT x, sy,
+        |    CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n * sxx - sx * sx AS DOUBLE) * 100 + 0.5) AS BIGINT)
+        |      AS slope_micro
+        |  FROM r WHERE n = 30)
+        |SELECT x AS day_idx,
+        |  CAST(sy AS DOUBLE) / (30 * 10000.0) AS avg_revenue_30d,
+        |  slope_micro, slope_micro / 1e6 AS slope
+        |FROM m ORDER BY day_idx""".stripMargin,
+    // per-dim moment sums are exact lattice Longs; each term is a
+    // ratio of exact integers fixed to micro-units before the fold
+    "embed_outlier_maha" ->
+      """WITH e AS (SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |q AS (SELECT vec_id, dim,
+        |    CAST(round(x * 1e4) AS BIGINT) AS qv FROM e),
+        |st AS (SELECT dim, count(*) AS n, sum(qv) AS sx,
+        |    sum(qv * qv) AS sxx FROM q GROUP BY 1),
+        |t AS (SELECT q.vec_id,
+        |    CAST(floor(CAST((st.n * q.qv - st.sx) * (st.n * q.qv - st.sx)
+        |        AS DOUBLE) /
+        |      CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE) * 1e6 + 0.5)
+        |      AS BIGINT) AS t
+        |  FROM q JOIN st USING (dim))
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+        |  CAST(sum(t) AS BIGINT) AS maha_micro,
+        |  CAST(sum(t) AS BIGINT) / 1e6 AS maha_sq
+        |FROM t GROUP BY 1
+        |ORDER BY maha_micro DESC, vec_id LIMIT 20""".stripMargin,
     "engine_index_lookup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_orders,
         |  round(sum(o_totalprice), 2) AS total_price,

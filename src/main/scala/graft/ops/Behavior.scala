@@ -755,6 +755,40 @@ object Behavior {
         (col("slope_micro").cast("double") / 1e6).as("ts_slope"))
   }
 
+  /** Rolling 30-day regression slope of the daily revenue series — the
+    * trailing-trend monitor a metrics pipeline refreshes daily. All
+    * five window sums (n, Σx, Σy, Σxy, Σx²) are exact Longs on the
+    * 1e-4-unit lattice (order-independent — the qStlDecompose
+    * portability rule), so the OLS slope numerator/denominator are
+    * exact integers and the one division is identical IEEE in both
+    * engines; each slope then fixes to integer micro-units. Windows
+    * run on the |days|-bounded daily frame only. */
+  def qRollingSlope(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(datediff(to_date(col("l_shipdate")),
+        lit("1995-01-01").cast("date")).cast("long").as("x"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("y"))
+    val w = Window.orderBy(col("x")).rowsBetween(-29, 0)
+    daily
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_sx", sum(col("x")).over(w))
+      .withColumn("_sy", sum(col("y")).over(w))
+      .withColumn("_sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("_sxx", sum(col("x") * col("x")).over(w))
+      .filter(col("_n") === 30) // full trailing windows only
+      .withColumn("_num", col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("_den", col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("slope_micro",
+        floor(col("_num").cast("double") / col("_den") * 100 + 0.5)
+          .cast("long"))
+      .select(col("x").as("day_idx"),
+        (col("_sy").cast("double") / (30 * 10000.0)).as("avg_revenue_30d"),
+        col("slope_micro"),
+        (col("slope_micro").cast("double") / 1e6).as("slope"))
+      .orderBy(col("day_idx"))
+  }
+
   /** OHLC time bars — the financial candlestick rollup applied to the
     * event stream: per hourly bar and event type, the first (open) and
     * last (close) value by event time, the high/low extremes, count,

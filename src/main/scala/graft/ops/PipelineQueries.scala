@@ -2471,6 +2471,42 @@ object PipelineQueries {
       .limit(30)
   }
 
+  /** Diagonal-Mahalanobis embedding outliers — the vector-space
+    * anomaly audit a curation pipeline runs before training: each
+    * vector's distance from the corpus mean, per-dimension normalized
+    * by that dimension's variance, top-20. Inputs quantize to a 1e-4
+    * lattice, so per-dimension moment sums (n, Σx, Σx²) are exact
+    * order-free Longs and each dimension's term
+    * (n·x − Σx)² / (n·Σx² − (Σx)²) is a ratio of exact integers — ONE
+    * identical IEEE division, fixed to micro-units before the per-
+    * vector fold (exact Long sum). Scale shape: a 64× narrow explode,
+    * one 64-row moment rollup (broadcast back), one vector-keyed
+    * partial agg, TakeOrdered — no pairwise work at all. */
+  def embedOutlierMaha(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "_x")))
+      .withColumn("_q", round(col("_x") * 1e4).cast("long"))
+    val stats = dims.groupBy(col("dim"))
+      .agg(count(lit(1)).as("_n"), sum(col("_q")).as("_sx"),
+        sum(col("_q") * col("_q")).as("_sxx"))
+    dims.join(broadcast(stats), Seq("dim"))
+      .withColumn("_num",
+        (col("_n") * col("_q") - col("_sx")) *
+          (col("_n") * col("_q") - col("_sx")))
+      .withColumn("_den",
+        col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("_t", floor(col("_num").cast("double") / col("_den")
+        * 1e6 + 0.5).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"), sum(col("_t")).as("maha_micro"))
+      .select(col("vec_id"), col("n_dims"), col("maha_micro"),
+        (col("maha_micro").cast("double") / 1e6).as("maha_sq"))
+      .orderBy(col("maha_micro").desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** GROUP-aware k-fold assignment — the split a training pipeline
     * must use when rows share an entity (all of a user's events go to
     * ONE fold, or the eval leaks): fold = portable hash of the GROUP

@@ -697,6 +697,42 @@ class Round11Spec extends SparkSuite {
     rows.values.foreach(r => assert(r.getAs[Long]("n_null") == 0L))
   }
 
+  test("rolling slope matches a brute-force OLS on one window") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Behavior.qRollingSlope(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(datediff(to_date(col("l_shipdate")),
+        lit("1995-01-01").cast("date")).cast("long").as("x"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val probe = rows.last.getAs[Long]("day_idx")
+    val win = daily.filter(_._1 <= probe).takeRight(30)
+    assert(win.length == 30 && win.last._1 == probe)
+    val n = 30L
+    val (sx, sy) = (win.map(_._1).sum, win.map(_._2).sum)
+    val sxy = win.map(p => p._1 * p._2).sum
+    val sxx = win.map(p => p._1 * p._1).sum
+    val expect = math.floor(
+      (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx) * 100 + 0.5).toLong
+    assert(rows.last.getAs[Long]("slope_micro") == expect)
+  }
+
+  test("Mahalanobis outliers exceed the expected chi-square mass") {
+    val rows = graft.ops.PipelineQueries.embedOutlierMaha(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getAs[Long]("maha_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dims") == 64L)
+      // E[maha^2] = n_dims for the corpus; the top outliers must sit
+      // above the mean mass
+      assert(r.getAs[Double]("maha_sq") > 64.0, s"not an outlier: $r")
+    }
+  }
+
   test("HITS authorities are a normalized, ordered top-20") {
     val rows = graft.ops.Mining.qHitsRanking(spark, sf).collect()
     val nSupp = graft.sources.Tables.supplier(spark, sf).count()
