@@ -667,6 +667,9 @@ object SparkEntry {
     "engine_index_lookup" -> (JsonQueries.engineIndexLookup _),
     "q_rolling_slope" -> (Behavior.qRollingSlope _),
     "embed_outlier_maha" -> (PipelineQueries.embedOutlierMaha _),
+    "q_anova_f" -> (Mining.qAnovaF _),
+    "q_winsorized_stats" -> (Mining.qWinsorizedStats _),
+    "source_csv_multiline" -> (graft.sources.Formats.csvMultiline _),
     "q_bitemporal_asof" -> (Warehouse.qBitemporalAsof _),
     "q_column_profile" -> (Profiling.qColumnProfile _),
     "data_group_kfold" -> (PipelineQueries.dataGroupKfold _),
@@ -3252,6 +3255,67 @@ object SparkEntry {
         |  CAST(max(mc) AS BIGINT) AS max_concurrent
         |FROM pp JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // whole-dollar lattice (cent squares overflow ANSI longs at
+    // scale); per-group S^2/n floor-fixed before the exact Long fold
+    "q_anova_f" ->
+      """WITH g AS (SELECT o_orderpriority AS grp, count(*) AS n,
+        |    sum(CAST(round(o_totalprice) AS BIGINT)) AS sx,
+        |    sum(CAST(round(o_totalprice) AS BIGINT) *
+        |      CAST(round(o_totalprice) AS BIGINT)) AS sxx
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT n, sx, sxx,
+        |    CAST(floor(CAST(sx AS DOUBLE) * sx / n + 0.5) AS BIGINT)
+        |      AS ssq_t FROM g),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS n, sum(sx) AS sx, sum(sxx) AS sxx,
+        |    sum(ssq_t) AS ssq FROM t)
+        |SELECT k, n,
+        |  floor((CAST(ssq AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+        |    / (k - 1) /
+        |    ((CAST(sxx AS DOUBLE) - CAST(ssq AS DOUBLE)) / (n - k))
+        |    * 1e4 + 0.5) / 1e4 AS f_stat,
+        |  ((CAST(ssq AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (k - 1) /
+        |    ((CAST(sxx AS DOUBLE) - CAST(ssq AS DOUBLE)) / (n - k)))
+        |    > 3.32 AS significant_1pct
+        |FROM a""".stripMargin,
+    // exact rank-selected p05/p95 cut points; winsorized mean is an
+    // exact Long cent sum over one division
+    "q_winsorized_stats" ->
+      """WITH o AS (SELECT o_orderpriority AS grp, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT grp, cents,
+        |    row_number() OVER (PARTITION BY grp
+        |      ORDER BY cents, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS n FROM o),
+        |b AS (SELECT grp, CAST(max(n) AS BIGINT) AS n_rows,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(n * 0.05) AS BIGINT))
+        |      THEN cents END) AS lo,
+        |    max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+        |      THEN cents END) AS hi
+        |  FROM r GROUP BY 1),
+        |w AS (SELECT o.grp, b.n_rows, b.lo, b.hi,
+        |    greatest(b.lo, least(b.hi, o.cents)) AS wv, o.cents
+        |  FROM o JOIN b USING (grp))
+        |SELECT grp, n_rows, CAST(lo AS DOUBLE) / 100.0 AS p05,
+        |  CAST(hi AS DOUBLE) / 100.0 AS p95,
+        |  CAST(sum(wv) AS DOUBLE) / (n_rows * 100.0) AS winsorized_mean,
+        |  CAST(sum(CASE WHEN wv <> cents THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  round(CAST(sum(CASE WHEN wv <> cents THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / n_rows, 6) AS clip_share
+        |FROM w GROUP BY 1, 2, 3, 4 ORDER BY grp""".stripMargin,
+    "source_csv_multiline" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    substr(text, 1, 40) || chr(10) || substr(text, 41, 40)
+        |      AS snippet
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN contains(snippet, chr(10)) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_with_newline,
+        |  CAST(sum(length(snippet)) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM s""".stripMargin,
     // five exact Long window sums on the 1e-4 lattice; one identical
     // IEEE division per slope, fixed to integer micro-units
     "q_rolling_slope" ->

@@ -1506,6 +1506,84 @@ object Mining {
       .orderBy(col("p_brand"))
   }
 
+  /** Winsorized statistics per priority class — the robust-mean
+    * recipe for heavy-tailed metrics: clip at the exact p05/p95 order
+    * statistics, then average. Both cut points are exact rank
+    * selections via [[Ranks.groupRowNumber]] (group key rides the
+    * range shuffle — no per-class window sort), folded back as a
+    * broadcast 5-row bound table; clipping is map-side arithmetic on
+    * exact cents and the winsorized mean is an exact Long sum over
+    * one division. */
+  def qWinsorizedStats(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
+      col("o_orderkey"), round(col("o_totalprice") * 100).cast("long")
+        .as("cents"))
+    val ranked = Ranks.groupRowNumber(o, Seq(col("grp")),
+      Seq(col("cents"), col("o_orderkey")), "_rn", "_n")
+    val bounds = ranked.groupBy(col("grp"))
+      .agg(max(col("_n")).as("n_rows"),
+        max(when(col("_rn") ===
+          greatest(lit(1L), ceil(col("_n") * 0.05).cast("long")),
+          col("cents"))).as("_lo"),
+        max(when(col("_rn") === ceil(col("_n") * 0.95).cast("long"),
+          col("cents"))).as("_hi"))
+    o.join(broadcast(bounds), Seq("grp"))
+      .withColumn("_w", greatest(col("_lo"), least(col("_hi"), col("cents"))))
+      .groupBy(col("grp"), col("n_rows"), col("_lo"), col("_hi"))
+      .agg(sum(col("_w")).as("_sw"),
+        sum(when(col("_w") =!= col("cents"), 1L).otherwise(0L))
+          .as("n_clipped"))
+      .select(col("grp"), col("n_rows"),
+        (col("_lo").cast("double") / 100.0).as("p05"),
+        (col("_hi").cast("double") / 100.0).as("p95"),
+        (col("_sw").cast("double") / (col("n_rows") * 100.0))
+          .as("winsorized_mean"),
+        col("n_clipped"),
+        round(col("n_clipped").cast("double") / col("n_rows"), 6)
+          .as("clip_share"))
+      .orderBy(col("grp"))
+  }
+
+  /** One-way ANOVA F-test: does order priority explain any of the
+    * order-value variance? Between/within sums of squares come
+    * entirely from per-group exact integer moments (n, Σcents,
+    * Σcents²) — one partial-aggregable rollup, no second pass, no
+    * residual join: SSB = Σ_g S_g²/n_g − S²/n and SSW = Σx² − Σ_g
+    * S_g²/n_g, each term ONE division of exact integers, micro-fixed
+    * before the cross-group fold (the lattice portability rule). The
+    * 5-row group frame does the rest; F compares to the 1%
+    * critical value for (4, ∞) df. */
+  def qAnovaF(s: SparkSession, d: String): DataFrame = {
+    // whole-DOLLAR lattice, not cents: Σx² of cent values overflows
+    // 2⁶³ under Spark's ANSI longs at production row counts; dollar
+    // squares keep n·Σx² inside 2⁶³ with precision to spare for F
+    val g = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice")).cast("long").as("c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+    // per-group S²/n (one IEEE division each, floor-fixed so the
+    // cross-group sum is exact Long arithmetic)
+    val terms = g.select(col("n"), col("sx"), col("sxx"),
+      floor((col("sx").cast("double") * col("sx")) / col("n") + 0.5)
+        .cast("long").as("ssq_t"))
+    val tot = terms.agg(count(lit(1)).as("k"), sum(col("n")).as("n"),
+      sum(col("sx")).as("sx"), sum(col("sxx")).as("sxx"),
+      sum(col("ssq_t")).as("ssq"))
+    tot.select(col("k"), col("n"),
+        (col("ssq").cast("double") -
+          (col("sx").cast("double") * col("sx")) / col("n")).as("_ssb"),
+        (col("sxx").cast("double") - col("ssq").cast("double"))
+          .as("_ssw"))
+      .select(col("k"), col("n"),
+        (floor(col("_ssb") / (col("k") - 1) /
+          (col("_ssw") / (col("n") - col("k"))) * 1e4 + 0.5) / 1e4)
+          .as("f_stat"),
+        (col("_ssb") / (col("k") - 1) /
+          (col("_ssw") / (col("n") - col("k"))) > 3.32).as("significant_1pct"))
+  }
+
   /** HITS (Kleinberg hubs-and-authorities) over the bipartite
     * customer→supplier purchase graph — [[Analytics.qPagerank]]'s
     * directed twin: customers are pure hubs, suppliers pure

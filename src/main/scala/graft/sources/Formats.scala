@@ -170,6 +170,37 @@ object Formats {
         .cast("double") / 100.0).as("c_acctbal"))
   }
 
+  /** CSV with EMBEDDED NEWLINES (multiline records) — the production
+    * CSV trap: a quoted field spanning physical lines breaks every
+    * line-oriented reader. The writer quotes a snippet column built
+    * with a literal '\n'; reading back REQUIRES `multiLine=true`,
+    * which also makes each file non-splittable (a record can straddle
+    * any byte offset), so at 100 TB parallelism must come from many
+    * part files — the same caveat as the gzip path, documented here
+    * because the default splittable CSV reader silently tears these
+    * rows instead of failing. Census proves the newlines survived the
+    * roundtrip. */
+  def csvMultiline(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("docs_csv_ml", d)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        concat(substring(col("text"), 1, 40), lit("\n"),
+          substring(col("text"), 41, 40)).as("snippet"))
+      // the CSV WRITER trims leading/trailing whitespace by default
+      // (ignore*WhiteSpace=true on write, false on read) — a silent
+      // lossy roundtrip for text payloads unless disabled
+      .write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false").csv(path)
+    s.read.option("header", "true").option("multiLine", "true")
+      .option("inferSchema", "false").csv(path)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("snippet").contains("\n"), 1L).otherwise(0L))
+          .as("n_with_newline"),
+        sum(length(col("snippet"))).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** Malformed-row tolerance on the CSV ingest path — the same
     * contract the reference applies to bad JSON (skip, don't abort;
     * DatabaseManager.java wraps per-row parse in try/catch). Every

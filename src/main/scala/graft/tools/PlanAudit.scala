@@ -138,6 +138,24 @@ object PlanAudit {
         PipelineQueries.dedupMinhashLsh(spark, d),
       "q_theta_setops (partial-aggregable theta sketches; set ops on the 5-row sketch table)" ->
         PipelineQueries.thetaSetOps(spark, d),
+      "q_ohlc_bars (open/close as partial-aggregable min_by/max_by — no per-bar window)" ->
+        graft.ops.Behavior.qOhlcBars(spark, d),
+      "q_asof_nearest (backward+forward fills share ONE sort; distance pick is a map)" ->
+        Analytics.qAsofNearest(spark, d),
+      "q_fifo_allocation (per-part cumsum windows; interval-intersection equi+overlap join)" ->
+        graft.ops.Warehouse.qFifoAllocation(spark, d),
+      "q_interval_overlap_join (sweep-line windows per part; C(n,2)−disjoint, no pair join)" ->
+        graft.ops.Profiling.qIntervalOverlapJoin(spark, d),
+      "q_skew_audit (per-key count frames; all stats on the |keys|-sized rollups)" ->
+        graft.ops.Profiling.qSkewAudit(spark, d),
+      "q_bitemporal_asof (version union + max_by argmax — no window, no self-join)" ->
+        graft.ops.Warehouse.qBitemporalAsof(spark, d),
+      "data_group_kfold (map-side hash fold assignment; two keyed rollups)" ->
+        PipelineQueries.dataGroupKfold(spark, d),
+      "text_bigram_ppl (bigram-keyed model join; unseen fall through the left join)" ->
+        PipelineQueries.textBigramPpl(spark, d),
+      "embed_outlier_maha (64-row moment broadcast; vector-keyed partial agg; TakeOrdered)" ->
+        PipelineQueries.embedOutlierMaha(spark, d),
       "dedup_substring_spans (8-byte window hashes shuffle, text never does; AQE picks the dup-set join)" ->
         PipelineQueries.dedupSubstringSpans(spark, d),
       "embed_knn_graph (bucket-bounded pair gen; native WindowGroupLimit pre-shuffle top-3 bound)" ->

@@ -733,6 +733,55 @@ class Round11Spec extends SparkSuite {
     }
   }
 
+  test("ANOVA F equals a driver-side recomputation") {
+    import org.apache.spark.sql.functions._
+    val row = graft.ops.Mining.qAnovaF(spark, sf).collect().head
+    val groups = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice")).cast("long").as("c"))
+      .collect().groupBy(_.getString(0)).values
+      .map(_.map(_.getLong(1)).toSeq).toSeq
+    val k = groups.size.toLong
+    val n = groups.map(_.size.toLong).sum
+    val ssq = groups.map(g =>
+      math.floor(g.sum.toDouble * g.sum / g.size + 0.5).toLong).sum
+    val (sx, sxx) = (groups.flatten.sum,
+      groups.flatten.map(x => x * x).sum)
+    val ssb = ssq.toDouble - sx.toDouble * sx / n
+    val ssw = sxx.toDouble - ssq.toDouble
+    val f = math.floor(ssb / (k - 1) / (ssw / (n - k)) * 1e4 + 0.5) / 1e4
+    assert(row.getAs[Long]("k") == k && row.getAs[Long]("n") == n)
+    assert(row.getAs[Double]("f_stat") == f)
+  }
+
+  test("winsorized stats: bounds sit inside the data, clipping is real") {
+    val rows = graft.ops.Mining.qWinsorizedStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      assert(p05 < p95)
+      val m = r.getAs[Double]("winsorized_mean")
+      assert(m >= p05 && m <= p95,
+        s"winsorized mean must land inside the clip bounds: $r")
+      // ~10% of rows get clipped at p05/p95 by construction
+      val share = r.getAs[Double]("clip_share")
+      assert(share > 0.05 && share < 0.15, s"implausible clip share: $r")
+    }
+  }
+
+  test("multiline CSV roundtrip preserves every character") {
+    import org.apache.spark.sql.functions._
+    val row = graft.sources.Formats.csvMultiline(spark, sf).collect().head
+    val expect = graft.sources.Tables.documents(spark, sf)
+      .select(length(concat(substring(col("text"), 1, 40), lit("\n"),
+        substring(col("text"), 41, 40))).as("l"))
+      .agg(sum(col("l")), count(lit(1))).collect().head
+    assert(row.getAs[Long]("total_chars") == expect.getLong(0))
+    assert(row.getAs[Long]("n_rows") == expect.getLong(1))
+    assert(row.getAs[Long]("n_with_newline") == expect.getLong(1),
+      "every snippet must keep its embedded newline")
+  }
+
   test("HITS authorities are a normalized, ordered top-20") {
     val rows = graft.ops.Mining.qHitsRanking(spark, sf).collect()
     val nSupp = graft.sources.Tables.supplier(spark, sf).count()
