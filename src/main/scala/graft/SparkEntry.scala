@@ -668,6 +668,8 @@ object SparkEntry {
     "q_rolling_slope" -> (Behavior.qRollingSlope _),
     "embed_outlier_maha" -> (PipelineQueries.embedOutlierMaha _),
     "q_anova_f" -> (Mining.qAnovaF _),
+    "q_ab_srm" -> (Mining.qAbSrm _),
+    "engine_index_rebuild" -> (JsonQueries.engineIndexRebuild _),
     "q_winsorized_stats" -> (Mining.qWinsorizedStats _),
     "source_csv_multiline" -> (graft.sources.Formats.csvMultiline _),
     "q_bitemporal_asof" -> (Warehouse.qBitemporalAsof _),
@@ -3255,6 +3257,39 @@ object SparkEntry {
         |  CAST(max(mc) AS BIGINT) AS max_concurrent
         |FROM pp JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // upsert replay: updates overwrite base by key, inserts append;
+    // the rebuilt index must serve the post-mutation truth
+    "engine_index_rebuild" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_totalprice AS tp FROM orders),
+        |upd AS (
+        |  SELECT k, 'P' AS st, tp FROM base WHERE k % 5 = 0
+        |  UNION ALL
+        |  SELECT k + 10000000, 'P', tp FROM base WHERE k % 11 = 0),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd))
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(tp), 2) AS total_price,
+        |  CAST(max(k) AS BIGINT) AS max_key
+        |FROM merged WHERE st = 'P'""".stripMargin,
+    "q_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT (md5_number_lower(CAST(user_id AS VARCHAR))
+        |    & 9223372036854775807) % 2 AS arm FROM u),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b FROM a),
+        |e AS (SELECT n_a, n_b, CAST(n_a + n_b AS DOUBLE) / 2 AS ex FROM c)
+        |SELECT n_a, n_b,
+        |  floor(((n_a - ex) * (n_a - ex) / ex +
+        |    (n_b - ex) * (n_b - ex) / ex) * 1e6 + 0.5) / 1e6 AS chi2,
+        |  ((n_a - ex) * (n_a - ex) / ex +
+        |    (n_b - ex) * (n_b - ex) / ex) > 6.63 AS srm_detected
+        |FROM e""".stripMargin,
     // whole-dollar lattice (cent squares overflow ANSI longs at
     // scale); per-group S^2/n floor-fixed before the exact Long fold
     "q_anova_f" ->

@@ -60,6 +60,36 @@ object JsonQueries {
         min(col("rowNum")).as("min_key"), max(col("rowNum")).as("max_key"))
   }
 
+  /** Index maintenance across MUTATION — the lifecycle claim
+    * [[engineIndexLookup]] only states: save, index, UPSERT a batch
+    * that flips every 5th order's status to 'P' (and inserts new
+    * far-key rows, also 'P'), rebuild the index — the reference
+    * recreates schema-dependent structures on mutation the same way —
+    * and prove the rebuilt index serves the post-mutation truth: the
+    * lookup census includes every flipped and inserted row. Oracle
+    * replays upsert + filter over the raw source. */
+  def engineIndexRebuild(s: SparkSession, d: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("graft_engine_idxr").toString
+    val eng = new graft.Engine(s, wh)
+    val docs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("rowNum"), col("o_orderstatus"),
+        col("o_totalprice"))
+    eng.save(docs, "order")
+    eng.buildIndex("order", "o_orderstatus")
+    val updates = docs.filter(col("rowNum") % 5 === 0)
+      .select(col("rowNum"), lit("P").as("o_orderstatus"),
+        col("o_totalprice"))
+      .unionByName(docs.filter(col("rowNum") % 11 === 0)
+        .select((col("rowNum") + 10000000L).as("rowNum"),
+          lit("P").as("o_orderstatus"), col("o_totalprice")))
+    eng.upsert("order", updates)
+    eng.buildIndex("order", "o_orderstatus") // rebuild after mutate
+    eng.lookupByIndex("order", "o_orderstatus", "P")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        max(col("rowNum")).as("max_key"))
+  }
+
   /** Flat shred of the events.props JSON column. */
   def shredFlatten(s: SparkSession, d: String): DataFrame =
     Shred.flatten(

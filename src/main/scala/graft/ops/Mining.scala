@@ -1506,6 +1506,35 @@ object Mining {
       .orderBy(col("p_brand"))
   }
 
+  /** Sample-ratio-mismatch (SRM) guard — the experiment-health check
+    * that runs BEFORE any A/B readout: users hash into arms (the
+    * portable md5 split), and a chi-square test against the intended
+    * 50/50 design decides whether the assignment itself is broken
+    * (the most common silent A/B failure). Counts are exact integers
+    * from one rollup; the statistic is one arithmetic expression of
+    * them; the 1% critical value for 1 df is 6.63. A real mismatch
+    * here means bias in every downstream metric — the test gates the
+    * experiment, not the metric. */
+  def qAbSrm(s: SparkSession, d: String): DataFrame = {
+    val arms = Tables.events(s, d)
+      .select(col("user_id")).distinct()
+      .select(pmod(graft.functions.exprs.md5Lower64(
+        col("user_id").cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)), lit(2L)).as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n"))
+    arms.agg(sum(when(col("arm") === 0, col("n"))).as("n_a"),
+        sum(when(col("arm") === 1, col("n"))).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        ((col("n_a") + col("n_b")).cast("double") / 2).as("_e"))
+      .select(col("n_a"), col("n_b"),
+        (floor(((col("n_a") - col("_e")) * (col("n_a") - col("_e")) / col("_e")
+          + (col("n_b") - col("_e")) * (col("n_b") - col("_e")) / col("_e"))
+          * 1e6 + 0.5) / 1e6).as("chi2"),
+        (((col("n_a") - col("_e")) * (col("n_a") - col("_e")) / col("_e")
+          + (col("n_b") - col("_e")) * (col("n_b") - col("_e")) / col("_e"))
+          > 6.63).as("srm_detected"))
+  }
+
   /** Winsorized statistics per priority class — the robust-mean
     * recipe for heavy-tailed metrics: clip at the exact p05/p95 order
     * statistics, then average. Both cut points are exact rank

@@ -782,6 +782,35 @@ class Round11Spec extends SparkSuite {
       "every snippet must keep its embedded newline")
   }
 
+  test("rebuilt index serves the post-upsert truth") {
+    val row = graft.ops.JsonQueries.engineIndexRebuild(spark, sf)
+      .collect().head
+    import org.apache.spark.sql.functions._
+    val base = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("tp"))
+    val nFlipped = base.filter(col("k") % 5 === 0).count()
+    val nInserted = base.filter(col("k") % 11 === 0).count()
+    val nOrigP = base.filter(col("st") === "P" && col("k") % 5 =!= 0)
+      .count()
+    assert(row.getAs[Long]("n_orders") == nFlipped + nInserted + nOrigP,
+      "index must see every flipped, inserted, and surviving P row")
+    assert(row.getAs[Long]("max_key") > 10000000L,
+      "an inserted far key must be reachable through the index")
+  }
+
+  test("SRM guard: a clean hash split passes, counts reconcile") {
+    val row = graft.ops.Mining.qAbSrm(spark, sf).collect().head
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(row.getAs[Long]("n_a") + row.getAs[Long]("n_b") == nUsers)
+    assert(row.getAs[Double]("chi2") >= 0.0)
+    // md5 is a fair coin: a genuine mismatch would mean the harness
+    // itself broke
+    assert(!row.getAs[Boolean]("srm_detected"),
+      s"hash split flagged as broken: $row")
+  }
+
   test("HITS authorities are a normalized, ordered top-20") {
     val rows = graft.ops.Mining.qHitsRanking(spark, sf).collect()
     val nSupp = graft.sources.Tables.supplier(spark, sf).count()
