@@ -670,6 +670,7 @@ object SparkEntry {
     "q_anova_f" -> (Mining.qAnovaF _),
     "q_ab_srm" -> (Mining.qAbSrm _),
     "engine_index_rebuild" -> (JsonQueries.engineIndexRebuild _),
+    "stream_srm" -> (graft.streaming.Events.streamSrm _),
     "q_winsorized_stats" -> (Mining.qWinsorizedStats _),
     "source_csv_multiline" -> (graft.sources.Formats.csvMultiline _),
     "q_bitemporal_asof" -> (Warehouse.qBitemporalAsof _),
@@ -868,6 +869,9 @@ object SparkEntry {
       // open/close are partial-aggregable argmins over the total
       // (ts, event_id) order — micro-batch chopping cannot move them
       ("stream_ohlc_bars" -> oracleSqlBase("q_ohlc_bars")) +
+      // first-seen user dedup + associative arm counts converge to
+      // the batch census; chi-square runs post-stream on 2 rows
+      ("stream_srm" -> oracleSqlBase("q_ab_srm")) +
       // the leakage census folds the SAME verified pair relation the
       // dedup family shares (wrapped as a derived table) under the
       // portable md5 split hash

@@ -1541,6 +1541,44 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** STREAMING sample-ratio-mismatch monitor —
+    * [[graft.ops.Mining.qAbSrm]] as a continuous query: the
+    * experiment-health alarm running ON the ingest stream instead of
+    * at readout time. `dropDuplicates("user_id")` keeps first-seen
+    * users (one state row per user — the same bound any streaming
+    * distinct pays), the arm is a stateless portable-hash projection,
+    * and the arm counts fold associatively across forced multi-batch,
+    * so the converged table equals the batch census; the chi-square
+    * arithmetic runs post-stream on the 2-row frame, landing in the
+    * identical statistic. Shares q_ab_srm's oracle verbatim. */
+  def streamSrm(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    val ev = eventStream(spark, sfDir)
+    val arms = ev.select(col("user_id"))
+      .dropDuplicates("user_id")
+      .select(pmod(graft.functions.exprs.md5Lower64(
+        col("user_id").cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)), lit(2L)).as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n"))
+    val name = s"graft_stream_srm_${n.incrementAndGet()}"
+    val q = arms.writeStream
+      .outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    spark.table(name)
+      .agg(sum(when(col("arm") === 0, col("n"))).as("n_a"),
+        sum(when(col("arm") === 1, col("n"))).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        ((col("n_a") + col("n_b")).cast("double") / 2).as("_e"))
+      .select(col("n_a"), col("n_b"),
+        (floor(((col("n_a") - col("_e")) * (col("n_a") - col("_e"))
+          / col("_e") + (col("n_b") - col("_e")) * (col("n_b") - col("_e"))
+          / col("_e")) * 1e6 + 0.5) / 1e6).as("chi2"),
+        (((col("n_a") - col("_e")) * (col("n_a") - col("_e")) / col("_e")
+          + (col("n_b") - col("_e")) * (col("n_b") - col("_e"))
+          / col("_e")) > 6.63).as("srm_detected"))
+  }
+
   /** STREAMING OHLC time bars — [[graft.ops.Behavior.qOhlcBars]] as a
     * continuous query: hourly candlesticks (open/high/low/close,
     * count, volume) maintained in streaming state. Open/close are the

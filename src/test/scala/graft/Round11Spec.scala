@@ -811,6 +811,14 @@ class Round11Spec extends SparkSuite {
       s"hash split flagged as broken: $row")
   }
 
+  test("streaming SRM monitor equals the batch census exactly") {
+    val streamed = graft.streaming.Events.streamSrm(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Mining.qAbSrm(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "stream/batch SRM divergence")
+  }
+
   test("HITS authorities are a normalized, ordered top-20") {
     val rows = graft.ops.Mining.qHitsRanking(spark, sf).collect()
     val nSupp = graft.sources.Tables.supplier(spark, sf).count()
