@@ -671,6 +671,9 @@ object SparkEntry {
     "q_ab_srm" -> (Mining.qAbSrm _),
     "engine_index_rebuild" -> (JsonQueries.engineIndexRebuild _),
     "stream_srm" -> (graft.streaming.Events.streamSrm _),
+    "data_budget_select" -> (PipelineQueries.dataBudgetSelect _),
+    "q_assortativity" -> (Mining.qAssortativity _),
+    "multimodal_gif_codec" -> (PipelineQueries.multimodalGifCodec _),
     "q_winsorized_stats" -> (Mining.qWinsorizedStats _),
     "source_csv_multiline" -> (graft.sources.Formats.csvMultiline _),
     "q_bitemporal_asof" -> (Warehouse.qBitemporalAsof _),
@@ -872,6 +875,9 @@ object SparkEntry {
       // first-seen user dedup + associative arm counts converge to
       // the batch census; chi-square runs post-stream on 2 rows
       ("stream_srm" -> oracleSqlBase("q_ab_srm")) +
+      // the explicit 256-gray palette makes the indexed roundtrip
+      // lossless — identical decoded checksums to the PNG path
+      ("multimodal_gif_codec" -> oracleSqlBase("multimodal_png_codec")) +
       // the leakage census folds the SAME verified pair relation the
       // dedup family shares (wrapped as a derived table) under the
       // portable md5 split hash
@@ -3261,6 +3267,46 @@ object SparkEntry {
         |  CAST(max(mc) AS BIGINT) AS max_concurrent
         |FROM pp JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "data_budget_select" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT * FROM tk WHERE tok <> ''),
+        |sc AS (SELECT doc_id, source, count(*) AS n_tok,
+        |    count(DISTINCT tok) * 10000 // count(*) AS score_bp
+        |  FROM t2 GROUP BY 1, 2),
+        |b AS (SELECT CAST(sum(n_tok) // 5 AS BIGINT) AS budget FROM sc),
+        |r AS (SELECT *, sum(n_tok) OVER (ORDER BY score_bp DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sc)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_selected,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN cum <= budget THEN n_tok ELSE 0 END)
+        |    AS BIGINT) AS tokens_selected,
+        |  round(CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS selected_share
+        |FROM r, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // five exact integer moments; doubles of identical exact longs;
+    // IEEE sqrt is correctly rounded (portable, unlike ln)
+    "q_assortativity" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM ls x JOIN ls y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey),
+        |e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        |dg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY 1),
+        |m AS (SELECT count(*) AS n, sum(da.deg) AS sx, sum(db.deg) AS sy,
+        |    sum(da.deg * db.deg) AS sxy, sum(da.deg * da.deg) AS sxx,
+        |    sum(db.deg * db.deg) AS syy
+        |  FROM e JOIN dg da ON e.a = da.node JOIN dg db ON e.b = db.node)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |  floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |      (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |    * 1e6 + 0.5) / 1e6 AS assortativity
+        |FROM m""".stripMargin,
     // upsert replay: updates overwrite base by key, inserts append;
     // the rebuilt index must serve the post-mutation truth
     "engine_index_rebuild" ->

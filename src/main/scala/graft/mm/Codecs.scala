@@ -78,6 +78,39 @@ object Codecs {
     (w, h, s)
   }
 
+  /** Real GIF bytes for the doc's deterministic image. GIF is
+    * palette-indexed; an explicit 256-entry GRAYSCALE palette makes
+    * the 8-bit gray pattern representable exactly (index i = gray i),
+    * so the lossy-looking format round-trips losslessly here — the
+    * palette-format counterpart of the PNG path, sharing its oracle.
+    * Without the explicit palette the writer would quantize. */
+  def encodeGif(docId: Long): Array[Byte] = {
+    val w = pngWidth(docId)
+    val h = pngHeight(docId)
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new BufferedImage(w, h,
+      BufferedImage.TYPE_BYTE_INDEXED, cm)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, grayAt(x, y, docId))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
+  /** Decode real GIF bytes → (width, height, Σ gray) via the palette
+    * lookup `getRGB` resolves — same checksum contract as
+    * [[decodePngStats]]. */
+  def decodeGifStats(bytes: Array[Byte]): (Int, Int, Long) =
+    decodePngStats(bytes) // ImageIO dispatches on content, not name
+
   /** Decode real PNG bytes → nearest-neighbor resize to `side`×`side`
     * → RE-ENCODE to PNG → decode AGAIN → (srcW, srcH, Σ resized gray).
     * The checksum is read from the second decode, so it proves the

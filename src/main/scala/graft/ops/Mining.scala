@@ -1506,6 +1506,47 @@ object Mining {
       .orderBy(col("p_brand"))
   }
 
+  /** Degree assortativity of the part co-purchase graph — do
+    * well-connected parts co-occur with other well-connected parts
+    * (r > 0) or with peripheral ones (r < 0)? Newman's r is the
+    * Pearson correlation of endpoint degrees over the directed edge
+    * list: all five moments are exact integer sums from one rollup
+    * after two degree joins; the numerator/denominator combine those
+    * exact longs in double space (products exceed 2⁶³, but doubles of
+    * identical exact longs are identical), sqrt is CORRECTLY ROUNDED
+    * under IEEE-754 (unlike ln — portable without tricks), and r is
+    * micro-fixed. Same edge definition as q_triangle_count. */
+  def qAssortativity(s: SparkSession, d: String): DataFrame = {
+    val ls = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = ls.as("x").join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val m = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .agg(count(lit(1)).as("n"), sum(col("da")).as("sx"),
+        sum(col("db")).as("sy"), sum(col("da") * col("db")).as("sxy"),
+        sum(col("da") * col("da")).as("sxx"),
+        sum(col("db") * col("db")).as("syy"))
+    m.select(
+        expr("n div 2").as("n_edges"),
+        (floor((col("n").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")) /
+          sqrt((col("n").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx")) *
+            (col("n").cast("double") * col("syy") -
+              col("sy").cast("double") * col("sy")))
+          * 1e6 + 0.5) / 1e6).as("assortativity"))
+  }
+
   /** Sample-ratio-mismatch (SRM) guard — the experiment-health check
     * that runs BEFORE any A/B readout: users hash into arms (the
     * portable md5 split), and a chi-square test against the intended

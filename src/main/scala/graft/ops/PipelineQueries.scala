@@ -1841,6 +1841,61 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget corpus selection — "the best corpus that fits in N
+    * tokens": docs rank by an exact lexical-diversity score (distinct
+    * tokens per token, basis points — integer arithmetic), and the
+    * greedy prefix under the budget is ONE exact running token sum
+    * over that order via [[Ranks.globalRunningSum]] — no loop, no
+    * driver-side knapsack, no single-task sort. Budget = 20% of the
+    * corpus's total tokens (computed exactly, broadcast as one row).
+    * The deterministic skeleton of data curation's final step. */
+  def dataBudgetSelect(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val scored = toks.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_dist"))
+      .withColumn("score_bp", expr("n_dist * 10000 div n_tok"))
+    val budget = broadcast(scored.agg(
+      expr("sum(n_tok) div 5").as("_budget")))
+    val ranked = Ranks.globalRunningSum(scored,
+      Seq(col("score_bp").desc, col("doc_id")), col("n_tok"), "_cum")
+    ranked.crossJoin(budget)
+      .withColumn("_sel", col("_cum") <= col("_budget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_sel"), 1L).otherwise(0L)).as("n_selected"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("_sel"), col("n_tok")).otherwise(0L))
+          .as("tokens_selected"))
+      .withColumn("selected_share",
+        round(col("n_selected").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** REAL palette-indexed image codec: the deterministic grayscale
+    * images through genuine GIF bytes (LZW, explicit 256-gray
+    * palette) — the indexed-format counterpart of
+    * [[multimodalPngCodec]]. With the explicit palette the roundtrip
+    * is LOSSLESS (index i = gray i), so the decoded-pixel checksum is
+    * exact and the key shares the PNG oracle verbatim; without it the
+    * writer would quantize — the trap this key documents. Same
+    * mapPartitions codec seam, map-only at any corpus size. */
+  def multimodalGifCodec(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodeGif(id)
+        val (w, h, sum) = graft.mm.Codecs.decodeGifStats(bytes)
+        (id, w.toLong, h.toLong, sum)
+      })
+      .toDF("doc_id", "width", "height", "px_sum")
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal REAL image transform — decode → nearest-neighbor 8×8
     * resize → re-encode → decode again, all through `javax.imageio`:
     * the thumbnail/feature-grid step every vision pipeline runs after

@@ -819,6 +819,36 @@ class Round11Spec extends SparkSuite {
     assert(streamed == batch, "stream/batch SRM divergence")
   }
 
+  test("budget select: the greedy prefix respects and saturates budget") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.PipelineQueries.dataBudgetSelect(spark, sf)
+      .collect()
+    val totalTok = rows.map(_.getAs[Long]("tokens_total")).sum
+    val selTok = rows.map(_.getAs[Long]("tokens_selected")).sum
+    val budget = totalTok / 5
+    assert(selTok <= budget, "selection must fit the budget")
+    // the greedy prefix stops only when the NEXT doc would overflow:
+    // min doc is small, so the budget is nearly saturated
+    assert(selTok > budget - 600, s"budget underused: $selTok vs $budget")
+    assert(rows.map(_.getAs[Long]("n_selected")).sum > 0)
+  }
+
+  test("assortativity is a valid correlation") {
+    val row = graft.ops.Mining.qAssortativity(spark, sf).collect().head
+    val r = row.getAs[Double]("assortativity")
+    assert(r >= -1.0 && r <= 1.0, s"not a correlation: $r")
+    assert(row.getAs[Long]("n_edges") > 0L)
+  }
+
+  test("GIF roundtrip is lossless and equals the PNG decode") {
+    val gif = graft.ops.PipelineQueries.multimodalGifCodec(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val png = graft.ops.PipelineQueries.multimodalPngCodec(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(gif == png,
+      "indexed GIF must decode to the identical pixel checksums")
+  }
+
   test("HITS authorities are a normalized, ordered top-20") {
     val rows = graft.ops.Mining.qHitsRanking(spark, sf).collect()
     val nSupp = graft.sources.Tables.supplier(spark, sf).count()
