@@ -649,6 +649,8 @@ object SparkEntry {
     "q_fuzzy_join" -> (Warehouse.qFuzzyJoin _),
     "q_bitmap_overlap" -> (Warehouse.qBitmapOverlap _),
     "q_mutual_best_match" -> (Warehouse.qMutualBestMatch _),
+    "q_edit_distance_join" -> (Warehouse.qEditDistanceJoin _),
+    "q_grid_distance_join" -> (Warehouse.qGridDistanceJoin _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -3852,6 +3854,50 @@ object SparkEntry {
         |  ON a.block = b.block AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 4
         |ORDER BY dist, name_a, name_b""".stripMargin,
+    // deletion-neighborhood (SymSpell) blocking replayed in SQL via a
+    // lateral generate_series; the census integers (incl. the custkey
+    // checksum) value-verify the full lev<=1 pair relation
+    "q_edit_distance_join" ->
+      """WITH names AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+        |keyed AS (
+        |  SELECT k, name, name AS key FROM names
+        |  UNION ALL
+        |  SELECT k, name,
+        |    substr(name, 1, i - 1) || substr(name, i + 1) AS key
+        |  FROM names, generate_series(1, 64) AS t(i)
+        |  WHERE i <= length(name)),
+        |cand AS (
+        |  SELECT DISTINCT a.k AS ka, a.name AS name_a,
+        |    b.k AS kb, b.name AS name_b
+        |  FROM keyed a JOIN keyed b
+        |    ON a.key = b.key AND a.name < b.name),
+        |v AS (SELECT ka, name_a, kb, name_b,
+        |    levenshtein(name_a, name_b) AS dist FROM cand)
+        |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN dist <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pairs,
+        |  CAST(count(DISTINCT CASE WHEN dist <= 1 THEN name_a END) +
+        |    count(DISTINCT CASE WHEN dist <= 1 THEN name_b END) AS BIGINT)
+        |    AS n_linked_names_ub,
+        |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
+        |    AS pair_checksum
+        |FROM v""".stripMargin,
+    // the oracle is the NAIVE quadratic radius filter — an independent
+    // method whose exact-integer relation the grid-blocked join must
+    // reproduce row for row
+    "q_grid_distance_join" ->
+      """WITH pts AS (SELECT c_custkey AS k,
+        |    CAST((md5_number_lower('x' || CAST(c_custkey AS VARCHAR))
+        |      & 9223372036854775807) % 4096 AS BIGINT) AS x,
+        |    CAST((md5_number_lower('y' || CAST(c_custkey AS VARCHAR))
+        |      & 9223372036854775807) % 4096 AS BIGINT) AS y
+        |  FROM customer)
+        |SELECT a.k AS k_a, b.k AS k_b,
+        |  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    AS BIGINT) AS dist2
+        |FROM pts a JOIN pts b ON a.k < b.k
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4096
+        |ORDER BY dist2, k_a, k_b""".stripMargin,
     "embed_int8_quant" ->
       """WITH v AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
         |    unnest(embedding)::DOUBLE AS x FROM embeddings),

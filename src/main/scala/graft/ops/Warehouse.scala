@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -490,6 +490,92 @@ object Warehouse {
         sum(col("_demand") - col("qty_allocated")).as("qty_unfilled"),
         sum(col("_supply") - col("qty_allocated")).as("qty_leftover"))
       .orderBy(col("p_brand"))
+  }
+
+  /** Deletion-neighborhood edit-distance self-join (the SymSpell
+    * blocking rule): two strings are within Levenshtein 1 iff they
+    * share a key in {s} ∪ del1(s) (delete the differing position from
+    * both sides of a substitution; an insert/delete hits the shorter
+    * string verbatim). Candidate generation is therefore O(n·L) keys —
+    * never a cross product — and bucket sizes are bounded by how many
+    * strings agree on all-but-one position, so the quadratic step is
+    * confined to tiny buckets even at a billion names. The key
+    * condition is NECESSARY but not SUFFICIENT (transpositions like
+    * ab/ba share del1 keys at distance 2), so the levenshtein verify
+    * after the bucket join is load-bearing, exactly like the Jaccard
+    * verify after MinHash banding. Output is a one-row census over the
+    * verified pair relation: candidate/verified counts, linked-name
+    * count, and an exact integer custkey checksum so the oracle
+    * value-verifies the full pair set without dumping it. */
+  def qEditDistanceJoin(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"))
+    // vocabulary-level op: 1 + length(name) keys per name via an
+    // interpreted HOF — fine OFF the per-row hot path (|names| rows,
+    // not |facts|); a corpus-sized variant would use a Kernels batch
+    // expression per the BandKeys rule
+    val keyed = names.select(col("k"), col("name"),
+      explode(array_union(array(col("name")),
+        expr("""transform(sequence(1, length(name)),
+               |  i -> concat(substr(name, 1, i - 1),
+               |              substr(name, i + 1, length(name))))"""
+          .stripMargin))).as("key"))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.name") < col("b.name"))
+      .select(col("a.k").as("ka"), col("a.name").as("name_a"),
+        col("b.k").as("kb"), col("b.name").as("name_b"))
+      .distinct()
+    val verified = cand
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+    verified.agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("dist") <= 1, 1L).otherwise(0L)).as("n_pairs"),
+      (count_distinct(when(col("dist") <= 1, col("name_a"))) +
+        count_distinct(when(col("dist") <= 1, col("name_b"))))
+        .as("n_linked_names_ub"),
+      sum(when(col("dist") <= 1, col("ka") * 31L + col("kb")))
+        .as("pair_checksum"))
+  }
+
+  /** Grid-bucketed radius self-join — the spatial/embedding
+    * fixed-radius shape: points land on an integer 4096² lattice
+    * (coordinates are portable md5 hashes of the key, so both engines
+    * derive identical points), each point is bucketed into an R-sized
+    * cell, one side explodes its 3×3 cell neighborhood, the join runs
+    * on cell ids, and candidates are verified on EXACT integer squared
+    * distance ≤ R² (R = 64 on a 4096² lattice). Completeness is geometric: any partner within R
+    * lies in the 3×3 neighborhood when the cell edge is ≥ R. At 100 TB
+    * this is the canonical alternative to a distance cross-join —
+    * candidate volume is n·(9R²/area)·n in expectation, shuffles key
+    * on small integers, and a dense cell is a salting candidate, not a
+    * plan rewrite. All arithmetic is integer, so the oracle replays
+    * the relation from the naive quadratic filter and must match
+    * exactly. */
+  def qGridDistanceJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs.md5Lower64
+    def coord(prefix: String): Column =
+      pmod(md5Lower64(concat(lit(prefix), col("c_custkey").cast("string")))
+        .bitwiseAND(lit(Long.MaxValue)), lit(4096L))
+    val pts = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), coord("x").as("x"), coord("y").as("y"))
+      .withColumn("cx", expr("x div 64"))
+      .withColumn("cy", expr("y div 64"))
+    val probes = pts
+      .withColumn("dxy", explode(expr(
+        "flatten(transform(sequence(-1,1), dx -> " +
+          "transform(sequence(-1,1), dy -> struct(dx, dy))))")))
+      .select(col("k"), col("x"), col("y"),
+        (col("cx") + col("dxy.dx")).as("cx"),
+        (col("cy") + col("dxy.dy")).as("cy"))
+    probes.as("a").join(pts.as("b"),
+        Seq("cx", "cy"))
+      .filter(col("a.k") < col("b.k"))
+      .select(col("a.k").as("k_a"), col("b.k").as("k_b"),
+        ((col("a.x") - col("b.x")) * (col("a.x") - col("b.x")) +
+          (col("a.y") - col("b.y")) * (col("a.y") - col("b.y")))
+          .as("dist2"))
+      .filter(col("dist2") <= 4096L)
+      .orderBy(col("dist2"), col("k_a"), col("k_b"))
   }
 
   def qBitmapOverlap(s: SparkSession, d: String): DataFrame = {

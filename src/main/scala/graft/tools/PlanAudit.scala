@@ -159,7 +159,11 @@ object PlanAudit {
       "dedup_substring_spans (8-byte window hashes shuffle, text never does; AQE picks the dup-set join)" ->
         PipelineQueries.dedupSubstringSpans(spark, d),
       "embed_knn_graph (bucket-bounded pair gen; native WindowGroupLimit pre-shuffle top-3 bound)" ->
-        PipelineQueries.embedKnnGraph(spark, d))
+        PipelineQueries.embedKnnGraph(spark, d),
+      "q_edit_distance_join (O(n·L) del1 keys; bucket equi-join; lev verify — no cross product)" ->
+        graft.ops.Warehouse.qEditDistanceJoin(spark, d),
+      "q_grid_distance_join (cell-keyed equi-join after 9-offset explode; integer verify)" ->
+        graft.ops.Warehouse.qGridDistanceJoin(spark, d))
     val out = new StringBuilder
     out.append("# PLANS — physical-plan audit (generated by " +
       "graft.tools.PlanAudit)\n\n")

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 regressions: the approximate-join family — deletion-
+  * neighborhood edit-distance join and the grid-bucketed radius join.
+  * Both specs certify RECALL = 1.0 against an in-JVM brute-force
+  * replay (independent of the DuckDB oracle, which replays blocking /
+  * the naive SQL filter).
+  */
+class Round12Spec extends SparkSuite {
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("edit-distance join census equals the brute-force pair relation") {
+    val names = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = for {
+      (ka, na) <- names; (kb, nb) <- names
+      if na < nb && lev(na, nb) <= 1
+    } yield (ka, kb)
+    val row = graft.ops.Warehouse.qEditDistanceJoin(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n_pairs") == brute.length.toLong,
+      "deletion-neighborhood blocking missed or invented a lev<=1 pair")
+    assert(row.getAs[Long]("pair_checksum") ==
+      brute.map { case (ka, kb) => ka * 31L + kb }.sum)
+    // the verify step is load-bearing: candidates strictly exceed
+    // verified pairs (del1-key collisions like transpositions)
+    assert(row.getAs[Long]("n_candidates") >= row.getAs[Long]("n_pairs"))
+  }
+
+  test("grid radius join equals the brute-force quadratic filter") {
+    def coord(prefix: String, k: Long): Long = {
+      val h = graft.functions.Kernels.md5Lower64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(prefix + k))
+      (h & Long.MaxValue) % 4096L
+    }
+    val ks = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val pts = ks.map(k => (k, coord("x", k), coord("y", k)))
+    val brute = (for {
+      (ka, xa, ya) <- pts; (kb, xb, yb) <- pts
+      if ka < kb
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= 4096L
+    } yield (ka, kb, d2)).sortBy(t => (t._3, t._1, t._2)).toSeq
+    val got = graft.ops.Warehouse.qGridDistanceJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == brute,
+      "3x3 cell neighborhood must reproduce the exact radius relation")
+  }
+}
