@@ -651,6 +651,8 @@ object SparkEntry {
     "q_mutual_best_match" -> (Warehouse.qMutualBestMatch _),
     "q_edit_distance_join" -> (Warehouse.qEditDistanceJoin _),
     "q_grid_distance_join" -> (Warehouse.qGridDistanceJoin _),
+    "stream_funnel" -> (graft.streaming.Events.streamFunnel _),
+    "stream_gap_detect" -> (graft.streaming.Events.streamGapDetect _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -877,6 +879,9 @@ object SparkEntry {
       // first-seen user dedup + associative arm counts converge to
       // the batch census; chi-square runs post-stream on 2 rows
       ("stream_srm" -> oracleSqlBase("q_ab_srm")) +
+      // stage transitions only move forward on in-order input, so the
+      // O(1)-state fold converges to the batch three-join funnel
+      ("stream_funnel" -> oracleSqlBase("q_funnel")) +
       // the explicit 256-gray palette makes the indexed roundtrip
       // lossless — identical decoded checksums to the PNG path
       ("multimodal_gif_codec" -> oracleSqlBase("multimodal_png_codec")) +
@@ -3882,6 +3887,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
         |    AS pair_checksum
         |FROM v""".stripMargin,
+    // per-user inter-arrival gaps replayed as the batch lag window —
+    // the O(1)-state streaming fold must converge to it exactly
+    "stream_gap_detect" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |g AS (SELECT user_id,
+        |    ts_s - lag(ts_s) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS gap
+        |  FROM e)
+        |SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+        |  CAST(sum(CASE WHEN gap > 86400 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alerts,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_s
+        |FROM g GROUP BY user_id
+        |HAVING sum(CASE WHEN gap > 86400 THEN 1 ELSE 0 END) >= 1
+        |ORDER BY user_id""".stripMargin,
     // the oracle is the NAIVE quadratic radius filter — an independent
     // method whose exact-integer relation the grid-blocked join must
     // reproduce row for row

@@ -1674,4 +1674,157 @@ object Events {
             col("psi_nano")))
       .orderBy(col("bucket"))
   }
+
+  case class FunnelEvent(user_id: Long, event_id: Long, event_type: String,
+      ts_us: Long, ts_s: Long)
+  case class FunnelState(epoch: Long, tView: Long, tClick: Long,
+      tPurchase: Long)
+  case class FunnelRow(user_id: Long, epoch: Long, has_view: Boolean,
+      has_click: Boolean, has_purchase: Boolean)
+
+  /** STREAMING funnel — [[graft.ops.Analytics.qFunnel]]'s strictly-
+    * ordered view→click→purchase attrition maintained live: per-user
+    * state is THREE longs (the first view, the first later click, the
+    * first still-later purchase — −1 while unreached), each micro-batch
+    * folds its events in canonical (µs, event_id) order, and every fold
+    * emits the user's current stage flags (Update mode), so the
+    * dashboard census is one tiny aggregate over latest-epoch rows.
+    * Stage transitions only ever move FORWARD on in-order input, which
+    * is what makes the funnel streamable with O(1) state where the
+    * batch form needs three joins. Cross-batch convergence needs each
+    * user folded in one micro-batch (the [[streamScd2Build]] contract);
+    * every fold emits a row, so the max-epoch guard sees every user
+    * regardless of stage. Converges to the batch funnel — the shared
+    * oracle. */
+  def streamFunnel(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import spark.implicits._
+    val ev = eventStream(spark, sfDir)
+      .filter(col("ts_s") < 1704240000L)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("ts_us"), col("ts_s"))
+      .as[FunnelEvent]
+    val fn = (uid: Long, it: Iterator[FunnelEvent],
+        state: GroupState[FunnelState]) => {
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val prev = state.getOption
+      val epoch = prev.map(_.epoch).getOrElse(0L) + 1L
+      var tView = prev.map(_.tView).getOrElse(-1L)
+      var tClick = prev.map(_.tClick).getOrElse(-1L)
+      var tPurchase = prev.map(_.tPurchase).getOrElse(-1L)
+      sorted.foreach { e =>
+        e.event_type match {
+          // events fold in nondecreasing ts_s, so the FIRST qualifying
+          // event is the batch form's min() at each stage
+          case "view" if tView < 0 => tView = e.ts_s
+          case "click" if tClick < 0 && tView >= 0 && e.ts_s > tView =>
+            tClick = e.ts_s
+          case "purchase"
+              if tPurchase < 0 && tClick >= 0 && e.ts_s > tClick =>
+            tPurchase = e.ts_s
+          case _ => ()
+        }
+      }
+      state.update(FunnelState(epoch, tView, tClick, tPurchase))
+      Iterator.single(
+        FunnelRow(uid, epoch, tView >= 0, tClick >= 0, tPurchase >= 0))
+    }
+    val rows = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+    val name = s"graft_stream_funnel_${n.incrementAndGet()}"
+    val q = rows.toDF().writeStream
+      .outputMode("update").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    val maxEpoch = spark.table(name)
+      .agg(coalesce(max(col("epoch")), lit(0L))).head.getLong(0)
+    require(maxEpoch <= 1,
+      s"streamFunnel in-batch ordering contract needs each user's " +
+        s"events in a single micro-batch (a user folded over $maxEpoch " +
+        s"batches)")
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("has_view"), col("has_click"),
+        col("has_purchase")), col("epoch")).as("_s"))
+      .agg(sum(when(col("_s.has_view"), 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("_s.has_click"), 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("_s.has_purchase"), 1L).otherwise(0L))
+          .as("n_purchase"))
+  }
+
+  case class GapEvent(user_id: Long, event_id: Long, ts_us: Long,
+      ts_s: Long)
+  case class GapState(epoch: Long, lastUs: Long, lastEid: Long,
+      lastS: Long, nGaps: Long, nAlerts: Long, maxGap: Long)
+  case class GapRow(user_id: Long, epoch: Long, n_gaps: Long,
+      n_alerts: Long, max_gap_s: Long)
+
+  /** STREAMING inter-arrival gap detector — the heartbeat/liveness
+    * monitor: per-user state is the LAST event (three longs) plus the
+    * running gap census, each fold walks its events in canonical (µs,
+    * event_id) order diffing floor-second timestamps, and a gap longer
+    * than 24 h counts as an alert. This is the state shape batch lag()
+    * windows cannot stream (a window would buffer the whole user
+    * history; the fold holds O(1)). Every fold emits the user's
+    * running census (Update mode); the report keeps latest-epoch rows
+    * for users with ≥1 alert. Cross-batch convergence needs the
+    * [[streamScd2Build]] single-fold contract, guarded loudly.
+    * Converges to the batch lag-window census — the oracle. */
+  def streamGapDetect(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import spark.implicits._
+    val ev = eventStream(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts_us"), col("ts_s"))
+      .as[GapEvent]
+    val fn = (uid: Long, it: Iterator[GapEvent],
+        state: GroupState[GapState]) => {
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val prev = state.getOption
+      val epoch = prev.map(_.epoch).getOrElse(0L) + 1L
+      var last: Option[(Long, Long, Long)] =
+        prev.filter(_.lastUs >= 0).map(p => (p.lastUs, p.lastEid, p.lastS))
+      var nGaps = prev.map(_.nGaps).getOrElse(0L)
+      var nAlerts = prev.map(_.nAlerts).getOrElse(0L)
+      var maxGap = prev.map(_.maxGap).getOrElse(Long.MinValue)
+      sorted.foreach { e =>
+        last.foreach { case (_, _, ls) =>
+          val gap = e.ts_s - ls
+          nGaps += 1
+          if (gap > 86400L) nAlerts += 1
+          if (gap > maxGap) maxGap = gap
+        }
+        last = Some((e.ts_us, e.event_id, e.ts_s))
+      }
+      val (lu, le, lsS) = last.getOrElse((-1L, -1L, -1L))
+      state.update(GapState(epoch, lu, le, lsS, nGaps, nAlerts, maxGap))
+      Iterator.single(GapRow(uid, epoch, nGaps, nAlerts, maxGap))
+    }
+    val rows = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+    val name = s"graft_stream_gap_${n.incrementAndGet()}"
+    val q = rows.toDF().writeStream
+      .outputMode("update").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    val maxEpoch = spark.table(name)
+      .agg(coalesce(max(col("epoch")), lit(0L))).head.getLong(0)
+    require(maxEpoch <= 1,
+      s"streamGapDetect in-batch ordering contract needs each user's " +
+        s"events in a single micro-batch (a user folded over $maxEpoch " +
+        s"batches)")
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_gaps"), col("n_alerts"),
+        col("max_gap_s")), col("epoch")).as("_s"))
+      .select(col("user_id"), col("_s.n_gaps").as("n_gaps"),
+        col("_s.n_alerts").as("n_alerts"),
+        col("_s.max_gap_s").as("max_gap_s"))
+      .filter(col("n_alerts") >= 1L)
+      .orderBy(col("user_id"))
+  }
 }

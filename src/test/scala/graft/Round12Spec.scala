@@ -63,4 +63,36 @@ class Round12Spec extends SparkSuite {
     assert(got == brute,
       "3x3 cell neighborhood must reproduce the exact radius relation")
   }
+
+  test("streaming funnel census equals the batch three-join funnel") {
+    val streamed = graft.streaming.Events.streamFunnel(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Analytics.qFunnel(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "stream/batch funnel divergence")
+    val Seq(Seq(v: Long, c: Long, p: Long)) = streamed
+    assert(v >= c && c >= p && p >= 0, "funnel must attrite monotonically")
+  }
+
+  test("streaming gap detector equals the batch lag-window census") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_us"), col("event_id"))
+    val batch = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("_us"),
+        unix_timestamp(col("ts")).as("_s"))
+      .withColumn("gap", col("_s") - lag(col("_s"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(when(col("gap") > 86400L, 1L).otherwise(0L)).as("n_alerts"),
+        max(col("gap")).as("max_gap_s"))
+      .filter(col("n_alerts") >= 1L)
+      .orderBy(col("user_id"))
+      .collect().map(_.toSeq).toSeq
+    val streamed = graft.streaming.Events.streamGapDetect(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "stream/batch gap census divergence")
+  }
 }
