@@ -653,6 +653,8 @@ object SparkEntry {
     "q_grid_distance_join" -> (Warehouse.qGridDistanceJoin _),
     "stream_funnel" -> (graft.streaming.Events.streamFunnel _),
     "stream_gap_detect" -> (graft.streaming.Events.streamGapDetect _),
+    "q_graph_cluster_coeff" -> (Mining.qGraphClusterCoeff _),
+    "q_kendall_tau" -> (Mining.qKendallTau _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -3887,6 +3889,54 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
         |    AS pair_checksum
         |FROM v""".stripMargin,
+    // per-node triangle credits from the classic three-way edge join —
+    // an independent method for the same integer (tri, deg) relation
+    "q_graph_cluster_coeff" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM ls x JOIN ls y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey),
+        |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |cr AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |tn AS (SELECT node, count(*) AS n_tri FROM cr GROUP BY 1),
+        |dg AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+        |SELECT dg.node AS node, CAST(deg AS BIGINT) AS deg,
+        |  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+        |  floor(CAST(coalesce(n_tri, 0) * 2 AS DOUBLE) /
+        |    (deg * (deg - 1)) * 1e6 + 0.5) / 1e6 AS lcc
+        |FROM dg LEFT JOIN tn ON dg.node = tn.node
+        |WHERE deg >= 2 ORDER BY node""".stripMargin,
+    // exact integer concordance counts; tau-b is one final division of
+    // identical integers (sqrt is correctly rounded — portable)
+    "q_kendall_tau" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS y_cents
+        |  FROM orders GROUP BY 1),
+        |pts AS (SELECT c_nationkey AS nation, c_custkey AS k,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x_cents, y_cents
+        |  FROM customer JOIN spend ON c_custkey = o_custkey),
+        |pr AS (SELECT p.nation AS nation,
+        |    sign(p.x_cents - q.x_cents) AS sx,
+        |    sign(p.y_cents - q.y_cents) AS sy
+        |  FROM pts p JOIN pts q ON p.nation = q.nation AND p.k < q.k),
+        |ag AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nd,
+        |    CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |    CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        |  FROM pr GROUP BY 1)
+        |SELECT nation, n_pairs, nc, nd,
+        |  floor(CAST(nc - nd AS DOUBLE) /
+        |    sqrt(CAST((n_pairs - tx) * (n_pairs - ty) AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS tau_b
+        |FROM ag ORDER BY nation""".stripMargin,
     // per-user inter-arrival gaps replayed as the batch lag window —
     // the O(1)-state streaming fold must converge to it exactly
     "stream_gap_detect" ->

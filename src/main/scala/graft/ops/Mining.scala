@@ -1765,4 +1765,104 @@ object Mining {
           / col("exact_reach") <= 0.05).as("within_5pct"))
       .orderBy(col("t"))
   }
+
+  /** Per-node LOCAL clustering coefficient over the part co-purchase
+    * graph (same edge definition as q_triangle_count): lcc(v) =
+    * 2·tri(v) / (deg(v)·(deg(v)−1)). Per-node triangle counts reuse
+    * the edge-iterator closure — each a<b edge intersects the ordered
+    * out-adjacency of its endpoints, then credits all THREE corners
+    * (a, b, and each closing c via one explode of the intersection) —
+    * so the wedge set still never materializes and the only per-node
+    * shuffle is the credit rollup. Coefficients are exact rationals of
+    * the integer (tri, deg) pair, micro-fixed at the final division of
+    * identical integers. At 100 TB the adjacency side stops
+    * broadcasting and equi-joins on the endpoint — still one |E|-row
+    * shuffle. */
+  def qGraphClusterCoeff(s: SparkSession, d: String): DataFrame = {
+    val ls = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = ls.as("x")
+      .join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+      .cache()
+    val adj = e.groupBy(col("a").as("v"))
+      .agg(collect_list(col("b")).as("nbrs"))
+    // each triangle a<b<c credits its three corners exactly once, all
+    // emitted through ONE Generate pass — no materialized intersection
+    // frame, no triple scan (the first cut eagerly checkpointed the
+    // array-carrying closing frame and read it three times: 16.5 s at
+    // sf0.1; this shape is ~1 s). cs appears thrice in the generator
+    // child (2 sizes + the transform), a bounded per-ROW re-eval — not
+    // the per-SLOT re-inline hazard BandKeys exists for.
+    val cs = array_intersect(col("na"), col("nb"))
+    val credits = e
+      .join(broadcast(adj.select(col("v"), col("nbrs").as("na"))),
+        col("a") === col("v"))
+      .join(broadcast(adj.select(col("v").as("w"), col("nbrs").as("nb"))),
+        col("b") === col("w"))
+      .select(explode(concat(
+        array(
+          struct(col("a").as("node"), size(cs).cast("long").as("t")),
+          struct(col("b").as("node"), size(cs).cast("long").as("t"))),
+        transform(cs, c => struct(c.as("node"), lit(1L).as("t")))))
+        .as("cr"))
+      .select(col("cr.node").as("node"), col("cr.t").as("t"))
+    val tri = credits.groupBy(col("node"))
+      .agg(sum(col("t")).as("n_tri"))
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (floor((coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+          (col("deg") * (col("deg") - 1)) * 1e6 + 0.5) / 1e6).as("lcc"))
+      .orderBy(col("node"))
+  }
+
+  /** Exact Kendall rank correlation (tau-b) per nation between each
+    * customer's account balance and their lifetime order spend — the
+    * robust monotone-association twin of [[qSpearman]], with the
+    * tie-correct denominator. Everything runs on the exact cent
+    * lattice: both metrics are integer cents, each within-nation pair
+    * contributes integer concordance/discordance/tie counts in ONE
+    * group-bounded self-join (quadratic only in the group, never the
+    * corpus — a billion-row group would switch to the O(n log n)
+    * merge-sort inversion count, same contract), and tau-b is the one
+    * final division of identical exact integers, micro-fixed. sqrt is
+    * correctly rounded under IEEE-754, so the denominator is portable
+    * (the q_assortativity recipe). */
+  def qKendallTau(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y_cents"))
+    val pts = Tables.customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey").as("nation"), col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("x_cents"),
+        col("y_cents"))
+    val pairs = pts.as("p").join(pts.as("q"),
+        col("p.nation") === col("q.nation") && col("p.k") < col("q.k"))
+      .select(col("p.nation").as("nation"),
+        signum((col("p.x_cents") - col("q.x_cents")).cast("double"))
+          .cast("long").as("sx"),
+        signum((col("p.y_cents") - col("q.y_cents")).cast("double"))
+          .cast("long").as("sy"))
+    pairs.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sx") * col("sy") === 1L, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("sx") * col("sy") === -1L, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("sx") === 0L, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("sy") === 0L, 1L).otherwise(0L)).as("ty"))
+      .select(col("nation"), col("n_pairs"), col("nc"), col("nd"),
+        (floor((col("nc") - col("nd")).cast("double") /
+          sqrt(((col("n_pairs") - col("tx")) *
+            (col("n_pairs") - col("ty"))).cast("double"))
+          * 1e6 + 0.5) / 1e6).as("tau_b"))
+      .orderBy(col("nation"))
+  }
 }

@@ -95,4 +95,49 @@ class Round12Spec extends SparkSuite {
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch, "stream/batch gap census divergence")
   }
+
+  test("per-node LCC credits sum to 3x the global triangle count") {
+    val rows = graft.ops.Mining.qGraphClusterCoeff(spark, sf).collect()
+    val triSum = rows.map(_.getAs[Long]("n_tri")).sum
+    val global = graft.ops.Analytics.qTriangleCount(spark, sf)
+      .collect().head.getAs[Long]("n_triangles")
+    assert(triSum == 3 * global,
+      s"per-node credits $triSum must equal 3x global $global")
+    assert(rows.forall { r =>
+      val l = r.getAs[Double]("lcc"); l >= 0.0 && l <= 1.0
+    })
+  }
+
+  test("kendall tau-b equals an in-JVM brute-force replay") {
+    val spend = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val pts = graft.sources.Tables.customer(spark, sf)
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey").cast("long"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long"), col("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val got = graft.ops.Mining.qKendallTau(spark, sf).collect()
+    got.foreach { r =>
+      val g = pts(r.getAs[Int]("nation").toLong).sortBy(_._2)
+      var nc = 0L; var nd = 0L; var tx = 0L; var ty = 0L; var np = 0L
+      for (i <- g.indices; j <- (i + 1) until g.length) {
+        val sx = java.lang.Long.signum(g(i)._3 - g(j)._3)
+        val sy = java.lang.Long.signum(g(i)._4 - g(j)._4)
+        np += 1
+        if (sx * sy == 1) nc += 1
+        if (sx * sy == -1) nd += 1
+        if (sx == 0) tx += 1
+        if (sy == 0) ty += 1
+      }
+      assert(r.getAs[Long]("n_pairs") == np && r.getAs[Long]("nc") == nc &&
+        r.getAs[Long]("nd") == nd)
+      val tau = math.floor((nc - nd).toDouble /
+        math.sqrt(((np - tx) * (np - ty)).toDouble) * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("tau_b") == tau)
+      assert(tau >= -1.0 && tau <= 1.0)
+    }
+  }
 }
