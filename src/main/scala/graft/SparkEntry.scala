@@ -655,6 +655,8 @@ object SparkEntry {
     "stream_gap_detect" -> (graft.streaming.Events.streamGapDetect _),
     "q_graph_cluster_coeff" -> (Mining.qGraphClusterCoeff _),
     "q_kendall_tau" -> (Mining.qKendallTau _),
+    "text_ngram_novelty" -> (PipelineQueries.textNgramNovelty _),
+    "multimodal_image_tiles" -> (PipelineQueries.multimodalImageTiles _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -3889,6 +3891,41 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
         |    AS pair_checksum
         |FROM v""".stripMargin,
+    // first-occurrence argmin over the shared shingle CTE under the
+    // same md5-64 key the Spark side shuffles
+    "text_ngram_novelty" ->
+      s"""WITH ${shingleCte("documents")},
+        |u AS (SELECT doc_id,
+        |    CAST(md5_number_lower(unnest(s)) & 9223372036854775807
+        |      AS BIGINT) AS gh
+        |  FROM sh WHERE len(s) > 0),
+        |f AS (SELECT gh, min(doc_id) AS first_doc FROM u GROUP BY 1)
+        |SELECT u.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  floor(CAST(sum(CASE WHEN f.first_doc = u.doc_id THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS novelty
+        |FROM u JOIN f USING (gh)
+        |GROUP BY u.doc_id ORDER BY doc_id""".stripMargin,
+    // generator-replay of the patch grid: pixel (i,j) lands in tile
+    // (j//8, i//8); the position-weighted tile checksum pins content
+    // AND grid position of every decoded patch
+    "multimodal_image_tiles" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+        |    8 + (doc_id * 7) % 24 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS i FROM d),
+        |ys AS (SELECT doc_id, w, h, i, unnest(range(h)) AS j FROM xs),
+        |px AS (SELECT doc_id, (w + 7) // 8 AS ntx, (h + 7) // 8 AS nty,
+        |    (j // 8) AS tr, (i // 8) AS tc,
+        |    (i * 31 + j * 17 + doc_id) % 256 AS g
+        |  FROM ys),
+        |t AS (SELECT doc_id, ntx, nty, tr, tc, sum(g) AS ts
+        |  FROM px GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, CAST(ntx AS BIGINT) AS n_tiles_x,
+        |  CAST(nty AS BIGINT) AS n_tiles_y,
+        |  CAST(ntx * nty AS BIGINT) AS n_tiles,
+        |  CAST(sum((tr * ntx + tc + 1) * ts) AS BIGINT) AS tiles_checksum
+        |FROM t GROUP BY doc_id, ntx, nty ORDER BY doc_id""".stripMargin,
     // per-node triangle credits from the classic three-way edge join —
     // an independent method for the same integer (tri, deg) relation
     "q_graph_cluster_coeff" ->

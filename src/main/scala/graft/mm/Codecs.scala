@@ -78,6 +78,35 @@ object Codecs {
     (w, h, s)
   }
 
+  /** Decode real PNG bytes and extract ViT-style non-overlapping p×p
+    * patches: (tiles per row, tiles per col, an exact integer checksum
+    * Σ over tiles of (tileIndex+1)·tileSum over DECODED red-channel
+    * pixels). Edge tiles sum whatever pixels exist (no padding). The
+    * position-weighted checksum pins both every tile's content AND its
+    * grid position, so a transposed or shifted patch grid fails the
+    * oracle. */
+  def decodePngTileStats(bytes: Array[Byte], p: Int): (Int, Int, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val ntx = (w + p - 1) / p
+    val nty = (h + p - 1) / p
+    val sums = new Array[Long](ntx * nty)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        sums((y / p) * ntx + x / p) += (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    var cks = 0L
+    var t = 0
+    while (t < sums.length) { cks += (t + 1L) * sums(t); t += 1 }
+    (ntx, nty, cks)
+  }
+
   /** Real GIF bytes for the doc's deterministic image. GIF is
     * palette-indexed; an explicit 256-entry GRAYSCALE palette makes
     * the 8-bit gray pattern representable exactly (index i = gray i),

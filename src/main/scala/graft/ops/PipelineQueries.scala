@@ -2669,4 +2669,58 @@ object PipelineQueries {
           / 1e6, 6).as("avg_nll"))
       .orderBy(col("source"))
   }
+
+  /** Per-document n-gram NOVELTY score — the pretraining-corpus
+    * freshness metric: the fraction of a doc's distinct 3-gram
+    * shingles whose FIRST corpus occurrence (min doc_id) is this doc.
+    * Crawl pipelines rank later snapshots by novelty to avoid paying
+    * tokens for re-crawled content. One shingle-keyed shuffle carries
+    * 8-byte md5 hashes (never shingle text); first-occurrence is a
+    * partial-aggregable min; the rejoin hashes on the same 8-byte key.
+    * At 100 TB this is the dedup_passage shape with an argmin instead
+    * of a distinct. Novelty is the exact rational of two integers,
+    * micro-fixed. */
+  def textNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.text.TextOps.shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"),
+        graft.functions.exprs.md5Lower64(col("g")).as("gh"))
+    val first = sh.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (floor(col("n_novel").cast("double") / col("n_shingles")
+          * 1e6 + 0.5) / 1e6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ViT-style PATCH EXTRACTION through the real PNG codec: each doc's
+    * deterministic image is encoded to actual PNG bytes, decoded back
+    * through javax.imageio, and chopped into non-overlapping 8×8
+    * patches — the exact preprocessing a vision-transformer training
+    * pipeline runs per image. Emitted per doc: the patch-grid shape
+    * and a position-weighted exact integer checksum over DECODED patch
+    * sums, so the oracle (replaying the generator arithmetic + the
+    * same grid in SQL) verifies the full encode→decode→patch loop
+    * pixel-exactly. Map-only per-partition seam, the
+    * [[multimodalPngCodec]] batch shape — at 100 TB the codec cost
+    * dominates and parallelizes embarrassingly. */
+  def multimodalImageTiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodePng(id)
+        val (ntx, nty, cks) = graft.mm.Codecs.decodePngTileStats(bytes, 8)
+        (id, ntx.toLong, nty.toLong, ntx.toLong * nty, cks)
+      })
+      .toDF("doc_id", "n_tiles_x", "n_tiles_y", "n_tiles",
+        "tiles_checksum")
+      .orderBy(col("doc_id"))
+  }
 }

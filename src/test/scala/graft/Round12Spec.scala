@@ -140,4 +140,40 @@ class Round12Spec extends SparkSuite {
       assert(tau >= -1.0 && tau <= 1.0)
     }
   }
+
+  test("ngram novelty: first doc is fully novel; novel sums tie out") {
+    val rows = graft.ops.PipelineQueries.textNgramNovelty(spark, sf)
+      .collect()
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Double]("novelty") == 1.0,
+      "the earliest doc's shingles are all first occurrences")
+    assert(rows.forall { r =>
+      val n = r.getAs[Double]("novelty"); n >= 0.0 && n <= 1.0 &&
+        r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles")
+    })
+    // every distinct shingle hash is novel in exactly one doc
+    val distinctSh = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.text.TextOps.shingles(col("text"), 3)).as("g"))
+      .select(graft.functions.exprs.md5Lower64(col("g"))).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == distinctSh)
+  }
+
+  test("image tiles equal an in-JVM generator replay of the patch grid") {
+    val rows = graft.ops.PipelineQueries.multimodalImageTiles(spark, sf)
+      .collect().take(25)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = graft.mm.Codecs.pngWidth(id)
+      val h = graft.mm.Codecs.pngHeight(id)
+      val ntx = (w + 7) / 8; val nty = (h + 7) / 8
+      val sums = new Array[Long](ntx * nty)
+      for (y <- 0 until h; x <- 0 until w)
+        sums((y / 8) * ntx + x / 8) += graft.mm.Codecs.grayAt(x, y, id)
+      val cks = sums.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum
+      assert(r.getAs[Long]("n_tiles_x") == ntx &&
+        r.getAs[Long]("n_tiles_y") == nty &&
+        r.getAs[Long]("tiles_checksum") == cks,
+        s"doc $id patch grid diverged from the generator")
+    }
+  }
 }
