@@ -657,6 +657,8 @@ object SparkEntry {
     "q_kendall_tau" -> (Mining.qKendallTau _),
     "text_ngram_novelty" -> (PipelineQueries.textNgramNovelty _),
     "multimodal_image_tiles" -> (PipelineQueries.multimodalImageTiles _),
+    "embed_matryoshka_probe" -> (PipelineQueries.embedMatryoshkaProbe _),
+    "stream_cdc_apply" -> (graft.streaming.Events.streamCdcApply _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -3891,6 +3893,65 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
         |    AS pair_checksum
         |FROM v""".stripMargin,
+    // both the full-dim and the sliced-dim exact rankings replay in
+    // SQL; the recall integers are value-verified end to end
+    "embed_matryoshka_probe" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+        |p AS (SELECT q_id, c_id, qe, ce FROM q JOIN c ON c_id <> q_id),
+        |zf AS (SELECT q_id, c_id, unnest(qe)::DOUBLE AS x,
+        |             unnest(ce)::DOUBLE AS y FROM p),
+        |sf AS (SELECT q_id, c_id, sum(x*y) AS d, sum(x*x) AS na,
+        |             sum(y*y) AS nb FROM zf GROUP BY 1, 2),
+        |rf AS (SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(d / (sqrt(na) * sqrt(nb)), 4) DESC, c_id)
+        |      AS rnk FROM sf) WHERE rnk <= 10),
+        |zt AS (SELECT q_id, c_id, unnest(qe[1:32])::DOUBLE AS x,
+        |             unnest(ce[1:32])::DOUBLE AS y FROM p),
+        |st AS (SELECT q_id, c_id, sum(x*y) AS d, sum(x*x) AS na,
+        |             sum(y*y) AS nb FROM zt GROUP BY 1, 2),
+        |rt AS (SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(d / (sqrt(na) * sqrt(nb)), 4) DESC, c_id)
+        |      AS rnk FROM st) WHERE rnk <= 10)
+        |SELECT rf.q_id AS q_id, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN rt.c_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overlap,
+        |  CAST(sum(CASE WHEN rt.c_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS recall
+        |FROM rf LEFT JOIN rt ON rf.q_id = rt.q_id AND rf.c_id = rt.c_id
+        |GROUP BY rf.q_id ORDER BY q_id""".stripMargin,
+    // last-signup replay: live rows are signups with no later
+    // tombstone; applied clicks are those after the last signup
+    "stream_cdc_apply" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('signup', 'click', 'error')),
+        |su AS (SELECT user_id, us, event_id, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e WHERE event_type = 'signup') WHERE rn = 1),
+        |dead AS (SELECT DISTINCT su.user_id FROM su JOIN e
+        |    ON e.user_id = su.user_id AND e.event_type = 'error'
+        |    AND (e.us > su.us
+        |      OR (e.us = su.us AND e.event_id > su.event_id))),
+        |cl AS (SELECT su.user_id,
+        |    CAST(sum(e.cents) AS BIGINT) AS add_cents,
+        |    CAST(count(*) AS BIGINT) AS n_applied
+        |  FROM su JOIN e ON e.user_id = su.user_id
+        |    AND e.event_type = 'click'
+        |    AND (e.us > su.us
+        |      OR (e.us = su.us AND e.event_id > su.event_id))
+        |  GROUP BY 1)
+        |SELECT su.user_id AS user_id,
+        |  CAST(su.cents + coalesce(cl.add_cents, 0) AS BIGINT) AS v_cents,
+        |  CAST(coalesce(cl.n_applied, 0) AS BIGINT) AS n_applied
+        |FROM su LEFT JOIN cl ON su.user_id = cl.user_id
+        |WHERE su.user_id NOT IN (SELECT user_id FROM dead)
+        |ORDER BY user_id""".stripMargin,
     // first-occurrence argmin over the shared shingle CTE under the
     // same md5-64 key the Spark side shuffles
     "text_ngram_novelty" ->

@@ -2699,6 +2699,35 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Matryoshka truncation probe — the MRL serving question: how much
+    * recall@k survives if retrieval runs on the embedding's FIRST 32
+    * of 64 dimensions (half the memory, half the FLOPs)? Both
+    * rankings are the exact brute-force scan ([[graft.sim.Ann]]'s
+    * broadcast-queries shape — the corpus never shuffles), the
+    * truncated side just slices the vector column, and per-query
+    * recall is the exact integer overlap of the two top-10 id sets.
+    * At 100 TB this is the audit run BEFORE flipping an index to
+    * truncated vectors; both rankings fold into the SQL oracle, so the
+    * recall numbers are value-verified end to end. */
+  def embedMatryoshkaProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val emb32 = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val full = graft.sim.Ann.bruteTopK(emb,
+      emb.filter(col("vec_id") < 20), k = 10)
+    val trunc = graft.sim.Ann.bruteTopK(emb32,
+      emb32.filter(col("vec_id") < 20), k = 10)
+    full.select(col("q_id"), col("c_id"))
+      .join(trunc.select(col("q_id"), col("c_id"), lit(1L).as("_hit")),
+        Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_overlap"))
+      .select(col("q_id"), col("k"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("k")).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   /** ViT-style PATCH EXTRACTION through the real PNG codec: each doc's
     * deterministic image is encoded to actual PNG bytes, decoded back
     * through javax.imageio, and chopped into non-overlapping 8×8

@@ -1827,4 +1827,77 @@ object Events {
       .filter(col("n_alerts") >= 1L)
       .orderBy(col("user_id"))
   }
+
+  case class CdcEvent(user_id: Long, event_id: Long, event_type: String,
+      ts_us: Long, cents: Long)
+  case class CdcState(epoch: Long, live: Boolean, vCents: Long,
+      nApplied: Long)
+  case class CdcRow(user_id: Long, epoch: Long, live: Boolean,
+      v_cents: Long, n_applied: Long)
+
+  /** STREAMING CDC apply — the keyed changelog fold with TOMBSTONES
+    * that [[graft.ops.Warehouse.qCdcApply]] runs as a batch MERGE:
+    * `signup` INSERTs (resets the row to the event's value), `click`
+    * UPDATEs (accumulates cents while the row is live), `error` is the
+    * DELETE tombstone (kills the row until the next insert). State is
+    * O(1) per key — live flag + two longs — so a billion-key changelog
+    * streams where the batch MERGE would re-read the base table every
+    * cadence. Exact cent lattice throughout (floor(v·100+0.5), an
+    * exactly-rounded IEEE pair both engines share). Every fold emits
+    * the row's current image (Update mode); the serving view keeps
+    * latest-epoch LIVE rows. Cross-batch convergence needs the
+    * [[streamScd2Build]] single-fold contract, guarded loudly.
+    * Converges to the last-signup replay — the oracle. */
+  def streamCdcApply(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import spark.implicits._
+    val ev = eventStream(spark, sfDir)
+      .filter(col("event_type").isin("signup", "click", "error"))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[CdcEvent]
+    val fn = (uid: Long, it: Iterator[CdcEvent],
+        state: GroupState[CdcState]) => {
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val prev = state.getOption
+      val epoch = prev.map(_.epoch).getOrElse(0L) + 1L
+      var live = prev.exists(_.live)
+      var v = prev.map(_.vCents).getOrElse(0L)
+      var nApplied = prev.map(_.nApplied).getOrElse(0L)
+      sorted.foreach { e =>
+        e.event_type match {
+          case "signup" => live = true; v = e.cents; nApplied = 0L
+          case "click" if live => v += e.cents; nApplied += 1L
+          case "error" => live = false; v = 0L; nApplied = 0L
+          case _ => ()
+        }
+      }
+      state.update(CdcState(epoch, live, v, nApplied))
+      Iterator.single(CdcRow(uid, epoch, live, v, nApplied))
+    }
+    val rows = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+    val name = s"graft_stream_cdc_${n.incrementAndGet()}"
+    val q = rows.toDF().writeStream
+      .outputMode("update").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    val maxEpoch = spark.table(name)
+      .agg(coalesce(max(col("epoch")), lit(0L))).head.getLong(0)
+    require(maxEpoch <= 1,
+      s"streamCdcApply in-batch ordering contract needs each user's " +
+        s"events in a single micro-batch (a user folded over $maxEpoch " +
+        s"batches)")
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("live"), col("v_cents"), col("n_applied")),
+        col("epoch")).as("_s"))
+      .filter(col("_s.live"))
+      .select(col("user_id"), col("_s.v_cents").as("v_cents"),
+        col("_s.n_applied").as("n_applied"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -176,4 +176,52 @@ class Round12Spec extends SparkSuite {
         s"doc $id patch grid diverged from the generator")
     }
   }
+
+  test("matryoshka probe overlaps equal the two rankings' intersection") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val emb32 = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    def ids(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+    val full = ids(graft.sim.Ann.bruteTopK(emb,
+      emb.filter(col("vec_id") < 20), k = 10))
+    val trunc = ids(graft.sim.Ann.bruteTopK(emb32,
+      emb32.filter(col("vec_id") < 20), k = 10))
+    val got = graft.ops.PipelineQueries.embedMatryoshkaProbe(spark, sf)
+      .collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val expect = (full(q) & trunc(q)).size.toLong
+      assert(r.getAs[Long]("n_overlap") == expect)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0 && rec == expect.toDouble / 10)
+    }
+  }
+
+  test("streaming CDC apply equals an in-JVM changelog replay") {
+    val evs = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("signup", "click", "error"))
+      .select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    val expect = evs.flatMap { case (u, rows) =>
+      var live = false; var v = 0L; var nA = 0L
+      rows.sortBy(r => (r._4, r._2)).foreach {
+        case (_, _, "signup", _, c) => live = true; v = c; nA = 0L
+        case (_, _, "click", _, c) if live => v += c; nA += 1L
+        case (_, _, "error", _, _) => live = false; v = 0L; nA = 0L
+        case _ => ()
+      }
+      if (live) Some((u, v, nA)) else None
+    }.toSeq.sortBy(_._1)
+    val got = graft.streaming.Events.streamCdcApply(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, "stream CDC fold diverged from the replay")
+  }
 }
