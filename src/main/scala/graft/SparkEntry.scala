@@ -659,6 +659,9 @@ object SparkEntry {
     "multimodal_image_tiles" -> (PipelineQueries.multimodalImageTiles _),
     "embed_matryoshka_probe" -> (PipelineQueries.embedMatryoshkaProbe _),
     "stream_cdc_apply" -> (graft.streaming.Events.streamCdcApply _),
+    "q_entity_clusters" -> (Warehouse.qEntityClusters _),
+    "q_seq_pattern_mining" -> (Behavior.qSeqPatternMining _),
+    "embed_hard_negatives" -> (PipelineQueries.embedHardNegatives _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -3893,6 +3896,68 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
         |    AS pair_checksum
         |FROM v""".stripMargin,
+    // recursive-CTE transitive closure over the same blocked fuzzy
+    // pair relation — min-reachable-id labels, the dedup_clusters
+    // pattern on the name graph
+    "q_entity_clusters" ->
+      """WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+        |    min(p_partkey) AS nid, split_part(p_name, ' ', 2) AS block
+        |  FROM part GROUP BY 1),
+        |pairs AS (SELECT a.nid AS ia, b.nid AS ib
+        |  FROM names a JOIN names b ON a.block = b.block
+        |    AND a.p_name < b.p_name
+        |    AND levenshtein(a.p_name, b.p_name) <= 4),
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |  UNION SELECT ib, ia FROM pairs),
+        |r AS (
+        |  WITH RECURSIVE reach(id, lbl) AS (
+        |    SELECT nid, nid FROM names
+        |    UNION
+        |    SELECT e.src, reach.lbl FROM edges e
+        |      JOIN reach ON e.dst = reach.id)
+        |  SELECT id, min(lbl) AS keeper FROM reach GROUP BY 1),
+        |lab AS (SELECT n.p_name, n.n_parts, r.keeper
+        |  FROM names n JOIN r ON n.nid = r.id)
+        |SELECT k.p_name AS canonical_name,
+        |  CAST(count(*) AS BIGINT) AS n_names,
+        |  CAST(sum(lab.n_parts) AS BIGINT) AS n_parts
+        |FROM lab JOIN names k ON lab.keeper = k.nid
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one (user,type) span rollup; A-before-B ⟺ min(A) < max(B)
+    "q_seq_pattern_mining" ->
+      """WITH sp AS (SELECT user_id, event_type,
+        |    min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT count(DISTINCT user_id) AS nu FROM sp)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS support,
+        |  floor(CAST(count(*) AS DOUBLE) / nu * 1e6 + 0.5) / 1e6 AS share
+        |FROM sp a JOIN sp b ON a.user_id = b.user_id
+        |  AND a.event_type <> b.event_type AND a.mn < b.mx, u
+        |GROUP BY a.event_type, b.event_type, nu
+        |ORDER BY type_a, type_b""".stripMargin,
+    // the filtered-ANN oracle with the predicate inverted: different-
+    // label near neighbors are the hard negatives
+    "embed_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_lbl,
+        |             embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, label AS c_lbl, embedding AS ce
+        |      FROM embeddings),
+        |p AS (SELECT q_id, c_id, c_lbl, qe, ce FROM q JOIN c
+        |      ON c_id <> q_id AND c_lbl <> q_lbl),
+        |z AS (SELECT q_id, c_id, c_lbl, unnest(qe)::DOUBLE AS x,
+        |             unnest(ce)::DOUBLE AS y FROM p),
+        |sums AS (SELECT q_id, c_id, c_lbl, sum(x*y) AS d,
+        |                sum(x*x) AS na, sum(y*y) AS nb
+        |         FROM z GROUP BY 1, 2, 3),
+        |sc AS (SELECT q_id, c_id, c_lbl,
+        |         round(d / (sqrt(na) * sqrt(nb)), 4) AS score FROM sums),
+        |r AS (SELECT q_id, c_id, c_lbl, score,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY score DESC, c_id) AS INTEGER) AS rnk FROM sc)
+        |SELECT q_id, rnk, c_id, CAST(c_lbl AS BIGINT) AS label, score
+        |FROM r WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin,
     // both the full-dim and the sliced-dim exact rankings replay in
     // SQL; the recall integers are value-verified end to end
     "embed_matryoshka_probe" ->

@@ -811,4 +811,34 @@ object Behavior {
           .as("close"),
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("bar"), col("event_type"))
+
+  /** Sequential-pattern support (the PrefixSpan level-1 table): for
+    * every ORDERED pair of distinct event types (A→B), how many users
+    * exhibit A strictly before B at least once — the pattern census
+    * behavioral miners rank before growing longer sequences. The whole
+    * corpus reduces to ONE (user, type) rollup of first/last µs
+    * timestamps; "∃ a∈A, b∈B with ts_a < ts_b" is exactly
+    * min(A) < max(B), so the pattern test is a |users|×5-frame
+    * self-join bounded at 25 rows per user — no per-event pairing
+    * anywhere, which is what makes level-1 mining a single cheap pass
+    * at 100 TB. */
+  def qSeqPatternMining(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"))
+      .cache()
+    val users = spans.select(col("user_id")).distinct().count()
+    spans.as("a").join(spans.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type") &&
+          col("a.mn") < col("b.mx"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("support"))
+      .select(col("type_a"), col("type_b"), col("support"),
+        (floor(col("support").cast("double") / users * 1e6 + 0.5) / 1e6)
+          .as("share"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

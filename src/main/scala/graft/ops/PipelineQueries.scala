@@ -2699,6 +2699,36 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive / embedding training: for
+    * each query vector, the top-5 highest-cosine neighbors with a
+    * DIFFERENT label — the near-miss examples a contrastive loss needs
+    * to sharpen the decision boundary (random negatives are too easy
+    * to teach anything). [[annFilteredTopK]]'s exact broadcast-query
+    * scan with the predicate inverted: the label filter rides the join
+    * condition, so mismatched pairs are dropped BEFORE scoring, and
+    * the corpus never shuffles. At 100 TB this runs per training batch
+    * against the frozen corpus — the same index family serves it. */
+  def embedHardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val c = emb.select(col("vec_id").as("c_id"), col("label").as("c_lbl"),
+      col("embedding").cast("array<double>").as("_ce"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+        col("embedding").cast("array<double>").as("_qe"))
+    val scored = c.join(broadcast(q),
+        col("c_id") =!= col("q_id") && col("c_lbl") =!= col("q_lbl"))
+      .withColumn("score",
+        round(graft.sim.Ann.cosine(col("_qe"), col("_ce")), 4))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        col("c_lbl").cast("long").as("label"), col("score"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Matryoshka truncation probe — the MRL serving question: how much
     * recall@k survives if retrieval runs on the embedding's FIRST 32
     * of 64 dimensions (half the memory, half the FLOPs)? Both

@@ -492,6 +492,41 @@ object Warehouse {
       .orderBy(col("p_brand"))
   }
 
+  /** Entity RESOLUTION closure — the third stage of the record-linkage
+    * family: [[qFuzzyJoin]]'s blocked fuzzy pairs promoted to canonical
+    * entities via connected components (min-label pointer jumping, the
+    * same log-diameter [[graft.dedup.Components]] engine the document
+    * dedup family runs), so A↔B and B↔C merge into one entity even
+    * when A↔C was never scored. Names map to their min part id, the
+    * component keeper's name becomes the canonical form, and singletons
+    * survive as their own entity. Per-cluster census (canonical name,
+    * member names, covered parts) — the table a catalog team ships.
+    * Oracle = recursive-CTE transitive closure over the same pair
+    * relation (the dedup_clusters pattern on the name graph). */
+  def qEntityClusters(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("nid"))
+      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+      .cache()
+    val pairs = names.as("a").join(names.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.p_name") < col("b.p_name") &&
+          levenshtein(col("a.p_name"), col("b.p_name")) <= 4)
+      .select(col("a.nid").as("id_a"), col("b.nid").as("id_b"))
+    val labels = graft.dedup.Components.keepers(pairs)
+    val labeled = names
+      .join(labels.withColumnRenamed("id", "nid"), Seq("nid"), "left")
+      .select(col("p_name"), col("n_parts"),
+        coalesce(col("keeper"), col("nid")).as("keeper"))
+    labeled
+      .join(names.select(col("nid").as("keeper"),
+        col("p_name").as("canonical_name")), Seq("keeper"))
+      .groupBy(col("canonical_name"))
+      .agg(count(lit(1)).as("n_names"), sum(col("n_parts")).as("n_parts"))
+      .orderBy(col("canonical_name"))
+  }
+
   /** Deletion-neighborhood edit-distance self-join (the SymSpell
     * blocking rule): two strings are within Levenshtein 1 iff they
     * share a key in {s} ∪ del1(s) (delete the differing position from

@@ -224,4 +224,52 @@ class Round12Spec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expect, "stream CDC fold diverged from the replay")
   }
+
+  test("entity clusters partition the name dictionary transitively") {
+    val rows = graft.ops.Warehouse.qEntityClusters(spark, sf).collect()
+    val dictSize = graft.sources.Tables.part(spark, sf)
+      .select(col("p_name")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_names")).sum == dictSize,
+      "every name belongs to exactly one entity")
+    val nParts = graft.sources.Tables.part(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == nParts)
+    // transitivity: both endpoints of every fuzzy pair share a cluster
+    val canon = rows.map(_.getAs[String]("canonical_name"))
+    assert(canon.distinct.length == canon.length)
+  }
+
+  test("sequence pattern supports equal a brute event replay") {
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val types = evs.values.flatten.map(_._2).toSet.toSeq
+    val expect = (for {
+      ta <- types; tb <- types if ta != tb
+      n = evs.values.count { rows =>
+        val as = rows.filter(_._2 == ta).map(_._3)
+        val bs = rows.filter(_._2 == tb).map(_._3)
+        as.nonEmpty && bs.nonEmpty && as.min < bs.max
+      } if n > 0
+    } yield (ta, tb) -> n.toLong).toMap
+    val got = graft.ops.Behavior.qSeqPatternMining(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("support"))
+      .toMap
+    assert(got == expect, "level-1 pattern supports diverged")
+  }
+
+  test("hard negatives all carry a different label, ranked by score") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.ops.PipelineQueries.embedHardNegatives(spark, sf)
+      .collect()
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.forall(_.getAs[Long]("label") != emb(q)),
+        s"query $q mined a same-label 'negative'")
+      val scores = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
