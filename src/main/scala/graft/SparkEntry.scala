@@ -662,6 +662,11 @@ object SparkEntry {
     "q_entity_clusters" -> (Warehouse.qEntityClusters _),
     "q_seq_pattern_mining" -> (Behavior.qSeqPatternMining _),
     "embed_hard_negatives" -> (PipelineQueries.embedHardNegatives _),
+    "sink_parquet_zstd" -> ((s: SparkSession, d: String) =>
+      graft.sources.Formats.parquetZstdRoundtrip(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
+    "multimodal_video_scenecut" ->
+      (PipelineQueries.multimodalVideoScenecut _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -3896,6 +3901,30 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
         |    AS pair_checksum
         |FROM v""".stripMargin,
+    // codec-asserted zstd parquet roundtrip: the reread frame must
+    // equal the plain table projection
+    "sink_parquet_zstd" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // generator replay of the frame-pair pixel diffs: only the cut
+    // transition is nonzero, and its magnitude is the pixel census
+    "multimodal_video_scenecut" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+        |    8 + (doc_id * 7) % 24 AS h, 2 + doc_id % 3 AS cut
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h, cut, unnest(range(w)) AS i FROM d),
+        |ys AS (SELECT doc_id, w, h, cut, i, unnest(range(h)) AS j
+        |  FROM xs),
+        |px AS (SELECT doc_id, cut,
+        |    abs(((i * 31 + j * 17 + doc_id) % 256) -
+        |        ((i * 31 + j * 17 + doc_id + 500000) % 256)) AS dd
+        |  FROM ys)
+        |SELECT doc_id, CAST(6 AS BIGINT) AS n_frames,
+        |  CAST(cut AS BIGINT) AS cut_at,
+        |  CAST(sum(dd) AS BIGINT) AS max_diff,
+        |  CAST(4 AS BIGINT) AS n_static_transitions
+        |FROM px GROUP BY doc_id, cut ORDER BY doc_id""".stripMargin,
     // recursive-CTE transitive closure over the same blocked fuzzy
     // pair relation — min-reachable-id labels, the dedup_clusters
     // pattern on the name graph

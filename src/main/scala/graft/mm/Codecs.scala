@@ -78,6 +78,50 @@ object Codecs {
     (w, h, s)
   }
 
+  /** Real PNG bytes for an explicit (w, h, seed) grayscale frame —
+    * lets one doc carry a deterministic FRAME SEQUENCE (seed varies
+    * per frame, dims stay fixed) for the video-shaped queries. */
+  def encodePngGray(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = grayAt(x, y, seed)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode real PNG bytes → row-major red-channel pixel vector. */
+  def decodeGrayVec(bytes: Array[Byte]): Array[Int] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val out = new Array[Int](img.getWidth * img.getHeight)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        out(y * img.getWidth + x) = (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Σ |a−b| over two equal-length decoded frames. */
+  def absDiffSum(a: Array[Int], b: Array[Int]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+    s
+  }
+
   /** Decode real PNG bytes and extract ViT-style non-overlapping p×p
     * patches: (tiles per row, tiles per col, an exact integer checksum
     * Σ over tiles of (tileIndex+1)·tileSum over DECODED red-channel

@@ -2699,6 +2699,41 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Video SCENE-CUT detection through the real PNG codec: each doc
+    * carries a deterministic 6-frame sequence whose generator seed
+    * jumps at frame `2 + doc_id % 3` (the "cut"); every frame is
+    * encoded to genuine PNG bytes, decoded back through javax.imageio,
+    * and consecutive DECODED frames are diffed — the argmax
+    * mean-abs-diff transition is the detected cut, exactly how
+    * threshold-based scene detection segments video for multimodal
+    * training. Map-only per-partition codec seam; at 100 TB the decode
+    * cost dominates and parallelizes embarrassingly. The oracle
+    * replays the generator arithmetic per pixel, so a detector reading
+    * anything but pixel-exact decodes fails. */
+  def multimodalVideoScenecut(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = graft.mm.Codecs.pngWidth(id)
+        val h = graft.mm.Codecs.pngHeight(id)
+        val cut = (2 + id % 3).toInt
+        val frames = (0 until 6).map { f =>
+          val seed = if (f < cut) id else id + 500000L
+          graft.mm.Codecs.decodeGrayVec(
+            graft.mm.Codecs.encodePngGray(w, h, seed))
+        }
+        val diffs = (1 until 6).map(t =>
+          graft.mm.Codecs.absDiffSum(frames(t - 1), frames(t)))
+        val cutAt = diffs.indexOf(diffs.max) + 1
+        (id, 6L, cutAt.toLong, diffs.max,
+          diffs.count(_ == 0L).toLong)
+      })
+      .toDF("doc_id", "n_frames", "cut_at", "max_diff",
+        "n_static_transitions")
+      .orderBy(col("doc_id"))
+  }
+
   /** HARD-NEGATIVE mining for contrastive / embedding training: for
     * each query vector, the top-5 highest-cosine neighbors with a
     * DIFFERENT label — the near-miss examples a contrastive loss needs

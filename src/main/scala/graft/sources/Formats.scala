@@ -79,6 +79,23 @@ object Formats {
     s.read.orc(path)
   }
 
+  /** Parquet-with-ZSTD sink + source roundtrip — the storage codec a
+    * 100 TB lake actually ships (zstd beats snappy ~30% on size at
+    * similar scan speed, and its decode parallelizes per row group
+    * like any parquet codec). The write asserts the codec really took
+    * effect (Spark stamps `.zstd.parquet` into the part-file names) so
+    * a silently-ignored option can't pass as a roundtrip. */
+  def parquetZstdRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("orders_zstd", d)
+    ordersInterchange(s, d).write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(path)
+    val parts = new java.io.File(path)
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    require(parts.nonEmpty && parts.forall(_.contains(".zstd.")),
+      s"zstd codec not applied: ${parts.take(3).mkString(",")}")
+    s.read.parquet(path)
+  }
+
   /** XML sink + source roundtrip via Spark 4's built-in XML data
     * source (`format("xml")`, one `<order>` element per row) — the
     * B2B/legacy-feed interchange path. The reader infers types from

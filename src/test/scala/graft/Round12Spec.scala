@@ -272,4 +272,28 @@ class Round12Spec extends SparkSuite {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("scene-cut detector finds the seeded cut on decoded frames") {
+    val rows = graft.ops.PipelineQueries
+      .multimodalVideoScenecut(spark, sf).collect()
+    rows.take(25).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("cut_at") == 2 + id % 3,
+        s"doc $id: cut misdetected")
+      assert(r.getAs[Long]("n_static_transitions") == 4L)
+      // generator replay of the cut transition's pixel diff
+      val w = graft.mm.Codecs.pngWidth(id)
+      val h = graft.mm.Codecs.pngHeight(id)
+      var exp = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        exp += math.abs(graft.mm.Codecs.grayAt(x, y, id) -
+          graft.mm.Codecs.grayAt(x, y, id + 500000L))
+      assert(r.getAs[Long]("max_diff") == exp)
+    }
+  }
+
+  test("zstd parquet roundtrip preserves every order row") {
+    val rt = graft.sources.Formats.parquetZstdRoundtrip(spark, sf)
+    assert(rt.count() == graft.sources.Tables.orders(spark, sf).count())
+  }
 }
