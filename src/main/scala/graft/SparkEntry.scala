@@ -667,6 +667,10 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("o_orderkey"))),
     "multimodal_video_scenecut" ->
       (PipelineQueries.multimodalVideoScenecut _),
+    "q_dbscan_grid" -> (Mining.qDbscanGrid _),
+    "q_forecast_backtest" -> (Behavior.qForecastBacktest _),
+    "embed_coreset_kcenter" -> (PipelineQueries.embedCoresetKcenter _),
+    "q_json_patch" -> (JsonQueries.qJsonPatch _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -3901,6 +3905,131 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
         |    AS pair_checksum
         |FROM v""".stripMargin,
+    // recursive CTE carrying the selected set as a list (the MMR
+    // recipe): same 4-dp cosines, same argmin/tie rules per round
+    "embed_coreset_kcenter" ->
+      """WITH RECURSIVE
+        |pool AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 4 = 0),
+        |v AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+        |  unnest(embedding)::DOUBLE AS x FROM pool),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nn FROM v GROUP BY 1),
+        |ps AS (SELECT a.vec_id AS u, b.vec_id AS v2,
+        |    round(sum(a.x * b.x) /
+        |      (any_value(na.nn) * any_value(nb.nn)), 4) AS sim
+        |  FROM v a JOIN v b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+        |  JOIN nrm na ON na.vec_id = a.vec_id
+        |  JOIN nrm nb ON nb.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |sd AS (SELECT min(vec_id) AS s FROM pool),
+        |sel AS (
+        |  SELECT 1 AS step, (SELECT s FROM sd) AS vid,
+        |    [(SELECT s FROM sd)] AS picked, CAST(1.0 AS DOUBLE) AS clo
+        |  UNION ALL
+        |  SELECT sel.step + 1, nxt.vid, list_append(sel.picked, nxt.vid),
+        |    nxt.clo
+        |  FROM sel, LATERAL (
+        |    SELECT p.u AS vid, max(p.sim) AS clo
+        |    FROM ps p
+        |    WHERE list_contains(sel.picked, p.v2)
+        |      AND NOT list_contains(sel.picked, p.u)
+        |    GROUP BY p.u
+        |    ORDER BY clo ASC, vid
+        |    LIMIT 1) nxt
+        |  WHERE sel.step < 8)
+        |SELECT CAST(step AS INTEGER) AS rnk, vid AS vec_id,
+        |  clo AS closeness
+        |FROM sel ORDER BY rnk""".stripMargin,
+    // semantic replay of the three patch verbs over the original
+    // documents — the Spark side must roundtrip them through real
+    // JSON text and land on the same census
+    "q_json_patch" ->
+      """WITH base AS (SELECT event_id % 3 AS op,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT op, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(CASE WHEN op = 0 THEN coalesce(sum(k * 2), 0)
+        |    WHEN op = 1 THEN coalesce(sum(k), 0)
+        |    ELSE 0 END AS BIGINT) AS sum_k_after,
+        |  CAST(CASE WHEN op = 1 THEN count(*) ELSE 0 END AS BIGINT)
+        |    AS n_with_tag
+        |FROM base GROUP BY op ORDER BY op""".stripMargin,
+    // exact-lattice walk-forward: the x7-scaled MA error keeps every
+    // sum an exact long; MAEs are final divisions of identical ints
+    "q_forecast_backtest" ->
+      """WITH daily AS (SELECT
+        |    datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+        |      AS x,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT x, y,
+        |    CAST(sum(y) OVER (ORDER BY x
+        |      ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |      AS prev,
+        |    CAST(count(*) OVER (ORDER BY x
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n7,
+        |    CAST(sum(y) OVER (ORDER BY x
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7
+        |  FROM daily),
+        |er AS (SELECT abs(y - prev) AS e1, abs(y * 7 - s7) AS e7
+        |  FROM w WHERE n7 = 7),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_evals,
+        |    CAST(sum(e1) AS BIGINT) AS se1, CAST(sum(e7) AS BIGINT) AS se7
+        |  FROM er)
+        |SELECT n_evals,
+        |  floor(CAST(se1 AS DOUBLE) / n_evals / 1e4 * 100 + 0.5) / 100
+        |    AS mae_naive,
+        |  floor(CAST(se7 AS DOUBLE) / n_evals / 7e4 * 100 + 0.5) / 100
+        |    AS mae_ma7,
+        |  CAST(se7 AS DOUBLE) / 7 < CAST(se1 AS DOUBLE) AS ma7_wins
+        |FROM ag""".stripMargin,
+    // naive quadratic neighbor relation + recursive-CTE closure over
+    // core-core edges — the independent replay of the full DBSCAN
+    "q_dbscan_grid" ->
+      """WITH pts AS (SELECT c_custkey AS k,
+        |    CAST((md5_number_lower('x' || CAST(c_custkey AS VARCHAR))
+        |      & 9223372036854775807) % 4096 AS BIGINT) AS x,
+        |    CAST((md5_number_lower('y' || CAST(c_custkey AS VARCHAR))
+        |      & 9223372036854775807) % 4096 AS BIGINT) AS y
+        |  FROM customer),
+        |nv AS (SELECT CAST(8724152 / count(*) AS BIGINT) AS r2 FROM pts),
+        |e AS (SELECT a.k AS ka, b.k AS kb
+        |  FROM pts a JOIN pts b ON a.k <> b.k, nv
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    <= nv.r2),
+        |dg AS (SELECT ka AS k, count(*) AS dgc FROM e GROUP BY 1),
+        |core AS (SELECT k FROM dg WHERE dgc >= 3),
+        |ce AS (SELECT e.ka AS src, e.kb AS dst FROM e
+        |  JOIN core c1 ON e.ka = c1.k JOIN core c2 ON e.kb = c2.k),
+        |r AS (
+        |  WITH RECURSIVE reach(id, lbl) AS (
+        |    SELECT k, k FROM core
+        |    UNION
+        |    SELECT ce.src, reach.lbl FROM ce
+        |      JOIN reach ON ce.dst = reach.id)
+        |  SELECT id, min(lbl) AS lbl FROM reach GROUP BY 1),
+        |bq AS (SELECT e.ka AS k, min(r.lbl) AS lbl FROM e
+        |  JOIN r ON e.kb = r.id
+        |  WHERE e.ka NOT IN (SELECT k FROM core) GROUP BY 1),
+        |cl AS (SELECT lbl AS cluster_id, count(*) AS n_core
+        |  FROM r GROUP BY 1),
+        |bc AS (SELECT lbl AS cluster_id, count(*) AS n_border
+        |  FROM bq GROUP BY 1),
+        |base AS (SELECT cl.cluster_id, cl.n_core,
+        |    coalesce(bc.n_border, 0) AS n_border
+        |  FROM cl LEFT JOIN bc ON cl.cluster_id = bc.cluster_id),
+        |noise AS (SELECT count(*) AS nn FROM pts
+        |  WHERE k NOT IN (SELECT k FROM core)
+        |    AND k NOT IN (SELECT k FROM bq))
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+        |  CAST(n_core AS BIGINT) AS n_core,
+        |  CAST(n_border AS BIGINT) AS n_border,
+        |  CAST(n_core + n_border AS BIGINT) AS n_total FROM base
+        |UNION ALL
+        |SELECT -1, 0, 0, CAST(nn AS BIGINT) FROM noise
+        |ORDER BY cluster_id""".stripMargin,
     // codec-asserted zstd parquet roundtrip: the reread frame must
     // equal the plain table projection
     "sink_parquet_zstd" ->

@@ -812,6 +812,43 @@ object Behavior {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("bar"), col("event_type"))
 
+  /** Rolling-origin forecast BACKTEST — the evaluation harness every
+    * forecasting deployment needs before it trusts a model: walk the
+    * daily revenue series, at each step predict tomorrow with (a) the
+    * naive lag-1 and (b) the trailing 7-day mean, and score both by
+    * MAE over the same evaluation rows. Runs entirely on the exact
+    * 1e-4 revenue lattice (§5 rule): the MA7 error is kept ×7 so it
+    * stays an exact long (|7·y_t − Σ7| — no division inside the sum),
+    * and the two MAEs are final divisions of identical integers, so
+    * the winner flag is portable. One O(days) series frame after the
+    * daily rollup — the window is data-bounded, never corpus-scaled. */
+  def qForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(datediff(to_date(col("l_shipdate")),
+        lit("1995-01-01").cast("date")).cast("long").as("x"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("y"))
+    val w1 = Window.orderBy(col("x")).rowsBetween(-1, -1)
+    val w7 = Window.orderBy(col("x")).rowsBetween(-7, -1)
+    daily
+      .withColumn("_prev", sum(col("y")).over(w1))
+      .withColumn("_n7", count(lit(1)).over(w7))
+      .withColumn("_s7", sum(col("y")).over(w7))
+      .filter(col("_n7") === 7)
+      .select(
+        abs(col("y") - col("_prev")).as("_e1"),
+        abs(col("y") * 7 - col("_s7")).as("_e7"))
+      .agg(count(lit(1)).as("n_evals"),
+        sum(col("_e1")).as("_se1"), sum(col("_e7")).as("_se7"))
+      .select(col("n_evals"),
+        (floor(col("_se1").cast("double") / col("n_evals") / 1e4 * 100
+          + 0.5) / 100).as("mae_naive"),
+        (floor(col("_se7").cast("double") / col("n_evals") / 7e4 * 100
+          + 0.5) / 100).as("mae_ma7"),
+        (col("_se7").cast("double") / 7 < col("_se1").cast("double"))
+          .as("ma7_wins"))
+  }
+
   /** Sequential-pattern support (the PrefixSpan level-1 table): for
     * every ORDERED pair of distinct event types (A→B), how many users
     * exhibit A strictly before B at least once — the pattern census

@@ -475,4 +475,36 @@ object JsonQueries {
         sum(when(col("o_orderstatus") === col("st") &&
           col("o_totalprice") === col("tp"), 1L).otherwise(0L)).as("n_match"))
   }
+
+  /** JSON-Patch-style document mutation (RFC 6902's replace/add/remove
+    * verbs) over the event props documents: op 0 REPLACEs k with 2k,
+    * op 1 ADDs a tag field, op 2 REMOVEs k (leaving {}). The patched
+    * document is MATERIALIZED as real JSON text (`to_json`) and then
+    * re-parsed, so the census proves the patch round-trips through the
+    * serialized form — the document-store mutation path the reference
+    * covers only via whole-object upsert (DatabaseManager.java:211-229
+    * replaces whole rows; field-level patch is the natural extension).
+    * Map-only: parse → branch → serialize → re-parse, one scan, one
+    * |ops|-row rollup. */
+  def qJsonPatch(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        (col("event_id") % 3).as("op"))
+    val patched = base.withColumn("doc",
+      when(col("op") === 0,
+        to_json(struct((col("k") * 2).as("k"))))
+        .when(col("op") === 1,
+          to_json(struct(col("k"), col("event_type").as("tag"))))
+        .otherwise(lit("{}")))
+    patched
+      .select(col("op"),
+        get_json_object(col("doc"), "$.k").cast("long").as("k2"),
+        get_json_object(col("doc"), "$.tag").as("tag"))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("k2")), lit(0L)).as("sum_k_after"),
+        count(col("tag")).as("n_with_tag"))
+      .orderBy(col("op"))
+  }
 }

@@ -1824,6 +1824,86 @@ object Mining {
       .orderBy(col("node"))
   }
 
+  /** Grid-blocked DBSCAN — density-based clustering over the md5
+    * lattice points (the [[graft.ops.Warehouse.qGridDistanceJoin]]
+    * candidate machinery promoted to a full clustering algorithm):
+    * eps-neighbors come from the cell-bucketed radius join (never a
+    * cross product), core points have ≥3 neighbors, core-core edges
+    * feed the log-diameter [[graft.dedup.Components]] engine, border
+    * points adopt their MIN core neighbor's cluster (the deterministic
+    * tie rule classic DBSCAN leaves order-dependent), the rest is
+    * noise. The radius is DENSITY-ADAPTIVE — R² = 8 724 152 / n keeps
+    * expected neighbor count ~1.6 at any corpus size (exact integer
+    * division both engines), which also keeps components small and
+    * the oracle's transitive closure cheap. At 100 TB: one radius
+    * self-join + one degree rollup + log-diameter label rounds — every
+    * stage keyed, nothing quadratic outside cells. */
+  def qDbscanGrid(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs.md5Lower64
+    def coord(prefix: String): Column =
+      pmod(md5Lower64(concat(lit(prefix), col("c_custkey").cast("string")))
+        .bitwiseAND(lit(Long.MaxValue)), lit(4096L))
+    val pts = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), coord("x").as("x"), coord("y").as("y"))
+      .cache()
+    val n = pts.count()
+    val r2 = 8724152L / n
+    val cell = math.ceil(math.sqrt(r2.toDouble)).toLong
+    val cells = pts
+      .withColumn("cx", expr(s"x div $cell"))
+      .withColumn("cy", expr(s"y div $cell"))
+    val probes = cells
+      .withColumn("dxy", explode(expr(
+        "flatten(transform(sequence(-1,1), dx -> " +
+          "transform(sequence(-1,1), dy -> struct(dx, dy))))")))
+      .select(col("k"), col("x"), col("y"),
+        (col("cx") + col("dxy.dx")).as("cx"),
+        (col("cy") + col("dxy.dy")).as("cy"))
+    val e = probes.as("a").join(cells.as("b"), Seq("cx", "cy"))
+      .filter(col("a.k") =!= col("b.k"))
+      .filter((col("a.x") - col("b.x")) * (col("a.x") - col("b.x")) +
+        (col("a.y") - col("b.y")) * (col("a.y") - col("b.y")) <= r2)
+      .select(col("a.k").as("ka"), col("b.k").as("kb"))
+      .cache()
+    val core = e.groupBy(col("ka").as("k"))
+      .agg(count(lit(1)).as("dgc"))
+      .filter(col("dgc") >= 3).select(col("k"))
+      .cache()
+    val corePairs = e
+      .join(core.select(col("k").as("ka")), Seq("ka"))
+      .join(core.select(col("k").as("kb")), Seq("kb"))
+      .filter(col("ka") < col("kb"))
+      .select(col("ka").as("id_a"), col("kb").as("id_b"))
+    val coreLab = core
+      .join(graft.dedup.Components.keepers(corePairs)
+        .withColumnRenamed("id", "k"), Seq("k"), "left")
+      .select(col("k"), coalesce(col("keeper"), col("k")).as("lbl"))
+      .cache()
+    val border = e
+      .join(coreLab.select(col("k").as("kb"), col("lbl")), Seq("kb"))
+      .join(core.select(col("k").as("ka")), Seq("ka"), "left_anti")
+      .groupBy(col("ka").as("k"))
+      .agg(min(col("lbl")).as("lbl"))
+      .cache()
+    val clusters = coreLab.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_core"))
+      .join(border.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_border")), Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_core"),
+        coalesce(col("n_border"), lit(0L)).as("n_border"))
+    val noise = pts.select(col("k"))
+      .join(core, Seq("k"), "left_anti")
+      .join(border.select(col("k")), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("nn"))
+      .select(lit(-1L).as("cluster_id"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"), col("nn").as("n_total"))
+    clusters
+      .select(col("cluster_id"), col("n_core"), col("n_border"),
+        (col("n_core") + col("n_border")).as("n_total"))
+      .unionByName(noise)
+      .orderBy(col("cluster_id"))
+  }
+
   /** Exact Kendall rank correlation (tau-b) per nation between each
     * customer's account balance and their lifetime order spend — the
     * robust monotone-association twin of [[qSpearman]], with the

@@ -2699,6 +2699,49 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Greedy k-CENTER CORESET selection (farthest-first traversal) —
+    * the data-pruning selector modern pipelines run to pick a maximally
+    * diverse training subset: seed with the min-id vector, then k−1
+    * times pick the candidate FARTHEST from everything already chosen
+    * (min over candidates of max-cosine-to-selected; ties → min id).
+    * Each round is ONE distributed scan holding a running
+    * max-similarity column (the corpus never pairs with itself — only
+    * with the single new center, broadcast), with per-round
+    * localCheckpoint keeping the lineage flat, so k centers over a
+    * billion vectors cost k broadcast scans. The greedy's sequential
+    * core is inherently k-deep; everything corpus-sized stays
+    * distributed. Oracle = recursive CTE carrying the selected set as
+    * a list (the ann_mmr_rerank recipe) over the same 4-dp cosines. */
+  def embedCoresetKcenter(s: SparkSession, d: String): DataFrame = {
+    val pool = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("_e"))
+      .cache()
+    val seed = pool.agg(min(col("vec_id"))).head.getLong(0)
+    var clo = pool.select(col("vec_id"), lit(-1.0).as("clo"))
+    val picked =
+      scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    picked += ((1, seed, 1.0))
+    var lastId = seed
+    for (step <- 2 to 8) {
+      val center = pool.filter(col("vec_id") === lastId)
+        .select(col("_e").as("_ce"))
+      val sims = pool.crossJoin(broadcast(center))
+        .select(col("vec_id"),
+          round(graft.sim.Ann.cosine(col("_e"), col("_ce")), 4).as("_sim"))
+      clo = clo.join(sims, Seq("vec_id"))
+        .select(col("vec_id"), greatest(col("clo"), col("_sim")).as("clo"))
+        .localCheckpoint(true)
+      val nxt = clo.filter(!col("vec_id").isin(picked.map(_._2).toSeq: _*))
+        .orderBy(col("clo").asc, col("vec_id").asc).limit(1).head
+      lastId = nxt.getLong(0)
+      picked += ((step, lastId, nxt.getDouble(1)))
+    }
+    import s.implicits._
+    picked.toSeq.toDF("rnk", "vec_id", "closeness")
+      .orderBy(col("rnk"))
+  }
+
   /** Video SCENE-CUT detection through the real PNG codec: each doc
     * carries a deterministic 6-frame sequence whose generator seed
     * jumps at frame `2 + doc_id % 3` (the "cut"); every frame is

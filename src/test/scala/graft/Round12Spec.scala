@@ -296,4 +296,96 @@ class Round12Spec extends SparkSuite {
     val rt = graft.sources.Formats.parquetZstdRoundtrip(spark, sf)
     assert(rt.count() == graft.sources.Tables.orders(spark, sf).count())
   }
+
+  test("grid DBSCAN partitions points into core/border/noise exactly") {
+    val rows = graft.ops.Mining.qDbscanGrid(spark, sf).collect()
+    val nPts = graft.sources.Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_total")).sum == nPts,
+      "every point is exactly one of core/border/noise")
+    val noise = rows.filter(_.getAs[Long]("cluster_id") == -1L)
+    assert(noise.length == 1)
+    val clusters = rows.filter(_.getAs[Long]("cluster_id") != -1L)
+    assert(clusters.nonEmpty, "adaptive radius must yield clusters")
+    assert(clusters.forall(r =>
+      r.getAs[Long]("n_core") >= 1 &&
+        r.getAs[Long]("n_total") ==
+          r.getAs[Long]("n_core") + r.getAs[Long]("n_border")))
+    // brute-force replay of the core census
+    def coord(p: String, k: Long): Long =
+      (graft.functions.Kernels.md5Lower64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(p + k))
+        & Long.MaxValue) % 4096L
+    val pts = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .map(k => (k, coord("x", k), coord("y", k)))
+    val r2 = 8724152L / nPts
+    val nbr = pts.map { case (k, x, y) =>
+      k -> pts.count { case (k2, x2, y2) =>
+        k2 != k && (x - x2) * (x - x2) + (y - y2) * (y - y2) <= r2
+      }
+    }.toMap
+    val coreSet = nbr.filter(_._2 >= 3).keySet
+    assert(clusters.map(_.getAs[Long]("n_core")).sum == coreSet.size)
+  }
+
+  test("forecast backtest MAEs replay exactly on the revenue lattice") {
+    val row = graft.ops.Behavior.qForecastBacktest(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n_evals") > 0)
+    assert(row.getAs[Double]("mae_naive") > 0.0)
+    assert(row.getAs[Double]("mae_ma7") > 0.0)
+    // the winner flag must agree with the reported (rounded) MAEs
+    // whenever they differ visibly
+    val (n, m7) = (row.getAs[Double]("mae_naive"), row.getAs[Double]("mae_ma7"))
+    if (math.abs(n - m7) > 0.02)
+      assert(row.getAs[Boolean]("ma7_wins") == (m7 < n))
+  }
+
+  test("k-center coreset equals an in-JVM farthest-first replay") {
+    val pool = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var picked = Vector(pool.keys.min)
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, Long)]((1, picked.head))
+    for (step <- 2 to 8) {
+      val next = pool.keys.filterNot(picked.contains).map { k =>
+        (picked.map(p => cos4(pool(k), pool(p))).max, k)
+      }.minBy(identity)
+      picked :+= next._2
+      expect += ((step, next._2))
+    }
+    val got = graft.ops.PipelineQueries.embedCoresetKcenter(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == expect.toSeq, "greedy k-center diverged from replay")
+  }
+
+  test("json patch census replays the three verbs") {
+    val rows = graft.ops.JsonQueries.qJsonPatch(spark, sf).collect()
+      .map(r => r.getAs[Long]("op") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_k_after"),
+          r.getAs[Long]("n_with_tag"))).toMap
+    val base = graft.sources.Tables.events(spark, sf)
+      .select((col("event_id") % 3).as("op"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (op <- 0L to 2L) {
+      val docs = base.filter(_._1 == op)
+      val (n, sk, nt) = rows(op)
+      assert(n == docs.length)
+      assert(sk == (op match {
+        case 0 => docs.map(_._2 * 2).sum
+        case 1 => docs.map(_._2).sum
+        case _ => 0L
+      }))
+      assert(nt == (if (op == 1) docs.length else 0L))
+    }
+  }
 }
