@@ -671,6 +671,7 @@ object SparkEntry {
     "q_forecast_backtest" -> (Behavior.qForecastBacktest _),
     "embed_coreset_kcenter" -> (PipelineQueries.embedCoresetKcenter _),
     "q_json_patch" -> (JsonQueries.qJsonPatch _),
+    "q_graph_conductance" -> (Mining.qGraphConductance _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -3905,6 +3906,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
         |    AS pair_checksum
         |FROM v""".stripMargin,
+    // exact integer cut/volume counts per brand over the same edge
+    // relation; phi micro-fixed at the final division
+    "q_graph_conductance" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM ls x JOIN ls y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey),
+        |e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        |t AS (SELECT e.a, e.b, pa.p_brand AS ba, pb.p_brand AS bb
+        |  FROM e JOIN part pa ON e.a = pa.p_partkey
+        |  JOIN part pb ON e.b = pb.p_partkey),
+        |m AS (SELECT count(*) AS m2 FROM t)
+        |SELECT ba AS brand, CAST(count(DISTINCT a) AS BIGINT) AS n_nodes,
+        |  CAST(count(*) AS BIGINT) AS volume,
+        |  CAST(sum(CASE WHEN ba <> bb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS cut,
+        |  floor(CAST(sum(CASE WHEN ba <> bb THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / least(count(*), m2 - count(*)) * 1e6 + 0.5) / 1e6 AS phi
+        |FROM t, m GROUP BY ba, m2 ORDER BY brand""".stripMargin,
     // recursive CTE carrying the selected set as a list (the MMR
     // recipe): same 4-dp cosines, same argmin/tie rules per round
     "embed_coreset_kcenter" ->

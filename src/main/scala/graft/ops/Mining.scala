@@ -1824,6 +1824,46 @@ object Mining {
       .orderBy(col("node"))
   }
 
+  /** Community CONDUCTANCE over the co-purchase graph, partitioned by
+    * part brand — does the catalog's brand structure match the graph's
+    * cut structure? φ(S) = cut(S) / min(vol(S), 2m − vol(S)), the
+    * spectral-clustering quality metric, computed per brand from exact
+    * integer cut/volume counts: one brand-tag broadcast join onto the
+    * directed edge list, one |brands|-row rollup — the raw edges
+    * shuffle once and nothing pairs. φ is micro-fixed at the final
+    * division of identical integers. Low φ = the brand is a genuine
+    * graph community; φ→1 = the label is orthogonal to co-purchase
+    * behavior. */
+  def qGraphConductance(s: SparkSession, d: String): DataFrame = {
+    val ls = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = ls.as("x").join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    val brand = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"))
+    val tagged = edges
+      .join(broadcast(brand.select(col("p_partkey").as("a"),
+        col("p_brand").as("ba"))), Seq("a"))
+      .join(broadcast(brand.select(col("p_partkey").as("b"),
+        col("p_brand").as("bb"))), Seq("b"))
+      .localCheckpoint(true)
+    val m2 = tagged.count() // 2m directed edges
+    tagged.groupBy(col("ba").as("brand"))
+      .agg(count_distinct(col("a")).as("n_nodes"),
+        count(lit(1)).as("volume"),
+        sum(when(col("ba") =!= col("bb"), 1L).otherwise(0L)).as("cut"))
+      .select(col("brand"), col("n_nodes"), col("volume"), col("cut"),
+        (floor(col("cut").cast("double") /
+          least(col("volume"), lit(m2) - col("volume")) * 1e6 + 0.5)
+          / 1e6).as("phi"))
+      .orderBy(col("brand"))
+  }
+
   /** Grid-blocked DBSCAN — density-based clustering over the md5
     * lattice points (the [[graft.ops.Warehouse.qGridDistanceJoin]]
     * candidate machinery promoted to a full clustering algorithm):

@@ -388,4 +388,19 @@ class Round12Spec extends SparkSuite {
       assert(nt == (if (op == 1) docs.length else 0L))
     }
   }
+
+  test("conductance: volumes tie out to 2m and phi is a valid ratio") {
+    val rows = graft.ops.Mining.qGraphConductance(spark, sf).collect()
+    val m2 = rows.map(_.getAs[Long]("volume")).sum
+    val tri = graft.ops.Analytics.qTriangleCount(spark, sf)
+      .collect().head
+    assert(m2 == 2 * tri.getAs[Long]("n_edges"),
+      "brand volumes must partition the directed edge set")
+    // total cut counts each cross-brand edge once per direction, so
+    // the sum is even
+    assert(rows.map(_.getAs[Long]("cut")).sum % 2 == 0)
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("phi"); p >= 0.0 && p <= 1.0
+    })
+  }
 }
