@@ -672,6 +672,7 @@ object SparkEntry {
     "embed_coreset_kcenter" -> (PipelineQueries.embedCoresetKcenter _),
     "q_json_patch" -> (JsonQueries.qJsonPatch _),
     "q_graph_conductance" -> (Mining.qGraphConductance _),
+    "text_oov_rate" -> (PipelineQueries.textOovRate _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -3906,6 +3907,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
         |    AS pair_checksum
         |FROM v""".stripMargin,
+    // same md5 doc split + token hashing; vocab membership replayed
+    // as an anti-join over 8-byte hashes
+    "text_oov_rate" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(md5_number_lower(unnest(
+        |      regexp_split_to_array(trim(text), '\s+')))
+        |      & 9223372036854775807 AS BIGINT) AS th,
+        |    (md5_number_lower(CAST(doc_id AS VARCHAR))
+        |      & 9223372036854775807) % 2 = 0 AS is_train
+        |  FROM documents),
+        |v AS (SELECT DISTINCT th FROM t WHERE is_train),
+        |vz AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM v),
+        |val AS (SELECT t.th, v.th IS NOT NULL AS known
+        |  FROM t LEFT JOIN v ON t.th = v.th WHERE NOT t.is_train)
+        |SELECT vz.vocab_size,
+        |  CAST(count(*) AS BIGINT) AS n_val_tokens,
+        |  CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_oov,
+        |  floor(CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / count(*) * 1e6 + 0.5) / 1e6 AS oov_rate
+        |FROM val, vz GROUP BY vz.vocab_size""".stripMargin,
     // exact integer cut/volume counts per brand over the same edge
     // relation; phi micro-fixed at the final division
     "q_graph_conductance" ->

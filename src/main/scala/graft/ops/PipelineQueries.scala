@@ -2699,6 +2699,39 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Held-out OOV (out-of-vocabulary) rate — the vocabulary-coverage
+    * audit run before freezing a tokenizer: build the vocab from the
+    * TRAIN half of the portable md5 doc split, then count what share
+    * of the VAL half's token OCCURRENCES falls outside it. Tokens
+    * shuffle as 8-byte md5 hashes (never strings); the vocab is one
+    * distinct rollup; the OOV test is one left-anti-shaped join
+    * (a broadcast when the vocab is small, a hash join at corpus
+    * scale). One census row of exact integers; the rate is
+    * micro-fixed. */
+  def textOovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(
+        (pmod(graft.functions.exprs.md5Lower64(
+          col("doc_id").cast("string"))
+          .bitwiseAND(lit(Long.MaxValue)), lit(2L)) === 0)
+          .as("is_train"),
+        graft.functions.exprs.md5Lower64(col("tok"))
+          .bitwiseAND(lit(Long.MaxValue)).as("th"))
+    val vocab = toks.filter(col("is_train"))
+      .select(col("th")).distinct()
+    val vsz = vocab.count()
+    toks.filter(!col("is_train"))
+      .join(vocab.withColumn("_in", lit(1L)), Seq("th"), "left")
+      .agg(count(lit(1)).as("n_val_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(lit(vsz).as("vocab_size"), col("n_val_tokens"),
+        col("n_oov"),
+        (floor(col("n_oov").cast("double") / col("n_val_tokens")
+          * 1e6 + 0.5) / 1e6).as("oov_rate"))
+  }
+
   /** Greedy k-CENTER CORESET selection (farthest-first traversal) —
     * the data-pruning selector modern pipelines run to pick a maximally
     * diverse training subset: seed with the min-id vector, then k−1

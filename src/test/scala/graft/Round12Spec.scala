@@ -403,4 +403,24 @@ class Round12Spec extends SparkSuite {
       val p = r.getAs[Double]("phi"); p >= 0.0 && p <= 1.0
     })
   }
+
+  test("OOV census ties out against a token replay") {
+    val row = graft.ops.PipelineQueries.textOovRate(spark, sf)
+      .collect().head
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def isTrain(id: Long): Boolean =
+      ((graft.functions.Kernels.md5Lower64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString))
+        & Long.MaxValue) % 2) == 0
+    val vocab = docs.filter(d => isTrain(d._1))
+      .flatMap(_._2.trim.split("\\s+")).toSet
+    val valToks = docs.filterNot(d => isTrain(d._1))
+      .flatMap(_._2.trim.split("\\s+"))
+    assert(row.getAs[Long]("vocab_size") == vocab.size)
+    assert(row.getAs[Long]("n_val_tokens") == valToks.length)
+    assert(row.getAs[Long]("n_oov") ==
+      valToks.count(t => !vocab.contains(t)))
+  }
 }
