@@ -163,7 +163,17 @@ object PlanAudit {
       "q_edit_distance_join (O(n·L) del1 keys; bucket equi-join; lev verify — no cross product)" ->
         graft.ops.Warehouse.qEditDistanceJoin(spark, d),
       "q_grid_distance_join (cell-keyed equi-join after 9-offset explode; integer verify)" ->
-        graft.ops.Warehouse.qGridDistanceJoin(spark, d))
+        graft.ops.Warehouse.qGridDistanceJoin(spark, d),
+      "q_graph_cluster_coeff (one Generate pass credits all 3 corners; no materialized intersections)" ->
+        graft.ops.Mining.qGraphClusterCoeff(spark, d),
+      "text_ngram_novelty (8-byte shingle hashes shuffle; partial-aggregable first-occurrence min)" ->
+        PipelineQueries.textNgramNovelty(spark, d),
+      "q_kendall_tau (group-bounded pair join — quadratic in the nation, never the corpus)" ->
+        graft.ops.Mining.qKendallTau(spark, d),
+      "embed_hard_negatives (label filter rides the broadcast join — drops before scoring)" ->
+        PipelineQueries.embedHardNegatives(spark, d),
+      "text_oov_rate (token md5-64 hashes shuffle; one distinct rollup + membership join)" ->
+        PipelineQueries.textOovRate(spark, d))
     val out = new StringBuilder
     out.append("# PLANS — physical-plan audit (generated by " +
       "graft.tools.PlanAudit)\n\n")
