@@ -673,6 +673,8 @@ object SparkEntry {
     "q_json_patch" -> (JsonQueries.qJsonPatch _),
     "q_graph_conductance" -> (Mining.qGraphConductance _),
     "text_oov_rate" -> (PipelineQueries.textOovRate _),
+    "multimodal_audio_vad" -> (PipelineQueries.multimodalAudioVad _),
+    "text_hash_features" -> (PipelineQueries.textHashFeatures _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -3907,6 +3909,41 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
         |    AS pair_checksum
         |FROM v""".stripMargin,
+    // generator replay of per-frame energies: exact integer sums,
+    // islands counted with a lag over the frame order
+    "multimodal_audio_vad" ->
+      """WITH d AS (SELECT doc_id, 200 + doc_id % 256 AS n
+        |    FROM documents),
+        |s AS (SELECT doc_id, unnest(range(n)) AS i FROM d),
+        |sv AS (SELECT doc_id, i // 40 AS fr,
+        |    ((i * 37 + doc_id * 101) % 65536 - 32768) AS v FROM s),
+        |f AS (SELECT doc_id, fr, sum(v * v) AS e FROM sv GROUP BY 1, 2),
+        |g AS (SELECT doc_id, fr, e > 14300000000 AS sp,
+        |    lag(e > 14300000000) OVER (PARTITION BY doc_id ORDER BY fr)
+        |      AS psp
+        |  FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN sp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_speech,
+        |  CAST(sum(CASE WHEN sp AND (psp IS NULL OR NOT psp)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+        |  floor(CAST(sum(CASE WHEN sp THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1e6 + 0.5) / 1e6 AS speech_ratio
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // identical md5-64 bucket/sign arithmetic both engines; census of
+    // exact integers per bucket
+    "text_hash_features" ->
+      """WITH t AS (SELECT
+        |    CAST(md5_number_lower(unnest(
+        |      regexp_split_to_array(trim(text), '\s+')))
+        |      & 9223372036854775807 AS BIGINT) AS th
+        |  FROM documents)
+        |SELECT th % 64 AS bucket, CAST(count(*) AS BIGINT)
+        |    AS n_occurrences,
+        |  CAST(sum(CASE WHEN (th // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        |    AS BIGINT) AS signed_sum,
+        |  CAST(count(DISTINCT th) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // same md5 doc split + token hashing; vocab membership replayed
     // as an anti-join over 8-byte hashes
     "text_oov_rate" ->

@@ -370,4 +370,40 @@ object Codecs {
     }
     (n, f.getSampleRate.toLong, e)
   }
+
+  /** Frame-energy voice-activity detection over DECODED WAV samples:
+    * chop into `frame`-sample frames (the last one partial), a frame
+    * is "speech" when its energy exceeds `threshold`, and a segment
+    * is a maximal run of speech frames. Returns (n_frames, n_speech,
+    * n_segments). Exact integer energies, so the oracle replays the
+    * generator arithmetic. */
+  def decodeWavVad(bytes: Array[Byte], frame: Int,
+      threshold: Long): (Long, Long, Long) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val raw = in.readAllBytes()
+    val n = raw.length / 2
+    val nFrames = (n + frame - 1) / frame
+    var nSpeech = 0L
+    var nSeg = 0L
+    var prevSpeech = false
+    var fr = 0
+    while (fr < nFrames) {
+      var e = 0L
+      var i = fr * frame
+      val end = math.min(i + frame, n)
+      while (i < end) {
+        val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+        e += s.toLong * s
+        i += 1
+      }
+      val sp = e > threshold
+      if (sp) {
+        nSpeech += 1
+        if (!prevSpeech) nSeg += 1
+      }
+      prevSpeech = sp
+      fr += 1
+    }
+    (nFrames.toLong, nSpeech, nSeg)
+  }
 }

@@ -2699,6 +2699,52 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Voice-activity detection through the REAL WAV codec: each doc's
+    * deterministic PCM audio is encoded to genuine WAV bytes, decoded
+    * back through javax.sound.sampled, chopped into 40-sample frames,
+    * and frames whose DECODED energy exceeds the threshold are
+    * "speech"; maximal speech runs are segments — the preprocessing
+    * that carves raw audio into trainable utterances. Map-only
+    * per-partition codec seam; exact integer energies, so the oracle
+    * replays the generator arithmetic frame by frame. */
+  def multimodalAudioVad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodeWav(id)
+        val (nf, ns, nseg) =
+          graft.mm.Codecs.decodeWavVad(bytes, 40, 14300000000L)
+        (id, nf, ns, nseg)
+      })
+      .toDF("doc_id", "n_frames", "n_speech", "n_segments")
+      .withColumn("speech_ratio",
+        floor(col("n_speech").cast("double") / col("n_frames")
+          * 1e6 + 0.5) / 1e6)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Feature HASHING (the hashing trick) census: every token
+    * occurrence lands in one of 64 signed buckets (bucket = md5-64
+    * mod 64, sign from the next hash bit) — the fixed-width featurizer
+    * cheap classifiers and dedup prefilters run when a learned
+    * vocabulary is too expensive. One map-side pass over token
+    * occurrences, one 64-row rollup; the census (occurrences, signed
+    * sum, distinct tokens per bucket) is exact integers. */
+  def textHashFeatures(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(graft.functions.exprs.md5Lower64(col("tok"))
+        .bitwiseAND(lit(Long.MaxValue)).as("th"))
+      .select(col("th"), pmod(col("th"), lit(64L)).as("bucket"),
+        when(expr("(th div 64) % 2") === 0, 1L).otherwise(-1L).as("sign"))
+    toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        sum(col("sign")).as("signed_sum"),
+        count_distinct(col("th")).as("n_tokens"))
+      .orderBy(col("bucket"))
+  }
+
   /** Held-out OOV (out-of-vocabulary) rate — the vocabulary-coverage
     * audit run before freezing a tokenizer: build the vocab from the
     * TRAIN half of the portable md5 doc split, then count what share

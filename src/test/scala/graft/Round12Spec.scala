@@ -423,4 +423,40 @@ class Round12Spec extends SparkSuite {
     assert(row.getAs[Long]("n_oov") ==
       valToks.count(t => !vocab.contains(t)))
   }
+
+  test("audio VAD equals a generator replay of frame energies") {
+    val rows = graft.ops.PipelineQueries.multimodalAudioVad(spark, sf)
+      .collect()
+    rows.take(25).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = graft.mm.Codecs.wavSamples(id)
+      val vs = (0 until n).map(i =>
+        ((i.toLong * 37 + id * 101) % 65536 - 32768))
+      val frames = vs.grouped(40).map(g => g.map(v => v * v).sum).toSeq
+      val sp = frames.map(_ > 14300000000L)
+      val segs = sp.zip(false +: sp.init).count { case (a, b) => a && !b }
+      assert(r.getAs[Long]("n_frames") == frames.length.toLong)
+      assert(r.getAs[Long]("n_speech") == sp.count(identity).toLong)
+      assert(r.getAs[Long]("n_segments") == segs.toLong,
+        s"doc $id VAD segments diverged")
+    }
+    // the threshold genuinely splits: both classes occur corpus-wide
+    assert(rows.map(_.getAs[Long]("n_speech")).sum > 0)
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_speech") < r.getAs[Long]("n_frames")))
+  }
+
+  test("feature hashing census conserves occurrences and signs") {
+    val rows = graft.ops.PipelineQueries.textHashFeatures(spark, sf)
+      .collect()
+    val nToks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_occurrences")).sum == nToks)
+    assert(rows.forall(r =>
+      math.abs(r.getAs[Long]("signed_sum")) <=
+        r.getAs[Long]("n_occurrences")))
+    assert(rows.forall(r => r.getAs[Long]("bucket") >= 0 &&
+      r.getAs[Long]("bucket") < 64))
+  }
 }
