@@ -675,6 +675,7 @@ object SparkEntry {
     "text_oov_rate" -> (PipelineQueries.textOovRate _),
     "multimodal_audio_vad" -> (PipelineQueries.multimodalAudioVad _),
     "text_hash_features" -> (PipelineQueries.textHashFeatures _),
+    "q_simpson_audit" -> (Mining.qSimpsonAudit _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -3909,6 +3910,34 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
         |    AS pair_checksum
         |FROM v""".stripMargin,
+    // dollar-floored lattice moments; slope signs from doubles of
+    // identical exact longs (the assortativity recipe)
+    "q_simpson_audit" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |pts AS (SELECT CAST(c_nationkey AS BIGINT) AS g,
+        |    CAST(floor(c_acctbal) AS BIGINT) AS x, y
+        |  FROM customer JOIN spend ON c_custkey = o_custkey),
+        |pm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy FROM pts),
+        |ps AS (SELECT CAST(sign(CAST(n AS DOUBLE) * sxy -
+        |    CAST(sx AS DOUBLE) * sy) AS BIGINT) AS pooled_sign FROM pm),
+        |gm AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy FROM pts GROUP BY 1),
+        |gs AS (SELECT CAST(sign(CAST(n AS DOUBLE) * sxy -
+        |    CAST(sx AS DOUBLE) * sy) AS BIGINT) AS s FROM gm)
+        |SELECT ps.pooled_sign,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN gs.s <> ps.pooled_sign THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_reversed,
+        |  floor(CAST(sum(CASE WHEN gs.s <> ps.pooled_sign
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+        |    AS reversal_share
+        |FROM gs, ps GROUP BY ps.pooled_sign""".stripMargin,
     // generator replay of per-frame energies: exact integer sums,
     // islands counted with a lag over the frame order
     "multimodal_audio_vad" ->

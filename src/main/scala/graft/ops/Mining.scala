@@ -1824,6 +1824,48 @@ object Mining {
       .orderBy(col("node"))
   }
 
+  /** Simpson's-paradox AUDIT — the aggregation-reversal check run
+    * before trusting any pooled correlation: the pooled OLS slope sign
+    * of (account balance → lifetime spend) is compared against every
+    * per-nation slope sign, and the report counts how many groups
+    * REVERSE the pooled direction. All five moments are exact longs on
+    * the dollar-floored lattice (cents would push n·Σxy past 2⁶³ under
+    * ANSI); slope signs come from the numerator n·Σxy − Σx·Σy combined
+    * in double space from identical exact longs (the q_assortativity
+    * recipe), so both engines agree bit-for-bit. Two partial-aggregable
+    * rollups — per nation and pooled — nothing else. */
+  def qSimpsonAudit(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100")
+        .as("y"))
+    val pts = Tables.customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey").cast("long").as("g"),
+        floor(col("c_acctbal")).cast("long").as("x"), col("y"))
+    def moments(df: DataFrame, keys: Seq[Column]): DataFrame = {
+      val grouped =
+        if (keys.isEmpty) df.groupBy() else df.groupBy(keys: _*)
+      grouped.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+    }
+    def slopeSign: Column =
+      signum(col("n").cast("double") * col("sxy") -
+        col("sx").cast("double") * col("sy")).cast("long")
+    val pooled = moments(pts, Seq.empty)
+      .select(slopeSign.as("pooled_sign"))
+    val groups = moments(pts, Seq(col("g")))
+      .select(slopeSign.as("gs"))
+    groups.crossJoin(broadcast(pooled))
+      .agg(first(col("pooled_sign")).as("pooled_sign"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("gs") =!= col("pooled_sign"), 1L).otherwise(0L))
+          .as("n_reversed"))
+      .select(col("pooled_sign"), col("n_groups"), col("n_reversed"),
+        (floor(col("n_reversed").cast("double") / col("n_groups")
+          * 1e6 + 0.5) / 1e6).as("reversal_share"))
+  }
+
   /** Community CONDUCTANCE over the co-purchase graph, partitioned by
     * part brand — does the catalog's brand structure match the graph's
     * cut structure? φ(S) = cut(S) / min(vol(S), 2m − vol(S)), the

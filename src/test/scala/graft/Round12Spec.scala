@@ -459,4 +459,32 @@ class Round12Spec extends SparkSuite {
     assert(rows.forall(r => r.getAs[Long]("bucket") >= 0 &&
       r.getAs[Long]("bucket") < 64))
   }
+
+  test("simpson audit replays on the dollar-floored lattice") {
+    val row = graft.ops.Mining.qSimpsonAudit(spark, sf).collect().head
+    val pts = {
+      import org.apache.spark.sql.functions.{floor => ffloor}
+      val spend = graft.sources.Tables.orders(spark, sf)
+        .groupBy(col("o_custkey"))
+        .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100")
+          .as("y"))
+      graft.sources.Tables.customer(spark, sf)
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey").cast("long"),
+          ffloor(col("c_acctbal")).cast("long"), col("y"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    def sign(g: Seq[(Long, Long)]): Long = {
+      val n = g.length.toLong
+      val sx = g.map(_._1).sum; val sy = g.map(_._2).sum
+      val sxy = g.map(p => p._1 * p._2).sum
+      java.lang.Long.signum(
+        java.lang.Double.compare(n.toDouble * sxy, sx.toDouble * sy).toLong)
+    }
+    val pooled = sign(pts.map(p => (p._2, p._3)))
+    val revs = pts.groupBy(_._1).values
+      .count(g => sign(g.map(p => (p._2, p._3)).toSeq) != pooled)
+    assert(row.getAs[Long]("pooled_sign") == pooled)
+    assert(row.getAs[Long]("n_reversed") == revs.toLong)
+  }
 }
