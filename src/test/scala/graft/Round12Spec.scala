@@ -487,4 +487,16 @@ class Round12Spec extends SparkSuite {
     assert(row.getAs[Long]("pooled_sign") == pooled)
     assert(row.getAs[Long]("n_reversed") == revs.toLong)
   }
+
+  test("LCC plan shape: one Generate pass, no triple closing scan") {
+    // the r12 rewrite: corner credits flow through ONE Generate over
+    // the joined edges — a regression to the checkpoint-and-scan-3x
+    // shape (16.5s at sf0.1) would show extra Generates or unions
+    val plan = graft.ops.Mining.qGraphClusterCoeff(spark, sf)
+      .queryExecution.executedPlan.toString
+    val generates = "(?m)^\\s*[+:]?-? *\\*?\\(?\\d*\\)? ?Generate".r
+      .findAllIn(plan).length
+    assert(plan.split("Generate").length - 1 == 1,
+      s"expected exactly one Generate, plan has ${generates}")
+  }
 }
