@@ -676,6 +676,7 @@ object SparkEntry {
     "multimodal_audio_vad" -> (PipelineQueries.multimodalAudioVad _),
     "text_hash_features" -> (PipelineQueries.textHashFeatures _),
     "q_simpson_audit" -> (Mining.qSimpsonAudit _),
+    "q_rich_club" -> (Mining.qRichClub _),
     "q_k_anonymity" -> (Profiling.qKAnonymity _),
     "q_fd_violations" -> (Profiling.qFdViolations _),
     "q_inclusion_deps" -> (Profiling.qInclusionDeps _),
@@ -3910,6 +3911,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dist <= 1 THEN ka * 31 + kb END) AS BIGINT)
         |    AS pair_checksum
         |FROM v""".stripMargin,
+    // degree-filtered subgraph census per k — exact integer edge and
+    // node counts over the same edge relation
+    "q_rich_club" ->
+      """WITH ls AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM ls x JOIN ls y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey),
+        |dg AS (SELECT node, count(*) AS dgc FROM
+        |  (SELECT a AS node FROM p UNION ALL SELECT b FROM p)
+        |  GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([4, 8, 16, 32]) AS BIGINT) AS k),
+        |t AS (SELECT p.a, p.b, da.dgc AS da, db.dgc AS db
+        |  FROM p JOIN dg da ON p.a = da.node JOIN dg db ON p.b = db.node),
+        |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+        |  FROM t, ks WHERE da > k AND db > k GROUP BY 1),
+        |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM dg, ks WHERE dgc > k GROUP BY 1)
+        |SELECT nk.k, nk.n_nodes,
+        |  CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+        |  floor(CAST(coalesce(ek.n_edges, 0) AS DOUBLE) * 2 /
+        |    (nk.n_nodes * (nk.n_nodes - 1)) * 1e6 + 0.5) / 1e6 AS phi
+        |FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY nk.k""".stripMargin,
     // dollar-floored lattice moments; slope signs from doubles of
     // identical exact longs (the assortativity recipe)
     "q_simpson_audit" ->

@@ -1824,6 +1824,49 @@ object Mining {
       .orderBy(col("node"))
   }
 
+  /** Rich-club coefficient of the co-purchase graph — do high-degree
+    * parts preferentially connect to each other? φ(k) = 2·E_k /
+    * (N_k·(N_k−1)) over the subgraph of nodes with degree > k, swept
+    * across k ∈ {4,8,16,32}. One degree rollup, two broadcast
+    * degree-tag joins onto the undirected edge list, then each k is a
+    * filter over the SAME tagged frame (exploded k-list, one rollup)
+    * — the sweep costs one edge pass regardless of how many k's.
+    * Exact integer counts; φ micro-fixed. Complements
+    * [[qAssortativity]] (correlation) with the subgraph-density view
+    * of the same hub structure. */
+  def qRichClub(s: SparkSession, d: String): DataFrame = {
+    val ls = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = ls.as("x").join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val deg = pairs.select(col("a").as("node"))
+      .unionByName(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      .cache()
+    val tagged = pairs
+      .join(broadcast(deg.select(col("node").as("a"), col("dg").as("da"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("node").as("b"), col("dg").as("db"))),
+        Seq("b"))
+    val ks = array(Seq(4, 8, 16, 32).map(k => lit(k.toLong)): _*)
+    val ek = tagged.select(col("da"), col("db"), explode(ks).as("k"))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    val nk = deg.select(col("dg"), explode(ks).as("k"))
+      .filter(col("dg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        (floor(coalesce(col("n_edges"), lit(0L)).cast("double") * 2 /
+          (col("n_nodes") * (col("n_nodes") - 1)) * 1e6 + 0.5) / 1e6)
+          .as("phi"))
+      .orderBy(col("k"))
+  }
+
   /** Simpson's-paradox AUDIT — the aggregation-reversal check run
     * before trusting any pooled correlation: the pooled OLS slope sign
     * of (account balance → lifetime spend) is compared against every

@@ -488,6 +488,19 @@ class Round12Spec extends SparkSuite {
     assert(row.getAs[Long]("n_reversed") == revs.toLong)
   }
 
+  test("rich club: monotone shrinking subgraph, valid densities") {
+    val rows = graft.ops.Mining.qRichClub(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(4L, 8L, 16L, 32L))
+    val nodes = rows.map(_.getAs[Long]("n_nodes"))
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => a >= b },
+      "raising k can only shrink the club")
+    val edges = rows.map(_.getAs[Long]("n_edges"))
+    assert(edges.zip(edges.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("phi"); p >= 0.0 && p <= 1.0
+    })
+  }
+
   test("LCC plan shape: one Generate pass, no triple closing scan") {
     // the r12 rewrite: corner credits flow through ONE Generate over
     // the joined edges — a regression to the checkpoint-and-scan-3x
