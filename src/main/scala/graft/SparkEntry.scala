@@ -3930,8 +3930,10 @@ object SparkEntry {
         |  FROM dg, ks WHERE dgc > k GROUP BY 1)
         |SELECT nk.k, nk.n_nodes,
         |  CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
-        |  floor(CAST(coalesce(ek.n_edges, 0) AS DOUBLE) * 2 /
-        |    (nk.n_nodes * (nk.n_nodes - 1)) * 1e6 + 0.5) / 1e6 AS phi
+        |  CASE WHEN nk.n_nodes >= 2 THEN
+        |    floor(CAST(coalesce(ek.n_edges, 0) AS DOUBLE) * 2 /
+        |      (nk.n_nodes * (nk.n_nodes - 1)) * 1e6 + 0.5) / 1e6
+        |  END AS phi
         |FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY nk.k""".stripMargin,
     // dollar-floored lattice moments; slope signs from doubles of
     // identical exact longs (the assortativity recipe)
@@ -4125,7 +4127,7 @@ object SparkEntry {
         |    CAST((md5_number_lower('y' || CAST(c_custkey AS VARCHAR))
         |      & 9223372036854775807) % 4096 AS BIGINT) AS y
         |  FROM customer),
-        |nv AS (SELECT CAST(8724152 / count(*) AS BIGINT) AS r2 FROM pts),
+        |nv AS (SELECT CAST(8724152 // count(*) AS BIGINT) AS r2 FROM pts),
         |e AS (SELECT a.k AS ka, b.k AS kb
         |  FROM pts a JOIN pts b ON a.k <> b.k, nv
         |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)

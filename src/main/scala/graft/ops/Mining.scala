@@ -202,9 +202,10 @@ object Mining {
   /** Gini coefficient of customer revenue within each nation — the
     * revenue-concentration audit. Per-customer revenue is rounded to
     * cents BEFORE ranking so both engines rank identical values; the
-    * rank window partitions by nation (25 groups — each holds
-    * |customers|/25 rows; at extreme scale pre-aggregate to coarser
-    * revenue buckets or use the grouped-sort salting in q_salted_agg).
+    * per-nation rank comes from [[Ranks.groupRowNumber]] — the nation
+    * key rides the range partitioning, so no single task ever sorts a
+    * whole nation (25 groups over a billion customers would otherwise
+    * be the partitioned-window fan-in hazard).
     * Closed form: G = 2·Σ(rᵢ·xᵢ)/(n·Σx) − (n+1)/n over ranks rᵢ.
     * Both Σ run over EXACT integers (ranks × cent values), so the only
     * float work is the final closed-form division — identical in any
@@ -217,9 +218,8 @@ object Mining {
     val j = rev.join(
       Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
       col("o_custkey") === col("c_custkey"))
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("cents"), col("o_custkey"))
-    val ranked = j.withColumn("r", row_number().over(w).cast("long"))
+    val ranked = Ranks.groupRowNumber(j, Seq(col("c_nationkey")),
+      Seq(col("cents"), col("o_custkey")), "r", "_ntot").drop("_ntot")
     ranked.groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("cents")) / 100.0, 2).as("total_rev"),
@@ -1861,8 +1861,12 @@ object Mining {
     nk.join(ek, Seq("k"), "left")
       .select(col("k"), col("n_nodes"),
         coalesce(col("n_edges"), lit(0L)).as("n_edges"),
-        (floor(coalesce(col("n_edges"), lit(0L)).cast("double") * 2 /
-          (col("n_nodes") * (col("n_nodes") - 1)) * 1e6 + 0.5) / 1e6)
+        // a 1-node club has no possible edges: phi is NULL on both
+        // engines (Spark's floor(0/0) would yield 0 while DuckDB
+        // propagates NaN — cross-engine divergence otherwise)
+        when(col("n_nodes") >= 2L,
+          floor(coalesce(col("n_edges"), lit(0L)).cast("double") * 2 /
+            (col("n_nodes") * (col("n_nodes") - 1)) * 1e6 + 0.5) / 1e6)
           .as("phi"))
       .orderBy(col("k"))
   }
@@ -1959,7 +1963,9 @@ object Mining {
     * tie rule classic DBSCAN leaves order-dependent), the rest is
     * noise. The radius is DENSITY-ADAPTIVE — R² = 8 724 152 / n keeps
     * expected neighbor count ~1.6 at any corpus size (exact integer
-    * division both engines), which also keeps components small and
+    * division both engines: Long `/` here, DuckDB `//` in the oracle —
+    * float `/`-then-round would diverge whenever the rounded radius is
+    * a sum of two squares), which also keeps components small and
     * the oracle's transitive closure cheap. At 100 TB: one radius
     * self-join + one degree rollup + log-diameter label rounds — every
     * stage keyed, nothing quadratic outside cells. */
@@ -2032,37 +2038,133 @@ object Mining {
   /** Exact Kendall rank correlation (tau-b) per nation between each
     * customer's account balance and their lifetime order spend — the
     * robust monotone-association twin of [[qSpearman]], with the
-    * tie-correct denominator. Everything runs on the exact cent
-    * lattice: both metrics are integer cents, each within-nation pair
-    * contributes integer concordance/discordance/tie counts in ONE
-    * group-bounded self-join (quadratic only in the group, never the
-    * corpus — a billion-row group would switch to the O(n log n)
-    * merge-sort inversion count, same contract), and tau-b is the one
-    * final division of identical exact integers, micro-fixed. sqrt is
-    * correctly rounded under IEEE-754, so the denominator is portable
-    * (the q_assortativity recipe). */
+    * tie-correct denominator. NO group-quadratic pair join anywhere:
+    * tau-b needs only five integer counts per nation, and each comes
+    * from a sub-quadratic plan on the exact cent lattice —
+    *
+    *  - n, tie counts t_x/t_y/t_xy: plain partial-aggregable rollups
+    *    (Σ c·(c−1)/2 over the per-value group sizes);
+    *  - the discordance count n_d (= inversions between the x- and
+    *    y-orders) via a two-level VALUE-bucket dominance decomposition:
+    *    distinct x and y values are ntile'd into B=64 order-preserving
+    *    buckets per nation ([[Ranks.groupNtile]] — equal values share a
+    *    bucket, so bucket order ⟺ STRICT value order), a B×B cell
+    *    histogram counts every pair whose buckets differ in BOTH
+    *    dimensions through two tiny prefix-sum windows (≤B² rows per
+    *    nation — 2-D dominance, exact), and the only per-row joins
+    *    left are the two residual bucket-bounded ones (same x-bucket;
+    *    same y-bucket with different x-buckets), each confined to
+    *    ~n/B-row buckets, never the group. Doubling B quarters the
+    *    residual work (B ∝ √n makes the whole count O(n^1.5/…);
+    *    recursing on the residual buckets gives O(n log²n)) — the
+    *    knob is a constant, not a rewrite.
+    *
+    * n_c then falls out by inclusion–exclusion (n₀ − n_d − t_x − t_y +
+    * t_xy), and tau-b is the one final division of identical exact
+    * integers, micro-fixed; sqrt is correctly rounded under IEEE-754,
+    * so the denominator is portable (the q_assortativity recipe). The
+    * DuckDB oracle replays the naive quadratic pair census — an
+    * independent method the decomposition must match integer-exactly. */
   def qKendallTau(s: SparkSession, d: String): DataFrame = {
     val spend = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y_cents"))
+    // six downstream branches read this frame: materialize once and
+    // truncate lineage (the qModularity recipe)
     val pts = Tables.customer(s, d)
       .join(spend, col("c_custkey") === col("o_custkey"))
       .select(col("c_nationkey").as("nation"), col("c_custkey").as("k"),
         round(col("c_acctbal") * 100).cast("long").as("x_cents"),
         col("y_cents"))
-    val pairs = pts.as("p").join(pts.as("q"),
-        col("p.nation") === col("q.nation") && col("p.k") < col("q.k"))
-      .select(col("p.nation").as("nation"),
-        signum((col("p.x_cents") - col("q.x_cents")).cast("double"))
-          .cast("long").as("sx"),
-        signum((col("p.y_cents") - col("q.y_cents")).cast("double"))
-          .cast("long").as("sy"))
-    pairs.groupBy(col("nation"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("sx") * col("sy") === 1L, 1L).otherwise(0L)).as("nc"),
-        sum(when(col("sx") * col("sy") === -1L, 1L).otherwise(0L)).as("nd"),
-        sum(when(col("sx") === 0L, 1L).otherwise(0L)).as("tx"),
-        sum(when(col("sy") === 0L, 1L).otherwise(0L)).as("ty"))
+      .localCheckpoint(true)
+    kendallFromCounts(kendallDiscordant(pts, bucketCount = 64), pts)
+  }
+
+  /** Per-nation discordant-pair count #{(i,j): x_i<x_j ∧ y_i>y_j} of
+    * `pts` (nation, k, x_cents, y_cents) via the two-level value-bucket
+    * dominance decomposition documented on [[qKendallTau]]. Exposed for
+    * the Round13Spec equivalence pin against the naive pair census. */
+  private[graft] def kendallDiscordant(pts: DataFrame, bucketCount: Int): DataFrame = {
+    // order-preserving VALUE buckets: ntile over the per-nation
+    // DISTINCT value frames, joined back — equal values can never
+    // straddle a boundary, so xb_i < xb_j ⇒ x_i < x_j strictly
+    val xb = Ranks.groupNtile(
+      pts.select(col("nation"), col("x_cents")).distinct(),
+      Seq(col("nation")), Seq(col("x_cents")), bucketCount, "xb")
+    val yb = Ranks.groupNtile(
+      pts.select(col("nation"), col("y_cents")).distinct(),
+      Seq(col("nation")), Seq(col("y_cents")), bucketCount, "yb")
+    val pb = pts.join(xb, Seq("nation", "x_cents"))
+      .join(yb, Seq("nation", "y_cents"))
+      .select(col("nation"), col("x_cents"), col("y_cents"),
+        col("xb"), col("yb"))
+      .localCheckpoint(true)
+    // level 1 — cell histogram: every pair whose buckets differ in
+    // BOTH dims is decided by the histogram alone. S(c) = Σ n over
+    // cells strictly left (xb' < xb) and strictly above (yb' > yb),
+    // via two prefix-sum windows. The grid is DENSIFIED first (B²
+    // rows per nation — linear in |nations|): on the sparse cell
+    // frame the second window would skip an empty (xb, yb') cell and
+    // silently drop the Σ_{xb'<xb} mass sitting at that yb'
+    val cells = pb.groupBy(col("nation"), col("xb"), col("yb"))
+      .agg(count(lit(1)).as("cnum"))
+    val grid = pts.select(col("nation")).distinct()
+      .withColumn("xb", explode(expr(s"sequence(1L, ${bucketCount}L)")))
+      .withColumn("yb", explode(expr(s"sequence(1L, ${bucketCount}L)")))
+    val dense = grid.join(cells, Seq("nation", "xb", "yb"), "left")
+      .na.fill(0L, Seq("cnum"))
+    val wx = Window.partitionBy(col("nation"), col("yb")).orderBy(col("xb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wy = Window.partitionBy(col("nation"), col("xb"))
+      .orderBy(col("yb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val crossCells = dense
+      .withColumn("pleft", coalesce(sum(col("cnum")).over(wx), lit(0L)))
+      .withColumn("dom", coalesce(sum(col("pleft")).over(wy), lit(0L)))
+      .groupBy(col("nation"))
+      .agg(sum(col("cnum") * col("dom")).as("nd_cross"))
+    // level 2 — residual pairs share a bucket in exactly one dim;
+    // both joins are bucket-bounded (~n/B rows), never group-bounded
+    val sameX = pb.as("a").join(pb.as("b"),
+        col("a.nation") === col("b.nation") && col("a.xb") === col("b.xb") &&
+          col("a.x_cents") < col("b.x_cents") &&
+          col("a.y_cents") > col("b.y_cents"))
+      .groupBy(col("a.nation").as("nation"))
+      .agg(count(lit(1)).as("nd_sx"))
+    val sameY = pb.as("a").join(pb.as("b"),
+        col("a.nation") === col("b.nation") && col("a.yb") === col("b.yb") &&
+          col("a.xb") < col("b.xb") &&
+          col("a.y_cents") > col("b.y_cents"))
+      .groupBy(col("a.nation").as("nation"))
+      .agg(count(lit(1)).as("nd_sy"))
+    crossCells
+      .join(sameX, Seq("nation"), "left").na.fill(0L, Seq("nd_sx"))
+      .join(sameY, Seq("nation"), "left").na.fill(0L, Seq("nd_sy"))
+      .select(col("nation"),
+        (col("nd_cross") + col("nd_sx") + col("nd_sy")).as("nd"))
+  }
+
+  /** Assembles tau-b from the per-nation discordance frame plus the
+    * rollup-only counts: n₀ = n(n−1)/2 and the three tie counts, then
+    * n_c by inclusion–exclusion. Row set matches the pair census: a
+    * nation appears iff it has ≥ 2 scored customers. */
+  private[graft] def kendallFromCounts(nd: DataFrame, pts: DataFrame): DataFrame = {
+    def tieCount(valueCol: Seq[Column], out: String): DataFrame =
+      pts.groupBy(col("nation") +: valueCol: _*)
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("nation"))
+        .agg(sum(expr("c * (c - 1) div 2")).as(out))
+    val base = pts.groupBy(col("nation")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2L)
+      .withColumn("n_pairs", expr("n * (n - 1) div 2"))
+    base
+      .join(tieCount(Seq(col("x_cents")), "tx"), Seq("nation"))
+      .join(tieCount(Seq(col("y_cents")), "ty"), Seq("nation"))
+      .join(tieCount(Seq(col("x_cents"), col("y_cents")), "txy"),
+        Seq("nation"))
+      .join(nd, Seq("nation"), "left").na.fill(0L, Seq("nd"))
+      .withColumn("nc",
+        col("n_pairs") - col("nd") - col("tx") - col("ty") + col("txy"))
       .select(col("nation"), col("n_pairs"), col("nc"), col("nd"),
         (floor((col("nc") - col("nd")).cast("double") /
           sqrt(((col("n_pairs") - col("tx")) *

@@ -549,11 +549,17 @@ object Warehouse {
     // interpreted HOF — fine OFF the per-row hot path (|names| rows,
     // not |facts|); a corpus-sized variant would use a Kernels batch
     // expression per the BandKeys rule
+    // deletion keys share ONE domain with the oracle's
+    // generate_series(1, 64): cap at 64 positions and guard the empty
+    // string (sequence(1, 0) would yield a DESCENDING [1, 0] and
+    // fabricate keys the oracle never generates)
     val keyed = names.select(col("k"), col("name"),
       explode(array_union(array(col("name")),
-        expr("""transform(sequence(1, length(name)),
-               |  i -> concat(substr(name, 1, i - 1),
-               |              substr(name, i + 1, length(name))))"""
+        expr("""CASE WHEN length(name) >= 1 THEN
+               |  transform(sequence(1, least(length(name), 64)),
+               |    i -> concat(substr(name, 1, i - 1),
+               |                substr(name, i + 1, length(name))))
+               |ELSE array(name) END"""
           .stripMargin))).as("key"))
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.key") === col("b.key") && col("a.name") < col("b.name"))
