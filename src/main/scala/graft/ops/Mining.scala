@@ -659,6 +659,10 @@ object Mining {
     val deg = e.select(col("id_a").as("id"))
       .union(e.select(col("id_b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // comm feeds BOTH the q_total rollup and the final select:
+    // checkpoint the tiny |communities|-row frame so the |E|-keyed
+    // label joins above it run once, not twice (r13: the double
+    // execution was the whole marginal cost over the shared LPA fold)
     val comm = deg.join(lbl, "id")
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("degree_sum"))
@@ -668,6 +672,7 @@ object Mining {
       .withColumn("_num",
         lit(4L) * col("m") * col("internal_edges") -
           col("degree_sum") * col("degree_sum"))
+      .localCheckpoint(true)
     val qTotal = comm.agg((sum(col("_num")) /
         (lit(4.0) * first(col("m")) * first(col("m")))).as("_qt"))
       .select(round(col("_qt"), 6).as("q_total"))
