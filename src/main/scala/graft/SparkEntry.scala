@@ -95,6 +95,50 @@ object SparkEntry {
         p <- graft.ops.PipelineQueries.cachedPqModel(sfDir)
       } yield "stream_ann_probe" -> annIvfPqOracle(i, p)).toMap
 
+  /** text_bpe_train oracle: the N trainer rounds unrolled as chained
+    * CTEs (constant-folded — no recursive aggregation, which standard
+    * SQL recursion disallows). Round k derives pair counts from the
+    * previous round's merged word-frequency table, picks the (count
+    * DESC, lhs, rhs) argmax, and applies the merge via replace() on
+    * the chr(1)-delimited symbol string — the identical left-to-right
+    * non-overlapping literal scan the Spark side runs. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val base =
+      """WITH w0 AS (
+        |  SELECT chr(1) || regexp_replace(w, '(.)', '\1' || chr(1), 'g')
+        |      AS w,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |      AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+        |  GROUP BY 1)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val merge =
+        if (r == rounds) ""
+        else
+          s""",
+             |w$r AS (
+             |  SELECT replace(w${r - 1}.w,
+             |      chr(1) || t$r.a || chr(1) || t$r.b || chr(1),
+             |      chr(1) || t$r.a || t$r.b || chr(1)) AS w, cnt
+             |  FROM w${r - 1}, t$r)""".stripMargin
+      s""",
+         |t$r AS (
+         |  SELECT p[1] AS a, p[2] AS b, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT unnest(list_transform(range(1, len(s)),
+         |        i -> [s[i], s[i + 1]])) AS p, cnt
+         |    FROM (SELECT list_filter(string_split(w, chr(1)),
+         |        x -> x <> '') AS s, cnt FROM w${r - 1}))
+         |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)$merge""".stripMargin
+    }.mkString
+    val sel = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs," +
+        s" n AS pair_count FROM t$r")
+      .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
+    base + steps + sel
+  }
+
   /** ann_ivf_topk oracle, built from the quantizer that the query run
     * itself fitted (deterministic seeded fit, cached per corpus dir):
     * the centroids become VALUES literals, and DuckDB replays cell
@@ -639,6 +683,7 @@ object SparkEntry {
     "q_elasticity" -> (Mining.qElasticity _),
     "q_kmeans" -> (Mining.qKmeans _),
     "embed_pca_power" -> (Mining.qPcaPower _),
+    "q_betweenness_approx" -> (Mining.qBetweennessApprox _),
     "q_quantile_hist" -> (Mining.qQuantileHist _),
     "q_quantile_hist_approx" -> (Mining.qQuantileHistApprox _),
     "q_bootstrap_ci" -> (Mining.qBootstrapCi _),
@@ -834,6 +879,7 @@ object SparkEntry {
     "data_interleave_mixture" -> (PipelineQueries.dataInterleaveMixture _),
     "text_bm25_rank" -> (PipelineQueries.textBm25Rank _),
     "text_bpe_pairs" -> (PipelineQueries.textBpePairs _),
+    "text_bpe_train" -> (PipelineQueries.textBpeTrain _),
     "pipeline_clean_funnel" -> (PipelineQueries.pipelineCleanFunnel _),
     "data_length_buckets" -> (PipelineQueries.dataLengthBuckets _),
     "multimodal_wav_decimate" -> (PipelineQueries.multimodalWavDecimate _),
@@ -2182,6 +2228,42 @@ object SparkEntry {
         |FROM j, m, qt
         |ORDER BY j.n_members DESC, j.community
         |LIMIT 10""".stripMargin,
+    // independent replay: ENUMERATE the hop-capped shortest walks from
+    // the same 6 md5-sampled sources as path arrays and count interior
+    // memberships — the walk census the two-pass sigma*P fold must
+    // match integer-exactly
+    "q_betweenness_approx" ->
+      """WITH RECURSIVE sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+        |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |e AS (SELECT u, v FROM (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+        |  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2) WHERE w >= 1),
+        |es AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |srcs AS (SELECT node AS src FROM (SELECT DISTINCT u AS node
+        |    FROM es)
+        |  ORDER BY md5_number_lower(CAST(node AS VARCHAR))
+        |    & 9223372036854775807, node LIMIT 6),
+        |reach(src, id, h) AS (
+        |  SELECT src, src, 0 FROM srcs
+        |  UNION
+        |  SELECT r.src, es.v, r.h + 1 FROM reach r JOIN es ON es.u = r.id
+        |  WHERE r.h < 4),
+        |d AS (SELECT src, id, min(h) AS h FROM reach GROUP BY 1, 2),
+        |walks(src, node, path, h) AS (
+        |  SELECT src, src, [src], 0 FROM srcs
+        |  UNION ALL
+        |  SELECT w.src, es.v, list_append(w.path, es.v), w.h + 1
+        |  FROM walks w JOIN es ON es.u = w.node
+        |  WHERE w.h < 4 AND NOT list_contains(w.path, es.v)),
+        |sw AS (SELECT w.src, w.path FROM walks w
+        |  JOIN d ON d.src = w.src AND d.id = w.node
+        |  WHERE w.h = d.h AND len(w.path) >= 3),
+        |i AS (SELECT unnest(path[2:len(path) - 1]) AS node FROM sw)
+        |SELECT node, CAST(count(*) AS BIGINT) AS stress
+        |FROM i GROUP BY 1
+        |ORDER BY stress DESC, node LIMIT 20""".stripMargin,
     "q_bfs_hops" ->
       """WITH RECURSIVE sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
         |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -4902,6 +4984,11 @@ object SparkEntry {
         |  FROM w WHERE len(w) >= 2)
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // the 6 trainer rounds unrolled as chained CTEs — each round
+    // re-derives pair counts from the merged vocab and picks the same
+    // (count desc, lhs, rhs) argmax; replace() shares Spark's
+    // left-to-right non-overlapping literal-scan semantics
+    "text_bpe_train" -> bpeTrainOracle(6),
     "q_sample_balanced" ->
       """WITH v AS (
         |  SELECT vec_id, label,

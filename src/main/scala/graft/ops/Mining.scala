@@ -1771,6 +1771,80 @@ object Mining {
       .orderBy(col("t"))
   }
 
+  /** Sampled-source approximate BETWEENNESS centrality (Brandes'
+    * dependency accumulation, STRESS variant) over the sparse
+    * co-purchase graph — the graph family's missing centrality beside
+    * pagerank/HITS/ANF. Exactness strategy: true betweenness divides
+    * σ ratios inside the backward recursion (float accumulation order
+    * leaks), so this computes the INTEGER-EXACT sibling — stress(v) =
+    * Σ_{s,t} σ_st(v), the count of sampled shortest paths with v
+    * interior — via the same two Brandes passes: (1) level-synchronous
+    * BFS from the 6 md5-smallest sources (deterministic sample, both
+    * engines derive it identically) counting σ per node, hop-capped at
+    * 4 (the q_bfs_hops truncation contract); (2) a backward sweep over
+    * the BFS DAG folding P(v) = Σ_{w∈succ}(P(w)+1), the number of
+    * shortest-path SUFFIXES below v, so σ_sv·P_sv is exactly v's
+    * interior count for source s. Every pass is one shuffle keyed on
+    * node id over the edge list (frontier × degree, never the graph),
+    * per-round lineage truncated; K and the hop cap are the sampling
+    * knobs at billion-edge scale. The oracle independently re-derives
+    * stress by ENUMERATING the shortest walks (recursive CTE, path
+    * arrays) and counting interior memberships — a different method
+    * whose integer census the two-pass fold must match exactly. */
+  def qBetweennessApprox(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs.md5Lower64
+    val e = sparsePartEdges(s, d, minW = 1)
+    val sym = e.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(e.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
+    val srcs = sym.select(col("u").as("node")).distinct()
+      .orderBy(md5Lower64(col("node").cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)), col("node"))
+      .limit(6)
+      .select(col("node").as("src"))
+    var frontier = srcs.select(col("src"), col("src").as("node"),
+      lit(1L).as("sigma")).localCheckpoint(true)
+    var visited = frontier.select(col("src"), col("node"))
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    for (_ <- 1 to 4) {
+      frontier = frontier.join(sym, frontier("node") === sym("u"))
+        .groupBy(col("src"), col("v").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("src", "node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier.select(col("src"), col("node")))
+        .localCheckpoint(true)
+      levels += frontier
+    }
+    // backward pass: P over the DAG, depth 4 → 0; a level-d node's
+    // shortest-path successors are exactly the level-(d+1) nodes it
+    // touches, so each fold joins one level against the previous P
+    var p = levels(4).select(col("src"), col("node"), lit(0L).as("p"))
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (dpt <- 3 to 0 by -1) {
+      val lev = levels(dpt)
+      val contrib = lev.as("vv")
+        .join(sym, col("vv.node") === col("u"))
+        .join(p.as("ww"),
+          col("ww.src") === col("vv.src") && col("ww.node") === col("v"))
+        .groupBy(col("vv.src").as("src"), col("vv.node").as("node"))
+        .agg(sum(col("ww.p") + 1L).as("pnew"))
+      p = lev.select(col("src"), col("node"), col("sigma"))
+        .join(contrib, Seq("src", "node"), "left")
+        .select(col("src"), col("node"), col("sigma"),
+          coalesce(col("pnew"), lit(0L)).as("p"))
+        .localCheckpoint(true)
+      if (dpt >= 1)
+        parts += p.select(col("node"), (col("sigma") * col("p")).as("c"))
+    }
+    parts.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(sum(col("c")).as("stress"))
+      .filter(col("stress") > 0L)
+      .orderBy(col("stress").desc, col("node"))
+      .limit(20)
+  }
+
   /** Per-node LOCAL clustering coefficient over the part co-purchase
     * graph (same edge definition as q_triangle_count): lcc(v) =
     * 2·tri(v) / (deg(v)·(deg(v)−1)). Per-node triangle counts reuse

@@ -1471,6 +1471,61 @@ object PipelineQueries {
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
 
+  /** Iterative BPE TRAINER — [[textBpePairs]]' one-round statistic
+    * promoted to the actual tokenizer-training inner loop: count
+    * adjacent symbol pairs → merge the top pair → re-segment, for 6
+    * rounds. The corpus collapses FIRST to the word-frequency table
+    * (the classic BPE training representation — |vocab| rows, bounded
+    * by the language, not the corpus), so every round's pair count is
+    * a rollup over vocab rows weighted by `cnt` and every merge is a
+    * map over the same tiny frame; `localCheckpoint` per round bounds
+    * lineage exactly like the q_kcore/Components folds, and the ONLY
+    * driver state is the 1-row argmax per round (the dbscan-radius
+    * precedent) — the corpus never leaves the cluster. Words ride a
+    * \u0001-delimited symbol string ('␁c␁a␁t␁'), so a merge is ONE
+    * `replace` of '␁a␁b␁' with '␁ab␁' — and the merge CONTRACT is
+    * exactly replace()'s left-to-right non-overlapping scan, which
+    * Spark (UTF8String.replace) and DuckDB (replace) implement
+    * identically: a chain of occurrences sharing a delimiter defers
+    * its tail to a later round, deterministically on both engines.
+    * Top-pair tie-break is (count desc, lhs, rhs). The oracle unrolls
+    * the same 6 rounds as chained CTEs — constant-folded, no
+    * recursion, value-exact. */
+  def textBpeTrain(s: SparkSession, d: String): DataFrame = {
+    val delim = "\u0001"
+    var vocab = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("w0"))
+      .filter(col("w0").rlike("^[a-z]+$") && length(col("w0")) >= 2)
+      .groupBy(col("w0")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(delim),
+        regexp_replace(col("w0"), "(.)", "$1" + delim)).as("w"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to 6) {
+      val top = vocab
+        .select(expr(s"filter(split(w, '$delim'), x -> x <> '')").as("s"),
+          col("cnt"))
+        .select(explode(expr(
+          """transform(sequence(1, size(s) - 1),
+            |  i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))"""
+            .stripMargin)).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect().head
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r.toLong, a, b, n))
+      vocab = vocab
+        .withColumn("w", regexp_replace(col("w"),
+          java.util.regex.Pattern.quote(delim + a + delim + b + delim),
+          java.util.regex.Matcher.quoteReplacement(delim + a + b + delim)))
+        .localCheckpoint(true)
+    }
+    import s.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+      .orderBy(col("round"))
+  }
+
   /** Class-balanced downsampling — equalize label frequencies before
     * training: every label keeps exactly min-class-size vectors,
     * chosen deterministically by md5-hash order (the portable

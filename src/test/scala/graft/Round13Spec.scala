@@ -81,6 +81,81 @@ class Round13Spec extends SparkSuite {
     }
   }
 
+  test("betweenness stress equals brute-force shortest-walk census") {
+    // replicate the minW=1 sparse part graph in-JVM
+    val sp = graft.sources.Tables.part(spark, sf)
+      .filter(col("p_size") <= 3).select(col("p_partkey"))
+    val ls = graft.sources.Tables.lineitem(spark, sf)
+      .join(sp, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (gl(r, 0), gl(r, 1)))
+    val edges: Set[(Long, Long)] = ls.groupBy(_._1).values.toSeq
+      .flatMap { g =>
+        val pks = g.map(_._2).toSeq
+        for (a <- pks; b <- pks; if a < b) yield (a, b)
+      }.toSet
+    val adj: Map[Long, Seq[Long]] =
+      (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val nodes = adj.keys.toSeq
+    val srcs = nodes.sortBy(n => (graft.functions.Kernels.md5Lower64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(n.toString))
+      & Long.MaxValue, n)).take(6)
+    // BFS dist per source, then enumerate no-revisit walks <= 4 hops
+    // that land at their endpoint's shortest distance; count interiors
+    val stress = scala.collection.mutable.Map[Long, Long]()
+    for (s0 <- srcs) {
+      val dist = scala.collection.mutable.Map(s0 -> 0)
+      var front = Seq(s0)
+      for (h <- 1 to 4) {
+        front = front.flatMap(adj.getOrElse(_, Nil)).distinct
+          .filterNot(dist.contains)
+        front.foreach(dist(_) = h)
+      }
+      def walk(path: List[Long]): Unit = {
+        val last = path.head
+        if (path.length - 1 == dist.getOrElse(last, -1) && path.length >= 3)
+          path.tail.init.foreach(v => stress(v) = stress.getOrElse(v, 0L) + 1)
+        if (path.length <= 4)
+          adj.getOrElse(last, Nil).filterNot(path.contains)
+            .foreach(n => walk(n :: path))
+      }
+      walk(List(s0))
+    }
+    val want = stress.toSeq.filter(_._2 > 0)
+      .sortBy { case (n, st) => (-st, n) }.take(20)
+    val got = graft.ops.Mining.qBetweennessApprox(spark, sf).collect()
+      .map(r => (gl(r, 0), gl(r, 1))).toSeq
+    assert(got == want, "two-pass sigma*P fold != walk enumeration")
+  }
+
+  test("bpe trainer merges equal the in-JVM greedy replay") {
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .collect().map(_.getString(0))
+    val d = "\u0001"
+    var vocab = words.groupBy(identity).map { case (w, g) =>
+      (d + w.flatMap(c => s"$c$d"), g.length.toLong) }.toMap
+    val want = (1 to 6).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, c) <- vocab) {
+        val syms = w.split(d).filter(_.nonEmpty)
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      val ((a, b), n) = counts.toSeq
+        .minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.map { case (w, c) =>
+        (w.replace(d + a + d + b + d, d + a + b + d), c) }
+      (r.toLong, a, b, n)
+    }
+    val got = graft.ops.PipelineQueries.textBpeTrain(spark, sf).collect()
+      .map(r => (gl(r, 0), r.getString(1), r.getString(2), gl(r, 3))).toSeq
+    assert(got == want, "distributed trainer != in-JVM greedy replay")
+  }
+
   test("gini via Ranks.groupRowNumber equals the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val rev = graft.sources.Tables.orders(spark, sf)
