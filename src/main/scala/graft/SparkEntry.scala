@@ -95,6 +95,25 @@ object SparkEntry {
         p <- graft.ops.PipelineQueries.cachedPqModel(sfDir)
       } yield "stream_ann_probe" -> annIvfPqOracle(i, p)).toMap
 
+  /** Bounded-staleness as-of oracle, shared by the batch composition
+    * (q_asof_tolerance) and its native watermarked interval-join
+    * streaming twin (stream_asof_interval). */
+  private val asofToleranceOracle: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |    arg_max(value, event_id) AS pval
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |e AS (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      |  FROM events)
+      |SELECT e.event_id,
+      |  CASE WHEN e.ts_s - p.ts_s <= 3600 THEN round(p.pval, 2) END
+      |    AS purchase_1h
+      |FROM e ASOF LEFT JOIN p
+      |  ON e.user_id = p.user_id AND e.ts_s >= p.ts_s
+      |ORDER BY e.event_id""".stripMargin
+
   /** text_bpe_train oracle: the N trainer rounds unrolled as chained
     * CTEs (constant-folded — no recursive aggregation, which standard
     * SQL recursion disallows). Round k derives pair counts from the
@@ -772,6 +791,7 @@ object SparkEntry {
     "stream_dedup_minhash" -> (graft.streaming.Events.streamDedupMinhash _),
     "stream_scd2_build" -> (graft.streaming.Events.streamScd2Build _),
     "stream_asof_join" -> (graft.streaming.Events.streamAsofJoin _),
+    "stream_asof_interval" -> (graft.streaming.Events.streamAsofInterval _),
     "stream_count_min_topk" ->
       (graft.streaming.Events.streamCountMinTopk _),
     "stream_kll_quantiles" ->
@@ -5154,21 +5174,11 @@ object SparkEntry {
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts_s >= p.ts_s
         |ORDER BY e.event_id""".stripMargin,
-    "q_asof_tolerance" ->
-      """WITH p AS (
-        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-        |    arg_max(value, event_id) AS pval
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |e AS (
-        |  SELECT event_id, user_id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
-        |  FROM events)
-        |SELECT e.event_id,
-        |  CASE WHEN e.ts_s - p.ts_s <= 3600 THEN round(p.pval, 2) END
-        |    AS purchase_1h
-        |FROM e ASOF LEFT JOIN p
-        |  ON e.user_id = p.user_id AND e.ts_s >= p.ts_s
-        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_tolerance" -> asofToleranceOracle,
+    // the native watermarked interval-join formulation is contracted
+    // to converge to the SAME bounded-staleness as-of answer — the
+    // batch oracle shared verbatim
+    "stream_asof_interval" -> asofToleranceOracle,
     "q_interval_align" ->
       """WITH li AS (
         |  SELECT CAST(l_shipdate AS DATE) AS ship,

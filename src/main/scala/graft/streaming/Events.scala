@@ -1313,6 +1313,87 @@ object Events {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  private val asofIntSrcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Watermarked stream-stream AS-OF (bounded-staleness INTERVAL) join
+    * on Spark's NATIVE join machinery — the join shape
+    * [[streamAsofJoin]] hand-rolls in fMGWS, re-expressed so the
+    * engine's symmetric state management does the work:
+    * [[graft.ops.Analytics.qAsofTolerance]]'s "latest purchase within
+    * 1 hour" is an event-time LEFT OUTER equi-join with a RANGE
+    * condition (p ∈ [e − 1h, e]) between two watermarked streams.
+    * Spark derives both state watermarks from the range condition, so
+    * each side buffers AT MOST its watermark-delay + 1 hour of rows —
+    * state bounded by the watermark, no per-group driver contract (the
+    * fMGWS version must REQUIRE each user single-batch; this one
+    * tolerates any micro-batch chopping within the delay). The
+    * last-match pick (max (second, event_id) over the window's
+    * matches, replicating the oracle's arg_max-per-second-then-ASOF
+    * composition) is a post-sink rollup over |events| rows. Times
+    * compare at floor-second granularity (date-trunc BEFORE the
+    * watermark) per the oracle convention. Sides are pre-filtered at
+    * source-copy time and sentinels flow through (a filter above
+    * withWatermark would be pushed below it and the sentinel would
+    * never advance the watermark); two far-future sentinel files per
+    * side advance-then-apply the watermark that flushes the unmatched
+    * left rows, and the delay exceeds the corpus span so file chopping
+    * can never drop a late row ([[streamAbandonedCarts]]' rationale).
+    * Converges to the SAME batch oracle as q_asof_tolerance — shared
+    * verbatim; Round13Spec pins stream ≡ batch in-JVM. */
+  def streamAsofInterval(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    val root = asofIntSrcDirs.computeIfAbsent(sfDir, _ => {
+      val r = graft.util.Scratch.dir("graft_asof_int").toString
+      val base = graft.sources.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast(org.apache.spark.sql.types.TimestampType).as("ts"),
+          col("event_type"), col("value"))
+      base.repartition(2).write.mode("overwrite").parquet(s"$r/ev")
+      base.filter(col("event_type") === "purchase")
+        .repartition(2).write.mode("overwrite").parquet(s"$r/pu")
+      // sentinels appended AFTER the data files sort after them in
+      // modification order; two per side: advance, then apply
+      for (_ <- 1 to 2; (dir, uid) <- Seq(("ev", -1L), ("pu", -2L)))
+        spark.range(1).select(
+            lit(-1L).as("event_id"), lit(uid).as("user_id"),
+            lit(java.sql.Timestamp.valueOf("2025-06-01 00:00:00")).as("ts"),
+            lit("sentinel").as("event_type"), lit(0.0).as("value"))
+          .write.mode("append").parquet(s"$r/$dir")
+      r
+    })
+    val evSchema = spark.read.parquet(s"$root/ev").schema
+    def side(dir: String): DataFrame = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/$dir/*.parquet")
+      .withColumn("ts", expr("timestamp_seconds(unix_micros(ts) div 1000000)"))
+    val ev = side("ev")
+      .select(col("event_id"), col("user_id"), col("ts").as("e_time"))
+      .withWatermark("e_time", "45 days")
+    val pu = side("pu")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_eid"),
+        col("value").as("pval"), col("ts").as("p_time"))
+      .withWatermark("p_time", "45 days")
+    val joined = ev.join(pu,
+      col("user_id") === col("p_user") &&
+        col("p_time") >= col("e_time") - expr("INTERVAL 1 HOUR") &&
+        col("p_time") <= col("e_time"),
+      "left_outer")
+    val name = s"graft_stream_asof_int_${n.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    spark.table(name)
+      .filter(col("event_id") >= 0) // drop the sentinel left rows
+      .groupBy(col("event_id"))
+      .agg(max_by(col("pval"),
+        when(col("p_eid").isNotNull,
+          struct(col("p_time"), col("p_eid")))).as("pv"))
+      .select(col("event_id"), round(col("pv"), 2).as("purchase_1h"))
+      .orderBy(col("event_id"))
+  }
+
   /** STREAMING ANN serving —
     * [[graft.ops.PipelineQueries.annIvfPqTopK]] as a continuous
     * query: micro-batches of query vectors probe the PERSISTED IVF-PQ

@@ -156,6 +156,17 @@ class Round13Spec extends SparkSuite {
     assert(got == want, "distributed trainer != in-JVM greedy replay")
   }
 
+  test("native interval-join as-of stream equals the batch formulation") {
+    def key(r: org.apache.spark.sql.Row): (Long, Option[Double]) =
+      (gl(r, 0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val batch = graft.ops.Analytics.qAsofTolerance(spark, sf)
+      .collect().map(key).toSeq
+    val stream = graft.streaming.Events.streamAsofInterval(spark, sf)
+      .collect().map(key).toSeq
+    assert(stream == batch,
+      "watermarked interval join diverged from the batch as-of")
+  }
+
   test("gini via Ranks.groupRowNumber equals the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val rev = graft.sources.Tables.orders(spark, sf)
