@@ -93,7 +93,14 @@ object SparkEntry {
       (for {
         i <- graft.ops.PipelineQueries.cachedIvfModel(sfDir)
         p <- graft.ops.PipelineQueries.cachedPqModel(sfDir)
-      } yield "stream_ann_probe" -> annIvfPqOracle(i, p)).toMap
+      } yield "stream_ann_probe" -> annIvfPqOracle(i, p)).toMap ++
+      // the incrementally-maintained index is contracted to SERVE
+      // identically to the full rebuild — the same model-folded
+      // oracle, shared verbatim (upsert ≡ rebuild at value level)
+      (for {
+        i <- graft.ops.PipelineQueries.cachedIvfModel(sfDir)
+        p <- graft.ops.PipelineQueries.cachedPqModel(sfDir)
+      } yield "ann_index_upsert" -> annIvfPqOracle(i, p)).toMap
 
   /** Bounded-staleness as-of oracle, shared by the batch composition
     * (q_asof_tolerance) and its native watermarked interval-join
@@ -853,6 +860,7 @@ object SparkEntry {
     "ann_ivf_recall" -> (PipelineQueries.annIvfRecall _),
     "ann_pq_topk" -> (PipelineQueries.annPqTopK _),
     "ann_ivfpq_topk" -> (PipelineQueries.annIvfPqTopK _),
+    "ann_index_upsert" -> (PipelineQueries.annIndexUpsert _),
     "ann_ivfpq_filtered" -> (PipelineQueries.annIvfPqFiltered _),
     "dedup_embed_buckets" -> (PipelineQueries.dedupEmbedBuckets _),
     "embed_knn_graph" -> (PipelineQueries.embedKnnGraph _),

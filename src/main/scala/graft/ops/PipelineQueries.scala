@@ -601,6 +601,64 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** INCREMENTAL ANN index maintenance — the vector twin of
+    * engine_index_rebuild's lifecycle: a PERSISTED IVF-PQ index
+    * (cell-partitioned parquet — cells are the disk-partitioning unit,
+    * so a probe is partition pruning) is built from the base corpus,
+    * then a vector batch (every 5th vec_id) is UPSERTED: the delta
+    * alone is encoded (map-only over the batch, never a corpus
+    * re-encode) and appended into its cell partitions. A drift audit
+    * then compares per-cell occupancy shares base-vs-batch; any cell
+    * whose share drifted > 5 points is rebuilt IN PLACE from its
+    * member vectors via dynamic partition overwrite — only the drifted
+    * partitions rewrite, the index stays serving throughout. Because
+    * the quantizers are the fit-once persisted artifacts
+    * ([[ivfModelFor]]/[[pqModelFor]] — production retrains them on
+    * schedule, not per upsert) and encoding is per-row deterministic,
+    * the maintained index equals the full rebuild as a SET, so serving
+    * from the read-back index must reproduce [[annIvfPqTopK]]'s answer
+    * exactly — the shared model-folded oracle certifies upsert ≡
+    * rebuild at value level (the dedup_incremental_clusters proof
+    * pattern). */
+  def annIndexUpsert(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val ivf = ivfModelFor(s, d)
+    val pq = pqModelFor(s, d)
+    val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5L)) === 0L)
+    val idx = graft.util.Scratch.dir("graft_ann_idx").toString + "/index"
+    val bi = graft.sim.IvfPq.encode(base, ivf, pq).localCheckpoint(true)
+    val di = graft.sim.IvfPq.encode(batch, ivf, pq).localCheckpoint(true)
+    bi.write.partitionBy("cell").mode("overwrite").parquet(idx)
+    di.write.partitionBy("cell").mode("append").parquet(idx)
+    // drift audit: per-cell occupancy share, base vs batch
+    def shares(f: DataFrame, out: String): DataFrame = f
+      .groupBy(col("cell")).agg(count(lit(1)).as("_n"))
+      .select(col("cell"),
+        (col("_n") / sum(col("_n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy())).as(out))
+    val drifted = shares(bi, "sb").join(shares(di, "sd"), Seq("cell"), "full")
+      .na.fill(0.0, Seq("sb", "sd"))
+      .filter(abs(col("sb") - col("sd")) > 0.05)
+      .select(col("cell").cast("long")).collect().map(_.getLong(0)).toSeq
+    if (drifted.nonEmpty) {
+      // partial rebuild: re-encode the drifted cells' members from the
+      // unioned corpus; dynamic overwrite touches ONLY those partitions
+      val members = s.read.parquet(idx)
+        .filter(col("cell").isin(drifted: _*))
+        .select(col("c_id")).distinct()
+      graft.sim.IvfPq.encode(
+          emb.join(members, col("vec_id") === col("c_id")).drop("c_id"),
+          ivf, pq)
+        .write.partitionBy("cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(idx)
+    }
+    graft.sim.IvfPq.serve(s.read.parquet(idx), emb,
+        emb.filter(col("vec_id") < 10), 5, ivf, nProbe = 4, shortlist = 50)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Near-dup resolution keeping the BEST cluster member (longest
     * text, doc_id tiebreak) instead of the smallest id — what corpus
     * cleaning actually wants: the most complete representative

@@ -56,8 +56,23 @@ object IvfPq {
     * re-rank. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
       ivf: Ivf.IvfModel, pq: Pq.PqModel, nProbe: Int,
+      shortlist: Int): DataFrame =
+    serve(encode(corpus, ivf, pq), corpus, queries, k, ivf, nProbe,
+      shortlist)
+
+  /** The SERVING half of [[topK]], over an index frame that may come
+    * from anywhere — the inline [[encode]] (topK), the cached
+    * stream-static side (streamAnnProbe), or a PERSISTED index read
+    * back from storage (ann_index_upsert). `coded` must carry
+    * (c_id, cell, _re); `corpus` supplies the full-precision vectors
+    * for the exact re-rank only (|q|·shortlist rows touched). Because
+    * every stage is deterministic per-row with pinned tie-breaks, the
+    * result depends on the index only as a SET — an index assembled
+    * incrementally (base + delta appends + partial cell rebuilds)
+    * serves identically to a full rebuild. */
+  def serve(coded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, ivf: Ivf.IvfModel, nProbe: Int,
       shortlist: Int): DataFrame = {
-    val coded = encode(corpus, ivf, pq)
     val probes = queries
       .select(col("vec_id").as("q_id"),
         col("embedding").cast("array<double>").as("_qe"))

@@ -167,6 +167,15 @@ class Round13Spec extends SparkSuite {
       "watermarked interval join diverged from the batch as-of")
   }
 
+  test("incrementally maintained ANN index serves like the full rebuild") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (gl(r, 0), gl(r, 1), gl(r, 2), r.getDouble(3))).toSeq
+    val rebuild = rows(graft.ops.PipelineQueries.annIvfPqTopK(spark, sf))
+    val upsert = rows(graft.ops.PipelineQueries.annIndexUpsert(spark, sf))
+    assert(upsert == rebuild,
+      "base + delta + partial-rebuild index diverged from full rebuild")
+  }
+
   test("gini via Ranks.groupRowNumber equals the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val rev = graft.sources.Tables.orders(spark, sf)
