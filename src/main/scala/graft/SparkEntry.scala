@@ -128,7 +128,12 @@ object SparkEntry {
     * DESC, lhs, rhs) argmax, and applies the merge via replace() on
     * the chr(1)-delimited symbol string — the identical left-to-right
     * non-overlapping literal scan the Spark side runs. */
-  private def bpeTrainOracle(rounds: Int): String = {
+  /** The shared CTE chain for the BPE oracles: word-frequency base +
+    * `rounds` (pair-count argmax, merge) steps. `withFinalMerge`
+    * controls whether the last round's merged vocab w{rounds} is
+    * emitted (the apply oracle reads it; the train oracle stops at
+    * t{rounds}). */
+  private def bpeChainSql(rounds: Int, withFinalMerge: Boolean): String = {
     val base =
       """WITH w0 AS (
         |  SELECT chr(1) || regexp_replace(w, '(.)', '\1' || chr(1), 'g')
@@ -140,7 +145,7 @@ object SparkEntry {
         |  GROUP BY 1)""".stripMargin
     val steps = (1 to rounds).map { r =>
       val merge =
-        if (r == rounds) ""
+        if (r == rounds && !withFinalMerge) ""
         else
           s""",
              |w$r AS (
@@ -158,12 +163,23 @@ object SparkEntry {
          |        x -> x <> '') AS s, cnt FROM w${r - 1}))
          |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)$merge""".stripMargin
     }.mkString
-    val sel = (1 to rounds)
+    base + steps
+  }
+
+  private def bpeTrainOracle(rounds: Int): String =
+    bpeChainSql(rounds, withFinalMerge = false) + (1 to rounds)
       .map(r => s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs," +
         s" n AS pair_count FROM t$r")
       .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
-    base + steps + sel
-  }
+
+  private def bpeApplyOracle(rounds: Int): String =
+    bpeChainSql(rounds, withFinalMerge = true) +
+      s"""
+         |SELECT tok, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_words
+         |FROM (SELECT unnest(list_filter(string_split(w, chr(1)),
+         |    x -> x <> '')) AS tok, cnt FROM w$rounds)
+         |GROUP BY 1 ORDER BY n_tokens DESC, tok LIMIT 20""".stripMargin
 
   /** ann_ivf_topk oracle, built from the quantizer that the query run
     * itself fitted (deterministic seeded fit, cached per corpus dir):
@@ -710,6 +726,8 @@ object SparkEntry {
     "q_kmeans" -> (Mining.qKmeans _),
     "embed_pca_power" -> (Mining.qPcaPower _),
     "q_betweenness_approx" -> (Mining.qBetweennessApprox _),
+    "q_closeness_approx" -> (Mining.qClosenessApprox _),
+    "q_gains_lift" -> (Mining.qGainsLift _),
     "q_quantile_hist" -> (Mining.qQuantileHist _),
     "q_quantile_hist_approx" -> (Mining.qQuantileHistApprox _),
     "q_bootstrap_ci" -> (Mining.qBootstrapCi _),
@@ -908,6 +926,7 @@ object SparkEntry {
     "text_bm25_rank" -> (PipelineQueries.textBm25Rank _),
     "text_bpe_pairs" -> (PipelineQueries.textBpePairs _),
     "text_bpe_train" -> (PipelineQueries.textBpeTrain _),
+    "text_bpe_apply" -> (PipelineQueries.textBpeApply _),
     "pipeline_clean_funnel" -> (PipelineQueries.pipelineCleanFunnel _),
     "data_length_buckets" -> (PipelineQueries.dataLengthBuckets _),
     "multimodal_wav_decimate" -> (PipelineQueries.multimodalWavDecimate _),
@@ -2292,6 +2311,66 @@ object SparkEntry {
         |SELECT node, CAST(count(*) AS BIGINT) AS stress
         |FROM i GROUP BY 1
         |ORDER BY stress DESC, node LIMIT 20""".stripMargin,
+    // same sampled-BFS relation, folded to the per-node integer
+    // (n_src, farness, ecc) triple; closeness is one micro-floored
+    // division of identical integers
+    "q_closeness_approx" ->
+      """WITH RECURSIVE sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+        |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |e AS (SELECT u, v FROM (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+        |  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2) WHERE w >= 1),
+        |es AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |srcs AS (SELECT node AS src FROM (SELECT DISTINCT u AS node
+        |    FROM es)
+        |  ORDER BY md5_number_lower(CAST(node AS VARCHAR))
+        |    & 9223372036854775807, node LIMIT 6),
+        |reach(src, id, h) AS (
+        |  SELECT src, src, 0 FROM srcs
+        |  UNION
+        |  SELECT r.src, es.v, r.h + 1 FROM reach r JOIN es ON es.u = r.id
+        |  WHERE r.h < 4),
+        |d AS (SELECT src, id, min(h) AS h FROM reach GROUP BY 1, 2)
+        |SELECT id AS node, CAST(count(*) AS BIGINT) AS n_src,
+        |  CAST(sum(h) AS BIGINT) AS farness,
+        |  CAST(max(h) AS BIGINT) AS ecc,
+        |  floor(CAST(count(*) AS DOUBLE) / sum(h) * 1e6 + 0.5) / 1e6
+        |    AS closeness
+        |FROM d GROUP BY 1 HAVING sum(h) > 0
+        |ORDER BY closeness DESC, node LIMIT 20""".stripMargin,
+    // exact ntile deciles over (score desc, custkey); census integers;
+    // rate/lift as pinned-order IEEE divisions of identical integers
+    "q_gains_lift" ->
+      """WITH resp AS (SELECT DISTINCT o_custkey FROM orders),
+        |sc AS (SELECT c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS score,
+        |    CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS r
+        |  FROM customer LEFT JOIN resp ON c_custkey = o_custkey),
+        |dec AS (SELECT CAST(ntile(10) OVER (ORDER BY score DESC,
+        |    c_custkey) AS BIGINT) AS decile, r FROM sc),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(r) AS BIGINT) AS n_resp
+        |  FROM dec GROUP BY 1),
+        |c AS (SELECT decile, n_cust, n_resp,
+        |    CAST(sum(n_cust) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_n,
+        |    CAST(sum(n_resp) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_resp,
+        |    CAST(sum(n_cust) OVER () AS BIGINT) AS tot_n,
+        |    CAST(sum(n_resp) OVER () AS BIGINT) AS tot_resp
+        |  FROM g)
+        |SELECT decile, n_cust, n_resp,
+        |  floor(CAST(n_resp AS DOUBLE) / n_cust * 1e4 + 0.5) / 1e4
+        |    AS resp_rate,
+        |  cum_resp,
+        |  floor(CAST(cum_resp AS DOUBLE) / cum_n /
+        |    (CAST(tot_resp AS DOUBLE) / tot_n) * 1e6 + 0.5) / 1e6
+        |    AS cum_lift
+        |FROM c ORDER BY decile""".stripMargin,
     "q_bfs_hops" ->
       """WITH RECURSIVE sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
         |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -5017,6 +5096,9 @@ object SparkEntry {
     // (count desc, lhs, rhs) argmax; replace() shares Spark's
     // left-to-right non-overlapping literal-scan semantics
     "text_bpe_train" -> bpeTrainOracle(6),
+    // encode census from the SAME unrolled chain, reading the final
+    // merged vocab w6 instead of the per-round argmaxes
+    "text_bpe_apply" -> bpeApplyOracle(6),
     "q_sample_balanced" ->
       """WITH v AS (
         |  SELECT vec_id, label,

@@ -233,6 +233,50 @@ object Mining {
       .orderBy(col("n_name"))
   }
 
+  /** Decile GAINS / LIFT table — the campaign-targeting report: rank
+    * customers by score (account balance, the model-score stand-in)
+    * descending, cut into exact deciles, and report per-decile and
+    * cumulative response capture (response = placed ≥ 1 order) plus
+    * cumulative lift vs the base rate. Deciles come from
+    * [[Ranks.globalNtile]] (bit-identical to SQL ntile, no
+    * single-task sort of the customer frame); every census number is
+    * an exact integer, the cumulative fold is a 10-row window, and
+    * rate/lift are final IEEE divisions of identical integers in a
+    * pinned op order (the assortativity recipe — ratios composed from
+    * per-side divisions so nothing overflows at any corpus size),
+    * micro-fixed. */
+  def qGainsLift(s: SparkSession, d: String): DataFrame = {
+    val resp = Tables.orders(s, d).select(col("o_custkey")).distinct()
+      .withColumn("r", lit(1L))
+    val scored = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("score"))
+      .join(resp, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("score"),
+        coalesce(col("r"), lit(0L)).as("r"))
+    val dec = Ranks.globalNtile(scored,
+      Seq(col("score").desc, col("c_custkey")), 10, "decile")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("r")).as("n_resp"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    dec
+      .withColumn("cum_n", sum(col("n_cust")).over(w))
+      .withColumn("cum_resp", sum(col("n_resp")).over(w))
+      .withColumn("tot_n", sum(col("n_cust")).over(wAll))
+      .withColumn("tot_resp", sum(col("n_resp")).over(wAll))
+      .select(col("decile"), col("n_cust"), col("n_resp"),
+        (floor(col("n_resp").cast("double") / col("n_cust")
+          * 1e4 + 0.5) / 1e4).as("resp_rate"),
+        col("cum_resp"),
+        (floor(col("cum_resp").cast("double") / col("cum_n") /
+          (col("tot_resp").cast("double") / col("tot_n"))
+          * 1e6 + 0.5) / 1e6).as("cum_lift"))
+      .orderBy(col("decile"))
+  }
+
   /** Item-item cosine over order co-occurrence (the classic
     * collaborative-filtering similarity): cos(a,b) = n_ab/√(n_a·n_b).
     * Pair generation is bounded by order width (≤ items²/order), the
@@ -1842,6 +1886,53 @@ object Mining {
       .groupBy(col("node")).agg(sum(col("c")).as("stress"))
       .filter(col("stress") > 0L)
       .orderBy(col("stress").desc, col("node"))
+      .limit(20)
+  }
+
+  /** Sampled-source CLOSENESS + ECCENTRICITY over the sparse
+    * co-purchase graph — [[qBetweennessApprox]]'s BFS machinery without
+    * the backward pass: distances from the same 6 md5-sampled sources,
+    * hop-capped at 4, folded per node into the integer triple
+    * (n_src reached-by, farness = Σd, ecc = max d); closeness is the
+    * ONE final division n_src/farness of identical exact integers,
+    * micro-floored (the truncated-sample variant — nodes outside a
+    * source's 4-hop ball simply don't accrue that source, the standard
+    * price of sampling at billion-node scale where exact all-pairs
+    * closeness is impossible). Each BFS round is a frontier-sized
+    * shuffle keyed on node id; the rollup is partial-aggregable. */
+  def qClosenessApprox(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs.md5Lower64
+    val e = sparsePartEdges(s, d, minW = 1)
+    val sym = e.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(e.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
+    val srcs = sym.select(col("u").as("node")).distinct()
+      .orderBy(md5Lower64(col("node").cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)), col("node"))
+      .limit(6)
+      .select(col("node").as("src"))
+    var frontier = srcs.select(col("src"), col("src").as("node"),
+      lit(0L).as("dist")).localCheckpoint(true)
+    var visited = frontier
+    for (dpt <- 1 to 4) {
+      frontier = frontier.join(sym, frontier("node") === sym("u"))
+        .select(col("src"), col("v").as("node")).distinct()
+        .join(visited.select(col("src"), col("node")), Seq("src", "node"),
+          "left_anti")
+        .withColumn("dist", lit(dpt.toLong))
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    visited.groupBy(col("node"))
+      .agg(count(lit(1)).as("n_src"), sum(col("dist")).as("farness"),
+        max(col("dist")).as("ecc"))
+      .filter(col("farness") > 0L)
+      .withColumn("closeness",
+        floor(col("n_src").cast("double") / col("farness")
+          * 1e6 + 0.5) / 1e6)
+      .select(col("node"), col("n_src"), col("farness"), col("ecc"),
+        col("closeness"))
+      .orderBy(col("closeness").desc, col("node"))
       .limit(20)
   }
 

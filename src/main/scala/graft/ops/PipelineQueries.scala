@@ -1550,7 +1550,19 @@ object PipelineQueries {
     * the same 6 rounds as chained CTEs — constant-folded, no
     * recursion, value-exact. */
   def textBpeTrain(s: SparkSession, d: String): DataFrame = {
-    val delim = "\u0001"
+    import s.implicits._
+    bpeFold(s, d, 6)._2.toDF("round", "lhs", "rhs", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  private val BpeDelim = "\u0001"
+
+  /** The shared BPE fold: word-frequency vocab -> `rounds` iterations
+    * of (pair count -> argmax -> merge). Returns the fully merged vocab
+    * frame (w: delimited symbol string, cnt) and the merge table. */
+  private def bpeFold(s: SparkSession, d: String, rounds: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
+    val delim = BpeDelim
     var vocab = Tables.documents(s, d)
       .select(explode(TextOps.tokens(col("text"))).as("w0"))
       .filter(col("w0").rlike("^[a-z]+$") && length(col("w0")) >= 2)
@@ -1559,7 +1571,7 @@ object PipelineQueries {
         regexp_replace(col("w0"), "(.)", "$1" + delim)).as("w"), col("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-    for (r <- 1 to 6) {
+    for (r <- 1 to rounds) {
       val top = vocab
         .select(expr(s"filter(split(w, '$delim'), x -> x <> '')").as("s"),
           col("cnt"))
@@ -1579,9 +1591,28 @@ object PipelineQueries {
           java.util.regex.Matcher.quoteReplacement(delim + a + b + delim)))
         .localCheckpoint(true)
     }
-    import s.implicits._
-    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
-      .orderBy(col("round"))
+    (vocab, merges.toSeq)
+  }
+
+  /** The tokenizer ENCODE step — apply the 6 trained merges
+    * ([[textBpeTrain]]'s table) and report the resulting segmentation:
+    * top-20 emitted tokens by corpus frequency, with the number of
+    * distinct words each token appears in. Shares [[bpeFold]], so the
+    * applied merges are BY CONSTRUCTION the trained ones (production
+    * splits this: train once, persist the merge table, encode shards
+    * map-only — which is exactly what the fold's per-round literal
+    * replaces are); the census is one explode→rollup over the
+    * |vocab|-row frame, corpus counts riding the `cnt` weights. */
+  def textBpeApply(s: SparkSession, d: String): DataFrame = {
+    val vocab = bpeFold(s, d, 6)._1
+    vocab
+      .select(explode(expr(
+        s"filter(split(w, '$BpeDelim'), x -> x <> '')")).as("tok"),
+        col("cnt"))
+      .groupBy(col("tok"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_words"))
+      .orderBy(col("n_tokens").desc, col("tok"))
+      .limit(20)
   }
 
   /** Class-balanced downsampling — equalize label frequencies before
