@@ -168,8 +168,12 @@ object PlanAudit {
         graft.ops.Mining.qGraphClusterCoeff(spark, d),
       "text_ngram_novelty (8-byte shingle hashes shuffle; partial-aggregable first-occurrence min)" ->
         PipelineQueries.textNgramNovelty(spark, d),
-      "q_kendall_tau (group-bounded pair join — quadratic in the nation, never the corpus)" ->
+      "q_kendall_tau (two-level value-bucket dominance count — residual joins bucket-bounded, no group-quadratic pair join)" ->
         graft.ops.Mining.qKendallTau(spark, d),
+      "q_gini (per-nation rank via ranged groupRowNumber — no Window.partitionBy(nation) sort)" ->
+        graft.ops.Mining.qGini(spark, d),
+      "q_betweenness_approx (frontier-sized BFS shuffles + backward level joins — never the whole graph)" ->
+        graft.ops.Mining.qBetweennessApprox(spark, d),
       "embed_hard_negatives (label filter rides the broadcast join — drops before scoring)" ->
         PipelineQueries.embedHardNegatives(spark, d),
       "text_oov_rate (token md5-64 hashes shuffle; one distinct rollup + membership join)" ->
