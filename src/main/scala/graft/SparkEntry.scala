@@ -927,6 +927,8 @@ object SparkEntry {
     "text_bpe_pairs" -> (PipelineQueries.textBpePairs _),
     "text_bpe_train" -> (PipelineQueries.textBpeTrain _),
     "text_bpe_apply" -> (PipelineQueries.textBpeApply _),
+    "text_tokenizer_fertility" -> (PipelineQueries.textTokenizerFertility _),
+    "q_mann_kendall" -> (Behavior.qMannKendall _),
     "pipeline_clean_funnel" -> (PipelineQueries.pipelineCleanFunnel _),
     "data_length_buckets" -> (PipelineQueries.dataLengthBuckets _),
     "multimodal_wav_decimate" -> (PipelineQueries.multimodalWavDecimate _),
@@ -5099,6 +5101,52 @@ object SparkEntry {
     // encode census from the SAME unrolled chain, reading the final
     // merged vocab w6 instead of the per-round argmaxes
     "text_bpe_apply" -> bpeApplyOracle(6),
+    // fertility stats over the same final vocab: integer histogram,
+    // integer p90 threshold (cum*10 >= 9*tot), micro-fixed ratios
+    "text_tokenizer_fertility" ->
+      (bpeChainSql(6, withFinalMerge = true) +
+        """,
+          |f AS (SELECT len(list_filter(string_split(w, chr(1)),
+          |    x -> x <> '')) AS t, cnt FROM w6),
+          |h AS (SELECT t, CAST(sum(cnt) AS BIGINT) AS n,
+          |    CAST(count(*) AS BIGINT) AS nw FROM f GROUP BY 1),
+          |c AS (SELECT t, n, nw,
+          |    CAST(sum(n) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          |    CAST(sum(n) OVER () AS BIGINT) AS tot,
+          |    CAST(sum(t * n) OVER () AS BIGINT) AS toks FROM h)
+          |SELECT CAST(sum(nw) AS BIGINT) AS n_words,
+          |  CAST(min(tot) AS BIGINT) AS n_instances,
+          |  CAST(min(toks) AS BIGINT) AS n_tokens,
+          |  floor(CAST(min(toks) AS DOUBLE) / min(tot) * 1e6 + 0.5) / 1e6
+          |    AS fertility,
+          |  floor(CAST(coalesce(min(CASE WHEN t = 1 THEN n END), 0)
+          |    AS DOUBLE) / min(tot) * 1e6 + 0.5) / 1e6
+          |    AS single_tok_share,
+          |  CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN t END) AS BIGINT)
+          |    AS p90_tokens,
+          |  CAST(max(t) AS BIGINT) AS max_tokens
+          |FROM c""".stripMargin),
+    // naive quadratic sign census per month — the independent replay
+    // the dominance-count S must match integer-exactly
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+        |    CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1, 2),
+        |pr AS (SELECT a.month AS month, sign(b.e4 - a.e4) AS sg
+        |  FROM daily a JOIN daily b
+        |    ON a.month = b.month AND a.day < b.day),
+        |ag AS (SELECT month, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(sg) AS BIGINT) AS s FROM pr GROUP BY 1),
+        |nc AS (SELECT month, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT nc.month, nc.n_days, ag.s AS s_stat,
+        |  floor(CAST(ag.s AS DOUBLE) / ag.n0 * 1e6 + 0.5) / 1e6 AS tau_a
+        |FROM nc JOIN ag ON nc.month = ag.month
+        |ORDER BY 1""".stripMargin,
     "q_sample_balanced" ->
       """WITH v AS (
         |  SELECT vec_id, label,

@@ -514,6 +514,46 @@ object Behavior {
     * happens on the O(days) series — the 7-row profile and the scalar
     * overall mean broadcast back. Weekday numbering pinned to
     * Monday=0 (Spark `weekday` ⟷ DuckDB `isodow - 1`). */
+  /** Mann–Kendall TREND test per month over the daily revenue series —
+    * the nonparametric "is this metric drifting" monitor ops teams run
+    * before alerting on a trend: S = Σ_{i<j} sgn(y_j − y_i) over the
+    * time order, tau-a = S/n₀. Reuses [[Mining.kendallDiscordant]] —
+    * the two-level value-bucket dominance count — with x = day (no
+    * ties), so S = n₀ − 2·n_d − t_y from pure integer rollups; daily
+    * revenue is the exact 1e-4 lattice Long (the qStlDecompose rule:
+    * float groupBy sums are not cross-engine portable), and tau-a is
+    * one micro-fixed division of identical integers. The oracle
+    * replays the naive quadratic sign census per month (≤31² pairs) —
+    * an independent method the dominance count must match exactly. */
+  def qMannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(date_format(to_date(col("l_shipdate")), "yyyy-MM")
+          .as("month"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .select(col("month").as("nation"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("k"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("x_cents"),
+        col("e4").as("y_cents"))
+      .localCheckpoint(true)
+    val nd = graft.ops.Mining.kendallDiscordant(daily, bucketCount = 8)
+    val ty = daily.groupBy(col("nation"), col("y_cents"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("nation"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("ty"))
+    daily.groupBy(col("nation")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2L)
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+      .join(ty, Seq("nation"))
+      .join(nd, Seq("nation"), "left").na.fill(0L, Seq("nd"))
+      .select(col("nation").as("month"), col("n").as("n_days"),
+        (col("n0") - lit(2L) * col("nd") - col("ty")).as("s_stat"),
+        (floor((col("n0") - lit(2L) * col("nd") - col("ty"))
+          .cast("double") / col("n0") * 1e6 + 0.5) / 1e6).as("tau_a"))
+      .orderBy(col("month"))
+  }
+
   def qSeasonality(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.lineitem(s, d)
       .groupBy(to_date(col("l_shipdate")).as("day"))

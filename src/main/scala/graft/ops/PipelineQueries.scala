@@ -1615,6 +1615,43 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Tokenizer FERTILITY report — the QA metric a tokenizer ships
+    * with: after applying the 6 trained merges, how many tokens does a
+    * word cost? One row: word/instance/token counts, mean fertility
+    * (tokens per word instance), instance-weighted single-token share,
+    * the exact instance-weighted p90 token count (smallest t with
+    * cum·10 ≥ 9·total — pure integer comparison, no float quantile),
+    * and the max. Shares [[bpeFold]]; the histogram is ≤ max-word-len
+    * rows, so the cumulative window is trivial, and every ratio is a
+    * final micro-fixed division of identical integers. */
+  def textTokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = bpeFold(s, d, 6)._1
+    val hist = vocab
+      .select(expr(s"size(filter(split(w, '$BpeDelim'), x -> x <> ''))")
+        .cast("long").as("t"), col("cnt"))
+      .groupBy(col("t"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("nw"))
+    val wOrd = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    hist
+      .withColumn("cum", sum(col("n")).over(wOrd))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .agg(sum(col("nw")).as("n_words"),
+        first(col("tot")).as("n_instances"),
+        sum(col("t") * col("n")).as("n_tokens"),
+        (floor(sum(col("t") * col("n")).cast("double") /
+          first(col("tot")) * 1e6 + 0.5) / 1e6).as("fertility"),
+        (floor(coalesce(sum(when(col("t") === 1L, col("n"))), lit(0L))
+          .cast("double") / first(col("tot")) * 1e6 + 0.5) / 1e6)
+          .as("single_tok_share"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("t")))
+          .as("p90_tokens"),
+        max(col("t")).as("max_tokens"))
+  }
+
   /** Class-balanced downsampling — equalize label frequencies before
     * training: every label keeps exactly min-class-size vectors,
     * chosen deterministically by md5-hash order (the portable
