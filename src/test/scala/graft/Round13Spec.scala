@@ -176,6 +176,165 @@ class Round13Spec extends SparkSuite {
       "base + delta + partial-rebuild index diverged from full rebuild")
   }
 
+  test("closeness/eccentricity equals brute-force BFS distance sums") {
+    val sp = graft.sources.Tables.part(spark, sf)
+      .filter(col("p_size") <= 3).select(col("p_partkey"))
+    val ls = graft.sources.Tables.lineitem(spark, sf)
+      .join(sp, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (gl(r, 0), gl(r, 1)))
+    val edges: Set[(Long, Long)] = ls.groupBy(_._1).values.toSeq
+      .flatMap { g =>
+        val pks = g.map(_._2).toSeq
+        for (a <- pks; b <- pks; if a < b) yield (a, b)
+      }.toSet
+    val adj: Map[Long, Seq[Long]] =
+      (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val srcs = adj.keys.toSeq.sortBy(n => (graft.functions.Kernels
+      .md5Lower64(org.apache.spark.unsafe.types.UTF8String
+        .fromString(n.toString)) & Long.MaxValue, n)).take(6)
+    val acc = scala.collection.mutable.Map[Long, List[Long]]()
+    for (s0 <- srcs) {
+      val dist = scala.collection.mutable.Map(s0 -> 0L)
+      var front = Seq(s0)
+      for (h <- 1 to 4) {
+        front = front.flatMap(adj.getOrElse(_, Nil)).distinct
+          .filterNot(dist.contains)
+        front.foreach(dist(_) = h.toLong)
+      }
+      for ((v, h) <- dist) acc(v) = h :: acc.getOrElse(v, Nil)
+    }
+    val want = acc.toSeq
+      .map { case (v, hs) =>
+        (v, hs.length.toLong, hs.sum, hs.max,
+          math.floor(hs.length.toDouble / hs.sum * 1e6 + 0.5) / 1e6) }
+      .filter(_._3 > 0)
+      .sortBy { case (v, _, _, _, c) => (-c, v) }.take(20)
+    val got = graft.ops.Mining.qClosenessApprox(spark, sf).collect()
+      .map(r => (gl(r, 0), gl(r, 1), gl(r, 2), gl(r, 3), r.getDouble(4)))
+      .toSeq
+    assert(got == want, "BFS fold != brute-force distance census")
+  }
+
+  test("gains/lift table equals the in-JVM decile replay") {
+    val resp = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct()
+      .collect().map(r => gl(r, 0)).toSet
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (gl(r, 0), gl(r, 1)))
+      .sortBy { case (k, sc) => (-sc, k) }
+    val n = cust.length
+    // SQL ntile: first n%10 buckets take ceil(n/10)
+    val deciles = cust.zipWithIndex.map { case ((k, _), i) =>
+      val big = n % 10; val size = n / 10
+      val dec =
+        if (i < big * (size + 1)) i / (size + 1) + 1
+        else big + (i - big * (size + 1)) / size + 1
+      (dec.toLong, if (resp(k)) 1L else 0L)
+    }
+    val byDec = deciles.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (dc, xs) => (dc, xs.length.toLong, xs.map(_._2).sum) }
+    val totN = n.toLong; val totR = byDec.map(_._3).sum
+    var cumN = 0L; var cumR = 0L
+    val want = byDec.map { case (dc, nc, nr) =>
+      cumN += nc; cumR += nr
+      (dc, nc, nr,
+        math.floor(nr.toDouble / nc * 1e4 + 0.5) / 1e4, cumR,
+        math.floor(cumR.toDouble / cumN / (totR.toDouble / totN)
+          * 1e6 + 0.5) / 1e6)
+    }
+    val got = graft.ops.Mining.qGainsLift(spark, sf).collect()
+      .map(r => (gl(r, 0), gl(r, 1), gl(r, 2), r.getDouble(3), gl(r, 4),
+        r.getDouble(5))).toSeq
+    assert(got == want, "ranged ntile gains table != in-JVM replay")
+  }
+
+  /** In-JVM greedy BPE fold shared by the apply/fertility replays:
+    * returns the final (delimited word -> count) vocab after 6
+    * merges. */
+  private def jvmBpeVocab(): Map[String, Long] = {
+    val words = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .collect().map(_.getString(0))
+    val d = "\u0001"
+    var vocab = words.groupBy(identity).map { case (w, g) =>
+      (d + w.flatMap(c => s"$c$d"), g.length.toLong) }.toMap
+    for (_ <- 1 to 6) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, c) <- vocab) {
+        val syms = w.split(d).filter(_.nonEmpty)
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      val ((a, b), _) = counts.toSeq
+        .minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.map { case (w, c) =>
+        (w.replace(d + a + d + b + d, d + a + b + d), c) }
+    }
+    vocab
+  }
+
+  test("bpe apply census and fertility equal the in-JVM replay") {
+    val d = "\u0001"
+    val vocab = jvmBpeVocab()
+    val toks = vocab.toSeq.flatMap { case (w, c) =>
+      w.split(d).filter(_.nonEmpty).map(t => (t, c)) }
+    val wantApply = toks.groupBy(_._1).toSeq
+      .map { case (t, xs) => (t, xs.map(_._2).sum, xs.length.toLong) }
+      .sortBy { case (t, n, _) => (-n, t) }.take(20)
+    val gotApply = graft.ops.PipelineQueries.textBpeApply(spark, sf)
+      .collect().map(r => (r.getString(0), gl(r, 1), gl(r, 2))).toSeq
+    assert(gotApply == wantApply, "apply census != in-JVM replay")
+
+    val perWord = vocab.toSeq.map { case (w, c) =>
+      (w.split(d).count(_.nonEmpty).toLong, c) }
+    val nWords = perWord.length.toLong
+    val nInst = perWord.map(_._2).sum
+    val nToks = perWord.map { case (t, c) => t * c }.sum
+    val single = perWord.filter(_._1 == 1L).map(_._2).sum
+    val hist = perWord.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    var cum = 0L
+    val p90 = hist.collectFirst {
+      case (t, nn) if { cum += nn; cum * 10 >= nInst * 9 } => t }.get
+    val wantFert = (nWords, nInst, nToks,
+      math.floor(nToks.toDouble / nInst * 1e6 + 0.5) / 1e6,
+      math.floor(single.toDouble / nInst * 1e6 + 0.5) / 1e6,
+      p90, hist.map(_._1).max)
+    val r = graft.ops.PipelineQueries.textTokenizerFertility(spark, sf)
+      .collect().head
+    val gotFert = (gl(r, 0), gl(r, 1), gl(r, 2), r.getDouble(3),
+      r.getDouble(4), gl(r, 5), gl(r, 6))
+    assert(gotFert == wantFert, "fertility report != in-JVM replay")
+  }
+
+  test("mann-kendall S equals the naive quadratic sign census") {
+    val daily = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(date_format(to_date(col("l_shipdate")), "yyyy-MM")
+          .as("m"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, gl(r, 2)))
+    val want = daily.groupBy(_._1).toSeq
+      .collect { case (m, rows) if rows.length >= 2 =>
+        val sorted = rows.sortBy(_._2)
+        var s = 0L
+        for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+          s += java.lang.Long.signum(sorted(j)._3 - sorted(i)._3)
+        val n0 = sorted.length.toLong * (sorted.length - 1) / 2
+        (m, sorted.length.toLong, s,
+          math.floor(s.toDouble / n0 * 1e6 + 0.5) / 1e6)
+      }.sortBy(_._1)
+    val got = graft.ops.Behavior.qMannKendall(spark, sf).collect()
+      .map(r => (r.getString(0), gl(r, 1), gl(r, 2), r.getDouble(3))).toSeq
+    assert(got == want, "dominance-count S != quadratic sign census")
+  }
+
   test("gini via Ranks.groupRowNumber equals the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val rev = graft.sources.Tables.orders(spark, sf)
