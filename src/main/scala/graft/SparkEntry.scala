@@ -725,6 +725,7 @@ object SparkEntry {
     "q_elasticity" -> (Mining.qElasticity _),
     "q_kmeans" -> (Mining.qKmeans _),
     "embed_pca_power" -> (Mining.qPcaPower _),
+    "engine_merge_patch" -> (JsonQueries.engineMergePatch _),
     "q_betweenness_approx" -> (Mining.qBetweennessApprox _),
     "q_closeness_approx" -> (Mining.qClosenessApprox _),
     "q_gains_lift" -> (Mining.qGainsLift _),
@@ -5127,6 +5128,36 @@ object SparkEntry {
           |    AS p90_tokens,
           |  CAST(max(t) AS BIGINT) AS max_tokens
           |FROM c""".stripMargin),
+    // the same four patch classes replayed through DuckDB's NATIVE
+    // json_merge_patch — an independent RFC 7386 implementation the
+    // schema-driven projection must match value-for-value
+    "engine_merge_patch" ->
+      """WITH docs AS (SELECT o_orderkey % 4 AS op,
+        |    json_object('id', o_orderkey, 'status', o_orderstatus,
+        |      'meta', json_object('price_cents',
+        |        CAST(round(o_totalprice * 100) AS BIGINT),
+        |        'prio', o_orderpriority)) AS doc
+        |  FROM orders),
+        |p AS (SELECT op, json_merge_patch(doc,
+        |    CASE op WHEN 0 THEN '{"status":"XX"}'
+        |            WHEN 1 THEN '{"meta":{"price_cents":null}}'
+        |            WHEN 2 THEN '{"meta":null}'
+        |            ELSE '{"extra":{"src":"patch"},"meta":{"audited":true}}'
+        |    END) AS m
+        |  FROM docs)
+        |SELECT CAST(op AS BIGINT) AS op,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN json_extract_string(m, '$.status') = 'XX'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_status_x,
+        |  CAST(count(json_extract(m, '$.meta.price_cents')) AS BIGINT)
+        |    AS n_price,
+        |  CAST(coalesce(sum(CAST(json_extract(m, '$.meta.price_cents')
+        |    AS BIGINT)), 0) AS BIGINT) AS sum_price_cents,
+        |  CAST(count(json_extract(m, '$.meta')) AS BIGINT) AS n_meta,
+        |  CAST(count(json_extract(m, '$.extra.src')) AS BIGINT) AS n_extra,
+        |  CAST(sum(CASE WHEN json_extract_string(m, '$.meta.audited')
+        |    = 'true' THEN 1 ELSE 0 END) AS BIGINT) AS n_audited
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // naive quadratic sign census per month — the independent replay
     // the dominance-count S must match integer-exactly
     "q_mann_kendall" ->

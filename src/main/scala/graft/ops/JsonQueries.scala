@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -486,6 +486,57 @@ object JsonQueries {
     * replaces whole rows; field-level patch is the natural extension).
     * Map-only: parse → branch → serialize → re-parse, one scan, one
     * |ops|-row rollup. */
+  /** RFC 7386 JSON MERGE PATCH over nested order documents — the
+    * declarative partial-update verb the reference only covers via
+    * whole-row upsert: four deterministic patch classes (scalar
+    * replace; nested remove-one-member; remove whole sub-object;
+    * add-nested + merge-into-existing) applied through the generic
+    * schema-driven [[graft.json.MergePatch]] projection, then censused
+    * from the RE-PARSED patched text so the contract covers the full
+    * serialize→patch→serialize round trip. The oracle replays the
+    * identical patches through DuckDB's NATIVE json_merge_patch — an
+    * independent RFC 7386 implementation. Map-only: one scan, one
+    * |ops|-row rollup. */
+  def engineMergePatch(s: SparkSession, d: String): DataFrame = {
+    import graft.json.{MergePatch, Patch}
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("status", StringType),
+      StructField("meta", StructType(Seq(
+        StructField("price_cents", LongType),
+        StructField("prio", StringType))))))
+    val docs = Tables.orders(s, d).select(
+      (col("o_orderkey") % 4).cast("long").as("op"),
+      to_json(struct(col("o_orderkey").as("id"),
+        col("o_orderstatus").as("status"),
+        struct(round(col("o_totalprice") * 100).cast("long")
+          .as("price_cents"),
+          col("o_orderpriority").as("prio")).as("meta"))).as("doc"))
+    def patched(p: Seq[(String, Patch)]): Column =
+      MergePatch(col("doc"), schema, p)
+    val m = docs.withColumn("m",
+      when(col("op") === 0,
+        patched(Seq("status" -> Patch.Set(lit("XX")))))
+        .when(col("op") === 1, patched(Seq(
+          "meta" -> Patch.Obj(Seq("price_cents" -> Patch.Remove)))))
+        .when(col("op") === 2, patched(Seq("meta" -> Patch.Remove)))
+        .otherwise(patched(Seq(
+          "extra" -> Patch.Obj(Seq("src" -> Patch.Set(lit("patch")))),
+          "meta" -> Patch.Obj(Seq("audited" -> Patch.Set(lit(true))))))))
+    m.groupBy(col("op"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(get_json_object(col("m"), "$.status") === "XX", 1L)
+          .otherwise(0L)).as("n_status_x"),
+        count(get_json_object(col("m"), "$.meta.price_cents"))
+          .as("n_price"),
+        coalesce(sum(get_json_object(col("m"), "$.meta.price_cents")
+          .cast("long")), lit(0L)).as("sum_price_cents"),
+        count(get_json_object(col("m"), "$.meta")).as("n_meta"),
+        count(get_json_object(col("m"), "$.extra.src")).as("n_extra"),
+        sum(when(get_json_object(col("m"), "$.meta.audited") === "true",
+          1L).otherwise(0L)).as("n_audited"))
+      .orderBy(col("op"))
+  }
+
   def qJsonPatch(s: SparkSession, d: String): DataFrame = {
     val base = graft.sources.Tables.events(s, d)
       .select(col("event_id"), col("event_type"),

@@ -335,6 +335,60 @@ class Round13Spec extends SparkSuite {
     assert(got == want, "dominance-count S != quadratic sign census")
   }
 
+  test("merge patch census equals an in-JVM RFC 7386 implementation") {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val om = new com.fasterxml.jackson.databind.ObjectMapper
+    // a third independent RFC 7386 implementation (beside the Spark
+    // projection and DuckDB's native json_merge_patch)
+    def rfc7386(target: JsonNode, patch: JsonNode): JsonNode =
+      if (!patch.isObject) patch.deepCopy[JsonNode]()
+      else {
+        val base: ObjectNode =
+          if (target != null && target.isObject)
+            target.deepCopy[ObjectNode]()
+          else om.createObjectNode()
+        patch.properties().forEach { e =>
+          if (e.getValue.isNull) base.remove(e.getKey)
+          else base.set[JsonNode](e.getKey,
+            rfc7386(base.get(e.getKey), e.getValue)): Unit
+        }
+        base
+      }
+    val patches = Array(
+      """{"status":"XX"}""", """{"meta":{"price_cents":null}}""",
+      """{"meta":null}""",
+      """{"extra":{"src":"patch"},"meta":{"audited":true}}""")
+    val rows = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderpriority"))
+      .collect()
+    val agg = scala.collection.mutable.Map[Long, Array[Long]]()
+    for (r <- rows) {
+      val key = gl(r, 0); val op = key % 4
+      val doc = om.createObjectNode()
+      doc.put("id", key); doc.put("status", r.getString(1))
+      val meta = doc.putObject("meta")
+      meta.put("price_cents", gl(r, 2)); meta.put("prio", r.getString(3))
+      val m = rfc7386(doc, om.readTree(patches(op.toInt)))
+      val a = agg.getOrElseUpdate(op, Array.fill(7)(0L))
+      a(0) += 1
+      if (m.path("status").asText() == "XX") a(1) += 1
+      if (m.path("meta").has("price_cents")) {
+        a(2) += 1; a(3) += m.path("meta").path("price_cents").asLong()
+      }
+      if (m.has("meta")) a(4) += 1
+      if (m.path("extra").has("src")) a(5) += 1
+      if (m.path("meta").path("audited").asBoolean(false)) a(6) += 1
+    }
+    val want = agg.toSeq.sortBy(_._1)
+      .map { case (op, a) => op +: a.toSeq }
+    val got = graft.ops.JsonQueries.engineMergePatch(spark, sf).collect()
+      .map(r => (0 to 7).map(i => gl(r, i))).toSeq
+    assert(got == want, "schema-driven projection != Jackson RFC 7386")
+  }
+
   test("gini via Ranks.groupRowNumber equals the window formulation") {
     import org.apache.spark.sql.expressions.Window
     val rev = graft.sources.Tables.orders(spark, sf)
