@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, Behavior, JsonQueries, Mining, PipelineQueries, Profiling, Warehouse}
+import graft.ops.{Analytics, Behavior, JsonQueries, Mining, PipelineQueries, Profiling, Stats, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -930,6 +930,21 @@ object SparkEntry {
     "text_bpe_apply" -> (PipelineQueries.textBpeApply _),
     "text_tokenizer_fertility" -> (PipelineQueries.textTokenizerFertility _),
     "q_mann_kendall" -> (Behavior.qMannKendall _),
+    "q_jarque_bera" -> (Stats.qJarqueBera _),
+    "embed_hamming_topk" -> (PipelineQueries.embedHammingTopk _),
+    "text_unigram_kl" -> (PipelineQueries.textUnigramKl _),
+    "text_burstiness" -> (PipelineQueries.textBurstiness _),
+    "data_temperature_mix" -> (PipelineQueries.dataTemperatureMix _),
+    "q_katz_centrality" -> (Mining.qKatzCentrality _),
+    "q_eigenvector_centrality" -> (Mining.qEigenvectorCentrality _),
+    "q_bollinger" -> (Behavior.qBollinger _),
+    "q_rsi" -> (Behavior.qRsi _),
+    "q_drawdown" -> (Behavior.qDrawdown _),
+    "q_croston" -> (Behavior.qCroston _),
+    "q_kruskal_wallis" -> (Stats.qKruskalWallis _),
+    "q_runs_test" -> (Stats.qRunsTest _),
+    "q_herfindahl" -> (Stats.qHerfindahl _),
+    "q_price_index" -> (Stats.qPriceIndex _),
     "pipeline_clean_funnel" -> (PipelineQueries.pipelineCleanFunnel _),
     "data_length_buckets" -> (PipelineQueries.dataLengthBuckets _),
     "multimodal_wav_decimate" -> (PipelineQueries.multimodalWavDecimate _),
@@ -5178,6 +5193,386 @@ object SparkEntry {
         |  floor(CAST(ag.s AS DOUBLE) / ag.n0 * 1e6 + 0.5) / 1e6 AS tau_a
         |FROM nc JOIN ag ON nc.month = ag.month
         |ORDER BY 1""".stripMargin,
+    "embed_hamming_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN x > 0 AND i <= 32
+        |      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT)
+        |      AS code1,
+        |    CAST(sum(CASE WHEN x > 0 AND i > 32
+        |      THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END) AS BIGINT)
+        |      AS code2
+        |  FROM e GROUP BY 1),
+        |q AS (SELECT vec_id AS q_id, code1 AS q1, code2 AS q2
+        |  FROM codes WHERE vec_id < 10),
+        |h AS (SELECT q.q_id, c.vec_id AS c_id,
+        |    CAST(bit_count(xor(c.code1, q.q1)) +
+        |      bit_count(xor(c.code2, q.q2)) AS BIGINT) AS hamming
+        |  FROM codes c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+        |r AS (SELECT q_id, c_id, hamming,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY hamming, c_id) AS BIGINT) AS rnk
+        |  FROM h)
+        |SELECT q_id, rnk, c_id, hamming FROM r
+        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "text_unigram_kl" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS w
+        |  FROM documents),
+        |t AS (SELECT source, w FROM toks WHERE w <> ''),
+        |corpus AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w
+        |  FROM t GROUP BY 1),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_c FROM t),
+        |src AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+        |  FROM t GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM t GROUP BY 1),
+        |k AS (SELECT src.source, src.c_sw,
+        |    CAST(round(ln(CAST(src.c_sw AS DOUBLE) * n_c
+        |      / (CAST(n_s AS DOUBLE) * c_w)) * 1e6) AS BIGINT) AS k_micro
+        |  FROM src JOIN corpus USING (w) JOIN ns USING (source)
+        |    CROSS JOIN nc),
+        |agg AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(c_sw * k_micro) AS BIGINT) AS kl_weighted_micro
+        |  FROM k GROUP BY 1)
+        |SELECT source, n_s AS n_tokens, vocab, kl_weighted_micro,
+        |  floor(CAST(kl_weighted_micro AS DOUBLE) / n_s + 0.5) / 1e6
+        |    AS kl_nats
+        |FROM agg JOIN ns USING (source) ORDER BY source""".stripMargin,
+    "text_burstiness" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |pd AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM t GROUP BY 1, 2),
+        |m AS (SELECT w,
+        |    CAST(sum(x) AS BIGINT) AS total_cnt,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2,
+        |    CAST(count(*) AS BIGINT) AS doc_freq
+        |  FROM pd GROUP BY 1),
+        |v AS (SELECT w, total_cnt, sx2, doc_freq, n_docs,
+        |    CAST(total_cnt AS DOUBLE) / n_docs AS mean
+        |  FROM m CROSS JOIN nd)
+        |SELECT w AS token, total_cnt, doc_freq,
+        |  floor(mean * 1e6 + 0.5) / 1e6 AS mean_per_doc,
+        |  floor((CAST(sx2 AS DOUBLE) / n_docs - mean * mean) / mean
+        |    * 1e4 + 0.5) / 1e4 AS vmr
+        |FROM v ORDER BY total_cnt DESC, token LIMIT 20""".stripMargin,
+    "data_temperature_mix" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+        |      & 1125899906842623 AS BIGINT) AS h
+        |  FROM documents),
+        |wts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS weight_micro
+        |  FROM docs GROUP BY 1),
+        |tw AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS tw FROM wts),
+        |quotas AS (SELECT source, n_docs, weight_micro,
+        |    (200 * weight_micro) // tw AS quota
+        |  FROM wts CROSS JOIN tw),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS rn
+        |  FROM docs)
+        |SELECT source, n_docs, weight_micro, quota,
+        |  CAST(count(*) AS BIGINT) AS n_selected,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM r JOIN quotas USING (source) WHERE rn <= quota
+        |GROUP BY source, n_docs, weight_micro, quota
+        |ORDER BY source""".stripMargin,
+    "q_katz_centrality" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT a, b FROM pairs
+        |  UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |w1 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS w1
+        |  FROM edges GROUP BY 1),
+        |w2 AS (SELECT e.a AS node, CAST(sum(w1.w1) AS BIGINT) AS w2
+        |  FROM edges e JOIN w1 ON e.b = w1.node GROUP BY 1),
+        |w3 AS (SELECT e.a AS node, CAST(sum(w2.w2) AS BIGINT) AS w3
+        |  FROM edges e JOIN w2 ON e.b = w2.node GROUP BY 1),
+        |k AS (SELECT w1.node, w1.w1, w2.w2, w3.w3,
+        |    16 * w1.w1 + 4 * w2.w2 + w3.w3 AS katz_x64
+        |  FROM w1 JOIN w2 ON w1.node = w2.node
+        |    JOIN w3 ON w1.node = w3.node
+        |  WHERE w1.node % 2 = 1)
+        |SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey, w1, w2, w3,
+        |  katz_x64,
+        |  floor(CAST(katz_x64 AS DOUBLE) / 64 * 1e6 + 0.5) / 1e6 AS katz
+        |FROM k ORDER BY katz_x64 DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q_eigenvector_centrality" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey),
+        |edges AS (SELECT a, b FROM pairs
+        |  UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |w1 AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS w1
+        |  FROM edges GROUP BY 1),
+        |w2 AS (SELECT e.a AS node, CAST(sum(w1.w1) AS BIGINT) AS w2
+        |  FROM edges e JOIN w1 ON e.b = w1.node GROUP BY 1),
+        |w3 AS (SELECT e.a AS node, CAST(sum(w2.w2) AS BIGINT) AS w3
+        |  FROM edges e JOIN w2 ON e.b = w2.node GROUP BY 1),
+        |mx AS (SELECT max(w3) AS mx FROM w3)
+        |SELECT w1.node AS l_partkey, w1.w1 AS degree, w3.w3 AS walks3,
+        |  floor(CAST(w3.w3 AS DOUBLE) / mx * 1e6 + 0.5) / 1e6 AS centrality
+        |FROM w1 JOIN w3 ON w1.node = w3.node CROSS JOIN mx
+        |ORDER BY walks3 DESC, l_partkey LIMIT 20""".stripMargin,
+    "q_bollinger" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT day, e4,
+        |    row_number() OVER (ORDER BY day) AS rn,
+        |    CAST(sum(e4) OVER (ORDER BY day
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+        |    sum(CAST(e4 AS HUGEINT) * e4) OVER (ORDER BY day
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s2
+        |  FROM daily),
+        |b AS (SELECT day, e4,
+        |    CAST(s1 AS DOUBLE) / 20 / 10000 AS ma,
+        |    sqrt(CAST(20 * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+        |      / 20 / 10000 AS sd
+        |  FROM w WHERE rn >= 20)
+        |SELECT day,
+        |  floor(CAST(e4 AS DOUBLE) / 10000 * 100 + 0.5) / 100 AS rev,
+        |  floor(ma * 10000 + 0.5) / 10000 AS ma20,
+        |  floor(sd * 10000 + 0.5) / 10000 AS sd20,
+        |  floor((ma + 2 * sd) * 10000 + 0.5) / 10000 AS upper_band,
+        |  floor((ma - 2 * sd) * 10000 + 0.5) / 10000 AS lower_band,
+        |  CASE WHEN CAST(e4 AS DOUBLE) / 10000 > ma + 2 * sd THEN 1
+        |       WHEN CAST(e4 AS DOUBLE) / 10000 < ma - 2 * sd THEN -1
+        |       ELSE 0 END AS breakout
+        |FROM b ORDER BY day""".stripMargin,
+    "q_rsi" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |df AS (SELECT day, e4 - lag(e4) OVER (ORDER BY day) AS diff
+        |  FROM daily),
+        |g AS (SELECT day,
+        |    row_number() OVER (ORDER BY day) AS rn,
+        |    CAST(sum(greatest(diff, 0)) OVER (ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS gsum,
+        |    CAST(sum(greatest(-diff, 0)) OVER (ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS lsum
+        |  FROM df WHERE diff IS NOT NULL)
+        |SELECT day, gsum AS gain_sum, lsum AS loss_sum,
+        |  CASE WHEN gsum + lsum > 0 THEN
+        |    floor(100 * CAST(gsum AS DOUBLE) / (gsum + lsum)
+        |      * 10000 + 0.5) / 10000 END AS rsi
+        |FROM g WHERE rn >= 14 ORDER BY day""".stripMargin,
+    "q_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT day, e4,
+        |    CAST(max(e4) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS peak
+        |  FROM daily)
+        |SELECT day,
+        |  floor(CAST(e4 AS DOUBLE) / 10000 * 100 + 0.5) / 100 AS rev,
+        |  floor(CAST(peak AS DOUBLE) / 10000 * 100 + 0.5) / 100 AS peak_rev,
+        |  floor(CAST(peak - e4 AS DOUBLE) / 10000 * 100 + 0.5) / 100
+        |    AS drawdown,
+        |  floor(CAST(peak - e4 AS DOUBLE) / CAST(peak AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS dd_pct,
+        |  CAST(e4 = peak AS INT) AS is_peak
+        |FROM p ORDER BY day""".stripMargin,
+    "q_croston" ->
+      """WITH dd AS (
+        |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_partkey,
+        |    CAST(count(*) AS BIGINT) AS n_demand_days,
+        |    CAST(sum(q) AS BIGINT) AS qty_total,
+        |    CAST(sum(q * q) AS BIGINT) AS q2,
+        |    CAST(date_diff('day', min(day), max(day)) AS BIGINT)
+        |      AS span_days
+        |  FROM dd GROUP BY 1)
+        |SELECT l_partkey, n_demand_days, qty_total, span_days,
+        |  floor(CAST(span_days AS DOUBLE) / (n_demand_days - 1)
+        |    * 10000 + 0.5) / 10000 AS adi,
+        |  floor(CAST(n_demand_days * q2 - qty_total * qty_total AS DOUBLE)
+        |    / (CAST(qty_total AS DOUBLE) * qty_total) * 10000 + 0.5) / 10000
+        |    AS cv2,
+        |  floor(CAST(qty_total AS DOUBLE) * (n_demand_days - 1)
+        |    / (CAST(n_demand_days AS DOUBLE) * span_days) * 10000 + 0.5)
+        |    / 10000 AS forecast_daily,
+        |  CASE WHEN span_days * 100 > 132 * (n_demand_days - 1) THEN
+        |    CASE WHEN (n_demand_days * q2 - qty_total * qty_total) * 100
+        |      > 49 * qty_total * qty_total THEN 'lumpy'
+        |      ELSE 'intermittent' END
+        |  ELSE
+        |    CASE WHEN (n_demand_days * q2 - qty_total * qty_total) * 100
+        |      > 49 * qty_total * qty_total THEN 'erratic'
+        |      ELSE 'smooth' END END AS demand_class
+        |FROM m WHERE n_demand_days >= 2
+        |ORDER BY l_partkey""".stripMargin,
+    "q_jarque_bera" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q*q) AS BIGINT) AS s2,
+        |    CAST(sum(q*q*q) AS BIGINT) AS s3,
+        |    CAST(sum(q*q*q*q) AS BIGINT) AS s4
+        |  FROM (SELECT l_returnflag, l_linestatus,
+        |          CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem)
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT *, CAST(s1 AS DOUBLE) / n AS mu FROM m),
+        |c AS (
+        |  SELECT *,
+        |    CAST(s2 AS DOUBLE) / n - mu * mu AS m2,
+        |    CAST(s3 AS DOUBLE) / n - 3 * mu * (CAST(s2 AS DOUBLE) / n)
+        |      + 2 * mu * mu * mu AS m3,
+        |    CAST(s4 AS DOUBLE) / n - 4 * mu * (CAST(s3 AS DOUBLE) / n)
+        |      + 6 * mu * mu * (CAST(s2 AS DOUBLE) / n)
+        |      - 3 * mu * mu * mu * mu AS m4
+        |  FROM e),
+        |k AS (
+        |  SELECT *, m3 / sqrt(m2 * m2 * m2) AS skew, m4 / (m2 * m2) AS kurt
+        |  FROM c)
+        |SELECT l_returnflag, l_linestatus, n,
+        |  floor(mu * 10000 + 0.5) / 10000 AS mean_q,
+        |  floor(skew * 10000 + 0.5) / 10000 AS skewness,
+        |  floor(kurt * 10000 + 0.5) / 10000 AS kurtosis,
+        |  floor(n * (skew * skew + (kurt - 3) * (kurt - 3) / 4) / 6
+        |    * 10000 + 0.5) / 10000 AS jb_stat
+        |FROM k ORDER BY 1, 2""".stripMargin,
+    "q_kruskal_wallis" ->
+      """WITH cust AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS g,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+        |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+        |  FROM cust GROUP BY 1),
+        |rk AS (SELECT v, t,
+        |    2 * CAST(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - t + 1 AS r2
+        |  FROM vals),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM cust GROUP BY 1, 2),
+        |grp AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_j,
+        |    CAST(sum(c * r2) AS BIGINT) AS r2_sum
+        |  FROM cells JOIN rk USING (v) GROUP BY 1),
+        |tt AS (SELECT CAST(sum(t) AS BIGINT) AS n_total,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie_term FROM vals),
+        |hn AS (SELECT
+        |    sum((CAST(r2_sum AS HUGEINT) * r2_sum * 3) // n_j) AS s3q,
+        |    CAST(count(*) AS BIGINT) AS n_groups FROM grp),
+        |h AS (SELECT n_groups, n_total,
+        |    CAST(s3q AS DOUBLE) / (CAST(n_total AS DOUBLE) * (n_total + 1))
+        |      - 3 * (n_total + 1) AS h_stat,
+        |    CAST(n_total AS HUGEINT) * n_total * n_total - n_total AS nn,
+        |    tie_term
+        |  FROM hn CROSS JOIN tt)
+        |SELECT g AS nationkey, n_j, r2_sum,
+        |  floor(CAST(r2_sum AS DOUBLE) / (2 * n_j) * 10000 + 0.5) / 10000
+        |    AS mean_rank,
+        |  n_groups, n_total,
+        |  floor(h_stat * 10000 + 0.5) / 10000 AS h_stat,
+        |  floor(h_stat * CAST(nn AS DOUBLE) / CAST(nn - tie_term AS DOUBLE)
+        |    * 10000 + 0.5) / 10000 AS h_adj
+        |FROM grp CROSS JOIN h ORDER BY 1""".stripMargin,
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |med AS (SELECT e4 AS med FROM (
+        |    SELECT e4, row_number() OVER (ORDER BY e4, day) AS rn,
+        |      count(*) OVER () AS nd FROM daily)
+        |  WHERE rn = (nd + 1) // 2),
+        |sg AS (SELECT day, CAST(e4 > med AS INT) AS s
+        |  FROM daily CROSS JOIN med WHERE e4 <> med),
+        |runs AS (SELECT
+        |    CAST(sum(s) AS BIGINT) AS n_above,
+        |    CAST(sum(1 - s) AS BIGINT) AS n_below,
+        |    1 + CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> s
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM (SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM sg)),
+        |z AS (SELECT *,
+        |    2.0 * n_above * n_below / (n_above + n_below) + 1 AS mu
+        |  FROM runs)
+        |SELECT n_above, n_below, n_runs,
+        |  floor(mu * 10000 + 0.5) / 10000 AS mu_runs,
+        |  floor((n_runs - mu) / sqrt((mu - 1) * (mu - 2)
+        |    / (n_above + n_below - 1)) * 10000 + 0.5) / 10000 AS z_stat
+        |FROM z""".stripMargin,
+    "q_herfindahl" ->
+      """WITH rev AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey, s_suppkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    CAST(sum(rev) AS BIGINT) AS tot,
+        |    sum(CAST(rev AS HUGEINT) * rev) AS ssq,
+        |    CAST(max(rev) AS BIGINT) AS mx
+        |  FROM rev GROUP BY 1),
+        |hh AS (SELECT *, floor(CAST(ssq AS DOUBLE) /
+        |    (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000 AS hhi
+        |  FROM agg)
+        |SELECT nationkey, n_suppliers, hhi,
+        |  CASE WHEN n_suppliers >= 2 THEN
+        |    floor((hhi - 1.0 / n_suppliers) / (1 - 1.0 / n_suppliers)
+        |      * 1000000 + 0.5) / 1000000 END AS hhi_norm,
+        |  floor(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS top_share
+        |FROM hh ORDER BY 1""".stripMargin,
+    "q_price_index" ->
+      """WITH pm AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+        |    l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |pm2 AS (SELECT *, (rev * 100) // qty AS uv2 FROM pm),
+        |base AS (SELECT l_partkey, uv2 AS uv0, qty AS q0
+        |  FROM pm2 WHERE month = (SELECT min(month) FROM pm2)),
+        |j AS (SELECT month, CAST(count(*) AS BIGINT) AS n_parts,
+        |    CAST(sum(uv2 * q0) AS BIGINT) AS lnum,
+        |    CAST(sum(uv0 * q0) AS BIGINT) AS lden,
+        |    CAST(sum(uv2 * qty) AS BIGINT) AS pnum,
+        |    CAST(sum(uv0 * qty) AS BIGINT) AS pden
+        |  FROM pm2 JOIN base USING (l_partkey) GROUP BY 1),
+        |r AS (SELECT month, n_parts,
+        |    floor(CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 AS laspeyres,
+        |    floor(CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000 AS paasche
+        |  FROM j)
+        |SELECT month, n_parts, laspeyres, paasche,
+        |  floor(sqrt(laspeyres * paasche) * 1000000 + 0.5) / 1000000
+        |    AS fisher
+        |FROM r ORDER BY 1""".stripMargin,
     "q_sample_balanced" ->
       """WITH v AS (
         |  SELECT vec_id, label,

@@ -918,4 +918,143 @@ object Behavior {
           .as("share"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** Round-half-up to `dp` decimals via the explicit floor lattice. */
+  private def rnd(c: Column, dp: Int): Column = {
+    val s = math.pow(10, dp)
+    floor(c * s + 0.5) / s
+  }
+
+  /** The shared daily-revenue series on the exact e4 lattice (price
+    * cents × discount-complement cents — the [[qMannKendall]] /
+    * [[qStlDecompose]] convention): the corpus collapses in ONE
+    * partial-aggregable rollup to the calendar-bounded frame, so
+    * everything downstream is |days|-sized no matter the corpus. */
+  private def dailyE4(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+
+  /** Bollinger bands over the daily revenue series: 20-day moving
+    * mean ± 2σ, plus the breakout flag — the volatility-envelope
+    * monitor. Sliding s1=Σx and s2=Σx² ride the exact integer lattice
+    * (s2 on DECIMAL(38,0)⇄HUGEINT since daily e4 squares overflow a
+    * long), so DuckDB's segment-tree window accumulation and Spark's
+    * sequential slide agree bit-for-bit (the §5 float-window hazard
+    * never engages); σ = sqrt(20·s2 − s1²)/20 and the bands are a
+    * pinned-order double tail over those identical integers. Full
+    * windows only (row 20+). */
+  def qBollinger(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day")).rowsBetween(-19, 0)
+    dailyE4(s, d)
+      .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("s1", sum(col("e4")).over(w))
+      .withColumn("s2", sum(expr("CAST(e4 AS DECIMAL(38,0)) * e4")).over(w))
+      .filter(col("rn") >= 20)
+      .withColumn("ma", expr("CAST(s1 AS DOUBLE) / 20 / 10000"))
+      .withColumn("sd", expr(
+        "sqrt(CAST(20 * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE))" +
+          " / 20 / 10000"))
+      .select(col("day"),
+        rnd(expr("CAST(e4 AS DOUBLE) / 10000"), 2).as("rev"),
+        rnd(col("ma"), 4).as("ma20"),
+        rnd(col("sd"), 4).as("sd20"),
+        rnd(expr("ma + 2 * sd"), 4).as("upper_band"),
+        rnd(expr("ma - 2 * sd"), 4).as("lower_band"),
+        when(expr("CAST(e4 AS DOUBLE) / 10000 > ma + 2 * sd"), 1)
+          .when(expr("CAST(e4 AS DOUBLE) / 10000 < ma - 2 * sd"), -1)
+          .otherwise(0).as("breakout"))
+      .orderBy(col("day"))
+  }
+
+  /** 14-day RSI (Cutler's SMA variant — the ORDER-FREE form: Wilder's
+    * original is an exponential recursion, Cutler's is a sliding mean,
+    * which is why it's the one that stays exact on the integer
+    * lattice) over the daily revenue series. Day-over-day gains and
+    * losses are exact longs off one lag; the 14-day sums slide as
+    * longs; RSI = 100·G/(G+L) is one double division of identical
+    * integers. Full windows only. */
+  def qRsi(s: SparkSession, d: String): DataFrame = {
+    val dOrd = Window.orderBy(col("day"))
+    val diffed = dailyE4(s, d)
+      .withColumn("diff", col("e4") - lag(col("e4"), 1).over(dOrd))
+      .filter(col("diff").isNotNull)
+    val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    diffed
+      .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("gsum", sum(greatest(col("diff"), lit(0L))).over(w))
+      .withColumn("lsum", sum(greatest(-col("diff"), lit(0L))).over(w))
+      .filter(col("rn") >= 14)
+      .select(col("day"), col("gsum").as("gain_sum"),
+        col("lsum").as("loss_sum"),
+        when(col("gsum") + col("lsum") > 0L,
+          rnd(expr("100 * CAST(gsum AS DOUBLE) / (gsum + lsum)"), 4))
+          .as("rsi"))
+      .orderBy(col("day"))
+  }
+
+  /** Drawdown / underwater curve of the daily revenue series: each
+    * day's gap below the historical peak, the risk metric every
+    * operational dashboard carries. Running peak is an exact long
+    * running max over the day order (max is associative+idempotent —
+    * [[Ranks.globalRunningMaxPrev]]'s contract — but the frame here is
+    * calendar-bounded so the plain window is the right size); depth
+    * and percentage are final arithmetic on identical integers. */
+  def qDrawdown(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dailyE4(s, d)
+      .withColumn("peak", max(col("e4")).over(w))
+      .select(col("day"),
+        rnd(expr("CAST(e4 AS DOUBLE) / 10000"), 2).as("rev"),
+        rnd(expr("CAST(peak AS DOUBLE) / 10000"), 2).as("peak_rev"),
+        rnd(expr("CAST(peak - e4 AS DOUBLE) / 10000"), 2).as("drawdown"),
+        rnd(expr("CAST(peak - e4 AS DOUBLE) / CAST(peak AS DOUBLE)"), 6)
+          .as("dd_pct"),
+        (col("e4") === col("peak")).cast("int").as("is_peak"))
+      .orderBy(col("day"))
+  }
+
+  /** Croston-style intermittent-demand profile per part, with the
+    * Syntetos–Boylan (SBC) demand classification: average demand
+    * interval (ADI), squared coefficient of variation of demand sizes
+    * (CV²), and the Croston rate forecast size/interval. The corpus
+    * reduces in ONE rollup to (part, demand-day) and then to a
+    * |parts|-bounded moment frame; ADI/CV²/forecast are exact integer
+    * rationals (span·100 > 132·(n−1) replaces the double ADI>1.32
+    * compare, so the CLASS BOUNDARY is integer-exact — the 4-dp
+    * emitted doubles are display-only). Parts with a single demand
+    * day have no interval and are excluded, per the classical
+    * estimator. */
+  def qCroston(s: SparkSession, d: String): DataFrame = {
+    val dd = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+    dd.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_demand_days"),
+        sum(col("q")).as("qty_total"),
+        sum(col("q") * col("q")).as("q2"),
+        datediff(max(col("day")), min(col("day"))).cast("long").as("span_days"))
+      .filter(col("n_demand_days") >= 2L)
+      .withColumn("adi", rnd(expr(
+        "CAST(span_days AS DOUBLE) / (n_demand_days - 1)"), 4))
+      .withColumn("cv2", rnd(expr(
+        "CAST(n_demand_days * q2 - qty_total * qty_total AS DOUBLE)" +
+          " / (CAST(qty_total AS DOUBLE) * qty_total)"), 4))
+      .select(col("l_partkey"), col("n_demand_days"), col("qty_total"),
+        col("span_days"), col("adi"), col("cv2"),
+        rnd(expr("CAST(qty_total AS DOUBLE) * (n_demand_days - 1)" +
+          " / (CAST(n_demand_days AS DOUBLE) * span_days)"), 4)
+          .as("forecast_daily"),
+        when(expr("span_days * 100 > 132 * (n_demand_days - 1)"),
+          when(expr("(n_demand_days * q2 - qty_total * qty_total) * 100" +
+            " > 49 * qty_total * qty_total"), "lumpy")
+            .otherwise("intermittent"))
+          .otherwise(
+            when(expr("(n_demand_days * q2 - qty_total * qty_total) * 100" +
+              " > 49 * qty_total * qty_total"), "erratic")
+              .otherwise("smooth")).as("demand_class"))
+      .orderBy(col("l_partkey"))
+  }
 }

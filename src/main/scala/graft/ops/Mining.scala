@@ -2342,4 +2342,88 @@ object Mining {
           * 1e6 + 0.5) / 1e6).as("tau_b"))
       .orderBy(col("nation"))
   }
+
+  /** Exact k-step walk counts w₁..w₃ per node over an undirected edge
+    * list (both directions present): w₁ = degree, wₖ₊₁(v) = Σ_{u∈N(v)}
+    * wₖ(u) — the INTEGER power-iteration core shared by
+    * [[qKatzCentrality]] and [[qEigenvectorCentrality]]. Each round is
+    * one |E|-row equi-join + node-keyed partial-aggregable sum (the
+    * q_pagerank shuffle shape), with localCheckpoint lineage
+    * truncation per round; counts are exact longs, so the float
+    * accumulation-order leak the double power iteration would have is
+    * structurally absent. */
+  private def walkCounts(edges: DataFrame): DataFrame = {
+    val w1 = edges.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("w1")).localCheckpoint(true)
+    val w2 = edges
+      .join(w1.select(col("node").as("b"), col("w1").as("_w")), "b")
+      .groupBy(col("a").as("node")).agg(sum(col("_w")).as("w2"))
+      .localCheckpoint(true)
+    val w3 = edges
+      .join(w2.select(col("node").as("b"), col("w2").as("_w")), "b")
+      .groupBy(col("a").as("node")).agg(sum(col("_w")).as("w3"))
+    w1.join(w2, "node").join(w3, "node")
+  }
+
+  /** Truncated Katz centrality (α = 1/4, paths ≤ 3) of suppliers on
+    * the customer⇄supplier co-trade bipartite graph: katz = Σₖ αᵏ·wₖ
+    * where wₖ is the EXACT k-step walk count — so 64·katz = 16w₁ +
+    * 4w₂ + w₃ is an integer and the whole centrality is cross-engine
+    * exact (the attenuated variant of q_betweenness_approx's
+    * integer-stress contract; α a power of two ⇒ the final /64 is one
+    * exact IEEE op). Scale: three |E|-row shuffles via [[walkCounts]],
+    * global top-20 is TakeOrderedAndProject. */
+  def qKatzCentrality(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    walkCounts(edges)
+      .filter(col("node") % 2 === 1)
+      .withColumn("katz_x64",
+        lit(16L) * col("w1") + lit(4L) * col("w2") + col("w3"))
+      .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
+        col("w1"), col("w2"), col("w3"), col("katz_x64"),
+        (floor(col("katz_x64").cast("double") / 64 * 1e6 + 0.5) / 1e6)
+          .as("katz"))
+      .orderBy(col("katz_x64").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** Eigenvector centrality (3-step integer power iteration) of parts
+    * on the co-purchase graph ([[graft.ops.Analytics.qTriangleCount]]'s
+    * edge set): x₃ = A³·1 counted exactly as 3-step walks, centrality
+    * = x₃/max(x₃) — one double division of identical longs per node.
+    * The double-valued power iteration would leak accumulation order
+    * through the per-round normalization; counting walks and
+    * normalizing ONCE at the end keeps every data-scaled value
+    * integral. Pair-gen is bounded by per-order line count (the
+    * market-basket bound); each walk round is one |E|-row shuffle. */
+  def qEigenvectorCentrality(s: SparkSession, d: String): DataFrame = {
+    val ls = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = ls.as("x")
+      .join(ls.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val w = walkCounts(edges).localCheckpoint(true)
+    val mx = broadcast(w.agg(max(col("w3")).as("_mx")))
+    w.crossJoin(mx)
+      .select(col("node").as("l_partkey"), col("w1").as("degree"),
+        col("w3").as("walks3"),
+        (floor(col("w3").cast("double") / col("_mx") * 1e6 + 0.5) / 1e6)
+          .as("centrality"))
+      .orderBy(col("walks3").desc, col("l_partkey"))
+      .limit(20)
+  }
 }

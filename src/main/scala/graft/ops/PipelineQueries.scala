@@ -3120,4 +3120,145 @@ object PipelineQueries {
         "tiles_checksum")
       .orderBy(col("doc_id"))
   }
+
+  /** 1-bit (sign) quantized ANN: embeddings binarize to two 32-bit
+    * codes (bit i = 1 iff dim i > 0 — two longs instead of one so no
+    * shift ever reaches bit 63, where BIGINT `<<` semantics diverge
+    * across engines), queries (vec_id < 10) broadcast, and top-10 per
+    * query ranks by EXACT Hamming distance bit_count(xor) — the
+    * 64×-compression serving tier below [[annSq8TopK]]'s int8. Codes
+    * are one partial-aggregable posexplode rollup (integer bit sums —
+    * no float ever shuffles); distance is 2 codegen'd bit ops per
+    * pair; per-query top-k is the WindowGroupLimit pre-shuffle
+    * pattern. At 100 TB the corpus never moves: codes are 16 bytes/vec
+    * and the query side broadcasts. */
+  def embedHammingTopk(s: SparkSession, d: String): DataFrame = {
+    val codes = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(when(col("x") > 0 && col("dim") < 32,
+          expr("shiftleft(1L, dim)")).otherwise(0L)).as("code1"),
+        sum(when(col("x") > 0 && col("dim") >= 32,
+          expr("shiftleft(1L, dim - 32)")).otherwise(0L)).as("code2"))
+      .localCheckpoint(true)
+    val q = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("code1").as("q1"),
+        col("code2").as("q2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
+    codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("hamming", expr(
+        "CAST(bit_count(code1 ^ q1) + bit_count(code2 ^ q2) AS BIGINT)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id").as("c_id"), col("hamming"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * the domain-shift report a mixture owner reads before reweighting:
+    * KL(P_src ‖ P_corpus) = (1/n_s)·Σ_w c_sw·ln(c_sw·n_c / (n_s·c_w)).
+    * Each token's log-ratio is fixed to integer micro-nats (the dsir /
+    * bigram-ppl portability trick) so the per-source fold is an exact
+    * long sum; P_corpus dominates every P_src by construction (the
+    * corpus includes the source), so no smoothing term is needed.
+    * Scale: two token rollups (corpus-keyed and (source, token)-keyed)
+    * + one join on the token key — all partial-aggregable. */
+  def textUnigramKl(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val corpus = toks.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val nC = broadcast(toks.agg(count(lit(1)).as("n_c")))
+    val src = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val nS = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    src.join(corpus, "w").join(nS, "source").crossJoin(nC)
+      .withColumn("k_micro", expr(
+        "CAST(round(ln(CAST(c_sw AS DOUBLE) * n_c" +
+          " / (CAST(n_s AS DOUBLE) * c_w)) * 1e6) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("c_sw") * col("k_micro")).as("kl_weighted_micro"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("kl_weighted_micro"),
+        // round(w/n) micro-nats → 6-dp nats: one division + floor of
+        // identical longs on both engines
+        (floor(col("kl_weighted_micro").cast("double") / col("n_tokens")
+          + 0.5) / 1e6).as("kl_nats"))
+      .orderBy(col("source"))
+  }
+
+  /** Token burstiness (Church & Gale): for the 20 highest-frequency
+    * corpus tokens, the variance-to-mean ratio of per-document counts
+    * — VMR ≈ 1 is Poisson background vocabulary, VMR ≫ 1 is bursty
+    * content terms; the statistic that separates them where raw
+    * frequency can't. Zero-count documents enter the moments via the
+    * n·Σx²/tot algebra (never materialized); everything to the final
+    * divisions is exact integer moments from two partial-aggregable
+    * rollups. */
+  def textBurstiness(s: SparkSession, d: String): DataFrame = {
+    val docToks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val nDocs = broadcast(Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs")))
+    val perDoc = docToks.groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("x"))
+    perDoc.groupBy(col("w"))
+      .agg(sum(col("x")).as("total_cnt"),
+        sum(col("x") * col("x")).as("sx2"),
+        count(lit(1)).as("doc_freq"))
+      .crossJoin(nDocs)
+      .withColumn("mean", expr(
+        "CAST(total_cnt AS DOUBLE) / n_docs"))
+      .withColumn("vmr", expr(
+        "(CAST(sx2 AS DOUBLE) / n_docs - mean * mean) / mean"))
+      .select(col("w").as("token"), col("total_cnt"), col("doc_freq"),
+        (floor(col("mean") * 1e6 + 0.5) / 1e6).as("mean_per_doc"),
+        (floor(col("vmr") * 1e4 + 0.5) / 1e4).as("vmr"))
+      .orderBy(col("total_cnt").desc, col("token"))
+      .limit(20)
+  }
+
+  /** Temperature-scaled mixture sampling (T = 2, i.e. w ∝ n^(1/2)) —
+    * the multilingual/multi-domain rebalancing rule (mT5 §3.1 shape):
+    * per-source weights are √n fixed to integer micro-units (sqrt is
+    * exactly rounded IEEE, so the lattice is cross-engine exact),
+    * quotas are integer division of a fixed 200-doc budget, and each
+    * source's quota fills by portable md5 order via the exact ranged
+    * [[graft.ops.Ranks.groupRowNumber]] — no per-source window sort,
+    * and rounding-down quotas means the budget is never exceeded.
+    * Output is the per-source census + selected-id checksum. */
+  def dataTemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (graft.functions.exprs.md5Lower64(col("doc_id").cast("string"))
+          .bitwiseAND(lit((1L << 50) - 1))).as("h"))
+    val wts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_micro", expr(
+        "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val quotas = wts
+      .crossJoin(broadcast(wts.agg(sum(col("weight_micro")).as("tw"))))
+      .withColumn("quota", expr("(200 * weight_micro) div tw"))
+      .select(col("source"), col("n_docs"), col("weight_micro"),
+        col("quota"))
+    Ranks.groupRowNumber(docs, Seq(col("source")),
+        Seq(col("h"), col("doc_id")), "rn", "tot")
+      .join(broadcast(quotas), "source")
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("weight_micro")).as("weight_micro"),
+        max(col("quota")).as("quota"),
+        count(lit(1)).as("n_selected"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("source"))
+  }
 }

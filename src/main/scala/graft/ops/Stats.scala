@@ -1,0 +1,230 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Classical statistical tests / econometric indexes over the TPC-H-ish
+  * star schema (SURVEY §2.2 growth, r13 continuation): Jarque–Bera
+  * normality, Kruskal–Wallis rank ANOVA, Wald–Wolfowitz runs test,
+  * Herfindahl–Hirschman concentration, Laspeyres/Paasche/Fisher price
+  * indexes.
+  *
+  * Cross-engine determinism contract (same as [[Mining]] /
+  * [[Behavior]]): every data-scaled aggregation runs on an exact
+  * integer lattice (quantities are integers; money on the cent /
+  * 1e-4 "e4" lattice; ranks on the doubled-rank lattice so
+  * tie-averages stay integral; wide products on DECIMAL(38,0) ⇄
+  * DuckDB HUGEINT), and doubles appear only in a final pinned-order
+  * IEEE expression over those identical integers — add/mul/div/sqrt
+  * are correctly rounded, so both engines emit the same bits. No
+  * libm calls (pow/exp/erf) anywhere.
+  */
+object Stats {
+
+  /** Round-half-up to `dp` decimals via the explicit floor lattice
+    * (identical semantics both engines — SQL `round()` half-even vs
+    * half-up differences never enter). */
+  private def rnd(c: org.apache.spark.sql.Column, dp: Int) = {
+    val s = math.pow(10, dp)
+    floor(c * s + 0.5) / s
+  }
+
+  /** Jarque–Bera normality test of l_quantity per (returnflag,
+    * linestatus). The four raw moments Σq..Σq⁴ are one map-side
+    * combinable LONG aggregation (q ≤ 50 ⇒ Σq⁴ fits a long up to
+    * ~10¹² rows); central moments, skewness, kurtosis and the JB stat
+    * are then a constant-size pinned-order double expression per
+    * group — the [[Mining.qWelchTtest]] shape one moment order
+    * higher. Skew uses m3/sqrt(m2³) (sqrt is exactly rounded; pow is
+    * not, so pow never appears). */
+  def qJarqueBera(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"),
+        sum(col("q") * col("q") * col("q")).as("s3"),
+        sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+      .withColumn("mu", expr("CAST(s1 AS DOUBLE) / n"))
+      .withColumn("m2", expr("CAST(s2 AS DOUBLE) / n - mu * mu"))
+      .withColumn("m3", expr(
+        "CAST(s3 AS DOUBLE) / n - 3 * mu * (CAST(s2 AS DOUBLE) / n)" +
+          " + 2 * mu * mu * mu"))
+      .withColumn("m4", expr(
+        "CAST(s4 AS DOUBLE) / n - 4 * mu * (CAST(s3 AS DOUBLE) / n)" +
+          " + 6 * mu * mu * (CAST(s2 AS DOUBLE) / n)" +
+          " - 3 * mu * mu * mu * mu"))
+      .withColumn("skew", expr("m3 / sqrt(m2 * m2 * m2)"))
+      .withColumn("kurt", expr("m4 / (m2 * m2)"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        rnd(col("mu"), 4).as("mean_q"),
+        rnd(col("skew"), 4).as("skewness"),
+        rnd(col("kurt"), 4).as("kurtosis"),
+        rnd(expr("n * (skew * skew + (kurt - 3) * (kurt - 3) / 4) / 6"), 4)
+          .as("jb_stat"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Kruskal–Wallis rank ANOVA of customer account balance across
+    * nations, with tie correction. Tie-averaged ranks ride the
+    * DOUBLED-rank lattice (2·avg-rank of cent value v = 2·cum(<v) +
+    * count(v) + 1 — always an integer), built from a VALUE-level
+    * cumulative count: the distinct-cent frame is bounded by the
+    * acctbal domain (~1.1M values) at ANY corpus size, and its
+    * running sum is the exact [[Ranks.globalRunningSum]] ranged scan,
+    * so no per-customer global sort ever happens. Per-nation rank
+    * sums then come off a (nation, value)-cell rollup. The H
+    * numerator Σ 3·R2ⱼ²/nⱼ is exact DECIMAL(38,0)⇄HUGEINT integral
+    * division (truncation error ≤ |groups|, i.e. < 10⁻⁷ of H —
+    * invisible at 4 dp); the tie term Σ(t³−t) likewise. H and the
+    * tie-corrected H′ are single pinned-order double expressions over
+    * those identical integers. */
+  def qKruskalWallis(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("g"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+    val vals = cust.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val ranked = Ranks.globalRunningSum(vals, Seq(col("v")), col("t"), "cum")
+      .withColumn("r2", lit(2L) * col("cum") - col("t") + lit(1L))
+    val cells = cust.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val groups = cells.join(ranked, "v")
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n_j"), sum(col("c") * col("r2")).as("r2_sum"))
+    val tot = vals.agg(
+        sum(col("t")).as("n_total"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tie_term"))
+      .localCheckpoint(true)
+    val hnum = groups.agg(
+      sum(expr("(CAST(r2_sum AS DECIMAL(38,0)) * r2_sum * 3) div n_j"))
+        .as("s3q"),
+      count(lit(1)).as("n_groups"))
+    val h = hnum.crossJoin(tot)
+      .withColumn("h_stat", expr(
+        "CAST(s3q AS DOUBLE) / (CAST(n_total AS DOUBLE) * (n_total + 1))" +
+          " - 3 * (n_total + 1)"))
+      .withColumn("nn", expr(
+        "CAST(n_total AS DECIMAL(38,0)) * n_total * n_total - n_total"))
+      .withColumn("h_adj", expr(
+        "h_stat * CAST(nn AS DOUBLE) / CAST(nn - tie_term AS DOUBLE)"))
+      .select(col("n_groups"), col("n_total"),
+        rnd(col("h_stat"), 4).as("h_stat"),
+        rnd(col("h_adj"), 4).as("h_adj"))
+    groups.crossJoin(broadcast(h))
+      .select(col("g").as("nationkey"), col("n_j"), col("r2_sum"),
+        rnd(expr("CAST(r2_sum AS DOUBLE) / (2 * n_j)"), 4).as("mean_rank"),
+        col("n_groups"), col("n_total"), col("h_stat"), col("h_adj"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Wald–Wolfowitz runs test for randomness of the daily-revenue
+    * series around its median. Data-scaled work is ONE
+    * partial-aggregable rollup to the calendar-bounded daily frame
+    * (exact e4 revenue lattice); the lower median, the above/below
+    * signs, the lag-based run count and the closed-form z all run on
+    * that ≤|days| frame. μ_R = 2n₁n₂/n + 1 and σ²_R = (μ−1)(μ−2)/(n−1)
+    * (the standard identity — keeps the double expression short and
+    * pinned). Days exactly AT the median are excluded, per the
+    * classical test. */
+  def qRunsTest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .localCheckpoint(true)
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy(col("e4"), col("day"))))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+      .filter(expr("rn = (nd + 1) div 2"))
+      .select(col("e4").as("med"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("e4") =!= col("med"))
+      .select(col("day"), (col("e4") > col("med")).cast("int").as("s"))
+    signed
+      .withColumn("prev", lag(col("s"), 1).over(Window.orderBy(col("day"))))
+      .agg(
+        sum(col("s")).cast("long").as("n_above"),
+        sum(lit(1) - col("s")).cast("long").as("n_below"),
+        (lit(1L) + sum(when(col("prev").isNotNull &&
+          col("prev") =!= col("s"), 1L).otherwise(0L))).as("n_runs"))
+      .withColumn("mu", expr(
+        "2.0 * n_above * n_below / (n_above + n_below) + 1"))
+      .select(col("n_above"), col("n_below"), col("n_runs"),
+        rnd(col("mu"), 4).as("mu_runs"),
+        rnd(expr("(n_runs - mu) / sqrt((mu - 1) * (mu - 2)" +
+          " / (n_above + n_below - 1))"), 4).as("z_stat"))
+  }
+
+  /** Herfindahl–Hirschman supplier-revenue concentration per nation:
+    * HHI = Σⱼ shareⱼ² over each nation's suppliers, plus the
+    * normalized HHI and the top-supplier share. Revenue rides the e4
+    * lattice; the share-square sum is exact DECIMAL(38,0)⇄HUGEINT
+    * (Σrevⱼ² / tot² as one double division of two exact integers), so
+    * no per-supplier share is ever a rounded intermediate. Two
+    * shuffles total: lineitem→supplier rollup (supplier is the
+    * broadcast dim) and the |suppliers|-bounded nation rollup. */
+  def qHerfindahl(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"),
+        col("s_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("rev"))
+    rev.groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev")).as("tot"),
+        sum(expr("CAST(rev AS DECIMAL(38,0)) * rev")).as("ssq"),
+        max(col("rev")).as("mx"))
+      .withColumn("hhi", rnd(expr(
+        "CAST(ssq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))"),
+        6))
+      .select(col("nationkey"), col("n_suppliers"), col("hhi"),
+        when(col("n_suppliers") >= 2L,
+          rnd(expr("(hhi - 1.0 / n_suppliers) / (1 - 1.0 / n_suppliers)"), 6))
+          .as("hhi_norm"),
+        rnd(expr("CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE)"), 6)
+          .as("top_share"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Laspeyres / Paasche / Fisher monthly price indexes vs the first
+    * month, over per-part UNIT VALUES (the practitioner's price proxy:
+    * revenue/quantity per part-month). Unit values are truncated onto
+    * the e4·100 integer lattice (`uv2 = 100·rev_e4 div qty`, relative
+    * truncation < 10⁻⁹), so the four index numerators/denominators
+    * are exact long sums over the parts matched to the base month and
+    * each index is ONE double division (Fisher one sqrt more). Scale:
+    * the part-month frame is |parts|×|months| bounded; one
+    * partkey-keyed self-join against the base month; no windows. */
+  def qPriceIndex(s: SparkSession, d: String): DataFrame = {
+    val pm = Tables.lineitem(s, d)
+      .groupBy(date_format(to_date(col("l_shipdate")), "yyyy-MM").as("month"),
+        col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long")).as("rev"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"))
+      .withColumn("uv2", expr("(rev * 100) div qty"))
+      .localCheckpoint(true)
+    val base = pm.crossJoin(broadcast(pm.agg(min(col("month")).as("m0"))))
+      .filter(col("month") === col("m0"))
+      .select(col("l_partkey"), col("uv2").as("uv0"), col("qty").as("q0"))
+    pm.join(base, "l_partkey")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("uv2") * col("q0")).as("lnum"),
+        sum(col("uv0") * col("q0")).as("lden"),
+        sum(col("uv2") * col("qty")).as("pnum"),
+        sum(col("uv0") * col("qty")).as("pden"))
+      .withColumn("laspeyres",
+        rnd(expr("CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE)"), 6))
+      .withColumn("paasche",
+        rnd(expr("CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE)"), 6))
+      .select(col("month"), col("n_parts"), col("laspeyres"), col("paasche"),
+        rnd(expr("sqrt(laspeyres * paasche)"), 6).as("fisher"))
+      .orderBy(col("month"))
+  }
+}

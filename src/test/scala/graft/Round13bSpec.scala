@@ -1,0 +1,424 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 continuation regressions: the classical-statistics family
+  * (graft.ops.Stats) certified against naive in-JVM replays on sf
+  * data — independent of the DuckDB oracle, so a gate regression and
+  * an algorithm regression can't mask each other.
+  */
+class Round13bSpec extends SparkSuite {
+
+  private def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+  private def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("jarque-bera matches the naive moment replay") {
+    val got = graft.ops.Stats.qJarqueBera(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    val qs = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity")).cast("long"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet == qs.keySet)
+    for ((k, vs) <- qs) {
+      val n = vs.length.toDouble
+      val mu = vs.sum / n
+      val m2 = vs.map(q => (q - mu) * (q - mu)).sum / n
+      val m3 = vs.map(q => math.pow(q - mu, 3)).sum / n
+      val m4 = vs.map(q => math.pow(q - mu, 4)).sum / n
+      val sk = m3 / math.sqrt(m2 * m2 * m2)
+      val ku = m4 / (m2 * m2)
+      val jb = n * (sk * sk + (ku - 3) * (ku - 3) / 4) / 6
+      val (gn, gmu, gsk, gku, gjb) = got(k)
+      assert(gn == vs.length.toLong, s"$k n")
+      // naive replay accumulates differently — compare at 3 dp
+      assert(math.abs(gmu - mu) < 5e-4, s"$k mean")
+      assert(math.abs(gsk - sk) < 5e-4, s"$k skew ($gsk vs $sk)")
+      assert(math.abs(gku - ku) < 5e-4, s"$k kurt ($gku vs $ku)")
+      assert(math.abs(gjb - jb) < jb * 1e-3 + 1e-3, s"$k jb ($gjb vs $jb)")
+    }
+  }
+
+  test("kruskal-wallis matches the naive tie-averaged rank replay") {
+    val rows = graft.ops.Stats.qKruskalWallis(spark, sf).collect()
+    val pts = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"),
+        round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // naive tie-averaged ranks over the full sorted sample
+    val sorted = pts.map(_._2).sorted
+    val n = sorted.length
+    val rank = scala.collection.mutable.Map.empty[Long, Double]
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && sorted(j) == sorted(i)) j += 1
+      rank(sorted(i)) = (i + 1 + j) / 2.0 // avg of ranks i+1..j
+      i = j
+    }
+    val byG = pts.groupBy(_._1).view
+      .mapValues(_.map(p => rank(p._2))).toMap
+    val h = 12.0 / (n.toDouble * (n + 1)) *
+      byG.values.map(rs => { val s = rs.sum; s * s / rs.length }).sum -
+      3 * (n + 1)
+    val ties = pts.map(_._2).groupBy(identity).values
+      .map(_.length.toDouble).map(t => t * t * t - t).sum
+    val hAdj = h / (1 - ties / (n.toDouble * n * n - n))
+    for (r <- rows) {
+      val g = r.getLong(0)
+      val nj = r.getLong(1)
+      assert(nj == byG(g).length.toLong, s"nation $g n_j")
+      assert(math.abs(r.getDouble(3) -
+        byG(g).sum / byG(g).length) < 5e-4, s"nation $g mean rank")
+      assert(math.abs(r.getDouble(6) - h) < 1e-3, s"h ${r.getDouble(6)} vs $h")
+      assert(math.abs(r.getDouble(7) - hAdj) < 1e-3, "h_adj")
+    }
+  }
+
+  test("runs test matches the naive sequential replay") {
+    val r = graft.ops.Stats.qRunsTest(spark, sf).collect().head
+    val daily = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .orderBy(col("day"))
+      .collect().map(_.getLong(1)).toSeq
+    val med = daily.sorted.apply((daily.length + 1) / 2 - 1)
+    val s = daily.filter(_ != med).map(v => if (v > med) 1 else 0)
+    val runs = 1 + s.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    val (n1, n2) = (s.count(_ == 1).toLong, s.count(_ == 0).toLong)
+    val nn = (n1 + n2).toDouble
+    val mu = 2.0 * n1 * n2 / nn + 1
+    val z = (runs - mu) / math.sqrt((mu - 1) * (mu - 2) / (nn - 1))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (n1, n2, runs.toLong))
+    assert(r.getDouble(3) == r4(mu))
+    assert(math.abs(r.getDouble(4) - z) < 1e-3)
+  }
+
+  test("herfindahl matches the naive share replay") {
+    val got = graft.ops.Stats.qHerfindahl(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    val revs = graft.sources.Tables.lineitem(spark, sf).as("l")
+      .join(graft.sources.Tables.supplier(spark, sf).as("s"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long"), col("s_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .groupBy(_._1._1).view
+      .mapValues(_.map(_._2.toDouble)).toMap
+    assert(got.keySet == revs.keySet)
+    for ((nk, rs) <- revs) {
+      val tot = rs.sum
+      val hhi = rs.map(r => (r / tot) * (r / tot)).sum
+      val (gn, ghhi, gtop) = got(nk)
+      assert(gn == rs.length.toLong, s"nation $nk count")
+      assert(math.abs(ghhi - hhi) < 5e-6, s"nation $nk hhi")
+      assert(math.abs(gtop - rs.max / tot) < 5e-6, s"nation $nk top share")
+    }
+  }
+
+  test("price index: base month is exactly 1.0 and Fisher between L and P") {
+    val rows = graft.ops.Stats.qPriceIndex(spark, sf).collect()
+    val first = rows.minBy(_.getString(0))
+    assert(first.getDouble(2) == 1.0 && first.getDouble(3) == 1.0 &&
+      first.getDouble(4) == 1.0, "base month must index to 1.0")
+    for (r <- rows) {
+      val (l, p, f) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(f >= math.min(l, p) - 1e-6 && f <= math.max(l, p) + 1e-6,
+        s"${r.getString(0)}: fisher $f outside [$l, $p]")
+      // sf0.001 months match only a handful of base-month parts, so
+      // the index is noisy — just require positive and finite
+      assert(l > 0 && l < 100 && p > 0 && p < 100, s"index sane: $l / $p")
+    }
+  }
+
+  private def dailyE4(): Seq[(java.sql.Date, Long)] =
+    graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getDate(0), r.getLong(1))).toSeq
+
+  test("bollinger bands match the naive sliding replay") {
+    val got = graft.ops.Behavior.qBollinger(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getDouble(2), r.getDouble(3), r.getInt(6))).toMap
+    val daily = dailyE4()
+    val want = daily.indices.drop(19).map { i =>
+      val w = daily.slice(i - 19, i + 1).map(_._2.toDouble / 10000)
+      val ma = w.sum / 20
+      val sd = math.sqrt(w.map(x => (x - ma) * (x - ma)).sum / 20)
+      val x = daily(i)._2.toDouble / 10000
+      val br = if (x > ma + 2 * sd) 1 else if (x < ma - 2 * sd) -1 else 0
+      daily(i)._1.toString -> (ma, sd, br)
+    }.toMap
+    assert(got.keySet == want.keySet)
+    for ((d, (ma, sd, br)) <- want) {
+      val (gma, gsd, gbr) = got(d)
+      assert(math.abs(gma - ma) < 5e-4, s"$d ma")
+      assert(math.abs(gsd - sd) < 5e-4, s"$d sd")
+      // breakout can flip only within float noise of the band itself
+      if (gbr != br) {
+        // band-edge tie: a flip is only legitimate within float noise
+        assert(math.abs(math.abs(daily.find(_._1.toString == d).get._2
+          .toDouble / 10000 - ma) - 2 * sd) < 1e-6, s"$d breakout $gbr vs $br")
+      }
+    }
+  }
+
+  test("rsi matches the naive sliding replay") {
+    val got = graft.ops.Behavior.qRsi(spark, sf).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    val daily = dailyE4()
+    val diffs = daily.sliding(2).collect { case Seq(a, b) =>
+      (b._1, b._2 - a._2) }.toSeq
+    val want = diffs.indices.drop(13).map { i =>
+      val w = diffs.slice(i - 13, i + 1).map(_._2)
+      val g = w.filter(_ > 0).sum
+      val l = -w.filter(_ < 0).sum
+      diffs(i)._1.toString ->
+        (g, l, if (g + l > 0) r4(100.0 * g / (g + l)) else Double.NaN)
+    }.toMap
+    assert(got.keySet == want.keySet)
+    for ((d, (g, l, rsi)) <- want) {
+      val (gg, gl, grsi) = got(d)
+      assert((gg, gl) == (g, l), s"$d sums")
+      assert(grsi == rsi || (grsi.isNaN && rsi.isNaN), s"$d rsi")
+    }
+  }
+
+  test("drawdown matches the naive running-peak replay") {
+    val got = graft.ops.Behavior.qDrawdown(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> (r.getDouble(3), r.getInt(5))).toMap
+    val daily = dailyE4()
+    var peak = Long.MinValue
+    for ((d, e4) <- daily) {
+      peak = math.max(peak, e4)
+      val (gdd, gpk) = got(d.toString)
+      assert(gdd == math.floor((peak - e4).toDouble / 10000 * 100 + 0.5) / 100,
+        s"$d drawdown")
+      assert(gpk == (if (e4 == peak) 1 else 0), s"$d is_peak")
+    }
+  }
+
+  test("croston classification boundaries are integer-exact") {
+    val rows = graft.ops.Behavior.qCroston(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, q, q2span) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val adi = r.getDouble(4)
+      val cls = r.getString(7)
+      val intermittent = q2span * 100 > 132 * (n - 1) // span*100 vs ADI cut
+      assert(cls.nonEmpty)
+      if (intermittent) assert(cls == "intermittent" || cls == "lumpy",
+        s"part ${r.getLong(0)}: adi=$adi span=$q2span n=$n got $cls")
+      else assert(cls == "smooth" || cls == "erratic",
+        s"part ${r.getLong(0)}: adi=$adi span=$q2span n=$n got $cls")
+    }
+  }
+
+  test("croston moments match a naive replay on a sample of parts") {
+    val got = graft.ops.Behavior.qCroston(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(6))).toMap
+    val dd = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDate(1), r.getLong(2)))
+      .groupBy(_._1)
+    for ((pk, rows) <- dd if rows.size >= 2) {
+      val days = rows.map(_._2.toLocalDate.toEpochDay)
+      val n = rows.size.toLong
+      val qt = rows.map(_._3).sum
+      val span = days.max - days.min
+      val (gn, gq, gs, gf) = got(pk)
+      assert((gn, gq, gs) == (n, qt, span), s"part $pk moments")
+      assert(gf == r4(qt.toDouble * (n - 1) / (n.toDouble * span)),
+        s"part $pk forecast")
+    }
+    assert(got.keySet == dd.filter(_._2.size >= 2).keySet)
+  }
+
+  test("katz centrality matches a naive walk-count replay") {
+    val got = graft.ops.Mining.qKatzCentrality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val pairs = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey") * 2, col("l_suppkey") * 2 + 1).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val w1 = adj.view.mapValues(_.length.toLong).toMap
+    val w2 = adj.view.mapValues(_.map(w1).sum).toMap
+    val w3 = adj.view.mapValues(_.map(w2).sum).toMap
+    val want = adj.keys.filter(_ % 2 == 1).toSeq
+      .map(n => ((n - 1) / 2, w1(n), w2(n), w3(n),
+        16 * w1(n) + 4 * w2(n) + w3(n)))
+      .sortBy(t => (-t._5, t._1)).take(20)
+    assert(got.toSeq == want)
+  }
+
+  test("eigenvector centrality matches a naive walk-count replay") {
+    val got = graft.ops.Mining.qEigenvectorCentrality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val lp = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val pairs = lp.values.toSeq.flatMap { ps =>
+      val v = ps.toSeq
+      for (a <- v; b <- v if a < b) yield (a, b)
+    }.toSet
+    val adj = (pairs.toSeq ++ pairs.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val w1 = adj.view.mapValues(_.length.toLong).toMap
+    val w2 = adj.view.mapValues(_.map(w1).sum).toMap
+    val w3 = adj.view.mapValues(_.map(w2).sum).toMap
+    val mx = w3.values.max
+    val want = adj.keys.toSeq
+      .map(n => (n, w1(n), w3(n),
+        math.floor(w3(n).toDouble / mx * 1e6 + 0.5) / 1e6))
+      .sortBy(t => (-t._3, t._1)).take(20)
+    assert(got.toSeq == want)
+  }
+
+  test("hamming top-k matches a naive sign-binarization replay") {
+    val got = graft.ops.PipelineQueries.embedHammingTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def code(v: Seq[Float]): (Long, Long) = {
+      var c1, c2 = 0L
+      for (i <- v.indices if v(i) > 0)
+        if (i < 32) c1 |= 1L << i else c2 |= 1L << (i - 32)
+      (c1, c2)
+    }
+    val codes = vecs.view.mapValues(code).toMap
+    for (qid <- vecs.keys.filter(_ < 10)) {
+      val (q1, q2) = codes(qid)
+      val ranked = codes.toSeq.filter(_._1 != qid)
+        .map { case (c, (c1, c2)) =>
+          (c, (java.lang.Long.bitCount(c1 ^ q1) +
+            java.lang.Long.bitCount(c2 ^ q2)).toLong) }
+        .sortBy { case (c, h) => (h, c) }.take(10)
+      for ((rnk0, (cid, h)) <- ranked.zipWithIndex.map(_.swap))
+        assert(got((qid, rnk0 + 1L)) == (cid, h), s"q $qid rank ${rnk0 + 1}")
+    }
+  }
+
+  test("unigram KL is non-negative and matches a naive replay") {
+    val got = graft.ops.PipelineQueries.textUnigramKl(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+")
+        .filter(_.nonEmpty).map(w => (r.getString(0), w)))
+    val nC = toks.length.toLong
+    val cW = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    for ((src, ts) <- toks.groupBy(_._1)) {
+      val nS = ts.length.toLong
+      val kl = ts.groupBy(_._2).map { case (w, ws) =>
+        val cSw = ws.length.toLong
+        cSw * math.round(math.log(cSw.toDouble * nC / (nS.toDouble * cW(w)))
+          * 1e6)
+      }.sum
+      val (gn, gkl) = got(src)
+      assert(gn == nS, s"$src token count")
+      assert(gkl == math.floor(kl.toDouble / nS + 0.5) / 1e6, s"$src kl")
+      // KL ≥ 0 up to micro-nat truncation noise
+      assert(gkl > -1e-4, s"$src kl negative: $gkl")
+    }
+  }
+
+  test("burstiness matches a naive per-doc census replay") {
+    val got = graft.ops.PipelineQueries.textBurstiness(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")
+        .filter(_.nonEmpty))
+    val nDocs = docs.length
+    val counts = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => (w, id, g.length.toLong) } }
+    val byW = counts.groupBy(_._1)
+    for ((tok, (tot, df, vmr)) <- got) {
+      val xs = byW(tok).map(_._3)
+      assert(xs.sum == tot, s"$tok total")
+      assert(xs.length.toLong == df, s"$tok df")
+      val mean = tot.toDouble / nDocs
+      val v = xs.map(x => x.toDouble * x).sum / nDocs - mean * mean
+      assert(math.abs(vmr - v / mean) < 5e-4, s"$tok vmr")
+    }
+    // top-20 really is the top-20 by total count
+    val totals = byW.view.mapValues(_.map(_._3).sum).toSeq
+      .sortBy { case (w, t) => (-t, w) }.take(20).map(_._1)
+    assert(got.map(_._1).toSeq == totals)
+  }
+
+  test("temperature mixture quotas are sqrt-proportional and under budget") {
+    val rows = graft.ops.PipelineQueries.dataTemperatureMix(spark, sf)
+      .collect()
+    var quotaSum = 0L
+    val weights = rows.map { r =>
+      val (n, w, quota, sel) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(w == math.floor(math.sqrt(n.toDouble) * 1e6).toLong,
+        s"${r.getString(0)} weight")
+      assert(sel == quota, s"${r.getString(0)} fill")
+      quotaSum += quota
+      w
+    }
+    val tw = weights.sum
+    assert(quotaSum <= 200, s"budget exceeded: $quotaSum")
+    // floor-division quotas undershoot by at most one doc per source
+    assert(quotaSum > 200 - rows.length, s"quota undershoot: $quotaSum")
+    for (r <- rows)
+      assert(r.getLong(3) == 200L * r.getLong(2) / tw,
+        s"${r.getString(0)} quota formula")
+  }
+
+  test("price index matches a naive unit-value replay") {
+    val got = graft.ops.Stats.qPriceIndex(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val pm = graft.sources.Tables.lineitem(spark, sf)
+      .select(date_format(to_date(col("l_shipdate")), "yyyy-MM").as("m"),
+        col("l_partkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.map(_._2._1).sum, vs.map(_._2._2).sum)).toMap
+    val uv = pm.view.mapValues { case (rev, q) => (rev * 100) / q }.toMap
+    val m0 = pm.keys.map(_._1).min
+    val base = pm.keys.filter(_._1 == m0).map(_._2).toSet
+    for (m <- pm.keys.map(_._1)) {
+      val parts = pm.keys.filter(_._1 == m).map(_._2).toSet & base
+      val lnum = parts.toSeq.map(p => uv((m, p)) * pm((m0, p))._2).sum
+      val lden = parts.toSeq.map(p => uv((m0, p)) * pm((m0, p))._2).sum
+      val pnum = parts.toSeq.map(p => uv((m, p)) * pm((m, p))._2).sum
+      val pden = parts.toSeq.map(p => uv((m0, p)) * pm((m, p))._2).sum
+      val (gn, gl, gp) = got(m)
+      assert(gn == parts.size.toLong, s"$m matched parts")
+      assert(gl == r6(lnum.toDouble / lden), s"$m laspeyres")
+      assert(gp == r6(pnum.toDouble / pden), s"$m paasche")
+    }
+  }
+}
