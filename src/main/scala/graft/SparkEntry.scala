@@ -932,6 +932,9 @@ object SparkEntry {
     "q_mann_kendall" -> (Behavior.qMannKendall _),
     "q_jarque_bera" -> (Stats.qJarqueBera _),
     "embed_hamming_topk" -> (PipelineQueries.embedHammingTopk _),
+    "multimodal_bmp_codec" -> (PipelineQueries.multimodalBmpCodec _),
+    "multimodal_image_hist" -> (PipelineQueries.multimodalImageHist _),
+    "multimodal_audio_pitch" -> (PipelineQueries.multimodalAudioPitch _),
     "text_unigram_kl" -> (PipelineQueries.textUnigramKl _),
     "text_burstiness" -> (PipelineQueries.textBurstiness _),
     "data_temperature_mix" -> (PipelineQueries.dataTemperatureMix _),
@@ -5193,6 +5196,53 @@ object SparkEntry {
         |  floor(CAST(ag.s AS DOUBLE) / ag.n0 * 1e6 + 0.5) / 1e6 AS tau_a
         |FROM nc JOIN ag ON nc.month = ag.month
         |ORDER BY 1""".stripMargin,
+    "multimodal_bmp_codec" ->
+      """WITH d AS (SELECT doc_id, 8 + (doc_id * 3) % 24 AS w,
+        |    8 + (doc_id * 5) % 24 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS i FROM d),
+        |ys AS (SELECT doc_id, w, h, i, unnest(range(h)) AS j FROM xs)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(sum((i * 31 + j * 17 + doc_id) % 256) AS BIGINT) AS px_sum
+        |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "multimodal_image_hist" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w,
+        |    8 + (doc_id * 7) % 24 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS i FROM d),
+        |ys AS (SELECT doc_id, i,
+        |    ((i * 31 + unnest(range(h)) * 17 + doc_id) % 256) // 32 AS b
+        |  FROM xs)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        |  CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        |  CAST(sum(CASE WHEN b = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+        |  CAST(sum(CASE WHEN b = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+        |  CAST(sum(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM ys GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "multimodal_audio_pitch" ->
+      """WITH d AS (SELECT doc_id, 200 + doc_id % 256 AS n
+        |    FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM d),
+        |v AS (SELECT doc_id, n, i,
+        |    (i * 37 + doc_id * 101) % 65536 - 32768 AS v FROM s),
+        |lags AS (SELECT unnest(range(20, 41)) AS lag),
+        |al AS (SELECT doc_id, n, lag, i + lag AS j, v
+        |  FROM v CROSS JOIN lags),
+        |r AS (SELECT al.doc_id, al.n, al.lag,
+        |    CAST(sum(al.v * b.v) AS BIGINT) AS r
+        |  FROM al JOIN v b ON b.doc_id = al.doc_id AND b.i = al.j
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT doc_id, n, lag, r,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY r DESC, lag) AS rk
+        |  FROM r)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(lag AS BIGINT) AS best_lag, r AS r_peak,
+        |  floor(16000.0 / lag * 1e4 + 0.5) / 1e4 AS f0_hz
+        |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "embed_hamming_topk" ->
       """WITH e AS (
         |  SELECT vec_id, unnest(embedding) AS x,

@@ -406,4 +406,80 @@ object Codecs {
     }
     (nFrames.toLong, nSpeech, nSeg)
   }
+
+  // ---- BMP ----------------------------------------------------------
+
+  def bmpWidth(docId: Long): Int = (8 + (docId * 3) % 24).toInt
+  def bmpHeight(docId: Long): Int = (8 + (docId * 5) % 24).toInt
+
+  /** Real Windows-BMP bytes (BITMAPFILEHEADER + 24-bit DIB) for the
+    * doc's deterministic image — the JDK's third genuine image codec
+    * after PNG/GIF, and the UNCOMPRESSED one, so it exercises the
+    * row-padding path the zlib formats never touch. */
+  def encodeBmp(docId: Long): Array[Byte] = {
+    val w = bmpWidth(docId)
+    val h = bmpHeight(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = grayAt(x, y, docId)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Decode image bytes → 8-bucket luminance histogram (red channel
+    * div 32) off the DECODED pixels. */
+  def decodeImageHist(bytes: Array[Byte]): Array[Long] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val hist = new Array[Long](8)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        hist(((img.getRGB(x, y) >> 16) & 0xff) >> 5) += 1
+        x += 1
+      }
+      y += 1
+    }
+    hist
+  }
+
+  /** Decode WAV bytes → integer autocorrelation pitch probe: best lag
+    * in [minLag, maxLag] by R(τ) = Σ vᵢ·vᵢ₊τ over DECODED samples
+    * (ties to the smallest lag). Exact longs throughout → the oracle
+    * replays the generator arithmetic. Returns (n, bestLag, bestR). */
+  def decodeWavPitch(bytes: Array[Byte], minLag: Int, maxLag: Int)
+      : (Long, Long, Long) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val raw = in.readAllBytes()
+    val n = raw.length / 2
+    val v = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      v(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    var bestLag = minLag.toLong
+    var bestR = Long.MinValue
+    var lag = minLag
+    while (lag <= maxLag) {
+      var r = 0L
+      i = 0
+      while (i + lag < n) {
+        r += v(i).toLong * v(i + lag)
+        i += 1
+      }
+      if (r > bestR) { bestR = r; bestLag = lag.toLong }
+      lag += 1
+    }
+    (n.toLong, bestLag, bestR)
+  }
 }

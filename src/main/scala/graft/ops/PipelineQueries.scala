@@ -3121,6 +3121,65 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BMP roundtrip through the JDK's uncompressed image codec:
+    * deterministic image → real BITMAPFILEHEADER+DIB bytes → decode →
+    * (dims, Σ red) off the DECODED pixels. Same map-only codec-seam
+    * contract as [[multimodalPngCodec]] (the oracle replays the
+    * generator arithmetic; BMP is lossless so equality proves the
+    * roundtrip), but exercising the row-padded uncompressed path the
+    * zlib formats never touch. */
+  def multimodalBmpCodec(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodeBmp(id)
+        val (w, h, sum) = graft.mm.Codecs.decodePngStats(bytes)
+        (id, w.toLong, h.toLong, sum)
+      })
+      .toDF("doc_id", "width", "height", "px_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-image luminance histogram (8 buckets of 32 gray levels) off
+    * DECODED PNG pixels — the exposure/contrast QA scan a vision
+    * pipeline runs before training. Map-only through the codec seam;
+    * bucket counts are exact integers so the oracle replays the
+    * generator. */
+  def multimodalImageHist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val h = graft.mm.Codecs.decodeImageHist(graft.mm.Codecs.encodePng(id))
+        (id, h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
+      })
+      .toDF("doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Autocorrelation pitch probe over DECODED WAV samples: best lag in
+    * [20, 40] by the exact integer autocorrelation R(τ) = Σ vᵢ·vᵢ₊τ,
+    * f0 = rate/lag — the feature-extraction shape of a real F0
+    * estimator (YIN's first stage) on the synthetic deterministic
+    * signal. Map-only; the oracle replays the generator arithmetic
+    * with a lag×sample self-join, so the decode path is proven
+    * sample-exact. */
+  def multimodalAudioPitch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (n, lag, r) = graft.mm.Codecs.decodeWavPitch(
+          graft.mm.Codecs.encodeWav(id), 20, 40)
+        (id, n, lag, r)
+      })
+      .toDF("doc_id", "n_samples", "best_lag", "r_peak")
+      .withColumn("f0_hz",
+        floor(expr("16000.0 / best_lag") * 1e4 + 0.5) / 1e4)
+      .orderBy(col("doc_id"))
+  }
+
   /** 1-bit (sign) quantized ANN: embeddings binarize to two 32-bit
     * codes (bit i = 1 iff dim i > 0 — two longs instead of one so no
     * shift ever reaches bit 63, where BIGINT `<<` semantics diverge

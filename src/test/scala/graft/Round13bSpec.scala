@@ -392,6 +392,48 @@ class Round13bSpec extends SparkSuite {
         s"${r.getString(0)} quota formula")
   }
 
+  test("bmp roundtrip preserves every pixel of the generator image") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 499L)) {
+      val (w, h, sum) = graft.mm.Codecs.decodePngStats(
+        graft.mm.Codecs.encodeBmp(id))
+      assert(w == graft.mm.Codecs.bmpWidth(id) &&
+        h == graft.mm.Codecs.bmpHeight(id), s"doc $id dims")
+      val want = (for (x <- 0 until w; y <- 0 until h)
+        yield graft.mm.Codecs.grayAt(x, y, id).toLong).sum
+      assert(sum == want, s"doc $id pixel sum")
+    }
+  }
+
+  test("image histogram equals the generator bucket census") {
+    for (id <- Seq(0L, 5L, 250L)) {
+      val hist = graft.mm.Codecs.decodeImageHist(
+        graft.mm.Codecs.encodePng(id))
+      val w = graft.mm.Codecs.pngWidth(id)
+      val h = graft.mm.Codecs.pngHeight(id)
+      val want = new Array[Long](8)
+      for (x <- 0 until w; y <- 0 until h)
+        want(graft.mm.Codecs.grayAt(x, y, id) >> 5) += 1
+      assert(hist.toSeq == want.toSeq, s"doc $id hist")
+      assert(hist.sum == w.toLong * h, s"doc $id total")
+    }
+  }
+
+  test("wav pitch probe equals a naive generator autocorrelation") {
+    for (id <- Seq(0L, 3L, 77L)) {
+      val (n, lag, r) = graft.mm.Codecs.decodeWavPitch(
+        graft.mm.Codecs.encodeWav(id), 20, 40)
+      val nn = graft.mm.Codecs.wavSamples(id)
+      assert(n == nn.toLong, s"doc $id n")
+      val rs = (20 to 40).map { t =>
+        t -> (0 until nn - t).map(i =>
+          graft.mm.Codecs.sampleAt(i, id).toLong *
+            graft.mm.Codecs.sampleAt(i + t, id)).sum
+      }
+      val best = rs.maxBy { case (t, v) => (v, -t) }
+      assert((lag, r) == (best._1.toLong, best._2), s"doc $id pitch")
+    }
+  }
+
   test("price index matches a naive unit-value replay") {
     val got = graft.ops.Stats.qPriceIndex(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
