@@ -931,6 +931,10 @@ object SparkEntry {
     "text_tokenizer_fertility" -> (PipelineQueries.textTokenizerFertility _),
     "q_mann_kendall" -> (Behavior.qMannKendall _),
     "q_jarque_bera" -> (Stats.qJarqueBera _),
+    "q_theil_index" -> (Stats.qTheilIndex _),
+    "q_brown_forsythe" -> (Stats.qBrownForsythe _),
+    "q_ols_diagnostics" -> (Stats.qOlsDiagnostics _),
+    "sink_zonemap_prune" -> (graft.sources.Layouts.zonemapPrune _),
     "embed_hamming_topk" -> (PipelineQueries.embedHammingTopk _),
     "multimodal_bmp_codec" -> (PipelineQueries.multimodalBmpCodec _),
     "multimodal_image_hist" -> (PipelineQueries.multimodalImageHist _),
@@ -5196,6 +5200,132 @@ object SparkEntry {
         |  floor(CAST(ag.s AS DOUBLE) / ag.n0 * 1e6 + 0.5) / 1e6 AS tau_a
         |FROM nc JOIN ag ON nc.month = ag.month
         |ORDER BY 1""".stripMargin,
+    "q_theil_index" ->
+      """WITH x AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS g,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS x
+        |  FROM customer WHERE c_acctbal > 0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS tot FROM x),
+        |gt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(x) AS BIGINT) AS tot_g FROM x GROUP BY 1),
+        |c AS (SELECT x.g,
+        |    CAST(sum(x * CAST(round(ln(CAST(x AS DOUBLE) * n /
+        |      (CAST(tot AS DOUBLE))) * 1e6) AS BIGINT)) AS BIGINT) AS t_num,
+        |    CAST(sum(x * CAST(round(ln(CAST(x AS DOUBLE) * n_g /
+        |      (CAST(tot_g AS DOUBLE))) * 1e6) AS BIGINT)) AS BIGINT) AS w_num
+        |  FROM x JOIN gt USING (g) CROSS JOIN tot GROUP BY 1),
+        |b AS (SELECT g, n_g, tot_g,
+        |    tot_g * CAST(round(ln(CAST(tot_g AS DOUBLE) * n /
+        |      (CAST(tot AS DOUBLE) * n_g)) * 1e6) AS BIGINT) AS b_num
+        |  FROM gt CROSS JOIN tot),
+        |s AS (SELECT max(n) AS n, max(tot) AS tot,
+        |    floor(CAST(sum(t_num) AS DOUBLE) / max(tot) + 0.5) / 1e6
+        |      AS theil_total,
+        |    floor(CAST(sum(b_num) AS DOUBLE) / max(tot) + 0.5) / 1e6
+        |      AS theil_between,
+        |    floor(CAST(sum(w_num) AS DOUBLE) / max(tot) + 0.5) / 1e6
+        |      AS theil_within
+        |  FROM c JOIN b USING (g) CROSS JOIN tot)
+        |SELECT c.g AS nationkey, b.n_g, b.tot_g,
+        |  floor(CAST(c.w_num AS DOUBLE) / b.tot_g + 0.5) / 1e6 AS theil_g,
+        |  s.n, s.tot, s.theil_total, s.theil_between, s.theil_within
+        |FROM c JOIN b USING (g) CROSS JOIN s
+        |ORDER BY nationkey""".stripMargin,
+    "q_brown_forsythe" ->
+      """WITH x AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS g, c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+        |med AS (SELECT g, min(v) AS med FROM (
+        |    SELECT g, v,
+        |      row_number() OVER (PARTITION BY g ORDER BY v, c_custkey)
+        |        AS rn,
+        |      count(*) OVER (PARTITION BY g) AS tot
+        |    FROM x)
+        |  WHERE rn = (tot + 1) // 2 GROUP BY g),
+        |z AS (SELECT x.g, abs(v - med) AS z, med
+        |  FROM x JOIN med USING (g)),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(z) AS BIGINT) AS s_g,
+        |    sum(CAST(z AS HUGEINT) * z) AS s2_g,
+        |    CAST(max(med) AS BIGINT) AS median_cents
+        |  FROM z GROUP BY 1),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS BIGINT) AS s,
+        |    sum(s2_g) AS s2,
+        |    sum((CAST(s_g AS HUGEINT) * s_g) // n_g) AS sb
+        |  FROM grp),
+        |f2 AS (SELECT k, n, k - 1 AS df1, n - k AS df2,
+        |    CAST(sb AS DOUBLE)
+        |      - CAST((CAST(s AS HUGEINT) * s) // n AS DOUBLE) AS ssb,
+        |    CAST(s2 AS DOUBLE) - CAST(sb AS DOUBLE) AS ssw
+        |  FROM f)
+        |SELECT g AS nationkey, n_g, median_cents,
+        |  floor(CAST(s_g AS DOUBLE) / n_g * 1e4 + 0.5) / 1e4 AS mean_absdev,
+        |  k, df1, df2,
+        |  floor((ssb / (k - 1)) / (ssw / (n - k)) * 1e4 + 0.5) / 1e4
+        |    AS f_stat
+        |FROM grp CROSS JOIN f2 ORDER BY nationkey""".stripMargin,
+    "q_ols_diagnostics" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |dx AS (SELECT day, e4,
+        |    CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT) AS x
+        |  FROM daily),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(e4) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * e4) AS sxy,
+        |    sum(CAST(e4 AS HUGEINT) * e4) AS syy
+        |  FROM dx),
+        |b AS (SELECT *,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
+        |  FROM m),
+        |a AS (SELECT *,
+        |    (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / n AS alpha,
+        |    CAST(sx AS DOUBLE) / n AS xbar
+        |  FROM b),
+        |s AS (SELECT *,
+        |    (CAST(syy AS DOUBLE) - alpha * CAST(sy AS DOUBLE)
+        |      - beta * CAST(sxy AS DOUBLE)) / (n - 2) AS s2,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * xbar AS sxxc
+        |  FROM a),
+        |r AS (SELECT day, e4, x, beta, alpha, s2, xbar, sxxc, n,
+        |    CAST(e4 AS DOUBLE) - alpha - beta * x AS resid,
+        |    1.0 / n + (x - xbar) * (x - xbar) / sxxc AS lev
+        |  FROM dx CROSS JOIN s)
+        |SELECT day,
+        |  floor(CAST(e4 AS DOUBLE) / 10000 * 100 + 0.5) / 100 AS rev,
+        |  floor(beta / 10000 * 1e4 + 0.5) / 1e4 AS slope,
+        |  floor(resid / 10000 * 100 + 0.5) / 100 AS residual,
+        |  floor(lev * 1e6 + 0.5) / 1e6 AS leverage,
+        |  floor(resid * resid * lev / (2 * s2 * (1 - lev) * (1 - lev))
+        |    * 1e6 + 0.5) / 1e6 AS cook_d
+        |FROM r
+        |ORDER BY resid * resid * lev / (2 * s2 * (1 - lev) * (1 - lev))
+        |  DESC, day LIMIT 10""".stripMargin,
+    "sink_zonemap_prune" ->
+      """WITH li AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(((year(CAST(l_shipdate AS DATE)) - 1995) * 12 +
+        |      month(CAST(l_shipdate AS DATE)) - 1) // 6 AS BIGINT) AS zone
+        |  FROM lineitem)
+        |SELECT zone, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(day) AS min_day, max(day) AS max_day,
+        |  CAST(max(day) < DATE '1996-01-01'
+        |    OR min(day) > DATE '1996-06-30' AS INT) AS skippable,
+        |  CAST(sum(CASE WHEN day BETWEEN DATE '1996-01-01'
+        |    AND DATE '1996-06-30' THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |  CAST(sum(pc) AS BIGINT) AS price_checksum
+        |FROM li GROUP BY zone ORDER BY zone""".stripMargin,
     "multimodal_bmp_codec" ->
       """WITH d AS (SELECT doc_id, 8 + (doc_id * 3) % 24 AS w,
         |    8 + (doc_id * 5) % 24 AS h FROM documents),

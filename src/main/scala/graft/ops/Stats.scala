@@ -191,6 +191,159 @@ object Stats {
       .orderBy(col("nationkey"))
   }
 
+  /** Theil T inequality index of positive account balances with the
+    * exact between/within-nation decomposition — the decomposable
+    * complement to q_gini. Every log-ratio is fixed to integer
+    * micro-nats (the dsir/bigram-ppl portability trick), so all three
+    * numerators T·tot·10⁶ = Σ xᵢ·kᵢ are exact long sums — including
+    * T_within, whose double-sum-over-groups form would leak
+    * accumulation order but whose numerator Σ_g Σ_{i∈g} xᵢ·k′ᵢ is one
+    * flat order-free long rollup. Three shuffles, all partial-
+    * aggregable: per-nation totals (broadcast back), the global
+    * 2-scalar frame, and the final nation rollup. */
+  def qTheilIndex(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_nationkey").cast("long").as("g"),
+        round(col("c_acctbal") * 100).cast("long").as("x"))
+    val gTot = x.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("tot_g"))
+      .localCheckpoint(true)
+    val tot = broadcast(x.agg(count(lit(1)).as("n"), sum(col("x")).as("tot")))
+    val contrib = x.join(broadcast(gTot), "g").crossJoin(tot)
+      .select(col("g"),
+        (col("x") * expr("CAST(round(ln(CAST(x AS DOUBLE) * n / " +
+          "(CAST(tot AS DOUBLE))) * 1e6) AS BIGINT)")).as("t_num"),
+        (col("x") * expr("CAST(round(ln(CAST(x AS DOUBLE) * n_g / " +
+          "(CAST(tot_g AS DOUBLE))) * 1e6) AS BIGINT)")).as("w_num"))
+      .groupBy(col("g"))
+      .agg(sum(col("t_num")).as("t_num"), sum(col("w_num")).as("w_num"))
+    val between = gTot.crossJoin(tot)
+      .select(col("g"), col("n_g"), col("tot_g"),
+        (col("tot_g") * expr("CAST(round(ln(CAST(tot_g AS DOUBLE) * n / " +
+          "(CAST(tot AS DOUBLE) * n_g)) * 1e6) AS BIGINT)")).as("b_num"))
+    val sums = contrib.join(between, "g").crossJoin(tot)
+      .agg(sum(col("t_num")).as("tn"), sum(col("w_num")).as("wn"),
+        sum(col("b_num")).as("bn"),
+        max(col("n")).as("n"), max(col("tot")).as("tot"))
+      .select(col("n"), col("tot"),
+        (floor(col("tn").cast("double") / col("tot") + 0.5) / 1e6)
+          .as("theil_total"),
+        (floor(col("bn").cast("double") / col("tot") + 0.5) / 1e6)
+          .as("theil_between"),
+        (floor(col("wn").cast("double") / col("tot") + 0.5) / 1e6)
+          .as("theil_within"))
+    contrib.join(between, "g").crossJoin(broadcast(sums))
+      .select(col("g").as("nationkey"), col("n_g"), col("tot_g"),
+        (floor(col("w_num").cast("double") / col("tot_g") + 0.5) / 1e6)
+          .as("theil_g"),
+        col("n"), col("tot"), col("theil_total"), col("theil_between"),
+        col("theil_within"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Brown–Forsythe variance-homogeneity test (Levene with the
+    * MEDIAN center — the robust form) of account balance across
+    * nations: z = |x − med_g| on the exact cent lattice, then the
+    * one-way ANOVA F over z from integer moments. Group medians come
+    * off the exact ranged [[Ranks.groupRowNumber]] — no per-nation
+    * window sort — and every z is an integer, so SSB/SSW are
+    * pinned-order double expressions over exact long/DECIMAL moments.
+    * Emits the per-nation census plus the global F and its dfs. */
+  def qBrownForsythe(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("g"),
+        col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+    val med = Ranks.groupRowNumber(x, Seq(col("g")),
+        Seq(col("v"), col("c_custkey")), "rn", "tot")
+      .filter(expr("rn = (tot + 1) div 2"))
+      .groupBy(col("g")).agg(min(col("v")).as("med"))
+    val z = x.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") - col("med")).as("z"), col("med"))
+    val grp = z.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("z")).as("s_g"),
+        sum(expr("CAST(z AS DECIMAL(38,0)) * z")).as("s2_g"),
+        max(col("med")).as("median_cents"))
+      .localCheckpoint(true)
+    val f = grp.agg(
+        count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"),
+        sum(col("s2_g")).as("s2"),
+        sum(expr("(CAST(s_g AS DECIMAL(38,0)) * s_g) div n_g")).as("sb"))
+      // SSB = Σ S_g²/n_g − S²/N, SSW = Σz² − Σ S_g²/n_g — the integral
+      // divisions truncate ≤ 1 cent² per group (≪ 4-dp F resolution)
+      .withColumn("ssb", expr(
+        "CAST(sb AS DOUBLE)" +
+          " - CAST((CAST(s AS DECIMAL(38,0)) * s) div n AS DOUBLE)"))
+      .withColumn("ssw", expr("CAST(s2 AS DOUBLE) - CAST(sb AS DOUBLE)"))
+      .select(col("k"), col("n"),
+        (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+        (floor(expr("(ssb / (k - 1)) / (ssw / (n - k))") * 1e4 + 0.5)
+          / 1e4).as("f_stat"))
+    grp.crossJoin(broadcast(f))
+      .select(col("g").as("nationkey"), col("n_g"), col("median_cents"),
+        (floor(expr("CAST(s_g AS DOUBLE) / n_g") * 1e4 + 0.5) / 1e4)
+          .as("mean_absdev"),
+        col("k"), col("df1"), col("df2"), col("f_stat"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** OLS regression diagnostics of the daily-revenue trend: slope /
+    * intercept from exact moments, then per-day residual, leverage
+    * hᵢ = 1/n + (xᵢ−x̄)²/Sxx, and Cook's distance — the
+    * influential-observation report (which days distort the trend
+    * fit). The corpus collapses to the calendar-bounded daily frame;
+    * ALL moments (Σx..Σxy, Σy² on DECIMAL(38,0)⇄HUGEINT) are exact, so
+    * slope, SSE (via the moment identity Σe² = Σyy − αΣy − βΣxy) and
+    * every per-day statistic are pinned-order doubles over identical
+    * integers — bit-identical cross-engine, which is what makes the
+    * top-10-by-Cook's-D ordering itself deterministic. */
+  def qOlsDiagnostics(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .localCheckpoint(true)
+    val m = broadcast(daily
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("x"),
+        col("e4"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("e4")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * e4")).as("sxy"),
+        sum(expr("CAST(e4 AS DECIMAL(38,0)) * e4")).as("syy")))
+    daily.crossJoin(m)
+      .withColumn("x", datediff(col("day"), lit("1995-01-01")).cast("long"))
+      .withColumn("beta", expr(
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+          " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"))
+      .withColumn("alpha", expr(
+        "(CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / n"))
+      .withColumn("sse", expr(
+        "CAST(syy AS DOUBLE) - alpha * CAST(sy AS DOUBLE)" +
+          " - beta * CAST(sxy AS DOUBLE)"))
+      .withColumn("s2", expr("sse / (n - 2)"))
+      .withColumn("xbar", expr("CAST(sx AS DOUBLE) / n"))
+      .withColumn("sxxc", expr(
+        "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * xbar"))
+      .withColumn("resid", expr("CAST(e4 AS DOUBLE) - alpha - beta * x"))
+      .withColumn("lev", expr("1.0 / n + (x - xbar) * (x - xbar) / sxxc"))
+      .withColumn("cook_d", expr(
+        "resid * resid * lev / (2 * s2 * (1 - lev) * (1 - lev))"))
+      .select(col("day"),
+        (floor(expr("CAST(e4 AS DOUBLE) / 10000") * 100 + 0.5) / 100)
+          .as("rev"),
+        (floor(expr("beta / 10000") * 1e4 + 0.5) / 1e4).as("slope"),
+        (floor(expr("resid / 10000") * 100 + 0.5) / 100).as("residual"),
+        (floor(col("lev") * 1e6 + 0.5) / 1e6).as("leverage"),
+        (floor(col("cook_d") * 1e6 + 0.5) / 1e6).as("cook_d"))
+      .orderBy(col("cook_d").desc, col("day"))
+      .limit(10)
+  }
+
   /** Laspeyres / Paasche / Fisher monthly price indexes vs the first
     * month, over per-part UNIT VALUES (the practitioner's price proxy:
     * revenue/quantity per part-month). Unit values are truncated onto

@@ -109,4 +109,45 @@ object Layouts {
         round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** Zone-map skipping audit over a TIME-CLUSTERED rewrite — the
+    * third skipping lever beside directory pruning
+    * ([[partitionedPrune]]) and bucketing: lineitem is rewritten
+    * clustered into chronological 6-month zones (the sorted-write
+    * layout a 100 TB fact table keeps for its time dimension), each
+    * zone's min/max day span is read BACK from the written files (the
+    * file-footer statistics a real zone map serves from), and a
+    * 3-month predicate is audited span-vs-span: a zone is skippable
+    * iff its span misses the predicate window. `n_match` per zone
+    * proves skip soundness (skippable ⇒ 0 matching rows inside) — the
+    * same guarantee parquet row-group skipping gives, surfaced as an
+    * auditable result. The zone key is explicit integer arithmetic
+    * (month-index div 6), so the layout is deterministic and the
+    * oracle replays the audit from the source table. */
+  def zonemapPrune(s: SparkSession, d: String): DataFrame = {
+    val path = tmpDir("lineitem_zones", d)
+    val lo = "1996-01-01"
+    val hi = "1996-06-30"
+    Tables.lineitem(s, d)
+      .select(to_date(col("l_shipdate")).as("day"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      .withColumn("zone", expr(
+        "CAST(((year(day) - 1995) * 12 + month(day) - 1) div 6 AS BIGINT)"))
+      .write.mode(SaveMode.Overwrite).partitionBy("zone").parquet(path)
+    s.read.parquet(path)
+      // the partition column reads back as INT — re-widen so the
+      // emitted schema matches the BIGINT zone key the oracle computes
+      .withColumn("zone", col("zone").cast("long"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+        sum(when(col("day").between(lit(lo), lit(hi)), 1L).otherwise(0L))
+          .as("n_match"),
+        sum(col("pc")).as("price_checksum"))
+      .withColumn("skippable",
+        (col("max_day") < lit(lo) || col("min_day") > lit(hi)).cast("int"))
+      .select(col("zone"), col("n_rows"), col("min_day"), col("max_day"),
+        col("skippable"), col("n_match"), col("price_checksum"))
+      .orderBy(col("zone"))
+  }
 }

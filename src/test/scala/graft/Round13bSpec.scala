@@ -434,6 +434,109 @@ class Round13bSpec extends SparkSuite {
     }
   }
 
+  test("theil index decomposition matches a naive replay") {
+    val rows = graft.ops.Stats.qTheilIndex(spark, sf).collect()
+    val xs = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_nationkey").cast("long"),
+        round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = xs.length.toLong
+    val tot = xs.map(_._2).sum
+    def mn(v: Double): Long = math.round(math.log(v) * 1e6)
+    val tNum = xs.map { case (_, x) =>
+      x * mn(x.toDouble * n / tot.toDouble) }.sum
+    val byG = xs.groupBy(_._1)
+    val wNum = byG.values.flatMap { g =>
+      val tg = g.map(_._2).sum
+      g.map { case (_, x) => x * mn(x.toDouble * g.length / tg.toDouble) }
+    }.sum
+    val bNum = byG.map { case (_, g) =>
+      val tg = g.map(_._2).sum
+      tg * mn(tg.toDouble * n / (tot.toDouble * g.length))
+    }.sum
+    val r0 = rows.head
+    assert(r0.getLong(4) == n && r0.getLong(5) == tot)
+    assert(r0.getDouble(6) == math.floor(tNum.toDouble / tot + 0.5) / 1e6,
+      "theil_total")
+    assert(r0.getDouble(7) == math.floor(bNum.toDouble / tot + 0.5) / 1e6,
+      "theil_between")
+    assert(r0.getDouble(8) == math.floor(wNum.toDouble / tot + 0.5) / 1e6,
+      "theil_within")
+    // decomposition identity holds to micro-nat rounding noise
+    assert(math.abs(r0.getDouble(6) - r0.getDouble(7) - r0.getDouble(8))
+      < 1e-4, "T = T_between + T_within")
+    assert(r0.getDouble(6) >= 0 && r0.getDouble(7) >= -1e-6, "T >= 0")
+  }
+
+  test("brown-forsythe matches a naive median-ANOVA replay") {
+    val rows = graft.ops.Stats.qBrownForsythe(spark, sf).collect()
+    val xs = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byG = xs.groupBy(_._1)
+    val meds = byG.view.mapValues { g =>
+      g.sortBy(t => (t._3, t._2)).apply((g.size + 1) / 2 - 1)._3 }.toMap
+    val zs = xs.map { case (g, _, v) => (g, math.abs(v - meds(g))) }
+    val k = byG.size.toLong
+    val nn = xs.length.toLong
+    val sb = zs.groupBy(_._1).values.map { g =>
+      val s = g.map(_._2).sum; s * s / g.length }.sum
+    val s = zs.map(_._2).sum
+    val ssb = sb.toDouble - (s * s / nn).toDouble
+    val ssw = zs.map(z => z._2.toDouble * z._2).sum - sb.toDouble
+    val fWant = (ssb / (k - 1)) / (ssw / (nn - k))
+    for (r <- rows) {
+      assert(r.getLong(2) == meds(r.getLong(0)), s"nation ${r.getLong(0)} med")
+      assert(math.abs(r.getDouble(7) - fWant) < 1e-3,
+        s"f ${r.getDouble(7)} vs $fWant")
+    }
+  }
+
+  test("ols diagnostics match a naive regression replay") {
+    val got = graft.ops.Stats.qOlsDiagnostics(spark, sf).collect()
+    val daily = dailyE4().map { case (d, e4) =>
+      (d.toLocalDate.toEpochDay - java.time.LocalDate
+        .parse("1995-01-01").toEpochDay, e4) }
+    val n = daily.length.toDouble
+    val sx = daily.map(_._1).sum.toDouble
+    val sy = daily.map(_._2).sum.toDouble
+    val sxx = daily.map(t => t._1.toDouble * t._1).sum
+    val sxy = daily.map(t => t._1.toDouble * t._2).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val alpha = (sy - beta * sx) / n
+    val s2 = daily.map { case (x, y) =>
+      val e = y - (alpha + beta * x); e * e }.sum / (n - 2)
+    val xbar = sx / n
+    val sxxc = sxx - sx * xbar
+    val ds = daily.map { case (x, y) =>
+      val e = y - alpha - beta * x
+      val h = 1.0 / n + (x - xbar) * (x - xbar) / sxxc
+      (x, e * e * h / (2 * s2 * (1 - h) * (1 - h)))
+    }.sortBy { case (x, cd) => (-cd, x) }.take(10)
+    assert(got.length == 10)
+    for ((r, (x, cd)) <- got.zip(ds))
+      assert(math.abs(r.getDouble(5) - cd) < cd * 1e-6 + 1e-5,
+        s"day ${r.getDate(0)}: ${r.getDouble(5)} vs $cd")
+  }
+
+  test("zonemap skip flags are sound and cover the table") {
+    val rows = graft.sources.Layouts.zonemapPrune(spark, sf).collect()
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "all rows in some zone")
+    for (r <- rows) {
+      val (skip, nMatch) = (r.getInt(4), r.getLong(5))
+      if (skip == 1) assert(nMatch == 0,
+        s"zone ${r.getLong(0)} skippable but has $nMatch matches")
+      assert(!r.getDate(2).after(r.getDate(3)), "span ordered")
+    }
+    // the 3-month predicate must make MOST zones skippable — the point
+    // of clustering on time
+    assert(rows.count(_.getInt(4) == 1) >= rows.length - 2,
+      "clustered layout should skip all but the predicate's zones")
+  }
+
   test("price index matches a naive unit-value replay") {
     val got = graft.ops.Stats.qPriceIndex(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
