@@ -932,6 +932,9 @@ object SparkEntry {
     "q_mann_kendall" -> (Behavior.qMannKendall _),
     "q_jarque_bera" -> (Stats.qJarqueBera _),
     "q_theil_index" -> (Stats.qTheilIndex _),
+    "q_pvm_bridge" -> (Stats.qPvmBridge _),
+    "q_string_agg" -> (Analytics.qStringAgg _),
+    "embed_label_divergence" -> (PipelineQueries.embedLabelDivergence _),
     "q_brown_forsythe" -> (Stats.qBrownForsythe _),
     "q_ols_diagnostics" -> (Stats.qOlsDiagnostics _),
     "sink_zonemap_prune" -> (graft.sources.Layouts.zonemapPrune _),
@@ -5200,6 +5203,90 @@ object SparkEntry {
         |  floor(CAST(ag.s AS DOUBLE) / ag.n0 * 1e6 + 0.5) / 1e6 AS tau_a
         |FROM nc JOIN ag ON nc.month = ag.month
         |ORDER BY 1""".stripMargin,
+    "q_pvm_bridge" ->
+      """WITH pm AS (
+        |  SELECT CAST((year(CAST(l_shipdate AS DATE)) - 1995) * 12
+        |      + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS mi,
+        |    l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |pm2 AS (SELECT *, (rev * 100) // qty AS uv2 FROM pm),
+        |prev AS (SELECT l_partkey, mi + 1 AS mi, uv2 AS uv_p, qty AS q_p,
+        |    rev AS rev_p FROM pm2),
+        |j AS (SELECT coalesce(pm2.mi, prev.mi) AS mi,
+        |    pm2.uv2, pm2.qty, pm2.rev, prev.uv_p, prev.q_p, prev.rev_p
+        |  FROM pm2 FULL JOIN prev
+        |    ON pm2.l_partkey = prev.l_partkey AND pm2.mi = prev.mi),
+        |g AS (SELECT mi,
+        |    CAST(count(CASE WHEN uv2 IS NOT NULL AND uv_p IS NOT NULL
+        |      THEN 1 END) AS BIGINT) AS n_matched,
+        |    CAST(sum(CASE WHEN uv2 IS NOT NULL AND uv_p IS NOT NULL
+        |      THEN (uv2 - uv_p) * q_p END) AS BIGINT) AS price_eff,
+        |    CAST(sum(CASE WHEN uv2 IS NOT NULL AND uv_p IS NOT NULL
+        |      THEN uv_p * (qty - q_p) END) AS BIGINT) AS volume_eff,
+        |    CAST(sum(CASE WHEN uv2 IS NOT NULL AND uv_p IS NOT NULL
+        |      THEN (uv2 - uv_p) * (qty - q_p) END) AS BIGINT) AS cross_eff,
+        |    CAST(sum(CASE WHEN uv2 IS NOT NULL AND uv_p IS NOT NULL
+        |      THEN uv2 * qty - uv_p * q_p END) AS BIGINT) AS matched_delta,
+        |    CAST(coalesce(sum(CASE WHEN uv_p IS NULL THEN rev END), 0)
+        |      AS BIGINT) AS entry_rev,
+        |    CAST(coalesce(sum(CASE WHEN uv2 IS NULL THEN rev_p END), 0)
+        |      AS BIGINT) AS exit_rev
+        |  FROM j GROUP BY 1)
+        |SELECT mi AS month_idx, n_matched, price_eff, volume_eff,
+        |  cross_eff, price_eff + volume_eff + cross_eff AS bridge_delta,
+        |  matched_delta, entry_rev, exit_rev
+        |FROM g WHERE n_matched > 0 ORDER BY month_idx""".stripMargin,
+    "q_string_agg" ->
+      """WITH r AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_name,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+        |        c_custkey) AS rn
+        |  FROM customer)
+        |SELECT nationkey, CAST(count(*) AS BIGINT) AS n_top,
+        |  string_agg(c_name, ',' ORDER BY rn) AS top_names
+        |FROM r WHERE rn <= 5
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "embed_label_divergence" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    unnest(embedding[1:4]) AS x,
+        |    generate_subscripts(embedding[1:4], 1) AS i
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id, label,
+        |    CAST(sum(CASE WHEN x > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+        |      ELSE 0 END) AS BIGINT) AS cell
+        |  FROM e GROUP BY 1, 2),
+        |corpus AS (SELECT cell, CAST(count(*) AS BIGINT) AS c_c
+        |  FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cells),
+        |nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_l
+        |  FROM cells GROUP BY 1),
+        |lattice AS (SELECT label, CAST(range AS BIGINT) AS cell
+        |  FROM nl CROSS JOIN range(16)),
+        |lc AS (SELECT label, cell, CAST(count(*) AS BIGINT) AS c_lc
+        |  FROM cells GROUP BY 1, 2),
+        |k AS (SELECT lattice.label, lattice.cell,
+        |    coalesce(lc.c_lc, 0) AS c_lc, coalesce(corpus.c_c, 0) AS c_c,
+        |    nl.n_l, n.n,
+        |    CAST(round(ln(CAST(coalesce(lc.c_lc, 0) + 1 AS DOUBLE)
+        |      * (n.n + 16) / (CAST(nl.n_l + 16 AS DOUBLE)
+        |      * (coalesce(corpus.c_c, 0) + 1))) * 1e6) AS BIGINT) AS k_micro
+        |  FROM lattice
+        |    LEFT JOIN lc ON lattice.label = lc.label
+        |      AND lattice.cell = lc.cell
+        |    LEFT JOIN corpus ON lattice.cell = corpus.cell
+        |    JOIN nl ON lattice.label = nl.label
+        |    CROSS JOIN n)
+        |SELECT label, max(n_l) AS n_vecs,
+        |  CAST(sum((c_lc + 1) * k_micro) AS BIGINT) AS kl_weighted_micro,
+        |  floor(CAST(sum((c_lc + 1) * k_micro) AS DOUBLE)
+        |    / (max(n_l) + 16) + 0.5) / 1e6 AS kl_nats
+        |FROM k GROUP BY label ORDER BY label""".stripMargin,
     "q_theil_index" ->
       """WITH x AS (
         |  SELECT CAST(c_nationkey AS BIGINT) AS g,

@@ -1293,4 +1293,29 @@ object Analytics {
         .as("n_triangles"))
     nNodes.crossJoin(nEdges).crossJoin(nTri)
   }
+
+  /** Ordered string aggregation (SQL LISTAGG / string_agg WITHIN
+    * GROUP): each nation's top-5 customers by balance, concatenated in
+    * rank order — the report-formatting surface every SQL engine
+    * ships. Ranking rides the exact ranged [[Ranks.groupRowNumber]]
+    * (no per-nation window sort); the ORDER inside the aggregate is
+    * made deterministic by collecting (rank, name) structs and
+    * array_sort-ing BEFORE the join — collect_list order itself is
+    * never trusted. */
+  def qStringAgg(s: SparkSession, d: String): DataFrame = {
+    val ranked = Ranks.groupRowNumber(
+      Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("bal")),
+      Seq(col("nationkey")),
+      Seq(col("bal").desc, col("c_custkey")), "rn", "tot")
+    ranked.filter(col("rn") <= 5)
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_top"),
+        array_join(expr("transform(array_sort(" +
+          "collect_list(named_struct('rn', rn, 'name', c_name)))," +
+          " x -> x.name)"), ",").as("top_names"))
+      .orderBy(col("nationkey"))
+  }
 }

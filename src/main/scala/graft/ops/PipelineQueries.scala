@@ -3286,6 +3286,47 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Per-label embedding-distribution divergence (the MAUVE-style
+    * drift probe, quantize-then-compare form): embeddings quantize to
+    * 16 sign cells (first 4 dims — the 1-bit kit from
+    * [[embedHammingTopk]]), and each label's Laplace-smoothed cell
+    * histogram is scored by KL(P_label ‖ P_corpus) in integer
+    * micro-nats — the cheap answer to "did this source/label drift
+    * away from the corpus in embedding space". The full label×cell
+    * lattice is materialized (16·|labels| rows) so zero cells enter
+    * the smoothing; everything data-scaled is two partial-aggregable
+    * rollups and the fold is an exact long sum. */
+  def embedLabelDivergence(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .filter(col("dim") < 4)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(when(col("x") > 0, expr("shiftleft(1L, dim)"))
+        .otherwise(0L)).as("cell"))
+    val corpus = cells.groupBy(col("cell")).agg(count(lit(1)).as("c_c"))
+    val n = broadcast(cells.agg(count(lit(1)).as("n")))
+    val labels = cells.select(col("label")).distinct()
+    val nL = cells.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
+    val lattice = labels.crossJoin(s.range(16).select(col("id").as("cell")))
+    val lc = cells.groupBy(col("label"), col("cell"))
+      .agg(count(lit(1)).as("c_lc"))
+    lattice
+      .join(lc, Seq("label", "cell"), "left").na.fill(0L, Seq("c_lc"))
+      .join(corpus, Seq("cell"), "left").na.fill(0L, Seq("c_c"))
+      .join(nL, "label").crossJoin(n)
+      .withColumn("k_micro", expr(
+        "CAST(round(ln(CAST(c_lc + 1 AS DOUBLE) * (n + 16)" +
+          " / (CAST(n_l + 16 AS DOUBLE) * (c_c + 1))) * 1e6) AS BIGINT)"))
+      .groupBy(col("label"))
+      .agg(max(col("n_l")).as("n_vecs"),
+        sum((col("c_lc") + 1) * col("k_micro")).as("kl_weighted_micro"))
+      .select(col("label"), col("n_vecs"), col("kl_weighted_micro"),
+        (floor(col("kl_weighted_micro").cast("double")
+          / (col("n_vecs") + 16) + 0.5) / 1e6).as("kl_nats"))
+      .orderBy(col("label"))
+  }
+
   /** Temperature-scaled mixture sampling (T = 2, i.e. w ∝ n^(1/2)) —
     * the multilingual/multi-domain rebalancing rule (mT5 §3.1 shape):
     * per-source weights are √n fixed to integer micro-units (sqrt is

@@ -344,6 +344,55 @@ object Stats {
       .limit(10)
   }
 
+  /** Price-volume-mix bridge (the FP&A revenue waterfall): for each
+    * consecutive month pair, the matched-part revenue delta decomposes
+    * EXACTLY into price effect Σ(uv_t−uv_p)·q_p, volume effect
+    * Σ uv_p·(q_t−q_p) and cross effect Σ(uv_t−uv_p)(q_t−q_p) — an
+    * algebraic identity on the integer unit-value lattice, so
+    * `bridge_delta` = `matched_delta` is a gate-hashed reconciliation
+    * certificate, not an approximation. Entering/exiting parts are
+    * carried as separate revenue columns. Scale = [[qPriceIndex]]'s:
+    * the part-month frame is |parts|×|months| bounded, one
+    * self-join on (part, consecutive month index). */
+  def qPvmBridge(s: SparkSession, d: String): DataFrame = {
+    val pm = Tables.lineitem(s, d)
+      .groupBy(expr("CAST((year(l_shipdate) - 1995) * 12" +
+          " + month(l_shipdate) - 1 AS BIGINT)").as("mi"),
+        col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long")).as("rev"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"))
+      .withColumn("uv2", expr("(rev * 100) div qty"))
+      .localCheckpoint(true)
+    val prev = pm.select(col("l_partkey"), (col("mi") + 1).as("mi"),
+      col("uv2").as("uv_p"), col("qty").as("q_p"), col("rev").as("rev_p"))
+    val joined = pm.join(prev, Seq("l_partkey", "mi"), "full")
+    joined.groupBy(col("mi"))
+      .agg(
+        count(when(col("uv2").isNotNull && col("uv_p").isNotNull, 1))
+          .as("n_matched"),
+        sum(when(col("uv2").isNotNull && col("uv_p").isNotNull,
+          (col("uv2") - col("uv_p")) * col("q_p"))).as("price_eff"),
+        sum(when(col("uv2").isNotNull && col("uv_p").isNotNull,
+          col("uv_p") * (col("qty") - col("q_p")))).as("volume_eff"),
+        sum(when(col("uv2").isNotNull && col("uv_p").isNotNull,
+          (col("uv2") - col("uv_p")) * (col("qty") - col("q_p"))))
+          .as("cross_eff"),
+        sum(when(col("uv2").isNotNull && col("uv_p").isNotNull,
+          col("uv2") * col("qty") - col("uv_p") * col("q_p")))
+          .as("matched_delta"),
+        sum(when(col("uv_p").isNull, col("rev"))).as("entry_rev"),
+        sum(when(col("uv2").isNull, col("rev_p"))).as("exit_rev"))
+      .filter(col("n_matched") > 0)
+      .na.fill(0L, Seq("entry_rev", "exit_rev"))
+      .withColumn("bridge_delta",
+        col("price_eff") + col("volume_eff") + col("cross_eff"))
+      .select(col("mi").as("month_idx"), col("n_matched"), col("price_eff"),
+        col("volume_eff"), col("cross_eff"), col("bridge_delta"),
+        col("matched_delta"), col("entry_rev"), col("exit_rev"))
+      .orderBy(col("month_idx"))
+  }
+
   /** Laspeyres / Paasche / Fisher monthly price indexes vs the first
     * month, over per-part UNIT VALUES (the practitioner's price proxy:
     * revenue/quantity per part-month). Unit values are truncated onto

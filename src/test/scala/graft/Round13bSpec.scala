@@ -537,6 +537,84 @@ class Round13bSpec extends SparkSuite {
       "clustered layout should skip all but the predicate's zones")
   }
 
+  test("pvm bridge reconciles exactly and matches a naive replay") {
+    val rows = graft.ops.Stats.qPvmBridge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      // the algebraic certificate: price + volume + cross == matched Δ
+      assert(r.getLong(5) == r.getLong(6),
+        s"month ${r.getLong(0)}: bridge ${r.getLong(5)} != Δ ${r.getLong(6)}")
+    }
+    // naive replay for one interior month
+    val pm = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(expr("CAST((year(l_shipdate) - 1995) * 12" +
+          " + month(l_shipdate) - 1 AS BIGINT)").as("mi"), col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long")).as("rev"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2) * 100) / r.getLong(3), r.getLong(3))).toMap
+    val mi = rows(rows.length / 2).getLong(0)
+    val cur = pm.collect { case ((m, p), v) if m == mi => p -> v }.toMap
+    val prv = pm.collect { case ((m, p), v) if m == mi - 1 => p -> v }.toMap
+    val matched = cur.keySet & prv.keySet
+    val price = matched.toSeq
+      .map(p => (cur(p)._1 - prv(p)._1) * prv(p)._2).sum
+    val vol = matched.toSeq
+      .map(p => prv(p)._1 * (cur(p)._2 - prv(p)._2)).sum
+    val row = rows.find(_.getLong(0) == mi).get
+    assert(row.getLong(1) == matched.size.toLong, "n_matched")
+    assert(row.getLong(2) == price, "price effect")
+    assert(row.getLong(3) == vol, "volume effect")
+  }
+
+  test("string agg emits top-5 names in exact rank order") {
+    val got = graft.ops.Analytics.qStringAgg(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val want = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_custkey"),
+        col("c_name"), round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+      .groupBy(_._1).view.mapValues { g =>
+        val top = g.sortBy(t => (-t._4, t._2)).take(5)
+        (top.length.toLong, top.map(_._3).mkString(","))
+      }.toMap
+    assert(got == want)
+  }
+
+  test("label divergence is non-negative and matches a naive replay") {
+    val got = graft.ops.PipelineQueries.embedLabelDivergence(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("label").cast("long"), col("embedding"))
+      .collect().map { r =>
+        val e = r.getSeq[Float](1)
+        val cell = (0 until 4).map(i => if (e(i) > 0) 1L << i else 0L).sum
+        (r.getLong(0), cell)
+      }
+    val n = vecs.length.toLong
+    val cC = vecs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    for ((lbl, g) <- vecs.groupBy(_._1)) {
+      val nL = g.length.toLong
+      val cLc = g.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val w = (0 until 16).map { c =>
+        val clc = cLc.getOrElse(c.toLong, 0L)
+        val cc = cC.getOrElse(c.toLong, 0L)
+        (clc + 1) * math.round(math.log((clc + 1).toDouble * (n + 16) /
+          ((nL + 16).toDouble * (cc + 1))) * 1e6)
+      }.sum
+      val (gn, gw, gkl) = got(lbl)
+      assert(gn == nL, s"label $lbl n")
+      assert(gw == w, s"label $lbl weighted micro")
+      assert(gkl == math.floor(w.toDouble / (nL + 16) + 0.5) / 1e6,
+        s"label $lbl kl")
+      assert(gkl > -1e-4, s"label $lbl kl negative")
+    }
+  }
+
   test("price index matches a naive unit-value replay") {
     val got = graft.ops.Stats.qPriceIndex(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
