@@ -933,6 +933,9 @@ object SparkEntry {
     "q_jarque_bera" -> (Stats.qJarqueBera _),
     "q_theil_index" -> (Stats.qTheilIndex _),
     "q_pvm_bridge" -> (Stats.qPvmBridge _),
+    "q_ljung_box" -> (Stats.qLjungBox _),
+    "q_iqr_outliers" -> (Stats.qIqrOutliers _),
+    "stream_quota_mix" -> (graft.streaming.Events.streamQuotaMix _),
     "q_string_agg" -> (Analytics.qStringAgg _),
     "embed_label_divergence" -> (PipelineQueries.embedLabelDivergence _),
     "q_brown_forsythe" -> (Stats.qBrownForsythe _),
@@ -1003,6 +1006,10 @@ object SparkEntry {
       ("stream_event_pattern" -> oracleSqlBase("q_event_pattern")) +
       ("stream_dedup_minhash" -> oracleSqlBase("dedup_incremental")) +
       ("stream_scd2_build" -> oracleSqlBase("q_scd2_build")) +
+      // streaming bottom-k-by-portable-hash is order-insensitive, so
+      // the final state EQUALS the batch temperature-mix selection —
+      // the shared oracle is the stream≡batch certificate
+      ("stream_quota_mix" -> oracleSqlBase("data_temperature_mix")) +
       // the incremental fold is CONTRACTED to equal the full
       // re-cluster of the unioned corpus — dedup_clusters' oracle,
       // shared verbatim, proves the equivalence value-for-value
@@ -5203,6 +5210,82 @@ object SparkEntry {
         |  floor(CAST(ag.s AS DOUBLE) / ag.n0 * 1e6 + 0.5) / 1e6 AS tau_a
         |FROM nc JOIN ag ON nc.month = ag.month
         |ORDER BY 1""".stripMargin,
+    "q_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(e4) AS BIGINT) AS sx FROM daily),
+        |y AS (SELECT day, n, n * e4 - sx AS y FROM daily CROSS JOIN m),
+        |l AS (SELECT day, n, y,
+        |    lag(y, 1) OVER (ORDER BY day) AS y1,
+        |    lag(y, 2) OVER (ORDER BY day) AS y2,
+        |    lag(y, 3) OVER (ORDER BY day) AS y3,
+        |    lag(y, 4) OVER (ORDER BY day) AS y4,
+        |    lag(y, 5) OVER (ORDER BY day) AS y5,
+        |    lag(y, 6) OVER (ORDER BY day) AS y6,
+        |    lag(y, 7) OVER (ORDER BY day) AS y7
+        |  FROM y),
+        |s AS (SELECT max(n) AS n,
+        |    sum(CAST(y AS HUGEINT) * y) AS den,
+        |    sum(CAST(y AS HUGEINT) * y1) AS num1,
+        |    sum(CAST(y AS HUGEINT) * y2) AS num2,
+        |    sum(CAST(y AS HUGEINT) * y3) AS num3,
+        |    sum(CAST(y AS HUGEINT) * y4) AS num4,
+        |    sum(CAST(y AS HUGEINT) * y5) AS num5,
+        |    sum(CAST(y AS HUGEINT) * y6) AS num6,
+        |    sum(CAST(y AS HUGEINT) * y7) AS num7
+        |  FROM l),
+        |pl AS (
+        |  SELECT lag_k, n, r,
+        |    CAST(round(r * r / (n - lag_k) * 1e12) AS BIGINT) AS t_pico
+        |  FROM (
+        |    SELECT 1 AS lag_k, n,
+        |      CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS r FROM s
+        |    UNION ALL SELECT 2, n,
+        |      CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) FROM s
+        |    UNION ALL SELECT 3, n,
+        |      CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) FROM s
+        |    UNION ALL SELECT 4, n,
+        |      CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE) FROM s
+        |    UNION ALL SELECT 5, n,
+        |      CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE) FROM s
+        |    UNION ALL SELECT 6, n,
+        |      CAST(num6 AS DOUBLE) / CAST(den AS DOUBLE) FROM s
+        |    UNION ALL SELECT 7, n,
+        |      CAST(num7 AS DOUBLE) / CAST(den AS DOUBLE) FROM s))
+        |SELECT CAST(lag_k AS BIGINT) AS lag_k,
+        |  floor(r * 1e6 + 0.5) / 1e6 AS acf,
+        |  floor(n * (n + 2) * (CAST(sum(t_pico) OVER (ORDER BY lag_k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 1e12) * 1e4 + 0.5) / 1e4 AS q_stat
+        |FROM pl ORDER BY lag_k""".stripMargin,
+    "q_iqr_outliers" ->
+      """WITH x AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS g, c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v, c_custkey)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY g) AS tot
+        |  FROM x),
+        |qs AS (SELECT g, CAST(min(v) AS BIGINT) AS q1,
+        |    CAST(max(v) AS BIGINT) AS q3
+        |  FROM r WHERE rn = (tot + 3) // 4 OR rn = (3 * tot + 3) // 4
+        |  GROUP BY g)
+        |SELECT x.g AS nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  max(q1) AS q1, max(q3) AS q3, max(q3) - max(q1) AS iqr,
+        |  CAST(sum(CASE WHEN 2 * v < 2 * q1 - 3 * (q3 - q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN 2 * v > 2 * q3 + 3 * (q3 - q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  floor(CAST(sum(CASE WHEN 2 * v < 2 * q1 - 3 * (q3 - q1)
+        |      OR 2 * v > 2 * q3 + 3 * (q3 - q1) THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS outlier_rate
+        |FROM x JOIN qs ON x.g = qs.g
+        |GROUP BY x.g ORDER BY nationkey""".stripMargin,
     "q_pvm_bridge" ->
       """WITH pm AS (
         |  SELECT CAST((year(CAST(l_shipdate AS DATE)) - 1995) * 12

@@ -344,6 +344,83 @@ object Stats {
       .limit(10)
   }
 
+  /** Ljung–Box portmanteau test on the daily revenue series (lags
+    * 1..7): is the series white noise, or is there autocorrelation
+    * worth modeling — the gatekeeper test before ARIMA fitting.
+    * Autocovariances run on SCALED deviations yₜ = n·xₜ − Σx (exact
+    * integers; products on DECIMAL(38,0)⇄HUGEINT), so every rₖ is one
+    * double division of two identical wide integers. The cumulative
+    * Q-statistic folds rₖ²/(n−k) terms FIXED TO THE PICO LATTICE
+    * first — a 7-row double running sum would hit the segment-tree
+    * accumulation-order hazard (§5); pico-longs make the cumsum
+    * order-free. */
+  def qLjungBox(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .localCheckpoint(true)
+    val m = broadcast(daily.agg(count(lit(1)).as("n"), sum(col("e4")).as("sx")))
+    val y = daily.crossJoin(m)
+      .select(col("day"), col("n"),
+        (col("n") * col("e4") - col("sx")).as("y"))
+    val w = Window.orderBy(col("day"))
+    val lagged = (1 to 7).foldLeft(y) { (acc, k) =>
+      acc.withColumn(s"y$k", lag(col("y"), k).over(w)) }
+    val aggs = Seq(max(col("n")).as("n"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("den")) ++
+      (1 to 7).map(k =>
+        sum(expr(s"CAST(y AS DECIMAL(38,0)) * y$k")).as(s"num$k"))
+    val sums = lagged.agg(aggs.head, aggs.tail: _*)
+    val perLag = (1 to 7).map { k =>
+      sums.select(lit(k.toLong).as("lag_k"), col("n"),
+        expr(s"CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE)").as("r"))
+        .withColumn("t_pico", expr("CAST(round(r * r / (n - lag_k) * 1e12)" +
+          " AS BIGINT)"))
+    }.reduce(_ unionByName _)
+    perLag
+      .withColumn("cum_pico", sum(col("t_pico"))
+        .over(Window.orderBy(col("lag_k"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("lag_k"),
+        (floor(col("r") * 1e6 + 0.5) / 1e6).as("acf"),
+        (floor(expr("n * (n + 2) * (CAST(cum_pico AS DOUBLE) / 1e12)")
+          * 1e4 + 0.5) / 1e4).as("q_stat"))
+      .orderBy(col("lag_k"))
+  }
+
+  /** Tukey-fence outlier census per nation: exact Q1/Q3 off the
+    * ranged rank scan, and the 1.5·IQR fences applied as INTEGER
+    * comparisons (2·v < 2·Q1 − 3·IQR — no fractional fence value ever
+    * materializes, so the boundary can't flip cross-engine). The
+    * box-plot summary every data-quality dashboard starts from. */
+  def qIqrOutliers(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("g"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+    val ranked = Ranks.groupRowNumber(x, Seq(col("g")),
+      Seq(col("v"), col("c_custkey")), "rn", "tot").localCheckpoint(true)
+    val qs = ranked
+      .filter(expr("rn = (tot + 3) div 4 OR rn = (3 * tot + 3) div 4"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("q1"), max(col("v")).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    x.join(broadcast(qs), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        max(col("iqr")).as("iqr"),
+        sum(when(expr("2 * v < 2 * q1 - 3 * iqr"), 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(expr("2 * v > 2 * q3 + 3 * iqr"), 1L).otherwise(0L))
+          .as("n_high"))
+      .select(col("g").as("nationkey"), col("n"), col("q1"), col("q3"),
+        col("iqr"), col("n_low"), col("n_high"),
+        (floor(expr("CAST(n_low + n_high AS DOUBLE) / n") * 1e4 + 0.5)
+          / 1e4).as("outlier_rate"))
+      .orderBy(col("nationkey"))
+  }
+
   /** Price-volume-mix bridge (the FP&A revenue waterfall): for each
     * consecutive month pair, the matched-part revenue delta decomposes
     * EXACTLY into price effect Σ(uv_t−uv_p)·q_p, volume effect

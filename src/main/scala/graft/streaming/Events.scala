@@ -1981,4 +1981,78 @@ object Events {
         col("_s.n_applied").as("n_applied"))
       .orderBy(col("user_id"))
   }
+
+  case class QuotaDoc(source: String, doc_id: Long, h: Long)
+  case class QuotaState(epoch: Long, picks: Seq[(Long, Long)])
+  case class QuotaRow(source: String, epoch: Long, n_selected: Long,
+      id_checksum: Long)
+
+  /** STREAMING temperature-mixture sampler —
+    * [[graft.ops.PipelineQueries.dataTemperatureMix]]'s quota fill
+    * maintained live: per-source state is the quota-bounded set of
+    * smallest (md5, doc_id) keys seen so far (a streaming bottom-k — the
+    * bounded-state form of the batch ranked fill), merged across
+    * micro-batches. Bottom-k by a portable hash is ORDER-INSENSITIVE,
+    * so the final state equals the batch selection no matter how
+    * arrival interleaves — the stream≡batch certificate is the shared
+    * oracle, with NO single-micro-batch contract needed (unlike the
+    * funnel/SCD2 fold family). Quotas come from the static census
+    * (integer √n weights), a |sources|-sized driver map. */
+  def streamQuotaMix(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val wts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_micro", expr(
+        "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val quotas = wts
+      .crossJoin(broadcast(wts.agg(sum(col("weight_micro")).as("tw"))))
+      .withColumn("quota", expr("(200 * weight_micro) div tw"))
+      .select(col("source"), col("n_docs"), col("weight_micro"),
+        col("quota"))
+      .cache()
+    val qmap = quotas.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap // |sources| rows
+    val dir = graft.util.Scratch.dir("graft_quota").toString + "/in"
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val st = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1") // force cross-batch merging
+      .parquet(dir)
+      .select(col("source"), col("doc_id"),
+        (graft.functions.exprs.md5Lower64(col("doc_id").cast("string"))
+          .bitwiseAND(lit((1L << 50) - 1))).as("h"))
+      .as[QuotaDoc]
+    val fn = (src: String, it: Iterator[QuotaDoc],
+        state: GroupState[QuotaState]) => {
+      val quota = qmap.getOrElse(src, 0L).toInt
+      val prev = state.getOption
+      val epoch = prev.map(_.epoch).getOrElse(0L) + 1L
+      val merged = (prev.map(_.picks).getOrElse(Seq.empty) ++
+        it.map(d => (d.h, d.doc_id))).sorted.take(quota)
+      state.update(QuotaState(epoch, merged))
+      Iterator.single(QuotaRow(src, epoch, merged.size.toLong,
+        merged.map(_._2).sum))
+    }
+    val rows = st.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+    val name = s"graft_stream_quota_${n.incrementAndGet()}"
+    val q = rows.toDF().writeStream
+      .outputMode("update").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    StreamMeter.record(q)
+    val out = spark.table(name)
+      .groupBy(col("source"))
+      .agg(max_by(struct(col("n_selected"), col("id_checksum")),
+        col("epoch")).as("_s"))
+      .join(broadcast(quotas), "source")
+      .filter(col("_s.n_selected") > 0)
+      .select(col("source"), col("n_docs"), col("weight_micro"),
+        col("quota"), col("_s.n_selected").as("n_selected"),
+        col("_s.id_checksum").as("id_checksum"))
+      .orderBy(col("source"))
+    quotas.unpersist(blocking = false)
+    out
+  }
 }

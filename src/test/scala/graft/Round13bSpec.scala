@@ -615,6 +615,57 @@ class Round13bSpec extends SparkSuite {
     }
   }
 
+  test("ljung-box matches a naive autocorrelation replay") {
+    val got = graft.ops.Stats.qLjungBox(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val xs = dailyE4().map(_._2)
+    val n = xs.length
+    val s = xs.sum
+    val y = xs.map(x => BigInt(n) * x - s)
+    val den = y.map(v => v * v).sum
+    var cum = 0L
+    for (k <- 1 to 7) {
+      val num = (0 until n - k).map(i => y(i + k) * y(i)).sum
+      val r = (BigDecimal(num).toDouble) / BigDecimal(den).toDouble
+      cum += math.round(r * r / (n - k) * 1e12)
+      val (acf, q) = got(k.toLong)
+      assert(acf == math.floor(r * 1e6 + 0.5) / 1e6, s"lag $k acf")
+      assert(q == math.floor(n.toDouble * (n + 2) * (cum.toDouble / 1e12)
+        * 1e4 + 0.5) / 1e4, s"lag $k q")
+    }
+  }
+
+  test("iqr outliers match a naive fence replay") {
+    val got = graft.ops.Stats.qIqrOutliers(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))).toMap
+    val xs = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((g, rows) <- xs.groupBy(_._1)) {
+      val sorted = rows.sortBy(t => (t._3, t._2)).map(_._3)
+      val nn = sorted.length
+      val q1 = sorted((nn + 3) / 4 - 1)
+      val q3 = sorted((3 * nn + 3) / 4 - 1)
+      val iqr = q3 - q1
+      val lo = sorted.count(v => 2 * v < 2 * q1 - 3 * iqr).toLong
+      val hi = sorted.count(v => 2 * v > 2 * q3 + 3 * iqr).toLong
+      assert(got(g) == (q1, q3, lo, hi), s"nation $g")
+    }
+  }
+
+  test("streaming quota mix equals the batch temperature mix exactly") {
+    val batch = graft.ops.PipelineQueries.dataTemperatureMix(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val stream = graft.streaming.Events.streamQuotaMix(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(stream == batch,
+      "streaming bottom-k state must equal the batch ranked fill")
+  }
+
   test("price index matches a naive unit-value replay") {
     val got = graft.ops.Stats.qPriceIndex(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
