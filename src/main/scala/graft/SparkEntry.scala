@@ -934,6 +934,9 @@ object SparkEntry {
     "q_theil_index" -> (Stats.qTheilIndex _),
     "q_pvm_bridge" -> (Stats.qPvmBridge _),
     "q_ljung_box" -> (Stats.qLjungBox _),
+    "q_hurst_exponent" -> (Stats.qHurstExponent _),
+    "q_perm_entropy" -> (Stats.qPermEntropy _),
+    "q_cramer_von_mises" -> (Stats.qCramerVonMises _),
     "q_iqr_outliers" -> (Stats.qIqrOutliers _),
     "stream_quota_mix" -> (graft.streaming.Events.streamQuotaMix _),
     "q_string_agg" -> (Analytics.qStringAgg _),
@@ -5210,6 +5213,111 @@ object SparkEntry {
         |  floor(CAST(ag.s AS DOUBLE) / ag.n0 * 1e6 + 0.5) / 1e6 AS tau_a
         |FROM nc JOIN ag ON nc.month = ag.month
         |ORDER BY 1""".stripMargin,
+    "q_hurst_exponent" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |dx AS (SELECT e4,
+        |    CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS idx
+        |  FROM daily),
+        |sz AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS bs),
+        |e AS (SELECT bs, idx // bs AS b, idx, e4 FROM dx CROSS JOIN sz),
+        |f AS (SELECT bs, b, e4,
+        |    count(*) OVER (PARTITION BY bs, b) AS cnt,
+        |    CAST(sum(e4) OVER (PARTITION BY bs, b) AS BIGINT) AS s,
+        |    CAST(row_number() OVER (PARTITION BY bs, b ORDER BY idx)
+        |      AS BIGINT) AS j,
+        |    CAST(sum(e4) OVER (PARTITION BY bs, b ORDER BY idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumx
+        |  FROM e),
+        |g AS (SELECT bs, b,
+        |    CAST(max(bs * cumx - j * s) - min(bs * cumx - j * s) AS BIGINT)
+        |      AS r_scaled,
+        |    sum(CAST(bs * e4 - s AS HUGEINT) * (bs * e4 - s)) AS ssq
+        |  FROM f WHERE cnt = bs GROUP BY 1, 2),
+        |rs AS (SELECT bs, CAST(round(CAST(r_scaled AS DOUBLE)
+        |      / sqrt(CAST(ssq AS DOUBLE) / bs) * 1e6) AS BIGINT) AS rs_micro
+        |  FROM g WHERE ssq > 0),
+        |ps AS (SELECT bs AS block_size, CAST(count(*) AS BIGINT)
+        |      AS n_blocks,
+        |    CAST(sum(rs_micro) AS BIGINT) AS rs_sum FROM rs GROUP BY 1),
+        |pa AS (SELECT *, CAST(rs_sum AS DOUBLE) / n_blocks / 1e6 AS avg_rs
+        |  FROM ps),
+        |h AS (SELECT floor((
+        |    -1.5 * max(CASE WHEN block_size = 8 THEN ln(avg_rs) END)
+        |    - 0.5 * max(CASE WHEN block_size = 16 THEN ln(avg_rs) END)
+        |    + 0.5 * max(CASE WHEN block_size = 32 THEN ln(avg_rs) END)
+        |    + 1.5 * max(CASE WHEN block_size = 64 THEN ln(avg_rs) END))
+        |    / (5 * ln(2)) * 1e4 + 0.5) / 1e4 AS hurst FROM pa)
+        |SELECT block_size, n_blocks,
+        |  floor(avg_rs * 1e6 + 0.5) / 1e6 AS avg_rs, hurst
+        |FROM pa CROSS JOIN h ORDER BY block_size""".stripMargin,
+    "q_perm_entropy" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS x1
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT x1,
+        |    lead(x1, 1) OVER (ORDER BY day) AS x2,
+        |    lead(x1, 2) OVER (ORDER BY day) AS x3
+        |  FROM daily),
+        |coded AS (SELECT CAST(
+        |    (CASE WHEN x2 < x1 THEN 1 ELSE 0 END
+        |       + CASE WHEN x3 < x1 THEN 1 ELSE 0 END) * 9 +
+        |    (CASE WHEN x1 <= x2 THEN 1 ELSE 0 END
+        |       + CASE WHEN x3 < x2 THEN 1 ELSE 0 END) * 3 +
+        |    (CASE WHEN x1 <= x3 THEN 1 ELSE 0 END
+        |       + CASE WHEN x2 <= x3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS pattern
+        |  FROM t WHERE x3 IS NOT NULL),
+        |counts AS (SELECT pattern, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM coded GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM counts),
+        |terms AS (SELECT pattern, cnt, t,
+        |    CAST(round(-ln(CAST(cnt AS DOUBLE) / t) * 1e6) AS BIGINT)
+        |      AS k_micro
+        |  FROM counts CROSS JOIN tot),
+        |h AS (SELECT
+        |    floor(CAST(sum(cnt * k_micro) AS DOUBLE) / max(t) + 0.5) / 1e6
+        |      AS entropy_nats
+        |  FROM terms),
+        |h2 AS (SELECT entropy_nats,
+        |    floor(entropy_nats / ln(6) * 1e4 + 0.5) / 1e4 AS entropy_norm
+        |  FROM h)
+        |SELECT pattern, cnt,
+        |  floor(CAST(cnt AS DOUBLE) / t * 1e6 + 0.5) / 1e6 AS p,
+        |  entropy_nats, entropy_norm
+        |FROM terms CROSS JOIN h2 ORDER BY pattern""".stripMargin,
+    "q_cramer_von_mises" ->
+      """WITH x AS (
+        |  SELECT (c_custkey % 2 = 0) AS in_a, c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+        |r AS (SELECT in_a,
+        |    CAST(row_number() OVER (ORDER BY v, c_custkey) AS BIGINT) AS r,
+        |    CAST(row_number() OVER (PARTITION BY in_a ORDER BY v, c_custkey)
+        |      AS BIGINT) AS i
+        |  FROM x),
+        |sums AS (SELECT in_a, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum((r - i) * (r - i)) AS BIGINT) AS t2
+        |  FROM r GROUP BY 1),
+        |ab AS (SELECT
+        |    max(CASE WHEN in_a THEN n END) AS n_a,
+        |    max(CASE WHEN in_a THEN t2 END) AS t2_a,
+        |    max(CASE WHEN NOT in_a THEN n END) AS n_b,
+        |    max(CASE WHEN NOT in_a THEN t2 END) AS t2_b
+        |  FROM sums),
+        |u AS (SELECT *, CAST(n_a AS HUGEINT) * t2_a
+        |    + CAST(n_b AS HUGEINT) * t2_b AS u FROM ab)
+        |SELECT n_a, n_b, t2_a, t2_b,
+        |  floor((CAST(u AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * n_b * (n_a + n_b))
+        |    - (4.0 * n_a * n_b - 1) / (6.0 * (n_a + n_b)))
+        |    * 1e6 + 0.5) / 1e6 AS t_stat
+        |FROM u""".stripMargin,
     "q_ljung_box" ->
       """WITH daily AS (
         |  SELECT CAST(l_shipdate AS DATE) AS day,

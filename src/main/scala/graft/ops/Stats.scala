@@ -344,6 +344,152 @@ object Stats {
       .limit(10)
   }
 
+  /** Hurst exponent by rescaled-range (R/S) analysis of the daily
+    * revenue series over block sizes 8/16/32/64 — the long-memory
+    * probe (H≈0.5 random walk, H>0.5 trending, H<0.5 mean-reverting).
+    * Within each full block, cumulative deviations ride the n-SCALED
+    * integer lattice (Zⱼ·n = n·cumxⱼ − j·s — exact longs), so the
+    * block's R/S = R_scaled/sqrt(n·Σdev²) is one pinned double from
+    * exact integers, fixed to micro units BEFORE the per-size average
+    * (an order-free long sum). H is the closed-form OLS slope over the
+    * four ln-equally-spaced sizes — an explicit 4-term expression, no
+    * aggregation order anywhere. */
+  def qHurstExponent(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("day"))).cast("long") - 1)
+      .localCheckpoint(true)
+    val perSize = Seq(8, 16, 32, 64).map { bs =>
+      val w = Window.partitionBy(col("b")).orderBy(col("idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val blocks = daily
+        .select(col("idx"), col("e4"), expr(s"idx div $bs").as("b"))
+        .withColumn("cnt", count(lit(1))
+          .over(Window.partitionBy(col("b"))))
+        .filter(col("cnt") === bs)
+        .withColumn("s", sum(col("e4"))
+          .over(Window.partitionBy(col("b"))))
+        .withColumn("j", row_number()
+          .over(Window.partitionBy(col("b")).orderBy(col("idx")))
+          .cast("long"))
+        .withColumn("zn", lit(bs.toLong) * sum(col("e4")).over(w)
+          - col("j") * col("s"))
+        .groupBy(col("b"))
+        .agg((max(col("zn")) - min(col("zn"))).as("r_scaled"),
+          sum(expr(s"CAST($bs * e4 - s AS DECIMAL(38,0))" +
+            s" * ($bs * e4 - s)")).as("ssq"))
+        .filter(col("ssq") > 0)
+        // devs carry an n× scale (n·x − s = n·(x−μ)), so R_scaled =
+        // n·R and S = sqrt(ssq)/n^1.5 ⇒ R/S = R_scaled/sqrt(ssq/n)
+        .select(expr(
+          s"CAST(round(CAST(r_scaled AS DOUBLE)" +
+            s" / sqrt(CAST(ssq AS DOUBLE) / $bs) * 1e6) AS BIGINT)")
+          .as("rs_micro"))
+      blocks.agg(count(lit(1)).as("n_blocks"),
+          sum(col("rs_micro")).as("rs_sum"))
+        .withColumn("block_size", lit(bs.toLong))
+    }.reduce(_ unionByName _)
+      .withColumn("avg_rs", expr(
+        "CAST(rs_sum AS DOUBLE) / n_blocks / 1e6"))
+      .localCheckpoint(true)
+    val h = perSize
+      .agg(
+        max(when(col("block_size") === 8, expr("ln(avg_rs)"))).as("y8"),
+        max(when(col("block_size") === 16, expr("ln(avg_rs)"))).as("y16"),
+        max(when(col("block_size") === 32, expr("ln(avg_rs)"))).as("y32"),
+        max(when(col("block_size") === 64, expr("ln(avg_rs)"))).as("y64"))
+      .select((floor(expr(
+        "(-1.5 * y8 - 0.5 * y16 + 0.5 * y32 + 1.5 * y64) / (5 * ln(2))")
+        * 1e4 + 0.5) / 1e4).as("hurst"))
+    perSize.crossJoin(broadcast(h))
+      .select(col("block_size"), col("n_blocks"),
+        (floor(col("avg_rs") * 1e6 + 0.5) / 1e6).as("avg_rs"),
+        col("hurst"))
+      .orderBy(col("block_size"))
+  }
+
+  /** Permutation entropy (order 3) of the daily revenue series — the
+    * ordinal-pattern complexity measure (Bandt & Pompe): every
+    * consecutive triple maps to one of 6 rank patterns by PURE INTEGER
+    * comparisons (ties broken by time index, so the pattern is total),
+    * and the pattern distribution's Shannon entropy — in exact
+    * micro-nats — says how predictable the series' shape is (ln 6 =
+    * maximally random). One lag pass + a 6-row census. */
+  def qPermEntropy(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("x1"))
+      .withColumn("x2", lead(col("x1"), 1).over(w))
+      .withColumn("x3", lead(col("x1"), 2).over(w))
+      .filter(col("x3").isNotNull)
+    // rank of each element among the triple, ties to the EARLIER index
+    val coded = daily.select(expr(
+      """(CASE WHEN x2 < x1 THEN 1 ELSE 0 END
+        |   + CASE WHEN x3 < x1 THEN 1 ELSE 0 END) * 9 +
+        |(CASE WHEN x1 <= x2 THEN 1 ELSE 0 END
+        |   + CASE WHEN x3 < x2 THEN 1 ELSE 0 END) * 3 +
+        |(CASE WHEN x1 <= x3 THEN 1 ELSE 0 END
+        |   + CASE WHEN x2 <= x3 THEN 1 ELSE 0 END)""".stripMargin)
+      .cast("long").as("pattern"))
+    val counts = coded.groupBy(col("pattern")).agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(counts.agg(sum(col("cnt")).as("t")))
+    val terms = counts.crossJoin(tot)
+      .withColumn("k_micro", expr(
+        "CAST(round(-ln(CAST(cnt AS DOUBLE) / t) * 1e6) AS BIGINT)"))
+    val hSum = broadcast(terms
+      .agg(sum(col("cnt") * col("k_micro")).as("h_num"), max(col("t")).as("t"))
+      .select(
+        (floor(col("h_num").cast("double") / col("t") + 0.5) / 1e6)
+          .as("entropy_nats"))
+      .withColumn("entropy_norm", (floor(expr(
+        "entropy_nats / ln(6)") * 1e4 + 0.5) / 1e4)))
+    terms.crossJoin(hSum)
+      .select(col("pattern"), col("cnt"),
+        (floor(expr("CAST(cnt AS DOUBLE) / t") * 1e6 + 0.5) / 1e6)
+          .as("p"),
+        col("entropy_nats"), col("entropy_norm"))
+      .orderBy(col("pattern"))
+  }
+
+  /** Two-sample Cramér–von Mises test (balance distributions of
+    * even- vs odd-keyed customers): the EDF-distance alternative to
+    * [[Mining.qKsTest]]'s sup-norm, T = U/(nm(n+m)) − (4nm−1)/(6(n+m))
+    * with U = n·Σ(rᵢ−i)² + m·Σ(sⱼ−j)². Every rank is exact off the
+    * ranged scan over the TOTAL (value, custkey) order (ties broken by
+    * key, so the rank relation is identical cross-engine), both Σ(·)²
+    * are exact long sums, and U rides DECIMAL⇄HUGEINT — T is one
+    * pinned double expression at the end. */
+  def qCramerVonMises(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.customer(s, d)
+      .select(((col("c_custkey") % 2) === 0).as("in_a"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+    val combined = Ranks.globalRowNumber(x,
+      Seq(col("v"), col("c_custkey")), "r")
+    val within = Ranks.groupRowNumber(combined, Seq(col("in_a")),
+      Seq(col("v"), col("c_custkey")), "i", "n_grp")
+    val sums = within
+      .groupBy(col("in_a"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("(r - i) * (r - i)")).as("t2"))
+    val a = sums.filter(col("in_a")).select(col("n").as("n_a"),
+      col("t2").as("t2_a"))
+    val b = sums.filter(!col("in_a")).select(col("n").as("n_b"),
+      col("t2").as("t2_b"))
+    a.crossJoin(b)
+      .withColumn("u", expr(
+        "CAST(n_a AS DECIMAL(38,0)) * t2_a + CAST(n_b AS DECIMAL(38,0)) * t2_b"))
+      .select(col("n_a"), col("n_b"), col("t2_a"), col("t2_b"),
+        (floor(expr(
+          "CAST(u AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b * (n_a + n_b))" +
+            " - (4.0 * n_a * n_b - 1) / (6.0 * (n_a + n_b))")
+          * 1e6 + 0.5) / 1e6).as("t_stat"))
+  }
+
   /** Ljung–Box portmanteau test on the daily revenue series (lags
     * 1..7): is the series white noise, or is there autocorrelation
     * worth modeling — the gatekeeper test before ARIMA fitting.

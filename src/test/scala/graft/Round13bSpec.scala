@@ -666,6 +666,74 @@ class Round13bSpec extends SparkSuite {
       "streaming bottom-k state must equal the batch ranked fill")
   }
 
+  test("hurst R/S matches a naive block replay") {
+    val got = graft.ops.Stats.qHurstExponent(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val xs = dailyE4().map(_._2)
+    for (bs <- Seq(8, 16, 32, 64)) {
+      val blocks = xs.grouped(bs).filter(_.length == bs).toSeq
+      val rsM = blocks.flatMap { blk =>
+        val s = blk.sum
+        val devs = blk.map(x => bs * x - s)
+        val cums = devs.scanLeft(0L)(_ + _).tail
+        val ssq = devs.map(d => BigInt(d) * d).sum
+        if (ssq > 0)
+          Some(math.round((cums.max - cums.min).toDouble /
+            math.sqrt(BigDecimal(ssq).toDouble / bs) * 1e6))
+        else None
+      }
+      val (gn, gavg) = got(bs.toLong)
+      assert(gn == rsM.length.toLong, s"bs $bs n_blocks")
+      assert(gavg == math.floor(rsM.sum.toDouble / rsM.length / 1e6
+        * 1e6 + 0.5) / 1e6, s"bs $bs avg_rs")
+    }
+    // 0 < H < 1 sanity
+    val h = graft.ops.Stats.qHurstExponent(spark, sf)
+      .collect().head.getDouble(3)
+    assert(h > 0 && h < 1, s"hurst $h out of range")
+  }
+
+  test("permutation entropy matches a naive pattern census") {
+    val got = graft.ops.Stats.qPermEntropy(spark, sf).collect()
+    val xs = dailyE4().map(_._2)
+    val pats = xs.sliding(3).filter(_.length == 3).map { t =>
+      val (x1, x2, x3) = (t(0), t(1), t(2))
+      val r1 = (if (x2 < x1) 1 else 0) + (if (x3 < x1) 1 else 0)
+      val r2 = (if (x1 <= x2) 1 else 0) + (if (x3 < x2) 1 else 0)
+      val r3 = (if (x1 <= x3) 1 else 0) + (if (x2 <= x3) 1 else 0)
+      (r1 * 9 + r2 * 3 + r3).toLong
+    }.toSeq
+    val want = pats.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    val t = pats.length.toLong
+    val hNum = want.values
+      .map(c => c * math.round(-math.log(c.toDouble / t) * 1e6)).sum
+    val hWant = math.floor(hNum.toDouble / t + 0.5) / 1e6
+    assert(got.head.getDouble(3) == hWant, "entropy")
+    assert(got.head.getDouble(4) <= 1.0001, "normalized entropy <= 1")
+  }
+
+  test("cramer-von-mises matches a naive rank replay") {
+    val r = graft.ops.Stats.qCramerVonMises(spark, sf).collect().head
+    val xs = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy { case (k, v) => (v, k) }
+    val ranked = xs.zipWithIndex.map { case ((k, v), idx) =>
+      (k % 2 == 0, idx + 1L) }
+    def t2(side: Boolean) = ranked.filter(_._1 == side).map(_._2)
+      .zipWithIndex.map { case (rk, i) =>
+        val d = rk - (i + 1); d * d }.sum
+    val (nA, nB) = (ranked.count(_._1).toLong, ranked.count(!_._1).toLong)
+    val (t2a, t2b) = (t2(true), t2(false))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (nA, nB, t2a, t2b))
+    val u = nA.toDouble * t2a + nB.toDouble * t2b
+    val tWant = u / (nA.toDouble * nB * (nA + nB)) -
+      (4.0 * nA * nB - 1) / (6.0 * (nA + nB))
+    assert(math.abs(r.getDouble(4) - tWant) < 1e-5, "t stat")
+  }
+
   test("price index matches a naive unit-value replay") {
     val got = graft.ops.Stats.qPriceIndex(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
