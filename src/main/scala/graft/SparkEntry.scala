@@ -935,6 +935,10 @@ object SparkEntry {
     "q_pvm_bridge" -> (Stats.qPvmBridge _),
     "q_ljung_box" -> (Stats.qLjungBox _),
     "q_hurst_exponent" -> (Stats.qHurstExponent _),
+    "q_two_way_anova" -> (Stats.qTwoWayAnova _),
+    "q_gumbel_maxima" -> (Stats.qGumbelMaxima _),
+    "q_harmonic_centrality" -> (Mining.qHarmonicCentrality _),
+    "engine_json_pointer" -> (JsonQueries.engineJsonPointer _),
     "q_perm_entropy" -> (Stats.qPermEntropy _),
     "q_cramer_von_mises" -> (Stats.qCramerVonMises _),
     "q_iqr_outliers" -> (Stats.qIqrOutliers _),
@@ -2378,6 +2382,32 @@ object SparkEntry {
         |    AS closeness
         |FROM d GROUP BY 1 HAVING sum(h) > 0
         |ORDER BY closeness DESC, node LIMIT 20""".stripMargin,
+    "q_harmonic_centrality" ->
+      """WITH RECURSIVE sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+        |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |e AS (SELECT u, v FROM (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+        |  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2) WHERE w >= 1),
+        |es AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |srcs AS (SELECT node AS src FROM (SELECT DISTINCT u AS node
+        |    FROM es)
+        |  ORDER BY md5_number_lower(CAST(node AS VARCHAR))
+        |    & 9223372036854775807, node LIMIT 6),
+        |reach(src, id, h) AS (
+        |  SELECT src, src, 0 FROM srcs
+        |  UNION
+        |  SELECT r.src, es.v, r.h + 1 FROM reach r JOIN es ON es.u = r.id
+        |  WHERE r.h < 4),
+        |d AS (SELECT src, id, CAST(min(h) AS BIGINT) AS h
+        |  FROM reach GROUP BY 1, 2)
+        |SELECT id AS node, CAST(count(*) AS BIGINT) AS n_src,
+        |  CAST(min(h) AS BIGINT) AS min_dist,
+        |  CAST(sum(1000000 // h) AS BIGINT) AS harm_micro,
+        |  CAST(sum(1000000 // h) AS DOUBLE) / 1e6 AS harmonic
+        |FROM d WHERE h > 0 GROUP BY 1
+        |ORDER BY harm_micro DESC, node LIMIT 20""".stripMargin,
     // exact ntile deciles over (score desc, custkey); census integers;
     // rate/lift as pinned-order IEEE divisions of identical integers
     "q_gains_lift" ->
@@ -5213,6 +5243,105 @@ object SparkEntry {
         |  floor(CAST(ag.s AS DOUBLE) / ag.n0 * 1e6 + 0.5) / 1e6 AS tau_a
         |FROM nc JOIN ag ON nc.month = ag.month
         |ORDER BY 1""".stripMargin,
+    "q_two_way_anova" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS fa, l_linestatus AS fb,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT) *
+        |      CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s2
+        |  FROM lineitem GROUP BY 1, 2),
+        |am AS (SELECT fa, CAST(sum(n) AS BIGINT) AS n_a,
+        |    CAST(sum(s) AS BIGINT) AS s_a FROM cells GROUP BY 1),
+        |bm AS (SELECT fb, CAST(sum(n) AS BIGINT) AS n_b,
+        |    CAST(sum(s) AS BIGINT) AS s_b FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s) AS BIGINT) AS ss, CAST(sum(s2) AS BIGINT) AS sq,
+        |    CAST(count(DISTINCT fa) AS BIGINT) AS ka,
+        |    CAST(count(DISTINCT fb) AS BIGINT) AS kb,
+        |    CAST(count(*) AS BIGINT) AS kc,
+        |    sum((CAST(s AS HUGEINT) * s * 10000) // n) AS cellsq
+        |  FROM cells),
+        |asq AS (SELECT sum((CAST(s_a AS HUGEINT) * s_a * 10000) // n_a)
+        |    AS asq
+        |  FROM am),
+        |bsq AS (SELECT sum((CAST(s_b AS HUGEINT) * s_b * 10000) // n_b)
+        |    AS bsq
+        |  FROM bm),
+        |m AS (SELECT *,
+        |    CAST((CAST(ss AS HUGEINT) * ss * 10000) // nn AS DOUBLE)
+        |      AS corr
+        |  FROM g CROSS JOIN asq CROSS JOIN bsq),
+        |m2 AS (SELECT *,
+        |    CAST(asq AS DOUBLE) - corr AS ss_a,
+        |    CAST(bsq AS DOUBLE) - corr AS ss_b,
+        |    CAST(cellsq AS DOUBLE) - corr AS ss_cells,
+        |    CAST(sq AS DOUBLE) * 10000 - CAST(cellsq AS DOUBLE) AS ss_w,
+        |    ka - 1 AS df_a, kb - 1 AS df_b,
+        |    (ka - 1) * (kb - 1) AS df_ab, nn - kc AS df_w
+        |  FROM m),
+        |f AS (SELECT nn AS n_total, df_a, df_b, df_ab, df_w,
+        |    floor((ss_a / df_a) / (ss_w / df_w) * 10000 + 0.5) / 10000
+        |      AS f_a,
+        |    floor((ss_b / df_b) / (ss_w / df_w) * 10000 + 0.5) / 10000
+        |      AS f_b,
+        |    floor(((ss_cells - ss_a - ss_b) / df_ab) / (ss_w / df_w)
+        |      * 10000 + 0.5) / 10000 AS f_ab
+        |  FROM m2)
+        |SELECT fa, fb, n,
+        |  floor(CAST(s AS DOUBLE) / n * 10000 + 0.5) / 10000 AS cell_mean,
+        |  n_total, df_a, df_b, df_ab, df_w, f_a, f_b, f_ab
+        |FROM cells CROSS JOIN f ORDER BY fa, fb""".stripMargin,
+    "q_gumbel_maxima" ->
+      """WITH daily AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+        |    CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1, 2),
+        |mx AS (SELECT month, CAST(max(e4) AS BIGINT) AS m
+        |  FROM daily GROUP BY 1),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(m) AS BIGINT) AS sm,
+        |    sum(CAST(m AS HUGEINT) * m) AS sm2 FROM mx),
+        |fit AS (SELECT *,
+        |    CAST(sm AS DOUBLE) / n AS mean,
+        |    sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE)
+        |      * (CAST(sm AS DOUBLE) / n)) / (n - 1)) AS sd
+        |  FROM mo),
+        |fit2 AS (SELECT *, sd * sqrt(6.0) / pi() AS beta FROM fit),
+        |fit3 AS (SELECT *, mean - 0.5772156649015329 * beta AS mu
+        |  FROM fit2)
+        |SELECT n AS n_blocks,
+        |  floor(mean / 10000 * 100 + 0.5) / 100 AS mean_max,
+        |  floor(beta / 10000 * 100 + 0.5) / 100 AS beta,
+        |  floor(mu / 10000 * 100 + 0.5) / 100 AS mu,
+        |  floor((mu - beta * ln(-ln(1 - 1.0 / 10))) / 10000 * 100 + 0.5)
+        |    / 100 AS rl_10,
+        |  floor((mu - beta * ln(-ln(1 - 1.0 / 100))) / 10000 * 100 + 0.5)
+        |    / 100 AS rl_100
+        |FROM fit3""".stripMargin,
+    "engine_json_pointer" ->
+      """WITH docs AS (
+        |  SELECT o_orderstatus AS status,
+        |    json_object('id', o_orderkey, 'a/b', o_orderpriority,
+        |      'meta', json_object('price_cents',
+        |        CAST(round(o_totalprice * 100) AS BIGINT)),
+        |      'tags', json_array(o_orderstatus, o_orderpriority)) AS doc
+        |  FROM orders),
+        |p AS (SELECT status,
+        |    CAST(json_extract(doc, '/meta/price_cents') AS BIGINT)
+        |      AS p_price,
+        |    json_extract_string(doc, '/a~1b') AS p_esc,
+        |    json_extract_string(doc, '/tags/1') AS p_tag1,
+        |    json_extract(doc, '/meta/none') AS p_missing
+        |  FROM docs)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(p_price) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CASE WHEN p_esc = p_tag1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_esc_eq_tag,
+        |  CAST(count(p_missing) AS BIGINT) AS n_missing_resolved
+        |FROM p GROUP BY status ORDER BY status""".stripMargin,
     "q_hurst_exponent" ->
       """WITH daily AS (
         |  SELECT CAST(l_shipdate AS DATE) AS day,

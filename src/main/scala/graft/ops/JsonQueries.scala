@@ -558,4 +558,40 @@ object JsonQueries {
         count(col("tag")).as("n_with_tag"))
       .orderBy(col("op"))
   }
+
+  /** RFC 6901 JSON Pointer lookup ([[graft.json.JsonPointer]]) —
+    * reference-core growth to the third JSON-RFC verb beside
+    * q_json_patch (6902 subset) and engine_merge_patch (7386). Docs
+    * carry an escaped key (`a/b` → pointer `/a~1b`), a nested object
+    * and an array; four pointers (nested scalar, escaped key, array
+    * index, non-resolving) are evaluated per doc and rolled up per
+    * status. The oracle builds the same docs with DuckDB json_object
+    * and resolves the RAW pointers through DuckDB's NATIVE JSONPointer
+    * path support — two independent RFC implementations certified to
+    * agree. */
+  def engineJsonPointer(s: SparkSession, d: String): DataFrame = {
+    import graft.json.JsonPointer
+    val docs = Tables.orders(s, d).select(
+      col("o_orderstatus").as("status"),
+      to_json(struct(
+        col("o_orderkey").as("id"),
+        col("o_orderpriority").as("a/b"),
+        struct(round(col("o_totalprice") * 100).cast("long")
+          .as("price_cents")).as("meta"),
+        array(col("o_orderstatus"), col("o_orderpriority")).as("tags")))
+        .as("doc"))
+    docs
+      .withColumn("p_price", JsonPointer.get(col("doc"),
+        "/meta/price_cents").cast("long"))
+      .withColumn("p_esc", JsonPointer.get(col("doc"), "/a~1b"))
+      .withColumn("p_tag1", JsonPointer.get(col("doc"), "/tags/1"))
+      .withColumn("p_missing", JsonPointer.get(col("doc"), "/meta/none"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("p_price")).as("sum_price_cents"),
+        sum(when(col("p_esc") === col("p_tag1"), 1L).otherwise(0L))
+          .as("n_esc_eq_tag"),
+        count(col("p_missing")).as("n_missing_resolved"))
+      .orderBy(col("status"))
+  }
 }

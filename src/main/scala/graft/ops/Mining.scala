@@ -1936,6 +1936,47 @@ object Mining {
       .limit(20)
   }
 
+  /** Sampled-source HARMONIC centrality — the closeness variant that
+    * handles disconnection natively (unreached nodes contribute 0, not
+    * ∞): harm(v) = Σ_src 1/d(src,v) over the same 6 md5-sampled
+    * hop-≤4 BFS relation as [[qClosenessApprox]]. Each 1/d is fixed to
+    * the micro lattice by INTEGER division (10⁶ div d — exact, so the
+    * per-node fold is an order-free long sum; documented floor bias
+    * < 1 micro-unit per term). Same frontier-sized shuffles. */
+  def qHarmonicCentrality(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs.md5Lower64
+    val e = sparsePartEdges(s, d, minW = 1)
+    val sym = e.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(e.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
+    val srcs = sym.select(col("u").as("node")).distinct()
+      .orderBy(md5Lower64(col("node").cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)), col("node"))
+      .limit(6)
+      .select(col("node").as("src"))
+    var frontier = srcs.select(col("src"), col("src").as("node"),
+      lit(0L).as("dist")).localCheckpoint(true)
+    var visited = frontier
+    for (dpt <- 1 to 4) {
+      frontier = frontier.join(sym, frontier("node") === sym("u"))
+        .select(col("src"), col("v").as("node")).distinct()
+        .join(visited.select(col("src"), col("node")), Seq("src", "node"),
+          "left_anti")
+        .withColumn("dist", lit(dpt.toLong))
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    visited.filter(col("dist") > 0L)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_src"),
+        sum(expr("1000000 div dist")).as("harm_micro"),
+        min(col("dist")).as("min_dist"))
+      .select(col("node"), col("n_src"), col("min_dist"), col("harm_micro"),
+        (col("harm_micro").cast("double") / 1e6).as("harmonic"))
+      .orderBy(col("harm_micro").desc, col("node"))
+      .limit(20)
+  }
+
   /** Per-node LOCAL clustering coefficient over the part co-purchase
     * graph (same edge definition as q_triangle_count): lcc(v) =
     * 2·tri(v) / (deg(v)·(deg(v)−1)). Per-node triangle counts reuse

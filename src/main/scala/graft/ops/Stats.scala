@@ -344,6 +344,99 @@ object Stats {
       .limit(10)
   }
 
+  /** Two-way factorial ANOVA of quantity on returnflag × linestatus:
+    * the SS decomposition (A, B, interaction, within) and the three F
+    * ratios — the designed-experiment workhorse one level above
+    * [[Mining.qAnovaF]]'s one-way. Every sum of squares comes from
+    * EXACT integer cell moments via the Σ S²/n − S²/N identity
+    * (integral divisions truncate ≤ 1 per cell — invisible at 4 dp);
+    * one partial-aggregable cell rollup is the only data-scaled
+    * shuffle, margins fold from the ≤6-row cell frame. */
+  def qTwoWayAnova(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("fa"), col("l_linestatus").as("fb"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .groupBy(col("fa"), col("fb"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("s2"))
+      .localCheckpoint(true)
+    val aM = cells.groupBy(col("fa"))
+      .agg(sum(col("n")).as("n_a"), sum(col("s")).as("s_a"))
+    val bM = cells.groupBy(col("fb"))
+      .agg(sum(col("n")).as("n_b"), sum(col("s")).as("s_b"))
+    // all S²/n terms ride a 1e-4-unit lattice (×10000 before the
+    // integral division) so truncation is ≤1e-4 per group — far below
+    // the 4-dp F resolution even when the F itself is tiny
+    val g = cells.agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"),
+      sum(col("s2")).as("sq"),
+      countDistinct(col("fa")).as("ka"), countDistinct(col("fb")).as("kb"),
+      count(lit(1)).as("kc"),
+      sum(expr("(CAST(s AS DECIMAL(38,0)) * s * 10000) div n"))
+        .as("cellsq"))
+    val margins = g
+      .crossJoin(broadcast(aM.agg(
+        sum(expr("(CAST(s_a AS DECIMAL(38,0)) * s_a * 10000) div n_a"))
+          .as("asq"))))
+      .crossJoin(broadcast(bM.agg(
+        sum(expr("(CAST(s_b AS DECIMAL(38,0)) * s_b * 10000) div n_b"))
+          .as("bsq"))))
+      .withColumn("corr", expr(
+        "CAST((CAST(ss AS DECIMAL(38,0)) * ss * 10000) div nn AS DOUBLE)"))
+      .withColumn("ss_a", expr("CAST(asq AS DOUBLE) - corr"))
+      .withColumn("ss_b", expr("CAST(bsq AS DOUBLE) - corr"))
+      .withColumn("ss_cells", expr("CAST(cellsq AS DOUBLE) - corr"))
+      .withColumn("ss_ab", expr("ss_cells - ss_a - ss_b"))
+      .withColumn("ss_w", expr("CAST(sq AS DOUBLE) * 10000" +
+        " - CAST(cellsq AS DOUBLE)"))
+      .withColumn("df_a", expr("ka - 1"))
+      .withColumn("df_b", expr("kb - 1"))
+      .withColumn("df_ab", expr("(ka - 1) * (kb - 1)"))
+      .withColumn("df_w", expr("nn - kc"))
+      .select(col("nn").as("n_total"),
+        col("df_a"), col("df_b"), col("df_ab"), col("df_w"),
+        rnd(expr("(ss_a / df_a) / (ss_w / df_w)"), 4).as("f_a"),
+        rnd(expr("(ss_b / df_b) / (ss_w / df_w)"), 4).as("f_b"),
+        rnd(expr("(ss_ab / df_ab) / (ss_w / df_w)"), 4).as("f_ab"))
+    cells.crossJoin(broadcast(margins))
+      .select(col("fa"), col("fb"), col("n"),
+        rnd(expr("CAST(s AS DOUBLE) / n"), 4).as("cell_mean"),
+        col("n_total"), col("df_a"), col("df_b"), col("df_ab"),
+        col("df_w"), col("f_a"), col("f_b"), col("f_ab"))
+      .orderBy(col("fa"), col("fb"))
+  }
+
+  /** Gumbel extreme-value fit on monthly block maxima of daily
+    * revenue (method of moments: β = s·√6/π, μ = mean − γ·β) and the
+    * 10-/100-period return levels — the capacity-planning question
+    * "how big can a day get". Maxima are exact longs off the
+    * calendar-bounded frames; moments ride DECIMAL⇄HUGEINT; the fit
+    * and return levels are one pinned double expression (π via the
+    * engine `pi()` and γ as an explicit literal — identical bits both
+    * sides; sqrt/ln exactly-rounded or micro-stable). */
+  def qGumbelMaxima(s: SparkSession, d: String): DataFrame = {
+    val mx = Tables.lineitem(s, d)
+      .groupBy(date_format(to_date(col("l_shipdate")), "yyyy-MM")
+        .as("month"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .groupBy(col("month")).agg(max(col("e4")).as("m"))
+    mx.agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("sm2"))
+      .withColumn("mean", expr("CAST(sm AS DOUBLE) / n"))
+      .withColumn("sd", expr(
+        "sqrt((CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * mean) / (n - 1))"))
+      .withColumn("beta", expr("sd * sqrt(6.0) / pi()"))
+      .withColumn("mu", expr("mean - 0.5772156649015329 * beta"))
+      .select(col("n").as("n_blocks"),
+        rnd(expr("mean / 10000"), 2).as("mean_max"),
+        rnd(expr("beta / 10000"), 2).as("beta"),
+        rnd(expr("mu / 10000"), 2).as("mu"),
+        rnd(expr("(mu - beta * ln(-ln(1 - 1.0 / 10))) / 10000"), 2)
+          .as("rl_10"),
+        rnd(expr("(mu - beta * ln(-ln(1 - 1.0 / 100))) / 10000"), 2)
+          .as("rl_100"))
+  }
+
   /** Hurst exponent by rescaled-range (R/S) analysis of the daily
     * revenue series over block sizes 8/16/32/64 — the long-memory
     * probe (H≈0.5 random walk, H>0.5 trending, H<0.5 mean-reverting).

@@ -734,6 +734,94 @@ class Round13bSpec extends SparkSuite {
     assert(math.abs(r.getDouble(4) - tWant) < 1e-5, "t stat")
   }
 
+  test("json pointer translation handles escapes, arrays and misses") {
+    import graft.json.JsonPointer.toJsonPath
+    assert(toJsonPath("/meta/price_cents") == "$['meta']['price_cents']")
+    assert(toJsonPath("/a~1b") == "$['a/b']")
+    assert(toJsonPath("/a~0b") == "$['a~b']")
+    assert(toJsonPath("/tags/1") == "$['tags'][1]")
+    assert(toJsonPath("") == "$")
+    import spark.implicits._
+    val df = Seq(
+      """{"a/b":"X","meta":{"price_cents":123},"tags":["O","HIGH"]}""")
+      .toDF("doc")
+    val r = df.select(
+      graft.json.JsonPointer.get(col("doc"), "/meta/price_cents"),
+      graft.json.JsonPointer.get(col("doc"), "/a~1b"),
+      graft.json.JsonPointer.get(col("doc"), "/tags/1"),
+      graft.json.JsonPointer.get(col("doc"), "/meta/none")).head
+    assert((r.getString(0), r.getString(1), r.getString(2)) ==
+      ("123", "X", "HIGH"))
+    assert(r.isNullAt(3))
+  }
+
+  test("two-way anova matches a naive SS decomposition replay") {
+    val rows = graft.ops.Stats.qTwoWayAnova(spark, sf).collect()
+    val qs = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity")).cast("long"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val n = qs.length.toDouble
+    val gMean = qs.map(_._2).sum / n
+    val byCell = qs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val byA = qs.groupBy(_._1._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val byB = qs.groupBy(_._1._2).view.mapValues(_.map(_._2).toSeq).toMap
+    def ssOf(groups: Iterable[Seq[Long]]) =
+      groups.map(g => g.length * math.pow(g.sum / g.length.toDouble
+        - gMean, 2)).sum
+    val ssA = ssOf(byA.values)
+    val ssB = ssOf(byB.values)
+    val ssCells = ssOf(byCell.values)
+    val ssW = qs.map { case (k, q) =>
+      val m = byCell(k).sum / byCell(k).length.toDouble
+      (q - m) * (q - m) }.sum
+    val (ka, kb, kc) = (byA.size, byB.size, byCell.size)
+    val r0 = rows.head
+    val fA = (ssA / (ka - 1)) / (ssW / (n - kc))
+    val fB = (ssB / (kb - 1)) / (ssW / (n - kc))
+    val fAB = ((ssCells - ssA - ssB) / ((ka - 1) * (kb - 1))) /
+      (ssW / (n - kc))
+    assert(math.abs(r0.getDouble(9) - fA) < fA * 1e-4 + 2e-4, "F_A")
+    assert(math.abs(r0.getDouble(10) - fB) < fB * 1e-4 + 2e-4, "F_B")
+    assert(math.abs(r0.getDouble(11) - fAB) < fAB * 1e-4 + 2e-4, "F_AB")
+  }
+
+  test("gumbel fit matches a naive moment replay") {
+    val r = graft.ops.Stats.qGumbelMaxima(spark, sf).collect().head
+    val mx = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(date_format(to_date(col("l_shipdate")), "yyyy-MM"),
+        to_date(col("l_shipdate")))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .groupBy(col("date_format(to_date(l_shipdate), yyyy-MM)"))
+      .agg(max(col("e4"))).collect().map(_.getLong(1))
+    val n = mx.length.toDouble
+    val mean = mx.sum / n
+    val sd = math.sqrt(mx.map(m => (m - mean) * (m - mean)).sum / (n - 1))
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    val mu = mean - 0.5772156649015329 * beta
+    val rl10 = mu - beta * math.log(-math.log(1 - 1.0 / 10))
+    assert(r.getLong(0) == mx.length.toLong)
+    assert(math.abs(r.getDouble(3) - mu / 10000) < 1, "mu")
+    assert(math.abs(r.getDouble(4) - rl10 / 10000) < 1, "rl10")
+    // return levels are ordered: rl100 > rl10 > mean
+    assert(r.getDouble(5) > r.getDouble(4) && r.getDouble(4)
+      > r.getDouble(1))
+  }
+
+  test("harmonic centrality dominates closeness ordering sanity") {
+    val h = graft.ops.Mining.qHarmonicCentrality(spark, sf).collect()
+    assert(h.length > 0 && h.length <= 20)
+    // harm_micro consistent with its own columns and monotone output
+    for (r <- h) {
+      assert(r.getLong(3) <= r.getLong(1) * 1000000L,
+        "harmonic <= n_src (each term <= 1)")
+      assert(r.getLong(2) >= 1L, "min dist positive")
+    }
+    val ms = h.map(_.getLong(3))
+    assert(ms.zip(ms.tail).forall { case (a, b) => a >= b }, "sorted desc")
+  }
+
   test("price index matches a naive unit-value replay") {
     val got = graft.ops.Stats.qPriceIndex(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
