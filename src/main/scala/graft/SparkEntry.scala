@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Analytics, Behavior, JsonQueries, Mining, PipelineQueries, Profiling, Stats, Warehouse}
+import graft.ops.{Analytics, Behavior, JsonQueries, Mining, MlEval, PipelineQueries, Profiling, Stats, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -1003,6 +1003,10 @@ object SparkEntry {
     "source_files_audit" -> (graft.sources.Layouts.filesAudit _),
     "q_bucketed_join" -> (graft.sources.Layouts.bucketedJoin _),
     "sink_compaction" -> (graft.sources.Layouts.compaction _),
+    "q_roc_auc" -> (MlEval.qRocAuc _),
+    "q_brier_decomp" -> (MlEval.qBrierDecomp _),
+    "q_cohens_kappa" -> (MlEval.qCohensKappa _),
+    "q_naive_bayes" -> (MlEval.qNaiveBayes _),
   )
 
   /** stream_event_pattern and stream_dedup_minhash are contracted to
@@ -7598,5 +7602,170 @@ object SparkEntry {
         |  CAST(16000 AS BIGINT) AS sample_rate,
         |  CAST(sum(v * v) AS BIGINT) AS energy
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_roc_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) * 101
+        |      + CAST(round(l_discount * 100) AS BIGINT) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |h AS (SELECT v, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS neg FROM s GROUP BY 1),
+        |c AS (SELECT v, pos, neg,
+        |    CAST(sum(pos) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+        |    CAST(sum(neg) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_neg
+        |  FROM h),
+        |t AS (SELECT max(cum_pos) AS n_pos, max(cum_neg) AS n_neg FROM c),
+        |a AS (SELECT
+        |    sum(CAST(pos AS HUGEINT) * (2 * (cum_neg - neg) + neg))
+        |      AS auc_num2,
+        |    max(abs(CAST(cum_pos AS HUGEINT) * n_neg
+        |      - CAST(cum_neg AS HUGEINT) * n_pos)) AS ks_num,
+        |    max(n_pos) AS n_pos, max(n_neg) AS n_neg
+        |  FROM c CROSS JOIN t)
+        |SELECT n_pos, n_neg,
+        |  floor(CAST(auc_num2 AS DOUBLE) / (2 * CAST(n_pos AS DOUBLE)
+        |    * CAST(n_neg AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS auc,
+        |  floor((CAST(auc_num2 AS DOUBLE) / (2 * CAST(n_pos AS DOUBLE)
+        |    * CAST(n_neg AS DOUBLE)) * 2 - 1) * 1e6 + 0.5) / 1e6
+        |    AS gini_coef,
+        |  floor(CAST(ks_num AS DOUBLE) / (CAST(n_pos AS DOUBLE)
+        |    * CAST(n_neg AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ks_stat
+        |FROM a""".stripMargin,
+    "q_brier_decomp" ->
+      """WITH r AS (
+        |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS bin,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    (md5_number_lower(CAST(l_orderkey * 8 + l_linenumber
+        |      AS VARCHAR)) & 9223372036854775807) % 2 AS split
+        |  FROM lineitem),
+        |tr AS (SELECT bin, CAST(count(*) AS BIGINT) AS tn,
+        |    CAST(sum(y) AS BIGINT) AS tp FROM r WHERE split = 0
+        |  GROUP BY 1),
+        |te AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS o FROM r WHERE split = 1
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+        |    CAST(sum(o) AS BIGINT) AS o_tot FROM te),
+        |b AS (SELECT te.bin, n, o, tn, tp, n_tot,
+        |    CAST(tp AS DOUBLE) / tn AS p,
+        |    CAST(o_tot AS DOUBLE) / n_tot AS obar
+        |  FROM te JOIN tr USING (bin) CROSS JOIN tt),
+        |b2 AS (SELECT *,
+        |    CAST(round(n * (p - CAST(o AS DOUBLE) / n)
+        |      * (p - CAST(o AS DOUBLE) / n) * 1e9) AS BIGINT) AS rel9,
+        |    CAST(round(n * (CAST(o AS DOUBLE) / n - obar)
+        |      * (CAST(o AS DOUBLE) / n - obar) * 1e9) AS BIGINT) AS res9,
+        |    CAST(round((n * p * p - 2 * p * o + o) * 1e9) AS BIGINT)
+        |      AS bri9
+        |  FROM b),
+        |g AS (SELECT
+        |    floor(CAST(sum(rel9) AS DOUBLE) / 1e9 / max(n_tot) * 1e6
+        |      + 0.5) / 1e6 AS reliability,
+        |    floor(CAST(sum(res9) AS DOUBLE) / 1e9 / max(n_tot) * 1e6
+        |      + 0.5) / 1e6 AS resolution,
+        |    floor(max(obar) * (1 - max(obar)) * 1e6 + 0.5) / 1e6
+        |      AS uncertainty,
+        |    floor(CAST(sum(bri9) AS DOUBLE) / 1e9 / max(n_tot) * 1e6
+        |      + 0.5) / 1e6 AS brier
+        |  FROM b2)
+        |SELECT bin, n AS n_test,
+        |  floor(p * 1e6 + 0.5) / 1e6 AS forecast_p,
+        |  floor(CAST(o AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS obs_rate,
+        |  reliability, resolution, uncertainty, brier
+        |FROM b2 CROSS JOIN g ORDER BY bin""".stripMargin,
+    "q_cohens_kappa" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a * b) AS BIGINT) AS n11,
+        |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+        |    CAST(sum((1 - a) * b) AS BIGINT) AS n01
+        |  FROM (SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END
+        |      AS a,
+        |      CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END AS b
+        |    FROM lineitem)),
+        |k AS (SELECT *, n - n11 - n10 - n01 AS n00 FROM a),
+        |p AS (SELECT *, CAST(n11 + n00 AS DOUBLE) / n AS po,
+        |    (CAST(n11 + n10 AS DOUBLE) / n)
+        |      * (CAST(n11 + n01 AS DOUBLE) / n)
+        |      + (CAST(n01 + n00 AS DOUBLE) / n)
+        |      * (CAST(n10 + n00 AS DOUBLE) / n) AS pe
+        |  FROM k)
+        |SELECT n, n11, n10, n01, n00,
+        |  floor(po * 1e6 + 0.5) / 1e6 AS p_observed,
+        |  floor(pe * 1e6 + 0.5) / 1e6 AS p_expected,
+        |  floor((po - pe) / (1 - pe) * 1e6 + 0.5) / 1e6 AS kappa,
+        |  floor(CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)
+        |    * 1e6 + 0.5) / 1e6 AS mcnemar_chi2
+        |FROM p""".stripMargin,
+    "q_naive_bayes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS cls,
+        |    c_mktsegment AS f1,
+        |    CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR) AS f2,
+        |    CAST(CAST(month(o_orderdate) AS BIGINT) AS VARCHAR) AS f3,
+        |    (md5_number_lower(CAST(o_orderkey AS VARCHAR))
+        |      & 9223372036854775807) % 2 AS split
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |tr AS (SELECT * FROM base WHERE split = 0),
+        |te AS (SELECT * FROM base WHERE split = 1),
+        |cl AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_c FROM tr
+        |  GROUP BY 1),
+        |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM tr),
+        |cls2 AS (SELECT cls, n_c,
+        |    CAST(round(ln(CAST(n_c + 1 AS DOUBLE) / (n_train + 5)) * 1e6)
+        |      AS BIGINT) AS prior6
+        |  FROM cl CROSS JOIN ntr),
+        |g1 AS (SELECT cls, f1, CAST(count(*) AS BIGINT) AS cnt FROM tr
+        |  GROUP BY 1, 2),
+        |v1 AS (SELECT DISTINCT f1 FROM tr),
+        |k1 AS (SELECT CAST(count(*) AS BIGINT) AS v_card FROM v1),
+        |ll1 AS (SELECT c.cls, v1.f1,
+        |    CAST(round(ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE)
+        |      / (n_c + v_card)) * 1e6) AS BIGINT) AS ll_f1
+        |  FROM cls2 c CROSS JOIN v1
+        |  LEFT JOIN g1 ON g1.cls = c.cls AND g1.f1 = v1.f1
+        |  CROSS JOIN k1),
+        |g2 AS (SELECT cls, f2, CAST(count(*) AS BIGINT) AS cnt FROM tr
+        |  GROUP BY 1, 2),
+        |v2 AS (SELECT DISTINCT f2 FROM tr),
+        |k2 AS (SELECT CAST(count(*) AS BIGINT) AS v_card FROM v2),
+        |ll2 AS (SELECT c.cls, v2.f2,
+        |    CAST(round(ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE)
+        |      / (n_c + v_card)) * 1e6) AS BIGINT) AS ll_f2
+        |  FROM cls2 c CROSS JOIN v2
+        |  LEFT JOIN g2 ON g2.cls = c.cls AND g2.f2 = v2.f2
+        |  CROSS JOIN k2),
+        |g3 AS (SELECT cls, f3, CAST(count(*) AS BIGINT) AS cnt FROM tr
+        |  GROUP BY 1, 2),
+        |v3 AS (SELECT DISTINCT f3 FROM tr),
+        |k3 AS (SELECT CAST(count(*) AS BIGINT) AS v_card FROM v3),
+        |ll3 AS (SELECT c.cls, v3.f3,
+        |    CAST(round(ln(CAST(coalesce(cnt, 0) + 1 AS DOUBLE)
+        |      / (n_c + v_card)) * 1e6) AS BIGINT) AS ll_f3
+        |  FROM cls2 c CROSS JOIN v3
+        |  LEFT JOIN g3 ON g3.cls = c.cls AND g3.f3 = v3.f3
+        |  CROSS JOIN k3),
+        |sc AS (SELECT te.k, te.cls AS actual, c.cls AS cand,
+        |    c.prior6 + coalesce(ll1.ll_f1, -1152921504606846976)
+        |      + coalesce(ll2.ll_f2, -1152921504606846976)
+        |      + coalesce(ll3.ll_f3, -1152921504606846976) AS score
+        |  FROM te CROSS JOIN cls2 c
+        |  LEFT JOIN ll1 ON ll1.cls = c.cls AND ll1.f1 = te.f1
+        |  LEFT JOIN ll2 ON ll2.cls = c.cls AND ll2.f2 = te.f2
+        |  LEFT JOIN ll3 ON ll3.cls = c.cls AND ll3.f3 = te.f3),
+        |pr AS (SELECT actual, cand AS predicted FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY score DESC, cand) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |ac AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    floor(CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0
+        |      END) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS accuracy
+        |  FROM pr)
+        |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n,
+        |  n_test, accuracy
+        |FROM pr CROSS JOIN ac GROUP BY 1, 2, n_test, accuracy
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

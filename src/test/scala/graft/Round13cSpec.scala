@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-13 continuation regressions: the model-evaluation family
+  * (graft.ops.MlEval) certified against naive in-JVM replays on sf
+  * data — independent of the DuckDB oracle, so a gate regression and
+  * an algorithm regression can't mask each other.
+  */
+class Round13cSpec extends SparkSuite {
+
+  private def h2(s: String): Long =
+    (graft.functions.Kernels.md5Lower64(UTF8String.fromString(s))
+      & Long.MaxValue) % 2
+
+  test("roc auc matches the naive pairwise replay") {
+    val r = graft.ops.MlEval.qRocAuc(spark, sf).head()
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select((round(col("l_quantity")).cast("long") * 101 +
+          round(col("l_discount") * 100).cast("long")),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    assert(r.getLong(r.fieldIndex("n_pos")) == pos.length.toLong)
+    assert(r.getLong(r.fieldIndex("n_neg")) == neg.length.toLong)
+    // naive pairwise AUC with tie half-credit (histogram form: the
+    // sf0.001 score domain is small, so count by value not by pair)
+    val pc = pos.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nc = neg.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var num2 = 0L
+    for ((pv, pn) <- pc; (nv, nn) <- nc) {
+      if (pv > nv) num2 += 2L * pn * nn
+      else if (pv == nv) num2 += pn * nn
+    }
+    val auc = num2.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(r.getDouble(r.fieldIndex("auc")) - auc) < 1e-6)
+    assert(math.abs(r.getDouble(r.fieldIndex("gini_coef")) -
+      (2 * auc - 1)) < 2e-6)
+    // naive KS: max CDF gap over the value domain
+    val vals = (pc.keySet ++ nc.keySet).toSeq.sorted
+    var (cp, cn) = (0L, 0L)
+    var ks = 0.0
+    for (v <- vals) {
+      cp += pc.getOrElse(v, 0L); cn += nc.getOrElse(v, 0L)
+      ks = math.max(ks, math.abs(cp.toDouble / pos.length -
+        cn.toDouble / neg.length))
+    }
+    assert(math.abs(r.getDouble(r.fieldIndex("ks_stat")) - ks) < 1e-6)
+  }
+
+  test("brier decomposition matches the naive replay and the identity") {
+    val out = graft.ops.MlEval.qBrierDecomp(spark, sf).collect()
+    val r0 = out.head
+    val rel = r0.getDouble(r0.fieldIndex("reliability"))
+    val res = r0.getDouble(r0.fieldIndex("resolution"))
+    val unc = r0.getDouble(r0.fieldIndex("uncertainty"))
+    val bri = r0.getDouble(r0.fieldIndex("brier"))
+    // Murphy identity holds exactly for bin-constant forecasts
+    assert(math.abs(bri - (rel - res + unc)) < 1e-5,
+      s"identity: $bri vs ${rel - res + unc}")
+    // naive per-row Brier replay
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select(round(col("l_discount") * 100).cast("long"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("string"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val train = rows.filter(t => h2(t._3) == 0L)
+    val test0 = rows.filter(t => h2(t._3) == 1L)
+    val p = train.groupBy(_._1).view
+      .mapValues(v => v.map(_._2).sum.toDouble / v.length).toMap
+    val naive = test0.map(t => math.pow(p(t._1) - t._2, 2)).sum /
+      test0.length
+    assert(math.abs(bri - naive) < 1e-5, s"brier: $bri vs $naive")
+    // per-bin table replay
+    for (r <- out) {
+      val bin = r.getLong(r.fieldIndex("bin"))
+      val te = test0.filter(_._1 == bin)
+      assert(r.getLong(r.fieldIndex("n_test")) == te.length.toLong)
+      assert(math.abs(r.getDouble(r.fieldIndex("forecast_p")) - p(bin))
+        < 1e-6)
+      assert(math.abs(r.getDouble(r.fieldIndex("obs_rate")) -
+        te.map(_._2).sum.toDouble / te.length) < 1e-6)
+    }
+  }
+
+  test("cohens kappa matches the naive replay") {
+    val r = graft.ops.MlEval.qCohensKappa(spark, sf).head()
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_discount"), col("l_tax"))
+      .collect().map(x => (x.getDouble(0) >= 0.05, x.getDouble(1) >= 0.04))
+    val n = rows.length.toDouble
+    val n11 = rows.count(t => t._1 && t._2)
+    val n10 = rows.count(t => t._1 && !t._2)
+    val n01 = rows.count(t => !t._1 && t._2)
+    val n00 = rows.count(t => !t._1 && !t._2)
+    assert(r.getLong(r.fieldIndex("n11")) == n11.toLong)
+    assert(r.getLong(r.fieldIndex("n00")) == n00.toLong)
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) / n) * ((n11 + n01) / n) +
+      ((n01 + n00) / n) * ((n10 + n00) / n)
+    assert(math.abs(r.getDouble(r.fieldIndex("kappa")) -
+      (po - pe) / (1 - pe)) < 1e-6)
+    assert(math.abs(r.getDouble(r.fieldIndex("mcnemar_chi2")) -
+      math.pow(n10 - n01, 2).toDouble / (n10 + n01)) < 1e-6)
+  }
+
+  test("naive bayes confusion matrix matches the naive replay") {
+    val got = graft.ops.MlEval.qNaiveBayes(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rows = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").cast("string"),
+        col("o_orderpriority"), col("c_mktsegment"),
+        col("c_nationkey").cast("long").cast("string"),
+        month(col("o_orderdate")).cast("long").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Seq(r.getString(2), r.getString(3), r.getString(4))))
+    val train = rows.filter(t => h2(t._1) == 0L)
+    val test0 = rows.filter(t => h2(t._1) == 1L)
+    val classes = train.map(_._2).distinct.sorted
+    val nTrain = train.length
+    def mnat(x: Double): Long = math.round(math.log(x) * 1e6)
+    val prior = classes.map { c =>
+      c -> mnat((train.count(_._2 == c) + 1.0) / (nTrain + 5))
+    }.toMap
+    val nC = classes.map(c => c -> train.count(_._2 == c)).toMap
+    // per feature: value domain + smoothed grid
+    val grids = (0 until 3).map { f =>
+      val vs = train.map(_._3(f)).distinct
+      val cnt = train.groupBy(t => (t._2, t._3(f))).view
+        .mapValues(_.length).toMap
+      val g = (for (c <- classes; v <- vs) yield (c, v) ->
+        mnat((cnt.getOrElse((c, v), 0) + 1.0) / (nC(c) + vs.length))).toMap
+      g
+    }
+    val floor = Long.MinValue / 8
+    val conf = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (t <- test0) {
+      val best = classes.map { c =>
+        val s = prior(c) + (0 until 3).map(f =>
+          grids(f).getOrElse((c, t._3(f)), floor)).sum
+        (-s, c)
+      }.min._2
+      conf((t._2, best)) = conf.getOrElse((t._2, best), 0L) + 1L
+    }
+    assert(got == conf.toMap, s"confusion mismatch")
+  }
+}
