@@ -1007,7 +1007,48 @@ object SparkEntry {
     "q_brier_decomp" -> (MlEval.qBrierDecomp _),
     "q_cohens_kappa" -> (MlEval.qCohensKappa _),
     "q_naive_bayes" -> (MlEval.qNaiveBayes _),
+    "q_var_cvar" -> (graft.ops.Series.qVarCvar _),
+    "q_nelson_aalen" -> (graft.ops.Series.qNelsonAalen _),
+    "q_macd" -> (graft.ops.Series.qMacd _),
+    "q_sax_paa" -> (graft.ops.Series.qSaxPaa _),
   )
+
+  /** q_macd oracle, generated from the SAME Scala weight vectors the
+    * Spark plan embeds (graft.ops.Series.macdFast/Slow/Sig) so neither
+    * engine executes `pow`: truncated EMAs as fixed left-associated
+    * coalesce chains over window lags — Double.toString literals are
+    * shortest-roundtrip, so DuckDB parses back the identical bits. */
+  private def macdOracle: String = {
+    def num(src: String, ws: Seq[Double]) = ws.zipWithIndex.map {
+      case (w, k) => s"coalesce(lag($src, $k) OVER win * $w, 0.0)"
+    }.mkString(" + ")
+    def den(src: String, ws: Seq[Double]) = ws.zipWithIndex.map {
+      case (w, k) =>
+        s"CASE WHEN lag($src, $k) OVER win IS NULL THEN 0.0 ELSE $w END"
+    }.mkString(" + ")
+    val f = graft.ops.Series.macdFast
+    val sl = graft.ops.Series.macdSlow
+    val sg = graft.ops.Series.macdSig
+    s"""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+       |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+       |  FROM lineitem GROUP BY 1),
+       |m AS (SELECT day, e4,
+       |    (${num("e4", f)}) / (${den("e4", f)})
+       |      - (${num("e4", sl)}) / (${den("e4", sl)}) AS macd_e4
+       |  FROM daily WINDOW win AS (ORDER BY day)),
+       |g AS (SELECT day, e4, macd_e4,
+       |    (${num("macd_e4", sg)}) / (${den("macd_e4", sg)}) AS signal_e4
+       |  FROM m WINDOW win AS (ORDER BY day))
+       |SELECT day,
+       |  floor(CAST(e4 AS DOUBLE) / 10000 * 100.0 + 0.5) / 100.0
+       |    AS revenue,
+       |  floor(macd_e4 / 10000 * 10000.0 + 0.5) / 10000.0 AS macd,
+       |  floor(signal_e4 / 10000 * 10000.0 + 0.5) / 10000.0 AS signal,
+       |  floor((macd_e4 - signal_e4) / 10000 * 10000.0 + 0.5) / 10000.0
+       |    AS histogram
+       |FROM g ORDER BY day""".stripMargin
+  }
 
   /** stream_event_pattern and stream_dedup_minhash are contracted to
     * equal their batch twins, so they share the batch oracle SQL
@@ -7767,5 +7808,98 @@ object SparkEntry {
         |  n_test, accuracy
         |FROM pr CROSS JOIN ac GROUP BY 1, 2, n_test, accuracy
         |ORDER BY 1, 2""".stripMargin,
+    "q_var_cvar" ->
+      """WITH daily AS (SELECT l_returnflag AS flag,
+        |    CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1, 2),
+        |dl AS (SELECT flag, day,
+        |    e4 - lag(e4) OVER (PARTITION BY flag ORDER BY day) AS delta
+        |  FROM daily),
+        |d2 AS (SELECT flag, day, delta,
+        |    row_number() OVER (PARTITION BY flag ORDER BY delta, day)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS n
+        |  FROM dl WHERE delta IS NOT NULL),
+        |j AS (SELECT *, (n * 5 + 99) // 100 AS k95, (n + 99) // 100
+        |    AS k99 FROM d2)
+        |SELECT flag, CAST(max(n) AS BIGINT) AS n_deltas,
+        |  CAST(max(k95) AS BIGINT) AS k95,
+        |  CAST(max(k99) AS BIGINT) AS k99,
+        |  floor(-CAST(max(CASE WHEN rn = k95 THEN delta END) AS DOUBLE)
+        |    / 10000 * 100.0 + 0.5) / 100.0 AS var_95,
+        |  floor(-(CAST(sum(CASE WHEN rn <= k95 THEN delta END)
+        |    AS DOUBLE) / max(k95)) / 10000 * 100.0 + 0.5) / 100.0
+        |    AS cvar_95,
+        |  floor(-CAST(max(CASE WHEN rn = k99 THEN delta END) AS DOUBLE)
+        |    / 10000 * 100.0 + 0.5) / 100.0 AS var_99,
+        |  floor(-(CAST(sum(CASE WHEN rn <= k99 THEN delta END)
+        |    AS DOUBLE) / max(k99)) / 10000 * 100.0 + 0.5) / 100.0
+        |    AS cvar_99
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_nelson_aalen" ->
+      """WITH pe AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(ts_s) AS hz FROM pe),
+        |nx AS (SELECT user_id, ts_s, lead(ts_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts_s, event_id) AS nxt
+        |  FROM pe),
+        |lives AS (SELECT
+        |    CAST(floor((COALESCE(nxt, hz) - ts_s) / 3600.0) AS BIGINT)
+        |      AS t,
+        |    nxt IS NOT NULL AS observed
+        |  FROM nx, h),
+        |byt AS (SELECT t,
+        |    CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_events,
+        |    CAST(sum(CASE WHEN NOT observed THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c_censored
+        |  FROM lives GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lives),
+        |r AS (SELECT t, d_events,
+        |    n_total - COALESCE(CAST(sum(d_events + c_censored) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING) AS BIGINT), 0) AS at_risk
+        |  FROM byt, tot),
+        |f AS (SELECT t, at_risk, d_events,
+        |    CAST(round(1e9 * d_events / at_risk) AS BIGINT) AS inc9
+        |  FROM r WHERE d_events > 0)
+        |SELECT t, at_risk, d_events,
+        |  CAST(inc9 AS DOUBLE) / 1e9 AS na_increment,
+        |  CAST(CAST(sum(inc9) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) / 1e9
+        |    AS na_cum_hazard
+        |FROM f ORDER BY t""".stripMargin,
+    "q_sax_paa" ->
+      """WITH daily AS (SELECT l_returnflag AS flag,
+        |    CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1, 2),
+        |idx AS (SELECT flag, e4,
+        |    row_number() OVER (PARTITION BY flag ORDER BY day) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS n_days
+        |  FROM daily),
+        |sg AS (SELECT flag, ((rn - 1) * 16) // n_days AS seg, e4
+        |  FROM idx),
+        |segs AS (SELECT flag, seg, CAST(count(*) AS BIGINT)
+        |      AS n_seg_days,
+        |    CAST(sum(e4) AS BIGINT) AS seg_e4
+        |  FROM sg GROUP BY 1, 2),
+        |m AS (SELECT *, seg_e4 // n_seg_days AS mean_e4 FROM segs),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY flag
+        |    ORDER BY mean_e4, seg) AS srank FROM m),
+        |sy AS (SELECT *, chr(CAST(97 + ((srank - 1) * 4) // 16 AS INT))
+        |    AS sym FROM rk),
+        |wd AS (SELECT flag, string_agg(sym, '' ORDER BY seg)
+        |    AS sax_word FROM sy GROUP BY 1)
+        |SELECT sy.flag, CAST(seg AS BIGINT) AS seg, n_seg_days,
+        |  floor(CAST(mean_e4 AS DOUBLE) / 10000 * 100.0 + 0.5) / 100.0
+        |    AS seg_mean,
+        |  sym, sax_word
+        |FROM sy JOIN wd USING (flag) ORDER BY 1, 2""".stripMargin,
+    "q_macd" -> macdOracle,
   )
 }

@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Time-series risk / hazard / shape operators over the daily revenue
+  * series and the event stream (SURVEY §2.2 growth, r13
+  * continuation): historical VaR/CVaR, Nelson–Aalen cumulative
+  * hazard, truncated-EMA MACD, and SAX symbolization.
+  *
+  * Cross-engine determinism contract (same as [[Stats]]): the
+  * corpus-scaled work is integer-lattice rollups to calendar- or
+  * event-time-bounded frames; order statistics ride exact ranged
+  * [[Ranks]] scans or bounded-frame windows; doubles appear only in
+  * final pinned-order expressions (the MACD weights are compile-time
+  * Scala doubles embedded as full-precision literals in BOTH plans,
+  * so no `pow` executes in either engine).
+  */
+object Series {
+
+  private def rnd(c: Column, dp: Int) = {
+    val s = math.pow(10, dp)
+    floor(c * s + 0.5) / s
+  }
+
+  /** Daily revenue per returnflag on the exact e4 lattice (2dp price ×
+    * 2dp discount — the [[Behavior.qStlDecompose]] convention). */
+  private def dailyByFlag(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+
+  /** Historical Value-at-Risk and CVaR (expected shortfall) of the
+    * day-over-day revenue change per returnflag, at the 95 % and 99 %
+    * levels. Corpus work is ONE rollup to the calendar-bounded daily
+    * frame; deltas are exact e4 longs; the order statistic comes off
+    * the exact ranged [[Ranks.groupRowNumber]] over the total
+    * (delta, day) order, tail counts k = ceil(αn) by integer
+    * arithmetic, and CVaR is a tail sum of exact longs — doubles only
+    * in the four final divisions. */
+  def qVarCvar(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyByFlag(s, d)
+    val w = Window.partitionBy(col("flag")).orderBy(col("day"))
+    val deltas = daily
+      .withColumn("prev", lag(col("e4"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("flag"), col("day"), (col("e4") - col("prev")).as("delta"))
+    val ranked = Ranks.groupRowNumber(deltas, Seq(col("flag")),
+      Seq(col("delta"), col("day")), "rn", "n")
+    ranked
+      .withColumn("k95", expr("(n * 5 + 99) div 100"))
+      .withColumn("k99", expr("(n + 99) div 100"))
+      .groupBy(col("flag"))
+      .agg(max(col("n")).as("n_deltas"),
+        max(col("k95")).as("k95"), max(col("k99")).as("k99"),
+        max(when(col("rn") === col("k95"), col("delta"))).as("d95"),
+        sum(when(col("rn") <= col("k95"), col("delta"))).as("s95"),
+        max(when(col("rn") === col("k99"), col("delta"))).as("d99"),
+        sum(when(col("rn") <= col("k99"), col("delta"))).as("s99"))
+      .select(col("flag"), col("n_deltas"), col("k95"), col("k99"),
+        rnd(expr("-CAST(d95 AS DOUBLE) / 10000"), 2).as("var_95"),
+        rnd(expr("-(CAST(s95 AS DOUBLE) / k95) / 10000"), 2)
+          .as("cvar_95"),
+        rnd(expr("-CAST(d99 AS DOUBLE) / 10000"), 2).as("var_99"),
+        rnd(expr("-(CAST(s99 AS DOUBLE) / k99) / 10000"), 2)
+          .as("cvar_99"))
+      .orderBy(col("flag"))
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimator over inter-purchase
+    * lifetimes (the same right-censored lives frame as
+    * [[Mining.qSurvivalKm]] — cites reference DatabaseManager.java's
+    * absence of any analytics as the mandate). Each event time's
+    * increment d/n is fixed to the 1e-9 lattice (identical double
+    * division both engines, then round) so the cumulative sum is an
+    * exact order-free long — no exp/log anywhere, unlike the KM
+    * product-limit curve. */
+  def qNelsonAalen(s: SparkSession, d: String): DataFrame = {
+    val pe = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val horizon = pe.agg(max(col("ts_s")).as("hz"))
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val lives = pe
+      .withColumn("nxt", lead(col("ts_s"), 1).over(wU))
+      .crossJoin(broadcast(horizon))
+      .select(
+        floor((coalesce(col("nxt"), col("hz")) - col("ts_s")) / 3600L)
+          .cast("long").as("t"),
+        col("nxt").isNotNull.as("observed"))
+    val byT = lives.groupBy(col("t"))
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d_events"),
+        sum(when(!col("observed"), 1L).otherwise(0L)).as("c_censored"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = lives.agg(count(lit(1)).as("n_total"))
+    byT.crossJoin(broadcast(tot))
+      .withColumn("at_risk",
+        col("n_total") -
+          coalesce(sum(col("d_events") + col("c_censored")).over(wPrev),
+            lit(0L)))
+      .filter(col("d_events") > 0)
+      .withColumn("inc9",
+        expr("CAST(round(1e9 * d_events / at_risk) AS BIGINT)"))
+      .withColumn("cum9", sum(col("inc9")).over(wCum))
+      .select(col("t"), col("at_risk"), col("d_events"),
+        (col("inc9").cast("double") / 1e9).as("na_increment"),
+        (col("cum9").cast("double") / 1e9).as("na_cum_hazard"))
+      .orderBy(col("t"))
+  }
+
+  /** MACD weight vectors, shared by the Spark plan and the generated
+    * oracle SQL so no `pow` executes in either engine: truncated EMA
+    * with span-α weights α(1−α)^k, k < K (the [[Behavior.qEwma]]
+    * truncation convention — the STATISTIC is the truncated form,
+    * replayed identically both sides). */
+  private[graft] val macdFast: Seq[Double] =
+    (0 until 24).map(k => (2.0 / 13) * math.pow(11.0 / 13, k))
+  private[graft] val macdSlow: Seq[Double] =
+    (0 until 40).map(k => (2.0 / 27) * math.pow(25.0 / 27, k))
+  private[graft] val macdSig: Seq[Double] =
+    (0 until 18).map(k => (2.0 / 10) * math.pow(8.0 / 10, k))
+
+  /** MACD (12/26/9 EMA convergence-divergence) over the global daily
+    * revenue series: macd = EMA12 − EMA26, signal = EMA9 of macd,
+    * histogram = macd − signal. The EMAs are the truncated-window
+    * form (normalized by the present-weight sum, so the series warms
+    * up exactly like [[Behavior.qEwma]]); the weights are Scala
+    * compile-time doubles embedded as full-precision literals in both
+    * plans, lags over the calendar-bounded daily frame, and every
+    * sum is a fixed left-associated chain of identical doubles. */
+  def qMacd(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+    val w = Window.orderBy(col("day"))
+    def ema(src: Column, weights: Seq[Double]): Column = {
+      val terms = weights.zipWithIndex.map { case (wt, k) =>
+        val x = lag(src, k).over(w)
+        (when(x.isNotNull, x * lit(wt)), when(x.isNotNull, lit(wt)))
+      }
+      val num = terms.map(_._1)
+        .reduce((a, b) => coalesce(a, lit(0.0)) + coalesce(b, lit(0.0)))
+      val den = terms.map(_._2)
+        .reduce((a, b) => coalesce(a, lit(0.0)) + coalesce(b, lit(0.0)))
+      num / den
+    }
+    val withMacd = daily
+      .withColumn("macd_e4", ema(col("e4"), macdFast) -
+        ema(col("e4"), macdSlow))
+    withMacd
+      .withColumn("signal_e4", ema(col("macd_e4"), macdSig))
+      .select(col("day"),
+        rnd(col("e4").cast("double") / 10000, 2).as("revenue"),
+        rnd(col("macd_e4") / 10000, 4).as("macd"),
+        rnd(col("signal_e4") / 10000, 4).as("signal"),
+        rnd((col("macd_e4") - col("signal_e4")) / 10000, 4)
+          .as("histogram"))
+      .orderBy(col("day"))
+  }
+
+  /** SAX symbolization (PAA + quantile alphabet) of each returnflag's
+    * daily revenue series: 16 equal-count PAA segments (integer
+    * index arithmetic), each segment's floor-mean on the exact e4
+    * lattice, segments ranked per flag and mapped to a 4-letter
+    * alphabet by rank quartile (a=lowest), plus the per-flag 16-char
+    * SAX word. Quantile breakpoints never exist as doubles — the
+    * alphabet is assigned by INTEGER rank arithmetic, so no boundary
+    * value can flip cross-engine. Day indexes and segment ranks ride
+    * exact ranged [[Ranks.groupRowNumber]] scans. */
+  def qSaxPaa(s: SparkSession, d: String): DataFrame = {
+    val nSegs = 16
+    val daily = dailyByFlag(s, d)
+    val idx = Ranks.groupRowNumber(daily, Seq(col("flag")),
+      Seq(col("day")), "rn", "n_days")
+    val segs = idx
+      .withColumn("seg", expr(s"((rn - 1) * $nSegs) div n_days"))
+      .groupBy(col("flag"), col("seg"))
+      .agg(count(lit(1)).as("n_seg_days"), sum(col("e4")).as("seg_e4"),
+        max(col("n_days")).as("n_days"))
+      .withColumn("mean_e4", expr("seg_e4 div n_seg_days"))
+    val ranked = Ranks.groupRowNumber(segs, Seq(col("flag")),
+      Seq(col("mean_e4"), col("seg")), "srank", "_segtot")
+      .withColumn("sym",
+        expr(s"chr(97 + ((srank - 1) * 4) div $nSegs)"))
+    val words = ranked.groupBy(col("flag"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seg"), col("sym")))),
+        x => x.getField("sym")), "").as("sax_word"))
+    ranked.join(broadcast(words), "flag")
+      .select(col("flag"), col("seg"), col("n_seg_days"),
+        rnd(col("mean_e4").cast("double") / 10000, 2).as("seg_mean"),
+        col("sym"), col("sax_word"))
+      .orderBy(col("flag"), col("seg"))
+  }
+}

@@ -149,4 +149,127 @@ class Round13cSpec extends SparkSuite {
     }
     assert(got == conf.toMap, s"confusion mismatch")
   }
+
+  private def dailyE4(flagged: Boolean): Map[String, Seq[(java.sql.Date, Long)]] = {
+    val df = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(
+        (if (flagged) col("l_returnflag") else lit("*")).as("flag"),
+        col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+    df.collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1.getTime).toSeq)
+      .toMap
+  }
+
+  test("var/cvar matches the naive sorted-tail replay") {
+    val got = graft.ops.Series.qVarCvar(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val series = dailyE4(flagged = true)
+    assert(got.keySet == series.keySet)
+    for ((flag, days) <- series) {
+      val deltas = days.map(_._2).sliding(2).collect {
+        case Seq(a, b) => b - a
+      }.toSeq.sorted
+      val n = deltas.length
+      val k95 = (n * 5 + 99) / 100
+      val k99 = (n + 99) / 100
+      val r = got(flag)
+      assert(r.getLong(r.fieldIndex("n_deltas")) == n.toLong)
+      assert(math.abs(r.getDouble(r.fieldIndex("var_95")) -
+        -deltas(k95 - 1) / 10000.0) < 0.02, s"$flag var95")
+      assert(math.abs(r.getDouble(r.fieldIndex("cvar_95")) -
+        -deltas.take(k95).sum.toDouble / k95 / 10000.0) < 0.02,
+        s"$flag cvar95")
+      assert(math.abs(r.getDouble(r.fieldIndex("var_99")) -
+        -deltas(k99 - 1) / 10000.0) < 0.02, s"$flag var99")
+      assert(math.abs(r.getDouble(r.fieldIndex("cvar_99")) -
+        -deltas.take(k99).sum.toDouble / k99 / 10000.0) < 0.02,
+        s"$flag cvar99")
+    }
+  }
+
+  test("nelson-aalen cumulative hazard matches the naive replay") {
+    val out = graft.ops.Series.qNelsonAalen(spark, sf).collect()
+    // naive lives replay off the events table
+    val pe = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hz = pe.map(_._3).max
+    val lives = pe.groupBy(_._1).values.flatMap { evs =>
+      val s = evs.sortBy(e => (e._3, e._2))
+      s.zipWithIndex.map { case (e, i) =>
+        val nxt = if (i + 1 < s.length) Some(s(i + 1)._3) else None
+        (math.floorDiv(nxt.getOrElse(hz) - e._3, 3600L),
+          nxt.isDefined)
+      }
+    }.toSeq
+    val byT = lives.groupBy(_._1).view.mapValues(v =>
+      (v.count(_._2).toLong, v.count(!_._2).toLong)).toMap
+    val nTotal = lives.length.toLong
+    var removed = 0L
+    var cum = 0.0
+    val expected = byT.toSeq.sortBy(_._1).flatMap { case (t, (d, c)) =>
+      val atRisk = nTotal - removed
+      removed += d + c
+      if (d > 0) {
+        cum += d.toDouble / atRisk
+        Some(t -> (atRisk, d, cum))
+      } else None
+    }.toMap
+    assert(out.length == expected.size)
+    for (r <- out) {
+      val t = r.getLong(r.fieldIndex("t"))
+      val (ar, d, h) = expected(t)
+      assert(r.getLong(r.fieldIndex("at_risk")) == ar, s"t=$t at_risk")
+      assert(r.getLong(r.fieldIndex("d_events")) == d, s"t=$t d")
+      assert(math.abs(r.getDouble(r.fieldIndex("na_cum_hazard")) - h)
+        < 1e-5, s"t=$t hazard")
+    }
+  }
+
+  test("macd matches the naive truncated-EMA replay") {
+    val out = graft.ops.Series.qMacd(spark, sf).collect()
+    val days = dailyE4(flagged = false)("*")
+    val xs = days.map(_._2.toDouble)
+    def ema(v: IndexedSeq[Double], ws: Seq[Double], i: Int): Double = {
+      val terms = ws.zipWithIndex.filter(_._2 <= i)
+      terms.map { case (w, k) => w * v(i - k) }.sum /
+        terms.map(_._1).sum
+    }
+    val vx = xs.toIndexedSeq
+    val macd = vx.indices.map(i =>
+      ema(vx, graft.ops.Series.macdFast, i) -
+        ema(vx, graft.ops.Series.macdSlow, i))
+    val signal = macd.indices.map(i =>
+      ema(macd, graft.ops.Series.macdSig, i))
+    assert(out.length == vx.length)
+    for ((r, i) <- out.zipWithIndex) {
+      assert(math.abs(r.getDouble(r.fieldIndex("macd")) -
+        macd(i) / 10000) < 1e-3, s"day $i macd")
+      assert(math.abs(r.getDouble(r.fieldIndex("signal")) -
+        signal(i) / 10000) < 1e-3, s"day $i signal")
+    }
+  }
+
+  test("sax word matches the naive PAA-quartile replay") {
+    val out = graft.ops.Series.qSaxPaa(spark, sf).collect()
+    val series = dailyE4(flagged = true)
+    for ((flag, days) <- series) {
+      val n = days.length
+      val segIds = days.indices.map(i => (i.toLong * 16) / n)
+      val means = segIds.zip(days.map(_._2)).groupBy(_._1).view
+        .mapValues(v => v.map(_._2).sum / v.length).toMap
+      val ranked = means.toSeq.sortBy(t => (t._2, t._1)).zipWithIndex
+        .map { case ((seg, _), i) => seg -> ('a' + (i * 4) / 16).toChar }
+        .toMap
+      val word = means.keys.toSeq.sorted.map(ranked).mkString
+      val gotWord = out.filter(_.getString(0) == flag).head
+      assert(gotWord.getString(gotWord.fieldIndex("sax_word")) == word,
+        s"$flag word")
+    }
+  }
 }
