@@ -1011,7 +1011,44 @@ object SparkEntry {
     "q_nelson_aalen" -> (graft.ops.Series.qNelsonAalen _),
     "q_macd" -> (graft.ops.Series.qMacd _),
     "q_sax_paa" -> (graft.ops.Series.qSaxPaa _),
+    "q_ktruss" -> (Mining.qKtruss _),
+    "text_readability" -> (PipelineQueries.textReadability _),
+    "text_cooc_pmi" -> (PipelineQueries.textCoocPmi _),
+    "data_coverage_curve" -> (PipelineQueries.dataCoverageCurve _),
   )
+
+  /** q_ktruss oracle: the three support-peel rounds unrolled (the
+    * q_kcore convention), each round re-deriving the symmetrized
+    * adjacency and counting wedge closures per surviving edge. */
+  private def ktrussOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      val p = s"e${i - 1}"
+      s"""s${i - 1} AS (SELECT u AS a, v AS b FROM $p
+         |  UNION ALL SELECT v, u FROM $p),
+         |p$i AS (SELECT $p.u, $p.v, count(*) AS c FROM $p
+         |  JOIN s${i - 1} x1 ON x1.a = $p.u
+         |  JOIN s${i - 1} x2 ON x2.a = $p.v AND x2.b = x1.b
+         |  GROUP BY 1, 2),
+         |e$i AS (SELECT u, v FROM p$i WHERE c >= 2)""".stripMargin
+    }.mkString(",\n")
+    val census = (1 to 3).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS iter,
+         |  (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM
+         |    (SELECT u AS id FROM e$i UNION ALL SELECT v FROM e$i))
+         |    AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e$i) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sp AS (SELECT p_partkey FROM part WHERE p_size <= 3),
+       |ls AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+       |e0 AS (SELECT u, v FROM (
+       |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+       |  FROM ls a JOIN ls b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2) WHERE w >= 1),
+       |$rounds
+       |$census
+       |ORDER BY iter""".stripMargin
+  }
 
   /** q_macd oracle, generated from the SAME Scala weight vectors the
     * Spark plan embeds (graft.ops.Series.macdFast/Slow/Sig) so neither
@@ -7901,5 +7938,81 @@ object SparkEntry {
         |  sym, sax_word
         |FROM sy JOIN wd USING (flag) ORDER BY 1, 2""".stripMargin,
     "q_macd" -> macdOracle,
+    "q_ktruss" -> ktrussOracle,
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(lower(text),
+        |      '[.!?]+')), 1) AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)) * 1e4 + 0.5)
+        |    / 1e4 AS flesch_ease,
+        |  floor((0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59) * 1e4
+        |    + 0.5) / 1e4 AS fk_grade
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    "text_cooc_pmi" ->
+      """WITH dcs AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id, t, unnest(range(len(t))) AS i FROM dcs),
+        |tk AS (SELECT doc_id, i AS pos, t[i+1] AS w FROM r
+        |  WHERE t[i+1] <> ''),
+        |pr AS (
+        |  SELECT least(x.w, y.w) AS w1, greatest(x.w, y.w) AS w2
+        |  FROM tk x JOIN tk y ON x.doc_id = y.doc_id
+        |    AND y.pos = x.pos + 1
+        |  UNION ALL
+        |  SELECT least(x.w, y.w), greatest(x.w, y.w)
+        |  FROM tk x JOIN tk y ON x.doc_id = y.doc_id
+        |    AND y.pos = x.pos + 2),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM pr GROUP BY 1, 2),
+        |tp AS (SELECT CAST(count(*) AS BIGINT) AS t_pair FROM pr),
+        |un AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM tk
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_tok FROM tk),
+        |top AS (SELECT * FROM pc WHERE n_pair >= 20
+        |  ORDER BY n_pair DESC, w1, w2 LIMIT 30)
+        |SELECT top.w1, top.w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+        |  floor(ln(CAST(n_pair AS DOUBLE) * t_tok * t_tok
+        |    / (CAST(t_pair AS DOUBLE) * u1.n_w * u2.n_w)) * 1e6 + 0.5)
+        |    / 1e6 AS pmi
+        |FROM top JOIN un u1 ON u1.w = top.w1
+        |JOIN un u2 ON u2.w = top.w2
+        |CROSS JOIN tp CROSS JOIN tt
+        |ORDER BY n_pair DESC, w1, w2""".stripMargin,
+    "data_coverage_curve" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nd
+        |    FROM documents),
+        |dk AS (SELECT doc_id,
+        |    md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r1 AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY h, doc_id) AS rk FROM dk),
+        |wb AS (SELECT doc_id, rk, ((rk - 1) * 10) // nd AS bucket
+        |  FROM r1 CROSS JOIN n),
+        |tok AS (SELECT DISTINCT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |fs AS (SELECT w, min(rk) AS first_rk
+        |  FROM tok2 JOIN wb USING (doc_id) GROUP BY 1),
+        |nw AS (SELECT ((first_rk - 1) * 10) // nd AS bucket,
+        |    CAST(count(*) AS BIGINT) AS new_tokens
+        |  FROM fs CROSS JOIN n GROUP BY 1),
+        |dp AS (SELECT bucket, CAST(count(*) AS BIGINT)
+        |    AS n_docs_bucket FROM wb GROUP BY 1)
+        |SELECT CAST(dp.bucket AS BIGINT) AS bucket, n_docs_bucket,
+        |  coalesce(new_tokens, 0) AS new_tokens,
+        |  CAST(sum(coalesce(new_tokens, 0)) OVER (ORDER BY dp.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_tokens
+        |FROM dp LEFT JOIN nw USING (bucket) ORDER BY 1""".stripMargin,
   )
 }

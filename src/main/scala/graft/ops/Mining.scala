@@ -2467,4 +2467,39 @@ object Mining {
       .orderBy(col("walks3").desc, col("l_partkey"))
       .limit(20)
   }
+
+  /** 4-truss peeling census of the sparse co-purchase graph: three
+    * rounds of "keep an edge iff it closes ≥ 2 triangles", the
+    * cohesion decomposition one level above [[qKcore]]'s degree peel
+    * (every edge of a 4-truss lies in a 4-clique-like neighborhood).
+    * Per-edge support is the DISTRIBUTED two-path join — edges join
+    * the symmetrized adjacency on both endpoints and count matched
+    * wedge closures — so no adjacency list is ever broadcast or
+    * collected; work per round is Σdeg², the same bound as
+    * [[qTriangleCount]], shuffles keyed on node ids. Rounds
+    * localCheckpoint like the k-core peel; integer census output. */
+  def qKtruss(s: SparkSession, d: String): DataFrame = {
+    var edges = sparsePartEdges(s, d, minW = 1).localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to 3) {
+      val sym = edges.select(col("id_a").as("v"), col("id_b").as("n"))
+        .unionByName(edges.select(col("id_b").as("v"), col("id_a").as("n")))
+      val sup = edges.as("e")
+        .join(sym.as("s1"), col("e.id_a") === col("s1.v"))
+        .join(sym.as("s2"), col("e.id_b") === col("s2.v") &&
+          col("s2.n") === col("s1.n"))
+        .groupBy(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"))
+        .agg(count(lit(1)).as("support"))
+      edges = sup.filter(col("support") >= 2)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
+      out += edges
+        .select(col("id_a").as("id"))
+        .union(edges.select(col("id_b").as("id")))
+        .agg(lit(i.toLong).as("iter"),
+          countDistinct(col("id")).as("n_nodes"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"))
+    }
+    out.reduce(_ unionByName _).orderBy(col("iter"))
+  }
 }

@@ -3361,4 +3361,114 @@ object PipelineQueries {
         sum(col("doc_id")).as("id_checksum"))
       .orderBy(col("source"))
   }
+
+  /** Flesch Reading Ease + Flesch–Kincaid grade per document via the
+    * classic vowel-group syllable heuristic: words = [a-z0-9]+ runs,
+    * sentences = [.!?]+ runs (min 1), syllables = [aeiouy]+ runs,
+    * all counted on the lowercased text. Map-only (no shuffle at any
+    * corpus size); the three counts are exact integers, the two
+    * scores pinned-order double expressions over them — and both
+    * regex dialects (Java, RE2) agree on these character-class
+    * patterns by construction. */
+  def textReadability(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(col("t"), lit("[.!?]+"),
+          lit(0))), lit(1)).cast("long").as("n_sents"),
+        size(regexp_extract_all(col("t"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syll"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sents"),
+        col("n_syll"),
+        (floor(expr("206.835 - 1.015 * (CAST(n_words AS DOUBLE)" +
+          " / n_sents) - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)")
+          * 1e4 + 0.5) / 1e4).as("flesch_ease"),
+        (floor(expr("0.39 * (CAST(n_words AS DOUBLE) / n_sents)" +
+          " + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59")
+          * 1e4 + 0.5) / 1e4).as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Windowed word co-occurrence PMI (window ±2): the collocation
+    * extractor run before phrase-vocab induction. Token positions via
+    * posexplode; the pair relation is TWO EQUI-JOINS on (doc,
+    * pos + k), k ∈ {1,2} — keys unique per side, so the join is
+    * perfectly distributed with no per-doc quadratic term. PMI =
+    * ln(n_ab·T²/(P·n_a·n_b)) evaluated only for the top-30 pairs
+    * (unigram counts joined AFTER the cut, broadcast-small), in exact
+    * integer ratios under one pinned ln. */
+  def textCoocPmi(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .localCheckpoint(true)
+    val pairs = (1 to 2).map { k =>
+      toks.as("x").join(toks.as("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("y.pos") === col("x.pos") + k)
+        .select(least(col("x.w"), col("y.w")).as("w1"),
+          greatest(col("x.w"), col("y.w")).as("w2"))
+    }.reduce(_ unionByName _)
+    val pc = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val totPair = pairs.agg(count(lit(1)).as("t_pair"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val totTok = toks.agg(count(lit(1)).as("t_tok"))
+    val top = pc.filter(col("n_pair") >= 20)
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(30)
+    top
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+      .crossJoin(broadcast(totPair))
+      .crossJoin(broadcast(totTok))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"),
+        (floor(expr("ln(CAST(n_pair AS DOUBLE) * t_tok * t_tok" +
+          " / (CAST(t_pair AS DOUBLE) * n_w1 * n_w2))") * 1e6 + 0.5)
+          / 1e6).as("pmi"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+  }
+
+  /** Vocabulary coverage curve: stream the corpus in portable-hash
+    * order and report, per corpus decile, how many NEW distinct
+    * tokens appear — the saturation diagnostic read before deciding
+    * corpus size. Doc ranks ride the exact ranged
+    * [[graft.ops.Ranks.globalRowNumber]]; a token's first-seen rank
+    * is one min-aggregation over the distinct (doc, token) relation;
+    * the 10-row curve is integer arithmetic end to end. */
+  def dataCoverageCurve(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        exprs.md5Lower64(col("doc_id").cast("string")).as("h"))
+    val ranked = graft.ops.Ranks.globalRowNumber(docs,
+      Seq(col("h"), col("doc_id")), "rk")
+    val n = ranked.agg(count(lit(1)).as("n_docs"))
+    val withBucket = ranked.crossJoin(broadcast(n))
+      .withColumn("bucket", expr("((rk - 1) * 10) div n_docs"))
+      .localCheckpoint(true)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val firstSeen = toks.join(withBucket, "doc_id")
+      .groupBy(col("w")).agg(min(col("rk")).as("first_rk"))
+      .crossJoin(broadcast(n))
+      .select(expr("((first_rk - 1) * 10) div n_docs").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_tokens"))
+    val docsPer = withBucket.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs_bucket"))
+    val cum = Ranks.globalRunningSum(
+      docsPer.join(firstSeen, Seq("bucket"), "left")
+        .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L))),
+      Seq(col("bucket")), col("new_tokens"), "cum_tokens")
+    cum.select(col("bucket"), col("n_docs_bucket"), col("new_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -255,6 +255,118 @@ class Round13cSpec extends SparkSuite {
     }
   }
 
+  test("ktruss census matches the naive set peel") {
+    val got = graft.ops.Mining.qKtruss(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // naive edges: sparse-part co-purchase, minW=1
+    val sparse = graft.sources.Tables.part(spark, sf)
+      .filter(col("p_size") <= 3).select(col("p_partkey"))
+      .collect().map(_.getLong(0)).toSet
+    val ls = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(t => sparse(t._2)).distinct
+    var edges = ls.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    for (i <- 1L to 3L) {
+      val adj = (edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      edges = edges.filter { case (a, b) =>
+        (adj(a) & adj(b)).size >= 2
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2))
+      assert(got(i) == (nodes.size.toLong, edges.size.toLong),
+        s"iter $i: ${got(i)} vs ${(nodes.size, edges.size)}")
+    }
+  }
+
+  test("readability matches the naive regex replay") {
+    val out = graft.ops.PipelineQueries.textReadability(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    for ((id, text) <- docs.take(50)) {
+      val t = text.toLowerCase
+      val words = "[a-z0-9]+".r.findAllIn(t).length
+      val sents = math.max("[.!?]+".r.findAllIn(t).length, 1)
+      val syll = "[aeiouy]+".r.findAllIn(t).length
+      if (words > 0) {
+        val r = out(id)
+        assert(r.getLong(r.fieldIndex("n_words")) == words.toLong)
+        assert(r.getLong(r.fieldIndex("n_sents")) == sents.toLong)
+        assert(r.getLong(r.fieldIndex("n_syll")) == syll.toLong)
+        val fre = 206.835 - 1.015 * (words.toDouble / sents) -
+          84.6 * (syll.toDouble / words)
+        assert(math.abs(r.getDouble(r.fieldIndex("flesch_ease")) - fre)
+          < 1e-3, s"doc $id fre")
+      }
+    }
+  }
+
+  test("cooc pmi matches the naive window-pair replay") {
+    val out = graft.ops.PipelineQueries.textCoocPmi(spark, sf).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getString(1).trim.split("\\s+").filter(_.nonEmpty))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+    var tTok = 0L
+    var tPair = 0L
+    for (ws <- docs) {
+      for (w <- ws) { uni(w) = uni.getOrElse(w, 0L) + 1; tTok += 1 }
+      for (k <- 1 to 2; i <- 0 until (ws.length - k)) {
+        val (a, b) = (ws(i), ws(i + k))
+        val key = if (a <= b) (a, b) else (b, a)
+        pairs(key) = pairs.getOrElse(key, 0L) + 1
+        tPair += 1
+      }
+    }
+    val expTop = pairs.toSeq.filter(_._2 >= 20)
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(30)
+    assert(out.length == expTop.length)
+    for ((r, ((a, b), n)) <- out.zip(expTop)) {
+      assert((r.getString(0), r.getString(1), r.getLong(2)) == (a, b, n))
+      val pmi = math.log(n.toDouble * tTok * tTok /
+        (tPair.toDouble * uni(a) * uni(b)))
+      assert(math.abs(r.getDouble(r.fieldIndex("pmi")) - pmi) < 1e-5)
+    }
+  }
+
+  test("coverage curve matches the naive first-seen replay") {
+    val out = graft.ops.PipelineQueries.dataCoverageCurve(spark, sf)
+      .collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ranked = docs.map(_._1).sortBy(id =>
+      (graft.functions.Kernels.md5Lower64(
+        UTF8String.fromString(id.toString)), id))
+    val rankOf = ranked.zipWithIndex.map { case (id, i) =>
+      id -> (i + 1)
+    }.toMap
+    val n = docs.length
+    val firstSeen = scala.collection.mutable.Map.empty[String, Int]
+    for ((id, text) <- docs; w <- text.trim.split("\\s+")
+         if w.nonEmpty) {
+      val rk = rankOf(id)
+      firstSeen(w) = math.min(firstSeen.getOrElse(w, rk), rk)
+    }
+    val newPer = firstSeen.values.groupBy(rk =>
+      ((rk - 1).toLong * 10) / n).view.mapValues(_.size.toLong).toMap
+    var cum = 0L
+    for (r <- out) {
+      val b = r.getLong(0)
+      val nt = newPer.getOrElse(b, 0L)
+      cum += nt
+      assert(r.getLong(r.fieldIndex("new_tokens")) == nt, s"bucket $b")
+      assert(r.getLong(r.fieldIndex("cum_tokens")) == cum, s"bucket $b cum")
+    }
+  }
+
   test("sax word matches the naive PAA-quartile replay") {
     val out = graft.ops.Series.qSaxPaa(spark, sf).collect()
     val series = dailyE4(flagged = true)
