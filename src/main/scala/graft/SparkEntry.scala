@@ -1015,7 +1015,40 @@ object SparkEntry {
     "text_readability" -> (PipelineQueries.textReadability _),
     "text_cooc_pmi" -> (PipelineQueries.textCoocPmi _),
     "data_coverage_curve" -> (PipelineQueries.dataCoverageCurve _),
+    "engine_schema_validate" -> (JsonQueries.engineSchemaValidate _),
+    "q_cronbach_alpha" -> (Stats.qCronbachAlpha _),
+    "q_wilcoxon_signed_rank" -> (Stats.qWilcoxonSignedRank _),
+    "q_personalized_pagerank" -> (Mining.qPersonalizedPagerank _),
   )
+
+  /** q_personalized_pagerank oracle: 4 unrolled integer-lattice
+    * rounds (the q_kcore unroll convention). */
+  private def pprOracle: String = {
+    val seeds = "(3, 5, 7)"
+    val rounds = (1 to 4).map { i =>
+      s"""i$i AS (SELECT e.b AS node,
+         |    CAST(sum(r.rk // d2.deg) AS BIGINT) AS infl
+         |  FROM e JOIN r${i - 1} r ON r.node = e.a
+         |  JOIN deg d2 ON d2.node = e.a GROUP BY 1),
+         |r$i AS (SELECT deg.node, (85 * coalesce(infl, 0)) // 100 +
+         |    CASE WHEN deg.node IN $seeds THEN 50000000000 ELSE 0 END
+         |    AS rk
+         |  FROM deg LEFT JOIN i$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr0 AS (SELECT DISTINCT o_custkey * 2 AS a,
+       |    l_suppkey * 2 + 1 AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT a, b FROM pr0 UNION ALL SELECT b, a FROM pr0),
+       |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CASE WHEN node IN $seeds
+       |    THEN 333333333333 ELSE 0 END AS rk FROM deg),
+       |$rounds
+       |SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey,
+       |  CAST(rk AS BIGINT) AS rank_u
+       |FROM r4 WHERE node % 2 = 1 AND rk > 0
+       |ORDER BY rank_u DESC, s_suppkey LIMIT 20""".stripMargin
+  }
 
   /** q_ktruss oracle: the three support-peel rounds unrolled (the
     * q_kcore convention), each round re-deriving the symmetrized
@@ -8014,5 +8047,102 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS cum_tokens
         |FROM dp LEFT JOIN nw USING (bucket) ORDER BY 1""".stripMargin,
+    "q_personalized_pagerank" -> pprOracle,
+    "engine_schema_validate" ->
+      """WITH nv AS (
+        |  SELECT event_id, 'k' AS name,
+        |    json_extract_string(props, '$.k') AS value FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'mixed_id',
+        |    CASE WHEN event_id % 7 = 0
+        |      THEN 'id-' || json_extract_string(props, '$.k')
+        |      ELSE json_extract_string(props, '$.k') END FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'note',
+        |    CASE WHEN event_id % 13 = 0 THEN repeat('x', 130)
+        |      ELSE 'ok' END FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'event_time',
+        |    strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM events),
+        |census AS (SELECT name,
+        |    CASE WHEN regexp_full_match(value, '-?[0-9]+(\.[0-9]+)?')
+        |           THEN 'NUMBER'
+        |         WHEN contains(lower(name), 'time')
+        |           AND contains(value, ':') AND contains(value, 'T')
+        |           THEN 'DATE'
+        |         WHEN length(value) < 128 THEN 'MEDIUM_STRING'
+        |         ELSE 'TEXT' END AS vclass,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM nv GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY name
+        |      ORDER BY n DESC, vclass) AS rn,
+        |    CAST(sum(n) OVER (PARTITION BY name) AS BIGINT) AS n_rows
+        |  FROM census)
+        |SELECT name, vclass AS majority_class, n_rows, n AS n_conform,
+        |  n_rows - n AS n_violations,
+        |  floor(CAST(n_rows - n AS DOUBLE) / n_rows * 1e6 + 0.5) / 1e6
+        |    AS violation_rate
+        |FROM r WHERE rn = 1 ORDER BY name""".stripMargin,
+    "q_cronbach_alpha" ->
+      """WITH li AS (SELECT o, item, CAST(sum(q) AS BIGINT) AS q
+        |  FROM (SELECT l_orderkey AS o, l_linenumber AS item,
+        |      CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem)
+        |  GROUP BY 1, 2),
+        |comp AS (SELECT o, CAST(sum(q) AS BIGINT) AS total
+        |  FROM li GROUP BY 1 HAVING count(*) = 7),
+        |sc AS (SELECT li.* FROM li JOIN comp USING (o)),
+        |itm AS (SELECT item, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1,
+        |    CAST(sum(q * q) AS BIGINT) AS s2 FROM sc GROUP BY 1),
+        |inum AS (SELECT sum(CAST(n AS HUGEINT) * s2
+        |      - CAST(s1 AS HUGEINT) * s1) AS item_vnum,
+        |    CAST(count(*) AS BIGINT) AS k_items FROM itm),
+        |tm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(total) AS BIGINT) AS s1,
+        |    CAST(sum(total * total) AS BIGINT) AS s2 FROM comp),
+        |tnum AS (SELECT n, CAST(n AS HUGEINT) * s2
+        |    - CAST(s1 AS HUGEINT) * s1 AS tot_vnum FROM tm)
+        |SELECT k_items, n AS n_orders,
+        |  floor(CAST(item_vnum AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+        |    * 1e4 + 0.5) / 1e4 AS sum_item_var,
+        |  floor(CAST(tot_vnum AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+        |    * 1e4 + 0.5) / 1e4 AS total_var,
+        |  floor((7 / CAST(7 - 1 AS DOUBLE)) * (1 -
+        |    CAST(item_vnum AS DOUBLE) / CAST(tot_vnum AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS cronbach_alpha
+        |FROM inum CROSS JOIN tnum""".stripMargin,
+    "q_wilcoxon_signed_rank" ->
+      """WITH pq AS (SELECT l_orderkey,
+        |    max(CASE WHEN l_linenumber = 1
+        |      THEN CAST(round(l_quantity) AS BIGINT) END) AS q1,
+        |    max(CASE WHEN l_linenumber = 2
+        |      THEN CAST(round(l_quantity) AS BIGINT) END) AS q2
+        |  FROM lineitem WHERE l_linenumber <= 2 GROUP BY 1),
+        |df AS (SELECT q1 - q2 AS diff FROM pq
+        |  WHERE q1 IS NOT NULL AND q2 IS NOT NULL AND q1 - q2 <> 0),
+        |vals AS (SELECT abs(diff) AS ad, diff > 0 AS pos,
+        |    CAST(count(*) AS BIGINT) AS c FROM df GROUP BY 1, 2),
+        |hist AS (SELECT ad, CAST(sum(c) AS BIGINT) AS t FROM vals
+        |  GROUP BY 1),
+        |rk AS (SELECT ad, t,
+        |    2 * CAST(sum(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) - t + 1 AS r2
+        |  FROM hist),
+        |ag AS (SELECT
+        |    CAST(sum(CASE WHEN pos THEN c ELSE 0 END * r2) AS BIGINT)
+        |      AS w2_plus,
+        |    CAST(sum(c * r2) AS BIGINT) AS w2_all
+        |  FROM vals JOIN rk USING (ad)),
+        |ti AS (SELECT CAST(sum(t) AS BIGINT) AS n_pairs,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS tie_term FROM hist),
+        |z AS (SELECT *, 2 * CAST(n_pairs AS HUGEINT) * (n_pairs + 1)
+        |    * (2 * n_pairs + 1) - tie_term AS sig48
+        |  FROM ag CROSS JOIN ti)
+        |SELECT n_pairs, CAST(w2_plus AS DOUBLE) / 2 AS w_plus,
+        |  CAST(w2_all - w2_plus AS DOUBLE) / 2 AS w_minus,
+        |  floor((CAST(w2_plus AS DOUBLE) / 2 - CAST(n_pairs AS DOUBLE)
+        |    * (n_pairs + 1) / 4) / sqrt(CAST(sig48 AS DOUBLE) / 48)
+        |    * 1e6 + 0.5) / 1e6 AS z_stat
+        |FROM z""".stripMargin,
   )
 }

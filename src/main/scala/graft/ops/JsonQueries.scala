@@ -594,4 +594,50 @@ object JsonQueries {
         count(col("p_missing")).as("n_missing_resolved"))
       .orderBy(col("status"))
   }
+
+  /** Schema-conformance validation against the corpus-inferred type
+    * (reference DatabaseManager.java:514-534's getType generalized
+    * from per-value inference to a corpus CONTRACT): per field, the
+    * majority-inferred class becomes the declared type and every
+    * differently-classed value is a violation — the dirty-ingest
+    * audit the reference's per-row try/catch silently swallows. Two
+    * synthesized drift fields guarantee a non-trivial census; ONE
+    * grouped pass over the exploded field/value relation, then
+    * integer arithmetic on the ≤|fields|×|classes| census frame
+    * (majority by row_number over (n DESC, class) — tie-proof). */
+  def engineSchemaValidate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = get_json_object(col("props"), "$.k")
+    val nv = Tables.events(s, d)
+      .select(col("event_id"), col("props"), col("ts"))
+      .select(explode(array(
+        struct(lit("k").as("name"), k.as("value")),
+        struct(lit("mixed_id").as("name"),
+          when(col("event_id") % 7 === 0, concat(lit("id-"), k))
+            .otherwise(k).as("value")),
+        struct(lit("note").as("name"),
+          when(col("event_id") % 13 === 0, repeat(lit("x"), 130))
+            .otherwise(lit("ok")).as("value")),
+        struct(lit("event_time").as("name"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("value"))))
+        .as("nv"))
+      .select(col("nv.name").as("name"), col("nv.value").as("value"))
+    val census = nv
+      .groupBy(col("name"),
+        graft.json.Shred.inferType(col("name"), col("value")).as("vclass"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("name"))
+      .orderBy(col("n").desc, col("vclass"))
+    census
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_rows", sum(col("n")).over(
+        Window.partitionBy(col("name"))))
+      .filter(col("rn") === 1)
+      .select(col("name"), col("vclass").as("majority_class"),
+        col("n_rows"), col("n").as("n_conform"),
+        (col("n_rows") - col("n")).as("n_violations"),
+        (floor(expr("CAST(n_rows - n AS DOUBLE) / n_rows") * 1e6 + 0.5)
+          / 1e6).as("violation_rate"))
+      .orderBy(col("name"))
+  }
 }

@@ -2502,4 +2502,57 @@ object Mining {
     }
     out.reduce(_ unionByName _).orderBy(col("iter"))
   }
+
+  /** Personalized PageRank (restart set = suppliers 1–3) over the
+    * bipartite customer–supplier co-transaction graph, run ENTIRELY on
+    * the integer 1e12 probability lattice: each round is
+    * r′ = (85·inflow) div 100 + teleport, inflow = Σ (r_u div deg_u)
+    * over in-edges — every sum an order-free long, so unlike the
+    * global [[Analytics.qPagerank]]'s double ranks, the fixpoint is
+    * bit-reproducible on any partitioning. 4 rounds, edge/degree
+    * frames localCheckpoint'd once, shuffles keyed on node id; output
+    * is the top-20 supplier ranks as exact longs (no doubles exist
+    * anywhere in the query). */
+  def qPersonalizedPagerank(s: SparkSession, d: String): DataFrame = {
+    val scale = 1000000000000L
+    val seeds = Seq(1L, 2L, 3L).map(_ * 2 + 1)
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val seedCol = col("node").isin(seeds: _*)
+    var ranks = deg.select(col("node"),
+      when(seedCol, lit(scale / seeds.length)).otherwise(lit(0L))
+        .as("rank"))
+    val teleport = (15L * scale) / 100 / seeds.length
+    for (_ <- 1 to 4) {
+      val inflow = edges
+        .join(ranks.withColumnRenamed("node", "a"), Seq("a"))
+        .join(deg.withColumnRenamed("node", "a")
+          .withColumnRenamed("deg", "adeg"), Seq("a"))
+        .groupBy(col("b").as("node"))
+        .agg(sum(expr("rank div adeg")).as("infl"))
+      ranks = deg.select(col("node"))
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (expr("(85 * coalesce(infl, 0)) div 100") +
+            when(seedCol, lit(teleport)).otherwise(lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+      .filter(col("node") % 2 === 1 && col("rank") > 0)
+      .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
+        col("rank").as("rank_u"))
+      .orderBy(col("rank_u").desc, col("s_suppkey"))
+      .limit(20)
+  }
 }

@@ -745,4 +745,92 @@ object Stats {
         rnd(expr("sqrt(laspeyres * paasche)"), 6).as("fisher"))
       .orderBy(col("month"))
   }
+
+  /** Cronbach's alpha internal-consistency coefficient treating the
+    * seven line numbers of complete 7-line orders as test items
+    * scored by quantity. Every variance shares the SAME denominator
+    * n², so Σ item-variances and the total variance reduce to exact
+    * DECIMAL(38,0)⇄HUGEINT numerators (nΣx²−S²) summed EXACTLY —
+    * alpha is one pinned double ratio of identical integers; no
+    * per-item double sum exists to leak accumulation order. Corpus
+    * work: one complete-case filter + two grouped integer-moment
+    * rollups. */
+  def qCronbachAlpha(s: SparkSession, d: String): DataFrame = {
+    val k = 7
+    // per-cell score: duplicate (order, linenumber) rows exist in the
+    // corpus, so the item score is the SUM over the cell — this makes
+    // completeness (= all 7 items present) imply a dense n×k matrix
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_linenumber").as("item"),
+        round(col("l_quantity")).cast("long").as("_q"))
+      .groupBy(col("o"), col("item")).agg(sum(col("_q")).as("q"))
+    val complete = li.groupBy(col("o"))
+      .agg(count(lit(1)).as("_c"), sum(col("q")).as("total"))
+      .filter(col("_c") === k)
+      .localCheckpoint(true)
+    val scores = li.join(complete.select(col("o")), Seq("o"), "left_semi")
+    val itemNum = scores.groupBy(col("item"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"))
+      .select(expr("CAST(n AS DECIMAL(38,0)) * s2 - " +
+        "CAST(s1 AS DECIMAL(38,0)) * s1").as("vnum"))
+      .agg(sum(col("vnum")).as("item_vnum"), count(lit(1)).as("k_items"))
+    val totNum = complete.agg(count(lit(1)).as("n"),
+        sum(col("total")).as("s1"),
+        sum(col("total") * col("total")).as("s2"))
+      .select(col("n"), expr("CAST(n AS DECIMAL(38,0)) * s2 - " +
+        "CAST(s1 AS DECIMAL(38,0)) * s1").as("tot_vnum"))
+    itemNum.crossJoin(broadcast(totNum))
+      .select(col("k_items"), col("n").as("n_orders"),
+        rnd(expr("CAST(item_vnum AS DOUBLE) / (CAST(n AS DOUBLE) * n)"),
+          4).as("sum_item_var"),
+        rnd(expr("CAST(tot_vnum AS DOUBLE) / (CAST(n AS DOUBLE) * n)"),
+          4).as("total_var"),
+        rnd(expr(s"($k / CAST($k - 1 AS DOUBLE)) * (1 - " +
+          "CAST(item_vnum AS DOUBLE) / CAST(tot_vnum AS DOUBLE))"), 6)
+          .as("cronbach_alpha"))
+  }
+
+  /** Wilcoxon signed-rank test of the paired quantity difference
+    * between each multi-line order's first and second line. Zero
+    * differences drop (classical treatment); |d| ≤ 49 so tie-averaged
+    * ranks live on the DOUBLED-rank lattice of a ≤49-value histogram
+    * (the [[qKruskalWallis]] trick — no per-pair rank at any scale);
+    * W⁺, the tie term Σ(t³−t) and σ²'s 48-denominator numerator are
+    * exact longs/DECIMAL⇄HUGEINT; z is one pinned double. */
+  def qWilcoxonSignedRank(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 2)
+      .groupBy(col("l_orderkey"))
+      .agg(max(when(col("l_linenumber") === 1,
+          round(col("l_quantity")).cast("long"))).as("q1"),
+        max(when(col("l_linenumber") === 2,
+          round(col("l_quantity")).cast("long"))).as("q2"))
+      .filter(col("q1").isNotNull && col("q2").isNotNull)
+      .select((col("q1") - col("q2")).as("diff"))
+      .filter(col("diff") =!= 0)
+    val vals = li.groupBy(abs(col("diff")).as("ad"),
+        (col("diff") > 0).as("pos"))
+      .agg(count(lit(1)).as("c"))
+    val hist = vals.groupBy(col("ad")).agg(sum(col("c")).as("t"))
+    val ranked = Ranks.globalRunningSum(hist, Seq(col("ad")), col("t"),
+        "cum")
+      .withColumn("r2", lit(2L) * col("cum") - col("t") + lit(1L))
+    val agg = vals.join(ranked, "ad")
+      .agg(sum(when(col("pos"), col("c"))
+          .otherwise(lit(0L)) * col("r2")).as("w2_plus"),
+        sum(col("c") * col("r2")).as("w2_all"))
+    val ties = hist.agg(sum(col("t")).as("n_pairs"),
+      sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tie_term"))
+    agg.crossJoin(broadcast(ties))
+      .withColumn("sig48", expr("2 * CAST(n_pairs AS DECIMAL(38,0)) * " +
+        "(n_pairs + 1) * (2 * n_pairs + 1) - tie_term"))
+      .select(col("n_pairs"),
+        (col("w2_plus").cast("double") / 2).as("w_plus"),
+        ((col("w2_all") - col("w2_plus")).cast("double") / 2)
+          .as("w_minus"),
+        rnd(expr("(CAST(w2_plus AS DOUBLE) / 2 - " +
+          "CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4) / " +
+          "sqrt(CAST(sig48 AS DOUBLE) / 48)"), 6).as("z_stat"))
+  }
 }

@@ -367,6 +367,139 @@ class Round13cSpec extends SparkSuite {
     }
   }
 
+  test("schema validation matches the naive infer-and-vote replay") {
+    val out = graft.ops.JsonQueries.engineSchemaValidate(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+    def infer(name: String, v: Option[String]): String = v match {
+      case Some(x) if x.matches("-?[0-9]+(\\.[0-9]+)?") => "NUMBER"
+      case Some(x) if name.toLowerCase.contains("time") &&
+        x.contains(":") && x.contains("T") => "DATE"
+      case Some(x) if x.length < 128 => "MEDIUM_STRING"
+      case _ => "TEXT"
+    }
+    val fields: Seq[(String, ((Long, Option[String], String)) =>
+        Option[String])] = Seq(
+      "k" -> (t => t._2),
+      "mixed_id" -> (t => if (t._1 % 7 == 0) t._2.map("id-" + _)
+        else t._2),
+      "note" -> (t => Some(if (t._1 % 13 == 0) "x" * 130 else "ok")),
+      "event_time" -> (t => Some(t._3)))
+    for ((name, fn) <- fields) {
+      val classes = rows.map(t => infer(name, fn(t)))
+      val census = classes.groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      val (majCls, majN) = census.toSeq.sortBy(t => (-t._2, t._1)).head
+      val r = out(name)
+      assert(r.getString(r.fieldIndex("majority_class")) == majCls,
+        s"$name class")
+      assert(r.getLong(r.fieldIndex("n_rows")) == rows.length.toLong)
+      assert(r.getLong(r.fieldIndex("n_violations")) ==
+        rows.length - majN, s"$name violations")
+    }
+  }
+
+  test("cronbach alpha matches the naive item-variance replay") {
+    val r = graft.ops.Stats.qCronbachAlpha(spark, sf).head()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    // cell scores: sum over duplicate (order, linenumber) rows
+    val cells = li.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val complete = cells.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).filter(_._2.size == 7).keys.toSeq
+    def popVar(xs: Seq[Double]): Double = {
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    val itemVarSum = (1 to 7).map { i =>
+      popVar(complete.map(o => cells((o, i)).toDouble))
+    }.sum
+    val totVar = popVar(complete.map(o =>
+      (1 to 7).map(i => cells((o, i))).sum.toDouble))
+    val alpha = (7.0 / 6) * (1 - itemVarSum / totVar)
+    assert(r.getLong(r.fieldIndex("n_orders")) == complete.size.toLong)
+    assert(math.abs(r.getDouble(r.fieldIndex("cronbach_alpha")) - alpha)
+      < 1e-4, s"alpha ${r.getDouble(r.fieldIndex("cronbach_alpha"))}" +
+        s" vs $alpha")
+  }
+
+  test("wilcoxon signed-rank matches the naive tie-averaged replay") {
+    val r = graft.ops.Stats.qWilcoxonSignedRank(spark, sf).head()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_linenumber") <= 2)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    val diffs = li.groupBy(_._1).values.flatMap { g =>
+      // the operator takes MAX per linenumber (duplicate rows exist)
+      val q1s = g.filter(_._2 == 1).map(_._3)
+      val q2s = g.filter(_._2 == 2).map(_._3)
+      for {
+        a <- q1s.maxOption
+        b <- q2s.maxOption
+        if a != b
+      } yield a - b
+    }.toSeq
+    val n = diffs.length
+    val sorted = diffs.map(math.abs).sorted
+    val rank = scala.collection.mutable.Map.empty[Long, Double]
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && sorted(j) == sorted(i)) j += 1
+      rank(sorted(i)) = (i + 1 + j) / 2.0
+      i = j
+    }
+    val wPlus = diffs.filter(_ > 0).map(d => rank(math.abs(d))).sum
+    val ties = sorted.groupBy(identity).values
+      .map(g => g.length.toDouble).map(t => t * t * t - t).sum
+    val mu = n.toDouble * (n + 1) / 4
+    val sig2 = (2.0 * n * (n + 1) * (2 * n + 1) - ties) / 48
+    assert(r.getLong(r.fieldIndex("n_pairs")) == n.toLong)
+    assert(math.abs(r.getDouble(r.fieldIndex("w_plus")) - wPlus) < 1e-6)
+    assert(math.abs(r.getDouble(r.fieldIndex("z_stat")) -
+      (wPlus - mu) / math.sqrt(sig2)) < 1e-5)
+  }
+
+  test("personalized pagerank matches the naive integer iteration") {
+    val got = graft.ops.Mining.qPersonalizedPagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.sources.Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey") * 2, col("l_suppkey") * 2 + 1)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    val seeds = Set(3L, 5L, 7L)
+    var rank = deg.keys.map(nd =>
+      nd -> (if (seeds(nd)) 333333333333L else 0L)).toMap
+    for (_ <- 1 to 4) {
+      val infl = scala.collection.mutable.Map.empty[Long, Long]
+      for ((u, r0) <- rank if r0 > 0; v <- adj(u))
+        infl(v) = infl.getOrElse(v, 0L) + r0 / deg(u)
+      rank = deg.keys.map(nd => nd ->
+        ((85L * infl.getOrElse(nd, 0L)) / 100 +
+          (if (seeds(nd)) 50000000000L else 0L))).toMap
+    }
+    val exp = rank.toSeq.filter(t => t._1 % 2 == 1 && t._2 > 0)
+      .map(t => ((t._1 - 1) / 2, t._2))
+      .sortBy(t => (-t._2, t._1)).take(20)
+    assert(got.toSeq == exp, s"${got.toSeq.take(3)} vs ${exp.take(3)}")
+  }
+
   test("sax word matches the naive PAA-quartile replay") {
     val out = graft.ops.Series.qSaxPaa(spark, sf).collect()
     val series = dailyE4(flagged = true)
