@@ -1019,6 +1019,10 @@ object SparkEntry {
     "q_cronbach_alpha" -> (Stats.qCronbachAlpha _),
     "q_wilcoxon_signed_rank" -> (Stats.qWilcoxonSignedRank _),
     "q_personalized_pagerank" -> (Mining.qPersonalizedPagerank _),
+    "q_changepoint" -> (graft.ops.Series.qChangepoint _),
+    "q_dickey_fuller" -> (graft.ops.Series.qDickeyFuller _),
+    "q_tukey_hsd" -> (Stats.qTukeyHsd _),
+    "multimodal_tiff_codec" -> (PipelineQueries.multimodalTiffCodec _),
   )
 
   /** q_personalized_pagerank oracle: 4 unrolled integer-lattice
@@ -1082,6 +1086,13 @@ object SparkEntry {
        |$census
        |ORDER BY iter""".stripMargin
   }
+
+  private val dailyFlagCte: String =
+    """daily AS (SELECT l_returnflag AS flag,
+      |    CAST(l_shipdate AS DATE) AS day,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
   /** q_macd oracle, generated from the SAME Scala weight vectors the
     * Spark plan embeds (graft.ops.Series.macdFast/Slow/Sig) so neither
@@ -8144,5 +8155,94 @@ object SparkEntry {
         |    * (n_pairs + 1) / 4) / sqrt(CAST(sig48 AS DOUBLE) / 48)
         |    * 1e6 + 0.5) / 1e6 AS z_stat
         |FROM z""".stripMargin,
+    "q_changepoint" ->
+      (s"WITH $dailyFlagCte,\n" +
+      """idx AS (SELECT flag, day, e4,
+        |    row_number() OVER (PARTITION BY flag ORDER BY day) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS n,
+        |    CAST(sum(e4) OVER (PARTITION BY flag ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS s_t,
+        |    CAST(sum(e4) OVER (PARTITION BY flag) AS BIGINT) AS s_all
+        |  FROM daily),
+        |g AS (SELECT *, CAST(s_t AS HUGEINT) * n
+        |    - CAST(s_all AS HUGEINT) * rn AS num
+        |  FROM idx WHERE rn < n),
+        |g2 AS (SELECT *, CAST(num * num AS DOUBLE)
+        |    / (CAST(rn AS DOUBLE) * (n - rn)) AS gain FROM g),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY flag
+        |    ORDER BY gain DESC, rn) AS rk FROM g2)
+        |SELECT flag, day AS cp_day, CAST(rn AS BIGINT) AS t,
+        |  CAST(n AS BIGINT) AS n_days,
+        |  floor(CAST(s_t AS DOUBLE) / rn / 10000 * 100.0 + 0.5) / 100.0
+        |    AS mean_before,
+        |  floor(CAST(s_all - s_t AS DOUBLE) / (n - rn) / 10000 * 100.0
+        |    + 0.5) / 100.0 AS mean_after
+        |FROM p WHERE rk = 1 ORDER BY flag""".stripMargin),
+    "q_dickey_fuller" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |pr AS (SELECT e4 - ylag AS dy, ylag AS x FROM (
+        |    SELECT e4, lag(e4) OVER (ORDER BY day) AS ylag FROM daily)
+        |  WHERE ylag IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    CAST(sum(dy) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * dy) AS sxy,
+        |    sum(CAST(dy AS HUGEINT) * dy) AS syy
+        |  FROM pr),
+        |b AS (SELECT *, (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta FROM m),
+        |a AS (SELECT *, (CAST(sy AS DOUBLE)
+        |    - beta * CAST(sx AS DOUBLE)) / n AS alpha FROM b),
+        |e AS (SELECT *, CAST(syy AS DOUBLE)
+        |    - alpha * CAST(sy AS DOUBLE)
+        |    - beta * CAST(sxy AS DOUBLE) AS sse,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |    * (CAST(sx AS DOUBLE) / n) AS sxxc FROM a)
+        |SELECT n,
+        |  floor(alpha / 10000 * 100.0 + 0.5) / 100.0 AS alpha_dollars,
+        |  floor(beta * 1e8 * 1e4 + 0.5) / 1e4 AS beta_e8,
+        |  floor(beta / sqrt(sse / (n - 2) / sxxc) * 1e4 + 0.5) / 1e4
+        |    AS t_df
+        |FROM e""".stripMargin,
+    "q_tukey_hsd" ->
+      """WITH cust AS (SELECT CAST(c_nationkey AS BIGINT) AS g,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS s2 FROM cust GROUP BY 1),
+        |mw AS (SELECT CAST(sum(CAST(s2 AS HUGEINT) * 10000
+        |    - (CAST(s AS HUGEINT) * s * 10000) // n_g) AS DOUBLE)
+        |    / 10000 / (sum(n_g) - count(*)) AS msw FROM grp)
+        |SELECT a.g AS g_i, b.g AS g_j, a.n_g AS n_i, b.n_g AS n_j,
+        |  floor(CAST(a.s AS DOUBLE) / a.n_g / 100 * 1e4 + 0.5) / 1e4
+        |    AS mean_i,
+        |  floor(CAST(b.s AS DOUBLE) / b.n_g / 100 * 1e4 + 0.5) / 1e4
+        |    AS mean_j,
+        |  floor(abs(CAST(a.s AS DOUBLE) / a.n_g
+        |    - CAST(b.s AS DOUBLE) / b.n_g)
+        |    / sqrt(msw / 2 * (1.0 / a.n_g + 1.0 / b.n_g)) * 1e4 + 0.5)
+        |    / 1e4 AS q_stat,
+        |  abs(CAST(a.s AS DOUBLE) / a.n_g - CAST(b.s AS DOUBLE) / b.n_g)
+        |    / sqrt(msw / 2 * (1.0 / a.n_g + 1.0 / b.n_g)) > 5.03
+        |    AS significant
+        |FROM grp a JOIN grp b ON a.g < b.g CROSS JOIN mw
+        |ORDER BY 1, 2""".stripMargin,
+    "multimodal_tiff_codec" ->
+      """WITH d AS (SELECT doc_id, 8 + (doc_id * 11) % 24 AS w,
+        |    8 + (doc_id * 13) % 24 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS i FROM d),
+        |ys AS (SELECT doc_id, w, h, i, unnest(range(h)) AS j FROM xs)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(sum((i * 31 + j * 17 + doc_id) % 256) AS BIGINT)
+        |    AS px_sum
+        |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
   )
 }

@@ -435,6 +435,35 @@ object Codecs {
     bos.toByteArray
   }
 
+  // ---- TIFF ---------------------------------------------------------
+
+  def tiffWidth(docId: Long): Int = (8 + (docId * 11) % 24).toInt
+  def tiffHeight(docId: Long): Int = (8 + (docId * 13) % 24).toInt
+
+  /** Real TIFF bytes for the doc's deterministic image — the JDK's
+    * FOURTH genuine image codec (the javax.imageio TIFF plugin,
+    * JDK 9+): baseline grayscale-in-RGB TIFF with full IFD/tag
+    * structure, exercising the directory-based container format the
+    * stream formats (PNG/GIF/BMP) never touch. */
+  def encodeTiff(docId: Long): Array[Byte] = {
+    val w = tiffWidth(docId)
+    val h = tiffHeight(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = grayAt(x, y, docId)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "tiff", bos), "no TIFF writer")
+    bos.toByteArray
+  }
+
   /** Decode image bytes → 8-bucket luminance histogram (red channel
     * div 32) off the DECODED pixels. */
   def decodeImageHist(bytes: Array[Byte]): Array[Long] = {

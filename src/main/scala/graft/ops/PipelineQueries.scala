@@ -3362,6 +3362,26 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** TIFF roundtrip through the JDK's fourth genuine image codec (the
+    * javax.imageio TIFF plugin): deterministic image → real TIFF bytes
+    * (IFD/tag directory structure) → decode → dims + Σ red off the
+    * DECODED pixels. Map-only codec seam (never shuffles); TIFF here
+    * is lossless, so the generator-replay oracle proves the roundtrip
+    * pixel-exact — the [[multimodalBmpCodec]] contract on the
+    * directory-based container format. */
+  def multimodalTiffCodec(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodeTiff(id)
+        val (w, h, sum) = graft.mm.Codecs.decodePngStats(bytes)
+        (id, w.toLong, h.toLong, sum)
+      })
+      .toDF("doc_id", "width", "height", "px_sum")
+      .orderBy(col("doc_id"))
+  }
+
   /** Flesch Reading Ease + Flesch–Kincaid grade per document via the
     * classic vowel-group syllable heuristic: words = [a-z0-9]+ runs,
     * sentences = [.!?]+ runs (min 1), syllables = [aeiouy]+ runs,

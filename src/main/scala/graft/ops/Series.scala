@@ -118,6 +118,84 @@ object Series {
       .orderBy(col("t"))
   }
 
+  /** Single-changepoint detection (binary-segmentation first split)
+    * per returnflag: the day t maximizing the between-segment
+    * sum-of-squares gain, gain(t) ∝ (S_t·n − S·t)²/(t·(n−t)). The
+    * numerator is an EXACT DECIMAL(38,0)⇄HUGEINT integer (prefix sums
+    * on the e4 lattice), so both engines divide the IDENTICAL integer
+    * pair — the argmax over identical doubles cannot flip. One rollup
+    * to the calendar-bounded daily frame; prefix sums are long
+    * windows over that bounded frame; ties break on the earlier day. */
+  def qChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyByFlag(s, d)
+    val idx = Ranks.groupRowNumber(daily, Seq(col("flag")),
+      Seq(col("day")), "rn", "n")
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.groupBy(col("flag")).agg(sum(col("e4")).as("s_all"))
+    val g = idx
+      .withColumn("s_t", sum(col("e4")).over(wCum))
+      .join(broadcast(tot), "flag")
+      .filter(col("rn") < col("n"))
+      .withColumn("num", expr("CAST(s_t AS DECIMAL(38,0)) * n" +
+        " - CAST(s_all AS DECIMAL(38,0)) * rn"))
+      .withColumn("gain", expr("CAST(num * num AS DOUBLE)" +
+        " / (CAST(rn AS DOUBLE) * (n - rn))"))
+    val wTop = Window.partitionBy(col("flag"))
+      .orderBy(col("gain").desc, col("rn"))
+    g.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("flag"), col("day").as("cp_day"), col("rn").as("t"),
+        col("n").as("n_days"),
+        rnd(expr("CAST(s_t AS DOUBLE) / rn / 10000"), 2)
+          .as("mean_before"),
+        rnd(expr("CAST(s_all - s_t AS DOUBLE) / (n - rn) / 10000"), 2)
+          .as("mean_after"))
+      .orderBy(col("flag"))
+  }
+
+  /** Dickey–Fuller unit-root test on the global daily revenue series:
+    * Δy_t = α + β·y_{t−1} + ε, t_DF = β̂/se(β̂) — stationarity
+    * screening before any ARIMA-style modelling. All regression
+    * moments are exact (y on the e4 lattice, cross-products on
+    * DECIMAL(38,0)⇄HUGEINT), SSE via the moment identity (no per-row
+    * residual sum) — the [[Stats.qOlsDiagnostics]] convention on the
+    * lagged-difference regression. */
+  def qDickeyFuller(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+    val w = Window.orderBy(col("day"))
+    val pairs = daily
+      .withColumn("ylag", lag(col("e4"), 1).over(w))
+      .filter(col("ylag").isNotNull)
+      .select((col("e4") - col("ylag")).as("dy"), col("ylag").as("x"))
+    pairs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(col("dy")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * dy")).as("sxy"),
+        sum(expr("CAST(dy AS DECIMAL(38,0)) * dy")).as("syy"))
+      .withColumn("beta", expr(
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+          " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"))
+      .withColumn("alpha", expr(
+        "(CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / n"))
+      .withColumn("sse", expr(
+        "CAST(syy AS DOUBLE) - alpha * CAST(sy AS DOUBLE)" +
+          " - beta * CAST(sxy AS DOUBLE)"))
+      .withColumn("s2", expr("sse / (n - 2)"))
+      .withColumn("sxxc", expr(
+        "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)" +
+          " * (CAST(sx AS DOUBLE) / n)"))
+      .select(col("n"),
+        rnd(expr("alpha / 10000"), 2).as("alpha_dollars"),
+        rnd(expr("beta * 1e8"), 4).as("beta_e8"),
+        rnd(expr("beta / sqrt(s2 / sxxc)"), 4).as("t_df"))
+  }
+
   /** MACD weight vectors, shared by the Spark plan and the generated
     * oracle SQL so no `pow` executes in either engine: truncated EMA
     * with span-α weights α(1−α)^k, k < K (the [[Behavior.qEwma]]

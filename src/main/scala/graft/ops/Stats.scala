@@ -791,6 +791,50 @@ object Stats {
           .as("cronbach_alpha"))
   }
 
+  /** Tukey HSD post-hoc pairwise comparison after the one-way ANOVA
+    * of balances across nations: studentized-range q for every nation
+    * pair + the significance flag at the fixed k=25 critical value.
+    * MSW rides [[qTwoWayAnova]]'s division lattice (S²·10⁴ div n per
+    * group — truncation ≤1e-4 cent², far below 4-dp q); the 300-row
+    * pair frame is a self-join of the 25-row group census, so the
+    * only corpus-scaled work is ONE grouped integer-moment rollup.
+    * The significance comparison is between IDENTICAL doubles on both
+    * engines, so the flag cannot flip. */
+  def qTukeyHsd(s: SparkSession, d: String): DataFrame = {
+    val qCrit = 5.03 // studentized range, k=25, df→∞, α=0.05
+    val grp = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("g"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("v")).as("s"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2"))
+      .localCheckpoint(true)
+    val msw = broadcast(grp
+      .select(col("n_g"),
+        expr("CAST(s2 AS DECIMAL(38,0)) * 10000" +
+          " - (CAST(s AS DECIMAL(38,0)) * s * 10000) div n_g")
+          .as("ssw4"))
+      .agg(sum(col("ssw4")).as("ssw4"), sum(col("n_g")).as("n_tot"),
+        count(lit(1)).as("k_groups"))
+      .select(expr("CAST(ssw4 AS DOUBLE) / 10000" +
+        " / (n_tot - k_groups)").as("msw")))
+    grp.as("a")
+      .join(grp.as("b"), col("a.g") < col("b.g"))
+      .crossJoin(msw)
+      .select(col("a.g").as("g_i"), col("b.g").as("g_j"),
+        col("a.n_g").as("n_i"), col("b.n_g").as("n_j"),
+        col("a.s").as("si"), col("b.s").as("sj"), col("msw"))
+      .withColumn("q_raw", expr(
+        "abs(CAST(si AS DOUBLE) / n_i - CAST(sj AS DOUBLE) / n_j)" +
+          " / sqrt(msw / 2 * (1.0 / n_i + 1.0 / n_j))"))
+      .select(col("g_i"), col("g_j"), col("n_i"), col("n_j"),
+        rnd(expr("CAST(si AS DOUBLE) / n_i / 100"), 4).as("mean_i"),
+        rnd(expr("CAST(sj AS DOUBLE) / n_j / 100"), 4).as("mean_j"),
+        rnd(col("q_raw"), 4).as("q_stat"),
+        (col("q_raw") > qCrit).as("significant"))
+      .orderBy(col("g_i"), col("g_j"))
+  }
+
   /** Wilcoxon signed-rank test of the paired quantity difference
     * between each multi-line order's first and second line. Zero
     * differences drop (classical treatment); |d| ≤ 49 so tie-averaged

@@ -500,6 +500,91 @@ class Round13cSpec extends SparkSuite {
     assert(got.toSeq == exp, s"${got.toSeq.take(3)} vs ${exp.take(3)}")
   }
 
+  test("changepoint matches the naive gain-scan replay") {
+    val got = graft.ops.Series.qChangepoint(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val series = dailyE4(flagged = true)
+    for ((flag, days) <- series) {
+      val xs = days.map(_._2)
+      val n = xs.length
+      val sAll = xs.sum
+      var best = (-1.0, 0)
+      var sT = 0L
+      for (t <- 1 until n) {
+        sT += xs(t - 1)
+        val num = BigInt(sT) * n - BigInt(sAll) * t
+        val gain = (num * num).toDouble / (t.toDouble * (n - t))
+        if (gain > best._1) best = (gain, t)
+      }
+      val r = got(flag)
+      assert(r.getLong(r.fieldIndex("t")) == best._2.toLong, s"$flag t")
+      val sBest = xs.take(best._2).sum
+      assert(math.abs(r.getDouble(r.fieldIndex("mean_before")) -
+        sBest.toDouble / best._2 / 10000) < 0.02, s"$flag before")
+    }
+  }
+
+  test("dickey-fuller matches the naive regression replay") {
+    val r = graft.ops.Series.qDickeyFuller(spark, sf).head()
+    val xs = dailyE4(flagged = false)("*").map(_._2.toDouble)
+    val pairs = xs.sliding(2).map { case Seq(a, b) => (b - a, a) }.toSeq
+    val n = pairs.length
+    val (sy, sx) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxx = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val alpha = (sy - beta * sx) / n
+    val sse = pairs.map(p =>
+      math.pow(p._1 - alpha - beta * p._2, 2)).sum
+    val sxxc = sxx - sx * (sx / n)
+    val t = beta / math.sqrt(sse / (n - 2) / sxxc)
+    assert(r.getLong(r.fieldIndex("n")) == n.toLong)
+    assert(math.abs(r.getDouble(r.fieldIndex("beta_e8")) - beta * 1e8)
+      < 0.01, s"beta ${r.getDouble(r.fieldIndex("beta_e8"))} vs " +
+        s"${beta * 1e8}")
+    assert(math.abs(r.getDouble(r.fieldIndex("t_df")) - t) < 0.01,
+      s"t ${r.getDouble(r.fieldIndex("t_df"))} vs $t")
+  }
+
+  test("tukey hsd matches the naive pairwise replay") {
+    val out = graft.ops.Stats.qTukeyHsd(spark, sf).collect()
+    val pts = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"),
+        round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byG = pts.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nTot = pts.length
+    val k = byG.size
+    val ssw = byG.values.map { vs =>
+      val mu = vs.sum.toDouble / vs.length
+      vs.map(v => (v - mu) * (v - mu)).sum
+    }.sum
+    val msw = ssw / (nTot - k)
+    for (r <- out.take(30)) {
+      val (gi, gj) = (r.getLong(0), r.getLong(1))
+      val (vi, vj) = (byG(gi), byG(gj))
+      val q = math.abs(vi.sum.toDouble / vi.length -
+        vj.sum.toDouble / vj.length) /
+        math.sqrt(msw / 2 * (1.0 / vi.length + 1.0 / vj.length))
+      // the operator's MSW rides the x1e4 division lattice; tolerance
+      // covers that truncation plus replay accumulation order
+      assert(math.abs(r.getDouble(r.fieldIndex("q_stat")) - q) < 1e-3,
+        s"($gi,$gj) q")
+    }
+  }
+
+  test("tiff roundtrip decodes pixel-exact") {
+    for (id <- Seq(0L, 1L, 7L, 123L)) {
+      val bytes = graft.mm.Codecs.encodeTiff(id)
+      val (w, h, sum) = graft.mm.Codecs.decodePngStats(bytes)
+      assert(w == graft.mm.Codecs.tiffWidth(id))
+      assert(h == graft.mm.Codecs.tiffHeight(id))
+      val exp = (for (x <- 0 until w; y <- 0 until h)
+        yield graft.mm.Codecs.grayAt(x, y, id).toLong).sum
+      assert(sum == exp, s"doc $id px_sum")
+    }
+  }
+
   test("sax word matches the naive PAA-quartile replay") {
     val out = graft.ops.Series.qSaxPaa(spark, sf).collect()
     val series = dailyE4(flagged = true)
