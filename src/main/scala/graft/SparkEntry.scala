@@ -1023,6 +1023,10 @@ object SparkEntry {
     "q_dickey_fuller" -> (graft.ops.Series.qDickeyFuller _),
     "q_tukey_hsd" -> (Stats.qTukeyHsd _),
     "multimodal_tiff_codec" -> (PipelineQueries.multimodalTiffCodec _),
+    "q_silhouette" -> (Mining.qSilhouette _),
+    "text_js_divergence" -> (PipelineQueries.textJsDivergence _),
+    "q_poisson_rate" -> (Stats.qPoissonRate _),
+    "q_cochran_q" -> (Stats.qCochranQ _),
   )
 
   /** q_personalized_pagerank oracle: 4 unrolled integer-lattice
@@ -1086,6 +1090,34 @@ object SparkEntry {
        |$census
        |ORDER BY iter""".stripMargin
   }
+
+  /** Shared two-iteration k-means CTE prefix (q_kmeans +
+    * q_silhouette): s2 is the vec×centroid cosine frame with scores
+    * ROUNDED to 6 dp, so every downstream statistic reads identical
+    * doubles on both engines. */
+  private val kmeansOracleCtes: String =
+    """WITH v AS (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+      |    unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |c0 AS (SELECT ids.cid, v.dim, v.x AS c FROM ids JOIN v USING (vec_id)),
+      |s1 AS (SELECT v.vec_id, c.cid,
+      |    round(sum(v.x * c.c) / (sqrt(sum(v.x * v.x)) *
+      |      sqrt(sum(c.c * c.c))), 6) AS cos
+      |  FROM v JOIN c0 c ON v.dim = c.dim GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cid) AS rn FROM s1)
+      |  WHERE rn = 1),
+      |c1 AS (SELECT a1.cid, v.dim, avg(v.x) AS c
+      |  FROM a1 JOIN v USING (vec_id) GROUP BY 1, 2),
+      |s2 AS (SELECT v.vec_id, c.cid,
+      |    round(sum(v.x * c.c) / (sqrt(sum(v.x * v.x)) *
+      |      sqrt(sum(c.c * c.c))), 6) AS cos
+      |  FROM v JOIN c1 c ON v.dim = c.dim GROUP BY 1, 2),
+      |""".stripMargin
 
   private val dailyFlagCte: String =
     """daily AS (SELECT l_returnflag AS flag,
@@ -4821,34 +4853,33 @@ object SparkEntry {
         |  round(max(abs(err)), 6) AS max_abs_err
         |FROM e GROUP BY dim, lo, hi ORDER BY dim""".stripMargin,
     "q_kmeans" ->
-      """WITH v AS (
-        |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
-        |    unnest(embedding)::DOUBLE AS x
-        |  FROM embeddings),
-        |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-        |c0 AS (SELECT ids.cid, v.dim, v.x AS c FROM ids JOIN v USING (vec_id)),
-        |s1 AS (SELECT v.vec_id, c.cid,
-        |    round(sum(v.x * c.c) / (sqrt(sum(v.x * v.x)) *
-        |      sqrt(sum(c.c * c.c))), 6) AS cos
-        |  FROM v JOIN c0 c ON v.dim = c.dim GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, cid) AS rn FROM s1)
-        |  WHERE rn = 1),
-        |c1 AS (SELECT a1.cid, v.dim, avg(v.x) AS c
-        |  FROM a1 JOIN v USING (vec_id) GROUP BY 1, 2),
-        |s2 AS (SELECT v.vec_id, c.cid,
-        |    round(sum(v.x * c.c) / (sqrt(sum(v.x * v.x)) *
-        |      sqrt(sum(c.c * c.c))), 6) AS cos
-        |  FROM v JOIN c1 c ON v.dim = c.dim GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, cid, cos FROM (
+      (kmeansOracleCtes +
+      """a2 AS (SELECT vec_id, cid, cos FROM (
         |    SELECT vec_id, cid, cos, row_number() OVER (PARTITION BY vec_id
         |      ORDER BY cos DESC, cid) AS rn FROM s2)
         |  WHERE rn = 1)
         |SELECT cid AS cluster, count(*) AS n_members, min(vec_id) AS exemplar,
         |  round(avg(cos), 4) AS avg_cos
-        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q_silhouette" ->
+      (kmeansOracleCtes +
+      """rk2 AS (SELECT vec_id, cid, cos, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM s2),
+        |per AS (SELECT vec_id,
+        |    max(CASE WHEN rn = 1 THEN cid END) AS cid,
+        |    max(CASE WHEN rn = 1 THEN cos END) AS cos_own,
+        |    max(CASE WHEN rn = 2 THEN cos END) AS cos_2nd
+        |  FROM rk2 WHERE rn <= 2 GROUP BY 1),
+        |s6 AS (SELECT cid, CAST(round(CASE
+        |    WHEN greatest(1 - cos_own, 1 - cos_2nd) = 0 THEN 0.0
+        |    ELSE ((1 - cos_2nd) - (1 - cos_own))
+        |      / greatest(1 - cos_own, 1 - cos_2nd) END * 1e6)
+        |    AS BIGINT) AS s6
+        |  FROM per)
+        |SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |  floor(CAST(sum(s6) AS DOUBLE) / count(*) / 1e6 * 1e6 + 0.5)
+        |    / 1e6 AS avg_silhouette
+        |FROM s6 GROUP BY 1 ORDER BY 1""".stripMargin),
     "embed_pca_power" ->
       """WITH v AS (
         |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
@@ -8244,5 +8275,82 @@ object SparkEntry {
         |  CAST(sum((i * 31 + j * 17 + doc_id) % 256) AS BIGINT)
         |    AS px_sum
         |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "text_js_divergence" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tk AS (SELECT source, w FROM tok WHERE w <> ''),
+        |sc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cs
+        |  FROM tk GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM tk
+        |  GROUP BY 1),
+        |cq AS (SELECT w, CAST(count(*) AS BIGINT) AS cc FROM tk
+        |  GROUP BY 1),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM tk),
+        |terms AS (SELECT source, ns, nc,
+        |    cs * CAST(round(ln((2.0 * cs * nc) /
+        |      (CAST(cs AS DOUBLE) * nc + CAST(cc AS DOUBLE) * ns))
+        |      * 1e6) AS BIGINT) AS p_term,
+        |    cc * CAST(round(ln((2.0 * cc * ns) /
+        |      (CAST(cs AS DOUBLE) * nc + CAST(cc AS DOUBLE) * ns))
+        |      * 1e6) AS BIGINT) AS q_term,
+        |    cc
+        |  FROM sc JOIN cq USING (w) JOIN st USING (source)
+        |  CROSS JOIN ct),
+        |ag AS (SELECT source, max(ns) AS n_tokens, max(nc) AS nc,
+        |    CAST(sum(p_term) AS BIGINT) AS p_sum,
+        |    CAST(sum(q_term) AS BIGINT) AS q_sum,
+        |    CAST(sum(cc) AS BIGINT) AS cc_seen
+        |  FROM terms GROUP BY 1)
+        |SELECT source, n_tokens,
+        |  floor((CAST(p_sum AS DOUBLE) / n_tokens
+        |    + CAST(q_sum + (nc - cc_seen) * 693147 AS DOUBLE) / nc)
+        |    / 2 / 1e6 * 1e6 + 0.5) / 1e6 AS js_divergence
+        |FROM ag ORDER BY source""".stripMargin,
+    "q_poisson_rate" ->
+      """WITH pe AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events WHERE event_type = 'purchase'),
+        |sp AS (SELECT min(ts_s) AS t0, max(ts_s) AS t1,
+        |    (min(ts_s) + max(ts_s)) // 2 AS mid FROM pe),
+        |ag AS (SELECT
+        |    CAST(sum(CASE WHEN ts_s < mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN ts_s >= mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(max(mid - t0) AS BIGINT) AS t1_s,
+        |    CAST(max(t1 - mid + 1) AS BIGINT) AS t2_s
+        |  FROM pe CROSS JOIN sp)
+        |SELECT n1, n2, t1_s, t2_s,
+        |  floor(CAST(n1 AS DOUBLE) / t1_s * 3600 * 1e6 + 0.5) / 1e6
+        |    AS rate1_per_h,
+        |  floor(CAST(n2 AS DOUBLE) / t2_s * 3600 * 1e6 + 0.5) / 1e6
+        |    AS rate2_per_h,
+        |  floor((CAST(n1 AS DOUBLE) / t1_s - CAST(n2 AS DOUBLE) / t2_s)
+        |    / sqrt(CAST(n1 AS DOUBLE) / (CAST(t1_s AS DOUBLE) * t1_s)
+        |    + CAST(n2 AS DOUBLE) / (CAST(t2_s AS DOUBLE) * t2_s))
+        |    * 1e4 + 0.5) / 1e4 AS z_stat
+        |FROM ag""".stripMargin,
+    "q_cochran_q" ->
+      """WITH b AS (SELECT l_orderkey,
+        |    CAST(max(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x1,
+        |    CAST(max(CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x2,
+        |    CAST(max(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x3
+        |  FROM lineitem GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(x1) AS BIGINT) AS g1,
+        |    CAST(sum(x2) AS BIGINT) AS g2,
+        |    CAST(sum(x3) AS BIGINT) AS g3,
+        |    CAST(sum(x1 + x2 + x3) AS BIGINT) AS sl,
+        |    CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sl2
+        |  FROM b)
+        |SELECT n_blocks, g1, g2, g3,
+        |  floor(CAST((3 - 1) * (3 * (CAST(g1 AS HUGEINT) * g1
+        |    + CAST(g2 AS HUGEINT) * g2 + CAST(g3 AS HUGEINT) * g3)
+        |    - CAST(g1 + g2 + g3 AS HUGEINT) * (g1 + g2 + g3))
+        |    AS DOUBLE) / (3 * sl - sl2) * 1e4 + 0.5) / 1e4 AS q_stat
+        |FROM a""".stripMargin,
   )
 }

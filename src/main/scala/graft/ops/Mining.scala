@@ -2503,6 +2503,60 @@ object Mining {
     out.reduce(_ unionByName _).orderBy(col("iter"))
   }
 
+  /** Simplified silhouette (distance-to-centroid form) of the
+    * [[qKmeans]] two-iteration assignment: per vector a = 1 − cos(own
+    * centroid), b = 1 − cos(nearest other centroid), s = (b−a)/max —
+    * the clustering-quality readout beside the inertia-style avg_cos.
+    * The vec×centroid score frame is the same broadcast crossJoin as
+    * the assignment (corpus never shuffles for scoring); per-point s
+    * values are fixed to the 1e-6 lattice off the ALREADY-rounded
+    * cosine scores, so the per-cluster means are order-free long
+    * sums. */
+  def qSilhouette(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .cache()
+    val init = emb.orderBy(col("vec_id")).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+      .select(col("cid"), col("vec").as("cvec"))
+    def scores(centroids: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("cid"),
+          round(graft.sim.Ann.cosine(col("vec"), col("cvec")), 6).as("cos"))
+    val a1 = scores(init)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+    val c1 = a1.join(emb, "vec_id")
+      .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+        .getField("c").as("cvec"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid"))
+    val ranked = scores(c1)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val per = ranked.groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), -col("rn")).as("cid"),
+        max(when(col("rn") === 1, col("cos"))).as("cos_own"),
+        max(when(col("rn") === 2, col("cos"))).as("cos_2nd"))
+      .withColumn("s6", expr(
+        "CAST(round(CASE WHEN greatest(1 - cos_own, 1 - cos_2nd) = 0" +
+          " THEN 0.0 ELSE ((1 - cos_2nd) - (1 - cos_own))" +
+          " / greatest(1 - cos_own, 1 - cos_2nd) END * 1e6) AS BIGINT)"))
+    per.groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("s6")).as("s6_sum"))
+      .select(col("cluster"), col("n_members"),
+        (floor(expr("CAST(s6_sum AS DOUBLE) / n_members / 1e6") * 1e6
+          + 0.5) / 1e6).as("avg_silhouette"))
+      .orderBy(col("cluster"))
+  }
+
   /** Personalized PageRank (restart set = suppliers 1–3) over the
     * bipartite customer–supplier co-transaction graph, run ENTIRELY on
     * the integer 1e12 probability lattice: each round is

@@ -3362,6 +3362,50 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Per-source Jensen–Shannon divergence from the corpus unigram
+    * distribution — the SYMMETRIC, bounded drift measure beside
+    * [[textUnigramKl]]. The corpus-side KL needs every corpus token
+    * (q > 0 where p = 0), but those absent-from-source tokens
+    * contribute exactly (n_c − Σ_src cc)·ln2, so the whole statistic
+    * folds over the source-token join alone — no source×vocab grid.
+    * Both ln arguments are exact integer ratios fixed to micro-nats,
+    * so every fold is an order-free long sum; two token rollups + one
+    * token-keyed join, all partial-aggregable. */
+  def textJsDivergence(s: SparkSession, d: String): DataFrame = {
+    val ln2Micro = 693147L // round(ln(2) * 1e6)
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .localCheckpoint(true)
+    val srcCnt = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cs"))
+    val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val corpCnt = toks.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val corpTot = toks.agg(count(lit(1)).as("nc"))
+    srcCnt.join(corpCnt, "w")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpTot))
+      .select(col("source"), col("ns"), col("nc"),
+        (col("cs") * expr("CAST(round(ln((2.0 * cs * nc) / " +
+          "(CAST(cs AS DOUBLE) * nc + CAST(cc AS DOUBLE) * ns)) * 1e6)" +
+          " AS BIGINT)")).as("p_term"),
+        (col("cc") * expr("CAST(round(ln((2.0 * cc * ns) / " +
+          "(CAST(cs AS DOUBLE) * nc + CAST(cc AS DOUBLE) * ns)) * 1e6)" +
+          " AS BIGINT)")).as("q_term"),
+        col("cc"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"), max(col("nc")).as("nc"),
+        sum(col("p_term")).as("p_sum"), sum(col("q_term")).as("q_sum"),
+        sum(col("cc")).as("cc_seen"))
+      .withColumn("q_tail", (col("nc") - col("cc_seen")) * lit(ln2Micro))
+      .select(col("source"), col("n_tokens"),
+        (floor(expr("(CAST(p_sum AS DOUBLE) / n_tokens" +
+          " + CAST(q_sum + q_tail AS DOUBLE) / nc) / 2 / 1e6") * 1e6
+          + 0.5) / 1e6).as("js_divergence"))
+      .orderBy(col("source"))
+  }
+
   /** TIFF roundtrip through the JDK's fourth genuine image codec (the
     * javax.imageio TIFF plugin): deterministic image → real TIFF bytes
     * (IFD/tag directory structure) → decode → dims + Σ red off the

@@ -835,6 +835,66 @@ object Stats {
       .orderBy(col("g_i"), col("g_j"))
   }
 
+  /** Two-sample Poisson rate test: purchase-event intensity in the
+    * first vs second half of the event span (split at the midpoint
+    * second), z = (λ̂₁ − λ̂₂)/√(n₁/t₁² + n₂/t₂²) — the count-data
+    * complement to the mean-based A/B tests. Durations are exact
+    * integer seconds, counts exact longs; the rates and z are one
+    * pinned double expression. ONE pass over events (plus the min/max
+    * scalar), map-side combinable. */
+  def qPoissonRate(s: SparkSession, d: String): DataFrame = {
+    val pe = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(unix_timestamp(col("ts")).as("ts_s"))
+      .localCheckpoint(true)
+    val span = broadcast(pe.agg(min(col("ts_s")).as("t0"),
+      max(col("ts_s")).as("t1"))
+      .withColumn("mid", expr("(t0 + t1) div 2")))
+    pe.crossJoin(span)
+      .agg(sum(when(col("ts_s") < col("mid"), 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("ts_s") >= col("mid"), 1L).otherwise(0L)).as("n2"),
+        max(expr("mid - t0")).as("t1_s"),
+        max(expr("t1 - mid + 1")).as("t2_s"))
+      .select(col("n1"), col("n2"), col("t1_s"), col("t2_s"),
+        rnd(expr("CAST(n1 AS DOUBLE) / t1_s * 3600"), 6)
+          .as("rate1_per_h"),
+        rnd(expr("CAST(n2 AS DOUBLE) / t2_s * 3600"), 6)
+          .as("rate2_per_h"),
+        rnd(expr("(CAST(n1 AS DOUBLE) / t1_s - CAST(n2 AS DOUBLE)" +
+          " / t2_s) / sqrt(CAST(n1 AS DOUBLE) / (CAST(t1_s AS DOUBLE)" +
+          " * t1_s) + CAST(n2 AS DOUBLE) / (CAST(t2_s AS DOUBLE)" +
+          " * t2_s))"), 4).as("z_stat"))
+  }
+
+  /** Cochran's Q test of three related binary treatments over order
+    * blocks (any-line discount ≥ 5 %, any-line tax ≥ 4 %, any-line
+    * quantity ≥ 25): Q = (k−1)(kΣG² − (ΣG)²)/(kΣL − ΣL²) — the
+    * multi-treatment generalization of McNemar. The identity keeps
+    * EVERYTHING integer (ΣG²/ΣL/ΣL² exact longs from one per-order
+    * rollup + one global fold); Q is one double division of identical
+    * integers. */
+  def qCochranQ(s: SparkSession, d: String): DataFrame = {
+    val k = 3
+    val blocks = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(when(col("l_discount") >= 0.05, 1L).otherwise(0L))
+          .as("x1"),
+        max(when(col("l_tax") >= 0.04, 1L).otherwise(0L)).as("x2"),
+        max(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("x3"))
+      .withColumn("l", col("x1") + col("x2") + col("x3"))
+    blocks.agg(count(lit(1)).as("n_blocks"),
+        sum(col("x1")).as("g1"), sum(col("x2")).as("g2"),
+        sum(col("x3")).as("g3"),
+        sum(col("l")).as("sl"), sum(col("l") * col("l")).as("sl2"))
+      .select(col("n_blocks"), col("g1"), col("g2"), col("g3"),
+        rnd(expr(s"CAST(($k - 1) * ($k * (CAST(g1 AS DECIMAL(38,0))" +
+          s" * g1 + CAST(g2 AS DECIMAL(38,0)) * g2" +
+          s" + CAST(g3 AS DECIMAL(38,0)) * g3)" +
+          s" - CAST(g1 + g2 + g3 AS DECIMAL(38,0)) * (g1 + g2 + g3))" +
+          s" AS DOUBLE) / ($k * sl - sl2)"), 4).as("q_stat"))
+  }
+
   /** Wilcoxon signed-rank test of the paired quantity difference
     * between each multi-line order's first and second line. Zero
     * differences drop (classical treatment); |d| ≤ 49 so tie-averaged

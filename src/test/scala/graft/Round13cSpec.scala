@@ -585,6 +585,89 @@ class Round13cSpec extends SparkSuite {
     }
   }
 
+  test("silhouette clusters partition the corpus and s stays in [-1,1]") {
+    val out = graft.ops.Mining.qSilhouette(spark, sf).collect()
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == nVecs)
+    for (r <- out) {
+      val s = r.getDouble(r.fieldIndex("avg_silhouette"))
+      assert(s >= -1.0 && s <= 1.0, s"cluster ${r.getLong(0)}: $s")
+    }
+    // independent replay off the kmeans assignment: own-centroid cos
+    // must be >= 2nd-best by construction => every mean s >= 0... not
+    // guaranteed per cluster, but the GLOBAL mean must be >= 0
+    val glob = out.map(r => r.getDouble(2) * r.getLong(1)).sum / nVecs
+    assert(glob >= 0.0, s"global silhouette $glob")
+  }
+
+  test("js divergence matches the naive distribution replay") {
+    val out = graft.ops.PipelineQueries.textJsDivergence(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val all = docs.flatMap(t =>
+      t._2.trim.split("\\s+").filter(_.nonEmpty).map(w => (t._1, w)))
+    val corp = all.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nc = all.length.toLong
+    for (src <- docs.map(_._1).distinct.take(5)) {
+      val sw = all.filter(_._1 == src).map(_._2)
+      val ns = sw.length.toLong
+      val cnt = sw.groupBy(identity).view.mapValues(_.length.toLong)
+        .toMap
+      var js = 0.0
+      for ((w, cc) <- corp) {
+        val cs = cnt.getOrElse(w, 0L)
+        val p = cs.toDouble / ns
+        val q = cc.toDouble / nc
+        val m = (p + q) / 2
+        if (cs > 0) js += p * math.log(p / m) / 2
+        js += q * math.log(q / m) / 2
+      }
+      val got = out(src).getDouble(out(src).fieldIndex("js_divergence"))
+      assert(math.abs(got - js) < 1e-4, s"$src: $got vs $js")
+    }
+  }
+
+  test("poisson rate test matches the naive split replay") {
+    val r = graft.ops.Stats.qPoissonRate(spark, sf).head()
+    val ts = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(unix_timestamp(col("ts"))).collect().map(_.getLong(0))
+    val (t0, t1) = (ts.min, ts.max)
+    val mid = Math.floorDiv(t0 + t1, 2L)
+    val n1 = ts.count(_ < mid).toLong
+    val n2 = ts.count(_ >= mid).toLong
+    val (d1, d2) = ((mid - t0).toDouble, (t1 - mid + 1).toDouble)
+    val z = (n1 / d1 - n2 / d2) /
+      math.sqrt(n1 / (d1 * d1) + n2 / (d2 * d2))
+    assert(r.getLong(r.fieldIndex("n1")) == n1)
+    assert(r.getLong(r.fieldIndex("n2")) == n2)
+    assert(math.abs(r.getDouble(r.fieldIndex("z_stat")) - z) < 1e-3)
+  }
+
+  test("cochran q matches the naive block replay") {
+    val r = graft.ops.Stats.qCochranQ(spark, sf).head()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_discount"), col("l_tax"),
+        col("l_quantity"))
+      .collect()
+      .map(x => (x.getLong(0), x.getDouble(1) >= 0.05,
+        x.getDouble(2) >= 0.04, x.getDouble(3) >= 25))
+    val blocks = li.groupBy(_._1).values.map { g =>
+      (if (g.exists(_._2)) 1L else 0L, if (g.exists(_._3)) 1L else 0L,
+        if (g.exists(_._4)) 1L else 0L)
+    }.toSeq
+    val (g1, g2, g3) = (blocks.map(_._1).sum, blocks.map(_._2).sum,
+      blocks.map(_._3).sum)
+    val ls = blocks.map(b => b._1 + b._2 + b._3)
+    val q = 2.0 * (3 * (g1 * g1 + g2 * g2 + g3 * g3) -
+      math.pow(g1 + g2 + g3, 2)) / (3 * ls.sum - ls.map(l => l * l).sum)
+    assert(r.getLong(r.fieldIndex("g1")) == g1)
+    assert(math.abs(r.getDouble(r.fieldIndex("q_stat")) - q) < 1e-3,
+      s"${r.getDouble(r.fieldIndex("q_stat"))} vs $q")
+  }
+
   test("sax word matches the naive PAA-quartile replay") {
     val out = graft.ops.Series.qSaxPaa(spark, sf).collect()
     val series = dailyE4(flagged = true)
