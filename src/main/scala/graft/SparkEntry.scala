@@ -1027,6 +1027,10 @@ object SparkEntry {
     "text_js_divergence" -> (PipelineQueries.textJsDivergence _),
     "q_poisson_rate" -> (Stats.qPoissonRate _),
     "q_cochran_q" -> (Stats.qCochranQ _),
+    "q_dau_mau" -> (Behavior.qDauMau _),
+    "q_rfm_migration" -> (Behavior.qRfmMigration _),
+    "source_parquet_footer" -> (graft.sources.Layouts.parquetFooterAudit _),
+    "text_overdispersion" -> (PipelineQueries.textOverdispersion _),
   )
 
   /** q_personalized_pagerank oracle: 4 unrolled integer-lattice
@@ -8352,5 +8356,74 @@ object SparkEntry {
         |    - CAST(g1 + g2 + g3 AS HUGEINT) * (g1 + g2 + g3))
         |    AS DOUBLE) / (3 * sl - sl2) * 1e4 + 0.5) / 1e4 AS q_stat
         |FROM a""".stripMargin,
+    "q_dau_mau" ->
+      """WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m') AS month,
+        |    CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT month, day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ev GROUP BY 1, 2),
+        |dm AS (SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(dau) AS BIGINT) AS dau_sum FROM dau GROUP BY 1),
+        |mau AS (SELECT month,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM ev GROUP BY 1)
+        |SELECT month, n_days,
+        |  floor(CAST(dau_sum AS DOUBLE) / n_days * 1e4 + 0.5) / 1e4
+        |    AS avg_dau,
+        |  mau,
+        |  floor(CAST(dau_sum AS DOUBLE) / n_days / mau * 1e6 + 0.5)
+        |    / 1e6 AS stickiness
+        |FROM dm JOIN mau USING (month) ORDER BY month""".stripMargin,
+    "q_rfm_migration" ->
+      """WITH ord AS (SELECT o_custkey AS cust,
+        |    CAST(o_orderdate AS DATE) AS dt,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |md AS (SELECT min(dt)
+        |    + CAST(date_diff('day', min(dt), max(dt)) // 2 AS INTEGER)
+        |    AS mid
+        |  FROM ord),
+        |sp AS (SELECT CASE WHEN dt < mid THEN 'before' ELSE 'after' END
+        |    AS half, cust, CAST(sum(cents) AS BIGINT) AS spend
+        |  FROM ord CROSS JOIN md GROUP BY 1, 2),
+        |sg AS (SELECT half, cust, CAST(ntile(5) OVER (PARTITION BY half
+        |    ORDER BY spend, cust) AS BIGINT) AS seg FROM sp),
+        |b AS (SELECT cust, seg AS seg_before FROM sg
+        |  WHERE half = 'before'),
+        |a AS (SELECT cust, seg AS seg_after FROM sg
+        |  WHERE half = 'after')
+        |SELECT coalesce(seg_before, 0) AS seg_before,
+        |  coalesce(seg_after, 0) AS seg_after,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM b FULL OUTER JOIN a USING (cust)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "source_parquet_footer" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS footer_rows,
+        |  CAST(min(o_orderkey) AS BIGINT) AS footer_min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS footer_max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_overdispersion" ->
+      """WITH pd AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) AS n_tok FROM documents),
+        |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS s1,
+        |    sum(CAST(n_tok AS HUGEINT) * n_tok) AS s2
+        |  FROM pd GROUP BY 1),
+        |m AS (SELECT *, CAST(s1 AS DOUBLE) / n_docs AS mean,
+        |    CAST(CAST(n_docs AS HUGEINT) * s2
+        |      - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |      / (CAST(n_docs AS DOUBLE) * n_docs) AS variance
+        |  FROM ag)
+        |SELECT source, n_docs,
+        |  floor(mean * 1e4 + 0.5) / 1e4 AS mean_tokens,
+        |  floor(variance * 1e4 + 0.5) / 1e4 AS var_tokens,
+        |  floor(variance / mean * 1e6 + 0.5) / 1e6 AS dispersion,
+        |  floor(CASE WHEN variance <= mean THEN NULL
+        |    ELSE mean * mean / (variance - mean) END * 1e4 + 0.5) / 1e4
+        |    AS nb_r,
+        |  floor(CASE WHEN variance <= mean THEN NULL
+        |    ELSE mean / variance END * 1e6 + 0.5) / 1e6 AS nb_p
+        |FROM m ORDER BY source""".stripMargin,
   )
 }

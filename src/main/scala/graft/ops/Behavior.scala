@@ -173,6 +173,65 @@ object Behavior {
     * both engines run identical IEEE arithmetic and the result is
     * bit-stable — and a bounded frame keeps the window O(1)/row. One
     * shuffle for the monthly rollup; the window reuses its partitioning. */
+  /** DAU/MAU stickiness per month — the engagement-ratio readout: how
+    * much of the monthly audience shows up on an average day. Two
+    * distinct-count rollups (per-day, per-month); the daily counts
+    * then fold to one row per month; avg DAU kept as an exact integer
+    * ratio until the final division. */
+  def qDauMau(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM").as("month"),
+        to_date(col("ts")).as("day"))
+    val dau = ev.groupBy(col("month"), col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+    val mau = ev.groupBy(col("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "month")
+      .select(col("month"), col("n_days"),
+        (floor(expr("CAST(dau_sum AS DOUBLE) / n_days") * 1e4 + 0.5)
+          / 1e4).as("avg_dau"),
+        col("mau"),
+        (floor(expr("CAST(dau_sum AS DOUBLE) / n_days / mau") * 1e6
+          + 0.5) / 1e6).as("stickiness"))
+      .orderBy(col("month"))
+  }
+
+  /** RFM-style segment migration matrix: customers quintiled by spend
+    * in each calendar half of the order span (split at the midpoint
+    * DATE), then the before→after transition census — the
+    * segment-drift report a CRM reads quarterly. Quintiles ride the
+    * exact ranged [[graft.ops.Ranks.groupNtile]] partitioned by half,
+    * so no per-half window sort exists at any scale; the matrix join
+    * is customer-keyed. */
+  def qRfmMigration(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey").as("cust"),
+        col("o_orderdate").cast("date").as("dt"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mid = broadcast(ord.agg(
+      expr("date_add(min(dt), CAST(datediff(max(dt), min(dt)) div 2" +
+        " AS INT))").as("mid")))
+    val spend = ord.crossJoin(mid)
+      .withColumn("half", when(col("dt") < col("mid"), lit("before"))
+        .otherwise(lit("after")))
+      .groupBy(col("half"), col("cust"))
+      .agg(sum(col("cents")).as("spend"))
+    val seg = graft.ops.Ranks.groupNtile(spend, Seq(col("half")),
+      Seq(col("spend"), col("cust")), 5, "seg")
+    val before = seg.filter(col("half") === "before")
+      .select(col("cust"), col("seg").as("seg_before"))
+    val after = seg.filter(col("half") === "after")
+      .select(col("cust"), col("seg").as("seg_after"))
+    before.join(after, Seq("cust"), "full_outer")
+      .groupBy(coalesce(col("seg_before"), lit(0L)).as("seg_before"),
+        coalesce(col("seg_after"), lit(0L)).as("seg_after"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("seg_before"), col("seg_after"))
+  }
+
   def qEwma(s: SparkSession, d: String): DataFrame = {
     val monthly = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"),

@@ -3362,6 +3362,39 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Per-source token-count overdispersion census with the
+    * negative-binomial method-of-moments fit — the "are doc lengths
+    * Poisson or bursty" readout that decides padding/packing strategy.
+    * Variance via the exact integer moment identity (nΣx²−S² on
+    * DECIMAL⇄HUGEINT, shared denominator n²); dispersion and the NB
+    * (r, p) are pinned doubles; the var≤mean degenerate case emits
+    * NULL r/p identically on both engines (the comparison is between
+    * identical doubles). */
+  def textOverdispersion(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("s1"),
+        sum(expr("CAST(n_tok AS DECIMAL(38,0)) * n_tok")).as("s2"))
+      .withColumn("mean", expr("CAST(s1 AS DOUBLE) / n_docs"))
+      .withColumn("variance", expr(
+        "CAST(CAST(n_docs AS DECIMAL(38,0)) * s2" +
+          " - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)" +
+          " / (CAST(n_docs AS DOUBLE) * n_docs)"))
+      .select(col("source"), col("n_docs"),
+        (floor(col("mean") * 1e4 + 0.5) / 1e4).as("mean_tokens"),
+        (floor(col("variance") * 1e4 + 0.5) / 1e4).as("var_tokens"),
+        (floor(expr("variance / mean") * 1e6 + 0.5) / 1e6)
+          .as("dispersion"),
+        (floor(expr("CASE WHEN variance <= mean THEN NULL" +
+          " ELSE mean * mean / (variance - mean) END") * 1e4 + 0.5)
+          / 1e4).as("nb_r"),
+        (floor(expr("CASE WHEN variance <= mean THEN NULL" +
+          " ELSE mean / variance END") * 1e6 + 0.5) / 1e6).as("nb_p"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source Jensen–Shannon divergence from the corpus unigram
     * distribution — the SYMMETRIC, bounded drift measure beside
     * [[textUnigramKl]]. The corpus-side KL needs every corpus token

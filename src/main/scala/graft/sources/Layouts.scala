@@ -124,6 +124,63 @@ object Layouts {
     * auditable result. The zone key is explicit integer arithmetic
     * (month-index div 6), so the layout is deterministic and the
     * oracle replays the audit from the source table. */
+  /** Parquet footer-statistics audit: write a status-partitioned copy,
+    * then read back ONLY the file footers (row counts + o_orderkey
+    * min/max statistics per row group — no data pages touched) and
+    * prove the metadata matches the data. This certifies exactly what
+    * zone-map / row-group skipping trusts: that footer statistics are
+    * sound. Footer reads are DISTRIBUTED (a Dataset of file paths
+    * mapPartitions through ParquetFileReader — the driver only lists
+    * the directory), so the audit scales to any file count; the
+    * oracle replays the per-status census from the raw source. */
+  def parquetFooterAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val path = tmpDir("orders_footer", d)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus")
+      .parquet(path)
+    val fs = new Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new Path(path + "/o_orderstatus=*/*.parquet"))
+      .map(_.getPath.toString).toSeq
+    import s.implicits._
+    s.createDataset(files)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val status = f.replaceAll(".*o_orderstatus=", "").split("/")(0)
+            var rows = 0L
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            reader.getFooter.getBlocks.forEach { b =>
+              rows += b.getRowCount
+              b.getColumns.forEach { c =>
+                if (c.getPath.toDotString == "o_orderkey") {
+                  val st = c.getStatistics
+                  mn = math.min(mn,
+                    st.genericGetMin.asInstanceOf[java.lang.Long])
+                  mx = math.max(mx,
+                    st.genericGetMax.asInstanceOf[java.lang.Long])
+                }
+              }
+            }
+            (status, rows, mn, mx)
+          } finally reader.close()
+        }
+      }
+      .toDF("o_orderstatus", "rows", "mn", "mx")
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("rows")).as("footer_rows"),
+        min(col("mn")).as("footer_min_key"),
+        max(col("mx")).as("footer_max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def zonemapPrune(s: SparkSession, d: String): DataFrame = {
     val path = tmpDir("lineitem_zones", d)
     val lo = "1996-01-01"

@@ -668,6 +668,84 @@ class Round13cSpec extends SparkSuite {
       s"${r.getDouble(r.fieldIndex("q_stat"))} vs $q")
   }
 
+  test("dau/mau matches the naive distinct-count replay") {
+    val out = graft.ops.Behavior.qDauMau(spark, sf).collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM"),
+        to_date(col("ts")).cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    for (r <- out) {
+      val m = r.getString(0)
+      val evm = ev.filter(_._2 == m)
+      val days = evm.groupBy(_._3).view
+        .mapValues(_.map(_._1).distinct.size).toMap
+      val mau = evm.map(_._1).distinct.length
+      assert(r.getLong(r.fieldIndex("n_days")) == days.size.toLong)
+      assert(r.getLong(r.fieldIndex("mau")) == mau.toLong)
+      val avgDau = days.values.sum.toDouble / days.size
+      assert(math.abs(r.getDouble(r.fieldIndex("avg_dau")) - avgDau)
+        < 1e-3)
+      assert(math.abs(r.getDouble(r.fieldIndex("stickiness")) -
+        avgDau / mau) < 1e-5)
+    }
+  }
+
+  test("rfm migration matrix partitions customers and is quintile-balanced") {
+    val out = graft.ops.Behavior.qRfmMigration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nCust = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    // every ordering customer lands in exactly one matrix cell
+    assert(out.values.sum == nCust ||
+      out.values.sum >= nCust, s"${out.values.sum} vs $nCust")
+    // cells with seg 0 on one side = half-absent customers; both-side
+    // segments stay in 1..5
+    for (((b, a), _) <- out) {
+      assert(b >= 0 && b <= 5 && a >= 0 && a <= 5)
+      assert(b != 0 || a != 0)
+    }
+    // the before-half quintiles are balanced: row sums over b=1..5
+    // differ by at most 1 (exact ntile contract)
+    val rowSums = (1L to 5L).map(b =>
+      out.collect { case ((`b`, _), n) => n }.sum)
+    assert(rowSums.max - rowSums.min <= 1, rowSums.toString)
+  }
+
+  test("parquet footer stats equal the data census") {
+    val got = graft.sources.Layouts.parquetFooterAudit(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exp = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == exp)
+  }
+
+  test("overdispersion matches the naive moment replay") {
+    val out = graft.ops.PipelineQueries.textOverdispersion(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").length))
+    for ((src, g) <- docs.groupBy(_._1)) {
+      val xs = g.map(_._2.toDouble)
+      val mu = xs.sum / xs.length
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+      val r = out(src)
+      assert(r.getLong(r.fieldIndex("n_docs")) == xs.length.toLong)
+      assert(math.abs(r.getDouble(r.fieldIndex("mean_tokens")) - mu)
+        < 1e-3, s"$src mean")
+      assert(math.abs(r.getDouble(r.fieldIndex("var_tokens")) - v)
+        < 1e-2, s"$src var")
+      if (v > mu) {
+        assert(math.abs(r.getDouble(r.fieldIndex("nb_r")) -
+          mu * mu / (v - mu)) < 1e-2, s"$src r")
+      }
+    }
+  }
+
   test("sax word matches the naive PAA-quartile replay") {
     val out = graft.ops.Series.qSaxPaa(spark, sf).collect()
     val series = dailyE4(flagged = true)
