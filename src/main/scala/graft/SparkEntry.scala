@@ -1031,6 +1031,10 @@ object SparkEntry {
     "q_rfm_migration" -> (Behavior.qRfmMigration _),
     "source_parquet_footer" -> (graft.sources.Layouts.parquetFooterAudit _),
     "text_overdispersion" -> (PipelineQueries.textOverdispersion _),
+    "stream_dau_mau" -> (graft.streaming.Events.streamDauMau _),
+    "q_itemset3" -> (Mining.qItemset3 _),
+    "q_lorenz_deciles" -> (Mining.qLorenzDeciles _),
+    "embed_cluster_nmi" -> (Mining.qClusterNmi _),
   )
 
   /** q_personalized_pagerank oracle: 4 unrolled integer-lattice
@@ -1172,6 +1176,7 @@ object SparkEntry {
     * verbatim. */
   def oracleSql: Map[String, String] =
     oracleSqlBase +
+      ("stream_dau_mau" -> oracleSqlBase("q_dau_mau")) +
       ("stream_event_pattern" -> oracleSqlBase("q_event_pattern")) +
       ("stream_dedup_minhash" -> oracleSqlBase("dedup_incremental")) +
       ("stream_scd2_build" -> oracleSqlBase("q_scd2_build")) +
@@ -8425,5 +8430,84 @@ object SparkEntry {
         |  floor(CASE WHEN variance <= mean THEN NULL
         |    ELSE mean / variance END * 1e6 + 0.5) / 1e6 AS nb_p
         |FROM m ORDER BY source""".stripMargin,
+    "q_itemset3" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS o,
+        |    l_partkey % 25 AS p FROM lineitem),
+        |mp AS (SELECT greatest(count(DISTINCT o) // 500, 2)
+        |    AS min_pair FROM it),
+        |pi AS (SELECT x.o, x.p AS a, y.p AS b FROM it x
+        |  JOIN it y ON x.o = y.o AND x.p < y.p),
+        |fp AS (SELECT a, b FROM (SELECT a, b, count(*) AS sup
+        |    FROM pi GROUP BY 1, 2) CROSS JOIN mp
+        |  WHERE sup >= min_pair),
+        |ti AS (SELECT w.o, w.a, w.b, z.p AS c
+        |  FROM (SELECT pi.* FROM pi JOIN fp USING (a, b)) w
+        |  JOIN it z ON w.o = z.o AND z.p > w.b
+        |  WHERE EXISTS (SELECT 1 FROM fp
+        |      WHERE fp.a = w.a AND fp.b = z.p)
+        |    AND EXISTS (SELECT 1 FROM fp
+        |      WHERE fp.a = w.b AND fp.b = z.p))
+        |SELECT a, b, c, CAST(count(*) AS BIGINT) AS support
+        |FROM ti GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY support DESC, 1, 2, 3 LIMIT 50""".stripMargin,
+    "q_lorenz_deciles" ->
+      """WITH spd AS (SELECT o_custkey AS cust,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents FROM orders GROUP BY 1),
+        |dc AS (SELECT *, CAST(ntile(10) OVER (ORDER BY cents, cust)
+        |    AS BIGINT) AS decile FROM spd),
+        |ag AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS spnd FROM dc GROUP BY 1),
+        |t AS (SELECT CAST(sum(spnd) AS BIGINT) AS total FROM ag)
+        |SELECT decile, n_customers,
+        |  floor(CAST(spnd AS DOUBLE) / total * 1e6 + 0.5) / 1e6
+        |    AS spend_share,
+        |  floor(CAST(CAST(sum(spnd) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS DOUBLE) / total * 1e6 + 0.5) / 1e6
+        |    AS cum_share
+        |FROM ag CROSS JOIN t ORDER BY decile""".stripMargin,
+    "embed_cluster_nmi" ->
+      (kmeansOracleCtes +
+      """a2 AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid) AS rn FROM s2)
+        |  WHERE rn = 1),
+        |ct AS (SELECT a2.cid, CAST(e.label AS BIGINT) AS label,
+        |    CAST(count(*) AS BIGINT) AS n_cl
+        |  FROM a2 JOIN embeddings e ON a2.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |bc AS (SELECT cid, CAST(sum(n_cl) AS BIGINT) AS n_c FROM ct
+        |  GROUP BY 1),
+        |bl AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l FROM ct
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n_tot FROM ct),
+        |mi AS (SELECT CAST(sum(n_cl * CAST(round(ln(
+        |      CAST(n_cl AS DOUBLE) * n_tot
+        |      / (CAST(n_c AS DOUBLE) * n_l)) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS mi6
+        |  FROM ct JOIN bc USING (cid) JOIN bl USING (label)
+        |  CROSS JOIN tt),
+        |hc AS (SELECT CAST(sum(n_c * CAST(round(ln(
+        |      CAST(n_c AS DOUBLE) / n_tot) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS hc6,
+        |    CAST(count(*) AS BIGINT) AS n_clusters
+        |  FROM bc CROSS JOIN tt),
+        |hl AS (SELECT CAST(sum(n_l * CAST(round(ln(
+        |      CAST(n_l AS DOUBLE) / n_tot) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS hl6,
+        |    CAST(count(*) AS BIGINT) AS n_labels
+        |  FROM bl CROSS JOIN tt)
+        |SELECT n_tot AS n_vecs, n_clusters, n_labels,
+        |  floor(CAST(mi6 AS DOUBLE) / n_tot / 1e6 * 1e6 + 0.5) / 1e6
+        |    AS mutual_info,
+        |  floor(-CAST(hc6 AS DOUBLE) / n_tot / 1e6 * 1e6 + 0.5) / 1e6
+        |    AS h_clusters,
+        |  floor(-CAST(hl6 AS DOUBLE) / n_tot / 1e6 * 1e6 + 0.5) / 1e6
+        |    AS h_labels,
+        |  floor((CAST(mi6 AS DOUBLE) / n_tot)
+        |    / sqrt((-CAST(hc6 AS DOUBLE) / n_tot)
+        |    * (-CAST(hl6 AS DOUBLE) / n_tot)) * 1e6 + 0.5) / 1e6 AS nmi
+        |FROM mi CROSS JOIN hc CROSS JOIN hl CROSS JOIN tt""".stripMargin),
   )
 }

@@ -2557,6 +2557,150 @@ object Mining {
       .orderBy(col("cluster"))
   }
 
+  /** Apriori level-3: frequent part-family TRIPLES (families =
+    * partkey mod 25) among order baskets — the level above
+    * q_market_basket's pairs, with the full level-wise prune: a
+    * candidate (a,b,c) survives only if ALL THREE pair subsets are
+    * frequent, and only candidates are ever counted. Pair instances
+    * come from the order-keyed self-join (baskets are ~4 families
+    * wide, so instances stay linear); the candidate semi-joins keep
+    * the triple enumeration bounded by the frequent-pair relation —
+    * the Apriori property doing its job at scale. Top-50 by
+    * (support, triple) total order. */
+  def qItemset3(s: SparkSession, d: String): DataFrame = {
+    val minTriple = 2L
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"),
+        (col("l_partkey") % 25).as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    // data-scaled pair support floor: n_baskets div 500 (min 2), so
+    // the prune stays proportionally selective at any corpus size
+    val minPair = broadcast(items.select(col("o")).distinct()
+      .agg(greatest(expr("count(1) div 500"), lit(2L)).as("min_pair")))
+    val pairInst = items.as("x")
+      .join(items.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.o").as("o"), col("x.p").as("a"), col("y.p").as("b"))
+    val freqPairs = pairInst.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("sup"))
+      .crossJoin(minPair)
+      .filter(col("sup") >= col("min_pair"))
+      .select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val tripleInst = pairInst
+      .join(freqPairs, Seq("a", "b"), "left_semi")
+      .as("w")
+      .join(items.as("z"),
+        col("w.o") === col("z.o") && col("z.p") > col("w.b"))
+      .select(col("w.o").as("o"), col("w.a").as("a"),
+        col("w.b").as("b"), col("z.p").as("c"))
+      .join(freqPairs.select(col("a"), col("b").as("c")),
+        Seq("a", "c"), "left_semi")
+      .join(freqPairs.select(col("a").as("b"), col("b").as("c")),
+        Seq("b", "c"), "left_semi")
+    tripleInst.groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minTriple)
+      .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+      .limit(50)
+  }
+
+  /** Lorenz concentration curve of customer spend by decile: each
+    * decile's customer count, spend share and cumulative share — the
+    * curve behind [[qGini]]'s scalar. Deciles ride the exact ranged
+    * [[Ranks.globalNtile]] over (spend, customer); shares are exact
+    * cent ratios; the 10-row cumulative is a bounded window. */
+  def qLorenzDeciles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val decile = Ranks.globalNtile(spend,
+      Seq(col("cents"), col("cust")), 10, "decile")
+    val tot = decile.agg(sum(col("cents")).as("total"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    decile.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("sp"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_sp", sum(col("sp")).over(wCum))
+      .select(col("decile"), col("n_customers"),
+        (floor(expr("CAST(sp AS DOUBLE) / total") * 1e6 + 0.5) / 1e6)
+          .as("spend_share"),
+        (floor(expr("CAST(cum_sp AS DOUBLE) / total") * 1e6 + 0.5)
+          / 1e6).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  /** Normalized mutual information between the [[qKmeans]] cluster
+    * assignment and the embeddings' ground-truth labels — the
+    * external clustering-validity metric beside [[qSilhouette]]'s
+    * internal one. Every entropy/MI term is a count times the
+    * micro-nat log of an exact integer ratio, so all three folds are
+    * order-free long sums; NMI is one pinned double over them. The
+    * contingency table is one grouped count off the assignment. */
+  def qClusterNmi(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"),
+        col("label").cast("long").as("label"))
+      .cache()
+    val init = emb.orderBy(col("vec_id")).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+      .select(col("cid"), col("vec").as("cvec"))
+    def assign(centroids: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("cid"),
+          round(graft.sim.Ann.cosine(col("vec"), col("cvec")), 6).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+    val c1 = assign(init).join(emb, "vec_id")
+      .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+        .getField("c").as("cvec"))
+    val a2 = assign(c1).join(emb.select(col("vec_id"), col("label")),
+      "vec_id")
+    val cont = a2.groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("n_cl"))
+      .localCheckpoint(true)
+    val byC = cont.groupBy(col("cid")).agg(sum(col("n_cl")).as("n_c"))
+    val byL = cont.groupBy(col("label")).agg(sum(col("n_cl")).as("n_l"))
+    val tot = broadcast(cont.agg(sum(col("n_cl")).as("n_tot"),
+      count(lit(1)).as("n_cells")))
+    val mi = cont.join(broadcast(byC), "cid").join(broadcast(byL), "label")
+      .crossJoin(tot)
+      .agg(sum(col("n_cl") * expr("CAST(round(ln(CAST(n_cl AS DOUBLE)" +
+        " * n_tot / (CAST(n_c AS DOUBLE) * n_l)) * 1e6) AS BIGINT)"))
+        .as("mi6"))
+    val hc = byC.crossJoin(tot)
+      .agg(sum(col("n_c") * expr("CAST(round(ln(CAST(n_c AS DOUBLE)" +
+        " / n_tot) * 1e6) AS BIGINT)")).as("hc6"),
+        count(lit(1)).as("n_clusters"))
+    val hl = byL.crossJoin(tot)
+      .agg(sum(col("n_l") * expr("CAST(round(ln(CAST(n_l AS DOUBLE)" +
+        " / n_tot) * 1e6) AS BIGINT)")).as("hl6"),
+        count(lit(1)).as("n_labels"))
+    mi.crossJoin(broadcast(hc)).crossJoin(broadcast(hl)).crossJoin(tot)
+      .select(col("n_tot").as("n_vecs"), col("n_clusters"),
+        col("n_labels"),
+        (floor(expr("CAST(mi6 AS DOUBLE) / n_tot / 1e6") * 1e6 + 0.5)
+          / 1e6).as("mutual_info"),
+        (floor(expr("-CAST(hc6 AS DOUBLE) / n_tot / 1e6") * 1e6 + 0.5)
+          / 1e6).as("h_clusters"),
+        (floor(expr("-CAST(hl6 AS DOUBLE) / n_tot / 1e6") * 1e6 + 0.5)
+          / 1e6).as("h_labels"),
+        (floor(expr("(CAST(mi6 AS DOUBLE) / n_tot)" +
+          " / sqrt((-CAST(hc6 AS DOUBLE) / n_tot)" +
+          " * (-CAST(hl6 AS DOUBLE) / n_tot))") * 1e6 + 0.5) / 1e6)
+          .as("nmi"))
+  }
+
   /** Personalized PageRank (restart set = suppliers 1–3) over the
     * bipartite customer–supplier co-transaction graph, run ENTIRELY on
     * the integer 1e12 probability lattice: each round is

@@ -2055,4 +2055,48 @@ object Events {
     quotas.unpersist(blocking = false)
     out
   }
+
+  /** STREAMING DAU/MAU stickiness: the q_dau_mau engagement ratio
+    * maintained live on the ingest stream. Two stateful queries over
+    * the same source: distinct (user, day) → daily counts (state one
+    * row per user-day — the bound any streaming daily-active distinct
+    * pays) and distinct (user, month) → MAU. Both dedup states are
+    * ORDER-INSENSITIVE (existence only), so the converged tables
+    * equal the batch censuses regardless of micro-batch chopping —
+    * shares q_dau_mau's oracle verbatim. */
+  def streamDauMau(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamShuffle(spark) {
+      val dName = s"graft_stream_daumau_d_${n.incrementAndGet()}"
+      val mName = s"graft_stream_daumau_m_${n.incrementAndGet()}"
+      val dau = eventStream(spark, sfDir)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM").as("month"),
+          to_date(col("ts")).as("day"))
+        .dropDuplicates("user_id", "day")
+        .groupBy(col("month"), col("day")).agg(count(lit(1)).as("dau"))
+      val q1 = dau.writeStream.outputMode("complete").format("memory")
+        .queryName(dName).trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      StreamMeter.record(q1)
+      val mau = eventStream(spark, sfDir)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM").as("month"))
+        .dropDuplicates("user_id", "month")
+        .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+      val q2 = mau.writeStream.outputMode("complete").format("memory")
+        .queryName(mName).trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      StreamMeter.record(q2)
+      val dm = spark.table(dName)
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+      dm.join(spark.table(mName), "month")
+        .select(col("month"), col("n_days"),
+          (floor(expr("CAST(dau_sum AS DOUBLE) / n_days") * 1e4 + 0.5)
+            / 1e4).as("avg_dau"),
+          col("mau"),
+          (floor(expr("CAST(dau_sum AS DOUBLE) / n_days / mau") * 1e6
+            + 0.5) / 1e6).as("stickiness"))
+        .orderBy(col("month"))
+    }
 }

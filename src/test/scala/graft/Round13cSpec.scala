@@ -746,6 +746,110 @@ class Round13cSpec extends SparkSuite {
     }
   }
 
+  test("stream dau/mau equals the batch census") {
+    val stream = graft.streaming.Events.streamDauMau(spark, sf).collect()
+    val batch = graft.ops.Behavior.qDauMau(spark, sf).collect()
+    assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
+  test("itemset3 matches the naive Apriori replay") {
+    val got = graft.ops.Mining.qItemset3(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val it = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey") % 25)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = it.groupBy(_._1).values.map(_.map(_._2).sorted).toSeq
+    val minPair = math.max(baskets.size / 500, 2)
+    val pairs = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    for (b <- baskets; i <- b.indices; j <- (i + 1) until b.length)
+      pairs((b(i), b(j))) = pairs.getOrElse((b(i), b(j)), 0) + 1
+    val fp = pairs.filter(_._2 >= minPair).keySet
+    val tris = scala.collection.mutable.Map.empty[(Long, Long, Long), Int]
+    for (b <- baskets; i <- b.indices; j <- (i + 1) until b.length;
+         k <- (j + 1) until b.length
+         if fp((b(i), b(j))) && fp((b(i), b(k))) && fp((b(j), b(k))))
+      tris((b(i), b(j), b(k))) =
+        tris.getOrElse((b(i), b(j), b(k)), 0) + 1
+    val exp = tris.toSeq.filter(_._2 >= 2)
+      .map { case ((a, b2, c), n) => (a, b2, c, n.toLong) }
+      .sortBy(t => (-t._4, t._1, t._2, t._3)).take(50)
+    assert(got.toSeq == exp, s"${got.take(3).toSeq} vs ${exp.take(3)}")
+  }
+
+  test("lorenz deciles match the naive sorted replay") {
+    val out = graft.ops.Mining.qLorenzDeciles(spark, sf).collect()
+    val spend = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = spend.sortBy(t => (t._2, t._1))
+    val n = sorted.length
+    val total = sorted.map(_._2).sum.toDouble
+    // exact ntile: first n%10 deciles take ceil(n/10)
+    val sizes = (0 until 10).map(i =>
+      if (i < n % 10) n / 10 + 1 else n / 10)
+    var idx = 0
+    var cum = 0L
+    for ((r, i) <- out.zipWithIndex) {
+      val seg = sorted.slice(idx, idx + sizes(i))
+      idx += sizes(i)
+      cum += seg.map(_._2).sum
+      assert(r.getLong(r.fieldIndex("n_customers")) == seg.length.toLong)
+      assert(math.abs(r.getDouble(r.fieldIndex("cum_share")) -
+        cum / total) < 1e-5, s"decile ${i + 1}")
+    }
+    assert(math.abs(out.last.getDouble(out.last.fieldIndex("cum_share"))
+      - 1.0) < 1e-5)
+  }
+
+  test("cluster nmi matches the naive kmeans+entropy replay") {
+    val r = graft.ops.Mining.qClusterNmi(spark, sf).head()
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label").cast("long"))
+      .collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1).toArray, x.getLong(2)))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i) }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+    }
+    def assign(cents: Seq[Array[Double]]): Map[Long, Int] =
+      embs.map { case (id, v, _) =>
+        id -> cents.zipWithIndex
+          .map { case (c, i) => (-cos(v, c), i) }.min._2
+      }.toMap
+    val init = embs.take(8).map(_._2).toSeq
+    val a1 = assign(init)
+    val c1 = (0 until 8).map { c =>
+      val vs = embs.filter(e => a1(e._1) == c).map(_._2)
+      val out = new Array[Double](init.head.length)
+      for (v <- vs; i <- v.indices) out(i) += v(i)
+      out.map(_ / math.max(vs.length, 1))
+    }
+    val a2 = assign(c1)
+    val cont = embs.map(e => (a2(e._1), e._3)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val nTot = embs.length.toLong
+    def mnat(x: Double) = math.round(math.log(x) * 1e6)
+    val nC = cont.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nL = cont.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val mi = cont.map { case ((c, l), n) =>
+      n * mnat(n.toDouble * nTot / (nC(c).toDouble * nL(l)))
+    }.sum.toDouble / nTot / 1e6
+    val hC = -nC.values.map(n =>
+      n * mnat(n.toDouble / nTot)).sum.toDouble / nTot / 1e6
+    val hL = -nL.values.map(n =>
+      n * mnat(n.toDouble / nTot)).sum.toDouble / nTot / 1e6
+    assert(r.getLong(r.fieldIndex("n_vecs")) == nTot)
+    assert(math.abs(r.getDouble(r.fieldIndex("mutual_info")) - mi)
+      < 1e-4, s"mi ${r.getDouble(r.fieldIndex("mutual_info"))} vs $mi")
+    assert(math.abs(r.getDouble(r.fieldIndex("nmi")) -
+      mi / math.sqrt(hC * hL)) < 1e-4)
+  }
+
   test("sax word matches the naive PAA-quartile replay") {
     val out = graft.ops.Series.qSaxPaa(spark, sf).collect()
     val series = dailyE4(flagged = true)
