@@ -1035,6 +1035,11 @@ object SparkEntry {
     "q_itemset3" -> (Mining.qItemset3 _),
     "q_lorenz_deciles" -> (Mining.qLorenzDeciles _),
     "embed_cluster_nmi" -> (Mining.qClusterNmi _),
+    "embed_retrieval_metrics" ->
+      (PipelineQueries.embedRetrievalMetrics _),
+    "q_log_rank" -> (graft.ops.Series.qLogRank _),
+    "q_pacf" -> (graft.ops.Series.qPacf _),
+    "q_hill_tail" -> (Stats.qHillTail _),
   )
 
   /** q_personalized_pagerank oracle: 4 unrolled integer-lattice
@@ -8509,5 +8514,170 @@ object SparkEntry {
         |    / sqrt((-CAST(hc6 AS DOUBLE) / n_tot)
         |    * (-CAST(hl6 AS DOUBLE) / n_tot)) * 1e6 + 0.5) / 1e6 AS nmi
         |FROM mi CROSS JOIN hc CROSS JOIN hl CROSS JOIN tt""".stripMargin),
+    "embed_retrieval_metrics" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_lbl,
+        |    embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, label AS c_lbl, embedding AS ce
+        |  FROM embeddings),
+        |lc AS (SELECT label AS q_lbl, CAST(count(*) AS BIGINT) AS lcnt
+        |  FROM embeddings GROUP BY 1),
+        |p AS (SELECT q_id, q_lbl, c_id, c_lbl, qe, ce FROM q
+        |  JOIN c ON c_id <> q_id),
+        |z AS (SELECT q_id, q_lbl, c_id, c_lbl,
+        |    unnest(qe)::DOUBLE AS x, unnest(ce)::DOUBLE AS y FROM p),
+        |sums AS (SELECT q_id, q_lbl, c_id, c_lbl, sum(x*y) AS d,
+        |    sum(x*x) AS na, sum(y*y) AS nb FROM z GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT q_id, q_lbl, c_id, c_lbl,
+        |    round(d / (sqrt(na) * sqrt(nb)), 4) AS score FROM sums),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score DESC, c_id) AS rnk FROM sc),
+        |t AS (SELECT q_id, rnk,
+        |    CASE WHEN c_lbl = q_lbl THEN 1 ELSE 0 END AS rel,
+        |    lcnt - 1 AS n_rel,
+        |    CAST(round(1e6 / ln(rnk + 1)) AS BIGINT) AS disc6
+        |  FROM r JOIN lc USING (q_lbl) WHERE rnk <= 10),
+        |pq AS (SELECT q_id,
+        |    CAST(round(CAST(sum(rel * disc6) AS DOUBLE)
+        |      / sum(CASE WHEN rnk <= n_rel THEN disc6 ELSE 0 END)
+        |      * 1e6) AS BIGINT) AS ndcg6,
+        |    coalesce(max(CASE WHEN rel = 1
+        |      THEN CAST(round(1e6 / rnk) AS BIGINT) END), 0) AS rr6,
+        |    CAST(sum(rel) AS BIGINT) AS n_rel_10
+        |  FROM t GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  floor(CAST(sum(ndcg6) AS DOUBLE) / count(*) / 1e6 * 1e6
+        |    + 0.5) / 1e6 AS mean_ndcg10,
+        |  floor(CAST(sum(rr6) AS DOUBLE) / count(*) / 1e6 * 1e6 + 0.5)
+        |    / 1e6 AS mrr,
+        |  floor(CAST(sum(n_rel_10) AS DOUBLE) / count(*) / 10 * 1e6
+        |    + 0.5) / 1e6 AS p_at_10
+        |FROM pq""".stripMargin,
+    "q_log_rank" ->
+      """WITH pe AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    (md5_number_lower(CAST(user_id AS VARCHAR))
+        |      & 9223372036854775807) % 2 AS grp
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(ts_s) AS hz FROM pe),
+        |nx AS (SELECT user_id, grp, ts_s, lead(ts_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts_s, event_id) AS nxt
+        |  FROM pe),
+        |lives AS (SELECT grp,
+        |    CAST(floor((COALESCE(nxt, hz) - ts_s) / 3600.0) AS BIGINT)
+        |      AS t,
+        |    nxt IS NOT NULL AS observed
+        |  FROM nx, h),
+        |byt AS (SELECT t,
+        |    CAST(sum(CASE WHEN observed AND grp = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN observed AND grp = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r0,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS r1
+        |  FROM lives GROUP BY 1),
+        |tt AS (SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0_tot,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1_tot
+        |  FROM lives),
+        |rr AS (SELECT t, d0, d1,
+        |    n0_tot - COALESCE(CAST(sum(r0) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS n0,
+        |    n1_tot - COALESCE(CAST(sum(r1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS n1
+        |  FROM byt, tt),
+        |f AS (SELECT *, d0 + d1 AS dd, n0 + n1 AS nn FROM rr),
+        |g AS (SELECT *,
+        |    CAST(round(1e6 * dd * n1 / CAST(nn AS DOUBLE)) AS BIGINT)
+        |      AS e1_6,
+        |    CAST(round(1e6 * dd * (CAST(n1 AS DOUBLE) / nn)
+        |      * (CAST(n0 AS DOUBLE) / nn) * (nn - dd) / (nn - 1))
+        |      AS BIGINT) AS v6
+        |  FROM f WHERE dd > 0 AND nn > 1)
+        |SELECT CAST(sum(d0) AS BIGINT) AS o0,
+        |  CAST(sum(d1) AS BIGINT) AS o1,
+        |  floor(CAST(sum(e1_6) AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4
+        |    AS e1,
+        |  floor((CAST(sum(d1) AS BIGINT)
+        |    - CAST(sum(e1_6) AS DOUBLE) / 1e6)
+        |    * (CAST(sum(d1) AS BIGINT)
+        |    - CAST(sum(e1_6) AS DOUBLE) / 1e6)
+        |    / (CAST(sum(v6) AS DOUBLE) / 1e6) * 1e4 + 0.5) / 1e4
+        |    AS chi2
+        |FROM g""".stripMargin,
+    "q_pacf" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(e4) AS BIGINT) AS s1,
+        |    sum(CAST(e4 AS HUGEINT) * e4) AS sxx FROM daily),
+        |l1 AS (SELECT sum(CAST(x.e4 AS HUGEINT) * y.e4) AS sp1,
+        |    CAST(sum(x.e4) AS BIGINT) AS sh1,
+        |    CAST(sum(y.e4) AS BIGINT) AS st1,
+        |    CAST(count(*) AS BIGINT) AS m1
+        |  FROM daily x JOIN daily y ON x.day + 1 = y.day),
+        |l2 AS (SELECT sum(CAST(x.e4 AS HUGEINT) * y.e4) AS sp2,
+        |    CAST(sum(x.e4) AS BIGINT) AS sh2,
+        |    CAST(sum(y.e4) AS BIGINT) AS st2,
+        |    CAST(count(*) AS BIGINT) AS m2
+        |  FROM daily x JOIN daily y ON x.day + 2 = y.day),
+        |l3 AS (SELECT sum(CAST(x.e4 AS HUGEINT) * y.e4) AS sp3,
+        |    CAST(sum(x.e4) AS BIGINT) AS sh3,
+        |    CAST(sum(y.e4) AS BIGINT) AS st3,
+        |    CAST(count(*) AS BIGINT) AS m3
+        |  FROM daily x JOIN daily y ON x.day + 3 = y.day),
+        |m AS (SELECT * FROM l1 CROSS JOIN l2 CROSS JOIN l3
+        |  CROSS JOIN b),
+        |rh AS (SELECT n,
+        |    CAST(CAST(n AS HUGEINT) * n * sp1
+        |      - CAST(n AS HUGEINT) * s1 * (sh1 + st1)
+        |      + CAST(m1 AS HUGEINT) * s1 * s1 AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sxx
+        |      - CAST(s1 AS HUGEINT) * s1) AS DOUBLE) AS r1,
+        |    CAST(CAST(n AS HUGEINT) * n * sp2
+        |      - CAST(n AS HUGEINT) * s1 * (sh2 + st2)
+        |      + CAST(m2 AS HUGEINT) * s1 * s1 AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sxx
+        |      - CAST(s1 AS HUGEINT) * s1) AS DOUBLE) AS r2,
+        |    CAST(CAST(n AS HUGEINT) * n * sp3
+        |      - CAST(n AS HUGEINT) * s1 * (sh3 + st3)
+        |      + CAST(m3 AS HUGEINT) * s1 * s1 AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sxx
+        |      - CAST(s1 AS HUGEINT) * s1) AS DOUBLE) AS r3
+        |  FROM m),
+        |dl AS (SELECT *, (r2 - r1 * r1) / (1 - r1 * r1) AS p22 FROM rh),
+        |dl2 AS (SELECT *, r1 - p22 * r1 AS p21 FROM dl)
+        |SELECT n,
+        |  floor(r1 * 1e6 + 0.5) / 1e6 AS rho1,
+        |  floor(r2 * 1e6 + 0.5) / 1e6 AS rho2,
+        |  floor(r3 * 1e6 + 0.5) / 1e6 AS rho3,
+        |  floor(r1 * 1e6 + 0.5) / 1e6 AS pacf1,
+        |  floor(p22 * 1e6 + 0.5) / 1e6 AS pacf2,
+        |  floor((r3 - p21 * r2 - p22 * r1)
+        |    / (1 - p21 * r1 - p22 * r2) * 1e6 + 0.5) / 1e6 AS pacf3
+        |FROM dl2""".stripMargin,
+    "q_hill_tail" ->
+      """WITH sp AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS cents, o_orderkey FROM orders),
+        |r AS (SELECT *, row_number() OVER (ORDER BY cents DESC,
+        |    o_orderkey) AS rn FROM sp),
+        |th AS (SELECT cents AS x_k1 FROM r WHERE rn = 101),
+        |l AS (SELECT CAST(round(ln(CAST(cents AS DOUBLE) / x_k1)
+        |      * 1e6) AS BIGINT) AS l6, x_k1
+        |  FROM r CROSS JOIN th WHERE rn <= 100)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |  floor(CAST(max(x_k1) AS DOUBLE) / 100 * 100.0 + 0.5) / 100.0
+        |    AS threshold,
+        |  floor(CAST(sum(l6) AS DOUBLE) / count(*) / 1e6 * 1e6 + 0.5)
+        |    / 1e6 AS hill_h,
+        |  floor(CAST(count(*) AS DOUBLE) * 1e6 / sum(l6) * 1e6 + 0.5)
+        |    / 1e6 AS tail_alpha
+        |FROM l""".stripMargin,
   )
 }

@@ -3362,6 +3362,62 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Retrieval-quality metrics (mean NDCG@10, MRR, P@10) of the
+    * brute-force cosine ranking against label-match relevance — the
+    * IR-eval readout beside ann_ivf_recall's index-recall gate. The
+    * 20-query top-10 frame comes from the same broadcast-query kernel
+    * as ann_brute_topk (corpus never shuffles); every discount/gain
+    * is an integer micro-unit of a CONSTANT (1e6/ln(rank+1) of ranks
+    * 1..10), IDCG truncates by the query label's corpus prevalence,
+    * and per-query scores are re-fixed to the 1e-6 lattice before the
+    * cross-query mean — order-free long sums throughout. */
+  def embedRetrievalMetrics(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val c = emb.select(col("vec_id").as("c_id"),
+      col("label").as("c_lbl"),
+      col("embedding").cast("array<double>").as("_ce"))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+        col("embedding").cast("array<double>").as("_qe"))
+    val lblCnt = emb.groupBy(col("label").as("q_lbl"))
+      .agg(count(lit(1)).as("_lc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    val top = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("score",
+        round(graft.sim.Ann.cosine(col("_qe"), col("_ce")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .join(broadcast(lblCnt), "q_lbl")
+      .select(col("q_id"), col("rnk"),
+        when(col("c_lbl") === col("q_lbl"), 1L).otherwise(0L).as("rel"),
+        (col("_lc") - 1).as("n_rel"))
+    val perQ = top
+      .withColumn("disc6", expr("CAST(round(1e6 / ln(rnk + 1)) AS BIGINT)"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("rel") * col("disc6")).as("dcg6"),
+        sum(when(col("rnk") <= col("n_rel"), col("disc6"))
+          .otherwise(lit(0L))).as("idcg6"),
+        max(when(col("rel") === 1,
+          expr("CAST(round(1e6 / rnk) AS BIGINT)"))).as("rr6"),
+        sum(col("rel")).as("n_rel_10"))
+      .select(col("q_id"),
+        expr("CAST(round(CAST(dcg6 AS DOUBLE) / idcg6 * 1e6) AS BIGINT)")
+          .as("ndcg6"),
+        coalesce(col("rr6"), lit(0L)).as("rr6"), col("n_rel_10"))
+    perQ.agg(count(lit(1)).as("n_queries"),
+        sum(col("ndcg6")).as("sn"), sum(col("rr6")).as("sr"),
+        sum(col("n_rel_10")).as("sp"))
+      .select(col("n_queries"),
+        (floor(expr("CAST(sn AS DOUBLE) / n_queries / 1e6") * 1e6 + 0.5)
+          / 1e6).as("mean_ndcg10"),
+        (floor(expr("CAST(sr AS DOUBLE) / n_queries / 1e6") * 1e6 + 0.5)
+          / 1e6).as("mrr"),
+        (floor(expr("CAST(sp AS DOUBLE) / n_queries / 10") * 1e6 + 0.5)
+          / 1e6).as("p_at_10"))
+  }
+
   /** Per-source token-count overdispersion census with the
     * negative-binomial method-of-moments fit — the "are doc lengths
     * Poisson or bursty" readout that decides padding/packing strategy.

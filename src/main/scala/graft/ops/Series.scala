@@ -196,6 +196,115 @@ object Series {
         rnd(expr("beta / sqrt(s2 / sxxc)"), 4).as("t_df"))
   }
 
+  /** Two-group log-rank test over the same right-censored
+    * inter-purchase lives frame as [[qNelsonAalen]] (groups = the
+    * portable md5 halves of the user id) — "do the two cohorts churn
+    * at the same rate", completing the survival family
+    * (KM / Nelson–Aalen / log-rank). Per event time, the expected
+    * group-1 deaths d·n₁/n and the hypergeometric variance are fixed
+    * to 1e-6 integers (identical double ratios of exact longs), so
+    * the O−E and V folds are order-free long sums; χ² is one pinned
+    * double. */
+  def qLogRank(s: SparkSession, d: String): DataFrame = {
+    val pe = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        pmod(graft.functions.exprs.md5Lower64(
+            col("user_id").cast("string"))
+          .bitwiseAND(lit(Long.MaxValue)), lit(2L)).as("grp"))
+    val horizon = pe.agg(max(col("ts_s")).as("hz"))
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val lives = pe
+      .withColumn("nxt", lead(col("ts_s"), 1).over(wU))
+      .crossJoin(broadcast(horizon))
+      .select(col("grp"),
+        floor((coalesce(col("nxt"), col("hz")) - col("ts_s")) / 3600L)
+          .cast("long").as("t"),
+        col("nxt").isNotNull.as("observed"))
+    val byT = lives.groupBy(col("t"))
+      .agg(sum(when(col("observed") && col("grp") === 0, 1L)
+          .otherwise(0L)).as("d0"),
+        sum(when(col("observed") && col("grp") === 1, 1L)
+          .otherwise(0L)).as("d1"),
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("r0"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("r1"))
+    val tot = broadcast(lives.groupBy()
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n0_tot"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1_tot")))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rows = byT.crossJoin(tot)
+      .withColumn("n0",
+        col("n0_tot") - coalesce(sum(col("r0")).over(wPrev), lit(0L)))
+      .withColumn("n1",
+        col("n1_tot") - coalesce(sum(col("r1")).over(wPrev), lit(0L)))
+      .withColumn("dd", col("d0") + col("d1"))
+      .withColumn("nn", col("n0") + col("n1"))
+      .filter(col("dd") > 0 && col("nn") > 1)
+      .withColumn("e1_6", expr("CAST(round(1e6 * dd * n1" +
+        " / CAST(nn AS DOUBLE)) AS BIGINT)"))
+      .withColumn("v6", expr("CAST(round(1e6 * dd" +
+        " * (CAST(n1 AS DOUBLE) / nn) * (CAST(n0 AS DOUBLE) / nn)" +
+        " * (nn - dd) / (nn - 1)) AS BIGINT)"))
+    rows.agg(sum(col("d0")).as("o0"), sum(col("d1")).as("o1"),
+        sum(col("e1_6")).as("e1_6"), sum(col("v6")).as("v6"))
+      .select(col("o0"), col("o1"),
+        rnd(expr("CAST(e1_6 AS DOUBLE) / 1e6"), 4).as("e1"),
+        rnd(expr("(o1 - CAST(e1_6 AS DOUBLE) / 1e6)" +
+          " * (o1 - CAST(e1_6 AS DOUBLE) / 1e6)" +
+          " / (CAST(v6 AS DOUBLE) / 1e6)"), 4).as("chi2"))
+  }
+
+  /** Sample ACF (lags 1–3) + PACF via the closed-form Durbin–Levinson
+    * recursion over the global daily revenue series — the ARIMA
+    * order-selection readout beside [[qDickeyFuller]]. Every ρ_k is
+    * an EXACT integer ratio: multiplying the centered-moment formula
+    * through by n² gives numerator n²Σx_t x_{t+k} − nS(Σ_head+Σ_tail)
+    * + (n−k)S² and denominator n(nΣx²−S²), both DECIMAL(38,0)⇄HUGEINT
+    * — so both engines derive the PACF from IDENTICAL ρ doubles
+    * through one pinned expression. Lag products ride equi-joins on
+    * (day + k), calendar-bounded. */
+  def qPacf(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .localCheckpoint(true)
+    val base = broadcast(daily.agg(count(lit(1)).as("n"),
+      sum(col("e4")).as("s1"),
+      sum(expr("CAST(e4 AS DECIMAL(38,0)) * e4")).as("sxx")))
+    def lagMoments(k: Int): DataFrame =
+      daily.as("x").join(daily.as("y"),
+          expr(s"date_add(x.day, $k) = y.day"))
+        .agg(sum(expr("CAST(x.e4 AS DECIMAL(38,0)) * y.e4")).as(s"sp$k"),
+          sum(col("x.e4")).as(s"sh$k"), sum(col("y.e4")).as(s"st$k"),
+          count(lit(1)).as(s"m$k"))
+    val m = lagMoments(1).crossJoin(lagMoments(2)).crossJoin(lagMoments(3))
+      .crossJoin(base)
+    // pair counts m_k are ACTUAL calendar-lag pair counts (the daily
+    // frame can have gaps), so the centered identity uses m_k, not n−k
+    def rho(k: Int) =
+      s"CAST(CAST(n AS DECIMAL(38,0)) * n * sp$k" +
+        s" - CAST(n AS DECIMAL(38,0)) * s1 * (sh$k + st$k)" +
+        s" + CAST(m$k AS DECIMAL(38,0)) * s1 * s1 AS DOUBLE)" +
+        s" / CAST(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0))" +
+        s" * sxx - CAST(s1 AS DECIMAL(38,0)) * s1) AS DOUBLE)"
+    m.withColumn("r1", expr(rho(1)))
+      .withColumn("r2", expr(rho(2)))
+      .withColumn("r3", expr(rho(3)))
+      .withColumn("p22", expr("(r2 - r1 * r1) / (1 - r1 * r1)"))
+      .withColumn("p21", expr("r1 - p22 * r1"))
+      .withColumn("p33", expr("(r3 - p21 * r2 - p22 * r1)" +
+        " / (1 - p21 * r1 - p22 * r2)"))
+      .select(col("n"),
+        rnd(col("r1"), 6).as("rho1"), rnd(col("r2"), 6).as("rho2"),
+        rnd(col("r3"), 6).as("rho3"),
+        rnd(col("r1"), 6).as("pacf1"), rnd(col("p22"), 6).as("pacf2"),
+        rnd(col("p33"), 6).as("pacf3"))
+  }
+
   /** MACD weight vectors, shared by the Spark plan and the generated
     * oracle SQL so no `pow` executes in either engine: truncated EMA
     * with span-α weights α(1−α)^k, k < K (the [[Behavior.qEwma]]

@@ -835,6 +835,35 @@ object Stats {
       .orderBy(col("g_i"), col("g_j"))
   }
 
+  /** Hill tail-index estimator of the order-value distribution: over
+    * the top k = 100 order statistics, H = mean ln(x_(i)/x_(k+1)),
+    * tail α = 1/H — the heavy-tail diagnosis read before trusting any
+    * mean-based spend metric. The order statistics ride the exact
+    * ranged [[Ranks.globalRowNumber]] (no global sort on one task);
+    * each log-ratio of exact cent integers is fixed to micro-nats, so
+    * the k-term fold is an order-free long sum. */
+  def qHillTail(s: SparkSession, d: String): DataFrame = {
+    val k = 100
+    val spend = Tables.orders(s, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"))
+    val ranked = Ranks.globalRowNumber(spend,
+      Seq(col("cents").desc, col("o_orderkey")), "rn")
+      .filter(col("rn") <= k + 1)
+      .localCheckpoint(true)
+    val thresh = broadcast(ranked.filter(col("rn") === k + 1)
+      .select(col("cents").as("x_k1")))
+    ranked.filter(col("rn") <= k).crossJoin(thresh)
+      .select(expr("CAST(round(ln(CAST(cents AS DOUBLE) / x_k1) * 1e6)" +
+        " AS BIGINT)").as("l6"), col("x_k1"))
+      .agg(count(lit(1)).as("k"), sum(col("l6")).as("h6"),
+        max(col("x_k1")).as("xk1"))
+      .select(col("k"),
+        rnd(expr("CAST(xk1 AS DOUBLE) / 100"), 2).as("threshold"),
+        rnd(expr("CAST(h6 AS DOUBLE) / k / 1e6"), 6).as("hill_h"),
+        rnd(expr("CAST(k AS DOUBLE) * 1e6 / h6"), 6).as("tail_alpha"))
+  }
+
   /** Two-sample Poisson rate test: purchase-event intensity in the
     * first vs second half of the event span (split at the midpoint
     * second), z = (λ̂₁ − λ̂₂)/√(n₁/t₁² + n₂/t₂²) — the count-data

@@ -850,6 +850,133 @@ class Round13cSpec extends SparkSuite {
       mi / math.sqrt(hC * hL)) < 1e-4)
   }
 
+  test("retrieval metrics match the naive NDCG/MRR replay") {
+    val r = graft.ops.PipelineQueries.embedRetrievalMetrics(spark, sf)
+      .head()
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label").cast("long"))
+      .collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1).toArray, x.getLong(2)))
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var (dd, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { dd += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i) }
+      BigDecimal(dd / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val lblCnt = embs.groupBy(_._3).view.mapValues(_.length).toMap
+    val queries = embs.filter(_._1 < 20)
+    var (sn, sr, sp) = (0L, 0L, 0L)
+    for ((qid, qv, ql) <- queries) {
+      val top = embs.filter(_._1 != qid)
+        .map(e => (cos4(qv, e._2), e._1, e._3))
+        .sortBy(t => (-t._1, t._2)).take(10)
+      val nRel = lblCnt(ql) - 1
+      def disc(i: Int) = math.round(1e6 / math.log(i + 1))
+      val dcg = top.zipWithIndex.collect {
+        case ((_, _, l), i) if l == ql => disc(i + 1)
+      }.sum
+      val idcg = (1 to 10).filter(_ <= nRel).map(disc).sum
+      sn += math.round(dcg.toDouble / idcg * 1e6)
+      val firstRel = top.zipWithIndex.find(_._1._3 == ql).map(_._2 + 1)
+      sr += firstRel.map(i => math.round(1e6 / i.toDouble)).getOrElse(0L)
+      sp += top.count(_._3 == ql)
+    }
+    val nq = queries.length
+    assert(r.getLong(r.fieldIndex("n_queries")) == nq.toLong)
+    assert(math.abs(r.getDouble(r.fieldIndex("mean_ndcg10")) -
+      sn.toDouble / nq / 1e6) < 1e-5)
+    assert(math.abs(r.getDouble(r.fieldIndex("mrr")) -
+      sr.toDouble / nq / 1e6) < 1e-5)
+    assert(math.abs(r.getDouble(r.fieldIndex("p_at_10")) -
+      sp.toDouble / nq / 10) < 1e-5)
+  }
+
+  test("log-rank statistic matches the naive at-risk replay") {
+    val r = graft.ops.Series.qLogRank(spark, sf).head()
+    val pe = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val hz = pe.map(_._3).max
+    val lives = pe.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+      val grp = h2(uid.toString)
+      val s = evs.sortBy(e => (e._3, e._2))
+      s.zipWithIndex.map { case (e, i) =>
+        val nxt = if (i + 1 < s.length) Some(s(i + 1)._3) else None
+        (grp, math.floorDiv(nxt.getOrElse(hz) - e._3, 3600L),
+          nxt.isDefined)
+      }
+    }
+    val times = lives.map(_._2).distinct.sorted
+    val (n0T, n1T) = (lives.count(_._1 == 0L), lives.count(_._1 == 1L))
+    var (rem0, rem1) = (n0T.toLong, n1T.toLong)
+    var (o1, e1, v) = (0L, 0.0, 0.0)
+    var o0 = 0L
+    for (t <- times) {
+      val at = lives.filter(_._2 == t)
+      val d0 = at.count(x => x._1 == 0L && x._3).toLong
+      val d1 = at.count(x => x._1 == 1L && x._3).toLong
+      val dd = d0 + d1
+      val nn = rem0 + rem1
+      if (dd > 0 && nn > 1) {
+        o0 += d0; o1 += d1
+        e1 += dd.toDouble * rem1 / nn
+        v += dd.toDouble * (rem1.toDouble / nn) * (rem0.toDouble / nn) *
+          (nn - dd) / (nn - 1)
+      }
+      rem0 -= at.count(_._1 == 0L)
+      rem1 -= at.count(_._1 == 1L)
+    }
+    assert(r.getLong(r.fieldIndex("o0")) == o0)
+    assert(r.getLong(r.fieldIndex("o1")) == o1)
+    assert(math.abs(r.getDouble(r.fieldIndex("e1")) - e1) < 1e-2)
+    val chi2 = (o1 - e1) * (o1 - e1) / v
+    assert(math.abs(r.getDouble(r.fieldIndex("chi2")) - chi2) < 1e-2,
+      s"${r.getDouble(r.fieldIndex("chi2"))} vs $chi2")
+  }
+
+  test("pacf matches the naive Durbin-Levinson replay") {
+    val r = graft.ops.Series.qPacf(spark, sf).head()
+    val days = dailyE4(flagged = false)("*")
+    val byDay = days.map(t => t._1.toLocalDate.toEpochDay ->
+      t._2.toDouble).toMap
+    val xs = days.map(_._2.toDouble)
+    val n = xs.length
+    val mu = xs.sum / n
+    val den = xs.map(x => (x - mu) * (x - mu)).sum
+    // CALENDAR lags: only pairs k days apart in real dates count
+    def rho(k: Int) = byDay.toSeq.collect {
+      case (d, a) if byDay.contains(d + k) =>
+        (a - mu) * (byDay(d + k) - mu)
+    }.sum / den
+    val (r1, r2, r3) = (rho(1), rho(2), rho(3))
+    val p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    val p21 = r1 - p22 * r1
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    assert(math.abs(r.getDouble(r.fieldIndex("rho1")) - r1) < 1e-5)
+    assert(math.abs(r.getDouble(r.fieldIndex("rho3")) - r3) < 1e-5)
+    assert(math.abs(r.getDouble(r.fieldIndex("pacf2")) - p22) < 1e-4)
+    assert(math.abs(r.getDouble(r.fieldIndex("pacf3")) - p33) < 1e-4)
+  }
+
+  test("hill tail estimator matches the naive order-statistic replay") {
+    val r = graft.ops.Stats.qHillTail(spark, sf).head()
+    val cents = graft.sources.Tables.orders(spark, sf)
+      .select(round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderkey"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(t => (-t._1, t._2)).map(_._1)
+    val xk1 = cents(100).toDouble
+    val h = cents.take(100).map(c => math.log(c / xk1)).sum / 100
+    assert(r.getLong(r.fieldIndex("k")) == 100L)
+    assert(math.abs(r.getDouble(r.fieldIndex("hill_h")) - h) < 1e-4)
+    assert(math.abs(r.getDouble(r.fieldIndex("tail_alpha")) - 1 / h)
+      < 1e-2)
+  }
+
   test("sax word matches the naive PAA-quartile replay") {
     val out = graft.ops.Series.qSaxPaa(spark, sf).collect()
     val series = dailyE4(flagged = true)
