@@ -1040,6 +1040,10 @@ object SparkEntry {
     "q_log_rank" -> (graft.ops.Series.qLogRank _),
     "q_pacf" -> (graft.ops.Series.qPacf _),
     "q_hill_tail" -> (Stats.qHillTail _),
+    "q_friedman" -> (Stats.qFriedman _),
+    "q_cramers_v" -> (Stats.qCramersV _),
+    "q_xyz_class" -> (Mining.qXyzClass _),
+    "text_shingle_df_hist" -> (PipelineQueries.textShingleDfHist _),
   )
 
   /** q_personalized_pagerank oracle: 4 unrolled integer-lattice
@@ -8679,5 +8683,123 @@ object SparkEntry {
         |  floor(CAST(count(*) AS DOUBLE) * 1e6 / sum(l6) * 1e6 + 0.5)
         |    / 1e6 AS tail_alpha
         |FROM l""".stripMargin,
+    "q_friedman" ->
+      """WITH cells AS (SELECT l_orderkey,
+        |    max(CASE WHEN l_linenumber = 1
+        |      THEN CAST(round(l_quantity) AS BIGINT) END) AS q1,
+        |    max(CASE WHEN l_linenumber = 2
+        |      THEN CAST(round(l_quantity) AS BIGINT) END) AS q2,
+        |    max(CASE WHEN l_linenumber = 3
+        |      THEN CAST(round(l_quantity) AS BIGINT) END) AS q3
+        |  FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1),
+        |f AS (SELECT * FROM cells WHERE q1 IS NOT NULL
+        |  AND q2 IS NOT NULL AND q3 IS NOT NULL),
+        |r AS (SELECT
+        |    2 * (CASE WHEN q2 < q1 THEN 1 ELSE 0 END
+        |      + CASE WHEN q3 < q1 THEN 1 ELSE 0 END)
+        |      + CASE WHEN q2 = q1 THEN 1 ELSE 0 END
+        |      + CASE WHEN q3 = q1 THEN 1 ELSE 0 END + 2 AS r2_1,
+        |    2 * (CASE WHEN q1 < q2 THEN 1 ELSE 0 END
+        |      + CASE WHEN q3 < q2 THEN 1 ELSE 0 END)
+        |      + CASE WHEN q1 = q2 THEN 1 ELSE 0 END
+        |      + CASE WHEN q3 = q2 THEN 1 ELSE 0 END + 2 AS r2_2,
+        |    2 * (CASE WHEN q1 < q3 THEN 1 ELSE 0 END
+        |      + CASE WHEN q2 < q3 THEN 1 ELSE 0 END)
+        |      + CASE WHEN q1 = q3 THEN 1 ELSE 0 END
+        |      + CASE WHEN q2 = q3 THEN 1 ELSE 0 END + 2 AS r2_3
+        |  FROM f),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(r2_1) AS BIGINT) AS s1,
+        |    CAST(sum(r2_2) AS BIGINT) AS s2,
+        |    CAST(sum(r2_3) AS BIGINT) AS s3 FROM r)
+        |SELECT n_blocks,
+        |  floor(CAST(s1 AS DOUBLE) / 2 / n_blocks * 1e4 + 0.5) / 1e4
+        |    AS mean_rank_1,
+        |  floor(CAST(s2 AS DOUBLE) / 2 / n_blocks * 1e4 + 0.5) / 1e4
+        |    AS mean_rank_2,
+        |  floor(CAST(s3 AS DOUBLE) / 2 / n_blocks * 1e4 + 0.5) / 1e4
+        |    AS mean_rank_3,
+        |  floor((CAST(CAST(s1 AS HUGEINT) * s1 + CAST(s2 AS HUGEINT)
+        |    * s2 + CAST(s3 AS HUGEINT) * s3 AS DOUBLE)
+        |    / (CAST(n_blocks AS DOUBLE) * 4)
+        |    - 12 * CAST(n_blocks AS DOUBLE)) * 1e4 + 0.5) / 1e4
+        |    AS chi2_f
+        |FROM a""".stripMargin,
+    "q_cramers_v" ->
+      """WITH cust AS (SELECT CAST(c_nationkey AS BIGINT) AS r,
+        |    c_mktsegment AS c FROM customer),
+        |cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS o
+        |  FROM cust GROUP BY 1, 2),
+        |rw AS (SELECT r, CAST(sum(o) AS BIGINT) AS n_r FROM cells
+        |  GROUP BY 1),
+        |cl AS (SELECT c, CAST(sum(o) AS BIGINT) AS n_c FROM cells
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT r) AS BIGINT) AS df_r,
+        |    CAST(count(DISTINCT c) AS BIGINT) AS df_c FROM cells),
+        |t AS (SELECT n, df_r, df_c,
+        |    CAST(round((CAST(o AS DOUBLE) * n
+        |      - CAST(n_r AS DOUBLE) * n_c)
+        |      * (CAST(o AS DOUBLE) * n - CAST(n_r AS DOUBLE) * n_c)
+        |      / (CAST(n AS DOUBLE) * n_r * n_c) * 1e6) AS BIGINT)
+        |      AS t6
+        |  FROM cells JOIN rw USING (r) JOIN cl USING (c)
+        |  CROSS JOIN tt),
+        |g AS (SELECT n, df_r, df_c, CAST(sum(t6) AS BIGINT) AS chi6
+        |  FROM t GROUP BY 1, 2, 3)
+        |SELECT n, df_r, df_c,
+        |  floor(CAST(chi6 AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS chi2,
+        |  floor(sqrt(CAST(chi6 AS DOUBLE) / 1e6 / (CAST(n AS DOUBLE)
+        |    * least(df_r - 1, df_c - 1))) * 1e6 + 0.5) / 1e6
+        |    AS cramers_v
+        |FROM g""".stripMargin,
+    "q_xyz_class" ->
+      """WITH monthly AS (SELECT l_partkey AS part,
+        |    strftime(date_trunc('month', l_shipdate), '%Y-%m')
+        |      AS month,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT part, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(q) AS BIGINT) AS s1,
+        |    sum(CAST(q AS HUGEINT) * q) AS s2 FROM monthly GROUP BY 1),
+        |v AS (SELECT *, CAST(m AS HUGEINT) * s2
+        |    - CAST(s1 AS HUGEINT) * s1 AS vnum FROM p),
+        |cx AS (SELECT *, CASE WHEN 4 * vnum <= CAST(s1 AS HUGEINT)
+        |      * s1 THEN 'X' WHEN vnum <= CAST(s1 AS HUGEINT) * s1
+        |      THEN 'Y' ELSE 'Z' END AS xyz,
+        |    CAST(round(sqrt(CAST(vnum AS DOUBLE)) / s1 * 1e6)
+        |      AS BIGINT) AS cv6 FROM v)
+        |SELECT xyz, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(m) AS BIGINT) AS part_months,
+        |  floor(CAST(sum(cv6) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5)
+        |    / 1e4 AS avg_cv
+        |FROM cx GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_shingle_df_hist" ->
+      """WITH shs AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(greatest(len(t) - 2, 0)),
+        |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh
+        |  FROM (SELECT doc_id,
+        |      regexp_split_to_array(trim(text), '\s+') AS t
+        |    FROM documents)),
+        |dfq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM shs
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(max(df) AS BIGINT) AS max_df FROM dfq),
+        |b AS (SELECT CAST(CASE WHEN df = 1 THEN 1 WHEN df = 2 THEN 2
+        |      WHEN df <= 5 THEN 3 WHEN df <= 10 THEN 6
+        |      WHEN df <= 25 THEN 11 ELSE 26 END AS BIGINT)
+        |      AS bucket_lo,
+        |    CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
+        |      WHEN df <= 5 THEN '3-5' WHEN df <= 10 THEN '6-10'
+        |      WHEN df <= 25 THEN '11-25' ELSE '26+' END AS df_bucket
+        |  FROM dfq)
+        |SELECT bucket_lo, df_bucket, CAST(count(*) AS BIGINT) AS n,
+        |  floor(CAST(count(*) AS DOUBLE) / n_shingles * 1e6 + 0.5)
+        |    / 1e6 AS share,
+        |  n_shingles, max_df
+        |FROM b CROSS JOIN tt GROUP BY 1, 2, n_shingles, max_df
+        |ORDER BY 1""".stripMargin,
   )
 }

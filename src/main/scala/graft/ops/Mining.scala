@@ -2503,6 +2503,39 @@ object Mining {
     out.reduce(_ unionByName _).orderBy(col("iter"))
   }
 
+  /** XYZ demand-variability classification per part (the companion
+    * axis to [[qAbcClass]]'s value ranking): CV of monthly demand
+    * over the part's active months, class X (CV² ≤ 0.25),
+    * Y (≤ 1), Z (else) — decided by PURE INTEGER comparisons
+    * (4·(mΣq²−S²) vs S², (mΣq²−S²) vs S²) so no CV boundary value
+    * ever exists as a double to flip cross-engine. Emits the class
+    * census with the average CV per class (micro-lattice fold).
+    * Single-month parts are degenerate (CV = 0 ⇒ X). */
+  def qXyzClass(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("part"),
+        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM")
+          .as("month"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+    val parts = monthly.groupBy(col("part"))
+      .agg(count(lit(1)).as("m"), sum(col("q")).as("s1"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("s2"))
+      .withColumn("vnum", expr("CAST(m AS DECIMAL(38,0)) * s2" +
+        " - CAST(s1 AS DECIMAL(38,0)) * s1"))
+      .withColumn("xyz", expr("CASE WHEN 4 * vnum <= " +
+        "CAST(s1 AS DECIMAL(38,0)) * s1 THEN 'X' WHEN vnum <= " +
+        "CAST(s1 AS DECIMAL(38,0)) * s1 THEN 'Y' ELSE 'Z' END"))
+      .withColumn("cv6", expr("CAST(round(sqrt(CAST(vnum AS DOUBLE))" +
+        " / s1 * 1e6) AS BIGINT)"))
+    parts.groupBy(col("xyz"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("m")).as("part_months"),
+        sum(col("cv6")).as("cv6_sum"))
+      .select(col("xyz"), col("n_parts"), col("part_months"),
+        (floor(expr("CAST(cv6_sum AS DOUBLE) / n_parts / 1e6") * 1e4
+          + 0.5) / 1e4).as("avg_cv"))
+      .orderBy(col("xyz"))
+  }
+
   /** Simplified silhouette (distance-to-centroid form) of the
     * [[qKmeans]] two-iteration assignment: per vector a = 1 − cos(own
     * centroid), b = 1 − cos(nearest other centroid), s = (b−a)/max —

@@ -3362,6 +3362,38 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** 3-shingle document-frequency histogram — the GRAIN-SELECTION
+    * evidence behind the dedup design (shingle max-df ~25 vs
+    * thousands for tokens is why the prefix-filter and LSH buckets
+    * stay small): shingles exploded once, df counted, df bucketed by
+    * integer bounds. Two partial-aggregable rollups, integer
+    * everything. */
+  def textShingleDfHist(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs
+    val df = Tables.documents(s, d)
+      .select(col("doc_id"), explode(exprs.shingles(col("text"), 3))
+        .as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val tot = df.agg(count(lit(1)).as("n_shingles"),
+      max(col("df")).as("max_df"))
+    df.select(
+        expr("CAST(CASE WHEN df = 1 THEN 1 WHEN df = 2 THEN 2" +
+          " WHEN df <= 5 THEN 3 WHEN df <= 10 THEN 6" +
+          " WHEN df <= 25 THEN 11 ELSE 26 END AS BIGINT)")
+          .as("bucket_lo"),
+        expr("CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'" +
+          " WHEN df <= 5 THEN '3-5' WHEN df <= 10 THEN '6-10'" +
+          " WHEN df <= 25 THEN '11-25' ELSE '26+' END").as("df_bucket"))
+      .groupBy(col("bucket_lo"), col("df_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_lo"), col("df_bucket"), col("n"),
+        (floor(expr("CAST(n AS DOUBLE) / n_shingles") * 1e6 + 0.5)
+          / 1e6).as("share"),
+        col("n_shingles"), col("max_df"))
+      .orderBy(col("bucket_lo"))
+  }
+
   /** Retrieval-quality metrics (mean NDCG@10, MRR, P@10) of the
     * brute-force cosine ranking against label-match relevance — the
     * IR-eval readout beside ann_ivf_recall's index-recall gate. The

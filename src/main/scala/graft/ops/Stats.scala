@@ -835,6 +835,86 @@ object Stats {
       .orderBy(col("g_i"), col("g_j"))
   }
 
+  /** Friedman test of k=3 related treatments (line numbers 1–3
+    * quantity, per-cell max) over order blocks with all three lines
+    * present — the rank-based repeated-measures ANOVA beside
+    * [[qCochranQ]]'s binary form. Within-block midranks are computed
+    * by PURE COMPARISON COUNTING on the doubled-rank lattice
+    * (r2 = 2·#less + #equal + 2 — no per-block sort exists), so rank
+    * sums are exact longs and χ²_F = 3·ΣR2_j²/(n·k(k+1)) − 3n(k+1)
+    * is one pinned double over DECIMAL⇄HUGEINT integers. */
+  def qFriedman(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 3)
+      .groupBy(col("l_orderkey"))
+      .agg(max(when(col("l_linenumber") === 1,
+          round(col("l_quantity")).cast("long"))).as("q1"),
+        max(when(col("l_linenumber") === 2,
+          round(col("l_quantity")).cast("long"))).as("q2"),
+        max(when(col("l_linenumber") === 3,
+          round(col("l_quantity")).cast("long"))).as("q3"))
+      .filter(col("q1").isNotNull && col("q2").isNotNull &&
+        col("q3").isNotNull)
+    def r2(self: String, o1: String, o2: String) = expr(
+      s"2 * (CASE WHEN $o1 < $self THEN 1 ELSE 0 END" +
+        s" + CASE WHEN $o2 < $self THEN 1 ELSE 0 END)" +
+        s" + CASE WHEN $o1 = $self THEN 1 ELSE 0 END" +
+        s" + CASE WHEN $o2 = $self THEN 1 ELSE 0 END + 2")
+    cells
+      .select(r2("q1", "q2", "q3").as("r2_1"),
+        r2("q2", "q1", "q3").as("r2_2"),
+        r2("q3", "q1", "q2").as("r2_3"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("r2_1")).as("s1"), sum(col("r2_2")).as("s2"),
+        sum(col("r2_3")).as("s3"))
+      .select(col("n_blocks"),
+        rnd(expr("CAST(s1 AS DOUBLE) / 2 / n_blocks"), 4)
+          .as("mean_rank_1"),
+        rnd(expr("CAST(s2 AS DOUBLE) / 2 / n_blocks"), 4)
+          .as("mean_rank_2"),
+        rnd(expr("CAST(s3 AS DOUBLE) / 2 / n_blocks"), 4)
+          .as("mean_rank_3"),
+        rnd(expr("CAST(CAST(s1 AS DECIMAL(38,0)) * s1" +
+          " + CAST(s2 AS DECIMAL(38,0)) * s2" +
+          " + CAST(s3 AS DECIMAL(38,0)) * s3 AS DOUBLE)" +
+          " / (CAST(n_blocks AS DOUBLE) * 4)" +
+          " - 12 * CAST(n_blocks AS DOUBLE)"), 4).as("chi2_f"))
+  }
+
+  /** Cramér's V effect size for the nation × market-segment customer
+    * contingency — the strength readout beside q_chi_square's
+    * significance. Each cell's χ² term (o·n − r·c)²/(n·r·c) is an
+    * identical double of exact integers fixed to 1e-6 units, so the
+    * 125-cell fold is an order-free long sum; V one pinned sqrt. */
+  def qCramersV(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("r"),
+        col("c_mktsegment").as("c"))
+    val cells = cust.groupBy(col("r"), col("c"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val rows = cells.groupBy(col("r")).agg(sum(col("o")).as("n_r"))
+    val cols = cells.groupBy(col("c")).agg(sum(col("o")).as("n_c"))
+    val tot = broadcast(cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("r")).as("df_r"),
+      countDistinct(col("c")).as("df_c")))
+    cells.join(broadcast(rows), "r").join(broadcast(cols), "c")
+      .crossJoin(tot)
+      .select(col("n"), col("df_r"), col("df_c"),
+        expr("CAST(round((CAST(o AS DOUBLE) * n" +
+          " - CAST(n_r AS DOUBLE) * n_c)" +
+          " * (CAST(o AS DOUBLE) * n - CAST(n_r AS DOUBLE) * n_c)" +
+          " / (CAST(n AS DOUBLE) * n_r * n_c) * 1e6) AS BIGINT)")
+          .as("t6"))
+      .groupBy(col("n"), col("df_r"), col("df_c"))
+      .agg(sum(col("t6")).as("chi6"))
+      .select(col("n"), col("df_r"), col("df_c"),
+        rnd(expr("CAST(chi6 AS DOUBLE) / 1e6"), 4).as("chi2"),
+        rnd(expr("sqrt(CAST(chi6 AS DOUBLE) / 1e6" +
+          " / (CAST(n AS DOUBLE)" +
+          " * least(df_r - 1, df_c - 1)))"), 6).as("cramers_v"))
+  }
+
   /** Hill tail-index estimator of the order-value distribution: over
     * the top k = 100 order statistics, H = mean ln(x_(i)/x_(k+1)),
     * tail α = 1/H — the heavy-tail diagnosis read before trusting any

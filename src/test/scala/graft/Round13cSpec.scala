@@ -977,6 +977,92 @@ class Round13cSpec extends SparkSuite {
       < 1e-2)
   }
 
+  test("friedman matches the naive midrank replay") {
+    val r = graft.ops.Stats.qFriedman(spark, sf).head()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity")).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    val blocks = li.groupBy(_._1).values.flatMap { g =>
+      val qs = (1 to 3).map(i =>
+        g.filter(_._2 == i).map(_._3).sorted.lastOption)
+      if (qs.forall(_.isDefined)) Some(qs.map(_.get)) else None
+    }.toSeq
+    def midranks(v: Seq[Long]): Seq[Double] =
+      v.map(x => v.count(_ < x) + (v.count(_ == x) + 1) / 2.0)
+    val n = blocks.length
+    val rs = blocks.map(midranks)
+    val sums = (0 to 2).map(j => rs.map(_(j)).sum)
+    val chi = 12.0 / (n * 3 * 4) * sums.map(x => x * x).sum - 3 * n * 4
+    assert(r.getLong(r.fieldIndex("n_blocks")) == n.toLong)
+    assert(math.abs(r.getDouble(r.fieldIndex("mean_rank_1")) -
+      sums(0) / n) < 1e-3)
+    assert(math.abs(r.getDouble(r.fieldIndex("chi2_f")) - chi) < 1e-3,
+      s"${r.getDouble(r.fieldIndex("chi2_f"))} vs $chi")
+  }
+
+  test("cramers v matches the naive contingency replay") {
+    val r = graft.ops.Stats.qCramersV(spark, sf).head()
+    val pts = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val n = pts.length.toDouble
+    val cells = pts.groupBy(identity).view.mapValues(_.length).toMap
+    val rows = pts.groupBy(_._1).view.mapValues(_.length).toMap
+    val cols = pts.groupBy(_._2).view.mapValues(_.length).toMap
+    val chi = cells.map { case ((rk, ck), o) =>
+      val e = rows(rk) * cols(ck) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val v = math.sqrt(chi / (n * math.min(rows.size - 1, cols.size - 1)))
+    assert(math.abs(r.getDouble(r.fieldIndex("chi2")) - chi) < 1e-2)
+    assert(math.abs(r.getDouble(r.fieldIndex("cramers_v")) - v) < 1e-4)
+  }
+
+  test("xyz classes match the naive CV replay") {
+    val out = graft.ops.Mining.qXyzClass(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val monthly = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"),
+        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM"))
+      .agg(sum(round(col("l_quantity")).cast("long")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val census = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, g) <- monthly.groupBy(_._1)) {
+      val qs = g.map(_._3.toDouble)
+      val m = qs.length
+      val mu = qs.sum / m
+      val cv2 = qs.map(q => (q - mu) * (q - mu)).sum / m / (mu * mu)
+      val cls = if (cv2 <= 0.25) "X" else if (cv2 <= 1.0) "Y" else "Z"
+      census(cls) = census.getOrElse(cls, 0L) + 1
+    }
+    for ((cls, n) <- census)
+      assert(out(cls)._1 == n, s"$cls: ${out.get(cls)} vs $n")
+  }
+
+  test("shingle df histogram partitions the shingle vocabulary") {
+    val out = graft.ops.PipelineQueries.textShingleDfHist(spark, sf)
+      .collect()
+    val tot = out.head.getLong(out.head.fieldIndex("n_shingles"))
+    assert(out.map(_.getLong(2)).sum == tot)
+    assert(math.abs(out.map(r =>
+      r.getDouble(r.fieldIndex("share"))).sum - 1.0) < 1e-4)
+    // independent df census off a naive shingle set
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val dfm = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- docs) {
+      val ws = t.trim.split("\\s+")
+      val sh = (0 until math.max(ws.length - 2, 0))
+        .map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").distinct
+      for (g <- sh) dfm(g) = dfm.getOrElse(g, 0L) + 1
+    }
+    assert(dfm.size.toLong == tot)
+    assert(out.head.getLong(out.head.fieldIndex("max_df")) ==
+      dfm.values.max)
+  }
+
   test("sax word matches the naive PAA-quartile replay") {
     val out = graft.ops.Series.qSaxPaa(spark, sf).collect()
     val series = dailyE4(flagged = true)
