@@ -1044,6 +1044,10 @@ object SparkEntry {
     "q_cramers_v" -> (Stats.qCramersV _),
     "q_xyz_class" -> (Mining.qXyzClass _),
     "text_shingle_df_hist" -> (PipelineQueries.textShingleDfHist _),
+    "q_turning_points" -> (graft.ops.Series.qTurningPoints _),
+    "q_control_chart" -> (graft.ops.Series.qControlChart _),
+    "q_eta_squared" -> (Stats.qEtaSquared _),
+    "text_heaps_law" -> (PipelineQueries.textHeapsLaw _),
   )
 
   /** q_personalized_pagerank oracle: 4 unrolled integer-lattice
@@ -8801,5 +8805,127 @@ object SparkEntry {
         |  n_shingles, max_df
         |FROM b CROSS JOIN tt GROUP BY 1, 2, n_shingles, max_df
         |ORDER BY 1""".stripMargin,
+    "q_turning_points" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT e4, lag(e4) OVER (ORDER BY day) AS prev,
+        |    lead(e4) OVER (ORDER BY day) AS nxt FROM daily),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_interior,
+        |    CAST(sum(CASE WHEN (e4 > prev AND e4 > nxt)
+        |      OR (e4 < prev AND e4 < nxt) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_turns
+        |  FROM t WHERE prev IS NOT NULL AND nxt IS NOT NULL),
+        |b AS (SELECT n_interior + 2 AS n, n_turns FROM a)
+        |SELECT n, n_turns,
+        |  floor(2.0 * (n - 2) / 3 * 1e4 + 0.5) / 1e4
+        |    AS expected_turns,
+        |  floor((n_turns - 2.0 * (n - 2) / 3)
+        |    / sqrt((16.0 * n - 29) / 90) * 1e4 + 0.5) / 1e4 AS z_stat
+        |FROM b""".stripMargin,
+    "q_control_chart" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |wk AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(e4) AS BIGINT) AS s,
+        |    CAST(max(e4) - min(e4) AS BIGINT) AS r
+        |  FROM daily GROUP BY 1 HAVING count(*) = 7),
+        |lm AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+        |    CAST(sum(s) AS BIGINT) AS ss, CAST(sum(r) AS BIGINT) AS sr
+        |  FROM wk),
+        |l2 AS (SELECT n_weeks, CAST(ss AS DOUBLE) / n_weeks / 7 AS xbb,
+        |    CAST(sr AS DOUBLE) / n_weeks AS rb FROM lm)
+        |SELECT week,
+        |  floor(CAST(s AS DOUBLE) / 7 / 10000 * 100.0 + 0.5) / 100.0
+        |    AS xbar,
+        |  floor(CAST(r AS DOUBLE) / 10000 * 100.0 + 0.5) / 100.0
+        |    AS range_w,
+        |  floor(xbb / 10000 * 100.0 + 0.5) / 100.0 AS center,
+        |  floor((xbb + 0.419 * rb) / 10000 * 100.0 + 0.5) / 100.0
+        |    AS ucl_x,
+        |  floor((xbb - 0.419 * rb) / 10000 * 100.0 + 0.5) / 100.0
+        |    AS lcl_x,
+        |  (CAST(s AS DOUBLE) / 7 > xbb + 0.419 * rb)
+        |    OR (CAST(s AS DOUBLE) / 7 < xbb - 0.419 * rb) AS ooc_mean,
+        |  (CAST(r AS DOUBLE) > 1.924 * rb)
+        |    OR (CAST(r AS DOUBLE) < 0.076 * rb) AS ooc_range
+        |FROM wk CROSS JOIN l2 ORDER BY week""".stripMargin,
+    "q_eta_squared" ->
+      """WITH cust AS (SELECT CAST(c_nationkey AS BIGINT) AS g,
+        |    CAST(round(c_acctbal) AS BIGINT) AS v FROM customer),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(v) AS BIGINT) AS s_g FROM cust GROUP BY 1),
+        |gl AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s1,
+        |    sum(CAST(v AS HUGEINT) * v) AS s2 FROM cust),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST((CAST(s_g AS HUGEINT) * s_g * 10000) // n_g
+        |      AS BIGINT)) AS ssb_grp4,
+        |    max(n) AS n, max(s1) AS s1, max(s2) AS s2
+        |  FROM grp CROSS JOIN gl),
+        |a2 AS (SELECT *, CAST((CAST(s1 AS HUGEINT) * s1 * 10000) // n
+        |    AS BIGINT) AS mean4 FROM a),
+        |b AS (SELECT *,
+        |    CAST(ssb_grp4 - mean4 AS DOUBLE) AS ssb4,
+        |    CAST(CAST(s2 AS HUGEINT) * 10000 - mean4 AS DOUBLE)
+        |      AS sst4 FROM a2),
+        |c AS (SELECT *, (sst4 - ssb4) / (n - k) AS msw4 FROM b)
+        |SELECT k, n,
+        |  floor(ssb4 / sst4 * 1e6 + 0.5) / 1e6 AS eta_squared,
+        |  floor((ssb4 - (k - 1) * msw4) / (sst4 + msw4) * 1e6 + 0.5)
+        |    / 1e6 AS omega_squared
+        |FROM c""".stripMargin,
+    "text_heaps_law" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nd
+        |    FROM documents),
+        |dk AS (SELECT doc_id,
+        |    md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r1 AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY h, doc_id) AS rk FROM dk),
+        |wb AS (SELECT doc_id, rk, ((rk - 1) * 10) // nd AS bucket
+        |  FROM r1 CROSS JOIN n),
+        |tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |tp AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tok
+        |  FROM tk JOIN wb USING (doc_id) GROUP BY 1),
+        |dt AS (SELECT DISTINCT doc_id, w FROM tk),
+        |fs AS (SELECT w, min(rk) AS first_rk
+        |  FROM dt JOIN wb USING (doc_id) GROUP BY 1),
+        |ty AS (SELECT ((first_rk - 1) * 10) // nd AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_type
+        |  FROM fs CROSS JOIN n GROUP BY 1),
+        |cm AS (SELECT tp.bucket,
+        |    CAST(sum(n_tok) OVER (ORDER BY tp.bucket ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok,
+        |    CAST(sum(coalesce(n_type, 0)) OVER (ORDER BY tp.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_type
+        |  FROM tp LEFT JOIN ty ON tp.bucket = ty.bucket),
+        |pts AS (SELECT
+        |    CAST(round(ln(CAST(cum_tok AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS x,
+        |    CAST(round(ln(CAST(cum_type AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS y FROM cm),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM pts),
+        |b AS (SELECT *, CAST(CAST(m AS HUGEINT) * sxy
+        |    - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(CAST(m AS HUGEINT) * sxx
+        |    - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS beta FROM m)
+        |SELECT m AS n_points,
+        |  floor(beta * 1e6 + 0.5) / 1e6 AS heaps_beta,
+        |  floor((CAST(sy AS DOUBLE) - beta * sx) / m / 1e6 * 1e6 + 0.5)
+        |    / 1e6 AS heaps_ln_k
+        |FROM b""".stripMargin,
   )
 }

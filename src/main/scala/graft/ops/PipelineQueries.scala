@@ -3362,6 +3362,61 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Heaps' law fit V = K·Nᵝ over the 10 portable-hash corpus
+    * checkpoints (the [[dataCoverageCurve]] deciles): vocabulary
+    * growth exponent β + ln K from a closed-form OLS on
+    * (ln N, ln V) — the companion exponent to text_zipf_slope.
+    * Cumulative token/type counts are exact longs; their logs fix to
+    * micro-nats, so the 10-point OLS moments are exact
+    * DECIMAL⇄HUGEINT and β/ln K are pinned doubles. */
+  def textHeapsLaw(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        exprs.md5Lower64(col("doc_id").cast("string")).as("h"))
+    val ranked = graft.ops.Ranks.globalRowNumber(docs,
+      Seq(col("h"), col("doc_id")), "rk")
+    val n = ranked.agg(count(lit(1)).as("n_docs"))
+    val withBucket = ranked.crossJoin(broadcast(n))
+      .withColumn("bucket", expr("((rk - 1) * 10) div n_docs"))
+      .localCheckpoint(true)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .localCheckpoint(true)
+    val tokPer = toks.join(withBucket, "doc_id")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_tok"))
+    val typePer = toks.distinct().join(withBucket, "doc_id")
+      .groupBy(col("w")).agg(min(col("rk")).as("first_rk"))
+      .crossJoin(broadcast(n))
+      .select(expr("((first_rk - 1) * 10) div n_docs").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_type"))
+    val cum = Ranks.globalScan(
+      tokPer.join(typePer, Seq("bucket"), "left")
+        .withColumn("n_type", coalesce(col("n_type"), lit(0L))),
+      Seq(col("bucket")),
+      sums = Seq(col("n_tok") -> "cum_tok", col("n_type") -> "cum_type"))
+    val pts = cum.select(
+      expr("CAST(round(ln(CAST(cum_tok AS DOUBLE)) * 1e6) AS BIGINT)")
+        .as("x"),
+      expr("CAST(round(ln(CAST(cum_type AS DOUBLE)) * 1e6) AS BIGINT)")
+        .as("y"))
+    pts.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .withColumn("beta", expr(
+        "CAST(CAST(m AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)" +
+          " / CAST(CAST(m AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"))
+      .select(col("m").as("n_points"),
+        (floor(col("beta") * 1e6 + 0.5) / 1e6).as("heaps_beta"),
+        (floor(expr("(CAST(sy AS DOUBLE) - beta * sx) / m / 1e6")
+          * 1e6 + 0.5) / 1e6).as("heaps_ln_k"))
+  }
+
   /** 3-shingle document-frequency histogram — the GRAIN-SELECTION
     * evidence behind the dedup design (shingle max-df ~25 vs
     * thousands for tokens is why the prefix-filter and LSH buckets

@@ -196,6 +196,73 @@ object Series {
         rnd(expr("beta / sqrt(s2 / sxxc)"), 4).as("t_df"))
   }
 
+  /** Turning-points randomness test of the daily revenue series: the
+    * count of local extrema vs the i.i.d. expectation 2(n−2)/3 with
+    * variance (16n−29)/90 — the cheap complement to
+    * [[Stats.qRunsTest]]. Extrema are PURE INTEGER comparisons on the
+    * e4 lattice (strict by construction: ties produce no turning
+    * point, documented), μ and σ² exact rationals, z one pinned
+    * double. */
+  def qTurningPoints(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev", lag(col("e4"), 1).over(w))
+      .withColumn("nxt", lead(col("e4"), 1).over(w))
+      .filter(col("prev").isNotNull && col("nxt").isNotNull)
+      .agg(count(lit(1)).as("n_interior"),
+        sum(when((col("e4") > col("prev") && col("e4") > col("nxt")) ||
+          (col("e4") < col("prev") && col("e4") < col("nxt")), 1L)
+          .otherwise(0L)).as("n_turns"))
+      .withColumn("n", col("n_interior") + 2)
+      .select(col("n"), col("n_turns"),
+        rnd(expr("2.0 * (n - 2) / 3"), 4).as("expected_turns"),
+        rnd(expr("(n_turns - 2.0 * (n - 2) / 3)" +
+          " / sqrt((16.0 * n - 29) / 90)"), 4).as("z_stat"))
+  }
+
+  /** Shewhart X̄-R control chart over weekly subgroups of daily
+    * revenue: center lines and control limits from the classic
+    * A2/D3/D4 constants (n=7 subgroups), plus the out-of-control
+    * census — the SPC readout. Subgroup means/ranges are exact
+    * integer rationals (mean kept as sum + count); limits are pinned
+    * doubles shared by every subgroup row, and every violation flag
+    * compares IDENTICAL doubles. Complete weeks only. */
+  def qControlChart(s: SparkSession, d: String): DataFrame = {
+    val (a2, d3, d4) = (0.419, 0.076, 1.924) // n=7 SPC constants
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+    val weeks = daily
+      .withColumn("week", date_trunc("week", col("day")).cast("date"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("e4")).as("s"),
+        (max(col("e4")) - min(col("e4"))).as("r"))
+      .filter(col("n_days") === 7)
+      .localCheckpoint(true)
+    val lims = broadcast(weeks.agg(count(lit(1)).as("n_weeks"),
+        sum(col("s")).as("ss"), sum(col("r")).as("sr"))
+      .select(col("n_weeks"),
+        expr("CAST(ss AS DOUBLE) / n_weeks / 7").as("xbb"),
+        expr("CAST(sr AS DOUBLE) / n_weeks").as("rb")))
+    weeks.crossJoin(lims)
+      .select(col("week"),
+        rnd(expr("CAST(s AS DOUBLE) / 7 / 10000"), 2).as("xbar"),
+        rnd(expr("CAST(r AS DOUBLE) / 10000"), 2).as("range_w"),
+        rnd(expr("xbb / 10000"), 2).as("center"),
+        rnd(expr(s"(xbb + $a2 * rb) / 10000"), 2).as("ucl_x"),
+        rnd(expr(s"(xbb - $a2 * rb) / 10000"), 2).as("lcl_x"),
+        (expr(s"CAST(s AS DOUBLE) / 7 > xbb + $a2 * rb") ||
+          expr(s"CAST(s AS DOUBLE) / 7 < xbb - $a2 * rb")).as("ooc_mean"),
+        (expr(s"CAST(r AS DOUBLE) > $d4 * rb") ||
+          expr(s"CAST(r AS DOUBLE) < $d3 * rb")).as("ooc_range"))
+      .orderBy(col("week"))
+  }
+
   /** Two-group log-rank test over the same right-censored
     * inter-purchase lives frame as [[qNelsonAalen]] (groups = the
     * portable md5 halves of the user id) — "do the two cohorts churn

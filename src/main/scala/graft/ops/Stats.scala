@@ -881,6 +881,43 @@ object Stats {
           " - 12 * CAST(n_blocks AS DOUBLE)"), 4).as("chi2_f"))
   }
 
+  /** ANOVA effect sizes η² and ω² for the one-way balance-by-nation
+    * design — the magnitude readout beside q_anova_f's significance
+    * (the [[qCramersV]] counterpart for a continuous response). SSB
+    * and SST come from exact integer moments on the shared
+    * n-denominator lattice (Σ S_g²·n div n_g − S² ⇄ nΣx² − S², both
+    * DECIMAL⇄HUGEINT with ≤1-unit division truncation far below the
+    * 6-dp outputs); η²/ω² are pinned doubles. */
+  def qEtaSquared(s: SparkSession, d: String): DataFrame = {
+    // DOLLAR lattice (not cents): keeps every ×10⁴ division RESULT
+    // inside a long — Spark's DECIMAL `div` returns long, and the
+    // n-scaled cent formulation overflowed it at sf0.1 (9e18 terms)
+    val cust = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("g"),
+        round(col("c_acctbal")).cast("long").as("v"))
+    val grp = cust.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("v")).as("s_g"))
+    val gl = broadcast(cust.agg(count(lit(1)).as("n"),
+      sum(col("v")).as("s1"),
+      sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2")))
+    grp.crossJoin(gl)
+      .agg(count(lit(1)).as("k"),
+        sum(expr("(CAST(s_g AS DECIMAL(38,0)) * s_g * 10000) div n_g"))
+          .as("ssb_grp4"),
+        max(col("n")).as("n"), max(col("s1")).as("s1"),
+        max(col("s2")).as("s2"))
+      .withColumn("mean4",
+        expr("(CAST(s1 AS DECIMAL(38,0)) * s1 * 10000) div n"))
+      .withColumn("ssb4", expr("CAST(ssb_grp4 - mean4 AS DOUBLE)"))
+      .withColumn("sst4",
+        expr("CAST(CAST(s2 AS DECIMAL(38,0)) * 10000 - mean4 AS DOUBLE)"))
+      .withColumn("msw4", expr("(sst4 - ssb4) / (n - k)"))
+      .select(col("k"), col("n"),
+        rnd(expr("ssb4 / sst4"), 6).as("eta_squared"),
+        rnd(expr("(ssb4 - (k - 1) * msw4) / (sst4 + msw4)"), 6)
+          .as("omega_squared"))
+  }
+
   /** Cramér's V effect size for the nation × market-segment customer
     * contingency — the strength readout beside q_chi_square's
     * significance. Each cell's χ² term (o·n − r·c)²/(n·r·c) is an

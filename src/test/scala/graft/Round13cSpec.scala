@@ -1063,6 +1063,103 @@ class Round13cSpec extends SparkSuite {
       dfm.values.max)
   }
 
+  test("turning points match the naive extrema replay") {
+    val r = graft.ops.Series.qTurningPoints(spark, sf).head()
+    val xs = dailyE4(flagged = false)("*").map(_._2)
+    val turns = (1 until xs.length - 1).count(i =>
+      (xs(i) > xs(i - 1) && xs(i) > xs(i + 1)) ||
+        (xs(i) < xs(i - 1) && xs(i) < xs(i + 1)))
+    val n = xs.length
+    assert(r.getLong(r.fieldIndex("n")) == n.toLong)
+    assert(r.getLong(r.fieldIndex("n_turns")) == turns.toLong)
+    val z = (turns - 2.0 * (n - 2) / 3) / math.sqrt((16.0 * n - 29) / 90)
+    assert(math.abs(r.getDouble(r.fieldIndex("z_stat")) - z) < 1e-3)
+  }
+
+  test("control chart matches the naive weekly replay") {
+    val out = graft.ops.Series.qControlChart(spark, sf).collect()
+    val days = dailyE4(flagged = false)("*")
+    val weeks = days.groupBy { case (d, _) =>
+      val ld = d.toLocalDate
+      ld.minusDays(ld.getDayOfWeek.getValue - 1L)
+    }.filter(_._2.length == 7)
+    assert(out.length == weeks.size)
+    val xbb = weeks.values.map(_.map(_._2).sum).sum.toDouble /
+      weeks.size / 7
+    val rb = weeks.values.map(v => v.map(_._2).max - v.map(_._2).min)
+      .sum.toDouble / weeks.size
+    val oocExp = weeks.values.count { v =>
+      val xb = v.map(_._2).sum.toDouble / 7
+      xb > xbb + 0.419 * rb || xb < xbb - 0.419 * rb
+    }
+    assert(out.count(_.getBoolean(out.head.fieldIndex("ooc_mean"))) ==
+      oocExp)
+    val r0 = out.head
+    assert(math.abs(r0.getDouble(r0.fieldIndex("center")) -
+      xbb / 10000) < 0.02)
+  }
+
+  test("eta/omega squared match the naive ANOVA replay") {
+    val r = graft.ops.Stats.qEtaSquared(spark, sf).head()
+    val pts = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"),
+        round(col("c_acctbal")).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1).toDouble))
+    val n = pts.length
+    val k = pts.map(_._1).distinct.length
+    val mu = pts.map(_._2).sum / n
+    val sst = pts.map(p => (p._2 - mu) * (p._2 - mu)).sum
+    val ssb = pts.groupBy(_._1).values.map { g =>
+      val gm = g.map(_._2).sum / g.length
+      g.length * (gm - mu) * (gm - mu)
+    }.sum
+    val eta = ssb / sst
+    val msw = (sst - ssb) / (n - k)
+    val omega = (ssb - (k - 1) * msw) / (sst + msw)
+    assert(math.abs(r.getDouble(r.fieldIndex("eta_squared")) - eta)
+      < 1e-4)
+    assert(math.abs(r.getDouble(r.fieldIndex("omega_squared")) - omega)
+      < 1e-4)
+  }
+
+  test("heaps law matches the naive growth-curve replay") {
+    val r = graft.ops.PipelineQueries.textHeapsLaw(spark, sf).head()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val ranked = docs.sortBy { case (id, _) =>
+      (graft.functions.Kernels.md5Lower64(
+        UTF8String.fromString(id.toString)), id)
+    }
+    val nd = ranked.length
+    val seen = scala.collection.mutable.Set.empty[String]
+    var (tokC, typC) = (0L, 0L)
+    val pts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var bucket = 0L
+    for (((_, text), i) <- ranked.zipWithIndex) {
+      val b = (i.toLong * 10) / nd
+      if (b != bucket) { pts += ((tokC, typC)); bucket = b }
+      for (w <- text.trim.split("\\s+") if w.nonEmpty) {
+        tokC += 1
+        if (seen.add(w)) typC += 1
+      }
+    }
+    pts += ((tokC, typC))
+    val xy = pts.map { case (a, b) =>
+      (math.round(math.log(a.toDouble) * 1e6).toDouble,
+        math.round(math.log(b.toDouble) * 1e6).toDouble)
+    }
+    val m = xy.length
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert(r.getLong(r.fieldIndex("n_points")) == 10L)
+    assert(math.abs(r.getDouble(r.fieldIndex("heaps_beta")) - beta)
+      < 1e-4,
+      s"${r.getDouble(r.fieldIndex("heaps_beta"))} vs $beta")
+  }
+
   test("sax word matches the naive PAA-quartile replay") {
     val out = graft.ops.Series.qSaxPaa(spark, sf).collect()
     val series = dailyE4(flagged = true)
