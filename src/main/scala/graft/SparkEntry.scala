@@ -1048,6 +1048,7 @@ object SparkEntry {
     "q_control_chart" -> (graft.ops.Series.qControlChart _),
     "q_eta_squared" -> (Stats.qEtaSquared _),
     "text_heaps_law" -> (PipelineQueries.textHeapsLaw _),
+    "q_absorbing_markov" -> (Behavior.qAbsorbingMarkov _),
   )
 
   /** q_personalized_pagerank oracle: 4 unrolled integer-lattice
@@ -1140,6 +1141,49 @@ object SparkEntry {
       |  FROM v JOIN c1 c ON v.dim = c.dim GROUP BY 1, 2),
       |""".stripMargin
 
+  /** q_absorbing_markov oracle: the transition census in SQL, then
+    * graft.ops.MarkovAlg's EXACT SAME formula text for the 3×3
+    * fundamental-matrix algebra — both engines compile one
+    * expression tree. */
+  private def absorbingMarkovOracle: String = {
+    val names = Seq("view" -> "v", "click" -> "c", "signup" -> "s",
+      "purchase" -> "p", "error" -> "e")
+    val cells = (for ((sn, st) <- names if st != "p" && st != "e";
+                      (dn, dt) <- names)
+      yield s"    CAST(sum(CASE WHEN src = '$sn' AND dst = '$dn'" +
+        s" THEN n ELSE 0 END) AS BIGINT) AS n_$st$dt").mkString(",\n")
+    val states = Seq("view", "click", "signup")
+    val outs = states.indices.flatMap { i =>
+      Seq(
+        s"  floor(${graft.ops.MarkovAlg.steps(i)} * 1e4 + 0.5) / 1e4" +
+          s" AS steps_${states(i)}",
+        s"  floor(${graft.ops.MarkovAlg.absorb(i, "p")} * 1e6 + 0.5)" +
+          s" / 1e6 AS p_purchase_${states(i)}",
+        s"  floor(${graft.ops.MarkovAlg.absorb(i, "e")} * 1e6 + 0.5)" +
+          s" / 1e6 AS p_error_${states(i)}")
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, event_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       |    COALESCE(CAST(sum(CASE WHEN event_type IN
+       |      ('purchase', 'error') THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY user_id ORDER BY CAST(floor(epoch(ts))
+       |      AS BIGINT), event_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING) AS BIGINT), 0) AS abs_before
+       |  FROM events),
+       |kept AS (SELECT * FROM ev WHERE abs_before = 0),
+       |pr AS (SELECT event_type AS src, lead(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY ts_s, event_id) AS dst
+       |  FROM kept),
+       |tc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM pr
+       |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |one AS (SELECT
+       |$cells
+       |  FROM tc)
+       |SELECT
+       |$outs
+       |FROM one""".stripMargin
+  }
+
   private val dailyFlagCte: String =
     """daily AS (SELECT l_returnflag AS flag,
       |    CAST(l_shipdate AS DATE) AS day,
@@ -1184,11 +1228,14 @@ object SparkEntry {
        |FROM g ORDER BY day""".stripMargin
   }
 
+  private lazy val extraOracles: Map[String, String] =
+    Map("q_absorbing_markov" -> absorbingMarkovOracle)
+
   /** stream_event_pattern and stream_dedup_minhash are contracted to
     * equal their batch twins, so they share the batch oracle SQL
     * verbatim. */
   def oracleSql: Map[String, String] =
-    oracleSqlBase +
+    oracleSqlBase ++ extraOracles +
       ("stream_dau_mau" -> oracleSqlBase("q_dau_mau")) +
       ("stream_event_pattern" -> oracleSqlBase("q_event_pattern")) +
       ("stream_dedup_minhash" -> oracleSqlBase("dedup_incremental")) +

@@ -173,6 +173,53 @@ object Behavior {
     * both engines run identical IEEE arithmetic and the result is
     * bit-stable — and a bounded frame keeps the window O(1)/row. One
     * shuffle for the monthly rollup; the window reuses its partitioning. */
+  /** Absorbing-Markov funnel analysis: treating view/click/signup as
+    * transient states and the FIRST purchase/error as absorption,
+    * emit each transient state's expected steps to absorption and its
+    * absorption-probability split — the closed-form chain analytics
+    * above [[qMarkovChain]]'s raw transition matrix. Sequences
+    * truncate at the first absorbing event (the chain must actually
+    * absorb); the 15-cell transition census is exact longs; the 3×3
+    * fundamental matrix N = (I−Q)⁻¹ comes from [[MarkovAlg]]'s
+    * adjugate formulas, whose expression TEXT is shared verbatim with
+    * the oracle — both engines evaluate the identical arithmetic
+    * tree. */
+  def qAbsorbingMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      .withColumn("abs_before",
+        coalesce(sum(when(col("event_type").isin("purchase", "error"),
+          1L).otherwise(0L)).over(wPrev), lit(0L)))
+      .filter(col("abs_before") === 0)
+    val pairs = ev
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tag = Map("view" -> "v", "click" -> "c", "signup" -> "s",
+      "purchase" -> "p", "error" -> "e")
+    val cells = for ((sn, st) <- tag.toSeq if st != "p" && st != "e";
+                     (dn, dt) <- tag.toSeq)
+      yield sum(when(col("src") === sn && col("dst") === dn, col("n"))
+        .otherwise(0L)).as(s"n_$st$dt")
+    val one = pairs.agg(cells.head, cells.tail: _*)
+    val states = Seq("view", "click", "signup")
+    one.select(
+      states.indices.flatMap { i =>
+        Seq(
+          (floor(expr(MarkovAlg.steps(i)) * 1e4 + 0.5) / 1e4)
+            .as(s"steps_${states(i)}"),
+          (floor(expr(MarkovAlg.absorb(i, "p")) * 1e6 + 0.5) / 1e6)
+            .as(s"p_purchase_${states(i)}"),
+          (floor(expr(MarkovAlg.absorb(i, "e")) * 1e6 + 0.5) / 1e6)
+            .as(s"p_error_${states(i)}"))
+      }: _*)
+  }
+
   /** DAU/MAU stickiness per month — the engagement-ratio readout: how
     * much of the monthly audience shows up on an average day. Two
     * distinct-count rollups (per-day, per-month); the daily counts

@@ -1160,6 +1160,66 @@ class Round13cSpec extends SparkSuite {
       s"${r.getDouble(r.fieldIndex("heaps_beta"))} vs $beta")
   }
 
+  test("absorbing markov matches the naive chain replay") {
+    val r = graft.ops.Behavior.qAbsorbingMarkov(spark, sf).head()
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getLong(3)))
+    val absorbing = Set("purchase", "error")
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((_, g) <- ev.groupBy(_._1)) {
+      val seq0 = g.sortBy(e => (e._4, e._2)).map(_._3)
+      val cut = seq0.indexWhere(absorbing)
+      val seqK = (if (cut >= 0) seq0.take(cut + 1) else seq0).toSeq
+      if (seqK.length > 1)
+        for (w2 <- seqK.sliding(2)) {
+          val (a, b) = (w2.head, w2(1))
+          trans((a, b)) = trans.getOrElse((a, b), 0L) + 1
+        }
+    }
+    val ts = Seq("view", "click", "signup")
+    val all = ts ++ Seq("purchase", "error")
+    def rowSum(i: String) = all.map(j =>
+      trans.getOrElse((i, j), 0L)).sum.toDouble
+    // N = (I - Q)^-1 via Gaussian elimination on the 3x3
+    val a = Array.tabulate(3, 3)((i, j) =>
+      (if (i == j) 1.0 else 0.0) -
+        trans.getOrElse((ts(i), ts(j)), 0L) / rowSum(ts(i)))
+    val inv = {
+      val m = Array.tabulate(3, 6)((i, j) =>
+        if (j < 3) a(i)(j) else if (j - 3 == i) 1.0 else 0.0)
+      for (c <- 0 until 3) {
+        val p = (c until 3).maxBy(r0 => math.abs(m(r0)(c)))
+        val t = m(c); m(c) = m(p); m(p) = t
+        val d0 = m(c)(c)
+        for (j <- 0 until 6) m(c)(j) /= d0
+        for (r0 <- 0 until 3 if r0 != c) {
+          val f = m(r0)(c)
+          for (j <- 0 until 6) m(r0)(j) -= f * m(c)(j)
+        }
+      }
+      Array.tabulate(3, 3)((i, j) => m(i)(j + 3))
+    }
+    for (i <- 0 until 3) {
+      val steps = inv(i).sum
+      val pBuy = (0 until 3).map(j => inv(i)(j) *
+        trans.getOrElse((ts(j), "purchase"), 0L) / rowSum(ts(j))).sum
+      val pErr = (0 until 3).map(j => inv(i)(j) *
+        trans.getOrElse((ts(j), "error"), 0L) / rowSum(ts(j))).sum
+      assert(math.abs(r.getDouble(r.fieldIndex(s"steps_${ts(i)}")) -
+        steps) < 1e-3, s"${ts(i)} steps")
+      assert(math.abs(r.getDouble(
+        r.fieldIndex(s"p_purchase_${ts(i)}")) - pBuy) < 1e-4)
+      assert(math.abs(r.getDouble(r.fieldIndex(s"p_error_${ts(i)}")) -
+        pErr) < 1e-4)
+      // absorbing-chain identity
+      assert(math.abs(pBuy + pErr - 1.0) < 1e-9)
+    }
+  }
+
   test("sax word matches the naive PAA-quartile replay") {
     val out = graft.ops.Series.qSaxPaa(spark, sf).collect()
     val series = dailyE4(flagged = true)
