@@ -177,7 +177,17 @@ object PlanAudit {
       "embed_hard_negatives (label filter rides the broadcast join — drops before scoring)" ->
         PipelineQueries.embedHardNegatives(spark, d),
       "text_oov_rate (token md5-64 hashes shuffle; one distinct rollup + membership join)" ->
-        PipelineQueries.textOovRate(spark, d))
+        PipelineQueries.textOovRate(spark, d),
+      "q_ktruss (support via distributed two-path join — no adjacency broadcast/collect)" ->
+        graft.ops.Mining.qKtruss(spark, d),
+      "q_personalized_pagerank (integer-lattice rounds; shuffles keyed on node id; no doubles)" ->
+        graft.ops.Mining.qPersonalizedPagerank(spark, d),
+      "q_itemset3 (candidate semi-joins bound the triple enumeration by the frequent-pair relation)" ->
+        graft.ops.Mining.qItemset3(spark, d),
+      "q_roc_auc (one groupBy(score) histogram; CDFs on the ranged scan — no per-row rank)" ->
+        graft.ops.MlEval.qRocAuc(spark, d),
+      "text_cooc_pmi (pair relation from unique-key equi-joins on (doc, pos+k); unigrams joined after the top-30 cut)" ->
+        PipelineQueries.textCoocPmi(spark, d))
     val out = new StringBuilder
     out.append("# PLANS — physical-plan audit (generated by " +
       "graft.tools.PlanAudit)\n\n")
