@@ -1193,16 +1193,22 @@ object SparkEntry {
 
   /** q_macd oracle, generated from the SAME Scala weight vectors the
     * Spark plan embeds (graft.ops.Series.macdFast/Slow/Sig) so neither
-    * engine executes `pow`: truncated EMAs as fixed left-associated
-    * coalesce chains over window lags — Double.toString literals are
-    * shortest-roundtrip, so DuckDB parses back the identical bits. */
+    * engine executes `pow`. Every weight literal is CAST to DOUBLE:
+    * DuckDB parses a bare decimal literal as DECIMAL(18,17) and would
+    * fold the EMA numerator in exact decimal while Spark folds binary
+    * doubles (measured ~6e-5 e4-unit divergence). With the casts both
+    * engines run the identical left-associated double chain, and each
+    * EMA stage is re-pinned to the integer e7 lattice before the next
+    * stage / output rounding consumes it, matching the Spark plan. */
   private def macdOracle: String = {
     def num(src: String, ws: Seq[Double]) = ws.zipWithIndex.map {
-      case (w, k) => s"coalesce(lag($src, $k) OVER win * $w, 0.0)"
+      case (w, k) =>
+        s"coalesce(lag($src, $k) OVER win * CAST($w AS DOUBLE), 0.0)"
     }.mkString(" + ")
     def den(src: String, ws: Seq[Double]) = ws.zipWithIndex.map {
       case (w, k) =>
-        s"CASE WHEN lag($src, $k) OVER win IS NULL THEN 0.0 ELSE $w END"
+        s"CASE WHEN lag($src, $k) OVER win IS NULL THEN 0.0" +
+          s" ELSE CAST($w AS DOUBLE) END"
     }.mkString(" + ")
     val f = graft.ops.Series.macdFast
     val sl = graft.ops.Series.macdSlow
@@ -1212,19 +1218,24 @@ object SparkEntry {
        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
        |  FROM lineitem GROUP BY 1),
        |m AS (SELECT day, e4,
-       |    (${num("e4", f)}) / (${den("e4", f)})
-       |      - (${num("e4", sl)}) / (${den("e4", sl)}) AS macd_e4
+       |    CAST(floor((${num("e4", f)}) / (${den("e4", f)})
+       |      * 1000 + 0.5) AS BIGINT)
+       |    - CAST(floor((${num("e4", sl)}) / (${den("e4", sl)})
+       |      * 1000 + 0.5) AS BIGINT) AS macd_e7
        |  FROM daily WINDOW win AS (ORDER BY day)),
-       |g AS (SELECT day, e4, macd_e4,
-       |    (${num("macd_e4", sg)}) / (${den("macd_e4", sg)}) AS signal_e4
+       |g AS (SELECT day, e4, macd_e7,
+       |    CAST(floor((${num("macd_e7", sg)}) / (${den("macd_e7", sg)})
+       |      + 0.5) AS BIGINT) AS sig_e7
        |  FROM m WINDOW win AS (ORDER BY day))
        |SELECT day,
        |  floor(CAST(e4 AS DOUBLE) / 10000 * 100.0 + 0.5) / 100.0
        |    AS revenue,
-       |  floor(macd_e4 / 10000 * 10000.0 + 0.5) / 10000.0 AS macd,
-       |  floor(signal_e4 / 10000 * 10000.0 + 0.5) / 10000.0 AS signal,
-       |  floor((macd_e4 - signal_e4) / 10000 * 10000.0 + 0.5) / 10000.0
-       |    AS histogram
+       |  floor(CAST(macd_e7 AS DOUBLE) / 1e7 * 10000.0 + 0.5) / 10000.0
+       |    AS macd,
+       |  floor(CAST(sig_e7 AS DOUBLE) / 1e7 * 10000.0 + 0.5) / 10000.0
+       |    AS signal,
+       |  floor(CAST(macd_e7 - sig_e7 AS DOUBLE) / 1e7 * 10000.0 + 0.5)
+       |    / 10000.0 AS histogram
        |FROM g ORDER BY day""".stripMargin
   }
 
@@ -8313,7 +8324,7 @@ object SparkEntry {
         |FROM e""".stripMargin,
     "q_tukey_hsd" ->
       """WITH cust AS (SELECT CAST(c_nationkey AS BIGINT) AS g,
-        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+        |    CAST(round(c_acctbal) AS BIGINT) AS v FROM customer),
         |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
         |    CAST(sum(v) AS BIGINT) AS s,
         |    sum(CAST(v AS HUGEINT) * v) AS s2 FROM cust GROUP BY 1),
@@ -8321,9 +8332,9 @@ object SparkEntry {
         |    - (CAST(s AS HUGEINT) * s * 10000) // n_g) AS DOUBLE)
         |    / 10000 / (sum(n_g) - count(*)) AS msw FROM grp)
         |SELECT a.g AS g_i, b.g AS g_j, a.n_g AS n_i, b.n_g AS n_j,
-        |  floor(CAST(a.s AS DOUBLE) / a.n_g / 100 * 1e4 + 0.5) / 1e4
+        |  floor(CAST(a.s AS DOUBLE) / a.n_g * 1e4 + 0.5) / 1e4
         |    AS mean_i,
-        |  floor(CAST(b.s AS DOUBLE) / b.n_g / 100 * 1e4 + 0.5) / 1e4
+        |  floor(CAST(b.s AS DOUBLE) / b.n_g * 1e4 + 0.5) / 1e4
         |    AS mean_j,
         |  floor(abs(CAST(a.s AS DOUBLE) / a.n_g
         |    - CAST(b.s AS DOUBLE) / b.n_g)
@@ -8592,9 +8603,11 @@ object SparkEntry {
         |    CAST(round(1e6 / ln(rnk + 1)) AS BIGINT) AS disc6
         |  FROM r JOIN lc USING (q_lbl) WHERE rnk <= 10),
         |pq AS (SELECT q_id,
-        |    CAST(round(CAST(sum(rel * disc6) AS DOUBLE)
-        |      / sum(CASE WHEN rnk <= n_rel THEN disc6 ELSE 0 END)
-        |      * 1e6) AS BIGINT) AS ndcg6,
+        |    CASE WHEN sum(CASE WHEN rnk <= n_rel THEN disc6 ELSE 0 END)
+        |        = 0 THEN 0
+        |      ELSE CAST(round(CAST(sum(rel * disc6) AS DOUBLE)
+        |        / sum(CASE WHEN rnk <= n_rel THEN disc6 ELSE 0 END)
+        |        * 1e6) AS BIGINT) END AS ndcg6,
         |    coalesce(max(CASE WHEN rel = 1
         |      THEN CAST(round(1e6 / rnk) AS BIGINT) END), 0) AS rr6,
         |    CAST(sum(rel) AS BIGINT) AS n_rel_10

@@ -3490,7 +3490,12 @@ object PipelineQueries {
           expr("CAST(round(1e6 / rnk) AS BIGINT)"))).as("rr6"),
         sum(col("rel")).as("n_rel_10"))
       .select(col("q_id"),
-        expr("CAST(round(CAST(dcg6 AS DOUBLE) / idcg6 * 1e6) AS BIGINT)")
+        // a query whose label has exactly one corpus member (or whose
+        // top-10 has idcg6 = 0) would give 0/0 = NaN, and NaN→BIGINT
+        // casts disagree cross-engine (Spark yields 0, DuckDB raises):
+        // guard the zero case identically on both sides
+        expr("CASE WHEN idcg6 = 0 THEN 0 ELSE " +
+          "CAST(round(CAST(dcg6 AS DOUBLE) / idcg6 * 1e6) AS BIGINT) END")
           .as("ndcg6"),
         coalesce(col("rr6"), lit(0L)).as("rr6"), col("n_rel_10"))
     perQ.agg(count(lit(1)).as("n_queries"),

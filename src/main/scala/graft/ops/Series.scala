@@ -390,8 +390,17 @@ object Series {
     * form (normalized by the present-weight sum, so the series warms
     * up exactly like [[Behavior.qEwma]]); the weights are Scala
     * compile-time doubles embedded as full-precision literals in both
-    * plans, lags over the calendar-bounded daily frame, and every
-    * sum is a fixed left-associated chain of identical doubles. */
+    * plans. Every EMA STAGE is re-pinned onto an integer lattice
+    * (e7 = e4·1000) before anything consumes it — the round-then-fold
+    * convention — so macd, signal and histogram are integer
+    * differences and the final 4-dp rounding divides identical
+    * rationals. (DuckDB parses bare decimal literals as
+    * DECIMAL(18,17) and would accumulate the EMA numerator in exact
+    * decimal while Spark folds binary doubles; the oracle therefore
+    * CASTs every weight literal to DOUBLE so both engines fold the
+    * same left-associated double chain, and the per-stage lattice
+    * rounds bound any residual divergence away from the output
+    * grid.) */
   def qMacd(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.lineitem(s, d)
       .groupBy(col("l_shipdate").cast("date").as("day"))
@@ -410,15 +419,19 @@ object Series {
       num / den
     }
     val withMacd = daily
-      .withColumn("macd_e4", ema(col("e4"), macdFast) -
-        ema(col("e4"), macdSlow))
+      .withColumn("fast_e7",
+        floor(ema(col("e4"), macdFast) * 1000 + lit(0.5)).cast("long"))
+      .withColumn("slow_e7",
+        floor(ema(col("e4"), macdSlow) * 1000 + lit(0.5)).cast("long"))
+      .withColumn("macd_e7", col("fast_e7") - col("slow_e7"))
     withMacd
-      .withColumn("signal_e4", ema(col("macd_e4"), macdSig))
+      .withColumn("sig_e7",
+        floor(ema(col("macd_e7"), macdSig) + lit(0.5)).cast("long"))
       .select(col("day"),
         rnd(col("e4").cast("double") / 10000, 2).as("revenue"),
-        rnd(col("macd_e4") / 10000, 4).as("macd"),
-        rnd(col("signal_e4") / 10000, 4).as("signal"),
-        rnd((col("macd_e4") - col("signal_e4")) / 10000, 4)
+        rnd(col("macd_e7").cast("double") / 1e7, 4).as("macd"),
+        rnd(col("sig_e7").cast("double") / 1e7, 4).as("signal"),
+        rnd((col("macd_e7") - col("sig_e7")).cast("double") / 1e7, 4)
           .as("histogram"))
       .orderBy(col("day"))
   }

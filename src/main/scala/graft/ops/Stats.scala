@@ -795,16 +795,21 @@ object Stats {
     * of balances across nations: studentized-range q for every nation
     * pair + the significance flag at the fixed k=25 critical value.
     * MSW rides [[qTwoWayAnova]]'s division lattice (S²·10⁴ div n per
-    * group — truncation ≤1e-4 cent², far below 4-dp q); the 300-row
+    * group — truncation ≤1e-4 dollar², far below 4-dp q); the 300-row
     * pair frame is a self-join of the 25-row group census, so the
     * only corpus-scaled work is ONE grouped integer-moment rollup.
     * The significance comparison is between IDENTICAL doubles on both
-    * engines, so the flag cannot flip. */
+    * engines, so the flag cannot flip. Balances are latticed at WHOLE
+    * DOLLARS (round(c_acctbal), the q_eta_squared convention), not
+    * cents: the cent lattice put S²·10⁴ div n at ~1.2e18 per nation
+    * at sf0.1 — only ~7× under Spark's LONG-returning DECIMAL-div
+    * ceiling — whereas the dollar lattice keeps ~4 orders of headroom
+    * through sf100. */
   def qTukeyHsd(s: SparkSession, d: String): DataFrame = {
     val qCrit = 5.03 // studentized range, k=25, df→∞, α=0.05
     val grp = Tables.customer(s, d)
       .select(col("c_nationkey").cast("long").as("g"),
-        round(col("c_acctbal") * 100).cast("long").as("v"))
+        round(col("c_acctbal")).cast("long").as("v"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_g"), sum(col("v")).as("s"),
         sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("s2"))
@@ -828,8 +833,8 @@ object Stats {
         "abs(CAST(si AS DOUBLE) / n_i - CAST(sj AS DOUBLE) / n_j)" +
           " / sqrt(msw / 2 * (1.0 / n_i + 1.0 / n_j))"))
       .select(col("g_i"), col("g_j"), col("n_i"), col("n_j"),
-        rnd(expr("CAST(si AS DOUBLE) / n_i / 100"), 4).as("mean_i"),
-        rnd(expr("CAST(sj AS DOUBLE) / n_j / 100"), 4).as("mean_j"),
+        rnd(expr("CAST(si AS DOUBLE) / n_i"), 4).as("mean_i"),
+        rnd(expr("CAST(sj AS DOUBLE) / n_j"), 4).as("mean_j"),
         rnd(col("q_raw"), 4).as("q_stat"),
         (col("q_raw") > qCrit).as("significant"))
       .orderBy(col("g_i"), col("g_j"))

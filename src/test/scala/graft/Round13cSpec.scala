@@ -548,9 +548,11 @@ class Round13cSpec extends SparkSuite {
 
   test("tukey hsd matches the naive pairwise replay") {
     val out = graft.ops.Stats.qTukeyHsd(spark, sf).collect()
+    // whole-dollar lattice since the r14 ADVICE re-lattice (headroom
+    // for the LONG-returning DECIMAL div at sf1+)
     val pts = graft.sources.Tables.customer(spark, sf)
       .select(col("c_nationkey").cast("long"),
-        round(col("c_acctbal") * 100).cast("long"))
+        round(col("c_acctbal")).cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val byG = pts.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val nTot = pts.length
