@@ -1622,31 +1622,77 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Time-ordered source copies for the watermarked-dedup streams
+    * (streamSrm / streamDauMau): the events corpus split into 4
+    * CHRONOLOGICAL single-file chunks written sequentially, so
+    * FileStreamSource's modification-time order replays them
+    * oldest-first under `maxFilesPerTrigger=1` and the watermark
+    * advances monotonically batch over batch — the shape that lets
+    * `dropDuplicatesWithinWatermark` actually EVICT dedup state
+    * mid-run instead of holding every key for the query's lifetime.
+    * One copy per corpus dir per process (the cartSrcDirs pattern);
+    * production ingest is already time-partitioned — this seam only
+    * recreates that arrival order from the static fixture. */
+  private val chronoSrcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def chronoEventsDir(spark: SparkSession, sfDir: String): String =
+    chronoSrcDirs.computeIfAbsent(sfDir, _ => {
+      val dir = graft.util.Scratch.dir("graft_chrono_src").toString + "/in"
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect()(0) // 1 row
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      for (i <- 0 until 4) {
+        val cLo = lo + (hi - lo + 1) * i / 4
+        val cHi = lo + (hi - lo + 1) * (i + 1) / 4
+        ev.filter(unix_micros(col("ts")) >= cLo &&
+            unix_micros(col("ts")) < cHi)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      dir
+    })
+
   /** STREAMING sample-ratio-mismatch monitor —
     * [[graft.ops.Mining.qAbSrm]] as a continuous query: the
     * experiment-health alarm running ON the ingest stream instead of
-    * at readout time. `dropDuplicates("user_id")` keeps first-seen
-    * users (one state row per user — the same bound any streaming
-    * distinct pays), the arm is a stateless portable-hash projection,
-    * and the arm counts fold associatively across forced multi-batch,
-    * so the converged table equals the batch census; the chi-square
-    * arithmetic runs post-stream on the 2-row frame, landing in the
-    * identical statistic. Shares q_ab_srm's oracle verbatim. */
+    * at readout time. First-seen users via
+    * `dropDuplicatesWithinWatermark("user_id")` under a 45-day
+    * watermark — the ENROLLMENT-HORIZON contract: state is bounded by
+    * users active within the trailing ~2×45 days (each key's row is
+    * evicted once the watermark passes its event time + delay), and
+    * dedup is EXACT for any experiment whose enrollment window fits
+    * inside 2×horizon, because the watermark trails max-event-time by
+    * the same delay — a first-seen row cannot be evicted before every
+    * in-window duplicate has arrived. (The r13 form held plain
+    * `dropDuplicates` state for the query's LIFETIME — correct on a
+    * bounded corpus, unbounded on an unbounded stream.) The source
+    * replays in chronological file order so the watermark advances
+    * monotonically; arm projection and the chi-square fold the
+    * first-seen emissions post-stream (they were always the readout).
+    * Shares q_ab_srm's oracle verbatim. */
   def streamSrm(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
-    val ev = eventStream(spark, sfDir)
-    val arms = ev.select(col("user_id"))
-      .dropDuplicates("user_id")
-      .select(pmod(graft.functions.exprs.md5Lower64(
-        col("user_id").cast("string"))
-        .bitwiseAND(lit(Long.MaxValue)), lit(2L)).as("arm"))
-      .groupBy(col("arm")).agg(count(lit(1)).as("n"))
+    val src = chronoEventsDir(spark, sfDir)
+    val schema = spark.read.parquet(src).schema
+    val firstSeen = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+      .withWatermark("ts", "45 days")
+      .select(col("user_id"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id")
     val name = s"graft_stream_srm_${n.incrementAndGet()}"
-    val q = arms.writeStream
-      .outputMode("complete").format("memory").queryName(name)
+    val q = firstSeen.writeStream
+      .outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     StreamMeter.record(q)
     spark.table(name)
+      .select(pmod(graft.functions.exprs.md5Lower64(
+        col("user_id").cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)), lit(2L)).as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n"))
       .agg(sum(when(col("arm") === 0, col("n"))).as("n_a"),
         sum(when(col("arm") === 1, col("n"))).as("n_b"))
       .select(col("n_a"), col("n_b"),
@@ -2057,40 +2103,54 @@ object Events {
   }
 
   /** STREAMING DAU/MAU stickiness: the q_dau_mau engagement ratio
-    * maintained live on the ingest stream. Two stateful queries over
-    * the same source: distinct (user, day) → daily counts (state one
-    * row per user-day — the bound any streaming daily-active distinct
-    * pays) and distinct (user, month) → MAU. Both dedup states are
-    * ORDER-INSENSITIVE (existence only), so the converged tables
-    * equal the batch censuses regardless of micro-batch chopping —
-    * shares q_dau_mau's oracle verbatim. */
+    * maintained live on the ingest stream. Two watermarked first-seen
+    * streams over the chronological source: distinct (user, day)
+    * under a 2-day watermark and distinct (user, month) under a
+    * 20-day watermark, both via `dropDuplicatesWithinWatermark` so a
+    * key's state row is EVICTED once the watermark passes its event
+    * time + delay — state is bounded by users active in the trailing
+    * ~2×delay horizon, not by the stream's lifetime (the r13
+    * unbounded-`dropDuplicates` shape this replaces). Dedup stays
+    * EXACT because every duplicate of a (user, day) key lies within
+    * 1 day of the first sighting (< 2×2d) and of a (user, month) key
+    * within 31 days (< 2×20d), and the watermark trails max-event-time
+    * by the delay — a first-seen row outlives all its duplicates'
+    * arrivals. First-seen emissions land append-mode in the sink; the
+    * daily/monthly counts fold them post-stream (existence census →
+    * count, order-insensitive), landing in the batch numbers — shares
+    * q_dau_mau's oracle verbatim. Mid-run eviction is pinned by
+    * Round14Spec via [[StreamMeter.stateEvictions]]. */
   def streamDauMau(spark: SparkSession, sfDir: String): DataFrame =
     withStreamShuffle(spark) {
+      val src = chronoEventsDir(spark, sfDir)
+      val schema = spark.read.parquet(src).schema
+      def firstSeen(keys: Seq[String], delay: String,
+          name: String): DataFrame = {
+        val st = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$src/*.parquet")
+          .withWatermark("ts", delay)
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM").as("month"),
+            to_date(col("ts")).as("day"), col("ts"))
+          .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+        val q = st.writeStream.outputMode("append").format("memory")
+          .queryName(name).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        StreamMeter.record(q)
+        spark.table(name)
+      }
       val dName = s"graft_stream_daumau_d_${n.incrementAndGet()}"
       val mName = s"graft_stream_daumau_m_${n.incrementAndGet()}"
-      val dau = eventStream(spark, sfDir)
-        .select(col("user_id"),
-          date_format(col("ts"), "yyyy-MM").as("month"),
-          to_date(col("ts")).as("day"))
-        .dropDuplicates("user_id", "day")
+      val dFirst = firstSeen(Seq("user_id", "day"), "2 days", dName)
+      val mFirst = firstSeen(Seq("user_id", "month"), "20 days", mName)
+      val dm = dFirst
         .groupBy(col("month"), col("day")).agg(count(lit(1)).as("dau"))
-      val q1 = dau.writeStream.outputMode("complete").format("memory")
-        .queryName(dName).trigger(Trigger.AvailableNow()).start()
-      q1.awaitTermination()
-      StreamMeter.record(q1)
-      val mau = eventStream(spark, sfDir)
-        .select(col("user_id"),
-          date_format(col("ts"), "yyyy-MM").as("month"))
-        .dropDuplicates("user_id", "month")
-        .groupBy(col("month")).agg(count(lit(1)).as("mau"))
-      val q2 = mau.writeStream.outputMode("complete").format("memory")
-        .queryName(mName).trigger(Trigger.AvailableNow()).start()
-      q2.awaitTermination()
-      StreamMeter.record(q2)
-      val dm = spark.table(dName)
         .groupBy(col("month"))
         .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
-      dm.join(spark.table(mName), "month")
+      val mau = mFirst.groupBy(col("month"))
+        .agg(count(lit(1)).as("mau"))
+      dm.join(mau, "month")
         .select(col("month"), col("n_days"),
           (floor(expr("CAST(dau_sum AS DOUBLE) / n_days") * 1e4 + 0.5)
             / 1e4).as("avg_dau"),

@@ -23,6 +23,14 @@ object StreamMeter {
     * never grow a symmetric-hash-join operator). */
   val stateOps = new ConcurrentHashMap[String, Seq[(String, Long)]]()
 
+  /** name-prefix → (operatorName, finalNumRowsTotal,
+    * Σ numRowsRemoved across the run's micro-batches) per state
+    * operator — lets specs assert a watermarked dedup actually
+    * EVICTED state mid-run (the r13 verdict's bounded-streaming-
+    * distinct order) instead of holding every key forever. */
+  val stateEvictions =
+    new ConcurrentHashMap[String, Seq[(String, Long, Long)]]()
+
   /** Record a finished query's progress. Call after awaitTermination —
     * recentProgress retains the (bounded) run just completed. */
   def record(q: StreamingQuery): Unit = {
@@ -37,6 +45,13 @@ object StreamMeter {
       stats.put(key, (rows, ms / 1000.0, ps.length))
       stateOps.put(key, ps.last.stateOperators.toSeq
         .map(s => (s.operatorName, s.numRowsTotal)))
+      stateEvictions.put(key, ps.last.stateOperators.toSeq.zipWithIndex
+        .map { case (s, i) =>
+          val removed = ps.toSeq
+            .filter(_.stateOperators.length > i)
+            .map(_.stateOperators(i).numRowsRemoved).sum
+          (s.operatorName, s.numRowsTotal, removed)
+        })
     }
   }
 
