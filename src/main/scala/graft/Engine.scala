@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.json.{Assemble, Shred}
-import graft.json.Shred.{ChildArray, ChildObject, Rel}
+import graft.json.Shred.{ChildArray, ChildArray2, ChildObject, Rel}
 
 /** The user-facing facade mirroring the reference's API surface:
   *
@@ -62,6 +62,7 @@ class Engine(spark: SparkSession, warehouse: String,
       line.split("\\|") match {
         case Array("obj", p, c) => ChildObject(p, c)
         case Array("arr", p, c) => ChildArray(p, c)
+        case Array("ar2", p, c) => ChildArray2(p, c)
         case other => throw new IllegalStateException(
           s"bad manifest line: ${other.mkString("|")}")
       }
@@ -74,6 +75,7 @@ class Engine(spark: SparkSession, warehouse: String,
       rels.distinct.map {
         case ChildObject(p, c) => s"obj|$p|$c"
         case ChildArray(p, c) => s"arr|$p|$c"
+        case ChildArray2(p, c) => s"ar2|$p|$c"
       }
     val out = fs.create(manifestPath, true)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -135,8 +137,29 @@ class Engine(spark: SparkSession, warehouse: String,
               struct(childFull.columns.map(col): _*).as("_cs"))
             df.join(childStruct, col(c) === col("_ck"), "left")
               .drop("_ck").drop(c).withColumnRenamed("_cs", c)
+          case ChildArray2(p, c) =>
+            // positional 2-d re-nest: inner arrays rebuilt by ipos,
+            // outer by pos — (pos, ipos) is unique per parent, so the
+            // struct sort is total and the roundtrip is exact
+            val nested2 = childFull
+              .groupBy(col(p), col("pos"))
+              .agg(expr("transform(array_sort(collect_list(" +
+                "struct(ipos, value))), x -> x.value)").as("_ia"))
+              .groupBy(col(p))
+              .agg(expr("transform(array_sort(collect_list(" +
+                "struct(pos, _ia))), x -> x._ia)").as("_oa"))
+            df.join(nested2.select(col(p).as("_ck"), col("_oa")),
+                col(key) === col("_ck"), "left")
+              .drop("_ck").withColumnRenamed("_oa", c)
         }
       }
+
+  /** Bulk re-assembly of a stored table to its nested document form —
+    * [[getJson]]'s recursive re-nest without the per-document collect,
+    * so the whole corpus re-nests as one distributed plan. */
+  def nested(tableName: String, key: String = "rowNum"): DataFrame =
+    assemble(tableName, table(tableName), key, readManifest()._2,
+      Set.empty)
 
   /** Point lookup re-assembled to one nested JSON document. */
   def getJson(tableName: String, keyValue: Long,
@@ -228,12 +251,38 @@ class Engine(spark: SparkSession, warehouse: String,
       base.join(broadcast(keys.select(col(key))), Seq(key), "left_anti")
     }
 
+  /** Contract/test seam: invoked after the staged contents are fully
+    * written, immediately before the moveaside rename — the window in
+    * which a CONCURRENT writer's publish must be detected by the etag
+    * re-check below. Engine-instance-scoped, defaults to a no-op. */
+  private[graft] var beforeSwap: String => Unit = _ => ()
+
+  /** Version fingerprint of a table dir: the sorted (name, length)
+    * census of its files. Spark writes parquet parts under fresh UUID
+    * names, so two different publishes of the same table can never
+    * collide — the listing is an etag. */
+  private def dirTag(f: FileSystem, p: Path): String =
+    f.listStatus(p).map(st => s"${st.getPath.getName}:${st.getLen}")
+      .sorted.mkString(",")
+
   /** Shared staged-swap skeleton: compute the replacement contents from
     * the live table, publish by rename, recover crash leftovers first.
     * A crash between rename(live→old) and rename(staged→live) leaves
     * `__old` as the ONLY copy of the table — deleting it then would
     * destroy the table. Restore it before clearing leftovers; only then
-    * are both leftover dirs redundant copies, safe to drop. */
+    * are both leftover dirs redundant copies, safe to drop.
+    *
+    * OPTIMISTIC CONCURRENCY (the reference's writer story is a single
+    * serialized connection queue, java:76-106; a distributed engine
+    * cannot serialize, so the swap detects lost updates instead): the
+    * live dir's file-listing etag is captured at read time and
+    * re-checked AFTER the moveaside rename. The rename is the atomic
+    * arbiter — once live is moved aside no other writer can publish —
+    * so etag-check-then-publish is race-free: if the displaced table is
+    * not the one this rewrite read, a concurrent writer published in
+    * between, and publishing our staged contents would silently discard
+    * their update. The loser rolls the table back and throws
+    * ConcurrentModificationException; a retry re-reads and wins. */
   private def rewriteStaged(tableName: String, op: String)(
       rewrite: DataFrame => DataFrame): Unit = {
     val f = fs
@@ -251,10 +300,23 @@ class Engine(spark: SparkSession, warehouse: String,
     // pre-crash previous contents — archive it (best-effort history)
     // rather than discard it
     if (f.exists(live) && f.exists(old)) archiveOld(f, tableName, old)
+    val readTag = dirTag(f, live)
     rewrite(table(tableName))
       .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    beforeSwap(tableName)
     if (!f.rename(live, old))
       throw new IllegalStateException(s"$op: cannot move $live aside")
+    if (dirTag(f, old) != readTag) {
+      // lost-update prevention: the table we displaced is not the one
+      // this rewrite read — restore it and fail loudly
+      f.delete(staged, true)
+      if (!f.rename(old, live))
+        throw new IllegalStateException(
+          s"$op: cannot restore $live after conflict")
+      throw new java.util.ConcurrentModificationException(
+        s"$op on '$tableName': table changed since read " +
+          "(lost update prevented) — retry on a fresh read")
+    }
     if (!f.rename(staged, live)) {
       f.rename(old, live) // roll back — keep the table queryable
       throw new IllegalStateException(s"$op: cannot publish $staged")

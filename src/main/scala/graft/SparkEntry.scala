@@ -1019,6 +1019,11 @@ object SparkEntry {
     "q_cronbach_alpha" -> (Stats.qCronbachAlpha _),
     "q_wilcoxon_signed_rank" -> (Stats.qWilcoxonSignedRank _),
     "q_personalized_pagerank" -> (Mining.qPersonalizedPagerank _),
+    "q_scc" -> (Mining.qScc _),
+    "dedup_unicode" -> (PipelineQueries.dedupUnicode _),
+    "engine_concurrent_upsert" -> (JsonQueries.engineConcurrentUpsert _),
+    "shred_nested_arrays" -> (JsonQueries.shredNestedArrays _),
+    "q_timezone_funcs" -> (Analytics.qTimezoneFuncs _),
     "q_changepoint" -> (graft.ops.Series.qChangepoint _),
     "q_dickey_fuller" -> (graft.ops.Series.qDickeyFuller _),
     "q_tukey_hsd" -> (Stats.qTukeyHsd _),
@@ -8170,6 +8175,112 @@ object SparkEntry {
         |    AS BIGINT) AS cum_tokens
         |FROM dp LEFT JOIN nw USING (bucket) ORDER BY 1""".stripMargin,
     "q_personalized_pagerank" -> pprOracle,
+    // transitive-closure SCC: mutual-reachability pairs off the
+    // recursive CTE; scc = min mutual partner (the graph is the small
+    // p_size=1 slice, so the closure stays oracle-sized)
+    "q_scc" ->
+      """WITH RECURSIVE sp AS (SELECT p_partkey FROM part
+        |  WHERE p_size = 1),
+        |li AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |nxt AS (SELECT l_partkey, lead(l_partkey) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
+        |    AS np
+        |  FROM li),
+        |e AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+        |    CAST(np AS BIGINT) AS dst FROM nxt
+        |  WHERE np IS NOT NULL AND np <> l_partkey),
+        |reach(src, dst) AS (SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |nodes AS (SELECT DISTINCT src AS id FROM e
+        |  UNION SELECT DISTINCT dst FROM e),
+        |mut AS (SELECT a.src AS u, a.dst AS v FROM reach a
+        |  JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+        |lab AS (SELECT n.id, least(n.id, coalesce(min(m.v), n.id)) AS scc
+        |  FROM nodes n LEFT JOIN mut m ON m.u = n.id GROUP BY n.id),
+        |cs AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size
+        |  FROM lab GROUP BY scc)
+        |SELECT l.id, l.scc, cs.scc_size FROM lab l JOIN cs USING (scc)
+        |ORDER BY l.id""".stripMargin,
+    // sequential replay: A's +100 on %5 keys, then B's -50 on %7 keys
+    // on top — equality proves the conflict fired exactly once AND
+    // neither racing update was lost
+    "engine_concurrent_upsert" ->
+      """WITH fin AS (SELECT c_custkey AS rowNum,
+        |    CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal - 50, 2)
+        |      WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 100, 2)
+        |      ELSE c_acctbal END AS bal
+        |  FROM customer)
+        |SELECT CAST(1 AS BIGINT) AS n_conflicts,
+        |  CAST(1 AS BIGINT) AS racer_fired,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(bal), 2) AS balance FROM fin""".stripMargin,
+    // positional replay straight off lineitem: pos = linenumber rank,
+    // ipos enumerates the [Σqty, min pk%100, n] cells — equality
+    // proves the 2-d shred + re-assembly preserved cells AND order
+    "shred_nested_arrays" ->
+      """WITH cell AS (SELECT l_orderkey AS doc, l_linenumber AS ln,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+        |    CAST(min(l_partkey % 100) AS BIGINT) AS p,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |posd AS (SELECT doc, q, p, c,
+        |    CAST(row_number() OVER (PARTITION BY doc ORDER BY ln) - 1
+        |      AS BIGINT) AS pos
+        |  FROM cell),
+        |cells AS (
+        |  SELECT doc, pos, 0 AS ipos, q AS value FROM posd
+        |  UNION ALL SELECT doc, pos, 1, p FROM posd
+        |  UNION ALL SELECT doc, pos, 2, c FROM posd)
+        |SELECT pos, CAST(ipos AS BIGINT) AS ipos,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(value) AS BIGINT) AS sum_val,
+        |  min(doc) AS min_doc, max(doc) AS max_doc
+        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // instants via the floor-epoch convention; timezone(zone,
+    // timezone('UTC', t)) is the naive→instant→zone-wall double hop
+    "q_timezone_funcs" ->
+      """WITH ev AS (SELECT
+        |    to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS uts,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |census AS (
+        |  SELECT 'America/New_York' AS zone,
+        |    strftime(timezone('America/New_York', uts), '%Y-%m-%d')
+        |      AS local_key,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(vc) AS BIGINT) AS v_cents
+        |  FROM ev GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'Asia/Tokyo',
+        |    strftime(timezone('Asia/Tokyo', uts), '%Y-%m-%d'),
+        |    CAST(count(*) AS BIGINT), CAST(sum(vc) AS BIGINT)
+        |  FROM ev GROUP BY 2),
+        |spine AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-03-10 05:00:00',
+        |    TIMESTAMP '2024-03-10 09:00:00', INTERVAL 1 HOUR)) AS t
+        |  UNION ALL
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-11-03 04:00:00',
+        |    TIMESTAMP '2024-11-03 08:00:00', INTERVAL 1 HOUR))),
+        |probes AS (
+        |  SELECT 'ny_dst_probe' AS zone,
+        |    strftime(t, '%m-%dT%H:%M') || 'Z->' ||
+        |      strftime(timezone('America/New_York', timezone('UTC', t)),
+        |        '%m-%d %H:%M') AS local_key,
+        |    CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS v_cents
+        |  FROM spine)
+        |SELECT zone, local_key, n, v_cents FROM census
+        |UNION ALL SELECT zone, local_key, n, v_cents FROM probes
+        |ORDER BY zone, local_key""".stripMargin,
+    // generator-replay oracle: the three injected variants MUST
+    // collapse to the clean lowered text's fingerprint (ASCII corpus:
+    // NFKC+casefold+mark-strip of every variant = lower(text))
+    "dedup_unicode" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_variants,
+        |  CAST(1 AS BIGINT) AS n_canon,
+        |  CAST(md5_number_lower(lower(text))
+        |    & 9223372036854775807 AS BIGINT) AS canon_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "engine_schema_validate" ->
       """WITH nv AS (
         |  SELECT event_id, 'k' AS name,

@@ -68,6 +68,29 @@ object Kernels {
     h
   }
 
+  /** Unicode-canonical form for dedup fingerprints: NFKC
+    * compatibility-normalize (fullwidth/ligature forms collapse),
+    * ROOT-locale casefold, then NFD-decompose and strip combining
+    * marks (composed accents dissolve — NFKC alone would re-compose
+    * e + U+0301 into é, which is Ll, not Mn, so the strip MUST run on
+    * the decomposed form). java.text.Normalizer is pure-JVM public
+    * knowledge; ASCII text is a fixed point of the whole pipeline
+    * except for the casefold. */
+  def nfkcCanon(s: UTF8String): UTF8String = {
+    import java.text.Normalizer
+    val nk = Normalizer.normalize(s.toString, Normalizer.Form.NFKC)
+    val nd = Normalizer.normalize(
+      nk.toLowerCase(java.util.Locale.ROOT), Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nd.length)
+    var i = 0
+    while (i < nd.length) {
+      val c = nd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def simhash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0

@@ -76,6 +76,22 @@ case class Md5Lower64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Unicode canonicalization for dedup fingerprints — NFKC + ROOT
+  * casefold + NFD combining-mark strip ([[Kernels.nfkcCanon]]): the
+  * pass that makes fullwidth/homoglyph-width, case and composed-accent
+  * variants collapse to one fingerprint where an ASCII lower() cannot.
+  * Codegen'd static call (the interpreted-HOF hazard does not apply,
+  * but the per-row kernel convention does). */
+case class NfkcCanon(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.nfkcCanon(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nfkcCanon($c)")
+  override protected def withNewChildInternal(c: Expression): NfkcCanon =
+    copy(child = c)
+}
+
 /** Cosine similarity of two array<double> columns — identical
   * arithmetic to the sequential fold dot/(√na·√nb), so the DuckDB
   * oracle parity holds. */
@@ -245,6 +261,10 @@ object exprs {
   /** md5-lower-64 of a string column (≡ DuckDB md5_number_lower). */
   def md5Lower64(text: Column): Column =
     column(Md5Lower64(expression(text)))
+
+  /** NFKC + casefold + combining-mark-strip canonical form. */
+  def nfkcCanon(text: Column): Column =
+    column(NfkcCanon(expression(text)))
 
   /** nProbe nearest centroid ids for an array<double> column. */
   def nearestCells(emb: Column, cents: Array[Array[Double]],

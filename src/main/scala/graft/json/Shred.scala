@@ -43,6 +43,16 @@ object Shred {
   case class ChildObject(parent: String, child: String) extends Rel
   case class ChildArray(parent: String, child: String) extends Rel
 
+  /** 2-d primitive array (array<array<prim>>) shredded to a POSITIONAL
+    * child table `(parentFK, pos, ipos, value)` — one row per scalar
+    * cell, both indices explicit so re-assembly restores exact order.
+    * This closes the reference's own unshipped TODO
+    * (DatabaseManager.java:172: nested arrays have no child-table
+    * path there at all). EMPTY inner arrays (and empty matrices) leave
+    * no cell rows and so do not survive the roundtrip — the same
+    * elision the shred applies to absent fields. */
+  case class ChildArray2(parent: String, child: String) extends Rel
+
   /** Recursively normalize a DataFrame of (already-parsed) nested
     * documents into a map of flat tables, applying the reference's
     * shredding rules. `key` is the identity field (reference: "rowNum").
@@ -81,6 +91,20 @@ object Shred {
           val (t, r) = normalizeWithRelations(child, f.name, key)
           out ++= t
           rels ++= (ChildArray(rootName, f.name) +: r)
+          root = root.drop(f.name)
+        case ArrayType(ArrayType(inner, _), _)
+            if !inner.isInstanceOf[StructType] =>
+          // array of arrays of primitives → positional child table
+          // (parentFK, pos, ipos, value): one row per scalar cell; a
+          // double posexplode (two selects — generators cannot nest)
+          // is a narrow shuffle-free map like every other shred rule
+          val cells = docs
+            .select(col(key).as(rootName),
+              posexplode(col(f.name)).as(Seq("pos", "_inner")))
+            .select(col(rootName), col("pos"),
+              posexplode(col("_inner")).as(Seq("ipos", "value")))
+          out += (f.name -> cells)
+          rels :+= ChildArray2(rootName, f.name)
           root = root.drop(f.name)
         case ArrayType(_, _) =>
           // primitive array → JSON-text column

@@ -1318,4 +1318,43 @@ object Analytics {
           " x -> x.name)"), ",").as("top_names"))
       .orderBy(col("nationkey"))
   }
+
+  /** Time-zone-aware date surface (the one date-function family that
+    * was still unkeyed): UTC event instants re-bucketed into
+    * America/New_York and Asia/Tokyo LOCAL days (cross-zone bucketing
+    * — the −5h/+9h day boundaries move rows between buckets), plus
+    * hourly probes across the 2024 US spring-forward and fall-back DST
+    * transitions, where the NY wall clock SKIPS 02:xx and repeats
+    * 01:xx. Instants ride the floor-epoch-seconds convention;
+    * `convert_timezone('UTC', zone, ts)` under the pinned-UTC session
+    * ⟷ DuckDB `timezone(zone, timezone('UTC', ts))` (naive → instant
+    * → zone wall); the probe spine is generated identically in both
+    * engines (sequence ⟷ generate_series), so every DST edge is
+    * value-verified, not assumed. Map-only zone projection + one
+    * grouped census per zone — the 100 TB shape of any localized
+    * rollup. */
+  def qTimezoneFuncs(s: SparkSession, d: String): DataFrame = {
+    def wall(zone: String, ts: Column): Column =
+      convert_timezone(lit("UTC"), lit(zone), ts)
+    val ev = Tables.events(s, d)
+      .select(timestamp_seconds(unix_timestamp(col("ts"))).as("uts"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val census = Seq("America/New_York", "Asia/Tokyo").map { z =>
+      ev.groupBy(lit(z).as("zone"),
+          date_format(wall(z, col("uts")), "yyyy-MM-dd").as("local_key"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("v_cents"))
+    }.reduce(_ unionByName _)
+    def spine(from: String, to: String) = s.range(1)
+      .select(explode(expr(s"sequence(to_timestamp('$from'), " +
+        s"to_timestamp('$to'), interval 1 hour)")).as("uts"))
+    val probes = spine("2024-03-10 05:00:00", "2024-03-10 09:00:00")
+      .unionByName(spine("2024-11-03 04:00:00", "2024-11-03 08:00:00"))
+      .select(lit("ny_dst_probe").as("zone"),
+        concat(date_format(col("uts"), "MM-dd'T'HH:mm'Z'"), lit("->"),
+          date_format(wall("America/New_York", col("uts")),
+            "MM-dd HH:mm")).as("local_key"),
+        lit(1L).as("n"), lit(0L).as("v_cents"))
+    census.unionByName(probes)
+      .orderBy(col("zone"), col("local_key"))
+  }
 }

@@ -640,4 +640,88 @@ object JsonQueries {
           / 1e6).as("violation_rate"))
       .orderBy(col("name"))
   }
+
+  /** Optimistic-concurrency lost-update detection on the Engine's
+    * staged swap — the distributed re-expression of the reference's
+    * serialized writer queue (DatabaseManager.java:76-106): where the
+    * reference makes racing writes IMPOSSIBLE by queueing them, this
+    * engine makes the loser FAIL LOUDLY (dir-etag captured at read,
+    * re-checked after the atomic moveaside rename; see
+    * Engine.rewriteStaged). The query races two writers via the
+    * beforeSwap seam: writer B reads and stages, writer A publishes
+    * inside B's window, B's publish detects the displaced table is not
+    * the one it read → rolls back (A's update survives intact) and
+    * throws; B retries on a fresh read and lands on top. Output is the
+    * conflict census + final-table aggregate; the oracle replays the
+    * two updates sequentially (A then B) over the source parquet —
+    * equality proves BOTH that the conflict fired exactly once AND
+    * that no update was lost. */
+  def engineConcurrentUpsert(s: SparkSession, d: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("graft_engine_cc").toString
+    val engA = new graft.Engine(s, wh)
+    val engB = new graft.Engine(s, wh)
+    val docs = Tables.customer(s, d)
+      .select(col("c_custkey").as("rowNum"), col("c_acctbal"))
+    engB.save(docs, "cust")
+    val updA = docs.filter(col("rowNum") % 5 === 0)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2))
+    val updB = docs.filter(col("rowNum") % 7 === 0)
+      .withColumn("c_acctbal", round(col("c_acctbal") - 50, 2))
+    // arm writer A inside writer B's read→publish window, exactly once
+    var fired = false
+    engB.beforeSwap = _ => if (!fired) { fired = true
+      engA.upsert("cust", updA) }
+    val conflicts =
+      try { engB.upsert("cust", updB); 0L }
+      catch { case _: java.util.ConcurrentModificationException => 1L }
+    engB.beforeSwap = _ => ()
+    engB.upsert("cust", updB) // retry on a fresh read
+    engB.table("cust")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("c_acctbal")), 2).as("balance"))
+      .select(lit(conflicts).as("n_conflicts"),
+        lit(if (fired) 1L else 0L).as("racer_fired"),
+        col("n_rows"), col("balance"))
+  }
+
+  /** 2-d array shred + re-assembly roundtrip — closes the reference's
+    * own unshipped TODO (java:172: arrays-of-arrays have no child-table
+    * path there): per-order integer matrices (one inner row per
+    * lineitem, [quantity, partkey%100]) saved through the Engine shred
+    * to the positional `(parentFK, pos, ipos, value)` cell table, then
+    * re-nested by [[graft.Engine.nested]] and RE-EXTRACTED with a
+    * double posexplode. The census groups by re-extracted (pos, ipos)
+    * — equality with the oracle (which computes positions straight off
+    * lineitem via row_number) proves both shred and re-assembly
+    * preserved every cell AND both orderings. */
+  def shredNestedArrays(s: SparkSession, d: String): DataFrame = {
+    // the corpus carries duplicate (orderkey, linenumber) rows, so the
+    // inner row is the per-linenumber rollup — [Σqty, min pk%100, n],
+    // all order-free — and linenumber is unique per order, making the
+    // matrix row order total (the q_scc tie-proof convention)
+    val docs = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("rowNum"), col("l_linenumber"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"),
+        min(pmod(col("l_partkey"), lit(100)).cast("long")).as("p"),
+        count(lit(1)).as("c"))
+      .select(col("rowNum"),
+        struct(col("l_linenumber"),
+          array(col("q"), col("p"), col("c")).as("cells")).as("_r"))
+      .groupBy(col("rowNum"))
+      .agg(expr("transform(array_sort(collect_list(_r)), x -> x.cells)")
+        .as("matrix"))
+    val wh = graft.util.Scratch.dir("graft_engine_mx").toString
+    val eng = new graft.Engine(s, wh)
+    eng.save(docs, "order_mx")
+    val back = eng.nested("order_mx")
+    back
+      .select(col("rowNum"), posexplode(col("matrix")).as(Seq("pos", "_in")))
+      .select(col("rowNum"), col("pos"),
+        posexplode(col("_in")).as(Seq("ipos", "value")))
+      .groupBy(col("pos").cast("long").as("pos"),
+        col("ipos").cast("long").as("ipos"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("value")).as("sum_val"),
+        min(col("rowNum")).as("min_doc"), max(col("rowNum")).as("max_doc"))
+      .orderBy(col("pos"), col("ipos"))
+  }
 }

@@ -2786,4 +2786,190 @@ object Mining {
       .orderBy(col("rank_u").desc, col("s_suppkey"))
       .limit(20)
   }
+
+  /** Strongly connected components of the DIRECTED part-succession
+    * graph (consecutive p_size=1 lines within an order: earlier line's
+    * part → next line's part) — the directed-graph closure beside
+    * [[qConnectedComponents]] / [[qKcore]] / [[qKtruss]]. Algorithm is
+    * the distributed trim + double-min-label peel (the FW-BW/coloring
+    * family GraphX ships, reshaped for provable finalization):
+    *
+    *  1. TRIM: nodes missing an in- or out-edge in the remaining graph
+    *     lie on no cycle → singleton SCCs; peeled iteratively (tails
+    *     and sources dissolve in O(longest chain) synchronous rounds,
+    *     7 rounds unrolled per Spark job so the action count stays
+    *     ~depth/7).
+    *  2. LABEL: fwd(v) = min id that REACHES v, bwd(v) = min id v can
+    *     REACH, both propagated to fixpoint in the same frame (again 7
+    *     synchronous steps per job). fwd(v)=bwd(v)=c ⟺ c reaches v ∧
+    *     v reaches c ⟺ v ∈ SCC(c), so the filter finalizes EXACTLY
+    *     the min-consistent components — no backward-within-color
+    *     second pass, and the globally smallest remaining id always
+    *     finalizes its SCC, so each outer round makes provable
+    *     progress (require'd, like Components' convergence throw).
+    *  3. Peel finalized nodes/edges, re-trim, repeat.
+    *
+    * Every step is node-keyed joins/aggregations over the edge frame —
+    * no adjacency collect, no quadratic candidate set, frames
+    * localCheckpoint'd per round (the q_bfs_hops convention), so the
+    * plan is the standard BSP shape that survives a 10⁹-edge graph.
+    * Budgets: outer 8, trim 12×7, label 12×7 synchronous steps —
+    * measured depths are 14 trim / 13 label rounds at sf0.1 (tail
+    * chains shrink from BOTH ends each round, and label rounds are
+    * bounded by the core diameter, which the trim has already
+    * stripped to the cyclic kernel). Output: (id, scc, scc_size) per
+    * node, scc = min member id — matched value-for-value by the
+    * oracle's recursive-CTE transitive closure. */
+  def qScc(s: SparkSession, d: String): DataFrame = {
+    val sp = Tables.part(s, d).filter(col("p_size") === 1)
+      .select(col("p_partkey").cast("long").as("pk"))
+    // the corpus carries duplicate (orderkey, linenumber) rows: the
+    // succession order must be TOTAL (linenumber, partkey over the
+    // distinct triple) or the lead() pairing is tie-nondeterministic
+    // and the oracle's lead() would break ties its own way
+    val li = Tables.lineitem(s, d)
+      .join(sp, col("l_partkey") === col("pk"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("long").as("pid"))
+      .distinct()
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("pid"))
+    val e0 = li
+      .withColumn("np", lead(col("pid"), 1).over(w))
+      .filter(col("np").isNotNull && col("np") =!= col("pid"))
+      .select(col("pid").as("src"), col("np").as("dst"))
+      .distinct()
+    var edges = e0.localCheckpoint(true)
+    var nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var nNodes = nodes.count()
+    // every frame below is |core|-sized (the one corpus-scaled shuffle
+    // — the lineitem rollup into e0 — is already done): the ~27 BSP
+    // rounds are pure stage-overhead, so run them at minimal shuffle
+    // width instead of paying 32 tasks per tiny stage; production
+    // sizes this to |remaining graph| (restored in the finally)
+    // finalized (id, scc) slices: every parent frame below is an eager
+    // localCheckpoint, so deferring the union to the end costs no
+    // recomputation and saves one materialization job per slice
+    val parts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val shufKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevShuf = s.conf.get(shufKey)
+    val prevAqe = s.conf.get(aqeKey)
+    s.conf.set(shufKey, "2")
+    // AQE's per-stage re-planning is pure overhead on 2-partition
+    // ~400-row frames; the loop's shapes are fixed anyway
+    s.conf.set(aqeKey, "false")
+    try {
+    var outer = 0
+    while (nNodes > 0) {
+      outer += 1
+      require(outer <= 8, "qScc: outer peel budget exhausted")
+      // 1. trim to fixpoint — 7 synchronous rounds unrolled per job
+      var trimming = true
+      var tb = 0
+      while (trimming && nNodes > 0) {
+        tb += 1
+        require(tb <= 12, "qScc: trim budget exhausted")
+        var n2 = nodes
+        var e2 = edges
+        // each step references the previous frames twice, so WITHOUT
+        // the per-step LAZY checkpoints the unrolled plan grows
+        // exponentially (~2.4^k subtree copies) and Catalyst chokes;
+        // lazy truncation keeps the plan linear while the whole block
+        // still materializes under ONE action at the end. The
+        // both-degrees test is ONE union-rollup (3 shuffles/step, not
+        // the 6 of separate hasIn/hasOut distincts + node semi-joins);
+        // isolated nodes never linger because nodes ⊆ edge endpoints.
+        for (_ <- 1 to 7) {
+          n2 = e2.select(col("src").as("id"), lit(1).as("o"), lit(0).as("i"))
+            .union(e2.select(col("dst").as("id"), lit(0).as("o"),
+              lit(1).as("i")))
+            .groupBy(col("id"))
+            .agg(max(col("o")).as("ho"), max(col("i")).as("hi"))
+            .filter(col("ho") === 1 && col("hi") === 1)
+            .select(col("id"))
+            .localCheckpoint(false)
+          e2 = e2
+            .join(n2.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(n2.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .localCheckpoint(false)
+        }
+        n2 = n2.localCheckpoint(true)
+        e2 = e2.localCheckpoint(true)
+        val after = n2.count()
+        if (after < nNodes)
+          parts += nodes.join(n2, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc"))
+        trimming = after < nNodes
+        nNodes = after
+        nodes = n2
+        edges = e2
+      }
+      if (nNodes > 0) {
+        // 2. fwd/bwd min-label fixpoint on the cyclic core — 7
+        // synchronous steps per job, converged when a full block
+        // lowers nothing
+        var lab = nodes.select(col("id"), col("id").as("f"),
+          col("id").as("b")).localCheckpoint(true)
+        var changed = true
+        var pb = 0
+        while (changed) {
+          pb += 1
+          require(pb <= 12, "qScc: label budget exhausted")
+          var l2 = lab
+          // per-step lazy checkpoints again: each step references l2
+          // three times (3^k plan copies un-truncated). Forward and
+          // backward messages fold in ONE unioned rollup per step.
+          for (_ <- 1 to 7) {
+            val msgs = edges
+              .join(l2.select(col("id").as("src"), col("f")), "src")
+              .select(col("dst").as("id"), col("f").as("mf"),
+                lit(null).cast("long").as("mb"))
+              .union(edges
+                .join(l2.select(col("id").as("dst"), col("b")), "dst")
+                .select(col("src").as("id"),
+                  lit(null).cast("long").as("mf"), col("b").as("mb")))
+              .groupBy(col("id"))
+              .agg(min(col("mf")).as("nf"), min(col("mb")).as("nb"))
+            l2 = l2.join(msgs, Seq("id"), "left")
+              .select(col("id"),
+                least(col("f"), coalesce(col("nf"), col("f"))).as("f"),
+                least(col("b"), coalesce(col("nb"), col("b"))).as("b"))
+              .localCheckpoint(false)
+          }
+          l2 = l2.localCheckpoint(true)
+          changed = l2.as("n").join(lab.as("o"), "id")
+            .filter(col("n.f") < col("o.f") || col("n.b") < col("o.b"))
+            .count() > 0
+          lab = l2
+        }
+        // 3. finalize min-consistent components (provably ≥ the SCC of
+        // the globally smallest remaining id)
+        val fin = lab.filter(col("f") === col("b"))
+          .select(col("id"), col("f").as("scc")).localCheckpoint(true)
+        val nFin = fin.count()
+        require(nFin > 0, "qScc: no component finalized")
+        parts += fin
+        nodes = nodes.join(fin.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        edges = edges
+          .join(fin.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(fin.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .localCheckpoint(true)
+        nNodes -= nFin
+      }
+    }
+    } finally {
+      s.conf.set(shufKey, prevShuf)
+      s.conf.set(aqeKey, prevAqe)
+    }
+    val done = parts.reduce(_ union _)
+    // |SCCs| scales with |nodes|: no broadcast hint — AQE decides
+    val sizes = done.groupBy(col("scc")).agg(count(lit(1)).as("scc_size"))
+    done.join(sizes, "scc")
+      .select(col("id"), col("scc"), col("scc_size"))
+      .orderBy(col("id"))
+  }
 }

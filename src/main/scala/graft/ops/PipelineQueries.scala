@@ -3716,4 +3716,42 @@ object PipelineQueries {
         col("cum_tokens"))
       .orderBy(col("bucket"))
   }
+
+  /** Unicode-canonical dedup census: three deterministic variants of
+    * every document — the original, a FULLWIDTH-letter homoglyph
+    * (ａ–ｚ, the width dup an ASCII lower() cannot see), and an
+    * uppercased combining-acute-vowel form (casefold + mark-strip
+    * dup) — must all collapse to ONE fingerprint under
+    * [[graft.functions.exprs.nfkcCanon]] (NFKC + ROOT casefold + NFD
+    * combining-mark strip, java.text.Normalizer). The census per doc
+    * (n_variants, n_canon, canonical hash) is matched value-for-value
+    * by the generator-replay oracle, which derives the expected hash
+    * from the CLEAN lowered text — the corpus is ASCII, so the
+    * canonical form of every variant must equal lower(text) exactly
+    * (the multimodal-codec replay pattern: the oracle knows the
+    * answer because it replays the generation; the engine must UNDO
+    * it). Map-only variant fan-out + one grouped census — no text
+    * ever shuffles twice, 100 TB-shaped like dedup_exact. */
+  def dedupUnicode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ascii = "abcdefghijklmnopqrstuvwxyz"
+    val fullwidth = (0 until 26).map(i => (0xFF41 + i).toChar).mkString
+    val variants = docs
+      .select(col("doc_id"), lit("orig").as("variant"),
+        col("text").as("vtext"))
+      .union(docs.select(col("doc_id"), lit("fullwidth").as("variant"),
+        translate(col("text"), ascii, fullwidth).as("vtext")))
+      .union(docs.select(col("doc_id"), lit("accent").as("variant"),
+        upper(regexp_replace(col("text"), "([aeiou])", "$1\u0301"))
+          .as("vtext")))
+    variants
+      .withColumn("canon_h", graft.functions.exprs.md5Lower64(
+          graft.functions.exprs.nfkcCanon(col("vtext")))
+        .bitwiseAND(lit(Long.MaxValue)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("canon_h")).as("n_canon"),
+        min(col("canon_h")).as("canon_h"))
+      .orderBy(col("doc_id"))
+  }
 }

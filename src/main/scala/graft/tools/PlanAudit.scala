@@ -187,7 +187,11 @@ object PlanAudit {
       "q_roc_auc (one groupBy(score) histogram; CDFs on the ranged scan — no per-row rank)" ->
         graft.ops.MlEval.qRocAuc(spark, d),
       "text_cooc_pmi (pair relation from unique-key equi-joins on (doc, pos+k); unigrams joined after the top-30 cut)" ->
-        PipelineQueries.textCoocPmi(spark, d))
+        PipelineQueries.textCoocPmi(spark, d),
+      "q_timezone_funcs (map-only zone projection + one grouped census per zone)" ->
+        Analytics.qTimezoneFuncs(spark, d),
+      "dedup_unicode (map-only variant fan-out; the one shuffle carries 8-byte canon hashes)" ->
+        PipelineQueries.dedupUnicode(spark, d))
     val out = new StringBuilder
     out.append("# PLANS — physical-plan audit (generated by " +
       "graft.tools.PlanAudit)\n\n")

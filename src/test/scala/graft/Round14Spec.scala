@@ -62,4 +62,144 @@ class Round14Spec extends SparkSuite {
     assert(fin + removed == users && removed == 0,
       s"rows $fin removed $removed users $users")
   }
+
+  test("scc labels match an in-JVM Tarjan replay") {
+    val got = graft.ops.Mining.qScc(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rebuild the directed successor graph naively
+    val sp = graft.sources.Tables.part(spark, sf)
+      .filter(col("p_size") === 1).select(col("p_partkey").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+      .filter(t => sp.contains(t._3))
+      .distinct
+    val edges = li.groupBy(_._1).values.flatMap { lines =>
+      // total (linenumber, partkey) order over the distinct triples —
+      // the operator's tie-proof succession contract
+      val seq = lines.sortBy(t => (t._2, t._3)).map(_._3)
+      seq.zip(seq.tail).filter(p => p._1 != p._2)
+    }.toSet
+    val nodes = edges.flatMap(p => Seq(p._1, p._2))
+    // iterative Tarjan
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val idx = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStk = scala.collection.mutable.Set[Long]()
+    val stk = scala.collection.mutable.Stack[Long]()
+    var ctr = 0
+    val comps = scala.collection.mutable.ListBuffer[Set[Long]]()
+    def strong(root: Long): Unit = {
+      // explicit work stack: (node, child cursor)
+      val work = scala.collection.mutable.Stack[(Long, Iterator[Long])]()
+      idx(root) = ctr; low(root) = ctr; ctr += 1
+      stk.push(root); onStk += root
+      work.push((root, adj.getOrElse(root, Nil).iterator))
+      while (work.nonEmpty) {
+        val (v, it) = work.top
+        if (it.hasNext) {
+          val w = it.next()
+          if (!idx.contains(w)) {
+            idx(w) = ctr; low(w) = ctr; ctr += 1
+            stk.push(w); onStk += w
+            work.push((w, adj.getOrElse(w, Nil).iterator))
+          } else if (onStk(w)) low(v) = math.min(low(v), idx(w))
+        } else {
+          work.pop()
+          if (work.nonEmpty) {
+            val p = work.top._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == idx(v)) {
+            val comp = scala.collection.mutable.Set[Long]()
+            var w = 0L
+            while ({ w = stk.pop(); onStk -= w; comp += w; w != v }) ()
+            comps += comp.toSet
+          }
+        }
+      }
+    }
+    for (n <- nodes if !idx.contains(n)) strong(n)
+    val expected = comps.flatMap(c =>
+      c.map(v => v -> (c.min, c.size.toLong))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, (scc, sz)) <- expected)
+      assert(got(id) == (scc, sz), s"node $id: got ${got(id)} want ($scc,$sz)")
+  }
+
+  test("racing upserts: the loser detects the conflict, rolls back, " +
+      "and a retry lands on top of the winner") {
+    import spark.implicits._
+    val wh = graft.util.Scratch.dir("graft_cc_spec").toString
+    val engA = new graft.Engine(spark, wh)
+    val engB = new graft.Engine(spark, wh)
+    engB.save(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("rowNum", "v"), "t")
+    var fired = 0
+    engB.beforeSwap = _ => if (fired == 0) { fired += 1
+      engA.upsert("t", Seq((2L, 200.0)).toDF("rowNum", "v")) }
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      engB.upsert("t", Seq((3L, 300.0)).toDF("rowNum", "v"))
+    }
+    assert(ex.getMessage.contains("lost update prevented"))
+    // the winner's publish survived the loser's rollback
+    val mid = engB.table("t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mid == Map(1L -> 10.0, 2L -> 200.0, 3L -> 30.0))
+    engB.beforeSwap = _ => ()
+    engB.upsert("t", Seq((3L, 300.0)).toDF("rowNum", "v"))
+    val fin = engB.table("t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fin == Map(1L -> 10.0, 2L -> 200.0, 3L -> 300.0))
+    // and the single-writer path still swaps silently
+    engB.upsert("t", Seq((1L, 11.0)).toDF("rowNum", "v"))
+    assert(engB.table("t").filter(col("rowNum") === 1)
+      .head().getDouble(1) == 11.0)
+  }
+
+  test("2-d array shred round-trips matrices cell- and order-exactly") {
+    import spark.implicits._
+    val wh = graft.util.Scratch.dir("graft_mx_spec").toString
+    val eng = new graft.Engine(spark, wh)
+    val in = Seq(
+      (1L, Seq(Seq(3L, 1L), Seq(4L, 1L, 5L))),
+      (2L, Seq(Seq(9L))),
+      (3L, Seq(Seq(2L, 7L), Seq(1L), Seq(8L, 2L, 8L, 1L))))
+      .toDF("rowNum", "m")
+    val written = eng.save(in, "doc")
+    assert(written.contains("m"), s"cell table not written: $written")
+    // the shredded cell table carries (parentFK, pos, ipos, value)
+    val cells = eng.table("m").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(cells.length == 13)
+    assert(cells.contains((3L, 2, 3, 1L)))
+    // and re-assembly restores the exact nested value
+    val back = eng.nested("doc").collect()
+      .map(r => r.getLong(r.fieldIndex("rowNum")) ->
+        r.getSeq[Seq[Long]](r.fieldIndex("m"))).toMap
+    assert(back(1L) == Seq(Seq(3L, 1L), Seq(4L, 1L, 5L)))
+    assert(back(2L) == Seq(Seq(9L)))
+    assert(back(3L) == Seq(Seq(2L, 7L), Seq(1L), Seq(8L, 2L, 8L, 1L)))
+  }
+
+  test("nfkc canonicalization collapses fullwidth, case and " +
+      "combining-accent variants") {
+    import spark.implicits._
+    val k = graft.functions.Kernels
+    def canon(s: String): String =
+      k.nfkcCanon(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toString
+    assert(canon("ｈｅｌｌｏ Ｗｏｒｌｄ") == "hello world")
+    assert(canon("CAFÉ Café café") == "cafe cafe cafe")
+    assert(canon("spark table") == "spark table") // ASCII fixed point
+    // the dedup_unicode census at sf: all docs collapse 3 → 1
+    val out = graft.ops.PipelineQueries.dedupUnicode(spark, sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getLong(r.fieldIndex("n_variants")) == 3L)
+      assert(r.getLong(r.fieldIndex("n_canon")) == 1L)
+    }
+  }
 }
