@@ -1024,6 +1024,12 @@ object SparkEntry {
     "engine_concurrent_upsert" -> (JsonQueries.engineConcurrentUpsert _),
     "shred_nested_arrays" -> (JsonQueries.shredNestedArrays _),
     "q_timezone_funcs" -> (Analytics.qTimezoneFuncs _),
+    "q_dyad_census" -> (Mining.qDyadCensus _),
+    "q_dag_longest_path" -> (Mining.qDagLongestPath _),
+    "q_bh_fdr" -> (Mining.qBhFdr _),
+    "q_quantile_normalize" -> (Stats.qQuantileNormalize _),
+    "q_apportionment" -> (Stats.qApportionment _),
+    "stream_timezone" -> (graft.streaming.Events.streamTimezone _),
     "q_changepoint" -> (graft.ops.Series.qChangepoint _),
     "q_dickey_fuller" -> (graft.ops.Series.qDickeyFuller _),
     "q_tukey_hsd" -> (Stats.qTukeyHsd _),
@@ -1244,6 +1250,50 @@ object SparkEntry {
        |FROM g ORDER BY day""".stripMargin
   }
 
+  /** q_bh_fdr oracle, generated with the SAME per-rank critical
+    * z-values the Spark plan embeds (Mining.invNorm, computed once in
+    * Scala — neither engine evaluates Φ⁻¹) and the same
+    * integer-lattice moment arithmetic token for token, so every z is
+    * an identical double cross-engine. Weight literals CAST to DOUBLE
+    * (the macd DECIMAL-parse convention). */
+  private def bhFdrOracle: String = {
+    val m = 25
+    val crit = (1 to m).map(k =>
+      graft.ops.Mining.invNorm(1.0 - k * 0.05 / (2.0 * m)))
+    val vals = crit.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, CAST($v AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH cust AS (SELECT CAST(c_nationkey AS BIGINT) AS g,
+       |    CAST(round(c_acctbal) AS BIGINT) AS v FROM customer),
+       |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(v) AS BIGINT) AS sx,
+       |    sum(CAST(v AS HUGEINT) * v) AS sx2 FROM cust GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+       |    CAST(sum(sx) AS BIGINT) AS st, sum(sx2) AS st2 FROM grp),
+       |z AS (SELECT g, n,
+       |    (CAST(sx AS DOUBLE) / n
+       |      - CAST(st - sx AS DOUBLE) / (nt - n)) /
+       |    sqrt(CAST(sx2 * n - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * n * (n - 1)) * n / n
+       |      + CAST((st2 - sx2) * (nt - n)
+       |          - CAST(st - sx AS HUGEINT) * (st - sx) AS DOUBLE)
+       |        / (CAST(nt - n AS DOUBLE) * (nt - n) * (nt - n - 1))
+       |        * (nt - n) / (nt - n)) AS zs
+       |  FROM grp, tot),
+       |ranked AS (SELECT g, n, zs, CAST(row_number() OVER (
+       |    ORDER BY abs(zs) DESC, g) AS BIGINT) AS rnk FROM z),
+       |cv(rnk, z_crit) AS (VALUES $vals),
+       |j AS (SELECT r.g, r.n, r.zs, r.rnk, cv.z_crit FROM ranked r
+       |  JOIN cv ON cv.rnk = r.rnk),
+       |ks AS (SELECT coalesce(max(CASE WHEN abs(zs) >= z_crit
+       |    THEN rnk ELSE 0 END), 0) AS k_star FROM j)
+       |SELECT g AS nation, n AS n_cust,
+       |  floor(zs * 1e4 + 0.5) / 1e4 AS z, rnk,
+       |  floor(z_crit * 1e4 + 0.5) / 1e4 AS z_crit,
+       |  rnk <= k_star AS rejected
+       |FROM j, ks ORDER BY rnk""".stripMargin
+  }
+
   private lazy val extraOracles: Map[String, String] =
     Map("q_absorbing_markov" -> absorbingMarkovOracle)
 
@@ -1253,6 +1303,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase ++ extraOracles +
       ("stream_dau_mau" -> oracleSqlBase("q_dau_mau")) +
+      // order-insensitive counts/sums over a stateless zone projection
+      // converge to the batch census — stream≡batch by construction
+      ("stream_timezone" -> oracleSqlBase("q_timezone_funcs")) +
       ("stream_event_pattern" -> oracleSqlBase("q_event_pattern")) +
       ("stream_dedup_minhash" -> oracleSqlBase("dedup_incremental")) +
       ("stream_scd2_build" -> oracleSqlBase("q_scd2_build")) +
@@ -8272,6 +8325,98 @@ object SparkEntry {
         |SELECT zone, local_key, n, v_cents FROM census
         |UNION ALL SELECT zone, local_key, n, v_cents FROM probes
         |ORDER BY zone, local_key""".stripMargin,
+    // same succession-edge CTE prefix as q_scc; reciprocated edges by
+    // one reversed self-join
+    "q_dyad_census" ->
+      """WITH sp AS (SELECT p_partkey FROM part WHERE p_size = 1),
+        |li AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |nxt AS (SELECT l_partkey, lead(l_partkey) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
+        |    AS np
+        |  FROM li),
+        |e AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+        |    CAST(np AS BIGINT) AS dst FROM nxt
+        |  WHERE np IS NOT NULL AND np <> l_partkey),
+        |nn AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_nodes
+        |  FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_recip FROM e a
+        |  JOIN e b ON b.src = a.dst AND b.dst = a.src)
+        |SELECT n_nodes, n_edges,
+        |  CAST(n_recip // 2 AS BIGINT) AS n_mutual_dyads,
+        |  n_edges - n_recip AS n_asym_dyads,
+        |  floor(CAST(n_recip AS DOUBLE) / n_edges * 1e6 + 0.5) / 1e6
+        |    AS reciprocity
+        |FROM nn, ne, nr""".stripMargin,
+    // id-increasing edges are a DAG by construction, so the recursive
+    // (node, depth) walk is finite; longest path = max depth per node
+    "q_dag_longest_path" ->
+      """WITH RECURSIVE sp AS (SELECT p_partkey FROM part
+        |  WHERE p_size = 1),
+        |li AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |nxt AS (SELECT l_partkey, lead(l_partkey) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
+        |    AS np
+        |  FROM li),
+        |e AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+        |    CAST(np AS BIGINT) AS dst FROM nxt
+        |  WHERE np IS NOT NULL AND np <> l_partkey
+        |    AND l_partkey < np),
+        |nodes AS (SELECT DISTINCT src AS id FROM e
+        |  UNION SELECT DISTINCT dst FROM e),
+        |walk(v, dd) AS (SELECT id, 0 FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.dd + 1 FROM walk w JOIN e ON e.src = w.v),
+        |ld AS (SELECT v, CAST(max(dd) AS BIGINT) AS dist FROM walk
+        |  GROUP BY v)
+        |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(v) AS min_id, max(v) AS max_id
+        |FROM ld GROUP BY dist ORDER BY dist""".stripMargin,
+    "q_bh_fdr" -> bhFdrOracle,
+    // rank-wise cross-flag mean as the shared reference distribution;
+    // exact integer div of the e4 sum, ties broken by day both sides
+    "q_quantile_normalize" ->
+      """WITH daily AS (SELECT l_returnflag AS flag,
+        |    CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1, 2),
+        |full_d AS (SELECT day FROM daily GROUP BY day
+        |  HAVING count(*) = 3),
+        |common AS (SELECT d.* FROM daily d JOIN full_d USING (day)),
+        |ranked AS (SELECT flag, day, e4, CAST(row_number() OVER (
+        |    PARTITION BY flag ORDER BY e4, day) AS BIGINT) AS rn
+        |  FROM common),
+        |ref AS (SELECT rn, CAST(sum(e4) // 3 AS BIGINT) AS norm_e4
+        |  FROM ranked GROUP BY rn)
+        |SELECT flag, rn, day,
+        |  floor(CAST(e4 AS DOUBLE) / 10000 * 100.0 + 0.5) / 100.0
+        |    AS revenue,
+        |  floor(CAST(norm_e4 AS DOUBLE) / 10000 * 100.0 + 0.5) / 100.0
+        |    AS norm_revenue
+        |FROM ranked JOIN ref USING (rn) ORDER BY flag, rn""".stripMargin,
+    // Hamilton largest remainder, pure integer arithmetic; numerators
+    // non-negative so // (floor) equals Spark's truncating div
+    "q_apportionment" ->
+      """WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(count(*) AS BIGINT) AS n_cust FROM customer
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_cust) AS BIGINT) AS nt FROM g),
+        |b AS (SELECT nation, n_cust,
+        |    CAST((n_cust * 1000) // nt AS BIGINT) AS base,
+        |    n_cust * 1000 - ((n_cust * 1000) // nt) * nt AS rem
+        |  FROM g, t),
+        |k AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS kk FROM b),
+        |r AS (SELECT b.*, row_number() OVER (
+        |    ORDER BY rem DESC, nation) AS rrank FROM b)
+        |SELECT nation, n_cust, base,
+        |  CAST(CASE WHEN rrank <= kk THEN 1 ELSE 0 END AS BIGINT)
+        |    AS bonus,
+        |  base + CAST(CASE WHEN rrank <= kk THEN 1 ELSE 0 END
+        |    AS BIGINT) AS seats
+        |FROM r, k ORDER BY nation""".stripMargin,
     // generator-replay oracle: the three injected variants MUST
     // collapse to the clean lowered text's fingerprint (ASCII corpus:
     // NFKC+casefold+mark-strip of every variant = lower(text))

@@ -1334,27 +1334,37 @@ object Analytics {
     * grouped census per zone — the 100 TB shape of any localized
     * rollup. */
   def qTimezoneFuncs(s: SparkSession, d: String): DataFrame = {
-    def wall(zone: String, ts: Column): Column =
-      convert_timezone(lit("UTC"), lit(zone), ts)
     val ev = Tables.events(s, d)
       .select(timestamp_seconds(unix_timestamp(col("ts"))).as("uts"),
         round(col("value") * 100).cast("long").as("vc"))
-    val census = Seq("America/New_York", "Asia/Tokyo").map { z =>
+    tzCensus(ev).unionByName(tzProbes(s))
+      .orderBy(col("zone"), col("local_key"))
+  }
+
+  private[graft] def tzWall(zone: String, ts: Column): Column =
+    convert_timezone(lit("UTC"), lit(zone), ts)
+
+  /** The zone/local-day rollup shared by q_timezone_funcs and its
+    * streaming twin: input = (uts TIMESTAMP instant, vc cent long). */
+  private[graft] def tzCensus(ev: DataFrame): DataFrame =
+    Seq("America/New_York", "Asia/Tokyo").map { z =>
       ev.groupBy(lit(z).as("zone"),
-          date_format(wall(z, col("uts")), "yyyy-MM-dd").as("local_key"))
+          date_format(tzWall(z, col("uts")), "yyyy-MM-dd").as("local_key"))
         .agg(count(lit(1)).as("n"), sum(col("vc")).as("v_cents"))
     }.reduce(_ unionByName _)
+
+  /** The constant DST-boundary probe frame (both 2024 US transitions,
+    * hourly) shared by q_timezone_funcs and its streaming twin. */
+  private[graft] def tzProbes(s: SparkSession): DataFrame = {
     def spine(from: String, to: String) = s.range(1)
       .select(explode(expr(s"sequence(to_timestamp('$from'), " +
         s"to_timestamp('$to'), interval 1 hour)")).as("uts"))
-    val probes = spine("2024-03-10 05:00:00", "2024-03-10 09:00:00")
+    spine("2024-03-10 05:00:00", "2024-03-10 09:00:00")
       .unionByName(spine("2024-11-03 04:00:00", "2024-11-03 08:00:00"))
       .select(lit("ny_dst_probe").as("zone"),
         concat(date_format(col("uts"), "MM-dd'T'HH:mm'Z'"), lit("->"),
-          date_format(wall("America/New_York", col("uts")),
+          date_format(tzWall("America/New_York", col("uts")),
             "MM-dd HH:mm")).as("local_key"),
         lit(1L).as("n"), lit(0L).as("v_cents"))
-    census.unionByName(probes)
-      .orderBy(col("zone"), col("local_key"))
   }
 }

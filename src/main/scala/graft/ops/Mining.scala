@@ -2825,13 +2825,16 @@ object Mining {
     * stripped to the cyclic kernel). Output: (id, scc, scc_size) per
     * node, scc = min member id — matched value-for-value by the
     * oracle's recursive-CTE transitive closure. */
-  def qScc(s: SparkSession, d: String): DataFrame = {
+  /** Directed part-succession edges (consecutive p_size=1 lines within
+    * an order, earlier → next): the directed-graph substrate shared by
+    * [[qScc]] / [[qDyadCensus]] / [[qDagLongestPath]]. The corpus
+    * carries duplicate (orderkey, linenumber) rows, so the succession
+    * order is made TOTAL over the distinct (order, line, part) triple
+    * — a tie-broken lead() would be engine-nondeterministic and the
+    * oracle's lead() would break ties its own way. */
+  private def successionEdges(s: SparkSession, d: String): DataFrame = {
     val sp = Tables.part(s, d).filter(col("p_size") === 1)
       .select(col("p_partkey").cast("long").as("pk"))
-    // the corpus carries duplicate (orderkey, linenumber) rows: the
-    // succession order must be TOTAL (linenumber, partkey over the
-    // distinct triple) or the lead() pairing is tie-nondeterministic
-    // and the oracle's lead() would break ties its own way
     val li = Tables.lineitem(s, d)
       .join(sp, col("l_partkey") === col("pk"))
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -2839,12 +2842,14 @@ object Mining {
       .distinct()
     val w = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber"), col("pid"))
-    val e0 = li
-      .withColumn("np", lead(col("pid"), 1).over(w))
+    li.withColumn("np", lead(col("pid"), 1).over(w))
       .filter(col("np").isNotNull && col("np") =!= col("pid"))
       .select(col("pid").as("src"), col("np").as("dst"))
       .distinct()
-    var edges = e0.localCheckpoint(true)
+  }
+
+  def qScc(s: SparkSession, d: String): DataFrame = {
+    var edges = successionEdges(s, d).localCheckpoint(true)
     var nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
@@ -2976,5 +2981,178 @@ object Mining {
     done.join(sizes, "scc")
       .select(col("id"), col("scc"), col("scc_size"))
       .orderBy(col("id"))
+  }
+
+  /** Dyad census + reciprocity of the directed succession graph — the
+    * cheapest directed-structure readout beside [[qScc]]: how many
+    * unordered pairs are MUTUAL (both directions present) vs
+    * asymmetric, and the edge-reciprocity ratio 2M/E. One self-join of
+    * the edge list on its own reversal (edge-keyed shuffle, never
+    * quadratic); every count an exact long; the ratio micro-fixed. */
+  def qDyadCensus(s: SparkSession, d: String): DataFrame = {
+    val e = successionEdges(s, d).localCheckpoint(true)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val nE = e.count()
+    val nR = recip.count() // reciprocated directed edges = 2·mutual
+    val nN = nodes.count()
+    e.sparkSession.range(1).select(
+      lit(nN).as("n_nodes"), lit(nE).as("n_edges"),
+      lit(nR / 2).as("n_mutual_dyads"),
+      lit(nE - nR).as("n_asym_dyads"),
+      (floor(lit(nR).cast("double") / lit(nE) * 1e6 + 0.5) / 1e6)
+        .as("reciprocity"))
+  }
+
+  /** Longest-path layering of the id-increasing succession DAG (edges
+    * src < dst are acyclic by construction — the Coffman–Graham-style
+    * level assignment a scheduler would run on the condensation):
+    * dist(v) = longest edge-count path ending at v, computed by
+    * synchronous relaxation rounds dist(v) ← max(dist(v),
+    * max_{u→v} dist(u)+1) to fixpoint — [[qScc]]'s loop machinery
+    * verbatim (7 steps per job, per-step lazy checkpoints, narrow
+    * shuffle width, budget require'd), rounds bounded by the longest
+    * path. Output is the per-layer census; the oracle enumerates
+    * (node, depth) pairs by recursive CTE — finite because the edge
+    * filter guarantees a DAG. */
+  def qDagLongestPath(s: SparkSession, d: String): DataFrame = {
+    val edges = successionEdges(s, d)
+      .filter(col("src") < col("dst")).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val shufKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevShuf = s.conf.get(shufKey)
+    val prevAqe = s.conf.get(aqeKey)
+    s.conf.set(shufKey, "2")
+    s.conf.set(aqeKey, "false")
+    var lab = nodes.withColumn("dist", lit(0L)).localCheckpoint(true)
+    try {
+      var changed = true
+      var pb = 0
+      while (changed) {
+        pb += 1
+        require(pb <= 12, "qDagLongestPath: relaxation budget exhausted")
+        var l2 = lab
+        for (_ <- 1 to 7) {
+          val msgs = edges
+            .join(l2.select(col("id").as("src"), col("dist")), "src")
+            .groupBy(col("dst").as("id"))
+            .agg(max(col("dist") + 1).as("nd"))
+          l2 = l2.join(msgs, Seq("id"), "left")
+            .select(col("id"),
+              greatest(col("dist"), coalesce(col("nd"), col("dist")))
+                .as("dist"))
+            .localCheckpoint(false)
+        }
+        l2 = l2.localCheckpoint(true)
+        changed = l2.as("n").join(lab.as("o"), "id")
+          .filter(col("n.dist") > col("o.dist")).count() > 0
+        lab = l2
+      }
+    } finally {
+      s.conf.set(shufKey, prevShuf)
+      s.conf.set(aqeKey, prevAqe)
+    }
+    lab.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("dist"))
+  }
+
+  /** Inverse standard-normal CDF (Acklam's rational approximation —
+    * public-domain constants, |ε| < 4.5e-4 relative): used ONCE at
+    * plan-build time to fold the Benjamini–Hochberg per-rank critical
+    * z-values into BOTH plans as shared literals, so neither engine
+    * ever evaluates it (the macd weight-vector convention). */
+  private[graft] def invNorm(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    }
+  }
+
+  /** Benjamini–Hochberg FDR step-up over the 25 per-nation two-sample
+    * z-tests (nation vs rest-of-corpus balance mean) — the
+    * multiple-testing layer above q_welch_ttest / q_ab_ztest: testing
+    * 25 hypotheses at α=0.05 each inflates false discoveries; BH
+    * bounds the EXPECTED false-discovery rate instead. p-ordering
+    * equals |z|-descending, so the step-up runs directly on |z| ranks
+    * against per-rank critical values z_crit(k) = Φ⁻¹(1 − kα/2m) —
+    * computed once in Scala ([[invNorm]]) and embedded as literals in
+    * BOTH plans. Moments on the whole-dollar integer lattice
+    * (q_eta_squared's convention) so every z is an identical double
+    * cross-engine; the one corpus-scaled pass is the grouped moment
+    * rollup; everything after runs on the 25-row census. */
+  def qBhFdr(s: SparkSession, d: String): DataFrame = {
+    val m = 25
+    val alpha = 0.05
+    val crit = (1 to m).map(k => invNorm(1.0 - k * alpha / (2.0 * m)))
+    val g = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("g"),
+        round(col("c_acctbal")).cast("long").as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("sx2"))
+      .localCheckpoint(true)
+    val tot = g.agg(sum(col("n")).as("nt"),
+      sum(col("sx")).as("st"),
+      sum(col("sx2").cast("decimal(38,0)")).as("st2"))
+    val z = g.crossJoin(broadcast(tot))
+      .withColumn("n_r", col("nt") - col("n"))
+      .withColumn("s_r", col("st") - col("sx"))
+      .withColumn("mean_g", col("sx").cast("double") / col("n"))
+      .withColumn("mean_r", col("s_r").cast("double") / col("n_r"))
+      // group/rest variances via the exact integer moment identity
+      .withColumn("var_g",
+        expr("CAST(sx2 * n - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)") /
+          (col("n").cast("double") * col("n") * (col("n") - 1)) * col("n"))
+      .withColumn("var_r",
+        expr("CAST((st2 - sx2) * n_r" +
+          " - CAST(s_r AS DECIMAL(38,0)) * s_r AS DOUBLE)") /
+          (col("n_r").cast("double") * col("n_r") * (col("n_r") - 1)) *
+          col("n_r"))
+      .withColumn("z", (col("mean_g") - col("mean_r")) /
+        sqrt(col("var_g") / col("n") + col("var_r") / col("n_r")))
+    val ranked = z
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(abs(col("z")).desc, col("g"))))
+      .withColumn("z_crit",
+        element_at(array(crit.map(lit): _*), col("rnk").cast("int")))
+      .withColumn("hit", when(abs(col("z")) >= col("z_crit"), col("rnk"))
+        .otherwise(lit(0)))
+    val kStar = ranked.agg(max(col("hit")).as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col("g").as("nation"), col("n").as("n_cust"),
+        (floor(col("z") * 1e4 + 0.5) / 1e4).as("z"),
+        col("rnk").cast("long").as("rnk"),
+        (floor(col("z_crit") * 1e4 + 0.5) / 1e4).as("z_crit"),
+        (col("rnk") <= col("k_star")).as("rejected"))
+      .orderBy(col("rnk"))
   }
 }

@@ -1088,4 +1088,67 @@ object Stats {
           "CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4) / " +
           "sqrt(CAST(sig48 AS DOUBLE) / 48)"), 6).as("z_stat"))
   }
+
+  /** Quantile normalization of the three returnflag daily-revenue
+    * distributions (the bioinformatics/batch-effect classic): each
+    * flag's series is ranked, the rank-wise CROSS-FLAG mean becomes
+    * the shared reference distribution, and every (flag, rank) maps to
+    * it — after normalization the three marginals are identical by
+    * construction. Runs on days where ALL flags traded (equal-length
+    * series, the method's requirement); ranks via the exact ranged
+    * [[Ranks.groupRowNumber]] (no per-flag single-task sort at any
+    * scale); the reference value is an exact integer `div` of the e4
+    * lattice sum (order-free), ties in e4 broken by day so both
+    * engines rank identically. */
+  def qQuantileNormalize(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+    val nFlags = 3
+    val full = daily.groupBy(col("day"))
+      .agg(count(lit(1)).as("_nf")).filter(col("_nf") === nFlags)
+      .select(col("day"))
+    val common = daily.join(full, "day")
+    val ranked = Ranks.groupRowNumber(common, Seq(col("flag")),
+      Seq(col("e4"), col("day")), "rn", "_n")
+    val ref = ranked.groupBy(col("rn"))
+      .agg(sum(col("e4")).as("_se4"))
+      .withColumn("norm_e4", expr(s"_se4 div $nFlags"))
+    ranked.join(ref, "rn")
+      .select(col("flag"), col("rn"), col("day"),
+        rnd(col("e4").cast("double") / 10000, 2).as("revenue"),
+        rnd(col("norm_e4").cast("double") / 10000, 2)
+          .as("norm_revenue"))
+      .orderBy(col("flag"), col("rn"))
+  }
+
+  /** Hamilton largest-remainder apportionment: 1000 seats allocated to
+    * nations by customer headcount — the FP&A/electoral allocation
+    * primitive beside q_pvm_bridge. Pure integer arithmetic end to
+    * end: base = (n_i·S) div N, remainders ranked exactly
+    * (scaled-remainder longs, nation tiebreak), the leftover seats go
+    * to the top remainders. One corpus-scaled rollup; everything
+    * after runs on the 25-row census; Σseats = S by construction —
+    * emitted per row so the oracle pins the invariant too. */
+  def qApportionment(s: SparkSession, d: String): DataFrame = {
+    val seats = 1000L
+    val g = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_cust"))
+    val tot = g.agg(sum(col("n_cust")).as("nt"))
+    val based = g.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(n_cust * $seats) div nt"))
+      .withColumn("rem", expr(s"n_cust * $seats - base * nt"))
+    val leftover = based.agg((lit(seats) - sum(col("base"))).as("k"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rrank", row_number().over(
+        Window.orderBy(col("rem").desc, col("nation"))))
+      .select(col("nation"), col("n_cust"), col("base"),
+        when(col("rrank") <= col("k"), 1L).otherwise(0L).as("bonus"),
+        (col("base") + when(col("rrank") <= col("k"), 1L)
+          .otherwise(0L)).as("seats"))
+      .orderBy(col("nation"))
+  }
 }

@@ -1622,6 +1622,30 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** STREAMING time-zone census — q_timezone_funcs' zone/local-day
+    * rollup as a continuous query: the cross-zone local-day projection
+    * is STATELESS (convert_timezone of the event instant), the
+    * per-(zone, day) counts and cent sums fold associatively in
+    * complete mode, so the converged table equals the batch census
+    * under any micro-batch chopping; the constant DST-probe frame
+    * appends post-stream. Shares q_timezone_funcs' oracle verbatim —
+    * the stream≡batch certificate. */
+  def streamTimezone(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamShuffle(spark) {
+      val ev = eventStream(spark, sfDir)
+        .select(timestamp_seconds(col("ts_s")).as("uts"),
+          round(col("value") * 100).cast("long").as("vc"))
+      val agg = graft.ops.Analytics.tzCensus(ev)
+      val name = s"graft_stream_tz_${n.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      StreamMeter.record(q)
+      spark.table(name)
+        .unionByName(graft.ops.Analytics.tzProbes(spark))
+        .orderBy(col("zone"), col("local_key"))
+    }
+
   /** Time-ordered source copies for the watermarked-dedup streams
     * (streamSrm / streamDauMau): the events corpus split into 4
     * CHRONOLOGICAL single-file chunks written sequentially, so

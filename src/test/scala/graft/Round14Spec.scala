@@ -184,6 +184,127 @@ class Round14Spec extends SparkSuite {
     assert(back(3L) == Seq(Seq(2L, 7L), Seq(1L), Seq(8L, 2L, 8L, 1L)))
   }
 
+  test("dag longest-path layers match a naive topological replay") {
+    val got = graft.ops.Mining.qDagLongestPath(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val sp = graft.sources.Tables.part(spark, sf)
+      .filter(col("p_size") === 1).select(col("p_partkey").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+      .filter(t => sp.contains(t._3)).distinct
+    val edges = li.groupBy(_._1).values.flatMap { lines =>
+      val seq = lines.sortBy(t => (t._2, t._3)).map(_._3)
+      seq.zip(seq.tail).filter(p => p._1 != p._2 && p._1 < p._2)
+    }.toSet
+    val nodes = edges.flatMap(p => Seq(p._1, p._2))
+    // naive DP in increasing-id order (valid topological order here)
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    for (v <- nodes.toSeq.sorted) {
+      val in = edges.filter(_._2 == v).map(e => dist(e._1) + 1)
+      dist(v) = if (in.isEmpty) 0L else math.max(0L, in.max)
+    }
+    val exp = dist.toSeq.groupBy(_._2).map { case (dd, vs) =>
+      dd -> (vs.size.toLong, vs.map(_._1).min, vs.map(_._1).max) }
+    assert(got == exp, s"got $got want $exp")
+  }
+
+  test("dyad census matches a naive replay") {
+    val r = graft.ops.Mining.qDyadCensus(spark, sf).head()
+    val sp = graft.sources.Tables.part(spark, sf)
+      .filter(col("p_size") === 1).select(col("p_partkey").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("long"))
+      .collect().map(x => (x.getLong(0), x.getInt(1).toLong, x.getLong(2)))
+      .filter(t => sp.contains(t._3)).distinct
+    val edges = li.groupBy(_._1).values.flatMap { lines =>
+      val seq = lines.sortBy(t => (t._2, t._3)).map(_._3)
+      seq.zip(seq.tail).filter(p => p._1 != p._2)
+    }.toSet
+    val recip = edges.count(e => edges.contains((e._2, e._1)))
+    assert(r.getLong(r.fieldIndex("n_edges")) == edges.size.toLong)
+    assert(r.getLong(r.fieldIndex("n_mutual_dyads")) == recip / 2)
+    assert(r.getLong(r.fieldIndex("n_asym_dyads")) ==
+      edges.size.toLong - recip)
+  }
+
+  test("bh fdr step-up matches a naive replay") {
+    val out = graft.ops.Mining.qBhFdr(spark, sf).collect()
+    val pts = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"),
+        round(col("c_acctbal")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byG = pts.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def z(g: Long): Double = {
+      val vs = byG(g).map(_.toDouble)
+      val rest = pts.filter(_._1 != g).map(_._2.toDouble)
+      def mv(a: Seq[Double]) = {
+        val m = a.sum / a.length
+        (m, a.map(x => (x - m) * (x - m)).sum / (a.length - 1))
+      }
+      val (mg, vg) = mv(vs.toSeq); val (mr, vr) = mv(rest.toSeq)
+      (mg - mr) / math.sqrt(vg / vs.length + vr / rest.length)
+    }
+    val m = byG.size
+    val zs = byG.keys.toSeq.map(g => g -> z(g))
+      .sortBy { case (g, zz) => (-math.abs(zz), g) }
+    val crit = (1 to m).map(k =>
+      graft.ops.Mining.invNorm(1.0 - k * 0.05 / (2.0 * m)))
+    val kStar = (1 to m).filter(k =>
+      math.abs(zs(k - 1)._2) >= crit(k - 1)).lastOption.getOrElse(0)
+    for ((r, i) <- out.zipWithIndex) {
+      assert(r.getLong(r.fieldIndex("rnk")) == i + 1)
+      assert(r.getLong(r.fieldIndex("nation")) == zs(i)._1, s"rank ${i + 1}")
+      assert(math.abs(r.getDouble(r.fieldIndex("z")) - zs(i)._2) < 1e-3)
+      assert(r.getBoolean(r.fieldIndex("rejected")) == (i + 1 <= kStar))
+    }
+  }
+
+  test("quantile normalization: marginals equalize and ranks replay") {
+    val out = graft.ops.Stats.qQuantileNormalize(spark, sf).collect()
+    val byFlag = out.groupBy(_.getString(0))
+    assert(byFlag.size == 3)
+    // after normalization the three series are IDENTICAL rank-wise
+    val series = byFlag.values.map(_.map(r =>
+      r.getLong(r.fieldIndex("rn")) ->
+        r.getDouble(r.fieldIndex("norm_revenue"))).toMap)
+    assert(series.toSeq.distinct.size == 1)
+    // and each flag's normalized column is monotone in rank
+    for (rows <- byFlag.values) {
+      val sorted = rows.sortBy(_.getLong(1))
+      val nr = sorted.map(_.getDouble(sorted.head.fieldIndex("norm_revenue")))
+      assert(nr.zip(nr.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("apportionment: seats sum to 1000 and follow largest remainders") {
+    val out = graft.ops.Stats.qApportionment(spark, sf).collect()
+    assert(out.map(_.getLong(out.head.fieldIndex("seats"))).sum == 1000L)
+    val n = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nt = n.values.sum
+    val base = n.view.mapValues(v => v * 1000 / nt).toMap
+    val rem = n.map { case (g, v) => g -> (v * 1000 - base(g) * nt) }
+    val k = (1000 - base.values.sum).toInt
+    val bonus = rem.toSeq.sortBy { case (g, r) => (-r, g) }
+      .take(k).map(_._1).toSet
+    for (r <- out) {
+      val g = r.getLong(0)
+      assert(r.getLong(r.fieldIndex("seats")) ==
+        base(g) + (if (bonus(g)) 1 else 0), s"nation $g")
+    }
+  }
+
+  test("stream_timezone equals the batch census") {
+    val got = graft.streaming.Events.streamTimezone(spark, sf).collect()
+    val exp = graft.ops.Analytics.qTimezoneFuncs(spark, sf).collect()
+    assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
+  }
+
   test("nfkc canonicalization collapses fullwidth, case and " +
       "combining-accent variants") {
     import spark.implicits._
