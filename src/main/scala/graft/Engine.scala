@@ -341,6 +341,30 @@ class Engine(spark: SparkSession, warehouse: String,
     name
   }
 
+  /** Covering secondary index: a `(v, rowNum, <include…>)` projection
+    * range-partitioned and sorted on the value — the SQLite
+    * covering-index trick re-expressed as a narrow sorted parquet
+    * projection: a point or aggregate query over the indexed value
+    * plus the included columns is served INDEX-ONLY, the base table
+    * untouched (one narrow scan with the predicate pushed into the
+    * sorted row groups, vs [[buildIndex]]'s resolve-then-probe). */
+  def buildCoveringIndex(tableName: String, column: String,
+      include: Seq[String]): String = {
+    val name = s"${tableName}__cidx_$column"
+    table(tableName)
+      .select((col(column).as("v") +: col("rowNum") +:
+        include.map(col)): _*)
+      .repartitionByRange(4, col("v"))
+      .sortWithinPartitions(col("v"))
+      .write.mode(SaveMode.Overwrite).parquet(dir(name))
+    name
+  }
+
+  /** The covering index as a frame — every query that only needs the
+    * indexed value + included columns runs here, index-only. */
+  def coveringIndex(tableName: String, column: String): DataFrame =
+    spark.read.parquet(dir(s"${tableName}__cidx_$column"))
+
   /** Point lookup through a [[buildIndex]] index: the index scan
     * resolves the matching rowNums (narrow two-column read, value
     * predicate pushed to the sorted parquet), then a broadcast semi

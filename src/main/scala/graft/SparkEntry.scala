@@ -1025,6 +1025,10 @@ object SparkEntry {
     "shred_nested_arrays" -> (JsonQueries.shredNestedArrays _),
     "q_timezone_funcs" -> (Analytics.qTimezoneFuncs _),
     "q_dyad_census" -> (Mining.qDyadCensus _),
+    "engine_index_covering" -> (JsonQueries.engineIndexCovering _),
+    "multimodal_wbmp_codec" -> (PipelineQueries.multimodalWbmpCodec _),
+    "q_tost_equivalence" -> (Stats.qTostEquivalence _),
+    "q_beta_hedge" -> (graft.ops.Series.qBetaHedge _),
     "q_dag_longest_path" -> (Mining.qDagLongestPath _),
     "q_bh_fdr" -> (Mining.qBhFdr _),
     "q_quantile_normalize" -> (Stats.qQuantileNormalize _),
@@ -1292,6 +1296,42 @@ object SparkEntry {
        |  floor(z_crit * 1e4 + 0.5) / 1e4 AS z_crit,
        |  rnk <= k_star AS rejected
        |FROM j, ks ORDER BY rnk""".stripMargin
+  }
+
+  /** q_tost_equivalence oracle — z_α = Φ⁻¹(0.95) folded once from
+    * Scala as a DOUBLE-cast literal; moments mirrored token for token
+    * so every z compares identical doubles. */
+  private def tostOracle: String = {
+    val zA = graft.ops.Mining.invNorm(0.95)
+    s"""WITH cust AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |    c_custkey % 2 AS arm, CAST(round(c_acctbal) AS BIGINT) AS v
+       |  FROM customer),
+       |g AS (SELECT nation, arm, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(v) AS BIGINT) AS sx,
+       |    sum(CAST(v AS HUGEINT) * v) AS sx2
+       |  FROM cust GROUP BY 1, 2),
+       |j AS (SELECT o.nation,
+       |    o.n AS no, o.sx AS sxo, o.sx2 AS sx2o,
+       |    e.n AS ne, e.sx AS sxe, e.sx2 AS sx2e
+       |  FROM g o JOIN g e ON o.nation = e.nation
+       |  WHERE o.arm = 1 AND e.arm = 0
+       |    AND o.n >= 2 AND e.n >= 2),
+       |z AS (SELECT nation, no + ne AS n_cust,
+       |    CAST(sxo AS DOUBLE) / no - CAST(sxe AS DOUBLE) / ne AS delta,
+       |    sqrt(CAST(sx2o * no - CAST(sxo AS HUGEINT) * sxo AS DOUBLE)
+       |        / (CAST(no AS DOUBLE) * no * (no - 1)) * no / no
+       |      + CAST(sx2e * ne - CAST(sxe AS HUGEINT) * sxe AS DOUBLE)
+       |        / (CAST(ne AS DOUBLE) * ne * (ne - 1)) * ne / ne) AS se
+       |  FROM j)
+       |SELECT nation, n_cust,
+       |  floor(delta * 1e4 + 0.5) / 1e4 AS delta,
+       |  floor(se * 1e4 + 0.5) / 1e4 AS se,
+       |  floor((delta + 100.0) / se * 1e4 + 0.5) / 1e4 AS z_low,
+       |  floor((delta - 100.0) / se * 1e4 + 0.5) / 1e4 AS z_high,
+       |  (delta + 100.0) / se >= CAST($zA AS DOUBLE)
+       |    AND (delta - 100.0) / se <= -CAST($zA AS DOUBLE)
+       |    AS equivalent
+       |FROM z ORDER BY nation""".stripMargin
   }
 
   private lazy val extraOracles: Map[String, String] =
@@ -8325,6 +8365,53 @@ object SparkEntry {
         |SELECT zone, local_key, n, v_cents FROM census
         |UNION ALL SELECT zone, local_key, n, v_cents FROM probes
         |ORDER BY zone, local_key""".stripMargin,
+    // index-only readout: the oracle computes the same aggregate from
+    // the raw source — equality proves the covering index carries the
+    // full answer
+    "engine_index_covering" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_custkey % 97 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // generator replay with the 128 threshold: white pixels decode to
+    // red 255, so px_sum = 255 x white census
+    "multimodal_wbmp_codec" ->
+      """WITH d AS (SELECT doc_id, 8 + (doc_id * 17) % 24 AS w,
+        |    8 + (doc_id * 19) % 24 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS i FROM d),
+        |ys AS (SELECT doc_id, w, h, i, unnest(range(h)) AS j FROM xs)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(sum(CASE WHEN (i * 31 + j * 17 + doc_id) % 256 >= 128
+        |    THEN 255 ELSE 0 END) AS BIGINT) AS px_sum
+        |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "q_tost_equivalence" -> tostOracle,
+    // hedge-ratio OLS on exact HUGEINT moments; actual traded days
+    // only (the q_pacf calendar-gap rule)
+    "q_beta_hedge" ->
+      """WITH daily AS (SELECT l_returnflag AS flag,
+        |    CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT day, CAST(sum(e4) AS BIGINT) AS y4 FROM daily
+        |  GROUP BY 1),
+        |m AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(e4) AS BIGINT) AS sx, CAST(sum(y4) AS BIGINT) AS sy,
+        |    sum(CAST(e4 AS HUGEINT) * y4) AS sxy,
+        |    sum(CAST(y4 AS HUGEINT) * y4) AS syy
+        |  FROM daily JOIN tot USING (day) GROUP BY 1)
+        |SELECT flag, n AS n_days,
+        |  floor(CAST(sxy * n - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(syy * n - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS beta,
+        |  floor((CAST(sx AS DOUBLE)
+        |    - CAST(sxy * n - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / CAST(syy * n - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+        |      * CAST(sy AS DOUBLE))
+        |    / n / 10000 * 100.0 + 0.5) / 100.0 AS alpha
+        |FROM m ORDER BY flag""".stripMargin,
     // same succession-edge CTE prefix as q_scc; reciprocated edges by
     // one reversed self-join
     "q_dyad_census" ->

@@ -437,6 +437,34 @@ object Codecs {
 
   // ---- TIFF ---------------------------------------------------------
 
+  def wbmpWidth(docId: Long): Int = (8 + (docId * 17) % 24).toInt
+  def wbmpHeight(docId: Long): Int = (8 + (docId * 19) % 24).toInt
+
+  /** Real WBMP bytes (the WAP 1-bit bitmap — the JDK's FIFTH genuine
+    * image codec): the deterministic gray image THRESHOLDED at 128
+    * into TYPE_BYTE_BINARY. WBMP is the only 1-bit container in
+    * javax.imageio, exercising bit-packed rows none of the byte/int
+    * formats touch; decoded white pixels read back as 255 in the red
+    * channel, so [[decodePngStats]]' px_sum doubles as the
+    * white-pixel census × 255. */
+  def encodeWbmp(docId: Long): Array[Byte] = {
+    val w = wbmpWidth(docId)
+    val h = wbmpHeight(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (grayAt(x, y, docId) >= 128) 0xffffff else 0)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "wbmp", bos), "no WBMP writer")
+    bos.toByteArray
+  }
+
   def tiffWidth(docId: Long): Int = (8 + (docId * 11) % 24).toInt
   def tiffHeight(docId: Long): Int = (8 + (docId * 13) % 24).toInt
 

@@ -641,6 +641,32 @@ object JsonQueries {
       .orderBy(col("name"))
   }
 
+  /** Covering-index-only aggregation — the reference's SQLite
+    * column-index story taken one step further: a
+    * `(value, rowNum, include…)` covering index answers a
+    * filter+aggregate over the indexed value WITHOUT touching the base
+    * table at all (one narrow sorted scan, predicate pushed into the
+    * row groups — vs engine_index_lookup's resolve-then-probe). The
+    * query builds the index through the facade and serves the whole
+    * readout from [[graft.Engine.coveringIndex]]; the oracle computes
+    * the same aggregate from the raw source, so equality proves the
+    * index carries the full answer. */
+  def engineIndexCovering(s: SparkSession, d: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("graft_engine_cidx").toString
+    val eng = new graft.Engine(s, wh)
+    val docs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("rowNum"), col("o_custkey"),
+        col("o_totalprice"))
+    eng.save(docs, "ord")
+    eng.buildCoveringIndex("ord", "o_custkey", Seq("o_totalprice"))
+    eng.coveringIndex("ord", "o_custkey")
+      .filter(col("v") % 97 === 0)
+      .groupBy(col("v").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("custkey"))
+  }
+
   /** Optimistic-concurrency lost-update detection on the Engine's
     * staged swap — the distributed re-expression of the reference's
     * serialized writer queue (DatabaseManager.java:76-106): where the

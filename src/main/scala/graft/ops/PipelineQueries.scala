@@ -3717,6 +3717,26 @@ object PipelineQueries {
       .orderBy(col("bucket"))
   }
 
+  /** WBMP roundtrip census — the FIFTH real javax.imageio codec
+    * (1-bit WAP bitmap): encode the thresholded deterministic image,
+    * decode through the shared stats kernel, emit (w, h, px_sum).
+    * Bit-packed rows are the one container shape the byte/int codecs
+    * never exercise; the generator-replay oracle thresholds the same
+    * arithmetic, so the roundtrip is pixel-exact by equality. Map-only
+    * codec seam (the documented mapPartitions exception). */
+  def multimodalWbmpCodec(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodeWbmp(id)
+        val (w, h, sum) = graft.mm.Codecs.decodePngStats(bytes)
+        (id, w.toLong, h.toLong, sum)
+      })
+      .toDF("doc_id", "width", "height", "px_sum")
+      .orderBy(col("doc_id"))
+  }
+
   /** Unicode-canonical dedup census: three deterministic variants of
     * every document — the original, a FULLWIDTH-letter homoglyph
     * (ａ–ｚ, the width dup an ASCII lower() cannot see), and an

@@ -470,4 +470,38 @@ object Series {
         col("sym"), col("sax_word"))
       .orderBy(col("flag"), col("seg"))
   }
+
+  /** Market beta + alpha of each returnflag's daily revenue against
+    * the whole-corpus daily revenue (the hedge-ratio OLS a risk desk
+    * runs per instrument vs the index): β = (nΣxy − ΣxΣy)/(nΣy² −
+    * (Σy)²), α = (Σx − βΣy)/n over the flag's ACTUAL traded days (the
+    * q_pacf calendar-gap rule — pair count from the day join, never
+    * n−k). All moments exact on DECIMAL(38,0)⇄HUGEINT over the e4
+    * lattice — sized so nΣxy stays ≈1e34 even at sf100 — with doubles
+    * only at the two final divisions of identical rationals. One
+    * rollup to the calendar-bounded frame; the day join is
+    * broadcast-sized. */
+  def qBetaHedge(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyByFlag(s, d)
+    val tot = daily.groupBy(col("day"))
+      .agg(sum(col("e4")).as("y4"))
+    val m = daily.join(tot, "day")
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("e4")).as("sx"), sum(col("y4")).as("sy"),
+        sum(expr("CAST(e4 AS DECIMAL(38,0)) * y4")).as("sxy"),
+        sum(expr("CAST(y4 AS DECIMAL(38,0)) * y4")).as("syy"))
+    m.select(col("flag"), col("n").as("n_days"),
+        rnd(expr("CAST(sxy * n - CAST(sx AS DECIMAL(38,0)) * sy" +
+          " AS DOUBLE)") /
+          expr("CAST(syy * n - CAST(sy AS DECIMAL(38,0)) * sy" +
+            " AS DOUBLE)"), 6).as("beta"),
+        rnd((col("sx").cast("double") -
+          expr("CAST(sxy * n - CAST(sx AS DECIMAL(38,0)) * sy" +
+            " AS DOUBLE)") /
+          expr("CAST(syy * n - CAST(sy AS DECIMAL(38,0)) * sy" +
+            " AS DOUBLE)") * col("sy").cast("double")) /
+          col("n") / 10000, 2).as("alpha"))
+      .orderBy(col("flag"))
+  }
 }

@@ -1124,6 +1124,61 @@ object Stats {
       .orderBy(col("flag"), col("rn"))
   }
 
+  /** TOST equivalence testing (two one-sided tests) per nation: are
+    * odd- and even-custkey balance means EQUIVALENT within ±100
+    * dollars? — the "absence of a difference is itself the claim"
+    * counterpart to q_welch_ttest's difference test (a non-significant
+    * t does NOT establish equivalence; TOST does). Both one-sided z's
+    * against the ±δ margins must clear z_α = Φ⁻¹(0.95), folded once
+    * from Scala ([[graft.ops.Mining.invNorm]]) into BOTH plans as a
+    * shared literal. Split and moments on the whole-dollar integer
+    * lattice so every z compares identical doubles; one corpus-scaled
+    * rollup, then 25-row arithmetic. */
+  def qTostEquivalence(s: SparkSession, d: String): DataFrame = {
+    val zAlpha = graft.ops.Mining.invNorm(0.95)
+    val margin = 100.0
+    val g = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nation"),
+        (col("c_custkey") % 2).as("arm"),
+        round(col("c_acctbal")).cast("long").as("v"))
+      .groupBy(col("nation"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("sx2"))
+    def side(a: Int, c: String) = g.filter(col("arm") === a)
+      .select(col("nation"), col("n").as(s"n$c"), col("sx").as(s"sx$c"),
+        col("sx2").as(s"sx2$c"))
+    val z = side(1, "o").join(side(0, "e"), "nation")
+      // a singleton arm has no variance: its 0/0 moment is NaN in one
+      // engine and NULL-after-floor in the other — gate the degenerate
+      // cells out identically on both sides
+      .filter(col("no") >= 2 && col("ne") >= 2)
+      .withColumn("mean_o", col("sxo").cast("double") / col("no"))
+      .withColumn("mean_e", col("sxe").cast("double") / col("ne"))
+      .withColumn("var_o",
+        expr("CAST(sx2o * no - CAST(sxo AS DECIMAL(38,0)) * sxo" +
+          " AS DOUBLE)") /
+          (col("no").cast("double") * col("no") * (col("no") - 1)) *
+          col("no"))
+      .withColumn("var_e",
+        expr("CAST(sx2e * ne - CAST(sxe AS DECIMAL(38,0)) * sxe" +
+          " AS DOUBLE)") /
+          (col("ne").cast("double") * col("ne") * (col("ne") - 1)) *
+          col("ne"))
+      .withColumn("delta", col("mean_o") - col("mean_e"))
+      .withColumn("se",
+        sqrt(col("var_o") / col("no") + col("var_e") / col("ne")))
+      .withColumn("z_low", (col("delta") + lit(margin)) / col("se"))
+      .withColumn("z_high", (col("delta") - lit(margin)) / col("se"))
+    z.select(col("nation"), (col("no") + col("ne")).as("n_cust"),
+        rnd(col("delta"), 4).as("delta"),
+        rnd(col("se"), 4).as("se"),
+        rnd(col("z_low"), 4).as("z_low"),
+        rnd(col("z_high"), 4).as("z_high"),
+        (col("z_low") >= lit(zAlpha) && col("z_high") <= lit(-zAlpha))
+          .as("equivalent"))
+      .orderBy(col("nation"))
+  }
+
   /** Hamilton largest-remainder apportionment: 1000 seats allocated to
     * nations by customer headcount — the FP&A/electoral allocation
     * primitive beside q_pvm_bridge. Pure integer arithmetic end to

@@ -299,6 +299,85 @@ class Round14Spec extends SparkSuite {
     }
   }
 
+  test("wbmp roundtrip decodes bit-exact") {
+    for (id <- Seq(0L, 1L, 7L, 123L)) {
+      val bytes = graft.mm.Codecs.encodeWbmp(id)
+      val (w, h, sum) = graft.mm.Codecs.decodePngStats(bytes)
+      assert(w == graft.mm.Codecs.wbmpWidth(id))
+      assert(h == graft.mm.Codecs.wbmpHeight(id))
+      val exp = (for (x <- 0 until w; y <- 0 until h) yield
+        if (graft.mm.Codecs.grayAt(x, y, id) >= 128) 255L else 0L).sum
+      assert(sum == exp, s"doc $id px_sum")
+    }
+  }
+
+  test("covering index serves the aggregate index-only") {
+    val df = graft.ops.JsonQueries.engineIndexCovering(spark, sf)
+    // every file scan in the plan reads the covering index — the base
+    // table dir is never touched (rootPaths, not the toString, which
+    // truncates long paths)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.contains("__cidx_")),
+      s"non-index scan in plan: $scans")
+    assert(df.count() > 0)
+  }
+
+  test("beta hedge matches a naive OLS replay") {
+    val out = graft.ops.Series.qBetaHedge(spark, sf).collect()
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_shipdate").cast("date"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long")))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val daily = rows.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val tot = daily.groupBy(_._1._2).view
+      .mapValues(_.values.sum).toMap
+    for (r <- out) {
+      val f = r.getString(0)
+      val pts = daily.collect { case ((`f`, day), x) => (x, tot(day)) }.toSeq
+      val n = pts.size.toDouble
+      val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+      val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+      val syy = pts.map(p => BigInt(p._2) * BigInt(p._2)).sum
+      val beta = (BigDecimal(sxy) * n - sx * sy).toDouble /
+        (BigDecimal(syy) * n - sy * sy).toDouble
+      val alpha = (sx - beta * sy) / n / 10000
+      assert(r.getLong(r.fieldIndex("n_days")) == pts.size.toLong, f)
+      assert(math.abs(r.getDouble(r.fieldIndex("beta")) - beta) < 1e-4, f)
+      assert(math.abs(r.getDouble(r.fieldIndex("alpha")) - alpha) < 0.5, f)
+    }
+  }
+
+  test("tost equivalence matches a naive replay") {
+    val out = graft.ops.Stats.qTostEquivalence(spark, sf).collect()
+    val pts = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), (col("c_custkey") % 2),
+        round(col("c_acctbal")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val zA = graft.ops.Mining.invNorm(0.95)
+    for (r <- out) {
+      val g = r.getLong(0)
+      def mv(arm: Long) = {
+        val vs = pts.filter(t => t._1 == g && t._2 == arm).map(_._3.toDouble)
+        val m = vs.sum / vs.length
+        (m, vs.map(x => (x - m) * (x - m)).sum / (vs.length - 1), vs.length)
+      }
+      val (mo, vo, no) = mv(1); val (me, ve, ne) = mv(0)
+      val delta = mo - me
+      val se = math.sqrt(vo / no + ve / ne)
+      assert(math.abs(r.getDouble(r.fieldIndex("delta")) - delta) < 1e-3)
+      assert(math.abs(r.getDouble(r.fieldIndex("se")) - se) < 1e-3)
+      val eq = (delta + 100) / se >= zA && (delta - 100) / se <= -zA
+      assert(r.getBoolean(r.fieldIndex("equivalent")) == eq, s"nation $g")
+    }
+  }
+
   test("stream_timezone equals the batch census") {
     val got = graft.streaming.Events.streamTimezone(spark, sf).collect()
     val exp = graft.ops.Analytics.qTimezoneFuncs(spark, sf).collect()
