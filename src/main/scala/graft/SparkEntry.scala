@@ -1029,6 +1029,9 @@ object SparkEntry {
     "multimodal_wbmp_codec" -> (PipelineQueries.multimodalWbmpCodec _),
     "q_tost_equivalence" -> (Stats.qTostEquivalence _),
     "q_beta_hedge" -> (graft.ops.Series.qBetaHedge _),
+    "stream_late_data_audit" ->
+      (graft.streaming.Events.streamLateDataAudit _),
+    "q_corr_matrix" -> (Profiling.qCorrMatrix _),
     "q_dag_longest_path" -> (Mining.qDagLongestPath _),
     "q_bh_fdr" -> (Mining.qBhFdr _),
     "q_quantile_normalize" -> (Stats.qQuantileNormalize _),
@@ -1332,6 +1335,44 @@ object SparkEntry {
        |    AND (delta - 100.0) / se <= -CAST($zA AS DOUBLE)
        |    AS equivalent
        |FROM z ORDER BY nation""".stripMargin
+  }
+
+  /** q_corr_matrix oracle — the six pair blocks generated from the
+    * same column list as the Spark plan, moments mirrored
+    * DECIMAL⇄HUGEINT token for token, sqrt factors taken separately
+    * (their integer product would overflow both engines' decimals). */
+  private def corrMatrixOracle: String = {
+    val cols = Seq("qty", "price", "disc", "tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val moments =
+      cols.flatMap(c => Seq(
+        s"CAST(sum($c) AS BIGINT) AS s_$c",
+        s"sum(CAST($c AS HUGEINT) * $c) AS ss_$c")) ++
+      pairs.map { case (a, b) =>
+        s"sum(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b" }
+    val blocks = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS x_col, '$b' AS y_col, n,
+         |  floor(CAST(sp_${a}_$b * n
+         |      - CAST(s_$a AS HUGEINT) * s_$b AS DOUBLE)
+         |    / (sqrt(CAST(ss_$a * n
+         |        - CAST(s_$a AS HUGEINT) * s_$a AS DOUBLE))
+         |      * sqrt(CAST(ss_$b * n
+         |        - CAST(s_$b AS HUGEINT) * s_$b AS DOUBLE)))
+         |    * 1e6 + 0.5) / 1e6 AS corr FROM m""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (SELECT
+       |    CAST(round(l_quantity) AS BIGINT) AS qty,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+       |    CAST(round(l_tax * 100) AS BIGINT) AS tax FROM lineitem),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    ${moments.mkString(",\n    ")}
+       |  FROM base)
+       |SELECT * FROM (
+       |  $blocks
+       |) ORDER BY x_col, y_col""".stripMargin
   }
 
   private lazy val extraOracles: Map[String, String] =
@@ -8387,6 +8428,21 @@ object SparkEntry {
         |    THEN 255 ELSE 0 END) AS BIGINT) AS px_sum
         |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "q_tost_equivalence" -> tostOracle,
+    // the watermark's drop rule replayed exactly: only rows at or
+    // above the quartile boundary (the on-time three quarters) count —
+    // the same integer boundary arithmetic the source chunker runs
+    "stream_late_data_audit" ->
+      """WITH b AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi FROM events),
+        |kept AS (SELECT e.* FROM events e, b
+        |  WHERE epoch_us(CAST(ts AS TIMESTAMP))
+        |    >= lo + (hi - lo + 1) // 4)
+        |SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS v_cents
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_corr_matrix" -> corrMatrixOracle,
     // hedge-ratio OLS on exact HUGEINT moments; actual traded days
     // only (the q_pacf calendar-gap rule)
     "q_beta_hedge" ->

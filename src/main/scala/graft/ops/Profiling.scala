@@ -368,4 +368,44 @@ object Profiling {
         col("user_id"), Tables.customer(s, d), col("c_custkey")))
       .reduce(_ unionByName _)
       .orderBy(col("audit"))
+
+  /** Pairwise Pearson correlation matrix over the four lineitem
+    * measures (quantity, price, discount, tax) — the numeric-profiling
+    * readout a data catalog attaches to every table. ONE map-side-
+    * combinable aggregation computes every moment (4 sums, 4 squares,
+    * 6 cross-products) on exact integer lattices (qty integer, the
+    * others cents) in DECIMAL(38,0)⇄HUGEINT — sized so n·Σxy ≈ 1e31
+    * at sf100 — and the 6-row matrix unfolds from the single
+    * broadcast-sized census row. Denominator factors are square-rooted
+    * SEPARATELY (their decimal product would overflow), both engines
+    * computing sqrt over the identical exact numerators. */
+  def qCorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("qty", "price", "disc", "tax")
+    val pairsL = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val base = Tables.lineitem(s, d).select(
+      round(col("l_quantity")).cast("long").as("qty"),
+      round(col("l_extendedprice") * 100).cast("long").as("price"),
+      round(col("l_discount") * 100).cast("long").as("disc"),
+      round(col("l_tax") * 100).cast("long").as("tax"))
+    val aggs = cols.flatMap(c => Seq(
+        sum(col(c)).as(s"s_$c"),
+        sum(expr(s"CAST($c AS DECIMAL(38,0)) * $c")).as(s"ss_$c"))) ++
+      pairsL.map { case (a, b) =>
+        sum(expr(s"CAST($a AS DECIMAL(38,0)) * $b")).as(s"sp_${a}_$b") } :+
+      count(lit(1)).as("n")
+    val m = base.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    pairsL.map { case (a, b) =>
+      m.select(lit(a).as("x_col"), lit(b).as("y_col"), col("n"),
+        (floor(
+          expr(s"CAST(sp_${a}_$b * n - CAST(s_$a AS DECIMAL(38,0))" +
+            s" * s_$b AS DOUBLE)") /
+          (sqrt(expr(s"CAST(ss_$a * n - CAST(s_$a AS DECIMAL(38,0))" +
+            s" * s_$a AS DOUBLE)")) *
+           sqrt(expr(s"CAST(ss_$b * n - CAST(s_$b AS DECIMAL(38,0))" +
+            s" * s_$b AS DOUBLE)"))) * 1e6 + 0.5) / 1e6).as("corr"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("x_col"), col("y_col"))
+  }
 }

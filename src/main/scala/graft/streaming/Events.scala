@@ -1679,6 +1679,84 @@ object Events {
       dir
     })
 
+  /** Out-of-order source copies for [[streamLateDataAudit]]: the four
+    * chronological chunks written in mtime order [c1, c0, c2, c3] —
+    * the oldest quarter of the corpus arrives one micro-batch LATE,
+    * after the watermark (advanced by c1's max event time) has moved
+    * days past every c0 row. One copy per corpus dir per process. */
+  private val lateSrcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def lateEventsDir(spark: SparkSession, sfDir: String): String =
+    lateSrcDirs.computeIfAbsent(sfDir, _ => {
+      val dir = graft.util.Scratch.dir("graft_late_src").toString + "/in"
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect()(0) // 1 row
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      def bound(i: Int) = lo + (hi - lo + 1) * i / 4
+      def writeChunk(i: Int): Unit =
+        ev.filter(unix_micros(col("ts")) >= bound(i) &&
+            unix_micros(col("ts")) < bound(i + 1))
+          .coalesce(1).write.mode("append").parquet(dir)
+      writeChunk(1)
+      // EMPTY heartbeat file between c1 and the late c0: since the
+      // multi-stateful-operator rework, LATE-RECORD FILTERING uses the
+      // PREVIOUS micro-batch's watermark (eviction uses the current
+      // one) — a late chunk arriving in the first batch after the
+      // advance would evade the filter entirely. The zero-row batch
+      // consumes the advance, so c0 meets the Jan-13-class watermark
+      // it deserves.
+      ev.filter(lit(false)).coalesce(1).write.mode("append").parquet(dir)
+      for (i <- Seq(0, 2, 3)) writeChunk(i)
+      dir
+    })
+
+  /** Late-data audit: what EXACTLY does a watermark throw away? The
+    * oldest quarter of the corpus arrives one micro-batch after the
+    * second quarter, by which time the 2-day watermark (advanced by
+    * the second quarter's max event time, ~5.5 days past every late
+    * row) discards ALL of it before the daily aggregation — so the
+    * converged result is the batch census of the ON-TIME three
+    * quarters, and the dropped set is PREDICTABLE: the oracle replays
+    * the same integer quartile-boundary arithmetic over epoch-micros
+    * and aggregates only rows at or above the boundary. Equality
+    * proves the watermark's drop rule end to end (not just that
+    * "something" was dropped); Round14Spec additionally pins
+    * numRowsDroppedByWatermark = |late quarter| via
+    * [[StreamMeter.lateDrops]]. Update mode + monotone per-day counts
+    * (values are non-negative), so the final row per day is the
+    * max-fold of the sink's emissions. */
+  def streamLateDataAudit(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamShuffle(spark) {
+      val src = lateEventsDir(spark, sfDir)
+      val schema = spark.read.parquet(src).schema
+      // the grouping MUST be the event-time window, not a derived date
+      // column: the late-row filter applies to keys carrying event-time
+      // metadata — a to_date(ts) key silently keeps every late row
+      val agg = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*.parquet")
+        .withWatermark("ts", "2 days")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("vc"))
+      val name = s"graft_stream_late_${n.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("update").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      StreamMeter.record(q)
+      spark.table(name)
+        .select(col("window.start").cast("date").as("day"),
+          col("n"), col("vc"))
+        .groupBy(col("day"))
+        .agg(max(col("n")).as("n_events"),
+          max(col("vc")).as("v_cents"))
+        .orderBy(col("day"))
+    }
+
   /** STREAMING sample-ratio-mismatch monitor —
     * [[graft.ops.Mining.qAbSrm]] as a continuous query: the
     * experiment-health alarm running ON the ingest stream instead of

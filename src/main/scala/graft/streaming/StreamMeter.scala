@@ -31,6 +31,11 @@ object StreamMeter {
   val stateEvictions =
     new ConcurrentHashMap[String, Seq[(String, Long, Long)]]()
 
+  /** name-prefix → Σ numRowsDroppedByWatermark across the run's
+    * micro-batches and state operators — lets specs assert exactly how
+    * many late rows a watermark discarded (stream_late_data_audit). */
+  val lateDrops = new ConcurrentHashMap[String, Long]()
+
   /** Record a finished query's progress. Call after awaitTermination —
     * recentProgress retains the (bounded) run just completed. */
   def record(q: StreamingQuery): Unit = {
@@ -52,6 +57,9 @@ object StreamMeter {
             .map(_.stateOperators(i).numRowsRemoved).sum
           (s.operatorName, s.numRowsTotal, removed)
         })
+      lateDrops.put(key, ps.toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsDroppedByWatermark).sum)
     }
   }
 

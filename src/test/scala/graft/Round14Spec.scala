@@ -384,6 +384,59 @@ class Round14Spec extends SparkSuite {
     assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
   }
 
+  test("late-data audit drops exactly the late quarter and nothing else") {
+    val got = graft.streaming.Events.streamLateDataAudit(spark, sf)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // naive replay of the quartile-boundary drop rule
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(unix_micros(col("ts")), to_date(col("ts")),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    val lo = evs.map(_._1).min
+    val hi = evs.map(_._1).max
+    val q1 = lo + (hi - lo + 1) / 4
+    val kept = evs.filter(_._1 >= q1)
+    val exp = kept.groupBy(_._2).view.mapValues(xs =>
+      (xs.length.toLong, xs.map(_._3).sum)).toMap
+    assert(got == exp)
+    // the census equality above is the full-drop proof; the state
+    // operator's own metric only sees the late rows that survive the
+    // earlier plan-level watermark filter, so pin it as a bounded
+    // nonzero witness rather than the exact count
+    val nLate = evs.length - kept.length
+    assert(nLate > 0, "fixture must contain a late quarter")
+    val dropped = graft.streaming.StreamMeter.lateDrops
+      .get("graft_stream_late")
+    assert(dropped > 0 && dropped <= nLate.toLong,
+      s"droppedByWatermark $dropped outside (0, $nLate]")
+  }
+
+  test("correlation matrix matches a naive replay") {
+    val out = graft.ops.Profiling.qCorrMatrix(spark, sf).collect()
+    assert(out.length == 6)
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select(round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_tax") * 100).cast("long"))
+      .collect().map(r => Map("qty" -> r.getLong(0), "price" -> r.getLong(1),
+        "disc" -> r.getLong(2), "tax" -> r.getLong(3)))
+    def corr(a: String, b: String): Double = {
+      val xs = rows.map(_(a).toDouble); val ys = rows.map(_(b).toDouble)
+      val n = xs.length
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      num / math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+        ys.map(y => (y - my) * (y - my)).sum)
+    }
+    for (r <- out) {
+      val c = corr(r.getString(0), r.getString(1))
+      assert(math.abs(r.getDouble(r.fieldIndex("corr")) - c) < 1e-4,
+        s"${r.getString(0)}~${r.getString(1)}")
+    }
+  }
+
   test("nfkc canonicalization collapses fullwidth, case and " +
       "combining-accent variants") {
     import spark.implicits._
