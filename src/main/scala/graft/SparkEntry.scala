@@ -1032,6 +1032,8 @@ object SparkEntry {
     "stream_late_data_audit" ->
       (graft.streaming.Events.streamLateDataAudit _),
     "q_corr_matrix" -> (Profiling.qCorrMatrix _),
+    "q_growth_accounting" -> (Behavior.qGrowthAccounting _),
+    "q_durbin_watson" -> (Stats.qDurbinWatson _),
     "q_dag_longest_path" -> (Mining.qDagLongestPath _),
     "q_bh_fdr" -> (Mining.qBhFdr _),
     "q_quantile_normalize" -> (Stats.qQuantileNormalize _),
@@ -8443,6 +8445,71 @@ object SparkEntry {
         |    AS v_cents
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_corr_matrix" -> corrMatrixOracle,
+    // user-day-keyed classification joins; churn=0 days NULL both sides
+    "q_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS fd FROM ud GROUP BY 1),
+        |pa AS (SELECT user_id, day + 1 AS day FROM ud),
+        |cls AS (SELECT u.day,
+        |    CAST(count(*) AS BIGINT) AS active,
+        |    CAST(sum(CASE WHEN f.fd = u.day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS new_u,
+        |    CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS retained,
+        |    CAST(sum(CASE WHEN p.user_id IS NULL AND f.fd < u.day
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        |  FROM ud u JOIN f USING (user_id)
+        |  LEFT JOIN pa p ON p.user_id = u.user_id AND p.day = u.day
+        |  GROUP BY 1),
+        |ch AS (SELECT pa.day, CAST(count(*) AS BIGINT) AS churned
+        |  FROM pa LEFT JOIN ud ON ud.user_id = pa.user_id
+        |    AND ud.day = pa.day
+        |  WHERE ud.user_id IS NULL GROUP BY 1)
+        |SELECT c.day, active, new_u, retained, resurrected,
+        |  coalesce(ch.churned, 0) AS churned,
+        |  CASE WHEN coalesce(ch.churned, 0) = 0 THEN NULL
+        |    ELSE floor(CAST(new_u + resurrected AS DOUBLE) / ch.churned
+        |      * 1e6 + 0.5) / 1e6 END AS quick_ratio
+        |FROM cls c LEFT JOIN ch ON ch.day = c.day
+        |ORDER BY c.day""".stripMargin,
+    // residuals fixed to the milli-e4 lattice after an exact-moment
+    // fit — Σe² and Σ(Δe)² are order-free HUGEINT sums
+    "q_durbin_watson" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |dx AS (SELECT day, e4,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT) AS x FROM daily),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(e4) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * e4) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM dx),
+        |fit AS (SELECT day, e4, x,
+        |    CAST(sxy * n - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / CAST(sxx * n - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS b,
+        |    n, sx, sy FROM dx, m),
+        |ef AS (SELECT day, b,
+        |    CAST(floor((CAST(e4 AS DOUBLE)
+        |      - ((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n
+        |        + b * CAST(x AS DOUBLE))) * 1000 + 0.5) AS BIGINT) AS ef
+        |  FROM fit),
+        |lg AS (SELECT day, b, ef, lag(ef) OVER (ORDER BY day) AS ep
+        |  FROM ef),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_days, max(b) AS b,
+        |    sum(CAST(ef AS HUGEINT) * ef) AS see,
+        |    sum(CAST(CASE WHEN ep IS NULL THEN 0 ELSE ef - ep END
+        |        AS HUGEINT)
+        |      * (CASE WHEN ep IS NULL THEN 0 ELSE ef - ep END)) AS sdd
+        |  FROM lg)
+        |SELECT n_days,
+        |  floor(b / 10000 * 1e6 + 0.5) / 1e6 AS beta_per_day,
+        |  floor(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS dw,
+        |  floor((1.0 - CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE) / 2)
+        |    * 1e4 + 0.5) / 1e4 AS rho1_approx
+        |FROM agg""".stripMargin,
     // hedge-ratio OLS on exact HUGEINT moments; actual traded days
     // only (the q_pacf calendar-gap rule)
     "q_beta_hedge" ->

@@ -1163,4 +1163,43 @@ object Behavior {
               .otherwise("smooth")).as("demand_class"))
       .orderBy(col("l_partkey"))
   }
+
+  /** Growth accounting (the "quick ratio" decomposition): every active
+    * day split into NEW (first-ever day), RETAINED (also active the
+    * previous day) and RESURRECTED (returning after a gap), plus the
+    * day's CHURNED count (active yesterday, absent today) and the
+    * quick ratio (new + resurrected) / churned — the product-growth
+    * readout above q_dau_mau/q_new_vs_returning. All classification by
+    * user-day-keyed joins on the distinct (user, day) frame (the only
+    * corpus-scaled shuffles); first-day via one grouped min; churn is
+    * one anti-join of the shifted frame; ratio micro-fixed with the
+    * churn=0 case NULL identically on both engines. */
+  def qGrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().localCheckpoint(true)
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+    val prevActive = ud.select(col("user_id"),
+      date_add(col("day"), 1).as("day"), lit(1).as("_p"))
+    val classified = ud.join(first, "user_id")
+      .join(prevActive, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("fd") === col("day"), 1L).otherwise(0L)).as("new_u"),
+        sum(when(col("_p").isNotNull, 1L).otherwise(0L)).as("retained"),
+        sum(when(col("_p").isNull && col("fd") < col("day"), 1L)
+          .otherwise(0L)).as("resurrected"))
+    val churn = prevActive
+      .join(ud, Seq("user_id", "day"), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("churned"))
+    classified.join(churn, Seq("day"), "left")
+      .na.fill(0L, Seq("churned"))
+      .select(col("day"), col("active"), col("new_u"), col("retained"),
+        col("resurrected"), col("churned"),
+        when(col("churned") === 0, lit(null).cast("double"))
+          .otherwise(floor((col("new_u") + col("resurrected"))
+            .cast("double") / col("churned") * 1e6 + 0.5) / 1e6)
+          .as("quick_ratio"))
+      .orderBy(col("day"))
+  }
 }

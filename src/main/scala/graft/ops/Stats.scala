@@ -1124,6 +1124,49 @@ object Stats {
       .orderBy(col("flag"), col("rn"))
   }
 
+  /** Durbin–Watson serial-correlation test of the daily-revenue OLS
+    * residuals (y = revenue e4 vs x = epoch-day index) — the residual
+    * autocorrelation check that completes [[qOlsDiagnostics]]' suite
+    * (DW ≈ 2(1 − ρ̂₁); DW → 0 means the trend line leaves correlated
+    * errors). β/α come off exact DECIMAL⇄HUGEINT moments (identical
+    * doubles both engines, the dickey-fuller convention); every
+    * residual is then FIXED to the milli-e4 integer lattice so Σe²
+    * and Σ(Δe)² are order-free exact sums (sized ≈2.5e35 at sf100);
+    * the lag rides the calendar-bounded daily frame. */
+  def qDurbinWatson(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("e4")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * e4")).as("sxy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+    val fitted = daily.crossJoin(broadcast(m))
+      .withColumn("b",
+        expr("CAST(sxy * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)") /
+          expr("CAST(sxx * n - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"))
+      .withColumn("a", (col("sy").cast("double") -
+        col("b") * col("sx").cast("double")) / col("n"))
+      .withColumn("ef", floor((col("e4").cast("double") -
+        (col("a") + col("b") * col("x").cast("double"))) * 1000 +
+        lit(0.5)).cast("long"))
+      .withColumn("ep", lag(col("ef"), 1).over(Window.orderBy(col("day"))))
+    fitted.agg(count(lit(1)).as("n_days"),
+        max(col("b")).as("_b"),
+        sum(expr("CAST(ef AS DECIMAL(38,0)) * ef")).as("see"),
+        sum(expr("CAST(CASE WHEN ep IS NULL THEN 0 ELSE ef - ep END" +
+          " AS DECIMAL(38,0)) * (CASE WHEN ep IS NULL THEN 0" +
+          " ELSE ef - ep END)")).as("sdd"))
+      .select(col("n_days"),
+        rnd(col("_b") / 10000, 6).as("beta_per_day"),
+        rnd(expr("CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)"), 6)
+          .as("dw"),
+        rnd(lit(1.0) - expr("CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)")
+          / 2, 4).as("rho1_approx"))
+  }
+
   /** TOST equivalence testing (two one-sided tests) per nation: are
     * odd- and even-custkey balance means EQUIVALENT within ±100
     * dollars? — the "absence of a difference is itself the claim"

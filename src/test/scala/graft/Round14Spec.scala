@@ -437,6 +437,56 @@ class Round14Spec extends SparkSuite {
     }
   }
 
+  test("growth accounting matches a naive replay and its identities") {
+    val out = graft.ops.Behavior.qGrowthAccounting(spark, sf).collect()
+    val ud = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val firstDay = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    for (r <- out) {
+      val day = r.getDate(0).toLocalDate
+      val act = byDay(day)
+      val prev = byDay.getOrElse(day.minusDays(1), Set.empty[Long])
+      val nw = act.count(u => firstDay(u) == day)
+      val ret = act.count(prev)
+      val res = act.count(u => !prev(u) && firstDay(u).isBefore(day))
+      val chu = prev.count(u => !act(u))
+      assert(r.getLong(r.fieldIndex("active")) == act.size.toLong, s"$day")
+      assert(r.getLong(r.fieldIndex("new_u")) == nw.toLong, s"$day new")
+      assert(r.getLong(r.fieldIndex("retained")) == ret.toLong, s"$day ret")
+      assert(r.getLong(r.fieldIndex("resurrected")) == res.toLong)
+      assert(r.getLong(r.fieldIndex("churned")) == chu.toLong, s"$day churn")
+      // the classification partitions the active set
+      assert(nw + ret + res == act.size)
+    }
+  }
+
+  test("durbin-watson matches a naive replay") {
+    val r = graft.ops.Stats.qDurbinWatson(spark, sf).head()
+    val daily = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_shipdate").cast("date"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long")))
+      .collect().map(x => (x.getDate(0).toLocalDate, x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1.toEpochDay)
+    val xs = daily.map(_._1.toEpochDay.toDouble)
+    val ys = daily.map(_._2.toDouble)
+    val n = xs.length
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val b = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    val a = my - b * mx
+    val e = xs.zip(ys).map { case (x, y) => y - (a + b * x) }
+    val dw = e.zip(e.tail).map { case (p, c) =>
+      (c - p) * (c - p) }.sum / e.map(x => x * x).sum
+    assert(r.getLong(r.fieldIndex("n_days")) == n.toLong)
+    assert(math.abs(r.getDouble(r.fieldIndex("dw")) - dw) < 1e-4)
+    assert(math.abs(r.getDouble(r.fieldIndex("beta_per_day")) -
+      b / 10000) < 1e-3)
+  }
+
   test("nfkc canonicalization collapses fullwidth, case and " +
       "combining-accent variants") {
     import spark.implicits._
