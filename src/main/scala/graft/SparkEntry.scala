@@ -1034,6 +1034,9 @@ object SparkEntry {
     "q_corr_matrix" -> (Profiling.qCorrMatrix _),
     "q_growth_accounting" -> (Behavior.qGrowthAccounting _),
     "q_durbin_watson" -> (Stats.qDurbinWatson _),
+    "q_pr_auc" -> (MlEval.qPrAuc _),
+    "q_wasserstein_1d" -> (Stats.qWasserstein1d _),
+    "q_markov_entropy_rate" -> (Stats.qMarkovEntropyRate _),
     "q_dag_longest_path" -> (Mining.qDagLongestPath _),
     "q_bh_fdr" -> (Mining.qBhFdr _),
     "q_quantile_normalize" -> (Stats.qQuantileNormalize _),
@@ -8473,6 +8476,85 @@ object SparkEntry {
         |      * 1e6 + 0.5) / 1e6 END AS quick_ratio
         |FROM cls c LEFT JOIN ch ON ch.day = c.day
         |ORDER BY c.day""".stripMargin,
+    // same histogram CTE as q_roc_auc; descending-inclusive cums by
+    // identity; per-bucket pos·precision an exact integer micro div
+    "q_pr_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) * 101
+        |      + CAST(round(l_discount * 100) AS BIGINT) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |h AS (SELECT v, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS neg FROM s GROUP BY 1),
+        |c AS (SELECT v, pos, neg,
+        |    CAST(sum(pos) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+        |    CAST(sum(neg) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_neg
+        |  FROM h),
+        |t AS (SELECT max(cum_pos) AS n_pos, max(cum_neg) AS n_neg FROM c),
+        |a AS (SELECT
+        |    sum((CAST(pos AS HUGEINT) * (n_pos - cum_pos + pos)
+        |        * 1000000)
+        |      // ((n_pos - cum_pos + pos) + (n_neg - cum_neg + neg)))
+        |      AS ap_micro,
+        |    max(n_pos) AS n_pos, max(n_neg) AS n_neg
+        |  FROM c CROSS JOIN t)
+        |SELECT n_pos, n_neg,
+        |  floor(CAST(ap_micro AS DOUBLE) / 1e6 / n_pos * 1e6 + 0.5)
+        |    / 1e6 AS avg_precision,
+        |  floor(CAST(n_pos AS DOUBLE) / (n_pos + n_neg) * 1e6 + 0.5)
+        |    / 1e6 AS prevalence,
+        |  floor(CAST(ap_micro AS DOUBLE) / 1e6 / n_pos
+        |    / (CAST(n_pos AS DOUBLE) / (n_pos + n_neg)) * 1e4 + 0.5)
+        |    / 1e4 AS lift
+        |FROM a""".stripMargin,
+    // rank-paired sorted samples on both-flag days; exact long |delta|
+    // fold, doubles only at the final divisions
+    "q_wasserstein_1d" ->
+      """WITH daily AS (SELECT l_returnflag AS flag,
+        |    CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT day FROM daily GROUP BY 1 HAVING count(*) = 2),
+        |ranked AS (SELECT flag, e4, CAST(row_number() OVER (
+        |    PARTITION BY flag ORDER BY e4, day) AS BIGINT) AS rn
+        |  FROM daily JOIN b2 USING (day)),
+        |j AS (SELECT a.rn, a.e4 AS xa, r.e4 AS xr FROM ranked a
+        |  JOIN ranked r ON a.rn = r.rn
+        |  WHERE a.flag = 'A' AND r.flag = 'R')
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(CAST(sum(abs(xa - xr)) AS DOUBLE) / count(*) / 10000
+        |    * 100.0 + 0.5) / 100.0 AS w1_dollars,
+        |  floor(CAST(max(abs(xa - xr)) AS DOUBLE) / 10000 * 100.0
+        |    + 0.5) / 100.0 AS max_gap_dollars
+        |FROM j""".stripMargin,
+    // q_markov_chain's exact transition census; per-cell ln of an
+    // integer ratio fixed to nano-nats, exact HUGEINT fold
+    "q_markov_entropy_rate" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |p AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS dst
+        |  FROM e),
+        |t AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS nij FROM p
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT src, CAST(sum(nij) AS BIGINT) AS ni FROM t
+        |  GROUP BY 1),
+        |l AS (SELECT t.nij, CAST(round(ln(CAST(ni AS DOUBLE) / nij)
+        |    * 1e9) AS BIGINT) AS ln9 FROM t JOIN rt USING (src)),
+        |a AS (SELECT CAST(sum(nij) AS BIGINT) AS n_transitions,
+        |    CAST(count(*) AS BIGINT) AS n_cells,
+        |    sum(CAST(nij AS HUGEINT) * ln9) AS h9 FROM l)
+        |SELECT n_transitions, n_cells,
+        |  floor(CAST(h9 AS DOUBLE) / 1e9 / n_transitions * 1e6 + 0.5)
+        |    / 1e6 AS entropy_rate_nats,
+        |  floor(exp(CAST(h9 AS DOUBLE) / 1e9 / n_transitions) * 1e4
+        |    + 0.5) / 1e4 AS perplexity
+        |FROM a""".stripMargin,
     // residuals fixed to the milli-e4 lattice after an exact-moment
     // fit — Σe² and Σ(Δe)² are order-free HUGEINT sums
     "q_durbin_watson" ->

@@ -65,6 +65,43 @@ object MlEval {
           .as("ks_stat"))
   }
 
+  /** Average precision (PR-AUC) of the same integer-lattice score and
+    * label as [[qRocAuc]] — the class-imbalance-robust companion (ROC
+    * flatters a classifier when negatives dominate; the PR curve does
+    * not). AP = Σ_v pos_v · precision_v / P over score buckets in
+    * DESCENDING order, ties absorbed by tie-group-inclusive precision;
+    * the descending cumulatives derive from the SAME ascending ranged
+    * scan (cum_desc = total − cum_asc + bucket), so the corpus work is
+    * still ONE histogram. Each bucket's pos·precision is an exact
+    * integer micro-unit `div` (≤1 µ-unit truncation per bucket, both
+    * engines truncating identically), so the fold is an order-free
+    * long sum — no double ever crosses buckets. */
+  def qPrAuc(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.lineitem(s, d)
+      .select((round(col("l_quantity")).cast("long") * 101 +
+          round(col("l_discount") * 100).cast("long")).as("v"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val hist = scored.groupBy(col("v"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    val cum = Ranks.globalScan(hist, Seq(col("v")),
+      sums = Seq(col("pos") -> "cum_pos", col("neg") -> "cum_neg"))
+    val tot = cum.agg(max(col("cum_pos")).as("n_pos"),
+      max(col("cum_neg")).as("n_neg")).localCheckpoint(true)
+    cum.crossJoin(broadcast(tot))
+      .withColumn("cp_desc", col("n_pos") - col("cum_pos") + col("pos"))
+      .withColumn("cn_desc", col("n_neg") - col("cum_neg") + col("neg"))
+      .agg(sum(expr("(CAST(pos AS DECIMAL(38,0)) * cp_desc * 1000000)" +
+          " div (cp_desc + cn_desc)")).as("ap_micro"),
+        max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        rnd(expr("CAST(ap_micro AS DOUBLE) / 1e6 / n_pos"), 6)
+          .as("avg_precision"),
+        rnd(expr("CAST(n_pos AS DOUBLE) / (n_pos + n_neg)"), 6)
+          .as("prevalence"),
+        rnd(expr("CAST(ap_micro AS DOUBLE) / 1e6 / n_pos" +
+          " / (CAST(n_pos AS DOUBLE) / (n_pos + n_neg))"), 4).as("lift"))
+  }
+
   /** Murphy decomposition of the Brier score (reliability −
     * resolution + uncertainty) for a probability forecast calibrated
     * on a held-out split. Bins are the 11 discount points; the

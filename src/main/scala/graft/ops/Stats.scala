@@ -1167,6 +1167,73 @@ object Stats {
           / 2, 4).as("rho1_approx"))
   }
 
+  /** 1-D Wasserstein distance (earth mover's) between returnflag A's
+    * and R's daily-revenue distributions — the optimal-transport
+    * distance beside q_ks_test's sup-gap: on sorted equal-length
+    * samples W₁ = (1/n)·Σ|x₍ᵢ₎ − y₍ᵢ₎| exactly. Runs on days where
+    * BOTH flags traded (equal length by construction); rank pairing
+    * via the exact ranged [[Ranks.groupRowNumber]] (e4 ties broken by
+    * day, the quantile-normalize convention); the |Δ| fold is an
+    * order-free exact long sum, doubles only in the final division. */
+  def qWasserstein1d(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+    val both = daily.groupBy(col("day"))
+      .agg(count(lit(1)).as("_nf")).filter(col("_nf") === 2)
+      .select(col("day"))
+    val ranked = Ranks.groupRowNumber(daily.join(both, "day"),
+      Seq(col("flag")), Seq(col("e4"), col("day")), "rn", "_n")
+    val a = ranked.filter(col("flag") === "A")
+      .select(col("rn"), col("e4").as("xa"))
+    val r = ranked.filter(col("flag") === "R")
+      .select(col("rn"), col("e4").as("xr"))
+    a.join(r, "rn")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("xa") - col("xr"))).as("sad"),
+        max(abs(col("xa") - col("xr"))).as("mad"))
+      .select(col("n_days"),
+        rnd(expr("CAST(sad AS DOUBLE) / n_days / 10000"), 2)
+          .as("w1_dollars"),
+        rnd(col("mad").cast("double") / 10000, 2).as("max_gap_dollars"))
+  }
+
+  /** Plug-in entropy rate of the user event-type Markov chain — the
+    * information-theoretic "how predictable is the next event" readout
+    * above [[graft.ops.Mining.qMarkovChain]]'s raw matrix:
+    * H = Σ_ij (n_ij/N)·ln(n_i·/n_ij) nats, perplexity e^H. Transition
+    * census shares q_markov_chain's exact (ts_s, event_id) ordering;
+    * each cell's ln of an integer ratio is an identical double both
+    * engines, FIXED to the nano-nat lattice so the fold is an exact
+    * DECIMAL⇄HUGEINT sum (order-free at any cell count); the two
+    * finals (÷N·1e9, exp) run on identical rationals. */
+  def qMarkovEntropyRate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val t = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("nij"))
+    val rowTot = t.groupBy(col("src")).agg(sum(col("nij")).as("ni"))
+    t.join(rowTot, "src")
+      .withColumn("ln9", expr("CAST(round(ln(CAST(ni AS DOUBLE) / nij)" +
+        " * 1e9) AS BIGINT)"))
+      .agg(sum(col("nij")).as("n_transitions"),
+        count(lit(1)).as("n_cells"),
+        sum(expr("CAST(nij AS DECIMAL(38,0)) * ln9")).as("h9"))
+      .select(col("n_transitions"), col("n_cells"),
+        rnd(expr("CAST(h9 AS DOUBLE) / 1e9 / n_transitions"), 6)
+          .as("entropy_rate_nats"),
+        rnd(exp(expr("CAST(h9 AS DOUBLE) / 1e9 / n_transitions")), 4)
+          .as("perplexity"))
+  }
+
   /** TOST equivalence testing (two one-sided tests) per nation: are
     * odd- and even-custkey balance means EQUIVALENT within ±100
     * dollars? — the "absence of a difference is itself the claim"

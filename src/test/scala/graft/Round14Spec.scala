@@ -487,6 +487,70 @@ class Round14Spec extends SparkSuite {
       b / 10000) < 1e-3)
   }
 
+  test("pr-auc matches a naive tie-aware average-precision replay") {
+    val r = graft.ops.MlEval.qPrAuc(spark, sf).head()
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select((round(col("l_quantity")).cast("long") * 101 +
+          round(col("l_discount") * 100).cast("long")),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val byV = rows.groupBy(_._1).view.mapValues { xs =>
+      (xs.count(_._2 == 1L).toLong, xs.count(_._2 == 0L).toLong) }.toSeq
+      .sortBy(-_._1) // descending score
+    val p = rows.count(_._2 == 1L).toLong
+    var (cp, cn) = (0L, 0L)
+    var ap = 0.0
+    for ((_, (pos, neg)) <- byV) {
+      cp += pos; cn += neg
+      ap += pos.toDouble * cp / (cp + cn)
+    }
+    ap /= p
+    assert(r.getLong(r.fieldIndex("n_pos")) == p)
+    assert(math.abs(r.getDouble(r.fieldIndex("avg_precision")) - ap) < 1e-4)
+  }
+
+  test("wasserstein-1d matches a naive sorted-pair replay") {
+    val r = graft.ops.Stats.qWasserstein1d(spark, sf).head()
+    val daily = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag"), col("l_shipdate").cast("date"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long")))
+      .collect().map(x => ((x.getString(0), x.getDate(1).toString), x.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val days = daily.keySet.map(_._2)
+      .filter(d => daily.contains(("A", d)) && daily.contains(("R", d)))
+    val xa = days.toSeq.map(d => daily(("A", d))).sorted
+    val xr = days.toSeq.map(d => daily(("R", d))).sorted
+    val w1 = xa.zip(xr).map { case (a, b) => math.abs(a - b) }.sum
+      .toDouble / xa.length / 10000
+    assert(r.getLong(r.fieldIndex("n_days")) == days.size.toLong)
+    assert(math.abs(r.getDouble(r.fieldIndex("w1_dollars")) - w1) < 0.02)
+  }
+
+  test("markov entropy rate matches a naive plug-in replay") {
+    val r = graft.ops.Stats.qMarkovEntropyRate(spark, sf).head()
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getLong(3)))
+    val trans = evs.groupBy(_._1).values.flatMap { es =>
+      val seq = es.sortBy(e => (e._4, e._2)).map(_._3)
+      seq.zip(seq.tail)
+    }.toSeq
+    val nij = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ni = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = trans.size.toLong
+    val h = nij.map { case ((s2, _), c) =>
+      c.toDouble * math.log(ni(s2).toDouble / c) }.sum / n
+    assert(r.getLong(r.fieldIndex("n_transitions")) == n)
+    assert(math.abs(r.getDouble(r.fieldIndex("entropy_rate_nats")) - h)
+      < 1e-5)
+    assert(math.abs(r.getDouble(r.fieldIndex("perplexity")) -
+      math.exp(h)) < 1e-3)
+  }
+
   test("nfkc canonicalization collapses fullwidth, case and " +
       "combining-accent variants") {
     import spark.implicits._
