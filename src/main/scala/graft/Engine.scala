@@ -96,6 +96,26 @@ class Engine(spark: SparkSession, warehouse: String,
     tables.keys.toSeq.sorted
   }
 
+  /** [[save]] with the ROOT table hive-partitioned on `partCols` —
+    * the warehouse-native layout for predicate-heavy access: a filter
+    * on a partition column prunes whole directories at the scan
+    * (PartitionFilters, no file even opened), the reference's
+    * table-per-type instinct done the Spark way. Child tables shred
+    * exactly as [[save]]. */
+  def savePartitioned(docs: DataFrame, table: String,
+      partCols: Seq[String], key: String = "rowNum"): Seq[String] = {
+    val (tables, rels) = Shred.normalizeWithRelations(docs, table, key)
+    tables.foreach { case (name, df) =>
+      if (name == table)
+        df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+          .parquet(dir(name))
+      else df.write.mode(SaveMode.Overwrite).parquet(dir(name))
+    }
+    val (prevTables, prevRels) = readManifest()
+    writeManifest(prevTables ++ tables.keys, (prevRels ++ rels).distinct)
+    tables.keys.toSeq.sorted
+  }
+
   /** Load a stored table. A reader that lands inside a staged-swap
     * window (live renamed to `__old`, staged not yet published) falls
     * back to `__old` — concurrent readers see the previous or the new

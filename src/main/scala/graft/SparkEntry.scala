@@ -1037,6 +1037,9 @@ object SparkEntry {
     "q_pr_auc" -> (MlEval.qPrAuc _),
     "q_wasserstein_1d" -> (Stats.qWasserstein1d _),
     "q_markov_entropy_rate" -> (Stats.qMarkovEntropyRate _),
+    "engine_partitioned_save" -> (JsonQueries.enginePartitionedSave _),
+    "stream_corr_matrix" ->
+      (graft.streaming.Events.streamCorrMatrix _),
     "q_dag_longest_path" -> (Mining.qDagLongestPath _),
     "q_bh_fdr" -> (Mining.qBhFdr _),
     "q_quantile_normalize" -> (Stats.qQuantileNormalize _),
@@ -1392,6 +1395,9 @@ object SparkEntry {
       // order-insensitive counts/sums over a stateless zone projection
       // converge to the batch census — stream≡batch by construction
       ("stream_timezone" -> oracleSqlBase("q_timezone_funcs")) +
+      // every moment is a partial-aggregable fold: the converged state
+      // row equals the batch census — stream≡batch by construction
+      ("stream_corr_matrix" -> corrMatrixOracle) +
       ("stream_event_pattern" -> oracleSqlBase("q_event_pattern")) +
       ("stream_dedup_minhash" -> oracleSqlBase("dedup_incremental")) +
       ("stream_scd2_build" -> oracleSqlBase("q_scd2_build")) +
@@ -8411,6 +8417,15 @@ object SparkEntry {
         |SELECT zone, local_key, n, v_cents FROM census
         |UNION ALL SELECT zone, local_key, n, v_cents FROM probes
         |ORDER BY zone, local_key""".stripMargin,
+    // partition-pruned readout: the oracle aggregates the raw source —
+    // equality proves the hive-partitioned layout serves the same truth
+    "engine_partitioned_save" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
     // index-only readout: the oracle computes the same aggregate from
     // the raw source — equality proves the covering index carries the
     // full answer

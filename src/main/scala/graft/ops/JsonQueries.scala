@@ -667,6 +667,28 @@ object JsonQueries {
       .orderBy(col("custkey"))
   }
 
+  /** Hive-partitioned warehouse layout through the facade: orders
+    * saved partitioned by status, the status-filtered readout pruning
+    * whole partition directories at the scan (PartitionFilters — no
+    * non-matching file is even opened; Round14Spec pins the plan).
+    * The reference's one-table-per-type instinct (java:175-201) done
+    * the Spark way; the oracle aggregates the raw source, so equality
+    * proves the partitioned layout serves the same truth. */
+  def enginePartitionedSave(s: SparkSession, d: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("graft_engine_part").toString
+    val eng = new graft.Engine(s, wh)
+    val docs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("rowNum"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_custkey"))
+    eng.savePartitioned(docs, "ord", Seq("o_orderstatus"))
+    eng.table("ord")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
   /** Optimistic-concurrency lost-update detection on the Engine's
     * staged swap — the distributed re-expression of the reference's
     * serialized writer queue (DatabaseManager.java:76-106): where the

@@ -1679,6 +1679,57 @@ object Events {
       dir
     })
 
+  /** STREAMING sufficient-statistics monitor — q_corr_matrix's full
+    * moment set maintained live: the projection to integer lattices is
+    * stateless, every moment (sums, squares, cross-products, count) is
+    * a partial-aggregable fold, so the converged single state row
+    * EQUALS the batch census and the 6-pair matrix unfolds post-stream
+    * from it — shares q_corr_matrix's oracle verbatim (the
+    * stream≡batch certificate). The live-correlation shape: a feature
+    * store keeps exactly these folds so correlations are readable at
+    * any moment without a corpus pass. */
+  def streamCorrMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamShuffle(spark) {
+      val cols = Seq("qty", "price", "disc", "tax")
+      val pairsL = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val path = s"$sfDir/lineitem.parquet"
+      val schema = spark.read.parquet(path).schema
+      val base = spark.readStream.schema(schema)
+        .parquet(s"$sfDir/lineitem.*")
+        .select(
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("price"),
+          round(col("l_discount") * 100).cast("long").as("disc"),
+          round(col("l_tax") * 100).cast("long").as("tax"))
+      val aggs = cols.flatMap(c => Seq(
+          sum(col(c)).as(s"s_$c"),
+          sum(expr(s"CAST($c AS DECIMAL(38,0)) * $c")).as(s"ss_$c"))) ++
+        pairsL.map { case (a, b) =>
+          sum(expr(s"CAST($a AS DECIMAL(38,0)) * $b"))
+            .as(s"sp_${a}_$b") } :+
+        count(lit(1)).as("n")
+      val m = base.agg(aggs.head, aggs.tail: _*)
+      val name = s"graft_stream_corr_${n.incrementAndGet()}"
+      val q = m.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      StreamMeter.record(q)
+      val mm = spark.table(name).localCheckpoint(true)
+      pairsL.map { case (a, b) =>
+        mm.select(lit(a).as("x_col"), lit(b).as("y_col"), col("n"),
+          (floor(
+            expr(s"CAST(sp_${a}_$b * n - CAST(s_$a AS DECIMAL(38,0))" +
+              s" * s_$b AS DOUBLE)") /
+            (sqrt(expr(s"CAST(ss_$a * n - CAST(s_$a AS DECIMAL(38,0))" +
+              s" * s_$a AS DOUBLE)")) *
+             sqrt(expr(s"CAST(ss_$b * n - CAST(s_$b AS DECIMAL(38,0))" +
+              s" * s_$b AS DOUBLE)"))) * 1e6 + 0.5) / 1e6).as("corr"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("x_col"), col("y_col"))
+    }
+
   /** Out-of-order source copies for [[streamLateDataAudit]]: the four
     * chronological chunks written in mtime order [c1, c0, c2, c3] —
     * the oldest quarter of the corpus arrives one micro-batch LATE,

@@ -551,6 +551,25 @@ class Round14Spec extends SparkSuite {
       math.exp(h)) < 1e-3)
   }
 
+  test("partitioned save prunes partitions at the scan") {
+    val df = graft.ops.JsonQueries.enginePartitionedSave(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // the status filter must ride the PARTITION columns, not the data
+    assert(scans.forall(_.partitionFilters.exists(
+        _.references.exists(_.name == "o_orderstatus"))),
+      "status predicate not in partitionFilters")
+    assert(df.count() == 1)
+  }
+
+  test("stream_corr_matrix equals the batch matrix") {
+    val got = graft.streaming.Events.streamCorrMatrix(spark, sf).collect()
+    val exp = graft.ops.Profiling.qCorrMatrix(spark, sf).collect()
+    assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
+  }
+
   test("nfkc canonicalization collapses fullwidth, case and " +
       "combining-accent variants") {
     import spark.implicits._
