@@ -139,9 +139,34 @@ object Bench {
       case (k, t) if t > 0 && band.get(k).exists(b =>
         t > 1.5 * b && t - b > 0.3) => k
     }).distinct.sorted
-    val isolated: Map[String, Double] = remeasure.flatMap { k =>
-      sweep.get(k).map { fn => k -> timeQuery(k, fn, 2).min }
+    // r14 verdict #3: one isolated re-read is not enough — a stormy
+    // end-of-run window re-measured 14 keys INSIDE the same storm and
+    // left them unexonerated. Re-measure until CERTIFIED: a key is done
+    // when its isolated min re-enters the band (same 1.5x+0.3s rule
+    // that triggered it) or two isolated samples agree within 25%
+    // (a stable slow read = a real plan cost, not a stall); up to 3
+    // passes over the still-uncertified set with a cool-down between
+    // passes so retries land outside the storm window.
+    val isoSamples = scala.collection.mutable.Map[String, Seq[Double]]()
+    var pending = remeasure.filter(sweep.contains)
+    var pass = 0
+    while (pending.nonEmpty && pass < 3) {
+      if (pass > 0) Thread.sleep(5000)
+      pass += 1
+      pending = pending.filter { k =>
+        val ts = timeQuery(k, sweep(k), 2).filter(_ >= 0)
+        val all = (isoSamples.getOrElse(k, Seq.empty) ++ ts).sorted
+        isoSamples(k) = all
+        val inBand = all.headOption.exists(mn =>
+          band.get(k).forall(b => !(mn > 1.5 * b && mn - b > 0.3)))
+        val stable = all.size >= 2 && all(1) <= all(0) * 1.25 + 0.1
+        !(inBand || stable)
+      }
+    }
+    val isolated: Map[String, Double] = isoSamples.collect {
+      case (k, ts) if ts.nonEmpty => k -> ts.min
     }.toMap
+    val uncertified = pending.sorted
     val (ok, bad) = best.partition(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val adjustedTotal = ok.map { case (k, t) =>
@@ -180,8 +205,10 @@ object Bench {
       .mkString("{", ",", "}")
     val bandNote = if (bandConfigOk) "" else
       s""","band_skipped":"config mismatch (band seeded at another sf/cpus)""""
+    val uncertJson =
+      uncertified.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":${fmt(best)},"raw_times":$rawJson,"start_epochs":$startsJson,"stall_flags":$stallsJson,"isolated":${fmt(isolated)},"failures":$fails,"stream_rates":$streamRates,"sf":"$sfDir"$bandNote}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":${fmt(best)},"raw_times":$rawJson,"start_epochs":$startsJson,"stall_flags":$stallsJson,"isolated":${fmt(isolated)},"isolation_uncertified":$uncertJson,"failures":$fails,"stream_rates":$streamRates,"sf":"$sfDir"$bandNote}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), fullLine + "\n")
     spark.stop()

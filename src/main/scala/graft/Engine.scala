@@ -33,6 +33,27 @@ import graft.json.Shred.{ChildArray, ChildArray2, ChildObject, Rel}
   * parent→child relations land in a manifest so re-assembly needs no
   * catalog server.
   *
+  * DURABILITY CONTRACT (save-side completion of the reference's
+  * serialized-writer semantics): EVERY write verb — save,
+  * savePartitioned, upsert, delete — publishes through staged dirs and
+  * renames, never an in-place overwrite of a live table. A crash at
+  * any instant leaves each table fully old or fully new, never torn or
+  * vanished. A multi-table save additionally commits through ONE
+  * atomic commit-marker rename: the marker carries both the swap list
+  * and the new manifest, so `sql()` readers resolve old-EVERYTHING
+  * before the marker lands and new-EVERYTHING after (listed tables
+  * read from their staged dir until their publish rename completes) —
+  * a reader never joins a new parent against old children mid-save.
+  * The manifest itself is versioned write-once (`_graft_manifest.v<N>`,
+  * published by rename) so no reader can observe a half-truncated
+  * manifest. Recovery is roll-FORWARD: a surviving marker means the
+  * commit happened; the next engine operation completes the pending
+  * renames idempotently. (A reader that resolved the marker in the
+  * instant before it landed can still race individual publish renames
+  * — the per-table `__old` fallback covers that window; an external
+  * table format with a manifest service closes it completely at
+  * 100 TB, and this layout maps 1:1 onto one.)
+  *
   * All warehouse I/O goes through the Hadoop `FileSystem` API resolved
   * from the warehouse URI, so the same code runs against `file:`,
   * `hdfs:` or `s3a:` paths — java.nio would silently bind the manifest
@@ -42,20 +63,52 @@ class Engine(spark: SparkSession, warehouse: String,
     retainVersions: Int = 2) {
 
   private def dir(table: String) = s"$warehouse/$table"
-  private val manifestPath = new Path(s"$warehouse/_graft_manifest.txt")
+  private val legacyManifestPath =
+    new Path(s"$warehouse/_graft_manifest.txt")
+  private val markerPath = new Path(s"$warehouse/_graft_commit.txt")
   private def fs: FileSystem =
-    manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+    markerPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def readSmall(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
 
   /** Manifest = one line per fact: `tbl|name` for every saved table,
-    * `obj|parent|child` / `arr|parent|child` for relations. */
-  private def readManifest(): (Seq[String], Seq[Rel]) = {
-    val f = fs
-    if (!f.exists(manifestPath)) return (Seq.empty, Seq.empty)
-    val in = f.open(manifestPath)
+    * `obj|parent|child` / `arr|parent|child` / `ar2|parent|child` for
+    * relations. Stored as write-once versioned files
+    * `_graft_manifest.v<N>.txt` published by rename (newest N wins), so
+    * a reader can never observe a truncated in-place rewrite; a live
+    * commit marker supersedes both (it IS the newest manifest from the
+    * instant its rename landed). */
+  private def manifestVersionNums(f: FileSystem): Seq[Int] = {
+    val parent = new Path(warehouse)
+    if (!f.exists(parent)) return Seq.empty
+    f.listStatus(parent).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_graft_manifest.v") && n.endsWith(".txt"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("_graft_manifest.v")
+        .stripSuffix(".txt").toInt).toOption)
+      .sorted
+  }
+
+  private def manifestVersionPath(v: Int): Path =
+    new Path(s"$warehouse/_graft_manifest.v$v.txt")
+
+  private def currentManifestLines(f: FileSystem): Seq[String] = {
     val text =
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-      finally in.close()
-    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+      if (f.exists(markerPath)) readSmall(f, markerPath)
+      else manifestVersionNums(f).lastOption match {
+        case Some(v) => readSmall(f, manifestVersionPath(v))
+        case None if f.exists(legacyManifestPath) =>
+          readSmall(f, legacyManifestPath) // pre-versioned warehouse
+        case None => ""
+      }
+    text.split("\n").toSeq.filter(_.nonEmpty)
+      .filterNot(_.startsWith("swap|"))
+  }
+
+  private def parseManifest(lines: Seq[String]): (Seq[String], Seq[Rel]) = {
     val tables = lines.collect { case s if s.startsWith("tbl|") =>
       s.stripPrefix("tbl|") }
     val rels = lines.filterNot(_.startsWith("tbl|")).map { line =>
@@ -70,30 +123,190 @@ class Engine(spark: SparkSession, warehouse: String,
     (tables, rels)
   }
 
-  private def writeManifest(tables: Seq[String], rels: Seq[Rel]): Unit = {
-    val lines = tables.distinct.sorted.map(t => s"tbl|$t") ++
+  private def readManifest(): (Seq[String], Seq[Rel]) =
+    parseManifest(currentManifestLines(fs))
+
+  private def renderManifest(tables: Seq[String],
+      rels: Seq[Rel]): Seq[String] =
+    tables.distinct.sorted.map(t => s"tbl|$t") ++
       rels.distinct.map {
         case ChildObject(p, c) => s"obj|$p|$c"
         case ChildArray(p, c) => s"arr|$p|$c"
         case ChildArray2(p, c) => s"ar2|$p|$c"
       }
-    val out = fs.create(manifestPath, true)
+
+  /** Publish manifest `lines` as the next write-once version: write a
+    * temp file, rename onto `_graft_manifest.v<N+1>.txt` (rename to a
+    * fresh name is the atomic publish; a failed rename means a
+    * concurrent writer took that version — take the next). Prunes
+    * versions beyond the retention window and the superseded legacy
+    * file. */
+  private def writeVersionedManifest(f: FileSystem,
+      lines: Seq[String]): Unit = {
+    val tmp = new Path(
+      s"$warehouse/_graft_manifest.tmp${System.nanoTime()}")
+    val out = f.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    var v = manifestVersionNums(f).lastOption.getOrElse(-1) + 1
+    var attempts = 0
+    while (!f.rename(tmp, manifestVersionPath(v))) {
+      attempts += 1
+      if (attempts > 100 || !f.exists(manifestVersionPath(v)))
+        throw new IllegalStateException(
+          s"cannot publish manifest version $v")
+      v += 1 // a concurrent writer took v — publish as the next one
+    }
+    val vs = manifestVersionNums(f)
+    vs.dropRight(retainVersions + 1)
+      .foreach(o => f.delete(manifestVersionPath(o), false))
+    if (f.exists(legacyManifestPath)) f.delete(legacyManifestPath, false)
+  }
+
+  /** Tables a live commit marker has pledged to swap, mapped to the
+    * pledging commit id (empty when no commit is in flight). The cid
+    * FENCES every marker-driven rename: a recovering writer can only
+    * ever touch `__staged_<cid>` dirs the marker itself pledged — a
+    * concurrent save's freshly-staged dirs (different cid) are
+    * untouchable, so a resumed writer can never publish another
+    * writer's half-written staging. */
+  private def markerSwaps(f: FileSystem): Map[String, String] =
+    if (!f.exists(markerPath)) Map.empty
+    else readSmall(f, markerPath).split("\n").toSeq
+      .filter(_.startsWith("swap|"))
+      .map(_.split("\\|"))
+      .collect { case Array(_, name, cid) => name -> cid }
+      .toMap
+
+  /** Roll FORWARD a commit whose marker survives: the marker rename
+    * was the commit point, so the pledged state IS the truth — finish
+    * its pending per-table publishes (idempotent — a table whose
+    * staged dir is gone is already live), version the manifest it
+    * carries, and clear it. Runs at the head of every mutator, so a
+    * crashed commit's leftovers can never be misread as stale and a
+    * SECOND save entering mid-commit first completes the in-flight one
+    * (concurrent saves serialize by helping — the distributed
+    * re-expression of the reference's serialized writer queue,
+    * java:76-106; rename races between the owner and a helper surface
+    * as a loud retryable CME in one of them, never as torn data). */
+  private def recoverCommit(f: FileSystem): Unit = {
+    if (!f.exists(markerPath)) return
+    val lines = readSmall(f, markerPath).split("\n").toSeq
+      .filter(_.nonEmpty)
+    val swaps = lines.filter(_.startsWith("swap|")).map(_.split("\\|"))
+      .collect { case Array(_, name, cid) => (name, cid) }
+    try swaps.foreach { case (name, cid) => publishStaged(f, name, cid) }
+    catch { case e: IllegalStateException =>
+      // a rename lost to the commit's still-live owner — the owner
+      // finishes its own commit; this writer retries
+      throw new java.util.ConcurrentModificationException(
+        s"commit in flight (owner racing recovery): ${e.getMessage}")
+    }
+    writeVersionedManifest(f, lines.filterNot(_.startsWith("swap|")))
+    deleteMarkerIfCid(f, swaps.headOption.map(_._2).getOrElse(""))
+  }
+
+  /** Delete the marker only if it is still the one carrying `cid` — a
+    * helper that finished a crashed commit must not delete a NEWER
+    * save's marker that landed in between. */
+  private def deleteMarkerIfCid(f: FileSystem, cid: String): Unit =
+    if (f.exists(markerPath) &&
+        markerSwaps(f).values.headOption.contains(cid))
+      f.delete(markerPath, false)
+
+  /** Swap one table's fully-written `__staged_<cid>` contents live:
+    * moveaside rename + publish rename, superseded contents archived
+    * as a retained version. Idempotent for commit replay — a missing
+    * staged dir means this table already published (possibly by a
+    * helping recoverer). A first save of a new table is ONE atomic
+    * rename (the table appears whole or not at all). */
+  private def publishStaged(f: FileSystem, name: String,
+      cid: String): Unit = {
+    val live = new Path(dir(name))
+    val staged = new Path(dir(name) + "__staged_" + cid)
+    val old = new Path(dir(name) + "__old")
+    if (!f.exists(staged)) return
+    if (f.exists(live)) {
+      // a stale __old beside live is a crash leftover holding the
+      // pre-crash previous contents — archive, don't discard
+      if (f.exists(old)) archiveOld(f, name, old)
+      if (!f.rename(live, old))
+        throw new IllegalStateException(s"save: cannot move $live aside")
+    }
+    if (!f.rename(staged, live)) {
+      if (!f.exists(live)) f.rename(old, live) // roll back — stay queryable
+      if (f.exists(staged))
+        throw new IllegalStateException(s"save: cannot publish $staged")
+      // else: a helping recoverer published it first — done
+    }
+    if (f.exists(old)) archiveOld(f, name, old)
+  }
+
+  /** Test/contract seams for the atomic multi-table save: `beforeMark`
+    * fires after every staged dir is written, immediately before the
+    * commit-marker rename (the instant the save becomes visible);
+    * `afterPublish` fires after each individual table's publish rename
+    * — the mid-commit window where some tables are live-new and the
+    * rest still serve from staged. Engine-instance-scoped no-ops by
+    * default. */
+  private[graft] var beforeMark: () => Unit = () => ()
+  private[graft] var afterPublish: String => Unit = _ => ()
+
+  /** Shared save body: stage every shredded table, commit via ONE
+    * marker rename (swap list + new manifest), publish each table by
+    * rename, version the manifest, clear the marker. See the class
+    * Scaladoc's durability contract. */
+  private def saveAll(tables: Map[String, DataFrame], rels: Seq[Rel],
+      rootTable: String, partCols: Seq[String]): Seq[String] = {
+    val f = fs
+    recoverCommit(f)
+    val cid = java.util.UUID.randomUUID().toString.take(8)
+    tables.foreach { case (name, df) =>
+      // clear pre-marker crash leftovers of earlier saves of this table
+      // (a marker-pledged staging was already rolled forward above)
+      val parent = new Path(warehouse)
+      if (f.exists(parent))
+        f.listStatus(parent).map(_.getPath)
+          .filter(_.getName.startsWith(name + "__staged_"))
+          .foreach(f.delete(_, true))
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (name == rootTable && partCols.nonEmpty)
+        w.partitionBy(partCols: _*)
+      else w).parquet(dir(name) + "__staged_" + cid)
+    }
+    val (prevTables, prevRels) = readManifest()
+    val manifest = renderManifest(prevTables ++ tables.keys,
+      (prevRels ++ rels).distinct)
+    val names = tables.keys.toSeq.sorted
+    beforeMark()
+    // THE commit point: one rename publishes the swap pledge and the
+    // new manifest together (create-no-overwrite semantics — a save
+    // whose marker rename loses to a concurrent commit fails loudly
+    // and retries after that commit is recovered)
+    val tmp = new Path(s"$warehouse/_graft_commit.tmp$cid")
+    val out = f.create(tmp, true)
+    try out.write(
+      (names.map(n => s"swap|$n|$cid") ++ manifest).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, markerPath)) {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        "save: another save is committing — retry")
+    }
+    names.foreach { n => publishStaged(f, n, cid); afterPublish(n) }
+    writeVersionedManifest(f, manifest)
+    deleteMarkerIfCid(f, cid)
+    names
   }
 
   /** Normalize parsed JSON documents into relational tables and write
-    * them to the warehouse. Returns the tables written. */
+    * them to the warehouse atomically (staged dirs + one commit-marker
+    * rename — crash leaves old-or-new, never torn; see the durability
+    * contract above). Returns the tables written. */
   def save(docs: DataFrame, table: String, key: String = "rowNum"): Seq[String] = {
     val (tables, rels) = Shred.normalizeWithRelations(docs, table, key)
-    tables.foreach { case (name, df) =>
-      df.write.mode(SaveMode.Overwrite).parquet(dir(name))
-    }
-    val (prevTables, prevRels) = readManifest()
-    // every written table is recorded — a flat document with no child
-    // relations must still be visible to sql()
-    writeManifest(prevTables ++ tables.keys, (prevRels ++ rels).distinct)
-    tables.keys.toSeq.sorted
+    saveAll(tables, rels, table, Seq.empty)
   }
 
   /** [[save]] with the ROOT table hive-partitioned on `partCols` —
@@ -101,41 +314,55 @@ class Engine(spark: SparkSession, warehouse: String,
     * on a partition column prunes whole directories at the scan
     * (PartitionFilters, no file even opened), the reference's
     * table-per-type instinct done the Spark way. Child tables shred
-    * exactly as [[save]]. */
+    * exactly as [[save]]; the publish is the same atomic
+    * staged-dir + marker commit (a directory rename preserves the
+    * partition layout). */
   def savePartitioned(docs: DataFrame, table: String,
       partCols: Seq[String], key: String = "rowNum"): Seq[String] = {
     val (tables, rels) = Shred.normalizeWithRelations(docs, table, key)
-    tables.foreach { case (name, df) =>
-      if (name == table)
-        df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
-          .parquet(dir(name))
-      else df.write.mode(SaveMode.Overwrite).parquet(dir(name))
-    }
-    val (prevTables, prevRels) = readManifest()
-    writeManifest(prevTables ++ tables.keys, (prevRels ++ rels).distinct)
-    tables.keys.toSeq.sorted
+    saveAll(tables, rels, table, partCols)
   }
 
-  /** Load a stored table. A reader that lands inside a staged-swap
-    * window (live renamed to `__old`, staged not yet published) falls
-    * back to `__old` — concurrent readers see the previous or the new
-    * version of the table, never a vanished one. The fallback re-checks
-    * live last so a swap completing mid-call still resolves. */
-  def table(name: String): DataFrame = {
-    val f = fs
-    if (!f.exists(new Path(dir(name))) &&
+  /** Resolve one table against an already-observed marker-swap set —
+    * [[sql]] reads the marker ONCE so every registered view resolves
+    * against the same commit observation. */
+  private def resolveTable(f: FileSystem, name: String,
+      swaps: Map[String, String]): DataFrame = {
+    val staged = swaps.get(name)
+      .map(cid => new Path(dir(name) + "__staged_" + cid))
+    if (staged.exists(f.exists))
+      spark.read.parquet(staged.get.toString)
+    else if (!f.exists(new Path(dir(name))) &&
         f.exists(new Path(dir(name) + "__old")) &&
         !f.exists(new Path(dir(name))))
       spark.read.parquet(dir(name) + "__old")
     else spark.read.parquet(dir(name))
   }
 
-  /** Register every manifest table as a temp view and run SQL. */
+  /** Load a stored table. A reader inside a commit window (marker
+    * present, this table's publish rename pending) serves the staged
+    * contents — the committed truth; a reader inside a staged-SWAP
+    * window (live renamed to `__old`, staged not yet published) falls
+    * back to `__old` — concurrent readers see the previous or the new
+    * version of the table, never a vanished one. The fallback re-checks
+    * live last so a swap completing mid-call still resolves. */
+  def table(name: String): DataFrame = {
+    val f = fs
+    resolveTable(f, name, markerSwaps(f))
+  }
+
+  /** Register every manifest table as a temp view and run SQL. The
+    * commit marker is observed ONCE, so all views resolve against the
+    * same committed state — a mid-save reader sees old-everything or
+    * new-everything, never a new parent joined to old children. */
   def sql(query: String): DataFrame = {
+    val f = fs
+    val swaps = markerSwaps(f)
     val (tables, rels) = readManifest()
     val names =
       (tables ++ rels.map(_.parent) ++ rels.map(_.child)).distinct
-    names.foreach(t => table(t).createOrReplaceTempView(t))
+    names.foreach(t =>
+      resolveTable(f, t, swaps).createOrReplaceTempView(t))
     spark.sql(query)
   }
 
@@ -229,13 +456,20 @@ class Engine(spark: SparkSession, warehouse: String,
     * `__staged` leftovers, and a stale `__old` ONLY when the live dir
     * exists (an `__old` without live is the sole surviving copy after
     * a mid-swap crash — vacuum must never destroy it; the next
-    * mutation restores it). Returns the number of directories
-    * removed. */
+    * mutation restores it). A pending commit is rolled forward first,
+    * so a marker-pledged staged dir can never be misread as stale.
+    * Returns the number of directories removed. */
   def vacuum(tableName: String): Int = {
     val f = fs
+    recoverCommit(f)
+    val parent = new Path(warehouse)
+    val staleStaged =
+      if (!f.exists(parent)) Seq.empty
+      else f.listStatus(parent).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(tableName + "__staged"))
     val candidates =
       versions(tableName).map(v => new Path(dir(tableName) + "@v" + v)) ++
-        Seq(new Path(dir(tableName) + "__staged")) ++
+        staleStaged ++
         (if (f.exists(new Path(dir(tableName))))
           Seq(new Path(dir(tableName) + "__old"))
         else Seq.empty)
@@ -285,6 +519,21 @@ class Engine(spark: SparkSession, warehouse: String,
     f.listStatus(p).map(st => s"${st.getPath.getName}:${st.getLen}")
       .sorted.mkString(",")
 
+  /** Capture the live dir's etag at read time. A live dir MISSING here
+    * means another writer's two-rename swap window opened between our
+    * existence checks and this listing — a concurrency loss, reported
+    * as the same retryable ConcurrentModificationException the etag
+    * re-check throws (never a raw FileNotFoundException; readers get a
+    * fallback, writers get a retry signal). */
+  private[graft] def readTagOrConflict(f: FileSystem, live: Path,
+      op: String, tableName: String): String =
+    try dirTag(f, live)
+    catch { case _: java.io.FileNotFoundException =>
+      throw new java.util.ConcurrentModificationException(
+        s"$op on '$tableName': concurrent swap in progress " +
+          "(live table mid-rename) — retry on a fresh read")
+    }
+
   /** Shared staged-swap skeleton: compute the replacement contents from
     * the live table, publish by rename, recover crash leftovers first.
     * A crash between rename(live→old) and rename(staged→live) leaves
@@ -302,10 +551,15 @@ class Engine(spark: SparkSession, warehouse: String,
     * not the one this rewrite read, a concurrent writer published in
     * between, and publishing our staged contents would silently discard
     * their update. The loser rolls the table back and throws
-    * ConcurrentModificationException; a retry re-reads and wins. */
+    * ConcurrentModificationException; a retry re-reads and wins. A
+    * writer that finds live MISSING at tag-capture time has landed
+    * inside another writer's two-rename window — that too is a
+    * concurrency loss, reported as the same retryable CME (never a raw
+    * FileNotFoundException). */
   private def rewriteStaged(tableName: String, op: String)(
       rewrite: DataFrame => DataFrame): Unit = {
     val f = fs
+    recoverCommit(f)
     val live = new Path(dir(tableName))
     val staged = new Path(dir(tableName) + "__staged")
     val old = new Path(dir(tableName) + "__old")
@@ -320,7 +574,7 @@ class Engine(spark: SparkSession, warehouse: String,
     // pre-crash previous contents — archive it (best-effort history)
     // rather than discard it
     if (f.exists(live) && f.exists(old)) archiveOld(f, tableName, old)
-    val readTag = dirTag(f, live)
+    val readTag = readTagOrConflict(f, live, op, tableName)
     rewrite(table(tableName))
       .write.mode(SaveMode.Overwrite).parquet(staged.toString)
     beforeSwap(tableName)

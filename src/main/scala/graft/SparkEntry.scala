@@ -1038,6 +1038,7 @@ object SparkEntry {
     "q_wasserstein_1d" -> (Stats.qWasserstein1d _),
     "q_markov_entropy_rate" -> (Stats.qMarkovEntropyRate _),
     "engine_partitioned_save" -> (JsonQueries.enginePartitionedSave _),
+    "engine_atomic_save" -> (JsonQueries.engineAtomicSave _),
     "stream_corr_matrix" ->
       (graft.streaming.Events.streamCorrMatrix _),
     "q_dag_longest_path" -> (Mining.qDagLongestPath _),
@@ -8426,6 +8427,22 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY 1""".stripMargin,
+    // atomic multi-table save: the two seam readouts must equal the
+    // v1 truth (before the commit-marker rename) and the v2 truth
+    // (mid-commit, first table already swapped) — the oracle replays
+    // both truths off the source parquet, certifying the commit point
+    "engine_atomic_save" ->
+      """SELECT count(*) AS n_members,
+        |  CAST(sum(CAST(round(round(c_acctbal, 2) * 100, 0)
+        |    AS BIGINT)) AS BIGINT) AS pre_cents,
+        |  CAST(0 AS BIGINT) AS pre_rev,
+        |  CAST(sum(CAST(round(round(c_acctbal + 10, 2) * 100, 0)
+        |    AS BIGINT)) AS BIGINT) AS mid_cents,
+        |  count(*) AS mid_rev,
+        |  CAST(sum(CAST(round(round(c_acctbal + 10, 2) * 100, 0)
+        |    AS BIGINT)) AS BIGINT) AS final_cents,
+        |  count(*) AS final_rev
+        |FROM customer""".stripMargin,
     // index-only readout: the oracle computes the same aggregate from
     // the raw source — equality proves the covering index carries the
     // full answer

@@ -772,4 +772,68 @@ object JsonQueries {
         min(col("rowNum")).as("min_doc"), max(col("rowNum")).as("max_doc"))
       .orderBy(col("pos"), col("ipos"))
   }
+
+  /** Atomic multi-table RE-save (r14 verdict orders #1/#6): one shred
+    * writes a parent table AND a child table, and a reader must never
+    * join a new parent against old children mid-save. The save
+    * publishes through staged dirs + ONE commit-marker rename (see
+    * graft.Engine's durability contract); this query probes the two
+    * critical instants through the Engine's seams with a SECOND engine
+    * instance as the concurrent reader:
+    *
+    *  - `beforeMark` (every staged dir written, marker not yet
+    *    renamed): the readout must still be the v1 truth —
+    *    old-EVERYTHING (`pre_bal` sums the original balances, `pre_rev`
+    *    the v1 revision tag via the parent join);
+    *  - `afterPublish` of the FIRST table (marker live, child table
+    *    already swapped, parent still pending): the readout must
+    *    already be the v2 truth — new-EVERYTHING (`mid_bal` sums the
+    *    bumped balances AND `mid_rev` reads the new parent revision
+    *    through the same join — a torn new-child/old-parent mix would
+    *    split them).
+    *
+    * The oracle replays both truths straight off the source parquet,
+    * so equality certifies the commit point end to end: before the
+    * marker rename nothing changed, after it everything did. */
+  def engineAtomicSave(s: SparkSession, d: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("graft_engine_at").toString
+    val eng = new graft.Engine(s, wh)
+    val reader = new graft.Engine(s, wh)
+    def docs(rev: Int) = {
+      val members = Tables.customer(s, d)
+        .select(col("c_nationkey"),
+          struct(col("c_custkey").as("rowNum"),
+            round(col("c_acctbal") + rev * 10, 2).as("c_acctbal"))
+            .as("c"))
+        .groupBy(col("c_nationkey"))
+        .agg(sort_array(collect_list(col("c"))).as("members"))
+      Tables.nation(s, d)
+        .join(members, col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_nationkey").as("rowNum"), col("n_name"),
+          lit(rev.toLong).as("doc_rev"), col("members"))
+    }
+    // balances fold as exact cents (order-free long sums — float sums
+    // are not cross-engine portable under downstream comparison)
+    def readout(): (Long, Long, Long) = {
+      val r = reader.sql("""SELECT count(*) AS n,
+          sum(CAST(round(m.c_acctbal * 100, 0) AS BIGINT)) AS bal_cents,
+          sum(nd.doc_rev) AS rev
+        FROM members m JOIN nation_doc nd ON m.nation_doc = nd.rowNum""")
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    eng.save(docs(0), "nation_doc")
+    var pre: (Long, Long, Long) = null
+    var mid: (Long, Long, Long) = null
+    eng.beforeMark = () => if (pre == null) pre = readout()
+    eng.afterPublish = _ => if (mid == null) mid = readout()
+    eng.save(docs(1), "nation_doc") // atomic re-save of BOTH tables
+    eng.beforeMark = () => (); eng.afterPublish = _ => ()
+    val fin = readout()
+    s.range(1).select(
+      lit(pre._1).as("n_members"),
+      lit(pre._2).as("pre_cents"), lit(pre._3).as("pre_rev"),
+      lit(mid._2).as("mid_cents"), lit(mid._3).as("mid_rev"),
+      lit(fin._2).as("final_cents"), lit(fin._3).as("final_rev"))
+  }
 }

@@ -143,24 +143,44 @@ object Events {
       .orderBy(col("win_start_s"), col("event_type"))
   }
 
-  /** Streaming stateful dedup: `dropDuplicates` keeps one row per
-    * (user_id, event_type) in the state store; the downstream count per
-    * event_type equals a batch COUNT(DISTINCT user_id). */
+  /** Streaming distinct-user census under BOUNDED state (the r14
+    * verdict's order #2 — the last unbounded `dropDuplicates` shape in
+    * the streaming family, replaced by the stream_dau_mau recipe):
+    * the stream compacts the firehose to FIRST-SEEN
+    * (user, event_type, day) rows via `dropDuplicatesWithinWatermark`
+    * under a 2-day watermark over the chronological source — a key's
+    * state row is EVICTED once the watermark passes its event time +
+    * delay, so state is bounded by keys active in the trailing
+    * ~2×2-day horizon, never by the stream's lifetime. Dedup stays
+    * EXACT because every duplicate of a day-scoped key lies within
+    * 1 day of the first sighting (< the 2×2d guarantee window) and the
+    * chronological replay advances the watermark monotonically. The
+    * lifetime COUNT(DISTINCT user) per event_type then folds the
+    * compacted append log post-stream (the lambda-compaction shape: at
+    * production scale that fold is an incremental batch agg over
+    * ≤ users×types×days rows, not the raw stream) — equal to the batch
+    * whole-corpus distinct, which stays the oracle. Mid-run eviction
+    * is pinned by Round15Spec via [[StreamMeter.stateEvictions]]. */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$sfDir/events.*")
-    val agg = raw
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_users"))
+    val src = chronoEventsDir(spark, sfDir)
+    val schema = spark.read.parquet(src).schema
+    val firstSeen = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+      .withWatermark("ts", "2 days")
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
     val name = s"graft_stream_dedup_${n.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete").format("memory").queryName(name)
+    val q = firstSeen.writeStream
+      .outputMode("append").format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     StreamMeter.record(q)
-    spark.table(name).orderBy(col("event_type"))
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
   }
 
   /** Watermark + append output + checkpoint recovery in one flow:
@@ -1669,6 +1689,15 @@ object Events {
       val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
         max(unix_micros(col("ts"))).as("hi")).collect()(0) // 1 row
       val (lo, hi) = (b.getLong(0), b.getLong(1))
+      // r14 ADVICE #1: streamSrm's user_id dedup shares the
+      // whole-corpus DISTINCT oracle, which is exact only while every
+      // user's activity span fits its 45-day enrollment horizon. Fail
+      // LOUDLY here if a testdata regeneration ever ships a longer
+      // span, instead of silently flaking the gate.
+      require(hi - lo <= 45L * 86400 * 1000000,
+        s"events span ${(hi - lo) / 86400e6} days exceeds the 45-day " +
+          "streaming dedup horizon (streamSrm oracle would diverge) — " +
+          "widen the watermark delays or re-scope the contracts")
       for (i <- 0 until 4) {
         val cLo = lo + (hi - lo + 1) * i / 4
         val cHi = lo + (hi - lo + 1) * (i + 1) / 4
@@ -1745,8 +1774,18 @@ object Events {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts"))
       val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("hi")).collect()(0) // 1 row
+        max(unix_micros(col("ts"))).as("hi"),
+        min(col("value")).as("vmin")).collect()(0) // 1 row
       val (lo, hi) = (b.getLong(0), b.getLong(1))
+      // r14 ADVICE #2: streamLateDataAudit folds update-mode emissions
+      // with max(n)/max(vc), correct only while both run MONOTONE per
+      // day — which needs non-negative values. Fail loudly on a regen
+      // that ships negatives rather than letting max(vc) pick a stale
+      // emission.
+      require(b.getDouble(2) >= 0,
+        s"events.value min ${b.getDouble(2)} < 0: the late-data audit's" +
+          " max-fold of update-mode emissions assumes non-negative " +
+          "values — switch the fold to last-emission semantics first")
       def bound(i: Int) = lo + (hi - lo + 1) * i / 4
       def writeChunk(i: Int): Unit =
         ev.filter(unix_micros(col("ts")) >= bound(i) &&
