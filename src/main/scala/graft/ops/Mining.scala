@@ -929,9 +929,14 @@ object Mining {
       sum(when(col("treat"), col("x")).otherwise(0L)).as("sxt"),
       sum(when(col("treat"), col("y")).otherwise(0L)).as("syt"))
     g.select(col("n").as("n_users"),
-        // θ = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — exact-int inputs
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        // θ = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — exact-int inputs;
+        // the products ride DECIMAL(38,0)⇄HUGEINT (n·Σx² ≈ 6.6e19 at
+        // sf100 — an ANSI long multiply would error past sf≈8; see
+        // graft.tools.LatticeLedger)
+        (expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)") /
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"))
           .as("_th"),
         col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
         col("nt"), col("sxt"), col("syt"))
@@ -948,15 +953,17 @@ object Mining {
           col("_th") * (col("sxt").cast("double") / col("nt") -
             (col("sx") - col("sxt")).cast("double") /
               (col("n_users") - col("nt")))), 4).as("adj_lift"),
-        // variance reduction 1 − (1 − ρ²) … = ρ² of (x, y)
-        round(((col("n_users") * col("sxy") - col("sx") * col("sy"))
-          .cast("double") *
-          (col("n_users") * col("sxy") - col("sx") * col("sy"))
-            .cast("double")) /
-          ((col("n_users") * col("sxx") - col("sx") * col("sx"))
-            .cast("double") *
-            (col("n_users") * col("syy") - col("sy") * col("sy"))
-              .cast("double")), 4).as("var_reduction"))
+        // variance reduction 1 − (1 − ρ²) … = ρ² of (x, y); DECIMAL
+        // products for the same sf100 reason as θ
+        round((expr("CAST(CAST(n_users AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)") *
+          expr("CAST(CAST(n_users AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)")) /
+          (expr("CAST(CAST(n_users AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)") *
+            expr("CAST(CAST(n_users AS DECIMAL(38,0)) * syy" +
+              " - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)")), 4)
+          .as("var_reduction"))
   }
 
   /** Difference-in-differences — the quasi-experimental lift estimate
@@ -1685,13 +1692,17 @@ object Mining {
       .select(col("o_orderpriority").as("grp"),
         round(col("o_totalprice")).cast("long").as("c"))
       .groupBy(col("grp"))
+      // Σx² on DECIMAL(38,0)⇄HUGEINT: the long sum of dollar squares
+      // reads 1.25e16 at sf0.1 — linear growth puts it at 1.25e19 by
+      // sf100, past the ANSI long (see graft.tools.LatticeLedger)
       .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
-        sum(col("c") * col("c")).as("sxx"))
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sxx"))
     // per-group S²/n (one IEEE division each, floor-fixed so the
-    // cross-group sum is exact Long arithmetic)
+    // cross-group sum is exact integer arithmetic; DECIMAL for the
+    // same sf100 headroom as Σx²)
     val terms = g.select(col("n"), col("sx"), col("sxx"),
       floor((col("sx").cast("double") * col("sx")) / col("n") + 0.5)
-        .cast("long").as("ssq_t"))
+        .cast("decimal(38,0)").as("ssq_t"))
     val tot = terms.agg(count(lit(1)).as("k"), sum(col("n")).as("n"),
       sum(col("sx")).as("sx"), sum(col("sxx")).as("sxx"),
       sum(col("ssq_t")).as("ssq"))

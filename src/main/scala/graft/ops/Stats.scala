@@ -98,8 +98,14 @@ object Stats {
         sum(col("t")).as("n_total"),
         sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tie_term"))
       .localCheckpoint(true)
+    // ⌊3R²/n⌋ = 3qR + ⌊3rR/n⌋ with q = R div n, r = R % n — identical
+    // value (3qR is integral), but every LONG-typed intermediate stays
+    // ≤ 3R (~5e13 at sf100); the naive single div's RESULT is
+    // ~12·n_j·N² ≈ 1.6e21 at sf100 — past the <9.2e18 long bound (it
+    // held only to sf≈18). Registered in graft.tools.LatticeLedger.
     val hnum = groups.agg(
-      sum(expr("(CAST(r2_sum AS DECIMAL(38,0)) * r2_sum * 3) div n_j"))
+      sum(expr("CAST(r2_sum div n_j AS DECIMAL(38,0)) * r2_sum * 3" +
+        " + (CAST(r2_sum % n_j AS DECIMAL(38,0)) * r2_sum * 3) div n_j"))
         .as("s3q"),
       count(lit(1)).as("n_groups"))
     val h = hnum.crossJoin(tot)
@@ -270,12 +276,19 @@ object Stats {
         count(lit(1)).as("k"), sum(col("n_g")).as("n"),
         sum(col("s_g")).as("s"),
         sum(col("s2_g")).as("s2"),
-        sum(expr("(CAST(s_g AS DECIMAL(38,0)) * s_g) div n_g")).as("sb"))
+        // ⌊S²/n⌋ decomposed as qS + ⌊rS/n⌋ (q = S div n, r = S % n):
+        // same floor value, long intermediates ≤ S (~3e13 at sf100) —
+        // the naive div result N·span² ≈ 6e19 overflowed past sf≈15.
+        // Registered in graft.tools.LatticeLedger.
+        sum(expr("CAST(s_g div n_g AS DECIMAL(38,0)) * s_g" +
+          " + (CAST(s_g % n_g AS DECIMAL(38,0)) * s_g) div n_g"))
+          .as("sb"))
       // SSB = Σ S_g²/n_g − S²/N, SSW = Σz² − Σ S_g²/n_g — the integral
       // divisions truncate ≤ 1 cent² per group (≪ 4-dp F resolution)
       .withColumn("ssb", expr(
         "CAST(sb AS DOUBLE)" +
-          " - CAST((CAST(s AS DECIMAL(38,0)) * s) div n AS DOUBLE)"))
+          " - CAST(CAST(s div n AS DECIMAL(38,0)) * s" +
+          " + (CAST(s % n AS DECIMAL(38,0)) * s) div n AS DOUBLE)"))
       .withColumn("ssw", expr("CAST(s2 AS DOUBLE) - CAST(sb AS DOUBLE)"))
       .select(col("k"), col("n"),
         (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),

@@ -1,0 +1,159 @@
+package graft.tools
+
+/** Static overflow-headroom ledger (r14 verdict order #5).
+  *
+  * The integer-lattice convention that makes float pipelines
+  * cross-engine exact has one hard ceiling: Spark's `div` on a
+  * DECIMAL operand returns LONG, long sums/products run under ANSI
+  * (overflow ERRORS rather than widening, while DuckDB widens to
+  * HUGEINT), so every long-typed intermediate must stay under
+  * 2⁶³ ≈ 9.22e18 at the design scale. That class has bitten twice
+  * reactively (q_eta_squared r13, q_tukey_hsd r14) — this ledger is
+  * the proactive sweep: every corpus-scaled long-typed lattice
+  * intermediate found by the r15 audit, with its worst-case magnitude
+  * at the sf100 design point, asserted under the bound by
+  * LatticeLedgerSpec.
+  *
+  * COVERAGE RULE — what must register here:
+  *  - every `… div n` whose operand is DECIMAL (result is LONG);
+  *  - every corpus-scaled LONG sum (`sum(x*x)` over a lattice column);
+  *  - every LONG×LONG product of corpus-scaled aggregates
+  *    (`n * sxx` — the q_ab_cuped class).
+  * Pure DECIMAL(38,0) moment identities are exempt (1e38 ceiling —
+  * ~1e34 observed worst, q_ols/q_pacf/q_corr_matrix class), as are
+  * row-local divisions of domain-bounded values and count-scale
+  * index arithmetic (`(tot+1) div 2`).
+  *
+  * The spec also pins a per-file census of `DECIMAL(38,0)`
+  * occurrences: adding a lattice site anywhere fails the build until
+  * this ledger is updated — registration is enforced, not hoped for.
+  *
+  * Violations FOUND AND FIXED by this audit (values are the pre-fix
+  * worst at sf100):
+  *  - q_kruskal_wallis  ⌊3R²/n⌋ ≈ 1.6e21  → ⌊mR²/n⌋ = mqR + ⌊mrR/n⌋
+  *    decomposition (identical floor value, long terms ≤ 3R);
+  *  - q_brown_forsythe  ⌊S²/N⌋ ≈ 6.0e19   → same decomposition;
+  *  - q_anova_f         Σ(dollar²) long sum, measured 1.25e16 at
+  *    sf0.1 → 1.25e19 at sf100 → DECIMAL(38,0) sum;
+  *  - q_ab_cuped        n·Σx² ≈ 6.6e19 LONG product → DECIMAL(38,0)
+  *    products in θ and the ρ² numerators.
+  */
+object LatticeLedger {
+
+  /** 2⁶³ − 1, the ANSI long ceiling. */
+  val LongMax: Double = 9.223372036854775e18
+
+  // ---- sf100 design-point corpus bounds -------------------------------
+  // Row counts extrapolate the measured sf0.1 testdata (TESTDATA.md)
+  // linearly; USERS was measured to scale ×10 per sf decade with
+  // per-user activity constant (sf0.01: 150 users, sf0.1: 1500).
+  val LI = 6.0e8 // lineitem rows
+  val ORD = 1.5e8 // orders rows
+  val CUST = 1.5e7 // customer rows
+  val EV = 1.0e8 // events rows
+  val USERS = 1.5e6 // distinct event users
+  val PART = 2.0e7 // part rows
+  val DAYS = 30.0 // events calendar span (fixed by the generator)
+
+  // ---- value-domain bounds (measured, with margin) --------------------
+  val QTY = 50.0 // l_quantity
+  val TOT_DOLLARS = 5.0e5 // o_totalprice dollars
+  val TOT_CENTS = 5.0e7 // o_totalprice cents
+  val ACCT_SPAN_CENTS = 2.0e6 // c_acctbal cent span (±~1e6)
+  val ACCT_DOLLARS = 1.0e4 // c_acctbal dollars
+  val USER_UNITS = 6.0e3 // per-user event-value whole units (meas. 5.4e3)
+  val VAL_E4 = 6.2e6 // events.value ×1e4 (meas. max 560.21)
+  val PRICE_E4 = 1.06e9 // l_extendedprice ×1e4
+  val SKEW = 2.0 // margin on per-group sizes over the uniform share
+
+  /** One corpus-scaled long-typed intermediate: the worst |magnitude|
+    * it can reach at sf100, from the bounds above. */
+  final case class Site(key: String, file: String, what: String,
+      worst: Double) {
+    def headroom: Double = LongMax / worst
+  }
+
+  val sites: Seq[Site] = Seq(
+    Site("q_kruskal_wallis", "ops/Stats.scala",
+      "rank-sum R2_j = Σc·(2cum−t+1), LONG sum ≤ n_j(2N+1), worst one group",
+      2.1 * CUST * CUST),
+    Site("q_kruskal_wallis", "ops/Stats.scala",
+      "decomposed remainder div ⌊3rR/n⌋ ≤ 3R (post-fix form)",
+      3 * 2.1 * CUST * CUST),
+    Site("q_brown_forsythe", "ops/Stats.scala",
+      "S_g = Σ|v−med| LONG sum ≤ N·span",
+      CUST * ACCT_SPAN_CENTS),
+    Site("q_brown_forsythe", "ops/Stats.scala",
+      "decomposed remainder div ⌊rS/n⌋ ≤ S (post-fix form)",
+      CUST * ACCT_SPAN_CENTS),
+    Site("q_two_way_anova", "ops/Stats.scala",
+      "⌊S²·1e4/n⌋ ≤ qty²·1e4·n, worst cell = whole lineitem",
+      QTY * QTY * 1e4 * LI),
+    Site("q_tukey_hsd", "ops/Stats.scala",
+      "⌊S_g²·1e4/n_g⌋ ≤ n_g·dollars²·1e4 on the r14 dollar lattice",
+      SKEW * CUST / 25 * ACCT_DOLLARS * ACCT_DOLLARS * 1e4),
+    Site("q_eta_squared", "ops/Stats.scala",
+      "⌊S_g²·1e4/n_g⌋ — same dollar lattice as tukey (r13 fix)",
+      SKEW * CUST / 25 * ACCT_DOLLARS * ACCT_DOLLARS * 1e4),
+    Site("q_anova_f", "ops/Mining.scala",
+      "per-group S LONG sum ≤ n_g·dollars (Σx² now DECIMAL)",
+      SKEW * ORD / 5 * TOT_DOLLARS),
+    Site("q_ab_cuped", "ops/Mining.scala",
+      "Σx² LONG sum ≤ users·maxUnits² (n·Σx² products now DECIMAL)",
+      USERS * USER_UNITS * USER_UNITS),
+    Site("q_pvm_bridge", "ops/Stats.scala",
+      "row-local ⌊100·rev_e4/qty⌋ ≤ 100·price_e4",
+      100 * PRICE_E4),
+    Site("q_pr_auc", "ops/MlEval.scala",
+      "⌊pos·cumPos·1e6/rank⌋ ≤ 1e6·N",
+      1e6 * EV),
+    Site("q_cohort_ltv", "ops/Mining.scala",
+      "⌊(2·cumCents+n)/(2n)⌋ numerator ≤ 2·Σcents",
+      2 * ORD * TOT_CENTS),
+    Site("q_simpson_audit", "ops/Mining.scala",
+      "Σcents LONG sum before div 100",
+      ORD * TOT_CENTS),
+    Site("q_kendall_tau/q_rich_club", "ops/Mining.scala",
+      "pair counts c(c−1) div 2 ≤ N²/2",
+      EV * EV / 2),
+    Site("q_personalized_pagerank", "ops/Mining.scala",
+      "micro-rank mass Σ ≤ 1e6·|nodes|",
+      1e6 * PART),
+    Site("q_bollinger", "ops/Behavior.scala",
+      "20-day sliding Σx LONG (Σx² is DECIMAL) ≤ 20·dayE4",
+      20 * (EV / DAYS) * VAL_E4),
+    Site("q_sax_paa", "ops/Series.scala",
+      "segment Σe4 div days ≤ span·dayE4",
+      DAYS * (EV / DAYS) * VAL_E4),
+    Site("q_var_cvar", "ops/Series.scala",
+      "quantile index (n·5+99) div 100 ≤ n",
+      EV),
+    Site("data_budget_select", "ops/PipelineQueries.scala",
+      "score_bp = n_dist·1e4 div n_tok ≤ 1e4·tokens",
+      1e4 * 1e6),
+    Site("data_temperature_mix", "ops/PipelineQueries.scala",
+      "quota = 200·weight_micro div tw ≤ 2e8",
+      2e8),
+    Site("q_interval_align", "ops/Analytics.scala",
+      "cents·overlap_days div total ≤ cents·days",
+      TOT_CENTS * 1e3),
+    Site("q_scd2_lookup", "ops/Warehouse.scala",
+      "cents + cents div 10 ≤ 1.1·cents",
+      1.1 * TOT_CENTS))
+
+  /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
+    * marker. LatticeLedgerSpec recounts the sources at test time and
+    * fails on ANY drift, so a new lattice site cannot land without
+    * updating this ledger (and, per the coverage rule, auditing its
+    * long-typed intermediates into `sites`). */
+  val decimalCensus: Map[String, Int] = Map(
+    "ops/Behavior.scala" -> 3,
+    "ops/Mining.scala" -> 23,
+    "ops/MlEval.scala" -> 6,
+    "ops/PipelineQueries.scala" -> 9,
+    "ops/Profiling.scala" -> 6,
+    "ops/Series.scala" -> 23,
+    "ops/Stats.scala" -> 58,
+    "streaming/Events.scala" -> 5,
+    "dedup/Components.scala" -> 1)
+}
