@@ -1029,6 +1029,11 @@ object SparkEntry {
     "multimodal_wbmp_codec" -> (PipelineQueries.multimodalWbmpCodec _),
     "q_tost_equivalence" -> (Stats.qTostEquivalence _),
     "q_beta_hedge" -> (graft.ops.Series.qBetaHedge _),
+    "q_vwap" -> (graft.ops.Series.qVwap _),
+    "q_atr" -> (graft.ops.Series.qAtr _),
+    "q_stochastic_osc" -> (graft.ops.Series.qStochasticOsc _),
+    "q_amihud_illiq" -> (graft.ops.Series.qAmihudIlliq _),
+    "q_sharpe_sortino" -> (graft.ops.Series.qSharpeSortino _),
     "stream_late_data_audit" ->
       (graft.streaming.Events.streamLateDataAudit _),
     "q_corr_matrix" -> (Profiling.qCorrMatrix _),
@@ -8649,6 +8654,124 @@ object SparkEntry {
         |      * CAST(sy AS DOUBLE))
         |    / n / 10000 * 100.0 + 0.5) / 100.0 AS alpha
         |FROM m ORDER BY flag""".stripMargin,
+    "q_vwap" ->
+      """SELECT CAST(l_shipdate AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_trades,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |    AS qty_sum,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS rev_cents,
+        |  floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS DOUBLE)
+        |    / sum(CAST(round(l_quantity) AS BIGINT)) / 100
+        |    * 1e4 + 0.5) / 1e4 AS vwap
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // shared daily-close CTE: last-of-day tie rule (us, event_id)
+    // matches the Spark max_by struct exactly
+    "q_atr" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    epoch_us(ts) AS us, event_id FROM events),
+        |dd AS (SELECT day, max(c) AS h, min(c) AS l,
+        |    max(CASE WHEN rz = 1 THEN c END) AS cl
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY day
+        |      ORDER BY us DESC, event_id DESC) AS rz FROM e)
+        |  GROUP BY 1),
+        |t AS (SELECT day, h, l, cl, lag(cl) OVER (ORDER BY day) AS cp
+        |  FROM dd),
+        |tr AS (SELECT day,
+        |    greatest(h - l, abs(h - cp), abs(l - cp)) AS tr,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM t WHERE cp IS NOT NULL),
+        |a AS (SELECT day, tr, rn, sum(tr) OVER (ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS s14 FROM tr)
+        |SELECT day, CAST(tr AS BIGINT) AS tr_cents,
+        |  floor(CAST(s14 AS DOUBLE) / 14 / 100 * 1e4 + 0.5) / 1e4
+        |    AS atr14
+        |FROM a WHERE rn >= 14 ORDER BY day""".stripMargin,
+    // %K fixed to the micro lattice by integer floor-division (// on
+    // non-negative = Spark div), so %D is an exact 3-row long mean
+    "q_stochastic_osc" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    epoch_us(ts) AS us, event_id FROM events),
+        |dd AS (SELECT day, max(c) AS h, min(c) AS l,
+        |    max(CASE WHEN rz = 1 THEN c END) AS cl
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY day
+        |      ORDER BY us DESC, event_id DESC) AS rz FROM e)
+        |  GROUP BY 1),
+        |w AS (SELECT day, cl,
+        |    min(l) OVER w14 AS l14, max(h) OVER w14 AS h14,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM dd WINDOW w14 AS (ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |k AS (SELECT day,
+        |    ((cl - l14) * 100000000) // nullif(h14 - l14, 0) AS k_micro,
+        |    row_number() OVER (ORDER BY day) AS rn2
+        |  FROM w WHERE rn >= 14),
+        |ds AS (SELECT day, k_micro, rn2,
+        |    sum(k_micro) OVER w3 AS d_sum, count(k_micro) OVER w3 AS d_n
+        |  FROM k WINDOW w3 AS (ORDER BY day
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |SELECT day,
+        |  floor(CAST(k_micro AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4
+        |    AS pct_k,
+        |  floor(CAST(d_sum AS DOUBLE) / d_n / 1e6 * 1e4 + 0.5) / 1e4
+        |    AS pct_d
+        |FROM ds WHERE rn2 >= 3 ORDER BY day""".stripMargin,
+    // per-day term is one HUGEINT floor-division (non-negative), so
+    // the mean is an order-free integer sum
+    "q_amihud_illiq" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) AS e4,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS vol
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT day, e4, vol, lag(e4) OVER (ORDER BY day) AS pe4
+        |  FROM daily),
+        |terms AS (SELECT (CAST(abs(e4 - pe4) AS HUGEINT)
+        |      * 1000000000000) // (CAST(pe4 AS HUGEINT) * vol) AS t12
+        |  FROM t WHERE pe4 IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(CAST(sum(t12) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+        |    AS mean_illiq_e12,
+        |  CAST(max(t12) AS BIGINT) AS max_illiq_e12
+        |FROM terms""".stripMargin,
+    // returns on the exact e-9 lattice; moments HUGEINT; the e-9
+    // units cancel inside both ratios
+    "q_sharpe_sortino" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT day, e4, lag(e4) OVER (ORDER BY day) AS pe4
+        |  FROM daily),
+        |r AS (SELECT (CAST(e4 AS HUGEINT) * 1000000000) // pe4
+        |    - 1000000000 AS r
+        |  FROM t WHERE pe4 IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(r) AS BIGINT) AS sr,
+        |    sum(CAST(r AS HUGEINT) * r) AS srr,
+        |    sum(CASE WHEN r < 0 THEN CAST(r AS HUGEINT) * r
+        |      ELSE CAST(0 AS HUGEINT) END) AS sdn,
+        |    CAST(sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_down
+        |  FROM r)
+        |SELECT n_days, n_down,
+        |  floor(CAST(sr AS DOUBLE) / n_days / 1e9 * 1e6 + 0.5) / 1e6
+        |    AS mean_ret,
+        |  floor((CAST(sr AS DOUBLE) / n_days)
+        |    / sqrt(CAST(srr * n_days - CAST(sr AS HUGEINT) * sr
+        |        AS DOUBLE)
+        |      / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+        |    * 1e4 + 0.5) / 1e4 AS sharpe,
+        |  floor((CAST(sr AS DOUBLE) / n_days)
+        |    / sqrt(CAST(sdn AS DOUBLE) / n_days)
+        |    * 1e4 + 0.5) / 1e4 AS sortino
+        |FROM m""".stripMargin,
     // same succession-edge CTE prefix as q_scc; reciprocated edges by
     // one reversed self-join
     "q_dyad_census" ->

@@ -504,4 +504,154 @@ object Series {
           col("n") / 10000, 2).as("alpha"))
       .orderBy(col("flag"))
   }
+
+  /** Daily VWAP (volume-weighted average price) of lineitem trades:
+    * Σprice/Σqty per ship day — the execution-quality benchmark every
+    * trading/market pipeline reports. ONE corpus-scaled rollup
+    * (map-side partial sums) to the calendar-bounded daily frame;
+    * both sums exact longs (cents ≤ ~3e17 corpus-wide at sf100,
+    * ledger-registered), VWAP one final division of identical
+    * integers. */
+  def qVwap(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(round(col("l_quantity")).cast("long")).as("qty_sum"),
+        sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("rev_cents"))
+      .select(col("day"), col("n_trades"), col("qty_sum"),
+        col("rev_cents"),
+        rnd(col("rev_cents").cast("double") / col("qty_sum") / 100, 4)
+          .as("vwap"))
+      .orderBy(col("day"))
+
+  /** Daily closes of the events value series in exact cents, with the
+    * deterministic last-of-day tie rule (ts, event_id) — the shared
+    * base frame for [[qAtr]] and [[qStochasticOsc]]. */
+  private def dailyCloseCents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("c"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .groupBy(col("day"))
+      .agg(max(col("c")).as("h"), min(col("c")).as("l"),
+        max_by(col("c"), struct(col("us"), col("event_id"))).as("cl"))
+
+  /** Average True Range (14-day SMA variant) over the daily events
+    * value series: TR = max(H−L, |H−C₋₁|, |L−C₋₁|) in exact cents,
+    * ATR the 14-row window mean — the volatility sizing input beside
+    * [[Behavior.qBollinger]]'s bands. The corpus collapses to the
+    * calendar-bounded daily frame in one rollup; TR and its window
+    * sum are exact longs (order-free — the §5 float-window hazard
+    * never engages), ATR one final division. Full windows only. */
+  def qAtr(s: SparkSession, d: String): DataFrame = {
+    val w1 = Window.orderBy(col("day"))
+    val w14 = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    dailyCloseCents(s, d)
+      .withColumn("cp", lag(col("cl"), 1).over(w1))
+      .filter(col("cp").isNotNull)
+      .withColumn("tr", greatest(col("h") - col("l"),
+        abs(col("h") - col("cp")), abs(col("l") - col("cp"))))
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("s14", sum(col("tr")).over(w14))
+      .filter(col("rn") >= 14)
+      .select(col("day"), col("tr").as("tr_cents"),
+        rnd(col("s14").cast("double") / 14 / 100, 4).as("atr14"))
+      .orderBy(col("day"))
+  }
+
+  /** Stochastic oscillator (%K 14, %D 3) over the daily events close:
+    * %K = 100·(C−L14)/(H14−L14), %D its 3-day mean — the
+    * overbought/oversold momentum readout beside [[qAtr]]. %K is
+    * FIXED to the exact micro lattice by integer division
+    * ((C−L14)·10⁸ div range — both engines floor the same integers),
+    * so the 3-row %D mean is an order-free long sum; doubles only at
+    * the two final down-scalings. Window extrema are exact cents. */
+  def qStochasticOsc(s: SparkSession, d: String): DataFrame = {
+    val w1 = Window.orderBy(col("day"))
+    val w14 = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    val w3 = Window.orderBy(col("day")).rowsBetween(-2, 0)
+    dailyCloseCents(s, d)
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("l14", min(col("l")).over(w14))
+      .withColumn("h14", max(col("h")).over(w14))
+      .filter(col("rn") >= 14)
+      .withColumn("k_micro",
+        expr("((cl - l14) * 100000000) div nullif(h14 - l14, 0)"))
+      .withColumn("rn2", row_number().over(w1))
+      .withColumn("d_sum", sum(col("k_micro")).over(w3))
+      .withColumn("d_n", count(col("k_micro")).over(w3))
+      .filter(col("rn2") >= 3)
+      .select(col("day"),
+        rnd(col("k_micro").cast("double") / 1e6, 4).as("pct_k"),
+        rnd(col("d_sum").cast("double") / col("d_n") / 1e6, 4)
+          .as("pct_d"))
+      .orderBy(col("day"))
+  }
+
+  /** Amihud illiquidity over the daily revenue series: mean of
+    * |return| / volume, the price-impact-per-unit-flow proxy (here:
+    * |day-over-day revenue move| per unit quantity). Each day's term
+    * is ONE integer division on the e-12 lattice
+    * (|Δe4|·10¹² div (e4₋₁·qty) — DECIMAL numerator/denominator, LONG
+    * result, ledger-registered), so the cross-day mean is an
+    * order-free long sum — no float accumulation anywhere. */
+  def qAmihudIlliq(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"),
+        sum(round(col("l_quantity")).cast("long")).as("vol"))
+    val w1 = Window.orderBy(col("day"))
+    daily
+      .withColumn("pe4", lag(col("e4"), 1).over(w1))
+      .filter(col("pe4").isNotNull)
+      .withColumn("t12", expr("(CAST(abs(e4 - pe4) AS DECIMAL(38,0))" +
+        " * 1000000000000) div (CAST(pe4 AS DECIMAL(38,0)) * vol)"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("t12")).as("_s"), max(col("t12")).as("max_illiq_e12"))
+      .select(col("n_days"),
+        rnd(col("_s").cast("double") / col("n_days"), 4)
+          .as("mean_illiq_e12"),
+        col("max_illiq_e12"))
+  }
+
+  /** Annualization-free Sharpe and Sortino ratios of the daily revenue
+    * return series: returns FIXED to the exact e-9 lattice by integer
+    * division (e4ₜ·10⁹ div e4ₜ₋₁ − 10⁹ — identical floors both
+    * engines), so ALL moments (Σr long, Σr² and downside Σr² on
+    * DECIMAL(38,0)⇄HUGEINT) are order-free exact sums; the two ratios
+    * are pinned-order doubles over those identical integers. Sortino
+    * uses the 0-target downside deviation over all n days. */
+  def qSharpeSortino(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+    val w1 = Window.orderBy(col("day"))
+    daily
+      .withColumn("pe4", lag(col("e4"), 1).over(w1))
+      .filter(col("pe4").isNotNull)
+      .withColumn("r", expr(
+        "(CAST(e4 AS DECIMAL(38,0)) * 1000000000) div pe4 - 1000000000"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("r")).as("sr"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("srr"),
+        sum(when(col("r") < 0, expr("CAST(r AS DECIMAL(38,0)) * r"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sdn"),
+        sum(when(col("r") < 0, 1L).otherwise(0L)).as("n_down"))
+      .select(col("n_days"), col("n_down"),
+        rnd(col("sr").cast("double") / col("n_days") / 1e9, 6)
+          .as("mean_ret"),
+        // the e-9 units cancel between mean and deviation, so the
+        // ratios need no rescale
+        rnd((col("sr").cast("double") / col("n_days")) /
+          sqrt(expr("CAST(srr * n_days - CAST(sr AS DECIMAL(38,0)) * sr" +
+            " AS DOUBLE)") /
+            (col("n_days").cast("double") * (col("n_days") - 1))), 4)
+          .as("sharpe"),
+        rnd((col("sr").cast("double") / col("n_days")) /
+          sqrt(col("sdn").cast("double") / col("n_days")), 4)
+          .as("sortino"))
+  }
 }

@@ -139,7 +139,22 @@ object LatticeLedger {
       TOT_CENTS * 1e3),
     Site("q_scd2_lookup", "ops/Warehouse.scala",
       "cents + cents div 10 ≤ 1.1·cents",
-      1.1 * TOT_CENTS))
+      1.1 * TOT_CENTS),
+    Site("q_vwap", "ops/Series.scala",
+      "per-day Σcents LONG (worst: whole corpus one day)",
+      LI * 1.05e7),
+    Site("q_atr", "ops/Series.scala",
+      "14-day TR window LONG sum ≤ 14·valueSpanCents",
+      14 * 2 * 6.2e4),
+    Site("q_stochastic_osc", "ops/Series.scala",
+      "k_micro = (C−L14)·1e8 div range ≤ 1e8·spanCents",
+      1e8 * 6.2e4),
+    Site("q_amihud_illiq", "ops/Series.scala",
+      "⌊|Δe4|·1e12 / (e4·vol)⌋ ≤ 1e12·maxDayRatio (vol ≥ 1)",
+      1e12 * 100),
+    Site("q_sharpe_sortino", "ops/Series.scala",
+      "r_e9 = ⌊e4·1e9/e4prev⌋−1e9 ≤ 1e9·maxDayRatio; Σr ≤ days·that",
+      2500 * 1e9 * 100))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and
@@ -152,7 +167,7 @@ object LatticeLedger {
     "ops/MlEval.scala" -> 6,
     "ops/PipelineQueries.scala" -> 9,
     "ops/Profiling.scala" -> 6,
-    "ops/Series.scala" -> 23,
+    "ops/Series.scala" -> 31,
     "ops/Stats.scala" -> 58,
     "streaming/Events.scala" -> 5,
     "dedup/Components.scala" -> 1)

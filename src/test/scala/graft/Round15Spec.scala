@@ -164,6 +164,110 @@ class Round15Spec extends SparkSuite {
     assert(fin < keys, "dedup held every key — unbounded shape")
   }
 
+  // ---- r15 finance/series pack: naive in-JVM replays ----------------
+
+  private def rnd(x: Double, dp: Int): Double = {
+    val s = math.pow(10, dp); math.floor(x * s + 0.5) / s
+  }
+
+  private lazy val liRows = graft.sources.Tables.lineitem(spark, sf)
+    .select(col("l_shipdate").cast("date").cast("string"),
+      round(col("l_extendedprice") * 100).cast("long"),
+      round((lit(1) - col("l_discount")) * 100).cast("long"),
+      round(col("l_quantity")).cast("long"))
+    .collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  private lazy val dailyE4Vol: Seq[(String, Long, Long)] =
+    liRows.groupBy(_._1).toSeq.map { case (d, rs) =>
+      (d, rs.map(r => r._2 * r._3).sum, rs.map(_._4).sum)
+    }.sortBy(_._1)
+
+  test("q_vwap matches a naive per-day replay") {
+    val got = graft.ops.Series.qVwap(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val exp = liRows.groupBy(_._1).toSeq.map { case (d, rs) =>
+      val cents = rs.map(_._2).sum; val qty = rs.map(_._4).sum
+      (d, rs.size.toLong, qty, cents,
+        rnd(cents.toDouble / qty / 100, 4))
+    }.sortBy(_._1)
+    assert(got.toSeq == exp)
+  }
+
+  test("q_amihud_illiq and q_sharpe_sortino match naive replays on " +
+      "the shared daily frame") {
+    val e4s = dailyE4Vol
+    val terms = e4s.sliding(2).collect { case Seq((_, p, _), (_, c, v)) =>
+      (BigInt(c - p).abs * BigInt("1000000000000") /
+        (BigInt(p) * v)).toLong
+    }.toSeq
+    val gotA = graft.ops.Series.qAmihudIlliq(spark, sf).collect()(0)
+    assert(gotA.getLong(0) == terms.size)
+    assert(gotA.getDouble(1) ==
+      rnd(terms.map(BigInt(_)).sum.toDouble / terms.size, 4))
+    assert(gotA.getLong(2) == terms.max)
+
+    val rs = e4s.sliding(2).collect { case Seq((_, p, _), (_, c, _)) =>
+      (BigInt(c) * 1000000000L / p - 1000000000L).toLong
+    }.toSeq
+    val n = rs.size.toLong
+    val sr = rs.sum
+    val srr = rs.map(r => BigInt(r) * r).sum
+    val sdn = rs.filter(_ < 0).map(r => BigInt(r) * r).sum
+    val mean = sr.toDouble / n
+    val sharpe = mean / math.sqrt(
+      (BigDecimal(srr) * n - BigDecimal(sr) * sr).toDouble /
+        (n.toDouble * (n - 1)))
+    val sortino = mean / math.sqrt(sdn.toDouble / n)
+    val gotS = graft.ops.Series.qSharpeSortino(spark, sf).collect()(0)
+    assert(gotS.getLong(0) == n &&
+      gotS.getLong(1) == rs.count(_ < 0).toLong)
+    assert(gotS.getDouble(2) == rnd(mean / 1e9, 6))
+    assert(gotS.getDouble(3) == rnd(sharpe, 4), s"sharpe $sharpe")
+    assert(gotS.getDouble(4) == rnd(sortino, 4))
+  }
+
+  test("q_atr and q_stochastic_osc match naive replays of the daily " +
+      "OHLC frame") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(to_date(col("ts")).cast("string"),
+        round(col("value") * 100).cast("long"),
+        unix_micros(col("ts")), col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val daily = ev.groupBy(_._1).toSeq.map { case (d, rs) =>
+      val cl = rs.maxBy(r => (r._3, r._4))._2
+      (d, rs.map(_._2).max, rs.map(_._2).min, cl)
+    }.sortBy(_._1)
+    // ATR
+    val tr = daily.sliding(2).collect { case Seq((_, _, _, cp), (d, h, l, _)) =>
+      (d, Seq(h - l, (h - cp).abs, (l - cp).abs).max)
+    }.toSeq
+    val expAtr = tr.zipWithIndex.drop(13).map { case ((d, _), i) =>
+      val s14 = tr.slice(i - 13, i + 1).map(_._2).sum
+      (d, tr(i)._2, rnd(s14.toDouble / 14 / 100, 4))
+    }
+    val gotAtr = graft.ops.Series.qAtr(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(gotAtr.toSeq == expAtr)
+    // stochastic
+    val ks = daily.zipWithIndex.drop(13).map { case ((d, _, _, cl), i) =>
+      val win = daily.slice(i - 13, i + 1)
+      val l14 = win.map(_._3).min; val h14 = win.map(_._2).max
+      (d, if (h14 == l14) None
+      else Some((cl - l14) * 100000000L / (h14 - l14)))
+    }
+    val expSt = ks.zipWithIndex.drop(2).map { case ((d, k), i) =>
+      val w3 = ks.slice(i - 2, i + 1).flatMap(_._2)
+      (d, rnd(k.get.toDouble / 1e6, 4),
+        rnd(w3.sum.toDouble / w3.size / 1e6, 4))
+    }
+    val gotSt = graft.ops.Series.qStochasticOsc(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2)))
+    assert(gotSt.toSeq == expSt)
+  }
+
   test("a writer whose tag-capture lands inside another writer's swap " +
       "window gets the retryable CME, not a raw FileNotFoundException") {
     val wh = graft.util.Scratch.dir("graft_r15_fnf").toString
