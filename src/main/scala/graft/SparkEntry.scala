@@ -1042,6 +1042,13 @@ object SparkEntry {
     "q_pr_auc" -> (MlEval.qPrAuc _),
     "q_wasserstein_1d" -> (Stats.qWasserstein1d _),
     "q_markov_entropy_rate" -> (Stats.qMarkovEntropyRate _),
+    "q_cohens_d" -> (Stats.qCohensD _),
+    "q_odds_ratio" -> (Stats.qOddsRatio _),
+    "q_mcnemar" -> (Stats.qMcnemar _),
+    "q_mantel_haenszel" -> (Stats.qMantelHaenszel _),
+    "q_cochran_armitage" -> (Stats.qCochranArmitage _),
+    "q_fisher_z" -> (Stats.qFisherZ _),
+    "q_kpss" -> (Stats.qKpss _),
     "engine_partitioned_save" -> (JsonQueries.enginePartitionedSave _),
     "engine_atomic_save" -> (JsonQueries.engineAtomicSave _),
     "stream_corr_matrix" ->
@@ -8654,6 +8661,207 @@ object SparkEntry {
         |      * CAST(sy AS DOUBLE))
         |    / n / 10000 * 100.0 + 0.5) / 100.0 AS alpha
         |FROM m ORDER BY flag""".stripMargin,
+    "q_cohens_d" ->
+      """WITH g AS (SELECT o_orderstatus AS g,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS s1,
+        |    sum(CAST(round(o_totalprice) AS HUGEINT)
+        |      * CAST(round(o_totalprice) AS BIGINT)) AS s2
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+        |p AS (SELECT
+        |    max(CASE WHEN g = 'F' THEN n END) AS n1,
+        |    max(CASE WHEN g = 'F' THEN s1 END) AS sa,
+        |    max(CASE WHEN g = 'F' THEN s2 END) AS qa,
+        |    max(CASE WHEN g = 'O' THEN n END) AS n2,
+        |    max(CASE WHEN g = 'O' THEN s1 END) AS sb,
+        |    max(CASE WHEN g = 'O' THEN s2 END) AS qb FROM g),
+        |v AS (SELECT *,
+        |    CAST(qa * n1 - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS va,
+        |    CAST(qb * n2 - CAST(sb AS HUGEINT) * sb AS DOUBLE)
+        |      / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS vb FROM p),
+        |w AS (SELECT *, sqrt(((n1 - 1) * va + (n2 - 1) * vb)
+        |    / (n1 + n2 - 2)) AS sp FROM v),
+        |x AS (SELECT *, (CAST(sa AS DOUBLE) / n1
+        |    - CAST(sb AS DOUBLE) / n2) / sp AS dd FROM w)
+        |SELECT n1, n2,
+        |  floor((CAST(sa AS DOUBLE) / n1 - CAST(sb AS DOUBLE) / n2)
+        |    * 100.0 + 0.5) / 100.0 AS mean_diff,
+        |  floor(sp * 100.0 + 0.5) / 100.0 AS pooled_sd,
+        |  floor(dd * 1e6 + 0.5) / 1e6 AS cohens_d,
+        |  floor(dd * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)) * 1e6 + 0.5)
+        |    / 1e6 AS hedges_g
+        |FROM x""".stripMargin,
+    "q_odds_ratio" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS sc,
+        |    CAST(count(*) AS BIGINT) AS nu
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(sc) AS BIGINT) AS gc,
+        |    CAST(sum(nu) AS BIGINT) AS gn FROM per),
+        |a AS (SELECT (md5_number_lower(CAST(user_id AS VARCHAR))
+        |    & 9223372036854775807) % 2 AS arm,
+        |    CASE WHEN CAST(sc AS HUGEINT) * gn
+        |      > CAST(gc AS HUGEINT) * nu THEN 1 ELSE 0 END AS y
+        |  FROM per, t),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN arm = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN arm = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN arm = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d FROM a)
+        |SELECT a, b, c, d,
+        |  floor(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+        |    * 1e6 + 0.5) / 1e6 AS odds_ratio,
+        |  floor(sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+        |    * 1e6 + 0.5) / 1e6 AS se_log_or,
+        |  floor(CAST(a + b + c + d AS DOUBLE)
+        |    * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+        |    * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+        |    / ((a + b) * (CAST(c AS DOUBLE) + d) * (a + c) * (b + d))
+        |    * 1e4 + 0.5) / 1e4 AS chi2
+        |FROM c""".stripMargin,
+    "q_mcnemar" ->
+      """WITH b AS (SELECT CAST((min(CAST(floor(epoch(ts)) AS BIGINT))
+        |      + max(CAST(floor(epoch(ts)) AS BIGINT))) / 2 AS BIGINT)
+        |    AS mid FROM events),
+        |u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click'
+        |      AND CAST(floor(epoch(ts)) AS BIGINT) < mid
+        |      THEN 1 ELSE 0 END) AS x1,
+        |    sum(CASE WHEN event_type = 'click'
+        |      AND CAST(floor(epoch(ts)) AS BIGINT) >= mid
+        |      THEN 1 ELSE 0 END) AS x2
+        |  FROM events, b GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(CASE WHEN x1 > x2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN x2 > x1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c FROM u)
+        |SELECT n_users, b, c,
+        |  floor(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+        |    / nullif(b + c, 0) * 1e4 + 0.5) / 1e4 AS mcnemar_chi2,
+        |  CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+        |    / nullif(b + c, 0) > 3.841 AS significant_5pct
+        |FROM m""".stripMargin,
+    // per-stratum ad/n, bc/n micro-fixed by floor-division (all
+    // non-negative, so // = Spark div); crude OR for the Simpson
+    // contrast
+    "q_mantel_haenszel" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day,
+        |    (md5_number_lower(CAST(user_id AS VARCHAR))
+        |      & 9223372036854775807) % 2 AS arm,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |s AS (SELECT day,
+        |    CAST(sum(CASE WHEN arm = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN arm = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN arm = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN arm = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum((CAST(a AS HUGEINT) * d * 1000000)
+        |      // (a + b + c + d)) AS BIGINT) AS ad,
+        |    CAST(sum((CAST(b AS HUGEINT) * c * 1000000)
+        |      // (a + b + c + d)) AS BIGINT) AS bc,
+        |    CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+        |    CAST(sum(c) AS BIGINT) AS tc, CAST(sum(d) AS BIGINT) AS td
+        |  FROM s)
+        |SELECT n_strata,
+        |  floor(CAST(ad AS DOUBLE) / bc * 1e6 + 0.5) / 1e6 AS or_mh,
+        |  floor(CAST(ta AS DOUBLE) * td / (CAST(tb AS DOUBLE) * tc)
+        |    * 1e6 + 0.5) / 1e6 AS or_crude
+        |FROM m""".stripMargin,
+    "q_cochran_armitage" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rr,
+        |    CAST(sum(CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+        |      AS BIGINT) AS swn,
+        |    CAST(sum(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+        |      * CAST(substr(o_orderpriority, 1, 1) AS BIGINT))
+        |      AS BIGINT) AS sw2n,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS swr
+        |  FROM orders),
+        |z AS (SELECT n, rr,
+        |    CAST(CAST(n AS HUGEINT) * swr
+        |      - CAST(rr AS HUGEINT) * swn AS DOUBLE)
+        |    * CAST(CAST(n AS HUGEINT) * swr
+        |      - CAST(rr AS HUGEINT) * swn AS DOUBLE)
+        |    * (n - 1)
+        |    / (CAST(rr AS DOUBLE) * (n - rr))
+        |    / CAST(CAST(n AS HUGEINT) * sw2n
+        |      - CAST(swn AS HUGEINT) * swn AS DOUBLE) AS z2 FROM m)
+        |SELECT n, rr AS n_success,
+        |  floor(z2 * 1e4 + 0.5) / 1e4 AS z2,
+        |  z2 > 3.841 AS significant_5pct
+        |FROM z""".stripMargin,
+    "q_fisher_z" ->
+      """WITH g AS (SELECT l_returnflag AS g,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS sx,
+        |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)
+        |      AS sy,
+        |    sum(CAST(round(l_quantity) AS HUGEINT)
+        |      * CAST(round(l_extendedprice) AS BIGINT)) AS sxy,
+        |    sum(CAST(round(l_quantity) AS HUGEINT)
+        |      * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+        |    sum(CAST(round(l_extendedprice) AS HUGEINT)
+        |      * CAST(round(l_extendedprice) AS BIGINT)) AS syy
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+        |r AS (SELECT g, n,
+        |    CAST(sxy * n - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / sqrt(CAST(sxx * n - CAST(sx AS HUGEINT) * sx
+        |        AS DOUBLE))
+        |      / sqrt(CAST(syy * n - CAST(sy AS HUGEINT) * sy
+        |        AS DOUBLE)) AS r FROM g),
+        |p AS (SELECT
+        |    max(CASE WHEN g = 'R' THEN r END) AS r1,
+        |    max(CASE WHEN g = 'R' THEN n END) AS n1,
+        |    max(CASE WHEN g = 'A' THEN r END) AS r2,
+        |    max(CASE WHEN g = 'A' THEN n END) AS n2 FROM r),
+        |z AS (SELECT *, (ln((1 + r1) / (1 - r1)) / 2
+        |    - ln((1 + r2) / (1 - r2)) / 2)
+        |    / sqrt(1.0 / (n1 - 3) + 1.0 / (n2 - 3)) AS z FROM p)
+        |SELECT n1, n2,
+        |  floor(r1 * 1e6 + 0.5) / 1e6 AS corr_r,
+        |  floor(r2 * 1e6 + 0.5) / 1e6 AS corr_a,
+        |  floor(z * 1e4 + 0.5) / 1e4 AS z,
+        |  abs(z) > 1.96 AS significant_5pct
+        |FROM z""".stripMargin,
+    // n-scaled residual lattice (no float mean); x in tens of dollars
+    // keeps the squared folds inside DECIMAL/HUGEINT comfortably
+    "q_kpss" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) // 100000 AS x
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s FROM daily),
+        |e AS (SELECT day, CAST(n AS HUGEINT) * x - s AS e, n
+        |  FROM daily, t),
+        |c AS (SELECT n, e, sum(e) OVER (ORDER BY day) AS st FROM e),
+        |m AS (SELECT max(n) AS n_days, sum(st * st) AS ss2,
+        |    sum(e * e) AS se2 FROM c)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  floor(CAST(ss2 AS DOUBLE) / (CAST(se2 AS DOUBLE) * n_days)
+        |    * 1e6 + 0.5) / 1e6 AS kpss_eta,
+        |  CAST(ss2 AS DOUBLE) / (CAST(se2 AS DOUBLE) * n_days) > 0.463
+        |    AS reject_stationarity_5pct
+        |FROM m""".stripMargin,
     "q_vwap" ->
       """SELECT CAST(l_shipdate AS DATE) AS day,
         |  CAST(count(*) AS BIGINT) AS n_trades,

@@ -1329,4 +1329,264 @@ object Stats {
           .otherwise(0L)).as("seats"))
       .orderBy(col("nation"))
   }
+
+  /** Cohen's d + Hedges' g effect size between the two big order
+    * cohorts (status F vs O, whole-dollar lattice): the
+    * "how big is the difference" readout beside q_welch_ttest's
+    * "is there one". Two exact moment triples (n, Σx long,
+    * Σx² DECIMAL⇄HUGEINT), pooled SD and both effect sizes a
+    * constant pinned-order double tail — one corpus-scaled rollup. */
+  def qCohensD(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderstatus").as("g"),
+        round(col("o_totalprice")).cast("long").as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+    g.agg(
+        max(when(col("g") === "F", col("n"))).as("n1"),
+        max(when(col("g") === "F", col("s1"))).as("sa"),
+        max(when(col("g") === "F", col("s2"))).as("qa"),
+        max(when(col("g") === "O", col("n"))).as("n2"),
+        max(when(col("g") === "O", col("s1"))).as("sb"),
+        max(when(col("g") === "O", col("s2"))).as("qb"))
+      .withColumn("va", expr("CAST(qa * n1 - CAST(sa AS DECIMAL(38,0))" +
+        " * sa AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1))"))
+      .withColumn("vb", expr("CAST(qb * n2 - CAST(sb AS DECIMAL(38,0))" +
+        " * sb AS DOUBLE) / (CAST(n2 AS DOUBLE) * (n2 - 1))"))
+      .withColumn("sp", sqrt(expr(
+        "((n1 - 1) * va + (n2 - 1) * vb) / (n1 + n2 - 2)")))
+      .withColumn("dd", expr(
+        "(CAST(sa AS DOUBLE) / n1 - CAST(sb AS DOUBLE) / n2) / sp"))
+      .select(col("n1"), col("n2"),
+        rnd(expr("CAST(sa AS DOUBLE) / n1 - CAST(sb AS DOUBLE) / n2"), 2)
+          .as("mean_diff"),
+        rnd(col("sp"), 2).as("pooled_sd"),
+        rnd(col("dd"), 6).as("cohens_d"),
+        rnd(expr("dd * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))"), 6)
+          .as("hedges_g"))
+  }
+
+  /** Odds ratio of the user-level 2×2 (hash-arm exposure ×
+    * above-global-mean-spender outcome) with the Wald SE of ln(OR)
+    * and the 2×2 chi-square — the case-control readout beside
+    * q_ab_srm's allocation alarm. The outcome dichotomy is an exact
+    * integer CROSS-MULTIPLY (userCents·N > globalCents·n_u — no
+    * division, so no float boundary can flip a user cross-engine);
+    * the corpus folds to one per-user census then four cells; OR, SE
+    * and χ² are rationals/sqrt of identical integers (no libm). */
+  def qOddsRatio(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("sc"),
+        count(lit(1)).as("nu"))
+    val tot = per.agg(sum(col("sc")).as("gc"), sum(col("nu")).as("gn"))
+    per.crossJoin(broadcast(tot))
+      .select(pmod(graft.functions.exprs.md5Lower64(
+        col("user_id").cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)), lit(2L)).as("arm"),
+        // sc·gn vs gc·nu: sc·gn ≈ 5e13 at sf100, gc·nu ≈ 6e14 — longs
+        when(expr("CAST(sc AS DECIMAL(38,0)) * gn" +
+          " > CAST(gc AS DECIMAL(38,0)) * nu"), 1L).otherwise(0L)
+          .as("y"))
+      .agg(
+        sum(when(col("arm") === 0 && col("y") === 1, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("arm") === 0 && col("y") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("arm") === 1 && col("y") === 1, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("arm") === 1 && col("y") === 0, 1L).otherwise(0L))
+          .as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        rnd(expr("CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)"), 6)
+          .as("odds_ratio"),
+        rnd(sqrt(expr("1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d")), 6)
+          .as("se_log_or"),
+        rnd(expr("CAST(a + b + c + d AS DOUBLE)" +
+          " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)" +
+          " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)" +
+          " / ((a + b) * (CAST(c AS DOUBLE) + d) * (a + c) * (b + d))"),
+          4).as("chi2"))
+  }
+
+  /** McNemar/sign paired test: did per-user CLICK INTENSITY shift
+    * between the first and second half of the window? Each user is
+    * one pair (first-half clicks, second-half clicks); b = users who
+    * clicked MORE in the first half, c = more in the second (ties
+    * drop, the exact-binomial/sign-test convention). One per-user
+    * census, then the continuity-corrected (|b−c|−1)²/(b+c) — pure
+    * integer rational; NULL only if every user tied. */
+  def qMcnemar(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+    val mid = ev.agg(((min(col("ts_s")) + max(col("ts_s"))) / 2)
+      .cast("long").as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click" &&
+          col("ts_s") < col("mid"), 1L).otherwise(0L)).as("x1"),
+        sum(when(col("event_type") === "click" &&
+          col("ts_s") >= col("mid"), 1L).otherwise(0L)).as("x2"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("x1") > col("x2"), 1L).otherwise(0L)).as("b"),
+        sum(when(col("x2") > col("x1"), 1L).otherwise(0L)).as("c"))
+      .select(col("n_users"), col("b"), col("c"),
+        rnd(expr("CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)" +
+          " / nullif(b + c, 0)"), 4).as("mcnemar_chi2"),
+        (expr("CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)" +
+          " / nullif(b + c, 0)") > 3.841).as("significant_5pct"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio across DAY strata (hash-arm
+    * exposure × purchase outcome per event) vs the crude OR — the
+    * stratified-confounding readout beside q_simpson_audit. Each
+    * stratum's ad/n and bc/n terms are FIXED to the micro lattice by
+    * integer division (a·d·10⁶ div n — both engines floor the same
+    * integers), so both cross-stratum folds are order-free long sums
+    * and OR_MH is one final division. */
+  def qMantelHaenszel(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        pmod(graft.functions.exprs.md5Lower64(
+          col("user_id").cast("string"))
+          .bitwiseAND(lit(Long.MaxValue)), lit(2L)).as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("arm") === 0 && col("y") === 1, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("arm") === 0 && col("y") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("arm") === 1 && col("y") === 1, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("arm") === 1 && col("y") === 0, 1L).otherwise(0L))
+          .as("d"))
+      .withColumn("n", expr("a + b + c + d"))
+    cells.agg(count(lit(1)).as("n_strata"),
+        // DECIMAL products: a·d·10⁶ is ~1.1e19 at sf100 day-cells —
+        // past the ANSI long (div RESULT ≤ 10⁶·cellRate stays small)
+        sum(expr("(CAST(a AS DECIMAL(38,0)) * d * 1000000) div n"))
+          .as("_ad"),
+        sum(expr("(CAST(b AS DECIMAL(38,0)) * c * 1000000) div n"))
+          .as("_bc"),
+        sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+        sum(col("c")).as("tc"), sum(col("d")).as("td"))
+      .select(col("n_strata"),
+        rnd(expr("CAST(_ad AS DOUBLE) / _bc"), 6).as("or_mh"),
+        rnd(expr("CAST(ta AS DOUBLE) * td" +
+          " / (CAST(tb AS DOUBLE) * tc)"), 6).as("or_crude"))
+  }
+
+  /** Cochran–Armitage trend test: does the F-status rate trend across
+    * the ORDERED order-priority doses 1..5? — the dose-response
+    * companion to q_chi_square's unordered independence test. All
+    * moments (N, R, Σwn, Σw²n, Σwr) are exact longs from one rollup;
+    * the Z² statistic is a constant pinned-order double expression
+    * with DECIMAL⇄HUGEINT cross-products. */
+  def qCochranArmitage(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+        .as("w"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("r"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("rr"),
+        sum(col("w")).as("swn"),
+        sum(col("w") * col("w")).as("sw2n"),
+        sum(col("w") * col("r")).as("swr"))
+      .select(col("n"), col("rr").as("n_success"),
+        rnd(expr(
+          "CAST(CAST(n AS DECIMAL(38,0)) * swr" +
+            " - CAST(rr AS DECIMAL(38,0)) * swn AS DOUBLE)" +
+            " * CAST(CAST(n AS DECIMAL(38,0)) * swr" +
+            " - CAST(rr AS DECIMAL(38,0)) * swn AS DOUBLE)" +
+            " * (n - 1)" +
+            " / (CAST(rr AS DOUBLE) * (n - rr))" +
+            " / CAST(CAST(n AS DECIMAL(38,0)) * sw2n" +
+            " - CAST(swn AS DECIMAL(38,0)) * swn AS DOUBLE)"), 4)
+          .as("z2"),
+        (expr(
+          "CAST(CAST(n AS DECIMAL(38,0)) * swr" +
+            " - CAST(rr AS DECIMAL(38,0)) * swn AS DOUBLE)" +
+            " * CAST(CAST(n AS DECIMAL(38,0)) * swr" +
+            " - CAST(rr AS DECIMAL(38,0)) * swn AS DOUBLE)" +
+            " * (n - 1)" +
+            " / (CAST(rr AS DOUBLE) * (n - rr))" +
+            " / CAST(CAST(n AS DECIMAL(38,0)) * sw2n" +
+            " - CAST(swn AS DECIMAL(38,0)) * swn AS DOUBLE)") > 3.841)
+          .as("significant_5pct"))
+
+  /** Fisher z-test: are the qty↔price correlations of returnflags R
+    * and A DIFFERENT? — the compare-two-correlations readout above
+    * q_corr_matrix's single-population matrix. Per-flag moments exact
+    * DECIMAL⇄HUGEINT; each r is one pinned division; atanh(r) =
+    * ln((1+r)/(1−r))/2 runs on identical doubles both engines (the
+    * q_markov_entropy_rate ln convention) and z is the final pinned
+    * expression. */
+  def qFisherZ(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_returnflag").as("g"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("r", expr(
+        "CAST(sxy * n - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)" +
+          " / sqrt(CAST(sxx * n - CAST(sx AS DECIMAL(38,0)) * sx" +
+          " AS DOUBLE))" +
+          " / sqrt(CAST(syy * n - CAST(sy AS DECIMAL(38,0)) * sy" +
+          " AS DOUBLE))"))
+    m.agg(
+        max(when(col("g") === "R", col("r"))).as("r1"),
+        max(when(col("g") === "R", col("n"))).as("n1"),
+        max(when(col("g") === "A", col("r"))).as("r2"),
+        max(when(col("g") === "A", col("n"))).as("n2"))
+      .select(col("n1"), col("n2"),
+        rnd(col("r1"), 6).as("corr_r"), rnd(col("r2"), 6).as("corr_a"),
+        rnd(expr("(ln((1 + r1) / (1 - r1)) / 2" +
+          " - ln((1 + r2) / (1 - r2)) / 2)" +
+          " / sqrt(1.0 / (n1 - 3) + 1.0 / (n2 - 3))"), 4).as("z"),
+        (abs(expr("(ln((1 + r1) / (1 - r1)) / 2" +
+          " - ln((1 + r2) / (1 - r2)) / 2)" +
+          " / sqrt(1.0 / (n1 - 3) + 1.0 / (n2 - 3))")) > 1.96)
+          .as("significant_5pct"))
+  }
+
+  /** KPSS level-stationarity statistic of the daily revenue series
+    * (lag-0 long-run variance): η = Σ S̃_t² / (n · Σ ẽ_t²) on the
+    * n-SCALED integer lattice — ẽ_t = n·x_t − S is exact (no float
+    * mean), partial sums S̃_t and both squared folds ride
+    * DECIMAL(38,0)⇄HUGEINT (x in tens of dollars keeps Σ S̃² ≈ 6e35
+    * at sf100, inside DECIMAL's 1e38), and η is ONE final division of
+    * identical integers. Companion to q_dickey_fuller: KPSS's null is
+    * stationarity, ADF's is the unit root. */
+  def qKpss(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")))
+        .as("e4"))
+      .select(col("day"), expr("e4 div 100000").as("x")) // tens of $
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("e", expr("CAST(n AS DECIMAL(38,0)) * x - s"))
+      .withColumn("st", sum(col("e")).over(w))
+      .agg(max(col("n")).as("n_days"),
+        sum(expr("st * st")).as("ss2"),
+        sum(expr("e * e")).as("se2"))
+      .select(col("n_days"),
+        rnd(expr("CAST(ss2 AS DOUBLE) / (CAST(se2 AS DOUBLE) * n_days)"),
+          6).as("kpss_eta"),
+        (expr("CAST(ss2 AS DOUBLE) / (CAST(se2 AS DOUBLE) * n_days)")
+          > 0.463).as("reject_stationarity_5pct"))
+  }
 }

@@ -154,7 +154,22 @@ object LatticeLedger {
       1e12 * 100),
     Site("q_sharpe_sortino", "ops/Series.scala",
       "r_e9 = ⌊e4·1e9/e4prev⌋−1e9 ≤ 1e9·maxDayRatio; Σr ≤ days·that",
-      2500 * 1e9 * 100))
+      2500 * 1e9 * 100),
+    Site("q_cohens_d", "ops/Stats.scala",
+      "Σdollars LONG ≤ n·totDollars (squares are DECIMAL)",
+      ORD * TOT_DOLLARS),
+    Site("q_odds_ratio", "ops/Stats.scala",
+      "outcome cross-multiply userCents·N and corpusCents·n_u — longs",
+      EV * USER_UNITS * 100 * 99),
+    Site("q_mantel_haenszel", "ops/Stats.scala",
+      "⌊a·d·1e6/n⌋ ≤ 1e6·dayRows (DECIMAL numerator post-fix)",
+      1e6 * (EV / DAYS)),
+    Site("q_cochran_armitage", "ops/Stats.scala",
+      "Σw·r LONG ≤ 5·N (cross-products are DECIMAL)",
+      5 * ORD),
+    Site("q_kpss", "ops/Stats.scala",
+      "daily x = e4 div 1e5 LONG ≤ dayE4/1e5 (S̃ folds are DECIMAL)",
+      (LI / 2500) * PRICE_E4 / 1e5))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and
@@ -168,7 +183,7 @@ object LatticeLedger {
     "ops/PipelineQueries.scala" -> 9,
     "ops/Profiling.scala" -> 6,
     "ops/Series.scala" -> 31,
-    "ops/Stats.scala" -> 58,
+    "ops/Stats.scala" -> 85,
     "streaming/Events.scala" -> 5,
     "dedup/Components.scala" -> 1)
 }

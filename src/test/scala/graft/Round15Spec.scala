@@ -268,6 +268,114 @@ class Round15Spec extends SparkSuite {
     assert(gotSt.toSeq == expSt)
   }
 
+  // ---- r15 stats pack: naive in-JVM replays --------------------------
+
+  test("q_cohens_d, q_cochran_armitage and q_kpss match naive replays") {
+    // cohens_d over orders dollars
+    val ord = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), round(col("o_totalprice"))
+        .cast("long"), substring(col("o_orderpriority"), 1, 1)
+        .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def mom(g: String) = {
+      val xs = ord.filter(_._1 == g).map(_._2)
+      (xs.length.toLong, xs.sum, xs.map(x => BigInt(x) * x).sum)
+    }
+    val (n1, sa, qa) = mom("F"); val (n2, sb, qb) = mom("O")
+    val va = (qa * n1 - BigInt(sa) * sa).toDouble / (n1.toDouble * (n1 - 1))
+    val vb = (qb * n2 - BigInt(sb) * sb).toDouble / (n2.toDouble * (n2 - 1))
+    val sp = math.sqrt(((n1 - 1) * va + (n2 - 1) * vb) / (n1 + n2 - 2))
+    val dd = (sa.toDouble / n1 - sb.toDouble / n2) / sp
+    val gotD = graft.ops.Stats.qCohensD(spark, sf).collect()(0)
+    assert(gotD.getLong(0) == n1 && gotD.getLong(1) == n2)
+    assert(gotD.getDouble(4) == rnd(dd, 6))
+    assert(gotD.getDouble(5) ==
+      rnd(dd * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6))
+
+    // cochran-armitage over the same rows
+    val n = ord.length.toLong
+    val rr = ord.count(_._1 == "F").toLong
+    val swn = ord.map(_._3).sum
+    val sw2n = ord.map(t => t._3 * t._3).sum
+    val swr = ord.filter(_._1 == "F").map(_._3).sum
+    val num = (BigInt(n) * swr - BigInt(rr) * swn).toDouble
+    val z2 = num * num * (n - 1) / (rr.toDouble * (n - rr)) /
+      (BigInt(n) * sw2n - BigInt(swn) * swn).toDouble
+    val gotC = graft.ops.Stats.qCochranArmitage(spark, sf).collect()(0)
+    assert(gotC.getLong(0) == n && gotC.getLong(1) == rr)
+    assert(gotC.getDouble(2) == rnd(z2, 4), s"z2 $z2")
+
+    // kpss over the daily tens-of-dollars frame
+    val xs = dailyE4Vol.map { case (_, e4, _) => e4 / 100000L }
+    val nn = xs.length.toLong
+    val ss = xs.sum
+    val es = xs.map(x => BigInt(nn) * x - ss)
+    val sts = es.scanLeft(BigInt(0))(_ + _).tail
+    val eta = sts.map(s => s * s).sum.toDouble /
+      (es.map(e => e * e).sum.toDouble * nn)
+    val gotK = graft.ops.Stats.qKpss(spark, sf).collect()(0)
+    assert(gotK.getLong(0) == nn)
+    assert(gotK.getDouble(1) == rnd(eta, 6), s"eta $eta")
+  }
+
+  test("q_odds_ratio, q_mcnemar and q_mantel_haenszel match naive " +
+      "replays (arms read back from the shared hash kernel)") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")), to_date(col("ts")).cast("string"),
+        pmod(graft.functions.exprs.md5Lower64(
+          col("user_id").cast("string"))
+          .bitwiseAND(lit(Long.MaxValue)), lit(2L)),
+        round(col("value") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    // odds ratio: outcome = above-global-mean spender (cross-multiply)
+    val gc = ev.map(r => BigInt(r._6)).sum
+    val gn = ev.length
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, rs) =>
+      val sc = rs.map(r => BigInt(r._6)).sum
+      (rs.head._5, if (sc * gn > gc * rs.length) 1 else 0)
+    }
+    val a = perUser.count(t => t._1 == 0 && t._2 == 1).toLong
+    val b = perUser.count(t => t._1 == 0 && t._2 == 0).toLong
+    val c = perUser.count(t => t._1 == 1 && t._2 == 1).toLong
+    val dd = perUser.count(t => t._1 == 1 && t._2 == 0).toLong
+    val gotO = graft.ops.Stats.qOddsRatio(spark, sf).collect()(0)
+    assert((gotO.getLong(0), gotO.getLong(1), gotO.getLong(2),
+      gotO.getLong(3)) == ((a, b, c, dd)))
+    assert(gotO.getDouble(4) ==
+      rnd(a.toDouble * dd / (b.toDouble * c), 6))
+    // mcnemar
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val pairs = ev.groupBy(_._1).values.map { rs =>
+      (rs.count(r => r._2 == "click" && r._3 < mid),
+        rs.count(r => r._2 == "click" && r._3 >= mid))
+    }.toSeq
+    val mb = pairs.count(p => p._1 > p._2).toLong
+    val mc = pairs.count(p => p._2 > p._1).toLong
+    val gotM = graft.ops.Stats.qMcnemar(spark, sf).collect()(0)
+    assert((gotM.getLong(1), gotM.getLong(2)) == ((mb, mc)))
+    val chi = ((mb - mc).abs - 1).toDouble * ((mb - mc).abs - 1) /
+      (mb + mc)
+    assert(gotM.getDouble(3) == rnd(chi, 4))
+    // mantel-haenszel
+    val strata = ev.groupBy(_._4).values.map { rs =>
+      val sa = rs.count(r => r._5 == 0 && r._2 == "purchase").toLong
+      val sb = rs.count(r => r._5 == 0 && r._2 != "purchase").toLong
+      val sc = rs.count(r => r._5 == 1 && r._2 == "purchase").toLong
+      val sd = rs.count(r => r._5 == 1 && r._2 != "purchase").toLong
+      (sa, sb, sc, sd)
+    }.toSeq
+    val ad = strata.map { case (sa, sb, sc, sd) =>
+      sa * sd * 1000000L / (sa + sb + sc + sd) }.sum
+    val bc = strata.map { case (sa, sb, sc, sd) =>
+      sb * sc * 1000000L / (sa + sb + sc + sd) }.sum
+    val gotH = graft.ops.Stats.qMantelHaenszel(spark, sf).collect()(0)
+    assert(gotH.getLong(0) == strata.size.toLong)
+    assert(gotH.getDouble(1) == rnd(ad.toDouble / bc, 6))
+  }
+
   test("a writer whose tag-capture lands inside another writer's swap " +
       "window gets the retryable CME, not a raw FileNotFoundException") {
     val wh = graft.util.Scratch.dir("graft_r15_fnf").toString
