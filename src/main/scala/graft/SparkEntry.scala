@@ -1027,6 +1027,11 @@ object SparkEntry {
     "q_dyad_census" -> (Mining.qDyadCensus _),
     "engine_index_covering" -> (JsonQueries.engineIndexCovering _),
     "multimodal_wbmp_codec" -> (PipelineQueries.multimodalWbmpCodec _),
+    "multimodal_pnm_codec" -> (PipelineQueries.multimodalPnmCodec _),
+    "text_simpson_diversity" ->
+      (PipelineQueries.textSimpsonDiversity _),
+    "q_adamic_adar" -> (Mining.qAdamicAdar _),
+    "stream_vwap" -> (graft.streaming.Events.streamVwap _),
     "q_tost_equivalence" -> (Stats.qTostEquivalence _),
     "q_beta_hedge" -> (graft.ops.Series.qBetaHedge _),
     "q_vwap" -> (graft.ops.Series.qVwap _),
@@ -1405,6 +1410,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlBase ++ extraOracles +
       ("stream_dau_mau" -> oracleSqlBase("q_dau_mau")) +
+      // per-day integer folds are partial-aggregable: the converged
+      // complete-mode state equals the batch census — stream≡batch
+      ("stream_vwap" -> oracleSqlBase("q_vwap")) +
       // order-insensitive counts/sums over a stateless zone projection
       // converge to the batch census — stream≡batch by construction
       ("stream_timezone" -> oracleSqlBase("q_timezone_funcs")) +
@@ -8982,6 +8990,78 @@ object SparkEntry {
         |FROM m""".stripMargin,
     // same succession-edge CTE prefix as q_scc; reciprocated edges by
     // one reversed self-join
+    // same succession CTE; undirected adjacency, centers weight their
+    // pair contributions by floor(1e6/ln(deg)+0.5); NOT EXISTS drops
+    // existing edges; ties in the top-20 break on the (u, w) order
+    "q_adamic_adar" ->
+      """WITH sp AS (SELECT p_partkey FROM part WHERE p_size = 1),
+        |li AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+        |  FROM lineitem JOIN sp ON l_partkey = p_partkey),
+        |nxt AS (SELECT l_partkey, lead(l_partkey) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
+        |    AS np
+        |  FROM li),
+        |e AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+        |    CAST(np AS BIGINT) AS dst FROM nxt
+        |  WHERE np IS NOT NULL AND np <> l_partkey),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM e
+        |  UNION ALL SELECT dst, src FROM e)),
+        |deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM und GROUP BY 1),
+        |adj AS (SELECT a AS v, b AS n FROM und),
+        |pr AS (SELECT x.n AS u, y.n AS w,
+        |    CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS aa_micro
+        |  FROM adj x JOIN adj y ON x.v = y.v AND x.n < y.n
+        |  JOIN deg ON deg.v = x.v
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT * FROM pr WHERE NOT EXISTS (
+        |  SELECT 1 FROM und WHERE und.a = pr.u AND und.b = pr.w)),
+        |rk AS (SELECT *, row_number() OVER (
+        |    ORDER BY aa_micro DESC, u, w) AS rk FROM cand)
+        |SELECT CAST(rk AS BIGINT) AS rk, u, w, n_common, aa_micro
+        |FROM rk WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // per-doc D micro-fixed by floor-division (// = Spark div on
+    // non-negatives); pooled D divides the HUGEINT census sums once
+    "text_simpson_diversity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk WHERE tok <> '' GROUP BY 1, 2, 3),
+        |pd AS (SELECT source, doc_id, sum(c) AS n,
+        |    sum(c * (c - 1)) AS rep FROM c GROUP BY 1, 2),
+        |dm AS (SELECT source, doc_id,
+        |    (rep * 1000000) // (n * (n - 1)) AS d_micro FROM pd),
+        |pc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+        |pool AS (SELECT source, sum(c) AS n,
+        |    sum(CAST(c AS HUGEINT) * (c - 1)) AS rep FROM pc GROUP BY 1),
+        |pm AS (SELECT source,
+        |    (rep * 1000000) // (CAST(n AS HUGEINT) * (n - 1))
+        |      AS pooled_micro FROM pool)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  floor(CAST(sum(d_micro) AS DOUBLE) / count(*) / 1e6 * 1e6
+        |    + 0.5) / 1e6 AS mean_doc_simpson,
+        |  floor(CAST(max(pooled_micro) AS DOUBLE) / 1e6 * 1e6 + 0.5)
+        |    / 1e6 AS pooled_simpson
+        |FROM dm JOIN pm USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // generator replay: the P6 raster carries gray
+    // (i*31 + j*17 + doc) % 256 in every channel
+    "multimodal_pnm_codec" ->
+      """WITH d AS (SELECT doc_id, 8 + (doc_id * 23) % 24 AS w,
+        |    8 + (doc_id * 29) % 24 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS i FROM d),
+        |ys AS (SELECT doc_id, w, h, i, unnest(range(h)) AS j FROM xs)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(sum((i * 31 + j * 17 + doc_id) % 256) AS BIGINT)
+        |    AS px_sum
+        |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "q_dyad_census" ->
       """WITH sp AS (SELECT p_partkey FROM part WHERE p_size = 1),
         |li AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey

@@ -465,6 +465,66 @@ object Codecs {
     bos.toByteArray
   }
 
+  def pnmWidth(docId: Long): Int = (8 + (docId * 23) % 24).toInt
+  def pnmHeight(docId: Long): Int = (8 + (docId * 29) % 24).toInt
+
+  /** Real binary PPM (P6) bytes for the doc's deterministic image —
+    * the SIXTH genuine codec, hand-rolled at the byte level (NetPBM
+    * is the one interchange container javax.imageio never ships):
+    * ASCII header (magic, a `#` comment, dims, maxval) followed by
+    * the raw RGB raster — the text-header/binary-raster split no
+    * other codec here exercises. */
+  def encodePnm(docId: Long): Array[Byte] = {
+    val w = pnmWidth(docId)
+    val h = pnmHeight(docId)
+    val bos = new ByteArrayOutputStream()
+    bos.write(s"P6\n# graft doc $docId\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = grayAt(x, y, docId)
+        bos.write(g); bos.write(g); bos.write(g)
+        x += 1
+      }
+      y += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Parse P6 (whitespace- and comment-tolerant header, per the NetPBM
+    * spec: tokens separated by whitespace, `#` comments run to EOL,
+    * exactly ONE whitespace byte between maxval and the raster) and
+    * return (width, height, Σ red channel). */
+  def decodePnmStats(bytes: Array[Byte]): (Int, Int, Long) = {
+    var pos = 0
+    def token(): String = {
+      while (pos < bytes.length &&
+          (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#')
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val st = pos
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace)
+        pos += 1
+      new String(bytes, st, pos - st,
+        java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    require(token() == "P6", "not a binary PPM")
+    val w = token().toInt
+    val h = token().toInt
+    val maxv = token().toInt
+    require(maxv == 255, s"unsupported maxval $maxv")
+    pos += 1 // the single post-maxval whitespace byte
+    var sum = 0L
+    var i = 0
+    val n = w * h
+    while (i < n) { sum += (bytes(pos + 3 * i) & 0xff); i += 1 }
+    (w, h, sum)
+  }
+
   def tiffWidth(docId: Long): Int = (8 + (docId * 11) % 24).toInt
   def tiffHeight(docId: Long): Int = (8 + (docId * 13) % 24).toInt
 

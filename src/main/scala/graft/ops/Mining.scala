@@ -3107,6 +3107,44 @@ object Mining {
         .as("reciprocity"))
   }
 
+  /** Adamic–Adar link prediction over the UNDIRECTED succession graph:
+    * for the top candidate non-edges, AA(u,w) = Σ_{v∈N(u)∩N(w)}
+    * 1/ln(deg v) — the classic "weight rare shared neighbors higher"
+    * score beside q_graph_jaccard's plain overlap. Pairs enumerate
+    * through each CENTER vertex (adj ⨝ adj on v — edge-keyed, never
+    * all-pairs; a hot center is exactly the q_triangle_count skew and
+    * bounded the same way), each contribution FIXED to the micro
+    * lattice (⌊10⁶/ln(deg)+0.5⌋ — ln on an identical integer both
+    * engines, the entropy-key convention; deg ≥ 2 by construction
+    * since v has two distinct neighbors), so per-pair scores are
+    * exact long sums; existing edges drop by one anti-join and the
+    * top 20 is a TakeOrdered on the total (score, u, w) order. */
+  def qAdamicAdar(s: SparkSession, d: String): DataFrame = {
+    val e = successionEdges(s, d)
+    val und = e.select(col("src").as("a"), col("dst").as("b"))
+      .union(e.select(col("dst").as("a"), col("src").as("b")))
+      .distinct().localCheckpoint(true)
+    val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("a").as("v"), col("b").as("n"))
+    val pairs = adj.as("x").join(adj.as("y"), "v")
+      .filter(col("x.n") < col("y.n"))
+      .join(deg, "v")
+      .withColumn("w_micro",
+        floor(lit(1e6) / log(col("deg").cast("double")) + 0.5)
+          .cast("long"))
+      .groupBy(col("x.n").as("u"), col("y.n").as("w"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_micro")).as("aa_micro"))
+      .join(und.select(col("a").as("u"), col("b").as("w")),
+        Seq("u", "w"), "left_anti") // candidates = NON-edges only
+    pairs
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("aa_micro").desc, col("u"), col("w"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("u"), col("w"), col("n_common"),
+        col("aa_micro"))
+      .orderBy(col("rk"))
+  }
+
   /** Longest-path layering of the id-increasing succession DAG (edges
     * src < dst are acyclic by construction — the Coffman–Graham-style
     * level assignment a scheduler would run on the condensation):

@@ -3737,6 +3737,65 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Binary-PPM (P6) roundtrip census — the SIXTH real codec, this one
+    * hand-rolled at the byte level (graft.mm.Codecs.encodePnm /
+    * decodePnmStats): NetPBM's ASCII-header/binary-raster split with
+    * comment tolerance, the interchange container javax.imageio never
+    * ships. Same map-only codec seam and generator-replay oracle as
+    * the other five. */
+  def multimodalPnmCodec(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodePnm(id)
+        val (w, h, sum) = graft.mm.Codecs.decodePnmStats(bytes)
+        (id, w.toLong, h.toLong, sum)
+      })
+      .toDF("doc_id", "width", "height", "px_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source lexical diversity via Simpson's D (repeat-draw
+    * probability of the same token): the mean per-doc D and the
+    * POOLED source-level D — the complementary diversity readout
+    * beside text_entropy (Shannon) and text_heaps_law (growth). Each
+    * doc's D is FIXED to the micro lattice by integer division
+    * (Σc(c−1)·10⁶ div N(N−1) — both engines floor the same
+    * integers), so the per-source mean is an order-free long sum; the
+    * pooled D divides DECIMAL⇄HUGEINT census sums once. Two grouped
+    * rollups over the token census — 100 TB-shaped like
+    * text_vocab_idf. */
+  def textSimpsonDiversity(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val perDoc = toks
+      .groupBy(col("source"), col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * (col("c") - 1)).as("rep"))
+      .withColumn("d_micro", expr("(rep * 1000000) div (n * (n - 1))"))
+    val pooled = toks
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("rep"))
+      .withColumn("pooled_micro", expr(
+        "(rep * 1000000) div (CAST(n AS DECIMAL(38,0)) * (n - 1))"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d_micro")).as("_sd"))
+      .join(pooled.select(col("source"), col("pooled_micro")), "source")
+      .select(col("source"), col("n_docs"),
+        (floor(col("_sd").cast("double") / col("n_docs") / 1e6 * 1e6
+          + 0.5) / 1e6).as("mean_doc_simpson"),
+        (floor(col("pooled_micro").cast("double") / 1e6 * 1e6 + 0.5)
+          / 1e6).as("pooled_simpson"))
+      .orderBy(col("source"))
+  }
+
   /** Unicode-canonical dedup census: three deterministic variants of
     * every document — the original, a FULLWIDTH-letter homoglyph
     * (ａ–ｚ, the width dup an ASCII lower() cannot see), and an

@@ -1759,6 +1759,38 @@ object Events {
         .orderBy(col("x_col"), col("y_col"))
     }
 
+  /** STREAMING daily VWAP — [[graft.ops.Series.qVwap]] maintained
+    * live on the lineitem ingest: per-day Σqty/Σcents/count are all
+    * partial-aggregable integer folds, so the converged complete-mode
+    * state EQUALS the batch census and VWAP unfolds post-stream as
+    * the same single division — shares q_vwap's oracle verbatim (the
+    * stream≡batch certificate). The execution-quality monitor a
+    * trading pipeline keeps current without a corpus pass. */
+  def streamVwap(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamShuffle(spark) {
+      val path = s"$sfDir/lineitem.parquet"
+      val schema = spark.read.parquet(path).schema
+      val agg = spark.readStream.schema(schema)
+        .parquet(s"$sfDir/lineitem.*")
+        .select(col("l_shipdate").cast("date").as("day"),
+          round(col("l_quantity")).cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_trades"), sum(col("q")).as("qty_sum"),
+          sum(col("c")).as("rev_cents"))
+      val name = s"graft_stream_vwap_${n.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      StreamMeter.record(q)
+      spark.table(name)
+        .select(col("day"), col("n_trades"), col("qty_sum"),
+          col("rev_cents"),
+          (floor(col("rev_cents").cast("double") / col("qty_sum") / 100
+            * 1e4 + 0.5) / 1e4).as("vwap"))
+        .orderBy(col("day"))
+    }
+
   /** Out-of-order source copies for [[streamLateDataAudit]]: the four
     * chronological chunks written in mtime order [c1, c0, c2, c3] —
     * the oldest quarter of the corpus arrives one micro-batch LATE,

@@ -376,6 +376,95 @@ class Round15Spec extends SparkSuite {
     assert(gotH.getDouble(1) == rnd(ad.toDouble / bc, 6))
   }
 
+  test("PNM codec: byte-exact roundtrip vs the generator, and the " +
+      "parser tolerates NetPBM comment/whitespace headers") {
+    for (id <- Seq(0L, 1L, 7L, 123L)) {
+      val (w, h, sum) = graft.mm.Codecs.decodePnmStats(
+        graft.mm.Codecs.encodePnm(id))
+      assert(w == graft.mm.Codecs.pnmWidth(id) &&
+        h == graft.mm.Codecs.pnmHeight(id))
+      val exp = (for (y <- 0 until h; x <- 0 until w)
+        yield graft.mm.Codecs.grayAt(x, y, id).toLong).sum
+      assert(sum == exp, s"doc $id: $sum != $exp")
+    }
+    // hand-built header: extra whitespace + multiple comments
+    val raster = Array[Byte](10, 10, 10, 20, 20, 20)
+    val hdr = "P6 # c1\n# another comment\n  2\n1 # trailing\n 255\n"
+      .getBytes("US-ASCII")
+    val (w2, h2, s2) = graft.mm.Codecs.decodePnmStats(hdr ++ raster)
+    assert((w2, h2, s2) == ((2, 1, 30L)))
+  }
+
+  test("q_adamic_adar matches a naive replay on the succession graph") {
+    val got = graft.ops.Mining.qAdamicAdar(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // naive: rebuild undirected succession graph (the Round14Spec
+    // Tarjan fixture logic)
+    val sp = graft.sources.Tables.part(spark, sf)
+      .filter(col("p_size") === 1).select(col("p_partkey").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+      .filter(t => sp.contains(t._3)).distinct
+    val dirEdges = li.groupBy(_._1).values.flatMap { lines =>
+      val seq = lines.sortBy(t => (t._2, t._3)).map(_._3)
+      seq.zip(seq.tail).filter(p => p._1 != p._2)
+    }.toSet
+    val und = dirEdges.flatMap(p => Seq(p, p.swap))
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cand = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    for ((v, ns) <- adj; u <- ns; w <- ns if u < w
+        if !und.contains((u, w))) {
+      val wm = math.floor(1e6 / math.log(adj(v).size.toDouble) + 0.5)
+        .toLong
+      val (c0, s0) = cand.getOrElse((u, w), (0L, 0L))
+      cand((u, w)) = (c0 + 1, s0 + wm)
+    }
+    val exp = cand.toSeq
+      .map { case ((u, w), (c, aa)) => (u, w, c, aa) }
+      .sortBy(t => (-t._4, t._1, t._2)).take(20).zipWithIndex
+      .map { case ((u, w, c, aa), i) => (i + 1, u, w, c, aa) }
+    assert(got.toSeq == exp)
+  }
+
+  test("text_simpson_diversity matches a naive replay") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySrc = docs.groupBy(_._2).toSeq.sortBy(_._1)
+    val exp = bySrc.map { case (src, ds) =>
+      val dms = ds.map { case (_, _, t) =>
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+        val cs = toks.groupBy(identity).values.map(_.length.toLong)
+        val n = cs.sum
+        cs.map(c => c * (c - 1)).sum * 1000000L / (n * (n - 1))
+      }
+      val pooledCs = ds.flatMap(d =>
+        d._3.trim.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).values.map(_.length.toLong)
+      val pn = pooledCs.sum
+      val pm = (pooledCs.map(c => BigInt(c) * (c - 1)).sum * 1000000 /
+        (BigInt(pn) * (pn - 1))).toLong
+      (src, ds.length.toLong,
+        rnd(dms.sum.toDouble / ds.length / 1e6, 6),
+        rnd(pm.toDouble / 1e6, 6))
+    }
+    val got = graft.ops.PipelineQueries
+      .textSimpsonDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq == exp)
+  }
+
+  test("stream_vwap equals the batch qVwap census") {
+    val got = graft.streaming.Events.streamVwap(spark, sf).collect()
+    val exp = graft.ops.Series.qVwap(spark, sf).collect()
+    assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
+  }
+
   test("a writer whose tag-capture lands inside another writer's swap " +
       "window gets the retryable CME, not a raw FileNotFoundException") {
     val wh = graft.util.Scratch.dir("graft_r15_fnf").toString
