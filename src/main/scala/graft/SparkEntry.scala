@@ -1032,6 +1032,11 @@ object SparkEntry {
       (PipelineQueries.textSimpsonDiversity _),
     "q_adamic_adar" -> (Mining.qAdamicAdar _),
     "stream_vwap" -> (graft.streaming.Events.streamVwap _),
+    "q_atkinson_index" -> (Mining.qAtkinsonIndex _),
+    "q_palma_ratio" -> (Mining.qPalmaRatio _),
+    "q_page_hinkley" -> (graft.ops.Series.qPageHinkley _),
+    "stream_new_vs_returning" ->
+      (graft.streaming.Events.streamNewVsReturning _),
     "q_tost_equivalence" -> (Stats.qTostEquivalence _),
     "q_beta_hedge" -> (graft.ops.Series.qBetaHedge _),
     "q_vwap" -> (graft.ops.Series.qVwap _),
@@ -1413,6 +1418,10 @@ object SparkEntry {
       // per-day integer folds are partial-aggregable: the converged
       // complete-mode state equals the batch census — stream≡batch
       ("stream_vwap" -> oracleSqlBase("q_vwap")) +
+      // first-seen (user, day) compaction under the bounded watermark
+      // recipe equals the batch distinct daily frame — stream≡batch
+      ("stream_new_vs_returning" ->
+        oracleSqlBase("q_new_vs_returning")) +
       // order-insensitive counts/sums over a stateless zone projection
       // converge to the batch census — stream≡batch by construction
       ("stream_timezone" -> oracleSqlBase("q_timezone_funcs")) +
@@ -8990,6 +8999,76 @@ object SparkEntry {
         |FROM m""".stripMargin,
     // same succession-edge CTE prefix as q_scc; reciprocated edges by
     // one reversed self-join
+    // nano-nat ln + e-12 reciprocal lattices: both folds order-free
+    // long sums; geometric/harmonic means and the two indexes are
+    // pinned doubles
+    "q_atkinson_index" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT cents,
+        |    CAST(floor(ln(CAST(cents AS DOUBLE)) * 1e9 + 0.5)
+        |      AS BIGINT) AS l9,
+        |    1000000000000 // cents AS inv12
+        |  FROM sp WHERE cents > 0),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sc,
+        |    CAST(sum(l9) AS BIGINT) AS sl,
+        |    CAST(sum(inv12) AS BIGINT) AS si FROM f)
+        |SELECT n,
+        |  floor(CAST(sc AS DOUBLE) / n / 100 * 100 + 0.5) / 100
+        |    AS mean_spend,
+        |  floor((1.0 - exp(CAST(sl AS DOUBLE) / n / 1e9)
+        |    / (CAST(sc AS DOUBLE) / n)) * 1e6 + 0.5) / 1e6
+        |    AS atkinson_e1,
+        |  floor((1.0 - CAST(n AS DOUBLE) / (CAST(si AS DOUBLE) / 1e12)
+        |    / (CAST(sc AS DOUBLE) / n)) * 1e6 + 0.5) / 1e6
+        |    AS atkinson_e2
+        |FROM m""".stripMargin,
+    "q_palma_ratio" ->
+      """WITH sp AS (SELECT o_custkey AS cust,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM sp),
+        |r AS (SELECT cents, tot,
+        |    row_number() OVER (ORDER BY cents, cust) AS rn
+        |  FROM sp, t),
+        |m AS (SELECT max(tot) AS n, CAST(sum(cents) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN rn > tot - tot // 10 THEN cents
+        |      ELSE 0 END) AS BIGINT) AS top_cents,
+        |    CAST(sum(CASE WHEN rn <= (4 * tot) // 10 THEN cents
+        |      ELSE 0 END) AS BIGINT) AS bottom_cents FROM r)
+        |SELECT n,
+        |  floor(CAST(top_cents AS DOUBLE) / total * 1e6 + 0.5) / 1e6
+        |    AS top10_share,
+        |  floor(CAST(bottom_cents AS DOUBLE) / total * 1e6 + 0.5) / 1e6
+        |    AS bottom40_share,
+        |  floor(CAST(top_cents AS DOUBLE) / bottom_cents * 1e4 + 0.5)
+        |    / 1e4 AS palma_ratio
+        |FROM m""".stripMargin,
+    // n-scaled cumulative path (q_kpss convention): path, running min
+    // and max gap all exact integers; first argmax on the total order
+    "q_page_hinkley" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(e4) AS BIGINT) AS s FROM daily),
+        |u AS (SELECT day, n,
+        |    sum(CAST(n AS HUGEINT) * e4 - s) OVER (ORDER BY day) AS u
+        |  FROM daily, t),
+        |g AS (SELECT day, n, u - min(u) OVER (ORDER BY day) AS gap
+        |  FROM u),
+        |r AS (SELECT *, row_number() OVER (ORDER BY gap DESC, day)
+        |    AS rk FROM g)
+        |SELECT n AS n_days, day AS alarm_day,
+        |  floor(CAST(gap AS DOUBLE) / n / 10000 * 100 + 0.5) / 100
+        |    AS ph_dollars
+        |FROM r WHERE rk = 1""".stripMargin,
     // same succession CTE; undirected adjacency, centers weight their
     // pair contributions by floor(1e6/ln(deg)+0.5); NOT EXISTS drops
     // existing edges; ties in the top-20 break on the (u, w) order

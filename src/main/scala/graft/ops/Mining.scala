@@ -2682,6 +2682,64 @@ object Mining {
       .orderBy(col("decile"))
   }
 
+  /** Atkinson inequality index of per-customer spend at ε=1 (geometric
+    * mean) and ε=2 (harmonic mean) — the welfare-weighted member of
+    * the inequality family beside [[qGini]]/[[qTheilIndex]]/
+    * [[qLorenzDeciles]]: A_ε = 1 − M_ε/μ where M₁ = exp(mean ln x)
+    * and M₂ = n/Σ(1/x). Per-row ln(cents) is FIXED to the nano-nat
+    * lattice (ln on an identical integer both engines) and 1/x to the
+    * e-12 lattice by integer division, so BOTH folds are order-free
+    * long sums; the two indexes are pinned-order doubles. One
+    * corpus-scaled rollup. */
+  def qAtkinsonIndex(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .filter(col("cents") > 0)
+      .select(col("cents"),
+        expr("CAST(floor(ln(CAST(cents AS DOUBLE)) * 1e9 + 0.5)" +
+          " AS BIGINT)").as("l9"),
+        expr("1000000000000 div cents").as("inv12"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        sum(col("l9")).as("sl"), sum(col("inv12")).as("si"))
+      .select(col("n"),
+        (floor(expr("CAST(sc AS DOUBLE) / n") / 100 * 100 + 0.5) / 100)
+          .as("mean_spend"),
+        (floor((lit(1.0) - exp(expr("CAST(sl AS DOUBLE) / n / 1e9")) /
+          expr("CAST(sc AS DOUBLE) / n")) * 1e6 + 0.5) / 1e6)
+          .as("atkinson_e1"),
+        (floor((lit(1.0) -
+          expr("CAST(n AS DOUBLE) / (CAST(si AS DOUBLE) / 1e12)") /
+          expr("CAST(sc AS DOUBLE) / n")) * 1e6 + 0.5) / 1e6)
+          .as("atkinson_e2"))
+
+  /** Palma ratio of per-customer spend: top-10 % share over
+    * bottom-40 % share — the tail-focused inequality readout policy
+    * shops quote beside the Gini. Exact global ranks via the ranged
+    * [[Ranks.groupRowNumber]] scan (never a one-task sort); the two
+    * tail sums and the total are exact cent longs; the ratio and both
+    * shares are final divisions of identical integers. */
+  def qPalmaRatio(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val rn = Ranks.groupRowNumber(spend, Seq.empty,
+      Seq(col("cents"), col("cust")), "rn", "tot")
+    rn.agg(max(col("tot")).as("n"),
+        sum(col("cents")).as("total"),
+        sum(when(col("rn") > col("tot") - expr("tot div 10"),
+          col("cents")).otherwise(0L)).as("top_cents"),
+        sum(when(col("rn") <= expr("(4 * tot) div 10"), col("cents"))
+          .otherwise(0L)).as("bottom_cents"))
+      .select(col("n"),
+        (floor(expr("CAST(top_cents AS DOUBLE) / total") * 1e6 + 0.5)
+          / 1e6).as("top10_share"),
+        (floor(expr("CAST(bottom_cents AS DOUBLE) / total") * 1e6 + 0.5)
+          / 1e6).as("bottom40_share"),
+        (floor(expr("CAST(top_cents AS DOUBLE) / bottom_cents")
+          * 1e4 + 0.5) / 1e4).as("palma_ratio"))
+  }
+
   /** Normalized mutual information between the [[qKmeans]] cluster
     * assignment and the embeddings' ground-truth labels — the
     * external clustering-validity metric beside [[qSilhouette]]'s

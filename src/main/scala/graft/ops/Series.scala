@@ -505,6 +505,36 @@ object Series {
       .orderBy(col("flag"))
   }
 
+  /** Page–Hinkley mean-shift detector over the daily revenue series
+    * (global-mean, δ=0 form): U_t = Σ_{i≤t}(x_i − x̄),
+    * PH = max_t (U_t − min_{s≤t} U_s) — the classic sequential
+    * change alarm beside [[qChangepoint]]'s offline split. Runs on
+    * the n-SCALED integer lattice (ũ_t sums n·x_i − S — no float
+    * mean, the q_kpss convention), so the cumulative path, its
+    * running minimum and the max gap are ALL exact integers; the
+    * alarm day is the FIRST argmax on the total (gap, day) order and
+    * PH converts to dollars in one final division. */
+  def qPageHinkley(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("e4")).as("s"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("u", sum(expr(
+        "CAST(n AS DECIMAL(38,0)) * e4 - s")).over(w))
+      .withColumn("runmin", min(col("u")).over(w))
+      .withColumn("gap", col("u") - col("runmin"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gap").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("n").as("n_days"), col("day").as("alarm_day"),
+        (floor(expr("CAST(gap AS DOUBLE) / n / 10000") * 100 + 0.5)
+          / 100).as("ph_dollars"))
+  }
+
   /** Daily VWAP (volume-weighted average price) of lineitem trades:
     * Σprice/Σqty per ship day — the execution-quality benchmark every
     * trading/market pipeline reports. ONE corpus-scaled rollup

@@ -1759,6 +1759,50 @@ object Events {
         .orderBy(col("x_col"), col("y_col"))
     }
 
+  /** STREAMING new-vs-returning census — [[graft.ops.Behavior
+    * .qNewVsReturning]] maintained live under BOUNDED state: the
+    * stream compacts to FIRST-SEEN (user, day) rows via
+    * `dropDuplicatesWithinWatermark` under a 2-day watermark over the
+    * chronological source (the stream_dau_mau recipe — state evicted
+    * once the watermark passes each key, exactness because every
+    * duplicate of a day-scoped key lies inside the guarantee window),
+    * and the per-day new/returning split folds the compacted append
+    * log post-stream (first_day = min day per user — the lifetime
+    * fold a production pipeline runs incrementally over the compacted
+    * log, never the raw stream). Shares q_new_vs_returning's oracle
+    * verbatim. */
+  def streamNewVsReturning(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamShuffle(spark) {
+      val src = chronoEventsDir(spark, sfDir)
+      val schema = spark.read.parquet(src).schema
+      val firstSeen = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*.parquet")
+        .withWatermark("ts", "2 days")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "day")
+      val name = s"graft_stream_nvr_${n.incrementAndGet()}"
+      val q = firstSeen.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      StreamMeter.record(q)
+      // localCheckpoint: the memory-sink view cannot self-join (its
+      // watermark-tagged attributes fail conflicting-reference dedup)
+      val daily = spark.table(name).select(col("user_id"), col("day"))
+        .localCheckpoint(true)
+      val first = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      daily.join(broadcast(first), "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1).otherwise(0))
+            .as("n_new"))
+        .select(col("day"), col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"),
+          round(col("n_new") / col("n_active"), 4).as("pct_new"))
+        .orderBy(col("day"))
+    }
+
   /** STREAMING daily VWAP — [[graft.ops.Series.qVwap]] maintained
     * live on the lineitem ingest: per-day Σqty/Σcents/count are all
     * partial-aggregable integer folds, so the converged complete-mode

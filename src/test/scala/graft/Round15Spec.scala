@@ -465,6 +465,68 @@ class Round15Spec extends SparkSuite {
     assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
   }
 
+  test("q_atkinson_index, q_palma_ratio and q_page_hinkley match " +
+      "naive replays") {
+    val cents = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // atkinson
+    val pos = cents.map(_._2).filter(_ > 0)
+    val n = pos.length.toLong
+    val sc = pos.sum
+    val sl = pos.map(c =>
+      math.floor(math.log(c.toDouble) * 1e9 + 0.5).toLong).sum
+    val si = pos.map(1000000000000L / _).sum
+    val a1 = 1.0 - math.exp(sl.toDouble / n / 1e9) / (sc.toDouble / n)
+    val a2 = 1.0 - n.toDouble / (si.toDouble / 1e12) / (sc.toDouble / n)
+    val gotA = graft.ops.Mining.qAtkinsonIndex(spark, sf).collect()(0)
+    assert(gotA.getLong(0) == n)
+    assert(gotA.getDouble(2) == rnd(a1, 6) &&
+      gotA.getDouble(3) == rnd(a2, 6), s"a1 $a1 a2 $a2")
+    // palma
+    val ranked = cents.sortBy(t => (t._2, t._1))
+    val tot = ranked.length
+    val top = ranked.drop(tot - tot / 10).map(_._2).sum
+    val bot = ranked.take(4 * tot / 10).map(_._2).sum
+    val gotP = graft.ops.Mining.qPalmaRatio(spark, sf).collect()(0)
+    assert(gotP.getLong(0) == tot.toLong)
+    assert(gotP.getDouble(3) == rnd(top.toDouble / bot, 4))
+    // page-hinkley over the daily e4 frame
+    val xs = dailyE4Vol.map(_._2)
+    val nn = xs.length.toLong
+    val ss = xs.sum
+    val us = xs.map(x => BigInt(nn) * x - ss)
+      .scanLeft(BigInt(0))(_ + _).tail
+    var runmin = us.head; var best = BigInt(-1); var bestIdx = -1
+    for ((u, i) <- us.zipWithIndex) {
+      runmin = runmin.min(u)
+      val gap = u - runmin
+      if (gap > best) { best = gap; bestIdx = i }
+    }
+    val gotH = graft.ops.Series.qPageHinkley(spark, sf).collect()(0)
+    assert(gotH.getLong(0) == nn)
+    assert(gotH.getDate(1).toString == dailyE4Vol(bestIdx)._1)
+    assert(gotH.getDouble(2) ==
+      rnd(best.toDouble / nn / 10000, 2), s"ph $best")
+  }
+
+  test("stream_new_vs_returning equals the batch census with mid-run " +
+      "state eviction") {
+    val got = graft.streaming.Events
+      .streamNewVsReturning(spark, sf).collect()
+    val exp = graft.ops.Behavior.qNewVsReturning(spark, sf).collect()
+    assert(got.map(_.toString).toSeq == exp.map(_.toString).toSeq)
+    val keys = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    val ops = graft.streaming.StreamMeter.stateEvictions
+      .get("graft_stream_nvr")
+    assert(ops != null && ops.size == 1)
+    val (_, fin, removed) = ops.head
+    assert(fin + removed == keys && removed > 0 && fin < keys,
+      s"rows $fin removed $removed keys $keys")
+  }
+
   test("a writer whose tag-capture lands inside another writer's swap " +
       "window gets the retryable CME, not a raw FileNotFoundException") {
     val wh = graft.util.Scratch.dir("graft_r15_fnf").toString
