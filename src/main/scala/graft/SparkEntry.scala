@@ -1033,6 +1033,8 @@ object SparkEntry {
     "q_adamic_adar" -> (Mining.qAdamicAdar _),
     "stream_vwap" -> (graft.streaming.Events.streamVwap _),
     "q_atkinson_index" -> (Mining.qAtkinsonIndex _),
+    "embed_isotropy" -> (PipelineQueries.embedIsotropy _),
+    "embed_quantile_clip" -> (PipelineQueries.embedQuantileClip _),
     "q_palma_ratio" -> (Mining.qPalmaRatio _),
     "q_page_hinkley" -> (graft.ops.Series.qPageHinkley _),
     "stream_new_vs_returning" ->
@@ -8999,6 +9001,56 @@ object SparkEntry {
         |FROM m""".stripMargin,
     // same succession-edge CTE prefix as q_scc; reciprocated edges by
     // one reversed self-join
+    // e6-quantized components re-normalized against each vector's
+    // EXACT integer norm: every fold below is integer, and the
+    // pairwise mean comes from the sum-of-sums identity
+    "embed_isotropy" ->
+      """WITH c AS (SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    CAST(floor(unnest(embedding)::DOUBLE * 1e6 + 0.5)
+        |      AS BIGINT) AS x6
+        |  FROM embeddings),
+        |n2 AS (SELECT vec_id, sum(CAST(x6 AS HUGEINT) * x6) AS n2
+        |  FROM c GROUP BY 1),
+        |u AS (SELECT c.vec_id, dim,
+        |    CAST(floor(x6 / sqrt(CAST(n2 AS DOUBLE)) * 1e6 + 0.5)
+        |      AS BIGINT) AS c6
+        |  FROM c JOIN n2 ON n2.vec_id = c.vec_id),
+        |ds AS (SELECT dim, CAST(sum(c6) AS BIGINT) AS sd,
+        |    sum(CAST(c6 AS HUGEINT) * c6) AS sc2 FROM u GROUP BY 1),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |m AS (SELECT sum(CAST(sd AS HUGEINT) * sd) AS ss2,
+        |    sum(sc2) AS snorm, max(abs(sd)) AS max_abs_sd,
+        |    CAST(count(*) AS BIGINT) AS dim FROM ds)
+        |SELECT n AS n_vecs, dim,
+        |  floor(CAST(ss2 - snorm AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (n - 1)) / 1e12 * 1e6 + 0.5) / 1e6
+        |    AS mean_cos,
+        |  floor(sqrt(CAST(ss2 AS DOUBLE)) / n / 1e6 * 1e6 + 0.5) / 1e6
+        |    AS mean_dir_mass
+        |FROM m, nv""".stripMargin,
+    // interpolated per-dim percentiles on identical e6 integers (the
+    // embed_norm_stats quantile convention); clip counts compare
+    // integers against those identical doubles
+    "embed_quantile_clip" ->
+      """WITH c AS (SELECT
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    CAST(floor(unnest(embedding)::DOUBLE * 1e6 + 0.5)
+        |      AS BIGINT) AS x6
+        |  FROM embeddings),
+        |q AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    quantile_cont(x6, 0.01) AS p01,
+        |    quantile_cont(x6, 0.99) AS p99
+        |  FROM c GROUP BY 1)
+        |SELECT CAST(q.dim AS BIGINT) AS dim, n,
+        |  floor(p01 / 1e6 * 1e6 + 0.5) / 1e6 AS p01,
+        |  floor(p99 / 1e6 * 1e6 + 0.5) / 1e6 AS p99,
+        |  CAST(sum(CASE WHEN x6 < q.p01 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_below,
+        |  CAST(sum(CASE WHEN x6 > q.p99 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_above
+        |FROM c JOIN q ON c.dim = q.dim
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     // nano-nat ln + e-12 reciprocal lattices: both folds order-free
     // long sums; geometric/harmonic means and the two indexes are
     // pinned doubles

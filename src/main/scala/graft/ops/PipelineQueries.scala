@@ -3737,6 +3737,83 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Embedding-space ISOTROPY census: the mean pairwise cosine and the
+    * dominant-direction mass — the "is this embedding space collapsed
+    * toward a common direction" health check every retrieval corpus
+    * needs before trusting cosine similarity (anisotropic spaces
+    * inflate all similarities). Components quantize to the e6 integer
+    * lattice, each vector normalizes AGAINST ITS EXACT integer norm
+    * (sqrt of a DECIMAL sum — one correctly-rounded double per vec,
+    * identical both engines) and re-quantizes, so the per-dim sums
+    * S_d, Σ‖c‖² and Σ S_d² are ALL exact integers and the pairwise-
+    * mean identity mean_cos = (Σ S_d² − Σ‖c‖²)/(n(n−1)) never touches
+    * a float fold. One posexplode + two grouped rollups — linear in
+    * n·dim, never pairwise. */
+  def embedIsotropy(s: SparkSession, d: String): DataFrame = {
+    val comps = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x")))
+      .withColumn("x6", expr("CAST(floor(x * 1e6 + 0.5) AS BIGINT)"))
+    val norm2 = comps.groupBy(col("vec_id"))
+      .agg(sum(expr("CAST(x6 AS DECIMAL(38,0)) * x6")).as("n2"))
+    val unit = comps.join(norm2, "vec_id")
+      .withColumn("c6", expr(
+        "CAST(floor(x6 / sqrt(CAST(n2 AS DOUBLE)) * 1e6 + 0.5)" +
+          " AS BIGINT)"))
+    val dimSums = unit.groupBy(col("dim"))
+      .agg(sum(col("c6")).as("sd"),
+        sum(expr("CAST(c6 AS DECIMAL(38,0)) * c6")).as("sc2"))
+    val nv = Tables.embeddings(s, d).count()
+    dimSums
+      .agg(sum(expr("CAST(sd AS DECIMAL(38,0)) * sd")).as("ss2"),
+        sum(col("sc2")).as("snorm"),
+        max(abs(col("sd"))).as("max_abs_sd"),
+        count(lit(1)).as("dim"))
+      .select(lit(nv).as("n_vecs"), col("dim"),
+        (floor(expr(s"CAST(ss2 - snorm AS DOUBLE)" +
+          s" / (CAST($nv AS DOUBLE) * ($nv - 1)) / 1e12") * 1e6 + 0.5)
+          / 1e6).as("mean_cos"),
+        // the mean-direction mass: ‖Σc‖/n in unit-norm e6 terms
+        (floor(sqrt(expr("CAST(ss2 AS DOUBLE)")) / nv / 1e6 * 1e6
+          + 0.5) / 1e6).as("mean_dir_mass"))
+  }
+
+  /** Per-dimension quantile-clipping census of the embedding corpus:
+    * p1/p99 per dim plus how many values each bound would clip — the
+    * feature-prep readout (outlier clamping) run before quantization
+    * (embed_int8_quant) or indexing. Components on the exact e6
+    * lattice; the interpolated percentiles run on identical integers
+    * both engines (the embed_norm_stats convention) and the clip
+    * counts compare integers against those identical doubles. One
+    * posexplode + one grouped fold per dim. */
+  def embedQuantileClip(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .withColumn("x6", expr("CAST(floor(x * 1e6 + 0.5) AS BIGINT)"))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(x6, 0.01)").as("_p01"),
+        expr("percentile(x6, 0.99)").as("_p99"))
+      .join(
+        Tables.embeddings(s, d)
+          .select(posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "x")))
+          .withColumn("x6", expr("CAST(floor(x * 1e6 + 0.5) AS BIGINT)"))
+          .select(col("dim").cast("long").as("dim"), col("x6")),
+        Seq("dim"))
+      .groupBy(col("dim"), col("n"), col("_p01"), col("_p99"))
+      .agg(sum(when(col("x6") < col("_p01"), 1L).otherwise(0L))
+        .as("n_below"),
+        sum(when(col("x6") > col("_p99"), 1L).otherwise(0L))
+          .as("n_above"))
+      .select(col("dim"), col("n"),
+        (floor(col("_p01") / 1e6 * 1e6 + 0.5) / 1e6).as("p01"),
+        (floor(col("_p99") / 1e6 * 1e6 + 0.5) / 1e6).as("p99"),
+        col("n_below"), col("n_above"))
+      .orderBy(col("dim"))
+
   /** Binary-PPM (P6) roundtrip census — the SIXTH real codec, this one
     * hand-rolled at the byte level (graft.mm.Codecs.encodePnm /
     * decodePnmStats): NetPBM's ASCII-header/binary-raster split with

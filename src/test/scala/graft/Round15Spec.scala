@@ -527,6 +527,66 @@ class Round15Spec extends SparkSuite {
       s"rows $fin removed $removed keys $keys")
   }
 
+  test("embed_isotropy matches a naive replay and approximates the " +
+      "true mean pairwise cosine") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val q = vecs.map { v =>
+      val x6 = v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+      val n2 = x6.map(x => BigInt(x) * x).sum
+      x6.map(x =>
+        math.floor(x / math.sqrt(n2.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val dim = q.head.length
+    val sd = (0 until dim).map(j => q.map(_(j)).sum)
+    val ss2 = sd.map(s => BigInt(s) * s).sum
+    val snorm = q.flatten.map(c => BigInt(c) * c).sum
+    val n = q.length
+    val meanCos = (ss2 - snorm).toDouble /
+      (n.toDouble * (n - 1)) / 1e12
+    val got = graft.ops.PipelineQueries.embedIsotropy(spark, sf)
+      .collect()(0)
+    assert(got.getLong(0) == n.toLong && got.getLong(1) == dim.toLong)
+    assert(got.getDouble(2) == rnd(meanCos, 6))
+    // the quantized-dot statistic must track the true float cosine
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(t => t._1 * t._2).sum
+      d / math.sqrt(a.map(x => x * x).sum) /
+        math.sqrt(b.map(x => x * x).sum)
+    }
+    val pairs = for (i <- vecs.indices; j <- vecs.indices if i != j)
+      yield cos(vecs(i), vecs(j))
+    val trueMean = pairs.sum / pairs.size
+    assert(math.abs(meanCos - trueMean) < 1e-3,
+      s"quantized $meanCos vs true $trueMean")
+  }
+
+  test("embed_quantile_clip matches a naive per-dim replay") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = vecs.head.length
+    def pct(xs: Array[Long], p: Double): Double = {
+      val s = xs.sorted
+      val idx = p * (s.length - 1)
+      val lo = idx.toInt
+      if (lo + 1 < s.length)
+        s(lo) + (idx - lo) * (s(lo + 1) - s(lo)) else s(lo).toDouble
+    }
+    val exp = (0 until dim).map { j =>
+      val xs = vecs.map(v => math.floor(v(j) * 1e6 + 0.5).toLong)
+      val p01 = pct(xs, 0.01); val p99 = pct(xs, 0.99)
+      (j.toLong, xs.length.toLong, rnd(p01 / 1e6, 6), rnd(p99 / 1e6, 6),
+        xs.count(_ < p01).toLong, xs.count(_ > p99).toLong)
+    }
+    val got = graft.ops.PipelineQueries.embedQuantileClip(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == exp)
+  }
+
   test("a writer whose tag-capture lands inside another writer's swap " +
       "window gets the retryable CME, not a raw FileNotFoundException") {
     val wh = graft.util.Scratch.dir("graft_r15_fnf").toString
