@@ -1067,6 +1067,8 @@ object SparkEntry {
       (graft.streaming.Events.streamCorrMatrix _),
     "q_dag_longest_path" -> (Mining.qDagLongestPath _),
     "q_bh_fdr" -> (Mining.qBhFdr _),
+    "q_benjamini_yekutieli" -> (Mining.qByFdr _),
+    "q_kendall_w" -> (Mining.qKendallW _),
     "q_quantile_normalize" -> (Stats.qQuantileNormalize _),
     "q_apportionment" -> (Stats.qApportionment _),
     "stream_timezone" -> (graft.streaming.Events.streamTimezone _),
@@ -1296,10 +1298,12 @@ object SparkEntry {
     * integer-lattice moment arithmetic token for token, so every z is
     * an identical double cross-engine. Weight literals CAST to DOUBLE
     * (the macd DECIMAL-parse convention). */
-  private def bhFdrOracle: String = {
+  /** Shared BH/BY step-up oracle: `cm` = 1 for BH, the harmonic
+    * Σ1/i correction for BY — criticals folded once from Scala. */
+  private def fdrOracle(cm: Double): String = {
     val m = 25
     val crit = (1 to m).map(k =>
-      graft.ops.Mining.invNorm(1.0 - k * 0.05 / (2.0 * m)))
+      graft.ops.Mining.invNorm(1.0 - k * 0.05 / (2.0 * m * cm)))
     val vals = crit.zipWithIndex
       .map { case (v, i) => s"(${i + 1}, CAST($v AS DOUBLE))" }
       .mkString(", ")
@@ -9001,6 +9005,34 @@ object SparkEntry {
         |FROM m""".stripMargin,
     // same succession-edge CTE prefix as q_scc; reciprocated edges by
     // one reversed self-join
+    // doubled-rank deviation lattice: T = 2ΣR − m(n+1) keeps the
+    // half-integer mean integral; W one division of identical integers
+    "q_kendall_w" ->
+      """WITH monthly AS (SELECT l_returnflag AS flag,
+        |    strftime(l_shipdate, '%Y-%m') AS mon,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) AS e4
+        |  FROM lineitem GROUP BY 1, 2),
+        |common AS (SELECT mon FROM monthly GROUP BY mon
+        |  HAVING count(*) = 3),
+        |r AS (SELECT flag, mon, row_number() OVER (
+        |    PARTITION BY flag ORDER BY e4, mon) AS r
+        |  FROM monthly JOIN common USING (mon)),
+        |pm AS (SELECT mon, CAST(sum(r) AS BIGINT) AS rs
+        |  FROM r GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pm),
+        |tt AS (SELECT 2 * rs - 3 * (n + 1) AS t, n FROM pm, nn),
+        |m AS (SELECT sum(CAST(t AS HUGEINT) * t) AS s4,
+        |    max(n) AS n FROM tt)
+        |SELECT n AS n_months,
+        |  floor(CAST(s4 AS DOUBLE)
+        |    / (3.0 * (CAST(n AS DOUBLE) * n * n - n)) * 1e6 + 0.5)
+        |    / 1e6 AS kendall_w,
+        |  floor(3 * (n - 1) * (CAST(s4 AS DOUBLE)
+        |    / (3.0 * (CAST(n AS DOUBLE) * n * n - n))) * 1e4 + 0.5)
+        |    / 1e4 AS chi2
+        |FROM m""".stripMargin,
     // e6-quantized components re-normalized against each vector's
     // EXACT integer norm: every fold below is integer, and the
     // pairwise mean comes from the sum-of-sums identity
@@ -9240,7 +9272,9 @@ object SparkEntry {
         |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
         |  min(v) AS min_id, max(v) AS max_id
         |FROM ld GROUP BY dist ORDER BY dist""".stripMargin,
-    "q_bh_fdr" -> bhFdrOracle,
+    "q_bh_fdr" -> fdrOracle(1.0),
+    "q_benjamini_yekutieli" ->
+      fdrOracle((1 to 25).map(1.0 / _.toDouble).sum),
     // rank-wise cross-flag mean as the shared reference distribution;
     // exact integer div of the e4 sum, ties broken by day both sides
     "q_quantile_normalize" ->

@@ -2682,6 +2682,43 @@ object Mining {
       .orderBy(col("decile"))
   }
 
+  /** Kendall's W — coefficient of concordance among the THREE
+    * returnflag "judges" each ranking the common ship months by their
+    * monthly revenue: do the flags agree on which months run hot?
+    * (the m-ranker generalization of q_kendall_tau's pair). Monthly
+    * revenue on the exact e4 lattice; per-flag ranks from a total
+    * (e4, month) order; the deviation sum rides the DOUBLED lattice
+    * (T_i = 2ΣR_i − m(n+1) keeps half-integers integral), so
+    * W = 3·ΣT²/(m²(n³−n)) is one division of identical integers. */
+  def qKendallW(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+    val common = monthly.groupBy(col("mon"))
+      .agg(count(lit(1)).as("nf")).filter(col("nf") === 3)
+      .select(col("mon"))
+    val ranked = monthly.join(common, "mon")
+      .withColumn("r", row_number().over(Window.partitionBy(col("flag"))
+        .orderBy(col("e4"), col("mon"))))
+    val perMon = ranked.groupBy(col("mon"))
+      .agg(sum(col("r")).as("rs"))
+    val n = perMon.count()
+    perMon
+      .withColumn("t", lit(2L) * col("rs") - lit(3L) * (lit(n) + 1))
+      .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t")).as("s4"),
+        count(lit(1)).as("n"))
+      // W = 12·S/(m²(n³−n)) with S = ΣT²/4 and m = 3 ⇒ S4/(3(n³−n))
+      .select(col("n").as("n_months"),
+        (floor(expr("CAST(s4 AS DOUBLE)" +
+          " / (3.0 * (CAST(n AS DOUBLE) * n * n - n))")
+          * 1e6 + 0.5) / 1e6).as("kendall_w"),
+        (floor(expr("3 * (n - 1) * (CAST(s4 AS DOUBLE)" +
+          " / (3.0 * (CAST(n AS DOUBLE) * n * n - n)))")
+          * 1e4 + 0.5) / 1e4).as("chi2"))
+  }
+
   /** Atkinson inequality index of per-customer spend at ε=1 (geometric
     * mean) and ε=2 (harmonic mean) — the welfare-weighted member of
     * the inequality family beside [[qGini]]/[[qTheilIndex]]/
@@ -3306,10 +3343,23 @@ object Mining {
     * (q_eta_squared's convention) so every z is an identical double
     * cross-engine; the one corpus-scaled pass is the grouped moment
     * rollup; everything after runs on the 25-row census. */
-  def qBhFdr(s: SparkSession, d: String): DataFrame = {
+  def qBhFdr(s: SparkSession, d: String): DataFrame =
+    fdrStepUp(s, d, 1.0)
+
+  /** Benjamini–Yekutieli FDR control — [[qBhFdr]]'s step-up under
+    * ARBITRARY dependence: the same ranked z census with every
+    * critical deflated by c(m) = Σ_{i≤m} 1/i (the price of dropping
+    * BH's positive-dependence assumption). c(m) folds once from
+    * Scala into BOTH plans as full-precision literals, exactly like
+    * the Φ⁻¹ criticals themselves. */
+  def qByFdr(s: SparkSession, d: String): DataFrame =
+    fdrStepUp(s, d, (1 to 25).map(1.0 / _.toDouble).sum)
+
+  private def fdrStepUp(s: SparkSession, d: String,
+      cm: Double): DataFrame = {
     val m = 25
     val alpha = 0.05
-    val crit = (1 to m).map(k => invNorm(1.0 - k * alpha / (2.0 * m)))
+    val crit = (1 to m).map(k => invNorm(1.0 - k * alpha / (2.0 * m * cm)))
     val g = Tables.customer(s, d)
       .select(col("c_nationkey").cast("long").as("g"),
         round(col("c_acctbal")).cast("long").as("v"))

@@ -587,6 +587,47 @@ class Round15Spec extends SparkSuite {
     assert(got.toSeq == exp)
   }
 
+  test("q_kendall_w matches a naive replay and q_benjamini_yekutieli " +
+      "is the BH step-up under deflated criticals") {
+    // naive W over the monthly per-flag revenue ranks
+    val byFlagMon = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"),
+        date_format(col("l_shipdate"), "yyyy-MM"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val common = byFlagMon.groupBy(_._2).filter(_._2.length == 3).keySet
+    val ranks = byFlagMon.filter(t => common.contains(t._2))
+      .groupBy(_._1).values.flatMap { rs =>
+        rs.sortBy(t => (t._3, t._2)).zipWithIndex
+          .map { case (t, i) => (t._2, i + 1L) }
+      }
+    val n = common.size.toLong
+    val s4 = ranks.groupBy(_._1).values
+      .map(rs => { val t = 2 * rs.map(_._2).sum - 3 * (n + 1)
+        BigInt(t) * t }).sum
+    val w = s4.toDouble / (3.0 * (n.toDouble * n * n - n))
+    val gotW = graft.ops.Mining.qKendallW(spark, sf).collect()(0)
+    assert(gotW.getLong(0) == n)
+    assert(gotW.getDouble(1) == rnd(w, 6), s"w $w")
+
+    // BY = BH's census under deflated criticals: z and rank columns
+    // identical, BY's criticals strictly larger, BY's rejections a
+    // subset of BH's
+    val bh = graft.ops.Mining.qBhFdr(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getLong(0), r.getDouble(2),
+        r.getDouble(4), r.getBoolean(5)))
+    val by = graft.ops.Mining.qByFdr(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getLong(0), r.getDouble(2),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(bh.map(t => (t._1, t._2, t._3)).toSeq ==
+      by.map(t => (t._1, t._2, t._3)).toSeq)
+    assert(by.zip(bh).forall { case (b, h) => b._4 > h._4 },
+      "BY criticals must exceed BH's")
+    assert(by.filter(_._5).map(_._1).toSet
+      .subsetOf(bh.filter(_._5).map(_._1).toSet))
+  }
+
   test("a writer whose tag-capture lands inside another writer's swap " +
       "window gets the retryable CME, not a raw FileNotFoundException") {
     val wh = graft.util.Scratch.dir("graft_r15_fnf").toString
