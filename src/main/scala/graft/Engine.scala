@@ -105,7 +105,7 @@ class Engine(spark: SparkSession, warehouse: String,
         case None => ""
       }
     text.split("\n").toSeq.filter(_.nonEmpty)
-      .filterNot(_.startsWith("swap|"))
+      .filterNot(l => l.startsWith("swap|") || l.startsWith("ren|"))
   }
 
   private def parseManifest(lines: Seq[String]): (Seq[String], Seq[Rel]) = {
@@ -202,8 +202,23 @@ class Engine(spark: SparkSession, warehouse: String,
       throw new java.util.ConcurrentModificationException(
         s"commit in flight (owner racing recovery): ${e.getMessage}")
     }
-    writeVersionedManifest(f, lines.filterNot(_.startsWith("swap|")))
-    deleteMarkerIfCid(f, swaps.headOption.map(_._2).getOrElse(""))
+    // complete a pledged table rename whose data-dir move is pending
+    lines.filter(_.startsWith("ren|")).map(_.split("\\|"))
+      .collect { case Array(_, o, n) => (o, n) }
+      .foreach { case (o, n) =>
+        if (f.exists(new Path(dir(o))) && !f.exists(new Path(dir(n))))
+          f.rename(new Path(dir(o)), new Path(dir(n)))
+      }
+    writeVersionedManifest(f,
+      lines.filterNot(l => l.startsWith("swap|") || l.startsWith("ren|")))
+    swaps.headOption.map(_._2) match {
+      case Some(cid) => deleteMarkerIfCid(f, cid)
+      case None => // rename-only marker: delete iff still THIS commit
+        if (f.exists(markerPath) &&
+            readSmall(f, markerPath).split("\n").toSeq
+              .filter(_.nonEmpty) == lines)
+          f.delete(markerPath, false)
+    }
   }
 
   /** Delete the marker only if it is still the one carrying `cid` — a
@@ -323,6 +338,56 @@ class Engine(spark: SparkSession, warehouse: String,
     saveAll(tables, rels, table, partCols)
   }
 
+  /** Pending renames a live commit marker pledges (new → old name). */
+  private def markerRenames(f: FileSystem): Map[String, String] =
+    if (!f.exists(markerPath)) Map.empty
+    else readSmall(f, markerPath).split("\n").toSeq
+      .filter(_.startsWith("ren|"))
+      .map(_.split("\\|"))
+      .collect { case Array(_, oldN, newN) => newN -> oldN }
+      .toMap
+
+  /** ALTER-TABLE-RENAME analogue for FLAT tables (the reference's
+    * one-table-per-type shape): commits through the same marker —
+    * `ren|old|new` plus the renamed manifest land in ONE rename, so a
+    * reader of the NEW name resolves the old dir until the data-dir
+    * rename completes, and a crash rolls forward. Tables woven into
+    * parent/child relations refuse (their FK COLUMN NAMES carry the
+    * table name in the shredded data — renaming those is a rewrite,
+    * not a metadata verb). */
+  def renameTable(oldName: String, newName: String): Unit = {
+    val f = fs
+    recoverCommit(f)
+    require(f.exists(new Path(dir(oldName))),
+      s"rename: table '$oldName' does not exist")
+    require(!f.exists(new Path(dir(newName))),
+      s"rename: '$newName' already exists")
+    val (tables, rels) = readManifest()
+    require(!rels.exists(r => r.parent == oldName || r.child == oldName),
+      s"rename: '$oldName' participates in shred relations — " +
+        "FK column names carry the table name; rewrite instead")
+    val manifest = renderManifest(
+      tables.map(t => if (t == oldName) newName else t), rels)
+    beforeMark()
+    val tmp = new Path(
+      s"$warehouse/_graft_commit.tmp${System.nanoTime()}")
+    val out = f.create(tmp, true)
+    try out.write((s"ren|$oldName|$newName" +: manifest).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, markerPath)) {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        "rename: another commit is in flight — retry")
+    }
+    afterPublish(newName) // the committed instant: new name readable
+    if (!f.rename(new Path(dir(oldName)), new Path(dir(newName))))
+      throw new IllegalStateException(
+        s"rename: cannot move ${dir(oldName)} (recovery will finish)")
+    writeVersionedManifest(f, manifest)
+    f.delete(markerPath, false)
+  }
+
   /** Resolve one table against an already-observed marker-swap set —
     * [[sql]] reads the marker ONCE so every registered view resolves
     * against the same commit observation. */
@@ -330,8 +395,14 @@ class Engine(spark: SparkSession, warehouse: String,
       swaps: Map[String, String]): DataFrame = {
     val staged = swaps.get(name)
       .map(cid => new Path(dir(name) + "__staged_" + cid))
+    val renFrom = markerRenames(f).get(name)
+      .filterNot(_ => f.exists(new Path(dir(name))))
     if (staged.exists(f.exists))
       spark.read.parquet(staged.get.toString)
+    else if (renFrom.exists(o => f.exists(new Path(dir(o)))))
+      // a committed rename whose data-dir move is still pending:
+      // the NEW name serves from the old dir
+      spark.read.parquet(dir(renFrom.get))
     else if (!f.exists(new Path(dir(name))) &&
         f.exists(new Path(dir(name) + "__old")) &&
         !f.exists(new Path(dir(name))))

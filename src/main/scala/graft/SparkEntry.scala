@@ -1063,6 +1063,8 @@ object SparkEntry {
     "q_kpss" -> (Stats.qKpss _),
     "engine_partitioned_save" -> (JsonQueries.enginePartitionedSave _),
     "engine_atomic_save" -> (JsonQueries.engineAtomicSave _),
+    "engine_rename" -> (JsonQueries.engineRename _),
+    "q_youden_j" -> (MlEval.qYoudenJ _),
     "stream_corr_matrix" ->
       (graft.streaming.Events.streamCorrMatrix _),
     "q_dag_longest_path" -> (Mining.qDagLongestPath _),
@@ -8462,6 +8464,46 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY 1""".stripMargin,
+    // mid-commit readout (marker live, data dir not yet moved) and the
+    // final readout must BOTH be the source truth
+    "engine_rename" ->
+      """SELECT count(*) AS mid_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS mid_cents,
+        |  count(*) AS final_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS final_cents
+        |FROM orders""".stripMargin,
+    // same histogram + ranged scan as q_roc_auc; the argmax rides the
+    // total (J, v) order
+    "q_youden_j" ->
+      """WITH scored AS (SELECT CAST(round(l_quantity) AS BIGINT) * 101
+        |    + CAST(round(l_discount * 100) AS BIGINT) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |hist AS (SELECT v, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(sum(1 - y) AS BIGINT) AS neg FROM scored GROUP BY 1),
+        |cum AS (SELECT v, pos, neg,
+        |    CAST(sum(pos) OVER (ORDER BY v) AS BIGINT) AS cum_pos,
+        |    CAST(sum(neg) OVER (ORDER BY v) AS BIGINT) AS cum_neg
+        |  FROM hist),
+        |tot AS (SELECT max(cum_pos) AS n_pos, max(cum_neg) AS n_neg
+        |  FROM cum),
+        |j AS (SELECT v, n_pos - cum_pos + pos AS tp,
+        |    n_neg - cum_neg + neg AS fp,
+        |    CAST(n_pos - cum_pos + pos AS HUGEINT) * n_neg
+        |      - CAST(n_neg - cum_neg + neg AS HUGEINT) * n_pos AS jnum,
+        |    n_pos, n_neg
+        |  FROM cum, tot),
+        |r AS (SELECT *, row_number() OVER (ORDER BY jnum DESC, v)
+        |    AS rk FROM j)
+        |SELECT v AS threshold, tp, fp,
+        |  floor(CAST(tp AS DOUBLE) / n_pos * 1e6 + 0.5) / 1e6 AS tpr,
+        |  floor(CAST(fp AS DOUBLE) / n_neg * 1e6 + 0.5) / 1e6 AS fpr,
+        |  floor(CAST(jnum AS DOUBLE)
+        |    / (CAST(n_pos AS DOUBLE) * n_neg) * 1e6 + 0.5) / 1e6
+        |    AS youden_j
+        |FROM r WHERE rk = 1""".stripMargin,
     // atomic multi-table save: the two seam readouts must equal the
     // v1 truth (before the commit-marker rename) and the v2 truth
     // (mid-commit, first table already swapped) — the oracle replays

@@ -773,6 +773,39 @@ object JsonQueries {
       .orderBy(col("pos"), col("ipos"))
   }
 
+  /** Atomic table RENAME through the facade (ALTER TABLE RENAME, the
+    * metadata verb the reference gets from SQLite): the commit marker
+    * carries the `ren` pledge plus the renamed manifest in ONE rename,
+    * so a concurrent reader of the NEW name already resolves the old
+    * data dir in the window before the dir move lands — probed here
+    * through the afterPublish seam with a second engine instance. The
+    * oracle replays the census from the raw source; equality proves
+    * the renamed table serves the same truth at the committed instant
+    * AND after the move. */
+  def engineRename(s: SparkSession, d: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("graft_engine_ren").toString
+    val eng = new graft.Engine(s, wh)
+    val reader = new graft.Engine(s, wh)
+    val docs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("rowNum"), col("o_orderstatus"),
+        col("o_totalprice"))
+    eng.save(docs, "ord_v1")
+    def readout(): (Long, Long) = {
+      val r = reader.sql("""SELECT count(*) AS n,
+          sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM ord_live""").collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var mid: (Long, Long) = null
+    eng.afterPublish = _ => if (mid == null) mid = readout()
+    eng.renameTable("ord_v1", "ord_live")
+    eng.afterPublish = _ => ()
+    val fin = readout()
+    s.range(1).select(
+      lit(mid._1).as("mid_rows"), lit(mid._2).as("mid_cents"),
+      lit(fin._1).as("final_rows"), lit(fin._2).as("final_cents"))
+  }
+
   /** Atomic multi-table RE-save (r14 verdict orders #1/#6): one shred
     * writes a parent table AND a child table, and a reader must never
     * join a new parent against old children mid-save. The save

@@ -65,6 +65,42 @@ object MlEval {
           .as("ks_stat"))
   }
 
+  /** Youden's J optimal operating point on the same integer-lattice
+    * score/label as [[qRocAuc]]: the threshold maximizing TPR − FPR —
+    * the "where do I actually cut" readout the AUC alone never gives.
+    * Same one-histogram corpus pass + ranged scan; at each candidate
+    * cut (classify positive when v ≥ t) the J numerator
+    * TP·N − FP·P is an exact DECIMAL⇄HUGEINT integer, so the argmax
+    * is a total (J, v) order over the |values|-bounded frame and
+    * TPR/FPR/J are final divisions of identical integers. */
+  def qYoudenJ(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.lineitem(s, d)
+      .select((round(col("l_quantity")).cast("long") * 101 +
+          round(col("l_discount") * 100).cast("long")).as("v"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val hist = scored.groupBy(col("v"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    val cum = Ranks.globalScan(hist, Seq(col("v")),
+      sums = Seq(col("pos") -> "cum_pos", col("neg") -> "cum_neg"))
+    val tot = cum.agg(max(col("cum_pos")).as("n_pos"),
+      max(col("cum_neg")).as("n_neg")).localCheckpoint(true)
+    cum.crossJoin(broadcast(tot))
+      .withColumn("tp", col("n_pos") - col("cum_pos") + col("pos"))
+      .withColumn("fp", col("n_neg") - col("cum_neg") + col("neg"))
+      .withColumn("jnum", expr("CAST(tp AS DECIMAL(38,0)) * n_neg" +
+        " - CAST(fp AS DECIMAL(38,0)) * n_pos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("jnum").desc, col("v"))))
+      .filter(col("rk") === 1)
+      .select(col("v").as("threshold"), col("tp"), col("fp"),
+        rnd(col("tp").cast("double") / col("n_pos"), 6).as("tpr"),
+        rnd(col("fp").cast("double") / col("n_neg"), 6).as("fpr"),
+        rnd(expr("CAST(jnum AS DOUBLE)") /
+          (col("n_pos").cast("double") * col("n_neg")), 6)
+          .as("youden_j"))
+  }
+
   /** Average precision (PR-AUC) of the same integer-lattice score and
     * label as [[qRocAuc]] — the class-imbalance-robust companion (ROC
     * flatters a classifier when negatives dominate; the PR curve does

@@ -628,6 +628,57 @@ class Round15Spec extends SparkSuite {
       .subsetOf(bh.filter(_._5).map(_._1).toSet))
   }
 
+  test("renameTable: a crash between the marker and the dir move " +
+      "leaves the NEW name readable; recovery completes the move; " +
+      "related tables refuse") {
+    val wh = graft.util.Scratch.dir("graft_r15_ren").toString
+    val eng = new Engine(spark, wh)
+    val reader = new Engine(spark, wh)
+    eng.save(Seq((1L, 10L), (2L, 20L)).toDF("rowNum", "v"), "t1")
+    def sumV(): Long = reader.sql("SELECT sum(v) AS s FROM t2")
+      .collect()(0).getLong(0)
+    // crash at the committed instant (marker live, dir not moved)
+    eng.afterPublish = _ => throw new RuntimeException("crash post-mark")
+    intercept[RuntimeException] { eng.renameTable("t1", "t2") }
+    eng.afterPublish = _ => ()
+    assert(sumV() == 30L, "new name must read the old dir mid-commit")
+    // recovery (any next mutator) completes the move
+    val eng2 = new Engine(spark, wh)
+    eng2.save(Seq((9L, 9L)).toDF("rowNum", "x"), "aux")
+    assert(sumV() == 30L)
+    val f = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$wh/t2")) &&
+      !f.exists(new org.apache.hadoop.fs.Path(s"$wh/t1")))
+    // tables woven into relations refuse the metadata-only verb
+    eng2.save(docs(0), "t")
+    intercept[IllegalArgumentException] {
+      eng2.renameTable("kids", "kids2")
+    }
+  }
+
+  test("q_youden_j matches a naive replay and its J is consistent " +
+      "with the ROC frame") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select((round(col("l_quantity")).cast("long") * 101 +
+          round(col("l_discount") * 100).cast("long")),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val p = rows.count(_._2 == 1).toLong
+    val nn = rows.length - p
+    val cands = rows.map(_._1).distinct.sorted.map { t =>
+      val tp = rows.count(r => r._1 >= t && r._2 == 1).toLong
+      val fp = rows.count(r => r._1 >= t && r._2 == 0).toLong
+      (t, tp, fp, BigInt(tp) * nn - BigInt(fp) * p)
+    }
+    val best = cands.minBy(c => (-c._4, c._1))
+    val got = graft.ops.MlEval.qYoudenJ(spark, sf).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((best._1, best._2, best._3)))
+    assert(got.getDouble(5) ==
+      rnd(best._4.toDouble / (p.toDouble * nn), 6))
+  }
+
   test("a writer whose tag-capture lands inside another writer's swap " +
       "window gets the retryable CME, not a raw FileNotFoundException") {
     val wh = graft.util.Scratch.dir("graft_r15_fnf").toString
