@@ -169,7 +169,31 @@ object LatticeLedger {
       5 * ORD),
     Site("q_kpss", "ops/Stats.scala",
       "daily x = e4 div 1e5 LONG ≤ dayE4/1e5 (S̃ folds are DECIMAL)",
-      (LI / 2500) * PRICE_E4 / 1e5))
+      (LI / 2500) * PRICE_E4 / 1e5),
+    Site("q_kendall_w", "ops/Mining.scala",
+      "doubled-rank deviation T LONG ≤ 2·m·n(months) (T² is DECIMAL)",
+      2 * 3 * 2500.0 * 2500),
+    Site("q_youden_j", "ops/MlEval.scala",
+      "tp/fp LONG counts ≤ N (J numerator is DECIMAL)",
+      LI),
+    Site("q_page_hinkley", "ops/Series.scala",
+      "daily e4 LONG ≤ dayRows·priceE4 (path folds are DECIMAL)",
+      (LI / 2500) * PRICE_E4),
+    Site("embed_isotropy", "ops/PipelineQueries.scala",
+      "per-dim Σc6 LONG ≤ n_vecs·1e6 (norms/squares are DECIMAL)",
+      2e6 * 1e6),
+    Site("q_adamic_adar", "ops/Mining.scala",
+      "pair aa_micro LONG sum ≤ 1e6/ln2 · maxCommonNeighbors",
+      1.5e6 * PART),
+    Site("q_atkinson_index", "ops/Mining.scala",
+      "Σln(cents) nano-nats LONG ≤ n·ln(5e7)·1e9; Σ(1e12 div cents)",
+      CUST * 18 * 1e9),
+    Site("text_simpson_diversity", "ops/PipelineQueries.scala",
+      "per-doc rep·1e6 LONG ≤ tokens²·1e6 (pooled rep is DECIMAL)",
+      2000.0 * 2000 * 1e6),
+    Site("q_mcnemar/q_palma_ratio", "ops/Stats.scala",
+      "per-user click counts / ranked cent tails — LONG ≤ Σcents",
+      ORD * TOT_CENTS))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and
@@ -178,11 +202,11 @@ object LatticeLedger {
     * long-typed intermediates into `sites`). */
   val decimalCensus: Map[String, Int] = Map(
     "ops/Behavior.scala" -> 3,
-    "ops/Mining.scala" -> 23,
-    "ops/MlEval.scala" -> 6,
-    "ops/PipelineQueries.scala" -> 9,
+    "ops/Mining.scala" -> 24,
+    "ops/MlEval.scala" -> 8,
+    "ops/PipelineQueries.scala" -> 14,
     "ops/Profiling.scala" -> 6,
-    "ops/Series.scala" -> 31,
+    "ops/Series.scala" -> 32,
     "ops/Stats.scala" -> 85,
     "streaming/Events.scala" -> 5,
     "dedup/Components.scala" -> 1)
