@@ -1033,6 +1033,10 @@ object SparkEntry {
     "q_adamic_adar" -> (Mining.qAdamicAdar _),
     "stream_vwap" -> (graft.streaming.Events.streamVwap _),
     "q_atkinson_index" -> (Mining.qAtkinsonIndex _),
+    "q_bartlett_test" -> (Stats.qBartlettTest _),
+    "q_tail_dependence" -> (Stats.qTailDependence _),
+    "q_information_ratio" -> (graft.ops.Series.qInformationRatio _),
+    "stream_atkinson" -> (graft.streaming.Events.streamAtkinson _),
     "embed_isotropy" -> (PipelineQueries.embedIsotropy _),
     "embed_quantile_clip" -> (PipelineQueries.embedQuantileClip _),
     "q_palma_ratio" -> (Mining.qPalmaRatio _),
@@ -1430,6 +1434,9 @@ object SparkEntry {
       // recipe equals the batch distinct daily frame — stream≡batch
       ("stream_new_vs_returning" ->
         oracleSqlBase("q_new_vs_returning")) +
+      // the per-customer spend fold is partial-aggregable; the
+      // inequality tail unfolds from the converged state — stream≡batch
+      ("stream_atkinson" -> oracleSqlBase("q_atkinson_index")) +
       // order-insensitive counts/sums over a stateless zone projection
       // converge to the batch census — stream≡batch by construction
       ("stream_timezone" -> oracleSqlBase("q_timezone_funcs")) +
@@ -9125,6 +9132,97 @@ object SparkEntry {
         |    AS n_above
         |FROM c JOIN q ON c.dim = q.dim
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    // per-group ln v nano-nat fixed, 1/(n-1) e-12 fixed, pooled var an
+    // integer fold — no 25-row float sum anywhere
+    "q_bartlett_test" ->
+      """WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS g,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(c_acctbal) AS BIGINT)) AS BIGINT)
+        |      AS s1,
+        |    sum(CAST(round(c_acctbal) AS HUGEINT)
+        |      * CAST(round(c_acctbal) AS BIGINT)) AS s2
+        |  FROM customer GROUP BY 1),
+        |v AS (SELECT g, n,
+        |    CAST(s2 * n - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n * (n - 1)) AS v,
+        |    (s2 * n - CAST(s1 AS HUGEINT) * s1) // n AS svg
+        |  FROM g),
+        |w AS (SELECT n,
+        |    CAST(floor(ln(v) * 1e9 + 0.5) AS BIGINT) AS lnv9,
+        |    1000000000000 // (n - 1) AS inv12, svg FROM v),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum((n - 1) * lnv9) AS BIGINT) AS swl,
+        |    CAST(sum(inv12) AS BIGINT) AS sinv,
+        |    CAST(sum(svg) AS BIGINT) AS sv FROM w),
+        |p AS (SELECT *, CAST(sv AS DOUBLE) / (nn - k) AS sp2 FROM m)
+        |SELECT k, nn AS n_total,
+        |  floor(sp2 * 1e4 + 0.5) / 1e4 AS pooled_var,
+        |  floor(((nn - k) * ln(sp2) - CAST(swl AS DOUBLE) / 1e9)
+        |    / (1.0 + (CAST(sinv AS DOUBLE) / 1e12 - 1.0 / (nn - k))
+        |      / (3.0 * (k - 1))) * 1e4 + 0.5) / 1e4 AS bartlett_chi2
+        |FROM p""".stripMargin,
+    // both tail memberships compare integer ranks against n·q computed
+    // in DOUBLE on both sides (a DECIMAL threshold would flip boundary
+    // rows where n·q lands on an integer)
+    "q_tail_dependence" ->
+      """WITH per AS (SELECT c_custkey AS cust,
+        |    max(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS spend
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1),
+        |r AS (SELECT cust,
+        |    row_number() OVER (ORDER BY bal, cust) AS rx,
+        |    row_number() OVER (ORDER BY spend, cust) AS ry,
+        |    count(*) OVER () AS tot FROM per),
+        |qq(q) AS (VALUES (CAST(0.90 AS DOUBLE)),
+        |  (CAST(0.95 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+        |m AS (SELECT q, CAST(max(tot) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN rx > CAST(tot AS DOUBLE) * q
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+        |    CAST(sum(CASE WHEN rx > CAST(tot AS DOUBLE) * q
+        |      AND ry > CAST(tot AS DOUBLE) * q
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nboth
+        |  FROM r, qq GROUP BY 1)
+        |SELECT q, n, nx, nboth,
+        |  floor(CAST(nboth AS DOUBLE) / nx * 1e6 + 0.5) / 1e6
+        |    AS lambda_u
+        |FROM m ORDER BY q""".stripMargin,
+    // active-vs-market returns on the e-9 lattice over ACTUAL traded
+    // days; moments integer, IR/TE pinned doubles
+    "q_information_ratio" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * CAST(round((1 - l_discount) * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS a4,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) AS m4
+        |  FROM lineitem GROUP BY 1),
+        |f AS (SELECT * FROM daily WHERE a4 > 0),
+        |t AS (SELECT day, a4, m4, lag(a4) OVER (ORDER BY day) AS pa,
+        |    lag(m4) OVER (ORDER BY day) AS pm FROM f),
+        |r AS (SELECT (CAST(a4 AS HUGEINT) * 1000000000) // pa
+        |    - (CAST(m4 AS HUGEINT) * 1000000000) // pm AS d
+        |  FROM t WHERE pa IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(d) AS BIGINT) AS sd,
+        |    sum(CAST(d AS HUGEINT) * d) AS sdd FROM r)
+        |SELECT n_days,
+        |  floor(CAST(sd AS DOUBLE) / n_days / 1e9 * 1e6 + 0.5) / 1e6
+        |    AS mean_active_ret,
+        |  floor(sqrt(CAST(sdd * n_days - CAST(sd AS HUGEINT) * sd
+        |      AS DOUBLE)
+        |    / (CAST(n_days AS DOUBLE) * (n_days - 1))) / 1e9
+        |    * 1e6 + 0.5) / 1e6 AS tracking_error,
+        |  floor((CAST(sd AS DOUBLE) / n_days)
+        |    / sqrt(CAST(sdd * n_days - CAST(sd AS HUGEINT) * sd
+        |        AS DOUBLE)
+        |      / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+        |    * 1e4 + 0.5) / 1e4 AS information_ratio
+        |FROM m""".stripMargin,
     // nano-nat ln + e-12 reciprocal lattices: both folds order-free
     // long sums; geometric/harmonic means and the two indexes are
     // pinned doubles

@@ -505,6 +505,52 @@ object Series {
       .orderBy(col("flag"))
   }
 
+  /** Information ratio and tracking error of returnflag A's daily
+    * revenue returns against the whole-corpus "market" returns — the
+    * active-management readout beside [[qBetaHedge]]'s exposure and
+    * [[qSharpeSortino]]'s absolute risk. Both return series fix to
+    * the exact e-9 lattice by integer division on ACTUAL traded days
+    * (the q_pacf calendar-gap rule via the day join), the active
+    * difference d = r_a − r_m is an exact long, and IR/TE are
+    * pinned-order doubles over the integer moments (Σd long,
+    * Σd² DECIMAL⇄HUGEINT). */
+  def qInformationRatio(s: SparkSession, d: String): DataFrame = {
+    val byFlag = Tables.lineitem(s, d)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(when(col("l_returnflag") === "A",
+        round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long"))
+        .otherwise(0L)).as("a4"),
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long"))
+          .as("m4"))
+      .filter(col("a4") > 0)
+    val w1 = Window.orderBy(col("day"))
+    byFlag
+      .withColumn("pa", lag(col("a4"), 1).over(w1))
+      .withColumn("pm", lag(col("m4"), 1).over(w1))
+      .filter(col("pa").isNotNull)
+      .withColumn("d", expr(
+        "(CAST(a4 AS DECIMAL(38,0)) * 1000000000) div pa" +
+          " - (CAST(m4 AS DECIMAL(38,0)) * 1000000000) div pm"))
+      .agg(count(lit(1)).as("n_days"), sum(col("d")).as("sd"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("sdd"))
+      .select(col("n_days"),
+        rnd(col("sd").cast("double") / col("n_days") / 1e9, 6)
+          .as("mean_active_ret"),
+        rnd(sqrt(expr(
+          "CAST(sdd * n_days - CAST(sd AS DECIMAL(38,0)) * sd" +
+            " AS DOUBLE)") /
+          (col("n_days").cast("double") * (col("n_days") - 1))) / 1e9,
+          6).as("tracking_error"),
+        rnd((col("sd").cast("double") / col("n_days")) /
+          sqrt(expr(
+            "CAST(sdd * n_days - CAST(sd AS DECIMAL(38,0)) * sd" +
+              " AS DOUBLE)") /
+            (col("n_days").cast("double") * (col("n_days") - 1))), 4)
+          .as("information_ratio"))
+  }
+
   /** Page–Hinkley mean-shift detector over the daily revenue series
     * (global-mean, δ=0 form): U_t = Σ_{i≤t}(x_i − x̄),
     * PH = max_t (U_t − min_{s≤t} U_s) — the classic sequential

@@ -1330,6 +1330,76 @@ object Stats {
       .orderBy(col("nation"))
   }
 
+  /** Bartlett's test of variance homogeneity across the 25 nation
+    * groups (acctbal, whole-dollar lattice) — the parametric
+    * companion to [[qBrownForsythe]] (Bartlett is sharper under
+    * normality, BF robust without it). Per-group moments exact
+    * (Σx long, Σx² DECIMAL⇄HUGEINT); each ln vᵢ is FIXED to the
+    * nano-nat lattice and 1/(nᵢ−1) to the e-12 lattice by integer
+    * division, so BOTH cross-group folds are order-free long sums
+    * (a 25-row float fold would still be order-sensitive); the
+    * statistic and correction are pinned doubles. */
+  def qBartlettTest(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("g"),
+        round(col("c_acctbal")).cast("long").as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"))
+      .withColumn("v", expr(
+        "CAST(s2 * n - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)" +
+          " / (CAST(n AS DOUBLE) * n * (n - 1))"))
+      .withColumn("lnv9",
+        expr("CAST(floor(ln(v) * 1e9 + 0.5) AS BIGINT)"))
+      .withColumn("inv12", expr("1000000000000 div (n - 1)"))
+    g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum((col("n") - 1) * col("lnv9")).as("swl"),
+        sum(col("inv12")).as("sinv"),
+        // Σ(nᵢ−1)vᵢ = Σ⌊(nq−s²)/n⌋ — integer per group (≤1 dollar²
+        // truncation), so the pooled-variance fold is order-free
+        sum(expr("(s2 * n - CAST(s1 AS DECIMAL(38,0)) * s1) div n"))
+          .as("_sv"))
+      .withColumn("sp2", expr("CAST(_sv AS DOUBLE) / (nn - k)"))
+      .select(col("k"), col("nn").as("n_total"),
+        rnd(col("sp2"), 4).as("pooled_var"),
+        rnd((expr("(nn - k) * ln(sp2)") -
+          expr("CAST(swl AS DOUBLE) / 1e9")) /
+          (lit(1.0) + (expr("CAST(sinv AS DOUBLE) / 1e12") -
+            expr("1.0 / (nn - k)")) / (lit(3.0) * (col("k") - 1))), 4)
+          .as("bartlett_chi2"))
+  }
+
+  /** Empirical upper-tail dependence of (acctbal, total spend) per
+    * customer: λ_U(q) = P(spend above its q-quantile | balance above
+    * its q-quantile) at q ∈ {0.90, 0.95, 0.99} — the copula-style
+    * "do extremes co-occur" readout a correlation coefficient hides.
+    * Both margins rank by the exact ranged scan (total orders with
+    * key tie-breaks), the tail memberships are integer rank
+    * comparisons, and each λ is one division of exact counts. */
+  def qTailDependence(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey").as("cust"))
+      .agg(max(round(col("c_acctbal") * 100).cast("long")).as("bal"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("spend"))
+    val rx = Ranks.groupRowNumber(per, Seq.empty,
+      Seq(col("bal"), col("cust")), "rx", "tot")
+    val rxy = Ranks.groupRowNumber(rx, Seq.empty,
+      Seq(col("spend"), col("cust")), "ry", "tot2")
+    val qs = Seq(0.90, 0.95, 0.99)
+    qs.map { q =>
+      rxy.agg(max(col("tot")).as("n"),
+          sum(when(col("rx") > (col("tot").cast("double") * q), 1L)
+            .otherwise(0L)).as("nx"),
+          sum(when(col("rx") > (col("tot").cast("double") * q) &&
+            col("ry") > (col("tot").cast("double") * q), 1L)
+            .otherwise(0L)).as("nboth"))
+        .select(lit(q).as("q"), col("n"), col("nx"), col("nboth"),
+          rnd(col("nboth").cast("double") / col("nx"), 6)
+            .as("lambda_u"))
+    }.reduce(_ unionByName _).orderBy(col("q"))
+  }
+
   /** Cohen's d + Hedges' g effect size between the two big order
     * cohorts (status F vs O, whole-dollar lattice): the
     * "how big is the difference" readout beside q_welch_ttest's

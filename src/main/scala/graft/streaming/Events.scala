@@ -1759,6 +1759,51 @@ object Events {
         .orderBy(col("x_col"), col("y_col"))
     }
 
+  /** STREAMING Atkinson inequality monitor —
+    * [[graft.ops.Mining.qAtkinsonIndex]] maintained live on the
+    * orders ingest: the per-customer spend fold (complete-mode
+    * groupBy — state bounded by the CUSTOMER domain, the
+    * stream_latest_per_key shape, never by stream length) converges
+    * to the batch census, and the ln/reciprocal lattices + both
+    * indexes unfold post-stream from that exact state — shares
+    * q_atkinson_index's oracle verbatim (the stream≡batch
+    * certificate). The live "is spend concentration drifting"
+    * fairness/abuse monitor. */
+  def streamAtkinson(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamShuffle(spark) {
+      val path = s"$sfDir/orders.parquet"
+      val schema = spark.read.parquet(path).schema
+      val agg = spark.readStream.schema(schema)
+        .parquet(s"$sfDir/orders.*")
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val name = s"graft_stream_atkinson_${n.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      StreamMeter.record(q)
+      spark.table(name)
+        .filter(col("cents") > 0)
+        .select(col("cents"),
+          expr("CAST(floor(ln(CAST(cents AS DOUBLE)) * 1e9 + 0.5)" +
+            " AS BIGINT)").as("l9"),
+          expr("1000000000000 div cents").as("inv12"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+          sum(col("l9")).as("sl"), sum(col("inv12")).as("si"))
+        .select(col("n"),
+          (floor(expr("CAST(sc AS DOUBLE) / n") / 100 * 100 + 0.5)
+            / 100).as("mean_spend"),
+          (floor((lit(1.0) -
+            exp(expr("CAST(sl AS DOUBLE) / n / 1e9")) /
+            expr("CAST(sc AS DOUBLE) / n")) * 1e6 + 0.5) / 1e6)
+            .as("atkinson_e1"),
+          (floor((lit(1.0) -
+            expr("CAST(n AS DOUBLE) / (CAST(si AS DOUBLE) / 1e12)") /
+            expr("CAST(sc AS DOUBLE) / n")) * 1e6 + 0.5) / 1e6)
+            .as("atkinson_e2"))
+    }
+
   /** STREAMING new-vs-returning census — [[graft.ops.Behavior
     * .qNewVsReturning]] maintained live under BOUNDED state: the
     * stream compacts to FIRST-SEEN (user, day) rows via

@@ -193,7 +193,19 @@ object LatticeLedger {
       2000.0 * 2000 * 1e6),
     Site("q_mcnemar/q_palma_ratio", "ops/Stats.scala",
       "per-user click counts / ranked cent tails — LONG ≤ Σcents",
-      ORD * TOT_CENTS))
+      ORD * TOT_CENTS),
+    Site("q_bartlett_test", "ops/Stats.scala",
+      "⌊(nq−s²)/n⌋ pooled-var term LONG ≤ n_g·var; (n−1)·lnv9 ≤ n·18e9",
+      SKEW * CUST / 25 * ACCT_DOLLARS * ACCT_DOLLARS),
+    Site("q_tail_dependence", "ops/Stats.scala",
+      "per-customer spend LONG ≤ orders/cust·totCents",
+      20 * TOT_CENTS),
+    Site("q_information_ratio", "ops/Series.scala",
+      "active-return diff d LONG ≤ 2·1e9·maxDayRatio; Σd ≤ days·that",
+      2 * 2500 * 1e9 * 100),
+    Site("stream_atkinson", "streaming/Events.scala",
+      "same nano-nat/e-12 folds as q_atkinson_index",
+      CUST * 18 * 1e9))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and
@@ -206,8 +218,8 @@ object LatticeLedger {
     "ops/MlEval.scala" -> 8,
     "ops/PipelineQueries.scala" -> 14,
     "ops/Profiling.scala" -> 6,
-    "ops/Series.scala" -> 32,
-    "ops/Stats.scala" -> 85,
+    "ops/Series.scala" -> 37,
+    "ops/Stats.scala" -> 88,
     "streaming/Events.scala" -> 5,
     "dedup/Components.scala" -> 1)
 }

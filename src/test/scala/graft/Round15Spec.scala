@@ -679,6 +679,94 @@ class Round15Spec extends SparkSuite {
       rnd(best._4.toDouble / (p.toDouble * nn), 6))
   }
 
+  test("q_bartlett_test, q_tail_dependence and q_information_ratio " +
+      "match naive replays; stream_atkinson equals the batch index") {
+    // bartlett over nation dollar groups
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_custkey"),
+        round(col("c_acctbal")).cast("long"),
+        round(col("c_acctbal") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val gs = cust.groupBy(_._1).values.map { rs =>
+      val n = rs.length.toLong
+      val s1 = rs.map(_._3).sum
+      val s2 = rs.map(r => BigInt(r._3) * r._3).sum
+      val v = (s2 * n - BigInt(s1) * s1).toDouble / (n.toDouble * n * (n - 1))
+      (n, math.floor(math.log(v) * 1e9 + 0.5).toLong,
+        1000000000000L / (n - 1), ((s2 * n - BigInt(s1) * s1) / n).toLong)
+    }.toSeq
+    val k = gs.length.toLong
+    val nn = gs.map(_._1).sum
+    val swl = gs.map(g => (g._1 - 1) * g._2).sum
+    val sinv = gs.map(_._3).sum
+    val sv = gs.map(_._4).sum
+    val sp2 = sv.toDouble / (nn - k)
+    val chi = ((nn - k) * math.log(sp2) - swl.toDouble / 1e9) /
+      (1.0 + (sinv.toDouble / 1e12 - 1.0 / (nn - k)) / (3.0 * (k - 1)))
+    val gotB = graft.ops.Stats.qBartlettTest(spark, sf).collect()(0)
+    assert(gotB.getLong(0) == k && gotB.getLong(1) == nn)
+    assert(gotB.getDouble(3) == rnd(chi, 4), s"chi $chi")
+
+    // tail dependence over (bal, spend) ranks
+    val spend = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val per = cust.filter(c => spend.contains(c._2))
+      .map(c => (c._2, c._4, spend(c._2)))
+    val n = per.length
+    val rxm = per.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val rym = per.sortBy(t => (t._3, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val gotT = graft.ops.Stats.qTailDependence(spark, sf).collect()
+    for ((row, q) <- gotT.zip(Seq(0.90, 0.95, 0.99))) {
+      val thr = n.toDouble * q
+      val nx = per.count(p => rxm(p._1) > thr).toLong
+      val nb = per.count(p => rxm(p._1) > thr && rym(p._1) > thr).toLong
+      assert((row.getLong(1), row.getLong(2), row.getLong(3)) ==
+        ((n.toLong, nx, nb)), s"q=$q")
+      assert(row.getDouble(4) == rnd(nb.toDouble / nx, 6))
+    }
+
+    // information ratio over the A-vs-market daily returns
+    val daily = liRowsWithFlag.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (day, rs) =>
+        (day, rs.filter(_._2 == "A").map(r => r._3 * r._4).sum,
+          rs.map(r => r._3 * r._4).sum)
+      }.filter(_._2 > 0)
+    val ds = daily.sliding(2).collect {
+      case Seq((_, pa, pm), (_, a, m)) =>
+        (BigInt(a) * 1000000000L / pa - BigInt(m) * 1000000000L / pm)
+          .toLong
+    }.toSeq
+    val nd = ds.length.toLong
+    val sd = ds.sum
+    val sdd = ds.map(x => BigInt(x) * x).sum
+    val te = math.sqrt((sdd * nd - BigInt(sd) * sd).toDouble /
+      (nd.toDouble * (nd - 1)))
+    val gotI = graft.ops.Series.qInformationRatio(spark, sf).collect()(0)
+    assert(gotI.getLong(0) == nd)
+    assert(gotI.getDouble(2) == rnd(te / 1e9, 6))
+    assert(gotI.getDouble(3) == rnd((sd.toDouble / nd) / te, 4))
+
+    // streaming twin
+    val gotS = graft.streaming.Events.streamAtkinson(spark, sf)
+      .collect()
+    val expS = graft.ops.Mining.qAtkinsonIndex(spark, sf).collect()
+    assert(gotS.map(_.toString).toSeq == expS.map(_.toString).toSeq)
+  }
+
+  private lazy val liRowsWithFlag = graft.sources.Tables
+    .lineitem(spark, sf)
+    .select(col("l_shipdate").cast("date").cast("string"),
+      col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long"),
+      round((lit(1) - col("l_discount")) * 100).cast("long"))
+    .collect()
+    .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
   test("a writer whose tag-capture lands inside another writer's swap " +
       "window gets the retryable CME, not a raw FileNotFoundException") {
     val wh = graft.util.Scratch.dir("graft_r15_fnf").toString
