@@ -1034,6 +1034,8 @@ object SparkEntry {
     "stream_vwap" -> (graft.streaming.Events.streamVwap _),
     "q_atkinson_index" -> (Mining.qAtkinsonIndex _),
     "q_bartlett_test" -> (Stats.qBartlettTest _),
+    "q_capture_recapture" -> (Stats.qCaptureRecapture _),
+    "text_chao1_richness" -> (PipelineQueries.textChao1Richness _),
     "q_tail_dependence" -> (Stats.qTailDependence _),
     "q_information_ratio" -> (graft.ops.Series.qInformationRatio _),
     "stream_atkinson" -> (graft.streaming.Events.streamAtkinson _),
@@ -9132,6 +9134,47 @@ object SparkEntry {
         |    AS n_above
         |FROM c JOIN q ON c.dim = q.dim
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    "q_capture_recapture" ->
+      """WITH b AS (SELECT CAST((min(CAST(floor(epoch(ts)) AS BIGINT))
+        |      + max(CAST(floor(epoch(ts)) AS BIGINT))) / 2 AS BIGINT)
+        |    AS mid FROM events),
+        |u AS (SELECT user_id,
+        |    max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < mid
+        |      THEN 1 ELSE 0 END) AS h1,
+        |    max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= mid
+        |      THEN 1 ELSE 0 END) AS h2
+        |  FROM events, b GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_seen,
+        |    CAST(sum(h1) AS BIGINT) AS n1,
+        |    CAST(sum(h2) AS BIGINT) AS n2,
+        |    CAST(sum(h1 * h2) AS BIGINT) AS m FROM u)
+        |SELECT n_seen, n1, n2, m,
+        |  floor(((CAST(n1 AS DOUBLE) + 1) * (n2 + 1) / (m + 1) - 1)
+        |    * 100.0 + 0.5) / 100.0 AS n_hat_chapman,
+        |  floor(sqrt((CAST(n1 AS DOUBLE) + 1) * (n2 + 1)
+        |    * (n1 - m) * (n2 - m)
+        |    / ((CAST(m AS DOUBLE) + 1) * (m + 1) * (m + 2)))
+        |    * 100.0 + 0.5) / 100.0 AS se_n_hat
+        |FROM m""".stripMargin,
+    "text_chao1_richness" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f2,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens FROM c GROUP BY 1)
+        |SELECT source, n_tokens, vocab, f1, f2,
+        |  floor((vocab + CAST(f1 AS DOUBLE) * (f1 - 1)
+        |    / (2.0 * (f2 + 1))) * 100.0 + 0.5) / 100.0 AS chao1,
+        |  floor(CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1))
+        |    / vocab * 1e6 + 0.5) / 1e6 AS unseen_share
+        |FROM m ORDER BY source""".stripMargin,
     // per-group ln v nano-nat fixed, 1/(n-1) e-12 fixed, pooled var an
     // integer fold — no 25-row float sum anywhere
     "q_bartlett_test" ->

@@ -3737,6 +3737,34 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Chao1 vocabulary-richness estimate per source: how many token
+    * TYPES exist that the corpus never sampled —
+    * Chao1 = V + F₁(F₁−1)/(2(F₂+1)) (the bias-corrected form, defined
+    * even at F₂ = 0) from the singleton/doubleton census — the
+    * coverage companion to text_heaps_law's growth exponent (Heaps
+    * extrapolates, Chao1 bounds). Two grouped integer rollups over
+    * the token census; the estimate is one pinned double per
+    * source. */
+  def textChao1Richness(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"),
+        sum(col("c")).as("n_tokens"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("f1"), col("f2"),
+        (floor((col("vocab") + expr(
+          "CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1))"))
+          * 100.0 + 0.5) / 100.0).as("chao1"),
+        (floor(expr("CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1))")
+          / col("vocab") * 1e6 + 0.5) / 1e6).as("unseen_share"))
+      .orderBy(col("source"))
+
   /** Embedding-space ISOTROPY census: the mean pairwise cosine and the
     * dominant-direction mass — the "is this embedding space collapsed
     * toward a common direction" health check every retrieval corpus

@@ -1330,6 +1330,36 @@ object Stats {
       .orderBy(col("nation"))
   }
 
+  /** Lincoln–Petersen / Chapman capture–recapture estimate of the
+    * active-user population from the two window halves: users "marked"
+    * in the first half, "recaptured" in the second —
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with a variance-based CI — the
+    * classic "how many users exist that we never saw" estimator for
+    * coverage auditing. One per-user census (exact midpoint split,
+    * the q_ab_cuped convention); the estimate and CI are pinned
+    * doubles over four exact counts. */
+  def qCaptureRecapture(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"))
+    val mid = ev.agg(((min(col("ts_s")) + max(col("ts_s"))) / 2)
+      .cast("long").as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("ts_s") < col("mid"), 1L).otherwise(0L))
+        .as("h1"),
+        max(when(col("ts_s") >= col("mid"), 1L).otherwise(0L)).as("h2"))
+      .agg(count(lit(1)).as("n_seen"),
+        sum(col("h1")).as("n1"), sum(col("h2")).as("n2"),
+        sum(col("h1") * col("h2")).as("m"))
+      .select(col("n_seen"), col("n1"), col("n2"), col("m"),
+        rnd(expr("(CAST(n1 AS DOUBLE) + 1) * (n2 + 1) / (m + 1) - 1"),
+          2).as("n_hat_chapman"),
+        rnd(sqrt(expr("(CAST(n1 AS DOUBLE) + 1) * (n2 + 1)" +
+          " * (n1 - m) * (n2 - m)" +
+          " / ((CAST(m AS DOUBLE) + 1) * (m + 1) * (m + 2))")), 2)
+          .as("se_n_hat"))
+  }
+
   /** Bartlett's test of variance homogeneity across the 25 nation
     * groups (acctbal, whole-dollar lattice) — the parametric
     * companion to [[qBrownForsythe]] (Bartlett is sharper under

@@ -767,6 +767,41 @@ class Round15Spec extends SparkSuite {
     .collect()
     .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
 
+  test("q_capture_recapture and text_chao1_richness match naive " +
+      "replays") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val per = ev.groupBy(_._1).values.map { rs =>
+      (rs.exists(_._2 < mid), rs.exists(_._2 >= mid)) }.toSeq
+    val n1 = per.count(_._1).toLong
+    val n2 = per.count(_._2).toLong
+    val m = per.count(p => p._1 && p._2).toLong
+    val gotC = graft.ops.Stats.qCaptureRecapture(spark, sf).collect()(0)
+    assert((gotC.getLong(1), gotC.getLong(2), gotC.getLong(3)) ==
+      ((n1, n2, m)))
+    assert(gotC.getDouble(4) ==
+      rnd((n1.toDouble + 1) * (n2 + 1) / (m + 1) - 1, 2))
+
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exp = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val cs = ds.flatMap(_._2.trim.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).values.map(_.length.toLong).toSeq
+      val v = cs.length.toLong
+      val f1 = cs.count(_ == 1L).toLong
+      val f2 = cs.count(_ == 2L).toLong
+      (src, v, f1, f2,
+        rnd(v + f1.toDouble * (f1 - 1) / (2.0 * (f2 + 1)), 2))
+    }
+    val gotR = graft.ops.PipelineQueries.textChao1Richness(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(gotR.toSeq == exp)
+  }
+
   test("a writer whose tag-capture lands inside another writer's swap " +
       "window gets the retryable CME, not a raw FileNotFoundException") {
     val wh = graft.util.Scratch.dir("graft_r15_fnf").toString
