@@ -277,13 +277,15 @@ class Engine(spark: SparkSession, warehouse: String,
     recoverCommit(f)
     val cid = java.util.UUID.randomUUID().toString.take(8)
     tables.foreach { case (name, df) =>
-      // clear pre-marker crash leftovers of earlier saves of this table
-      // (a marker-pledged staging was already rolled forward above)
-      val parent = new Path(warehouse)
-      if (f.exists(parent))
-        f.listStatus(parent).map(_.getPath)
-          .filter(_.getName.startsWith(name + "__staged_"))
-          .foreach(f.delete(_, true))
+      // Pre-marker crash leftovers of earlier saves (stale
+      // `__staged_<otherCid>` dirs) are NOT cleared here: a concurrent
+      // save's in-flight pre-marker staging is indistinguishable from
+      // a crashed one, and deleting it between that writer's staging
+      // write and its marker rename would make its publishStaged
+      // no-op silently (manifest claims the commit, table keeps old
+      // data). They are garbage space, not correctness — [[vacuum]]
+      // reclaims them age-gated. Fresh cids never collide, so staging
+      // needs no cleanup to proceed.
       val w = df.write.mode(SaveMode.Overwrite)
       (if (name == rootTable && partCols.nonEmpty)
         w.partitionBy(partCols: _*)
@@ -338,14 +340,24 @@ class Engine(spark: SparkSession, warehouse: String,
     saveAll(tables, rels, table, partCols)
   }
 
-  /** Pending renames a live commit marker pledges (new → old name). */
-  private def markerRenames(f: FileSystem): Map[String, String] =
-    if (!f.exists(markerPath)) Map.empty
-    else readSmall(f, markerPath).split("\n").toSeq
-      .filter(_.startsWith("ren|"))
-      .map(_.split("\\|"))
-      .collect { case Array(_, oldN, newN) => newN -> oldN }
-      .toMap
+  /** ONE observation of the commit marker: (pledged swaps name→cid,
+    * pledged renames new→old). Both maps come from a single read so a
+    * caller resolving several tables sees one consistent commit state
+    * — a rename/save landing or clearing mid-call cannot split the
+    * observation (and each table costs zero extra FS reads). */
+  private def markerObservation(
+      f: FileSystem): (Map[String, String], Map[String, String]) =
+    if (!f.exists(markerPath)) (Map.empty, Map.empty)
+    else {
+      val lines = readSmall(f, markerPath).split("\n").toSeq
+      val swaps = lines.filter(_.startsWith("swap|"))
+        .map(_.split("\\|"))
+        .collect { case Array(_, name, cid) => name -> cid }.toMap
+      val rens = lines.filter(_.startsWith("ren|"))
+        .map(_.split("\\|"))
+        .collect { case Array(_, oldN, newN) => newN -> oldN }.toMap
+      (swaps, rens)
+    }
 
   /** ALTER-TABLE-RENAME analogue for FLAT tables (the reference's
     * one-table-per-type shape): commits through the same marker —
@@ -368,11 +380,12 @@ class Engine(spark: SparkSession, warehouse: String,
         "FK column names carry the table name; rewrite instead")
     val manifest = renderManifest(
       tables.map(t => if (t == oldName) newName else t), rels)
+    val markerLines = s"ren|$oldName|$newName" +: manifest
     beforeMark()
     val tmp = new Path(
       s"$warehouse/_graft_commit.tmp${System.nanoTime()}")
     val out = f.create(tmp, true)
-    try out.write((s"ren|$oldName|$newName" +: manifest).mkString("\n")
+    try out.write(markerLines.mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, markerPath)) {
@@ -385,17 +398,26 @@ class Engine(spark: SparkSession, warehouse: String,
       throw new IllegalStateException(
         s"rename: cannot move ${dir(oldName)} (recovery will finish)")
     writeVersionedManifest(f, manifest)
-    f.delete(markerPath, false)
+    // fence the final delete exactly like recoverCommit's rename-only
+    // path: a concurrent recoverer may have finished THIS rename and
+    // cleared the marker, and a NEWER commit's marker may have landed
+    // since — deleting unconditionally would strip that commit of its
+    // roll-forward pledge mid-publish
+    if (f.exists(markerPath) &&
+        readSmall(f, markerPath).split("\n").toSeq
+          .filter(_.nonEmpty) == markerLines)
+      f.delete(markerPath, false)
   }
 
   /** Resolve one table against an already-observed marker-swap set —
     * [[sql]] reads the marker ONCE so every registered view resolves
     * against the same commit observation. */
   private def resolveTable(f: FileSystem, name: String,
-      swaps: Map[String, String]): DataFrame = {
+      swaps: Map[String, String],
+      renames: Map[String, String]): DataFrame = {
     val staged = swaps.get(name)
       .map(cid => new Path(dir(name) + "__staged_" + cid))
-    val renFrom = markerRenames(f).get(name)
+    val renFrom = renames.get(name)
       .filterNot(_ => f.exists(new Path(dir(name))))
     if (staged.exists(f.exists))
       spark.read.parquet(staged.get.toString)
@@ -419,7 +441,8 @@ class Engine(spark: SparkSession, warehouse: String,
     * live last so a swap completing mid-call still resolves. */
   def table(name: String): DataFrame = {
     val f = fs
-    resolveTable(f, name, markerSwaps(f))
+    val (swaps, renames) = markerObservation(f)
+    resolveTable(f, name, swaps, renames)
   }
 
   /** Register every manifest table as a temp view and run SQL. The
@@ -428,12 +451,12 @@ class Engine(spark: SparkSession, warehouse: String,
     * new-everything, never a new parent joined to old children. */
   def sql(query: String): DataFrame = {
     val f = fs
-    val swaps = markerSwaps(f)
+    val (swaps, renames) = markerObservation(f)
     val (tables, rels) = readManifest()
     val names =
       (tables ++ rels.map(_.parent) ++ rels.map(_.child)).distinct
     names.foreach(t =>
-      resolveTable(f, t, swaps).createOrReplaceTempView(t))
+      resolveTable(f, t, swaps, renames).createOrReplaceTempView(t))
     spark.sql(query)
   }
 
@@ -529,7 +552,12 @@ class Engine(spark: SparkSession, warehouse: String,
     * a mid-swap crash — vacuum must never destroy it; the next
     * mutation restores it). A pending commit is rolled forward first,
     * so a marker-pledged staged dir can never be misread as stale.
-    * Returns the number of directories removed. */
+    * This is the ONLY reclaimer of pre-marker `__staged_<cid>` crash
+    * leftovers (saveAll deliberately never deletes them — a
+    * concurrent save's in-flight staging is indistinguishable from a
+    * crashed one); like table-format VACUUM with zero retention, do
+    * not run it concurrently with an in-flight save of the same
+    * table. Returns the number of directories removed. */
   def vacuum(tableName: String): Int = {
     val f = fs
     recoverCommit(f)

@@ -8801,8 +8801,8 @@ object SparkEntry {
         |    * 1e4 + 0.5) / 1e4 AS chi2
         |FROM c""".stripMargin,
     "q_mcnemar" ->
-      """WITH b AS (SELECT CAST((min(CAST(floor(epoch(ts)) AS BIGINT))
-        |      + max(CAST(floor(epoch(ts)) AS BIGINT))) / 2 AS BIGINT)
+      """WITH b AS (SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+        |      + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2
         |    AS mid FROM events),
         |u AS (SELECT user_id,
         |    sum(CASE WHEN event_type = 'click'
@@ -9135,8 +9135,8 @@ object SparkEntry {
         |FROM c JOIN q ON c.dim = q.dim
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     "q_capture_recapture" ->
-      """WITH b AS (SELECT CAST((min(CAST(floor(epoch(ts)) AS BIGINT))
-        |      + max(CAST(floor(epoch(ts)) AS BIGINT))) / 2 AS BIGINT)
+      """WITH b AS (SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+        |      + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2
         |    AS mid FROM events),
         |u AS (SELECT user_id,
         |    max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < mid
@@ -9381,13 +9381,13 @@ object SparkEntry {
         |pd AS (SELECT source, doc_id, sum(c) AS n,
         |    sum(c * (c - 1)) AS rep FROM c GROUP BY 1, 2),
         |dm AS (SELECT source, doc_id,
-        |    (rep * 1000000) // (n * (n - 1)) AS d_micro FROM pd),
+        |    (rep * 1000000) // nullif(n * (n - 1), 0) AS d_micro FROM pd),
         |pc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
         |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
         |pool AS (SELECT source, sum(c) AS n,
         |    sum(CAST(c AS HUGEINT) * (c - 1)) AS rep FROM pc GROUP BY 1),
         |pm AS (SELECT source,
-        |    (rep * 1000000) // (CAST(n AS HUGEINT) * (n - 1))
+        |    (rep * 1000000) // nullif(CAST(n AS HUGEINT) * (n - 1), 0)
         |      AS pooled_micro FROM pool)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  floor(CAST(sum(d_micro) AS DOUBLE) / count(*) / 1e6 * 1e6

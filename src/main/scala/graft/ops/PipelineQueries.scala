@@ -3882,14 +3882,14 @@ object PipelineQueries {
       .groupBy(col("source"), col("doc_id"))
       .agg(sum(col("c")).as("n"),
         sum(col("c") * (col("c") - 1)).as("rep"))
-      .withColumn("d_micro", expr("(rep * 1000000) div (n * (n - 1))"))
+      .withColumn("d_micro", expr("(rep * 1000000) div nullif(n * (n - 1), 0)"))
     val pooled = toks
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("source"))
       .agg(sum(col("c")).as("n"),
         sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("rep"))
       .withColumn("pooled_micro", expr(
-        "(rep * 1000000) div (CAST(n AS DECIMAL(38,0)) * (n - 1))"))
+        "(rep * 1000000) div nullif(CAST(n AS DECIMAL(38,0)) * (n - 1), 0)"))
     perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("d_micro")).as("_sd"))
       .join(pooled.select(col("source"), col("pooled_micro")), "source")

@@ -1341,8 +1341,7 @@ object Stats {
   def qCaptureRecapture(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"))
-    val mid = ev.agg(((min(col("ts_s")) + max(col("ts_s"))) / 2)
-      .cast("long").as("mid"))
+    val mid = ev.agg(expr("(min(ts_s) + max(ts_s)) div 2").as("mid"))
     ev.crossJoin(broadcast(mid))
       .groupBy(col("user_id"))
       .agg(max(when(col("ts_s") < col("mid"), 1L).otherwise(0L))
@@ -1522,8 +1521,7 @@ object Stats {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
         unix_timestamp(col("ts")).as("ts_s"))
-    val mid = ev.agg(((min(col("ts_s")) + max(col("ts_s"))) / 2)
-      .cast("long").as("mid"))
+    val mid = ev.agg(expr("(min(ts_s) + max(ts_s)) div 2").as("mid"))
     ev.crossJoin(broadcast(mid))
       .groupBy(col("user_id"))
       .agg(
