@@ -697,6 +697,69 @@ class Engine(spark: SparkSession, warehouse: String,
     archiveOld(f, tableName, old)
   }
 
+  /** Shared ALTER-COLUMN skeleton (reference: SQLite gives the user
+    * ALTER TABLE ... RENAME/DROP COLUMN; parquet columns are physical,
+    * so here the verb is a staged projection rewrite — the same
+    * crash-safe two-rename swap as [[upsert]]/[[delete]], optimistic
+    * concurrency included). Refuses shred-relation FK columns (their
+    * NAMES carry table names in the shredded data — altering those is
+    * a re-shred, same refusal contract as [[renameTable]]). A
+    * secondary/covering index whose schema involves the altered column
+    * is invalid the instant the swap lands, so it is dropped FIRST: a
+    * crash between invalidation and swap leaves only a missing,
+    * rebuildable index — never a stale one serving pre-alter values. */
+  private def alterColumn0(tableName: String, op: String,
+      colName: String, check: Seq[String] => Unit)(
+      project: DataFrame => DataFrame): Unit = {
+    val f = fs
+    recoverCommit(f)
+    val cols = table(tableName).columns.toSeq
+    require(cols.contains(colName),
+      s"$op: no column '$colName' in '$tableName'")
+    check(cols)
+    val (_, rels) = readManifest()
+    val woven = rels
+      .filter(r => r.parent == tableName || r.child == tableName)
+      .flatMap(r => Seq(r.parent, r.child)).toSet
+    require(!woven.contains(colName),
+      s"$op: column '$colName' of '$tableName' is a shred-relation " +
+        "FK — its name carries a table name; rewrite instead")
+    val parent = new Path(warehouse)
+    if (f.exists(parent))
+      f.listStatus(parent).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n == s"${tableName}__idx_$colName" ||
+            (n.startsWith(tableName + "__cidx_") &&
+              (n == s"${tableName}__cidx_$colName" ||
+                spark.read.parquet(p.toString).columns
+                  .contains(colName)))
+        }
+        .foreach(f.delete(_, true))
+    rewriteStaged(tableName, op)(project)
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN through the facade: staged
+    * projection rewrite + atomic swap; indexes over the old name are
+    * invalidated (rebuild under the new name). */
+  def renameColumn(tableName: String, oldCol: String,
+      newCol: String): Unit =
+    alterColumn0(tableName, "renameColumn", oldCol, cols =>
+      require(!cols.contains(newCol),
+        s"renameColumn: '$newCol' already exists in '$tableName'")) {
+      base => base.withColumnRenamed(oldCol, newCol)
+    }
+
+  /** ALTER TABLE ... DROP COLUMN through the facade: staged projection
+    * rewrite + atomic swap; indexes/covering indexes whose schema
+    * carries the column are invalidated. */
+  def dropColumn(tableName: String, colName: String): Unit =
+    alterColumn0(tableName, "dropColumn", colName, cols =>
+      require(cols.length > 1,
+        s"dropColumn: cannot drop the last column of '$tableName'")) {
+      base => base.drop(colName)
+    }
+
   /** Secondary index on a stored table: a sorted two-column
     * (value, rowNum) projection written range-partitioned on the
     * value, so a point lookup prunes to one range partition and,

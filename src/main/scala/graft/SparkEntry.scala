@@ -1070,6 +1070,7 @@ object SparkEntry {
     "engine_partitioned_save" -> (JsonQueries.enginePartitionedSave _),
     "engine_atomic_save" -> (JsonQueries.engineAtomicSave _),
     "engine_rename" -> (JsonQueries.engineRename _),
+    "engine_alter_column" -> (JsonQueries.engineAlterColumn _),
     "q_youden_j" -> (MlEval.qYoudenJ _),
     "stream_corr_matrix" ->
       (graft.streaming.Events.streamCorrMatrix _),
@@ -8475,6 +8476,16 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // mid-commit readout (marker live, data dir not yet moved) and the
     // final readout must BOTH be the source truth
+    "engine_alter_column" ->
+      """SELECT 'o_orderstatus,price,rowNum' AS schema_cols,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    AS BIGINT) AS price_cents,
+        |  CAST(1 AS BIGINT) AS idx_alive,
+        |  CAST(0 AS BIGINT) AS cidx_alive,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS f_rows
+        |FROM orders""".stripMargin,
     "engine_rename" ->
       """SELECT count(*) AS mid_rows,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))

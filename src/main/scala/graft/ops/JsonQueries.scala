@@ -869,4 +869,48 @@ object JsonQueries {
       lit(mid._2).as("mid_cents"), lit(mid._3).as("mid_rev"),
       lit(fin._2).as("final_cents"), lit(fin._3).as("final_rev"))
   }
+
+  /** ALTER-COLUMN verbs through the facade (r15 verdict order #4;
+    * reference: SQLite's ALTER TABLE RENAME/DROP COLUMN — parquet
+    * columns are physical, so each verb is a staged projection
+    * rewrite riding the same crash-safe two-rename swap as upsert).
+    * Saves orders, builds a plain index on o_orderstatus AND a
+    * covering index on it that INCLUDEs o_totalprice, then RENAMEs
+    * o_totalprice→price and DROPs o_orderpriority. The readout pins:
+    * the post-alter schema, the census over the renamed column
+    * (exact cents — the data survived the projection bit-for-bit),
+    * a point count served THROUGH the surviving status index, and
+    * the invalidation flags — the covering index carried the renamed
+    * column so it must be GONE; the plain status index never touched
+    * the column so it must survive. Oracle replays the census from
+    * the raw source. */
+  def engineAlterColumn(s: SparkSession, d: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("graft_engine_alt").toString
+    val eng = new graft.Engine(s, wh)
+    val docs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("rowNum"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    eng.save(docs, "ord_alt")
+    eng.buildIndex("ord_alt", "o_orderstatus")
+    eng.buildCoveringIndex("ord_alt", "o_orderstatus",
+      Seq("o_totalprice"))
+    eng.renameColumn("ord_alt", "o_totalprice", "price")
+    eng.dropColumn("ord_alt", "o_orderpriority")
+    val idxAlive =
+      new java.io.File(s"$wh/ord_alt__idx_o_orderstatus").exists
+    val cidxAlive =
+      new java.io.File(s"$wh/ord_alt__cidx_o_orderstatus").exists
+    val fRows = eng.lookupByIndex("ord_alt", "o_orderstatus", "F")
+      .count()
+    val t = eng.table("ord_alt")
+    val schemaCols = t.columns.sorted.mkString(",")
+    t.agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(price * 100, 0) AS BIGINT)"))
+          .as("price_cents"))
+      .select(lit(schemaCols).as("schema_cols"), col("n_rows"),
+        col("price_cents"),
+        lit(if (idxAlive) 1L else 0L).as("idx_alive"),
+        lit(if (cidxAlive) 1L else 0L).as("cidx_alive"),
+        lit(fRows).as("f_rows"))
+  }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 regressions: ALTER-COLUMN verbs (r15 verdict order #4) —
+  * crash interleavings on the staged projection swap, the
+  * index-invalidation contract (dropped FIRST, so a crash can only
+  * leave a missing rebuildable index, never a stale one), the
+  * FK-woven refusals — plus the saveAll cleanup fix (a concurrent
+  * save's pre-marker staging must survive another writer's save;
+  * vacuum, not save, reclaims crash leftovers).
+  */
+class Round16Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def kv(rows: (Long, String, Double)*) =
+    rows.toDF("rowNum", "name", "score")
+
+  test("renameColumn + dropColumn rewrite the data bit-for-bit and " +
+      "the post-alter schema is exactly the projection") {
+    val wh = graft.util.Scratch.dir("graft_r16_alt").toString
+    val eng = new Engine(spark, wh)
+    eng.save(kv((1L, "a", 1.5), (2L, "b", 2.25), (3L, "c", -4.0)), "kv")
+    eng.renameColumn("kv", "score", "points")
+    eng.dropColumn("kv", "name")
+    val t = eng.table("kv")
+    assert(t.columns.sorted.toSeq == Seq("points", "rowNum"))
+    assert(t.orderBy("rowNum").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5), (2L, 2.25), (3L, -4.0)))
+  }
+
+  test("a crash between staging and swap leaves the table unchanged; " +
+      "the retry lands the alter") {
+    val wh = graft.util.Scratch.dir("graft_r16_altcrash").toString
+    val eng = new Engine(spark, wh)
+    eng.save(kv((1L, "a", 1.0), (2L, "b", 2.0)), "kv")
+    eng.beforeSwap = _ => throw new RuntimeException("crash pre-swap")
+    intercept[RuntimeException] { eng.renameColumn("kv", "score", "s2") }
+    assert(eng.table("kv").columns.sorted.toSeq ==
+      Seq("name", "rowNum", "score"), "crash pre-swap: schema unchanged")
+    eng.beforeSwap = _ => ()
+    eng.renameColumn("kv", "score", "s2")
+    assert(eng.table("kv").columns.sorted.toSeq ==
+      Seq("name", "rowNum", "s2"))
+  }
+
+  test("a concurrent writer landing inside the alter window loses " +
+      "with a retryable CME, never silent data loss") {
+    val wh = graft.util.Scratch.dir("graft_r16_altcme").toString
+    val eng = new Engine(spark, wh)
+    val other = new Engine(spark, wh)
+    eng.save(kv((1L, "a", 1.0)), "kv")
+    eng.beforeSwap = _ => other.upsert("kv",
+      Seq((2L, "b", 2.0)).toDF("rowNum", "name", "score"))
+    intercept[java.util.ConcurrentModificationException] {
+      eng.dropColumn("kv", "name")
+    }
+    eng.beforeSwap = _ => ()
+    // the concurrent upsert survived; the retry applies to fresh state
+    assert(eng.table("kv").count() == 2L)
+    eng.dropColumn("kv", "name")
+    assert(eng.table("kv").columns.sorted.toSeq == Seq("rowNum", "score"))
+  }
+
+  test("index invalidation: an index or covering index whose schema " +
+      "carries the altered column is dropped; others survive") {
+    val wh = graft.util.Scratch.dir("graft_r16_altidx").toString
+    val eng = new Engine(spark, wh)
+    eng.save(kv((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)), "kv")
+    eng.buildIndex("kv", "name")
+    eng.buildIndex("kv", "score")
+    eng.buildCoveringIndex("kv", "name", Seq("score")) // INCLUDEs score
+    eng.dropColumn("kv", "score")
+    assert(new java.io.File(s"$wh/kv__idx_name").exists,
+      "index on an untouched column survives")
+    assert(!new java.io.File(s"$wh/kv__idx_score").exists,
+      "index ON the dropped column is invalidated")
+    assert(!new java.io.File(s"$wh/kv__cidx_name").exists,
+      "covering index INCLUDE-ing the dropped column is invalidated")
+    assert(eng.lookupByIndex("kv", "name", "a").count() == 2L,
+      "surviving index still serves lookups post-alter")
+  }
+
+  test("refusals: FK-woven column, rename onto an existing name, " +
+      "drop of the last column") {
+    val wh = graft.util.Scratch.dir("graft_r16_altref").toString
+    val eng = new Engine(spark, wh)
+    // shredded parent/child: child table carries FK column named
+    // after the parent table
+    val docs = Seq((1L, Seq((10L, "x"), (11L, "y"))))
+      .toDF("rowNum", "kids")
+      .withColumn("kids", expr(
+        "transform(kids, k -> named_struct('rowNum', k._1, 'v', k._2))"))
+    eng.save(docs, "t")
+    intercept[IllegalArgumentException] {
+      eng.renameColumn("kids", "t", "parent_fk")
+    }
+    eng.save(kv((1L, "a", 1.0)), "kv")
+    intercept[IllegalArgumentException] {
+      eng.renameColumn("kv", "score", "name")
+    }
+    eng.dropColumn("kv", "name")
+    eng.dropColumn("kv", "score")
+    intercept[IllegalArgumentException] { eng.dropColumn("kv", "rowNum") }
+  }
+
+  test("saveAll no longer deletes another writer's pre-marker " +
+      "staging; vacuum reclaims it") {
+    val wh = graft.util.Scratch.dir("graft_r16_stg").toString
+    val eng = new Engine(spark, wh)
+    eng.save(kv((1L, "a", 1.0)), "kv")
+    // a concurrent save's in-flight (or crashed) pre-marker staging
+    val stray = new java.io.File(s"$wh/kv__staged_deadbeef")
+    assert(stray.mkdirs())
+    java.nio.file.Files.write(stray.toPath.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    eng.save(kv((2L, "b", 2.0)), "kv") // must NOT touch the stray dir
+    assert(stray.exists,
+      "another writer's staging survives a concurrent save")
+    assert(eng.table("kv").count() == 1L)
+    assert(eng.vacuum("kv") >= 1, "vacuum reclaims the stale staging")
+    assert(!stray.exists)
+  }
+
+  test("engine_alter_column key matches an in-JVM replay of its " +
+      "oracle semantics") {
+    val d = "/root/testdata/sf0.001"
+    val r = ops.JsonQueries.engineAlterColumn(spark, d).collect()(0)
+    val src = graft.sources.Tables.orders(spark, d)
+    val exp = src.agg(
+      count(lit(1)).as("n"),
+      sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("c"),
+      sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("f"))
+      .collect()(0)
+    assert(r.getAs[String]("schema_cols") == "o_orderstatus,price,rowNum")
+    assert(r.getAs[Long]("n_rows") == exp.getAs[Long]("n"))
+    assert(r.getAs[Long]("price_cents") == exp.getAs[Long]("c"))
+    assert(r.getAs[Long]("idx_alive") == 1L)
+    assert(r.getAs[Long]("cidx_alive") == 0L)
+    assert(r.getAs[Long]("f_rows") == exp.getAs[Long]("f"))
+  }
+}
