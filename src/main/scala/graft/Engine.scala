@@ -108,32 +108,54 @@ class Engine(spark: SparkSession, warehouse: String,
       .filterNot(l => l.startsWith("swap|") || l.startsWith("ren|"))
   }
 
-  private def parseManifest(lines: Seq[String]): (Seq[String], Seq[Rel]) = {
+  /** `fkn|name|shredName` lines are the FK INDIRECTION a table RENAME
+    * of a relation-woven table rides on: the shredded DATA's FK column
+    * names are fixed at shred time (a child carries a column literally
+    * named after its parent, a parent's object pointer after its
+    * child), and a rename is a metadata verb that must not rewrite
+    * data — so the manifest records, per renamed table, its shred-time
+    * name, and every consumer of a relation resolves the in-data FK
+    * column through [[fkOf]] instead of assuming it equals the table's
+    * current name (the same semantics as SQLite, where renaming a
+    * table does not rename FK columns elsewhere). */
+  private def parseManifest(
+      lines: Seq[String]): (Seq[String], Seq[Rel], Map[String, String]) = {
     val tables = lines.collect { case s if s.startsWith("tbl|") =>
       s.stripPrefix("tbl|") }
-    val rels = lines.filterNot(_.startsWith("tbl|")).map { line =>
-      line.split("\\|") match {
-        case Array("obj", p, c) => ChildObject(p, c)
-        case Array("arr", p, c) => ChildArray(p, c)
-        case Array("ar2", p, c) => ChildArray2(p, c)
-        case other => throw new IllegalStateException(
-          s"bad manifest line: ${other.mkString("|")}")
+    val fkNames = lines.filter(_.startsWith("fkn|")).map(_.split("\\|"))
+      .collect { case Array(_, name, shredName) => name -> shredName }
+      .toMap
+    val rels = lines
+      .filterNot(l => l.startsWith("tbl|") || l.startsWith("fkn|"))
+      .map { line =>
+        line.split("\\|") match {
+          case Array("obj", p, c) => ChildObject(p, c)
+          case Array("arr", p, c) => ChildArray(p, c)
+          case Array("ar2", p, c) => ChildArray2(p, c)
+          case other => throw new IllegalStateException(
+            s"bad manifest line: ${other.mkString("|")}")
+        }
       }
-    }
-    (tables, rels)
+    (tables, rels, fkNames)
   }
 
-  private def readManifest(): (Seq[String], Seq[Rel]) =
+  private def readManifest(): (Seq[String], Seq[Rel], Map[String, String]) =
     parseManifest(currentManifestLines(fs))
 
-  private def renderManifest(tables: Seq[String],
-      rels: Seq[Rel]): Seq[String] =
+  /** In-data FK column name for a table: its shred-time name (current
+    * name unless the table was renamed). */
+  private def fkOf(fkNames: Map[String, String], name: String): String =
+    fkNames.getOrElse(name, name)
+
+  private def renderManifest(tables: Seq[String], rels: Seq[Rel],
+      fkNames: Map[String, String]): Seq[String] =
     tables.distinct.sorted.map(t => s"tbl|$t") ++
       rels.distinct.map {
         case ChildObject(p, c) => s"obj|$p|$c"
         case ChildArray(p, c) => s"arr|$p|$c"
         case ChildArray2(p, c) => s"ar2|$p|$c"
-      }
+      } ++
+      fkNames.toSeq.sorted.map { case (n, s) => s"fkn|$n|$s" }
 
   /** Publish manifest `lines` as the next write-once version: write a
     * temp file, rename onto `_graft_manifest.v<N+1>.txt` (rename to a
@@ -291,9 +313,12 @@ class Engine(spark: SparkSession, warehouse: String,
         w.partitionBy(partCols: _*)
       else w).parquet(dir(name) + "__staged_" + cid)
     }
-    val (prevTables, prevRels) = readManifest()
+    val (prevTables, prevRels, prevFk) = readManifest()
     val manifest = renderManifest(prevTables ++ tables.keys,
-      (prevRels ++ rels).distinct)
+      (prevRels ++ rels).distinct,
+      // a re-save re-shreds under the CURRENT names: any recorded
+      // rename indirection for the re-saved tables is superseded
+      prevFk -- tables.keys)
     val names = tables.keys.toSeq.sorted
     beforeMark()
     // THE commit point: one rename publishes the swap pledge and the
@@ -359,14 +384,18 @@ class Engine(spark: SparkSession, warehouse: String,
       (swaps, rens)
     }
 
-  /** ALTER-TABLE-RENAME analogue for FLAT tables (the reference's
-    * one-table-per-type shape): commits through the same marker —
-    * `ren|old|new` plus the renamed manifest land in ONE rename, so a
-    * reader of the NEW name resolves the old dir until the data-dir
-    * rename completes, and a crash rolls forward. Tables woven into
-    * parent/child relations refuse (their FK COLUMN NAMES carry the
-    * table name in the shredded data — renaming those is a rewrite,
-    * not a metadata verb). */
+  /** ALTER-TABLE-RENAME analogue (the reference's SQLite metadata
+    * verb): commits through the same marker — `ren|old|new` plus the
+    * renamed manifest land in ONE rename, so a reader of the NEW name
+    * resolves the old dir until the data-dir rename completes, and a
+    * crash rolls forward. Tables woven into parent/child relations
+    * rename through MANIFEST-LEVEL FK INDIRECTION (r15 verdict order
+    * #6): the shredded data keeps its shred-time FK column names
+    * (rename never rewrites data), the rel lines move to the new
+    * table name, and an `fkn|new|shredTime` line records the in-data
+    * name every relation consumer resolves through [[fkOf]] — exactly
+    * SQLite's semantics, where ALTER TABLE RENAME leaves other
+    * tables' FK column names untouched. */
   def renameTable(oldName: String, newName: String): Unit = {
     val f = fs
     recoverCommit(f)
@@ -374,12 +403,24 @@ class Engine(spark: SparkSession, warehouse: String,
       s"rename: table '$oldName' does not exist")
     require(!f.exists(new Path(dir(newName))),
       s"rename: '$newName' already exists")
-    val (tables, rels) = readManifest()
-    require(!rels.exists(r => r.parent == oldName || r.child == oldName),
-      s"rename: '$oldName' participates in shred relations — " +
-        "FK column names carry the table name; rewrite instead")
+    val (tables, rels, fkNames) = readManifest()
+    require(!tables.contains(newName),
+      s"rename: '$newName' already in manifest")
+    val newRels = rels.map {
+      case ChildObject(p, c) => ChildObject(
+        if (p == oldName) newName else p, if (c == oldName) newName else c)
+      case ChildArray(p, c) => ChildArray(
+        if (p == oldName) newName else p, if (c == oldName) newName else c)
+      case ChildArray2(p, c) => ChildArray2(
+        if (p == oldName) newName else p, if (c == oldName) newName else c)
+    }
+    val woven = rels.exists(r => r.parent == oldName || r.child == oldName)
+    val newFk =
+      if (!woven) fkNames - oldName
+      else (fkNames - oldName) +
+        (newName -> fkOf(fkNames, oldName)) // chain renames: keep shred-time name
     val manifest = renderManifest(
-      tables.map(t => if (t == oldName) newName else t), rels)
+      tables.map(t => if (t == oldName) newName else t), newRels, newFk)
     val markerLines = s"ren|$oldName|$newName" +: manifest
     beforeMark()
     val tmp = new Path(
@@ -452,7 +493,7 @@ class Engine(spark: SparkSession, warehouse: String,
   def sql(query: String): DataFrame = {
     val f = fs
     val (swaps, renames) = markerObservation(f)
-    val (tables, rels) = readManifest()
+    val (tables, rels, _) = readManifest()
     val names =
       (tables ++ rels.map(_.parent) ++ rels.map(_.child)).distinct
     names.foreach(t =>
@@ -464,49 +505,56 @@ class Engine(spark: SparkSession, warehouse: String,
     * back as array<struct>, child objects as struct — to any depth
     * (visited-set guarded against cyclic manifests). */
   private def assemble(tableName: String, base: DataFrame, key: String,
-      rels: Seq[Rel], visited: Set[String]): DataFrame =
+      rels: Seq[Rel], fkNames: Map[String, String],
+      visited: Set[String]): DataFrame =
     rels.filter(r => r.parent == tableName && !visited.contains(r.child))
       .foldLeft(base) { (df, rel) =>
         val childFull = assemble(rel.child, table(rel.child), key, rels,
-          visited + tableName)
+          fkNames, visited + tableName)
+        // in-data FK column names are SHRED-TIME names — a renamed
+        // table resolves through the manifest's fkn indirection
         rel match {
-          case ChildArray(_, c) =>
-            Assemble.nestArray(df, key, childFull, tableName, c,
-              orderCols = Seq(key))
+          case ChildArray(p, c) =>
+            Assemble.nestArray(df, key, childFull, fkOf(fkNames, p),
+              fkOf(fkNames, c), orderCols = Seq(key))
           case ChildObject(_, c) =>
+            val fkc = fkOf(fkNames, c)
             val childStruct = childFull.select(col(key).as("_ck"),
               struct(childFull.columns.map(col): _*).as("_cs"))
-            df.join(childStruct, col(c) === col("_ck"), "left")
-              .drop("_ck").drop(c).withColumnRenamed("_cs", c)
+            df.join(childStruct, col(fkc) === col("_ck"), "left")
+              .drop("_ck").drop(fkc).withColumnRenamed("_cs", fkc)
           case ChildArray2(p, c) =>
             // positional 2-d re-nest: inner arrays rebuilt by ipos,
             // outer by pos — (pos, ipos) is unique per parent, so the
             // struct sort is total and the roundtrip is exact
+            val fkp = fkOf(fkNames, p)
             val nested2 = childFull
-              .groupBy(col(p), col("pos"))
+              .groupBy(col(fkp), col("pos"))
               .agg(expr("transform(array_sort(collect_list(" +
                 "struct(ipos, value))), x -> x.value)").as("_ia"))
-              .groupBy(col(p))
+              .groupBy(col(fkp))
               .agg(expr("transform(array_sort(collect_list(" +
                 "struct(pos, _ia))), x -> x._ia)").as("_oa"))
-            df.join(nested2.select(col(p).as("_ck"), col("_oa")),
+            df.join(nested2.select(col(fkp).as("_ck"), col("_oa")),
                 col(key) === col("_ck"), "left")
-              .drop("_ck").withColumnRenamed("_oa", c)
+              .drop("_ck").withColumnRenamed("_oa", fkOf(fkNames, c))
         }
       }
 
   /** Bulk re-assembly of a stored table to its nested document form —
     * [[getJson]]'s recursive re-nest without the per-document collect,
     * so the whole corpus re-nests as one distributed plan. */
-  def nested(tableName: String, key: String = "rowNum"): DataFrame =
-    assemble(tableName, table(tableName), key, readManifest()._2,
-      Set.empty)
+  def nested(tableName: String, key: String = "rowNum"): DataFrame = {
+    val (_, rels, fkNames) = readManifest()
+    assemble(tableName, table(tableName), key, rels, fkNames, Set.empty)
+  }
 
   /** Point lookup re-assembled to one nested JSON document. */
   def getJson(tableName: String, keyValue: Long,
       key: String = "rowNum"): Option[String] = {
     val base = table(tableName).filter(col(key) === keyValue)
-    val nested = assemble(tableName, base, key, readManifest()._2, Set.empty)
+    val (_, rels, fkNames) = readManifest()
+    val nested = assemble(tableName, base, key, rels, fkNames, Set.empty)
     nested
       .select(to_json(struct(nested.columns.map(col): _*)).as("doc"))
       .collect().headOption.map(_.getString(0))
@@ -717,10 +765,11 @@ class Engine(spark: SparkSession, warehouse: String,
     require(cols.contains(colName),
       s"$op: no column '$colName' in '$tableName'")
     check(cols)
-    val (_, rels) = readManifest()
+    val (_, rels, fkNames) = readManifest()
     val woven = rels
       .filter(r => r.parent == tableName || r.child == tableName)
-      .flatMap(r => Seq(r.parent, r.child)).toSet
+      .flatMap(r => Seq(fkOf(fkNames, r.parent), fkOf(fkNames, r.child)))
+      .toSet
     require(!woven.contains(colName),
       s"$op: column '$colName' of '$tableName' is a shred-relation " +
         "FK — its name carries a table name; rewrite instead")

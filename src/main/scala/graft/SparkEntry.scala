@@ -8487,13 +8487,17 @@ object SparkEntry {
         |    AS BIGINT) AS f_rows
         |FROM orders""".stripMargin,
     "engine_rename" ->
-      """SELECT count(*) AS mid_rows,
-        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-        |    AS BIGINT) AS mid_cents,
-        |  count(*) AS final_rows,
-        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-        |    AS BIGINT) AS final_cents
-        |FROM orders""".stripMargin,
+      """WITH o AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents FROM orders),
+        |c AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents FROM customer
+        |  WHERE c_nationkey IN (SELECT n_nationkey FROM nation))
+        |SELECT o.n AS mid_rows, o.cents AS mid_cents,
+        |  o.n AS final_rows, o.cents AS final_cents,
+        |  c.n AS woven_rows, c.cents AS woven_cents
+        |FROM o, c""".stripMargin,
     // same histogram + ranged scan as q_roc_auc; the argmax rides the
     // total (J, v) order
     "q_youden_j" ->

@@ -122,6 +122,64 @@ class Round16Spec extends SparkSuite {
     assert(!stray.exists)
   }
 
+  test("relation-woven rename: FK indirection keeps sql()/nested()/" +
+      "getJson() serving the tree under new names, data untouched") {
+    val wh = graft.util.Scratch.dir("graft_r16_wren").toString
+    val eng = new Engine(spark, wh)
+    val docs = Seq((1L, Seq((10L, 100L), (11L, 200L))),
+        (2L, Seq((20L, 300L))))
+      .toDF("rowNum", "kids")
+      .withColumn("kids", expr(
+        "transform(kids, k -> named_struct('rowNum', k._1, 'v', k._2))"))
+    eng.save(docs, "t")
+    eng.renameTable("t", "tree")
+    eng.renameTable("kids", "branches")
+    // in-data FK column keeps its shred-time name "t"
+    val r = eng.sql("""SELECT count(*) AS n, sum(k.v) AS sv
+        FROM branches k JOIN tree p ON k.t = p.rowNum""").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (3L, 600L))
+    // re-assembly resolves the renamed tables through the indirection
+    val n = eng.nested("tree").orderBy("rowNum")
+    assert(n.columns.contains("kids"),
+      "re-nested array column keeps its shred-time (document) name")
+    assert(n.select(explode(col("kids.v"))).as[Long].collect().sum == 600L)
+    val j = eng.getJson("tree", 2L).get
+    assert(j.contains("300"), s"getJson after woven rename: $j")
+    // chain rename keeps resolving to the ORIGINAL shred-time name
+    eng.renameTable("tree", "forest")
+    val r2 = eng.sql("""SELECT sum(k.v) AS sv
+        FROM branches k JOIN forest p ON k.t = p.rowNum""").collect()(0)
+    assert(r2.getLong(0) == 600L)
+    assert(eng.nested("forest").count() == 2L)
+  }
+
+  test("woven rename survives a crash before the data-dir move and " +
+      "a re-save under the new name supersedes the indirection") {
+    val wh = graft.util.Scratch.dir("graft_r16_wrencrash").toString
+    val eng = new Engine(spark, wh)
+    val reader = new Engine(spark, wh)
+    val docs = Seq((1L, Seq((10L, 5L)))).toDF("rowNum", "kids")
+      .withColumn("kids", expr(
+        "transform(kids, k -> named_struct('rowNum', k._1, 'v', k._2))"))
+    eng.save(docs, "t")
+    eng.afterPublish = _ => throw new RuntimeException("crash pre-move")
+    intercept[RuntimeException] { eng.renameTable("t", "tree") }
+    eng.afterPublish = _ => ()
+    // marker committed: the NEW name already serves (from the old dir)
+    assert(reader.sql(
+      """SELECT sum(k.v) FROM kids k JOIN tree p ON k.t = p.rowNum""")
+      .collect()(0).getLong(0) == 5L)
+    // a re-save of the whole tree under the new root name re-shreds
+    // under CURRENT names: fresh FK column, indirection superseded
+    val docs2 = Seq((1L, Seq((10L, 7L)))).toDF("rowNum", "kids")
+      .withColumn("kids", expr(
+        "transform(kids, k -> named_struct('rowNum', k._1, 'v', k._2))"))
+    eng.save(docs2, "tree")
+    assert(reader.sql(
+      """SELECT sum(k.v) FROM kids k JOIN tree p ON k.tree = p.rowNum""")
+      .collect()(0).getLong(0) == 7L)
+  }
+
   test("engine_alter_column key matches an in-JVM replay of its " +
       "oracle semantics") {
     val d = "/root/testdata/sf0.001"
