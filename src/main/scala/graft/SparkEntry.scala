@@ -886,6 +886,7 @@ object SparkEntry {
     "q_count_min_topk" -> (PipelineQueries.countMinTopK _),
     "q_theta_setops" -> (PipelineQueries.thetaSetOps _),
     "dedup_substring_spans" -> (PipelineQueries.dedupSubstringSpans _),
+    "dedup_short_spans" -> (PipelineQueries.dedupShortSpans _),
     "dedup_span_excise" -> (PipelineQueries.dedupSpanExcise _),
     "dedup_span_extents" -> (PipelineQueries.dedupSpanExtents _),
     "dedup_setsim_join" -> (PipelineQueries.dedupSetsimJoin _),
@@ -7197,6 +7198,29 @@ object SparkEntry {
         |      ORDER BY score DESC, c_id) AS INTEGER) AS rnk FROM sc)
         |SELECT q_id, rnk, c_id, score FROM rr WHERE rnk <= 5
         |ORDER BY 1, 2""".stripMargin,
+    "dedup_short_spans" ->
+      """WITH t AS (SELECT doc_id, doc_id % 7 = 0 AS planted,
+        |    CASE WHEN doc_id % 7 = 0 THEN text ||
+        |      substr('    ', 1, (4 - length(text) % 4) % 4) ||
+        |      ' (C) 2026 GRAFT CORP RESERVED.' ELSE text END AS tx
+        |  FROM documents),
+        |w0 AS (SELECT doc_id, planted,
+        |    unnest(range(0, (length(tx) - 20) // 4 + 1)) AS i, tx
+        |  FROM t WHERE length(tx) >= 20),
+        |w AS (SELECT doc_id, planted,
+        |    md5_number_lower(substr(tx, CAST(i * 4 + 1 AS BIGINT), 20))
+        |      AS h
+        |  FROM w0),
+        |dup AS (SELECT h FROM w GROUP BY h
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |per AS (SELECT w.doc_id, planted, count(*) AS n_windows,
+        |    count(dup.h) AS n_dup_windows
+        |  FROM w LEFT JOIN dup ON w.h = dup.h GROUP BY 1, 2)
+        |SELECT doc_id, planted, CAST(n_windows AS BIGINT) AS n_windows,
+        |  CAST(n_dup_windows AS BIGINT) AS n_dup_windows,
+        |  CAST(floor(n_dup_windows * 10000.0 / n_windows + 0.5)
+        |    AS BIGINT) AS dup_frac_bp
+        |FROM per WHERE n_dup_windows > 0 ORDER BY doc_id""".stripMargin,
     "dedup_substring_spans" ->
       """WITH w0 AS (SELECT doc_id,
         |    unnest(range(0, (length(text) - 50) // 10 + 1)) AS i, text

@@ -811,6 +811,55 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** FINE-GRAIN short-span dedup — the second window grain that closes
+    * [[dedupSubstringSpans]]'s detection gap (r15 verdict order #5): a
+    * W/St grid guarantees a full aligned window only for duplicated
+    * spans ≥ W+St−1 chars, so the coarse 50/10 grid (≥59) lets
+    * one-line boilerplate (~30-char copyright stubs) evade. This pass
+    * runs 20-char windows at stride 4 (guarantee ≥23 chars) at 2.5×
+    * the coarse grid's shuffle — still 8-byte hashes, never text; the
+    * two grains ARE the cost/recall knob at 100 TB (coarse everywhere,
+    * fine where the corpus profile demands it). The fixture PLANTS a
+    * deterministic 30-char boilerplate line on every 7th doc,
+    * stride-aligned by space padding so every planted doc shares
+    * identical aligned windows (planted in-query — testdata is
+    * read-only); the census must catch every planted doc
+    * (Round16Spec asserts it), and the oracle replays windows, hashes
+    * and counts verbatim. */
+  def dedupShortSpans(s: SparkSession, d: String): DataFrame = {
+    val W = 20
+    val St = 4
+    val B = " (C) 2026 GRAFT CORP RESERVED."
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 7 === 0).as("planted"),
+        when(col("doc_id") % 7 === 0,
+          expr(s"concat(text, substring('    ', 1, " +
+            s"(4 - pmod(length(text), 4)) % 4), '$B')"))
+          .otherwise(col("text")).as("tx"))
+    val wins = t.filter(length(col("tx")) >= W)
+      .select(col("doc_id"), col("planted"),
+        explode(sequence(lit(0),
+          expr(s"(length(tx) - $W) div $St").cast("int"))).as("i"),
+        col("tx"))
+      .select(col("doc_id"), col("planted"),
+        graft.functions.exprs.md5Lower64(
+          expr(s"substring(tx, i * $St + 1, $W)")).as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"), lit(1).as("_dup"))
+    wins.join(dup, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"), col("planted"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("_dup")).as("n_dup_windows"))
+      .filter(col("n_dup_windows") > 0)
+      .select(col("doc_id"), col("planted"), col("n_windows"),
+        col("n_dup_windows"),
+        floor(col("n_dup_windows") * lit(10000.0) / col("n_windows")
+          + lit(0.5)).cast("long").as("dup_frac_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Substring-span EXCISION — the second half of
     * [[dedupSubstringSpans]] (which reports the duplicated-window
     * census): coalesce overlapping duplicated windows into MAXIMAL

@@ -180,6 +180,22 @@ class Round16Spec extends SparkSuite {
       .collect()(0).getLong(0) == 7L)
   }
 
+  test("dedup_short_spans catches EVERY planted 30-char boilerplate " +
+      "doc — the detection guarantee the coarse 50/10 grid lacks") {
+    val d = "/root/testdata/sf0.001"
+    val out = ops.PipelineQueries.dedupShortSpans(spark, d)
+    val caughtPlanted = out.filter(col("planted")).count()
+    val nPlanted = graft.sources.Tables.documents(spark, d)
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(nPlanted == 72L)
+    assert(caughtPlanted == nPlanted,
+      s"every planted doc must be caught: $caughtPlanted/$nPlanted")
+    // and the coarse grid indeed CANNOT see a 30-char span: planted
+    // docs it flags are flagged for ambient near-dup text, not the
+    // boilerplate — verified by the grid guarantee W+St-1=59 > 30
+    // (the fine grid's guarantee is 23 <= 30, hence the catch above)
+  }
+
   test("engine_alter_column key matches an in-JVM replay of its " +
       "oracle semantics") {
     val d = "/root/testdata/sf0.001"
