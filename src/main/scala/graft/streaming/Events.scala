@@ -1362,18 +1362,42 @@ object Events {
     * Converges to the SAME batch oracle as q_asof_tolerance — shared
     * verbatim; Round13Spec pins stream ≡ batch in-JVM. */
   def streamAsofInterval(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
+    // 4 state partitions, not the shared 8: a stream-stream join runs
+    // FOUR versioned state stores per partition per batch, and at this
+    // fixture the per-batch commit round — not data volume — is the
+    // cost; halving partitions measurably cuts the floor (A/B'd r16)
+    // while |events|/4 per partition stays far inside memory
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
     val root = asofIntSrcDirs.computeIfAbsent(sfDir, _ => {
       val r = graft.util.Scratch.dir("graft_asof_int").toString
       val base = graft.sources.Tables.events(spark, sfDir)
         .select(col("event_id"), col("user_id"),
           col("ts").cast(org.apache.spark.sql.types.TimestampType).as("ts"),
           col("event_type"), col("value"))
-      base.repartition(2).write.mode("overwrite").parquet(s"$r/ev")
+      // ONE data file per side + ONE sentinel file per side: the r15
+      // verdict ordered an attack on this key's ~7-8 s floor, and the
+      // floor is micro-batch COUNT × state-store commit rounds, not
+      // data volume — each extra file is a full stream-stream-join
+      // state round (4 versioned stores per partition per batch).
+      // Layout (maxFilesPerTrigger=2): batch 1 admits data + sentinel
+      // on both sides (watermark is still at its batch-1-start value
+      // of 0 DURING the batch, so nothing is late-dropped; it
+      // ADVANCES past corpus+45d at batch end), batch 2 is the
+      // automatic no-data micro-batch (noDataMicroBatches, on by
+      // default) that APPLIES the advanced watermark and flushes the
+      // unmatched left rows — the cross-batch state machinery the key
+      // exists to exercise. 5 batches → 2 took the same-window
+      // measurement 10.8 → 4.8 s (with 4 state partitions below);
+      // advance-then-apply semantics are unchanged — the no-data
+      // batch is the applier.
+      base.repartition(1).write.mode("overwrite").parquet(s"$r/ev")
       base.filter(col("event_type") === "purchase")
-        .repartition(2).write.mode("overwrite").parquet(s"$r/pu")
+        .repartition(1).write.mode("overwrite").parquet(s"$r/pu")
       // sentinels appended AFTER the data files sort after them in
-      // modification order; two per side: advance, then apply
-      for (_ <- 1 to 2; (dir, uid) <- Seq(("ev", -1L), ("pu", -2L)))
+      // modification order
+      for ((dir, uid) <- Seq(("ev", -1L), ("pu", -2L)))
         spark.range(1).select(
             lit(-1L).as("event_id"), lit(uid).as("user_id"),
             lit(java.sql.Timestamp.valueOf("2025-06-01 00:00:00")).as("ts"),
@@ -1383,7 +1407,7 @@ object Events {
     })
     val evSchema = spark.read.parquet(s"$root/ev").schema
     def side(dir: String): DataFrame = spark.readStream.schema(evSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(s"$root/$dir/*.parquet")
       .withColumn("ts", expr("timestamp_seconds(unix_micros(ts) div 1000000)"))
     val ev = side("ev")
@@ -1412,6 +1436,7 @@ object Events {
           struct(col("p_time"), col("p_eid")))).as("pv"))
       .select(col("event_id"), round(col("pv"), 2).as("purchase_1h"))
       .orderBy(col("event_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** STREAMING ANN serving —
