@@ -961,6 +961,9 @@ object SparkEntry {
     "q_bollinger" -> (Behavior.qBollinger _),
     "q_rsi" -> (Behavior.qRsi _),
     "q_drawdown" -> (Behavior.qDrawdown _),
+    "q_obv" -> (Behavior.qObv _),
+    "q_ulcer_index" -> (Behavior.qUlcerIndex _),
+    "q_parkinson_vol" -> (Behavior.qParkinsonVol _),
     "q_croston" -> (Behavior.qCroston _),
     "q_kruskal_wallis" -> (Stats.qKruskalWallis _),
     "q_runs_test" -> (Stats.qRunsTest _),
@@ -6403,6 +6406,60 @@ object SparkEntry {
         |    floor(100 * CAST(gsum AS DOUBLE) / (gsum + lsum)
         |      * 10000 + 0.5) / 10000 END AS rsi
         |FROM g WHERE rn >= 14 ORDER BY day""".stripMargin,
+    "q_obv" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS vol
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT day, vol,
+        |    CAST(coalesce(sign(e4 - lag(e4) OVER (ORDER BY day)), 0)
+        |      AS BIGINT) AS direction
+        |  FROM daily)
+        |SELECT day, vol AS volume, direction,
+        |  CAST(sum(direction * vol) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS obv
+        |FROM s ORDER BY day""".stripMargin,
+    "q_ulcer_index" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT day, e4,
+        |    CAST(max(e4) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS peak
+        |  FROM daily),
+        |r AS (SELECT (CAST(peak - e4 AS HUGEINT) * (peak - e4)
+        |      * 100000000) // (CAST(peak AS HUGEINT) * peak) AS r8
+        |  FROM p)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(sqrt(CAST(max(r8) AS DOUBLE) / 1e8) * 100 * 1e4 + 0.5)
+        |    / 1e4 AS max_dd_pct,
+        |  floor(sqrt(CAST(sum(r8) AS DOUBLE) / count(*) / 1e8) * 100
+        |    * 1e4 + 0.5) / 1e4 AS ulcer_index
+        |FROM r""".stripMargin,
+    "q_parkinson_vol" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS h,
+        |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS l
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT strftime(day, '%Y-%m') AS month,
+        |    CAST(floor(pow(ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)),
+        |      2) * 1e12) AS BIGINT) AS p12
+        |  FROM daily)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(sqrt(CAST(sum(p12) AS DOUBLE) / 1e12
+        |    / (4 * ln(2) * count(*))) * 1e6 + 0.5) / 1e6
+        |    AS parkinson_vol
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_drawdown" ->
       """WITH daily AS (
         |  SELECT CAST(l_shipdate AS DATE) AS day,

@@ -1122,6 +1122,84 @@ object Behavior {
       .orderBy(col("day"))
   }
 
+  /** On-balance volume over the daily revenue series: OBV runs a
+    * cumulative sum of each day's QUANTITY signed by the day's
+    * revenue direction — the classic volume-confirms-price monitor
+    * beside [[qRsi]]/[[qDrawdown]]. Everything is exact longs: the
+    * sign off one lag on the e4 lattice, daily volume a unit-lattice
+    * sum, OBV an order-free running long sum over the calendar
+    * order; the first day contributes 0 by the standard convention. */
+  def qObv(s: SparkSession, d: String): DataFrame = {
+    val dOrd = Window.orderBy(col("day"))
+    val run = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"),
+        sum(round(col("l_quantity")).cast("long")).as("vol"))
+    daily
+      .withColumn("sgn", signum(
+        (col("e4") - lag(col("e4"), 1).over(dOrd)).cast("double"))
+        .cast("long"))
+      .withColumn("sv", coalesce(col("sgn"), lit(0L)) * col("vol"))
+      .withColumn("obv", sum(col("sv")).over(run))
+      .select(col("day"), col("vol").as("volume"),
+        coalesce(col("sgn"), lit(0L)).as("direction"), col("obv"))
+      .orderBy(col("day"))
+  }
+
+  /** Ulcer index of the daily revenue series — the RMS drawdown
+    * depth, the risk readout that punishes DURATION underwater where
+    * [[qDrawdown]] reports the curve and max-depth only. Each day's
+    * squared drawdown fraction is FIXED to the 1e-8 lattice by
+    * integer division on DECIMAL(38,0)⇄HUGEINT ((peak−e4)² overflows
+    * a long at sf100 — LatticeLedger-registered), so the cross-day
+    * fold is an order-free long sum over a calendar-bounded frame;
+    * UI and max-drawdown are a pinned double tail. */
+  def qUlcerIndex(s: SparkSession, d: String): DataFrame = {
+    val run = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dailyE4(s, d)
+      .withColumn("peak", max(col("e4")).over(run))
+      .withColumn("r8", expr(
+        "(CAST(peak - e4 AS DECIMAL(38,0)) * (peak - e4) * 100000000)" +
+          " div (CAST(peak AS DECIMAL(38,0)) * peak)"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("r8")).as("_s8"), max(col("r8")).as("_m8"))
+      .select(col("n_days"),
+        rnd(sqrt(expr("CAST(_m8 AS DOUBLE) / 1e8")) * 100, 4)
+          .as("max_dd_pct"),
+        rnd(sqrt(expr("CAST(_s8 AS DOUBLE) / n_days / 1e8")) * 100, 4)
+          .as("ulcer_index"))
+  }
+
+  /** Parkinson range volatility per ship MONTH: σ²ₚ =
+    * Σ ln(H/L)² / (4 ln2 · n) over the month's daily high/low traded
+    * price — the high-low estimator that beats close-to-close
+    * variance at the same sample count. Daily H/L are exact cent
+    * longs; each day's ln²(H/L) is FIXED to the pico lattice
+    * (floor(ln(H/L)²·10¹²) — ln and the square run on IDENTICAL
+    * doubles both engines, the micro-nat convention), so the monthly
+    * fold is an order-free long sum; σ is one double tail. */
+  def qParkinsonVol(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(max(round(col("l_extendedprice") * 100).cast("long")).as("h"),
+        min(round(col("l_extendedprice") * 100).cast("long")).as("l"))
+      .withColumn("p12", floor(
+        pow(log(col("h").cast("double") / col("l").cast("double")), 2)
+          * lit(1e12)).cast("long"))
+    daily
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("p12")).as("_s12"))
+      .select(col("month"), col("n_days"),
+        rnd(sqrt(expr(
+          "CAST(_s12 AS DOUBLE) / 1e12 / (4 * ln(2) * n_days)")), 6)
+          .as("parkinson_vol"))
+      .orderBy(col("month"))
+  }
+
   /** Croston-style intermittent-demand profile per part, with the
     * Syntetos–Boylan (SBC) demand classification: average demand
     * interval (ADI), squared coefficient of variation of demand sizes

@@ -205,7 +205,16 @@ object LatticeLedger {
       2 * 2500 * 1e9 * 100),
     Site("stream_atkinson", "streaming/Events.scala",
       "same nano-nat/e-12 folds as q_atkinson_index",
-      CUST * 18 * 1e9))
+      CUST * 18 * 1e9),
+    Site("q_obv", "ops/Behavior.scala",
+      "OBV running Σ±vol LONG ≤ total quantity",
+      LI * QTY),
+    Site("q_ulcer_index", "ops/Behavior.scala",
+      "Σr8 LONG over calendar days, r8 = dd²·1e8 div peak² ≤ 1e8",
+      2555 * 1e8),
+    Site("q_parkinson_vol", "ops/Behavior.scala",
+      "monthly Σ⌊ln²(H/L)·1e12⌋ ≤ 31·(ln 1e9)²·1e12",
+      31 * 441 * 1e12))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and
@@ -213,7 +222,7 @@ object LatticeLedger {
     * updating this ledger (and, per the coverage rule, auditing its
     * long-typed intermediates into `sites`). */
   val decimalCensus: Map[String, Int] = Map(
-    "ops/Behavior.scala" -> 3,
+    "ops/Behavior.scala" -> 6,
     "ops/Mining.scala" -> 24,
     "ops/MlEval.scala" -> 8,
     "ops/PipelineQueries.scala" -> 14,

@@ -180,6 +180,64 @@ class Round16Spec extends SparkSuite {
       .collect()(0).getLong(0) == 7L)
   }
 
+  test("finance pack (OBV / ulcer index / Parkinson vol) matches " +
+      "naive in-JVM replays over the collected daily frame") {
+    val d = "/root/testdata/sf0.001"
+    val daily = graft.sources.Tables.lineitem(spark, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "CAST(round((1 - l_discount) * 100) AS BIGINT)")).as("e4"),
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("vol"),
+        max(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("h"),
+        min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("l"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+
+    // OBV replay
+    var obv = 0L; var prev = Option.empty[Long]
+    val wantObv = daily.map { case (day, e4, vol, _, _) =>
+      val sgn = prev.map(p => java.lang.Long.signum(e4 - p).toLong)
+        .getOrElse(0L)
+      prev = Some(e4); obv += sgn * vol
+      (day, vol, sgn, obv)
+    }.toSeq
+    val gotObv = graft.ops.Behavior.qObv(spark, d).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(gotObv == wantObv, "OBV != replay")
+
+    // ulcer replay
+    var peak = Long.MinValue
+    val r8s = daily.map { case (_, e4, _, _, _) =>
+      peak = math.max(peak, e4)
+      (BigInt(peak - e4) * BigInt(peak - e4) * BigInt(100000000) /
+        (BigInt(peak) * BigInt(peak))).toLong
+    }
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val wantUi = (daily.length.toLong,
+      r4(math.sqrt(r8s.max.toDouble / 1e8) * 100),
+      r4(math.sqrt(r8s.sum.toDouble / daily.length / 1e8) * 100))
+    val u = graft.ops.Behavior.qUlcerIndex(spark, d).collect()(0)
+    assert((u.getLong(0), u.getDouble(1), u.getDouble(2)) == wantUi,
+      "ulcer != replay")
+
+    // Parkinson replay (monthly)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val wantP = daily.groupBy(_._1.substring(0, 7)).toSeq.sortBy(_._1)
+      .map { case (m, ds) =>
+        val s12 = ds.map { case (_, _, _, h, l) =>
+          math.floor(math.pow(math.log(h.toDouble / l.toDouble), 2)
+            * 1e12).toLong }.sum
+        (m, ds.length.toLong,
+          r6(math.sqrt(s12.toDouble / 1e12 /
+            (4 * math.log(2) * ds.length))))
+      }
+    val gotP = graft.ops.Behavior.qParkinsonVol(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotP == wantP, "parkinson != replay")
+  }
+
   test("dedup_short_spans catches EVERY planted 30-char boilerplate " +
       "doc — the detection guarantee the coarse 50/10 grid lacks") {
     val d = "/root/testdata/sf0.001"
