@@ -1071,6 +1071,11 @@ object SparkEntry {
     "q_cochran_armitage" -> (Stats.qCochranArmitage _),
     "q_fisher_z" -> (Stats.qFisherZ _),
     "q_kpss" -> (Stats.qKpss _),
+    "q_moods_median" -> (Stats.qMoodsMedian _),
+    "q_partial_corr" -> (Stats.qPartialCorr _),
+    "q_icc" -> (Stats.qIcc _),
+    "q_hellinger_bc" -> (Stats.qHellingerBc _),
+    "q_anderson_darling" -> (Stats.qAndersonDarling _),
     "engine_partitioned_save" -> (JsonQueries.enginePartitionedSave _),
     "engine_atomic_save" -> (JsonQueries.engineAtomicSave _),
     "engine_rename" -> (JsonQueries.engineRename _),
@@ -6406,6 +6411,154 @@ object SparkEntry {
         |    floor(100 * CAST(gsum AS DOUBLE) / (gsum + lsum)
         |      * 10000 + 0.5) / 10000 END AS rsi
         |FROM g WHERE rn >= 14 ORDER BY day""".stripMargin,
+    "q_moods_median" ->
+      """WITH x AS (SELECT c_nationkey AS g, c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, c_custkey)
+        |      AS rn, count(*) OVER () AS tot FROM x),
+        |m AS (SELECT min(v) AS med FROM r WHERE rn = (tot + 1) // 2),
+        |cell AS (SELECT g,
+        |    CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS above,
+        |    CAST(sum(CASE WHEN v <= med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS at_below,
+        |    max(med) AS median_cents
+        |  FROM x, m GROUP BY 1),
+        |e AS (SELECT *, above + at_below AS n_g,
+        |    sum(above + at_below) OVER () AS n,
+        |    sum(above) OVER () AS ta, sum(at_below) OVER () AS tb
+        |  FROM cell),
+        |f AS (SELECT g, median_cents, above, at_below,
+        |    floor(CAST(n_g AS DOUBLE) * ta / n * 1e6 + 0.5) / 1e6 AS ea,
+        |    floor(CAST(n_g AS DOUBLE) * tb / n * 1e6 + 0.5) / 1e6 AS eb
+        |  FROM e),
+        |c2 AS (SELECT g, median_cents, above, at_below,
+        |    floor((pow(above - ea, 2) / ea
+        |      + pow(at_below - eb, 2) / eb) * 1e4 + 0.5) / 1e4
+        |      AS contrib
+        |  FROM f)
+        |SELECT g AS nationkey, median_cents, above, at_below, contrib,
+        |  floor(sum(contrib) OVER () * 1e4 + 0.5) / 1e4 AS chi2
+        |FROM c2 ORDER BY nationkey""".stripMargin,
+    "q_partial_corr" ->
+      """WITH x AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS z
+        |  FROM lineitem),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(z AS HUGEINT) * z) AS szz,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |    sum(CAST(y AS HUGEINT) * z) AS syz
+        |  FROM x GROUP BY 1),
+        |r AS (SELECT g, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+        |  (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        |   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+        |  (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        |   / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+        |  FROM m)
+        |SELECT g AS returnflag, n,
+        |  floor(rxy * 1e4 + 0.5) / 1e4 AS r_xy,
+        |  floor(rxz * 1e4 + 0.5) / 1e4 AS r_xz,
+        |  floor(ryz * 1e4 + 0.5) / 1e4 AS r_yz,
+        |  floor((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz)
+        |    * (1.0 - ryz * ryz)) * 1e4 + 0.5) / 1e4 AS r_xy_given_z
+        |FROM r ORDER BY returnflag""".stripMargin,
+    "q_icc" ->
+      """WITH g AS (SELECT c_nationkey AS g,
+        |    CAST(round(c_acctbal) AS BIGINT) + 1000 AS c
+        |  FROM customer),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(c) AS BIGINT) AS sx,
+        |    sum(CAST(c AS HUGEINT) * c) AS sxx FROM g GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(sx) AS BIGINT) AS s, sum(sxx) AS s2,
+        |    sum(CAST(sx // n_g AS HUGEINT) * sx
+        |      + (CAST(sx % n_g AS HUGEINT) * sx) // n_g) AS sb,
+        |    sum(CAST(n_g AS HUGEINT) * n_g) AS sn2 FROM m),
+        |u AS (SELECT k, n,
+        |    CAST(sb AS DOUBLE) - CAST(CAST(s // n AS HUGEINT) * s
+        |      + (CAST(s % n AS HUGEINT) * s) // n AS DOUBLE) AS ssb,
+        |    CAST(s2 AS DOUBLE) - CAST(sb AS DOUBLE) AS ssw,
+        |    (n - CAST(sn2 AS DOUBLE) / n) / (k - 1) AS n0
+        |  FROM t),
+        |v AS (SELECT k, n, ssb / (k - 1) AS msb,
+        |    ssw / (n - k) AS msw, n0 FROM u)
+        |SELECT k, n, floor(msb * 100 + 0.5) / 100 AS msb,
+        |  floor(msw * 100 + 0.5) / 100 AS msw,
+        |  floor(n0 * 1e4 + 0.5) / 1e4 AS n0,
+        |  floor((msb - msw) / (msb + (n0 - 1) * msw) * 1e6 + 0.5)
+        |    / 1e6 AS icc1
+        |FROM v""".stripMargin,
+    "q_hellinger_bc" ->
+      """WITH b AS (SELECT
+        |    least(19, CAST(round(value * 10000) AS BIGINT) // 300000)
+        |      AS bin,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS p
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase')
+        |    AND value IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(sum(c) AS BIGINT) AS nc, CAST(sum(p) AS BIGINT) AS np,
+        |    CAST(sum(CAST(floor(sqrt(CAST(c * p AS DOUBLE)) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS t6
+        |  FROM b)
+        |SELECT n_bins, nc, np,
+        |  floor(CAST(t6 AS DOUBLE) / 1e6
+        |    / sqrt(CAST(nc AS DOUBLE) * np) * 1e6 + 0.5) / 1e6
+        |    AS bhattacharyya,
+        |  floor(sqrt(1.0 - CAST(t6 AS DOUBLE) / 1e6
+        |    / sqrt(CAST(nc AS DOUBLE) * np)) * 1e6 + 0.5) / 1e6
+        |    AS hellinger
+        |FROM t""".stripMargin,
+    "q_anderson_darling" ->
+      """WITH secs AS (SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT)
+        |      AS t FROM events WHERE event_type = 'purchase'),
+        |g0 AS (SELECT t - lag(t) OVER (ORDER BY t) AS gap FROM secs),
+        |gg AS (SELECT gap FROM g0 WHERE gap IS NOT NULL),
+        |r AS (SELECT gap, row_number() OVER (ORDER BY gap) AS i,
+        |    count(*) OVER () AS n FROM gg),
+        |l AS (SELECT CAST(count(*) AS BIGINT) AS _n,
+        |    CAST(sum(gap) AS BIGINT) AS _sx FROM gg),
+        |term AS (SELECT n, _sx,
+        |    CAST(floor(((2 * i - 1)
+        |      * ln(1.0 - exp(-(CAST(_n AS DOUBLE) / _sx * gap)))
+        |      + (2 * n - 2 * i + 1)
+        |      * (-(CAST(_n AS DOUBLE) / _sx * gap))) * 1e6 / n)
+        |      AS BIGINT) AS t6
+        |  FROM r, l)
+        |SELECT CAST(max(n) AS BIGINT) AS n_gaps,
+        |  CAST(max(_sx) AS BIGINT) AS sum_gap_s,
+        |  floor(CAST(max(n) AS DOUBLE) / max(_sx) * 1e6 + 0.5) / 1e6
+        |    AS lambda,
+        |  floor((-max(n) - sum(t6) / 1e6) * 1e4 + 0.5) / 1e4 AS a2_stat,
+        |  (-max(n) - sum(t6) / 1e6) > 1.321
+        |    AS reject_exponential_5pct
+        |FROM term""".stripMargin,
     "q_obv" ->
       """WITH daily AS (
         |  SELECT CAST(l_shipdate AS DATE) AS day,

@@ -1687,4 +1687,200 @@ object Stats {
         (expr("CAST(ss2 AS DOUBLE) / (CAST(se2 AS DOUBLE) * n_days)")
           > 0.463).as("reject_stationarity_5pct"))
   }
+
+  /** Mood's median test: do the nation groups share a common median
+    * account balance? The GLOBAL low median (exact cent lattice,
+    * tie-broken by custkey — [[qBrownForsythe]]'s selection
+    * convention, ranged [[Ranks.groupRowNumber]] with no single-task
+    * sort) splits every nation into above / at-or-below counts, and
+    * the k×2 contingency table gets the [[Mining.qChiSquare]]
+    * treatment: expected counts 6-dp pre-rounded, contributions and
+    * χ² at 4 — doubles only over identical integers. */
+  def qMoodsMedian(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("g"), col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+    val med = Ranks.groupRowNumber(x, Seq.empty,
+        Seq(col("v"), col("c_custkey")), "rn", "tot")
+      .filter(expr("rn = (tot + 1) div 2"))
+      .agg(min(col("v")).as("med"))
+    val cell = x.crossJoin(broadcast(med))
+      .groupBy(col("g"))
+      .agg(sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("above"),
+        sum(when(col("v") <= col("med"), 1L).otherwise(0L)).as("at_below"),
+        max(col("med")).as("median_cents"))
+    val w = Window.partitionBy()
+    cell
+      .withColumn("n_g", col("above") + col("at_below"))
+      .withColumn("n", sum(col("n_g")).over(w))
+      .withColumn("ta", sum(col("above")).over(w))
+      .withColumn("tb", sum(col("at_below")).over(w))
+      .withColumn("ea", rnd(col("n_g").cast("double") * col("ta")
+        / col("n"), 6))
+      .withColumn("eb", rnd(col("n_g").cast("double") * col("tb")
+        / col("n"), 6))
+      .withColumn("contrib", rnd(
+        pow(col("above") - col("ea"), 2) / col("ea") +
+          pow(col("at_below") - col("eb"), 2) / col("eb"), 4))
+      .withColumn("chi2", rnd(sum(col("contrib")).over(w), 4))
+      .select(col("g").as("nationkey"), col("median_cents"),
+        col("above"), col("at_below"), col("contrib"), col("chi2"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** First-order partial correlation r(qty, price | discount) per
+    * return flag — does quantity correlate with line price once the
+    * discount channel is held fixed? All nine cross moments are one
+    * map-side-combinable aggregation on exact lattices (qty units,
+    * price cents, discount pct; products on DECIMAL(38,0)⇄HUGEINT),
+    * the three pairwise r's and the partial are a constant pinned
+    * double expression per group. */
+  def qPartialCorr(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"),
+        round(col("l_discount") * 100).cast("long").as("z"))
+    def dd(c: String) = s"CAST($c AS DECIMAL(38,0))"
+    val m = x.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(expr(s"${dd("x")} * x")).as("sxx"),
+        sum(expr(s"${dd("y")} * y")).as("syy"),
+        sum(expr(s"${dd("z")} * z")).as("szz"),
+        sum(expr(s"${dd("x")} * y")).as("sxy"),
+        sum(expr(s"${dd("x")} * z")).as("sxz"),
+        sum(expr(s"${dd("y")} * z")).as("syz"))
+    def r(ab: String, a: String, b: String, aa: String, bb: String) =
+      s"""(CAST(n AS DOUBLE) * CAST($ab AS DOUBLE)
+         |  - CAST(s$a AS DOUBLE) * CAST(s$b AS DOUBLE))
+         | / sqrt((CAST(n AS DOUBLE) * CAST($aa AS DOUBLE)
+         |    - CAST(s$a AS DOUBLE) * CAST(s$a AS DOUBLE))
+         |  * (CAST(n AS DOUBLE) * CAST($bb AS DOUBLE)
+         |    - CAST(s$b AS DOUBLE) * CAST(s$b AS DOUBLE)))"""
+        .stripMargin.replace("\n", " ")
+    m.withColumn("rxy", expr(r("sxy", "x", "y", "sxx", "syy")))
+      .withColumn("rxz", expr(r("sxz", "x", "z", "sxx", "szz")))
+      .withColumn("ryz", expr(r("syz", "y", "z", "syy", "szz")))
+      .select(col("g").as("returnflag"), col("n"),
+        rnd(col("rxy"), 4).as("r_xy"),
+        rnd(col("rxz"), 4).as("r_xz"),
+        rnd(col("ryz"), 4).as("r_yz"),
+        rnd((col("rxy") - col("rxz") * col("ryz")) /
+          sqrt((lit(1.0) - col("rxz") * col("rxz")) *
+            (lit(1.0) - col("ryz") * col("ryz"))), 4)
+          .as("r_xy_given_z"))
+      .orderBy(col("returnflag"))
+  }
+
+  /** Intraclass correlation ICC(1) of account balance across nation
+    * groups — how much of the variance is BETWEEN nations
+    * (one-way random-effects reliability, the agreement companion to
+    * [[Mining.qAnovaF]]). MSB/MSW from the same whole-dollar exact
+    * moments (Σx long, Σx² and Σ⌊S²/n⌋ on DECIMAL(38,0)); the
+    * unequal-group-size correction n₀ = (N − Σn_g²/N)/(k−1) and the
+    * ICC are a pinned double tail. */
+  def qIcc(s: SparkSession, d: String): DataFrame = {
+    // +1000 shift keeps every dollar value (floor ≥ −1000) and hence
+    // every div numerator non-negative (variance/ICC are
+    // shift-invariant; DuckDB // floors while Spark div truncates —
+    // they agree only on non-negative numerators)
+    val g = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("g"),
+        (round(col("c_acctbal")).cast("long") + 1000L).as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("sx"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sxx"))
+    val t = g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("sx")).as("s"), sum(col("sxx")).as("s2"),
+        sum(expr("CAST(sx div n_g AS DECIMAL(38,0)) * sx" +
+          " + (CAST(sx % n_g AS DECIMAL(38,0)) * sx) div n_g"))
+          .as("sb"),
+        sum(expr("CAST(n_g AS DECIMAL(38,0)) * n_g")).as("sn2"))
+      .withColumn("ssb", expr(
+        "CAST(sb AS DOUBLE) - CAST(CAST(s div n AS DECIMAL(38,0)) * s" +
+          " + (CAST(s % n AS DECIMAL(38,0)) * s) div n AS DOUBLE)"))
+      .withColumn("ssw", expr("CAST(s2 AS DOUBLE) - CAST(sb AS DOUBLE)"))
+      .withColumn("msb", col("ssb") / (col("k") - 1))
+      .withColumn("msw", col("ssw") / (col("n") - col("k")))
+      .withColumn("n0", (col("n") -
+        expr("CAST(sn2 AS DOUBLE)") / col("n")) / (col("k") - 1))
+    t.select(col("k"), col("n"), rnd(col("msb"), 2).as("msb"),
+      rnd(col("msw"), 2).as("msw"), rnd(col("n0"), 4).as("n0"),
+      rnd((col("msb") - col("msw")) /
+        (col("msb") + (col("n0") - 1) * col("msw")), 6).as("icc1"))
+  }
+
+  /** Bhattacharyya coefficient + Hellinger distance between the
+    * click and purchase VALUE distributions over a fixed 20-bin grid
+    * (30-unit bins on the e4 value lattice — integer-exact bin
+    * assignment, the [[Profiling.qPsiDrift]] histogram discipline).
+    * Each bin's √(c·p) is FIXED to the micro lattice
+    * (floor(√(c·p)·10⁶) — sqrt of an identical long product is one
+    * correctly-rounded IEEE op), so the cross-bin fold is an
+    * order-free long sum; BC normalizes by √(n_c·n_p) and
+    * H = √(1−BC) in the double tail. */
+  def qHellingerBc(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("value").isNotNull)
+      .select(col("event_type"),
+        least(lit(19L), expr(
+          "CAST(round(value * 10000) AS BIGINT) div 300000")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("p"))
+    b.agg(count(lit(1)).as("n_bins"),
+        sum(col("c")).as("nc"), sum(col("p")).as("np"),
+        sum(floor(sqrt((col("c") * col("p")).cast("double")) * 1e6)
+          .cast("long")).as("t6"))
+      .select(col("n_bins"), col("nc"), col("np"),
+        rnd(expr("CAST(t6 AS DOUBLE) / 1e6" +
+          " / sqrt(CAST(nc AS DOUBLE) * np)"), 6).as("bhattacharyya"),
+        rnd(sqrt(lit(1.0) - expr("CAST(t6 AS DOUBLE) / 1e6" +
+          " / sqrt(CAST(nc AS DOUBLE) * np)")), 6).as("hellinger"))
+  }
+
+  /** Anderson–Darling goodness-of-fit of purchase inter-arrival gaps
+    * against the fitted exponential — the tail-sensitive EDF test
+    * beside the KS and Cramér–von Mises keys. Gaps are exact second
+    * longs (distinct purchase seconds ⇒ strictly positive); order
+    * statistics ride the ranged [[Ranks.groupRowNumber]]; λ = n/Σx is
+    * one rational; each order-statistic term
+    * (2i−1)·lnF(xᵢ) + (2n−2i+1)·lnS(xᵢ) is computed on identical
+    * doubles and FIXED to the micro lattice pre-divided by n
+    * (floor(term·10⁶/n) — the shared-quantization contract: both
+    * engines floor the same doubles, and the ≤n·10⁻⁶ shared bias sits
+    * far below the statistic's scale), so the fold is an order-free
+    * long sum; A² is the double tail. */
+  def qAndersonDarling(s: SparkSession, d: String): DataFrame = {
+    val secs = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(unix_timestamp(col("ts")).as("t")).distinct()
+    val ord = Window.orderBy(col("t"))
+    val gaps = secs
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(ord))
+      .filter(col("gap").isNotNull)
+      .select(col("gap"))
+    val ranked = Ranks.groupRowNumber(gaps, Seq.empty,
+      Seq(col("gap")), "i", "n")
+    val lam = gaps.agg(count(lit(1)).as("_n"), sum(col("gap")).as("_sx"))
+    ranked.crossJoin(broadcast(lam))
+      .withColumn("lx", expr("CAST(_n AS DOUBLE) / _sx * gap"))
+      .withColumn("term",
+        (lit(2) * col("i") - 1) * log(lit(1.0) - exp(-col("lx"))) +
+          (lit(2) * col("n") - lit(2) * col("i") + 1) * (-col("lx")))
+      .withColumn("t6", floor(col("term") * 1e6 / col("n")).cast("long"))
+      .agg(max(col("n")).as("n_gaps"), max(col("_sx")).as("sum_gap_s"),
+        sum(col("t6")).as("_s6"))
+      .select(col("n_gaps"), col("sum_gap_s"),
+        rnd(expr("CAST(n_gaps AS DOUBLE) / sum_gap_s"), 6).as("lambda"),
+        rnd(-col("n_gaps") - expr("CAST(_s6 AS DOUBLE) / 1e6"), 4)
+          .as("a2_stat"),
+        (-col("n_gaps") - expr("CAST(_s6 AS DOUBLE) / 1e6") > 1.321)
+          .as("reject_exponential_5pct"))
+  }
 }

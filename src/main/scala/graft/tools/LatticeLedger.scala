@@ -214,7 +214,18 @@ object LatticeLedger {
       2555 * 1e8),
     Site("q_parkinson_vol", "ops/Behavior.scala",
       "monthly Σ⌊ln²(H/L)·1e12⌋ ≤ 31·(ln 1e9)²·1e12",
-      31 * 441 * 1e12))
+      31 * 441 * 1e12),
+    Site("q_icc", "ops/Stats.scala",
+      "Σsx LONG over shifted dollars ≤ N·1.1e4 (rest pure DECIMAL)",
+      CUST * 1.1e4),
+    Site("q_hellinger_bc", "ops/Stats.scala",
+      "per-bin c·p LONG product ≤ (EV/2)²; Σ⌊√(cp)·1e6⌋ ≤ 20·EV·1e6/2",
+      EV / 2 * EV / 2),
+    Site("q_anderson_darling", "ops/Stats.scala",
+      "Σ⌊term·1e6/n⌋: n calendar-capped (distinct seconds ≤ 2.6e6); " +
+        "Σ(2n−2j+1)λx_j/n ≤ 2n and Σ(2j−1)|lnF_j|/n ≤ 2n·ln n " +
+        "⇒ Σ|t6| ≤ 2n·(1+ln n)·1e6",
+      2 * 2.6e6 * 16 * 1e6))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and
@@ -228,7 +239,7 @@ object LatticeLedger {
     "ops/PipelineQueries.scala" -> 14,
     "ops/Profiling.scala" -> 6,
     "ops/Series.scala" -> 37,
-    "ops/Stats.scala" -> 88,
+    "ops/Stats.scala" -> 97,
     "streaming/Events.scala" -> 5,
     "dedup/Components.scala" -> 1)
 }

@@ -238,6 +238,82 @@ class Round16Spec extends SparkSuite {
     assert(gotP == wantP, "parkinson != replay")
   }
 
+  test("stats pack (Mood's median / partial corr / ICC / " +
+      "Hellinger-BC / Anderson-Darling) matches naive replays") {
+    val d = "/root/testdata/sf0.001"
+
+    // Mood's median: global low median + k×2 chi2 replay
+    val cust = graft.sources.Tables.customer(spark, d)
+      .select(col("c_nationkey").cast("long"), col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sorted = cust.sortBy(c => (c._3, c._2))
+    val med = sorted((sorted.length + 1) / 2 - 1)._3
+    val byNation = cust.groupBy(_._1).toSeq.sortBy(_._1)
+    val wantAb = byNation.map { case (g, xs) =>
+      (g, xs.count(_._3 > med).toLong, xs.count(_._3 <= med).toLong) }
+    val gotM = graft.ops.Stats.qMoodsMedian(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotM == wantAb, "moods median census != replay")
+
+    // ICC: brute one-way ANOVA replay on the shifted dollar lattice
+    val dollars = graft.sources.Tables.customer(spark, d)
+      .select(col("c_nationkey").cast("long"),
+        expr("CAST(round(c_acctbal) AS BIGINT) + 1000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val gs = dollars.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val k = gs.length; val n = dollars.length
+    val mean = dollars.map(_._2).sum.toDouble / n
+    val ssb = gs.map(g => g.length *
+      math.pow(g.sum.toDouble / g.length - mean, 2)).sum
+    val ssw = gs.map(g => { val m = g.sum.toDouble / g.length
+      g.map(x => math.pow(x - m, 2)).sum }).sum
+    val msb = ssb / (k - 1); val msw = ssw / (n - k)
+    val n0 = (n - gs.map(g => math.pow(g.length, 2)).sum / n) / (k - 1)
+    val wantIcc = (msb - msw) / (msb + (n0 - 1) * msw)
+    val gotIcc = graft.ops.Stats.qIcc(spark, d).collect()(0)
+      .getAs[Double]("icc1")
+    assert(math.abs(gotIcc - wantIcc) < 1e-4,
+      s"icc $gotIcc != replay $wantIcc (integer-division slack < 1e-4)")
+
+    // Hellinger: distance in [0,1], BC in [0,1], BC+H consistency
+    val h = graft.ops.Stats.qHellingerBc(spark, d).collect()(0)
+    val (bc, hd) = (h.getAs[Double]("bhattacharyya"),
+      h.getAs[Double]("hellinger"))
+    assert(bc > 0 && bc <= 1 && hd >= 0 && hd < 1)
+    assert(math.abs(hd - math.sqrt(1 - bc)) < 1e-4)
+
+    // partial corr: |r| bounds + formula consistency from its own rs
+    graft.ops.Stats.qPartialCorr(spark, d).collect().foreach { r =>
+      val (rxy, rxz, ryz, rp) = (r.getAs[Double]("r_xy"),
+        r.getAs[Double]("r_xz"), r.getAs[Double]("r_yz"),
+        r.getAs[Double]("r_xy_given_z"))
+      assert(math.abs(rp) <= 1.0001 && math.abs(rxy) <= 1.0001)
+      val want = (rxy - rxz * ryz) /
+        math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+      assert(math.abs(rp - want) < 2e-3,
+        s"partial corr $rp != recomposed $want")
+    }
+
+    // Anderson-Darling: replay the fold in-JVM
+    val secs = graft.sources.Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select(unix_timestamp(col("ts"))).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val gaps = secs.sliding(2).map(p => p(1) - p(0)).toArray.sorted
+    val nn = gaps.length; val lam = nn.toDouble / gaps.map(BigInt(_)).sum.toDouble
+    val s6 = gaps.zipWithIndex.map { case (x, j0) =>
+      val j = j0 + 1
+      val term = (2 * j - 1) * math.log(1 - math.exp(-lam * x)) +
+        (2L * nn - 2 * j + 1) * (-lam * x)
+      math.floor(term * 1e6 / nn).toLong
+    }.sum
+    val wantA2 = math.floor((-nn - s6 / 1e6) * 1e4 + 0.5) / 1e4
+    val gotA2 = graft.ops.Stats.qAndersonDarling(spark, d).collect()(0)
+      .getAs[Double]("a2_stat")
+    assert(gotA2 == wantA2, s"AD $gotA2 != replay $wantA2")
+  }
+
   test("dedup_short_spans catches EVERY planted 30-char boilerplate " +
       "doc — the detection guarantee the coarse 50/10 grid lacks") {
     val d = "/root/testdata/sf0.001"
