@@ -1032,6 +1032,9 @@ object SparkEntry {
     "engine_index_covering" -> (JsonQueries.engineIndexCovering _),
     "multimodal_wbmp_codec" -> (PipelineQueries.multimodalWbmpCodec _),
     "multimodal_pnm_codec" -> (PipelineQueries.multimodalPnmCodec _),
+    "text_yule_richness" -> (PipelineQueries.textYuleRichness _),
+    "text_msttr" -> (PipelineQueries.textMsttr _),
+    "text_burrows_delta" -> (PipelineQueries.textBurrowsDelta _),
     "text_simpson_diversity" ->
       (PipelineQueries.textSimpsonDiversity _),
     "q_adamic_adar" -> (Mining.qAdamicAdar _),
@@ -9620,6 +9623,73 @@ object SparkEntry {
         |FROM rk WHERE rk <= 20 ORDER BY rk""".stripMargin,
     // per-doc D micro-fixed by floor-division (// = Spark div on
     // non-negatives); pooled D divides the HUGEINT census sums once
+    "text_yule_richness" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+        |m AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v1,
+        |    sum(CAST(c AS HUGEINT) * c) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT source, n, v, v1,
+        |  floor(1e4 * (CAST(s2 AS DOUBLE) - n)
+        |    / (CAST(n AS DOUBLE) * n) * 1e4 + 0.5) / 1e4 AS yule_k,
+        |  floor(CAST(v AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) * 1e4
+        |    + 0.5) / 1e4 AS guiraud_r,
+        |  floor(100 * ln(CAST(n AS DOUBLE)) / nullif(1.0
+        |    - CAST(v1 AS DOUBLE) / v, 0.0) * 100 + 0.5) / 100
+        |    AS honore_h
+        |FROM m ORDER BY source""".stripMargin,
+    "text_msttr" ->
+      """WITH tk AS (SELECT source, doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+        |    generate_subscripts(
+        |      regexp_split_to_array(trim(text), '\s+'), 1) - 1 AS pos
+        |  FROM documents),
+        |seg AS (SELECT source, doc_id, pos // 50 AS seg,
+        |    CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM tk WHERE tok <> '' GROUP BY 1, 2, 3),
+        |f AS (SELECT source, v * 200 AS ttr_bp FROM seg
+        |  WHERE n_tok = 50)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_segments,
+        |  floor(CAST(sum(ttr_bp) AS DOUBLE) / count(*) * 100 + 0.5)
+        |    / 100 AS mean_ttr_bp
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_burrows_delta" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |t0 AS (SELECT source, tok FROM tk WHERE tok <> ''),
+        |top AS (SELECT tok FROM (SELECT tok, count(*) AS ct FROM t0
+        |    GROUP BY 1) ORDER BY ct DESC, tok LIMIT 20),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM t0 GROUP BY 1),
+        |cw AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM t0 WHERE tok IN (SELECT tok FROM top) GROUP BY 1, 2),
+        |f AS (SELECT ns.source, top.tok,
+        |    (coalesce(cw.c, 0) * 1000000) // ns.n_s AS f6
+        |  FROM ns CROSS JOIN top
+        |  LEFT JOIN cw ON cw.source = ns.source AND cw.tok = top.tok),
+        |z AS (SELECT source, tok,
+        |    CAST(floor((CAST(count(*) OVER (PARTITION BY tok)
+        |        AS DOUBLE) * f6 - sum(f6) OVER (PARTITION BY tok))
+        |      / nullif(sqrt(CAST(count(*) OVER (PARTITION BY tok)
+        |          AS DOUBLE) * sum(f6 * f6) OVER (PARTITION BY tok)
+        |        - CAST(sum(f6) OVER (PARTITION BY tok) AS DOUBLE)
+        |          * sum(f6) OVER (PARTITION BY tok)), 0.0)
+        |      * 1e6) AS BIGINT) AS z6
+        |  FROM f)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  floor(CAST(sum(abs(a.z6 - b.z6)) AS DOUBLE) / count(*)
+        |    / 1e6 * 1e6 + 0.5) / 1e6 AS delta
+        |FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_simpson_diversity" ->
       """WITH tk AS (
         |  SELECT doc_id, source,

@@ -3920,6 +3920,111 @@ object PipelineQueries {
     * pooled D divides DECIMAL⇄HUGEINT census sums once. Two grouped
     * rollups over the token census — 100 TB-shaped like
     * text_vocab_idf. */
+  /** Classical vocabulary-richness indexes per source — Yule's K
+    * (repeat-rate, via the frequency-spectrum identity Σm²Vₘ = Σc²),
+    * Guiraud's R = V/√N and Honoré's H = 100·ln N/(1−V₁/V) (hapax
+    * weight) — the closed-form companions to [[textHeapsLaw]]'s
+    * growth fit and text_chao1_richness's coverage bound. One token
+    * census per source (Σc² on DECIMAL(38,0)⇄HUGEINT); each index is
+    * a constant pinned double tail, ln on identical integers (the
+    * micro-nat acceptance), V₁=V guarded by nullif identically both
+    * engines. */
+  def textYuleRichness(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("v"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("v1"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+      .select(col("source"), col("n"), col("v"), col("v1"),
+        (floor(expr("1e4 * (CAST(s2 AS DOUBLE) - n)" +
+          " / (CAST(n AS DOUBLE) * n)") * 1e4 + 0.5) / 1e4)
+          .as("yule_k"),
+        (floor(expr("CAST(v AS DOUBLE) / sqrt(CAST(n AS DOUBLE))")
+          * 1e4 + 0.5) / 1e4).as("guiraud_r"),
+        (floor(expr("100 * ln(CAST(n AS DOUBLE)) / nullif(1.0" +
+          " - CAST(v1 AS DOUBLE) / v, 0.0)") * 100 + 0.5) / 100)
+          .as("honore_h"))
+      .orderBy(col("source"))
+  }
+
+  /** Mean segmental type-token ratio (MSTTR-50) per source: each
+    * doc's token stream chops into consecutive 50-token segments,
+    * full segments score TTR = V·10⁴ div 50 on the exact basis-point
+    * lattice (integer — no length-confounded raw TTR), and the
+    * source mean is one division of exact integers. The
+    * length-robust diversity readout beside text_simpson_diversity;
+    * two grouped rollups, 100 TB-shaped. */
+  def textMsttr(s: SparkSession, d: String): DataFrame = {
+    val seg = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("seg", expr("pos div 50"))
+      .groupBy(col("source"), col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("v"))
+      .filter(col("n_tok") === 50)
+      .withColumn("ttr_bp", col("v") * 200)
+    seg.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("ttr_bp")).as("_s"))
+      .select(col("source"), col("n_segments"),
+        (floor(expr("CAST(_s AS DOUBLE) / n_segments") * 100 + 0.5)
+          / 100).as("mean_ttr_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Burrows' Delta between sources — the classical stylometric
+    * attribution distance: relative frequencies of the top-20 corpus
+    * words per source (micro lattice, c·10⁶ div N), z-scored across
+    * the 20 sources per word (doubles over identical integers, then
+    * FIXED to the micro lattice so the word fold is order-free), and
+    * Δ(a,b) = mean over words of |z_a − z_b|. Corpus-scaled work is
+    * one token census; the z/Δ stage lives on the
+    * 20-source × 20-word grid. Emits the full ordered pair matrix. */
+  def textBurrowsDelta(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("tok")).limit(20)
+      .select(col("tok"))
+    val nS = tok.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val grid = nS.crossJoin(broadcast(top))
+    val f = grid.join(
+        tok.join(broadcast(top), Seq("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c")),
+        Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("source"), col("tok"),
+        expr("(c * 1000000) div n_s").as("f6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok"))
+    val z = f
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sf", sum(col("f6")).over(w))
+      .withColumn("sff", sum(col("f6") * col("f6")).over(w))
+      .withColumn("z6", floor(
+        expr("(CAST(k AS DOUBLE) * f6 - sf)" +
+          " / nullif(sqrt(CAST(k AS DOUBLE) * sff" +
+          " - CAST(sf AS DOUBLE) * sf), 0.0)")
+          * 1e6).cast("long"))
+      .select(col("source"), col("tok"), col("z6"))
+    z.as("a").join(z.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(abs(col("a.z6") - col("b.z6"))).as("_s6"))
+      .select(col("source_a"), col("source_b"), col("n_words"),
+        (floor(expr("CAST(_s6 AS DOUBLE) / n_words / 1e6") * 1e6 + 0.5)
+          / 1e6).as("delta"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def textSimpsonDiversity(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),

@@ -225,7 +225,10 @@ object LatticeLedger {
       "Σ⌊term·1e6/n⌋: n calendar-capped (distinct seconds ≤ 2.6e6); " +
         "Σ(2n−2j+1)λx_j/n ≤ 2n and Σ(2j−1)|lnF_j|/n ≤ 2n·ln n " +
         "⇒ Σ|t6| ≤ 2n·(1+ln n)·1e6",
-      2 * 2.6e6 * 16 * 1e6))
+      2 * 2.6e6 * 16 * 1e6),
+    Site("text_burrows_delta", "ops/PipelineQueries.scala",
+      "per-word Σf6² over 20 sources ≤ 20·1e12 (f6 ≤ 1e6 by def)",
+      20 * 1e12))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and
@@ -236,7 +239,7 @@ object LatticeLedger {
     "ops/Behavior.scala" -> 6,
     "ops/Mining.scala" -> 24,
     "ops/MlEval.scala" -> 8,
-    "ops/PipelineQueries.scala" -> 14,
+    "ops/PipelineQueries.scala" -> 16,
     "ops/Profiling.scala" -> 6,
     "ops/Series.scala" -> 37,
     "ops/Stats.scala" -> 97,

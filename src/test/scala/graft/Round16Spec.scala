@@ -314,6 +314,50 @@ class Round16Spec extends SparkSuite {
     assert(gotA2 == wantA2, s"AD $gotA2 != replay $wantA2")
   }
 
+  test("text richness pack (Yule/Guiraud/Honore, MSTTR, Burrows " +
+      "delta) matches naive in-JVM replays") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+
+    // Yule's K replay for one source
+    val bySrc = docs.groupBy(_._1)
+    val s0 = bySrc.keys.min
+    val cs = bySrc(s0).flatMap(d3 => toks(d3._3))
+      .groupBy(identity).map(_._2.size.toLong).toSeq
+    val (nTok, v, v1) = (cs.sum, cs.size.toLong, cs.count(_ == 1L).toLong)
+    val s2 = cs.map(c => c * c).sum
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val wantK = r4(1e4 * (s2.toDouble - nTok) / (nTok.toDouble * nTok))
+    val row = graft.ops.PipelineQueries.textYuleRichness(spark, d)
+      .filter(col("source") === s0).collect()(0)
+    assert(row.getAs[Long]("n") == nTok && row.getAs[Long]("v") == v &&
+      row.getAs[Long]("v1") == v1)
+    assert(row.getAs[Double]("yule_k") == wantK)
+
+    // MSTTR replay for the same source
+    val segTtrs = bySrc(s0).flatMap { case (_, _, t) =>
+      toks(t).grouped(50).filter(_.size == 50)
+        .map(seg => seg.distinct.size.toLong * 200L) }
+    val wantMean = math.floor(
+      segTtrs.sum.toDouble / segTtrs.size * 100 + 0.5) / 100
+    val m = graft.ops.PipelineQueries.textMsttr(spark, d)
+      .filter(col("source") === s0).collect()(0)
+    assert(m.getAs[Long]("n_segments") == segTtrs.size.toLong)
+    assert(m.getAs[Double]("mean_ttr_bp") == wantMean)
+
+    // Burrows delta: symmetry-free ordered pairs, self-consistency
+    val bd = graft.ops.PipelineQueries.textBurrowsDelta(spark, d)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("n_words"), r.getAs[Double]("delta")))
+    assert(bd.length == 190, s"20 choose 2 ordered pairs, got ${bd.length}")
+    assert(bd.forall(_._2 == 20L))
+    assert(bd.forall(p => p._3 >= 0 && p._3 < 10))
+    assert(bd.map(_._1).distinct.length == 190)
+  }
+
   test("dedup_short_spans catches EVERY planted 30-char boilerplate " +
       "doc — the detection guarantee the coarse 50/10 grid lacks") {
     val d = "/root/testdata/sf0.001"
