@@ -351,6 +351,31 @@ class Engine(spark: SparkSession, warehouse: String,
     saveAll(tables, rels, table, Seq.empty)
   }
 
+  /** [[save]] with a declared CHECK constraint (the reference's
+    * SQLite `CHECK` clause as a save-time data-quality gate): rows
+    * whose predicate evaluates to FALSE are diverted to the
+    * quarantine table `<table>__rejects` instead of poisoning the
+    * save — SQLite's NULL-passes semantics exactly (a NULL check is
+    * NOT a violation). Both tables publish through the SAME
+    * one-marker atomic commit, so a reader never sees accepted rows
+    * without their quarantined complement. Flat documents only: a
+    * nested shred would collide child-table names between the two
+    * roots. Returns the tables written. */
+  def saveChecked(docs: DataFrame, table: String,
+      check: String): Seq[String] = {
+    require(!docs.schema.fields.exists(f => f.dataType match {
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType => true
+      case _ => false
+    }), "saveChecked: flat documents only (nested shred would " +
+      "collide child-table names between accepted and rejected roots)")
+    val pred = expr(check)
+    val ok = docs.filter(!(pred <=> lit(false)))
+    val bad = docs.filter(pred <=> lit(false))
+    saveAll(Map(table -> ok, s"${table}__rejects" -> bad),
+      Seq.empty, table, Seq.empty)
+  }
+
   /** [[save]] with the ROOT table hive-partitioned on `partCols` —
     * the warehouse-native layout for predicate-heavy access: a filter
     * on a partition column prunes whole directories at the scan

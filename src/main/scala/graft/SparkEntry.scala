@@ -1083,6 +1083,10 @@ object SparkEntry {
     "engine_atomic_save" -> (JsonQueries.engineAtomicSave _),
     "engine_rename" -> (JsonQueries.engineRename _),
     "engine_alter_column" -> (JsonQueries.engineAlterColumn _),
+    "engine_check_constraint" -> (JsonQueries.engineCheckConstraint _),
+    "dedup_cross_source" -> (PipelineQueries.dedupCrossSource _),
+    "embed_participation_ratio" ->
+      (PipelineQueries.embedParticipationRatio _),
     "q_youden_j" -> (MlEval.qYoudenJ _),
     "stream_corr_matrix" ->
       (graft.streaming.Events.streamCorrMatrix _),
@@ -7244,6 +7248,16 @@ object SparkEntry {
          |  FROM p)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+    "dedup_cross_source" ->
+      s"""WITH RECURSIVE ${pairEdgeCtes("documents")},
+         |keep AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+         |cs AS (SELECT DISTINCT k.keeper, d.source
+         |  FROM keep k JOIN documents d ON d.doc_id = k.id)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_clusters
+         |FROM cs a JOIN cs b
+         |  ON a.keeper = b.keeper AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${pairEdgeCtes("documents")}
          |SELECT id, min(r) AS keeper FROM reach GROUP BY id
@@ -8713,6 +8727,23 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // mid-commit readout (marker live, data dir not yet moved) and the
     // final readout must BOTH be the source truth
+    "engine_check_constraint" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN o_totalprice < 400000
+        |    AND o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ok,
+        |  CAST(sum(CASE WHEN o_totalprice < 400000
+        |    AND o_orderstatus IN ('O', 'F', 'P')
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS ok_cents,
+        |  CAST(sum(CASE WHEN NOT (o_totalprice < 400000
+        |    AND o_orderstatus IN ('O', 'F', 'P')) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_rejected,
+        |  CAST(sum(CASE WHEN NOT (o_totalprice < 400000
+        |    AND o_orderstatus IN ('O', 'F', 'P'))
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS rej_cents
+        |FROM orders""".stripMargin,
     "engine_alter_column" ->
       """SELECT 'o_orderstatus,price,rowNum' AS schema_cols,
         |  count(*) AS n_rows,
@@ -9339,6 +9370,38 @@ object SparkEntry {
     // e6-quantized components re-normalized against each vector's
     // EXACT integer norm: every fold below is integer, and the
     // pairwise mean comes from the sum-of-sums identity
+    "embed_participation_ratio" ->
+      """WITH x AS (SELECT vec_id,
+        |    CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5)
+        |      AS BIGINT) AS xv,
+        |    unnest(range(0, len(embedding))) AS dim
+        |  FROM embeddings),
+        |cells AS (SELECT a.dim AS i, b.dim AS j,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.xv) AS BIGINT) AS si,
+        |    CAST(sum(b.xv) AS BIGINT) AS sj,
+        |    sum(CAST(a.xv AS HUGEINT) * b.xv) AS sij
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+        |  GROUP BY 1, 2),
+        |c AS (SELECT i, j,
+        |    CAST(floor(CAST(CAST(n AS HUGEINT) * sij
+        |      - CAST(si AS HUGEINT) * sj AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS c12
+        |  FROM cells),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN i = j THEN c12 END) AS BIGINT) AS tr6,
+        |    sum((CASE WHEN i = j THEN 1 ELSE 2 END)
+        |      * CAST(c12 AS HUGEINT) * c12) AS tr2,
+        |    max(i) AS dmax
+        |  FROM c)
+        |SELECT CAST(dmax + 1 AS BIGINT) AS dims,
+        |  floor(CAST(tr6 AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6
+        |    AS trace_c,
+        |  floor(CAST(tr6 AS DOUBLE) * tr6 / CAST(tr2 AS DOUBLE) * 1e4
+        |    + 0.5) / 1e4 AS participation_ratio,
+        |  floor(CAST(tr6 AS DOUBLE) * tr6 / CAST(tr2 AS DOUBLE)
+        |    / (dmax + 1) * 1e6 + 0.5) / 1e6 AS pr_normalized
+        |FROM t""".stripMargin,
     "embed_isotropy" ->
       """WITH c AS (SELECT vec_id,
         |    unnest(range(0, len(embedding))) AS dim,

@@ -892,6 +892,37 @@ object JsonQueries {
       lit(fin._2).as("final_cents"), lit(fin._3).as("final_rev"))
   }
 
+  /** Save-time CHECK constraint through the facade (the reference's
+    * SQLite CHECK clause): orders save under
+    * `o_totalprice < 400000 AND o_orderstatus IN ('O','F','P')`;
+    * violating rows land in the quarantine table `ord_chk__rejects`
+    * through the SAME one-marker atomic commit (old-everything /
+    * new-everything holds across the pair). The readout censuses both
+    * tables — counts and exact cents — and proves conservation
+    * (accepted + rejected = source); the oracle replays the split
+    * from the raw source. */
+  def engineCheckConstraint(s: SparkSession, d: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("graft_engine_chk").toString
+    val eng = new graft.Engine(s, wh)
+    val docs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("rowNum"), col("o_orderstatus"),
+        col("o_totalprice"))
+    eng.saveChecked(docs, "ord_chk",
+      "o_totalprice < 400000 AND o_orderstatus IN ('O', 'F', 'P')")
+    val r = eng.sql("""SELECT
+        (SELECT count(*) FROM ord_chk) AS n_ok,
+        (SELECT coalesce(sum(CAST(round(o_totalprice * 100, 0)
+           AS BIGINT)), 0) FROM ord_chk) AS ok_cents,
+        (SELECT count(*) FROM ord_chk__rejects) AS n_rejected,
+        (SELECT coalesce(sum(CAST(round(o_totalprice * 100, 0)
+           AS BIGINT)), 0) FROM ord_chk__rejects) AS rej_cents""")
+      .collect()(0)
+    s.range(1).select(
+      lit(r.getLong(0)).as("n_ok"), lit(r.getLong(1)).as("ok_cents"),
+      lit(r.getLong(2)).as("n_rejected"),
+      lit(r.getLong(3)).as("rej_cents"))
+  }
+
   /** ALTER-COLUMN verbs through the facade (r15 verdict order #4;
     * reference: SQLite's ALTER TABLE RENAME/DROP COLUMN — parquet
     * columns are physical, so each verb is a staged projection

@@ -136,6 +136,80 @@ object PipelineQueries {
       .orderBy(col("id"))
   }
 
+  /** Round-half-up to `dp` decimals via the explicit floor lattice
+    * (identical both engines). */
+  private def rnd(c: org.apache.spark.sql.Column, dp: Int) = {
+    val sc = math.pow(10, dp)
+    floor(c * sc + 0.5) / sc
+  }
+
+  /** Cross-source duplication matrix — which source PAIRS share
+    * near-dup clusters (the corpus-contamination readout a mixture
+    * designer needs before weighting sources): every LSH cluster
+    * ([[dedupClusters]]' verified-pairs machinery, shared frame) maps
+    * to its distinct source set, and each ordered source pair counts
+    * the clusters containing docs from BOTH. The pair stage runs on
+    * the |clusters|×|sources| frame — nothing corpus-scaled beyond
+    * the shared LSH pass. */
+  def dedupCrossSource(s: SparkSession, d: String): DataFrame = {
+    val labels = graft.dedup.Components.keepers(lshPairsFor(s, d))
+    val src = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("source"))
+    val cs = labels.join(src, "id")
+      .select(col("keeper"), col("source")).distinct()
+    cs.as("a").join(cs.as("b"),
+        col("a.keeper") === col("b.keeper") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Participation ratio of the embedding covariance spectrum —
+    * PR = (tr C)²/tr C² = (Σλ)²/Σλ², the eigenvalue-free effective
+    * dimensionality (how many directions the embedding space really
+    * uses; PR/d → 1 is isotropic, → 1/d is collapsed) beside
+    * [[embedIsotropy]]'s top-eigenvalue probe. The full 64×64
+    * covariance comes from ONE generator pass (per-row upper-triangle
+    * products on the e6 lattice, map-side combined to 2080 cells —
+    * no self-join, nothing corpus-scaled shuffles); each C_ij is
+    * FIXED to the pico lattice by floor on identical doubles (num is
+    * exact DECIMAL both engines; negative covariances make div
+    * unusable — floor(x) agrees both engines on either sign), and
+    * both traces fold those integers exactly. */
+  def embedParticipationRatio(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(expr("transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+        " x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))").as("x6"))
+    val cells = v
+      .select(posexplode(col("x6")).as(Seq("i", "xi")), col("x6"))
+      .select(col("i"), col("xi"),
+        posexplode(col("x6")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("si"),
+        sum(col("xj")).as("sj"),
+        sum(expr("CAST(xi AS DECIMAL(38,0)) * xj")).as("sij"))
+      .withColumn("c12", floor(
+        // x6 products already carry the 1e12 scale (x6 = x·1e6), so
+        // num/n² IS the raw covariance in pico units
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sij" +
+          " - CAST(si AS DECIMAL(38,0)) * sj AS DOUBLE)") /
+          (col("n").cast("double") * col("n"))).cast("long"))
+    cells.agg(
+        sum(when(col("i") === col("j"), col("c12"))).as("tr6"),
+        sum(expr("(CASE WHEN i = j THEN 1 ELSE 2 END)" +
+          " * CAST(c12 AS DECIMAL(38,0)) * c12")).as("tr2"),
+        max(col("i")).as("_dmax"))
+      .select((col("_dmax") + 1).cast("long").as("dims"),
+        rnd(expr("CAST(tr6 AS DOUBLE) / 1e12"), 6).as("trace_c"),
+        rnd(expr("CAST(tr6 AS DOUBLE) * tr6 / CAST(tr2 AS DOUBLE)"), 4)
+          .as("participation_ratio"),
+        rnd(expr("CAST(tr6 AS DOUBLE) * tr6 / CAST(tr2 AS DOUBLE)" +
+          " / (_dmax + 1)"), 6).as("pr_normalized"))
+  }
+
   /** Exact n-gram Jaccard similarity on adjacent-id pairs (the
     * SQL-verifiable window into the pairwise similarity kernel). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {

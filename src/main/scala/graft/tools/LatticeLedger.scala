@@ -228,7 +228,11 @@ object LatticeLedger {
       2 * 2.6e6 * 16 * 1e6),
     Site("text_burrows_delta", "ops/PipelineQueries.scala",
       "per-word Σf6² over 20 sources ≤ 20·1e12 (f6 ≤ 1e6 by def)",
-      20 * 1e12))
+      20 * 1e12),
+    Site("embed_participation_ratio", "ops/PipelineQueries.scala",
+      "Σx6 LONG per dim pair ≤ n·3e6 (x6 ≤ 3e6; Σx6x6 is DECIMAL); " +
+        "c12 = cov·1e12 ≤ 9e12 value-bounded",
+      2e7 * 3e6))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and
@@ -239,7 +243,7 @@ object LatticeLedger {
     "ops/Behavior.scala" -> 6,
     "ops/Mining.scala" -> 24,
     "ops/MlEval.scala" -> 8,
-    "ops/PipelineQueries.scala" -> 16,
+    "ops/PipelineQueries.scala" -> 20,
     "ops/Profiling.scala" -> 6,
     "ops/Series.scala" -> 37,
     "ops/Stats.scala" -> 97,

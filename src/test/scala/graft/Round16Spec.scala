@@ -374,6 +374,81 @@ class Round16Spec extends SparkSuite {
     // (the fine grid's guarantee is 23 <= 30, hence the catch above)
   }
 
+  test("saveChecked quarantines CHECK violations atomically, passes " +
+      "NULL checks (SQLite semantics), refuses nested docs") {
+    val wh = graft.util.Scratch.dir("graft_r16_chk").toString
+    val eng = new Engine(spark, wh)
+    val reader = new Engine(spark, wh)
+    val docs = Seq((1L, 10.0), (2L, -5.0), (3L, 99.0))
+      .toDF("rowNum", "amount")
+      .union(Seq((4L, Option.empty[Double]).asInstanceOf[(Long, Option[Double])])
+        .toDF("rowNum", "amount"))
+    eng.beforeMark = () => {
+      // pre-commit: NEITHER table visible yet (atomic pair commit)
+      intercept[Exception] { reader.table("chk").count() }
+    }
+    eng.saveChecked(docs, "chk", "amount >= 0")
+    eng.beforeMark = () => ()
+    val ok = eng.table("chk").select("rowNum").as[Long]
+      .collect().toSet
+    val bad = eng.table("chk__rejects").select("rowNum").as[Long]
+      .collect().toSet
+    assert(ok == Set(1L, 3L, 4L), "NULL check passes (SQLite CHECK)")
+    assert(bad == Set(2L))
+    intercept[IllegalArgumentException] {
+      eng.saveChecked(Seq((1L, Seq(1L))).toDF("rowNum", "kids"),
+        "nested", "rowNum > 0")
+    }
+  }
+
+  test("embed_participation_ratio matches a brute in-JVM covariance " +
+      "spectrum replay") {
+    val d = "/root/testdata/sf0.001"
+    val vecs = graft.sources.Tables.embeddings(spark, d)
+      .select(expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .collect().map(_.getSeq[Double](0).toArray
+        .map(x => math.floor(x * 1e6 + 0.5).toLong))
+    val n = vecs.length; val dim = vecs(0).length
+    val c12 = Array.ofDim[Long](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val si = vecs.map(v => BigInt(v(i))).sum
+      val sj = vecs.map(v => BigInt(v(j))).sum
+      val sij = vecs.map(v => BigInt(v(i)) * v(j)).sum
+      c12(i)(j) = math.floor(
+        (BigInt(n) * sij - si * sj).toDouble / (n.toDouble * n)).toLong
+    }
+    val tr = (0 until dim).map(i => c12(i)(i)).sum
+    val tr2 = (for (i <- 0 until dim; j <- i until dim) yield
+      BigInt(if (i == j) 1 else 2) * BigInt(c12(i)(j)) * c12(i)(j)).sum
+    val wantPr = math.floor(
+      tr.toDouble * tr / tr2.toDouble * 1e4 + 0.5) / 1e4
+    val got = graft.ops.PipelineQueries
+      .embedParticipationRatio(spark, d).collect()(0)
+    assert(got.getAs[Long]("dims") == dim.toLong)
+    assert(got.getAs[Double]("participation_ratio") == wantPr,
+      s"PR ${got.getAs[Double]("participation_ratio")} != $wantPr")
+  }
+
+  test("dedup_cross_source equals the cluster-source matrix derived " +
+      "from dedup_clusters itself") {
+    val d = "/root/testdata/sf0.001"
+    val labels = graft.ops.PipelineQueries.dedupClusters(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySet = labels.groupBy(_._2).values
+      .map(_.map(m => srcOf(m._1)).toSet).toSeq
+    val want = bySet.flatMap(ss =>
+        ss.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSeq.sorted
+    val got = graft.ops.PipelineQueries.dedupCrossSource(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(got == want, "cross-source matrix != derivation from clusters")
+  }
+
   test("engine_alter_column key matches an in-JVM replay of its " +
       "oracle semantics") {
     val d = "/root/testdata/sf0.001"
