@@ -1039,6 +1039,8 @@ object SparkEntry {
       (PipelineQueries.textSimpsonDiversity _),
     "q_adamic_adar" -> (Mining.qAdamicAdar _),
     "stream_vwap" -> (graft.streaming.Events.streamVwap _),
+    "stream_parkinson" -> (graft.streaming.Events.streamParkinson _),
+    "stream_hellinger" -> (graft.streaming.Events.streamHellinger _),
     "q_atkinson_index" -> (Mining.qAtkinsonIndex _),
     "q_bartlett_test" -> (Stats.qBartlettTest _),
     "q_capture_recapture" -> (Stats.qCaptureRecapture _),
@@ -1449,6 +1451,13 @@ object SparkEntry {
       // per-day integer folds are partial-aggregable: the converged
       // complete-mode state equals the batch census — stream≡batch
       ("stream_vwap" -> oracleSqlBase("q_vwap")) +
+      // per-day max/min bars are associative+commutative state; the
+      // monthly pico-lattice fold runs post-sink on the converged
+      // frame — stream≡batch by construction
+      ("stream_parkinson" -> oracleSqlBase("q_parkinson_vol")) +
+      // 20-bin additive histograms converge to the batch census; the
+      // BC/H fold is a post-sink expression over them — stream≡batch
+      ("stream_hellinger" -> oracleSqlBase("q_hellinger_bc")) +
       // first-seen (user, day) compaction under the bounded watermark
       // recipe equals the batch distinct daily frame — stream≡batch
       ("stream_new_vs_returning" ->

@@ -1905,6 +1905,83 @@ object Events {
         .orderBy(col("day"))
     }
 
+  /** Streaming twin of [[graft.ops.Behavior.qParkinsonVol]]: the
+    * per-day high/low trade-price bars maintain as streaming state
+    * (one bounded row per calendar day — max/min are associative and
+    * commutative, any micro-batch chopping converges), and the
+    * monthly Parkinson fold (pico-lattice ln², the batch contract)
+    * runs post-sink on the converged |days|-row frame. Shares the
+    * batch oracle verbatim — stream ≡ batch is the gate. */
+  def streamParkinson(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamShuffle(spark) {
+      val path = s"$sfDir/lineitem.parquet"
+      val schema = spark.read.parquet(path).schema
+      val agg = spark.readStream.schema(schema)
+        .parquet(s"$sfDir/lineitem.*")
+        .select(col("l_shipdate").cast("date").as("day"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"))
+        .groupBy(col("day"))
+        .agg(max(col("c")).as("h"), min(col("c")).as("l"))
+      val name = s"graft_stream_park_${n.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      StreamMeter.record(q)
+      spark.table(name)
+        .withColumn("p12", floor(
+          pow(log(col("h").cast("double") / col("l").cast("double")), 2)
+            * lit(1e12)).cast("long"))
+        .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_days"), sum(col("p12")).as("_s12"))
+        .select(col("month"), col("n_days"),
+          (floor(sqrt(expr("CAST(_s12 AS DOUBLE) / 1e12" +
+            " / (4 * ln(2) * n_days)")) * 1e6 + 0.5) / 1e6)
+            .as("parkinson_vol"))
+        .orderBy(col("month"))
+    }
+
+  /** Streaming twin of [[graft.ops.Stats.qHellingerBc]]: the 20-bin
+    * click/purchase value histograms maintain as streaming state
+    * (bounded ≤20 rows, purely additive merges), and the
+    * Bhattacharyya/Hellinger fold runs post-sink on the converged
+    * bins — the distribution-distance drift monitor beside
+    * stream_drift_psi. Shares the batch oracle verbatim. */
+  def streamHellinger(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamShuffle(spark) {
+      val path = s"$sfDir/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      val agg = spark.readStream.schema(schema)
+        .parquet(s"$sfDir/events.*")
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("value").isNotNull)
+        .select(col("event_type"),
+          least(lit(19L), expr(
+            "CAST(round(value * 10000) AS BIGINT) div 300000"))
+            .as("bin"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("p"))
+      val name = s"graft_stream_hell_${n.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      StreamMeter.record(q)
+      spark.table(name)
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("c")).as("nc"), sum(col("p")).as("np"),
+          sum(floor(sqrt((col("c") * col("p")).cast("double")) * 1e6)
+            .cast("long")).as("t6"))
+        .select(col("n_bins"), col("nc"), col("np"),
+          (floor(expr("CAST(t6 AS DOUBLE) / 1e6" +
+            " / sqrt(CAST(nc AS DOUBLE) * np)") * 1e6 + 0.5) / 1e6)
+            .as("bhattacharyya"),
+          (floor(sqrt(lit(1.0) - expr("CAST(t6 AS DOUBLE) / 1e6" +
+            " / sqrt(CAST(nc AS DOUBLE) * np)")) * 1e6 + 0.5) / 1e6)
+            .as("hellinger"))
+    }
+
   /** Out-of-order source copies for [[streamLateDataAudit]]: the four
     * chronological chunks written in mtime order [c1, c0, c2, c3] —
     * the oldest quarter of the corpus arrives one micro-batch LATE,

@@ -232,7 +232,13 @@ object LatticeLedger {
     Site("embed_participation_ratio", "ops/PipelineQueries.scala",
       "Σx6 LONG per dim pair ≤ n·3e6 (x6 ≤ 3e6; Σx6x6 is DECIMAL); " +
         "c12 = cov·1e12 ≤ 9e12 value-bounded",
-      2e7 * 3e6))
+      2e7 * 3e6),
+    Site("stream_parkinson", "streaming/Events.scala",
+      "same monthly pico ln² fold as q_parkinson_vol",
+      31 * 441 * 1e12),
+    Site("stream_hellinger", "streaming/Events.scala",
+      "same per-bin c·p product / micro √ fold as q_hellinger_bc",
+      EV / 2 * EV / 2))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and

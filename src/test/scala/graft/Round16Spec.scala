@@ -358,6 +358,19 @@ class Round16Spec extends SparkSuite {
     assert(bd.map(_._1).distinct.length == 190)
   }
 
+  test("streaming twins stream_parkinson / stream_hellinger equal " +
+      "their batch formulations in-JVM") {
+    val d = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(graft.streaming.Events.streamParkinson(spark, d)) ==
+      rows(graft.ops.Behavior.qParkinsonVol(spark, d)),
+      "stream parkinson != batch")
+    assert(rows(graft.streaming.Events.streamHellinger(spark, d)) ==
+      rows(graft.ops.Stats.qHellingerBc(spark, d)),
+      "stream hellinger != batch")
+  }
+
   test("dedup_short_spans catches EVERY planted 30-char boilerplate " +
       "doc — the detection guarantee the coarse 50/10 grid lacks") {
     val d = "/root/testdata/sf0.001"
