@@ -901,6 +901,7 @@ object SparkEntry {
     "ann_mmr_rerank" -> (PipelineQueries.annMmrRerank _),
     "text_hybrid_rrf" -> (PipelineQueries.textHybridRrf _),
     "multimodal_jpeg_codec" -> (PipelineQueries.multimodalJpegCodec _),
+    "multimodal_qoi_codec" -> (PipelineQueries.multimodalQoiCodec _),
     "stream_ann_probe" -> (graft.streaming.Events.streamAnnProbe _),
     "q_hll_merge" -> (PipelineQueries.hllMerge _),
     "q_kll_quantile_merge" -> (PipelineQueries.kllQuantileMerge _),
@@ -9789,6 +9790,16 @@ object SparkEntry {
         |GROUP BY source ORDER BY source""".stripMargin,
     // generator replay: the P6 raster carries gray
     // (i*31 + j*17 + doc) % 256 in every channel
+    "multimodal_qoi_codec" ->
+      """WITH d AS (SELECT doc_id, 8 + (doc_id * 17) % 24 AS w,
+        |    8 + (doc_id * 19) % 24 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS i FROM d),
+        |ys AS (SELECT doc_id, w, h, i, unnest(range(h)) AS j FROM xs)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(sum((i * 31 + j * 17 + doc_id) % 256) AS BIGINT)
+        |    AS px_sum
+        |FROM ys GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "multimodal_pnm_codec" ->
       """WITH d AS (SELECT doc_id, 8 + (doc_id * 23) % 24 AS w,
         |    8 + (doc_id * 29) % 24 AS h FROM documents),

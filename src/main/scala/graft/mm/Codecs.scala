@@ -599,4 +599,136 @@ object Codecs {
     }
     (n.toLong, bestLag, bestR)
   }
+
+  def qoiWidth(docId: Long): Int = (8 + (docId * 17) % 24).toInt
+  def qoiHeight(docId: Long): Int = (8 + (docId * 19) % 24).toInt
+
+  /** Real QOI bytes (the 2022 "Quite OK Image" format,
+    * qoiformat.org spec) for the doc's deterministic gray image —
+    * the SEVENTH genuine codec, hand-rolled at the byte level like
+    * [[encodePnm]]: 14-byte header (magic "qoif", BE dims, channels,
+    * colorspace), then the op-chunk stream — RUN (repeat biased −1),
+    * INDEX (64-slot (3r+5g+7b+11a)%64 color cache), DIFF (2-bit
+    * wraparound channel deltas), LUMA (6-bit dg + 4-bit dr−dg/db−dg
+    * — the op the +31 gray ramp exercises on every pixel step), and
+    * the RGB literal fallback; 7×0x00 + 0x01 end marker. A gray ramp
+    * image hits RUN, INDEX, LUMA and RGB paths, so the roundtrip
+    * certifies the whole op alphabet. */
+  def encodeQoi(docId: Long): Array[Byte] = {
+    val w = qoiWidth(docId)
+    val h = qoiHeight(docId)
+    val bos = new ByteArrayOutputStream()
+    bos.write("qoif".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def be32(v: Int): Unit = {
+      bos.write((v >>> 24) & 0xff); bos.write((v >>> 16) & 0xff)
+      bos.write((v >>> 8) & 0xff); bos.write(v & 0xff)
+    }
+    be32(w); be32(h)
+    bos.write(3) // channels RGB
+    bos.write(0) // sRGB + linear alpha
+    val index = new Array[Int](64) // packed 0xRRGGBBAA, init zero
+    var pr = 0; var pg = 0; var pb = 0; val pa = 255
+    var prevPacked = (pr << 24) | (pg << 16) | (pb << 8) | pa
+    var run = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = grayAt(x, y, docId)
+        val packed = (g << 24) | (g << 16) | (g << 8) | 255
+        if (packed == prevPacked) {
+          run += 1
+          if (run == 62) { bos.write(0xc0 | (run - 1)); run = 0 }
+        } else {
+          if (run > 0) { bos.write(0xc0 | (run - 1)); run = 0 }
+          val hash = (g * 3 + g * 5 + g * 7 + 255 * 11) % 64
+          if (index(hash) == packed) {
+            bos.write(hash)
+          } else {
+            index(hash) = packed
+            val dr = ((g - pr) << 24) >> 24 // wraparound signed byte
+            val dg = ((g - pg) << 24) >> 24
+            val db = ((g - pb) << 24) >> 24
+            val drg = dr - dg
+            val dbg = db - dg
+            if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 &&
+                db >= -2 && db <= 1) {
+              bos.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) |
+                (db + 2))
+            } else if (dg >= -32 && dg <= 31 && drg >= -8 && drg <= 7 &&
+                dbg >= -8 && dbg <= 7) {
+              bos.write(0x80 | (dg + 32))
+              bos.write(((drg + 8) << 4) | (dbg + 8))
+            } else {
+              bos.write(0xfe); bos.write(g); bos.write(g); bos.write(g)
+            }
+          }
+          pr = g; pg = g; pb = g
+          prevPacked = packed
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (run > 0) bos.write(0xc0 | (run - 1))
+    var i = 0
+    while (i < 7) { bos.write(0); i += 1 }
+    bos.write(1)
+    bos.toByteArray
+  }
+
+  /** Decode QOI bytes (full op alphabet incl. RGBA) and return
+    * (width, height, Σ red channel) — the generator-replay contract
+    * shared by every codec key. */
+  def decodeQoiStats(bytes: Array[Byte]): (Int, Int, Long) = {
+    require(bytes.length >= 14 &&
+      new String(bytes, 0, 4,
+        java.nio.charset.StandardCharsets.US_ASCII) == "qoif",
+      "not a QOI stream")
+    def be32(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    val w = be32(4)
+    val h = be32(8)
+    var pos = 14
+    val index = new Array[Int](64)
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var sum = 0L
+    var emitted = 0L
+    val total = w.toLong * h
+    while (emitted < total) {
+      val op = bytes(pos) & 0xff; pos += 1
+      var runLen = 1
+      if (op == 0xfe) { // RGB
+        r = bytes(pos) & 0xff; g = bytes(pos + 1) & 0xff
+        b = bytes(pos + 2) & 0xff; pos += 3
+      } else if (op == 0xff) { // RGBA
+        r = bytes(pos) & 0xff; g = bytes(pos + 1) & 0xff
+        b = bytes(pos + 2) & 0xff; a = bytes(pos + 3) & 0xff; pos += 4
+      } else (op >>> 6) match {
+        case 0 => // INDEX
+          val p = index(op & 0x3f)
+          r = (p >>> 24) & 0xff; g = (p >>> 16) & 0xff
+          b = (p >>> 8) & 0xff; a = p & 0xff
+        case 1 => // DIFF
+          r = (r + ((op >> 4) & 3) - 2) & 0xff
+          g = (g + ((op >> 2) & 3) - 2) & 0xff
+          b = (b + (op & 3) - 2) & 0xff
+        case 2 => // LUMA
+          val dg = (op & 0x3f) - 32
+          val nxt = bytes(pos) & 0xff; pos += 1
+          r = (r + dg + ((nxt >> 4) & 0xf) - 8) & 0xff
+          g = (g + dg) & 0xff
+          b = (b + dg + (nxt & 0xf) - 8) & 0xff
+        case _ => // RUN
+          runLen = (op & 0x3f) + 1
+      }
+      index((r * 3 + g * 5 + b * 7 + a * 11) % 64) =
+        (r << 24) | (g << 16) | (b << 8) | a
+      sum += r.toLong * runLen
+      emitted += runLen
+    }
+    require(emitted == total, s"raster under/overrun: $emitted vs $total")
+    (w, h, sum)
+  }
 }

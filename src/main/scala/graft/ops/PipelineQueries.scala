@@ -3971,6 +3971,25 @@ object PipelineQueries {
     * comment tolerance, the interchange container javax.imageio never
     * ships. Same map-only codec seam and generator-replay oracle as
     * the other five. */
+  /** SEVENTH real codec: QOI (qoiformat.org), hand-rolled encode AND
+    * decode at the byte level (graft.mm.Codecs.encodeQoi /
+    * decodeQoiStats) — the modern run/index/delta-chunk format no
+    * JDK plugin ships; the gray ramp exercises the full op alphabet
+    * (RUN, INDEX, LUMA, RGB). Same map-only codec seam and
+    * generator-replay oracle as the other six. */
+  def multimodalQoiCodec(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.mm.Codecs.encodeQoi(id)
+        val (w, h, sum) = graft.mm.Codecs.decodeQoiStats(bytes)
+        (id, w.toLong, h.toLong, sum)
+      })
+      .toDF("doc_id", "width", "height", "px_sum")
+      .orderBy(col("doc_id"))
+  }
+
   def multimodalPnmCodec(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)

@@ -371,6 +371,44 @@ class Round16Spec extends SparkSuite {
       "stream hellinger != batch")
   }
 
+  test("QOI codec: pixel-exact roundtrip for 100 docs, real " +
+      "compression, and the op alphabet actually engages") {
+    for (id <- 0L until 100L) {
+      val w = graft.mm.Codecs.qoiWidth(id)
+      val h = graft.mm.Codecs.qoiHeight(id)
+      val bytes = graft.mm.Codecs.encodeQoi(id)
+      val (dw, dh, sum) = graft.mm.Codecs.decodeQoiStats(bytes)
+      var want = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        want += graft.mm.Codecs.grayAt(x, y, id)
+      assert((dw, dh, sum) == (w, h, want), s"doc $id roundtrip")
+      assert(bytes.length < 14 + 3 * w * h + 8,
+        s"doc $id: no compression over the RGB literal stream")
+    }
+    // op census across the 100 streams: LUMA (the +31 ramp step),
+    // INDEX (color-cache hits) and the RGB literal fallback must all
+    // appear — proves the encoder isn't degenerating to literals
+    var (nLuma, nIndex, nRgb, nRun, nDiff) = (0, 0, 0, 0, 0)
+    for (id <- 0L until 100L) {
+      val bytes = graft.mm.Codecs.encodeQoi(id)
+      var pos = 14
+      while (pos < bytes.length - 8) {
+        val op = bytes(pos) & 0xff; pos += 1
+        if (op == 0xfe) { nRgb += 1; pos += 3 }
+        else if (op == 0xff) pos += 4
+        else (op >>> 6) match {
+          case 0 => nIndex += 1
+          case 1 => nDiff += 1
+          case 2 => nLuma += 1; pos += 1
+          case _ => nRun += 1
+        }
+      }
+    }
+    assert(nLuma > 0, "LUMA ops must appear on the +31 gray ramp")
+    assert(nIndex > 0, "INDEX ops must appear (color-cache hits)")
+    assert(nRgb > 0, "RGB literal fallback must appear (big wraps)")
+  }
+
   test("dedup_short_spans catches EVERY planted 30-char boilerplate " +
       "doc — the detection guarantee the coarse 50/10 grid lacks") {
     val d = "/root/testdata/sf0.001"
