@@ -801,6 +801,8 @@ object SparkEntry {
     "text_bigram_ppl" -> (PipelineQueries.textBigramPpl _),
     "q_stl_decompose" -> (Behavior.qStlDecompose _),
     "q_theil_sen" -> (Behavior.qTheilSen _),
+    "source_avro_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.sources.Formats.avroRoundtrip(s, d)),
     "source_fixed_width" -> (graft.sources.Formats.fixedWidthRoundtrip _),
     "text_zipf_slope" -> (PipelineQueries.textZipfSlope _),
     "data_pack_sequences" -> (PipelineQueries.dataPackSequences _),
@@ -4355,6 +4357,14 @@ object SparkEntry {
         |  CAST(m.np AS BIGINT) AS n_pairs, m.slope_micro,
         |  m.slope_micro / 1e6 AS ts_slope
         |FROM m""".stripMargin,
+    "source_avro_roundtrip" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "source_fixed_width" ->
       """SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,

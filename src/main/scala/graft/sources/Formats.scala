@@ -284,6 +284,83 @@ object Formats {
         .as("clean_revenue"))
   }
 
+  /** Avro OBJECT CONTAINER FILE roundtrip hand-rolled over the Avro
+    * core library (the spark-avro connector is deliberately not a
+    * dependency — this is the "ingest a format Spark has no reader
+    * for" seam): each partition serializes its rows into one real
+    * .avro container (schema JSON in the header, deflate-compressed
+    * blocks, sync markers), written via the Hadoop FileSystem API;
+    * the read side ingests the files as opaque binaries
+    * ([[binaryFiles]]) and decodes each with `DataFileStream` in a
+    * flatMap — both directions are map-only per-partition seams, so
+    * parallelism is the file count, exactly how a 100 TB Avro lake is
+    * ingested. Census (count + exact cents) proves the roundtrip. */
+  def avroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = tmpDir("orders_avro", d)
+    val schemaJson =
+      """{"type":"record","name":"Order","fields":[
+        |{"name":"o_orderkey","type":"long"},
+        |{"name":"o_orderstatus","type":"string"},
+        |{"name":"o_cents","type":"long"}]}""".stripMargin
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+      .as[(Long, String, Long)]
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    rows.repartition(4).mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema))
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        val out = new org.apache.hadoop.fs.Path(
+          s"$path/part-$part.avro")
+        val fs = out.getFileSystem(hconf.value)
+        val os = fs.create(out, true)
+        w.create(schema, os)
+        var n = 0L
+        it.foreach { case (k, st, c) =>
+          val r = new org.apache.avro.generic.GenericData.Record(schema)
+          r.put("o_orderkey", k); r.put("o_orderstatus", st)
+          r.put("o_cents", c)
+          w.append(r); n += 1
+        }
+        w.close()
+        Iterator.single(n)
+      }
+    }.collect() // barrier: files fully written before the read side
+    binaryFiles(s, path, "*.avro")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val rd = new org.apache.avro.file.DataFileStream(
+          new java.io.ByteArrayInputStream(bytes),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Long)]
+        while (rd.hasNext) {
+          val r = rd.next()
+          buf += ((r.get("o_orderkey").asInstanceOf[Long],
+            r.get("o_orderstatus").toString,
+            r.get("o_cents").asInstanceOf[Long]))
+        }
+        rd.close()
+        buf
+      }
+      .toDF("o_orderkey", "o_orderstatus", "o_cents")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_cents")).as("cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Opaque-file ingestion via the binaryFile source: (path, length,
     * content) rows — the entry point for real media files. */
   def binaryFiles(s: SparkSession, dir: String, glob: String): DataFrame =
