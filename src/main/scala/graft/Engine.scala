@@ -834,6 +834,23 @@ class Engine(spark: SparkSession, warehouse: String,
       base => base.drop(colName)
     }
 
+  /** OPTIMIZE verb: compact a stored table to `targetFiles` part
+    * files (the warehouse small-files maintenance every table format
+    * ships — many tiny parts from incremental upserts make every
+    * scan pay per-file open/footer costs). Rides the same crash-safe
+    * optimistic [[rewriteStaged]] swap as upsert/delete; contents are
+    * bit-for-bit identical, only the file layout changes. Returns
+    * (files before, files after). */
+  def optimize(tableName: String, targetFiles: Int): (Int, Int) = {
+    val f = fs
+    def partCount(): Int =
+      f.listStatus(new Path(dir(tableName)))
+        .count(_.getPath.getName.startsWith("part-"))
+    val before = partCount()
+    rewriteStaged(tableName, "optimize")(_.coalesce(targetFiles))
+    (before, partCount())
+  }
+
   /** Secondary index on a stored table: a sorted two-column
     * (value, rowNum) projection written range-partitioned on the
     * value, so a point lookup prunes to one range partition and,

@@ -1089,6 +1089,11 @@ object SparkEntry {
     "engine_rename" -> (JsonQueries.engineRename _),
     "engine_alter_column" -> (JsonQueries.engineAlterColumn _),
     "engine_check_constraint" -> (JsonQueries.engineCheckConstraint _),
+    "engine_optimize" -> (JsonQueries.engineOptimize _),
+    "q_seasonal_mann_kendall" -> (Behavior.qSeasonalMannKendall _),
+    "q_calibration_bins" -> (MlEval.qCalibrationBins _),
+    "stream_calibration" ->
+      (graft.streaming.Events.streamCalibration _),
     "dedup_cross_source" -> (PipelineQueries.dedupCrossSource _),
     "embed_participation_ratio" ->
       (PipelineQueries.embedParticipationRatio _),
@@ -1461,6 +1466,9 @@ object SparkEntry {
       // 20-bin additive histograms converge to the batch census; the
       // BC/H fold is a post-sink expression over them — stream≡batch
       ("stream_hellinger" -> oracleSqlBase("q_hellinger_bc")) +
+      // 10-bin additive sufficient statistics converge to the batch
+      // bins; reliability/ECE are post-sink folds — stream≡batch
+      ("stream_calibration" -> oracleSqlBase("q_calibration_bins")) +
       // first-seen (user, day) compaction under the bounded watermark
       // recipe equals the batch distinct daily frame — stream≡batch
       ("stream_new_vs_returning" ->
@@ -8747,6 +8755,65 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // mid-commit readout (marker live, data dir not yet moved) and the
     // final readout must BOTH be the source truth
+    "engine_optimize" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  CAST(8 AS BIGINT) AS files_before,
+        |  CAST(2 AS BIGINT) AS files_after
+        |FROM orders""".stripMargin,
+    "q_seasonal_mann_kendall" ->
+      """WITH sy AS (SELECT
+        |    strftime(CAST(l_shipdate AS DATE), '%m') AS season,
+        |    CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS yr,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(round((1 - l_discount) * 100) AS BIGINT)) AS e4
+        |  FROM lineitem GROUP BY 1, 2),
+        |per AS (SELECT a.season,
+        |    CAST(count(DISTINCT a.yr) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a.yr < b.yr
+        |      THEN CAST(sign(b.e4 - a.e4) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS s_m
+        |  FROM sy a JOIN sy b ON a.season = b.season GROUP BY 1),
+        |p2 AS (SELECT * FROM per WHERE n >= 2),
+        |tot AS (SELECT CAST(sum(s_m) AS BIGINT) AS s_total,
+        |    CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS v18,
+        |    CAST(count(*) AS BIGINT) AS n_seasons FROM p2)
+        |SELECT season, n AS n_years, s_m AS s_stat,
+        |  CAST(NULL AS BIGINT) AS s_total, CAST(NULL AS DOUBLE) AS z_stat
+        |FROM p2
+        |UNION ALL
+        |SELECT 'total', n_seasons, CAST(NULL AS BIGINT), s_total,
+        |  floor((CAST(s_total AS DOUBLE)
+        |    - CAST(sign(s_total) AS DOUBLE))
+        |    / sqrt(CAST(v18 AS DOUBLE) / 18) * 1e4 + 0.5) / 1e4
+        |FROM tot
+        |ORDER BY season""".stripMargin,
+    "q_calibration_bins" ->
+      """WITH scored AS (SELECT CAST(round(l_quantity) AS BIGINT) * 101
+        |    + CAST(round(l_discount * 100) AS BIGINT) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |mx AS (SELECT max(v) AS vmax FROM scored),
+        |b AS (SELECT least(9, (v * 10) // (vmax + 1)) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT)
+        |      AS pos,
+        |    CAST(sum(v) AS BIGINT) AS sv, max(vmax) AS vmax
+        |  FROM scored, mx GROUP BY 1),
+        |c AS (SELECT bin, n, pos,
+        |    (CAST(sv AS HUGEINT) * 1000000)
+        |      // (CAST(n AS HUGEINT) * vmax) AS conf6,
+        |    (pos * 1000000) // n AS acc6 FROM b),
+        |e AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(abs(acc6 - conf6) * n) AS BIGINT) AS e6 FROM c)
+        |SELECT bin, n, pos,
+        |  floor(CAST(conf6 AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+        |    AS mean_pred,
+        |  floor(CAST(acc6 AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+        |    AS frac_pos,
+        |  (SELECT floor(CAST(e6 AS DOUBLE) / nn / 1e6 * 1e6 + 0.5)
+        |    / 1e6 FROM e) AS ece
+        |FROM c ORDER BY bin""".stripMargin,
     "engine_check_constraint" ->
       """SELECT
         |  CAST(sum(CASE WHEN o_totalprice < 400000

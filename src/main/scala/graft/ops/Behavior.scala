@@ -660,6 +660,56 @@ object Behavior {
       .orderBy(col("month"))
   }
 
+  /** SEASONAL Mann–Kendall trend test: within each calendar month
+    * (season), is the YEARLY revenue for that month trending across
+    * years? The de-seasonalized companion to [[qMannKendall]]'s
+    * within-month daily test — seasons never compare against each
+    * other, so an annual cycle cannot masquerade as trend. Rides the
+    * same bucket-dominance [[Mining.kendallDiscordant]] kernel, one
+    * (season, year) rollup on the exact e4 lattice; S, the
+    * tie-corrected variance and Z fold over the 12 tiny season
+    * frames. */
+  def qSeasonalMannKendall(s: SparkSession, d: String): DataFrame = {
+    val sy = Tables.lineitem(s, d)
+      .groupBy(date_format(to_date(col("l_shipdate")), "MM").as("season"),
+        year(to_date(col("l_shipdate"))).cast("long").as("yr"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")).as("e4"))
+      .select(col("season").as("nation"), col("yr").as("k"),
+        col("yr").as("x_cents"), col("e4").as("y_cents"))
+      .localCheckpoint(true)
+    val nd = graft.ops.Mining.kendallDiscordant(sy, bucketCount = 4)
+    val ty = sy.groupBy(col("nation"), col("y_cents"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("nation"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("ty"))
+    val per = sy.groupBy(col("nation")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2L)
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+      .join(ty, Seq("nation"))
+      .join(nd, Seq("nation"), "left").na.fill(0L, Seq("nd"))
+      .withColumn("s_m", col("n0") - lit(2L) * col("nd") - col("ty"))
+      // exact MK variance n(n-1)(2n+5)/18 is not integral per
+      // season; keep the ×18 lattice so the cross-season fold is an
+      // exact long sum
+      .withColumn("var18",
+        expr("n * (n - 1) * (2 * n + 5)"))
+      .localCheckpoint(true)
+    val tot = per.agg(sum(col("s_m")).as("s_total"),
+      sum(col("var18")).as("v18"), count(lit(1)).as("n_seasons"))
+    per.select(col("nation").as("season"), col("n").as("n_years"),
+        col("s_m").as("s_stat"), lit(null).cast("long").as("s_total"),
+        lit(null).cast("double").as("z_stat"))
+      .unionByName(tot.select(lit("total").as("season"),
+        col("n_seasons").as("n_years"), lit(null).cast("long").as("s_stat"),
+        col("s_total"),
+        (floor(expr("(CAST(s_total AS DOUBLE)" +
+          " - CAST(sign(s_total) AS DOUBLE))" +
+          " / sqrt(CAST(v18 AS DOUBLE) / 18)") * 1e4 + 0.5) / 1e4)
+          .as("z_stat")))
+      .orderBy(col("season"))
+  }
+
   def qSeasonality(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.lineitem(s, d)
       .groupBy(to_date(col("l_shipdate")).as("day"))

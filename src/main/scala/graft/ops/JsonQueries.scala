@@ -892,6 +892,30 @@ object JsonQueries {
       lit(fin._2).as("final_cents"), lit(fin._3).as("final_rev"))
   }
 
+  /** OPTIMIZE (small-file compaction) through the facade: orders
+    * save as 8 deliberate small parts, `optimize(…, 2)` compacts to
+    * 2 through the crash-safe staged swap, and the readout proves
+    * layout-only semantics — the census (count + exact cents) is
+    * bit-for-bit unchanged while the file count drops. Oracle
+    * replays the census from the raw source with the file counts as
+    * pinned expectations. */
+  def engineOptimize(s: SparkSession, d: String): DataFrame = {
+    val wh = graft.util.Scratch.dir("graft_engine_opt").toString
+    val eng = new graft.Engine(s, wh)
+    val docs = Tables.orders(s, d)
+      .select(col("o_orderkey").as("rowNum"), col("o_totalprice"))
+      .repartition(8)
+    eng.save(docs, "ord_opt")
+    val (before, after) = eng.optimize("ord_opt", 2)
+    val t = eng.table("ord_opt")
+    t.agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("cents"))
+      .select(col("n_rows"), col("cents"),
+        lit(before.toLong).as("files_before"),
+        lit(after.toLong).as("files_after"))
+  }
+
   /** Save-time CHECK constraint through the facade (the reference's
     * SQLite CHECK clause): orders save under
     * `o_totalprice < 400000 AND o_orderstatus IN ('O','F','P')`;

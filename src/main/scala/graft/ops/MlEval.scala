@@ -293,4 +293,44 @@ object MlEval {
       .crossJoin(broadcast(acc))
       .orderBy(col("actual"), col("predicted"))
   }
+
+  /** Calibration / reliability diagram over the quantity-discount
+    * score ([[qRocAuc]]'s scored frame, score normalized to [0,1] by
+    * the corpus max): 10 equal-width probability bins, each with its
+    * exact count, mean predicted probability (micro lattice,
+    * Σv·10⁶ div (n·vmax) on DECIMAL) and empirical positive rate
+    * (pos·10⁶ div n), plus the expected calibration error — the
+    * Σ |acc−conf|·n/N readout under every model-quality dashboard.
+    * One histogram shuffle; everything else on the 10-row frame. */
+  def qCalibrationBins(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.lineitem(s, d)
+      .select((round(col("l_quantity")).cast("long") * 101 +
+          round(col("l_discount") * 100).cast("long")).as("v"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val vmax = scored.agg(max(col("v")).as("vmax")).localCheckpoint(true)
+    val bins = scored.crossJoin(broadcast(vmax))
+      .withColumn("bin", least(lit(9L),
+        expr("(v * 10) div (vmax + 1)")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("v")).as("sv"), max(col("vmax")).as("vmax"))
+      .withColumn("conf6", expr(
+        "(CAST(sv AS DECIMAL(38,0)) * 1000000) div" +
+          " (CAST(n AS DECIMAL(38,0)) * vmax)"))
+      .withColumn("acc6", expr("(pos * 1000000) div n"))
+      .localCheckpoint(true)
+    val ece = bins
+      .agg(sum(col("n")).as("nn"),
+        sum(abs(col("acc6") - col("conf6")) * col("n")).as("e6"))
+      .select((floor(expr("CAST(e6 AS DOUBLE) / nn / 1e6") * 1e6 + 0.5)
+        / 1e6).as("ece"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("pos"),
+        (floor(expr("CAST(conf6 AS DOUBLE) / 1e6") * 1e6 + 0.5) / 1e6)
+          .as("mean_pred"),
+        (floor(expr("CAST(acc6 AS DOUBLE) / 1e6") * 1e6 + 0.5) / 1e6)
+          .as("frac_pos"),
+        col("ece"))
+      .orderBy(col("bin"))
+  }
 }

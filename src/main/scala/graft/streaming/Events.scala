@@ -1982,6 +1982,57 @@ object Events {
             .as("hellinger"))
     }
 
+  /** Streaming twin of [[graft.ops.MlEval.qCalibrationBins]]: the
+    * 10-bin (n, pos, Σv) sufficient statistics maintain as bounded
+    * additive streaming state; the score-max bound is resolved
+    * PRE-stream from the static corpus (a model constant, exactly
+    * like streamAnnProbe's folded index), and the reliability /
+    * ECE folds run post-sink on the converged bins. Shares the batch
+    * oracle verbatim — stream ≡ batch is the gate. */
+  def streamCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamShuffle(spark) {
+      val path = s"$sfDir/lineitem.parquet"
+      val schema = spark.read.parquet(path).schema
+      val vmax = spark.read.parquet(path)
+        .select((round(col("l_quantity")).cast("long") * 101 +
+          round(col("l_discount") * 100).cast("long")).as("v"))
+        .agg(max(col("v"))).head.getLong(0)
+      val agg = spark.readStream.schema(schema)
+        .parquet(s"$sfDir/lineitem.*")
+        .select((round(col("l_quantity")).cast("long") * 101 +
+            round(col("l_discount") * 100).cast("long")).as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .withColumn("bin", least(lit(9L),
+          expr(s"(v * 10) div (${vmax} + 1)")))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+          sum(col("v")).as("sv"))
+      val name = s"graft_stream_cal_${n.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      StreamMeter.record(q)
+      val bins = spark.table(name)
+        .withColumn("conf6", expr(
+          s"(CAST(sv AS DECIMAL(38,0)) * 1000000) div" +
+            s" (CAST(n AS DECIMAL(38,0)) * ${vmax})"))
+        .withColumn("acc6", expr("(pos * 1000000) div n"))
+        .localCheckpoint(true)
+      val ece = bins
+        .agg(sum(col("n")).as("nn"),
+          sum(abs(col("acc6") - col("conf6")) * col("n")).as("e6"))
+        .select((floor(expr("CAST(e6 AS DOUBLE) / nn / 1e6") * 1e6
+          + 0.5) / 1e6).as("ece"))
+      bins.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), col("pos"),
+          (floor(expr("CAST(conf6 AS DOUBLE) / 1e6") * 1e6 + 0.5)
+            / 1e6).as("mean_pred"),
+          (floor(expr("CAST(acc6 AS DOUBLE) / 1e6") * 1e6 + 0.5)
+            / 1e6).as("frac_pos"),
+          col("ece"))
+        .orderBy(col("bin"))
+    }
+
   /** Out-of-order source copies for [[streamLateDataAudit]]: the four
     * chronological chunks written in mtime order [c1, c0, c2, c3] —
     * the oldest quarter of the corpus arrives one micro-batch LATE,

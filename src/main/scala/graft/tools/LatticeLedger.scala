@@ -238,7 +238,16 @@ object LatticeLedger {
       31 * 441 * 1e12),
     Site("stream_hellinger", "streaming/Events.scala",
       "same per-bin c·p product / micro √ fold as q_hellinger_bc",
-      EV / 2 * EV / 2))
+      EV / 2 * EV / 2),
+    Site("q_calibration_bins", "ops/MlEval.scala",
+      "ECE fold Σ|acc6−conf6|·n ≤ 1e6·N (sv·1e6 on DECIMAL)",
+      1e6 * LI),
+    Site("stream_calibration", "streaming/Events.scala",
+      "same bin lattice + ECE fold as q_calibration_bins",
+      1e6 * LI),
+    Site("q_seasonal_mann_kendall", "ops/Behavior.scala",
+      "var×18 fold Σ n(n−1)(2n+5) over 12 seasons, n = years ≤ 10",
+      12 * 10 * 9 * 25))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and
@@ -248,11 +257,11 @@ object LatticeLedger {
   val decimalCensus: Map[String, Int] = Map(
     "ops/Behavior.scala" -> 6,
     "ops/Mining.scala" -> 24,
-    "ops/MlEval.scala" -> 8,
+    "ops/MlEval.scala" -> 10,
     "ops/PipelineQueries.scala" -> 20,
     "ops/Profiling.scala" -> 6,
     "ops/Series.scala" -> 37,
     "ops/Stats.scala" -> 97,
-    "streaming/Events.scala" -> 5,
+    "streaming/Events.scala" -> 7,
     "dedup/Components.scala" -> 1)
 }

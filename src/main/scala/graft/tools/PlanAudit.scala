@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.execution.ExplainMode
 
 import graft.GraftSession
-import graft.ops.{Analytics, JsonQueries, PipelineQueries}
+import graft.ops.{Analytics, JsonQueries, PipelineQueries, Stats}
 
 /** Regenerates PLANS.md: formatted physical plans for the
   * scale-critical queries, with the lines that prove the shape
@@ -191,7 +191,27 @@ object PlanAudit {
       "q_timezone_funcs (map-only zone projection + one grouped census per zone)" ->
         Analytics.qTimezoneFuncs(spark, d),
       "dedup_unicode (map-only variant fan-out; the one shuffle carries 8-byte canon hashes)" ->
-        PipelineQueries.dedupUnicode(spark, d))
+        PipelineQueries.dedupUnicode(spark, d),
+      "q_vwap (one partial-aggregable daily rollup; exact integer folds)" ->
+        graft.ops.Series.qVwap(spark, d),
+      "q_mantel_haenszel (day-strata cells via ONE partial agg; pooled OR on the tiny strata frame)" ->
+        Stats.qMantelHaenszel(spark, d),
+      "q_capture_recapture (1-row midpoint broadcast; per-user census is the only corpus shuffle)" ->
+        Stats.qCaptureRecapture(spark, d),
+      "dedup_short_spans (fine 20/4 grid: 8-byte hashes shuffle, text never does; AQE dup-set join)" ->
+        PipelineQueries.dedupShortSpans(spark, d),
+      "embed_participation_ratio (one generator pass to 2080 covariance cells — no self-join)" ->
+        PipelineQueries.embedParticipationRatio(spark, d),
+      "text_burrows_delta (one token census; z/delta on the 20x20 source-word grid)" ->
+        PipelineQueries.textBurrowsDelta(spark, d),
+      "q_ulcer_index (calendar-bounded daily frame; running-peak window; 1-row fold)" ->
+        graft.ops.Behavior.qUlcerIndex(spark, d),
+      "q_moods_median (ranged global median selection — no single-task sort; k-cell chi2)" ->
+        Stats.qMoodsMedian(spark, d),
+      "q_anderson_darling (ranged order statistics; micro-lattice term fold)" ->
+        Stats.qAndersonDarling(spark, d),
+      "source_avro_roundtrip (map-only per-partition encode/decode seams; census rollup)" ->
+        graft.sources.Formats.avroRoundtrip(spark, d))
     val out = new StringBuilder
     out.append("# PLANS — physical-plan audit (generated by " +
       "graft.tools.PlanAudit)\n\n")

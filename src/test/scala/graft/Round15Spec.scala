@@ -630,7 +630,7 @@ class Round15Spec extends SparkSuite {
 
   test("renameTable: a crash between the marker and the dir move " +
       "leaves the NEW name readable; recovery completes the move; " +
-      "related tables refuse") {
+      "related tables rename via FK indirection (r16)") {
     val wh = graft.util.Scratch.dir("graft_r15_ren").toString
     val eng = new Engine(spark, wh)
     val reader = new Engine(spark, wh)
@@ -650,11 +650,15 @@ class Round15Spec extends SparkSuite {
       .getFileSystem(spark.sessionState.newHadoopConf())
     assert(f.exists(new org.apache.hadoop.fs.Path(s"$wh/t2")) &&
       !f.exists(new org.apache.hadoop.fs.Path(s"$wh/t1")))
-    // tables woven into relations refuse the metadata-only verb
+    // r15 refused relation-woven renames; r16 closed the gap with
+    // manifest-level FK indirection — the verb now succeeds and the
+    // shred-time FK column name keeps resolving (Round16Spec carries
+    // the full woven-rename coverage)
     eng2.save(docs(0), "t")
-    intercept[IllegalArgumentException] {
-      eng2.renameTable("kids", "kids2")
-    }
+    eng2.renameTable("kids", "kids2")
+    assert(reader.sql(
+      """SELECT sum(k.v) FROM kids2 k JOIN t ON k.t = t.rowNum""")
+      .collect()(0).getLong(0) == 600L)
   }
 
   test("q_youden_j matches a naive replay and its J is consistent " +

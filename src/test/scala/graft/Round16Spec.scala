@@ -409,6 +409,79 @@ class Round16Spec extends SparkSuite {
     assert(nRgb > 0, "RGB literal fallback must appear (big wraps)")
   }
 
+  test("seasonal Mann-Kendall matches a brute pairwise replay and " +
+      "calibration bins match a naive fold") {
+    val d = "/root/testdata/sf0.001"
+    // seasonal MK replay
+    val sy = graft.sources.Tables.lineitem(spark, d)
+      .groupBy(date_format(to_date(col("l_shipdate")), "MM").as("m"),
+        year(to_date(col("l_shipdate"))).cast("long").as("yr"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "CAST(round((1 - l_discount) * 100) AS BIGINT)")).as("e4"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySeason = sy.groupBy(_._1).filter(_._2.length >= 2)
+    val wantS = bySeason.map { case (m, xs) =>
+      val ys = xs.sortBy(_._2).map(_._3)
+      val sm = (for (i <- ys.indices; j <- i + 1 until ys.length)
+        yield java.lang.Long.signum(ys(j) - ys(i)).toLong).sum
+      m -> sm
+    }
+    val got = graft.ops.Behavior.qSeasonalMannKendall(spark, d).collect()
+    val gotPer = got.filter(_.getString(0) != "total")
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gotPer == wantS, s"per-season S: $gotPer vs $wantS")
+    val tot = got.find(_.getString(0) == "total").get
+    assert(tot.getLong(3) == wantS.values.sum, "S total")
+    val v18 = bySeason.map { case (_, xs) =>
+      val n = xs.length.toLong; n * (n - 1) * (2 * n + 5) }.sum
+    val st = wantS.values.sum
+    val wantZ = math.floor((st.toDouble - java.lang.Long.signum(st)) /
+      math.sqrt(v18.toDouble / 18) * 1e4 + 0.5) / 1e4
+    assert(tot.getDouble(4) == wantZ, "Z stat")
+
+    // calibration replay
+    val sc = graft.sources.Tables.lineitem(spark, d)
+      .select(expr("CAST(round(l_quantity) AS BIGINT) * 101 + " +
+        "CAST(round(l_discount * 100) AS BIGINT)").as("v"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vmax = sc.map(_._1).max
+    val byBin = sc.groupBy(t => math.min(9L, t._1 * 10 / (vmax + 1)))
+    val cal = graft.ops.MlEval.qCalibrationBins(spark, d).collect()
+    assert(cal.length == byBin.size)
+    cal.foreach { r =>
+      val xs = byBin(r.getLong(0))
+      assert(r.getLong(1) == xs.length.toLong)
+      assert(r.getLong(2) == xs.map(_._2).sum)
+      val conf6 = (xs.map(t => BigInt(t._1)).sum * 1000000 /
+        (BigInt(xs.length) * vmax)).toLong
+      assert(r.getDouble(3) ==
+        math.floor(conf6.toDouble / 1e6 * 1e6 + 0.5) / 1e6)
+    }
+    // streaming twin equals the batch formulation
+    assert(graft.streaming.Events.streamCalibration(spark, d)
+      .collect().map(_.toSeq).toSeq == cal.map(_.toSeq).toSeq,
+      "stream calibration != batch")
+  }
+
+  test("optimize compacts files without changing a byte of contents " +
+      "and survives a crash mid-swap") {
+    val wh = graft.util.Scratch.dir("graft_r16_opt").toString
+    val eng = new Engine(spark, wh)
+    eng.save(spark.range(1000).select(col("id").as("rowNum"),
+      (col("id") * 3).as("v")).repartition(6), "t")
+    val pre = eng.table("t").orderBy("rowNum").collect().toSeq
+    eng.beforeSwap = _ => throw new RuntimeException("crash pre-swap")
+    intercept[RuntimeException] { eng.optimize("t", 2) }
+    eng.beforeSwap = _ => ()
+    assert(eng.table("t").orderBy("rowNum").collect().toSeq == pre,
+      "crash pre-swap leaves the table untouched")
+    val (before, after) = eng.optimize("t", 2)
+    assert(before == 6 && after == 2, s"($before, $after)")
+    assert(eng.table("t").orderBy("rowNum").collect().toSeq == pre,
+      "optimize is layout-only")
+  }
+
   test("dedup_short_spans catches EVERY planted 30-char boilerplate " +
       "doc — the detection guarantee the coarse 50/10 grid lacks") {
     val d = "/root/testdata/sf0.001"
