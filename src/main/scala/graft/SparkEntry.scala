@@ -1080,6 +1080,7 @@ object SparkEntry {
     "q_fisher_z" -> (Stats.qFisherZ _),
     "q_kpss" -> (Stats.qKpss _),
     "q_moods_median" -> (Stats.qMoodsMedian _),
+    "q_stratified_ate" -> (Stats.qStratifiedAte _),
     "q_partial_corr" -> (Stats.qPartialCorr _),
     "q_icc" -> (Stats.qIcc _),
     "q_hellinger_bc" -> (Stats.qHellingerBc _),
@@ -6446,6 +6447,39 @@ object SparkEntry {
         |    floor(100 * CAST(gsum AS DOUBLE) / (gsum + lsum)
         |      * 10000 + 0.5) / 10000 END AS rsi
         |FROM g WHERE rn >= 14 ORDER BY day""".stripMargin,
+    "q_stratified_ate" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT n_ev, cents,
+        |    (md5_number_lower(CAST(user_id AS VARCHAR))
+        |      & 9223372036854775807) % 2 AS arm,
+        |    CAST(ntile(5) OVER (ORDER BY n_ev, user_id) AS BIGINT)
+        |      AS stratum
+        |  FROM u),
+        |c AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS s0
+        |  FROM a GROUP BY 1),
+        |d AS (SELECT *, (s1 * 1000000) // nullif(n1, 0)
+        |    - (s0 * 1000000) // nullif(n0, 0) AS d6 FROM c),
+        |t AS (SELECT CAST(sum(CASE WHEN d6 IS NOT NULL THEN n_s END)
+        |      AS BIGINT) AS nn,
+        |    CAST(sum(n_s * d6) AS BIGINT) AS w6 FROM d)
+        |SELECT stratum, n_s, n1, n0,
+        |  floor(CAST(d6 AS DOUBLE) / 1e6 / 100 * 1e4 + 0.5) / 1e4
+        |    AS diff_dollars,
+        |  (SELECT floor(CAST(w6 AS DOUBLE) / nn / 1e6 / 100 * 1e4
+        |    + 0.5) / 1e4 FROM t) AS ate_dollars
+        |FROM d ORDER BY stratum""".stripMargin,
     "q_moods_median" ->
       """WITH x AS (SELECT c_nationkey AS g, c_custkey,
         |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer),

@@ -1688,6 +1688,53 @@ object Stats {
           > 0.463).as("reject_stationarity_5pct"))
   }
 
+  /** Stratified average treatment effect — the observational-causal
+    * companion to q_ab_cuped/q_mantel_haenszel: users hash into two
+    * arms (the deterministic assignment stand-in), stratify into
+    * activity QUINTILES (exact ranged [[Ranks.globalNtile]] on event
+    * count, user-id tie-break — no single-task sort), and the ATE is
+    * the n_s-weighted mean of per-stratum arm differences in purchase
+    * cents. Per-stratum means are FIXED to micro-cents by integer
+    * division (non-negative sums — div ≡ floor both engines), so the
+    * cross-strata fold is exact longs; only the final /N divides as
+    * doubles. */
+  def qStratifiedAte(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("cents"))
+      .withColumn("arm", pmod(graft.functions.exprs.md5Lower64(
+        col("user_id").cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)), lit(2L)))
+    val strat = Ranks.globalNtile(users,
+      Seq(col("n_ev"), col("user_id")), 5, "stratum")
+    val cells = strat.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s0"))
+      // a stratum missing one arm has no contrast: NULL diff, and it
+      // drops out of BOTH the weighted sum and the weight total
+      // (identical null semantics both engines)
+      .withColumn("d6", expr("(s1 * 1000000) div nullif(n1, 0)" +
+        " - (s0 * 1000000) div nullif(n0, 0)"))
+      .localCheckpoint(true)
+    val tot = cells.agg(
+        sum(when(col("d6").isNotNull, col("n_s"))).as("nn"),
+        sum(col("n_s") * col("d6")).as("w6"))
+      .select(rnd(expr("CAST(w6 AS DOUBLE) / nn / 1e6 / 100"), 4)
+        .as("ate_dollars"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_s"), col("n1"), col("n0"),
+        rnd(expr("CAST(d6 AS DOUBLE) / 1e6 / 100"), 4)
+          .as("diff_dollars"),
+        col("ate_dollars"))
+      .orderBy(col("stratum"))
+  }
+
   /** Mood's median test: do the nation groups share a common median
     * account balance? The GLOBAL low median (exact cent lattice,
     * tie-broken by custkey — [[qBrownForsythe]]'s selection

@@ -247,7 +247,10 @@ object LatticeLedger {
       1e6 * LI),
     Site("q_seasonal_mann_kendall", "ops/Behavior.scala",
       "var×18 fold Σ n(n−1)(2n+5) over 12 seasons, n = years ≤ 10",
-      12 * 10 * 9 * 25))
+      12 * 10 * 9 * 25),
+    Site("q_stratified_ate", "ops/Stats.scala",
+      "s1·1e6 div n1 ≤ stratum cents·1e6; Σ n_s·d6 ≤ N·maxMean6",
+      1.5e6 * 6e5 * 1e6 / 5 * 5 / 1e0))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and

@@ -482,6 +482,43 @@ class Round16Spec extends SparkSuite {
       "optimize is layout-only")
   }
 
+  test("stratified ATE matches a naive per-stratum replay") {
+    val d = "/root/testdata/sf0.001"
+    val us = graft.sources.Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("cents"))
+      .withColumn("arm", pmod(graft.functions.exprs.md5Lower64(
+        col("user_id").cast("string"))
+        .bitwiseAND(lit(Long.MaxValue)), lit(2L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val sorted = us.sortBy(u => (u._2, u._1))
+    val n = sorted.length; val k = 5
+    val big = n % k; val cap = n / k + 1
+    def stratumOf(rank0: Int): Int =
+      if (rank0 < big * cap) rank0 / cap + 1
+      else big + (rank0 - big * cap) / (n / k) + 1
+    val byS = sorted.zipWithIndex
+      .groupBy { case (_, i) => stratumOf(i) }
+    val want = byS.toSeq.sortBy(_._1).map { case (st, xs) =>
+      val a1 = xs.map(_._1).filter(_._4 == 1L)
+      val a0 = xs.map(_._1).filter(_._4 == 0L)
+      val d6 = if (a1.isEmpty || a0.isEmpty) None
+        else Some(a1.map(_._3).sum * 1000000L / a1.length -
+          a0.map(_._3).sum * 1000000L / a0.length)
+      (st.toLong, xs.length.toLong, a1.length.toLong, a0.length.toLong,
+        d6.map(v =>
+          math.floor(v.toDouble / 1e6 / 100 * 1e4 + 0.5) / 1e4))
+    }
+    val got = graft.ops.Stats.qStratifiedAte(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == want, s"stratified ATE cells: $got vs $want")
+  }
+
   test("dedup_short_spans catches EVERY planted 30-char boilerplate " +
       "doc — the detection guarantee the coarse 50/10 grid lacks") {
     val d = "/root/testdata/sf0.001"
