@@ -1081,6 +1081,8 @@ object SparkEntry {
     "q_kpss" -> (Stats.qKpss _),
     "q_moods_median" -> (Stats.qMoodsMedian _),
     "q_stratified_ate" -> (Stats.qStratifiedAte _),
+    "q_jonckheere" -> (Stats.qJonckheere _),
+    "q_page_trend" -> (Stats.qPageTrend _),
     "q_partial_corr" -> (Stats.qPartialCorr _),
     "q_icc" -> (Stats.qIcc _),
     "q_hellinger_bc" -> (Stats.qHellingerBc _),
@@ -6447,6 +6449,72 @@ object SparkEntry {
         |    floor(100 * CAST(gsum AS DOUBLE) / (gsum + lsum)
         |      * 10000 + 0.5) / 10000 END AS rsi
         |FROM g WHERE rn >= 14 ORDER BY day""".stripMargin,
+    "q_jonckheere" ->
+      """WITH cells AS (SELECT o_orderpriority AS g,
+        |    CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |j AS (SELECT sum(CAST(a.c AS HUGEINT) * b.c
+        |      * (CASE WHEN a.q < b.q THEN 2
+        |        WHEN a.q = b.q THEN 1 ELSE 0 END)) AS j2
+        |  FROM cells a JOIN cells b ON a.g < b.g),
+        |m AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    sum(CAST(n_g AS HUGEINT) * n_g) AS sn2,
+        |    sum(CAST(n_g AS HUGEINT) * n_g * (2 * n_g + 3)) AS sn3,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM cells
+        |    GROUP BY 1)),
+        |t AS (SELECT n, k, CAST(j2 AS DOUBLE) / 2 AS j,
+        |    (CAST(n AS DOUBLE) * n - CAST(sn2 AS DOUBLE)) / 4 AS e,
+        |    (CAST(n AS DOUBLE) * n * (2 * n + 3)
+        |      - CAST(sn3 AS DOUBLE)) / 72 AS v
+        |  FROM j, m)
+        |SELECT n, k, floor(j * 10 + 0.5) / 10 AS j_stat,
+        |  floor(e * 10 + 0.5) / 10 AS j_mean,
+        |  floor((j - e) / sqrt(v) * 1e4 + 0.5) / 1e4 AS z_notie,
+        |  (j - e) / sqrt(v) > 1.645 AS increasing_5pct
+        |FROM t""".stripMargin,
+    "q_page_trend" ->
+      """WITH cells AS (SELECT l_orderkey,
+        |    max(CASE WHEN l_linenumber = 1
+        |      THEN CAST(round(l_quantity) AS BIGINT) END) AS q1,
+        |    max(CASE WHEN l_linenumber = 2
+        |      THEN CAST(round(l_quantity) AS BIGINT) END) AS q2,
+        |    max(CASE WHEN l_linenumber = 3
+        |      THEN CAST(round(l_quantity) AS BIGINT) END) AS q3
+        |  FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1),
+        |f AS (SELECT * FROM cells WHERE q1 IS NOT NULL
+        |  AND q2 IS NOT NULL AND q3 IS NOT NULL),
+        |r AS (SELECT
+        |    2 * ((CASE WHEN q2 < q1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN q3 < q1 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN q2 = q1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN q3 = q1 THEN 1 ELSE 0 END) + 2 AS r2_1,
+        |    2 * ((CASE WHEN q1 < q2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN q3 < q2 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN q1 = q2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN q3 = q2 THEN 1 ELSE 0 END) + 2 AS r2_2,
+        |    2 * ((CASE WHEN q1 < q3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN q2 < q3 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN q1 = q3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN q2 = q3 THEN 1 ELSE 0 END) + 2 AS r2_3
+        |  FROM f),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(r2_1) + 2 * sum(r2_2) + 3 * sum(r2_3) AS BIGINT)
+        |      AS l2
+        |  FROM r)
+        |SELECT n_blocks,
+        |  floor(CAST(l2 AS DOUBLE) / 2 * 10 + 0.5) / 10 AS page_l,
+        |  floor((12 * (CAST(l2 AS DOUBLE) / 2)
+        |    - 3 * CAST(n_blocks AS DOUBLE) * 3 * 16)
+        |    / sqrt(CAST(n_blocks AS DOUBLE) * 9 * 8 * 4) * 1e4 + 0.5)
+        |    / 1e4 AS z_stat,
+        |  (12 * (CAST(l2 AS DOUBLE) / 2)
+        |    - 3 * CAST(n_blocks AS DOUBLE) * 3 * 16)
+        |    / sqrt(CAST(n_blocks AS DOUBLE) * 9 * 8 * 4) > 1.645
+        |    AS increasing_5pct
+        |FROM t""".stripMargin,
     "q_stratified_ate" ->
       """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
         |    CAST(sum(CASE WHEN event_type = 'purchase'

@@ -1735,6 +1735,99 @@ object Stats {
       .orderBy(col("stratum"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternative test: does line
+    * quantity trend MONOTONICALLY across the five ordered order
+    * priorities? Strictly sharper than Kruskal–Wallis when the
+    * alternative is ordered. The corpus collapses to the 5×50
+    * (priority, quantity) contingency (quantity is integral ≤ 50),
+    * and J rides the DOUBLED lattice (J2 = Σ_{g<h} 2·c_g(q)·c_h(q')
+    * [q<q'] + c_g(q)·c_h(q) — tie-halves stay integral) as exact
+    * DECIMAL products over the tiny cell self-join; mean and the
+    * classical no-tie variance are a pinned double tail (z is the
+    * standard large-sample approximation; ties inflate it equally in
+    * both engines). */
+  def qJonckheere(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("g"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val j2 = cells.as("a").join(cells.as("b"),
+        col("a.g") < col("b.g"))
+      .agg(sum(expr("CAST(a.c AS DECIMAL(38,0)) * b.c" +
+        " * (CASE WHEN a.q < b.q THEN 2" +
+        " WHEN a.q = b.q THEN 1 ELSE 0 END)")).as("j2"))
+    val m = cells.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+      .agg(sum(col("n_g")).as("n"),
+        sum(expr("CAST(n_g AS DECIMAL(38,0)) * n_g")).as("sn2"),
+        sum(expr("CAST(n_g AS DECIMAL(38,0)) * n_g * (2 * n_g + 3)"))
+          .as("sn3"),
+        count(lit(1)).as("k"))
+    j2.crossJoin(broadcast(m))
+      .select(col("n"), col("k"),
+        (expr("CAST(j2 AS DOUBLE) / 2")).as("_j"),
+        expr("(CAST(n AS DOUBLE) * n - CAST(sn2 AS DOUBLE)) / 4")
+          .as("_e"),
+        expr("(CAST(n AS DOUBLE) * n * (2 * n + 3)" +
+          " - CAST(sn3 AS DOUBLE)) / 72").as("_v"))
+      .select(col("n"), col("k"),
+        rnd(col("_j"), 1).as("j_stat"),
+        rnd(col("_e"), 1).as("j_mean"),
+        rnd((col("_j") - col("_e")) / sqrt(col("_v")), 4)
+          .as("z_notie"),
+        ((col("_j") - col("_e")) / sqrt(col("_v")) > 1.645)
+          .as("increasing_5pct"))
+  }
+
+  /** Page's L trend test over the [[qFriedman]] repeated-measures
+    * design: with the three line positions as ordered treatments, is
+    * quantity trending across position? L = Σ_j j·R_j over the SAME
+    * doubled within-block ranks Friedman folds (L2 = Σ j·S2_j stays
+    * exact integers); the normal approximation
+    * z = (12L − 3nk(k+1)²)/√(n·k²(k²−1)(k+1)) is the double tail.
+    * Strictly sharper than Friedman's omnibus χ² when the
+    * alternative is ordered — the within-block companion to
+    * [[qJonckheere]]. */
+  def qPageTrend(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 3)
+      .groupBy(col("l_orderkey"))
+      .agg(max(when(col("l_linenumber") === 1,
+          round(col("l_quantity")).cast("long"))).as("q1"),
+        max(when(col("l_linenumber") === 2,
+          round(col("l_quantity")).cast("long"))).as("q2"),
+        max(when(col("l_linenumber") === 3,
+          round(col("l_quantity")).cast("long"))).as("q3"))
+      .filter(col("q1").isNotNull && col("q2").isNotNull &&
+        col("q3").isNotNull)
+    def r2(self: String, o1: String, o2: String) = expr(
+      s"2 * (CASE WHEN $o1 < $self THEN 1 ELSE 0 END" +
+        s" + CASE WHEN $o2 < $self THEN 1 ELSE 0 END)" +
+        s" + CASE WHEN $o1 = $self THEN 1 ELSE 0 END" +
+        s" + CASE WHEN $o2 = $self THEN 1 ELSE 0 END + 2")
+    cells
+      .select(r2("q1", "q2", "q3").as("r2_1"),
+        r2("q2", "q1", "q3").as("r2_2"),
+        r2("q3", "q1", "q2").as("r2_3"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("r2_1")).as("s1"), sum(col("r2_2")).as("s2"),
+        sum(col("r2_3")).as("s3"))
+      .withColumn("l2",
+        col("s1") + lit(2L) * col("s2") + lit(3L) * col("s3"))
+      .select(col("n_blocks"),
+        rnd(expr("CAST(l2 AS DOUBLE) / 2"), 1).as("page_l"),
+        rnd(expr("(12 * (CAST(l2 AS DOUBLE) / 2)" +
+          " - 3 * CAST(n_blocks AS DOUBLE) * 3 * 16)" +
+          " / sqrt(CAST(n_blocks AS DOUBLE) * 9 * 8 * 4)"), 4)
+          .as("z_stat"),
+        (expr("(12 * (CAST(l2 AS DOUBLE) / 2)" +
+          " - 3 * CAST(n_blocks AS DOUBLE) * 3 * 16)" +
+          " / sqrt(CAST(n_blocks AS DOUBLE) * 9 * 8 * 4)") > 1.645)
+          .as("increasing_5pct"))
+  }
+
   /** Mood's median test: do the nation groups share a common median
     * account balance? The GLOBAL low median (exact cent lattice,
     * tie-broken by custkey — [[qBrownForsythe]]'s selection

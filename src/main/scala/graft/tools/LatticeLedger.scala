@@ -250,7 +250,13 @@ object LatticeLedger {
       12 * 10 * 9 * 25),
     Site("q_stratified_ate", "ops/Stats.scala",
       "s1·1e6 div n1 ≤ stratum cents·1e6; Σ n_s·d6 ≤ N·maxMean6",
-      1.5e6 * 6e5 * 1e6 / 5 * 5 / 1e0))
+      1.5e6 * 6e5 * 1e6 / 5 * 5 / 1e0),
+    Site("q_jonckheere", "ops/Stats.scala",
+      "J2 pure-DECIMAL cell products; per-group long Σc = n_g ≤ N",
+      6.0e8),
+    Site("q_page_trend", "ops/Stats.scala",
+      "L2 = Σ weighted doubled ranks ≤ 6·8·blocks LONG",
+      6 * 8 * 1.5e8))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and
@@ -264,7 +270,7 @@ object LatticeLedger {
     "ops/PipelineQueries.scala" -> 20,
     "ops/Profiling.scala" -> 6,
     "ops/Series.scala" -> 37,
-    "ops/Stats.scala" -> 97,
+    "ops/Stats.scala" -> 100,
     "streaming/Events.scala" -> 7,
     "dedup/Components.scala" -> 1)
 }

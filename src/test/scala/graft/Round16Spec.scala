@@ -519,6 +519,51 @@ class Round16Spec extends SparkSuite {
     assert(got == want, s"stratified ATE cells: $got vs $want")
   }
 
+  test("Jonckheere-Terpstra and Page's L match brute in-JVM replays") {
+    val d = "/root/testdata/sf0.001"
+    // J-T replay from the raw (priority, qty) pairs
+    val rows = graft.sources.Tables.lineitem(spark, d)
+      .join(graft.sources.Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("CAST(round(l_quantity) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2))
+    var j2 = BigInt(0)
+    for (i <- groups.indices; k <- i + 1 until groups.length;
+         a <- groups(i); b <- groups(k))
+      j2 += (if (a < b) 2 else if (a == b) 1 else 0)
+    val wantJ = math.floor(j2.toDouble / 2 * 10 + 0.5) / 10
+    val gotJ = graft.ops.Stats.qJonckheere(spark, d).collect()(0)
+    assert(gotJ.getAs[Double]("j_stat") == wantJ,
+      s"J ${gotJ.getAs[Double]("j_stat")} != $wantJ")
+
+    // Page's L replay from the q1/q2/q3 blocks
+    val blocks = graft.sources.Tables.lineitem(spark, d)
+      .filter(col("l_linenumber") <= 3)
+      .groupBy(col("l_orderkey"))
+      .agg(max(when(col("l_linenumber") === 1,
+          round(col("l_quantity")).cast("long"))).as("q1"),
+        max(when(col("l_linenumber") === 2,
+          round(col("l_quantity")).cast("long"))).as("q2"),
+        max(when(col("l_linenumber") === 3,
+          round(col("l_quantity")).cast("long"))).as("q3"))
+      .collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3))
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    def rank2(self: Long, o1: Long, o2: Long): Long =
+      2L * ((if (o1 < self) 1 else 0) + (if (o2 < self) 1 else 0)) +
+        (if (o1 == self) 1 else 0) + (if (o2 == self) 1 else 0) + 2
+    val l2 = blocks.map { case (a, b, c) =>
+      rank2(a, b, c) + 2 * rank2(b, a, c) + 3 * rank2(c, a, b) }.sum
+    val wantL = math.floor(l2.toDouble / 2 * 10 + 0.5) / 10
+    val gotL = graft.ops.Stats.qPageTrend(spark, d).collect()(0)
+    assert(gotL.getAs[Double]("page_l") == wantL,
+      s"L ${gotL.getAs[Double]("page_l")} != $wantL")
+  }
+
   test("dedup_short_spans catches EVERY planted 30-char boilerplate " +
       "doc — the detection guarantee the coarse 50/10 grid lacks") {
     val d = "/root/testdata/sf0.001"
