@@ -1082,6 +1082,7 @@ object SparkEntry {
     "q_moods_median" -> (Stats.qMoodsMedian _),
     "q_stratified_ate" -> (Stats.qStratifiedAte _),
     "q_jonckheere" -> (Stats.qJonckheere _),
+    "q_cliffs_delta" -> (Stats.qCliffsDelta _),
     "q_page_trend" -> (Stats.qPageTrend _),
     "q_partial_corr" -> (Stats.qPartialCorr _),
     "q_icc" -> (Stats.qIcc _),
@@ -6449,6 +6450,30 @@ object SparkEntry {
         |    floor(100 * CAST(gsum AS DOUBLE) / (gsum + lsum)
         |      * 10000 + 0.5) / 10000 END AS rsi
         |FROM g WHERE rn >= 14 ORDER BY day""".stripMargin,
+    "q_cliffs_delta" ->
+      """WITH cells AS (SELECT l_returnflag = 'R' AS ret,
+        |    CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT
+        |    sum(CASE WHEN a.q > b.q THEN CAST(a.c AS HUGEINT) * b.c
+        |      ELSE 0 END) AS gt,
+        |    sum(CASE WHEN a.q < b.q THEN CAST(a.c AS HUGEINT) * b.c
+        |      ELSE 0 END) AS lt,
+        |    sum(CAST(a.c AS HUGEINT) * b.c) AS nn
+        |  FROM (SELECT q, c FROM cells WHERE ret) a,
+        |    (SELECT q, c FROM cells WHERE NOT ret) b)
+        |SELECT
+        |  floor((CAST(gt AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    - CAST(lt AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6 + 0.5)
+        |    / 1e6 AS cliffs_delta,
+        |  floor((CAST(gt AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    - CAST(lt AS DOUBLE) / CAST(nn AS DOUBLE) + 1) / 2 * 1e6
+        |    + 0.5) / 1e6 AS vargha_delaney_a,
+        |  abs(CAST(gt AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    - CAST(lt AS DOUBLE) / CAST(nn AS DOUBLE)) < 0.147
+        |    AS negligible_effect
+        |FROM t""".stripMargin,
     "q_jonckheere" ->
       """WITH cells AS (SELECT o_orderpriority AS g,
         |    CAST(round(l_quantity) AS BIGINT) AS q,

@@ -1735,6 +1735,43 @@ object Stats {
       .orderBy(col("stratum"))
   }
 
+  /** Cliff's delta + Vargha–Delaney Â — the nonparametric effect
+    * sizes (dominance probabilities) between returned and kept
+    * lines' quantities: δ = (#(x>y) − #(x<y))/(n₁n₂), Â = (δ+1)/2.
+    * The significance companion q_mann_whitney already exists; these
+    * are the MAGNITUDE readouts reviewers now require beside p.
+    * Quantity is integral ≤ 50, so the corpus collapses to a 2×50
+    * contingency and all dominance counts are exact DECIMAL products
+    * over the tiny cell join — never a pair join. */
+  def qCliffsDelta(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .groupBy((col("l_returnflag") === "R").as("ret"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val a = cells.filter(col("ret")).select(col("q").as("qa"),
+      col("c").as("ca"))
+    val b = cells.filter(!col("ret")).select(col("q").as("qb"),
+      col("c").as("cb"))
+    a.crossJoin(b)
+      .agg(
+        sum(expr("CASE WHEN qa > qb THEN" +
+          " CAST(ca AS DECIMAL(38,0)) * cb ELSE 0 END")).as("gt"),
+        sum(expr("CASE WHEN qa < qb THEN" +
+          " CAST(ca AS DECIMAL(38,0)) * cb ELSE 0 END")).as("lt"),
+        sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("nn"))
+      .select(
+        rnd(expr("CAST(gt AS DOUBLE) / CAST(nn AS DOUBLE)" +
+          " - CAST(lt AS DOUBLE) / CAST(nn AS DOUBLE)"), 6)
+          .as("cliffs_delta"),
+        rnd(expr("(CAST(gt AS DOUBLE) / CAST(nn AS DOUBLE)" +
+          " - CAST(lt AS DOUBLE) / CAST(nn AS DOUBLE) + 1) / 2"), 6)
+          .as("vargha_delaney_a"),
+        (abs(expr("CAST(gt AS DOUBLE) / CAST(nn AS DOUBLE)" +
+          " - CAST(lt AS DOUBLE) / CAST(nn AS DOUBLE)")) < 0.147)
+          .as("negligible_effect"))
+  }
+
   /** Jonckheere–Terpstra ordered-alternative test: does line
     * quantity trend MONOTONICALLY across the five ordered order
     * priorities? Strictly sharper than Kruskal–Wallis when the

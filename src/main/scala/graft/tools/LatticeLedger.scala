@@ -256,7 +256,10 @@ object LatticeLedger {
       6.0e8),
     Site("q_page_trend", "ops/Stats.scala",
       "L2 = Σ weighted doubled ranks ≤ 6·8·blocks LONG",
-      6 * 8 * 1.5e8))
+      6 * 8 * 1.5e8),
+    Site("q_cliffs_delta", "ops/Stats.scala",
+      "per-arm cell counts LONG ≤ N; dominance products pure DECIMAL",
+      6.0e8))
 
   /** Per-file census of `DECIMAL(38,0)` occurrences — the lattice
     * marker. LatticeLedgerSpec recounts the sources at test time and
@@ -270,7 +273,7 @@ object LatticeLedger {
     "ops/PipelineQueries.scala" -> 20,
     "ops/Profiling.scala" -> 6,
     "ops/Series.scala" -> 37,
-    "ops/Stats.scala" -> 100,
+    "ops/Stats.scala" -> 103,
     "streaming/Events.scala" -> 7,
     "dedup/Components.scala" -> 1)
 }

@@ -564,6 +564,28 @@ class Round16Spec extends SparkSuite {
       s"L ${gotL.getAs[Double]("page_l")} != $wantL")
   }
 
+  test("Cliff's delta matches a brute dominance replay") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.lineitem(spark, d)
+      .select((col("l_returnflag") === "R"),
+        expr("CAST(round(l_quantity) AS BIGINT)"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val xs = rows.filter(_._1).map(_._2)
+    val ys = rows.filter(!_._1).map(_._2)
+    var gt = BigInt(0); var lt = BigInt(0)
+    for (x <- xs; y <- ys) {
+      if (x > y) gt += 1 else if (x < y) lt += 1
+    }
+    val nn = BigInt(xs.length) * ys.length
+    val delta = gt.toDouble / nn.toDouble - lt.toDouble / nn.toDouble
+    val want = math.floor(delta * 1e6 + 0.5) / 1e6
+    val got = graft.ops.Stats.qCliffsDelta(spark, d).collect()(0)
+    assert(got.getAs[Double]("cliffs_delta") == want,
+      s"delta ${got.getAs[Double]("cliffs_delta")} != $want")
+    assert(got.getAs[Double]("vargha_delaney_a") ==
+      math.floor((delta + 1) / 2 * 1e6 + 0.5) / 1e6)
+  }
+
   test("dedup_short_spans catches EVERY planted 30-char boilerplate " +
       "doc — the detection guarantee the coarse 50/10 grid lacks") {
     val d = "/root/testdata/sf0.001"
