@@ -564,6 +564,24 @@ class Round16Spec extends SparkSuite {
       s"L ${gotL.getAs[Double]("page_l")} != $wantL")
   }
 
+  test("stream_asof_interval runs in at most 3 micro-batches — the " +
+      "r16 floor diet (5 batches -> 2+flush) must not regress") {
+    val d = "/root/testdata/sf0.001"
+    graft.streaming.Events.streamAsofInterval(spark, d).collect()
+    val batches = graft.streaming.StreamMeter.stats.entrySet().iterator()
+    var found = false
+    batches.forEachRemaining { e =>
+      if (e.getKey.startsWith("graft_stream_asof_int")) {
+        found = true
+        assert(e.getValue._3 <= 3,
+          s"asof interval ran ${e.getValue._3} micro-batches — the " +
+            "2-batch source layout (data+sentinel per trigger, " +
+            "no-data flush) has regressed")
+      }
+    }
+    assert(found, "no StreamMeter record for the asof interval run")
+  }
+
   test("Cliff's delta matches a brute dominance replay") {
     val d = "/root/testdata/sf0.001"
     val rows = graft.sources.Tables.lineitem(spark, d)
