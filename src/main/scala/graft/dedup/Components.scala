@@ -25,8 +25,36 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** pairs: (id_a, id_b) edges. Returns (id, keeper) for every id that
-    * appears in any pair, keeper = min id of its component. */
+    * appears in any pair, keeper = min id of its component.
+    *
+    * HYBRID (the r14/r15 q_scc diet, generalized): the BSP rounds are
+    * tiny-frame, PLAN-DEPTH-bound jobs at fixture scale — each round
+    * costs two joins + a rollup + a checkpoint + a convergence action
+    * over a few hundred rows, so stage setup dominates by 100×. When
+    * the verified pair set fits the documented driver-fold bound
+    * (`graft.components.localThreshold`, default 100k pairs — the
+    * same bound class as the SQ8/MMR/BPE folds and qScc's Tarjan
+    * finisher), collect it ONCE and label with in-JVM min-root
+    * union-find: identical fixpoint (every union hangs the larger
+    * root under the smaller, so find(x) is the component MINIMUM —
+    * exactly the BSP label). The BSP fixpoint below remains the
+    * at-scale path for pair sets above the bound; the spec forces it
+    * via localThreshold=0 and pins equality with this finisher. */
   def keepers(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val s = pairs.sparkSession
+    val localMax = s.conf.getOption("graft.components.localThreshold")
+      .map(_.toInt).getOrElse(100000)
+    val bothLong = Seq("id_a", "id_b").forall(c =>
+      pairs.schema(c).dataType ==
+        org.apache.spark.sql.types.LongType)
+    if (bothLong && localMax > 0) {
+      // limit-pushdown probe: ≤ localMax+1 rows ever reach the driver
+      val es = pairs.select(col("id_a"), col("id_b")).take(localMax + 1)
+      if (es.length <= localMax)
+        return s.createDataFrame(
+          localKeepers(es.map(r => (r.getLong(0), r.getLong(1)))).toSeq)
+          .toDF("id", "keeper")
+    }
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -81,6 +109,34 @@ object Components {
         s"Components.keepers did not converge within $maxRounds rounds — " +
           "raise maxRounds (cluster diameter exceeds 2^rounds)")
     labels
+  }
+
+  /** In-JVM min-root union-find over a collected pair set: the
+    * driver-fold finisher for [[keepers]]. Union always hangs the
+    * LARGER root under the SMALLER, so every root is its component's
+    * minimum id — the same fixpoint min-label propagation reaches. */
+  private[graft] def localKeepers(
+      es: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new Array[(Long, Long)](parent.size)
+    var i = 0
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val k = it.next(); out(i) = (k, find(k)); i += 1 }
+    out
   }
 
   /** INCREMENTAL component maintenance: fold a batch's verified edges
