@@ -47,17 +47,33 @@ object Components {
     val bothLong = Seq("id_a", "id_b").forall(c =>
       pairs.schema(c).dataType ==
         org.apache.spark.sql.types.LongType)
+    val proj0 = pairs.select(col("id_a"), col("id_b"))
     if (bothLong && localMax > 0) {
-      // limit-pushdown probe: ≤ localMax+1 rows ever reach the driver
-      val es = pairs.select(col("id_a"), col("id_b")).take(localMax + 1)
-      if (es.length <= localMax)
+      // limit-pushdown probe: ≤ localMax+1 rows ever reach the driver.
+      // Deliberately UNCACHED (r16 ADVICE weighed both ways): a cache
+      // here would force full-partition materialization and defeat the
+      // limit's early termination, costing ~0.2-0.3 s on every key
+      // whose pair set fits the local bound (measured r17) — the
+      // common case. The above-threshold double-eval the advice
+      // worried about is handled below by caching ONLY on fallback.
+      val es = proj0.take(localMax + 1)
+      // a null id coerces to 0L under Row.getLong and would silently
+      // diverge from the BSP path's null handling (r16 ADVICE): any
+      // null endpoint falls through to the distributed fixpoint
+      if (es.length <= localMax &&
+          es.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
         return s.createDataFrame(
           localKeepers(es.map(r => (r.getLong(0), r.getLong(1)))).toSeq)
           .toDF("id", "keeper")
     }
+    // BSP fallback: cache the narrow projection so the undirected
+    // union below (which references it twice) and the probe's partial
+    // evaluation don't each re-run the (often expensive LSH-verify)
+    // upstream plan (r16 ADVICE). Unpersisted once edges materialize.
+    val proj = proj0.cache()
     // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = proj.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(proj.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
     // seed with min(id, min neighbor) — the first propagation round for
@@ -78,6 +94,9 @@ object Components {
       df.agg(coalesce(sum(col("keeper").cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prevSum = keeperSum(labels)
+    // the seed action above materialized both caches — the probe
+    // projection has served its purpose
+    proj.unpersist(blocking = false)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {

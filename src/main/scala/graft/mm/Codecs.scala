@@ -122,6 +122,89 @@ object Codecs {
     s
   }
 
+  // Reused codec plumbing for the per-doc frame loops (r17 kernel
+  // diet): ImageIO.write/read re-resolve a writer/reader per call and
+  // allocate a fresh BufferedImage + stream wrapper per frame —
+  // measured churn, not codec work. One PNG writer/reader per thread,
+  // re-targeted per frame; the codec itself (encoder/decoder plugin)
+  // is unchanged, so the bytes and decoded pixels are identical.
+  private val pngWriter =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      ImageIO.getImageWritersByFormatName("png").next())
+  private val pngReader =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      ImageIO.getImageReadersByFormatName("png").next())
+
+  /** Scene-cut statistics for one doc's deterministic 6-frame sequence
+    * — the [[graft.ops.PipelineQueries.multimodalVideoScenecut]] inner
+    * loop as ONE kernel: every frame is still encoded to genuine PNG
+    * bytes and decoded back through the real javax.imageio codec (the
+    * key's contract), but the frame BufferedImage, the byte sink, the
+    * two decoded-pixel buffers and the writer/reader instances are
+    * allocated once per doc/thread instead of 6-12 times per doc —
+    * and pixels move via the raster's bulk getSamples/DataBufferInt
+    * instead of per-pixel get/setRGB colour-model round-trips. Output
+    * is pinned byte-equal to the composed per-frame functions
+    * (encodePngGray → decodeGrayVec → absDiffSum) by Opt17Spec.
+    * Returns (cut_at, max_diff, n_static_transitions). */
+  def sceneCutStats(id: Long): (Long, Long, Long) = {
+    val w = pngWidth(id)
+    val h = pngHeight(id)
+    val cut = (2 + id % 3).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    val bos = new ByteArrayOutputStream()
+    val writer = pngWriter.get()
+    val reader = pngReader.get()
+    var prev = new Array[Int](w * h)
+    var cur = new Array[Int](w * h)
+    val diffs = new Array[Long](5)
+    var f = 0
+    while (f < 6) {
+      val seed = if (f < cut) id else id + 500000L
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = grayAt(x, y, seed)
+          data(i) = (g << 16) | (g << 8) | g
+          x += 1
+          i += 1
+        }
+        y += 1
+      }
+      bos.reset()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), null)
+      ios.close()
+      val iis = ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bos.toByteArray))
+      reader.setInput(iis)
+      val dec = reader.read(0)
+      iis.close()
+      // band 0 is the red channel for any RGB/gray colour model — the
+      // same value decodeGrayVec reads via (getRGB >> 16) & 0xff,
+      // without the per-pixel colour-model conversion
+      dec.getRaster.getSamples(0, 0, w, h, 0, cur)
+      if (f > 0) diffs(f - 1) = absDiffSum(prev, cur)
+      val t = prev; prev = cur; cur = t
+      f += 1
+    }
+    var maxDiff = 0L
+    var cutAt = 1
+    var nStatic = 0L
+    var k = 0
+    while (k < 5) {
+      if (diffs(k) > maxDiff) { maxDiff = diffs(k); cutAt = k + 1 }
+      if (diffs(k) == 0L) nStatic += 1
+      k += 1
+    }
+    (cutAt.toLong, maxDiff, nStatic)
+  }
+
   /** Decode real PNG bytes and extract ViT-style non-overlapping p×p
     * patches: (tiles per row, tiles per col, an exact integer checksum
     * Σ over tiles of (tileIndex+1)·tileSum over DECODED red-channel

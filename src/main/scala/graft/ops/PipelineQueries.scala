@@ -97,14 +97,33 @@ object PipelineQueries {
       .groupBy(col("doc_id"))
       .agg(expr("transform(array_sort(collect_list(struct(f, tok))), x -> x.tok)")
         .as("stoks"))
-    // τ = 0.5: prefix p = n - ceil(n/2) + 1 = n div 2 + 1
+    // τ = 0.5: prefix p = n - ceil(n/2) + 1 = n div 2 + 1.
+    // localCheckpoint(true): the candidate self-join reads this frame
+    // on BOTH sides, and without the eager materialization the whole
+    // upstream (shingle explode → df join → per-doc sort → prefix
+    // explode, freq aggregation included) executes twice — the r17
+    // before-plan showed two full copies of operators 8-44 with no
+    // ReusedExchange (guide §2.4: don't recompute what one exchange
+    // can serve). `n` rides along for the length filter below.
     val pref = ordered
       .withColumn("n", size(col("stoks")))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n"),
         explode(expr("slice(stoks, 1, n div 2 + 1)")).as("tok"))
-    val cands = pref.select(col("tok"), col("doc_id").as("id_a"))
-      .join(pref.select(col("tok"), col("doc_id").as("id_b")), Seq("tok"))
-      .filter(col("id_a") < col("id_b"))
+      .cache()
+    // PPJoin length filter (guide §3.2 — prune before the shuffle):
+    // J(a,b) ≥ 0.5 ⇒ |a∩b| ≥ ½|a∪b| ≥ ½·max(na,nb), and |a∩b| ≤
+    // min(na,nb), so max ≤ 2·min. Pairs failing it can never verify —
+    // dropping them here (a pure function of the sizes, independent of
+    // which prefix token matched) only removes rows the exact-Jaccard
+    // filter would discard anyway, BEFORE the distinct and the two
+    // verify joins pay for them.
+    val cands = pref.select(col("tok"), col("doc_id").as("id_a"),
+        col("n").as("_na"))
+      .join(pref.select(col("tok"), col("doc_id").as("id_b"),
+        col("n").as("_nb")), Seq("tok"))
+      .filter(col("id_a") < col("id_b") &&
+        col("_na") <= lit(2) * col("_nb") &&
+        col("_nb") <= lit(2) * col("_na"))
       .select("id_a", "id_b").distinct()
     val ta = docs.select(col("doc_id").as("id_a"), col("toks").as("_ta"))
     val tb = docs.select(col("doc_id").as("id_b"), col("toks").as("_tb"))
@@ -3140,20 +3159,21 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // the docs table reads as ONE split at fixture scale, so the
+      // whole 6·|docs| codec loop ran on a single core (r17 plan
+      // audit; this is the suite's most CPU-bound map, slope 10.0 at
+      // the §4.0 decade). Spread the 8-byte ids across the session's
+      // cores before the heavy map — scale-adaptive (defaultParallelism
+      // follows $SPARK_GRAFT_CPUS locally, the cluster in production),
+      // and at 100 TB the scan itself already yields many splits, so
+      // the round-robin exchange stays a no-op-sized id shuffle.
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
-        val w = graft.mm.Codecs.pngWidth(id)
-        val h = graft.mm.Codecs.pngHeight(id)
-        val cut = (2 + id % 3).toInt
-        val frames = (0 until 6).map { f =>
-          val seed = if (f < cut) id else id + 500000L
-          graft.mm.Codecs.decodeGrayVec(
-            graft.mm.Codecs.encodePngGray(w, h, seed))
-        }
-        val diffs = (1 until 6).map(t =>
-          graft.mm.Codecs.absDiffSum(frames(t - 1), frames(t)))
-        val cutAt = diffs.indexOf(diffs.max) + 1
-        (id, 6L, cutAt.toLong, diffs.max,
-          diffs.count(_ == 0L).toLong)
+        // one fused kernel per doc (r17 diet): same 6 encode→decode
+        // codec round-trips, buffers/writer/reader reused — pinned
+        // equal to the composed per-frame functions by Opt17Spec
+        val (cutAt, maxDiff, nStatic) = graft.mm.Codecs.sceneCutStats(id)
+        (id, 6L, cutAt, maxDiff, nStatic)
       })
       .toDF("doc_id", "n_frames", "cut_at", "max_diff",
         "n_static_transitions")
