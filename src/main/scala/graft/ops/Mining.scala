@@ -647,10 +647,52 @@ object Mining {
     * replays the identical 3 unrolled rounds. */
   def qLabelProp(s: SparkSession, d: String): DataFrame = {
     val e = sparsePartEdges(s, d, minW = 1)
-    lpaLabels(e).groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy(col("n_members").desc, col("community"))
-      .limit(20)
+    // driver-fold finisher (r16 order #5): the edge-gen rollup stays
+    // distributed; the 3 synchronous LPA rounds (one shuffle each at
+    // fixture scale, pure stage setup) fold in-JVM under the bound.
+    // Same most-frequent/smallest-label rule — integer counting, no
+    // accumulation-order exposure.
+    localEdges(e, "id_a", "id_b") match {
+      case Some(es) =>
+        import s.implicits._
+        val adj = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        def add(u: Long, v: Long): Unit =
+          adj.getOrElseUpdate(u,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += v
+        es.foreach { case (a, b) => add(a, b); add(b, a) }
+        var lbl = scala.collection.mutable.LongMap.empty[Long]
+        adj.keysIterator.foreach(n => lbl(n) = n)
+        for (_ <- 1 to 3) {
+          val next = scala.collection.mutable.LongMap.empty[Long]
+          adj.foreach { case (n, ns) =>
+            val freq = scala.collection.mutable.LongMap.empty[Long]
+            ns.foreach { v =>
+              val l = lbl(v); freq(l) = freq.getOrElse(l, 0L) + 1L
+            }
+            var bestL = Long.MaxValue
+            var bestC = 0L
+            freq.foreach { case (l, c) =>
+              if (c > bestC || (c == bestC && l < bestL)) {
+                bestC = c; bestL = l
+              }
+            }
+            next(n) = bestL
+          }
+          lbl = next
+        }
+        val counts = scala.collection.mutable.LongMap.empty[Long]
+        lbl.foreach { case (_, l) => counts(l) = counts.getOrElse(l, 0L) + 1L }
+        counts.toSeq.map { case (c, n) => (c, n) }
+          .sortBy { case (c, n) => (-n, c) }.take(20)
+          .toDF("community", "n_members")
+          .orderBy(col("n_members").desc, col("community"))
+      case None =>
+        lpaLabels(e).groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("n_members").desc, col("community"))
+          .limit(20)
+    }
   }
 
   /** The 3-round synchronous LPA label frame (id, lbl) shared by
@@ -1857,6 +1899,19 @@ object Mining {
     val sym = e.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(e.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)
+    // driver-fold finisher (r16 order #5): 9 BSP rounds (4 forward
+    // sigma + 4 backward P + rollup), each 2-3 tiny shuffles, fold
+    // in-JVM when the materialized sym frame fits the bound. All
+    // sigma/P/stress arithmetic is exact longs; source choice uses
+    // the identical md5 order.
+    localEdges(sym, "u", "v") match {
+      case Some(dir) =>
+        import s.implicits._
+        return localBetweenness(dir)
+          .toDF("node", "stress")
+          .orderBy(col("stress").desc, col("node"))
+      case None => ()
+    }
     val srcs = sym.select(col("u").as("node")).distinct()
       .orderBy(md5Lower64(col("node").cast("string"))
         .bitwiseAND(lit(Long.MaxValue)), col("node"))
@@ -1922,6 +1977,27 @@ object Mining {
     val sym = e.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(e.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)
+    // driver-fold finisher (r16 order #5): 4 BFS rounds fold in-JVM
+    // under the bound; integer (n_src, farness, ecc) triples, one
+    // identical-operand floor division per node.
+    localEdges(sym, "u", "v") match {
+      case Some(dir) =>
+        import s.implicits._
+        val agg = scala.collection.mutable.LongMap
+          .empty[(Long, Long, Long)] // n_src, farness, ecc
+        localBfsVisits(dir).foreach { case (_, node, dd) =>
+          val (n0, f0, e0) = agg.getOrElse(node, (0L, 0L, 0L))
+          agg(node) = (n0 + 1L, f0 + dd, math.max(e0, dd))
+        }
+        return agg.toSeq.collect { case (node, (ns, fr, ec)) if fr > 0L =>
+            (node, ns, fr, ec,
+              math.floor(ns.toDouble / fr * 1e6 + 0.5) / 1e6)
+          }
+          .sortBy { case (node, _, _, _, cl) => (-cl, node) }.take(20)
+          .toDF("node", "n_src", "farness", "ecc", "closeness")
+          .orderBy(col("closeness").desc, col("node"))
+      case None => ()
+    }
     val srcs = sym.select(col("u").as("node")).distinct()
       .orderBy(md5Lower64(col("node").cast("string"))
         .bitwiseAND(lit(Long.MaxValue)), col("node"))
@@ -1965,6 +2041,27 @@ object Mining {
     val sym = e.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(e.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)
+    // driver-fold finisher (r16 order #5): same BFS fold; 10⁶ div d
+    // stays exact integer division, sums order-free longs.
+    localEdges(sym, "u", "v") match {
+      case Some(dir) =>
+        import s.implicits._
+        val agg = scala.collection.mutable.LongMap
+          .empty[(Long, Long, Long)] // n_src, harm_micro, min_dist
+        localBfsVisits(dir).foreach { case (_, node, dd) =>
+          if (dd > 0L) {
+            val (n0, h0, m0) = agg.getOrElse(node, (0L, 0L, Long.MaxValue))
+            agg(node) = (n0 + 1L, h0 + 1000000L / dd, math.min(m0, dd))
+          }
+        }
+        return agg.toSeq.map { case (node, (ns, hm, md)) =>
+            (node, ns, md, hm, hm.toDouble / 1e6)
+          }
+          .sortBy { case (node, _, _, hm, _) => (-hm, node) }.take(20)
+          .toDF("node", "n_src", "min_dist", "harm_micro", "harmonic")
+          .orderBy(col("harm_micro").desc, col("node"))
+      case None => ()
+    }
     val srcs = sym.select(col("u").as("node")).distinct()
       .orderBy(md5Lower64(col("node").cast("string"))
         .bitwiseAND(lit(Long.MaxValue)), col("node"))
@@ -2400,6 +2497,128 @@ object Mining {
       .orderBy(col("nation"))
   }
 
+  /** Bounded driver-fold edge probe — the [[graft.dedup.Components]] /
+    * [[qScc]]-Tarjan diet generalized to the whole BSP graph family
+    * (r16 verdict order #5): when the edge frame fits the documented
+    * local bound (`graft.mining.localThreshold`, default 100k rows),
+    * return it as a driver array so the iteration rounds run in-JVM
+    * instead of paying per-round join+checkpoint stage setup over a
+    * few hundred rows (guide §2: each BSP round is 2-3 tiny shuffles
+    * whose stage setup dominates 100×; §5: the collect is bounded by
+    * the probe's limit pushdown). Returns None above the bound, on a
+    * null endpoint, or on non-long ids — the BSP path stays the
+    * at-scale path, conf-forced and pinned equal by Opt17Spec. Only
+    * INTEGER-exact queries use this fold: the double-iteration keys
+    * (pagerank/HITS) stay distributed because a third accumulation
+    * order would sit outside the two the oracle contract already
+    * covers. */
+  private[ops] def localEdges(e: DataFrame, ca: String, cb: String)
+      : Option[Array[(Long, Long)]] = {
+    val s = e.sparkSession
+    val localMax = s.conf.getOption("graft.mining.localThreshold")
+      .map(_.toInt).getOrElse(100000)
+    if (localMax <= 0) return None
+    val bothLong = Seq(ca, cb).forall(c => e.schema(c).dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (!bothLong) return None
+    val es = e.select(col(ca), col(cb)).take(localMax + 1)
+    if (es.length > localMax ||
+        es.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+    else Some(es.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** Adjacency + the 6 md5-ordered BFS sources for the sampled-source
+    * centrality trio's in-JVM twins — the source order replays the
+    * distributed `orderBy(md5Lower64(node) & MaxValue, node)` exactly
+    * via the same [[graft.functions.Kernels.md5Lower64]] kernel. */
+  private def localAdjAndSrcs(dir: Array[(Long, Long)]): (
+      scala.collection.mutable.LongMap[
+        scala.collection.mutable.ArrayBuffer[Long]], Array[Long]) = {
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    dir.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += v
+    }
+    val srcs = adj.keysIterator.toArray
+      .sortBy(n => (graft.functions.Kernels.md5Lower64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(n.toString))
+        & Long.MaxValue, n))
+      .take(6)
+    (adj, srcs)
+  }
+
+  /** In-JVM twin of [[qBetweennessApprox]]'s forward-sigma/backward-P
+    * passes over a collected directed edge array: exact long σ/P/
+    * stress folds (order-free), identical level structure and
+    * anti-join-after-aggregation visited semantics. Returns the
+    * (node, stress) top-20 in (stress desc, node) order. */
+  private def localBetweenness(dir: Array[(Long, Long)])
+      : Seq[(Long, Long)] = {
+    val (adj, srcs) = localAdjAndSrcs(dir)
+    val stress = scala.collection.mutable.LongMap.empty[Long]
+    srcs.foreach { src =>
+      val levels = new Array[scala.collection.mutable.LongMap[Long]](5)
+      levels(0) = scala.collection.mutable.LongMap(src -> 1L)
+      val visited = scala.collection.mutable.HashSet[Long](src)
+      for (dpt <- 1 to 4) {
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        levels(dpt - 1).foreach { case (node, sg) =>
+          adj(node).foreach { v =>
+            if (!visited.contains(v)) next(v) = next.getOrElse(v, 0L) + sg
+          }
+        }
+        next.keysIterator.foreach(visited += _)
+        levels(dpt) = next
+      }
+      var p = scala.collection.mutable.LongMap.empty[Long]
+      levels(4).keysIterator.foreach(n => p(n) = 0L)
+      for (dpt <- 3 to 0 by -1) {
+        val np = scala.collection.mutable.LongMap.empty[Long]
+        levels(dpt).foreach { case (node, _) =>
+          var acc = 0L
+          adj(node).foreach { v =>
+            if (p.contains(v)) acc += p(v) + 1L
+          }
+          np(node) = acc
+        }
+        if (dpt >= 1) levels(dpt).foreach { case (node, sg) =>
+          stress(node) = stress.getOrElse(node, 0L) + sg * np(node)
+        }
+        p = np
+      }
+    }
+    stress.toSeq.filter(_._2 > 0L)
+      .sortBy { case (n, st) => (-st, n) }.take(20)
+  }
+
+  /** In-JVM BFS (hop ≤ 4) from the 6 md5 sources: per node the
+    * (n_src, farness, ecc) triple over visited entries — the shared
+    * core of [[qClosenessApprox]] / [[qHarmonicCentrality]]'s twins.
+    * Returns every (src, node, dist) visited entry (dist 0 included,
+    * matching the distributed `visited` union). */
+  private def localBfsVisits(dir: Array[(Long, Long)])
+      : Seq[(Long, Long, Long)] = {
+    val (adj, srcs) = localAdjAndSrcs(dir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    srcs.foreach { src =>
+      val dist = scala.collection.mutable.LongMap[Long](src -> 0L)
+      var frontier = Array(src)
+      for (dpt <- 1 to 4) {
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        frontier.foreach { node =>
+          adj(node).foreach { v =>
+            if (!dist.contains(v) && !next.contains(v)) next(v) = dpt.toLong
+          }
+        }
+        next.foreach { case (v, dd) => dist(v) = dd }
+        frontier = next.keysIterator.toArray
+      }
+      dist.foreach { case (node, dd) => out += ((src, node, dd)) }
+    }
+    out.toSeq
+  }
+
   /** Exact k-step walk counts w₁..w₃ per node over an undirected edge
     * list (both directions present): w₁ = degree, wₖ₊₁(v) = Σ_{u∈N(v)}
     * wₖ(u) — the INTEGER power-iteration core shared by
@@ -2440,6 +2659,9 @@ object Mining {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
+    // NO driver-fold probe (r17, measured): the bipartite co-trade
+    // graph is also far above the 100k bound at sf0.1 — see
+    // qEigenvectorCentrality's note; the probe cost ~0.4 s for nothing.
     walkCounts(edges)
       .filter(col("node") % 2 === 1)
       .withColumn("katz_x64",
@@ -2473,6 +2695,14 @@ object Mining {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
+    // NO driver-fold probe here (r17, measured): the full co-purchase
+    // graph is 1.2M pairs / 2.4M directed edges at sf0.1 — far above
+    // the 100k local bound — so a probe can never fire at bench scale
+    // and its take() cost (~0.2 s/run) was a pure regression. The key
+    // sits near its shuffle floor: the (a, b) distinct IS the
+    // data-scaled cost (a one-shuffle groupBy+pair-explode prototype
+    // won only ~10% steady-state), and the 3 walk rounds ride |E|-row
+    // partial-aggregable shuffles.
     val w = walkCounts(edges).localCheckpoint(true)
     val mx = broadcast(w.agg(max(col("w3")).as("_mx")))
     w.crossJoin(mx)
@@ -3032,6 +3262,35 @@ object Mining {
     while (nNodes > 0) {
       outer += 1
       require(outer <= 12, "qScc: outer peel budget exhausted")
+      // 0. HYBRID FINISHER, checked BEFORE the trim block (r17 diet):
+      // the trim only exists to shrink a graph too big to collect —
+      // when the WHOLE remaining graph already fits the driver-fold
+      // bound, Tarjan handles acyclic nodes and cores alike in one
+      // O(V+E) pass, and the 7-step trim block (~15 two-partition
+      // stages) is pure overhead. Same bound, same Tarjan, same
+      // fixpoint as the post-trim check below (which stays, for the
+      // at-scale rounds where the trim DID the shrinking).
+      locally {
+        val localMax = s.conf.getOption("graft.scc.localThreshold")
+          .map(_.toLong).getOrElse(100000L)
+        if (nNodes > 0 && nNodes <= localMax &&
+            edges.count() <= 4 * localMax) {
+          val es = edges.select(col("src"), col("dst")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val lab = localTarjan(es)
+          // unlike the post-trim check, nodes here may carry ids whose
+          // last edges were peeled away with an earlier fin round —
+          // the trim would have finalized them as singletons; do the
+          // same (nodes ≤ localMax, so this collect is bounded too)
+          val seen = lab.map(_._1).toSet
+          val singles = nodes.select(col("id")).collect()
+            .map(_.getLong(0)).filterNot(seen)
+          parts += s.createDataFrame(
+            (lab ++ singles.map(n => (n, n))).toSeq)
+            .toDF("id", "scc")
+          nNodes = 0
+        }
+      }
       // 1. ONE 7-step trim block per peel round (r14 verdict #4 diet:
       // at this block's width every frame is stage-overhead-bound, so
       // re-trimming to fixpoint before labeling bought nothing — the
@@ -3254,6 +3513,42 @@ object Mining {
   def qDagLongestPath(s: SparkSession, d: String): DataFrame = {
     val edges = successionEdges(s, d)
       .filter(col("src") < col("dst")).localCheckpoint(true)
+    // driver-fold finisher (r16 order #5): src < dst makes ascending
+    // id order topological, so the whole relaxation fixpoint is one
+    // in-JVM DP pass when the DAG fits the bound — replacing 7-step
+    // relaxation jobs that are pure stage setup at fixture scale.
+    localEdges(edges, "src", "dst") match {
+      case Some(es) =>
+        import s.implicits._
+        val dist = scala.collection.mutable.LongMap.empty[Long]
+        es.foreach { case (a, b) =>
+          dist.getOrElseUpdate(a, 0L); dist.getOrElseUpdate(b, 0L)
+        }
+        val adj = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        es.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+        }
+        dist.keysIterator.toArray.sorted.foreach { n =>
+          val dn = dist(n) + 1L
+          adj.get(n).foreach(_.foreach { v =>
+            if (dist(v) < dn) dist(v) = dn
+          })
+        }
+        val byDist = scala.collection.mutable.LongMap
+          .empty[(Long, Long, Long)] // n_nodes, min_id, max_id
+        dist.foreach { case (id, dd) =>
+          val (c0, mn0, mx0) =
+            byDist.getOrElse(dd, (0L, Long.MaxValue, Long.MinValue))
+          byDist(dd) = (c0 + 1L, math.min(mn0, id), math.max(mx0, id))
+        }
+        return byDist.toSeq.map { case (dd, (c, mn, mx)) => (dd, c, mn, mx) }
+          .sortBy(_._1)
+          .toDF("dist", "n_nodes", "min_id", "max_id")
+          .orderBy(col("dist"))
+      case None => ()
+    }
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
