@@ -63,9 +63,16 @@ object Events {
   private def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.get(key)
     val prevCk = spark.conf.get(ckKey)
+    val prevNd = spark.conf.get(ndKey)
     spark.conf.set(key, "8")
+    // the one-sentinel watermark-flush layouts (abandoned carts, asof,
+    // late-data audit…) rely on the automatic no-data micro-batch to
+    // APPLY the last advance — pin the default ON so a session-level
+    // override can't silently starve those flushes (r16 ADVICE)
+    spark.conf.set(ndKey, "true")
     // Spark 4.1 defaults checkpoint FILE CHECKSUMS on: every offset /
     // commit / state-delta write gains a twin .checksum file, doubling
     // the small-file creation count on the state-store commit path —
@@ -77,6 +84,7 @@ object Events {
     try body finally {
       spark.conf.set(key, prev)
       spark.conf.set(ckKey, prevCk)
+      spark.conf.set(ndKey, prevNd)
     }
   }
 
@@ -1042,17 +1050,6 @@ object Events {
       .orderBy(col("doc_id"))
   }
 
-  /** STREAMING count-min heavy hitters —
-    * [[graft.ops.PipelineQueries.countMinTopK]] as a continuous query.
-    * The CMS is a LINEAR sketch (elementwise-add merge), so the
-    * streaming aggregation state is one fixed 8 kB counter grid that
-    * absorbs each micro-batch's partial sketch, and the final grid is
-    * BIT-IDENTICAL to the batch sketch no matter how the stream was
-    * chopped into batches — proven here by forcing multiple
-    * micro-batches (maxFilesPerTrigger=1 over a multi-file input) and
-    * verifying against the batch oracle. This is the monitoring-loop
-    * primitive at crawl scale: per-batch shuffle traffic is one 8 kB
-    * blob per partition, state is O(depth·width) forever. */
   /** Per-process source copies for the forced-multi-batch sketch
     * streams (CMS / KLL / theta / quota): the staging write is fixture
     * plumbing, not the computation under test, yet a fresh copy per
@@ -1072,6 +1069,17 @@ object Events {
       dir
     })
 
+  /** STREAMING count-min heavy hitters —
+    * [[graft.ops.PipelineQueries.countMinTopK]] as a continuous query.
+    * The CMS is a LINEAR sketch (elementwise-add merge), so the
+    * streaming aggregation state is one fixed 8 kB counter grid that
+    * absorbs each micro-batch's partial sketch, and the final grid is
+    * BIT-IDENTICAL to the batch sketch no matter how the stream was
+    * chopped into batches — proven here by forcing multiple
+    * micro-batches (maxFilesPerTrigger=1 over a multi-file input) and
+    * verifying against the batch oracle. This is the monitoring-loop
+    * primitive at crawl scale: per-batch shuffle traffic is one 8 kB
+    * blob per partition, state is O(depth·width) forever. */
   def streamCountMinTopk(spark: SparkSession, sfDir: String): DataFrame = withStreamShuffle(spark) {
     import graft.functions.{exprs, CountMinSketch}
     val (dep, w) = (4, 256)
@@ -1611,14 +1619,17 @@ object Events {
     * mechanism that makes "absence of an event" observable in a
     * continuous query. Run shape: ONE query, files forced one per
     * micro-batch in modification order (FileStreamSource's order) —
-    * two data files, then two far-future sentinel files. The watermark
+    * two data files, then ONE far-future sentinel file. The watermark
     * delay exceeds the corpus span, so no cart is judged before all
-    * its evidence has arrived (file chopping cannot misjudge);
-    * sentinel 1's batch raises the seen event time, and sentinel 2's
-    * batch STARTS with the advanced watermark (a watermark applies
-    * one batch after the data that moved it), flushing every pending
-    * cart through `hasTimedOut` invocations on groups receiving
-    * nothing. At production delay the state is bounded by the
+    * its evidence has arrived (file chopping cannot misjudge); the
+    * sentinel's batch raises the seen event time (advancing the
+    * watermark at batch end), and the AUTOMATIC no-data micro-batch
+    * (`spark.sql.streaming.noDataMicroBatches.enabled`, on by default
+    * and pinned on in [[withStreamShuffle]]) then STARTS with the
+    * advanced watermark, flushing every pending cart through
+    * `hasTimedOut` invocations on groups receiving nothing — a second
+    * "apply" sentinel would only buy an extra state-store commit
+    * round (the r16 diet). At production delay the state is bounded by the
     * 30-minute horizon (clicks resolve at deadline, purchases prune
     * below watermark − horizon); here the corpus is bounded so
     * nothing needs pruning. Converges to the batch NOT-EXISTS
@@ -2075,11 +2086,15 @@ object Events {
         .orderBy(col("bin"))
     }
 
-  /** Out-of-order source copies for [[streamLateDataAudit]]: the four
-    * chronological chunks written in mtime order [c1, c0, c2, c3] —
-    * the oldest quarter of the corpus arrives one micro-batch LATE,
-    * after the watermark (advanced by c1's max event time) has moved
-    * days past every c0 row. One copy per corpus dir per process. */
+  /** Out-of-order source copies for [[streamLateDataAudit]]: three
+    * data files plus one empty heartbeat, written in mtime order
+    * [c1, heartbeat, c0, c2+c3-merged] — the oldest quarter (c0)
+    * arrives LATE, after the watermark (advanced by c1's max event
+    * time, consumed by the zero-row heartbeat batch so the late-record
+    * filter actually holds the advanced value) has moved days past
+    * every c0 row; the two trailing on-time quarters share one file
+    * (r16 floor diet — a fourth batch is a state-commit round with no
+    * ordering semantics). One copy per corpus dir per process. */
   private val lateSrcDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -2615,53 +2630,59 @@ object Events {
   }
 
   /** STREAMING DAU/MAU stickiness: the q_dau_mau engagement ratio
-    * maintained live on the ingest stream. Two watermarked first-seen
-    * streams over the chronological source: distinct (user, day)
-    * under a 2-day watermark and distinct (user, month) under a
-    * 20-day watermark, both via `dropDuplicatesWithinWatermark` so a
-    * key's state row is EVICTED once the watermark passes its event
-    * time + delay — state is bounded by users active in the trailing
-    * ~2×delay horizon, not by the stream's lifetime (the r13
-    * unbounded-`dropDuplicates` shape this replaces). Dedup stays
-    * EXACT because every duplicate of a (user, day) key lies within
-    * 1 day of the first sighting (< 2×2d) and of a (user, month) key
-    * within 31 days (< 2×20d), and the watermark trails max-event-time
-    * by the delay — a first-seen row outlives all its duplicates'
-    * arrivals. First-seen emissions land append-mode in the sink; the
-    * daily/monthly counts fold them post-stream (existence census →
-    * count, order-insensitive), landing in the batch numbers — shares
-    * q_dau_mau's oracle verbatim. Mid-run eviction is pinned by
+    * maintained live on the ingest stream. ONE watermarked first-seen
+    * stream over the chronological source — distinct (user, day) under
+    * a 2-day watermark via `dropDuplicatesWithinWatermark`, so a key's
+    * state row is EVICTED once the watermark passes its event time +
+    * delay: state is bounded by users active in the trailing ~2×2-day
+    * horizon, never by the stream's lifetime (the r13 unbounded-
+    * `dropDuplicates` shape this replaces). Dedup stays EXACT because
+    * every duplicate of a (user, day) key lies within 1 day of the
+    * first sighting (< 2×2d) and the chronological replay advances the
+    * watermark monotonically. The compacted first-seen log is
+    * sufficient for BOTH readouts: DAU is the per-(month, day) count,
+    * and MAU is the per-month distinct user census over the same rows
+    * (month is a function of day, so no coverage is lost) — the
+    * second, 20-day-watermark monthly stream the r14-r16 shape ran
+    * paid a full extra micro-batch + state-commit round count to
+    * derive that same projection (r17 diet). Counts fold post-stream
+    * (existence census, order-insensitive) into the batch numbers —
+    * shares q_dau_mau's oracle verbatim. Mid-run eviction is pinned by
     * Round14Spec via [[StreamMeter.stateEvictions]]. */
   def streamDauMau(spark: SparkSession, sfDir: String): DataFrame =
     withStreamShuffle(spark) {
       val src = chronoEventsDir(spark, sfDir)
       val schema = spark.read.parquet(src).schema
-      def firstSeen(keys: Seq[String], delay: String,
-          name: String): DataFrame = {
-        val st = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(s"$src/*.parquet")
-          .withWatermark("ts", delay)
-          .select(col("user_id"),
-            date_format(col("ts"), "yyyy-MM").as("month"),
-            to_date(col("ts")).as("day"), col("ts"))
-          .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
-        val q = st.writeStream.outputMode("append").format("memory")
-          .queryName(name).trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        StreamMeter.record(q)
-        spark.table(name)
-      }
+      // ONE first-seen stream, not two (r17 diet, r16 verdict order
+      // #4): the compacted (user, day) first-seen log already carries
+      // everything MAU needs — distinct users per month over it equals
+      // the distinct-user census, because month is a function of day.
+      // The second 20-day-watermark stream over the same source only
+      // re-paid the full micro-batch + state-commit round count to
+      // derive a coarser projection of the same information. Dedup
+      // exactness is unchanged (every (user, day) duplicate lies
+      // within 1 day of the first sighting, < the 2×2d guarantee);
+      // mid-run eviction stays pinned by Round14Spec.
       val dName = s"graft_stream_daumau_d_${n.incrementAndGet()}"
-      val mName = s"graft_stream_daumau_m_${n.incrementAndGet()}"
-      val dFirst = firstSeen(Seq("user_id", "day"), "2 days", dName)
-      val mFirst = firstSeen(Seq("user_id", "month"), "20 days", mName)
+      val st = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*.parquet")
+        .withWatermark("ts", "2 days")
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM").as("month"),
+          to_date(col("ts")).as("day"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "day")
+      val q = st.writeStream.outputMode("append").format("memory")
+        .queryName(dName).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      StreamMeter.record(q)
+      val dFirst = spark.table(dName).localCheckpoint(true)
       val dm = dFirst
         .groupBy(col("month"), col("day")).agg(count(lit(1)).as("dau"))
         .groupBy(col("month"))
         .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
-      val mau = mFirst.groupBy(col("month"))
-        .agg(count(lit(1)).as("mau"))
+      val mau = dFirst.groupBy(col("month"))
+        .agg(countDistinct(col("user_id")).as("mau"))
       dm.join(mau, "month")
         .select(col("month"), col("n_days"),
           (floor(expr("CAST(dau_sum AS DOUBLE) / n_days") * 1e4 + 0.5)

@@ -34,15 +34,15 @@ class Round14Spec extends SparkSuite {
     assert(dRemoved > 0, "DAU dedup evicted no state mid-run")
     assert(dFinal < userDays, "DAU dedup held every user-day key")
 
-    val userMonths = graft.sources.Tables.events(spark, sf)
-      .select(col("user_id"), date_format(col("ts"), "yyyy-MM"))
-      .distinct().count()
-    val mOps = graft.streaming.StreamMeter.stateEvictions
-      .get("graft_stream_daumau_m")
-    assert(mOps != null && mOps.size == 1)
-    val (_, mFinal, mRemoved) = mOps.head
-    assert(mFinal + mRemoved == userMonths,
-      s"MAU rows $mFinal + removed $mRemoved != user-months $userMonths")
+    // r17 diet: MAU folds from the SAME (user, day) first-seen log
+    // (month is a function of day), so there is no second monthly
+    // dedup stream — and therefore no graft_stream_daumau_m state
+    // operator — any more. The MAU values themselves are pinned by
+    // the batch-equality assert above.
+    assert(graft.streaming.StreamMeter.stateEvictions
+      .get("graft_stream_daumau_m") == null,
+      "monthly dedup stream resurrected — the r17 diet folded MAU " +
+        "from the daily first-seen log")
   }
 
   test("stream_srm equals the batch census under the " +
