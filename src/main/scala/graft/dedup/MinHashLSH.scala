@@ -39,10 +39,13 @@ object MinHashLSH {
     // Fused kernel: value-identical to
     // minhashSigs(shingles(text)).filter(size > 0) — see
     // Kernels.minhashDoc — without materializing the shingle array
-    // (the doc's shingles exist only as a scratch buffer in flight)
-    docs
-      .select(col(idCol).as("id"),
-        graft.functions.exprs.minhashDoc(col(textCol), cfg.shingleK,
+    // (the doc's shingles exist only as a scratch buffer in flight).
+    // Par.widen: the kernel is the hot path, and a single-split scan
+    // would otherwise run it on one core (r17, guide §2.5).
+    graft.util.Par.widen(
+        docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"),
+        graft.functions.exprs.minhashDoc(col("_t"), cfg.shingleK,
           cfg.numPerms).as("sigs"))
       .filter(col("sigs").isNotNull)
 
@@ -157,9 +160,10 @@ object MinHashLSH {
     * pass. */
   def index(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): (DataFrame, DataFrame) = {
-    val sh = docs
-      .select(col(idCol).as("id"),
-        graft.functions.exprs.shingles(col(textCol), cfg.shingleK).as("_sh"))
+    val sh = graft.util.Par.widen(
+        docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"),
+        graft.functions.exprs.shingles(col("_t"), cfg.shingleK).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .cache()
     val sigs = sh

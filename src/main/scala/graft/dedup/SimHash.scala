@@ -30,9 +30,12 @@ object SimHash {
     * bit-vote fold runs in the custom `SimHash64` expression (the HOF
     * formulation is interpreted and ~1000× slower per doc). */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("id"),
-        graft.functions.exprs.shingles(col(textCol), 1).as("_toks"))
+    // Par.widen: single-split scans would run the bit-vote kernel on
+    // one core (r17, guide §2.5)
+    graft.util.Par.widen(
+        docs.select(col(idCol).as("id"), col(textCol).as("_t")))
+      .select(col("id"),
+        graft.functions.exprs.shingles(col("_t"), 1).as("_toks"))
       .filter(size(col("_toks")) > 0)
       .select(col("id"),
         graft.functions.exprs.simhash64(col("_toks")).as("simhash"))

@@ -319,4 +319,53 @@ object Kernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** All index-ordered pairs (i < j) of a long array as
+    * array<struct<a,b>> — the basket pair-enumeration kernel (one
+    * kernel call, so the Generate collapse cannot re-inline the array
+    * builder per output slot — the BandKeys lesson). */
+  def orderedPairs(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = xs.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](a, xs.getLong(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** All index-ordered triples (i < j < k) of a long array as
+    * array<struct<a,b,c>> — the level-3 basket enumeration kernel. */
+  def orderedTriples(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val out = new Array[Any](n * (n - 1) * (n - 2) / 6)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val a = xs.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val b = xs.getLong(j)
+        var k = j + 1
+        while (k < n) {
+          out(m) = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](a, b, xs.getLong(k)))
+          m += 1
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

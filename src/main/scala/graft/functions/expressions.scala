@@ -221,6 +221,37 @@ case class SigAgreement(left: Expression, right: Expression)
       r: Expression): SigAgreement = copy(left = l, right = r)
 }
 
+/** All index-ordered pairs (i<j) of a bigint array —
+  * array<struct<a,b>> in one kernel call (see Kernels.orderedPairs). */
+case class OrderedPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.orderedPairs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.orderedPairs($c)")
+  override protected def withNewChildInternal(c: Expression): OrderedPairs =
+    copy(child = c)
+}
+
+/** All index-ordered triples (i<j<k) of a bigint array —
+  * array<struct<a,b,c>> in one kernel call. */
+case class OrderedTriples(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.orderedTriples(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.orderedTriples($c)")
+  override protected def withNewChildInternal(c: Expression): OrderedTriples =
+    copy(child = c)
+}
+
 /** Column-API entry points for the custom expressions. */
 object exprs {
   /** Distinct whitespace k-gram shingles. */
@@ -287,4 +318,12 @@ object exprs {
   def sq8Recon(emb: Column, mins: Array[Double],
       maxs: Array[Double]): Column =
     column(Sq8Recon(expression(emb), mins, maxs))
+
+  /** All index-ordered pairs (i<j) of a bigint-array column. */
+  def orderedPairs(xs: Column): Column =
+    column(OrderedPairs(expression(xs)))
+
+  /** All index-ordered triples (i<j<k) of a bigint-array column. */
+  def orderedTriples(xs: Column): Column =
+    column(OrderedTriples(expression(xs)))
 }

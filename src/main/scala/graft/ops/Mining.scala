@@ -2847,36 +2847,43 @@ object Mining {
     * the Apriori property doing its job at scale. Top-50 by
     * (support, triple) total order. */
   def qItemset3(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.exprs
     val minTriple = 2L
-    val items = Tables.lineitem(s, d)
+    // ONE basket shuffle replaces the r16 shape's distinct + two
+    // order-keyed self-joins (r17 diet, guide §2.3/§2.4): collect_set
+    // dedups (o, family) map-side, the sorted ≤25-wide basket array
+    // enumerates its own pairs/triples via single-call kernels (the
+    // BandKeys pattern — a transform-built array would re-inline the
+    // builder per Generate slot), and the frequent-pair prunes ride
+    // tiny broadcast semi-joins (≤ C(25,2) = 300 distinct pairs by
+    // construction). Instance sets are identical to the self-join
+    // formulation: distinct (o, a<b) resp. (o, a<b<c) memberships.
+    val baskets = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"),
         (col("l_partkey") % 25).as("p"))
-      .distinct()
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
       .localCheckpoint(true)
     // data-scaled pair support floor: n_baskets div 500 (min 2), so
     // the prune stays proportionally selective at any corpus size
-    val minPair = broadcast(items.select(col("o")).distinct()
+    val minPair = broadcast(baskets
       .agg(greatest(expr("count(1) div 500"), lit(2L)).as("min_pair")))
-    val pairInst = items.as("x")
-      .join(items.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.o").as("o"), col("x.p").as("a"), col("y.p").as("b"))
-    val freqPairs = pairInst.groupBy(col("a"), col("b"))
+    val freqPairs = baskets
+      .select(explode(exprs.orderedPairs(col("ps"))).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("sup"))
       .crossJoin(minPair)
       .filter(col("sup") >= col("min_pair"))
       .select(col("a"), col("b"))
       .localCheckpoint(true)
-    val tripleInst = pairInst
-      .join(freqPairs, Seq("a", "b"), "left_semi")
-      .as("w")
-      .join(items.as("z"),
-        col("w.o") === col("z.o") && col("z.p") > col("w.b"))
-      .select(col("w.o").as("o"), col("w.a").as("a"),
-        col("w.b").as("b"), col("z.p").as("c"))
-      .join(freqPairs.select(col("a"), col("b").as("c")),
+    val tripleInst = baskets
+      .select(explode(exprs.orderedTriples(col("ps"))).as("t"))
+      .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+      .join(broadcast(freqPairs), Seq("a", "b"), "left_semi")
+      .join(broadcast(freqPairs.select(col("a"), col("b").as("c"))),
         Seq("a", "c"), "left_semi")
-      .join(freqPairs.select(col("a").as("b"), col("b").as("c")),
+      .join(broadcast(freqPairs.select(col("a").as("b"), col("b").as("c"))),
         Seq("b", "c"), "left_semi")
     tripleInst.groupBy(col("a"), col("b"), col("c"))
       .agg(count(lit(1)).as("support"))
@@ -3101,6 +3108,10 @@ object Mining {
     val deg = edges.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    // (r17, measured and kept as-is: pre-joining the degree onto the
+    // edge frame once regressed 3.5 → 4.2 s — the per-round deg join
+    // is a broadcast of a |nodes|-row frame, i.e. already map-side,
+    // while the pre-join added a 2.4M-row checkpoint materialization)
     val seedCol = col("node").isin(seeds: _*)
     var ranks = deg.select(col("node"),
       when(seedCol, lit(scale / seeds.length)).otherwise(lit(0L))

@@ -86,7 +86,8 @@ object PipelineQueries {
     * on this corpus vs 3923 for tokens — grain matters). */
   def dedupSetsimJoin(s: SparkSession, d: String): DataFrame = {
     import graft.functions.exprs
-    val docs = Tables.documents(s, d)
+    val docs = graft.util.Par.widen(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), exprs.shingles(col("text"), 3).as("toks"))
       .filter(size(col("toks")) > 0)
       .cache()
@@ -234,7 +235,8 @@ object PipelineQueries {
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     // shingling is interpreted (HOF) — compute once, reuse on both
     // sides of the self-join
-    val docs = Tables.documents(s, d)
+    val docs = graft.util.Par.widen(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
       .cache()
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("_sa"))
@@ -877,9 +879,9 @@ object PipelineQueries {
   def dedupSubstringSpans(s: SparkSession, d: String): DataFrame = {
     val W = 50
     val St = 10
-    val wins = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .filter(length(col("text")) >= W)
+    val wins = graft.util.Par.widen(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .filter(length(col("text")) >= W))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),
           expr(s"(length(text) - $W) div $St").cast("int"))).as("i"))
@@ -923,7 +925,8 @@ object PipelineQueries {
     val W = 20
     val St = 4
     val B = " (C) 2026 GRAFT CORP RESERVED."
-    val t = Tables.documents(s, d)
+    val t = graft.util.Par.widen(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), (col("doc_id") % 7 === 0).as("planted"),
         when(col("doc_id") % 7 === 0,
           expr(s"concat(text, substring('    ', 1, " +
@@ -1123,6 +1126,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodeJpeg(id)
         val (w, h, maxD, sumD) = graft.mm.Codecs.decodeJpegDelta(bytes, id)
@@ -1910,6 +1917,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodeWav(id)
         val (nOut, rate, energy) = graft.mm.Codecs.decimateWavStats(bytes)
@@ -2155,6 +2166,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodePng(id)
         val (w, h, sum) = graft.mm.Codecs.decodePngStats(bytes)
@@ -2210,6 +2225,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodeGif(id)
         val (w, h, sum) = graft.mm.Codecs.decodeGifStats(bytes)
@@ -2233,6 +2252,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodePng(id)
         val (w, h, sum) = graft.mm.Codecs.resizePngStats(bytes, 8)
@@ -2276,6 +2299,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodeWav(id)
         val (n, rate, energy) = graft.mm.Codecs.decodeWavStats(bytes)
@@ -3034,6 +3061,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodeWav(id)
         val (nf, ns, nseg) =
@@ -3254,6 +3285,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodePng(id)
         val (ntx, nty, cks) = graft.mm.Codecs.decodePngTileStats(bytes, 8)
@@ -3275,6 +3310,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodeBmp(id)
         val (w, h, sum) = graft.mm.Codecs.decodePngStats(bytes)
@@ -3293,6 +3332,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val h = graft.mm.Codecs.decodeImageHist(graft.mm.Codecs.encodePng(id))
         (id, h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
@@ -3312,6 +3355,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val (n, lag, r) = graft.mm.Codecs.decodeWavPitch(
           graft.mm.Codecs.encodeWav(id), 20, 40)
@@ -3741,6 +3788,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodeTiff(id)
         val (w, h, sum) = graft.mm.Codecs.decodePngStats(bytes)
@@ -3871,6 +3922,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodeWbmp(id)
         val (w, h, sum) = graft.mm.Codecs.decodePngStats(bytes)
@@ -4001,6 +4056,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodeQoi(id)
         val (w, h, sum) = graft.mm.Codecs.decodeQoiStats(bytes)
@@ -4014,6 +4073,10 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
+      // spread ids across cores before the codec map (r17: the
+      // single-split scan otherwise serializes the whole kernel on
+      // one task — see multimodalVideoScenecut's note)
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodePnm(id)
         val (w, h, sum) = graft.mm.Codecs.decodePnmStats(bytes)

@@ -1001,7 +1001,7 @@ object Events {
       .cache()
     // static corpus band index: (band, bh) -> (old_id, old_sh).
     // Empty-shingle docs are excluded (nothing to compare).
-    val oldIdx = old
+    val oldIdx = graft.util.Par.widen(old)
       .select(col("doc_id").as("old_id"),
         exprs.shingles(col("text"), 3).as("old_sh"))
       .filter(size(col("old_sh")) > 0)
@@ -1013,8 +1013,9 @@ object Events {
     exactIdx.count(); oldIdx.count() // materialize pre-stream
     // the incoming batch, fed as a real file stream
     val batch = docs.filter(col("doc_id") % 5 === 0)
-    val dir = graft.util.Scratch.dir("graft_sdm").toString + "/in"
-    batch.write.mode("overwrite").parquet(dir)
+    // memoized staging copy (r17: the fresh per-call write used to
+    // land inside every timed run — the sketchSrcDirs rationale)
+    val dir = stagedTwoFileDir("sdm", sfDir, batch)
     val st = spark.readStream.schema(batch.schema).parquet(dir)
       .select(col("doc_id"), md5(col("text")).as("new_md5"),
         exprs.shingles(col("text"), 3).as("_shn"))
@@ -1506,8 +1507,8 @@ object Events {
     val coded = graft.sim.IvfPq.encode(emb, ivf, pq).cache()
     coded.count() // materialize before the stream starts
     val queries = emb.filter(col("vec_id") < 10)
-    val dir = graft.util.Scratch.dir("graft_sap").toString + "/in"
-    queries.repartition(2).write.mode("overwrite").parquet(dir)
+    // memoized staging copy (r17 — the sketchSrcDirs rationale)
+    val dir = stagedTwoFileDir("sap", sfDir, queries)
     val st = spark.readStream.schema(queries.schema)
       .option("maxFilesPerTrigger", "1") // force >1 micro-batch
       .parquet(dir)
@@ -1574,8 +1575,8 @@ object Events {
     model.count() // materialize before the stream starts
     val raw = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("source") =!= "src0")
-    val dir = graft.util.Scratch.dir("graft_dsir").toString + "/in"
-    raw.repartition(2).write.mode("overwrite").parquet(dir)
+    // memoized staging copy (r17 — the sketchSrcDirs rationale)
+    val dir = stagedTwoFileDir("dsir", sfDir, raw)
     val st = spark.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", "1") // force >1 micro-batch
       .parquet(dir)
@@ -2293,8 +2294,8 @@ object Events {
       .agg(count(lit(1)).as("n_ref")).cache()
     ref.count() // materialize the reference profile before the stream
     val tgt = docs.filter(length(col("source")) =!= 4)
-    val dir = graft.util.Scratch.dir("graft_psi").toString + "/in"
-    tgt.repartition(2).write.mode("overwrite").parquet(dir)
+    // memoized staging copy (r17 — the sketchSrcDirs rationale)
+    val dir = stagedTwoFileDir("psi", sfDir, tgt)
     val st = spark.readStream.schema(tgt.schema)
       .option("maxFilesPerTrigger", "1") // force >1 micro-batch
       .parquet(dir)

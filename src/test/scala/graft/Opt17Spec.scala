@@ -73,6 +73,42 @@ class Opt17Spec extends SparkSuite {
     }
   }
 
+  test("q_itemset3: basket-kernel enumeration equals the r16 " +
+      "self-join formulation") {
+    val got = rows(graft.ops.Mining.qItemset3(spark, sf))
+    // the pre-r17 pipeline, inlined verbatim as the reference
+    val items = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), (col("l_partkey") % 25).as("p"))
+      .distinct().localCheckpoint(true)
+    val minPair = broadcast(items.select(col("o")).distinct()
+      .agg(greatest(expr("count(1) div 500"), lit(2L)).as("min_pair")))
+    val pairInst = items.as("x")
+      .join(items.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.o").as("o"), col("x.p").as("a"), col("y.p").as("b"))
+    val freqPairs = pairInst.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("sup"))
+      .crossJoin(minPair).filter(col("sup") >= col("min_pair"))
+      .select(col("a"), col("b")).localCheckpoint(true)
+    val tripleInst = pairInst
+      .join(freqPairs, Seq("a", "b"), "left_semi").as("w")
+      .join(items.as("z"),
+        col("w.o") === col("z.o") && col("z.p") > col("w.b"))
+      .select(col("w.o").as("o"), col("w.a").as("a"),
+        col("w.b").as("b"), col("z.p").as("c"))
+      .join(freqPairs.select(col("a"), col("b").as("c")),
+        Seq("a", "c"), "left_semi")
+      .join(freqPairs.select(col("a").as("b"), col("b").as("c")),
+        Seq("b", "c"), "left_semi")
+    val expect = rows(tripleInst.groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2L)
+      .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+      .limit(50))
+    assert(got == expect, s"got=${got.take(10)} expect=${expect.take(10)}")
+    assert(got.nonEmpty)
+  }
+
   test("dedup_setsim_join: cached prefix frame + PPJoin length filter " +
       "keep the exact pair relation (≡ LSH verified pairs)") {
     // the length filter may only drop candidates the exact-Jaccard
