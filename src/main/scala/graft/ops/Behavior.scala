@@ -678,6 +678,68 @@ object Behavior {
       .select(col("season").as("nation"), col("yr").as("k"),
         col("yr").as("x_cents"), col("e4").as("y_cents"))
       .localCheckpoint(true)
+    // driver-fold finisher (r17, the Components pattern): the
+    // (season, year) frame is CALENDAR-bounded — ≤ 12×|years| rows at
+    // ANY corpus size, so unlike the graph folds this one fires at
+    // every scale; the corpus-scaled lineitem rollup above stays
+    // distributed. All arithmetic is exact integers (years are
+    // distinct within a season, so nd is a strict-inversion count and
+    // ty the y-tie census — the identities kendallDiscordant's bucket
+    // decomposition computes distributively), with the one final z
+    // division on identical operands. Conf-forced equality pinned in
+    // Opt17Spec; the BSP path below stays for conf=0 / oversize.
+    val localMax = s.conf.getOption("graft.mining.localThreshold")
+      .map(_.toInt).getOrElse(100000)
+    if (localMax > 0) {
+      val es = sy.select(col("nation"), col("k"), col("y_cents"))
+        .take(localMax + 1)
+      val degenerate = es.isEmpty ||
+        es.groupBy(_.getString(0)).forall(_._2.length < 2)
+      if (es.length <= localMax && !degenerate && !es.exists(r =>
+          r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) {
+        val bySeason = es.map(r =>
+            (r.getString(0), r.getLong(1), r.getLong(2)))
+          .groupBy(_._1)
+        val per = bySeason.toSeq.collect {
+          case (season, rows) if rows.length >= 2 =>
+            val ys = rows.sortBy(_._2).map(_._3)
+            val n = ys.length.toLong
+            var nd = 0L
+            var ties = 0L
+            for (i <- ys.indices; j <- (i + 1) until ys.length) {
+              if (ys(i) > ys(j)) nd += 1L
+              else if (ys(i) == ys(j)) ties += 1L
+            }
+            val n0 = n * (n - 1) / 2
+            val sM = n0 - 2L * nd - ties
+            (season, n, sM, n * (n - 1) * (2 * n + 5))
+        }.sortBy(_._1)
+        val sTotal = per.map(_._3).sum
+        val v18 = per.map(_._4).sum
+        val z = math.floor((sTotal.toDouble - math.signum(sTotal.toDouble))
+          / math.sqrt(v18.toDouble / 18) * 1e4 + 0.5) / 1e4
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("season",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_years",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s_stat",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s_total",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("z_stat",
+            org.apache.spark.sql.types.DoubleType)))
+        val out = per.map { case (season, n, sM, _) =>
+          org.apache.spark.sql.Row(season, n, sM, null, null)
+        } :+ org.apache.spark.sql.Row("total", per.length.toLong, null,
+          sTotal, z)
+        return s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+            schema)
+          .orderBy(col("season"))
+      }
+    }
     val nd = graft.ops.Mining.kendallDiscordant(sy, bucketCount = 4)
     val ty = sy.groupBy(col("nation"), col("y_cents"))
       .agg(count(lit(1)).as("c"))

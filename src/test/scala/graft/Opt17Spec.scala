@@ -40,6 +40,7 @@ class Opt17Spec extends SparkSuite {
   pin("q_closeness_approx", graft.ops.Mining.qClosenessApprox)
   pin("q_harmonic_centrality", graft.ops.Mining.qHarmonicCentrality)
   pin("q_dag_longest_path", graft.ops.Mining.qDagLongestPath)
+  pin("q_seasonal_mann_kendall", graft.ops.Behavior.qSeasonalMannKendall)
 
   test("q_scc: pre-trim Tarjan finisher equals the conf-forced " +
       "BSP peel (and covers isolated remaining nodes)") {
