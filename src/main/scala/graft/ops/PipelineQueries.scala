@@ -1917,10 +1917,11 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
-      // spread ids across cores before the codec map (r17: the
-      // single-split scan otherwise serializes the whole kernel on
-      // one task — see multimodalVideoScenecut's note)
-      .repartition(s.sparkContext.defaultParallelism)
+      // NO id-spread here (r17, measured): javax.sound's provider
+      // registry serializes concurrent AudioSystem lookups, so the
+      // parallel map CONTENDS and ran ~2-3x slower than the serial
+      // single-split scan (wav_codec 0.66 -> 1.54 s etc.) — the WAV
+      // keys keep the one-task map; the imageio keys keep the spread.
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodeWav(id)
         val (nOut, rate, energy) = graft.mm.Codecs.decimateWavStats(bytes)
@@ -2299,10 +2300,11 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
-      // spread ids across cores before the codec map (r17: the
-      // single-split scan otherwise serializes the whole kernel on
-      // one task — see multimodalVideoScenecut's note)
-      .repartition(s.sparkContext.defaultParallelism)
+      // NO id-spread here (r17, measured): javax.sound's provider
+      // registry serializes concurrent AudioSystem lookups, so the
+      // parallel map CONTENDS and ran ~2-3x slower than the serial
+      // single-split scan (wav_codec 0.66 -> 1.54 s etc.) — the WAV
+      // keys keep the one-task map; the imageio keys keep the spread.
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodeWav(id)
         val (n, rate, energy) = graft.mm.Codecs.decodeWavStats(bytes)
@@ -3061,10 +3063,11 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
-      // spread ids across cores before the codec map (r17: the
-      // single-split scan otherwise serializes the whole kernel on
-      // one task — see multimodalVideoScenecut's note)
-      .repartition(s.sparkContext.defaultParallelism)
+      // NO id-spread here (r17, measured): javax.sound's provider
+      // registry serializes concurrent AudioSystem lookups, so the
+      // parallel map CONTENDS and ran ~2-3x slower than the serial
+      // single-split scan (wav_codec 0.66 -> 1.54 s etc.) — the WAV
+      // keys keep the one-task map; the imageio keys keep the spread.
       .mapPartitions(_.map { id =>
         val bytes = graft.mm.Codecs.encodeWav(id)
         val (nf, ns, nseg) =
@@ -3355,10 +3358,11 @@ object PipelineQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
-      // spread ids across cores before the codec map (r17: the
-      // single-split scan otherwise serializes the whole kernel on
-      // one task — see multimodalVideoScenecut's note)
-      .repartition(s.sparkContext.defaultParallelism)
+      // NO id-spread here (r17, measured): javax.sound's provider
+      // registry serializes concurrent AudioSystem lookups, so the
+      // parallel map CONTENDS and ran ~2-3x slower than the serial
+      // single-split scan (wav_codec 0.66 -> 1.54 s etc.) — the WAV
+      // keys keep the one-task map; the imageio keys keep the spread.
       .mapPartitions(_.map { id =>
         val (n, lag, r) = graft.mm.Codecs.decodeWavPitch(
           graft.mm.Codecs.encodeWav(id), 20, 40)

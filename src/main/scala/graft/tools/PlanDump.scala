@@ -27,6 +27,14 @@ object PlanDump {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLANCONF="k=v,k2=v2": session-conf overrides, so the
+    // conf-gated at-scale paths (driver-fold fallbacks forced via
+    // graft.*.localThreshold=0) can be plan-dumped beside the default
+    sys.env.get("SPARK_GRAFT_PLANCONF").foreach(_.split(",")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     keys.foreach { k =>
       SparkEntry.queries.get(k) match {
         case None => println(s"SKIP unknown key: $k")
